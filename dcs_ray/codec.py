@@ -1,0 +1,315 @@
+"""Posting-list compression codec: vectorized LEB128 varint + block-max blocks.
+
+Semantics modeled on dcs's posting sections (reference
+``internal/index/write.go:275-441``, ``howto/index.md:61-199``): per-term
+doc-id **deltas** varint-packed in fixed-size blocks, with per-block
+``(first_docid, max_docid, max_tf)`` skip metadata — the "block-max"
+metadata the north rule prescribes for WAND. Where dcs uses cgo
+TurboPFor 256-int blocks (``internal/index/pforwriter.go:44-50``), we use
+pure-numpy Streaming-VByte-style varint in blocks of 128, fully
+vectorized across ALL terms of a partition in one pass (no Python loop
+per term in the hot path).
+
+Block layout (self-contained; merge = pure concatenation, because doc
+ids are globally ordered across segments — the rebase trick of
+``internal/index/merge.go:252-341`` becomes a no-op):
+
+    header: <u16 n> <u32 nbytes> <u64 first_docid> <u64 max_docid> <u32 max_tf>
+    body:   varint(docid deltas, n-1 values, delta from prev docid in block)
+            varint(tf, n values)
+
+``nbytes`` is the body length so WAND can skip a block without decoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+HEADER_DTYPE = np.dtype(
+    [
+        ("n", "<u2"),
+        ("nbytes", "<u4"),
+        ("first_docid", "<u8"),
+        ("max_docid", "<u8"),
+        ("max_tf", "<u4"),
+    ]
+)
+HEADER_SIZE = HEADER_DTYPE.itemsize  # 26
+
+
+# ---------------------------------------------------------------------------
+# vectorized LEB128 varint
+# ---------------------------------------------------------------------------
+
+_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def _varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's varint encoding (1..10)."""
+    v = values.astype(np.uint64, copy=False)
+    # length = 1 + number of thresholds <= v  (9 comparisons, max len 10)
+    lengths = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        lengths += (v >= t).astype(np.int64)
+    return lengths
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint array as LEB128. Returns (bytes_u8, per_value_lengths)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    lengths = _varint_lengths(v)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    maxlen = int(lengths.max())
+    for j in range(maxlen):
+        mask = lengths > j
+        idx = offsets[mask] + j
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (lengths[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out, lengths
+
+
+def varint_decode(buf: np.ndarray | bytes | memoryview) -> np.ndarray:
+    """Decode a LEB128 byte stream to a uint64 array (all values in buf)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (b & 0x80) != 0
+    ends = np.flatnonzero(~cont)
+    starts = np.empty(len(ends), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    result = np.zeros(len(ends), dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        result[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# block-max posting stream packing (all terms of a partition in one pass)
+# ---------------------------------------------------------------------------
+
+
+def pack_postings(
+    group_offsets: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
+    """Pack posting lists for many terms into one blob, vectorized.
+
+    ``group_offsets``: int64 array of length nterms+1; term t's postings are
+    ``doc_ids[group_offsets[t]:group_offsets[t+1]]`` (sorted ascending,
+    deduped) with parallel ``tfs``.
+
+    Returns ``(blob, term_byte_offsets, term_byte_lengths)`` where term t's
+    block sequence is ``blob[off[t]:off[t]+len[t]]``.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    nterms = len(group_offsets) - 1
+    total = len(doc_ids)
+    if total == 0:
+        return b"", np.zeros(nterms, dtype=np.int64), np.zeros(nterms, dtype=np.int64)
+
+    counts = np.diff(group_offsets)
+    # --- block structure: split each term's run into blocks of <= BLOCK ---
+    nblocks_per_term = (counts + BLOCK - 1) // BLOCK
+    nblocks = int(nblocks_per_term.sum())
+    # block -> owning term
+    block_term = np.repeat(np.arange(nterms), nblocks_per_term)
+    # index of block within its term
+    block_first = np.concatenate(([0], np.cumsum(nblocks_per_term)[:-1]))
+    intra_block = np.arange(nblocks) - np.repeat(block_first, nblocks_per_term)
+    # entry-range of each block
+    block_start = group_offsets[:-1][block_term] + intra_block * BLOCK
+    block_end = np.minimum(block_start + BLOCK, group_offsets[1:][block_term])
+    block_n = block_end - block_start
+
+    # --- per-entry delta stream; block-first entries excluded from body ---
+    deltas = np.empty(total, dtype=np.uint64)
+    deltas[1:] = doc_ids[1:] - doc_ids[:-1]
+    deltas[0] = 0
+    is_block_first = np.zeros(total, dtype=bool)
+    is_block_first[block_start] = True
+    body_deltas = deltas[~is_block_first]
+
+    delta_bytes, delta_lens = varint_encode(body_deltas)
+    tf_bytes, tf_lens = varint_encode(tfs)
+
+    # per-entry cumulative byte positions within the two streams
+    delta_cum = np.concatenate(([0], np.cumsum(delta_lens)))
+    tf_cum = np.concatenate(([0], np.cumsum(tf_lens)))
+    # map entry index -> position in body_deltas stream (block firsts excluded)
+    entry_delta_rank = np.cumsum(~is_block_first) - (~is_block_first)  # rank among kept
+
+    # per-block byte extents in each stream
+    blk_delta_lo = delta_cum[entry_delta_rank[block_start] + 0]
+    # deltas for a block are entries (block_start, block_end): ranks
+    # entry_delta_rank[block_start]+0 .. +  (block_n-1) - 1
+    blk_delta_hi = delta_cum[entry_delta_rank[block_start] + (block_n - 1)]
+    blk_tf_lo = tf_cum[block_start]
+    blk_tf_hi = tf_cum[block_end - 1] + tf_lens[block_end - 1]
+    blk_body_bytes = (blk_delta_hi - blk_delta_lo) + (blk_tf_hi - blk_tf_lo)
+
+    # --- per-block max_tf via reduceat over tfs ---
+    max_tf = np.maximum.reduceat(tfs, block_start)
+
+    headers = np.empty(nblocks, dtype=HEADER_DTYPE)
+    headers["n"] = block_n
+    headers["nbytes"] = blk_body_bytes
+    headers["first_docid"] = doc_ids[block_start]
+    headers["max_docid"] = doc_ids[block_end - 1]
+    headers["max_tf"] = max_tf
+
+    # --- assemble output: [header | delta-body | tf-body] per block ---
+    blk_total = HEADER_SIZE + blk_body_bytes
+    blk_out = np.concatenate(([0], np.cumsum(blk_total)))
+    out = np.empty(int(blk_out[-1]), dtype=np.uint8)
+
+    # headers
+    hview = headers.view(np.uint8).reshape(nblocks, HEADER_SIZE)
+    htargets = blk_out[:-1][:, None] + np.arange(HEADER_SIZE)[None, :]
+    out[htargets.ravel()] = hview.ravel()
+
+    # delta bodies: source positions blk_delta_lo..hi → target blk_out+26
+    dlen = blk_delta_hi - blk_delta_lo
+    if dlen.sum() > 0:
+        src = _ranges(blk_delta_lo, dlen)
+        dst = _ranges(blk_out[:-1] + HEADER_SIZE, dlen)
+        out[dst] = delta_bytes[src]
+    # tf bodies
+    tlen = blk_tf_hi - blk_tf_lo
+    if tlen.sum() > 0:
+        src = _ranges(blk_tf_lo, tlen)
+        dst = _ranges(blk_out[:-1] + HEADER_SIZE + dlen, tlen)
+        out[dst] = tf_bytes[src]
+
+    # per-term offsets: first block of each term
+    term_off = blk_out[block_first]
+    term_end = blk_out[np.concatenate((block_first[1:], [nblocks]))]
+    term_len = term_end - term_off
+    if (counts == 0).any():
+        raise ValueError("pack_postings: empty term groups not supported")
+    return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
+
+
+def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of [s, s+l) ranges."""
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    nz = lengths > 0
+    s, l = starts[nz].astype(np.int64), lengths[nz]
+    firsts = np.concatenate(([0], np.cumsum(l)[:-1]))
+    out = np.ones(total, dtype=np.int64)
+    out[firsts] = s
+    out[firsts[1:]] -= s[:-1] + l[:-1] - 1
+    return np.cumsum(out)
+
+
+# ---------------------------------------------------------------------------
+# decode one term's posting blob
+# ---------------------------------------------------------------------------
+
+
+def iter_blocks(blob: np.ndarray | memoryview | bytes):
+    """Yield (header, body_u8) per block without decoding bodies."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    pos = 0
+    n = len(b)
+    while pos < n:
+        header = b[pos : pos + HEADER_SIZE].view(HEADER_DTYPE)[0]
+        body_end = pos + HEADER_SIZE + int(header["nbytes"])
+        yield header, b[pos + HEADER_SIZE : body_end]
+        pos = body_end
+
+
+def decode_block(header, body: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block to (doc_ids u64, tfs u64)."""
+    n = int(header["n"])
+    vals = varint_decode(body)
+    deltas, tfs = vals[: n - 1], vals[n - 1 :]
+    doc_ids = np.empty(n, dtype=np.uint64)
+    doc_ids[0] = header["first_docid"]
+    if n > 1:
+        np.cumsum(deltas, out=doc_ids[1:])
+        doc_ids[1:] += doc_ids[0]
+    return doc_ids, tfs
+
+
+def decode_postings(blob: np.ndarray | memoryview | bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full term blob to (doc_ids u64, tfs u64)."""
+    ids, tfs = [], []
+    for header, body in iter_blocks(blob):
+        d, t = decode_block(header, body)
+        ids.append(d)
+        tfs.append(t)
+    if not ids:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(ids), np.concatenate(tfs)
+
+
+# ---------------------------------------------------------------------------
+# positional sections (phrase / trigram verify), dcs posrel analogue
+# ---------------------------------------------------------------------------
+
+
+def pack_positions(doc_ids: np.ndarray, pos_offsets: np.ndarray, positions: np.ndarray) -> bytes:
+    """Pack one term's positional postings.
+
+    ``doc_ids``: sorted unique u64; ``positions`` flat u64 (sorted within
+    doc); doc d's positions are ``positions[pos_offsets[d]:pos_offsets[d+1]]``.
+    Layout (mirrors dcs posting.pos + posrel semantics,
+    ``internal/index/write.go:333-441``): varint(ndocs), varint(docid
+    deltas incl. first), varint(npos per doc), varint(pos deltas within doc).
+    """
+    ndocs = len(doc_ids)
+    header, _ = varint_encode(np.array([ndocs], dtype=np.uint64))
+    if ndocs == 0:
+        return header.tobytes()
+    d = np.empty(ndocs, dtype=np.uint64)
+    d[0] = doc_ids[0]
+    d[1:] = doc_ids[1:] - doc_ids[:-1]
+    npos = np.diff(pos_offsets).astype(np.uint64)
+    pdel = positions.astype(np.uint64).copy()
+    starts = pos_offsets[:-1]
+    pdel[1:] = positions[1:] - positions[:-1]
+    pdel[starts] = positions[starts]  # first position per doc is absolute
+    parts = [header]
+    for arr in (d, npos, pdel):
+        enc, _ = varint_encode(arr)
+        parts.append(enc)
+    return np.concatenate(parts).tobytes()
+
+
+def unpack_positions(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of pack_positions → (doc_ids, pos_offsets, positions)."""
+    vals = varint_decode(blob)
+    ndocs = int(vals[0])
+    if ndocs == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.uint64),
+        )
+    d = vals[1 : 1 + ndocs]
+    npos = vals[1 + ndocs : 1 + 2 * ndocs].astype(np.int64)
+    pdel = vals[1 + 2 * ndocs :]
+    doc_ids = np.cumsum(d, dtype=np.uint64)
+    pos_offsets = np.concatenate(([0], np.cumsum(npos)))
+    total = np.cumsum(pdel, dtype=np.uint64)
+    starts = pos_offsets[:-1]
+    # segment-local cumsum: subtract, per doc, the running total just before
+    # its first position (first position per doc was encoded absolute)
+    corr = np.zeros(ndocs, dtype=np.uint64)
+    later = starts > 0
+    corr[later] = total[starts[later] - 1]
+    positions = total - np.repeat(corr, npos)
+    return doc_ids, pos_offsets, positions

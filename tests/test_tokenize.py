@@ -1,0 +1,108 @@
+"""Tokenizer goldens — word mode parity with DuckDB, trigram semantics
+mirroring the reference tokenizer (``internal/index/write.go:170-219``)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from dcs_ray.tokenize import (
+    MAX_DISTINCT_TRIGRAMS,
+    indexable_mask,
+    string_trigrams,
+    tokenize_batch_words,
+    tokenize_query_words,
+    trigram_tokens,
+)
+
+TEXTS = [
+    "Hello, World! hello again",
+    "the quick brown fox 42 jumps-over the lazy dog",
+    "",
+    "  --- ",
+    "C'est déjà l'été 123",
+]
+
+
+def test_word_tokens_match_duckdb():
+    texts = pa.array(TEXTS)
+    doc_ids = np.arange(len(TEXTS), dtype=np.uint64)
+    postings, doc_lens = tokenize_batch_words(texts, doc_ids)
+    got = postings.to_pandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("docs", pa.table({"doc_id": doc_ids, "text": texts}))
+    want = con.execute(
+        """
+        SELECT t AS term, doc_id, count(*)::int AS tf FROM (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM docs
+        ) GROUP BY t, doc_id ORDER BY term, doc_id
+        """
+    ).df()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["doc_id"].astype(int).tolist() == want["doc_id"].astype(int).tolist()
+    assert got["tf"].astype(int).tolist() == want["tf"].astype(int).tolist()
+
+    want_len = con.execute(
+        """
+        SELECT doc_id, count(*)::int AS n FROM (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM docs
+        ) GROUP BY doc_id
+        """
+    ).df()
+    dl = dict(zip(doc_lens["doc_id"].to_pylist(), doc_lens["doc_len"].to_pylist()))
+    for _, row in want_len.iterrows():
+        assert dl[int(row["doc_id"])] == int(row["n"])
+    assert dl[2] == 0 and dl[3] == 0
+
+
+def test_tokenize_query_words():
+    assert tokenize_query_words("Hello WORLD hello") == ["hello", "world"]
+    assert tokenize_query_words("a.*b c") == ["a", "b", "c"]
+    assert tokenize_query_words("  ") == []
+
+
+def test_trigram_golden():
+    # write.go:170-219: trigram = t0<<16|t1<<8|t2 over raw bytes
+    assert string_trigrams("abcd") == [
+        (ord("a") << 16) | (ord("b") << 8) | ord("c"),
+        (ord("b") << 16) | (ord("c") << 8) | ord("d"),
+    ]
+    texts = pa.array(["abcd", "xy", "hello"])
+    tri, doc, pos = trigram_tokens(texts, np.array([10, 11, 12], dtype=np.uint64))
+    # doc "xy" too short (< 3 bytes, write.go:139) → nothing
+    assert doc.tolist() == [10, 10, 12, 12, 12]
+    assert pos.tolist() == [0, 1, 0, 1, 2]
+    assert tri[:2].tolist() == string_trigrams("abcd")
+    assert tri[2:].tolist() == string_trigrams("hello")
+
+
+def test_trigram_multibyte_utf8_uses_bytes():
+    # é = 0xC3 0xA9 → trigrams over bytes, not runes
+    texts = pa.array(["aé"])
+    tri, doc, pos = trigram_tokens(texts, np.array([0], dtype=np.uint64))
+    b = "aé".encode()
+    assert len(b) == 3
+    assert tri.tolist() == [(b[0] << 16) | (b[1] << 8) | b[2]]
+
+
+def test_indexable_mask_line_length():
+    long_line = "x" * 2001
+    texts = pa.array(["ok doc", long_line, "a\n" + "y" * 1999])
+    mask = indexable_mask(texts)
+    assert mask.tolist() == [True, False, True]
+
+
+def test_trigram_distinct_cap():
+    # a doc with > 20000 distinct trigrams is skipped entirely (write.go:213)
+    rng = np.random.default_rng(3)
+    big = "".join(chr(33 + c) for c in rng.integers(0, 90, 40000))
+    texts = pa.array([big, "abc"])
+    tri, doc, pos = trigram_tokens(texts, np.array([0, 1], dtype=np.uint64))
+    uniq0 = len(set(string_trigrams(big)))
+    if uniq0 > MAX_DISTINCT_TRIGRAMS:
+        assert 0 not in doc
+    assert 1 in doc
