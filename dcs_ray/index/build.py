@@ -1,0 +1,198 @@
+"""Distributed index build: pages Dataset → partitioned segments →
+corpus stats → merged shards, with per-partition lineage + resume.
+
+Lifecycle mirrors the reference's feeder → importer → merge pipeline
+(``SURVEY.md §3.1``; ``cmd/dcs-package-importer/importer.go:319-390``)
+re-expressed as one Ray Data job:
+
+    read pages → map_batches(assign part_id)            # shard routing J8
+      → groupby(part_id).map_groups(build+write segment)  # per-package index
+      → stats aggregation over term_dicts (df, N, avgdl)  # ranking data A7
+      → shard merge (merge.py)                            # ConcatN M1
+      → MANIFEST commit                                   # symlink swap M3
+
+Resume: each segment directory is the checkpoint (like dcs's per-package
+index dirs, ``importer.go:399-466``); a restarted build reads existing
+``lineage.json`` files and only rebuilds missing partitions. The final
+MANIFEST.json is written last, atomically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from dcs_ray.index.config import IndexConfig
+from dcs_ray.index.segment import build_segment_data, segment_name, write_segment
+
+
+def assign_partition(batch: pa.Table, conf: IndexConfig) -> pa.Table:
+    """Deterministic shard routing: hash(url) % P (dcs
+    ``shardmapping/shardmapping.go:11-19`` uses md5(pkg)[:6] % shards).
+    ``pandas.util.hash_array`` is a stable, vectorized 64-bit hash."""
+    if conf.id_col is not None:
+        # RANGE partitioning on explicit ids: keeps doc ids ascending across
+        # partitions, so shard merge is pure concatenation (merge.py)
+        ids = batch[conf.id_col].to_numpy().astype(np.int64)
+        span = (conf.id_max + conf.num_partitions) // conf.num_partitions
+        part = np.minimum(ids // span, conf.num_partitions - 1).astype(np.int32)
+    else:
+        urls = batch[conf.url_col].to_pandas().to_numpy(dtype=object)
+        h = pd.util.hash_array(urls)
+        part = (h % np.uint64(conf.num_partitions)).astype(np.int32)
+    return batch.append_column("part_id", pa.array(part, pa.int32()))
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    done = set()
+    seg_root = os.path.join(out_dir, "segments")
+    if not os.path.isdir(seg_root):
+        return done
+    for name in os.listdir(seg_root):
+        lin = os.path.join(seg_root, name, "lineage.json")
+        if name.startswith("seg_") and not name.endswith(".tmp") and os.path.exists(lin):
+            done.add(int(name[4:]))
+    return done
+
+
+def build_segments(pages: ray.data.Dataset, out_dir: str, conf: IndexConfig) -> list[dict]:
+    """Phase 1: partition documents and build one segment per partition.
+
+    The wide step is the ``groupby(part_id)`` hash shuffle; groups are
+    *document* partitions sized by the partition count, so Zipf term skew
+    cannot create a giant group here (terms are grouped only inside a
+    partition, in memory, vectorized). Returns lineage records.
+    """
+    conf.validate()
+    if conf.id_col is not None and conf.id_max is None:
+        conf.id_max = int(pages.max(conf.id_col))
+    seg_root = os.path.join(out_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    done = completed_partitions(out_dir)
+
+    ds = pages.map_batches(
+        lambda b: assign_partition(b, conf), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if done:  # resume: drop rows of completed partitions at the source
+        done_arr = np.array(sorted(done), dtype=np.int32)
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            keep = ~np.isin(b["part_id"].to_numpy(), done_arr)
+            return b.filter(pa.array(keep))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+
+    def build_group(group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return pa.table({"lineage": pa.array([], pa.string())})
+        part_id = int(group["part_id"][0].as_py())
+        seg = build_segment_data(part_id, group.drop_columns(["part_id"]), conf)
+        record = write_segment(seg_root, seg)
+        return pa.table({"lineage": pa.array([json.dumps(record)])})
+
+    lineage_ds = ds.groupby("part_id").map_groups(build_group, batch_format="pyarrow")
+    new_records = [json.loads(r["lineage"]) for r in lineage_ds.take_all()]
+
+    # roll up lineage (old + new) into the build manifest
+    records = []
+    for pid in sorted(done | {r["part_id"] for r in new_records}):
+        lin = os.path.join(seg_root, segment_name(pid), "lineage.json")
+        with open(lin) as f:
+            records.append(json.load(f))
+    return records
+
+
+def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
+    """Phase 2: global corpus statistics for BM25 — N, avgdl, per-term df
+    (the ranking-data analogue of ``cmd/dcs-compute-ranking``, A7).
+
+    df aggregation is a small groupby over per-segment term dictionaries
+    (vocab-sized, not corpus-sized): partial aggregation already happened
+    inside segments — the classic combiner pattern.
+    """
+    seg_root = os.path.join(out_dir, "segments")
+    segs = sorted(
+        d for d in os.listdir(seg_root) if d.startswith("seg_") and not d.endswith(".tmp")
+    )
+    td_paths = [os.path.join(seg_root, s, "term_dict.parquet") for s in segs]
+    td = ray.data.read_parquet(td_paths, columns=["term", "df"])
+    df_ds = td.groupby("term").sum("df")
+    stats_dir = os.path.join(out_dir, "stats")
+    tmp = stats_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    # vocab-sized table, sorted by term for predicate-pushdown lookups
+    df_tbl = pa.concat_tables(
+        [pa.table(b) for b in df_ds.sort("term").iter_batches(batch_format="pyarrow")]
+    ) if df_ds.count() else pa.table({"term": [], "sum(df)": []})
+    df_tbl = df_tbl.rename_columns(["term", "df"])
+    pq.write_table(df_tbl, os.path.join(tmp, "df.parquet"), row_group_size=65536)
+
+    n_docs, sum_dl = 0, 0
+    for s in segs:
+        with open(os.path.join(seg_root, s, "lineage.json")) as f:
+            lin = json.load(f)
+        n_docs += lin["n_docs"]
+        sum_dl += lin["sum_doc_len"]
+    stats = {
+        "n_docs": n_docs,
+        "sum_doc_len": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "n_terms": len(df_tbl),
+        "k1": conf.k1,
+        "b": conf.b,
+        "mode": conf.mode,
+    }
+    with open(os.path.join(tmp, "global.json"), "w") as f:
+        json.dump(stats, f)
+    if os.path.exists(stats_dir):
+        import shutil
+
+        shutil.rmtree(stats_dir)
+    os.rename(tmp, stats_dir)
+    return stats
+
+
+def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats: dict,
+                    shard_lineage: list[dict] | None = None) -> dict:
+    """Final atomic manifest commit (dcs symlink swap,
+    ``internal/sourcebackend/sourcebackend.go:198-251``)."""
+    manifest = {
+        "version": 1,
+        "mode": conf.mode,
+        "num_partitions": conf.num_partitions,
+        "num_shards": conf.num_shards,
+        "positional": conf.positional,
+        "k1": conf.k1,
+        "b": conf.b,
+        "stats": stats,
+        "partitions": lineage,
+        "shards": shard_lineage or [],
+    }
+    tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, os.path.join(out_dir, "MANIFEST.json"))
+    return manifest
+
+
+def build_index(pages: ray.data.Dataset, out_dir: str, conf: IndexConfig | None = None) -> dict:
+    """Full build: segments → stats → shard merge → manifest. Resumable."""
+    from dcs_ray.index.merge import merge_shards
+
+    conf = (conf or IndexConfig()).validate()
+    os.makedirs(out_dir, exist_ok=True)
+    lineage = build_segments(pages, out_dir, conf)
+    stats = compute_corpus_stats(out_dir, conf)
+    shard_lineage = merge_shards(out_dir, conf)
+    return commit_manifest(out_dir, conf, lineage, stats, shard_lineage)
+
+
+def load_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+        return json.load(f)

@@ -1,0 +1,40 @@
+"""Index build configuration."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IndexConfig:
+    """Configuration for an index build.
+
+    At 100 TB scale: size ``num_partitions`` so one partition's documents
+    (~total_bytes / num_partitions) fit comfortably in a worker heap
+    (256–512 MiB of text → P ≈ 200k–400k for 100 TB), and
+    ``num_shards`` so one merged shard's index serves from one node
+    (dcs used 6 shards of 1–16 GiB each, ``howto/update-the-index.md:49``).
+    """
+
+    num_partitions: int = 8
+    num_shards: int = 2
+    mode: str = "words"  # "words" (BM25) | "trigram" (dcs candidate mode)
+    text_col: str = "text"
+    url_col: str = "url"
+    id_col: str | None = None  # explicit global doc-id column (e.g. documents.doc_id)
+    id_max: int | None = None  # max value of id_col (computed if None); range
+    # partitioning on ids keeps doc ids ascending across partitions so the
+    # shard merge stays pure concatenation
+    positional: bool = False  # keep positional sections (phrase / verify)
+    dedup_latest: bool = True  # newest warc_ts per url wins (querymanager.go:688-747)
+    ts_col: str = "warc_ts"
+    # BM25 parameters (north rule)
+    k1: float = 1.2
+    b: float = 0.75
+    # merge fan-in per salt group when concatenating hot-term runs
+    merge_group_size: int = 64
+
+    def validate(self) -> "IndexConfig":
+        assert self.mode in ("words", "trigram")
+        assert self.num_partitions >= self.num_shards >= 1
+        return self

@@ -1,0 +1,347 @@
+"""Query engine: BM25 top-k + trigram candidate generation over shards.
+
+The read path mirrors dcs's source-backend (``SURVEY.md §3.2``):
+queries fan out to every doc-sharded index, each shard computes local
+candidates/scores with globally-broadcast corpus stats, then a global
+top-k merge per query (``cmd/dcs-web/querymanager.go:479-548``'s
+incremental top-10, rebuilt as a small deterministic sort).
+
+Shard state (the dcs mmap'd open index, ST1 —
+``internal/index/read.go:374-407``) is held in a per-worker-process
+cache: a shard's term dictionary and memory-mapped postings are opened
+once per worker and reused across query batches. With
+``groupby(shard_id).map_groups`` each group lands on some worker whose
+cache warms after the first batch — the Ray-idiomatic stand-in for
+pinned per-shard actors, and correct at any placement.
+
+Scoring determinism (SURVEY §7.5): scores are float64, accumulated per
+document in ascending-term order; every posting of a document lives in
+exactly one shard, so the summation order — and hence the score bits —
+is independent of shard count and parallelism. Ties break by ascending
+doc_id (dcs breaks by pathHash, ``querymanager.go:119-124``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from dcs_ray.codec import decode_postings, iter_blocks, decode_block, unpack_positions
+from dcs_ray.index.merge import shard_name
+from dcs_ray.index.segment import Segment
+from dcs_ray.tokenize import string_trigrams, tokenize_query_words
+
+_SEGMENT_CACHE: dict[str, Segment] = {}
+
+
+def _open(path: str) -> Segment:
+    seg = _SEGMENT_CACHE.get(path)
+    if seg is None:
+        seg = Segment(path)
+        _SEGMENT_CACHE[path] = seg
+    return seg
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats", "global.json")) as f:
+        return json.load(f)
+
+
+def shard_paths(index_dir: str) -> list[str]:
+    root = os.path.join(index_dir, "shards")
+    return [
+        os.path.join(root, d)
+        for d in sorted(os.listdir(root))
+        if d.startswith("shard_") and not d.endswith(".tmp")
+    ]
+
+
+def global_df(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """Global document frequencies for query terms, via predicate-pushdown
+    read of the term-sorted stats table (vocab-scale, not corpus-scale)."""
+    if not terms:
+        return {}
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(os.path.join(index_dir, "stats", "df.parquet"))
+    tbl = dset.to_table(filter=pads.field("term").isin(terms))
+    return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+
+def bm25_idf(df: int, n_docs: int) -> float:
+    """idf = ln((N - df + 0.5)/(df + 0.5) + 1) — the north-rule formula."""
+    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+
+def plan_query(index_dir: str, query: str, stats: dict) -> list[tuple[str, float]]:
+    """Tokenize a query and attach per-term idf; terms sorted ascending so
+    the per-doc accumulation order is fixed."""
+    terms = sorted(tokenize_query_words(query))
+    dfs = global_df(index_dir, terms)
+    return [(t, bm25_idf(dfs.get(t, 0), stats["n_docs"])) for t in terms if dfs.get(t, 0) > 0]
+
+
+def score_shard_bm25(
+    seg: Segment, plan: list[tuple[str, float]], stats: dict, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25-score one query against one shard → (top-k doc_ids, scores)."""
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
+    doc_chunks, score_chunks = [], []
+    for term, idf in plan:  # ascending term order
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        doc_ids, tfs = decode_postings(seg.term_blob(idx))
+        tf = tfs.astype(np.float64)
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        doc_chunks.append(doc_ids)
+        score_chunks.append(s)
+    if not doc_chunks:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    docs = np.concatenate(doc_chunks)
+    scores = np.concatenate(score_chunks)
+    order = np.argsort(docs, kind="stable")  # term order preserved per doc
+    docs, scores = docs[order], scores[order]
+    boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    uniq_docs = docs[boundaries]
+    sums = np.add.reduceat(scores, boundaries)
+    return topk(uniq_docs, sums, k)
+
+
+def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k: score desc, doc_id asc tie-break."""
+    n = len(doc_ids)
+    if n == 0:
+        return doc_ids, scores
+    if n > k:
+        # keep every candidate scoring >= the kth score (ties included),
+        # then resolve order deterministically
+        kth = np.partition(scores, n - k)[n - k]
+        cand = np.flatnonzero(scores >= kth)
+        doc_ids, scores = doc_ids[cand], scores[cand]
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def search_bm25(
+    index_dir: str, queries: list[str], k: int = 10, stats: dict | None = None
+) -> pa.Table:
+    """BM25 top-k for a batch of queries as a Ray Data pipeline.
+
+    Work rows are (query × shard) pairs; shard affinity comes from
+    ``groupby(shard_id)`` so one task scores all queries against one
+    shard (per-worker segment cache = actor-style state). Global top-k
+    merge per query is a small deterministic sort.
+    """
+    stats = stats or load_stats(index_dir)
+    shards = shard_paths(index_dir)
+    plans = {qid: plan_query(index_dir, q, stats) for qid, q in enumerate(queries)}
+
+    work = ray.data.from_items(
+        [
+            {"query_id": qid, "shard_id": sid}
+            for qid in range(len(queries))
+            for sid in range(len(shards))
+        ]
+    )
+
+    def run_shard(group: pa.Table) -> pa.Table:
+        sid = int(group["shard_id"][0].as_py())
+        seg = _open(shards[sid])
+        out_q, out_d, out_s = [], [], []
+        for qid in group["query_id"].to_pylist():
+            d, s = score_shard_bm25(seg, plans[qid], stats, k)
+            out_q.extend([qid] * len(d))
+            out_d.append(d)
+            out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "score": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.float64), pa.float64()
+                ),
+            }
+        )
+
+    per_shard = work.groupby("shard_id").map_groups(run_shard, batch_format="pyarrow")
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].combine_chunks().to_numpy()
+        s = group["score"].combine_chunks().to_numpy()
+        dd, ss = topk(d, s, k)
+        qid = group["query_id"][0].as_py()
+        ranks = np.arange(1, len(dd) + 1, dtype=np.int32)
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(dd, pa.uint64()),
+                "score": pa.array(ss, pa.float64()),
+            }
+        )
+
+    merged = per_shard.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
+    out = _collect(
+        merged,
+        pa.schema(
+            [
+                ("query_id", pa.int32()),
+                ("rank", pa.int32()),
+                ("doc_id", pa.uint64()),
+                ("score", pa.float64()),
+            ]
+        ),
+    )
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _collect(ds: ray.data.Dataset, empty_schema: pa.Schema) -> pa.Table:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return empty_schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+# ---------------------------------------------------------------------------
+# trigram candidate generation + positional matching (dcs literal mode)
+# ---------------------------------------------------------------------------
+
+
+def trigram_candidates_shard(
+    seg: Segment, trigrams: list[int], early_exit: bool = False
+) -> np.ndarray:
+    """AND-intersect posting lists, rarest-first
+    (``internal/index/query.go:48-116``: sort by Entries ascending).
+    ``early_exit=True`` reproduces dcs's approximation — stop when a
+    further restriction gains < 10 docs (``query.go:80-89``), yielding a
+    candidate superset; False gives the exact all-trigrams-present set
+    (what the SQL oracle checks)."""
+    uniq = sorted(set(trigrams))
+    entries = []
+    for t in uniq:
+        idx = seg.term_index(np.uint32(t))
+        if idx < 0:
+            return np.empty(0, np.uint64)  # a missing trigram ⇒ no candidates
+        entries.append((int(seg.df[idx]), idx))
+    entries.sort()
+    result: np.ndarray | None = None
+    for _, idx in entries:
+        doc_ids, _ = decode_postings(seg.term_blob(idx))
+        if result is None:
+            result = doc_ids
+        else:
+            prev = len(result)
+            result = np.intersect1d(result, doc_ids, assume_unique=True)
+            if early_exit and prev - len(result) < 10:
+                break
+        if len(result) == 0:
+            return result
+    return result if result is not None else np.empty(0, np.uint64)
+
+
+def positional_matches_shard(seg: Segment, literal: str | bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Exact literal matching via positional sections (dcs QueryPositional
+    J4, ``internal/index/read.go:530-676``): join the first and last
+    trigram's (docid, pos) lists on pos_last == pos_first + delta, then
+    confirm every intermediate trigram — yielding exact match positions
+    without touching document text."""
+    b = literal.encode() if isinstance(literal, str) else literal
+    tris = string_trigrams(b)
+    if not tris:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    assert seg.positions is not None, "index built without positional sections"
+
+    def term_positions(t: int):
+        idx = seg.term_index(np.uint32(t))
+        if idx < 0:
+            return None
+        return unpack_positions(seg.position_blob(idx))
+
+    first = term_positions(tris[0])
+    if first is None:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+    # flatten to (doc, pos) pairs
+    f_doc = np.repeat(first[0], np.diff(first[1]))
+    f_pos = first[2]
+    keep = np.ones(len(f_pos), dtype=bool)
+    for delta in range(1, len(tris)):
+        nxt = term_positions(tris[delta])
+        if nxt is None:
+            return np.empty(0, np.uint64), np.empty(0, np.uint64)
+        n_doc = np.repeat(nxt[0], np.diff(nxt[1]))
+        n_pos = nxt[2]
+        # candidate (doc, pos) survives iff (doc, pos+delta) exists in nxt;
+        # key = (local doc index << 32 | position) — both < 2^32
+        f_local = np.searchsorted(seg.doc_ids, f_doc).astype(np.uint64)
+        n_local = np.searchsorted(seg.doc_ids, n_doc).astype(np.uint64)
+        want_key = (f_local << np.uint64(32)) | (f_pos.astype(np.uint64) + np.uint64(delta))
+        have_key = (n_local << np.uint64(32)) | n_pos.astype(np.uint64)
+        keep &= np.isin(want_key, have_key, assume_unique=False)
+        if not keep.any():
+            break
+    return f_doc[keep], f_pos[keep]
+
+
+def search_literal(index_dir: str, literals: list[str], positional: bool = False) -> pa.Table:
+    """Candidate docs (and exact positions when the index is positional)
+    for literal queries, fanned out across shards/segments."""
+    paths = shard_paths(index_dir)
+    if positional:
+        # positional sections live at segment level (never merged; SURVEY §7.5)
+        seg_root = os.path.join(index_dir, "segments")
+        paths = [
+            os.path.join(seg_root, d)
+            for d in sorted(os.listdir(seg_root))
+            if d.startswith("seg_") and not d.endswith(".tmp")
+        ]
+    work = ray.data.from_items(
+        [{"query_id": qid, "path_id": pid} for qid in range(len(literals)) for pid in range(len(paths))]
+    )
+
+    def run(group: pa.Table) -> pa.Table:
+        pid = int(group["path_id"][0].as_py())
+        seg = _open(paths[pid])
+        rows_q, rows_d, rows_p = [], [], []
+        for qid in group["query_id"].to_pylist():
+            lit = literals[qid]
+            if positional:
+                d, p = positional_matches_shard(seg, lit)
+            else:
+                d = trigram_candidates_shard(seg, string_trigrams(lit))
+                p = np.zeros(len(d), dtype=np.uint64)
+            rows_q.extend([qid] * len(d))
+            rows_d.append(d)
+            rows_p.append(p)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(rows_d) if rows_d else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "position": pa.array(
+                    np.concatenate(rows_p) if rows_p else np.empty(0, np.uint64), pa.uint64()
+                ),
+            }
+        )
+
+    res = work.groupby("path_id").map_groups(run, batch_format="pyarrow")
+    out = _collect(
+        res,
+        pa.schema(
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("position", pa.uint64())]
+        ),
+    )
+    return out.sort_by(
+        [("query_id", "ascending"), ("doc_id", "ascending"), ("position", "ascending")]
+    )

@@ -1,0 +1,134 @@
+"""Common-Crawl-style pages source.
+
+The engine's canonical input (per the north rule) is a Parquet table of
+web pages with columns ``(url: string, warc_ts: timestamp, html: binary,
+text: string, lang: string)``. No such table ships with the sandbox
+testdata, so we synthesize one **deterministically** from the
+``documents`` table of a given sf dir (doc_id → url/warc_ts; text →
+html wrapper). The synthesis is a pure function of the documents rows,
+so every run — at any parallelism — produces identical bytes.
+
+``extract_text(html)`` is the pure extraction function whose output must
+be byte-identical to the ``text`` column per url (the input_hint
+invariant; this mirrors dcs's golden-bytes discipline in
+``index/write_test.go:16-166``). It inverts the wrapper exactly:
+find the ``<p>`` payload, unescape the three HTML entities we escape.
+
+In the real 100 TB deployment this module is replaced by
+``ray.data.read_parquet`` of actual WARC-derived Parquet; everything
+downstream is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_BASE_TS_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary fixed epoch
+# every DUP_EVERY-th doc gets a second, older crawl of the same url with
+# stale text — exercising the latest-crawl-wins dedup (the web analogue of
+# dcs's newest-package-version filter, cmd/dcs-web/querymanager.go:688-747)
+DUP_EVERY = 50
+
+
+def page_url(source: str, doc_id: int) -> str:
+    return f"https://{source}.example.org/doc/{doc_id:08d}"
+
+
+def render_html(text: str, doc_id: int) -> bytes:
+    body = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        f"<html><head><title>doc {doc_id}</title></head><body><p>{body}</p></body></html>"
+    ).encode()
+
+
+def extract_text_one(html: bytes) -> str:
+    """Pure extraction: html bytes → text, byte-identical to the source."""
+    s = html.decode()
+    start = s.index("<p>") + 3
+    end = s.rindex("</p>")
+    body = s[start:end]
+    return body.replace("&gt;", ">").replace("&lt;", "<").replace("&amp;", "&")
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: recompute ``text`` from ``html`` (S3 analogue:
+    dcs's unpack step ``cmd/dcs-package-importer/importer.go:486-523`` —
+    "raw bytes → indexable text"). Vectorized via Arrow kernels."""
+    s = batch["html"].cast(pa.string())
+    # strip constant-prefix '<html><head><title>doc N</title></head><body><p>' and suffix
+    inner = pc.replace_substring_regex(
+        s, r"^<html><head><title>doc \d+</title></head><body><p>", ""
+    )
+    inner = pc.replace_substring_regex(inner, r"</p></body></html>$", "")
+    for ent, ch in ((pa.scalar("&gt;"), ">"), (pa.scalar("&lt;"), "<"), (pa.scalar("&amp;"), "&")):
+        inner = pc.replace_substring(inner, ent.as_py(), ch)
+    cols = {name: batch[name] for name in batch.column_names if name != "text"}
+    cols["text"] = inner
+    return pa.table(cols).select(["url", "warc_ts", "html", "text", "lang"])
+
+
+def synthesize_pages_table(documents: pa.Table) -> pa.Table:
+    """Deterministic pages table from a documents table (pure function)."""
+    doc_ids = documents["doc_id"].to_numpy()
+    texts = documents["text"].to_pylist()
+    langs = documents["lang"].to_pylist()
+    sources = documents["source"].to_pylist()
+    urls, ts, htmls, out_texts, out_langs = [], [], [], [], []
+    for i in range(len(doc_ids)):
+        d = int(doc_ids[i])
+        u = page_url(sources[i], d)
+        urls.append(u)
+        ts.append(_BASE_TS_US + d * 1_000_000)
+        htmls.append(render_html(texts[i], d))
+        out_texts.append(texts[i])
+        out_langs.append(langs[i])
+        if d % DUP_EVERY == 0:
+            stale = texts[i][: max(1, len(texts[i]) // 2)]
+            urls.append(u)
+            ts.append(_BASE_TS_US + d * 1_000_000 - 3_600_000_000)  # 1h earlier
+            htmls.append(render_html(stale, d))
+            out_texts.append(stale)
+            out_langs.append(langs[i])
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def read_pages(sf_dir: str) -> ray.data.Dataset:
+    """Pages Dataset for an sf dir: read documents.parquet and synthesize
+    per batch (keeps synthesis distributed and streaming — at scale this
+    is just ``read_parquet(pages/)``)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ds.map_batches(
+        lambda b: synthesize_pages_table(b), batch_format="pyarrow", batch_size=2048
+    )
+
+
+def dedup_latest_crawl(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep only the newest crawl per url (dcs newest-version semantics,
+    ``querymanager.go:688-747``; exact dedup via hash-partition groupby)."""
+
+    def newest(group: pa.Table) -> pa.Table:
+        ts = group["warc_ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        return group.slice(int(np.argmax(ts)), 1)
+
+    return pages.groupby("url").map_groups(newest, batch_format="pyarrow")

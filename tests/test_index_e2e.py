@@ -1,0 +1,196 @@
+"""End-to-end: build index over sf0.001 documents → BM25 search matches a
+DuckDB oracle rank-identically; merge equivalence; resume.
+
+Mirrors the reference's conformance anchors (``SURVEY.md §5``):
+exact-tuple query results (``internal/index/concatn_test.go:107-266``)
+and merge equivalence index(A∪B) ≡ merge(index(A), index(B))."""
+
+import json
+import os
+import shutil
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from dcs_ray.index import IndexConfig, build_index
+from dcs_ray.index.build import load_manifest
+from dcs_ray.search import load_stats, search_bm25, search_literal
+
+SF = "/root/testdata/sf0.001"
+
+BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len)::double / (SELECT count(*) FROM documents) FROM dl) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT unnest({terms}) AS term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl))
+         ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "docs_index")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    conf = IndexConfig(
+        num_partitions=6, num_shards=2, mode="words", id_col="doc_id",
+        url_col="url", dedup_latest=False,
+    )
+    manifest = build_index(docs, out, conf)
+    return out, manifest
+
+
+def test_manifest_and_lineage(built_index):
+    out, manifest = built_index
+    assert manifest["stats"]["n_docs"] == 500
+    assert len(manifest["partitions"]) == 6
+    assert len(manifest["shards"]) == 2
+    assert sum(p["n_docs"] for p in manifest["partitions"]) == 500
+    # lineage records carry counts + checksums per partition (north rule)
+    for p in manifest["partitions"]:
+        assert {"n_postings", "checksum", "wall_s"} <= set(p)
+
+
+def test_bm25_rank_identical_to_duckdb(built_index):
+    out, _ = built_index
+    queries = [
+        "spark merge join",
+        "customer window batch",
+        "the fast key",
+        "vector",
+        "nonexistentterm spark",
+    ]
+    res = search_bm25(out, queries, k=10).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    from dcs_ray.tokenize import tokenize_query_words
+
+    for qid, q in enumerate(queries):
+        terms = sorted(tokenize_query_words(q))
+        term_list = "[" + ",".join(f"'{t}'" for t in terms) + "]"
+        want = con.execute(BM25_SQL.format(terms=term_list, k=10)).df()
+        got = res[res.query_id == qid]
+        assert got.doc_id.astype(int).tolist() == want.doc_id.astype(int).tolist(), q
+        np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=1e-12)
+
+
+def test_merge_equivalence(built_index, tmp_path):
+    """index(all docs, 1 partition) ≡ merged shards (concatn_test.go:107-170)."""
+    out, _ = built_index
+    solo = str(tmp_path / "solo")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    build_index(
+        docs, solo,
+        IndexConfig(num_partitions=1, num_shards=1, mode="words", id_col="doc_id",
+                    url_col="url", dedup_latest=False),
+    )
+    res_a = search_bm25(out, ["spark merge join", "vector window"], k=20).to_pandas()
+    res_b = search_bm25(solo, ["spark merge join", "vector window"], k=20).to_pandas()
+    assert res_a.doc_id.tolist() == res_b.doc_id.tolist()
+    np.testing.assert_array_equal(res_a.score.to_numpy(), res_b.score.to_numpy())
+    # df stats identical too
+    a = pq.read_table(os.path.join(out, "stats/df.parquet")).to_pandas()
+    b = pq.read_table(os.path.join(solo, "stats/df.parquet")).to_pandas()
+    assert a.equals(b)
+
+
+def test_resume_skips_completed_partitions(built_index, tmp_path):
+    """Kill-after-partial-build resume: byte-identical final segments
+    (north rule checkpoint criterion; dcs importer.go:399-466)."""
+    out, _ = built_index
+    resumed = str(tmp_path / "resumed")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    conf = IndexConfig(num_partitions=6, num_shards=2, mode="words", id_col="doc_id",
+                      url_col="url", dedup_latest=False)
+    # simulate a killed build: copy only 2 finished segments, no manifest
+    os.makedirs(os.path.join(resumed, "segments"))
+    for seg in sorted(os.listdir(os.path.join(out, "segments")))[:2]:
+        shutil.copytree(os.path.join(out, "segments", seg), os.path.join(resumed, "segments", seg))
+    before = {}
+    for seg in os.listdir(os.path.join(resumed, "segments")):
+        with open(os.path.join(resumed, "segments", seg, "lineage.json")) as f:
+            before[seg] = json.load(f)["checksum"]
+    manifest = build_index(docs, resumed, conf)
+    assert manifest["stats"]["n_docs"] == 500
+    # the pre-existing segments were not rebuilt (same checksum object)
+    for seg, cks in before.items():
+        with open(os.path.join(resumed, "segments", seg, "lineage.json")) as f:
+            assert json.load(f)["checksum"] == cks
+    # and the resumed index answers identically
+    r1 = search_bm25(out, ["spark merge join"], k=10).to_pandas()
+    r2 = search_bm25(resumed, ["spark merge join"], k=10).to_pandas()
+    assert r1.doc_id.tolist() == r2.doc_id.tolist()
+
+
+@pytest.fixture(scope="module")
+def trigram_index(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "tri_index")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    conf = IndexConfig(num_partitions=4, num_shards=2, mode="trigram", id_col="doc_id",
+                      url_col="url", dedup_latest=False, positional=True)
+    build_index(docs, out, conf)
+    return out
+
+
+def test_trigram_candidates_match_like(trigram_index):
+    """Exact trigram AND-candidates == docs containing every trigram
+    (verified against substring containment per trigram in DuckDB)."""
+    out = trigram_index
+    lits = ["spark merge", "customer"]
+    res = search_literal(out, lits, positional=False).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    from dcs_ray.tokenize import string_trigrams
+
+    for qid, lit in enumerate(lits):
+        tris = sorted(set(string_trigrams(lit)))
+        conds = " AND ".join(
+            "contains(text, '" + bytes([t >> 16, (t >> 8) & 255, t & 255]).decode().replace("'", "''") + "')"
+            for t in tris
+        )
+        want = con.execute(
+            f"SELECT doc_id FROM documents WHERE {conds} ORDER BY doc_id"
+        ).df()
+        got = sorted(set(res[res.query_id == qid].doc_id.astype(int).tolist()))
+        assert got == want.doc_id.astype(int).tolist(), lit
+
+
+def test_positional_matches_exact(trigram_index):
+    """Positional join returns exact byte offsets of every occurrence
+    (QueryPositional semantics, read.go:530-676)."""
+    out = trigram_index
+    lit = "spark merge"
+    res = search_literal(out, [lit], positional=True).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    want = []
+    for _, row in docs.iterrows():
+        start = 0
+        while True:
+            i = row.text.find(lit, start)
+            if i < 0:
+                break
+            want.append((int(row.doc_id), i))
+            start = i + 1
+    got = [(int(r.doc_id), int(r.position)) for r in res.itertuples()]
+    assert sorted(got) == sorted(want)
