@@ -1,44 +1,466 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (pages → extract → dedup → index
+→ BM25 search) at sf0.001. ``queries()`` exposes each implemented
+operator as a callable over an sf dir; ``oracle_sql()`` gives the DuckDB
+oracle for every SQL-expressible one (driver compares row count, schema,
+and order-insensitive value hash at sf0.01).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+BM25_QUERY = "spark merge join"
+LITERAL = "spark merge"
+_CACHE_ROOT = "/tmp/dcs_ray_idxcache"
+
+# ---------------------------------------------------------------------------
+# index cache (built lazily per sf_dir; resume-safe by construction)
+# ---------------------------------------------------------------------------
+
+
+def _index_dir(sf_dir: str, mode: str) -> str:
+    from dcs_ray.index import IndexConfig, build_index
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_{mode}")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        conf = IndexConfig(
+            num_partitions=8,
+            num_shards=2,
+            mode=mode,
+            id_col="doc_id",
+            dedup_latest=False,
+            positional=(mode == "trigram"),
+        )
+        build_index(docs, out, conf)
+    return out
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Pages flagship at sf0.001: synthesize Common-Crawl-style pages,
+    extract text (byte-identical invariant), dedup to latest crawl,
+    build the sharded inverted index, run BM25 top-k."""
+    import shutil
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import search_bm25
+    from dcs_ray.sources.pages import extract_text_batch, read_pages
+
+    out = os.path.join(_CACHE_ROOT, "entry_pages")
+    shutil.rmtree(out, ignore_errors=True)
+    pages = read_pages("/root/testdata/sf0.001")
+    extracted = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    build_index(
+        extracted,
+        out,
+        IndexConfig(num_partitions=4, num_shards=2, mode="words", dedup_latest=True),
+    )
+    res = search_bm25(out, [BM25_QUERY, "customer window batch"], k=10)
+    return res.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25(sf_dir: str) -> pa.Table:
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_top2_per_source(sf_dir: str) -> pa.Table:
+    """Full BM25 ranking, grouped per source with a 2-per-source cap,
+    top 10 overall (dcs per-package top-2, A5: querymanager.go:728-747)."""
+    from dcs_ray.search import load_stats, search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    stats = load_stats(idx)
+    full = search_bm25(idx, [BM25_QUERY], k=stats["n_docs"], stats=stats).to_pandas()
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    full = full.merge(src, on="doc_id")
+    full = full.sort_values(["rank"]).groupby("source", sort=False).head(2)
+    full = full.sort_values("rank").head(10)
+    return pa.table(
+        {
+            "doc_id": pa.array(full.doc_id.astype(np.int64), pa.int64()),
+            "source": pa.array(full.source, pa.string()),
+            "score": pa.array(np.round(full.score.to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_term_df(sf_dir: str) -> Any:
+    """Per-term document frequency — served straight from the index's
+    corpus-stats table (the engine's own df aggregation, A7)."""
+    idx = _index_dir(sf_dir, "words")
+    t = pq.read_table(os.path.join(idx, "stats", "df.parquet"))
+    return pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
+
+
+def _q_corpus_stats(sf_dir: str) -> pa.Table:
+    from dcs_ray.search import load_stats
+
+    idx = _index_dir(sf_dir, "words")
+    s = load_stats(idx)
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], pa.int64()),
+            "total_tokens": pa.array([s["sum_doc_len"]], pa.int64()),
+            "avgdl": pa.array([round(s["avgdl"], 6)], pa.float64()),
+        }
+    )
+
+
+def _q_token_count(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_dedup_exact(sf_dir: str) -> Any:
+    from dcs_ray.functions.dedup import exact_dedup_keep_min
+
+    ds = exact_dedup_keep_min(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table({"doc_id": t["min(doc_id)"].cast(pa.int64())}).sort_by("doc_id")
+
+
+def _q_latest_event(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import latest_event_per_user
+
+    ds = latest_event_per_user(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {"user_id": t["user_id"].cast(pa.int64()), "event_id": t["event_id"].cast(pa.int64())}
+    ).sort_by("user_id")
+
+
+def _q_window_agg(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import tumbling_window_agg
+
+    ds = tumbling_window_agg(ray.data.read_parquet(f"{sf_dir}/events.parquet"), width_s=3600)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "window_start": t["window_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_grep_literal(sf_dir: str) -> ray.data.Dataset:
+    """Literal occurrence count per doc — the verify stage (F11),
+    vectorized substring count over the text column."""
+    import pyarrow.compute as pc
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring(b["text"], LITERAL)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_matches": n.cast(pa.int64())}
+        ).filter(pc.greater(n, 0))
+
+    return _docs(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
+def _q_trigram_candidates(sf_dir: str) -> Any:
+    from dcs_ray.search import search_literal
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_literal(idx, [LITERAL], positional=False)
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).sort_by("doc_id")
+
+
+def _q_positional_matches(sf_dir: str) -> Any:
+    from dcs_ray.search import search_literal
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_literal(idx, [LITERAL], positional=True)
+    # per-doc occurrence counts (all positions; literal is not self-overlapping)
+    import pyarrow.compute as pc
+
+    g = pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).group_by("doc_id").aggregate(
+        [("doc_id", "count")]
+    )
+    return pa.table(
+        {"doc_id": g["doc_id"], "n_matches": g["doc_id_count"].cast(pa.int64())}
+    ).sort_by("doc_id")
+
+
+def _q_lang_stats(sf_dir: str) -> Any:
+    from ray.data.aggregate import Count, Mean
+
+    ds = _docs(sf_dir).groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "lang": t["lang"],
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "avg_chars": pa.array(np.round(t["avg_chars"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_knn(sf_dir: str) -> pa.Table:
+    from dcs_ray.functions.simsearch import knn_cosine_bruteforce
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_bruteforce(emb, np.array([q0]), k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_knn_lsh(sf_dir: str) -> pa.Table:
+    from dcs_ray.functions.simsearch import knn_cosine_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_lsh(emb, np.array([q0]), k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_minhash_pairs(sf_dir: str) -> Any:
+    from dcs_ray.functions.dedup import minhash_candidate_pairs
+
+    ds = minhash_candidate_pairs(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _q_simhash(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.dedup import simhash_batch
+
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _q_langid(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import langid
+
+    return langid(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_image_features(sf_dir: str) -> Any:
+    from dcs_ray.functions.multimodal import extract_image_features, synthesize_media
+
+    media = ray.data.from_arrow(synthesize_media(64))
+    ds = extract_image_features(media, concurrency=2)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("media_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bm25_topk": _q_bm25,
+        "bm25_top2_per_source": _q_bm25_top2_per_source,
+        "term_df": _q_term_df,
+        "corpus_stats": _q_corpus_stats,
+        "token_count": _q_token_count,
+        "quality_score": _q_quality,
+        "dedup_exact": _q_dedup_exact,
+        "latest_event_per_user": _q_latest_event,
+        "tumbling_window_agg": _q_window_agg,
+        "grep_literal": _q_grep_literal,
+        "trigram_candidates": _q_trigram_candidates,
+        "positional_match_count": _q_positional_matches,
+        "lang_stats": _q_lang_stats,
+        "knn_cosine": _q_knn,
+        "knn_cosine_lsh": _q_knn_lsh,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_signatures": _q_simhash,
+        "langid": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "image_features": _q_image_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_TOK = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
+)
+
+_BM25_SCORES = f"""
+tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT unnest(['join','merge','spark']) AS term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tris = sorted({LITERAL[i : i + 3] for i in range(len(LITERAL) - 2)})
+    tri_conds = " AND ".join(f"contains(text, '{t}')" for t in tris)
+    return {
+        "bm25_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_top2_per_source": f"""
+WITH {_BM25_SCORES},
+ranked AS (
+  SELECT s.doc_id, d.source, s.score,
+         row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id ASC) AS rn,
+         row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS grank
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, round(score, 6) AS score
+FROM ranked WHERE rn <= 2 ORDER BY grank LIMIT 10
+""",
+        "term_df": f"""
+SELECT term, count(DISTINCT doc_id)::bigint AS df FROM ({_TOK}) GROUP BY term ORDER BY term
+""",
+        "corpus_stats": f"""
+WITH tok AS ({_TOK}), dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents)::bigint AS n_docs,
+       (SELECT coalesce(sum(n),0) FROM dl)::bigint AS total_tokens,
+       round((SELECT sum(n) FROM dl)::double / (SELECT count(*) FROM documents), 6) AS avgdl
+""",
+        "token_count": f"""
+SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_tokens
+FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({_TOK}) GROUP BY doc_id) c
+USING (doc_id) ORDER BY doc_id
+""",
+        "quality_score": f"""
+WITH tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it') THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_tokens,0)::bigint AS n_tokens,
+       coalesce(a.n_stop,0)::bigint AS n_stopwords,
+       coalesce(round(a.n_stop::double / a.n_tokens, 6), 0.0) AS stopword_ratio,
+       coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0) AS mean_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+""",
+        "dedup_exact": """
+SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "latest_event_per_user": """
+SELECT user_id::bigint AS user_id, event_id::bigint AS event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id
+""",
+        "tumbling_window_agg": """
+SELECT user_id::bigint AS user_id,
+       ((epoch_us(ts) // 3600000000) * 3600000000)::bigint AS window_start,
+       count(*)::bigint AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "grep_literal": f"""
+SELECT doc_id,
+       ((length(text) - length(replace(text, '{LITERAL}', ''))) / {len(LITERAL)})::bigint AS n_matches
+FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
+""",
+        "trigram_candidates": f"""
+SELECT doc_id::bigint AS doc_id FROM documents WHERE {tri_conds} ORDER BY doc_id
+""",
+        "positional_match_count": f"""
+SELECT doc_id,
+       ((length(text) - length(replace(text, '{LITERAL}', ''))) / {len(LITERAL)})::bigint AS n_matches
+FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
+""",
+        "lang_stats": """
+SELECT lang, count(*)::bigint AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "knn_cosine": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, unnest(e.embedding)::double AS x, unnest(qe)::double AS y
+  FROM embeddings e, q
+),
+sims AS (
+  SELECT vec_id, sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cos_sim
+  FROM pairs GROUP BY vec_id
+)
+SELECT row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank,
+       vec_id::bigint AS vec_id, round(cos_sim, 6) AS cos_sim
+FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+""",
+    }

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata
+struct; decode / resize / feature-extract run as actor-pool
+``map_batches`` stages (model/codec loaded once per actor in
+``__init__``). The decode kernels themselves are STUBBED — the sandbox
+has no image/audio libraries — behind ``DecodeUnavailable`` or a
+deterministic fake, but the Ray-side plumbing (schema, batch sizing,
+actor signature, output layout) is real and tested.
+
+At scale: binary payloads dominate block size — use small
+``batch_size`` (e.g. 32–128) and ``DataContext.target_max_block_size``
+sized so batch × concurrency fits worker heaps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),  # "image" | "audio" | "video"
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by real decode paths: codec libraries absent in sandbox."""
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: binary image -> fixed-dim feature vector.
+
+    Use as ``ds.map_batches(ImageFeatureExtractor, concurrency=N,
+    batch_size=64, num_cpus=1)``. ``__init__`` loads the (stub) model
+    once per actor; ``__call__`` handles one Arrow batch.
+    """
+
+    def __init__(self, dim: int = 16, fake: bool = True):
+        self.dim = dim
+        self.fake = fake
+        if not fake:
+            raise DecodeUnavailable("no image decode library in this environment")
+        # deterministic fake "model": fixed projection seeded once per actor
+        rng = np.random.default_rng(0)
+        self.proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        n = len(payloads)
+        feats = np.zeros((n, self.dim), dtype=np.float32)
+        # deterministic fake decode: byte histogram → projection
+        for i in range(n):
+            buf = payloads[i].as_py() or b""
+            hist = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
+            feats[i] = (hist / max(len(buf), 1)).astype(np.float32) @ self.proj
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media table for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, 16, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, 16, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
+def extract_image_features(ds: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        concurrency=concurrency,
+        batch_size=64,
+        batch_format="pyarrow",
+        num_cpus=1,
+    )

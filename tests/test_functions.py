@@ -1,0 +1,102 @@
+"""Unit tests for the training-data operators (pure batch kernels —
+no Ray session needed)."""
+
+import numpy as np
+import pyarrow as pa
+
+from dcs_ray.functions.dedup import (
+    exact_jaccard,
+    minhash_band_rows,
+    minhash_signatures,
+    simhash_batch,
+)
+from dcs_ray.functions.multimodal import ImageFeatureExtractor, synthesize_media
+from dcs_ray.functions.simsearch import _emb_matrix, _normalize, srp_signatures
+from dcs_ray.functions.textstats import (
+    fnv1a_bytes_rows,
+    langid_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+def _doc_table(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def test_fnv1a_matches_reference_impl():
+    def fnv(b: bytes) -> int:
+        h = 0xCBF29CE484222325
+        for c in b:
+            h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    texts = pa.array(["hello", "", "a", "the quick brown fox"])
+    got = fnv1a_bytes_rows(texts)
+    want = [fnv(t.encode()) for t in ["hello", "", "a", "the quick brown fox"]]
+    assert got.tolist() == want
+
+
+def test_token_and_quality():
+    t = _doc_table(["the cat sat", "", "a a a b"])
+    tc = token_count_batch(t).to_pandas()
+    assert tc.n_tokens.tolist() == [3, 0, 4]
+    q = quality_score_batch(t).to_pandas()
+    assert q.n_stopwords.tolist() == [1, 0, 3]
+    assert q.stopword_ratio.tolist() == [round(1 / 3, 6), 0.0, 0.75]
+
+
+def test_langid_heuristic():
+    t = _doc_table(
+        ["the cat and the dog is here", "le chat et les chiens est un", "zzz qqq"]
+    )
+    out = langid_batch(t).to_pandas()
+    assert out.pred_lang.tolist() == ["en", "fr", "unknown"]
+
+
+def test_minhash_similar_docs_agree_more():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark data processing pipelines " * 5
+    texts = pa.array([base, near, far])
+    sig = minhash_signatures(texts, num_perm=64)
+    agree_near = (sig[0] == sig[1]).mean()
+    agree_far = (sig[0] == sig[2]).mean()
+    assert agree_near > 0.5 > agree_far
+    # exact jaccard confirms the ordering
+    assert exact_jaccard(base, near) > exact_jaccard(base, far)
+
+
+def test_minhash_band_rows_identical_docs_bucket_together():
+    texts = ["identical document text here for the dedup test"] * 2 + ["unrelated words"]
+    t = _doc_table(texts)
+    rows = minhash_band_rows(t, num_perm=64, bands=16).to_pandas()
+    by_band = rows.groupby("band_hash").doc_id.apply(set)
+    assert any({0, 1} <= s for s in by_band)
+
+
+def test_simhash_exact_dup_equal_sig():
+    t = _doc_table(["same text here", "same text here", "other thing entirely"])
+    out = simhash_batch(t).to_pandas()
+    assert out.simhash[0] == out.simhash[1]
+    assert out.simhash[0] != out.simhash[2]
+
+
+def test_emb_matrix_and_srp():
+    emb = pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.01]], pa.list_(pa.float32()))
+    m = _emb_matrix(emb)
+    assert m.shape == (3, 2)
+    planes = np.array([[1.0, -1.0]])
+    sigs = srp_signatures(_normalize(m), planes)
+    assert sigs[0] == sigs[2] != sigs[1]
+
+
+def test_image_feature_extractor_plumbing():
+    media = synthesize_media(8)
+    fx = ImageFeatureExtractor(dim=16)
+    out = fx(media)
+    assert out.column_names == ["media_id", "feature"]
+    assert len(out) == 8
+    # deterministic across instances (model "loaded" identically per actor)
+    out2 = ImageFeatureExtractor(dim=16)(media)
+    assert out.equals(out2)
