@@ -39,7 +39,7 @@ def _index_dir(sf_dir: str, mode: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_CACHE_ROOT, f"{name}_{mode}")
     if not os.path.exists(os.path.join(out, "MANIFEST.json")):
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         conf = IndexConfig(
             num_partitions=8,
             num_shards=2,

@@ -1,0 +1,229 @@
+"""CLI — the debug/inspection surface of the engine, mirroring the dcs
+swiss-army binary (``cmd/dcs/dcs.go:18-161``: create, merge, du, docids,
+trigram, posting, matches, search, replay).
+
+Usage: ``python -m dcs_ray <subcommand> ...``. Owns its Ray session
+(guarded init; the library itself never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_create(args) -> None:
+    ray = _ray()
+    import ray.data
+
+    from dcs_ray.index import IndexConfig, build_index
+
+    docs = ray.data.read_parquet(args.input)
+    conf = IndexConfig(
+        num_partitions=args.partitions,
+        num_shards=args.shards,
+        mode=args.mode,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        dedup_latest=args.dedup_latest,
+        positional=args.positional,
+    )
+    manifest = build_index(docs, args.out, conf)
+    print(json.dumps({"n_docs": manifest["stats"]["n_docs"],
+                      "n_terms": manifest["stats"]["n_terms"],
+                      "shards": len(manifest["shards"])}))
+
+
+def cmd_du(args) -> None:
+    """Index size accounting (``cmd/dcs/du.go``)."""
+    from dcs_ray.index.build import load_manifest
+
+    manifest = load_manifest(args.index)
+    rows = []
+    for root in ("segments", "shards"):
+        d = os.path.join(args.index, root)
+        if not os.path.isdir(d):
+            continue
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if not os.path.isdir(p):
+                continue
+            size = sum(
+                os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+            )
+            rows.append((f"{root}/{name}", size))
+    total = sum(s for _, s in rows)
+    for name, size in rows:
+        print(f"{size / 1e6:10.2f} MB  {name}")
+    print(f"{total / 1e6:10.2f} MB  total  ({manifest['stats']['n_docs']} docs, "
+          f"{manifest['stats']['n_terms']} terms)")
+
+
+def cmd_docids(args) -> None:
+    """Dump doc_id → url map head (``cmd/dcs/docids.go`` analogue)."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.search import shard_paths
+
+    for p in shard_paths(args.index):
+        t = pq.read_table(os.path.join(p, "doc_meta.parquet"))
+        for row in t.slice(0, args.n).to_pylist():
+            print(row["doc_id"], row["url"], row["doc_len"])
+
+
+def cmd_trigram(args) -> None:
+    """Trigrams of a string (``cmd/dcs/trigram.go``)."""
+    from dcs_ray.tokenize import string_trigrams
+
+    for t in string_trigrams(args.text):
+        b = bytes([t >> 16, (t >> 8) & 255, t & 255])
+        print(t, repr(b.decode(errors="replace")))
+
+
+def cmd_posting(args) -> None:
+    """Dump one term's posting list (``cmd/dcs/posting.go:27-81``)."""
+    import numpy as np
+
+    from dcs_ray.codec import decode_postings
+    from dcs_ray.search import _open, shard_paths
+
+    for p in shard_paths(args.index):
+        seg = _open(p)
+        term = args.term
+        if seg.terms.type == "uint32":
+            from dcs_ray.tokenize import string_trigrams
+
+            tris = string_trigrams(term)
+            key = np.uint32(tris[0]) if tris else None
+        else:
+            key = term
+        idx = seg.term_index(key) if key is not None else -1
+        if idx < 0:
+            continue
+        docs, tfs = decode_postings(seg.term_blob(idx))
+        print(f"# {os.path.basename(p)} df={seg.df[idx]}")
+        for d, f in list(zip(docs.tolist(), tfs.tolist()))[: args.n]:
+            print(d, f)
+
+
+def cmd_matches(args) -> None:
+    """Positional literal matches (``cmd/dcs/matches.go:22-76``)."""
+    ray = _ray()
+    from dcs_ray.search import search_literal
+
+    t = search_literal(args.index, [args.literal], positional=True)
+    for row in t.slice(0, args.n).to_pylist():
+        print(row["doc_id"], row["position"])
+
+
+def cmd_search(args) -> None:
+    ray = _ray()
+    from dcs_ray.search import search_bm25
+
+    t = search_bm25(args.index, [args.query], k=args.k)
+    for row in t.to_pylist():
+        print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
+
+
+def cmd_replay(args) -> None:
+    """Replay a query log, one query per line, print per-query JSON
+    measurements (``cmd/dcs/replay.go:472-546``)."""
+    ray = _ray()
+    from dcs_ray.search import load_stats, search_bm25
+
+    with open(args.log) as f:
+        queries = [l.strip() for l in f if l.strip()]
+    stats = load_stats(args.index)
+    out = []
+    for q in queries:
+        t0 = time.monotonic()
+        res = search_bm25(args.index, [q], k=args.k, stats=stats)
+        out.append({"query": q, "nresults": len(res),
+                    "total_nano": int((time.monotonic() - t0) * 1e9)})
+        print(json.dumps(out[-1]))
+    total = sum(o["total_nano"] for o in out)
+    print(json.dumps({"queries": len(out), "total_s": total / 1e9,
+                      "qps": len(out) / (total / 1e9)}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="dcs_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="build an index from parquet docs")
+    c.add_argument("input")
+    c.add_argument("out")
+    c.add_argument("--mode", default="words", choices=["words", "trigram"])
+    c.add_argument("--partitions", type=int, default=8)
+    c.add_argument("--shards", type=int, default=2)
+    c.add_argument("--id-col", default=None)
+    c.add_argument("--url-col", default="url")
+    c.add_argument("--dedup-latest", action="store_true")
+    c.add_argument("--positional", action="store_true")
+    c.set_defaults(fn=cmd_create)
+
+    d = sub.add_parser("du", help="index size accounting")
+    d.add_argument("index")
+    d.set_defaults(fn=cmd_du)
+
+    d = sub.add_parser("docids", help="dump doc_id -> url map")
+    d.add_argument("index")
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_docids)
+
+    d = sub.add_parser("trigram", help="trigrams of a string")
+    d.add_argument("text")
+    d.set_defaults(fn=cmd_trigram)
+
+    d = sub.add_parser("posting", help="dump a term's posting list")
+    d.add_argument("index")
+    d.add_argument("term")
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_posting)
+
+    d = sub.add_parser("matches", help="positional literal matches")
+    d.add_argument("index")
+    d.add_argument("literal")
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_matches)
+
+    d = sub.add_parser("search", help="BM25 top-k search")
+    d.add_argument("index")
+    d.add_argument("query")
+    d.add_argument("-k", type=int, default=10)
+    d.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("replay", help="replay a query log with timings")
+    d.add_argument("index")
+    d.add_argument("log")
+    d.add_argument("-k", type=int, default=10)
+    d.set_defaults(fn=cmd_replay)
+
+    args = ap.parse_args()
+    args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Verification grep: run the real pattern over candidate documents and
+emit matches with line context — the dcs source-backend read path
+(F10/F11/F12, ``SURVEY.md §2.2``).
+
+dcs greps candidate files with 1000 goroutines per query
+(``internal/sourcebackend/sourcebackend.go:416``); here the same fan-out
+is a ``map_batches`` stage over the text column, restricted to the
+candidate doc ids from the trigram index (the J3 restrict semi-join:
+``np.isin`` against a broadcast sorted candidate array). Per match we
+keep at most one match per line (D3, ``sourcebackend.go:500-507``) and
+extract two lines of context either side (FiveLines,
+``internal/index/read.go:484-528``)."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def five_lines(text: str, offset: int) -> tuple[int, list[str]]:
+    """(line number (1-based), [ctx-2, ctx-1, line, ctx+1, ctx+2]) for the
+    line containing byte ``offset`` — ``internal/index/read.go:484-528``
+    semantics: missing neighbours are empty strings."""
+    lines = text.split("\n")
+    # find line index by cumulative offsets
+    cum = 0
+    idx = 0
+    for i, ln in enumerate(lines):
+        nxt = cum + len(ln) + 1
+        if offset < nxt:
+            idx = i
+            break
+        cum = nxt
+    else:
+        idx = len(lines) - 1
+    out = []
+    for j in range(idx - 2, idx + 3):
+        out.append(lines[j] if 0 <= j < len(lines) else "")
+    return idx + 1, out
+
+
+class RegexGrepper:
+    """Actor-pool stage: compiled pattern held per actor (ST5 —
+    one compiled matcher per worker, ``regexp/regexp.go:17``,
+    ``sourcebackend.go:560-571``)."""
+
+    def __init__(self, pattern: str, candidates: np.ndarray | None = None,
+                 id_col: str = "doc_id", max_matches_per_doc: int = 100):
+        self.rx = re.compile(pattern)
+        self.candidates = np.sort(candidates) if candidates is not None else None
+        self.id_col = id_col
+        self.cap = max_matches_per_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        if self.candidates is not None:
+            # match dtypes so np.isin stays in integer space (uint64 vs
+            # int64 would silently upcast to float64)
+            keep = np.isin(ids, self.candidates.astype(ids.dtype, copy=False))
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+        texts = batch["text"].to_pylist()
+        out = {"doc_id": [], "line": [], "position": [], "context": [],
+               "ctx_before": [], "ctx_after": []}
+        for did, text in zip(ids, texts):
+            seen_lines: set[int] = set()
+            for n, m in enumerate(self.rx.finditer(text)):
+                if len(seen_lines) >= self.cap:
+                    break
+                lineno, ctx = five_lines(text, m.start())
+                if lineno in seen_lines:  # ≤ 1 match per line (D3)
+                    continue
+                seen_lines.add(lineno)
+                out["doc_id"].append(int(did))
+                out["line"].append(lineno)
+                out["position"].append(m.start())
+                out["context"].append(ctx[2])
+                out["ctx_before"].append("\n".join(ctx[:2]))
+                out["ctx_after"].append("\n".join(ctx[3:]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "line": pa.array(out["line"], pa.int64()),
+                "position": pa.array(out["position"], pa.int64()),
+                "context": pa.array(out["context"], pa.string()),
+                "ctx_before": pa.array(out["ctx_before"], pa.string()),
+                "ctx_after": pa.array(out["ctx_after"], pa.string()),
+            }
+        )
+
+
+def grep_regex(
+    docs: ray.data.Dataset,
+    pattern: str,
+    candidates: np.ndarray | None = None,
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Grep documents for a regex, optionally restricted to candidate doc
+    ids (from the trigram planner), returning matches with context."""
+    fn = RegexGrepper(pattern, candidates, id_col)
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
+
+
+def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """Full dcs query path: regex → trigram plan → candidate generation on
+    the index → restricted verify grep (``SURVEY.md §3.2``)."""
+    from dcs_ray.queryplan import eval_query, regexp_query
+    from dcs_ray.search import _open, shard_paths
+    from dcs_ray.codec import decode_postings
+
+    q = regexp_query(pattern)
+    if q.op == "NONE":
+        return docs.limit(0)
+    candidates: np.ndarray | None
+    if q.op == "ALL":
+        candidates = None  # unfilterable query: grep everything
+    else:
+        parts = []
+        for path in shard_paths(index_dir):
+            seg = _open(path)
+
+            def lookup(t: str, seg=seg):
+                tri = (ord(t[0]) << 16) | (ord(t[1]) << 8) | ord(t[2])
+                idx = seg.term_index(np.uint32(tri))
+                if idx < 0:
+                    return np.empty(0, np.uint64)
+                return decode_postings(seg.term_blob(idx))[0]
+
+            r = eval_query(q, lookup)
+            if isinstance(r, str):
+                candidates = None
+                break
+            parts.append(r)
+        else:
+            candidates = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        if candidates is not None and len(candidates) == 0:
+            return docs.limit(0)
+    return grep_regex(docs, pattern, candidates, id_col)

@@ -49,6 +49,16 @@ def assign_partition(batch: pa.Table, conf: IndexConfig) -> pa.Table:
     return batch.append_column("part_id", pa.array(part, pa.int32()))
 
 
+def parquet_col_max(path: str, col: str) -> int:
+    """Max value of a column from parquet row-group statistics — a
+    metadata-only read (no data pass), for ``IndexConfig.id_max``."""
+    md = pq.read_metadata(path)
+    ci = md.schema.names.index(col)
+    return max(
+        md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups)
+    )
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     done = set()
     seg_root = os.path.join(out_dir, "segments")
@@ -122,14 +132,16 @@ def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
     )
     td_paths = [os.path.join(seg_root, s, "term_dict.parquet") for s in segs]
     td = ray.data.read_parquet(td_paths, columns=["term", "df"])
-    df_ds = td.groupby("term").sum("df")
+    df_ds = td.groupby("term").sum("df").sort("term")
     stats_dir = os.path.join(out_dir, "stats")
     tmp = stats_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    # vocab-sized table, sorted by term for predicate-pushdown lookups
-    df_tbl = pa.concat_tables(
-        [pa.table(b) for b in df_ds.sort("term").iter_batches(batch_format="pyarrow")]
-    ) if df_ds.count() else pa.table({"term": [], "sum(df)": []})
+    # vocab-sized table, sorted by term for predicate-pushdown lookups;
+    # one lazy pipeline, one execution
+    tables = [pa.table(b) for b in df_ds.iter_batches(batch_format="pyarrow")]
+    df_tbl = (
+        pa.concat_tables(tables) if tables else pa.table({"term": [], "sum(df)": []})
+    )
     df_tbl = df_tbl.rename_columns(["term", "df"])
     pq.write_table(df_tbl, os.path.join(tmp, "df.parquet"), row_group_size=65536)
 

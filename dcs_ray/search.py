@@ -143,25 +143,24 @@ def search_bm25(
     """
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
-    plans = {qid: plan_query(index_dir, q, stats) for qid, q in enumerate(queries)}
+    plans = [plan_query(index_dir, q, stats) for q in queries]
 
-    work = ray.data.from_items(
-        [
-            {"query_id": qid, "shard_id": sid}
-            for qid in range(len(queries))
-            for sid in range(len(shards))
-        ]
-    )
+    # one task per shard scoring the whole query batch (per-worker segment
+    # cache = actor-style state); per-shard top-k keeps the merge input at
+    # k × shards × queries rows, merged deterministically on the driver —
+    # a single pipeline execution, no shuffle (the dcs fan-out shape:
+    # dcs-web → per-backend Search → incremental global top-k)
+    work = ray.data.from_items([{"shard_id": sid} for sid in range(len(shards))])
 
-    def run_shard(group: pa.Table) -> pa.Table:
-        sid = int(group["shard_id"][0].as_py())
-        seg = _open(shards[sid])
+    def run_shard(batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
-        for qid in group["query_id"].to_pylist():
-            d, s = score_shard_bm25(seg, plans[qid], stats, k)
-            out_q.extend([qid] * len(d))
-            out_d.append(d)
-            out_s.append(s)
+        for sid in batch["shard_id"].to_pylist():
+            seg = _open(shards[sid])
+            for qid, plan in enumerate(plans):
+                d, s = score_shard_bm25(seg, plan, stats, k)
+                out_q.extend([qid] * len(d))
+                out_d.append(d)
+                out_s.append(s)
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int32()),
@@ -174,36 +173,32 @@ def search_bm25(
             }
         )
 
-    per_shard = work.groupby("shard_id").map_groups(run_shard, batch_format="pyarrow")
-
-    def global_topk(group: pa.Table) -> pa.Table:
-        d = group["doc_id"].combine_chunks().to_numpy()
-        s = group["score"].combine_chunks().to_numpy()
-        dd, ss = topk(d, s, k)
-        qid = group["query_id"][0].as_py()
-        ranks = np.arange(1, len(dd) + 1, dtype=np.int32)
-        return pa.table(
-            {
-                "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
-                "rank": pa.array(ranks, pa.int32()),
-                "doc_id": pa.array(dd, pa.uint64()),
-                "score": pa.array(ss, pa.float64()),
-            }
-        )
-
-    merged = per_shard.groupby("query_id").map_groups(global_topk, batch_format="pyarrow")
-    out = _collect(
-        merged,
+    per_shard = work.map_batches(run_shard, batch_size=1, batch_format="pyarrow")
+    cand = _collect(
+        per_shard,
         pa.schema(
-            [
-                ("query_id", pa.int32()),
-                ("rank", pa.int32()),
-                ("doc_id", pa.uint64()),
-                ("score", pa.float64()),
-            ]
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
         ),
     )
-    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+    qids = cand["query_id"].to_numpy()
+    docs = cand["doc_id"].to_numpy()
+    scores = cand["score"].to_numpy()
+    out_tables = []
+    for qid in range(len(queries)):
+        m = qids == qid
+        dd, ss = topk(docs[m], scores[m], k)
+        out_tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                    "rank": pa.array(np.arange(1, len(dd) + 1, dtype=np.int32), pa.int32()),
+                    "doc_id": pa.array(dd, pa.uint64()),
+                    "score": pa.array(ss, pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out_tables)
 
 
 def _collect(ds: ray.data.Dataset, empty_schema: pa.Schema) -> pa.Table:
@@ -305,24 +300,21 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
             for d in sorted(os.listdir(seg_root))
             if d.startswith("seg_") and not d.endswith(".tmp")
         ]
-    work = ray.data.from_items(
-        [{"query_id": qid, "path_id": pid} for qid in range(len(literals)) for pid in range(len(paths))]
-    )
+    work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
 
-    def run(group: pa.Table) -> pa.Table:
-        pid = int(group["path_id"][0].as_py())
-        seg = _open(paths[pid])
+    def run(batch: pa.Table) -> pa.Table:
         rows_q, rows_d, rows_p = [], [], []
-        for qid in group["query_id"].to_pylist():
-            lit = literals[qid]
-            if positional:
-                d, p = positional_matches_shard(seg, lit)
-            else:
-                d = trigram_candidates_shard(seg, string_trigrams(lit))
-                p = np.zeros(len(d), dtype=np.uint64)
-            rows_q.extend([qid] * len(d))
-            rows_d.append(d)
-            rows_p.append(p)
+        for pid in batch["path_id"].to_pylist():
+            seg = _open(paths[pid])
+            for qid, lit in enumerate(literals):
+                if positional:
+                    d, p = positional_matches_shard(seg, lit)
+                else:
+                    d = trigram_candidates_shard(seg, string_trigrams(lit))
+                    p = np.zeros(len(d), dtype=np.uint64)
+                rows_q.extend([qid] * len(d))
+                rows_d.append(d)
+                rows_p.append(p)
         return pa.table(
             {
                 "query_id": pa.array(rows_q, pa.int32()),
@@ -335,7 +327,7 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
             }
         )
 
-    res = work.groupby("path_id").map_groups(run, batch_format="pyarrow")
+    res = work.map_batches(run, batch_size=1, batch_format="pyarrow")
     out = _collect(
         res,
         pa.schema(
