@@ -310,6 +310,7 @@ class Segment:
         else:
             self.positions = None
         self._terms_np: np.ndarray | None = None
+        self._hdr_cache: dict[int, tuple] = {}
 
     def term_index(self, term) -> int:
         """Binary search the sorted term dictionary; -1 if absent
@@ -323,6 +324,38 @@ class Segment:
 
     def term_blob(self, idx: int) -> np.ndarray:
         return self.postings[self.offset[idx] : self.offset[idx] + self.nbytes[idx]]
+
+    def term_headers(self, idx: int) -> tuple:
+        """Block-max skip metadata for one term without decoding bodies:
+        ``(first_docid, max_docid, max_tf, body_off, body_len)`` arrays,
+        cached per open segment (the MetaEntry/skip-list role of
+        ``internal/index/read.go:161-265``)."""
+        cached = self._hdr_cache.get(idx)
+        if cached is not None:
+            return cached
+        from dcs_ray.codec import HEADER_DTYPE, HEADER_SIZE
+
+        blob = self.term_blob(idx)
+        firsts, maxes, mtfs, boffs, blens = [], [], [], [], []
+        pos, n = 0, len(blob)
+        while pos < n:
+            h = np.ascontiguousarray(blob[pos : pos + HEADER_SIZE]).view(HEADER_DTYPE)[0]
+            nbytes = int(h["nbytes"])
+            firsts.append(h["first_docid"])
+            maxes.append(h["max_docid"])
+            mtfs.append(h["max_tf"])
+            boffs.append(pos)
+            blens.append(HEADER_SIZE + nbytes)
+            pos += HEADER_SIZE + nbytes
+        cached = (
+            np.array(firsts, dtype=np.uint64),
+            np.array(maxes, dtype=np.uint64),
+            np.array(mtfs, dtype=np.uint32),
+            np.array(boffs, dtype=np.int64),
+            np.array(blens, dtype=np.int64),
+        )
+        self._hdr_cache[idx] = cached
+        return cached
 
     def position_blob(self, idx: int) -> np.ndarray:
         assert self.positions is not None

@@ -116,6 +116,139 @@ def score_shard_bm25(
     return topk(uniq_docs, sums, k)
 
 
+def _term_contribs(
+    seg: Segment,
+    idx: int,
+    idf: float,
+    stats: dict,
+    doc_filter: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact BM25 contributions of one term: (doc_ids, scores).
+
+    With ``doc_filter`` (sorted unique doc ids), only blocks whose
+    ``[first_docid, max_docid]`` range contains a candidate are decoded —
+    the block-max skip of dcs's windowed DeltaReader
+    (``internal/index/read.go:269-308``) put to WAND use."""
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
+    if doc_filter is None:
+        doc_ids, tfs = decode_postings(seg.term_blob(idx))
+    else:
+        firsts, maxes, _mtf, boffs, blens = seg.term_headers(idx)
+        lo = np.searchsorted(doc_filter, firsts)
+        hi = np.searchsorted(doc_filter, maxes, side="right")
+        keep = np.flatnonzero(hi > lo)  # block contains >=1 candidate
+        if len(keep) == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        blob = seg.term_blob(idx)
+        parts_d, parts_t = [], []
+        for bi in keep:
+            h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
+            for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
+                d, t = decode_block(header, body)
+                parts_d.append(d)
+                parts_t.append(t)
+        doc_ids = np.concatenate(parts_d)
+        tfs = np.concatenate(parts_t)
+        pos = np.searchsorted(doc_filter, doc_ids)
+        pos = np.minimum(pos, len(doc_filter) - 1)
+        m = doc_filter[pos] == doc_ids
+        doc_ids, tfs = doc_ids[m], tfs[m]
+        if len(doc_ids) == 0:
+            return doc_ids, np.empty(0, np.float64)
+    tf = tfs.astype(np.float64)
+    dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+    s = idf * (tf * (stats["k1"] + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    return doc_ids, s
+
+
+def _merge_sorted_acc(
+    a_docs: np.ndarray, a_scores: np.ndarray, b_docs: np.ndarray, b_scores: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    docs = np.concatenate((a_docs, b_docs))
+    scores = np.concatenate((a_scores, b_scores))
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    return docs[boundaries], np.add.reduceat(scores, boundaries)
+
+
+def score_shard_bm25_maxscore(
+    seg: Segment, plan: list[tuple[str, float]], stats: dict, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND/MaxScore BM25 top-k over one shard — exact, same
+    bits as the exhaustive path.
+
+    Terms ordered by score upper bound (idf·(k1+1)·max_tf/(max_tf+k1(1−b)),
+    the dl→0 bound); a term whose suffix upper-bound sum can no longer
+    lift a new document over the running kth-best threshold θ is
+    *non-essential*: only surviving candidates are looked up in it, and
+    only blocks whose (first_docid, max_docid) range holds a candidate are
+    decoded (codec block-max metadata). Final scores are re-summed per doc
+    in ascending-term order, so output bits are identical to
+    ``score_shard_bm25`` regardless of pruning order (SURVEY §7.5
+    determinism requirement)."""
+    k1, b = stats["k1"], stats["b"]
+    resolved = []
+    for rank, (term, idf) in enumerate(plan):  # plan is term-ascending
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        mtf = float(seg.max_tf[idx])
+        ub = idf * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+        resolved.append((ub, rank, idx, idf))
+    if not resolved:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    resolved.sort(key=lambda t: (-t[0], t[1]))
+    ubs = np.array([t[0] for t in resolved], dtype=np.float64)
+    suffix = np.concatenate((np.cumsum(ubs[::-1])[::-1], [0.0]))
+
+    contrib_docs: list[np.ndarray] = []
+    contrib_ranks: list[np.ndarray] = []
+    contrib_scores: list[np.ndarray] = []
+    acc_docs = np.empty(0, np.uint64)
+    acc_scores = np.empty(0, np.float64)
+    theta = -np.inf
+    for j, (_ub, rank, idx, idf) in enumerate(resolved):
+        essential = j == 0 or suffix[j] >= theta
+        if essential:
+            d, s = _term_contribs(seg, idx, idf, stats)
+            acc_docs, acc_scores = _merge_sorted_acc(acc_docs, acc_scores, d, s)
+        else:
+            # prune: doc needs acc + remaining upper bounds >= θ (with a
+            # 1-ulp-scale safety margin so float order never mis-prunes)
+            bound = theta * (1.0 - 1e-12) - 1e-300
+            alive = acc_scores + suffix[j] >= bound
+            acc_docs, acc_scores = acc_docs[alive], acc_scores[alive]
+            if len(acc_docs) == 0:
+                break
+            d, s = _term_contribs(seg, idx, idf, stats, doc_filter=acc_docs)
+            if len(d):
+                pos = np.searchsorted(acc_docs, d)
+                acc_scores[pos] += s
+        if len(d):
+            contrib_docs.append(d)
+            contrib_ranks.append(np.full(len(d), rank, dtype=np.int32))
+            contrib_scores.append(s)
+        if len(acc_scores) >= k:
+            kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+            if kth > theta:
+                theta = kth
+
+    if not contrib_docs:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    docs = np.concatenate(contrib_docs)
+    ranks = np.concatenate(contrib_ranks)
+    scores = np.concatenate(contrib_scores)
+    # deterministic re-sum: per doc, ascending term (plan rank) order —
+    # bit-identical to the exhaustive path's accumulation
+    order = np.lexsort((ranks, docs))
+    docs, scores = docs[order], scores[order]
+    boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    uniq_docs = docs[boundaries]
+    sums = np.add.reduceat(scores, boundaries)
+    return topk(uniq_docs, sums, k)
+
+
 def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic top-k: score desc, doc_id asc tie-break."""
     n = len(doc_ids)
@@ -132,7 +265,11 @@ def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, n
 
 
 def search_bm25(
-    index_dir: str, queries: list[str], k: int = 10, stats: dict | None = None
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    stats: dict | None = None,
+    method: str = "maxscore",
 ) -> pa.Table:
     """BM25 top-k for a batch of queries as a Ray Data pipeline.
 
@@ -144,6 +281,7 @@ def search_bm25(
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = [plan_query(index_dir, q, stats) for q in queries]
+    score_fn = score_shard_bm25_maxscore if method == "maxscore" else score_shard_bm25
 
     # one task per shard scoring the whole query batch (per-worker segment
     # cache = actor-style state); per-shard top-k keeps the merge input at
@@ -157,7 +295,7 @@ def search_bm25(
         for sid in batch["shard_id"].to_pylist():
             seg = _open(shards[sid])
             for qid, plan in enumerate(plans):
-                d, s = score_shard_bm25(seg, plan, stats, k)
+                d, s = score_fn(seg, plan, stats, k)
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
                 out_s.append(s)

@@ -95,6 +95,24 @@ def test_bm25_rank_identical_to_duckdb(built_index):
         np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=1e-12)
 
 
+def test_maxscore_bit_identical_to_exhaustive(built_index):
+    """Block-max WAND/MaxScore pruning must not change a single bit of the
+    result (exact top-k; deterministic re-sum in term order, SURVEY §7.5)."""
+    out, _ = built_index
+    queries = [
+        "spark merge join",
+        "the a of to",       # all high-df terms — pruning engages
+        "vector",             # single term
+        "the spark nonexistentterm",
+        "customer window batch the of",
+    ]
+    for k in (3, 10, 100):
+        ex = search_bm25(out, queries, k=k, method="exhaustive").to_pandas()
+        ms = search_bm25(out, queries, k=k, method="maxscore").to_pandas()
+        assert ex.doc_id.tolist() == ms.doc_id.tolist()
+        np.testing.assert_array_equal(ex.score.to_numpy(), ms.score.to_numpy())
+
+
 def test_merge_equivalence(built_index, tmp_path):
     """index(all docs, 1 partition) ≡ merged shards (concatn_test.go:107-170)."""
     out, _ = built_index
