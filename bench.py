@@ -71,8 +71,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     thr: dict[str, float] = {}
 
     # warm the worker pool before timing (a 100 TB cluster is long-lived;
-    # cold worker spawn is not part of steady-state throughput)
-    ray.data.range(num_cpus * 4).map_batches(lambda b: b).count()
+    # cold worker spawn + library import is not steady-state throughput)
+    _warm_workers(num_cpus)
 
     # --- index build (the headline ETL) ---
     t0 = time.monotonic()
@@ -136,16 +136,145 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
-    """Same job at two parallelism levels in fresh processes."""
+def replicate_input(sf_dir: str, factor: int) -> str:
+    """Deterministically replicate the documents table ``factor``× so the
+    scaling run is compute-bound (the sandbox sf dirs are tiny; the
+    criterion is about a fixed job at two parallelism levels, so both
+    levels read the SAME replicated input). Doc ids stay unique and
+    range-partitionable: replica i shifts ids by i·(id_max+1). One parquet
+    file per replica so the read parallelizes. Cached across runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/dcs_ray_scale_input_{name}_x{factor}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    span = pc.max(base["doc_id"]).as_py() + 1
+    for i in range(factor):
+        t = pa.table(
+            {
+                "doc_id": pc.add(base["doc_id"], i * span),
+                "text": base["text"],
+            }
+        )
+        # small row groups → fine-grained predicate pushdown in the
+        # read-side-partitioned build (each partition decodes only its
+        # own row groups)
+        pq.write_table(t, os.path.join(out, f"documents_{i:04d}.parquet"), row_group_size=1024)
+    with open(marker, "w") as f:
+        f.write(str(factor))
+    return out
+
+
+def _warm_workers(num_cpus: int) -> None:
+    """Spin up the full worker pool and import the library in each worker.
+    Per-worker cold import (~1 s of numpy/pyarrow/dcs_ray) otherwise lands
+    inside the first timed stage and scales WITH num_cpus, poisoning the
+    scaling measurement (more workers = more cold imports)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def warm():
+        import dcs_ray.index.segment  # noqa: F401  (pulls numpy/pyarrow/codec)
+        import dcs_ray.search  # noqa: F401
+        return 0
+
+    ray.get([warm.remote() for _ in range(num_cpus)])
+
+
+def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
+    """One scaling-mode run: headline index build + BM25 query batch over
+    the replicated input. Identical job shape at every CPU level — only
+    ``ray.init(num_cpus=...)`` differs (the sandbox proxy for cluster
+    size, per BASELINE.md)."""
+    import ray
+
+    os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import search_bm25
+
+    out_root = f"/tmp/dcs_ray_scalebench_{num_cpus}"
+    shutil.rmtree(out_root, ignore_errors=True)
+    _warm_workers(num_cpus)
+
+    files = sorted(
+        os.path.join(input_dir, f) for f in os.listdir(input_dir) if f.endswith(".parquet")
+    )
+    t0 = time.monotonic()
+    idx = os.path.join(out_root, "words")
+    # file-list input → read-side partition pruning (no shuffle)
+    manifest = build_index(
+        files, idx,
+        IndexConfig(
+            num_partitions=num_partitions, num_shards=8, mode="words",
+            id_col="doc_id", dedup_latest=False,
+            id_max=max(parquet_dir_col_max(f, "doc_id") for f in files),
+        ),
+    )
+    build_s = time.monotonic() - t0
+    n_docs = manifest["stats"]["n_docs"]
+    n_postings = sum(p["n_postings"] for p in manifest["partitions"])
+
+    qbatch = BM25_QUERIES * 10  # 200 queries
+    t0 = time.monotonic()
+    res = search_bm25(idx, qbatch, k=10)
+    q_s = time.monotonic() - t0
+    assert len(res) > 0
+    ray.shutdown()
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_postings": n_postings,
+        "build_s": round(build_s, 3),
+        "query_s": round(q_s, 3),
+        "throughput": {
+            "build_docs_per_s": round(n_docs / build_s, 1),
+            "build_postings_per_s": round(n_postings / build_s, 1),
+            "query_qps": round(len(qbatch) / q_s, 2),
+        },
+    }
+
+
+def parquet_dir_col_max(path: str, col: str) -> int:
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    ci = md.schema.names.index(col)
+    return max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32, factor: int = 100) -> dict:
+    """Same job at two parallelism levels in fresh processes on the same
+    (replicated, compute-bound) input; num_partitions fixed at both
+    levels so only resources vary."""
+    input_dir = replicate_input(sf_dir, factor)
     results = {}
     for cpus in (low, high):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--sf", sf_dir],
+            [sys.executable, os.path.abspath(__file__), "--scaling-one",
+             "--input-dir", input_dir, "--cpus", str(cpus), "--partitions", "64"],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling run at {cpus} cpus failed:\n{proc.stderr[-2000:]}")
+        results[cpus] = json.loads(lines[-1])
     lo, hi = results[low], results[high]
     ratio = high / low
     eff = {}
@@ -157,6 +286,7 @@ def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
         "value": round(sum(eff.values()) / len(eff), 3),
         "unit": "efficiency",
         "sf": sf_dir,
+        "replication_factor": factor,
         "low": lo,
         "high": hi,
         "efficiency": eff,
@@ -168,9 +298,15 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-one", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--input-dir", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--partitions", type=int, default=64, help=argparse.SUPPRESS)
+    ap.add_argument("--factor", type=int, default=100)
     args = ap.parse_args()
-    if args.scaling:
-        out = run_scaling(args.sf)
+    if args.scaling_one:
+        out = run_scaling_one(args.input_dir, args.cpus, args.partitions)
+    elif args.scaling:
+        out = run_scaling(args.sf, factor=args.factor)
     else:
         out = run_bench(args.sf, args.cpus)
     print(json.dumps(out))

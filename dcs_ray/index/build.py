@@ -119,32 +119,44 @@ def build_segments(pages: ray.data.Dataset, out_dir: str, conf: IndexConfig) -> 
 
 
 def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
-    """Phase 2: global corpus statistics for BM25 — N, avgdl, per-term df
+    """Global corpus statistics for BM25 — N, avgdl, per-term df
     (the ranking-data analogue of ``cmd/dcs-compute-ranking``, A7).
 
-    df aggregation is a small groupby over per-segment term dictionaries
-    (vocab-sized, not corpus-sized): partial aggregation already happened
-    inside segments — the classic combiner pattern.
+    Runs AFTER the shard merge: each shard's term dictionary already
+    carries the per-term df summed over its segments (two levels of
+    combining — segment then shard), so the global df is a sum over just
+    ``num_shards`` vocab-sized tables. Small vocabularies aggregate
+    driver-side with one Arrow ``group_by``; above a threshold it becomes
+    a Ray groupby (the wide path for 10^9-term vocabularies).
     """
+    from dcs_ray.index.merge import shard_name  # noqa: F401  (layout doc)
+
+    shard_root = os.path.join(out_dir, "shards")
+    shards = sorted(
+        d for d in os.listdir(shard_root) if d.startswith("shard_") and not d.endswith(".tmp")
+    )
+    td_paths = [os.path.join(shard_root, s, "term_dict.parquet") for s in shards]
+    total_rows = sum(pq.read_metadata(p).num_rows for p in td_paths)
+    stats_dir = os.path.join(out_dir, "stats")
+    tmp = stats_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    if total_rows <= 5_000_000:
+        cat = pa.concat_tables(pq.read_table(p, columns=["term", "df"]) for p in td_paths)
+        g = cat.group_by("term").aggregate([("df", "sum")])
+        df_tbl = pa.table(
+            {"term": g["term"], "df": g["df_sum"].cast(pa.uint64())}
+        ).sort_by("term")
+    else:
+        td = ray.data.read_parquet(td_paths, columns=["term", "df"])
+        df_ds = td.groupby("term").sum("df").sort("term")
+        tables = [pa.table(b) for b in df_ds.iter_batches(batch_format="pyarrow")]
+        df_tbl = pa.concat_tables(tables).rename_columns(["term", "df"])
+    pq.write_table(df_tbl, os.path.join(tmp, "df.parquet"), row_group_size=65536)
+
     seg_root = os.path.join(out_dir, "segments")
     segs = sorted(
         d for d in os.listdir(seg_root) if d.startswith("seg_") and not d.endswith(".tmp")
     )
-    td_paths = [os.path.join(seg_root, s, "term_dict.parquet") for s in segs]
-    td = ray.data.read_parquet(td_paths, columns=["term", "df"])
-    df_ds = td.groupby("term").sum("df").sort("term")
-    stats_dir = os.path.join(out_dir, "stats")
-    tmp = stats_dir + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-    # vocab-sized table, sorted by term for predicate-pushdown lookups;
-    # one lazy pipeline, one execution
-    tables = [pa.table(b) for b in df_ds.iter_batches(batch_format="pyarrow")]
-    df_tbl = (
-        pa.concat_tables(tables) if tables else pa.table({"term": [], "sum(df)": []})
-    )
-    df_tbl = df_tbl.rename_columns(["term", "df"])
-    pq.write_table(df_tbl, os.path.join(tmp, "df.parquet"), row_group_size=65536)
-
     n_docs, sum_dl = 0, 0
     for s in segs:
         with open(os.path.join(seg_root, s, "lineage.json")) as f:
@@ -193,15 +205,86 @@ def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats:
     return manifest
 
 
-def build_index(pages: ray.data.Dataset, out_dir: str, conf: IndexConfig | None = None) -> dict:
-    """Full build: segments → stats → shard merge → manifest. Resumable."""
+def build_segments_from_files(
+    files: list[str], out_dir: str, conf: IndexConfig, columns: list[str] | None = None
+) -> list[dict]:
+    """Phase 1 without any shuffle: partition **at the read**.
+
+    When the input is Parquet and partitioning is by id range, each
+    partition's rows are selected by predicate pushdown (row-group
+    statistics prune whole files) inside its own build task — the
+    all-to-all ``groupby(part_id)`` exchange disappears entirely. This is
+    the dcs importer model (each shard's importer reads only its own
+    packages, ``cmd/dcs-package-importer/importer.go:146-199``) and the
+    scale path for crawl dumps laid out by id/shard. For inputs without a
+    usable id layout, ``build_segments`` (hash shuffle on url) remains
+    the general path.
+    """
+    conf.validate()
+    assert conf.id_col is not None, "file-pruned build requires an id column"
+    if conf.id_max is None:
+        conf.id_max = max(parquet_col_max(f, conf.id_col) for f in files)
+    seg_root = os.path.join(out_dir, "segments")
+    os.makedirs(seg_root, exist_ok=True)
+    done = completed_partitions(out_dir)
+    span = (conf.id_max + conf.num_partitions) // conf.num_partitions
+    specs = [
+        {"part_id": p, "lo": p * span, "hi": (p + 1) * span}
+        for p in range(conf.num_partitions)
+        if p not in done
+    ]
+    if columns is None:
+        columns = [conf.id_col, conf.text_col]
+        if conf.dedup_latest:
+            columns += [conf.url_col, conf.ts_col]
+
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        recs = []
+        dset = pads.dataset(files)
+        avail = [c for c in columns if c in dset.schema.names]
+        for row in batch.to_pylist():
+            filt = (pads.field(conf.id_col) >= row["lo"]) & (
+                pads.field(conf.id_col) < row["hi"]
+            )
+            tbl = dset.to_table(filter=filt, columns=avail)
+            if len(tbl) == 0:
+                continue
+            seg = build_segment_data(row["part_id"], tbl, conf)
+            recs.append(json.dumps(write_segment(seg_root, seg)))
+        return pa.table({"lineage": pa.array(recs, pa.string())})
+
+    lineage_ds = ray.data.from_items(specs).map_batches(
+        run, batch_size=1, batch_format="pyarrow"
+    )
+    new_records = [json.loads(r["lineage"]) for r in lineage_ds.take_all()]
+    records = []
+    for pid in sorted(done | {r["part_id"] for r in new_records}):
+        with open(os.path.join(seg_root, segment_name(pid), "lineage.json")) as f:
+            records.append(json.load(f))
+    return records
+
+
+def build_index(
+    pages: ray.data.Dataset | list[str], out_dir: str, conf: IndexConfig | None = None
+) -> dict:
+    """Full build: segments → stats → shard merge → manifest. Resumable.
+
+    ``pages`` is either a Dataset (general path: hash/range shuffle via
+    ``groupby(part_id)``) or a list of Parquet files (scale path:
+    read-side partition pruning, no shuffle — requires ``conf.id_col``).
+    """
     from dcs_ray.index.merge import merge_shards
 
     conf = (conf or IndexConfig()).validate()
     os.makedirs(out_dir, exist_ok=True)
-    lineage = build_segments(pages, out_dir, conf)
-    stats = compute_corpus_stats(out_dir, conf)
+    if isinstance(pages, (list, tuple)):
+        lineage = build_segments_from_files(list(pages), out_dir, conf)
+    else:
+        lineage = build_segments(pages, out_dir, conf)
     shard_lineage = merge_shards(out_dir, conf)
+    stats = compute_corpus_stats(out_dir, conf)
     return commit_manifest(out_dir, conf, lineage, stats, shard_lineage)
 
 

@@ -36,7 +36,7 @@ import pyarrow.parquet as pq
 
 from dcs_ray.codec import pack_positions, pack_postings
 from dcs_ray.index.config import IndexConfig
-from dcs_ray.tokenize import tokenize_batch_words, trigram_tokens
+from dcs_ray.tokenize import tokenize_batch_words_grouped, trigram_tokens
 
 DOC_BITS = 32  # local-rank bits inside a doc_id
 
@@ -90,13 +90,9 @@ def build_segment_data(part_id: int, tbl: pa.Table, conf: IndexConfig) -> dict:
     texts = tbl[conf.text_col].combine_chunks()
 
     if conf.mode == "words":
-        postings, doc_lens = tokenize_batch_words(texts, doc_ids)
-        postings = postings.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        terms = postings["term"].combine_chunks()
-        p_doc = postings["doc_id"].combine_chunks().to_numpy().astype(np.uint64)
-        p_tf = postings["tf"].combine_chunks().to_numpy().astype(np.uint64)
-        group_offsets, uniq_terms = _term_groups(terms)
-        doc_len = doc_lens["doc_len"].combine_chunks().to_numpy()
+        uniq_terms, group_offsets, p_doc, p_tf, doc_len = tokenize_batch_words_grouped(
+            texts, doc_ids
+        )
         positions_blob, pos_dict = None, None
     else:  # trigram mode
         tri, tdoc, tpos = trigram_tokens(texts, doc_ids)

@@ -49,6 +49,34 @@ def _open(path: str) -> Segment:
     return seg
 
 
+# Bounded per-worker cache of decoded posting lists, keyed by
+# (segment path, term index). Production query logs repeat hot terms
+# constantly; dcs keeps reusable decode buffers per open index for the
+# same reason (``internal/index/read.go:84-98,417-446``). FIFO-with-
+# promotion (LRU) eviction under a byte cap.
+from collections import OrderedDict
+
+_DECODE_CACHE: "OrderedDict[tuple[str, int], tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+_DECODE_CACHE_BYTES = 0
+DECODE_CACHE_CAP = 256 << 20
+
+
+def _decode_term_cached(seg: Segment, idx: int) -> tuple[np.ndarray, np.ndarray]:
+    global _DECODE_CACHE_BYTES
+    key = (seg.path, idx)
+    hit = _DECODE_CACHE.get(key)
+    if hit is not None:
+        _DECODE_CACHE.move_to_end(key)
+        return hit
+    d, t = decode_postings(seg.term_blob(idx))
+    _DECODE_CACHE[key] = (d, t)
+    _DECODE_CACHE_BYTES += d.nbytes + t.nbytes
+    while _DECODE_CACHE_BYTES > DECODE_CACHE_CAP and _DECODE_CACHE:
+        _, (od, ot) = _DECODE_CACHE.popitem(last=False)
+        _DECODE_CACHE_BYTES -= od.nbytes + ot.nbytes
+    return d, t
+
+
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats", "global.json")) as f:
         return json.load(f)
@@ -83,9 +111,20 @@ def bm25_idf(df: int, n_docs: int) -> float:
 def plan_query(index_dir: str, query: str, stats: dict) -> list[tuple[str, float]]:
     """Tokenize a query and attach per-term idf; terms sorted ascending so
     the per-doc accumulation order is fixed."""
-    terms = sorted(tokenize_query_words(query))
-    dfs = global_df(index_dir, terms)
-    return [(t, bm25_idf(dfs.get(t, 0), stats["n_docs"])) for t in terms if dfs.get(t, 0) > 0]
+    return plan_queries(index_dir, [query], stats)[0]
+
+
+def plan_queries(index_dir: str, queries: list[str], stats: dict) -> list[list[tuple[str, float]]]:
+    """Plan a whole query batch with ONE df-table read (the term dict is
+    consulted once per batch, not once per query — dcs opens its meta
+    index once per process, ``internal/index/read.go:374-407``)."""
+    per_query = [sorted(tokenize_query_words(q)) for q in queries]
+    all_terms = sorted({t for terms in per_query for t in terms})
+    dfs = global_df(index_dir, all_terms)
+    return [
+        [(t, bm25_idf(dfs[t], stats["n_docs"])) for t in terms if dfs.get(t, 0) > 0]
+        for terms in per_query
+    ]
 
 
 def score_shard_bm25(
@@ -98,7 +137,7 @@ def score_shard_bm25(
         idx = seg.term_index(term)
         if idx < 0:
             continue
-        doc_ids, tfs = decode_postings(seg.term_blob(idx))
+        doc_ids, tfs = _decode_term_cached(seg, idx)
         tf = tfs.astype(np.float64)
         dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
         s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -131,7 +170,15 @@ def _term_contribs(
     (``internal/index/read.go:269-308``) put to WAND use."""
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
     if doc_filter is None:
-        doc_ids, tfs = decode_postings(seg.term_blob(idx))
+        doc_ids, tfs = _decode_term_cached(seg, idx)
+    elif (seg.path, idx) in _DECODE_CACHE:
+        doc_ids, tfs = _decode_term_cached(seg, idx)
+        pos = np.searchsorted(doc_filter, doc_ids)
+        pos = np.minimum(pos, len(doc_filter) - 1)
+        m = doc_filter[pos] == doc_ids
+        doc_ids, tfs = doc_ids[m], tfs[m]
+        if len(doc_ids) == 0:
+            return doc_ids, np.empty(0, np.float64)
     else:
         firsts, maxes, _mtf, boffs, blens = seg.term_headers(idx)
         lo = np.searchsorted(doc_filter, firsts)
@@ -280,22 +327,31 @@ def search_bm25(
     """
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
-    plans = [plan_query(index_dir, q, stats) for q in queries]
+    plans = plan_queries(index_dir, queries, stats)
     score_fn = score_shard_bm25_maxscore if method == "maxscore" else score_shard_bm25
 
-    # one task per shard scoring the whole query batch (per-worker segment
-    # cache = actor-style state); per-shard top-k keeps the merge input at
-    # k × shards × queries rows, merged deterministically on the driver —
-    # a single pipeline execution, no shuffle (the dcs fan-out shape:
-    # dcs-web → per-backend Search → incremental global top-k)
-    work = ray.data.from_items([{"shard_id": sid} for sid in range(len(shards))])
+    # work rows are (shard × query-chunk) pairs so the fan-out is not
+    # capped at num_shards (per-worker segment cache = actor-style state);
+    # per-shard top-k keeps the merge input at k × shards × queries rows,
+    # merged deterministically on the driver — a single pipeline
+    # execution, no shuffle (the dcs fan-out shape: dcs-web →
+    # per-backend Search → incremental global top-k)
+    chunk = 32
+    qchunks = [list(range(i, min(i + chunk, len(queries)))) for i in range(0, len(queries), chunk)]
+    work = ray.data.from_items(
+        [
+            {"shard_id": sid, "chunk_id": cid}
+            for sid in range(len(shards))
+            for cid in range(len(qchunks))
+        ]
+    )
 
     def run_shard(batch: pa.Table) -> pa.Table:
         out_q, out_d, out_s = [], [], []
-        for sid in batch["shard_id"].to_pylist():
+        for sid, cid in zip(batch["shard_id"].to_pylist(), batch["chunk_id"].to_pylist()):
             seg = _open(shards[sid])
-            for qid, plan in enumerate(plans):
-                d, s = score_fn(seg, plan, stats, k)
+            for qid in qchunks[cid]:
+                d, s = score_fn(seg, plans[qid], stats, k)
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
                 out_s.append(s)
@@ -370,7 +426,7 @@ def trigram_candidates_shard(
     entries.sort()
     result: np.ndarray | None = None
     for _, idx in entries:
-        doc_ids, _ = decode_postings(seg.term_blob(idx))
+        doc_ids, _ = _decode_term_cached(seg, idx)
         if result is None:
             result = doc_ids
         else:

@@ -88,6 +88,57 @@ def tokenize_batch_words(
     return postings, doc_lens
 
 
+def tokenize_batch_words_grouped(
+    texts: pa.ChunkedArray | pa.Array, doc_ids: np.ndarray
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize one partition of docs straight to term-grouped postings.
+
+    Returns ``(uniq_terms_sorted, group_offsets, p_doc, p_tf, doc_len)``
+    where term t's postings are ``p_doc[group_offsets[t]:group_offsets[t+1]]``
+    (doc ids ascending) with parallel tf counts.
+
+    Memory-lean hot path: terms are dictionary-encoded ONCE, then all
+    grouping/sorting happens on packed int64 keys (term_rank·n_docs +
+    doc_rank) with numpy — the only string operation is one sort of the
+    *unique* terms. Replaces an Arrow string group_by + string sort of
+    the full posting stream, which saturates memory bandwidth at high
+    task concurrency (measured 2.3× per-task CPU inflation at 32 procs).
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    n_docs = len(doc_ids)
+    flat, parents = word_tokens_flat(texts)
+    doc_len = np.bincount(parents, minlength=n_docs).astype(np.uint32)
+    if len(flat) == 0:
+        return (
+            pa.array([], pa.string()),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, np.uint64),
+            np.empty(0, np.uint64),
+            doc_len,
+        )
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dict_arr = enc.dictionary
+    n_terms = len(dict_arr)
+    sort_idx = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(n_terms, dtype=np.int64)
+    rank[sort_idx] = np.arange(n_terms)
+    # doc_ids ascend within the partition, so parent row order == doc order
+    key = rank[codes] * n_docs + parents
+    key = np.sort(key, kind="stable")
+    boundaries = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+    pair_key = key[boundaries]
+    p_tf = np.diff(np.concatenate((boundaries, [len(key)]))).astype(np.uint64)
+    term_of_pair = pair_key // n_docs
+    p_doc = doc_ids[pair_key % n_docs]
+    tb = np.flatnonzero(term_of_pair[1:] != term_of_pair[:-1]) + 1
+    group_offsets = np.concatenate(([0], tb, [len(pair_key)])).astype(np.int64)
+    uniq_terms = dict_arr.take(pa.array(sort_idx))
+    return uniq_terms, group_offsets, p_doc, p_tf, doc_len
+
+
 def tokenize_query_words(query: str) -> list[str]:
     """Tokenize a query string the same way documents are tokenized,
     deduplicated, order of first appearance."""
