@@ -229,6 +229,26 @@ def _q_positional_matches(sf_dir: str) -> Any:
     ).sort_by("doc_id")
 
 
+REGEX = "(spark|batch) (merge|join)"
+
+
+def _q_regex_search(sf_dir: str) -> Any:
+    """Full dcs query path: regex → trigram planner (F6) → candidate
+    generation on the index → restricted verify grep (F10) → matching
+    lines per doc (≤1 match/line, D3)."""
+    from dcs_ray.grep import search_regex
+
+    idx = _index_dir(sf_dir, "trigram")
+    ds = search_regex(idx, _docs(sf_dir), REGEX)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64())]).empty_table()
+    g = t.group_by("doc_id").aggregate([("line", "count_distinct")])
+    return pa.table(
+        {"doc_id": g["doc_id"].cast(pa.int64()), "n_lines": g["line_count_distinct"].cast(pa.int64())}
+    ).sort_by("doc_id")
+
+
 def _q_lang_stats(sf_dir: str) -> Any:
     from ray.data.aggregate import Count, Mean
 
@@ -326,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_literal": _q_grep_literal,
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
+        "regex_search": _q_regex_search,
         "lang_stats": _q_lang_stats,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -444,6 +465,11 @@ SELECT doc_id::bigint AS doc_id FROM documents WHERE {tri_conds} ORDER BY doc_id
 SELECT doc_id,
        ((length(text) - length(replace(text, '{LITERAL}', ''))) / {len(LITERAL)})::bigint AS n_matches
 FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
+""",
+        "regex_search": f"""
+SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+) WHERE regexp_matches(line, '{REGEX}') GROUP BY doc_id ORDER BY doc_id
 """,
         "lang_stats": """
 SELECT lang, count(*)::bigint AS n_docs, round(avg(n_chars), 6) AS avg_chars

@@ -99,11 +99,16 @@ def build_segments(pages: ray.data.Dataset, out_dir: str, conf: IndexConfig) -> 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
 
     def build_group(group: pa.Table) -> pa.Table:
+        import time as _time
+
         if len(group) == 0:
             return pa.table({"lineage": pa.array([], pa.string())})
+        t0 = _time.monotonic()
         part_id = int(group["part_id"][0].as_py())
         seg = build_segment_data(part_id, group.drop_columns(["part_id"]), conf)
-        record = write_segment(seg_root, seg)
+        record = write_segment(
+            seg_root, seg, extra={"build_wall_s": round(_time.monotonic() - t0, 4)}
+        )
         return pa.table({"lineage": pa.array([json.dumps(record)])})
 
     lineage_ds = ds.groupby("part_id").map_groups(build_group, batch_format="pyarrow")
@@ -222,14 +227,33 @@ def build_segments_from_files(
     """
     conf.validate()
     assert conf.id_col is not None, "file-pruned build requires an id column"
+    # one driver-side metadata pass = the "catalog": per-file id spans
+    # give id_max AND the exact file subset each partition must open
+    spans = []
+    ci = None
+    for f in files:
+        md = pq.read_metadata(f)
+        if ci is None:
+            ci = md.schema.names.index(conf.id_col)
+        st = [md.row_group(g).column(ci).statistics for g in range(md.num_row_groups)]
+        spans.append((min(s.min for s in st), max(s.max for s in st)))
     if conf.id_max is None:
-        conf.id_max = max(parquet_col_max(f, conf.id_col) for f in files)
+        conf.id_max = max(hi for _, hi in spans)
     seg_root = os.path.join(out_dir, "segments")
     os.makedirs(seg_root, exist_ok=True)
     done = completed_partitions(out_dir)
     span = (conf.id_max + conf.num_partitions) // conf.num_partitions
     specs = [
-        {"part_id": p, "lo": p * span, "hi": (p + 1) * span}
+        {
+            "part_id": p,
+            "lo": p * span,
+            "hi": (p + 1) * span,
+            "files": [
+                f
+                for f, (flo, fhi) in zip(files, spans)
+                if flo < (p + 1) * span and fhi >= p * span
+            ],
+        }
         for p in range(conf.num_partitions)
         if p not in done
     ]
@@ -241,10 +265,15 @@ def build_segments_from_files(
     def run(batch: pa.Table) -> pa.Table:
         import pyarrow.dataset as pads
 
+        import time as _time
+
         recs = []
-        dset = pads.dataset(files)
-        avail = [c for c in columns if c in dset.schema.names]
         for row in batch.to_pylist():
+            if not row["files"]:
+                continue
+            t0 = _time.monotonic()
+            dset = pads.dataset(row["files"])
+            avail = [c for c in columns if c in dset.schema.names]
             filt = (pads.field(conf.id_col) >= row["lo"]) & (
                 pads.field(conf.id_col) < row["hi"]
             )
@@ -252,11 +281,14 @@ def build_segments_from_files(
             if len(tbl) == 0:
                 continue
             seg = build_segment_data(row["part_id"], tbl, conf)
-            recs.append(json.dumps(write_segment(seg_root, seg)))
+            rec = write_segment(
+                seg_root, seg, extra={"build_wall_s": round(_time.monotonic() - t0, 4)}
+            )
+            recs.append(json.dumps(rec))
         return pa.table({"lineage": pa.array(recs, pa.string())})
 
     lineage_ds = ray.data.from_items(specs).map_batches(
-        run, batch_size=1, batch_format="pyarrow"
+        run, batch_size=1, batch_format="pyarrow", num_cpus=conf.task_num_cpus
     )
     new_records = [json.loads(r["lineage"]) for r in lineage_ds.take_all()]
     records = []

@@ -33,6 +33,14 @@ class IndexConfig:
     b: float = 0.75
     # merge fan-in per salt group when concatenating hot-term runs
     merge_group_size: int = 64
+    # CPU reservation per build task. On a single shared box, running one
+    # memory-bandwidth-heavy task per hardware thread collides with the
+    # driver's streaming-executor threads on SMT siblings (measured: 128
+    # identical tasks burn 231 CPU-s at 24-way but 642 CPU-s at 32-way on
+    # a 16-core/32-thread host). 1.25 leaves ~20% of lanes for the
+    # driver/raylet; on a multi-node cluster the driver is not on worker
+    # nodes and 1.0 is right.
+    task_num_cpus: float = 1.0
 
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")

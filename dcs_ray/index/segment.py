@@ -201,9 +201,9 @@ def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
 # ---------------------------------------------------------------------------
 
 
-def write_segment(out_dir: str, seg: dict) -> dict:
+def write_segment(out_dir: str, seg: dict, extra: dict | None = None) -> dict:
     """Atomically persist a segment; returns its lineage record
-    (per-partition lineage per the north rule)."""
+    (per-partition lineage + per-stage metrics per the north rule)."""
     t0 = time.monotonic()
     name = segment_name(seg["part_id"])
     final = os.path.join(out_dir, name)
@@ -266,6 +266,12 @@ def write_segment(out_dir: str, seg: dict) -> dict:
         "checksum": zlib.crc32(seg["blob"]),
         "wall_s": round(time.monotonic() - t0, 4),
     }
+    if extra:
+        lineage.update(extra)
+        build_s = extra.get("build_wall_s")
+        if build_s:  # per-partition stage metrics (north rule)
+            lineage["docs_per_s"] = round(lineage["n_docs"] / build_s, 1)
+            lineage["postings_per_s"] = round(lineage["n_postings"] / build_s, 1)
     with open(os.path.join(tmp, "lineage.json"), "w") as f:
         json.dump(lineage, f)
     if os.path.exists(final):  # concurrent/retried task lost the race — idempotent

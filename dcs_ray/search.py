@@ -131,16 +131,12 @@ def score_shard_bm25(
     seg: Segment, plan: list[tuple[str, float]], stats: dict, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """BM25-score one query against one shard → (top-k doc_ids, scores)."""
-    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
     doc_chunks, score_chunks = [], []
     for term, idf in plan:  # ascending term order
         idx = seg.term_index(term)
         if idx < 0:
             continue
-        doc_ids, tfs = _decode_term_cached(seg, idx)
-        tf = tfs.astype(np.float64)
-        dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
-        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        doc_ids, s = _term_scores_cached(seg, idx, idf, stats)
         doc_chunks.append(doc_ids)
         score_chunks.append(s)
     if not doc_chunks:
@@ -155,6 +151,45 @@ def score_shard_bm25(
     return topk(uniq_docs, sums, k)
 
 
+def _bm25_term_scores(
+    seg: Segment, doc_ids: np.ndarray, tfs: np.ndarray, idf: float, stats: dict
+) -> np.ndarray:
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
+    tf = tfs.astype(np.float64)
+    dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+# Per-(segment, term) BM25 contribution vectors are QUERY-INDEPENDENT:
+# idf, tf and dl are all fixed given the corpus stats, so the scored
+# vector is computed once and reused across every query that mentions
+# the term (the ranking-data caching role of dcs's per-backend state,
+# ``ranking/pre-ranking.go:28-42``). Keyed with a stats fingerprint so a
+# rebuilt index never reuses stale scores. Shares the LRU byte budget
+# with the decode cache.
+_SCORE_CACHE: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+_SCORE_CACHE_BYTES = 0
+
+
+def _term_scores_cached(
+    seg: Segment, idx: int, idf: float, stats: dict
+) -> tuple[np.ndarray, np.ndarray]:
+    global _SCORE_CACHE_BYTES
+    key = (seg.path, idx, stats["n_docs"], stats["avgdl"])
+    hit = _SCORE_CACHE.get(key)
+    if hit is not None:
+        _SCORE_CACHE.move_to_end(key)
+        return hit
+    doc_ids, tfs = _decode_term_cached(seg, idx)
+    s = _bm25_term_scores(seg, doc_ids, tfs, idf, stats)
+    _SCORE_CACHE[key] = (doc_ids, s)
+    _SCORE_CACHE_BYTES += doc_ids.nbytes + s.nbytes
+    while _SCORE_CACHE_BYTES > DECODE_CACHE_CAP and _SCORE_CACHE:
+        _, (od, os_) = _SCORE_CACHE.popitem(last=False)
+        _SCORE_CACHE_BYTES -= od.nbytes + os_.nbytes
+    return doc_ids, s
+
+
 def _term_contribs(
     seg: Segment,
     idx: int,
@@ -167,45 +202,40 @@ def _term_contribs(
     With ``doc_filter`` (sorted unique doc ids), only blocks whose
     ``[first_docid, max_docid]`` range contains a candidate are decoded —
     the block-max skip of dcs's windowed DeltaReader
-    (``internal/index/read.go:269-308``) put to WAND use."""
-    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"] or 1.0
-    if doc_filter is None:
-        doc_ids, tfs = _decode_term_cached(seg, idx)
-    elif (seg.path, idx) in _DECODE_CACHE:
-        doc_ids, tfs = _decode_term_cached(seg, idx)
-        pos = np.searchsorted(doc_filter, doc_ids)
-        pos = np.minimum(pos, len(doc_filter) - 1)
-        m = doc_filter[pos] == doc_ids
-        doc_ids, tfs = doc_ids[m], tfs[m]
-        if len(doc_ids) == 0:
-            return doc_ids, np.empty(0, np.float64)
-    else:
-        firsts, maxes, _mtf, boffs, blens = seg.term_headers(idx)
-        lo = np.searchsorted(doc_filter, firsts)
-        hi = np.searchsorted(doc_filter, maxes, side="right")
-        keep = np.flatnonzero(hi > lo)  # block contains >=1 candidate
-        if len(keep) == 0:
-            return np.empty(0, np.uint64), np.empty(0, np.float64)
-        blob = seg.term_blob(idx)
-        parts_d, parts_t = [], []
-        for bi in keep:
-            h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
-            for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
-                d, t = decode_block(header, body)
-                parts_d.append(d)
-                parts_t.append(t)
-        doc_ids = np.concatenate(parts_d)
-        tfs = np.concatenate(parts_t)
-        pos = np.searchsorted(doc_filter, doc_ids)
-        pos = np.minimum(pos, len(doc_filter) - 1)
-        m = doc_filter[pos] == doc_ids
-        doc_ids, tfs = doc_ids[m], tfs[m]
-        if len(doc_ids) == 0:
-            return doc_ids, np.empty(0, np.float64)
-    tf = tfs.astype(np.float64)
-    dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
-    s = idf * (tf * (stats["k1"] + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    return doc_ids, s
+    (``internal/index/read.go:269-308``) put to WAND use. A cached
+    full-score vector short-circuits both paths."""
+    key = (seg.path, idx, stats["n_docs"], stats["avgdl"])
+    if doc_filter is None or key in _SCORE_CACHE:
+        doc_ids, s = _term_scores_cached(seg, idx, idf, stats)
+        if doc_filter is not None:
+            pos = np.searchsorted(doc_filter, doc_ids)
+            pos = np.minimum(pos, len(doc_filter) - 1)
+            m = doc_filter[pos] == doc_ids
+            doc_ids, s = doc_ids[m], s[m]
+        return doc_ids, s
+    firsts, maxes, _mtf, boffs, blens = seg.term_headers(idx)
+    lo = np.searchsorted(doc_filter, firsts)
+    hi = np.searchsorted(doc_filter, maxes, side="right")
+    keep = np.flatnonzero(hi > lo)  # block contains >=1 candidate
+    if len(keep) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    blob = seg.term_blob(idx)
+    parts_d, parts_t = [], []
+    for bi in keep:
+        h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
+        for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
+            d, t = decode_block(header, body)
+            parts_d.append(d)
+            parts_t.append(t)
+    doc_ids = np.concatenate(parts_d)
+    tfs = np.concatenate(parts_t)
+    pos = np.searchsorted(doc_filter, doc_ids)
+    pos = np.minimum(pos, len(doc_filter) - 1)
+    m = doc_filter[pos] == doc_ids
+    doc_ids, tfs = doc_ids[m], tfs[m]
+    if len(doc_ids) == 0:
+        return doc_ids, np.empty(0, np.float64)
+    return doc_ids, _bm25_term_scores(seg, doc_ids, tfs, idf, stats)
 
 
 def _merge_sorted_acc(
@@ -317,6 +347,7 @@ def search_bm25(
     k: int = 10,
     stats: dict | None = None,
     method: str = "maxscore",
+    task_num_cpus: float = 1.0,
 ) -> pa.Table:
     """BM25 top-k for a batch of queries as a Ray Data pipeline.
 
@@ -367,7 +398,9 @@ def search_bm25(
             }
         )
 
-    per_shard = work.map_batches(run_shard, batch_size=1, batch_format="pyarrow")
+    per_shard = work.map_batches(
+        run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+    )
     cand = _collect(
         per_shard,
         pa.schema(
