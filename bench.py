@@ -85,7 +85,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         docs,
         idx,
         IndexConfig(
-            num_partitions=max(num_cpus, 8), num_shards=4, mode="words",
+            num_partitions=max(num_cpus, 16), num_shards=16, mode="words",
             id_col="doc_id", dedup_latest=False,
             id_max=parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id"),
         ),
@@ -229,7 +229,7 @@ def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
     manifest = build_index(
         files, idx,
         IndexConfig(
-            num_partitions=num_partitions, num_shards=8, mode="words",
+            num_partitions=num_partitions, num_shards=32, mode="words",
             id_col="doc_id", dedup_latest=False, task_num_cpus=task_cpus,
         ),
     )
@@ -279,6 +279,8 @@ def run_scaling(
     # (sustained-load throttling) hits both levels equally
     for _ in range(runs):
         for cpus in (low, high):
+            time.sleep(45)  # cool-down: decouple from the previous run's
+            # sustained load (shared-VM throttle drift)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-one",
                  "--input-dir", input_dir, "--cpus", str(cpus), "--partitions", "128"],

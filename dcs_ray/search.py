@@ -348,6 +348,7 @@ def search_bm25(
     stats: dict | None = None,
     method: str = "maxscore",
     task_num_cpus: float = 1.0,
+    chunk_queries: int | None = None,
 ) -> pa.Table:
     """BM25 top-k for a batch of queries as a Ray Data pipeline.
 
@@ -361,13 +362,13 @@ def search_bm25(
     plans = plan_queries(index_dir, queries, stats)
     score_fn = score_shard_bm25_maxscore if method == "maxscore" else score_shard_bm25
 
-    # work rows are (shard × query-chunk) pairs so the fan-out is not
-    # capped at num_shards (per-worker segment cache = actor-style state);
-    # per-shard top-k keeps the merge input at k × shards × queries rows,
-    # merged deterministically on the driver — a single pipeline
-    # execution, no shuffle (the dcs fan-out shape: dcs-web →
-    # per-backend Search → incremental global top-k)
-    chunk = 32
+    # one task per shard is the dcs fan-out shape (dcs-web → one backend
+    # per shard → incremental global top-k): every shard's term vectors
+    # are scored by exactly ONE worker per batch, so per-worker caches
+    # never duplicate work — parallelism comes from num_shards, which is
+    # the cluster-sizing knob. ``chunk_queries`` optionally splits the
+    # query batch into (shard × chunk) tasks when shards ≪ CPUs.
+    chunk = chunk_queries or len(queries) or 1
     qchunks = [list(range(i, min(i + chunk, len(queries)))) for i in range(0, len(queries), chunk)]
     work = ray.data.from_items(
         [
