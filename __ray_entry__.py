@@ -295,6 +295,13 @@ def _q_knn_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    from dcs_ray.functions.simsearch import near_dup_pairs_exact
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs_exact(emb, threshold=0.42)
+
+
 def _q_minhash_pairs(sf_dir: str) -> Any:
     from dcs_ray.functions.dedup import minhash_candidate_pairs
 
@@ -350,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
         "langid": _q_langid,
@@ -474,6 +482,16 @@ SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
         "lang_stats": """
 SELECT lang, count(*)::bigint AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        "embedding_near_dup": """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
+)
+SELECT a.vec_id::bigint AS id_a, b.vec_id::bigint AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.42
+ORDER BY id_a, id_b
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

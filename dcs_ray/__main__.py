@@ -143,6 +143,20 @@ def cmd_search(args) -> None:
         print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
 
 
+def cmd_grep(args) -> None:
+    """Regex search: trigram plan → candidates → verify grep with context
+    (the full dcs query path, ``internal/sourcebackend/sourcebackend.go:293-641``)."""
+    ray = _ray()
+    import ray.data
+
+    from dcs_ray.grep import search_regex
+
+    docs = ray.data.read_parquet(args.docs)
+    res = search_regex(args.index, docs, args.pattern)
+    for row in res.limit(args.n).take_all():
+        print(f"{row['doc_id']}:{row['line']}: {row['context']}")
+
+
 def cmd_replay(args) -> None:
     """Replay a query log, one query per line, print per-query JSON
     measurements (``cmd/dcs/replay.go:472-546``)."""
@@ -210,6 +224,13 @@ def main() -> None:
     d.add_argument("query")
     d.add_argument("-k", type=int, default=10)
     d.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("grep", help="regex search via trigram index + verify")
+    d.add_argument("index", help="trigram-mode index dir")
+    d.add_argument("docs", help="documents parquet (for verify grep)")
+    d.add_argument("pattern")
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_grep)
 
     d = sub.add_parser("replay", help="replay a query log with timings")
     d.add_argument("index")

@@ -112,6 +112,62 @@ def knn_cosine_bruteforce(
 # ---------------------------------------------------------------------------
 
 
+def near_dup_pairs_exact(
+    ds: ray.data.Dataset,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> pa.Table:
+    """Exact embedding-cosine near-duplicate pairs: all ``(id_a < id_b)``
+    with cosine ≥ threshold.
+
+    The normalized corpus matrix is broadcast ONCE via ``ray.put``; each
+    ``map_batches`` task matmuls its batch against it (read from the
+    object store zero-copy in every task, never re-shipped per batch).
+    At 10^12-vector scale the same pair generation runs per LSH bucket
+    (``knn_cosine_lsh``'s ``srp_signatures`` → bucket groupby); this is
+    the exact, oracle-checkable base."""
+    import pyarrow.parquet  # noqa: F401
+
+    import ray
+
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    full = pa.concat_tables(tables)
+    all_ids = full[id_col].to_numpy().astype(np.int64)
+    ref = ray.put((_normalize(_emb_matrix(full[emb_col])), all_ids))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        M, ids_all = ray.get(ref)
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        sims = m @ M.T
+        bi, bj = np.nonzero(sims >= threshold)
+        ia, ib = ids[bi], ids_all[bj]
+        keep = ia < ib  # each unordered pair exactly once
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep], pa.int64()),
+                "id_b": pa.array(ib[keep], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[bi, bj][keep], 6), pa.float64()),
+            }
+        )
+
+    out = [
+        pa.table(b)
+        for b in ds.map_batches(pairs, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+    )
+    if not out:
+        return schema.empty_table()
+    return pa.concat_tables(out).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
 def srp_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Bucket id per row: sign bits against random hyperplanes."""
     bits = (m @ planes.T) > 0

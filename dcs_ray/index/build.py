@@ -309,15 +309,33 @@ def build_index(
     """
     from dcs_ray.index.merge import merge_shards
 
+    import time
+
     conf = (conf or IndexConfig()).validate()
     os.makedirs(out_dir, exist_ok=True)
+    t0 = time.monotonic()
     if isinstance(pages, (list, tuple)):
         lineage = build_segments_from_files(list(pages), out_dir, conf)
     else:
         lineage = build_segments(pages, out_dir, conf)
+    t1 = time.monotonic()
     shard_lineage = merge_shards(out_dir, conf)
+    t2 = time.monotonic()
     stats = compute_corpus_stats(out_dir, conf)
-    return commit_manifest(out_dir, conf, lineage, stats, shard_lineage)
+    t3 = time.monotonic()
+    manifest = commit_manifest(out_dir, conf, lineage, stats, shard_lineage)
+    # per-stage wall metrics (north rule: per-stage metrics exported);
+    # per-partition docs/sec + postings/sec live in each lineage record
+    n_docs = stats["n_docs"] or 1
+    manifest["metrics"] = {
+        "segments_s": round(t1 - t0, 3),
+        "merge_s": round(t2 - t1, 3),
+        "stats_s": round(t3 - t2, 3),
+        "docs_per_s": round(n_docs / max(t1 - t0, 1e-9), 1),
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
 
 
 def load_manifest(index_dir: str) -> dict:
