@@ -191,6 +191,66 @@ def _q_window_agg(sf_dir: str) -> Any:
     )
 
 
+def _q_hopping_window(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import hopping_window_agg
+
+    ds = hopping_window_agg(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"), width_s=3600, hop_s=1800
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "window_start": t["window_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_session_window(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import session_window_agg
+
+    ds = session_window_agg(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"), gap_s=1800
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "session_start": t["session_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """dcs query-keyword filter (F4: ``query-rewrite.go:15-59`` — e.g.
+    ``package:``): BM25 ranking restricted to docs from one source.
+    Filtering cannot change surviving docs' scores, so filter-then-top-k
+    equals rank-all-then-filter (dcs applies FilterByKeywords before
+    ranking, ``sourcebackend.go:28-129``)."""
+    from dcs_ray.queryplan import rewrite_query
+    from dcs_ray.search import load_stats, search_bm25
+
+    q, includes, _neg = rewrite_query(f"{BM25_QUERY} source:src3")
+    src = includes.get("source", ["src3"])[0]
+    idx = _index_dir(sf_dir, "words")
+    stats = load_stats(idx)
+    full = search_bm25(idx, [q], k=stats["n_docs"], stats=stats).to_pandas()
+    meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    full = full.merge(meta, on="doc_id")
+    full = full[full.source == src].sort_values("rank").head(10)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(full) + 1), pa.int64()),
+            "doc_id": pa.array(full.doc_id.astype(np.int64), pa.int64()),
+            "score": pa.array(np.round(full.score.to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def _q_grep_literal(sf_dir: str) -> ray.data.Dataset:
     """Literal occurrence count per doc — the verify stage (F11),
     vectorized substring count over the text column."""
@@ -350,6 +410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "latest_event_per_user": _q_latest_event,
         "tumbling_window_agg": _q_window_agg,
+        "hopping_window_agg": _q_hopping_window,
+        "session_window_agg": _q_session_window,
+        "bm25_filtered": _q_bm25_filtered,
         "grep_literal": _q_grep_literal,
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
@@ -460,6 +523,42 @@ SELECT user_id::bigint AS user_id,
        count(*)::bigint AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "hopping_window_agg": """
+SELECT user_id::bigint AS user_id, ws::bigint AS window_start,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+FROM (
+  SELECT user_id, value,
+         unnest(generate_series(
+            greatest((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000, 0),
+            (epoch_us(ts) // 1800000000) * 1800000000,
+            1800000000)) AS ws
+  FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "session_window_agg": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+flag AS (
+  SELECT user_id, t, value,
+         CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+sess AS (
+  SELECT user_id, t, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag)
+SELECT user_id::bigint AS user_id, min(t)::bigint AS session_start,
+       count(*)::bigint AS n_events, round(sum(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+        "bm25_filtered": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.source = 'src3'
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """,
         "grep_literal": f"""
 SELECT doc_id,

@@ -62,7 +62,6 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow.parquet as pq
 
     from dcs_ray.index import IndexConfig, build_index
-    from dcs_ray.index.build import parquet_col_max
     from dcs_ray.functions.dedup import exact_dedup_keep_min, minhash_candidate_pairs
     from dcs_ray.functions.simsearch import knn_cosine_bruteforce
     from dcs_ray.search import search_bm25
@@ -77,17 +76,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _warm_workers(num_cpus)
 
     # --- index build (the headline ETL) ---
+    task_cpus = 1.25 if num_cpus >= 24 else 1.0
     t0 = time.monotonic()
-    # prune at the read: the build needs only (doc_id, text)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # file-list input → read-side partition pruning (no shuffle); the
+    # build reads only (doc_id, text) columns
     idx = os.path.join(out_root, "words")
     manifest = build_index(
-        docs,
+        [f"{sf_dir}/documents.parquet"],
         idx,
         IndexConfig(
             num_partitions=max(num_cpus, 16), num_shards=16, mode="words",
-            id_col="doc_id", dedup_latest=False,
-            id_max=parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id"),
+            id_col="doc_id", dedup_latest=False, task_num_cpus=task_cpus,
         ),
     )
     build_s = time.monotonic() - t0
@@ -99,7 +98,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # --- BM25 query batch (QPS) ---
     t0 = time.monotonic()
-    res = search_bm25(idx, BM25_QUERIES, k=10)
+    res = search_bm25(idx, BM25_QUERIES, k=10, task_num_cpus=task_cpus)
     q_s = time.monotonic() - t0
     assert len(res) > 0
     queries["bm25_search"] = round(q_s, 3)

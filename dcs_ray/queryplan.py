@@ -346,7 +346,7 @@ def eval_query(q: Query, lookup) -> "object":
 # query keyword rewrite (F4, cmd/dcs-web/search/query-rewrite.go:15-59)
 # ---------------------------------------------------------------------------
 
-_KEYWORDS = ("filetype", "package", "pkg", "path", "file", "lang", "site")
+_KEYWORDS = ("filetype", "package", "pkg", "path", "file", "lang", "site", "source")
 
 
 def rewrite_query(q: str) -> tuple[str, dict[str, list[str]], dict[str, list[str]]]:
