@@ -399,6 +399,24 @@ def _q_image_features(sf_dir: str) -> Any:
     return t.sort_by("media_id")
 
 
+def _q_audio_features(sf_dir: str) -> Any:
+    from dcs_ray.functions.multimodal import extract_audio_features, synthesize_media
+
+    media = ray.data.from_arrow(synthesize_media(64))
+    ds = extract_audio_features(media, concurrency=2)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("media_id")
+
+
+def _q_video_frames(sf_dir: str) -> Any:
+    from dcs_ray.functions.multimodal import sample_video_frames, synthesize_media
+
+    media = ray.data.from_arrow(synthesize_media(32))
+    ds = sample_video_frames(media, k=4, concurrency=2)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25,
@@ -426,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frames,
     }
 
 

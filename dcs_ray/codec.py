@@ -289,6 +289,46 @@ def pack_positions(doc_ids: np.ndarray, pos_offsets: np.ndarray, positions: np.n
     return np.concatenate(parts).tobytes()
 
 
+class PosrelWriter:
+    """dcs posrel bit-stream writer (``internal/index/posrelwriter.go:8-70``):
+    1 bit per position entry — "does this position start a new doc?" —
+    with correct stitching of appended runs at non-byte boundaries (the
+    merge case, ``merge.go:343-405``). Vectorized via np.packbits."""
+
+    def __init__(self) -> None:
+        self._nbits = 0
+        self._bytes = bytearray()
+
+    def write(self, bits: np.ndarray) -> None:
+        bits = np.asarray(bits, dtype=np.uint8)
+        rem = self._nbits & 7
+        if rem and len(bits):
+            # merge into the partial last byte (LSB-first within byte)
+            last = self._bytes[-1]
+            take = min(8 - rem, len(bits))
+            for i in range(take):  # ≤ 7 iterations
+                last |= int(bits[i]) << (rem + i)
+            self._bytes[-1] = last
+            bits = bits[take:]
+            self._nbits += take
+        if len(bits):
+            packed = np.packbits(bits, bitorder="little")
+            self._bytes.extend(packed.tobytes())
+            self._nbits += len(bits)
+
+    def data(self) -> bytes:
+        return bytes(self._bytes)
+
+    @property
+    def nbits(self) -> int:
+        return self._nbits
+
+
+def unpack_posrel(data: bytes | np.ndarray, nbits: int) -> np.ndarray:
+    b = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    return np.unpackbits(b, bitorder="little")[:nbits]
+
+
 def unpack_positions(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Inverse of pack_positions → (doc_ids, pos_offsets, positions)."""
     vals = varint_decode(blob)

@@ -69,6 +69,85 @@ class ImageFeatureExtractor:
         )
 
 
+class AudioFeatureExtractor:
+    """Actor-pool stage: binary audio → per-clip feature vector
+    (mel-spectrogram-shaped stub). Real decode raises
+    ``DecodeUnavailable``; the deterministic fake treats the payload as
+    PCM bytes and emits windowed RMS energies — the plumbing (schema,
+    windowing layout, actor state) matches a real extractor."""
+
+    def __init__(self, n_windows: int = 8, fake: bool = True):
+        self.n_windows = n_windows
+        if not fake:
+            raise DecodeUnavailable("no audio codec library in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        n = len(payloads)
+        feats = np.zeros((n, self.n_windows), dtype=np.float32)
+        for i in range(n):
+            buf = np.frombuffer(payloads[i].as_py() or b"\x00", dtype=np.uint8)
+            pcm = buf.astype(np.float32) - 128.0
+            w = max(1, len(pcm) // self.n_windows)
+            for j in range(self.n_windows):
+                seg = pcm[j * w : (j + 1) * w]
+                feats[i, j] = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: binary video → k sampled "frames" (each an
+    opaque binary slice + frame index + timestamp). Real demux raises
+    ``DecodeUnavailable``; the fake slices the payload into equal chunks
+    — output layout (one row per sampled frame, ``flat_map`` shape via a
+    widening map_batches) is the real contract."""
+
+    def __init__(self, k: int = 4, fake: bool = True):
+        self.k = k
+        if not fake:
+            raise DecodeUnavailable("no video demuxer in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = batch["media_id"].to_pylist(), batch["duration_ms"].to_pylist()
+        payloads = batch["payload"].combine_chunks()
+        out_id, out_frame, out_ts, out_bytes = [], [], [], []
+        for mid, dur, payload in zip(ids, kinds, payloads):
+            buf = payload.as_py() or b""
+            step = max(1, len(buf) // self.k)
+            for j in range(self.k):
+                out_id.append(mid)
+                out_frame.append(j)
+                out_ts.append(int((dur or 0) * j / self.k))
+                out_bytes.append(buf[j * step : (j + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int32()),
+                "frame": pa.array(out_bytes, pa.binary()),
+            }
+        )
+
+
+def extract_audio_features(ds: ray.data.Dataset, concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFeatureExtractor, concurrency=concurrency, batch_size=64,
+        batch_format="pyarrow", num_cpus=1,
+    )
+
+
+def sample_video_frames(ds: ray.data.Dataset, k: int = 4, concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"k": k}, concurrency=concurrency,
+        batch_size=32, batch_format="pyarrow", num_cpus=1,
+    )
+
+
 def synthesize_media(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media table for plumbing tests."""
     rng = np.random.default_rng(seed)

@@ -143,3 +143,44 @@ def test_positions_roundtrip_random(seed):
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(po, pos_offsets)
     assert np.array_equal(p, positions)
+
+
+def test_posrel_writer_bit_stitching():
+    """Cross-byte stitching goldens (posrelwriter_test.go:8-133 shape):
+    appending bit runs at non-byte boundaries must splice correctly."""
+    import numpy as np
+
+    from dcs_ray.codec import PosrelWriter, unpack_posrel
+
+    w = PosrelWriter()
+    runs = [
+        np.array([1, 0, 0], dtype=np.uint8),
+        np.array([1, 1], dtype=np.uint8),
+        np.array([0] * 11 + [1], dtype=np.uint8),
+        np.array([1], dtype=np.uint8),
+    ]
+    for r in runs:
+        w.write(r)
+    want = np.concatenate(runs)
+    got = unpack_posrel(w.data(), w.nbits)
+    np.testing.assert_array_equal(got, want)
+    assert w.nbits == len(want)
+    # golden bytes: bits LSB-first → first byte = 1,0,0,1,1,0,0,0 = 0x19
+    assert w.data()[0] == 0x19
+
+
+def test_posrel_roundtrip_random():
+    import numpy as np
+
+    from dcs_ray.codec import PosrelWriter, unpack_posrel
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        w = PosrelWriter()
+        chunks = []
+        for _ in range(int(rng.integers(1, 8))):
+            c = rng.integers(0, 2, size=int(rng.integers(0, 40))).astype(np.uint8)
+            chunks.append(c)
+            w.write(c)
+        want = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
+        np.testing.assert_array_equal(unpack_posrel(w.data(), w.nbits), want)
