@@ -187,6 +187,10 @@ def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 def simhash_duplicates(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
     """Groups of docs sharing a SimHash signature (near-dup clusters)."""
+    import pyarrow.compute as pc
+
     sigs = ds.map_batches(lambda b: simhash_batch(b, id_col), batch_format="pyarrow")
     agg = sigs.groupby("simhash").count()
-    return agg.filter(lambda row: row["count()"] > 1)
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)), batch_format="pyarrow"
+    )
