@@ -105,13 +105,37 @@ def grep_regex(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 
+def shard_candidates(path: str, pattern: str) -> np.ndarray | None:
+    """Evaluate a regex's trigram query tree against one shard → candidate
+    doc ids (None = unfilterable for this shard)."""
+    from dcs_ray.codec import decode_postings
+    from dcs_ray.queryplan import eval_query, regexp_query
+    from dcs_ray.search import _open
+
+    seg = _open(path)
+    q = regexp_query(pattern)
+
+    def lookup(t: str):
+        tri = (ord(t[0]) << 16) | (ord(t[1]) << 8) | ord(t[2])
+        idx = seg.term_index(np.uint32(tri))
+        if idx < 0:
+            return np.empty(0, np.uint64)
+        return decode_postings(seg.term_blob(idx))[0]
+
+    r = eval_query(q, lookup)
+    return None if isinstance(r, str) else r
+
+
 def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
                  id_col: str = "doc_id") -> ray.data.Dataset:
     """Full dcs query path: regex → trigram plan → candidate generation on
-    the index → restricted verify grep (``SURVEY.md §3.2``)."""
-    from dcs_ray.queryplan import eval_query, regexp_query
-    from dcs_ray.search import _open, shard_paths
-    from dcs_ray.codec import decode_postings
+    the index (one Ray task per shard — the dcs source-backend fan-out,
+    never a driver-side decode loop) → restricted verify grep
+    (``SURVEY.md §3.2``)."""
+    import pyarrow as pa2
+
+    from dcs_ray.queryplan import regexp_query
+    from dcs_ray.search import shard_paths
 
     q = regexp_query(pattern)
     if q.op == "NONE":
@@ -120,24 +144,42 @@ def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
     if q.op == "ALL":
         candidates = None  # unfilterable query: grep everything
     else:
-        parts = []
-        for path in shard_paths(index_dir):
-            seg = _open(path)
+        paths = shard_paths(index_dir)
+        work = ray.data.from_items([{"path": p} for p in paths])
 
-            def lookup(t: str, seg=seg):
-                tri = (ord(t[0]) << 16) | (ord(t[1]) << 8) | ord(t[2])
-                idx = seg.term_index(np.uint32(tri))
-                if idx < 0:
-                    return np.empty(0, np.uint64)
-                return decode_postings(seg.term_blob(idx))[0]
+        def cand(batch: pa2.Table) -> pa2.Table:
+            parts, unfilterable = [], False
+            for p in batch["path"].to_pylist():
+                r = shard_candidates(p, pattern)
+                if r is None:
+                    unfilterable = True
+                else:
+                    parts.append(r)
+            if unfilterable:  # any unfilterable shard ⇒ grep everything
+                return pa2.table(
+                    {"doc_id": pa2.array([0], pa2.uint64()),
+                     "unfilterable": pa2.array([True])}
+                )
+            ids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+            return pa2.table(
+                {
+                    "doc_id": pa2.array(ids, pa2.uint64()),
+                    "unfilterable": pa2.array(np.zeros(len(ids), dtype=bool)),
+                }
+            )
 
-            r = eval_query(q, lookup)
-            if isinstance(r, str):
-                candidates = None
-                break
-            parts.append(r)
+        tbl = pa2.concat_tables(
+            pa2.table(b)
+            for b in work.map_batches(cand, batch_size=1, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        import pyarrow.compute as pc2
+
+        if pc2.any(tbl["unfilterable"]).as_py():
+            candidates = None
         else:
-            candidates = np.concatenate(parts) if parts else np.empty(0, np.uint64)
-        if candidates is not None and len(candidates) == 0:
-            return docs.limit(0)
+            candidates = tbl["doc_id"].to_numpy().astype(np.uint64)
+            if len(candidates) == 0:
+                return docs.limit(0)
     return grep_regex(docs, pattern, candidates, id_col)

@@ -100,3 +100,18 @@ def test_image_feature_extractor_plumbing():
     # deterministic across instances (model "loaded" identically per actor)
     out2 = ImageFeatureExtractor(dim=16)(media)
     assert out.equals(out2)
+
+
+def test_search_regex_unfilterable_pattern(ray_session):
+    """A pattern with no usable trigrams (q.op == ALL) must fall back to
+    grepping every document (dcs-web would reject it; the engine greps,
+    ``sourcebackend.go:336-350`` semantics for literal fallback)."""
+    import ray.data
+
+    from dcs_ray.grep import grep_regex
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    res = grep_regex(docs, r"\bspark\b", candidates=None)
+    t = res.take_all()
+    assert len(t) > 0
+    assert {"doc_id", "line", "position", "context"} <= set(t[0])
