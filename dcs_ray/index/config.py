@@ -45,4 +45,11 @@ class IndexConfig:
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")
         assert self.num_partitions >= self.num_shards >= 1
+        # latest-crawl dedup is partition-local; it is only globally exact
+        # when a url's every crawl lands in one partition — i.e. url-hash
+        # partitioning. Id-range partitioning gives different ids to
+        # different crawls of one url and would silently miss duplicates.
+        assert not (self.dedup_latest and self.id_col is not None), (
+            "dedup_latest requires url-hash partitioning (id_col=None)"
+        )
         return self
