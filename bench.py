@@ -257,14 +257,6 @@ def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
     }
 
 
-def parquet_dir_col_max(path: str, col: str) -> int:
-    import pyarrow.parquet as pq
-
-    md = pq.read_metadata(path)
-    ci = md.schema.names.index(col)
-    return max(md.row_group(g).column(ci).statistics.max for g in range(md.num_row_groups))
-
-
 def run_scaling(
     sf_dir: str, low: int = 2, high: int = 8, factor: int = 800, runs: int = 2
 ) -> dict:

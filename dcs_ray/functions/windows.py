@@ -54,22 +54,25 @@ def hopping_window_agg(
     inside ``map_batches`` (never a per-row flat_map), then one groupby."""
     width_us = width_s * 1_000_000
     hop_us = hop_s * 1_000_000
-    per_event = width_us // hop_us
+    # max windows containing an event: ceil(width / hop) — with width not a
+    # multiple of hop the oldest window starts above ts - width, so the
+    # per-event expansion over-generates by at most one and the explicit
+    # s > ts - width mask below trims it
+    per_event = -(-width_us // hop_us)
 
     def expand(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].cast(pa.int64()).to_numpy()
-        # window starts s: s ≡ 0 (mod hop), ts - width < s <= ts
-        last = (ts // hop_us) * hop_us
         n = len(ts)
+        # window starts s: s ≡ 0 (mod hop), ts - width < s <= ts, s >= 0
+        last = np.floor_divide(ts, hop_us) * hop_us  # handles ts < 0 too
         reps = np.full(n, per_event, dtype=np.int64)
-        # clip windows that would start before epoch 0
-        first = last - (per_event - 1) * hop_us
-        reps = np.where(first < 0, (last // hop_us) + 1, reps)
         idx = np.repeat(np.arange(n), reps)
         cum = np.cumsum(reps)
         total = int(cum[-1]) if n else 0
         offsets = np.arange(total) - np.repeat(cum - reps, reps)
         starts = np.repeat(last, reps) - offsets * hop_us
+        keep = (starts > np.repeat(ts, reps) - width_us) & (starts >= 0)
+        idx, starts = idx[keep], starts[keep]
         out = batch.select([key_col, value_col]).take(pa.array(idx))
         return out.append_column("window_start", pa.array(starts, pa.int64()))
 

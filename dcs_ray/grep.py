@@ -48,11 +48,13 @@ class RegexGrepper:
     ``sourcebackend.go:560-571``)."""
 
     def __init__(self, pattern: str, candidates: np.ndarray | None = None,
-                 id_col: str = "doc_id", max_matches_per_doc: int = 100):
+                 id_col: str = "doc_id", max_matches_per_doc: int | None = None):
         self.rx = re.compile(pattern)
         self.candidates = np.sort(candidates) if candidates is not None else None
         self.id_col = id_col
-        self.cap = max_matches_per_doc
+        # no cap by default: the oracle-compared path counts every matching
+        # line; a cap is an opt-in latency guard for interactive serving
+        self.cap = max_matches_per_doc if max_matches_per_doc is not None else (1 << 62)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy()
@@ -66,14 +68,25 @@ class RegexGrepper:
         out = {"doc_id": [], "line": [], "position": [], "context": [],
                "ctx_before": [], "ctx_after": []}
         for did, text in zip(ids, texts):
+            # split ONCE per doc; per match the containing line is a
+            # searchsorted into the cumulative line-start offsets
+            lines = text.split("\n")
+            line_start = np.empty(len(lines) + 1, dtype=np.int64)
+            line_start[0] = 0
+            np.cumsum([len(ln) + 1 for ln in lines], out=line_start[1:])
             seen_lines: set[int] = set()
-            for n, m in enumerate(self.rx.finditer(text)):
+            for m in self.rx.finditer(text):
                 if len(seen_lines) >= self.cap:
                     break
-                lineno, ctx = five_lines(text, m.start())
+                idx = int(np.searchsorted(line_start, m.start(), side="right")) - 1
+                lineno = idx + 1
                 if lineno in seen_lines:  # ≤ 1 match per line (D3)
                     continue
                 seen_lines.add(lineno)
+                ctx = [
+                    lines[j] if 0 <= j < len(lines) else ""
+                    for j in range(idx - 2, idx + 3)
+                ]
                 out["doc_id"].append(int(did))
                 out["line"].append(lineno)
                 out["position"].append(m.start())

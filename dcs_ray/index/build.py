@@ -188,9 +188,12 @@ def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
 
 
 def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats: dict,
-                    shard_lineage: list[dict] | None = None) -> dict:
+                    shard_lineage: list[dict] | None = None,
+                    metrics: dict | None = None) -> dict:
     """Final atomic manifest commit (dcs symlink swap,
-    ``internal/sourcebackend/sourcebackend.go:198-251``)."""
+    ``internal/sourcebackend/sourcebackend.go:198-251``). Everything —
+    including per-stage metrics — goes through ONE temp+rename write so a
+    crash can never leave a truncated manifest."""
     manifest = {
         "version": 1,
         "mode": conf.mode,
@@ -202,6 +205,7 @@ def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats:
         "stats": stats,
         "partitions": lineage,
         "shards": shard_lineage or [],
+        "metrics": metrics or {},
     }
     tmp = os.path.join(out_dir, "MANIFEST.json.tmp")
     with open(tmp, "w") as f:
@@ -323,19 +327,16 @@ def build_index(
     t2 = time.monotonic()
     stats = compute_corpus_stats(out_dir, conf)
     t3 = time.monotonic()
-    manifest = commit_manifest(out_dir, conf, lineage, stats, shard_lineage)
     # per-stage wall metrics (north rule: per-stage metrics exported);
     # per-partition docs/sec + postings/sec live in each lineage record
     n_docs = stats["n_docs"] or 1
-    manifest["metrics"] = {
+    metrics = {
         "segments_s": round(t1 - t0, 3),
         "merge_s": round(t2 - t1, 3),
         "stats_s": round(t3 - t2, 3),
         "docs_per_s": round(n_docs / max(t1 - t0, 1e-9), 1),
     }
-    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
-        json.dump(manifest, f, indent=1)
-    return manifest
+    return commit_manifest(out_dir, conf, lineage, stats, shard_lineage, metrics)
 
 
 def load_manifest(index_dir: str) -> dict:
