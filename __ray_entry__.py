@@ -480,6 +480,37 @@ scores AS (
 """
 
 
+# FNV-1a over a (short, ASCII) token's bytes, in SQL — the byte-serial
+# definition `dcs_ray.functions.textstats.fnv1a_bytes_rows` implements.
+# hugeint arithmetic mod 2^64 avoids DuckDB's overflow errors.
+_M64 = "18446744073709551616"
+_FNV_TOK = (
+    "list_reduce(list_prepend(14695981039346656037::hugeint, "
+    "list_transform(range(1, length({t})+1), i -> ascii(substr({t}, i, 1))::hugeint)), "
+    "(h, b) -> (xor(h::ubigint, b::ubigint)::hugeint * 1099511628211) % " + _M64 + ")"
+)
+
+_TOKS_LIST = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    "x -> x <> '') AS toks FROM documents"
+)
+
+
+def _langid_values() -> str:
+    from dcs_ray.functions.textstats import LANG_MARKERS
+
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang in sorted(LANG_MARKERS)
+        for w in sorted(LANG_MARKERS[lang])
+    ]
+    return ", ".join(rows)
+
+
+def _pow2_values() -> str:
+    return ", ".join(f"({b}, {1 << b}::hugeint)" for b in range(64))
+
+
 def oracle_sql() -> dict[str, str]:
     tris = sorted({LITERAL[i : i + 3] for i in range(len(LITERAL) - 2)})
     tri_conds = " AND ".join(f"contains(text, '{t}')" for t in tris)
@@ -611,6 +642,57 @@ SELECT a.vec_id::bigint AS id_a, b.vec_id::bigint AS id_b,
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.42
 ORDER BY id_a, id_b
+""",
+        "langid": f"""
+WITH tok AS ({_TOK}),
+hits AS (
+  SELECT t.doc_id, l.lang, count(*) AS score
+  FROM tok t JOIN (VALUES {_langid_values()}) l(lang, word) ON t.term = l.word
+  GROUP BY t.doc_id, l.lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM hits)
+SELECT d.doc_id,
+       coalesce(CASE WHEN b.score > 0 THEN b.lang END, 'unknown') AS pred_lang,
+       coalesce(b.score, 0)::bigint AS lang_score
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+ORDER BY doc_id
+""",
+        "doc_fingerprints": f"""
+WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::hugeint,
+             list_transform(toks, t -> {_FNV_TOK.format(t='t')})),
+           (h, th) -> (h * 1099511628211 + th) % {_M64}
+         ) AS v
+  FROM ({_TOKS_LIST})
+)
+SELECT doc_id,
+       (CASE WHEN v >= 9223372036854775808 THEN v - {_M64} ELSE v END)::bigint
+         AS fingerprint
+FROM fp ORDER BY doc_id
+""",
+        "simhash_signatures": f"""
+WITH tok AS ({_TOK}),
+tokh AS (
+  SELECT term, ({_FNV_TOK.format(t='term')})::ubigint AS h
+  FROM (SELECT DISTINCT term FROM tok)),
+bits AS (
+  SELECT t.doc_id, p.bit, p.pw,
+         sum(CASE WHEN (th.h >> p.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok t JOIN tokh th USING (term)
+  CROSS JOIN (VALUES {_pow2_values()}) p(bit, pw)
+  GROUP BY t.doc_id, p.bit, p.pw),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0::hugeint END) AS v
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       (CASE WHEN coalesce(v, 0) >= 9223372036854775808
+             THEN coalesce(v, 0) - {_M64}
+             ELSE coalesce(v, 0) END)::bigint AS simhash
+FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from dcs_ray.functions.textstats import fnv1a_bytes_rows
+from dcs_ray.functions.textstats import content_hash_rows, fnv1a_bytes_rows
 from dcs_ray.tokenize import word_tokens_flat
 
 # ---------------------------------------------------------------------------
@@ -33,7 +33,7 @@ def exact_dedup_keep_min(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.da
     min — D4's recipe with content hash as the key)."""
 
     def hash_batch(b: pa.Table) -> pa.Table:
-        h = fnv1a_bytes_rows(b["text"]).astype(np.int64)
+        h = content_hash_rows(b["text"]).astype(np.int64)
         return pa.table({"text_hash": pa.array(h, pa.int64()), id_col: b[id_col]})
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
@@ -54,7 +54,7 @@ def _shingle_hashes(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     consecutive token hashes."""
     flat, parents = word_tokens_flat(texts)
     ntexts = len(texts)
-    tok_h = fnv1a_bytes_rows(flat) if len(flat) else np.empty(0, np.uint64)
+    tok_h = content_hash_rows(flat) if len(flat) else np.empty(0, np.uint64)
     counts = np.bincount(parents, minlength=ntexts)
     offsets = np.concatenate(([0], np.cumsum(counts)))
     # shingle windows within each doc
@@ -170,7 +170,9 @@ def exact_jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """64-bit SimHash per doc over token hashes: bit b of the signature is
-    the sign of sum over tokens of (+1 if token_hash bit b else -1)."""
+    the sign of sum over tokens of (+1 if token_hash bit b else -1).
+    Token hashing stays byte-serial FNV-1a (tokens are short) because the
+    DuckDB oracle replicates that exact definition per token."""
     flat, parents = word_tokens_flat(batch["text"])
     n = len(batch)
     acc = np.zeros((n, 64), dtype=np.int64)

@@ -88,12 +88,21 @@ def langid_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
+# odd multiplier + splitmix64 finalizer constants for the word-wise kernel
+_POLY_P = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
 
 
 def fnv1a_bytes_rows(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Vectorized FNV-1a 64-bit hash of each row's UTF-8 bytes
-    (document fingerprint; also the exact-dedup key). Iterates over
-    byte *positions* (max doc length), vectorized across rows."""
+    """Vectorized FNV-1a 64-bit hash of each row's UTF-8 bytes.
+
+    Iterates over byte *positions* up to the LONGEST row, so it is only
+    for **short strings** (word tokens — where the byte-serial FNV
+    definition is what the DuckDB oracle replicates, see
+    ``__ray_entry__.oracle_sql``). For documents use
+    ``content_hash_rows`` — one 1 MB row would make this kernel run a
+    10^6-iteration Python loop for the whole batch."""
     from dcs_ray.tokenize import _concat_utf8
 
     if isinstance(texts, pa.ChunkedArray):
@@ -111,9 +120,97 @@ def fnv1a_bytes_rows(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return h
 
 
+def content_hash_rows(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized 64-bit content hash of each row's UTF-8 bytes — the
+    exact-dedup / shingle key for *documents*.
+
+    Total work is O(total_bytes/8) numpy ops regardless of row-length
+    skew: each row's bytes are scattered into an 8-aligned zero-padded
+    buffer, viewed as little-endian uint64 words, combined per row as a
+    polynomial in an odd 64-bit constant (``np.add.reduceat`` over
+    word·P^position contributions), then mixed with the row length and a
+    splitmix64-style finalizer (length mixing keeps ``"a"`` and
+    ``"a\\x00…"`` distinct despite tail padding). Temp arrays are ~8×
+    input bytes — size batches accordingly."""
+    from dcs_ray.tokenize import _concat_utf8
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buf, offsets = _concat_utf8(texts)
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty(0, np.uint64)
+    lengths = np.diff(offsets)
+    nwords = np.maximum((lengths + 7) // 8, 1)  # >=1 word keeps reduceat segments non-empty
+    woffs = np.concatenate(([0], np.cumsum(nwords)))
+    total_words = int(woffs[-1])
+    padded = np.zeros(total_words * 8, dtype=np.uint8)
+    if len(buf):
+        # per-row constant shift to the 8-aligned destination
+        shift = woffs[:-1] * 8 - offsets[:-1]
+        dst = np.arange(len(buf), dtype=np.int64) + np.repeat(shift, lengths)
+        padded[dst] = buf
+    words = padded.view("<u8")
+    with np.errstate(over="ignore"):
+        maxw = int(nwords.max())
+        powers = np.empty(maxw + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        np.cumprod(np.full(maxw, _POLY_P, dtype=np.uint64), out=powers[1:])
+        # h(row) = OFF·P^m_row + Σ_j w_j · P^(m_row-1-j)  (mod 2^64) —
+        # every term depends only on the row itself, never on batch shape
+        pos_in_row = np.arange(total_words, dtype=np.int64) - np.repeat(
+            woffs[:-1], nwords
+        )
+        exp = np.repeat(nwords, nwords) - 1 - pos_in_row
+        contrib = words * powers[exp]
+        h = np.add.reduceat(contrib, woffs[:-1])
+        h += _FNV_OFFSET * powers[nwords]
+        h ^= lengths.astype(np.uint64)
+        h ^= h >> np.uint64(30)
+        h *= _MIX1
+        h ^= h >> np.uint64(27)
+        h *= _MIX2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+_FP_POLY = np.uint64(1099511628211)  # token-fold multiplier (shared with the SQL oracle)
+
+
+def fingerprint_rows(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Rolling document fingerprint over word tokens:
+    ``fp = OFF·P^m + Σ_j fnv1a(token_j)·P^(m-1-j) (mod 2^64)`` — the
+    closed form of the left fold ``h = h·P + fnv1a(token)`` starting at
+    the FNV offset basis, which is exactly what the DuckDB oracle's
+    ``list_reduce`` computes. Token hashing is byte-serial FNV (tokens
+    are short); the per-doc fold is vectorized (powers + reduceat),
+    never a loop over token positions."""
+    flat, parents = word_tokens_flat(texts)
+    n = len(texts)
+    counts = np.bincount(parents, minlength=n).astype(np.int64)
+    th = fnv1a_bytes_rows(flat) if len(flat) else np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        maxm = int(counts.max()) if n else 0
+        powers = np.empty(maxm + 1, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        if maxm:
+            np.cumprod(np.full(maxm, _FP_POLY, dtype=np.uint64), out=powers[1:])
+        toffs = np.concatenate(([0], np.cumsum(counts)))
+        pos_in_doc = np.arange(len(th), dtype=np.int64) - np.repeat(toffs[:-1], counts)
+        exp = np.repeat(counts, counts) - 1 - pos_in_doc
+        contrib = th * powers[exp]
+        h = np.zeros(n, dtype=np.uint64)
+        nonempty = counts > 0
+        if len(th):
+            sums = np.add.reduceat(contrib, toffs[:-1][nonempty])
+            h[nonempty] = sums
+        h += _FNV_OFFSET * powers[counts]
+    return h
+
+
 def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """(id, fingerprint) — FNV-1a over the document bytes."""
-    h = fnv1a_bytes_rows(batch["text"])
+    """(id, fingerprint) — token-rolling fingerprint (``fingerprint_rows``)."""
+    h = fingerprint_rows(batch["text"])
     return pa.table(
         {id_col: batch[id_col], "fingerprint": pa.array(h.astype(np.int64), pa.int64())}
     )

@@ -13,6 +13,8 @@ from dcs_ray.functions.dedup import (
 from dcs_ray.functions.multimodal import ImageFeatureExtractor, synthesize_media
 from dcs_ray.functions.simsearch import _emb_matrix, _normalize, srp_signatures
 from dcs_ray.functions.textstats import (
+    content_hash_rows,
+    fingerprint_rows,
     fnv1a_bytes_rows,
     langid_batch,
     quality_score_batch,
@@ -35,6 +37,62 @@ def test_fnv1a_matches_reference_impl():
     got = fnv1a_bytes_rows(texts)
     want = [fnv(t.encode()) for t in ["hello", "", "a", "the quick brown fox"]]
     assert got.tolist() == want
+
+
+def test_content_hash_properties():
+    texts = ["hello", "", "a", "a\x00", "\x00a", "hello world", "world hello",
+             "x" * 7, "x" * 8, "x" * 9, "the quick brown fox"]
+    h = content_hash_rows(pa.array(texts))
+    # injective on this set (padding/permutation/length sensitivity)
+    assert len(set(h.tolist())) == len(texts)
+    # batch-independent: same text hashed alone or alongside a huge doc
+    solo = content_hash_rows(pa.array(["hello world"]))
+    with_big = content_hash_rows(pa.array(["hello world", "z" * 100_000]))
+    assert solo[0] == with_big[0] == h[5]
+
+
+def test_content_hash_long_doc_bounded():
+    """The kernel must be O(total_bytes/8) numpy work — a single 1 MB row
+    among short rows may not degrade the batch to a per-byte-position
+    Python loop (the round-1 FNV kernel did exactly that)."""
+    import time
+
+    big = "ab" * 500_000  # 1 MB
+    texts = pa.array([big] + ["short doc %d" % i for i in range(999)])
+    t0 = time.monotonic()
+    h = content_hash_rows(texts)
+    wall = time.monotonic() - t0
+    assert len(set(h.tolist())) == 1000
+    # generous bound: the old kernel took >30 s on this input; the
+    # word-wise one does ~125k-element numpy ops
+    assert wall < 2.0, f"content_hash_rows too slow: {wall:.2f}s"
+    # equal long docs in different batches agree
+    assert content_hash_rows(pa.array([big]))[0] == h[0]
+
+
+def test_fingerprint_rows_matches_token_fold():
+    """fingerprint = left fold h = h·P + fnv1a(token) over word tokens,
+    starting from the FNV offset basis (the SQL oracle's list_reduce)."""
+    P = 1099511628211
+    OFF = 0xCBF29CE484222325
+    M = 1 << 64
+
+    def fnv(b: bytes) -> int:
+        h = OFF
+        for c in b:
+            h = ((h ^ c) * P) % M
+        return h
+
+    import re
+
+    texts = ["The quick brown fox", "", "a b c", "Hello, WORLD!!", "x" * 30]
+    got = fingerprint_rows(pa.array(texts))
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        h = OFF
+        for w in toks:
+            h = (h * P + fnv(w.encode())) % M
+        assert int(got[i]) == h, (i, t)
 
 
 def test_token_and_quality():
@@ -62,7 +120,12 @@ def test_minhash_similar_docs_agree_more():
     sig = minhash_signatures(texts, num_perm=64)
     agree_near = (sig[0] == sig[1]).mean()
     agree_far = (sig[0] == sig[2]).mean()
-    assert agree_near > 0.5 > agree_far
+    # true Jaccard(base, near) is ~0.5 here (3 of ~9 distinct cyclic
+    # shingles change), so assert the estimator brackets it instead of a
+    # hash-dependent strict bound
+    assert agree_near >= 0.35
+    assert agree_far < 0.1
+    assert agree_near > agree_far
     # exact jaccard confirms the ordering
     assert exact_jaccard(base, near) > exact_jaccard(base, far)
 
