@@ -26,7 +26,7 @@ import ray.data
 
 BM25_QUERY = "spark merge join"
 LITERAL = "spark merge"
-_CACHE_ROOT = "/tmp/dcs_ray_idxcache"
+_CACHE_ROOT = "/tmp/dcs_ray_idxcache_v2"  # v2: doc_meta carries source+prior
 
 # ---------------------------------------------------------------------------
 # index cache (built lazily per sf_dir; resume-safe by construction)
@@ -39,7 +39,18 @@ def _index_dir(sf_dir: str, mode: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_CACHE_ROOT, f"{name}_{mode}")
     if not os.path.exists(os.path.join(out, "MANIFEST.json")):
-        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+
+        def with_prior(b: pa.Table) -> pa.Table:
+            # deterministic static rank prior (dcs pre-ranking's per-package
+            # Inst/Rdep prior analogue); same formula as the SQL oracle
+            ids = b["doc_id"].to_numpy()
+            prior = 1.0 + (ids % 5) / 10.0
+            return b.append_column("prior", pa.array(prior, pa.float64()))
+
+        docs = docs.map_batches(with_prior, batch_format="pyarrow")
         conf = IndexConfig(
             num_partitions=8,
             num_shards=2,
@@ -47,6 +58,7 @@ def _index_dir(sf_dir: str, mode: str) -> str:
             id_col="doc_id",
             dedup_latest=False,
             positional=(mode == "trigram"),
+            meta_cols=("source", "prior"),
         )
         build_index(docs, out, conf)
     return out
@@ -104,22 +116,35 @@ def _q_bm25(sf_dir: str) -> pa.Table:
 
 
 def _q_bm25_top2_per_source(sf_dir: str) -> pa.Table:
-    """Full BM25 ranking, grouped per source with a 2-per-source cap,
-    top 10 overall (dcs per-package top-2, A5: querymanager.go:728-747)."""
-    from dcs_ray.search import load_stats, search_bm25
+    """Per-source top-2 capped ranking, top 10 overall (dcs per-package
+    top-2, A5: querymanager.go:728-747) — distributed: each shard emits
+    at most 2 rows per source; no full-corpus ranking, no driver pandas."""
+    from dcs_ray.search import search_bm25_grouped
 
     idx = _index_dir(sf_dir, "words")
-    stats = load_stats(idx)
-    full = search_bm25(idx, [BM25_QUERY], k=stats["n_docs"], stats=stats).to_pandas()
-    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
-    full = full.merge(src, on="doc_id")
-    full = full.sort_values(["rank"]).groupby("source", sort=False).head(2)
-    full = full.sort_values("rank").head(10)
+    t = search_bm25_grouped(idx, [BM25_QUERY], group_col="source", per_group=2, k=10)
     return pa.table(
         {
-            "doc_id": pa.array(full.doc_id.astype(np.int64), pa.int64()),
-            "source": pa.array(full.source, pa.string()),
-            "score": pa.array(np.round(full.score.to_numpy(), 6), pa.float64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "source": t["group"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_prior(sf_dir: str) -> pa.Table:
+    """BM25 × static per-doc rank prior (dcs pre-ranking F7/J6,
+    ``ranking/pre-ranking.go:54-103``): the prior lives in doc_meta and
+    multiplies every score inside the shard task."""
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10, prior_col="prior")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
         }
     )
 
@@ -232,21 +257,16 @@ def _q_bm25_filtered(sf_dir: str) -> pa.Table:
     equals rank-all-then-filter (dcs applies FilterByKeywords before
     ranking, ``sourcebackend.go:28-129``)."""
     from dcs_ray.queryplan import rewrite_query
-    from dcs_ray.search import load_stats, search_bm25
+    from dcs_ray.search import filters_from_keywords, search_bm25
 
-    q, includes, _neg = rewrite_query(f"{BM25_QUERY} source:src3")
-    src = includes.get("source", ["src3"])[0]
+    q, includes, negates = rewrite_query(f"{BM25_QUERY} source:src3")
     idx = _index_dir(sf_dir, "words")
-    stats = load_stats(idx)
-    full = search_bm25(idx, [q], k=stats["n_docs"], stats=stats).to_pandas()
-    meta = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
-    full = full.merge(meta, on="doc_id")
-    full = full[full.source == src].sort_values("rank").head(10)
+    t = search_bm25(idx, [q], k=10, filters=filters_from_keywords(includes, negates))
     return pa.table(
         {
-            "rank": pa.array(np.arange(1, len(full) + 1), pa.int64()),
-            "doc_id": pa.array(full.doc_id.astype(np.int64), pa.int64()),
-            "score": pa.array(np.round(full.score.to_numpy(), 6), pa.float64()),
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
         }
     )
 
@@ -431,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "session_window_agg": _q_session_window,
         "bm25_filtered": _q_bm25_filtered,
+        "bm25_prior": _q_bm25_prior,
         "grep_literal": _q_grep_literal,
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
@@ -610,6 +631,13 @@ SELECT row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank,
 FROM scores s JOIN documents d USING (doc_id)
 WHERE d.source = 'src3'
 ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+""",
+        "bm25_prior": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY p.pscore DESC, p.doc_id ASC) AS rank,
+       p.doc_id, round(p.pscore, 6) AS score
+FROM (SELECT doc_id, score * (1.0 + (doc_id % 5) / 10.0) AS pscore FROM scores) p
+ORDER BY p.pscore DESC, p.doc_id ASC LIMIT 10
 """,
         "grep_literal": f"""
 SELECT doc_id,

@@ -262,7 +262,7 @@ def build_segments_from_files(
         if p not in done
     ]
     if columns is None:
-        columns = [conf.id_col, conf.text_col]
+        columns = [conf.id_col, conf.text_col, *conf.meta_cols]
         if conf.dedup_latest:
             columns += [conf.url_col, conf.ts_col]
 

@@ -28,6 +28,11 @@ class IndexConfig:
     positional: bool = False  # keep positional sections (phrase / verify)
     dedup_latest: bool = True  # newest warc_ts per url wins (querymanager.go:688-747)
     ts_col: str = "warc_ts"
+    # extra per-doc metadata columns carried into doc_meta.parquet — the
+    # in-index attributes that keyword filters (package:/path:/-negation,
+    # sourcebackend.go:28-129) and the static rank prior
+    # (ranking/pre-ranking.go:54-103) are evaluated against at query time
+    meta_cols: tuple = ()
     # BM25 parameters (north rule)
     k1: float = 1.2
     b: float = 0.75

@@ -132,6 +132,9 @@ def build_segment_data(part_id: int, tbl: pa.Table, conf: IndexConfig) -> dict:
         "part_id": part_id,
         "doc_ids": doc_ids,
         "urls": urls,
+        "meta": {
+            c: tbl[c].combine_chunks() for c in conf.meta_cols if c in tbl.column_names
+        },
         "doc_len": doc_len.astype(np.uint32),
         "terms": uniq_terms,
         "df": df,
@@ -232,14 +235,13 @@ def write_segment(out_dir: str, seg: dict, extra: dict | None = None) -> dict:
         ),
     )
     pq.write_table(term_dict, os.path.join(tmp, "term_dict.parquet"))
-    doc_meta = pa.table(
-        {
-            "doc_id": pa.array(seg["doc_ids"], pa.uint64()),
-            "url": seg["urls"],
-            "doc_len": pa.array(seg["doc_len"], pa.uint32()),
-        }
-    )
-    pq.write_table(doc_meta, os.path.join(tmp, "doc_meta.parquet"))
+    meta_cols = {
+        "doc_id": pa.array(seg["doc_ids"], pa.uint64()),
+        "url": seg["urls"],
+        "doc_len": pa.array(seg["doc_len"], pa.uint32()),
+    }
+    meta_cols.update(seg.get("meta") or {})  # filter/prior attributes (F4/F7)
+    pq.write_table(pa.table(meta_cols), os.path.join(tmp, "doc_meta.parquet"))
     with open(os.path.join(tmp, "postings.bin"), "wb") as f:
         f.write(seg["blob"])
     if seg["positions_blob"] is not None:
@@ -289,6 +291,12 @@ class Segment:
 
     def __init__(self, path: str):
         self.path = path
+        # build generation: identifies THIS on-disk index build, so
+        # per-worker caches keyed on it can never serve a rebuilt/updated
+        # index stale results (dcs swaps a symlink and re-opens; we swap
+        # directory contents in place on update_partition)
+        st = os.stat(os.path.join(path, "term_dict.parquet"))
+        self.gen = (st.st_mtime_ns, st.st_size)
         td = pq.read_table(os.path.join(path, "term_dict.parquet"))
         self.terms = td["term"].combine_chunks()
         self.df = td["df"].combine_chunks().to_numpy()
@@ -299,6 +307,7 @@ class Segment:
         self.doc_ids = dm["doc_id"].combine_chunks().to_numpy()
         self.urls = dm["url"].combine_chunks()
         self.doc_len = dm["doc_len"].combine_chunks().to_numpy()
+        self.doc_meta = dm  # full table incl. filter/prior columns
         pb = os.path.join(path, "postings.bin")
         self.postings = (
             np.memmap(pb, dtype=np.uint8, mode="r") if os.path.getsize(pb) else np.empty(0, np.uint8)
@@ -358,6 +367,10 @@ class Segment:
         )
         self._hdr_cache[idx] = cached
         return cached
+
+    def meta(self, col: str) -> pa.ChunkedArray:
+        """A doc_meta attribute column, row-aligned with ``doc_ids``."""
+        return self.doc_meta[col]
 
     def position_blob(self, idx: int) -> np.ndarray:
         assert self.positions is not None

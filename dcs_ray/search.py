@@ -43,6 +43,12 @@ _SEGMENT_CACHE: dict[str, Segment] = {}
 
 def _open(path: str) -> Segment:
     seg = _SEGMENT_CACHE.get(path)
+    if seg is not None:
+        # an updated/rebuilt index at the same path must be re-opened
+        # (dcs re-opens after the ReplaceIndex symlink swap)
+        st = os.stat(os.path.join(path, "term_dict.parquet"))
+        if (st.st_mtime_ns, st.st_size) != seg.gen:
+            seg = None
     if seg is None:
         seg = Segment(path)
         _SEGMENT_CACHE[path] = seg
@@ -63,7 +69,7 @@ DECODE_CACHE_CAP = 256 << 20
 
 def _decode_term_cached(seg: Segment, idx: int) -> tuple[np.ndarray, np.ndarray]:
     global _DECODE_CACHE_BYTES
-    key = (seg.path, idx)
+    key = (seg.path, seg.gen, idx)
     hit = _DECODE_CACHE.get(key)
     if hit is not None:
         _DECODE_CACHE.move_to_end(key)
@@ -127,16 +133,78 @@ def plan_queries(index_dir: str, queries: list[str], stats: dict) -> list[list[t
     ]
 
 
-def score_shard_bm25(
-    seg: Segment, plan: list[tuple[str, float]], stats: dict, k: int
+def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
+    """Sorted doc ids of one shard passing the keyword filters — the
+    FilterByKeywords stage applied *inside the backend before ranking*
+    (``internal/sourcebackend/sourcebackend.go:28-129,354``), vectorized
+    over the shard's doc_meta attributes.
+
+    ``filters`` spec: ``{"include": {col: [vals]}, "exclude": {col:
+    [vals]}, "url_regex": [rx], "not_url_regex": [rx]}`` — OR within a
+    column's value list, AND across entries. Returns None when no
+    filtering is requested (score everything)."""
+    if not filters:
+        return None
+    mask = np.ones(len(seg.doc_ids), dtype=bool)
+    for col, vals in (filters.get("include") or {}).items():
+        mask &= pc.is_in(seg.meta(col), value_set=pa.array(vals)).to_numpy(
+            zero_copy_only=False
+        )
+    for col, vals in (filters.get("exclude") or {}).items():
+        mask &= ~pc.is_in(seg.meta(col), value_set=pa.array(vals)).to_numpy(
+            zero_copy_only=False
+        )
+    for rx in filters.get("url_regex") or ():
+        mask &= pc.match_substring_regex(seg.urls, rx).to_numpy(zero_copy_only=False)
+    for rx in filters.get("not_url_regex") or ():
+        mask &= ~pc.match_substring_regex(seg.urls, rx).to_numpy(zero_copy_only=False)
+    return seg.doc_ids[mask]  # doc_ids are ascending by construction
+
+
+def filters_from_keywords(includes: dict, negates: dict) -> dict | None:
+    """Map ``rewrite_query`` keyword dicts (F4) onto the filter spec:
+    ``source:``/``site:`` → doc_meta column equality, ``lang:``/
+    ``filetype:`` → lang column, ``path:``/``file:`` → url regex."""
+    spec: dict = {"include": {}, "exclude": {}, "url_regex": [], "not_url_regex": []}
+    col_of = {"source": "source", "site": "source", "lang": "lang", "filetype": "lang"}
+    for kw, vals in includes.items():
+        if kw in col_of:
+            spec["include"].setdefault(col_of[kw], []).extend(vals)
+        elif kw in ("path", "file", "package", "pkg"):
+            spec["url_regex"].extend(vals)
+    for kw, vals in negates.items():
+        if kw in col_of:
+            spec["exclude"].setdefault(col_of[kw], []).extend(vals)
+        elif kw in ("path", "file", "package", "pkg"):
+            spec["not_url_regex"].extend(vals)
+    if not any(spec.values()):
+        return None
+    return spec
+
+
+def _shard_prior(seg: Segment, prior_col: str, uniq_docs: np.ndarray) -> np.ndarray:
+    """Static per-doc rank prior for the given docs (the broadcast
+    pkg→ranking join J6: ``ranking/pre-ranking.go:54-103`` — here a
+    doc_meta column multiplied into the text score)."""
+    vals = seg.meta(prior_col).combine_chunks().to_numpy(zero_copy_only=False)
+    return vals[np.searchsorted(seg.doc_ids, uniq_docs)].astype(np.float64)
+
+
+def score_shard_all(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    doc_filter: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """BM25-score one query against one shard → (top-k doc_ids, scores)."""
+    """Exhaustive BM25 scores of every (filtered) candidate doc in one
+    shard → (doc_ids ascending, scores). Per-doc accumulation is in
+    ascending-term order (determinism, SURVEY §7.5)."""
     doc_chunks, score_chunks = [], []
     for term, idf in plan:  # ascending term order
         idx = seg.term_index(term)
         if idx < 0:
             continue
-        doc_ids, s = _term_scores_cached(seg, idx, idf, stats)
+        doc_ids, s = _term_contribs(seg, idx, idf, stats, doc_filter=doc_filter)
         doc_chunks.append(doc_ids)
         score_chunks.append(s)
     if not doc_chunks:
@@ -148,6 +216,21 @@ def score_shard_bm25(
     boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
     uniq_docs = docs[boundaries]
     sums = np.add.reduceat(scores, boundaries)
+    return uniq_docs, sums
+
+
+def score_shard_bm25(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+    prior_col: str | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25-score one query against one shard → (top-k doc_ids, scores)."""
+    uniq_docs, sums = score_shard_all(seg, plan, stats, doc_filter)
+    if prior_col is not None and len(uniq_docs):
+        sums = sums * _shard_prior(seg, prior_col, uniq_docs)
     return topk(uniq_docs, sums, k)
 
 
@@ -171,11 +254,19 @@ _SCORE_CACHE: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray]]" = OrderedDict(
 _SCORE_CACHE_BYTES = 0
 
 
+def _score_key(seg: Segment, idx: int, stats: dict) -> tuple:
+    """Cache key covering everything a BM25 contribution vector depends
+    on: the exact on-disk build (path+gen) and every scoring parameter
+    (k1/b/n_docs/avgdl) — a caller-supplied stats dict with different
+    k1/b can never hit a stale vector."""
+    return (seg.path, seg.gen, idx, stats["k1"], stats["b"], stats["n_docs"], stats["avgdl"])
+
+
 def _term_scores_cached(
     seg: Segment, idx: int, idf: float, stats: dict
 ) -> tuple[np.ndarray, np.ndarray]:
     global _SCORE_CACHE_BYTES
-    key = (seg.path, idx, stats["n_docs"], stats["avgdl"])
+    key = _score_key(seg, idx, stats)
     hit = _SCORE_CACHE.get(key)
     if hit is not None:
         _SCORE_CACHE.move_to_end(key)
@@ -204,7 +295,7 @@ def _term_contribs(
     the block-max skip of dcs's windowed DeltaReader
     (``internal/index/read.go:269-308``) put to WAND use. A cached
     full-score vector short-circuits both paths."""
-    key = (seg.path, idx, stats["n_docs"], stats["avgdl"])
+    key = _score_key(seg, idx, stats)
     if doc_filter is None or key in _SCORE_CACHE:
         doc_ids, s = _term_scores_cached(seg, idx, idf, stats)
         if doc_filter is not None:
@@ -250,7 +341,11 @@ def _merge_sorted_acc(
 
 
 def score_shard_bm25_maxscore(
-    seg: Segment, plan: list[tuple[str, float]], stats: dict, k: int
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND/MaxScore BM25 top-k over one shard — exact, same
     bits as the exhaustive path.
@@ -288,7 +383,7 @@ def score_shard_bm25_maxscore(
     for j, (_ub, rank, idx, idf) in enumerate(resolved):
         essential = j == 0 or suffix[j] >= theta
         if essential:
-            d, s = _term_contribs(seg, idx, idf, stats)
+            d, s = _term_contribs(seg, idx, idf, stats, doc_filter=doc_filter)
             acc_docs, acc_scores = _merge_sorted_acc(acc_docs, acc_scores, d, s)
         else:
             # prune: doc needs acc + remaining upper bounds >= θ (with a
@@ -349,6 +444,8 @@ def search_bm25(
     method: str = "maxscore",
     task_num_cpus: float = 1.0,
     chunk_queries: int | None = None,
+    filters: dict | None = None,
+    prior_col: str | None = None,
 ) -> pa.Table:
     """BM25 top-k for a batch of queries as a Ray Data pipeline.
 
@@ -356,11 +453,27 @@ def search_bm25(
     ``groupby(shard_id)`` so one task scores all queries against one
     shard (per-worker segment cache = actor-style state). Global top-k
     merge per query is a small deterministic sort.
+
+    ``filters`` (see ``shard_doc_filter``) restricts ranking to matching
+    docs INSIDE each shard task — candidate generation, scoring and the
+    per-shard top-k all see only the filtered doc set, so the driver
+    merge stays k×shards rows no matter how selective the filter
+    (``sourcebackend.go:28-129`` applies FilterByKeywords before ranking
+    for the same reason). ``prior_col`` multiplies a static per-doc
+    doc_meta prior into every score (``ranking/pre-ranking.go:54-103``);
+    it forces the exhaustive scorer since MaxScore's upper bounds don't
+    account for per-doc multipliers.
     """
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = plan_queries(index_dir, queries, stats)
-    score_fn = score_shard_bm25_maxscore if method == "maxscore" else score_shard_bm25
+    if prior_col is not None:
+        def score_fn(seg, plan, st, kk, doc_filter=None):
+            return score_shard_bm25(seg, plan, st, kk, doc_filter, prior_col)
+    elif method == "maxscore":
+        score_fn = score_shard_bm25_maxscore
+    else:
+        score_fn = score_shard_bm25
 
     # one task per shard is the dcs fan-out shape (dcs-web → one backend
     # per shard → incremental global top-k): every shard's term vectors
@@ -382,8 +495,13 @@ def search_bm25(
         out_q, out_d, out_s = [], [], []
         for sid, cid in zip(batch["shard_id"].to_pylist(), batch["chunk_id"].to_pylist()):
             seg = _open(shards[sid])
+            doc_filter = shard_doc_filter(seg, filters)  # once per shard task
             for qid in qchunks[cid]:
-                d, s = score_fn(seg, plans[qid], stats, k)
+                if doc_filter is not None and len(doc_filter) == 0:
+                    d = np.empty(0, np.uint64)
+                    s = np.empty(0, np.float64)
+                else:
+                    d, s = score_fn(seg, plans[qid], stats, k, doc_filter=doc_filter)
                 out_q.extend([qid] * len(d))
                 out_d.append(d)
                 out_s.append(s)
@@ -426,6 +544,141 @@ def search_bm25(
                 }
             )
         )
+    return pa.concat_tables(out_tables)
+
+
+def search_bm25_grouped(
+    index_dir: str,
+    queries: list[str],
+    group_col: str,
+    per_group: int = 2,
+    k: int = 10,
+    stats: dict | None = None,
+    filters: dict | None = None,
+    task_num_cpus: float = 1.0,
+) -> pa.Table:
+    """BM25 top-k with a per-group result cap — dcs's per-package top-2
+    (``cmd/dcs-web/querymanager.go:728-747``), distributed.
+
+    Each shard task scores its candidates, groups them by the doc_meta
+    ``group_col`` and keeps only the ``per_group`` best rows per group
+    (vectorized lexsort + run-length head). A group's global best
+    ``per_group`` docs are necessarily within the union of per-shard
+    per-group heads, so the driver merge — re-cap per group, then global
+    top-k — is exact while receiving at most
+    ``per_group × groups_touched × shards`` rows, never a full ranking.
+    """
+    stats = stats or load_stats(index_dir)
+    shards = shard_paths(index_dir)
+    plans = plan_queries(index_dir, queries, stats)
+
+    work = ray.data.from_items(
+        [{"shard_id": sid, "qid": qid} for sid in range(len(shards)) for qid in range(len(queries))]
+    )
+
+    def run_shard(batch: pa.Table) -> pa.Table:
+        out = {"query_id": [], "doc_id": [], "score": [], "group": []}
+        for sid, qid in zip(batch["shard_id"].to_pylist(), batch["qid"].to_pylist()):
+            seg = _open(shards[sid])
+            doc_filter = shard_doc_filter(seg, filters)
+            if doc_filter is not None and len(doc_filter) == 0:
+                continue
+            docs, sums = score_shard_all(seg, plans[qid], stats, doc_filter)
+            if len(docs) == 0:
+                continue
+            groups = (
+                seg.meta(group_col)
+                .combine_chunks()
+                .take(pa.array(np.searchsorted(seg.doc_ids, docs)))
+            )
+            gcodes = pc.dictionary_encode(groups)
+            gidx = gcodes.indices.to_numpy(zero_copy_only=False)
+            # per group: score desc, doc asc; keep first per_group rows
+            order = np.lexsort((docs, -sums, gidx))
+            g_sorted = gidx[order]
+            run_start = np.concatenate(([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1))
+            rank_in_group = np.arange(len(order)) - np.repeat(
+                run_start, np.diff(np.concatenate((run_start, [len(order)])))
+            )
+            keep = order[rank_in_group < per_group]
+            out["query_id"].extend([qid] * len(keep))
+            out["doc_id"].append(docs[keep])
+            out["score"].append(sums[keep])
+            out["group"].append(groups.take(pa.array(keep)))
+        if not out["doc_id"]:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.uint64()),
+                    "score": pa.array([], pa.float64()),
+                    "group": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], pa.int32()),
+                "doc_id": pa.array(np.concatenate(out["doc_id"]), pa.uint64()),
+                "score": pa.array(np.concatenate(out["score"]), pa.float64()),
+                "group": pa.concat_arrays(
+                    [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g for g in out["group"]]
+                ),
+            }
+        )
+
+    per_shard = work.map_batches(
+        run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+    )
+    cand = _collect(
+        per_shard,
+        pa.schema(
+            [
+                ("query_id", pa.int32()),
+                ("doc_id", pa.uint64()),
+                ("score", pa.float64()),
+                ("group", pa.string()),
+            ]
+        ),
+    )
+
+    out_tables = []
+    for qid in range(len(queries)):
+        sub = cand.filter(pc.equal(cand["query_id"], qid))
+        docs = sub["doc_id"].to_numpy()
+        sums = sub["score"].to_numpy()
+        groups = sub["group"].combine_chunks()
+        if len(docs) == 0:
+            continue
+        gidx = pc.dictionary_encode(groups).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, -sums, gidx))
+        g_sorted = gidx[order]
+        run_start = np.concatenate(([0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1]) + 1))
+        rank_in_group = np.arange(len(order)) - np.repeat(
+            run_start, np.diff(np.concatenate((run_start, [len(order)])))
+        )
+        keep = order[rank_in_group < per_group]
+        # global deterministic order: score desc, doc asc; head k
+        final = keep[np.lexsort((docs[keep], -sums[keep]))][:k]
+        out_tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(final), qid, np.int32), pa.int32()),
+                    "rank": pa.array(np.arange(1, len(final) + 1, dtype=np.int32), pa.int32()),
+                    "doc_id": pa.array(docs[final], pa.uint64()),
+                    "group": groups.take(pa.array(final)),
+                    "score": pa.array(sums[final], pa.float64()),
+                }
+            )
+        )
+    if not out_tables:
+        return pa.schema(
+            [
+                ("query_id", pa.int32()),
+                ("rank", pa.int32()),
+                ("doc_id", pa.uint64()),
+                ("group", pa.string()),
+                ("score", pa.float64()),
+            ]
+        ).empty_table()
     return pa.concat_tables(out_tables)
 
 
