@@ -398,6 +398,22 @@ def _q_simhash(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def _q_simhash_pairs(sf_dir: str) -> Any:
+    """Banded hamming≤3 SimHash near-dup pairs — exact via 4×16-bit-band
+    pigeonhole, never an all-pairs scan over the corpus."""
+    from dcs_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3, mode="exact")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {"id_a": t["id_a"], "id_b": t["id_b"], "hamming": t["min(hamming)"]}
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def _q_langid(sf_dir: str) -> ray.data.Dataset:
     from dcs_ray.functions.textstats import langid
 
@@ -462,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "image_features": _q_image_features,
@@ -721,6 +738,29 @@ SELECT d.doc_id,
              THEN coalesce(v, 0) - {_M64}
              ELSE coalesce(v, 0) END)::bigint AS simhash
 FROM documents d LEFT JOIN sig USING (doc_id) ORDER BY doc_id
+""",
+        "simhash_pairs": f"""
+WITH tok AS ({_TOK}),
+tokh AS (
+  SELECT term, ({_FNV_TOK.format(t='term')})::ubigint AS h
+  FROM (SELECT DISTINCT term FROM tok)),
+bits AS (
+  SELECT t.doc_id, p.bit, p.pw,
+         sum(CASE WHEN (th.h >> p.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok t JOIN tokh th USING (term)
+  CROSS JOIN (VALUES {_pow2_values()}) p(bit, pw)
+  GROUP BY t.doc_id, p.bit, p.pw),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0::hugeint END) AS v
+  FROM bits GROUP BY doc_id),
+u AS (
+  SELECT d.doc_id, coalesce(s.v, 0)::ubigint AS uv
+  FROM documents d LEFT JOIN sig s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.uv, b.uv))::bigint AS hamming
+FROM u a JOIN u b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.uv, b.uv)) <= 3
+ORDER BY id_a, id_b
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

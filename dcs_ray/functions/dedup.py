@@ -130,8 +130,12 @@ def minhash_band_rows(
 
 def minhash_candidate_pairs(
     ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id",
+    max_bucket: int = 256,
 ) -> ray.data.Dataset:
-    """LSH candidate pairs (id_a < id_b), deduped across bands."""
+    """LSH candidate pairs (id_a < id_b), deduped across bands. Buckets
+    larger than ``max_bucket`` emit star pairs to the bucket min id
+    (connected-cover semantics) instead of the quadratic clique — see
+    ``pairs`` below."""
     band_ds = ds.map_batches(
         lambda b: minhash_band_rows(b, num_perm, bands, id_col), batch_format="pyarrow"
     )
@@ -140,7 +144,24 @@ def minhash_candidate_pairs(
         ids = np.unique(group[id_col].to_numpy())
         if len(ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
+        if len(ids) > max_bucket:
+            # Degenerate bucket (boilerplate / identical crawls — guaranteed
+            # at web scale): full triu would emit O(b²) pairs. Emit the
+            # star to the min id instead — as a *dedup cluster* cover it is
+            # equivalently connected, and output stays O(b). Logged so
+            # silent truncation never reads as full coverage.
+            import logging
+
+            logging.getLogger("dcs_ray.dedup").warning(
+                "minhash bucket %d capped: %d ids > max_bucket=%d; emitting "
+                "%d star pairs instead of %d clique pairs",
+                int(group["band_hash"][0].as_py()), len(ids), max_bucket,
+                len(ids) - 1, len(ids) * (len(ids) - 1) // 2,
+            )
+            ia = np.zeros(len(ids) - 1, dtype=np.int64)
+            ib = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            ia, ib = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
                 "id_a": pa.array(ids[ia].astype(np.int64), pa.int64()),
@@ -196,3 +217,154 @@ def simhash_duplicates(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data
     return agg.map_batches(
         lambda b: b.filter(pc.greater(b["count()"], 1)), batch_format="pyarrow"
     )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    v = x.copy()
+    c = np.zeros(v.shape, dtype=np.int64)
+    while True:
+        nz = v != 0
+        if not nz.any():
+            return c
+        c += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_bucket: int = 4096,
+    mode: str = "exact",
+    precomputed: bool = False,
+) -> ray.data.Dataset:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) ≤ k, found
+    WITHOUT an all-pairs compare over the corpus.
+
+    Band the 64-bit signature into ``bands`` equal slices and group by
+    each (band, slice-value): two signatures within hamming k < bands
+    must agree on ≥ 1 band (pigeonhole), so for the default k=3 / 4×16-bit
+    bands the banded probe finds **every** qualifying pair — it is exact,
+    not probabilistic. Work is per-bucket quadratic, never corpus-quadratic.
+
+    ``mode="exact"`` emits every qualifying (id_a < id_b, hamming) pair —
+    the SQL-oracle semantics; buckets beyond ``max_bucket`` ids are
+    truncated with a warning. ``mode="cover"`` is the web-scale shape:
+    identical signatures collapse to a min-id representative (a crawl of
+    N identical docs costs O(N) star pairs at hamming 0) and only
+    distinct signatures pairwise-verify — output is a connected cover of
+    the near-dup clusters rather than every clique edge.
+
+    ``precomputed=True`` treats ``ds`` as an existing (id, simhash)
+    table instead of computing signatures from ``text``.
+    """
+    assert max_hamming < bands, "pigeonhole exactness needs k < bands"
+    assert 64 % bands == 0
+    assert mode in ("exact", "cover")
+    width = 64 // bands
+    bmask = np.uint64((1 << width) - 1)
+    sigs = (
+        ds
+        if precomputed
+        else ds.map_batches(lambda b: simhash_batch(b, id_col), batch_format="pyarrow")
+    )
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        sig = b["simhash"].to_numpy().astype(np.uint64)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        keys, out_ids, out_sigs = [], [], []
+        for band in range(bands):
+            sl = (sig >> np.uint64(band * width)) & bmask
+            keys.append((np.int64(band) << np.int64(width)) | sl.astype(np.int64))
+            out_ids.append(ids)
+            out_sigs.append(sig.astype(np.int64))
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), pa.int64()),
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                "simhash": pa.array(np.concatenate(out_sigs), pa.int64()),
+            }
+        )
+
+    banded = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy().astype(np.int64)
+        sig = group["simhash"].to_numpy().astype(np.uint64)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        out_a, out_b, out_h = [], [], []
+        if mode == "exact":
+            if len(ids) > max_bucket:
+                import logging
+
+                logging.getLogger("dcs_ray.dedup").warning(
+                    "simhash bucket capped: %d ids > %d; comparing first %d by id",
+                    len(ids), max_bucket, max_bucket,
+                )
+                order = np.argsort(ids, kind="stable")[:max_bucket]
+                ids, sig = ids[order], sig[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(sig[ia] ^ sig[ib])
+            keep = ham <= max_hamming
+            if keep.any():
+                a, bb = ids[ia[keep]], ids[ib[keep]]
+                out_a.append(np.minimum(a, bb))
+                out_b.append(np.maximum(a, bb))
+                out_h.append(ham[keep])
+        else:  # cover: collapse identical signatures to min-id reps
+            order = np.lexsort((ids, sig))
+            sig_s, ids_s = sig[order], ids[order]
+            first = np.concatenate(([True], sig_s[1:] != sig_s[:-1]))
+            reps_sig = sig_s[first]
+            reps_id = ids_s[first]
+            # star pairs only from band 0 so cross-band dedup can't multiply them
+            is_first_band = int(group["band_key"][0].as_py()) >> width == 0
+            if is_first_band and (~first).any():
+                clique_rep = np.repeat(reps_id, np.diff(np.concatenate(
+                    (np.flatnonzero(first), [len(sig_s)])
+                )))
+                members = ids_s[~first]
+                out_a.append(np.minimum(clique_rep[~first], members))
+                out_b.append(np.maximum(clique_rep[~first], members))
+                out_h.append(np.zeros(int((~first).sum()), dtype=np.int64))
+            n = len(reps_sig)
+            if n > max_bucket:
+                import logging
+
+                logging.getLogger("dcs_ray.dedup").warning(
+                    "simhash bucket capped: %d distinct sigs > %d; comparing first %d",
+                    n, max_bucket, max_bucket,
+                )
+                reps_sig, reps_id = reps_sig[:max_bucket], reps_id[:max_bucket]
+                n = max_bucket
+            if n >= 2:
+                ia, ib = np.triu_indices(n, k=1)
+                ham = _popcount64(reps_sig[ia] ^ reps_sig[ib])
+                keep = ham <= max_hamming
+                if keep.any():
+                    a, bb = reps_id[ia[keep]], reps_id[ib[keep]]
+                    out_a.append(np.minimum(a, bb))
+                    out_b.append(np.maximum(a, bb))
+                    out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    cand = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    # a pair can surface from several bands — keep one row
+    return cand.groupby(["id_a", "id_b"]).min("hamming")

@@ -145,6 +145,92 @@ def test_simhash_exact_dup_equal_sig():
     assert out.simhash[0] != out.simhash[2]
 
 
+def _collect(ds):
+    import pyarrow as pa2
+
+    return pa2.concat_tables(
+        [pa2.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+
+
+def test_simhash_banded_pairs_exact(ray_session):
+    """Banded probe finds every pair with hamming <= 3 (pigeonhole over
+    4x16-bit bands) — including a 1-bit and a 3-bit flip — and nothing
+    above the threshold."""
+    import ray.data
+
+    from dcs_ray.functions.dedup import simhash_near_dup_pairs
+
+    base = 0x123456789ABCDEF0
+    sigs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "simhash": pa.array(
+                [
+                    base,
+                    base ^ (1 << 5),                      # hamming 1
+                    base ^ (1 << 1) ^ (1 << 17) ^ (1 << 33),  # hamming 3
+                    base,                                  # identical (clique)
+                    ~base & 0x7FFFFFFFFFFFFFFF,            # far
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(sigs)
+    out = _collect(
+        simhash_near_dup_pairs(ds, max_hamming=3, precomputed=True, mode="exact")
+    ).to_pandas().sort_values(["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r["min(hamming)"] for _, r in out.iterrows()}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 3
+    assert got[(0, 3)] == 0
+    assert got[(1, 3)] == 1
+    assert got[(2, 3)] == 3
+    assert (1, 2) not in got  # 1 vs 2 differ in 4 bits — above threshold
+    assert not any(4 in k for k in got)  # far doc never paired
+
+
+def test_simhash_banded_pairs_cover_mode(ray_session):
+    """Cover mode collapses identical signatures to star pairs."""
+    import ray.data
+
+    from dcs_ray.functions.dedup import simhash_near_dup_pairs
+
+    sigs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "simhash": pa.array([7, 7, 7, 7 ^ (1 << 60)], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(sigs)
+    out = _collect(
+        simhash_near_dup_pairs(ds, max_hamming=3, precomputed=True, mode="cover")
+    ).to_pandas()
+    got = {(r.id_a, r.id_b): r["min(hamming)"] for _, r in out.iterrows()}
+    # clique {10,11,12} -> stars to 10; rep 10 pairs with 13 at hamming 1
+    assert got == {(10, 11): 0, (10, 12): 0, (10, 13): 1}
+
+
+def test_minhash_degenerate_bucket_bounded(ray_session):
+    """1k identical docs: every band bucket is degenerate; output must be
+    the O(n) star cover, not O(n^2) clique pairs."""
+    import ray.data
+
+    from dcs_ray.functions.dedup import minhash_candidate_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "text": pa.array(["identical boilerplate page content here"] * 1000),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = _collect(minhash_candidate_pairs(ds, max_bucket=256)).to_pandas()
+    assert len(out) == 999  # star to doc 0
+    assert (out.id_a == 0).all()
+
+
 def test_emb_matrix_and_srp():
     emb = pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 0.01]], pa.list_(pa.float32()))
     m = _emb_matrix(emb)
