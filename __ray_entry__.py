@@ -361,11 +361,16 @@ def _q_knn(sf_dir: str) -> pa.Table:
 
 
 def _q_knn_lsh(sf_dir: str) -> pa.Table:
+    """ANN through a persistent bucket-partitioned LshAnnIndex — the
+    query probes only partitions within 1 hamming bit of its bucket."""
     from dcs_ray.functions.simsearch import knn_cosine_lsh
 
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
-    t = knn_cosine_lsh(emb, np.array([q0]), k=10)
+    t = knn_cosine_lsh(
+        emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_lshann")
+    )
     return pa.table(
         {
             "rank": t["rank"].cast(pa.int64()),
@@ -380,6 +385,15 @@ def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return near_dup_pairs_exact(emb, threshold=0.42)
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """Sub-quadratic approximate near-dup pairs (OR-amplified SRP
+    banding); recall vs the exact path is asserted in pytest."""
+    from dcs_ray.functions.simsearch import near_dup_pairs_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs_lsh(emb, threshold=0.42)
 
 
 def _q_minhash_pairs(sf_dir: str) -> Any:
@@ -476,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,

@@ -15,6 +15,9 @@ tests (not exact by design)."""
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray.data
@@ -112,60 +115,204 @@ def knn_cosine_bruteforce(
 # ---------------------------------------------------------------------------
 
 
+# per-worker cache of staged normalized blocks (path+mtime → (ids, matrix));
+# each block participates in ~num_blocks pair tasks, so a warm worker
+# re-reads nothing
+_BLOCK_CACHE: dict = {}
+
+
+def _load_block(path: str, id_col: str, emb_col: str):
+    import pyarrow.parquet as pq
+
+    key = (path, os.path.getmtime(path))
+    hit = _BLOCK_CACHE.get(key)
+    if hit is None:
+        t = pq.read_table(path, columns=[id_col, emb_col])
+        hit = (
+            t[id_col].to_numpy().astype(np.int64),
+            _normalize(_emb_matrix(t[emb_col])),
+        )
+        _BLOCK_CACHE.clear()  # keep at most a few blocks per worker
+        _BLOCK_CACHE[key] = hit
+    return hit
+
+
 def near_dup_pairs_exact(
     ds: ray.data.Dataset,
     threshold: float = 0.42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    num_blocks: int = 8,
+    stage_dir: str | None = None,
 ) -> pa.Table:
     """Exact embedding-cosine near-duplicate pairs: all ``(id_a < id_b)``
-    with cosine ≥ threshold.
+    with cosine ≥ threshold, as a distributed **block-pair cross
+    product** — nothing ever materializes on the driver.
 
-    The normalized corpus matrix is broadcast ONCE via ``ray.put``; each
-    ``map_batches`` task matmuls its batch against it (read from the
-    object store zero-copy in every task, never re-shipped per batch).
-    At 10^12-vector scale the same pair generation runs per LSH bucket
-    (``knn_cosine_lsh``'s ``srp_signatures`` → bucket groupby); this is
-    the exact, oracle-checkable base."""
-    import pyarrow.parquet  # noqa: F401
+    The corpus is staged once to ``num_blocks`` Parquet blocks (a
+    streaming distributed write), then one Ray task per block pair
+    (i ≤ j) loads two blocks (per-worker cached) and does one matmul.
+    Exact all-pairs is inherently O(N²) compute, but it is O(N²/B²) per
+    task and O(N/B) per-task memory, with the driver touching only the
+    (small) qualifying pairs. For the sub-quadratic approximate path at
+    web scale use ``near_dup_pairs_lsh``."""
+    import glob
+    import shutil
+    import tempfile
 
-    import ray
+    tmp = stage_dir or tempfile.mkdtemp(prefix="dcs_neardup_", dir="/tmp")
+    ds.select_columns([id_col, emb_col]).repartition(num_blocks).write_parquet(tmp)
+    files = sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+    spec = [
+        {"fa": files[i], "fb": files[j], "same": i == j}
+        for i in range(len(files))
+        for j in range(i, len(files))
+    ]
 
-    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-    full = pa.concat_tables(tables)
-    all_ids = full[id_col].to_numpy().astype(np.int64)
-    ref = ray.put((_normalize(_emb_matrix(full[emb_col])), all_ids))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        M, ids_all = ray.get(ref)
-        m = _normalize(_emb_matrix(batch[emb_col]))
-        ids = batch[id_col].to_numpy().astype(np.int64)
-        sims = m @ M.T
-        bi, bj = np.nonzero(sims >= threshold)
-        ia, ib = ids[bi], ids_all[bj]
-        keep = ia < ib  # each unordered pair exactly once
+    def run(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for row in batch.to_pylist():
+            ids_a, A = _load_block(row["fa"], id_col, emb_col)
+            if row["same"]:
+                ids_b, B = ids_a, A
+            else:
+                ids_b, B = _load_block(row["fb"], id_col, emb_col)
+            if A.size == 0 or B.size == 0:
+                continue
+            sims = A @ B.T
+            bi, bj = np.nonzero(sims >= threshold)
+            ia, ib = ids_a[bi], ids_b[bj]
+            keep = ia != ib
+            ia, ib, s = ia[keep], ib[keep], sims[bi, bj][keep]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            if row["same"]:  # symmetric matmul saw each pair twice
+                once = ia < ib
+                lo, hi, s = lo[once], hi[once], s[once]
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(s)
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(ia[keep], pa.int64()),
-                "id_b": pa.array(ib[keep], pa.int64()),
-                "cos_sim": pa.array(np.round(sims[bi, bj][keep], 6), pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cos_sim": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
             }
         )
 
-    out = [
-        pa.table(b)
-        for b in ds.map_batches(pairs, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        )
-    ]
+    res = ray.data.from_items(spec).map_batches(run, batch_size=1, batch_format="pyarrow")
+    out = [pa.table(b) for b in res.iter_batches(batch_format="pyarrow")]
     schema = pa.schema(
         [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
     )
+    if stage_dir is None:
+        shutil.rmtree(tmp, ignore_errors=True)
     if not out:
         return schema.empty_table()
     return pa.concat_tables(out).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+def near_dup_pairs_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    num_tables: int = 8,
+    bits_per_table: int = 2,
+    seed: int = 13,
+    max_bucket: int = 4096,
+) -> pa.Table:
+    """Approximate near-dup pairs via OR-amplified SRP banding — the
+    sub-quadratic scale path. ``num_tables`` independent SRP tables of
+    ``bits_per_table`` hyperplanes each; vectors sharing a (table, sig)
+    bucket compare pairwise inside the bucket only. A pair at cosine c
+    is missed with probability (1-(1-θ/π)^b)^L (θ=acos(c)); recall is
+    measured against the exact path in tests, never assumed."""
+    first = ds.take(1)
+    if not first:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+        ).empty_table()
+    d = len(first[0][emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * bits_per_table, d))
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        m = _normalize(_emb_matrix(batch[emb_col]))
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        bits = (m @ planes.T) > 0  # (n, L*b)
+        keys, out_ids, out_emb = [], [], []
+        emb = batch[emb_col]
+        idx_all = pa.array(np.arange(len(ids)))
+        for t in range(num_tables):
+            chunk = bits[:, t * bits_per_table : (t + 1) * bits_per_table]
+            sig = chunk @ (1 << np.arange(bits_per_table))
+            keys.append((np.int64(t) << np.int64(bits_per_table + 1)) | sig.astype(np.int64))
+            out_ids.append(ids)
+            out_emb.append(emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(keys), pa.int64()),
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                emb_col: pa.concat_arrays([e.take(idx_all) for e in out_emb]),
+            }
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        ids = group[id_col].to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return empty
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger("dcs_ray.simsearch").warning(
+                "lsh bucket capped: %d ids > %d", len(ids), max_bucket
+            )
+            order = np.argsort(ids, kind="stable")[:max_bucket]
+            group = group.take(pa.array(order))
+            ids = ids[order]
+        M = _normalize(_emb_matrix(group[emb_col]))
+        sims = M @ M.T
+        bi, bj = np.nonzero(sims >= threshold)
+        keep = ids[bi] < ids[bj]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[bi][keep], pa.int64()),
+                "id_b": pa.array(ids[bj][keep], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[bi, bj][keep], 6), pa.float64()),
+            }
+        )
+
+    cand = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    dedup = cand.groupby(["id_a", "id_b"]).max("cos_sim")
+    out = [pa.table(b) for b in dedup.iter_batches(batch_format="pyarrow")]
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+    )
+    if not out:
+        return schema.empty_table()
+    t = pa.concat_tables(out)
+    return pa.table(
+        {"id_a": t["id_a"], "id_b": t["id_b"], "cos_sim": t["max(cos_sim)"]}
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
 def srp_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -175,89 +322,232 @@ def srp_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits.astype(np.uint64) @ weights
 
 
+class LshAnnIndex:
+    """Persistent SRP-bucketed ANN index — a real index, not a filtered
+    scan: ``build`` partitions the corpus by SRP bucket ONCE
+    (bucket-partitioned Parquet via a distributed write); ``query`` reads
+    ONLY the partitions within ``probe_hamming`` bits of each query's
+    bucket, so probed I/O shrinks ~2^num_planes-fold vs a full scan.
+
+    Layout::
+
+        index_dir/
+          bucket=<sig>/*.parquet     (vec_id, embedding)
+          lsh_meta.json              (num_planes, seed, dim, id/emb cols)
+          planes.npy
+    """
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "lsh_meta.json")) as f:
+            self.meta = json.load(f)
+        self.planes = np.load(os.path.join(index_dir, "planes.npy"))
+        self.index_dir = index_dir
+        self.last_probed_rows = 0
+        self.total_rows = self.meta["n_rows"]
+
+    @staticmethod
+    def build(
+        ds: ray.data.Dataset,
+        index_dir: str,
+        num_planes: int = 6,
+        seed: int = 13,
+        id_col: str = "vec_id",
+        emb_col: str = "embedding",
+    ) -> "LshAnnIndex":
+        first = ds.take(1)
+        assert first, "empty corpus"
+        d = len(first[0][emb_col])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_planes, d))
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            sig = srp_signatures(_normalize(_emb_matrix(b[emb_col])), planes)
+            return b.select([id_col, emb_col]).append_column(
+                "bucket", pa.array(sig.astype(np.int64), pa.int64())
+            )
+
+        bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+        bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+        # row count from partition footer metadata — no corpus pass
+        import pyarrow.parquet as pq
+
+        n_rows = 0
+        for root, _dirs, files in os.walk(index_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    n_rows += pq.read_metadata(os.path.join(root, f)).num_rows
+        np.save(os.path.join(index_dir, "planes.npy"), planes)
+        meta = {
+            "num_planes": num_planes,
+            "seed": seed,
+            "dim": d,
+            "id_col": id_col,
+            "emb_col": emb_col,
+            "n_rows": n_rows,
+        }
+        with open(os.path.join(index_dir, "lsh_meta.json"), "w") as f:
+            json.dump(meta, f)
+        return LshAnnIndex(index_dir)
+
+    def _probe_set(self, sig: int, probe_hamming: int) -> list[int]:
+        """All bucket ids within the hamming radius (multiprobe)."""
+        from itertools import combinations
+
+        p = self.meta["num_planes"]
+        out = [sig]
+        for r in range(1, probe_hamming + 1):
+            for flip in combinations(range(p), r):
+                v = sig
+                for b in flip:
+                    v ^= 1 << b
+                out.append(v)
+        return out
+
+    def query(
+        self, queries: np.ndarray, k: int = 10, probe_hamming: int = 1
+    ) -> pa.Table:
+        """Approximate top-k per query; same output schema as
+        ``knn_cosine_bruteforce``. Sets ``last_probed_rows``."""
+        id_col, emb_col = self.meta["id_col"], self.meta["emb_col"]
+        q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+        q_sigs = srp_signatures(q, self.planes).astype(np.int64)
+        want: dict[int, set[int]] = {}
+        for j, s in enumerate(q_sigs):
+            for b in self._probe_set(int(s), probe_hamming):
+                want.setdefault(b, set()).add(j)
+        # open ONLY the needed partitions (directory names carry the bucket)
+        dirs = []
+        for b in want:
+            p = os.path.join(self.index_dir, f"bucket={b}")
+            if os.path.isdir(p):
+                dirs.append((b, p))
+        if not dirs:
+            self.last_probed_rows = 0
+            return pa.schema(
+                [
+                    ("query_id", pa.int32()),
+                    ("rank", pa.int32()),
+                    (id_col, pa.int64()),
+                    ("cos_sim", pa.float64()),
+                ]
+            ).empty_table()
+        import pyarrow.parquet as pq
+
+        files = []
+        bucket_of_dir = {}
+        for b, p in dirs:
+            bucket_of_dir[p] = b
+            files += [
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            ]
+        self.last_probed_rows = sum(pq.read_metadata(f).num_rows for f in files)
+        sub = ray.data.read_parquet(files, include_paths=True)
+
+        def score(batch: pa.Table) -> pa.Table:
+            m = _normalize(_emb_matrix(batch[emb_col]))
+            ids = batch[id_col].to_numpy()
+            paths = batch["path"].to_pylist()
+            bks = np.array(
+                [bucket_of_dir[os.path.dirname(pth)] for pth in paths], dtype=np.int64
+            )
+            out_q, out_i, out_s = [], [], []
+            for j in range(q.shape[0]):
+                allowed = {b for b, qs in want.items() if j in qs}
+                sel = np.flatnonzero(np.isin(bks, list(allowed)))
+                if len(sel) == 0:
+                    continue
+                s = m[sel] @ q[j]
+                if len(s) > k:
+                    kth = np.partition(s, len(s) - k)[len(s) - k]
+                    top = np.flatnonzero(s >= kth)
+                    sel, s = sel[top], s[top]
+                out_q.append(np.full(len(sel), j, dtype=np.int32))
+                out_i.append(ids[sel])
+                out_s.append(s.astype(np.float64))
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int32()),
+                        id_col: pa.array([], pa.int64()),
+                        "cos_sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int32()),
+                    id_col: pa.array(np.concatenate(out_i)),
+                    "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        partial = sub.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+        def merge(group: pa.Table) -> pa.Table:
+            ids = group[id_col].to_numpy()
+            sims = group["cos_sim"].to_numpy()
+            order = np.lexsort((ids, -sims))[:k]
+            qid = group["query_id"][0].as_py()
+            return pa.table(
+                {
+                    "query_id": pa.array(np.full(len(order), qid, np.int32), pa.int32()),
+                    "rank": pa.array(
+                        np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()
+                    ),
+                    id_col: pa.array(ids[order]),
+                    "cos_sim": pa.array(np.round(sims[order], 6), pa.float64()),
+                }
+            )
+
+        tables = [
+            pa.table(b)
+            for b in partial.groupby("query_id")
+            .map_groups(merge, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ]
+        if not tables:
+            return pa.schema(
+                [
+                    ("query_id", pa.int32()),
+                    ("rank", pa.int32()),
+                    (id_col, pa.int64()),
+                    ("cos_sim", pa.float64()),
+                ]
+            ).empty_table()
+        return pa.concat_tables(tables).sort_by(
+            [("query_id", "ascending"), ("rank", "ascending")]
+        )
+
+
 def knn_cosine_lsh(
     ds: ray.data.Dataset,
     queries: np.ndarray,
     k: int = 10,
-    num_planes: int = 4,
+    num_planes: int = 6,
     probe_hamming: int = 1,
     seed: int = 13,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """Approximate top-k: scan only vectors whose SRP bucket is within
-    ``probe_hamming`` bits of the query's (multiprobe). Same output
-    schema as brute force; recall measured vs brute force in tests."""
-    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-    d = q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, d))
-    q_sigs = srp_signatures(q, planes)
+    """Approximate top-k through a real ``LshAnnIndex``: builds (or
+    reuses, when ``index_dir`` already holds one) the bucket-partitioned
+    index, then probes only matching partitions. Recall vs brute force is
+    measured in tests, never assumed."""
+    import shutil
+    import tempfile
 
-    def score(batch: pa.Table) -> pa.Table:
-        m = _normalize(_emb_matrix(batch[emb_col]))
-        ids = batch[id_col].to_numpy()
-        sigs = srp_signatures(m, planes)
-        out_q, out_i, out_s = [], [], []
-        for j in range(q.shape[0]):
-            xor = sigs ^ q_sigs[j]
-            ham = np.zeros(len(xor), dtype=np.int64)
-            for bit in range(num_planes):
-                ham += ((xor >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-            sel = np.flatnonzero(ham <= probe_hamming)
-            if len(sel) == 0:
-                continue
-            s = m[sel] @ q[j]
-            out_q.append(np.full(len(sel), j, dtype=np.int32))
-            out_i.append(ids[sel])
-            out_s.append(s.astype(np.float64))
-        if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int32()),
-                    id_col: pa.array([], pa.int64()),
-                    "cos_sim": pa.array([], pa.float64()),
-                }
+    tmp = None
+    if index_dir is None:
+        tmp = index_dir = tempfile.mkdtemp(prefix="dcs_lshidx_", dir="/tmp")
+    try:
+        if os.path.exists(os.path.join(index_dir, "lsh_meta.json")):
+            idx = LshAnnIndex(index_dir)
+        else:
+            idx = LshAnnIndex.build(
+                ds, index_dir, num_planes=num_planes, seed=seed,
+                id_col=id_col, emb_col=emb_col,
             )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q), pa.int32()),
-                id_col: pa.array(np.concatenate(out_i)),
-                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
-
-    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
-
-    def merge(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy()
-        sims = group["cos_sim"].to_numpy()
-        order = np.lexsort((ids, -sims))[:k]
-        qid = group["query_id"][0].as_py()
-        return pa.table(
-            {
-                "query_id": pa.array(np.full(len(order), qid, np.int32), pa.int32()),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32), pa.int32()),
-                id_col: pa.array(ids[order]),
-                "cos_sim": pa.array(np.round(sims[order], 6), pa.float64()),
-            }
-        )
-
-    tables = [
-        pa.table(b)
-        for b in partial.groupby("query_id")
-        .map_groups(merge, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ]
-    if not tables:
-        return pa.schema(
-            [
-                ("query_id", pa.int32()),
-                ("rank", pa.int32()),
-                (id_col, pa.int64()),
-                ("cos_sim", pa.float64()),
-            ]
-        ).empty_table()
-    return pa.concat_tables(tables).sort_by(
-        [("query_id", "ascending"), ("rank", "ascending")]
-    )
+        return idx.query(queries, k=k, probe_hamming=probe_hamming)
+    finally:
+        if tmp is not None:
+            shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,84 @@
+"""Scale-path similarity search: distributed block-pair exact near-dup,
+OR-amplified SRP LSH near-dup, and the persistent bucket-partitioned ANN
+index (probed rows ≪ corpus)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dcs_ray.functions.simsearch import (
+    LshAnnIndex,
+    knn_cosine_bruteforce,
+    near_dup_pairs_exact,
+    near_dup_pairs_lsh,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_block_pair_exact_equals_single_block(ray_session):
+    """The distributed block-pair cross product must emit exactly the
+    same pair set regardless of block count."""
+    one = near_dup_pairs_exact(_emb_ds(), threshold=0.42, num_blocks=1).to_pandas()
+    many = near_dup_pairs_exact(_emb_ds(), threshold=0.42, num_blocks=5).to_pandas()
+    assert one.reset_index(drop=True).equals(many.reset_index(drop=True))
+    assert len(one) > 0
+
+
+def test_near_dup_lsh_recall(ray_session):
+    exact = near_dup_pairs_exact(_emb_ds(), threshold=0.42).to_pandas()
+    approx = near_dup_pairs_lsh(_emb_ds(), threshold=0.42).to_pandas()
+    e = set(zip(exact.id_a, exact.id_b))
+    a = set(zip(approx.id_a, approx.id_b))
+    assert a <= e  # LSH candidates are verified exactly — no false pairs
+    assert len(a) >= 0.7 * len(e), (len(a), len(e))  # measured recall
+
+
+def test_lsh_ann_index_probes_subset(ray_session, tmp_path):
+    idx_dir = str(tmp_path / "lshann")
+    idx = LshAnnIndex.build(_emb_ds(), idx_dir, num_planes=6)
+    import pyarrow.parquet as pq
+
+    q0 = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()
+    )
+    res = idx.query(q0, k=10, probe_hamming=1).to_pandas()
+    # the query IS vector 0 → must be found at cos 1.0, rank 1
+    assert res.iloc[0].vec_id == 0
+    assert res.iloc[0].cos_sim == 1.0
+    # a real index probes a strict subset of the corpus
+    assert 0 < idx.last_probed_rows < idx.total_rows, (
+        idx.last_probed_rows, idx.total_rows,
+    )
+    # probe radius 1 over 6 planes opens ≤ 7/64 of the bucket space;
+    # with ~uniform buckets that is ≪ half the corpus
+    assert idx.last_probed_rows < 0.5 * idx.total_rows
+    # recall vs brute force on the probed top-10
+    exact = knn_cosine_bruteforce(_emb_ds(), q0, k=10).to_pandas()
+    inter = set(exact.vec_id) & set(res.vec_id)
+    assert len(inter) >= 3
+
+
+def test_lsh_ann_index_reopen(ray_session, tmp_path):
+    idx_dir = str(tmp_path / "lshann2")
+    vecs = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [np.eye(8)[i % 8].tolist() for i in range(50)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    LshAnnIndex.build(ray.data.from_arrow(vecs), idx_dir, num_planes=4)
+    idx = LshAnnIndex(idx_dir)  # re-open from disk
+    res = idx.query(np.eye(8)[3][None, :], k=5, probe_hamming=0).to_pandas()
+    assert len(res) > 0
+    assert (res.cos_sim <= 1.0).all()
+    found = set(res.vec_id)
+    assert any(v % 8 == 3 for v in found)  # the matching direction found
