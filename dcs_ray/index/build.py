@@ -194,6 +194,10 @@ def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats:
     ``internal/sourcebackend/sourcebackend.go:198-251``). Everything —
     including per-stage metrics — goes through ONE temp+rename write so a
     crash can never leave a truncated manifest."""
+    from dataclasses import asdict
+
+    config = asdict(conf)
+    config["meta_cols"] = list(config["meta_cols"])
     manifest = {
         "version": 1,
         "mode": conf.mode,
@@ -202,6 +206,7 @@ def commit_manifest(out_dir: str, conf: IndexConfig, lineage: list[dict], stats:
         "positional": conf.positional,
         "k1": conf.k1,
         "b": conf.b,
+        "config": config,  # full build config — update_partition re-reads it
         "stats": stats,
         "partitions": lineage,
         "shards": shard_lineage or [],
@@ -342,3 +347,75 @@ def build_index(
 def load_manifest(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "MANIFEST.json")) as f:
         return json.load(f)
+
+
+def conf_from_manifest(manifest: dict) -> IndexConfig:
+    cfg = dict(manifest.get("config") or {})
+    cfg["meta_cols"] = tuple(cfg.get("meta_cols") or ())
+    return IndexConfig(**cfg)
+
+
+def update_partition(out_dir: str, part_id: int, docs: pa.Table) -> dict:
+    """Incrementally replace ONE partition's documents and refresh only
+    what depends on it — the dcs package re-import + shard re-merge flow
+    (``cmd/dcs-package-importer/importer.go:319-390``) for a daily crawl:
+
+    1. rebuild segment ``part_id`` from ``docs`` (rename swap),
+    2. re-merge ONLY the shard containing that segment (other shards'
+       bytes are untouched),
+    3. recompute corpus stats (vocab-scale work, not corpus-scale),
+    4. re-commit the manifest atomically.
+
+    ``docs`` must be the partition's full new content; with id-range
+    partitioning its ids must stay inside the partition's span (doc-id
+    order across partitions is what keeps shard merge pure
+    concatenation). Open ``Segment`` handles elsewhere re-open lazily via
+    the build-generation check in ``dcs_ray.search._open``.
+    """
+    import shutil
+
+    from dcs_ray.index.merge import merge_one_shard, shard_name
+
+    man = load_manifest(out_dir)
+    conf = conf_from_manifest(man)
+    by_part = {r["part_id"]: r for r in man["partitions"]}
+    if part_id not in by_part:
+        raise ValueError(f"partition {part_id} not in index (have {sorted(by_part)})")
+    if conf.id_col is not None:
+        assert conf.id_max is not None
+        span = (conf.id_max + conf.num_partitions) // conf.num_partitions
+        ids = docs[conf.id_col].to_numpy()
+        if len(ids) and (ids.min() < part_id * span or ids.max() >= (part_id + 1) * span):
+            raise ValueError(
+                f"doc ids outside partition {part_id}'s span "
+                f"[{part_id * span}, {(part_id + 1) * span})"
+            )
+    seg_root = os.path.join(out_dir, "segments")
+    import time as _t
+
+    t0 = _t.monotonic()
+    seg = build_segment_data(part_id, docs, conf)
+    rec = write_segment(
+        seg_root, seg, extra={"build_wall_s": round(_t.monotonic() - t0, 4)}, replace=True
+    )
+
+    target = next(
+        s for s in man["shards"] if segment_name(part_id) in s["segments"]
+    )
+    shard_id = target["shard_id"]
+    shard_root = os.path.join(out_dir, "shards")
+    shutil.rmtree(os.path.join(shard_root, shard_name(shard_id)), ignore_errors=True)
+    new_shard = merge_one_shard(
+        shard_id, [os.path.join(seg_root, s) for s in target["segments"]], shard_root
+    )
+    stats = compute_corpus_stats(out_dir, conf)
+    lineage = [rec if r["part_id"] == part_id else r for r in man["partitions"]]
+    shard_lineage = [new_shard if s["shard_id"] == shard_id else s for s in man["shards"]]
+    metrics = dict(man.get("metrics") or {})
+    metrics["last_update"] = {
+        "part_id": part_id,
+        "shard_id": shard_id,
+        "n_docs": rec["n_docs"],
+        "wall_s": round(_t.monotonic() - t0, 3),
+    }
+    return commit_manifest(out_dir, conf, lineage, stats, shard_lineage, metrics)

@@ -204,9 +204,16 @@ def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
 # ---------------------------------------------------------------------------
 
 
-def write_segment(out_dir: str, seg: dict, extra: dict | None = None) -> dict:
+def write_segment(
+    out_dir: str, seg: dict, extra: dict | None = None, replace: bool = False
+) -> dict:
     """Atomically persist a segment; returns its lineage record
-    (per-partition lineage + per-stage metrics per the north rule)."""
+    (per-partition lineage + per-stage metrics per the north rule).
+
+    ``replace=False`` (build): a concurrently-written existing segment
+    wins — idempotent under task retries. ``replace=True`` (incremental
+    update, dcs re-import of one package): the new segment supersedes
+    the old one via rename swap."""
     t0 = time.monotonic()
     name = segment_name(seg["part_id"])
     final = os.path.join(out_dir, name)
@@ -276,10 +283,16 @@ def write_segment(out_dir: str, seg: dict, extra: dict | None = None) -> dict:
             lineage["postings_per_s"] = round(lineage["n_postings"] / build_s, 1)
     with open(os.path.join(tmp, "lineage.json"), "w") as f:
         json.dump(lineage, f)
-    if os.path.exists(final):  # concurrent/retried task lost the race — idempotent
+    if os.path.exists(final):
         import shutil
 
-        shutil.rmtree(tmp)
+        if replace:  # update flow: swap the old segment out
+            old = final + ".old"
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old)
+        else:  # concurrent/retried build task lost the race — idempotent
+            shutil.rmtree(tmp)
     else:
         os.rename(tmp, final)
     return lineage
