@@ -314,12 +314,13 @@ REGEX = "(spark|batch) (merge|join)"
 
 def _q_regex_search(sf_dir: str) -> Any:
     """Full dcs query path: regex → trigram planner (F6) → candidate
-    generation on the index → restricted verify grep (F10) → matching
-    lines per doc (≤1 match/line, D3)."""
-    from dcs_ray.grep import search_regex
+    generation on the index → verify grep (F10) FUSED into the same
+    per-shard task (candidates never touch the driver) → matching lines
+    per doc (≤1 match/line, D3)."""
+    from dcs_ray.grep import search_regex_fused
 
     idx = _index_dir(sf_dir, "trigram")
-    ds = search_regex(idx, _docs(sf_dir), REGEX)
+    ds = search_regex_fused(idx, f"{sf_dir}/documents.parquet", REGEX)
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     if len(t) == 0:
         return pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64())]).empty_table()

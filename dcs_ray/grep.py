@@ -47,16 +47,28 @@ class RegexGrepper:
     one compiled matcher per worker, ``regexp/regexp.go:17``,
     ``sourcebackend.go:560-571``)."""
 
-    def __init__(self, pattern: str, candidates: np.ndarray | None = None,
+    def __init__(self, pattern: str, candidates=None,
                  id_col: str = "doc_id", max_matches_per_doc: int | None = None):
         self.rx = re.compile(pattern)
-        self.candidates = np.sort(candidates) if candidates is not None else None
+        # candidates may be an ndarray OR a ray.ObjectRef to one — a ref
+        # costs one plasma fetch per worker (zero-copy, shared) instead of
+        # pickling millions of ids into every task's closure
+        self._cand_ref = None
+        if candidates is not None and not isinstance(candidates, np.ndarray):
+            self._cand_ref = candidates
+            self.candidates = None
+        else:
+            self.candidates = np.sort(candidates) if candidates is not None else None
+        self._resolved = candidates is None or self.candidates is not None
         self.id_col = id_col
         # no cap by default: the oracle-compared path counts every matching
         # line; a cap is an opt-in latency guard for interactive serving
         self.cap = max_matches_per_doc if max_matches_per_doc is not None else (1 << 62)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._resolved:
+            self.candidates = ray.get(self._cand_ref)
+            self._resolved = True
         ids = batch[self.id_col].to_numpy()
         if self.candidates is not None:
             # match dtypes so np.isin stays in integer space (uint64 vs
@@ -181,12 +193,15 @@ def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
                 }
             )
 
-        tbl = pa2.concat_tables(
+        tables = [
             pa2.table(b)
             for b in work.map_batches(cand, batch_size=1, batch_format="pyarrow").iter_batches(
                 batch_format="pyarrow"
             )
-        )
+        ]
+        if not tables:  # every shard returned zero candidates
+            return docs.limit(0)
+        tbl = pa2.concat_tables(tables)
         import pyarrow.compute as pc2
 
         if pc2.any(tbl["unfilterable"]).as_py():
@@ -195,4 +210,76 @@ def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
             candidates = tbl["doc_id"].to_numpy().astype(np.uint64)
             if len(candidates) == 0:
                 return docs.limit(0)
+    if candidates is not None:
+        # ship ids through the object store (one shared copy), not the
+        # task closure
+        candidates = ray.put(np.sort(candidates))
     return grep_regex(docs, pattern, candidates, id_col)
+
+
+MATCH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("line", pa.int64()),
+        ("position", pa.int64()),
+        ("context", pa.string()),
+        ("ctx_before", pa.string()),
+        ("ctx_after", pa.string()),
+    ]
+)
+
+
+def search_regex_fused(
+    index_dir: str,
+    docs_files: list[str] | str,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Regex search with candidate generation FUSED into the verify task
+    — the scale path for id-range-partitioned corpora.
+
+    One task per shard: evaluate the trigram query against the shard,
+    then read ONLY the shard's doc-id range from the documents Parquet
+    (row-group predicate pushdown), mask by the candidate ids in memory,
+    and grep. Candidate ids never leave the task — no driver
+    concatenation, no broadcast, regardless of how common the pattern's
+    trigrams are (a common-trigram regex yields millions of ids per
+    shard at web scale). The driver sees only match rows.
+    """
+    from dcs_ray.queryplan import regexp_query
+    from dcs_ray.search import _open, shard_paths
+
+    if isinstance(docs_files, str):
+        docs_files = [docs_files]
+    q = regexp_query(pattern)
+    if q.op == "NONE":
+        return ray.data.from_arrow(MATCH_SCHEMA.empty_table())
+    unfilterable = q.op == "ALL"
+    shards = shard_paths(index_dir)
+
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        out = []
+        for sp in batch["path"].to_pylist():
+            seg = _open(sp)
+            if len(seg.doc_ids) == 0:
+                continue
+            cands = None if unfilterable else shard_candidates(sp, pattern)
+            if cands is not None and len(cands) == 0:
+                continue
+            lo, hi = int(seg.doc_ids[0]), int(seg.doc_ids[-1])
+            dset = pads.dataset(docs_files)
+            tbl = dset.to_table(
+                filter=(pads.field(id_col) >= lo) & (pads.field(id_col) <= hi),
+                columns=[id_col, text_col],
+            )
+            grepper = RegexGrepper(pattern, cands, id_col)
+            out.append(grepper(tbl))
+        if not out:
+            return MATCH_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+    work = ray.data.from_items([{"path": p} for p in shards])
+    return work.map_batches(run, batch_size=1, batch_format="pyarrow")

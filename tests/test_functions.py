@@ -251,6 +251,44 @@ def test_image_feature_extractor_plumbing():
     assert out.equals(out2)
 
 
+def test_search_regex_fused_equals_unfused(ray_session, tmp_path):
+    """The fused per-shard candidates+grep path must return exactly the
+    unfused (broadcast) path's matches, for filterable, unfilterable and
+    no-match patterns."""
+    import ray.data
+
+    from dcs_ray.grep import search_regex, search_regex_fused
+    from dcs_ray.index import IndexConfig, build_index
+
+    out = str(tmp_path / "tri")
+    docs_file = "/root/testdata/sf0.001/documents.parquet"
+    docs = ray.data.read_parquet(docs_file)
+    build_index(
+        docs, out,
+        IndexConfig(num_partitions=4, num_shards=2, mode="trigram",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    def rows(ds):
+        out_rows = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b).to_pandas()
+            out_rows += list(
+                zip(t.doc_id.astype(int), t.line.astype(int), t.position.astype(int))
+            )
+        return sorted(out_rows)
+
+    for pattern in [
+        "(spark|batch) (merge|join)",
+        "customer",
+        r"n[o0]suchth1ng",
+        "the",  # very common trigrams — large candidate set stays in-task
+    ]:
+        fused = rows(search_regex_fused(out, docs_file, pattern))
+        unfused = rows(search_regex(out, docs, pattern))
+        assert fused == unfused, pattern
+    assert len(rows(search_regex_fused(out, docs_file, "customer"))) > 0
+
+
 def test_search_regex_unfilterable_pattern(ray_session):
     """A pattern with no usable trigrams (q.op == ALL) must fall back to
     grepping every document (dcs-web would reject it; the engine greps,
