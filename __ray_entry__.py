@@ -330,6 +330,19 @@ def _q_regex_search(sf_dir: str) -> Any:
     ).sort_by("doc_id")
 
 
+def _q_filter_ignored(sf_dir: str) -> ray.data.Dataset:
+    """Ingest filter (dcs filter.Ignored F1, ``filter.go:74-125``):
+    size caps + ignored-language predicate, vectorized."""
+    from dcs_ray.filters import filter_ignored
+
+    ds = filter_ignored(
+        _docs(sf_dir), ignored_langs=("de",), min_chars=50, max_chars=100_000
+    )
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
 def _q_lang_stats(sf_dir: str) -> Any:
     from ray.data.aggregate import Count, Mean
 
@@ -487,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
         "regex_search": _q_regex_search,
+        "filter_ignored": _q_filter_ignored,
         "lang_stats": _q_lang_stats,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -689,6 +703,11 @@ FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
 SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
 ) WHERE regexp_matches(line, '{REGEX}') GROUP BY doc_id ORDER BY doc_id
+""",
+        "filter_ignored": """
+SELECT doc_id, lang FROM documents
+WHERE length(text) >= 50 AND length(text) <= 100000 AND lang NOT IN ('de')
+ORDER BY doc_id
 """,
         "lang_stats": """
 SELECT lang, count(*)::bigint AS n_docs, round(avg(n_chars), 6) AS avg_chars

@@ -261,32 +261,63 @@ def decode_postings(blob: np.ndarray | memoryview | bytes) -> tuple[np.ndarray, 
 # ---------------------------------------------------------------------------
 
 
-def pack_positions(doc_ids: np.ndarray, pos_offsets: np.ndarray, positions: np.ndarray) -> bytes:
-    """Pack one term's positional postings.
+def _varints_at(b: np.ndarray, count: int, start: int) -> tuple[np.ndarray, int]:
+    """Decode exactly ``count`` varints beginning at byte ``start``.
+    Returns (values u64, offset past the last varint). Needed because the
+    positional format interleaves a RAW posrel bitmap between varint
+    regions — a whole-buffer scan would misread bitmap bytes as
+    continuation bytes."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64), start
+    window = b[start : start + count * 10]
+    cont = (window & 0x80) != 0
+    ends = np.flatnonzero(~cont)[:count]
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    vals = np.zeros(count, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        m = lengths > j
+        vals[m] |= (window[starts[m] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(
+            7 * j
+        )
+    return vals, start + int(ends[-1]) + 1
 
-    ``doc_ids``: sorted unique u64; ``positions`` flat u64 (sorted within
-    doc); doc d's positions are ``positions[pos_offsets[d]:pos_offsets[d+1]]``.
-    Layout (mirrors dcs posting.pos + posrel semantics,
-    ``internal/index/write.go:333-441``): varint(ndocs), varint(docid
-    deltas incl. first), varint(npos per doc), varint(pos deltas within doc).
+
+def pack_positions(doc_ids: np.ndarray, pos_offsets: np.ndarray, positions: np.ndarray) -> bytes:
+    """Pack one term's positional postings — dcs posting.pos + posting.posrel
+    (``internal/index/write.go:333-441``): positions are one flat delta
+    stream and doc boundaries are a **posrel bitmap**, 1 bit per position
+    ("does this position start a new doc?"), instead of per-doc count
+    varints — the encoding dcs credits with ≈25% of total index size
+    (``internal/index/read.go:394``).
+
+    Layout: varint(ndocs), varint(npositions), varint(docid deltas incl.
+    first), posrel bitmap (ceil(npositions/8) bytes, LSB-first), varint(pos
+    deltas; first position per doc absolute).
     """
     ndocs = len(doc_ids)
-    header, _ = varint_encode(np.array([ndocs], dtype=np.uint64))
+    npositions = len(positions)
+    header, _ = varint_encode(np.array([ndocs, npositions], dtype=np.uint64))
     if ndocs == 0:
         return header.tobytes()
     d = np.empty(ndocs, dtype=np.uint64)
     d[0] = doc_ids[0]
     d[1:] = doc_ids[1:] - doc_ids[:-1]
-    npos = np.diff(pos_offsets).astype(np.uint64)
-    pdel = positions.astype(np.uint64).copy()
     starts = pos_offsets[:-1]
+    bits = np.zeros(npositions, dtype=np.uint8)
+    bits[starts] = 1  # every doc owns >= 1 position by construction
+    w = PosrelWriter()
+    w.write(bits)
+    pdel = positions.astype(np.uint64).copy()
     pdel[1:] = positions[1:] - positions[:-1]
     pdel[starts] = positions[starts]  # first position per doc is absolute
-    parts = [header]
-    for arr in (d, npos, pdel):
-        enc, _ = varint_encode(arr)
-        parts.append(enc)
-    return np.concatenate(parts).tobytes()
+    d_enc, _ = varint_encode(d)
+    p_enc, _ = varint_encode(pdel)
+    return (
+        header.tobytes() + d_enc.tobytes() + w.data() + p_enc.tobytes()
+    )
 
 
 class PosrelWriter:
@@ -330,22 +361,28 @@ def unpack_posrel(data: bytes | np.ndarray, nbits: int) -> np.ndarray:
 
 
 def unpack_positions(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Inverse of pack_positions → (doc_ids, pos_offsets, positions)."""
-    vals = varint_decode(blob)
-    ndocs = int(vals[0])
+    """Inverse of pack_positions → (doc_ids, pos_offsets, positions).
+    Doc boundaries come from the posrel bitmap (new-doc flags →
+    flatnonzero → offsets), mirroring dcs's posrel reader."""
+    b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    head, off = _varints_at(b, 2, 0)
+    ndocs, npositions = int(head[0]), int(head[1])
     if ndocs == 0:
         return (
             np.empty(0, dtype=np.uint64),
             np.zeros(1, dtype=np.int64),
             np.empty(0, dtype=np.uint64),
         )
-    d = vals[1 : 1 + ndocs]
-    npos = vals[1 + ndocs : 1 + 2 * ndocs].astype(np.int64)
-    pdel = vals[1 + 2 * ndocs :]
+    d, off = _varints_at(b, ndocs, off)
+    nbytes_rel = (npositions + 7) // 8
+    bits = unpack_posrel(b[off : off + nbytes_rel], npositions)
+    off += nbytes_rel
+    pdel, _ = _varints_at(b, npositions, off)
     doc_ids = np.cumsum(d, dtype=np.uint64)
-    pos_offsets = np.concatenate(([0], np.cumsum(npos)))
+    starts = np.flatnonzero(bits).astype(np.int64)
+    pos_offsets = np.concatenate((starts, [npositions]))
+    npos = np.diff(pos_offsets)
     total = np.cumsum(pdel, dtype=np.uint64)
-    starts = pos_offsets[:-1]
     # segment-local cumsum: subtract, per doc, the running total just before
     # its first position (first position per doc was encoded absolute)
     corr = np.zeros(ndocs, dtype=np.uint64)

@@ -251,6 +251,36 @@ def test_image_feature_extractor_plumbing():
     assert out.equals(out2)
 
 
+def test_filter_ignored_predicates():
+    from dcs_ray.filters import ignored_mask
+
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/page.html",
+                    "https://a.com/style.css",       # ignored suffix
+                    "https://a.com/node_modules/x",  # ignored segment
+                    "https://a.com/big.json",        # small-only suffix, large
+                    "https://a.com/small.json",      # small-only suffix, small
+                    "https://a.com/tiny",            # under min size
+                ]
+            ),
+            "text": pa.array(
+                ["body text"] * 3 + ["x" * 70_000, "y" * 100, "ab"]
+            ),
+            "lang": pa.array(["en", "en", "en", "en", "de", "en"]),
+        }
+    )
+    keep = ignored_mask(t)
+    assert keep.tolist() == [True, False, False, False, True, False]
+    keep_lang = ignored_mask(t, ignored_langs=("de",))
+    assert keep_lang.tolist() == [True, False, False, False, False, False]
+    # tables without url/lang columns only apply the size predicate
+    bare = pa.table({"text": pa.array(["ok text", "ab"])})
+    assert ignored_mask(bare).tolist() == [True, False]
+
+
 def test_search_regex_fused_equals_unfused(ray_session, tmp_path):
     """The fused per-shard candidates+grep path must return exactly the
     unfused (broadcast) path's matches, for filterable, unfilterable and
