@@ -191,6 +191,33 @@ def _q_dedup_exact(sf_dir: str) -> Any:
     return pa.table({"doc_id": t["min(doc_id)"].cast(pa.int64())}).sort_by("doc_id")
 
 
+def _q_latest_version_per_source(sf_dir: str) -> Any:
+    """Version-aware newest-wins dedup (J7 with a real comparator —
+    dcs ``dpkgversion`` + ``querymanager.go:688-747``): deterministic
+    synthetic Debian-style versions, newest per source, id tie-break."""
+    from dcs_ray.versions import latest_version_per_key
+
+    def with_version(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ver = [
+            f"{i % 4}.{i % 10}" + ("~rc1" if i % 3 == 0 else "") for i in ids
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "version": pa.array(ver)}
+        )
+
+    ds = _docs(sf_dir).map_batches(with_version, batch_format="pyarrow")
+    out = latest_version_per_key(ds, "source", "version")
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "source": t["source"],
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "version": t["version"],
+        }
+    ).sort_by("source")
+
+
 def _q_latest_event(sf_dir: str) -> Any:
     from dcs_ray.functions.windows import latest_event_per_user
 
@@ -491,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "dedup_exact": _q_dedup_exact,
         "latest_event_per_user": _q_latest_event,
+        "latest_version_per_source": _q_latest_version_per_source,
         "tumbling_window_agg": _q_window_agg,
         "hopping_window_agg": _q_hopping_window,
         "session_window_agg": _q_session_window,
@@ -635,6 +663,18 @@ SELECT user_id::bigint AS user_id, event_id::bigint AS event_id FROM (
   SELECT user_id, event_id,
          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id
+""",
+        "latest_version_per_source": """
+SELECT source, doc_id, version FROM (
+  SELECT d.source, d.doc_id,
+         concat(d.doc_id % 4, '.', d.doc_id % 10,
+                CASE WHEN d.doc_id % 3 = 0 THEN '~rc1' ELSE '' END) AS version,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY d.doc_id % 4 DESC, d.doc_id % 10 DESC,
+                    CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END DESC,
+                    d.doc_id DESC) AS rn
+  FROM documents d) WHERE rn = 1 ORDER BY source
 """,
         "tumbling_window_agg": """
 SELECT user_id::bigint AS user_id,

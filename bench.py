@@ -248,6 +248,7 @@ def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
         "n_docs": n_docs,
         "n_postings": n_postings,
         "build_s": round(build_s, 3),
+        "build_stages": manifest.get("metrics", {}),  # segments/merge/stats split
         "query_s": round(q_s, 3),
         "throughput": {
             "build_docs_per_s": round(n_docs / build_s, 1),
