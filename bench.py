@@ -259,19 +259,24 @@ def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
 
 
 def run_scaling(
-    sf_dir: str, low: int = 2, high: int = 8, factor: int = 800, runs: int = 2
+    sf_dir: str, low: int = 2, high: int = 8, factor: int = 800, runs: int = 2,
+    cooldown: int = 120,
 ) -> dict:
     """Same job at two parallelism levels in fresh processes on the same
     (replicated, compute-bound) input; num_partitions fixed at both
     levels so only resources vary. ``runs`` repeats per level, best
-    taken per metric (the sandbox VM has heavy wall-clock noise)."""
+    taken per metric: the shared VM throttles sustained load (the
+    identical 8-cpu build measured 17.9 s cold vs 72 s right after a
+    benchmark marathon), so a cooled best-of-N is the only reading that
+    reflects the code rather than the credit meter. High level first —
+    its burst is shorter, so the low level runs during recovery."""
     input_dir = replicate_input(sf_dir, factor)
     results: dict[int, dict] = {}
     # interleave levels so slow drift in the shared VM's performance
     # (sustained-load throttling) hits both levels equally
     for _ in range(runs):
-        for cpus in (low, high):
-            time.sleep(45)  # cool-down: decouple from the previous run's
+        for cpus in (high, low):
+            time.sleep(cooldown)  # decouple from the previous run's
             # sustained load (shared-VM throttle drift)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-one",
@@ -321,12 +326,14 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cooldown", type=int, default=120)
     args = ap.parse_args()
     if args.scaling_one:
         out = run_scaling_one(args.input_dir, args.cpus, args.partitions)
     elif args.scaling:
         out = run_scaling(args.sf, low=args.low, high=args.high,
-                          factor=args.factor, runs=args.runs)
+                          factor=args.factor, runs=args.runs,
+                          cooldown=args.cooldown)
     else:
         out = run_bench(args.sf, args.cpus)
     print(json.dumps(out))

@@ -79,12 +79,11 @@ def cmd_du(args) -> None:
 
 def cmd_docids(args) -> None:
     """Dump doc_id → url map head (``cmd/dcs/docids.go`` analogue)."""
-    import pyarrow.parquet as pq
-
+    from dcs_ray.index.segment import Segment
     from dcs_ray.search import shard_paths
 
     for p in shard_paths(args.index):
-        t = pq.read_table(os.path.join(p, "doc_meta.parquet"))
+        t = Segment(p).doc_meta
         for row in t.slice(0, args.n).to_pylist():
             print(row["doc_id"], row["url"], row["doc_len"])
 
@@ -155,6 +154,19 @@ def cmd_grep(args) -> None:
     res = search_regex(args.index, docs, args.pattern)
     for row in res.limit(args.n).take_all():
         print(f"{row['doc_id']}:{row['line']}: {row['context']}")
+
+
+def cmd_update(args) -> None:
+    """Incrementally replace one partition from a parquet file and
+    re-merge only its shard (``cmd/dcs-package-importer`` Merge flow)."""
+    ray = _ray()
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index.build import update_partition
+
+    docs = pq.read_table(args.docs)
+    man = update_partition(args.index, args.part_id, docs)
+    print(json.dumps(man["metrics"].get("last_update", {})))
 
 
 def cmd_replay(args) -> None:
@@ -231,6 +243,12 @@ def main() -> None:
     d.add_argument("pattern")
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_grep)
+
+    d = sub.add_parser("update", help="replace one partition, re-merge its shard")
+    d.add_argument("index")
+    d.add_argument("part_id", type=int)
+    d.add_argument("docs", help="parquet with the partition's new documents")
+    d.set_defaults(fn=cmd_update)
 
     d = sub.add_parser("replay", help="replay a query log with timings")
     d.add_argument("index")

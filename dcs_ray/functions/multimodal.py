@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 MEDIA_SCHEMA = pa.schema(
@@ -33,6 +34,23 @@ MEDIA_SCHEMA = pa.schema(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised by real decode paths: codec libraries absent in sandbox."""
+
+
+def _concat_binary(payloads: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 buffer, per-row offsets) over a binary column —
+    zero-copy view so the fake kernels stay vectorized across rows."""
+    arr = payloads.cast(pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lengths = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    data_buf = arr.buffers()[2]
+    if data_buf is None:
+        return np.empty(0, np.uint8), offsets
+    buf = np.frombuffer(data_buf, dtype=np.uint8)
+    raw_off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    start = arr.offset
+    return buf[raw_off[start] : raw_off[start + len(arr)]], offsets
 
 
 class ImageFeatureExtractor:
@@ -55,12 +73,19 @@ class ImageFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].combine_chunks()
         n = len(payloads)
-        feats = np.zeros((n, self.dim), dtype=np.float32)
-        # deterministic fake decode: byte histogram → projection
-        for i in range(n):
-            buf = payloads[i].as_py() or b""
-            hist = np.bincount(np.frombuffer(buf, dtype=np.uint8), minlength=256)
-            feats[i] = (hist / max(len(buf), 1)).astype(np.float32) @ self.proj
+        # deterministic fake decode: per-row byte histogram → projection,
+        # vectorized as ONE bincount over (row, byte) composite keys —
+        # no Python loop over rows (the real decode would be a batched
+        # library call in the same position)
+        buf, offsets = _concat_binary(payloads)
+        lengths = np.diff(offsets)
+        hist = np.zeros((n, 256), dtype=np.int64)
+        if len(buf):
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            flat = np.bincount(row_of * 256 + buf, minlength=n * 256)
+            hist = flat.reshape(n, 256)
+        norm = hist / np.maximum(lengths, 1)[:, None]
+        feats = norm.astype(np.float32) @ self.proj
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -85,13 +110,27 @@ class AudioFeatureExtractor:
         payloads = batch["payload"].combine_chunks()
         n = len(payloads)
         feats = np.zeros((n, self.n_windows), dtype=np.float32)
-        for i in range(n):
-            buf = np.frombuffer(payloads[i].as_py() or b"\x00", dtype=np.uint8)
-            pcm = buf.astype(np.float32) - 128.0
-            w = max(1, len(pcm) // self.n_windows)
+        # windowed RMS vectorized across rows: cumulative sum of squared
+        # PCM once, then each window's energy is a difference of two
+        # cumsum reads — n_windows iterations total, none over rows
+        buf, offsets = _concat_binary(payloads)
+        lengths = np.diff(offsets)
+        if len(buf):
+            pcm2 = (buf.astype(np.float64) - 128.0) ** 2
+            cs = np.concatenate(([0.0], np.cumsum(pcm2)))
+            w = np.maximum(1, lengths // self.n_windows)
             for j in range(self.n_windows):
-                seg = pcm[j * w : (j + 1) * w]
-                feats[i, j] = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                start = offsets[:-1] + j * w
+                end = np.minimum(start + w, offsets[1:])
+                valid = start < offsets[1:]
+                cnt = np.maximum(end - start, 1)
+                s = np.clip(cs[np.minimum(end, offsets[1:])] - cs[np.minimum(start, offsets[1:])], 0, None)
+                feats[:, j] = np.where(valid, np.sqrt(s / cnt), 0.0).astype(np.float32)
+        # empty payloads mimic a single zero byte (rms of -128)
+        empty = lengths == 0
+        if empty.any():
+            feats[empty] = 0.0
+            feats[empty, 0] = 128.0
         return pa.table(
             {
                 "media_id": batch["media_id"],

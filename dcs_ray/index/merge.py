@@ -161,16 +161,26 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
         ),
         os.path.join(tmp, "term_dict.parquet"),
     )
-    doc_meta = pa.concat_tables(
-        [pq.read_table(os.path.join(p, "doc_meta.parquet")) for p in seg_paths]
-    )
-    pq.write_table(doc_meta, os.path.join(tmp, "doc_meta.parquet"))
+    # doc_meta is NOT re-encoded: segment order == doc-id order, so the
+    # shard's doc_meta is the ordered concatenation of its segments'
+    # tables — a refs file replaces the parquet rewrite (at 4M docs the
+    # re-encode was the dominant non-scaling constant of the merge stage;
+    # dcs likewise concatenates docid maps with base offsets rather than
+    # rewriting them, merge.go:113-150)
+    n_docs = 0
+    for p in seg_paths:
+        with open(os.path.join(p, "lineage.json")) as f:
+            n_docs += json.load(f)["n_docs"]
+    with open(os.path.join(tmp, "doc_meta_refs.json"), "w") as f:
+        json.dump(
+            {"segments": [os.path.relpath(p, shard_root) for p in seg_paths]}, f
+        )
 
     lineage = {
         "shard_id": shard_id,
         "shard": shard_name(shard_id),
         "segments": [os.path.basename(p) for p in seg_paths],
-        "n_docs": len(doc_meta),
+        "n_docs": n_docs,
         "n_terms": int(len(uniq_terms)),
         "n_postings": int(term_df.sum()) if len(uniq_terms) else 0,
         "blob_bytes": total_bytes,

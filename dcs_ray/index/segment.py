@@ -316,7 +316,18 @@ class Segment:
         self.offset = td["offset"].combine_chunks().to_numpy()
         self.nbytes = td["nbytes"].combine_chunks().to_numpy()
         self.max_tf = td["max_tf"].combine_chunks().to_numpy()
-        dm = pq.read_table(os.path.join(path, "doc_meta.parquet"))
+        refs = os.path.join(path, "doc_meta_refs.json")
+        if os.path.exists(refs):
+            # merged shard: doc_meta = ordered concat of its segments'
+            # tables (segment order == doc-id order; merge.py)
+            with open(refs) as f:
+                seg_rel = json.load(f)["segments"]
+            dm = pa.concat_tables(
+                pq.read_table(os.path.join(os.path.dirname(path), s, "doc_meta.parquet"))
+                for s in seg_rel
+            ).combine_chunks()
+        else:
+            dm = pq.read_table(os.path.join(path, "doc_meta.parquet"))
         self.doc_ids = dm["doc_id"].combine_chunks().to_numpy()
         self.urls = dm["url"].combine_chunks()
         self.doc_len = dm["doc_len"].combine_chunks().to_numpy()

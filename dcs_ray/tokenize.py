@@ -119,7 +119,7 @@ def tokenize_batch_words_grouped(
     enc = pc.dictionary_encode(flat)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
     dict_arr = enc.dictionary
     n_terms = len(dict_arr)
     sort_idx = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -127,7 +127,10 @@ def tokenize_batch_words_grouped(
     rank[sort_idx] = np.arange(n_terms)
     # doc_ids ascend within the partition, so parent row order == doc order
     key = rank[codes] * n_docs + parents
-    key = np.sort(key, kind="stable")
+    # value sort (not argsort): stability is meaningless for values, and
+    # the default introsort is measurably faster + less bandwidth-hungry
+    # than mergesort on this 10^6-element hot path
+    key.sort()
     boundaries = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
     pair_key = key[boundaries]
     p_tf = np.diff(np.concatenate((boundaries, [len(key)]))).astype(np.uint64)
