@@ -42,10 +42,65 @@ SPACES_TRIGRAM = 0x202020
 # ---------------------------------------------------------------------------
 
 
+# byte lookup tables for the ASCII fast path: lowercase map + token-class
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[ord("A") : ord("Z") + 1] += 32
+_ISTOK_LUT = np.zeros(256, dtype=bool)
+for _c in range(ord("a"), ord("z") + 1):
+    _ISTOK_LUT[_c] = _ISTOK_LUT[_c - 32] = True
+for _c in range(ord("0"), ord("9") + 1):
+    _ISTOK_LUT[_c] = True
+
+
+def _word_tokens_flat_ascii(
+    buf: np.ndarray, offsets: np.ndarray
+) -> tuple[pa.Array, np.ndarray]:
+    """Byte-level tokenizer for pure-ASCII batches: lowercase LUT + token
+    run boundaries, one numpy pass — ~4× less work than the RE2 split and
+    byte-identical output on ASCII (the only case it is used for)."""
+    if len(buf) == 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    m = _ISTOK_LUT[buf]
+    prev = np.empty_like(m)
+    prev[0] = False
+    prev[1:] = m[:-1]
+    nxt = np.empty_like(m)
+    nxt[-1] = False
+    nxt[:-1] = m[1:]
+    # token runs never span documents
+    doc_starts = offsets[:-1][offsets[:-1] < len(buf)]
+    prev[doc_starts] = False
+    doc_lasts = offsets[1:] - 1
+    doc_lasts = doc_lasts[(doc_lasts >= 0) & (doc_lasts < len(buf))]
+    nxt[doc_lasts] = False
+    starts = np.flatnonzero(m & ~prev)
+    ends = np.flatnonzero(m & ~nxt) + 1
+    lengths = ends - starts
+    parents = np.searchsorted(offsets, starts, side="right") - 1
+    # token bytes in order == all token-class bytes in order: one masked
+    # extraction, no per-token index arithmetic
+    values = _LOWER_LUT[buf[m]]
+    tok_offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64)
+    flat = pa.Array.from_buffers(
+        pa.large_string(),
+        len(starts),
+        [None, pa.py_buffer(tok_offsets.tobytes()), pa.py_buffer(values.tobytes())],
+    ).cast(pa.string())
+    return flat, parents
+
+
 def word_tokens_flat(texts: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """Tokenize a column of texts → (flat token array, parent row indices)."""
+    """Tokenize a column of texts → (flat token array, parent row indices).
+
+    Pure-ASCII batches (the overwhelming case for web text after lang
+    filtering) take the byte-LUT fast path; any non-ASCII byte falls back
+    to the Arrow ``utf8_lower`` + RE2 split, whose Unicode lowercasing the
+    fast path cannot reproduce (e.g. U+212A lowercases into ASCII 'k')."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    buf, offsets = _concat_utf8(texts)
+    if len(buf) == 0 or int(buf.max()) < 128:
+        return _word_tokens_flat_ascii(buf, offsets)
     lowered = pc.utf8_lower(texts)
     lists = pc.split_pattern_regex(lowered, WORD_SPLIT_PATTERN)
     parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
