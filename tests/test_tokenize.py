@@ -106,3 +106,46 @@ def test_trigram_distinct_cap():
     if uniq0 > MAX_DISTINCT_TRIGRAMS:
         assert 0 not in doc
     assert 1 in doc
+
+
+def test_ascii_fast_path_matches_regex_path():
+    """The byte-LUT ASCII tokenizer must be token- and parent-identical
+    to the Arrow utf8_lower + RE2 split it replaces (which remains the
+    fallback for any batch containing a non-ASCII byte)."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.tokenize import WORD_SPLIT_PATTERN, word_tokens_flat
+
+    def regex_path(arr):
+        lowered = pc.utf8_lower(arr)
+        lists = pc.split_pattern_regex(lowered, WORD_SPLIT_PATTERN)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parents[keep.to_numpy(zero_copy_only=False)]
+
+    cases = [
+        ["Hello, WORLD!! a1 b2-c3", "", "   ", "x", "123 abc", "tail token."],
+        ["edge.case,with;many:separators", "UPPER lower MiXeD 0a9z"],
+        ["a", "1", ".", "..a..", "a.."],
+        [""],
+        [],
+        ["héllo wörld", "ascii here"],  # non-ASCII -> fallback path
+    ]
+    for texts in cases:
+        arr = pa.array(texts, pa.string())
+        f1, p1 = word_tokens_flat(arr)
+        f2, p2 = regex_path(arr)
+        assert f1.to_pylist() == f2.to_pylist(), texts
+        assert p1.tolist() == p2.tolist(), texts
+
+
+def test_ascii_fast_path_sliced_input():
+    """Zero-copy buffer views must respect array offsets (a sliced Arrow
+    array shares its parent's buffers)."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    arr = pa.array(["drop me", "Keep This one", "and me 2"]).slice(1, 2)
+    flat, parents = word_tokens_flat(arr)
+    assert flat.to_pylist() == ["keep", "this", "one", "and", "me", "2"]
+    assert parents.tolist() == [0, 0, 0, 1, 1, 1]
