@@ -29,13 +29,170 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from dcs_ray.codec import _ranges
+from dcs_ray.codec import _ranges, _varint_lengths, varint_encode
 from dcs_ray.index.config import IndexConfig
 from dcs_ray.index.segment import segment_name
+
+_POS_COLS = (
+    "offset", "nbytes", "ndocs", "npos",
+    "first_doc", "last_doc", "d0_nbytes", "doc_nbytes",
+)
 
 
 def shard_name(shard_id: int) -> str:
     return f"shard_{shard_id:04d}"
+
+
+def _excl_group_cumsum(x: np.ndarray, first_run: np.ndarray, group_sizes: np.ndarray) -> np.ndarray:
+    """Per-element exclusive cumsum of ``x`` restarting at each group start."""
+    cs = np.cumsum(x)
+    excl = cs - x
+    return excl - np.repeat(excl[first_run], group_sizes)
+
+
+def _merge_positions(
+    tmp: str,
+    seg_paths: list[str],
+    s_seg: np.ndarray,
+    first_run: np.ndarray,
+    group_offsets: np.ndarray,
+    uniq_terms: pa.Array,
+    run: dict[str, np.ndarray],
+) -> int:
+    """Stitch per-segment positional sections into one shard-level section
+    (dcs ``internal/index/merge.go:343-405``: raw-copy pos streams, splice
+    the leading doc-id varint of each appended run, bit-stitch the posrel
+    bitmaps at non-byte boundaries). Runs arrive sorted (term, segment) —
+    segment order == doc-id order — so for each term the merged blob is:
+
+        varint(Σndocs) varint(Σnpos)
+        run0's docid-delta stream ++ for each later run:
+            varint(first_doc − prev run's last_doc) ++ its stream minus
+            its leading absolute-docid varint
+        posrel bitmaps bit-concatenated (byte-aligned per TERM only)
+        position-delta streams byte-concatenated (doc-scoped deltas)
+
+    Everything is vectorized ``_ranges`` scatters; nothing is decoded.
+    Returns the merged blob size in bytes.
+    """
+    n_runs = len(s_seg)
+    n_terms = len(first_run)
+    gs = np.diff(group_offsets)  # runs per term
+    ndocs = run["ndocs"].astype(np.int64)
+    npos = run["npos"].astype(np.int64)
+    off, nbytes = run["offset"], run["nbytes"]
+    first_doc = run["first_doc"].astype(np.uint64)
+    last_doc = run["last_doc"].astype(np.uint64)
+    d0 = run["d0_nbytes"].astype(np.int64)
+    docb = run["doc_nbytes"].astype(np.int64)
+
+    # per-run section offsets inside the source blob
+    hdr_run = _varint_lengths(ndocs.astype(np.uint64)) + _varint_lengths(npos.astype(np.uint64))
+    doc_start = off + hdr_run
+    rel_start = doc_start + docb
+    rel_len = (npos + 7) // 8
+    p_start = rel_start + rel_len
+    p_len = nbytes - hdr_run - docb - rel_len
+
+    is_first = np.zeros(n_runs, dtype=bool)
+    is_first[first_run] = True
+    nonfirst = ~is_first
+
+    m_ndocs = np.add.reduceat(ndocs, first_run)
+    m_npos = np.add.reduceat(npos, first_run)
+    inter = np.empty(2 * n_terms, dtype=np.uint64)
+    inter[0::2] = m_ndocs
+    inter[1::2] = m_npos
+    hdr_enc, hdr_lens = varint_encode(inter)
+    hdr_term = hdr_lens[0::2] + hdr_lens[1::2]
+
+    # re-encode each appended run's leading absolute doc id as a delta
+    prev_last = np.zeros(n_runs, dtype=np.uint64)
+    prev_last[1:] = last_doc[:-1]
+    assert bool(np.all(first_doc[nonfirst] > prev_last[nonfirst])), (
+        "doc ids must ascend across segments for stitch merge"
+    )
+    repl_enc, repl_lens_nf = varint_encode(first_doc[nonfirst] - prev_last[nonfirst])
+    repl_lens = np.zeros(n_runs, dtype=np.int64)
+    repl_lens[nonfirst] = repl_lens_nf
+
+    contrib = docb.copy()
+    contrib[nonfirst] += repl_lens[nonfirst] - d0[nonfirst]
+    docsec_term = np.add.reduceat(contrib, first_run)
+    relsec_term = (m_npos + 7) // 8
+    possec_term = np.add.reduceat(p_len, first_run)
+    term_total = hdr_term + docsec_term + relsec_term + possec_term
+    term_off = np.concatenate(([0], np.cumsum(term_total)[:-1]))
+    total_bytes = int(term_total.sum())
+
+    out = np.zeros(total_bytes, dtype=np.uint8)
+    out[_ranges(term_off, hdr_term)] = hdr_enc
+
+    srcs = []
+    for p in seg_paths:
+        f = os.path.join(p, "positions.bin")
+        srcs.append(
+            np.memmap(f, dtype=np.uint8, mode="r") if os.path.getsize(f) else np.empty(0, np.uint8)
+        )
+
+    # docid-delta streams
+    doc_base = term_off + hdr_term
+    run_doc_dst = np.repeat(doc_base, gs) + _excl_group_cumsum(contrib, first_run, gs)
+    if nonfirst.any():
+        out[_ranges(run_doc_dst[nonfirst], repl_lens_nf)] = repl_enc
+    copy_src = doc_start + np.where(is_first, 0, d0)
+    copy_len = docb - np.where(is_first, 0, d0)
+    copy_dst = run_doc_dst + repl_lens
+    for i, src in enumerate(srcs):
+        m = s_seg == i
+        if m.any():
+            out[_ranges(copy_dst[m], copy_len[m])] = src[_ranges(copy_src[m], copy_len[m])]
+
+    # posrel bitmaps: gather (byte-aligned per run) → unpack → drop per-run
+    # padding → re-pad at term boundaries → pack
+    g_off = np.concatenate(([0], np.cumsum(rel_len)[:-1]))
+    gathered = np.zeros(int(rel_len.sum()), dtype=np.uint8)
+    for i, src in enumerate(srcs):
+        m = s_seg == i
+        if m.any():
+            gathered[_ranges(g_off[m], rel_len[m])] = src[_ranges(rel_start[m], rel_len[m])]
+    bits = np.unpackbits(gathered, bitorder="little")
+    all_bits = bits[_ranges(8 * g_off, npos)]
+    rel_excl = np.concatenate(([0], np.cumsum(relsec_term)[:-1]))
+    padded = np.zeros(int(relsec_term.sum()) * 8, dtype=np.uint8)
+    padded[_ranges(8 * rel_excl, m_npos)] = all_bits
+    rel_base = doc_base + docsec_term
+    out[_ranges(rel_base, relsec_term)] = np.packbits(padded, bitorder="little")
+
+    # position-delta streams: straight byte copies
+    pos_base = rel_base + relsec_term
+    run_pos_dst = np.repeat(pos_base, gs) + _excl_group_cumsum(p_len, first_run, gs)
+    for i, src in enumerate(srcs):
+        m = s_seg == i
+        if m.any():
+            out[_ranges(run_pos_dst[m], p_len[m])] = src[_ranges(p_start[m], p_len[m])]
+
+    with open(os.path.join(tmp, "positions.bin"), "wb") as f:
+        f.write(out.tobytes())
+    pq.write_table(
+        pa.table(
+            {
+                "term": uniq_terms,
+                "offset": pa.array(term_off.astype(np.int64), pa.int64()),
+                "nbytes": pa.array(term_total.astype(np.int64), pa.int64()),
+                "ndocs": pa.array(m_ndocs.astype(np.uint32), pa.uint32()),
+                "npos": pa.array(m_npos.astype(np.int64), pa.int64()),
+                "first_doc": pa.array(first_doc[first_run], pa.uint64()),
+                "last_doc": pa.array(last_doc[group_offsets[1:] - 1], pa.uint64()),
+                "d0_nbytes": pa.array(
+                    _varint_lengths(first_doc[first_run]).astype(np.int32), pa.int32()
+                ),
+                "doc_nbytes": pa.array(docsec_term.astype(np.int64), pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "pos_dict.parquet"),
+    )
+    return total_bytes
 
 
 def plan_shards(out_dir: str, num_shards: int) -> list[dict]:
@@ -76,6 +233,8 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
     os.makedirs(tmp, exist_ok=True)
 
     k = len(seg_paths)
+    positional = all(os.path.exists(os.path.join(p, "positions.bin")) for p in seg_paths)
+    pos_cols: dict[str, list] | None = {c: [] for c in _POS_COLS} if positional else None
     term_arrays, dfs, offs, lens, mtfs, seg_of = [], [], [], [], [], []
     for i, p in enumerate(seg_paths):
         td = pq.read_table(os.path.join(p, "term_dict.parquet"))
@@ -85,6 +244,15 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
         lens.append(td["nbytes"].combine_chunks().to_numpy())
         mtfs.append(td["max_tf"].combine_chunks().to_numpy())
         seg_of.append(np.full(len(td), i, dtype=np.int32))
+        if positional:
+            pdt = pq.read_table(os.path.join(p, "pos_dict.parquet"))
+            if "doc_nbytes" not in pdt.column_names:
+                raise ValueError(
+                    f"{p}: pos_dict lacks stitch metadata (pre-merge format); rebuild the index"
+                )
+            assert len(pdt) == len(td), f"{p}: pos_dict/term_dict row mismatch"
+            for c in _POS_COLS:
+                pos_cols[c].append(pdt[c].combine_chunks().to_numpy())
 
     all_terms = pa.concat_arrays(term_arrays)
     all_df = np.concatenate(dfs) if dfs else np.empty(0, np.int64)
@@ -149,6 +317,34 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
         open(out_path, "wb").close()
         checksum = 0
 
+    pos_bytes = None
+    if positional:
+        if n_runs:
+            pos_runs = {c: np.concatenate(v)[sort_idx] for c, v in pos_cols.items()}
+            pos_bytes = _merge_positions(
+                tmp, seg_paths, s_seg, first_run, group_offsets, uniq_terms, pos_runs
+            )
+        else:
+            open(os.path.join(tmp, "positions.bin"), "wb").close()
+            empty64 = pa.array([], pa.int64())
+            pq.write_table(
+                pa.table(
+                    {
+                        "term": uniq_terms,
+                        "offset": empty64,
+                        "nbytes": empty64,
+                        "ndocs": pa.array([], pa.uint32()),
+                        "npos": empty64,
+                        "first_doc": pa.array([], pa.uint64()),
+                        "last_doc": pa.array([], pa.uint64()),
+                        "d0_nbytes": pa.array([], pa.int32()),
+                        "doc_nbytes": empty64,
+                    }
+                ),
+                os.path.join(tmp, "pos_dict.parquet"),
+            )
+            pos_bytes = 0
+
     pq.write_table(
         pa.table(
             {
@@ -184,6 +380,7 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
         "n_terms": int(len(uniq_terms)),
         "n_postings": int(term_df.sum()) if len(uniq_terms) else 0,
         "blob_bytes": total_bytes,
+        "pos_bytes": pos_bytes,
         "checksum": checksum,
         "wall_s": round(time.monotonic() - t0, 4),
     }

@@ -175,8 +175,18 @@ def _doc_token_counts(tdoc: np.ndarray, doc_ids: np.ndarray) -> np.ndarray:
 
 def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
     """Pack positional sections per term (dcs posting.pos/posrel analogue,
-    ``internal/index/write.go:333-441``)."""
-    blobs, offs, lens = [], [], []
+    ``internal/index/write.go:333-441``).
+
+    Besides (offset, nbytes) the dict carries the **stitch metadata** the
+    shard merge needs to splice per-term runs without decoding them
+    (``merge.go:343-405`` does the same with its raw-section copies):
+    ndocs / npos locate the posrel bitmap and position stream inside the
+    blob, first_doc / last_doc / d0_nbytes let the merge re-encode a
+    run's leading absolute doc id as a delta from the previous run.
+    """
+    from dcs_ray.codec import _varint_lengths
+
+    blobs, offs, lens, npos_l = [], [], [], []
     cursor = 0
     pair_ends = np.concatenate((pair_starts[1:], [len(tpos)]))
     for t in range(len(uniq_terms)):
@@ -192,10 +202,28 @@ def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
         blobs.append(blob)
         offs.append(cursor)
         lens.append(len(blob))
+        npos_l.append(len(positions))
         cursor += len(blob)
+
+    go = np.asarray(group_offsets, dtype=np.int64)
+    first_doc = p_doc[go[:-1]].astype(np.uint64)
+    last_doc = p_doc[go[1:] - 1].astype(np.uint64)
+    ndocs = np.diff(go)
+    # docid-delta stream byte length per term (first doc absolute)
+    deltas = p_doc.astype(np.uint64).copy()
+    deltas[1:] -= p_doc[:-1].astype(np.uint64)
+    deltas[go[:-1]] = first_doc
+    dlen = _varint_lengths(deltas)
+    doc_nbytes = np.add.reduceat(dlen, go[:-1]) if len(go) > 1 else np.empty(0, np.int64)
     return b"".join(blobs), {
         "offset": np.array(offs, dtype=np.int64),
         "nbytes": np.array(lens, dtype=np.int64),
+        "ndocs": ndocs.astype(np.uint32),
+        "npos": np.array(npos_l, dtype=np.int64),
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "d0_nbytes": _varint_lengths(first_doc).astype(np.int32),
+        "doc_nbytes": doc_nbytes.astype(np.int64),
     }
 
 
@@ -254,12 +282,19 @@ def write_segment(
     if seg["positions_blob"] is not None:
         with open(os.path.join(tmp, "positions.bin"), "wb") as f:
             f.write(seg["positions_blob"])
+        pd_ = seg["pos_dict"]
         pq.write_table(
             pa.table(
                 {
                     "term": seg["terms"],
-                    "offset": pa.array(seg["pos_dict"]["offset"], pa.int64()),
-                    "nbytes": pa.array(seg["pos_dict"]["nbytes"], pa.int64()),
+                    "offset": pa.array(pd_["offset"], pa.int64()),
+                    "nbytes": pa.array(pd_["nbytes"], pa.int64()),
+                    "ndocs": pa.array(pd_["ndocs"], pa.uint32()),
+                    "npos": pa.array(pd_["npos"], pa.int64()),
+                    "first_doc": pa.array(pd_["first_doc"], pa.uint64()),
+                    "last_doc": pa.array(pd_["last_doc"], pa.uint64()),
+                    "d0_nbytes": pa.array(pd_["d0_nbytes"], pa.int32()),
+                    "doc_nbytes": pa.array(pd_["doc_nbytes"], pa.int64()),
                 }
             ),
             os.path.join(tmp, "pos_dict.parquet"),

@@ -773,8 +773,11 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
     """Candidate docs (and exact positions when the index is positional)
     for literal queries, fanned out across shards/segments."""
     paths = shard_paths(index_dir)
-    if positional:
-        # positional sections live at segment level (never merged; SURVEY §7.5)
+    if positional and not all(
+        os.path.exists(os.path.join(p, "positions.bin")) for p in paths
+    ):
+        # legacy index whose positional sections were never merged into
+        # shards (pre-stitch format): fan out to segments instead
         seg_root = os.path.join(index_dir, "segments")
         paths = [
             os.path.join(seg_root, d)
