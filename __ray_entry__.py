@@ -447,6 +447,20 @@ def _q_minhash_pairs(sf_dir: str) -> Any:
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def _q_ngram_jaccard(sf_dir: str) -> Any:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted shingle join —
+    set-similarity join, no all-pairs scan)."""
+    from dcs_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(_docs(sf_dir), shingle_n=3, threshold=0.5)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def _q_simhash(sf_dir: str) -> ray.data.Dataset:
     from dcs_ray.functions.dedup import simhash_batch
 
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
@@ -793,6 +808,30 @@ SELECT doc_id,
        (CASE WHEN v >= 9223372036854775808 THEN v - {_M64} ELSE v END)::bigint
          AS fingerprint
 FROM fp ORDER BY doc_id
+""",
+        "ngram_jaccard_pairs": """
+WITH tokl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM tokl
+),
+sh AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS shingle
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(t, 2) OVER w IS NOT NULL
+),
+ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ds a JOIN ds b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::double / (sa.sz + sb.sz - c) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c::double / (sa.sz + sb.sz - c) >= 0.5
+ORDER BY id_a, id_b
 """,
         "simhash_signatures": f"""
 WITH tok AS ({_TOK}),

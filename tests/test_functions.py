@@ -332,3 +332,52 @@ def test_search_regex_unfilterable_pattern(ray_session):
     t = res.take_all()
     assert len(t) > 0
     assert {"doc_id", "line", "position", "context"} <= set(t[0])
+
+
+def test_ngram_jaccard_pairs_exact(ray_session):
+    """Inverted-shingle-join Jaccard == per-pair exact_jaccard, and only
+    pairs above the threshold survive."""
+    import ray.data
+
+    from dcs_ray.functions.dedup import exact_jaccard, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [
+        base,
+        base + " extra",            # near-dup of 0
+        "completely different words with no overlap at all whatsoever here",
+        base.replace("quick", "slow"),  # mid-similarity vs 0
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(ds, threshold=0.3).take_all()
+    }
+    for (a, b), j in got.items():
+        assert j == exact_jaccard(texts[a], texts[b]), (a, b)
+        assert j >= 0.3
+    assert (0, 1) in got and got[(0, 1)] > 0.8
+    assert (0, 3) in got  # shares most shingles
+    assert not any(2 in p for p in got)
+
+
+def test_ngram_jaccard_df_cap_bounds_output(ray_session):
+    """max_shingle_df drops boilerplate shingles from pair generation —
+    a degenerate corpus (many identical docs) emits no quadratic pair
+    set when capped, and the drop is logged, not silent."""
+    import logging
+
+    import ray.data
+
+    from dcs_ray.functions.dedup import ngram_jaccard_pairs
+
+    texts = ["identical boilerplate text repeated in every single crawl page"] * 40
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(texts)})
+    )
+    full = ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+    assert len(full) == 40 * 39 // 2  # exact mode: the full clique
+    capped = ngram_jaccard_pairs(ds, threshold=0.5, max_shingle_df=10).take_all()
+    assert len(capped) == 0  # every shingle has df=40 > 10
