@@ -92,12 +92,18 @@ def minhash_signatures(
     sig = np.full((ntexts, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sig
-    doc_of = np.repeat(np.arange(ntexts), np.diff(offs))
     base = sh % _MERSENNE
+    counts = np.diff(offs)
+    nonempty = np.flatnonzero(counts > 0)
+    seg_starts = offs[:-1][nonempty]
+    # per-perm scalar multiply (SIMD; an outer-product broadcast here is
+    # ~50× slower in numpy's uint64 loop), then one segmented min per doc
+    # (shingles are doc-contiguous) — minimum.reduceat over a contiguous
+    # vector replaces minimum.at's unbuffered scatter
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             hv = (a[p] * base + b[p]) % _MERSENNE
-            np.minimum.at(sig[:, p], doc_of, hv)
+            sig[nonempty, p] = np.minimum.reduceat(hv, seg_starts)
     return sig
 
 
