@@ -83,6 +83,29 @@ def _decode_term_cached(seg: Segment, idx: int) -> tuple[np.ndarray, np.ndarray]
     return d, t
 
 
+_POS_DECODE_CACHE: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]]" = OrderedDict()
+_POS_DECODE_CACHE_BYTES = 0
+
+
+def _decode_positions_cached(seg: Segment, idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-worker LRU of decoded positional sections — literal/phrase
+    query logs repeat hot trigrams just like scoring terms do (same
+    rationale as ``_decode_term_cached``; shares the byte cap)."""
+    global _POS_DECODE_CACHE_BYTES
+    key = (seg.path, seg.gen, idx)
+    hit = _POS_DECODE_CACHE.get(key)
+    if hit is not None:
+        _POS_DECODE_CACHE.move_to_end(key)
+        return hit
+    d, off, p = unpack_positions(seg.position_blob(idx))
+    _POS_DECODE_CACHE[key] = (d, off, p)
+    _POS_DECODE_CACHE_BYTES += d.nbytes + off.nbytes + p.nbytes
+    while _POS_DECODE_CACHE_BYTES > DECODE_CACHE_CAP and _POS_DECODE_CACHE:
+        _, (od, oo, op_) = _POS_DECODE_CACHE.popitem(last=False)
+        _POS_DECODE_CACHE_BYTES -= od.nbytes + oo.nbytes + op_.nbytes
+    return d, off, p
+
+
 def load_stats(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "stats", "global.json")) as f:
         return json.load(f)
@@ -742,7 +765,7 @@ def positional_matches_shard(seg: Segment, literal: str | bytes) -> tuple[np.nda
         idx = seg.term_index(np.uint32(t))
         if idx < 0:
             return None
-        return unpack_positions(seg.position_blob(idx))
+        return _decode_positions_cached(seg, idx)
 
     first = term_positions(tris[0])
     if first is None:
