@@ -421,6 +421,27 @@ def _q_knn_lsh(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_knn_ivf(sf_dir: str) -> pa.Table:
+    """ANN through a persistent IVF index (spherical-k-means coarse
+    quantizer, centroid-partitioned lists) — the query probes only its
+    nprobe nearest lists."""
+    from dcs_ray.functions.simsearch import knn_cosine_ivf
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_ivf(
+        emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_ivfann")
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import near_dup_pairs_exact
 
@@ -546,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
+        "knn_cosine_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
