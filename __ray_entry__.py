@@ -459,6 +459,10 @@ def _q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
 
 
 def _q_minhash_pairs(sf_dir: str) -> Any:
+    """MinHash+LSH candidate pairs; the DuckDB oracle replays the whole
+    hash chain bit-exactly (``_minhash_pairs_sql``). The engine's
+    degenerate-bucket star-pair cap (>256 ids) never triggers at the
+    oracle's sf0.01 scale, so clique output is exact there."""
     from dcs_ray.functions.dedup import minhash_candidate_pairs
 
     ds = minhash_candidate_pairs(_docs(sf_dir))
@@ -638,6 +642,95 @@ def _langid_values() -> str:
         for w in sorted(LANG_MARKERS[lang])
     ]
     return ", ".join(rows)
+
+
+def _mulmod64(a: str, b: str) -> str:
+    """SQL for ``(a*b) mod 2^64`` via 32-bit limbs — hugeint is a signed
+    128-bit type, so a direct 64×64 product overflows."""
+    B32 = "4294967296"
+    return (
+        f"((({a}) % {B32}) * (({b}) % {B32})"
+        f" + (((({a}) % {B32}) * (({b}) // {B32})"
+        f"   + (({a}) // {B32}) * (({b}) % {B32})) % {B32}) * {B32}) % {_M64}"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    """The ENTIRE MinHash+LSH chain of ``dcs_ray.functions.dedup`` —
+    word-wise content hash (``textstats.content_hash_rows``: 8-byte-LE
+    word polynomial + splitmix64 finalizer), 3-gram shingle Horner
+    combine, 64 mod-(2^61−1) permutations (constants from the same
+    seeded rng, inlined), 16×4 FNV band hashes, and bucket pair
+    generation — replayed bit-exactly in DuckDB hugeint arithmetic."""
+    OFF = "14695981039346656037"
+    P = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    P256 = "list_value(" + ",".join(str(1 << (8 * i)) for i in range(8)) + ")"
+    PRIME = "1099511628211"
+    MERS = str((1 << 61) - 1)
+    rng = np.random.default_rng(7)  # same seed as minhash_signatures
+    a = rng.integers(1, (1 << 61) - 1, 64, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, 64, dtype=np.uint64)
+    perms = ", ".join(
+        f"({p}, {int(a[p])}::hugeint, {int(b[p])}::hugeint)" for p in range(64)
+    )
+    tokhash = f"""
+list_reduce(
+  list_prepend({OFF}::hugeint,
+    list_transform(range(0, greatest((length(t)+7)//8, 1)), j ->
+      list_sum(list_transform(range(0, 8), i ->
+        CASE WHEN j*8+i < length(t)
+             THEN ascii(substr(t, (j*8+i+1)::int, 1))::hugeint * ({P256})[i+1]
+             ELSE 0::hugeint END)))),
+  (h, w) -> ({_mulmod64('h', P + '::hugeint')} + w) % {_M64})
+"""
+    return f"""
+WITH tokl AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS pos FROM tokl),
+dtok AS (SELECT DISTINCT t FROM tok),
+th0 AS (SELECT t, ({tokhash}) AS hp FROM dtok),
+th1 AS (SELECT t, xor(hp::ubigint, length(t)::ubigint)::hugeint AS h1 FROM th0),
+th2 AS (SELECT t, ({_mulmod64("xor(h1::ubigint, h1::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS h2 FROM th1),
+th3 AS (SELECT t, ({_mulmod64("xor(h2::ubigint, h2::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS h3 FROM th2),
+th  AS (SELECT t, xor(h3::ubigint, h3::ubigint >> 31)::hugeint AS h FROM th3),
+seq AS (
+  SELECT tok.doc_id, tok.pos, th.h,
+         lead(th.h, 1) OVER w AS h1n, lead(th.h, 2) OVER w AS h2n
+  FROM tok JOIN th USING (t) WINDOW w AS (PARTITION BY tok.doc_id ORDER BY tok.pos)
+),
+sh AS (
+  SELECT doc_id, ((({_mulmod64('h', PRIME + '::hugeint')}) + h1n) % {_M64}) AS acc1, h2n
+  FROM seq WHERE h2n IS NOT NULL
+),
+sh2 AS (SELECT doc_id, ((({_mulmod64('acc1', PRIME + '::hugeint')}) + h2n) % {_M64}) AS s FROM sh),
+bases AS (SELECT doc_id, s % {MERS} AS base FROM sh2),
+perms(p, pa, pb) AS (VALUES {perms}),
+hv AS (SELECT doc_id, p, ((pa * base + pb) % {_M64}) % {MERS} AS v FROM bases CROSS JOIN perms),
+smin AS (SELECT doc_id, p, min(v) AS mv FROM hv GROUP BY doc_id, p),
+sigs AS (
+  SELECT d.doc_id, pr.p, coalesce(sm.mv, 18446744073709551615::hugeint) AS sv
+  FROM documents d CROSS JOIN perms pr
+  LEFT JOIN smin sm ON sm.doc_id = d.doc_id AND sm.p = pr.p
+),
+bandl AS (
+  SELECT doc_id, p // 4 AS band, list(sv ORDER BY p) AS svs
+  FROM sigs GROUP BY doc_id, p // 4
+),
+bh AS (
+  SELECT doc_id, band,
+    ((xor(list_reduce(list_prepend(1469598103934665603::hugeint, svs),
+          (h, s) -> (xor(h::ubigint, s::ubigint)::hugeint * {PRIME}) % {_M64})::ubigint,
+         band::ubigint))::hugeint * {PRIME}) % {_M64} AS bhash
+  FROM bandl
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id
+ORDER BY id_a, id_b
+"""
 
 
 def _pow2_values() -> str:
@@ -831,6 +924,7 @@ SELECT doc_id,
          AS fingerprint
 FROM fp ORDER BY doc_id
 """,
+        "minhash_pairs": _minhash_pairs_sql(),
         "ngram_jaccard_pairs": """
 WITH tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
