@@ -139,3 +139,80 @@ def test_update_partition_positional(pos_index, tmp_path):
     res = search_literal(out, [marker], positional=True).to_pandas()
     assert (res.doc_id == doc_id).all()
     assert set(res.position.astype(int)) == {0, len(marker) + 6}
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_stitch_merge_randomized_no_ray(tmp_path, seed):
+    """Property check over random corpora (pure functions, no Ray):
+    merged per-term decode == concatenated per-segment decodes, and the
+    positional join equals brute-force substring search."""
+    import pyarrow as pa
+
+    from dcs_ray.index.config import IndexConfig
+    from dcs_ray.index.merge import merge_one_shard
+    from dcs_ray.index.segment import build_segment_data, write_segment
+
+    rng = np.random.default_rng(seed)
+    words = ["spark", "merge", "join", "alpha", "betaq", "gamma", "the", "qx", "fox9"]
+    conf = IndexConfig(
+        num_partitions=3, num_shards=1, mode="trigram", id_col="doc_id",
+        url_col="url", dedup_latest=False, positional=True,
+    )
+    seg_root = str(tmp_path / "segments")
+    os.makedirs(seg_root)
+    all_txt = {}
+    bounds = np.sort(rng.choice(np.arange(10, 120), 2, replace=False))
+    parts = [range(0, bounds[0]), range(bounds[0], bounds[1]), range(bounds[1], 130)]
+    for part, ids in enumerate(parts):
+        ids = list(ids)
+        texts = [
+            " ".join(rng.choice(words, size=rng.integers(1, 25))) for _ in ids
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array([f"u{i}" for i in ids]),
+                "text": pa.array(texts),
+            }
+        )
+        write_segment(seg_root, build_segment_data(part, t, conf))
+        all_txt.update(zip(ids, texts))
+
+    seg_paths = [os.path.join(seg_root, d) for d in sorted(os.listdir(seg_root))]
+    shard_root = str(tmp_path / "shards")
+    os.makedirs(shard_root)
+    merge_one_shard(0, seg_paths, shard_root)
+    shard = Segment(os.path.join(shard_root, "shard_0000"))
+    segs = [Segment(p) for p in seg_paths]
+
+    terms = shard.terms.to_numpy(zero_copy_only=False)
+    for t_idx in range(len(terms)):
+        got = unpack_positions(shard.position_blob(t_idx))
+        exp_d, exp_p, exp_c = [], [], []
+        for sg in segs:
+            i = sg.term_index(terms[t_idx])
+            if i < 0:
+                continue
+            d, off, p = unpack_positions(sg.position_blob(i))
+            exp_d.append(d)
+            exp_p.append(p)
+            exp_c.append(np.diff(off))
+        np.testing.assert_array_equal(got[0], np.concatenate(exp_d))
+        np.testing.assert_array_equal(
+            got[1], np.concatenate(([0], np.cumsum(np.concatenate(exp_c))))
+        )
+        np.testing.assert_array_equal(got[2], np.concatenate(exp_p))
+
+    for lit in ["spark merge", "the qx", "fox9"]:
+        d, p = positional_matches_shard(shard, lit)
+        got_pairs = sorted(zip(d.tolist(), p.tolist()))
+        want = []
+        for i, txt in all_txt.items():
+            start = 0
+            while True:
+                j = txt.find(lit, start)
+                if j < 0:
+                    break
+                want.append((i, j))
+                start = j + 1
+        assert got_pairs == sorted(want), (seed, lit)
