@@ -233,7 +233,11 @@ def indexable_mask(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def _concat_utf8(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Concatenate all docs' UTF-8 bytes → (byte buffer, doc offsets)."""
+    """Concatenate all docs' UTF-8 bytes → (byte buffer, doc offsets).
+    Null rows are treated as empty documents (web corpora always carry
+    some; a null's length would otherwise poison the offset arithmetic)."""
+    if texts.null_count:
+        texts = texts.fill_null("")
     arr = texts.cast(pa.large_binary())
     combined = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     lengths = pc.binary_length(combined).to_numpy(zero_copy_only=False).astype(np.int64)

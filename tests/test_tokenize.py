@@ -149,3 +149,26 @@ def test_ascii_fast_path_sliced_input():
     flat, parents = word_tokens_flat(arr)
     assert flat.to_pylist() == ["keep", "this", "one", "and", "me", "2"]
     assert parents.tolist() == [0, 0, 0, 1, 1, 1]
+
+
+def test_null_text_rows_are_empty_docs():
+    """Web corpora carry null text rows; they must behave as empty docs
+    everywhere (tokenizers, hashes, shingles), never crash."""
+    import numpy as np
+
+    from dcs_ray.functions.dedup import _shingle_hashes, minhash_signatures
+    from dcs_ray.functions.textstats import content_hash_rows
+    from dcs_ray.tokenize import trigram_tokens, word_tokens_flat
+
+    arr = pa.array(["hello world", None, "", "ok"])
+    flat, parents = word_tokens_flat(arr)
+    assert flat.to_pylist() == ["hello", "world", "ok"]
+    assert parents.tolist() == [0, 0, 3]
+    tri, td, tp = trigram_tokens(arr, np.arange(4, dtype=np.uint64))
+    assert set(td.tolist()) <= {0, 3}
+    h = content_hash_rows(arr)
+    assert h[1] == content_hash_rows(pa.array([""]))[0]  # null ≡ empty
+    sh, offs = _shingle_hashes(arr, 3)
+    assert offs[1] == offs[2]  # null doc owns no shingles
+    sig = minhash_signatures(arr)
+    assert (sig[1] == np.iinfo(np.uint64).max).all()
