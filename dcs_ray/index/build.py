@@ -145,7 +145,11 @@ def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
     stats_dir = os.path.join(out_dir, "stats")
     tmp = stats_dir + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    if total_rows <= 5_000_000:
+    if not td_paths:
+        # empty corpus: a well-formed index with zero terms
+        term_type = pa.uint32() if conf.mode == "trigram" else pa.large_string()
+        df_tbl = pa.table({"term": pa.array([], term_type), "df": pa.array([], pa.uint64())})
+    elif total_rows <= 5_000_000:
         cat = pa.concat_tables(pq.read_table(p, columns=["term", "df"]) for p in td_paths)
         g = cat.group_by("term").aggregate([("df", "sum")])
         df_tbl = pa.table(

@@ -403,6 +403,8 @@ def merge_shards(out_dir: str, conf: IndexConfig) -> list[dict]:
     shard_root = os.path.join(out_dir, "shards")
     os.makedirs(shard_root, exist_ok=True)
     specs = plan_shards(out_dir, conf.num_shards)
+    if not specs:  # empty corpus → no segments → no shards
+        return []
 
     def run(batch: pa.Table) -> pa.Table:
         recs = []

@@ -212,3 +212,25 @@ def test_positional_matches_exact(trigram_index):
             start = i + 1
     got = [(int(r.doc_id), int(r.position)) for r in res.itertuples()]
     assert sorted(got) == sorted(want)
+
+
+def test_empty_corpus_builds_wellformed_index(ray_session, tmp_path):
+    """An empty input must yield a searchable zero-term index, not a
+    crash — at web scale a crawl slice can legitimately be empty."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "empty_idx")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "url": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    m = build_index(
+        ray.data.from_arrow(empty), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", id_max=0, dedup_latest=False),
+    )
+    assert m["stats"]["n_docs"] == 0
+    assert len(search_bm25(out, ["spark"], k=5)) == 0
