@@ -169,6 +169,65 @@ def cmd_update(args) -> None:
     print(json.dumps(man["metrics"].get("last_update", {})))
 
 
+def cmd_dedup(args) -> None:
+    """Near-duplicate pairs over a documents parquet (method selectable)."""
+    ray = _ray()
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    if args.method == "exact":
+        from dcs_ray.functions.dedup import exact_dedup_keep_min
+
+        out = exact_dedup_keep_min(ds, id_col=args.id_col)
+        for row in out.limit(args.n).take_all():
+            print(json.dumps(row))
+        return
+    if args.method == "minhash":
+        from dcs_ray.functions.dedup import minhash_candidate_pairs
+
+        out = minhash_candidate_pairs(ds, id_col=args.id_col)
+    elif args.method == "simhash":
+        from dcs_ray.functions.dedup import simhash_near_dup_pairs
+
+        out = simhash_near_dup_pairs(ds, id_col=args.id_col, max_hamming=3)
+    else:  # jaccard
+        from dcs_ray.functions.dedup import ngram_jaccard_pairs
+
+        out = ngram_jaccard_pairs(ds, id_col=args.id_col, threshold=args.threshold)
+    for row in out.limit(args.n).take_all():
+        print(json.dumps(row))
+
+
+def cmd_ann(args) -> None:
+    """ANN top-k for one query vector id, through the selected index."""
+    _ray()
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    ds = ray.data.read_parquet(args.input)
+    q = np.array(
+        pq.read_table(args.input).slice(args.query_id, 1)[args.emb_col].to_pylist()
+    )
+    if args.method == "brute":
+        from dcs_ray.functions.simsearch import knn_cosine_bruteforce
+
+        t = knn_cosine_bruteforce(ds, q, k=args.k, id_col=args.id_col, emb_col=args.emb_col)
+    elif args.method == "lsh":
+        from dcs_ray.functions.simsearch import knn_cosine_lsh
+
+        t = knn_cosine_lsh(ds, q, k=args.k, id_col=args.id_col, emb_col=args.emb_col,
+                           index_dir=args.index_dir)
+    else:  # ivf
+        from dcs_ray.functions.simsearch import knn_cosine_ivf
+
+        t = knn_cosine_ivf(ds, q, k=args.k, id_col=args.id_col, emb_col=args.emb_col,
+                           index_dir=args.index_dir)
+    for row in t.to_pylist():
+        print(json.dumps(row))
+
+
 def cmd_replay(args) -> None:
     """Replay a query log, one query per line, print per-query JSON
     measurements (``cmd/dcs/replay.go:472-546``)."""
@@ -249,6 +308,25 @@ def main() -> None:
     d.add_argument("part_id", type=int)
     d.add_argument("docs", help="parquet with the partition's new documents")
     d.set_defaults(fn=cmd_update)
+
+    d = sub.add_parser("dedup", help="near-duplicate detection over documents parquet")
+    d.add_argument("input")
+    d.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash", "jaccard"])
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_dedup)
+
+    d = sub.add_parser("ann", help="cosine top-k over an embeddings parquet")
+    d.add_argument("input")
+    d.add_argument("--method", default="brute", choices=["brute", "lsh", "ivf"])
+    d.add_argument("--query-id", type=int, default=0)
+    d.add_argument("--id-col", default="vec_id")
+    d.add_argument("--emb-col", default="embedding")
+    d.add_argument("--index-dir", default=None)
+    d.add_argument("-k", type=int, default=10)
+    d.set_defaults(fn=cmd_ann)
 
     d = sub.add_parser("replay", help="replay a query log with timings")
     d.add_argument("index")
