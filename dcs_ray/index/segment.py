@@ -195,9 +195,9 @@ def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
         pos_offsets = np.concatenate(
             ([0], np.cumsum(pair_ends[lo:hi] - pair_starts[lo:hi]))
         )
-        positions = np.concatenate(
-            [tpos[pair_starts[i] : pair_ends[i]] for i in range(lo, hi)]
-        ).astype(np.uint64)
+        # the token arrays are (term, doc, pos)-sorted, so a term's pair
+        # runs tile one contiguous span — a slice, not a per-pair concat
+        positions = tpos[pair_starts[lo] : pair_ends[hi - 1]].astype(np.uint64)
         blob = pack_positions(docs, pos_offsets, positions)
         blobs.append(blob)
         offs.append(cursor)
