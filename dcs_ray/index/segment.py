@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from dcs_ray.codec import pack_positions, pack_postings
+from dcs_ray.codec import pack_postings
 from dcs_ray.index.config import IndexConfig
 from dcs_ray.tokenize import tokenize_batch_words_grouped, trigram_tokens
 
@@ -184,42 +184,76 @@ def _pack_positional(uniq_terms, group_offsets, p_doc, pair_starts, tpos):
     blob, first_doc / last_doc / d0_nbytes let the merge re-encode a
     run's leading absolute doc id as a delta from the previous run.
     """
-    from dcs_ray.codec import _varint_lengths
+    from dcs_ray.codec import _ranges, _varint_lengths, varint_encode
 
-    blobs, offs, lens, npos_l = [], [], [], []
-    cursor = 0
-    pair_ends = np.concatenate((pair_starts[1:], [len(tpos)]))
-    for t in range(len(uniq_terms)):
-        lo, hi = group_offsets[t], group_offsets[t + 1]
-        docs = p_doc[lo:hi]
-        pos_offsets = np.concatenate(
-            ([0], np.cumsum(pair_ends[lo:hi] - pair_starts[lo:hi]))
-        )
-        # the token arrays are (term, doc, pos)-sorted, so a term's pair
-        # runs tile one contiguous span — a slice, not a per-pair concat
-        positions = tpos[pair_starts[lo] : pair_ends[hi - 1]].astype(np.uint64)
-        blob = pack_positions(docs, pos_offsets, positions)
-        blobs.append(blob)
-        offs.append(cursor)
-        lens.append(len(blob))
-        npos_l.append(len(positions))
-        cursor += len(blob)
-
+    n_terms = len(uniq_terms)
     go = np.asarray(group_offsets, dtype=np.int64)
+    pair_starts = np.asarray(pair_starts, dtype=np.int64)
+    pair_ends = np.concatenate((pair_starts[1:], [len(tpos)]))
+    tpos = tpos.astype(np.uint64, copy=False)
+
+    ndocs = np.diff(go)
     first_doc = p_doc[go[:-1]].astype(np.uint64)
     last_doc = p_doc[go[1:] - 1].astype(np.uint64)
-    ndocs = np.diff(go)
-    # docid-delta stream byte length per term (first doc absolute)
+    paircount = pair_ends - pair_starts
+    npos = np.add.reduceat(paircount, go[:-1]) if n_terms else np.empty(0, np.int64)
+    tok_lo = pair_starts[go[:-1]]  # each term's positions are ONE span
+
+    # headers: varint(ndocs) ++ varint(npos) per term, encoded in one pass
+    inter = np.empty(2 * n_terms, dtype=np.uint64)
+    inter[0::2] = ndocs
+    inter[1::2] = npos
+    hdr_enc, hdr_lens = varint_encode(inter)
+    hdr_term = hdr_lens[0::2] + hdr_lens[1::2]
+
+    # docid-delta streams: deltas over the whole pair array with an
+    # absolute reset at each term start; per-term stream = one byte span
     deltas = p_doc.astype(np.uint64).copy()
     deltas[1:] -= p_doc[:-1].astype(np.uint64)
     deltas[go[:-1]] = first_doc
-    dlen = _varint_lengths(deltas)
-    doc_nbytes = np.add.reduceat(dlen, go[:-1]) if len(go) > 1 else np.empty(0, np.int64)
-    return b"".join(blobs), {
-        "offset": np.array(offs, dtype=np.int64),
-        "nbytes": np.array(lens, dtype=np.int64),
+    doc_enc, dlen = varint_encode(deltas)
+    doc_nbytes = np.add.reduceat(dlen, go[:-1]) if n_terms else np.empty(0, np.int64)
+
+    # posrel bitmaps: 1 bit per position, set at pair (doc) starts;
+    # per-term byte alignment via the padded-scatter + packbits trick
+    rel_len = (npos + 7) // 8
+    bits = np.zeros(len(tpos), dtype=np.uint8)
+    bits[pair_starts] = 1
+    rel_excl = np.concatenate(([0], np.cumsum(rel_len)))[:-1] if n_terms else np.empty(0, np.int64)
+    padded = np.zeros(int(rel_len.sum()) * 8 if n_terms else 0, dtype=np.uint8)
+    if len(tpos):
+        padded[_ranges(8 * rel_excl, npos)] = bits
+    rel_packed = np.packbits(padded, bitorder="little")
+
+    # position-delta streams: delta from the previous position within a
+    # pair, absolute at pair starts; per-term stream = one byte span
+    pdel = tpos.copy()
+    with np.errstate(over="ignore"):
+        pdel[1:] = tpos[1:] - tpos[:-1]
+    pdel[pair_starts] = tpos[pair_starts]
+    pos_enc, plen = varint_encode(pdel)
+    pos_nbytes = np.add.reduceat(plen, tok_lo) if n_terms else np.empty(0, np.int64)
+
+    # assemble per-term blobs: hdr | docsec | relsec | possec
+    term_total = hdr_term + doc_nbytes + rel_len + pos_nbytes
+    term_off = np.concatenate(([0], np.cumsum(term_total)))[:-1] if n_terms else np.empty(0, np.int64)
+    out = np.zeros(int(term_total.sum()) if n_terms else 0, dtype=np.uint8)
+    if n_terms:
+        # each encoded stream already tiles in term order — the scatter
+        # destinations interleave them into per-term blobs
+        out[_ranges(term_off, hdr_term)] = hdr_enc
+        dbase = term_off + hdr_term
+        out[_ranges(dbase, doc_nbytes)] = doc_enc
+        rbase = dbase + doc_nbytes
+        out[_ranges(rbase, rel_len)] = rel_packed
+        pbase = rbase + rel_len
+        out[_ranges(pbase, pos_nbytes)] = pos_enc
+
+    return out.tobytes(), {
+        "offset": term_off.astype(np.int64),
+        "nbytes": term_total.astype(np.int64),
         "ndocs": ndocs.astype(np.uint32),
-        "npos": np.array(npos_l, dtype=np.int64),
+        "npos": npos.astype(np.int64),
         "first_doc": first_doc,
         "last_doc": last_doc,
         "d0_nbytes": _varint_lengths(first_doc).astype(np.int32),

@@ -216,3 +216,53 @@ def test_stitch_merge_randomized_no_ray(tmp_path, seed):
                 want.append((i, j))
                 start = j + 1
         assert got_pairs == sorted(want), (seed, lit)
+
+
+def test_vectorized_pack_positional_bit_identical_to_reference():
+    """The all-terms vectorized positional pack must emit byte-identical
+    blobs to the per-term ``codec.pack_positions`` reference encoder."""
+    import pyarrow as pa
+
+    from dcs_ray.codec import pack_positions
+    from dcs_ray.index.config import IndexConfig
+    from dcs_ray.index.segment import build_segment_data
+    from dcs_ray.tokenize import trigram_tokens
+
+    rng = np.random.default_rng(5)
+    words = ["spark", "merge", "alpha", "zz9", "the"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(1, 40))) for _ in range(80)]
+    ids = np.arange(80, dtype=np.uint64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(80)]),
+            "text": pa.array(texts),
+        }
+    )
+    conf = IndexConfig(
+        num_partitions=1, num_shards=1, mode="trigram", id_col="doc_id",
+        url_col="url", dedup_latest=False, positional=True,
+    )
+    seg = build_segment_data(0, tbl, conf)
+
+    # reference per-term encoding from the same token stream
+    tri, tdoc, tpos = trigram_tokens(pa.array(texts), ids)
+    order = np.argsort(tri, kind="stable")
+    tri, tdoc, tpos = tri[order], tdoc[order], tpos[order]
+    b = np.flatnonzero((tri[1:] != tri[:-1]) | (tdoc[1:] != tdoc[:-1])) + 1
+    starts = np.concatenate(([0], b))
+    ends = np.concatenate((starts[1:], [len(tri)]))
+    tpp = tri[starts]
+    tb = np.flatnonzero(tpp[1:] != tpp[:-1]) + 1
+    go = np.concatenate(([0], tb, [len(tpp)]))
+    p_doc = tdoc[starts]
+
+    blob = seg["positions_blob"]
+    pd_ = seg["pos_dict"]
+    for t in range(len(go) - 1):
+        lo, hi = go[t], go[t + 1]
+        pos_offsets = np.concatenate(([0], np.cumsum(ends[lo:hi] - starts[lo:hi])))
+        positions = tpos[starts[lo] : ends[hi - 1]].astype(np.uint64)
+        want = pack_positions(p_doc[lo:hi], pos_offsets, positions)
+        got = blob[pd_["offset"][t] : pd_["offset"][t] + pd_["nbytes"][t]]
+        assert bytes(got) == want, t
