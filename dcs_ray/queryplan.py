@@ -120,18 +120,31 @@ def _cross(a: set[str], b: set[str]) -> set[str]:
 
 
 def _clamp(strs: set[str], keep_prefix: bool) -> tuple[set[str], bool]:
-    """Cap set size / string length; returns (clamped, was_clamped)."""
+    """Cap set size / string length; returns (clamped, was_clamped).
+
+    Over-large sets are reduced by TRUNCATING string length until the
+    set collapses under the cap (codesearch's ``simplifySet``), never by
+    dropping members: shorter prefixes/suffixes constrain candidates
+    less (conservative — a superset of matches survives), while dropping
+    an OR-alternative would silently exclude the documents that only it
+    covers."""
+
+    def cut(ss: set[str], n: int) -> set[str]:
+        return {(s[:n] if keep_prefix else s[-n:]) for s in ss}
+
     clamped = False
-    if len(strs) > MAX_SET:
-        strs = set(sorted(strs)[:MAX_SET])
+    out = strs
+    if any(len(s) > MAX_STR for s in out):
+        out = cut(out, MAX_STR)
         clamped = True
-    out = set()
-    for s in strs:
-        if len(s) > MAX_STR:
-            out.add(s[:MAX_STR] if keep_prefix else s[-MAX_STR:])
-            clamped = True
-        else:
-            out.add(s)
+    n = MAX_STR
+    while len(out) > MAX_SET and n > 1:
+        n -= 1
+        out = cut(out, n)
+        clamped = True
+    if len(out) > MAX_SET:
+        out = {""}
+        clamped = True
     return out, clamped
 
 
@@ -226,11 +239,25 @@ def _finalize(info: _Info) -> Query:
 _MAX_CLASS = 10  # char classes larger than this → treated as any-char
 
 
-def _info_of_node(node) -> _Info:
+def _fold_chars(chars: list[str]) -> list[str]:
+    """Case-fold a char list (IGNORECASE): every char contributes both
+    cases, order-preserving, deduped."""
+    out: list[str] = []
+    for c in chars:
+        for v in (c.lower(), c.upper()):
+            if v not in out:
+                out.append(v)
+    return out
+
+
+def _info_of_node(node, fold: bool = False) -> _Info:
     op, av = node
     name = str(op).lower()
     if name == "literal":
-        return _literal(chr(av))
+        c = chr(av)
+        if fold and c.lower() != c.upper():
+            return _alternate(_literal(c.lower()), _literal(c.upper()))
+        return _literal(c)
     if name == "not_literal":
         return _any_char()
     if name == "any":
@@ -251,6 +278,8 @@ def _info_of_node(node) -> _Info:
             else:
                 ok = False
                 break
+        if fold and ok:
+            chars = _fold_chars(chars)
         if not ok or not chars or len(chars) > _MAX_CLASS:
             return _any_char()
         info = _literal(chars[0])
@@ -258,16 +287,22 @@ def _info_of_node(node) -> _Info:
             info = _alternate(info, _literal(c))
         return info
     if name == "branch":
-        infos = [_info_of_seq(alt) for alt in av[1]]
+        infos = [_info_of_seq(alt, fold) for alt in av[1]]
         out = infos[0]
         for i in infos[1:]:
             out = _alternate(out, i)
         return out
     if name == "subpattern":
-        return _info_of_seq(av[3])
+        import re as _re
+
+        _group, _add, _del = av[0], av[1], av[2]
+        inner_fold = (fold or bool(_add & _re.IGNORECASE)) and not bool(
+            _del & _re.IGNORECASE
+        )
+        return _info_of_seq(av[3], inner_fold)
     if name == "max_repeat" or name == "min_repeat":
         lo, hi, seq = av
-        inner = _info_of_seq(seq)
+        inner = _info_of_seq(seq, fold)
         if lo == 0 and (hi is sre_parse.MAXREPEAT or hi == 0):
             return _star(inner)
         if lo == 0:
@@ -286,21 +321,27 @@ def _info_of_node(node) -> _Info:
     return _any_char()
 
 
-def _info_of_seq(seq) -> _Info:
+def _info_of_seq(seq, fold: bool = False) -> _Info:
     info = _empty()
     for node in seq:
-        info = _concat(info, _info_of_node(node))
+        info = _concat(info, _info_of_node(node, fold))
     return info
 
 
 def regexp_query(pattern: str) -> Query:
     """Trigram query for a regex: every matching document satisfies it
     (``internal/index/regexp.go:22-35`` RegexpQuery)."""
+    import re as _re
+
     try:
         parsed = sre_parse.parse(pattern)
     except Exception:
         return Q_ALL
-    info = _info_of_seq(parsed)
+    # global (?i): literals must candidate-match BOTH cases — dcs folds
+    # case in its RE2 parse (regexp.go FoldCase); missing this makes the
+    # trigram restriction drop upper-case matches entirely
+    fold = bool(parsed.state.flags & _re.IGNORECASE)
+    info = _info_of_seq(parsed, fold)
     if info.emptyable:
         return Q_ALL
     return _finalize(info)

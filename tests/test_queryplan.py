@@ -102,3 +102,67 @@ def test_rewrite_query_keywords():
     assert neg == {"package": ["linux"]}
     rest2, pos2, neg2 = rewrite_query("plain query")
     assert rest2 == "plain query" and not pos2 and not neg2
+
+
+def test_case_insensitive_regex_candidates():
+    """(?i) must widen the trigram restriction to all case mixtures —
+    dcs folds case in its RE2 parse (regexp.go FoldCase); without it the
+    candidate AND silently drops upper-case matches."""
+    from dcs_ray.queryplan import regexp_query
+
+    import numpy as np
+
+    from dcs_ray.queryplan import eval_query
+    from dcs_ray.tokenize import string_trigrams
+
+    def candidates(q, text_by_doc):
+        def lookup(tri):
+            hits = [
+                d for d, t in text_by_doc.items() if tri in set(
+                    bytes([x >> 16, (x >> 8) & 255, x & 255]).decode()
+                    for x in string_trigrams(t)
+                )
+            ]
+            return np.array(sorted(hits), np.uint64)
+
+        r = eval_query(q, lambda tri: lookup(tri))
+        return set(text_by_doc) if isinstance(r, str) else set(int(x) for x in r)
+
+    docs = {0: "xx SPARK xx", 1: "xx Spark xx", 2: "xx spark xx", 3: "nothing"}
+    qi = regexp_query("(?i)spark")
+    assert candidates(qi, docs) >= {0, 1, 2}  # every case mixture reachable
+    # case-sensitive plan misses the upper-case docs (the old (?i) bug)
+    assert candidates(regexp_query("spark"), docs) == {2}
+    # scoped group folding
+    gdocs = {0: "xaBCdx", 1: "xabcdx", 2: "xABCDx"}
+    assert candidates(regexp_query("a(?i:bc)d"), gdocs) >= {0, 1}
+
+
+def test_case_insensitive_regex_end_to_end(ray_session, tmp_path):
+    """A trigram-index regex search with (?i) finds docs in EVERY case."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from dcs_ray.grep import search_regex
+    from dcs_ray.index import IndexConfig, build_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(4)]),
+            "text": pa.array(
+                ["the SPARK engine", "a Spark thing", "plain spark here", "no match"]
+            ),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "docs.parquet"))
+    out = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet(str(tmp_path / "docs.parquet")), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="trigram",
+                    id_col="doc_id", url_col="url", dedup_latest=False),
+    )
+    ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
+    res = search_regex(out, ds, r"(?i)spark").to_pandas()
+    assert set(res.doc_id) == {0, 1, 2}
