@@ -16,6 +16,10 @@ from dcs_ray.queryplan import ALL, NONE, Q_ALL, eval_query, regexp_query, rewrit
 
 CORPUS = [
     "abcdef",
+    "ABCDEF",
+    "AbCdEf then DEF",
+    "HELLO WORLD",
+    "XXYYZZ",
     "hello world",
     "abc then def",
     "xxyyzz",
@@ -54,6 +58,11 @@ def satisfies(q, text) -> bool:
         "a.c.e",
         "(hello|xxyy)zz?",
         "abc{2,3}",
+        "(?i)abcdef",
+        "(?i)abc|WXYZ",
+        "(?i)hel+o",
+        "A(?i:bC)def",
+        "(?i)(hello|xxyy)zz?",
     ],
 )
 def test_candidates_superset_of_matches(pattern):
