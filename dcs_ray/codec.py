@@ -100,12 +100,22 @@ def pack_postings(
     group_offsets: np.ndarray,
     doc_ids: np.ndarray,
     tfs: np.ndarray,
+    codec: str = "varint",
 ) -> tuple[bytes, np.ndarray, np.ndarray]:
     """Pack posting lists for many terms into one blob, vectorized.
 
     ``group_offsets``: int64 array of length nterms+1; term t's postings are
     ``doc_ids[group_offsets[t]:group_offsets[t+1]]`` (sorted ascending,
     deduped) with parallel ``tfs``.
+
+    ``codec``: ``"varint"`` (default, LEB128 bodies) or ``"bitpack"``
+    (fixed-width FOR blocks — the TurboPFor role in dcs,
+    ``internal/index/pforwriter.go:44-50``; body = ``u8 bw_delta, u8
+    bw_tf``, then the block's doc-id deltas LSB-first at ``bw_delta``
+    bits each, then its tfs at ``bw_tf`` bits, each stream byte-padded).
+    Blocks are self-describing via the high bit of the header's ``n``
+    field, so merge stays pure byte concatenation even across segments
+    built with different codecs.
 
     Returns ``(blob, term_byte_offsets, term_byte_lengths)`` where term t's
     block sequence is ``blob[off[t]:off[t]+len[t]]``.
@@ -138,6 +148,14 @@ def pack_postings(
     is_block_first = np.zeros(total, dtype=bool)
     is_block_first[block_start] = True
     body_deltas = deltas[~is_block_first]
+
+    if codec == "bitpack":
+        return _pack_postings_bitpack(
+            nterms, counts, nblocks, block_first, block_start, block_end,
+            block_n, doc_ids, tfs, body_deltas, is_block_first,
+        )
+    if codec != "varint":
+        raise ValueError(f"unknown codec {codec!r}")
 
     delta_bytes, delta_lens = varint_encode(body_deltas)
     tf_bytes, tf_lens = varint_encode(tfs)
@@ -199,6 +217,115 @@ def pack_postings(
     return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
 
 
+CODEC_FLAG_BITPACK = 0x8000  # high bit of header "n": bitpacked body
+_N_MASK = 0x7FFF
+
+
+def _pack_postings_bitpack(
+    nterms, counts, nblocks, block_first, block_start, block_end,
+    block_n, doc_ids, tfs, body_deltas, is_block_first,
+):
+    """Bitpack body assembly for ``pack_postings(codec="bitpack")`` —
+    blocks grouped by (values-per-block, bit width) class so every class
+    packs as ONE vectorized packbits call over a (k, m) matrix."""
+    m_counts = block_n - 1
+    entry_delta_rank = np.cumsum(~is_block_first) - (~is_block_first)
+    body_rank_start = entry_delta_rank[block_start]
+
+    bw_d = np.zeros(nblocks, dtype=np.int64)
+    nz = m_counts > 0
+    if nz.any() and len(body_deltas):
+        bl_d = _bitlen64(body_deltas)
+        bw_d[nz] = np.maximum.reduceat(bl_d, body_rank_start[nz])
+    bw_t = np.maximum.reduceat(_bitlen64(tfs), block_start)
+
+    d_bytes = (m_counts * bw_d + 7) // 8
+    t_bytes = (block_n * bw_t + 7) // 8
+    blk_body_bytes = 2 + d_bytes + t_bytes
+
+    headers = np.empty(nblocks, dtype=HEADER_DTYPE)
+    headers["n"] = block_n | CODEC_FLAG_BITPACK
+    headers["nbytes"] = blk_body_bytes
+    headers["first_docid"] = doc_ids[block_start]
+    headers["max_docid"] = doc_ids[block_end - 1]
+    headers["max_tf"] = np.maximum.reduceat(tfs, block_start)
+
+    blk_total = HEADER_SIZE + blk_body_bytes
+    blk_out = np.concatenate(([0], np.cumsum(blk_total)))
+    out = np.zeros(int(blk_out[-1]), dtype=np.uint8)
+
+    hview = headers.view(np.uint8).reshape(nblocks, HEADER_SIZE)
+    htargets = blk_out[:-1][:, None] + np.arange(HEADER_SIZE)[None, :]
+    out[htargets.ravel()] = hview.ravel()
+    out[blk_out[:-1] + HEADER_SIZE] = bw_d.astype(np.uint8)
+    out[blk_out[:-1] + HEADER_SIZE + 1] = bw_t.astype(np.uint8)
+
+    # delta payloads, one packbits per (m, bw) class
+    dkey = m_counts * 128 + bw_d
+    for key in np.unique(dkey[nz]):
+        sel = np.flatnonzero(dkey == key)
+        m, bw = int(key // 128), int(key % 128)
+        if m == 0 or bw == 0:
+            continue
+        ranks = body_rank_start[sel][:, None] + np.arange(m)[None, :]
+        packed = _pack_bits_rows(body_deltas[ranks], bw)
+        dst = (blk_out[:-1][sel] + HEADER_SIZE + 2)[:, None] + np.arange(packed.shape[1])[None, :]
+        out[dst.ravel()] = packed.ravel()
+
+    # tf payloads, one packbits per (n, bw) class
+    tkey = block_n * 128 + bw_t
+    for key in np.unique(tkey):
+        sel = np.flatnonzero(tkey == key)
+        n, bw = int(key // 128), int(key % 128)
+        if bw == 0:
+            continue
+        ranks = block_start[sel][:, None] + np.arange(n)[None, :]
+        packed = _pack_bits_rows(tfs[ranks], bw)
+        dst = (
+            blk_out[:-1][sel] + HEADER_SIZE + 2 + d_bytes[sel]
+        )[:, None] + np.arange(packed.shape[1])[None, :]
+        out[dst.ravel()] = packed.ravel()
+
+    term_off = blk_out[block_first]
+    term_end = blk_out[np.concatenate((block_first[1:], [nblocks]))]
+    term_len = term_end - term_off
+    if (counts == 0).any():
+        raise ValueError("pack_postings: empty term groups not supported")
+    return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
+
+
+def _bitlen64(v: np.ndarray) -> np.ndarray:
+    """Exact bit length of each uint64 (0 for 0), via 6-step binary search."""
+    x = v.astype(np.uint64, copy=True)
+    bl = np.zeros(len(x), dtype=np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = x >= np.uint64(1 << sh)
+        bl[m] += sh
+        x[m] >>= np.uint64(sh)
+    bl += (x > 0).astype(np.int64)
+    return bl
+
+
+def _pack_bits_rows(mat: np.ndarray, bw: int) -> np.ndarray:
+    """(k, m) uint64 values of bit width <= bw → (k, ceil(m*bw/8)) bytes,
+    LSB-first within each value and row (FOR/binary packing — the
+    TurboPFor-bitpack role of ``internal/index/pforwriter.go``)."""
+    k, m = mat.shape
+    if m == 0 or bw == 0:
+        return np.zeros((k, 0), dtype=np.uint8)
+    shifts = np.arange(bw, dtype=np.uint64)
+    bits = ((mat[:, :, None] >> shifts[None, None, :]) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(k, m * bw), axis=1, bitorder="little")
+
+
+def _unpack_values(data: np.ndarray, count: int, bw: int) -> np.ndarray:
+    if count == 0 or bw == 0:
+        return np.zeros(count, dtype=np.uint64)
+    bits = np.unpackbits(data, bitorder="little", count=count * bw).reshape(count, bw)
+    weights = (np.uint64(1) << np.arange(bw, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def _ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Vectorized concatenation of [s, s+l) ranges."""
     lengths = lengths.astype(np.int64)
@@ -232,10 +359,18 @@ def iter_blocks(blob: np.ndarray | memoryview | bytes):
 
 
 def decode_block(header, body: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one block to (doc_ids u64, tfs u64)."""
-    n = int(header["n"])
-    vals = varint_decode(body)
-    deltas, tfs = vals[: n - 1], vals[n - 1 :]
+    """Decode one block to (doc_ids u64, tfs u64); the header's ``n``
+    high bit selects the body codec (varint vs bitpack)."""
+    n_field = int(header["n"])
+    n = n_field & _N_MASK
+    if n_field & CODEC_FLAG_BITPACK:
+        bw_d, bw_t = int(body[0]), int(body[1])
+        db = ((n - 1) * bw_d + 7) // 8
+        deltas = _unpack_values(body[2 : 2 + db], n - 1, bw_d)
+        tfs = _unpack_values(body[2 + db :], n, bw_t)
+    else:
+        vals = varint_decode(body)
+        deltas, tfs = vals[: n - 1], vals[n - 1 :]
     doc_ids = np.empty(n, dtype=np.uint64)
     doc_ids[0] = header["first_docid"]
     if n > 1:

@@ -33,6 +33,10 @@ class IndexConfig:
     # sourcebackend.go:28-129) and the static rank prior
     # (ranking/pre-ranking.go:54-103) are evaluated against at query time
     meta_cols: tuple = ()
+    # posting-body codec: "varint" (LEB128) or "bitpack" (fixed-width FOR
+    # blocks — dcs's TurboPFor role). Blocks are self-describing, so
+    # segments of different codecs even merge together.
+    codec: str = "varint"
     # BM25 parameters (north rule)
     k1: float = 1.2
     b: float = 0.75
@@ -49,6 +53,7 @@ class IndexConfig:
 
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")
+        assert self.codec in ("varint", "bitpack")
         assert self.num_partitions >= self.num_shards >= 1
         # latest-crawl dedup is partition-local; it is only globally exact
         # when a url's every crawl lands in one partition — i.e. url-hash

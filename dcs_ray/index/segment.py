@@ -118,7 +118,7 @@ def build_segment_data(part_id: int, tbl: pa.Table, conf: IndexConfig) -> dict:
             positions_blob, pos_dict = None, None
 
     blob, t_off, t_len = (
-        pack_postings(group_offsets, p_doc, p_tf)
+        pack_postings(group_offsets, p_doc, p_tf, codec=conf.codec)
         if len(p_doc)
         else (b"", np.empty(0, np.int64), np.empty(0, np.int64))
     )
