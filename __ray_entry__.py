@@ -486,6 +486,54 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def _q_jaccard_verified(sf_dir: str) -> Any:
+    """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
+    participant join, never full-corpus text in a shuffle)."""
+    from dcs_ray.functions.dedup import jaccard_verify_pairs, minhash_candidate_pairs
+
+    docs = _docs(sf_dir)
+    ds = jaccard_verify_pairs(docs, minhash_candidate_pairs(docs), threshold=0.5)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables or sum(len(t) for t in tables) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+def _q_fuzzy_dedup(sf_dir: str) -> Any:
+    """End-to-end fuzzy dedup: LSH candidates → Jaccard verify →
+    distributed connected components → keep min id per near-dup
+    cluster."""
+    from dcs_ray.functions.dedup import fuzzy_dedup_keep
+
+    ds = fuzzy_dedup_keep(_docs(sf_dir), threshold=0.5)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables).sort_by("doc_id")
+
+
+def _q_connected_components(sf_dir: str) -> Any:
+    """Distributed alternating-star connected components over a
+    deterministic edge set derived from events (block-local pseudo-
+    random functional graph: u=event_id, v=block_start+(13u+5)%20)."""
+    from dcs_ray.functions.graph import connected_components
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v = (e // 20) * 20 + (e * 13 + 5) % 20
+        return pa.table(
+            {"id_a": pa.array(e, pa.int64()), "id_b": pa.array(v, pa.int64())}
+        )
+
+    labels = connected_components(ev.map_batches(edges, batch_format="pyarrow"))
+    tables = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables).sort_by("node")
+
+
 def _q_simhash(sf_dir: str) -> ray.data.Dataset:
     from dcs_ray.functions.dedup import simhash_batch
 
@@ -575,6 +623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_verified_pairs": _q_jaccard_verified,
+        "fuzzy_dedup_keep": _q_fuzzy_dedup,
+        "connected_components": _q_connected_components,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -655,13 +706,15 @@ def _mulmod64(a: str, b: str) -> str:
     )
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_chain_ctes() -> str:
     """The ENTIRE MinHash+LSH chain of ``dcs_ray.functions.dedup`` —
     word-wise content hash (``textstats.content_hash_rows``: 8-byte-LE
     word polynomial + splitmix64 finalizer), 3-gram shingle Horner
     combine, 64 mod-(2^61−1) permutations (constants from the same
-    seeded rng, inlined), 16×4 FNV band hashes, and bucket pair
-    generation — replayed bit-exactly in DuckDB hugeint arithmetic."""
+    seeded rng, inlined), 16×4 FNV band hashes — replayed bit-exactly
+    in DuckDB hugeint arithmetic, as a CTE list ending at
+    ``bh(doc_id, band, bhash)`` (plus ``tok(doc_id, t, pos)``) so the
+    pair/verify/cluster oracles can compose on top."""
     OFF = "14695981039346656037"
     P = str(0x9E3779B97F4A7C15)
     MIX1 = str(0xBF58476D1CE4E5B9)
@@ -686,7 +739,7 @@ list_reduce(
   (h, w) -> ({_mulmod64('h', P + '::hugeint')} + w) % {_M64})
 """
     return f"""
-WITH tokl AS (
+tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
   FROM documents
 ),
@@ -726,10 +779,106 @@ bh AS (
           (h, s) -> (xor(h::ubigint, s::ubigint)::hugeint * {PRIME}) % {_M64})::ubigint,
          band::ubigint))::hugeint * {PRIME}) % {_M64} AS bhash
   FROM bandl
-)
+)"""
+
+
+def _minhash_pairs_sql() -> str:
+    return f"""
+WITH {_minhash_chain_ctes()}
 SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
 FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id
 ORDER BY id_a, id_b
+"""
+
+
+def _verify_chain_ctes() -> str:
+    """Candidate pairs from the band hashes + exact shingle-set Jaccard
+    verify (``dedup.jaccard_verify_pairs`` semantics: union of distinct
+    3-gram shingles; empty-vs-empty union ⇒ jaccard 1.0), ending at
+    ``verified(id_a, id_b, jaccard)`` with jaccard >= 0.5."""
+    return f"""{_minhash_chain_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id
+),
+shw AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w2 || ' ' || lead(t, 2) OVER w2 AS shingle
+  FROM tok WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(t, 2) OVER w2 IS NOT NULL
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shw),
+ssz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+pint AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.id_a
+  JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT c.id_a, c.id_b,
+           CASE WHEN coalesce(za.sz,0) + coalesce(zb.sz,0) - coalesce(p.i,0) = 0
+                THEN 1.0
+                ELSE coalesce(p.i,0)::double
+                     / (coalesce(za.sz,0) + coalesce(zb.sz,0) - coalesce(p.i,0))
+           END AS jaccard
+    FROM cand c
+    LEFT JOIN pint p ON p.id_a = c.id_a AND p.id_b = c.id_b
+    LEFT JOIN ssz za ON za.doc_id = c.id_a
+    LEFT JOIN ssz zb ON zb.doc_id = c.id_b
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+def _jaccard_verified_sql() -> str:
+    return f"""
+WITH {_verify_chain_ctes()}
+SELECT id_a, id_b, jaccard FROM verified ORDER BY id_a, id_b
+"""
+
+
+def _fuzzy_dedup_sql() -> str:
+    """minhash→verify→connected components (recursive min-label
+    propagation) → keep min id per cluster — the full
+    ``dedup.fuzzy_dedup_keep`` pipeline in one statement."""
+    return f"""
+WITH RECURSIVE {_verify_chain_ctes()},
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM lab l WHERE l.node = d.doc_id AND l.comp < d.doc_id)
+ORDER BY doc_id
+"""
+
+
+def _connected_components_sql() -> str:
+    """Recursive-CTE min-label propagation over the deterministic
+    event-derived edge set (same construction as
+    ``_q_connected_components``)."""
+    return """
+WITH RECURSIVE edges AS (
+  SELECT event_id::bigint AS u,
+         ((event_id // 20) * 20 + (event_id * 13 + 5) % 20)::bigint AS v
+  FROM events
+),
+canon AS (SELECT DISTINCT greatest(u, v) AS u, least(u, v) AS v FROM edges WHERE u <> v),
+sym AS (SELECT u, v FROM canon UNION ALL SELECT v, u FROM canon),
+reach(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+)
+SELECT node::bigint AS node, min(label)::bigint AS component
+FROM reach GROUP BY node ORDER BY node
 """
 
 
@@ -925,6 +1074,9 @@ SELECT doc_id,
 FROM fp ORDER BY doc_id
 """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "jaccard_verified_pairs": _jaccard_verified_sql(),
+        "fuzzy_dedup_keep": _fuzzy_dedup_sql(),
+        "connected_components": _connected_components_sql(),
         "ngram_jaccard_pairs": """
 WITH tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

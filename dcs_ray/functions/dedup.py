@@ -136,14 +136,15 @@ def minhash_band_rows(
 
 def minhash_candidate_pairs(
     ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id",
-    max_bucket: int = 256,
+    max_bucket: int = 256, shingle_n: int = 3, seed: int = 7,
 ) -> ray.data.Dataset:
     """LSH candidate pairs (id_a < id_b), deduped across bands. Buckets
     larger than ``max_bucket`` emit star pairs to the bucket min id
     (connected-cover semantics) instead of the quadratic clique — see
     ``pairs`` below."""
     band_ds = ds.map_batches(
-        lambda b: minhash_band_rows(b, num_perm, bands, id_col), batch_format="pyarrow"
+        lambda b: minhash_band_rows(b, num_perm, bands, id_col, shingle_n, seed),
+        batch_format="pyarrow",
     )
 
     def pairs(group: pa.Table) -> pa.Table:
@@ -178,6 +179,253 @@ def minhash_candidate_pairs(
     cand = band_ds.groupby("band_hash").map_groups(pairs, batch_format="pyarrow")
     # dedupe pairs discovered via multiple bands
     return cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
+
+
+def jaccard_verify_pairs(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact shingle-set Jaccard for each candidate (id_a, id_b) pair →
+    Dataset[(id_a, id_b, jaccard)] with jaccard >= threshold.
+
+    Shape: the candidate *participant* id set (unique ids appearing in
+    any pair — for dedup a small fraction of the corpus) is broadcast
+    once with ``ray.put`` and used to semi-filter the docs table, so
+    full-corpus text never enters a shuffle. Then a two-stage bucketed
+    join: (1) texts meet their pair slots grouped by doc-id bucket,
+    (2) both slots of a pair meet grouped by pair bucket, where shingle
+    sets, intersections and Jaccard are computed vectorized across ALL
+    pairs of the bucket (one lexsort, no per-pair Python). At extreme
+    participant counts replace the broadcast with a partitioned
+    semi-join keyed on the same bucket hash.
+    """
+    pair_batches = [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
+    pair_tbl = pa.concat_tables(pair_batches) if pair_batches else None
+    if pair_tbl is None or len(pair_tbl) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    pa_ids = pair_tbl["id_a"].to_numpy().astype(np.int64)
+    pb_ids = pair_tbl["id_b"].to_numpy().astype(np.int64)
+    # canonical unique pairs — the vectorized verify relies on exactly
+    # two slot rows per pair
+    lo, hi = np.minimum(pa_ids, pb_ids), np.maximum(pa_ids, pb_ids)
+    uniq = np.unique(np.stack((lo, hi), axis=1), axis=0)
+    pa_ids, pb_ids = uniq[:, 0], uniq[:, 1]
+    participants = np.unique(np.concatenate((pa_ids, pb_ids)))
+    part_ref = ray.put(participants)
+
+    def msg_rows() -> pa.Table:
+        return pa.table(
+            {
+                "join_key": pa.array(np.concatenate((pa_ids, pb_ids)), pa.int64()),
+                "kind": pa.array(
+                    np.concatenate(
+                        (np.zeros(len(pa_ids), np.int8), np.ones(len(pb_ids), np.int8))
+                    ),
+                    pa.int8(),
+                ),
+                "id_a": pa.array(np.concatenate((pa_ids, pa_ids)), pa.int64()),
+                "id_b": pa.array(np.concatenate((pb_ids, pb_ids)), pa.int64()),
+                "text": pa.array([None] * (2 * len(pa_ids)), pa.string()),
+            }
+        )
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        part = ray.get(part_ref)
+        pos = np.searchsorted(part, ids)
+        pos = np.minimum(pos, len(part) - 1)
+        keep = part[pos] == ids
+        return pa.table(
+            {
+                "join_key": pa.array(ids[keep], pa.int64()),
+                "kind": pa.array(np.full(int(keep.sum()), -1, np.int8), pa.int8()),
+                "id_a": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+                "id_b": pa.array(np.zeros(int(keep.sum()), np.int64), pa.int64()),
+                "text": b["text"].filter(pa.array(keep)),
+            }
+        )
+
+    stage1_in = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        ray.data.from_arrow(msg_rows())
+    )
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = ids.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(31)
+        return (x % np.uint64(num_buckets)).astype(np.int32)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket", pa.array(bucket_of(b["join_key"].to_numpy()), pa.int32())
+        )
+
+    def attach_text(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy()
+        keys = g["join_key"].to_numpy()
+        is_doc = kind == -1
+        doc_keys = keys[is_doc]
+        texts = g["text"].filter(pa.array(is_doc))
+        order = np.argsort(doc_keys)
+        doc_keys_s = doc_keys[order]
+        texts_s = texts.combine_chunks().take(pa.array(order))
+        m_keys = keys[~is_doc]
+        idx = np.searchsorted(doc_keys_s, m_keys)
+        # every pair id exists in docs; guard anyway
+        idx = np.minimum(idx, max(len(doc_keys_s) - 1, 0))
+        found = len(doc_keys_s) > 0 and True
+        valid = doc_keys_s[idx] == m_keys if found else np.zeros(len(m_keys), bool)
+        sel = np.flatnonzero(~is_doc)[valid]
+        return pa.table(
+            {
+                "id_a": g["id_a"].take(pa.array(sel)),
+                "id_b": g["id_b"].take(pa.array(sel)),
+                "slot": pa.array(kind[sel], pa.int8()),
+                "text": texts_s.take(pa.array(idx[valid])),
+            }
+        )
+
+    slotted = (
+        stage1_in.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(attach_text, batch_format="pyarrow")
+    )
+
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            x = b["id_a"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            x += b["id_b"].to_numpy().astype(np.uint64)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(29)
+        return b.append_column(
+            "bucket", pa.array((x % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        n = len(g)
+        if n == 0:
+            return empty
+        a = g["id_a"].to_numpy()
+        b_ = g["id_b"].to_numpy()
+        slot = g["slot"].to_numpy()
+        # row order: (pair, slot) so each pair occupies 2 consecutive rows
+        order = np.lexsort((slot, b_, a))
+        a, b_, slot = a[order], b_[order], slot[order]
+        texts = g["text"].combine_chunks().take(pa.array(order))
+        sh, offs = _shingle_hashes(texts, shingle_n)
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        # dedupe shingles within each row
+        o2 = np.lexsort((sh, row_of))
+        r2, s2 = row_of[o2], sh[o2]
+        keep = np.ones(len(s2), bool)
+        keep[1:] = (r2[1:] != r2[:-1]) | (s2[1:] != s2[:-1])
+        r2, s2 = r2[keep], s2[keep]
+        sizes = np.bincount(r2, minlength=n)
+        # pair index of each row: rows come in (slot0, slot1) pairs
+        pair_idx_of_row = np.arange(n) // 2
+        p3 = pair_idx_of_row[r2]
+        # intersections: same (pair, shingle) from both slots ⇒ adjacent
+        # after sorting by (pair, shingle) — each appears at most twice
+        o3 = np.lexsort((s2, p3))
+        p4, s4 = p3[o3], s2[o3]
+        dup = (p4[1:] == p4[:-1]) & (s4[1:] == s4[:-1])
+        npairs = n // 2
+        inter = np.bincount(p4[1:][dup], minlength=npairs)
+        szA = sizes[0::2]
+        szB = sizes[1::2]
+        union = szA + szB - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        sel = j >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[0::2][sel], pa.int64()),
+                "id_b": pa.array(b_[0::2][sel], pa.int64()),
+                "jaccard": pa.array(j[sel], pa.float64()),
+            }
+        )
+
+    return (
+        slotted.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+
+
+def fuzzy_dedup_keep(
+    docs: ray.data.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    cc_method: str = "distributed",
+) -> ray.data.Dataset:
+    """End-to-end fuzzy dedup — the canonical web-corpus pipeline:
+    MinHash+LSH candidate pairs → exact-Jaccard verify (≥ threshold) →
+    connected components over the verified near-dup graph → keep ONE
+    canonical doc (the minimum id) per cluster. Returns the kept ids as
+    Dataset[(doc_id,)] (block order unspecified — sort downstream if
+    needed).
+
+    Every stage is shuffle-native: LSH banding is a groupby on band
+    hashes, verify is a bucketed join over pair participants only, and
+    clustering is the alternating-star CC whose rounds shuffle the edge
+    set, not the corpus. The only driver-resident state is the near-dup
+    pair list and the drop set — both proportional to the duplicate
+    count, not corpus size.
+    """
+    from dcs_ray.functions.graph import connected_components
+
+    cand = minhash_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, id_col=id_col, shingle_n=shingle_n
+    )
+    verified = jaccard_verify_pairs(
+        docs, cand, shingle_n=shingle_n, threshold=threshold, id_col=id_col
+    )
+    labels = connected_components(verified, method=cc_method)
+
+    # drop set: nodes labeled with a smaller component representative
+    lab_batches = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
+    lab_tbl = pa.concat_tables(lab_batches) if lab_batches else pa.table({})
+    if len(lab_tbl):
+        node = lab_tbl["node"].to_numpy().astype(np.int64)
+        comp = lab_tbl["component"].to_numpy().astype(np.int64)
+        drop = np.sort(node[comp < node])
+    else:
+        drop = np.empty(0, np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        d = ray.get(drop_ref)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            keep = d[pos] != ids
+        else:
+            keep = np.ones(len(ids), bool)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    return docs.map_batches(keep_batch, batch_format="pyarrow")
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:

@@ -1,0 +1,212 @@
+"""Distributed connected components (alternating large/small-star) vs
+the in-process union-find oracle, plus the end-to-end fuzzy-dedup keep
+pipeline. Reference parity: the cluster step dcs applies per-package
+newest-wins grouping to (querymanager.go) generalized to arbitrary
+near-dup graphs."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dcs_ray.functions.graph import (
+    connected_components,
+    connected_components_local,
+)
+
+
+def _labels_of(ds) -> dict[int, int]:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    return dict(zip(t["node"].to_pylist(), t["component"].to_pylist()))
+
+
+def _edge_ds(a, b):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(np.asarray(a, np.int64), pa.int64()),
+                "id_b": pa.array(np.asarray(b, np.int64), pa.int64()),
+            }
+        )
+    )
+
+
+def _check(a, b, **kw):
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    got = _labels_of(connected_components(_edge_ds(a, b), **kw))
+    want = connected_components_local(a, b)
+    assert got == want
+
+
+def test_cc_empty(ray_session):
+    got = _labels_of(connected_components(_edge_ds([], [])))
+    assert got == {}
+
+
+def test_cc_single_edge(ray_session):
+    _check([5], [2])
+
+
+def test_cc_self_loops_only(ray_session):
+    got = _labels_of(connected_components(_edge_ds([3, 7], [3, 7])))
+    assert got == {}
+
+
+def test_cc_chain(ray_session):
+    # a 200-node path: worst case for label propagation (diameter 199);
+    # alternating-star converges in O(log n) rounds
+    n = 200
+    _check(np.arange(n - 1), np.arange(1, n))
+
+
+def test_cc_star_and_cliques(ray_session):
+    rng = np.random.default_rng(3)
+    a, b = [], []
+    # star centered at 1000
+    for i in range(50):
+        a.append(1000)
+        b.append(2000 + i)
+    # three 10-cliques with distinct id ranges
+    for base in (0, 100, 300):
+        ids = np.arange(base, base + 10)
+        ia, ib = np.triu_indices(10, k=1)
+        a.extend(ids[ia])
+        b.extend(ids[ib])
+    _check(a, b)
+
+
+def test_cc_random_graphs_match_union_find(ray_session):
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        m = 400
+        a = rng.integers(0, 300, m)
+        b = rng.integers(0, 300, m)
+        _check(a, b, num_buckets=8)
+
+
+def test_cc_duplicate_and_reversed_edges(ray_session):
+    a = [1, 2, 2, 9, 9, 4]
+    b = [2, 1, 1, 4, 4, 9]
+    _check(a, b)
+
+
+def test_fuzzy_dedup_keep_end_to_end(ray_session):
+    """MinHash→verify→CC→keep against a brute-force oracle on a corpus
+    with planted near-dup clusters."""
+    from dcs_ray.functions.dedup import exact_jaccard, fuzzy_dedup_keep
+
+    rng = np.random.default_rng(7)
+    words = np.array(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    )
+    ids, texts = [], []
+    base = []
+    for i in range(40):
+        t = " ".join(rng.choice(words, size=30))
+        base.append(t)
+        ids.append(i)
+        texts.append(t)
+    # near-dups of docs 0..9 (one word changed)
+    for k in range(10):
+        toks = base[k].split()
+        toks[5] = "omega"
+        ids.append(100 + k)
+        texts.append(" ".join(toks))
+    # exact-dup cluster of doc 20
+    for k in range(3):
+        ids.append(200 + k)
+        texts.append(base[20])
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    kept = sorted(
+        pa.concat_tables(
+            [
+                pa.table(b)
+                for b in fuzzy_dedup_keep(docs, threshold=0.5).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )["doc_id"].to_pylist()
+    )
+    # oracle: all-pairs exact jaccard -> union-find -> keep min
+    txt = dict(zip(ids, texts))
+    ea, eb = [], []
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            if exact_jaccard(txt[x], txt[y]) >= 0.5:
+                ea.append(min(x, y))
+                eb.append(max(x, y))
+    labels = connected_components_local(
+        np.asarray(ea, np.int64), np.asarray(eb, np.int64)
+    )
+    drop = {n for n, c in labels.items() if c < n}
+    assert kept == sorted(set(ids) - drop)
+    # every planted cluster lost all but one member
+    assert all(100 + k in drop or k in drop for k in range(10))
+    assert sum(1 for k in (200, 201, 202) if k in drop) >= 2
+
+
+def test_jaccard_verify_pairs_matches_exact(ray_session):
+    from dcs_ray.functions.dedup import (
+        exact_jaccard,
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    words = np.array("red green blue cyan magenta yellow black white".split())
+    ids = list(range(30))
+    texts = [" ".join(rng.choice(words, size=20)) for _ in ids]
+    for k in range(5):  # plant near-dups
+        toks = texts[k].split()
+        toks[3] = "orange"
+        ids.append(500 + k)
+        texts.append(" ".join(toks))
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+    cand = minhash_candidate_pairs(docs)
+    cand_t = pa.concat_tables(
+        [pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for b in jaccard_verify_pairs(docs, cand, threshold=0.3).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in pa.table(b).to_pylist()
+    }
+    txt = dict(zip(ids, texts))
+    want = {}
+    for a, b in zip(cand_t["id_a"].to_pylist(), cand_t["id_b"].to_pylist()):
+        j = exact_jaccard(txt[a], txt[b])
+        if j >= 0.3:
+            want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k])
+
+
+def test_jaccard_verify_empty_pairs(ray_session):
+    from dcs_ray.functions.dedup import jaccard_verify_pairs
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["a b c", "d e f"])}
+        )
+    )
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    tables = [
+        pa.table(b)
+        for b in jaccard_verify_pairs(docs, empty).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    assert sum(len(t) for t in tables) == 0
