@@ -486,6 +486,75 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def _q_asof_join(sf_dir: str) -> Any:
+    """Backward as-of join: each purchase event picks up the latest
+    prior (or simultaneous) view event of the same user."""
+    from dcs_ray.functions.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+
+    def only(kind):
+        return lambda b: b.filter(pa.compute.equal(b["event_type"], kind))
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(left, right, on="user_id", ts_col="ts_us",
+                    right_cols=("event_id", "value"))
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return t.select(
+        ["event_id", "user_id", "ts_us", "event_id_right", "value_right"]
+    ).sort_by("event_id")
+
+
+def _splitmix_docs_ctes(seed: int) -> str:
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    return f"""
+h0 AS (SELECT *, xor(doc_id::ubigint, {seed}::ubigint)::hugeint AS x0 FROM documents),
+h1 AS (SELECT *, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT *, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT *, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2)"""
+
+
+def _q_sample_fraction(sf_dir: str) -> Any:
+    """Deterministic ~20% subsample of documents (splitmix64(id^seed)
+    threshold) — reproducible across runs/cluster sizes, no shuffle."""
+    from dcs_ray.functions.sampling import sample_fraction
+
+    ds = sample_fraction(_docs(sf_dir), 0.2, seed=42)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_sample_stratified(sf_dir: str) -> Any:
+    """Deterministic 5-per-language sample (smallest (hash,id) per
+    stratum; per-batch combiner then one small groupby)."""
+    from dcs_ray.functions.sampling import sample_stratified
+
+    ds = sample_stratified(_docs(sf_dir), "lang", 5, seed=1)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -626,6 +695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_pairs": _q_jaccard_verified,
         "fuzzy_dedup_keep": _q_fuzzy_dedup,
         "connected_components": _q_connected_components,
+        "asof_join_purchase_view": _q_asof_join,
+        "sample_fraction": _q_sample_fraction,
+        "sample_stratified": _q_sample_stratified,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1077,6 +1149,29 @@ FROM fp ORDER BY doc_id
         "jaccard_verified_pairs": _jaccard_verified_sql(),
         "fuzzy_dedup_keep": _fuzzy_dedup_sql(),
         "connected_components": _connected_components_sql(),
+        "asof_join_purchase_view": """
+WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+r AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT l.event_id::bigint AS event_id, l.user_id::bigint AS user_id,
+       l.ts_us::bigint AS ts_us,
+       r.event_id::bigint AS event_id_right, r.value AS value_right
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+ORDER BY l.event_id
+""",
+        "sample_fraction": f"""
+WITH {_splitmix_docs_ctes(42)}
+SELECT doc_id, text, lang, source, n_chars FROM hf
+WHERE h < {int(0.2 * 2 ** 64)} ORDER BY doc_id
+""",
+        "sample_stratified": f"""
+WITH {_splitmix_docs_ctes(1)},
+rk AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM hf)
+SELECT doc_id, text, lang, source, n_chars FROM rk WHERE rn <= 5 ORDER BY doc_id
+""",
         "ngram_jaccard_pairs": """
 WITH tokl AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),

@@ -1,0 +1,97 @@
+"""Deterministic sampling: hash-fraction and stratified top-n.
+
+Both are driven by a splitmix64 finalizer over (id XOR seed), so the
+sample is a pure function of the row id — reproducible across runs,
+cluster sizes and block layouts, and replayable in SQL for the oracle
+gate (unlike ``Dataset.random_sample``).
+
+Scale shapes:
+- ``sample_fraction``: stateless per-batch filter — embarrassingly
+  parallel, no shuffle at all.
+- ``sample_stratified``: per-batch partial top-n per stratum (each
+  batch emits <= n rows per stratum it contains) → one ``groupby``
+  over the pruned remainder → final top-n. The shuffle carries at
+  most n × (strata present per batch) rows per batch, never the
+  corpus — the standard combiner-before-groupby recipe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * _MIX1
+        x = (x ^ (x >> np.uint64(27))) * _MIX2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def _row_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    return splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+
+
+def sample_fraction(
+    ds: ray.data.Dataset, frac: float, id_col: str = "doc_id", seed: int = 0
+) -> ray.data.Dataset:
+    """Keep a row iff splitmix64(id ^ seed) < frac·2^64 — a fixed,
+    id-determined ~frac subsample."""
+    threshold = np.uint64(min(int(frac * float(1 << 64)), (1 << 64) - 1))
+
+    def keep(b: pa.Table) -> pa.Table:
+        h = _row_hash(b[id_col].to_numpy(), seed)
+        return b.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _topn_per_stratum(
+    b: pa.Table, strata_col: str, id_col: str, n: int, seed: int
+) -> pa.Table:
+    """Rows with the n smallest (hash, id) per stratum within this
+    table — used both as the per-batch combiner and the final reducer
+    (idempotent, associative)."""
+    if len(b) == 0:
+        return b
+    strata = b[strata_col]
+    # dense-rank strata via dictionary encoding (works for any dtype)
+    enc = pa.compute.dictionary_encode(
+        strata.combine_chunks() if isinstance(strata, pa.ChunkedArray) else strata
+    )
+    codes = np.asarray(enc.indices)
+    ids = b[id_col].to_numpy().astype(np.int64)
+    h = _row_hash(ids, seed)
+    order = np.lexsort((ids, h, codes))
+    codes_s = codes[order]
+    starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+    rank = np.arange(len(order)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(order)]))))
+    keep_sorted = order[rank < n]
+    return b.take(pa.array(np.sort(keep_sorted)))
+
+
+def sample_stratified(
+    ds: ray.data.Dataset,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic n-per-stratum sample: the n rows with the smallest
+    (splitmix64(id ^ seed), id) per stratum value."""
+
+    pruned = ds.map_batches(
+        lambda b: _topn_per_stratum(b, strata_col, id_col, n_per_stratum, seed),
+        batch_format="pyarrow",
+    )
+    return pruned.groupby(strata_col).map_groups(
+        lambda g: _topn_per_stratum(g, strata_col, id_col, n_per_stratum, seed),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,133 @@
+"""As-of join and deterministic sampling vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dcs_ray.functions.joins import asof_join
+from dcs_ray.functions.sampling import (
+    sample_fraction,
+    sample_stratified,
+    splitmix64,
+)
+
+
+def _collect(ds) -> pa.Table:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def _mk(rows, **cols):
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(5)
+    nl, nr = 300, 400
+    lk = rng.integers(0, 20, nl).astype(np.int64)
+    lt = rng.integers(0, 10_000, nl).astype(np.int64)
+    rk = rng.integers(0, 20, nr).astype(np.int64)
+    rt = np.sort(rng.choice(np.arange(50_000), size=nr, replace=False)).astype(np.int64) % 10_000
+    # make right (key, ts) unique so the match is well-defined
+    seen = set()
+    keep = []
+    for i in range(nr):
+        if (rk[i], rt[i]) in seen:
+            keep.append(False)
+        else:
+            seen.add((rk[i], rt[i]))
+            keep.append(True)
+    rk, rt = rk[keep], rt[keep]
+    rv = np.arange(len(rk), dtype=np.int64) * 10
+    left = _mk(None, lid=pa.array(np.arange(nl), pa.int64()),
+               k=pa.array(lk, pa.int64()), ts_us=pa.array(lt, pa.int64()))
+    right = _mk(None, rid=pa.array(np.arange(len(rk)), pa.int64()),
+                k=pa.array(rk, pa.int64()), ts_us=pa.array(rt, pa.int64()),
+                v=pa.array(rv, pa.int64()))
+    out = _collect(
+        asof_join(left, right, on="k", ts_col="ts_us", right_cols=("rid", "v"),
+                  num_buckets=7)
+    ).to_pandas().set_index("lid").sort_index()
+    assert len(out) == nl
+    for lid in range(nl):
+        cands = [
+            (rt[j], j) for j in range(len(rk)) if rk[j] == lk[lid] and rt[j] <= lt[lid]
+        ]
+        want = max(cands)[1] if cands else None
+        got = out.loc[lid, "rid"]
+        got = None if pd.isna(got) else int(got)
+        assert got == want, (lid, got, want)
+
+
+def test_asof_join_tolerance_and_tie(ray_session):
+    left = _mk(None, lid=pa.array([0, 1, 2], pa.int64()),
+               k=pa.array([1, 1, 1], pa.int64()),
+               ts_us=pa.array([100, 200, 1000], pa.int64()))
+    right = _mk(None, rid=pa.array([10, 11], pa.int64()),
+                k=pa.array([1, 1], pa.int64()),
+                ts_us=pa.array([100, 150], pa.int64()))
+    out = _collect(
+        asof_join(left, right, on="k", ts_col="ts_us", right_cols=("rid",),
+                  tolerance_us=100)
+    ).to_pandas().set_index("lid").sort_index()
+    # equal ts matches (tie); 200-150 ≤ 100 matches; 1000-150 > 100 does not
+    assert int(out.loc[0, "rid"]) == 10
+    assert int(out.loc[1, "rid"]) == 11
+    assert pd.isna(out.loc[2, "rid"])
+
+
+def test_asof_join_no_right_rows(ray_session):
+    left = _mk(None, lid=pa.array([0], pa.int64()), k=pa.array([1], pa.int64()),
+               ts_us=pa.array([5], pa.int64()))
+    right = _mk(None, rid=pa.array([], pa.int64()), k=pa.array([], pa.int64()),
+                ts_us=pa.array([], pa.int64()))
+    out = _collect(
+        asof_join(left, right, on="k", ts_col="ts_us", right_cols=("rid",))
+    ).to_pandas()
+    assert len(out) == 1 and pd.isna(out.rid.iloc[0])
+
+
+def test_sample_fraction_deterministic(ray_session):
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(_collect(sample_fraction(docs, 0.3, seed=9))["doc_id"].to_pylist())
+    b = sorted(_collect(sample_fraction(docs, 0.3, seed=9))["doc_id"].to_pylist())
+    assert a == b
+    ids = np.arange(500, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(9))
+    want = sorted(ids[h < np.uint64(int(0.3 * 2**64))].tolist())
+    assert a == want
+    # a different seed gives a different (but similar-sized) sample
+    c = sorted(_collect(sample_fraction(docs, 0.3, seed=10))["doc_id"].to_pylist())
+    assert c != a
+    assert abs(len(c) - len(a)) < 100
+
+
+def test_sample_stratified_exact_n(ray_session):
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = _collect(sample_stratified(docs, "lang", 7, seed=3)).to_pandas()
+    counts = out.groupby("lang").size()
+    assert (counts == 7).all()
+    # oracle: smallest (hash, id) per lang
+    dp = docs.to_pandas()
+    dp["h"] = splitmix64(dp.doc_id.to_numpy().astype(np.uint64) ^ np.uint64(3))
+    want = set()
+    for _, grp in dp.groupby("lang"):
+        want |= set(grp.sort_values(["h", "doc_id"]).head(7).doc_id)
+    assert set(out.doc_id) == want
+
+
+def test_sample_stratified_small_stratum(ray_session):
+    # n larger than a stratum keeps the whole stratum
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(10), pa.int64()),
+            "lang": pa.array(["a"] * 8 + ["b"] * 2),
+        }
+    )
+    out = _collect(
+        sample_stratified(ray.data.from_arrow(t), "lang", 5)
+    ).to_pandas()
+    assert (out.lang == "b").sum() == 2
+    assert (out.lang == "a").sum() == 5
