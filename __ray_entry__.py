@@ -555,6 +555,104 @@ def _q_sample_stratified(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_pricing_summary(sf_dir: str) -> Any:
+    """TPC-H-Q1-style pricing summary over lineitem: per-batch combiner
+    collapses each batch to <=|groups| partial rows of integer-scaled
+    sums (exact, order-independent), then one tiny groupby merges
+    partials — the corpus never enters the shuffle."""
+    import datetime
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = datetime.date(1998, 9, 2)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        t = np.round(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc = p * (100 - d)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q100": pa.array(q, pa.int64()),
+                "p100": pa.array(p, pa.int64()),
+                "d100": pa.array(d, pa.int64()),
+                "disc1e4": pa.array(disc, pa.int64()),
+                "charge1e6": pa.array(disc * (100 + t), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["q100", "p100", "d100", "disc1e4", "charge1e6"],
+    )
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
+    n = t["n_rows"].to_numpy().astype(np.int64)
+    q100 = t["q100"].to_numpy().astype(np.int64)
+    p100 = t["p100"].to_numpy().astype(np.int64)
+    d100 = t["d100"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(q100 / 100.0, pa.float64()),
+            "sum_base_price": pa.array(p100 / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(t["disc1e4"].to_numpy() / 10000.0, pa.float64()),
+            "sum_charge": pa.array(t["charge1e6"].to_numpy() / 1000000.0, pa.float64()),
+            "avg_qty": pa.array(np.round(q100 / (100.0 * n), 6), pa.float64()),
+            "avg_price": pa.array(np.round(p100 / (100.0 * n), 6), pa.float64()),
+            "avg_disc": pa.array(np.round(d100 / (100.0 * n), 6), pa.float64()),
+            "count_order": pa.array(n, pa.int64()),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def _q_order_totals_by_nation(sf_dir: str) -> Any:
+    """orders ⋈ customer ⋈ nation via two broadcast joins (dimension
+    sides ray.put once, probed per batch) + combiner groupby."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       small_cols=("c_nationkey",))
+    j = broadcast_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                       small_cols=("n_name",))
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"n_name": b["n_name"], "p100": pa.array(p, pa.int64())})
+
+    agg = combiner_groupby(j.map_batches(prep, batch_format="pyarrow"),
+                           ["n_name"], ["p100"])
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "n_name": t["n_name"],
+            "n_orders": t["n_rows"].cast(pa.int64()),
+            "total_price": pa.array(t["p100"].to_numpy() / 100.0, pa.float64()),
+        }
+    ).sort_by("n_name")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -698,6 +796,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_purchase_view": _q_asof_join,
         "sample_fraction": _q_sample_fraction,
         "sample_stratified": _q_sample_stratified,
+        "pricing_summary": _q_pricing_summary,
+        "order_totals_by_nation": _q_order_totals_by_nation,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1149,6 +1249,33 @@ FROM fp ORDER BY doc_id
         "jaccard_verified_pairs": _jaccard_verified_sql(),
         "fuzzy_dedup_keep": _fuzzy_dedup_sql(),
         "connected_components": _connected_components_sql(),
+        "pricing_summary": """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+         round(l_quantity * 100)::bigint AS q,
+         round(l_extendedprice * 100)::bigint AS p,
+         round(l_discount * 100)::bigint AS d,
+         round(l_tax * 100)::bigint AS t
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02')
+SELECT l_returnflag, l_linestatus,
+       sum(q)::double / 100.0 AS sum_qty,
+       sum(p)::double / 100.0 AS sum_base_price,
+       sum(p * (100 - d))::double / 10000.0 AS sum_disc_price,
+       sum(p * (100 - d) * (100 + t))::double / 1000000.0 AS sum_charge,
+       round(sum(q)::double / (100.0 * count(*)), 6) AS avg_qty,
+       round(sum(p)::double / (100.0 * count(*)), 6) AS avg_price,
+       round(sum(d)::double / (100.0 * count(*)), 6) AS avg_disc,
+       count(*)::bigint AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "order_totals_by_nation": """
+SELECT n_name, count(*)::bigint AS n_orders,
+       sum(round(o_totalprice * 100)::bigint)::double / 100.0 AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
         "asof_join_purchase_view": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
 l AS (SELECT * FROM e WHERE event_type = 'purchase'),

@@ -1,0 +1,138 @@
+"""Relational building blocks: broadcast hash join and combiner-first
+aggregation.
+
+Scale shapes (100 TB story):
+- ``broadcast_join``: the small side is materialized ONCE on the
+  driver, sorted by key, and shipped to the object store with a single
+  ``ray.put`` — every map task reads it zero-copy and probes with
+  ``np.searchsorted``. No shuffle of the big side at all. This is the
+  right join whenever one side fits in a worker's heap (dimension
+  tables, doc→meta maps); for two big sides use a key-bucketed
+  groupby join instead.
+- ``combiner_groupby``: per-batch partial aggregation (one vectorized
+  groupby per batch, emitting one row per key present in the batch)
+  followed by a global ``groupby().sum()`` over partials only. The
+  all-to-all carries |keys| × |batches| rows, never the corpus — the
+  classic map-side-combine recipe that keeps a wide aggregation from
+  becoming a full shuffle.
+
+Exactness note: sum columns are int64 on both the partial and final
+hop, so results are order-independent and bit-reproducible (callers
+scale fixed-decimal values to integers; see the TPC-H-style pricing
+summary in ``__ray_entry__``). At 100 TB widen to decimal128 before
+int64 overflow (~9.2e18).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    small_cols: tuple[str, ...],
+    how: str = "inner",
+    suffix: str = "_r",
+    right_on: str | None = None,
+) -> ray.data.Dataset:
+    """Join ``big`` against a driver-materialized ``small`` side.
+
+    ``small`` must have unique values in its key column (``right_on``,
+    defaulting to ``on``). ``how`` is "inner" or "left" (left keeps
+    unmatched big rows with nulls). Attached columns are renamed
+    ``<col><suffix>`` on collision.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_on = right_on or on
+    tables = [pa.table(b) for b in small.iter_batches(batch_format="pyarrow")]
+    st = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.schema([(right_on, pa.int64())]).empty_table()
+    )
+    keys = st[right_on].to_numpy().astype(np.int64) if len(st) else np.empty(0, np.int64)
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    if len(keys_sorted) > 1 and np.any(keys_sorted[1:] == keys_sorted[:-1]):
+        raise ValueError(f"broadcast_join: small side has duplicate {right_on} keys")
+    cols_sorted = {
+        c: (st[c].combine_chunks().take(pa.array(order)) if len(st) else pa.array([]))
+        for c in small_cols
+    }
+    small_ref = ray.put((keys_sorted, cols_sorted))
+    big_names = set(big.schema().names)
+    out_names = {c: (c + suffix if c in big_names else c) for c in small_cols}
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks, cs = ray.get(small_ref)
+        bk = b[on].to_numpy().astype(np.int64)
+        if len(ks):
+            pos = np.searchsorted(ks, bk)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            hit = ks[pos_c] == bk
+        else:
+            pos_c = np.zeros(len(bk), np.int64)
+            hit = np.zeros(len(bk), bool)
+        if how == "inner":
+            sel = np.flatnonzero(hit)
+            out = {c: b[c].take(pa.array(sel)) for c in b.column_names}
+            take = pa.array(pos_c[sel])
+            for c in small_cols:
+                out[out_names[c]] = cs[c].take(take)
+            return pa.table(out)
+        out = {c: b[c] for c in b.column_names}
+        take = pa.array(pos_c)
+        miss = pa.array(~hit)
+        for c in small_cols:
+            col = cs[c].take(take) if len(ks) else pa.nulls(len(bk))
+            out[out_names[c]] = pc.if_else(miss, pa.nulls(len(bk), col.type), col)
+        return pa.table(out)
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def combiner_groupby(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> ray.data.Dataset:
+    """Sum + count grouped by ``keys`` with map-side combining: each
+    batch collapses to one partial row per key it contains, then ONE
+    small ``groupby().sum()`` merges partials. ``sum_cols`` must be
+    integer or float; int64 stays int64 (exact, order-independent)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    **{k: b[k] for k in keys},
+                    **{c: b[c] for c in sum_cols},
+                    count_col: pa.array([], pa.int64()),
+                }
+            )
+        gb = b.select(keys + sum_cols).group_by(keys)
+        agg = gb.aggregate([(c, "sum") for c in sum_cols] + [(keys[0], "count")])
+        cols = {k: agg[k] for k in keys}
+        for c in sum_cols:
+            cols[c] = agg[f"{c}_sum"]
+        cols[count_col] = agg[f"{keys[0]}_count"].cast(pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(keys).sum(sum_cols + [count_col])
+
+    def rename(b: pa.Table) -> pa.Table:
+        cols = {k: b[k] for k in keys}
+        for c in sum_cols + [count_col]:
+            cols[c] = b[f"sum({c})"]
+        return pa.table(cols)
+
+    return final.map_batches(rename, batch_format="pyarrow")

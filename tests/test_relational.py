@@ -1,0 +1,108 @@
+"""Broadcast join and combiner groupby vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+
+def _collect(ds) -> pa.Table:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+@pytest.fixture
+def sides():
+    rng = np.random.default_rng(2)
+    big = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 30, 500).astype(np.int64), pa.int64()),
+            "x": pa.array(np.arange(500), pa.int64()),
+        }
+    )
+    small = pa.table(
+        {
+            "k": pa.array(np.arange(0, 40, 2).astype(np.int64), pa.int64()),
+            "name": pa.array([f"s{v}" for v in range(0, 40, 2)]),
+        }
+    )
+    return big, small
+
+
+def test_broadcast_join_inner(ray_session, sides):
+    big, small = sides
+    out = _collect(
+        broadcast_join(
+            ray.data.from_arrow(big), ray.data.from_arrow(small), on="k",
+            small_cols=("name",),
+        )
+    ).to_pandas()
+    want = big.to_pandas().merge(small.to_pandas(), on="k", how="inner")
+    assert sorted(out.x) == sorted(want.x)
+    lookup = dict(zip(small["k"].to_pylist(), small["name"].to_pylist()))
+    assert all(out.name == out.k.map(lookup))
+
+
+def test_broadcast_join_left_nulls(ray_session, sides):
+    big, small = sides
+    out = _collect(
+        broadcast_join(
+            ray.data.from_arrow(big), ray.data.from_arrow(small), on="k",
+            small_cols=("name",), how="left",
+        )
+    ).to_pandas()
+    assert len(out) == len(big)
+    odd = out[out.k % 2 == 1]
+    assert odd.name.isna().all()
+    assert out[out.k % 2 == 0].name.notna().all()
+
+
+def test_broadcast_join_right_on_and_collision(ray_session):
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
+    )
+    small = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, 2], pa.int64()), "name": pa.array(["x", "y"])})
+    )
+    out = _collect(
+        broadcast_join(big, small, on="k", right_on="rk", small_cols=("name",))
+    ).to_pandas().sort_values("k")
+    assert list(out.columns) == ["k", "name", "name_r"]
+    assert list(out.name_r) == ["x", "y"]
+
+
+def test_broadcast_join_duplicate_small_keys_raises(ray_session):
+    big = ray.data.from_arrow(pa.table({"k": pa.array([1], pa.int64())}))
+    small = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_join(big, small, on="k", small_cols=("v",))
+
+
+def test_combiner_groupby_matches_pandas(ray_session):
+    rng = np.random.default_rng(4)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], 1000)),
+            "h": pa.array(rng.integers(0, 2, 1000).astype(np.int64), pa.int64()),
+            "v": pa.array(rng.integers(0, 100, 1000).astype(np.int64), pa.int64()),
+            "w": pa.array(rng.integers(0, 9, 1000).astype(np.int64), pa.int64()),
+        }
+    )
+    # many small blocks to force real partial merging
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = _collect(combiner_groupby(ds, ["g", "h"], ["v", "w"])).to_pandas()
+    out = out.sort_values(["g", "h"]).reset_index(drop=True)
+    want = (
+        t.to_pandas().groupby(["g", "h"], as_index=False)
+        .agg(v=("v", "sum"), w=("w", "sum"), n_rows=("v", "size"))
+        .sort_values(["g", "h"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["g", "h", "v", "w", "n_rows"]].astype({"n_rows": "int64"}),
+        want.astype({"n_rows": "int64"}),
+    )
