@@ -59,13 +59,18 @@ def test_content_hash_long_doc_bounded():
 
     big = "ab" * 500_000  # 1 MB
     texts = pa.array([big] + ["short doc %d" % i for i in range(999)])
-    t0 = time.monotonic()
-    h = content_hash_rows(texts)
-    wall = time.monotonic() - t0
+    # best-of-3 to ride out shared-host / full-suite scheduling noise;
+    # the property under test is algorithmic (per-byte loop vs word-wise
+    # numpy), a >10x gap, so a loose wall bound still separates them
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        h = content_hash_rows(texts)
+        wall = min(wall, time.monotonic() - t0)
     assert len(set(h.tolist())) == 1000
     # generous bound: the old kernel took >30 s on this input; the
     # word-wise one does ~125k-element numpy ops
-    assert wall < 2.0, f"content_hash_rows too slow: {wall:.2f}s"
+    assert wall < 5.0, f"content_hash_rows too slow: {wall:.2f}s"
     # equal long docs in different batches agree
     assert content_hash_rows(pa.array([big]))[0] == h[0]
 
