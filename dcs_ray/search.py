@@ -487,6 +487,8 @@ def search_bm25(
     it forces the exhaustive scorer since MaxScore's upper bounds don't
     account for per-doc multipliers.
     """
+    if isinstance(queries, str):  # a bare string would iterate per-char
+        queries = [queries]
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = plan_queries(index_dir, queries, stats)
@@ -591,6 +593,8 @@ def search_bm25_grouped(
     top-k — is exact while receiving at most
     ``per_group × groups_touched × shards`` rows, never a full ranking.
     """
+    if isinstance(queries, str):  # a bare string would iterate per-char
+        queries = [queries]
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = plan_queries(index_dir, queries, stats)
@@ -795,6 +799,8 @@ def positional_matches_shard(seg: Segment, literal: str | bytes) -> tuple[np.nda
 def search_literal(index_dir: str, literals: list[str], positional: bool = False) -> pa.Table:
     """Candidate docs (and exact positions when the index is positional)
     for literal queries, fanned out across shards/segments."""
+    if isinstance(literals, str):  # a bare string would iterate per-char
+        literals = [literals]
     paths = shard_paths(index_dir)
     if positional and not all(
         os.path.exists(os.path.join(p, "positions.bin")) for p in paths
