@@ -152,23 +152,40 @@ class VideoFrameSampler:
             raise DecodeUnavailable("no video demuxer in this environment")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, kinds = batch["media_id"].to_pylist(), batch["duration_ms"].to_pylist()
-        payloads = batch["payload"].combine_chunks()
-        out_id, out_frame, out_ts, out_bytes = [], [], [], []
-        for mid, dur, payload in zip(ids, kinds, payloads):
-            buf = payload.as_py() or b""
-            step = max(1, len(buf) // self.k)
-            for j in range(self.k):
-                out_id.append(mid)
-                out_frame.append(j)
-                out_ts.append(int((dur or 0) * j / self.k))
-                out_bytes.append(buf[j * step : (j + 1) * step])
+        n = len(batch)
+        k = self.k
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = (
+            batch["duration_ms"].combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
+        buf, offsets = _concat_binary(batch["payload"].combine_chunks())
+        lengths = np.diff(offsets)
+        # frame (i, j) is payload_i[j*step_i : (j+1)*step_i] — all n*k
+        # slices gathered from the flat buffer in one fancy-index pass
+        step = np.maximum(1, lengths // k)  # (n,)
+        j = np.arange(k, dtype=np.int64)
+        starts = np.minimum(offsets[:-1, None] + j[None, :] * step[:, None], offsets[1:, None])
+        ends = np.minimum(starts + step[:, None], offsets[1:, None])
+        slice_lens = (ends - starts).ravel()
+        out_off = np.concatenate(([0], np.cumsum(slice_lens)))
+        gather = (
+            np.repeat(starts.ravel(), slice_lens)
+            + (np.arange(out_off[-1], dtype=np.int64) - np.repeat(out_off[:-1], slice_lens))
+        )
+        frames = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n * k,
+            [None, pa.py_buffer(out_off.astype(np.int64)), pa.py_buffer(buf[gather])],
+        )
         return pa.table(
             {
-                "media_id": pa.array(out_id, pa.int64()),
-                "frame_idx": pa.array(out_frame, pa.int32()),
-                "ts_ms": pa.array(out_ts, pa.int32()),
-                "frame": pa.array(out_bytes, pa.binary()),
+                "media_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "frame_idx": pa.array(np.tile(j, n).astype(np.int32), pa.int32()),
+                "ts_ms": pa.array(
+                    ((dur[:, None] * j[None, :]) // k).ravel().astype(np.int32), pa.int32()
+                ),
+                "frame": frames.cast(pa.binary()),
             }
         )
 

@@ -256,6 +256,45 @@ def test_image_feature_extractor_plumbing():
     assert out.equals(out2)
 
 
+def test_video_frame_sampler_matches_row_loop():
+    """The vectorized gather must stay byte-identical to the per-row
+    slicing contract: frame (i, j) = payload_i[j*step : (j+1)*step],
+    step = max(1, len_i // k), ts = floor(dur_i * j / k)."""
+    from dcs_ray.functions.multimodal import VideoFrameSampler
+
+    tbl = synthesize_media(16)
+    extra = pa.table(
+        {
+            "media_id": pa.array([1000, 1001], pa.int64()),
+            "kind": pa.array(["video"] * 2),
+            "payload": pa.array([b"", b"ab"], pa.binary()),  # empty + < k bytes
+            "width": pa.array([0, 0], pa.int32()),
+            "height": pa.array([0, 0], pa.int32()),
+            "duration_ms": pa.array([7000, 9999], pa.int32()),
+        }
+    )
+    tbl = pa.concat_tables([tbl, extra])
+    k = 4
+    out = VideoFrameSampler(k=k)(tbl)
+    want = []
+    for mid, dur, payload in zip(
+        tbl["media_id"].to_pylist(), tbl["duration_ms"].to_pylist(), tbl["payload"].to_pylist()
+    ):
+        buf = payload or b""
+        step = max(1, len(buf) // k)
+        for j in range(k):
+            want.append((mid, j, int(dur * j / k), buf[j * step : (j + 1) * step]))
+    got = list(
+        zip(
+            out["media_id"].to_pylist(),
+            out["frame_idx"].to_pylist(),
+            out["ts_ms"].to_pylist(),
+            out["frame"].to_pylist(),
+        )
+    )
+    assert got == want
+
+
 def test_filter_ignored_predicates():
     from dcs_ray.filters import ignored_mask
 
