@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from dcs_ray.sources.io import read_parquet_sized
+
 BM25_QUERY = "spark merge join"
 LITERAL = "spark merge"
 _CACHE_ROOT = "/tmp/dcs_ray_idxcache_v2"  # v2: doc_meta carries source+prior
@@ -39,7 +41,7 @@ def _index_dir(sf_dir: str, mode: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_CACHE_ROOT, f"{name}_{mode}")
     if not os.path.exists(os.path.join(out, "MANIFEST.json")):
-        docs = ray.data.read_parquet(
+        docs = read_parquet_sized(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
         )
 
@@ -65,7 +67,7 @@ def _index_dir(sf_dir: str, mode: str) -> str:
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_sized(f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -221,7 +223,7 @@ def _q_latest_version_per_source(sf_dir: str) -> Any:
 def _q_latest_event(sf_dir: str) -> Any:
     from dcs_ray.functions.windows import latest_event_per_user
 
-    ds = latest_event_per_user(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    ds = latest_event_per_user(read_parquet_sized(f"{sf_dir}/events.parquet"))
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return pa.table(
         {"user_id": t["user_id"].cast(pa.int64()), "event_id": t["event_id"].cast(pa.int64())}
@@ -231,7 +233,7 @@ def _q_latest_event(sf_dir: str) -> Any:
 def _q_window_agg(sf_dir: str) -> Any:
     from dcs_ray.functions.windows import tumbling_window_agg
 
-    ds = tumbling_window_agg(ray.data.read_parquet(f"{sf_dir}/events.parquet"), width_s=3600)
+    ds = tumbling_window_agg(read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600)
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return pa.table(
         {
@@ -247,7 +249,7 @@ def _q_hopping_window(sf_dir: str) -> Any:
     from dcs_ray.functions.windows import hopping_window_agg
 
     ds = hopping_window_agg(
-        ray.data.read_parquet(f"{sf_dir}/events.parquet"), width_s=3600, hop_s=1800
+        read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600, hop_s=1800
     )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return pa.table(
@@ -264,7 +266,7 @@ def _q_session_window(sf_dir: str) -> Any:
     from dcs_ray.functions.windows import session_window_agg
 
     ds = session_window_agg(
-        ray.data.read_parquet(f"{sf_dir}/events.parquet"), gap_s=1800
+        read_parquet_sized(f"{sf_dir}/events.parquet"), gap_s=1800
     )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return pa.table(
@@ -389,7 +391,7 @@ def _q_lang_stats(sf_dir: str) -> Any:
 def _q_knn(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import knn_cosine_bruteforce
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
     t = knn_cosine_bruteforce(emb, np.array([q0]), k=10)
     return pa.table(
@@ -407,7 +409,7 @@ def _q_knn_lsh(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import knn_cosine_lsh
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
     t = knn_cosine_lsh(
         emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_lshann")
@@ -428,7 +430,7 @@ def _q_knn_ivf(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import knn_cosine_ivf
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
     t = knn_cosine_ivf(
         emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_ivfann")
@@ -445,7 +447,7 @@ def _q_knn_ivf(sf_dir: str) -> pa.Table:
 def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import near_dup_pairs_exact
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     return near_dup_pairs_exact(emb, threshold=0.42)
 
 
@@ -454,7 +456,7 @@ def _q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     banding); recall vs the exact path is asserted in pytest."""
     from dcs_ray.functions.simsearch import near_dup_pairs_lsh
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     return near_dup_pairs_lsh(emb, threshold=0.42)
 
 
@@ -491,7 +493,7 @@ def _q_asof_join(sf_dir: str) -> Any:
     prior (or simultaneous) view event of the same user."""
     from dcs_ray.functions.joins import asof_join
 
-    ev = ray.data.read_parquet(
+    ev = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
@@ -564,7 +566,7 @@ def _q_pricing_summary(sf_dir: str) -> Any:
 
     from dcs_ray.functions.relational import combiner_groupby
 
-    li = ray.data.read_parquet(
+    li = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax", "l_shipdate"],
@@ -623,13 +625,13 @@ def _q_order_totals_by_nation(sf_dir: str) -> Any:
     sides ray.put once, probed per batch) + combiner groupby."""
     from dcs_ray.functions.relational import broadcast_join, combiner_groupby
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    cust = ray.data.read_parquet(
+    cust = read_parquet_sized(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    nation = ray.data.read_parquet(
+    nation = read_parquet_sized(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
@@ -687,7 +689,7 @@ def _q_connected_components(sf_dir: str) -> Any:
     random functional graph: u=event_id, v=block_start+(13u+5)%20)."""
     from dcs_ray.functions.graph import connected_components
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
 
     def edges(b: pa.Table) -> pa.Table:
         e = b["event_id"].to_numpy().astype(np.int64)

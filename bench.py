@@ -43,12 +43,19 @@ BM25_QUERIES = [
 
 
 def host_calibration() -> dict:
-    """Single-core numpy probe run before Ray starts. The sandbox VM is
-    shared and its per-core speed swings >10x between windows (see
-    BASELINE.md noise band); stamping every BENCH line with the measured
-    GFLOPS lets any wall-clock number be read against host health
-    instead of guessed at. Healthy windows measure ~25-50 GFLOPS;
-    throttled windows have measured <3."""
+    """Host-health probes run outside Ray. The sandbox VM is shared and
+    degrades along TWO independent axes between windows (see BASELINE.md
+    noise band); stamping every BENCH line with both lets any wall-clock
+    number be read against host state instead of guessed at:
+
+    - compute: single-core matmul GFLOPS. Healthy ~25-60; throttled
+      windows have measured <3.
+    - scheduling: pipe ping-pong round-trips/s between two processes
+      (context-switch + wakeup latency). Healthy ≥15k/s; degraded
+      windows measure ~4k/s (≈225 us per wakeup) even while GFLOPS stay
+      healthy. Ray pipelines are wakeup-heavy (task dispatch, object
+      store, gRPC), so THIS axis is what multiplies Ray wall-clock by
+      5-20x while pure-numpy kernels stay fast."""
     import numpy as np
 
     n = 1200
@@ -59,8 +66,31 @@ def host_calibration() -> dict:
         a @ a
         best = min(best, time.monotonic() - t0)
     gflops = 2 * n**3 / best / 1e9
+
+    r1, w1 = os.pipe()
+    r2, w2 = os.pipe()
+    pid = os.fork()
+    iters = 2000
+    if pid == 0:
+        os.close(w1)
+        os.close(r2)
+        for _ in range(iters):
+            os.read(r1, 1)
+            os.write(w2, b"x")
+        os._exit(0)
+    os.close(r1)
+    os.close(w2)
+    t0 = time.monotonic()
+    for _ in range(iters):
+        os.write(w1, b"x")
+        os.read(r2, 1)
+    rt = iters / (time.monotonic() - t0)
+    os.close(w1)
+    os.close(r2)
+    os.waitpid(pid, 0)
     return {
         "single_core_gflops": round(gflops, 1),
+        "pipe_roundtrips_per_s": int(rt),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
@@ -85,6 +115,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import pyarrow.parquet as pq
 
     from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.sources.io import read_parquet_sized
     from dcs_ray.functions.dedup import exact_dedup_keep_min, minhash_candidate_pairs
     from dcs_ray.functions.simsearch import knn_cosine_bruteforce
     from dcs_ray.search import search_bm25
@@ -129,19 +160,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     # --- exact dedup ---
     t0 = time.monotonic()
-    exact_dedup_keep_min(ray.data.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    exact_dedup_keep_min(read_parquet_sized(f"{sf_dir}/documents.parquet", min_blocks=8)).count()
     queries["dedup_exact"] = round(time.monotonic() - t0, 3)
 
     # --- minhash candidate pairs ---
     t0 = time.monotonic()
-    minhash_candidate_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet")).count()
+    minhash_candidate_pairs(read_parquet_sized(f"{sf_dir}/documents.parquet", min_blocks=8)).count()
     queries["minhash_pairs"] = round(time.monotonic() - t0, 3)
 
     # --- knn brute force ---
     t0 = time.monotonic()
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
     knn_cosine_bruteforce(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), np.array([q0]), k=10
+        read_parquet_sized(f"{sf_dir}/embeddings.parquet", min_blocks=8), np.array([q0]), k=10
     )
     queries["knn_cosine"] = round(time.monotonic() - t0, 3)
 
