@@ -30,13 +30,19 @@ def _ray():
     return ray
 
 
+def read_parquet_sized(*a, **kw):
+    from dcs_ray.sources.io import read_parquet_sized as _r
+
+    return _r(*a, **kw)
+
+
 def cmd_create(args) -> None:
     ray = _ray()
     import ray.data
 
     from dcs_ray.index import IndexConfig, build_index
 
-    docs = ray.data.read_parquet(args.input)
+    docs = read_parquet_sized(args.input)
     conf = IndexConfig(
         num_partitions=args.partitions,
         num_shards=args.shards,
@@ -150,7 +156,7 @@ def cmd_grep(args) -> None:
 
     from dcs_ray.grep import search_regex
 
-    docs = ray.data.read_parquet(args.docs)
+    docs = read_parquet_sized(args.docs)
     res = search_regex(args.index, docs, args.pattern)
     for row in res.limit(args.n).take_all():
         print(f"{row['doc_id']}:{row['line']}: {row['context']}")
@@ -174,7 +180,7 @@ def cmd_dedup(args) -> None:
     ray = _ray()
     import ray.data
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_sized(args.input)
     if args.method == "exact":
         from dcs_ray.functions.dedup import exact_dedup_keep_min
 
@@ -206,7 +212,7 @@ def cmd_ann(args) -> None:
 
     import ray.data
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_sized(args.input)
     q = np.array(
         pq.read_table(args.input).slice(args.query_id, 1)[args.emb_col].to_pylist()
     )
