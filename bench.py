@@ -88,9 +88,23 @@ def host_calibration() -> dict:
     os.close(w1)
     os.close(r2)
     os.waitpid(pid, 0)
+
+    # memory bandwidth (third axis): single-core copy of a buffer far
+    # larger than LLC. Tokenize/pack kernels are bandwidth-bound, so a
+    # degraded bus slows them while cache-resident matmul stays fast —
+    # and it also caps multi-worker scaling earlier than usual.
+    big = np.zeros(64 << 20, dtype=np.uint8)  # 64 MB
+    best_bw = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        big.copy()
+        best_bw = min(best_bw, time.monotonic() - t0)
+    gbps = 2 * big.nbytes / best_bw / 1e9  # read + write
+
     return {
         "single_core_gflops": round(gflops, 1),
         "pipe_roundtrips_per_s": int(rt),
+        "mem_copy_gbps": round(gbps, 1),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
