@@ -179,6 +179,12 @@ def _q_token_count(sf_dir: str) -> ray.data.Dataset:
     return token_counts(_docs(sf_dir))
 
 
+def _q_bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
 def _q_quality(sf_dir: str) -> ray.data.Dataset:
     from dcs_ray.functions.textstats import quality_scores
 
@@ -771,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "corpus_stats": _q_corpus_stats,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "dedup_exact": _q_dedup_exact,
         "latest_event_per_user": _q_latest_event,
@@ -1094,6 +1101,11 @@ SELECT (SELECT count(*) FROM documents)::bigint AS n_docs,
 SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_tokens
 FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({_TOK}) GROUP BY doc_id) c
 USING (doc_id) ORDER BY doc_id
+""",
+        "bpe_token_count": """
+SELECT doc_id,
+       length(regexp_extract_all(text,'''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))::bigint AS n_bpe_tokens
+FROM documents ORDER BY doc_id
 """,
         "quality_score": f"""
 WITH tok AS ({_TOK}),

@@ -33,6 +33,23 @@ def token_count_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     return pa.table({id_col: batch[id_col], "n_tokens": pa.array(n, pa.int64())})
 
 
+# GPT-2-style pre-tokenizer shape (contractions, words, numbers,
+# punctuation runs, whitespace), restricted to ASCII classes so the RE2
+# engines in pyarrow and DuckDB agree byte-for-byte — the oracle runs
+# the identical pattern through regexp_extract_all
+BPE_PRETOKEN_PATTERN = r"'[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """(id, n_bpe_tokens): subword-ish token count via the BPE
+    pre-tokenizer regex — one vectorized RE2 count per batch, the usual
+    proxy for LLM token budgets over a web corpus."""
+    n = pc.count_substring_regex(batch["text"], pattern=BPE_PRETOKEN_PATTERN)
+    return pa.table(
+        {id_col: batch[id_col], "n_bpe_tokens": n.cast(pa.int64())}
+    )
+
+
 def quality_score_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Quality features per doc: token count, stopword count/ratio,
     mean token length — the length/punct/stopword-ratio style heuristics
@@ -218,6 +235,10 @@ def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 
 def token_counts(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
     return ds.map_batches(lambda b: token_count_batch(b, id_col), batch_format="pyarrow")
+
+
+def bpe_token_counts(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(lambda b: bpe_token_count_batch(b, id_col), batch_format="pyarrow")
 
 
 def quality_scores(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:

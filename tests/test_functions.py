@@ -109,6 +109,16 @@ def test_token_and_quality():
     assert q.stopword_ratio.tolist() == [round(1 / 3, 6), 0.0, 0.75]
 
 
+def test_bpe_token_count():
+    from dcs_ray.functions.textstats import bpe_token_count_batch
+
+    t = _doc_table(["the cat sat", "", "don't stop!!", "abc123 x", "  "])
+    out = bpe_token_count_batch(t).to_pandas()
+    # "the"," cat"," sat" = 3; "" = 0; "don","'t"," stop","!!" = 4;
+    # "abc","123"," x" = 3; "  " = 1 whitespace run
+    assert out.n_bpe_tokens.tolist() == [3, 0, 4, 3, 1]
+
+
 def test_langid_heuristic():
     t = _doc_table(
         ["the cat and the dog is here", "le chat et les chiens est un", "zzz qqq"]
