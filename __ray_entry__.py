@@ -661,6 +661,77 @@ def _q_order_totals_by_nation(sf_dir: str) -> Any:
     ).sort_by("n_name")
 
 
+def _q_shipping_priority(sf_dir: str) -> Any:
+    """TPC-H-Q3-style shipping priority: the big⋈big hop (lineitem ⋈
+    orders) goes through ``shuffle_join`` (hash-partitioned exchange,
+    per-worker memory bounded by one bucket, not an input); the
+    dimension filter (customer segment) stays a broadcast semi-join.
+    Revenue sums are integer-scaled (exact, order-independent); only
+    the |groups|-sized aggregate ever reaches the driver."""
+    import datetime
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    import pyarrow.dataset as pads
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    # predicates pushed into the scan: row groups outside the date /
+    # segment range never leave storage
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    # semi-join: keep orders of BUILDING customers (dimension side broadcast)
+    orders = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", small_cols=(),
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"], ["rev1e4"],
+    )
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
+    rev = t["rev1e4"].to_numpy().astype(np.int64)
+    keys = t["o_orderkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((keys, -rev))[:10]
+    take = pa.array(order)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].combine_chunks().take(take),
+            "revenue": pa.array(rev[order] / 10000.0, pa.float64()),
+            "o_orderdate": t["o_orderdate"].combine_chunks().take(take),
+            "o_orderpriority": t["o_orderpriority"].combine_chunks().take(take),
+        }
+    )
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -807,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
+        "shipping_priority": _q_shipping_priority,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1289,6 +1361,22 @@ SELECT n_name, count(*)::bigint AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+""",
+        "shipping_priority": """
+WITH j AS (
+  SELECT l.l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01')
+SELECT o_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "asof_join_purchase_view": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),

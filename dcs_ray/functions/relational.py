@@ -7,8 +7,13 @@ Scale shapes (100 TB story):
   ``ray.put`` — every map task reads it zero-copy and probes with
   ``np.searchsorted``. No shuffle of the big side at all. This is the
   right join whenever one side fits in a worker's heap (dimension
-  tables, doc→meta maps); for two big sides use a key-bucketed
-  groupby join instead.
+  tables, doc→meta maps); for two big sides use ``shuffle_join``.
+- ``shuffle_join``: big ⋈ big via a hash-partitioned exchange — both
+  sides are bucketed by key hash into ``num_partitions`` and each
+  bucket pair joins independently (Ray Data's native hash-shuffle
+  join operator). Each aggregator holds only |input| / num_partitions
+  rows, so sizing num_partitions to the data keeps per-worker memory
+  flat as the corpus grows; no side is ever materialized whole.
 - ``combiner_groupby``: per-batch partial aggregation (one vectorized
   groupby per batch, emitting one row per key present in the batch)
   followed by a global ``groupby().sum()`` over partials only. The
@@ -96,6 +101,40 @@ def broadcast_join(
         return pa.table(out)
 
     return big.map_batches(probe, batch_format="pyarrow")
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+    suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Hash-partitioned join for two BIG sides.
+
+    Both inputs are exchanged by ``hash(key) % num_partitions``; each
+    partition pair joins independently on its own aggregator, so the
+    working set per worker is bounded by the largest partition, not by
+    either input. Use ``broadcast_join`` instead whenever one side fits
+    in a worker's heap — it skips the exchange entirely.
+
+    ``num_partitions`` defaults to the current cluster CPU count
+    (each aggregator then owns ~1/num_cpus of the keyspace); at 100 TB
+    pass input_bytes / target_partition_bytes instead. Skewed hot keys
+    should be salted by the caller before the join.
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on or on,),
+        right_suffix=suffix,
+    )
 
 
 def combiner_groupby(

@@ -106,3 +106,35 @@ def test_combiner_groupby_matches_pandas(ray_session):
         out[["g", "h", "v", "w", "n_rows"]].astype({"n_rows": "int64"}),
         want.astype({"n_rows": "int64"}),
     )
+
+
+def test_shuffle_join_inner_matches_pandas(ray_session, sides):
+    from dcs_ray.functions.relational import shuffle_join
+
+    big, small = sides
+    out = _collect(
+        shuffle_join(
+            ray.data.from_arrow(big), ray.data.from_arrow(small),
+            on="k", num_partitions=4,
+        )
+    ).to_pandas().sort_values(["x"]).reset_index(drop=True)
+    want = (
+        big.to_pandas().merge(small.to_pandas(), on="k", how="inner")
+        .sort_values(["x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], want[sorted(want.columns)])
+
+
+def test_shuffle_join_right_on_and_left(ray_session):
+    from dcs_ray.functions.relational import shuffle_join
+
+    left = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                     "v": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"b": pa.array([2, 3, 4], pa.int64()),
+                      "w": pa.array([200, 300, 400], pa.int64())})
+    out = _collect(
+        shuffle_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     on="a", right_on="b", how="left_outer", num_partitions=2)
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    assert out["a"].tolist() == [1, 2, 3]
+    assert out["w"].fillna(-1).astype(int).tolist() == [-1, 200, 300]
