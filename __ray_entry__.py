@@ -732,6 +732,36 @@ def _q_shipping_priority(sf_dir: str) -> Any:
     )
 
 
+def _q_distinct_users(sf_dir: str) -> Any:
+    """Exact COUNT(DISTINCT user_id) over events: per-batch unique
+    collapse, so the exchange carries batch-distinct keys only."""
+    from dcs_ray.functions.sketches import exact_distinct
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return exact_distinct(ev, "user_id")
+
+
+def _q_approx_distinct_users(sf_dir: str) -> Any:
+    """HyperLogLog approximate distinct users — deterministic for a
+    given hash; constant-size (2^p bytes) exchange per batch. No SQL
+    oracle (DuckDB's approx_count_distinct uses a different hash);
+    pytest bounds the error vs the exact count instead."""
+    from dcs_ray.functions.sketches import approx_distinct_hll
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est, _ = approx_distinct_hll(ev, "user_id", p=12)
+    return pa.table({"approx_distinct": pa.array([est], pa.float64())})
+
+
+def _q_heavy_hitters(sf_dir: str) -> Any:
+    """Exact top-k event types by count: map-side value_counts partials
+    → small combiner groupby → driver top-k over |distinct| rows."""
+    from dcs_ray.functions.sketches import heavy_hitters
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ev, "event_type", k=3)
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -879,6 +909,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
+        "distinct_users": _q_distinct_users,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1377,6 +1410,13 @@ SELECT o_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+        "distinct_users": """
+SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "heavy_hitters_event_type": """
+SELECT event_type, count(*)::bigint AS n_rows FROM events
+GROUP BY event_type ORDER BY n_rows DESC, event_type ASC LIMIT 3
 """,
         "asof_join_purchase_view": """
 WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),

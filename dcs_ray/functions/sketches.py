@@ -1,0 +1,214 @@
+"""Cardinality and frequency operators: exact distinct via map-side
+combine, HyperLogLog approximate distinct, exact heavy hitters.
+
+Scale shapes (100 TB story):
+- ``exact_distinct``: each batch collapses to its UNIQUE values first
+  (one vectorized ``pc.unique`` per batch), so the shuffle carries at
+  most |distinct-per-batch| rows — never the corpus. The global dedup
+  is one ``groupby(col).count()`` whose output is |distinct| rows.
+  Right when |distinct| fits the cluster; for unbounded key spaces use
+  ``approx_distinct_hll``.
+- ``approx_distinct_hll``: classic HyperLogLog (Flajolet et al. 2007,
+  public algorithm). Each batch folds into a fixed 2^p-byte register
+  array; partial registers merge with elementwise max — associative and
+  commutative, so the reduction tree shape doesn't matter and the
+  result is deterministic for a given hash. The exchange carries ONE
+  2^p-byte array per batch regardless of corpus size.
+- ``heavy_hitters``: exact top-k by count — per-batch value_counts
+  partials, one small groupby-sum over partials (|values present| rows
+  per batch, not |rows|), then a driver-side top-k over the
+  |distinct|-sized aggregate. For unbounded key spaces cap with a
+  count-min / space-saving sketch upstream; at the scales where an
+  exact answer is wanted (vocab, hosts, licenses) |distinct| is small.
+
+The 64-bit mix is splitmix64 (Steele et al., public domain reference
+constants) applied to a polynomial byte hash for strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .relational import combiner_groupby
+
+_SPLIT_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT_C2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized u64 → u64 mix."""
+    x = (x + _GOLDEN).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _SPLIT_C1
+    x ^= x >> np.uint64(27)
+    x *= _SPLIT_C2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _hash64_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic u64 hash of an Arrow column (int or string)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return _splitmix64(v.view(np.uint64))
+    # strings: FNV-ish polynomial over 8-byte words of the flat buffer,
+    # vectorized across rows via offset arithmetic (no per-byte loop)
+    sarr = arr.cast(pa.large_utf8())
+    buf = np.frombuffer(sarr.buffers()[2] or b"", np.uint8)
+    offs = np.frombuffer(sarr.buffers()[1], np.int64)[: len(sarr) + 1]
+    n = len(sarr)
+    out = np.full(n, np.uint64(0xCBF29CE484222325), np.uint64)
+    lens = offs[1:] - offs[:-1]
+    max_words = int(-(-lens.max() // 8)) if n and lens.max() > 0 else 0
+    P = np.uint64(0x100000001B3)
+    for w in range(max_words):
+        starts = offs[:-1] + 8 * w
+        take = np.minimum(np.maximum(lens - 8 * w, 0), 8)
+        active = take > 0
+        if not active.any():
+            break
+        word = np.zeros(n, np.uint64)
+        # gather up to 8 bytes per active row as one u64 (little-endian)
+        idx = starts[active, None] + np.arange(8)[None, :]
+        valid = np.arange(8)[None, :] < take[active, None]
+        bytes8 = np.where(valid, buf[np.minimum(idx, len(buf) - 1)], 0).astype(np.uint64)
+        word_active = (bytes8 << (np.arange(8, dtype=np.uint64) * np.uint64(8))).sum(
+            axis=1, dtype=np.uint64
+        )
+        word[active] = word_active
+        out = np.where(active, (out ^ word) * P, out)
+    out = out + lens.astype(np.uint64)  # length-salt so "" != absent
+    return _splitmix64(out)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hll_fold_batch(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Fold u64 hashes into a fresh 2^p register array (uint8)."""
+    m = 1 << p
+    reg_idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = hashes << np.uint64(p)
+    # rank = leading zeros of the remaining 64-p bits, +1; cap at 64-p+1
+    with np.errstate(divide="ignore"):
+        # position of highest set bit via float log2 is unsafe near 2^63;
+        # use a bit-length loop over 6 halving steps instead (vectorized)
+        lz = np.full(len(hashes), 64, np.int64)
+        x = rest.copy()
+        shift = np.uint64(32)
+        acc = np.zeros(len(hashes), np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            hi = x >> np.uint64(64 - s)
+            has = hi != 0
+            acc = np.where(has, acc, acc + s)
+            x = np.where(has, x, x << np.uint64(s))
+        lz = np.where(rest == 0, 64, acc)
+    rank = np.minimum(lz + 1, 64 - p + 1).astype(np.uint8)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, reg_idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with small-range correction."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def approx_distinct_hll(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> tuple[float, np.ndarray]:
+    """Approximate COUNT(DISTINCT col): per-batch register folds merged
+    with elementwise max. Returns (estimate, merged_registers); relative
+    error ≈ 1.04/sqrt(2^p) (~1.6% at p=12). Deterministic."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        # drop nulls BEFORE hashing: int columns with nulls round-trip
+        # through float64 in to_numpy, which would make the same value
+        # hash differently in null-bearing vs null-free batches
+        col_arr = b[col].combine_chunks().drop_null()
+        h = _hash64_column(col_arr)
+        regs = hll_fold_batch(h, p)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    merged = np.zeros(1 << p, np.uint8)
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        for row in range(len(t)):
+            regs = np.asarray(t["regs"][row].as_py(), np.uint8)
+            np.maximum(merged, regs, out=merged)
+    return hll_estimate(merged), merged
+
+
+# ---------------------------------------------------------------------------
+# exact distinct / heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def exact_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT col) as a 1-row Dataset (column n_distinct).
+
+    Per-batch ``pc.unique`` collapse first, so the groupby exchange
+    carries batch-distinct values only; the final count is one tiny
+    aggregate over |distinct| rows.
+    """
+
+    def uniq(b: pa.Table) -> pa.Table:
+        u = pc.unique(b[col].combine_chunks().drop_null())
+        return pa.table({col: u})
+
+    dedup = ds.map_batches(uniq, batch_format="pyarrow").groupby(col).count()
+
+    def count_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(b)], pa.int64())})
+
+    partial = dedup.map_batches(count_rows, batch_format="pyarrow")
+    total = partial.sum("n")
+    return ray.data.from_arrow(
+        pa.table({"n_distinct": pa.array([int(total)], pa.int64())})
+    )
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset, col: str, k: int = 25
+) -> pa.Table:
+    """Exact top-k values of ``col`` by row count, ties broken by value
+    ascending. Map-side value_counts partials → small groupby-sum →
+    driver top-k over the |distinct|-sized aggregate."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.select([col]).group_by([col]).aggregate([(col, "count")])
+        return pa.table(
+            {col: vc[col], "cnt": vc[f"{col}_count"].cast(pa.int64())}
+        )
+
+    agg = combiner_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), [col], ["cnt"]
+    )
+    tables = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    t = (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    )
+    t = t.select([col, "cnt"])
+    order = pc.sort_indices(
+        t, sort_keys=[("cnt", "descending"), (col, "ascending")]
+    )[: min(k, len(t))]
+    top = t.take(order)
+    return pa.table({col: top[col], "n_rows": top["cnt"]})

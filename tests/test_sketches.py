@@ -1,0 +1,76 @@
+"""Sketch operators: HLL approximate distinct, exact distinct, heavy
+hitters. HLL has no SQL oracle (hash-specific) — bound its error vs the
+exact count here instead."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from dcs_ray.functions.sketches import (
+    _hash64_column,
+    approx_distinct_hll,
+    exact_distinct,
+    heavy_hitters,
+    hll_estimate,
+    hll_fold_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash64_deterministic_across_layouts():
+    a = pa.chunked_array([pa.array(["abc", "", "a much longer string spanning words"])])
+    b = pa.chunked_array([pa.array(["xx", "abc"]), pa.array(["a much longer string spanning words"])])
+    ha, hb = _hash64_column(a), _hash64_column(b)
+    assert ha[0] == hb[1]
+    assert ha[2] == hb[2]
+    # empty string is not absent-value
+    assert ha[1] != 0
+    # int column: same value hashes the same in different arrays
+    i1 = _hash64_column(pa.chunked_array([pa.array([7, 9], pa.int64())]))
+    i2 = _hash64_column(pa.chunked_array([pa.array([9], pa.int32())]))
+    assert i1[1] == i2[0]
+
+
+def test_hll_fold_merge_associative():
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**64, size=3000, dtype=np.uint64)
+    whole = hll_fold_batch(h, 10)
+    parts = np.maximum(hll_fold_batch(h[:1000], 10),
+                       np.maximum(hll_fold_batch(h[1000:1700], 10),
+                                  hll_fold_batch(h[1700:], 10)))
+    assert np.array_equal(whole, parts)
+
+
+def test_hll_estimate_error_bound():
+    rng = np.random.default_rng(11)
+    for n in (100, 5000, 100_000):
+        h = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+        est = hll_estimate(hll_fold_batch(h, 12))
+        # 1.04/sqrt(4096) ≈ 1.6% std error; allow 4 sigma
+        assert abs(est - n) / n < 0.07, (n, est)
+
+
+def test_sketches_on_events(ray_session):
+    ev = ray.data.read_parquet(f"{SF}/events.parquet")
+    t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+    truth = len(pc.unique(t["user_id"]))
+
+    assert exact_distinct(ev, "user_id").take_all() == [{"n_distinct": truth}]
+
+    est, regs = approx_distinct_hll(ev, "user_id", p=12)
+    assert abs(est - truth) / truth < 0.07
+    # determinism: a second run produces identical registers
+    est2, regs2 = approx_distinct_hll(ev, "user_id", p=12)
+    assert est2 == est and np.array_equal(regs, regs2)
+
+    hh = heavy_hitters(ev, "event_type", k=3)
+    vc = t.group_by(["event_type"]).aggregate([("event_type", "count")])
+    want = sorted(
+        zip(vc["event_type"].to_pylist(), vc["event_type_count"].to_pylist()),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    got = list(zip(hh["event_type"].to_pylist(), hh["n_rows"].to_pylist()))
+    assert got == want
