@@ -762,6 +762,57 @@ def _q_heavy_hitters(sf_dir: str) -> Any:
     return heavy_hitters(ev, "event_type", k=3)
 
 
+def _q_normalize_text(sf_dir: str) -> Any:
+    """Vectorized NFC + lowercase + whitespace-collapse + trim — one
+    Arrow pass per batch, no exchange."""
+    from dcs_ray.functions.textprep import normalize_text
+
+    ds = normalize_text(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_bigram_topk(sf_dir: str) -> Any:
+    """Top-50 bigrams by count: per-batch pair formation over the flat
+    token array + map-side value_counts, vocab-sized aggregate only."""
+    from dcs_ray.functions.textprep import bigram_counts
+
+    return bigram_counts(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), k=50)
+
+
+def _q_pack_chunked(sf_dir: str) -> Any:
+    """Concat-and-chunk sequence packing (GPT layout): per-bucket
+    exclusive cumsum of token counts → fixed 256-token sequences."""
+    from dcs_ray.functions.textprep import pack_sequences_chunked
+
+    ds = pack_sequences_chunked(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=256, num_buckets=16)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_pack_greedy(sf_dir: str) -> Any:
+    """First-fit bin packing per bucket (documents never split) — the
+    reset-cumsum walked by searchsorted, not a per-row loop. No SQL
+    oracle (resetting cumsum is not window-expressible); pytest gates
+    it against a reference implementation."""
+    from dcs_ray.functions.textprep import pack_sequences_greedy
+
+    ds = pack_sequences_greedy(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=256, num_buckets=16)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_cms_heavy_hitters(sf_dir: str) -> Any:
+    """Count-min-sketch approximate top-k event types — constant-size
+    exchange per batch (depth×width matrix + candidate list). No SQL
+    oracle (sketch-specific hash); pytest bounds the overestimate and
+    checks the top set against exact counts."""
+    from dcs_ray.functions.sketches import cms_heavy_hitters
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return cms_heavy_hitters(ev, "event_type", k=3)
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -910,6 +961,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
         "distinct_users": _q_distinct_users,
+        "normalize_text": _q_normalize_text,
+        "bigram_topk": _q_bigram_topk,
+        "pack_chunked": _q_pack_chunked,
+        "pack_greedy": _q_pack_greedy,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1413,6 +1469,29 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "normalize_text": """
+SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text
+FROM documents ORDER BY doc_id
+""",
+        "bigram_topk": """
+WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+u AS (SELECT doc_id, unnest(generate_series(1, len(toks)-1)) AS i, toks FROM d WHERE len(toks) >= 2)
+SELECT toks[i] || ' ' || toks[i+1] AS bigram, count(*)::bigint AS n
+FROM u GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+""",
+        "pack_chunked": """
+WITH tc AS (
+  SELECT doc_id, (doc_id % 16)::bigint AS bucket,
+         len(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> ''))::bigint AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tokens)::bigint AS prior
+  FROM tc)
+SELECT doc_id, bucket, n_tokens,
+       (prior // 256)::bigint AS seq_id, (prior % 256)::bigint AS seq_offset
+FROM c ORDER BY doc_id
 """,
         "heavy_hitters_event_type": """
 SELECT event_type, count(*)::bigint AS n_rows FROM events

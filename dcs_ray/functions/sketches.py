@@ -184,6 +184,94 @@ def exact_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     )
 
 
+def cms_fold_batch(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """Fold u64 hashes into a fresh (depth, width) count-min matrix.
+    Row r uses an independent hash via splitmix64(h ^ row_salt).
+    Partials merge with elementwise SUM — associative/commutative, so
+    the merged sketch equals the single-pass sketch exactly."""
+    cms = np.zeros((depth, width), np.int64)
+    salts = _splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
+    for r in range(depth):
+        idx = (_splitmix64(hashes ^ salts[r]) % np.uint64(width)).astype(np.int64)
+        np.add.at(cms[r], idx, 1)
+    return cms
+
+
+def cms_query(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point-estimate counts (min over rows) — never underestimates."""
+    depth, width = cms.shape
+    est = np.full(len(hashes), np.iinfo(np.int64).max, np.int64)
+    salts = _splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
+    for r in range(depth):
+        idx = (_splitmix64(hashes ^ salts[r]) % np.uint64(width)).astype(np.int64)
+        np.minimum(est, cms[r][idx], out=est)
+    return est
+
+
+def cms_heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 25,
+    depth: int = 4,
+    width: int = 4096,
+    candidates_per_batch: int = 256,
+) -> pa.Table:
+    """Approximate top-k for UNBOUNDED key spaces: per-batch count-min
+    fold (a fixed depth×width matrix regardless of batch size) plus the
+    batch's own top-``candidates_per_batch`` values as candidates.
+    Sketches merge by sum, candidates by union; final counts are CMS
+    point estimates (≥ true count, error ≤ ~2N/width w.h.p.).
+
+    Exchange per batch: depth·width int64 + ≤candidates_per_batch
+    strings — constant in corpus size, unlike exact ``heavy_hitters``
+    whose aggregate is |distinct|-sized. Any value in the true top-k
+    is in some batch's local top-c for c ≥ k (counts are additive), so
+    candidates_per_batch ≥ k keeps true heavy hitters recallable
+    unless a hitter is uniformly diluted below every batch's local
+    top-c — raise c or batch size for adversarial splits."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        arr = b[col].combine_chunks().drop_null()
+        h = _hash64_column(arr)
+        cms = cms_fold_batch(h, depth, width)
+        vc = pa.table({col: arr}).group_by([col]).aggregate([(col, "count")])
+        order = pc.sort_indices(
+            vc, sort_keys=[(f"{col}_count", "descending"), (col, "ascending")]
+        )[: min(candidates_per_batch, len(vc))]
+        cand = vc.take(order)[col]
+        return pa.table(
+            {
+                "cms": pa.array([cms.ravel()], pa.list_(pa.int64())),
+                "cand": pa.array([cand.to_pylist()], pa.list_(pa.string())),
+            }
+        )
+
+    merged = np.zeros((depth, width), np.int64)
+    cand: set[str] = set()
+    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        for row in range(len(t)):
+            merged += np.asarray(t["cms"][row].as_py(), np.int64).reshape(
+                depth, width
+            )
+            cand.update(t["cand"][row].as_py())
+    values = sorted(cand)
+    if not values:
+        return pa.table(
+            {col: pa.array([], pa.string()), "n_est": pa.array([], pa.int64())}
+        )
+    est = cms_query(merged, _hash64_column(pa.array(values, pa.string())))
+    order = np.lexsort((np.array(values, object), -est))[: min(k, len(values))]
+    return pa.table(
+        {
+            col: pa.array([values[i] for i in order], pa.string()),
+            "n_est": pa.array(est[order], pa.int64()),
+        }
+    )
+
+
 def heavy_hitters(
     ds: ray.data.Dataset, col: str, k: int = 25
 ) -> pa.Table:

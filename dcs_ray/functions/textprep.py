@@ -1,0 +1,245 @@
+"""Text preparation operators for LM training pipelines: normalization,
+n-gram (bigram) vocabulary counts, and sequence packing.
+
+Scale shapes (100 TB story):
+- ``normalize_text``: one vectorized Arrow pass per batch (NFC →
+  lower → whitespace collapse → trim); embarrassingly parallel, no
+  exchange. Kernels chosen for byte parity with DuckDB/RE2 so the
+  oracle compares exact strings.
+- ``bigram_counts``: per-batch bigram formation from the flat token
+  array (zero-copy slices + one ``binary_join_element_wise``), then a
+  map-side value_counts partial so the groupby exchange carries
+  |distinct bigrams per batch| rows, never |token pairs|. Top-k cut on
+  the driver over the |vocab|-sized aggregate.
+- ``pack_sequences_chunked``: GPT-style concat-and-chunk — documents
+  are laid head-to-tail per bucket (deterministic ``doc_id %
+  num_buckets``) and cut into fixed token-budget sequences. The global
+  token offset is an exclusive cumsum per bucket: computed as one
+  sorted per-bucket pass inside ``map_groups`` (each group = one
+  bucket; buckets bound memory, not the corpus).
+- ``pack_sequences_greedy``: first-fit-in-order bin packing per bucket
+  (documents never split). The reset-cumsum is sequential by nature;
+  implemented as an O(num_sequences · log n) ``searchsorted`` walk
+  over the cumsum, not a per-row Python loop.
+
+Reference parity: the reference engine has no packing stage (it indexes
+rather than trains), but its per-source grouping discipline
+(internal/index write path) is the same bucket-then-local-order shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dcs_ray.tokenize import word_tokens_flat
+
+from .relational import combiner_groupby
+
+WHITESPACE_RUN = r"\s+"
+
+
+def _nfc(texts: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """NFC-compose a string column. Pure-ASCII batches (the common web
+    case after lang filtering) are NFC by definition — returned as-is,
+    zero work. Non-ASCII batches go through unicodedata per row:
+    pyarrow's ``utf8_normalize`` DECOMPOSES regardless of the requested
+    form (observed on 16.1), so it cannot produce composed NFC."""
+    import unicodedata
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    buf = texts.cast(pa.large_utf8()).buffers()[2]
+    if buf is None or np.frombuffer(buf, np.uint8).max(initial=0) < 128:
+        return texts
+    return pa.array(
+        [None if s is None else unicodedata.normalize("NFC", s) for s in texts.to_pylist()],
+        pa.string(),
+    )
+
+
+def normalize_text_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, norm_text): NFC-normalize, lowercase, collapse whitespace
+    runs to single spaces, trim. Arrow kernels throughout except the
+    non-ASCII NFC slow path (see ``_nfc``); RE2 regex is
+    byte-compatible with the DuckDB oracle's regexp_replace."""
+    t = _nfc(batch[text_col])
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern=WHITESPACE_RUN, replacement=" ")
+    t = pc.utf8_trim_whitespace(t)
+    return pa.table({id_col: batch[id_col], "norm_text": t})
+
+
+def normalize_text(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    )
+
+
+def bigram_counts_batch(
+    batch: pa.Table, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch partial: (bigram, n) value counts of adjacent token
+    pairs within each document. Token pairs never cross documents."""
+    flat, parents = word_tokens_flat(batch[text_col])
+    if len(flat) < 2:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    same_doc = parents[1:] == parents[:-1]
+    idx = np.flatnonzero(same_doc)
+    first = flat.take(pa.array(idx))
+    second = flat.take(pa.array(idx + 1))
+    bigrams = pc.binary_join_element_wise(first, second, " ")
+    vc = pa.table({"bigram": bigrams}).group_by(["bigram"]).aggregate(
+        [("bigram", "count")]
+    )
+    return pa.table(
+        {"bigram": vc["bigram"], "n": vc["bigram_count"].cast(pa.int64())}
+    )
+
+
+def bigram_counts(
+    ds: ray.data.Dataset, text_col: str = "text", k: int | None = None
+) -> pa.Table:
+    """Exact bigram counts over the corpus; top-k (count desc, bigram
+    asc) if ``k`` — the driver only ever sees the |vocab|-sized
+    aggregate, not the token stream."""
+    agg = combiner_groupby(
+        ds.map_batches(
+            lambda b: bigram_counts_batch(b, text_col), batch_format="pyarrow"
+        ),
+        ["bigram"],
+        ["n"],
+    )
+    tables = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    if not tables or sum(len(t) for t in tables) == 0:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(tables).select(["bigram", "n"])
+    order = pc.sort_indices(
+        t, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+    )
+    if k is not None:
+        order = order[: min(k, len(t))]
+    return t.take(order)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _token_counts_batch(
+    batch: pa.Table, id_col: str, text_col: str, num_buckets: int
+) -> pa.Table:
+    flat, parents = word_tokens_flat(batch[text_col])
+    n = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+    ids = batch[id_col].combine_chunks().cast(pa.int64()).to_numpy()
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n, pa.int64()),
+            "bucket": pa.array(ids % num_buckets, pa.int64()),
+        }
+    )
+
+
+def pack_sequences_chunked(
+    ds: ray.data.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Concat-and-chunk packing (the GPT-pretraining layout): within
+    each deterministic bucket (``id % num_buckets``), documents are
+    laid head-to-tail in id order and cut into ``budget``-token
+    sequences. Returns (id, bucket, n_tokens, seq_id, seq_offset):
+    ``seq_id`` = which sequence the document STARTS in (bucket-local),
+    ``seq_offset`` = token offset within it. A document may span
+    sequences — that is the semantics of this layout.
+
+    Exchange: one groupby on ``bucket`` over (id, n_tokens) rows —
+    3 ints/doc, never text. Each group sorts its own bucket only.
+    """
+    counts = ds.map_batches(
+        lambda b: _token_counts_batch(b, id_col, text_col, num_buckets),
+        batch_format="pyarrow",
+    )
+
+    def chunk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(order)
+        n = g["n_tokens"].to_numpy()
+        prior = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "bucket": g["bucket"],
+                "n_tokens": g["n_tokens"],
+                "seq_id": pa.array(prior // budget, pa.int64()),
+                "seq_offset": pa.array(prior % budget, pa.int64()),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(chunk, batch_format="pyarrow")
+
+
+def greedy_boundaries(n_tokens: np.ndarray, budget: int) -> np.ndarray:
+    """First-fit-in-order sequence ids for per-doc token counts: a new
+    sequence starts when adding the next document would exceed
+    ``budget``; oversized documents occupy a sequence alone. Walks
+    sequence boundaries with searchsorted — O(num_seqs · log n)."""
+    n = np.asarray(n_tokens, np.int64)
+    cum = np.cumsum(n)
+    seq = np.empty(len(n), np.int64)
+    start, sid = 0, 0
+    while start < len(n):
+        base = cum[start - 1] if start else 0
+        end = int(np.searchsorted(cum, base + budget, side="right"))
+        if end == start:  # single doc larger than budget
+            end = start + 1
+        seq[start:end] = sid
+        sid += 1
+        start = end
+    return seq
+
+
+def pack_sequences_greedy(
+    ds: ray.data.Dataset,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """First-fit bin packing per bucket (documents never split).
+    Returns (id, bucket, n_tokens, seq_id) with seq_id bucket-local.
+    Same tiny (id, n_tokens) exchange as the chunked variant."""
+    counts = ds.map_batches(
+        lambda b: _token_counts_batch(b, id_col, text_col, num_buckets),
+        batch_format="pyarrow",
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(order)
+        seq = greedy_boundaries(g["n_tokens"].to_numpy(), budget)
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "bucket": g["bucket"],
+                "n_tokens": g["n_tokens"],
+                "seq_id": pa.array(seq, pa.int64()),
+            }
+        )
+
+    return counts.groupby("bucket").map_groups(pack, batch_format="pyarrow")
