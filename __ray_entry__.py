@@ -813,6 +813,19 @@ def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     return cms_heavy_hitters(ev, "event_type", k=3)
 
 
+def _q_host_stats(sf_dir: str) -> Any:
+    """Per-host page count + text chars over the crawl pages table —
+    one vectorized RE2 host extract per batch, combiner partials keyed
+    by host so the exchange is |hosts|-bounded. Oracle replays the
+    deterministic page synthesis (incl. stale-dup rows) in SQL."""
+    from dcs_ray.functions.urls import host_stats
+    from dcs_ray.sources.pages import read_pages
+
+    ds = host_stats(read_pages(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("host")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -966,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_chunked": _q_pack_chunked,
         "pack_greedy": _q_pack_greedy,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "host_stats": _q_host_stats,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1469,6 +1483,17 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "host_stats": """
+WITH pages AS (
+  SELECT source || '.example.org' AS host, length(text)::bigint AS tc FROM documents
+  UNION ALL
+  SELECT source || '.example.org' AS host,
+         length(substr(text, 1, greatest(1, length(text) // 2)))::bigint AS tc
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT host, count(*)::bigint AS n_pages, sum(tc)::bigint AS total_text_chars
+FROM pages GROUP BY host ORDER BY host
 """,
         "normalize_text": """
 SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm_text

@@ -1,0 +1,54 @@
+"""URL parse + per-host aggregation operators."""
+
+import pyarrow as pa
+import ray.data
+
+from dcs_ray.functions.urls import host_stats, url_parse_batch
+from dcs_ray.sources.pages import read_pages
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_url_parse_batch():
+    b = pa.table(
+        {
+            "url": [
+                "https://alpha.example.org/doc/00000001",
+                "http://x.co/a/b?q=1#frag",
+                "https://bare.host.io",
+            ]
+        }
+    )
+    out = url_parse_batch(b)
+    assert out["scheme"].to_pylist() == ["https", "http", "https"]
+    assert out["host"].to_pylist() == ["alpha.example.org", "x.co", "bare.host.io"]
+    assert out["path"].to_pylist() == ["/doc/00000001", "/a/b", "/"]
+    assert out["tld"].to_pylist() == ["org", "co", "io"]
+
+
+def test_host_stats_matches_pages(ray_session):
+    pages = read_pages(SF)
+    got = pa.concat_tables(
+        pa.table(b) for b in host_stats(pages).iter_batches(batch_format="pyarrow")
+    ).sort_by("host")
+    # reference: materialize the pages table and aggregate in pyarrow
+    full = pa.concat_tables(
+        pa.table(b) for b in read_pages(SF).iter_batches(batch_format="pyarrow")
+    )
+    import pyarrow.compute as pc
+
+    host = pc.struct_field(
+        pc.extract_regex(full["url"], pattern=r"^(?P<h>https?)://(?P<host>[^/?#]+)"),
+        "host",
+    )
+    ref = (
+        pa.table(
+            {"host": host, "tc": pc.utf8_length(full["text"]).cast(pa.int64())}
+        )
+        .group_by(["host"])
+        .aggregate([("tc", "sum"), ("host", "count")])
+        .sort_by("host")
+    )
+    assert got["host"].to_pylist() == ref["host"].to_pylist()
+    assert got["n_pages"].to_pylist() == ref["host_count"].to_pylist()
+    assert got["total_text_chars"].to_pylist() == ref["tc_sum"].to_pylist()
