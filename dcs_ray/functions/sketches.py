@@ -144,14 +144,30 @@ def approx_distinct_hll(
         regs = hll_fold_batch(h, p)
         return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
 
-    merged = np.zeros(1 << p, np.uint8)
-    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    m = 1 << p
+
+    def _rows_to_matrix(t: pa.Table) -> np.ndarray:
+        return (
+            t["regs"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            .astype(np.uint8)
+            .reshape(-1, m)
+        )
+
+    def premerge(t: pa.Table) -> pa.Table:
+        regs = _rows_to_matrix(t).max(axis=0)
+        return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
+
+    # two-level merge: workers coalesce 64 per-block sketches into one
+    # before anything reaches the driver — at 10^6 blocks the driver
+    # sees ~10^4 rows, each a fixed 2^p bytes
+    folded = ds.map_batches(fold, batch_format="pyarrow").map_batches(
+        premerge, batch_size=64, batch_format="pyarrow"
+    )
+    merged = np.zeros(m, np.uint8)
+    for b in folded.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
-        for row in range(len(t)):
-            regs = np.asarray(t["regs"][row].as_py(), np.uint8)
-            np.maximum(merged, regs, out=merged)
+        if len(t):
+            np.maximum(merged, _rows_to_matrix(t).max(axis=0), out=merged)
     return hll_estimate(merged), merged
 
 
@@ -246,17 +262,35 @@ def cms_heavy_hitters(
             }
         )
 
+    def _cms_rows(t: pa.Table) -> np.ndarray:
+        return (
+            t["cms"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .reshape(-1, depth * width)
+        )
+
+    def premerge(t: pa.Table) -> pa.Table:
+        cms = _cms_rows(t).sum(axis=0)
+        cand = pc.unique(t["cand"].combine_chunks().flatten())
+        return pa.table(
+            {
+                "cms": pa.array([cms], pa.list_(pa.int64())),
+                "cand": pa.array([cand.to_pylist()], pa.list_(pa.string())),
+            }
+        )
+
+    # two-level merge (see approx_distinct_hll): workers coalesce 64
+    # per-block sketches before the driver sees anything
+    folded = ds.map_batches(fold, batch_format="pyarrow").map_batches(
+        premerge, batch_size=64, batch_format="pyarrow"
+    )
     merged = np.zeros((depth, width), np.int64)
     cand: set[str] = set()
-    for b in ds.map_batches(fold, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in folded.iter_batches(batch_format="pyarrow"):
         t = pa.table(b)
-        for row in range(len(t)):
-            merged += np.asarray(t["cms"][row].as_py(), np.int64).reshape(
-                depth, width
-            )
-            cand.update(t["cand"][row].as_py())
+        if len(t):
+            merged += _cms_rows(t).sum(axis=0).reshape(depth, width)
+            cand.update(t["cand"].combine_chunks().flatten().to_pylist())
     values = sorted(cand)
     if not values:
         return pa.table(
