@@ -826,6 +826,21 @@ def _q_host_stats(sf_dir: str) -> Any:
     return t.sort_by("host")
 
 
+def _q_lang_quantiles(sf_dir: str) -> Any:
+    """Per-language length quantiles (p50/p90/p99) — the percentile
+    cutoffs quality filtering is built on. Exact: value-count collapse
+    then a per-key histogram walk; exchange is |lang × distinct
+    lengths|, never the corpus."""
+    from dcs_ray.functions.quantiles import group_quantiles
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    ds = group_quantiles(docs, "lang", "n_chars", [0.5, 0.9, 0.99])
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("lang", "ascending"), ("q", "ascending")])
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -980,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_greedy": _q_pack_greedy,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "host_stats": _q_host_stats,
+        "lang_quantiles": _q_lang_quantiles,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1483,6 +1499,14 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "lang_quantiles": """
+SELECT lang, 0.5 AS q, quantile_disc(n_chars, 0.5) AS value FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.9 AS q, quantile_disc(n_chars, 0.9) AS value FROM documents GROUP BY lang
+UNION ALL
+SELECT lang, 0.99 AS q, quantile_disc(n_chars, 0.99) AS value FROM documents GROUP BY lang
+ORDER BY lang, q
 """,
         "host_stats": """
 WITH pages AS (

@@ -1,0 +1,69 @@
+"""Exact distributed group quantiles vs numpy / DuckDB semantics."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from dcs_ray.functions.quantiles import group_quantiles
+
+
+def _disc_quantile(vals: np.ndarray, q: float):
+    s = np.sort(vals)
+    return s[max(0, math.ceil(q * len(s)) - 1)]
+
+
+def test_group_quantiles_matches_reference(ray_session):
+    rng = np.random.default_rng(9)
+    keys = rng.choice(["a", "b", "c"], size=5000).tolist()
+    vals = rng.integers(0, 300, size=5000)
+    ds = ray.data.from_arrow(
+        pa.table({"k": keys, "v": vals})
+    ).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99, 1.0]
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in group_quantiles(ds, "k", "v", qs).iter_batches(batch_format="pyarrow")
+    ).sort_by([("k", "ascending"), ("q", "ascending")])
+    kv = np.array(keys)
+    i = 0
+    for k in ["a", "b", "c"]:
+        grp = vals[kv == k]
+        for q in qs:
+            row = out.slice(i, 1)
+            assert row["k"][0].as_py() == k and row["q"][0].as_py() == q
+            assert row["value"][0].as_py() == _disc_quantile(grp, q), (k, q)
+            i += 1
+    assert i == len(out)
+
+
+def test_group_quantiles_duckdb_parity(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(4)
+    t = pa.table(
+        {
+            "k": rng.choice(["x", "y"], size=777).tolist(),
+            "v": rng.integers(-50, 50, size=777),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in group_quantiles(ds, "k", "v", [0.25, 0.5, 0.75]).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by([("k", "ascending"), ("q", "ascending")])
+    want = duckdb.arrow(t).query(
+        "t",
+        """SELECT k, 0.25 AS q, quantile_disc(v, 0.25) AS value FROM t GROUP BY k
+           UNION ALL
+           SELECT k, 0.5 AS q, quantile_disc(v, 0.5) AS value FROM t GROUP BY k
+           UNION ALL
+           SELECT k, 0.75 AS q, quantile_disc(v, 0.75) AS value FROM t GROUP BY k
+           ORDER BY k, q""",
+    ).arrow()
+    assert out["k"].to_pylist() == want["k"].to_pylist()
+    assert out["q"].to_pylist() == want["q"].to_pylist()
+    assert out["value"].to_pylist() == want["value"].to_pylist()
