@@ -134,49 +134,91 @@ def minhash_band_rows(
     )
 
 
+def _pairs_per_band_run(group: pa.Table, id_col: str, max_bucket: int) -> pa.Table:
+    """All (id_a < id_b) pairs of docs sharing a band hash, vectorized
+    per run-length class over the group's sorted (band_hash, id) rows —
+    a group holds MANY band buckets (salted-bucket groupby), so there
+    is no per-bucket Python dispatch.
+
+    Buckets larger than ``max_bucket`` emit star pairs to the bucket
+    min id instead of the O(b²) clique: a degenerate bucket
+    (boilerplate / identical crawls — guaranteed at web scale) stays
+    O(b), and as a *dedup cluster* cover the star is equivalently
+    connected. Capping is logged so truncation never reads as full
+    coverage."""
+    bh = group["band_hash"].to_numpy()
+    ids = group[id_col].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    # a doc may repeat inside one bucket (two bands colliding on the
+    # same hash) — keep one row per (bucket, id)
+    keep = np.ones(len(bh), bool)
+    keep[1:] = (bh[1:] != bh[:-1]) | (ids[1:] != ids[:-1])
+    bh, ids = bh[keep], ids[keep]
+    starts = np.concatenate(([0], np.flatnonzero(bh[1:] != bh[:-1]) + 1))
+    lens = np.diff(np.concatenate((starts, [len(bh)])))
+    out_a, out_b = [], []
+    for L in np.unique(lens):
+        if L < 2:
+            continue
+        sel = starts[lens == L]
+        M = ids[sel[:, None] + np.arange(L)]  # ids ascending within each run
+        if L > max_bucket:
+            import logging
+
+            logging.getLogger("dcs_ray.dedup").warning(
+                "minhash: %d bucket(s) of size %d capped (max_bucket=%d); "
+                "emitting %d star pairs each instead of %d clique pairs",
+                len(sel), int(L), max_bucket, int(L) - 1,
+                int(L) * (int(L) - 1) // 2,
+            )
+            out_a.append(np.repeat(M[:, 0], int(L) - 1))
+            out_b.append(M[:, 1:].ravel())
+        else:
+            ia, ib = np.triu_indices(int(L), k=1)
+            out_a.append(M[:, ia].ravel())
+            out_b.append(M[:, ib].ravel())
+    if not out_a:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
+    )
+
+
 def minhash_candidate_pairs(
     ds: ray.data.Dataset, num_perm: int = 64, bands: int = 16, id_col: str = "doc_id",
     max_bucket: int = 256, shingle_n: int = 3, seed: int = 7,
+    num_buckets: int = 128,
 ) -> ray.data.Dataset:
-    """LSH candidate pairs (id_a < id_b), deduped across bands. Buckets
-    larger than ``max_bucket`` emit star pairs to the bucket min id
-    (connected-cover semantics) instead of the quadratic clique — see
-    ``pairs`` below."""
+    """LSH candidate pairs (id_a < id_b), deduped across bands.
+
+    The groupby key is a SALTED bucket (``band_hash mod num_buckets``),
+    not the raw band hash: the exchange then has ``num_buckets`` groups
+    instead of one per distinct band hash (millions at web scale), and
+    each group's many band buckets are paired in one vectorized
+    run-length pass (`_pairs_per_band_run`) with no per-bucket Python
+    dispatch. Output is identical to the per-bucket formulation."""
     band_ds = ds.map_batches(
         lambda b: minhash_band_rows(b, num_perm, bands, id_col, shingle_n, seed),
         batch_format="pyarrow",
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group[id_col].to_numpy())
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        if len(ids) > max_bucket:
-            # Degenerate bucket (boilerplate / identical crawls — guaranteed
-            # at web scale): full triu would emit O(b²) pairs. Emit the
-            # star to the min id instead — as a *dedup cluster* cover it is
-            # equivalently connected, and output stays O(b). Logged so
-            # silent truncation never reads as full coverage.
-            import logging
-
-            logging.getLogger("dcs_ray.dedup").warning(
-                "minhash bucket %d capped: %d ids > max_bucket=%d; emitting "
-                "%d star pairs instead of %d clique pairs",
-                int(group["band_hash"][0].as_py()), len(ids), max_bucket,
-                len(ids) - 1, len(ids) * (len(ids) - 1) // 2,
-            )
-            ia = np.zeros(len(ids) - 1, dtype=np.int64)
-            ib = np.arange(1, len(ids), dtype=np.int64)
-        else:
-            ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "id_a": pa.array(ids[ia].astype(np.int64), pa.int64()),
-                "id_b": pa.array(ids[ib].astype(np.int64), pa.int64()),
-            }
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bh = b["band_hash"].to_numpy()
+        return b.append_column(
+            "bucket", pa.array(bh.view(np.uint64) % np.uint64(num_buckets), pa.int64())
         )
 
-    cand = band_ds.groupby("band_hash").map_groups(pairs, batch_format="pyarrow")
+    cand = band_ds.map_batches(add_bucket, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(
+        lambda g: _pairs_per_band_run(g, id_col, max_bucket), batch_format="pyarrow"
+    )
     # dedupe pairs discovered via multiple bands
     return cand.groupby(["id_a", "id_b"]).count().select_columns(["id_a", "id_b"])
 
