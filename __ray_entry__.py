@@ -841,6 +841,20 @@ def _q_lang_quantiles(sf_dir: str) -> Any:
     return t.sort_by([("lang", "ascending"), ("q", "ascending")])
 
 
+def _q_quality_filter(sf_dir: str) -> Any:
+    """Per-language p10 length filter: cutoffs computed once (|langs|
+    rows), broadcast with ray.put, applied as a vectorized searchsorted
+    probe per batch — no join shuffle."""
+    from dcs_ray.functions.quantiles import filter_by_group_quantile
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = filter_by_group_quantile(docs, "lang", "n_chars", 0.1, keep="ge")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -996,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "host_stats": _q_host_stats,
         "lang_quantiles": _q_lang_quantiles,
+        "quality_filter": _q_quality_filter,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1499,6 +1514,11 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "quality_filter": """
+WITH cut AS (SELECT lang, quantile_disc(n_chars, 0.1) AS c FROM documents GROUP BY lang)
+SELECT doc_id, d.lang, n_chars FROM documents d JOIN cut USING (lang)
+WHERE n_chars >= c ORDER BY doc_id
 """,
         "lang_quantiles": """
 SELECT lang, 0.5 AS q, quantile_disc(n_chars, 0.5) AS value FROM documents GROUP BY lang

@@ -68,3 +68,42 @@ def group_quantiles(
         )
 
     return hist.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def filter_by_group_quantile(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    q: float,
+    keep: str = "ge",
+) -> ray.data.Dataset:
+    """Keep rows whose ``col`` is >= (``keep='ge'``) or < (``'lt'``)
+    their group's q-quantile — the "drop below per-language p10" shape
+    of corpus quality filtering.
+
+    The cutoff table is |groups| rows: computed once, broadcast via
+    ``ray.put``, applied with a vectorized searchsorted probe per batch
+    — no join shuffle, the corpus streams through untouched."""
+    import ray
+
+    cuts = pa.concat_tables(
+        pa.table(b)
+        for b in group_quantiles(ds, key, col, [q]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    order = pc.sort_indices(cuts, sort_keys=[(key, "ascending")])
+    cuts = cuts.take(order)
+    keys_np = cuts[key].to_numpy(zero_copy_only=False)
+    vals_np = cuts["value"].to_numpy(zero_copy_only=False)
+    ref = ray.put((keys_np, vals_np))
+
+    def apply(b: pa.Table) -> pa.Table:
+        ks, vs = ray.get(ref)
+        bk = b[key].to_numpy(zero_copy_only=False)
+        cut = vs[np.searchsorted(ks, bk)]
+        v = b[col].to_numpy(zero_copy_only=False)
+        mask = v >= cut if keep == "ge" else v < cut
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

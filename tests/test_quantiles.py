@@ -67,3 +67,25 @@ def test_group_quantiles_duckdb_parity(ray_session):
     assert out["k"].to_pylist() == want["k"].to_pylist()
     assert out["q"].to_pylist() == want["q"].to_pylist()
     assert out["value"].to_pylist() == want["value"].to_pylist()
+
+
+def test_filter_by_group_quantile(ray_session):
+    from dcs_ray.functions.quantiles import filter_by_group_quantile
+
+    rng = np.random.default_rng(2)
+    keys = rng.choice(["a", "b"], size=2000).tolist()
+    vals = rng.integers(0, 1000, size=2000)
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals})).repartition(6)
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in filter_by_group_quantile(ds, "k", "v", 0.25).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    kv = np.array(keys)
+    for k in ["a", "b"]:
+        grp = vals[kv == k]
+        cut = _disc_quantile(grp, 0.25)
+        got = out.filter(pa.compute.equal(out["k"], k))["v"].to_numpy()
+        assert (got >= cut).all()
+        assert len(got) == int((grp >= cut).sum())
