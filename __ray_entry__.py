@@ -792,9 +792,8 @@ def _q_pack_chunked(sf_dir: str) -> Any:
 
 def _q_pack_greedy(sf_dir: str) -> Any:
     """First-fit bin packing per bucket (documents never split) — the
-    reset-cumsum walked by searchsorted, not a per-row loop. No SQL
-    oracle (resetting cumsum is not window-expressible); pytest gates
-    it against a reference implementation."""
+    reset-cumsum walked by searchsorted, not a per-row loop. Oracle:
+    a recursive CTE walks the same first-fit state machine per bucket."""
     from dcs_ray.functions.textprep import pack_sequences_greedy
 
     ds = pack_sequences_greedy(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=256, num_buckets=16)
@@ -1514,6 +1513,22 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "pack_greedy": """
+WITH RECURSIVE tc AS (
+  SELECT doc_id, (doc_id % 16)::bigint AS bucket,
+         len(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> ''))::bigint AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM documents),
+walk AS (
+  SELECT bucket, rn, doc_id, n_tokens, 0::bigint AS seq_id, n_tokens AS acc
+  FROM tc WHERE rn = 1
+  UNION ALL
+  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.acc > 0 AND w.acc + t.n_tokens > 256 THEN w.seq_id + 1 ELSE w.seq_id END,
+         CASE WHEN w.acc > 0 AND w.acc + t.n_tokens > 256 THEN t.n_tokens ELSE w.acc + t.n_tokens END
+  FROM tc t JOIN walk w ON t.bucket = w.bucket AND t.rn = w.rn + 1)
+SELECT doc_id, bucket, n_tokens, seq_id FROM walk ORDER BY doc_id
 """,
         "quality_filter": """
 WITH cut AS (SELECT lang, quantile_disc(n_chars, 0.1) AS c FROM documents GROUP BY lang)
