@@ -196,9 +196,16 @@ def pack_sequences_chunked(
 
 def greedy_boundaries(n_tokens: np.ndarray, budget: int) -> np.ndarray:
     """First-fit-in-order sequence ids for per-doc token counts: a new
-    sequence starts when adding the next document would exceed
-    ``budget``; oversized documents occupy a sequence alone. Walks
-    sequence boundaries with searchsorted — O(num_seqs · log n)."""
+    sequence starts when the accumulated count is positive and adding
+    the next document would exceed ``budget``; oversized documents
+    occupy a sequence alone. Walks sequence boundaries with
+    searchsorted — O(num_seqs · log n).
+
+    Matches the per-doc state machine ``if acc and acc + x > budget:
+    new sequence`` exactly, including zero-token docs: a window whose
+    accumulated weight is still zero absorbs the doc that overflowed it
+    (acc==0 never splits), and docs after an oversize split because
+    acc already exceeds the budget."""
     n = np.asarray(n_tokens, np.int64)
     cum = np.cumsum(n)
     seq = np.empty(len(n), np.int64)
@@ -208,6 +215,10 @@ def greedy_boundaries(n_tokens: np.ndarray, budget: int) -> np.ndarray:
         end = int(np.searchsorted(cum, base + budget, side="right"))
         if end == start:  # single doc larger than budget
             end = start + 1
+        elif end < len(n) and cum[end - 1] == base:
+            # window is all zero-weight so far: acc==0, the next doc
+            # joins regardless of size
+            end += 1
         seq[start:end] = sid
         sid += 1
         start = end

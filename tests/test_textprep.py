@@ -128,3 +128,31 @@ def test_cms_heavy_hitters_events(ray_session):
     for v, e in zip(got["event_type"].to_pylist(), got["n_est"].to_pylist()):
         assert e >= exact[v]
         assert e - exact[v] <= 2 * t.num_rows / 4096 * 4
+
+
+def test_greedy_boundaries_zero_token_docs():
+    # exact state-machine parity, including zero-token docs: an
+    # oversize after zero-weight docs stays in the open sequence
+    # (acc==0 never splits); a zero doc after an oversize splits
+    # (acc > budget)
+    from hypothesis import given, settings, strategies as st
+
+    def ref(ns, budget):
+        sid, acc, out = 0, 0, []
+        for x in ns:
+            if acc and acc + x > budget:
+                sid, acc = sid + 1, 0
+            acc += x
+            out.append(sid)
+        return out
+
+    assert greedy_boundaries(np.array([0, 300, 5]), 256).tolist() == ref([0, 300, 5], 256)
+    assert greedy_boundaries(np.array([0, 0]), 256).tolist() == [0, 0]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=400), max_size=60),
+           st.integers(min_value=1, max_value=300))
+    def prop(ns, budget):
+        assert greedy_boundaries(np.array(ns, np.int64), budget).tolist() == ref(ns, budget)
+
+    prop()
