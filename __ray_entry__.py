@@ -854,6 +854,20 @@ def _q_quality_filter(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_quality_classifier(sf_dir: str) -> Any:
+    """Actor-pool logistic quality classifier: weights loaded once per
+    actor in __init__, whole-batch numpy scoring in __call__ — the
+    model-inference stage shape. Deterministic public weights, so the
+    oracle replays the exact formula."""
+    from dcs_ray.functions.textstats import quality_classify
+
+    ds = quality_classify(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1010,6 +1024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "lang_quantiles": _q_lang_quantiles,
         "quality_filter": _q_quality_filter,
+        "quality_classifier": _q_quality_classifier,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1513,6 +1528,27 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
+""",
+        "quality_classifier": f"""
+WITH tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it') THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id),
+feats AS (
+  SELECT d.doc_id,
+         coalesce(a.n_tokens,0)::bigint AS n_tokens,
+         coalesce(round(a.n_stop::double / a.n_tokens, 6), 0.0) AS stop_ratio,
+         coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0) AS mean_len
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+z AS (
+  SELECT doc_id,
+         -2.0 + 0.45 * ln(1.0 + n_tokens) + 4.0 * stop_ratio + (-0.15) * mean_len AS zv
+  FROM feats)
+SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS quality_prob,
+       (round(1.0 / (1.0 + exp(-zv)), 6) >= 0.5) AS keep
+FROM z ORDER BY doc_id
 """,
         "pack_greedy": """
 WITH RECURSIVE tc AS (

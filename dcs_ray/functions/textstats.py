@@ -251,3 +251,64 @@ def langid(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
 
 def fingerprints(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
     return ds.map_batches(lambda b: fingerprint_batch(b, id_col), batch_format="pyarrow")
+
+
+class QualityClassifier:
+    """Actor-pool model-inference stage: a logistic quality classifier
+    over the vectorized text features (the shape of a fastText/LR
+    quality filter in web-corpus pipelines).
+
+    The weight vector is "loaded" ONCE per actor in ``__init__`` — the
+    slot where a real checkpoint read goes — and ``__call__`` scores a
+    whole batch with numpy only. Use as
+    ``ds.map_batches(QualityClassifier, concurrency=N, batch_size=B)``.
+
+    Weights are fixed, public constants (not trained here) so the score
+    is deterministic and the DuckDB oracle can replay the exact formula:
+    ``p = sigmoid(b + w·[ln(1+n_tokens), stopword_ratio,
+    mean_token_len])`` with features rounded to 6 digits first (the
+    same rounding ``quality_score_batch`` applies)."""
+
+    BIAS = -2.0
+    W_LOG_TOKENS = 0.45
+    W_STOP_RATIO = 4.0
+    W_MEAN_LEN = -0.15
+    THRESHOLD = 0.5
+
+    def __init__(self, id_col: str = "doc_id"):
+        self.id_col = id_col
+        # checkpoint-load slot: one numpy weight vector per actor
+        self.w = np.array(
+            [self.W_LOG_TOKENS, self.W_STOP_RATIO, self.W_MEAN_LEN], np.float64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = quality_score_batch(batch, self.id_col)
+        x = np.stack(
+            [
+                np.log1p(f["n_tokens"].to_numpy().astype(np.float64)),
+                f["stopword_ratio"].to_numpy(),
+                f["mean_token_len"].to_numpy(),
+            ],
+            axis=1,
+        )
+        z = self.BIAS + x @ self.w
+        p = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        return pa.table(
+            {
+                self.id_col: f[self.id_col],
+                "quality_prob": pa.array(p, pa.float64()),
+                "keep": pa.array(p >= self.THRESHOLD, pa.bool_()),
+            }
+        )
+
+
+def quality_classify(
+    ds: ray.data.Dataset, id_col: str = "doc_id", concurrency: int = 2
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityClassifier,
+        fn_constructor_kwargs={"id_col": id_col},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

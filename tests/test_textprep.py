@@ -156,3 +156,23 @@ def test_greedy_boundaries_zero_token_docs():
         assert greedy_boundaries(np.array(ns, np.int64), budget).tolist() == ref(ns, budget)
 
     prop()
+
+
+def test_quality_classifier_actor_pool(ray_session):
+    from dcs_ray.functions.textstats import QualityClassifier, quality_classify
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in quality_classify(docs).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert len(out) == docs.count()
+    p = out["quality_prob"].to_numpy()
+    assert ((p >= 0) & (p <= 1)).all()
+    assert (out["keep"].to_numpy() == (p >= QualityClassifier.THRESHOLD)).all()
+    # deterministic: single-actor local call matches the pool output
+    ref = pa.concat_tables(
+        QualityClassifier()(pa.table(b))
+        for b in docs.iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert out.equals(ref)
