@@ -868,6 +868,32 @@ def _q_quality_classifier(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_text_knn_hash_embed(sf_dir: str) -> Any:
+    """Embedding-generation → similarity-search composition: documents
+    are embedded with the deterministic hashing-trick featurizer (one
+    tokenizer pass + scatter per batch, no exchange), then brute-force
+    cosine top-5 runs against three fixed query docs. Rows-only gate
+    (the hash chain is impractical in SQL); pytest pins determinism and
+    self-similarity."""
+    from dcs_ray.functions.embed import hash_embed, hash_embed_batch
+    from dcs_ray.functions.simsearch import knn_cosine_bruteforce
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = hash_embed(docs)
+    qt = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [0, 1, 2])],
+    )
+    qvecs = np.stack(
+        [np.asarray(v, np.float64) for v in
+         hash_embed_batch(qt)["embedding"].to_pylist()]
+    )
+    return knn_cosine_bruteforce(emb, qvecs, k=5, id_col="doc_id")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1025,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantiles": _q_lang_quantiles,
         "quality_filter": _q_quality_filter,
         "quality_classifier": _q_quality_classifier,
+        "text_knn_hash_embed": _q_text_knn_hash_embed,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
