@@ -234,6 +234,57 @@ def cmd_ann(args) -> None:
         print(json.dumps(row))
 
 
+def cmd_textstats(args) -> None:
+    """Per-document text analysis over a documents parquet."""
+    _ray()
+    ds = read_parquet_sized(args.input)
+    from dcs_ray.functions import textstats
+
+    fn = {
+        "tokens": textstats.token_counts,
+        "bpe": textstats.bpe_token_counts,
+        "quality": textstats.quality_scores,
+        "langid": textstats.langid,
+        "fingerprint": textstats.fingerprints,
+        "classify": textstats.quality_classify,
+    }[args.method]
+    out = fn(ds, id_col=args.id_col)
+    for row in out.limit(args.n).take_all():
+        print(json.dumps(row))
+
+
+def cmd_stats(args) -> None:
+    """Column statistics over any parquet: distinct counts, heavy
+    hitters (exact / count-min), quantiles."""
+    _ray()
+    ds = read_parquet_sized(args.input, columns=[c for c in [args.col, args.key] if c])
+    if args.method == "distinct":
+        from dcs_ray.functions.sketches import exact_distinct
+
+        print(json.dumps(exact_distinct(ds, args.col).take_all()[0]))
+    elif args.method == "hll":
+        from dcs_ray.functions.sketches import approx_distinct_hll
+
+        est, _ = approx_distinct_hll(ds, args.col)
+        print(json.dumps({"approx_distinct": est}))
+    elif args.method == "topk":
+        from dcs_ray.functions.sketches import heavy_hitters
+
+        for row in heavy_hitters(ds, args.col, k=args.k).to_pylist():
+            print(json.dumps(row))
+    elif args.method == "cms":
+        from dcs_ray.functions.sketches import cms_heavy_hitters
+
+        for row in cms_heavy_hitters(ds, args.col, k=args.k).to_pylist():
+            print(json.dumps(row))
+    else:  # quantiles
+        from dcs_ray.functions.quantiles import group_quantiles
+
+        out = group_quantiles(ds, args.key, args.col, [0.5, 0.9, 0.99])
+        for row in out.take_all():
+            print(json.dumps(row))
+
+
 def cmd_replay(args) -> None:
     """Replay a query log, one query per line, print per-query JSON
     measurements (``cmd/dcs/replay.go:472-546``)."""
@@ -333,6 +384,23 @@ def main() -> None:
     d.add_argument("--index-dir", default=None)
     d.add_argument("-k", type=int, default=10)
     d.set_defaults(fn=cmd_ann)
+
+    d = sub.add_parser("textstats", help="per-doc text analysis over documents parquet")
+    d.add_argument("input")
+    d.add_argument("--method", default="quality",
+                   choices=["tokens", "bpe", "quality", "langid", "fingerprint", "classify"])
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_textstats)
+
+    d = sub.add_parser("stats", help="column stats: distinct/hll/topk/cms/quantiles")
+    d.add_argument("input")
+    d.add_argument("--method", default="topk",
+                   choices=["distinct", "hll", "topk", "cms", "quantiles"])
+    d.add_argument("--col", required=True)
+    d.add_argument("--key", default=None, help="group key (quantiles)")
+    d.add_argument("-k", type=int, default=10)
+    d.set_defaults(fn=cmd_stats)
 
     d = sub.add_parser("replay", help="replay a query log with timings")
     d.add_argument("index")
