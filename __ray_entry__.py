@@ -543,6 +543,31 @@ h2 AS (SELECT *, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX
 hf AS (SELECT *, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2)"""
 
 
+def _hll_registers_sql() -> str:
+    """Integer-SQL replay of the HLL fold over events.user_id (p=12):
+    splitmix64 via 32-bit-limb mulmod, then a halving bit-length ladder
+    for the leading-zero rank — no floats anywhere."""
+    M64 = "18446744073709551616"
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    ladder = "\n".join(
+        f"r{i+1} AS (SELECT reg, CASE WHEN v >= {1 << s} THEN v // {1 << s} ELSE v END AS v,"
+        f" bl + CASE WHEN v >= {1 << s} THEN {s} ELSE 0 END AS bl FROM r{i}),"
+        for i, s in enumerate((32, 16, 8, 4, 2, 1))
+    )
+    return f"""
+WITH h0 AS (SELECT ((user_id::hugeint + {GOLDEN}) % {M64}) AS x0 FROM events WHERE user_id IS NOT NULL),
+h1 AS (SELECT ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+r0 AS (SELECT (h // {1 << 52})::bigint AS reg, (h * 4096) % {M64} AS v, 0 AS bl FROM hf),
+{ladder}
+rf AS (SELECT reg, bl + CASE WHEN v >= 1 THEN 1 ELSE 0 END AS bitlen FROM r6)
+SELECT reg, max(least(64 - bitlen + 1, 53))::bigint AS rank FROM rf GROUP BY reg ORDER BY reg
+"""
+
+
 def _q_sample_fraction(sf_dir: str) -> Any:
     """Deterministic ~20% subsample of documents (splitmix64(id^seed)
     threshold) — reproducible across runs/cluster sizes, no shuffle."""
@@ -894,6 +919,24 @@ def _q_text_knn_hash_embed(sf_dir: str) -> Any:
     return knn_cosine_bruteforce(emb, qvecs, k=5, id_col="doc_id")
 
 
+def _q_hll_registers(sf_dir: str) -> Any:
+    """The HLL fold itself, bit-exactly gated: nonzero (register,
+    max-rank) table for user_id at p=12. The oracle replays splitmix64
+    (32-bit-limb mulmod) and the leading-zero ladder in integer SQL, so
+    the sketch state — not just the estimate — is verified."""
+    from dcs_ray.functions.sketches import approx_distinct_hll
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    _, regs = approx_distinct_hll(ev, "user_id", p=12)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {
+            "reg": pa.array(nz.astype(np.int64), pa.int64()),
+            "rank": pa.array(regs[nz].astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1052,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "quality_classifier": _q_quality_classifier,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
+        "hll_registers": _q_hll_registers,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1556,6 +1600,7 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,
+        "hll_registers": _hll_registers_sql(),
         "quality_classifier": f"""
 WITH tok AS ({_TOK}),
 agg AS (
