@@ -53,3 +53,38 @@ def read_parquet_sized(
     return ray.data.read_parquet(
         paths, columns=columns, override_num_blocks=n, **kwargs
     )
+
+
+def write_corpus_partitioned(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    partition_col: str,
+    resume: bool = True,
+) -> list[str]:
+    """Resumable partitioned Parquet sink: one directory per value of
+    ``partition_col`` (hive layout, many files per partition — never
+    one giant file), each committed ATOMICALLY via a ``_SUCCESS``
+    marker written after its rows. With ``resume=True`` a re-run skips
+    partitions whose marker exists and writes only the missing ones —
+    a killed 100 TB export re-does only unfinished partitions.
+
+    Partition values are discovered with one tiny projected aggregate
+    (|distinct| rows); each partition is then written by its own
+    filtered streaming job. Returns the list of partition values
+    written this run (skipped ones excluded).
+    """
+    values = sorted(ds.select_columns([partition_col]).unique(partition_col))
+    written = []
+    for v in values:
+        part_dir = os.path.join(out_dir, f"{partition_col}={v}")
+        marker = os.path.join(part_dir, "_SUCCESS")
+        if resume and os.path.exists(marker):
+            continue
+        if os.path.isdir(part_dir):  # incomplete previous attempt
+            for f in os.listdir(part_dir):
+                os.unlink(os.path.join(part_dir, f))
+        ds.filter(expr=f"{partition_col} == {v!r}").write_parquet(part_dir)
+        with open(marker, "w") as f:
+            f.write("")
+        written.append(v)
+    return written

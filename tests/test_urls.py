@@ -52,3 +52,31 @@ def test_host_stats_matches_pages(ray_session):
     assert got["host"].to_pylist() == ref["host"].to_pylist()
     assert got["n_pages"].to_pylist() == ref["host_count"].to_pylist()
     assert got["total_text_chars"].to_pylist() == ref["tc_sum"].to_pylist()
+
+
+def test_write_corpus_partitioned_resume(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dcs_ray.sources.io import write_corpus_partitioned
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    first = write_corpus_partitioned(docs, out, "lang")
+    assert sorted(first) == sorted(set(pq.read_table(
+        f"{SF}/documents.parquet", columns=["lang"])["lang"].to_pylist()))
+    # every partition committed with a marker and the right rows
+    total = 0
+    for v in first:
+        d = os.path.join(out, f"lang={v}")
+        assert os.path.exists(os.path.join(d, "_SUCCESS"))
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        total += sum(pq.read_table(os.path.join(d, f)).num_rows for f in files)
+    assert total == docs.count()
+    # resume: everything already committed -> nothing rewritten
+    assert write_corpus_partitioned(docs, out, "lang") == []
+    # a partition missing its marker is redone
+    victim = first[0]
+    os.unlink(os.path.join(out, f"lang={victim}", "_SUCCESS"))
+    assert write_corpus_partitioned(docs, out, "lang") == [victim]
