@@ -322,13 +322,28 @@ def heavy_hitters(
     agg = combiner_groupby(
         ds.map_batches(partial, batch_format="pyarrow"), [col], ["cnt"]
     )
-    tables = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+
+    # blocks after the final groupby are key-disjoint, so cutting each
+    # to its local top-k before the driver merge is exact — the driver
+    # sees |blocks|·k rows, never |distinct|
+    def block_topk(b: pa.Table) -> pa.Table:
+        b = b.select([col, "cnt"])
+        order = pc.sort_indices(
+            b, sort_keys=[("cnt", "descending"), (col, "ascending")]
+        )[: min(k, len(b))]
+        return b.take(order)
+
+    tables = [
+        pa.table(b)
+        for b in agg.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
     t = (
         pa.concat_tables(tables)
         if tables
         else pa.table({col: pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     )
-    t = t.select([col, "cnt"])
     order = pc.sort_indices(
         t, sort_keys=[("cnt", "descending"), (col, "ascending")]
     )[: min(k, len(t))]

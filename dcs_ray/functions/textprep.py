@@ -108,28 +108,45 @@ def bigram_counts_batch(
 
 def bigram_counts(
     ds: ray.data.Dataset, text_col: str = "text", k: int | None = None
-) -> pa.Table:
-    """Exact bigram counts over the corpus; top-k (count desc, bigram
-    asc) if ``k`` — the driver only ever sees the |vocab|-sized
-    aggregate, not the token stream."""
+):
+    """Exact bigram counts over the corpus. With ``k``: top-k (count
+    desc, bigram asc) as a pa.Table — each aggregate block is cut to
+    its local top-k first, so the driver merges |blocks|·k rows, never
+    the vocabulary (bigram vocabs run to billions at web scale).
+    Without ``k``: the full aggregate as a streaming Dataset (write it
+    out, don't collect it)."""
     agg = combiner_groupby(
         ds.map_batches(
             lambda b: bigram_counts_batch(b, text_col), batch_format="pyarrow"
         ),
         ["bigram"],
         ["n"],
+    ).map_batches(
+        lambda b: b.select(["bigram", "n"]), batch_format="pyarrow"
     )
-    tables = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    if k is None:
+        return agg
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            b, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+        )[: min(k, len(b))]
+        return b.take(order)
+
+    tables = [
+        pa.table(b)
+        for b in agg.map_batches(block_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
     if not tables or sum(len(t) for t in tables) == 0:
         return pa.table(
             {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
         )
-    t = pa.concat_tables(tables).select(["bigram", "n"])
+    t = pa.concat_tables(tables)
     order = pc.sort_indices(
         t, sort_keys=[("n", "descending"), ("bigram", "ascending")]
-    )
-    if k is not None:
-        order = order[: min(k, len(t))]
+    )[: min(k, len(t))]
     return t.take(order)
 
 
