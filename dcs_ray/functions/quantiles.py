@@ -38,7 +38,10 @@ def group_quantiles(
     qs = sorted(qs)
 
     def partial(b: pa.Table) -> pa.Table:
-        vc = b.select([key, col]).group_by([key, col]).aggregate([(col, "count")])
+        # quantile semantics ignore null values (as SQL aggregates do);
+        # Arrow group_by would otherwise keep null as its own group
+        b = b.select([key, col]).drop_null()
+        vc = b.group_by([key, col]).aggregate([(col, "count")])
         return pa.table(
             {
                 key: vc[key],

@@ -194,7 +194,7 @@ def exact_distinct(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
         return pa.table({"n": pa.array([len(b)], pa.int64())})
 
     partial = dedup.map_batches(count_rows, batch_format="pyarrow")
-    total = partial.sum("n")
+    total = partial.sum("n") or 0  # empty input sums to None
     return ray.data.from_arrow(
         pa.table({"n_distinct": pa.array([int(total)], pa.int64())})
     )

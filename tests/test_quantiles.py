@@ -89,3 +89,32 @@ def test_filter_by_group_quantile(ray_session):
         got = out.filter(pa.compute.equal(out["k"], k))["v"].to_numpy()
         assert (got >= cut).all()
         assert len(got) == int((grp >= cut).sum())
+
+
+def test_group_quantiles_ignores_nulls(ray_session):
+    import duckdb
+
+    t = pa.table(
+        {
+            "k": ["a"] * 6,
+            "v": pa.array([1, None, 3, None, 5, 7], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in group_quantiles(ds, "k", "v", [0.5]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    want = duckdb.arrow(t).query(
+        "t", "SELECT quantile_disc(v, 0.5) AS value FROM t"
+    ).fetchone()[0]
+    assert out["value"].to_pylist() == [want]
+
+
+def test_exact_distinct_empty(ray_session):
+    from dcs_ray.functions.sketches import exact_distinct
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    assert exact_distinct(empty, "x").take_all() == [{"n_distinct": 0}]
