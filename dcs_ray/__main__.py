@@ -234,6 +234,16 @@ def cmd_ann(args) -> None:
         print(json.dumps(row))
 
 
+def cmd_reshard(args) -> None:
+    """Re-merge an index's preserved segments into a new shard count
+    (dcs-reshard analogue, ``cmd/dcs-reshard/reshard.go:35-92``)."""
+    _ray()
+    from dcs_ray.index.build import reshard
+
+    man = reshard(args.index, args.num_shards)
+    print(json.dumps(man["metrics"]["last_reshard"]))
+
+
 def cmd_textstats(args) -> None:
     """Per-document text analysis over a documents parquet."""
     _ray()
@@ -384,6 +394,11 @@ def main() -> None:
     d.add_argument("--index-dir", default=None)
     d.add_argument("-k", type=int, default=10)
     d.set_defaults(fn=cmd_ann)
+
+    d = sub.add_parser("reshard", help="re-merge segments into a new shard count")
+    d.add_argument("index")
+    d.add_argument("num_shards", type=int)
+    d.set_defaults(fn=cmd_reshard)
 
     d = sub.add_parser("textstats", help="per-doc text analysis over documents parquet")
     d.add_argument("input")

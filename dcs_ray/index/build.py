@@ -423,3 +423,47 @@ def update_partition(out_dir: str, part_id: int, docs: pa.Table) -> dict:
         "wall_s": round(_t.monotonic() - t0, 3),
     }
     return commit_manifest(out_dir, conf, lineage, stats, shard_lineage, metrics)
+
+
+def reshard(out_dir: str, new_num_shards: int) -> dict:
+    """Change the shard count of an EXISTING index without rebuilding —
+    the ``dcs-reshard`` flow (``cmd/dcs-reshard/reshard.go:35-92``) as a
+    re-merge: segments are the source of truth, shard bytes are derived.
+
+    1. plan a new posting-balanced partition→shard assignment,
+    2. merge every new shard into a TEMP shard root (one Ray task per
+       shard, parallel),
+    3. swap ``shards/`` via renames and re-commit the manifest — a crash
+       before the swap leaves the old index fully intact.
+
+    Corpus stats and per-partition lineage are unchanged (same docs),
+    so only merge work is redone — at 100 TB that is a shard-count-
+    bounded concat pass, not a corpus-scale rebuild.
+    """
+    import shutil
+    import time as _t
+    from dataclasses import replace as _dc_replace
+
+    from dcs_ray.index.merge import merge_shards
+
+    man = load_manifest(out_dir)
+    conf = _dc_replace(conf_from_manifest(man), num_shards=new_num_shards).validate()
+    t0 = _t.monotonic()
+    tmp = os.path.join(out_dir, "shards.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shard_lineage = merge_shards(out_dir, conf, shard_root=tmp)
+    cur = os.path.join(out_dir, "shards")
+    bak = os.path.join(out_dir, "shards.old")
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(cur, bak)
+    os.rename(tmp, cur)
+    shutil.rmtree(bak)
+    metrics = dict(man.get("metrics") or {})
+    metrics["last_reshard"] = {
+        "from_shards": man["num_shards"],
+        "to_shards": new_num_shards,
+        "wall_s": round(_t.monotonic() - t0, 3),
+    }
+    return commit_manifest(
+        out_dir, conf, man["partitions"], man["stats"], shard_lineage, metrics
+    )

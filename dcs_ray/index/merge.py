@@ -395,12 +395,15 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
     return lineage
 
 
-def merge_shards(out_dir: str, conf: IndexConfig) -> list[dict]:
+def merge_shards(
+    out_dir: str, conf: IndexConfig, shard_root: str | None = None
+) -> list[dict]:
     """Merge all segments into ``conf.num_shards`` shard indexes, one Ray
     task per shard (merge concurrency; dcs serializes merges via a
     single-flight semaphore ``importer.go:595-600`` — we parallelize
-    across shards since they're independent)."""
-    shard_root = os.path.join(out_dir, "shards")
+    across shards since they're independent). ``shard_root`` overrides
+    the output directory (reshard merges into a temp root, then swaps)."""
+    shard_root = shard_root or os.path.join(out_dir, "shards")
     os.makedirs(shard_root, exist_ok=True)
     specs = plan_shards(out_dir, conf.num_shards)
     if not specs:  # empty corpus → no segments → no shards
