@@ -937,6 +937,43 @@ def _q_hll_registers(sf_dir: str) -> Any:
     )
 
 
+def _q_customers_without_orders(sf_dir: str) -> Any:
+    """Broadcast ANTI-join: customers who never placed a >400k order.
+    The filtered order custkeys (unique, small) broadcast once; the
+    customer table streams through a searchsorted existence probe —
+    no shuffle. The price predicate is pushed into the orders scan."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_semi_join
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    )
+    ds = broadcast_semi_join(cust, orders, on="c_custkey", right_on="o_custkey", anti=True)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table()
+    return pa.concat_tables(tables).sort_by("c_custkey")
+
+
+def _q_top_events_per_user(sf_dir: str) -> Any:
+    """Generic grouped top-n: each user's 3 highest-value events.
+    Per-batch per-key cut before the groupby bounds the exchange at
+    n rows per (batch, key)."""
+    from dcs_ray.functions.relational import grouped_topn
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    ds = grouped_topn(ev, "user_id", "value", 3, tie_col="event_id")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("user_id", "ascending"), ("value", "descending"), ("event_id", "ascending")])
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1096,6 +1133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "hll_registers": _q_hll_registers,
+        "customers_without_orders": _q_customers_without_orders,
+        "top_events_per_user": _q_top_events_per_user,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1601,6 +1640,18 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,
         "hll_registers": _hll_registers_sql(),
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+        "top_events_per_user": """
+SELECT user_id::bigint AS user_id, event_id::bigint AS event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+ORDER BY user_id, value DESC, event_id
+""",
         "quality_classifier": f"""
 WITH tok AS ({_TOK}),
 agg AS (

@@ -175,3 +175,82 @@ def combiner_groupby(
         return pa.table(cols)
 
     return final.map_batches(rename, batch_format="pyarrow")
+
+
+def broadcast_semi_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi-join (keep big rows whose key EXISTS in small) or anti-join
+    (``anti=True``: keep rows whose key does NOT exist). The small
+    side's unique keys are materialized once, broadcast via ``ray.put``,
+    and probed with a vectorized searchsorted per batch — the big side
+    streams through with no shuffle. Duplicate small-side keys are fine
+    (existence only)."""
+    right_on = right_on or on
+    tables = [
+        pa.table(b)
+        for b in small.select_columns([right_on]).iter_batches(batch_format="pyarrow")
+    ]
+    keys = (
+        np.unique(pa.concat_tables(tables)[right_on].to_numpy().astype(np.int64))
+        if tables and sum(len(t) for t in tables)
+        else np.empty(0, np.int64)
+    )
+    ref = ray.put(keys)
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        bk = b[on].to_numpy().astype(np.int64)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, bk), len(ks) - 1)
+            hit = ks[pos] == bk
+        else:
+            hit = np.zeros(len(bk), bool)
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def grouped_topn(
+    ds: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Top-n rows per key by ``order_col`` (ties broken by ``tie_col``
+    ascending — required for determinism when order values repeat).
+
+    Each batch is first cut to its own per-key top-n (one vectorized
+    lexsort + run-length head), so the groupby exchange carries at most
+    n rows per (batch, key) — never the corpus; the final per-key cut
+    runs in ``map_groups``."""
+    if tie_col is None:
+        tie_col = key
+
+    def sort_keys(b: pa.Table) -> list[tuple[str, str]]:
+        return [
+            (key, "ascending"),
+            (order_col, "ascending" if ascending else "descending"),
+            (tie_col, "ascending"),
+        ]
+
+    def local_cut(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        b = b.take(pc.sort_indices(b, sort_keys=sort_keys(b)))
+        k = b[key].to_numpy(zero_copy_only=False)
+        new = np.ones(len(k), bool)
+        new[1:] = k[1:] != k[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank_in_run = np.arange(len(k)) - starts[run_id]
+        return b.filter(pa.array(rank_in_run < n))
+
+    pre = ds.map_batches(local_cut, batch_format="pyarrow")
+    return pre.groupby(key).map_groups(local_cut, batch_format="pyarrow")

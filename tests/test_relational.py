@@ -138,3 +138,54 @@ def test_shuffle_join_right_on_and_left(ray_session):
     ).to_pandas().sort_values("a").reset_index(drop=True)
     assert out["a"].tolist() == [1, 2, 3]
     assert out["w"].fillna(-1).astype(int).tolist() == [-1, 200, 300]
+
+
+def test_broadcast_semi_and_anti_join(ray_session):
+    import numpy as np
+
+    from dcs_ray.functions.relational import broadcast_semi_join
+
+    big = ray.data.from_arrow(
+        pa.table({"k": list(range(10)), "x": list(range(100, 110))})
+    ).repartition(3)
+    small = ray.data.from_arrow(pa.table({"j": [2, 5, 5, 7, 99]}))
+    semi = pa.concat_tables(
+        pa.table(b) for b in broadcast_semi_join(big, small, on="k", right_on="j")
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("k")
+    assert semi["k"].to_pylist() == [2, 5, 7]
+    anti = pa.concat_tables(
+        pa.table(b) for b in broadcast_semi_join(big, small, on="k", right_on="j", anti=True)
+        .iter_batches(batch_format="pyarrow")
+    ).sort_by("k")
+    assert anti["k"].to_pylist() == [0, 1, 3, 4, 6, 8, 9]
+    # empty small side: semi keeps nothing, anti keeps everything
+    empty = ray.data.from_arrow(pa.table({"j": pa.array([], pa.int64())}))
+    assert broadcast_semi_join(big, empty, on="k", right_on="j").count() == 0
+    assert broadcast_semi_join(big, empty, on="k", right_on="j", anti=True).count() == 10
+
+
+def test_grouped_topn_matches_pandas(ray_session):
+    import numpy as np
+
+    from dcs_ray.functions.relational import grouped_topn
+
+    rng = np.random.default_rng(13)
+    t = pa.table(
+        {
+            "k": rng.integers(0, 20, size=3000),
+            "id": np.arange(3000),
+            "v": rng.integers(0, 50, size=3000),  # many ties
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in grouped_topn(ds, "k", "v", 4, tie_col="id").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by([("k", "ascending"), ("v", "descending"), ("id", "ascending")])
+    df = t.to_pandas().sort_values(["k", "v", "id"], ascending=[True, False, True])
+    want = df.groupby("k").head(4).reset_index(drop=True)
+    got = out.to_pandas()
+    assert got[["k", "id", "v"]].reset_index(drop=True).equals(want[["k", "id", "v"]])
