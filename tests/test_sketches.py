@@ -74,3 +74,46 @@ def test_sketches_on_events(ray_session):
     )[:3]
     got = list(zip(hh["event_type"].to_pylist(), hh["n_rows"].to_pylist()))
     assert got == want
+
+
+def test_hash64_column_matches_python_reference():
+    """The vectorized word-gather hash equals a per-row pure-Python
+    FNV-word fold for arbitrary strings (odd lengths, unicode, empties)
+    and is invariant to chunk layout."""
+    from hypothesis import given, settings, strategies as st
+
+    M = (1 << 64) - 1
+
+    def splitmix(x):
+        x = (x + 0x9E3779B97F4A7C15) & M
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & M
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & M
+        x ^= x >> 31
+        return x
+
+    def ref_hash(s: str) -> int:
+        b = s.encode()
+        out = 0xCBF29CE484222325
+        for w in range(0, max(len(b), 0), 8):
+            word = int.from_bytes(b[w:w + 8].ljust(8, b"\0")[:8], "little") if len(b) > w else 0
+            out = ((out ^ word) * 0x100000001B3) & M
+        out = (out + len(b)) & M
+        return splitmix(out)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=40), min_size=1, max_size=20))
+    def prop(strs):
+        got = _hash64_column(pa.chunked_array([pa.array(strs, pa.string())]))
+        want = [ref_hash(s) for s in strs]
+        assert got.tolist() == want
+        # split into two chunks: same per-row hashes
+        half = len(strs) // 2
+        got2 = _hash64_column(
+            pa.chunked_array([pa.array(strs[:half], pa.string()),
+                              pa.array(strs[half:], pa.string())])
+        )
+        assert got2.tolist() == want
+
+    prop()
