@@ -974,6 +974,30 @@ def _q_top_events_per_user(sf_dir: str) -> Any:
     return t.sort_by([("user_id", "ascending"), ("value", "descending"), ("event_id", "ascending")])
 
 
+def _q_windowed_top_users(sf_dir: str) -> Any:
+    """Continuous-top-k shape: per tumbling hour window, the top-2
+    users by summed value — tumbling_window_agg chained into
+    grouped_topn, both exchanges combiner-bounded."""
+    from dcs_ray.functions.relational import grouped_topn
+    from dcs_ray.functions.windows import tumbling_window_agg
+
+    agg = tumbling_window_agg(
+        read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600
+    )
+    top = grouped_topn(agg, "window_start", "sum_value", 2, tie_col="user_id")
+    t = pa.concat_tables([pa.table(b) for b in top.iter_batches(batch_format="pyarrow")])
+    t = t.sort_by(
+        [("window_start", "ascending"), ("sum_value", "descending"), ("user_id", "ascending")]
+    )
+    return pa.table(
+        {
+            "window_start": t["window_start"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1135,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
+        "windowed_top_users": _q_windowed_top_users,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1651,6 +1676,18 @@ SELECT user_id::bigint AS user_id, event_id::bigint AS event_id, value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= 3
 ORDER BY user_id, value DESC, event_id
+""",
+        "windowed_top_users": """
+WITH agg AS (
+  SELECT ((epoch_us(ts) // 3600000000) * 3600000000)::bigint AS window_start,
+         user_id::bigint AS user_id, sum(value) AS sv
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT window_start, user_id, sv,
+         row_number() OVER (PARTITION BY window_start ORDER BY sv DESC, user_id) AS rn
+  FROM agg)
+SELECT window_start, user_id, round(sv, 6) AS sum_value
+FROM rk WHERE rn <= 2 ORDER BY window_start, sv DESC, user_id
 """,
         "quality_classifier": f"""
 WITH tok AS ({_TOK}),
