@@ -998,6 +998,27 @@ def _q_windowed_top_users(sf_dir: str) -> Any:
     )
 
 
+def _q_source_length_stats(sf_dir: str) -> Any:
+    """Per-source doc count + sum/min/max length in ONE combiner pass —
+    the descriptive-stats aggregate, exchange bounded by keys/batch."""
+    from dcs_ray.functions.relational import combiner_stats
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    ds = combiner_stats(docs, ["source"], "n_chars")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "source": t["source"],
+            "n_rows": t["n_rows"],
+            "sum_n_chars": t["sum_n_chars"].cast(pa.int64()),
+            "min_n_chars": t["min_n_chars"].cast(pa.int64()),
+            "max_n_chars": t["max_n_chars"].cast(pa.int64()),
+        }
+    ).sort_by("source")
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1160,6 +1181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
+        "source_length_stats": _q_source_length_stats,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1676,6 +1698,11 @@ SELECT user_id::bigint AS user_id, event_id::bigint AS event_id, value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= 3
 ORDER BY user_id, value DESC, event_id
+""",
+        "source_length_stats": """
+SELECT source, count(*)::bigint AS n_rows, sum(n_chars)::bigint AS sum_n_chars,
+       min(n_chars)::bigint AS min_n_chars, max(n_chars)::bigint AS max_n_chars
+FROM documents GROUP BY source ORDER BY source
 """,
         "windowed_top_users": """
 WITH agg AS (

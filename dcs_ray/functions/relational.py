@@ -254,3 +254,56 @@ def grouped_topn(
 
     pre = ds.map_batches(local_cut, batch_format="pyarrow")
     return pre.groupby(key).map_groups(local_cut, batch_format="pyarrow")
+
+
+def combiner_stats(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    col: str,
+    count_col: str = "n_rows",
+) -> ray.data.Dataset:
+    """Per-key count/sum/min/max of one numeric column with map-side
+    combining — each batch collapses to one partial row per key, so the
+    exchange carries |keys-per-batch| rows. Sum of int64 stays int64
+    (exact); min/max are order-free by definition. Output columns:
+    keys + (n_rows, sum_<col>, min_<col>, max_<col>)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.select(keys + [col])
+        if len(b) == 0:
+            return pa.table(
+                {
+                    **{k: b[k] for k in keys},
+                    f"sum_{col}": b[col],
+                    f"min_{col}": b[col],
+                    f"max_{col}": b[col],
+                    count_col: pa.array([], pa.int64()),
+                }
+            )
+        agg = b.group_by(keys).aggregate(
+            [(col, "sum"), (col, "min"), (col, "max"), (keys[0], "count")]
+        )
+        cols = {k: agg[k] for k in keys}
+        cols[f"sum_{col}"] = agg[f"{col}_sum"]
+        cols[f"min_{col}"] = agg[f"{col}_min"]
+        cols[f"max_{col}"] = agg[f"{col}_max"]
+        cols[count_col] = agg[f"{keys[0]}_count"].cast(pa.int64())
+        return pa.table(cols)
+
+    final = ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(
+        Sum(f"sum_{col}", alias_name=f"sum_{col}_f"),
+        Min(f"min_{col}", alias_name=f"min_{col}_f"),
+        Max(f"max_{col}", alias_name=f"max_{col}_f"),
+        Sum(count_col, alias_name=f"{count_col}_f"),
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        cols = {k: b[k] for k in keys}
+        cols[count_col] = b[f"{count_col}_f"].cast(pa.int64())
+        cols[f"sum_{col}"] = b[f"sum_{col}_f"]
+        cols[f"min_{col}"] = b[f"min_{col}_f"]
+        cols[f"max_{col}"] = b[f"max_{col}_f"]
+        return pa.table(cols)
+
+    return final.map_batches(rename, batch_format="pyarrow")
