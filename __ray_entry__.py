@@ -1019,6 +1019,16 @@ def _q_source_length_stats(sf_dir: str) -> Any:
     ).sort_by("source")
 
 
+def _q_value_quantiles_hist(sf_dir: str) -> Any:
+    """Approximate quantiles of a continuous column via the mergeable
+    fixed-bin histogram sketch (constant-size exchange per batch);
+    deterministic arithmetic makes the oracle compare bit-exact."""
+    from dcs_ray.functions.quantiles import approx_quantiles_histogram
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles_histogram(ev, "value", [0.5, 0.9, 0.99], bins=4096)
+
+
 def _q_jaccard_verified(sf_dir: str) -> Any:
     """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
     participant join, never full-corpus text in a shuffle)."""
@@ -1182,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
         "source_length_stats": _q_source_length_stats,
+        "value_quantiles_hist": _q_value_quantiles_hist,
         "approx_distinct_users": _q_approx_distinct_users,
         "heavy_hitters_event_type": _q_heavy_hitters,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1698,6 +1709,26 @@ SELECT user_id::bigint AS user_id, event_id::bigint AS event_id, value FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= 3
 ORDER BY user_id, value DESC, event_id
+""",
+        "value_quantiles_hist": """
+WITH lohi AS (SELECT min(value)::double AS lo, max(value)::double AS hi,
+                     CASE WHEN max(value)-min(value) = 0 THEN 1.0 ELSE max(value)::double - min(value)::double END AS w
+              FROM events WHERE value IS NOT NULL),
+bins AS (SELECT least(floor((value::double - lo) / w * 4096)::bigint, 4095) AS bin
+         FROM events, lohi WHERE value IS NOT NULL),
+hist AS (SELECT bin, count(*)::bigint AS cnt FROM bins GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS c FROM hist),
+n AS (SELECT count(*)::bigint AS n FROM bins),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+tgt AS (SELECT q, greatest(1, ceil(q * n)::bigint) AS target FROM qs, n),
+hit AS (SELECT t.q, t.target, min(c.bin) AS bin
+        FROM tgt t JOIN cum c ON c.c >= t.target GROUP BY t.q, t.target),
+fin AS (SELECT h.q, h.bin, h.target,
+               coalesce((SELECT max(c2.c) FROM cum c2 WHERE c2.bin < h.bin), 0) AS prev,
+               (SELECT cnt FROM hist WHERE bin = h.bin) AS cnt
+        FROM hit h)
+SELECT q::double AS q, lo + (bin + (target - prev)::double / greatest(cnt, 1)) * w / 4096 AS value
+FROM fin, lohi ORDER BY q
 """,
         "source_length_stats": """
 SELECT source, count(*)::bigint AS n_rows, sum(n_chars)::bigint AS sum_n_chars,

@@ -110,3 +110,80 @@ def filter_by_group_quantile(
         return b.filter(pa.array(mask))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def approx_quantiles_histogram(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    bins: int = 4096,
+) -> pa.Table:
+    """Approximate quantiles for CONTINUOUS columns with unbounded
+    distinct values — the scale path `group_quantiles` points to.
+
+    Two deterministic passes:
+    1. global (min, max) via one combiner aggregate;
+    2. per-batch fixed-width bin counts (one ``np.bincount`` each),
+       merged by elementwise sum — associative, so the result is
+       independent of batch layout and merge order.
+
+    The quantile is read off the cumulative histogram with linear
+    interpolation inside the hit bin; absolute error ≤ (max-min)/bins.
+    The exchange is ONE ``bins``-long int64 vector per batch regardless
+    of corpus size. Returns (q, value) rows.
+    """
+    import ray
+
+    lo_hi = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": pa.array([pc.min(b[col]).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(b[col]).as_py()], pa.float64()),
+            }
+        )
+        if len(b)
+        else pa.table({"lo": pa.array([], pa.float64()), "hi": pa.array([], pa.float64())}),
+        batch_format="pyarrow",
+    )
+    lo = lo_hi.min("lo")
+    hi = lo_hi.max("hi")
+    if lo is None or hi is None:
+        return pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())})
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) or 1.0
+
+    def fold(b: pa.Table) -> pa.Table:
+        v = b[col].combine_chunks().drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(((v - lo) / width * bins).astype(np.int64), bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({"h": pa.array([counts], pa.list_(pa.int64()))})
+
+    def premerge(t: pa.Table) -> pa.Table:
+        m = (
+            t["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(-1, bins).sum(axis=0)
+        )
+        return pa.table({"h": pa.array([m], pa.list_(pa.int64()))})
+
+    folded = ds.map_batches(fold, batch_format="pyarrow").map_batches(
+        premerge, batch_size=64, batch_format="pyarrow"
+    )
+    hist = np.zeros(bins, np.int64)
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if len(t):
+            hist += (
+                t["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+                .astype(np.int64).reshape(-1, bins).sum(axis=0)
+            )
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    out_q, out_v = [], []
+    for q in sorted(qs):
+        target = max(1, int(np.ceil(q * n)))
+        i = int(np.searchsorted(cum, target, side="left"))
+        prev = int(cum[i - 1]) if i else 0
+        frac = (target - prev) / max(int(hist[i]), 1)
+        out_q.append(q)
+        out_v.append(lo + (i + frac) * width / bins)
+    return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})

@@ -118,3 +118,25 @@ def test_exact_distinct_empty(ray_session):
 
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
     assert exact_distinct(empty, "x").take_all() == [{"n_distinct": 0}]
+
+
+def test_approx_quantiles_histogram(ray_session):
+    from dcs_ray.functions.quantiles import approx_quantiles_histogram
+
+    rng = np.random.default_rng(21)
+    vals = rng.normal(100.0, 25.0, size=50_000)
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(12)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = approx_quantiles_histogram(ds, "v", qs, bins=4096)
+    span = vals.max() - vals.min()
+    for q, v in zip(out["q"].to_pylist(), out["value"].to_pylist()):
+        exact = np.quantile(vals, q)
+        assert abs(v - exact) <= span / 4096 * 2, (q, v, exact)
+    # deterministic across runs and batch layouts
+    out2 = approx_quantiles_histogram(
+        ray.data.from_arrow(pa.table({"v": vals})).repartition(5), "v", qs, bins=4096
+    )
+    assert out.equals(out2)
+    # empty input
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert len(approx_quantiles_histogram(empty, "v", [0.5])) == 0
