@@ -15,6 +15,9 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pyarrow as pa
+
 import ray.data
 
 # on-disk parquet bytes per block; parquet-to-Arrow decompression is
@@ -61,30 +64,50 @@ def write_corpus_partitioned(
     partition_col: str,
     resume: bool = True,
 ) -> list[str]:
-    """Resumable partitioned Parquet sink: one directory per value of
-    ``partition_col`` (hive layout, many files per partition — never
-    one giant file), each committed ATOMICALLY via a ``_SUCCESS``
-    marker written after its rows. With ``resume=True`` a re-run skips
-    partitions whose marker exists and writes only the missing ones —
-    a killed 100 TB export re-does only unfinished partitions.
+    """Resumable partitioned Parquet sink: hive layout (one directory
+    per value of ``partition_col``, many files per partition — never one
+    giant file), committed via per-partition ``_SUCCESS`` markers.
 
-    Partition values are discovered with one tiny projected aggregate
-    (|distinct| rows); each partition is then written by its own
-    filtered streaming job. Returns the list of partition values
-    written this run (skipped ones excluded).
+    ONE streaming pass: already-committed partitions are filtered out
+    up front (their values broadcast via ``ray.put``, vectorized isin
+    probe per batch), the remainder goes through Ray's native
+    ``write_parquet(partition_cols=...)`` — no shuffle, each block
+    splits its rows into per-partition files as it streams. Markers for
+    the remaining partitions are written after the write completes, so
+    a crash mid-write redoes exactly the uncommitted partitions on the
+    next run (incomplete directories are cleared first). Returns the
+    partition values written this run.
     """
     values = sorted(ds.select_columns([partition_col]).unique(partition_col))
-    written = []
-    for v in values:
+    done = {
+        v for v in values
+        if resume
+        and os.path.exists(os.path.join(out_dir, f"{partition_col}={v}", "_SUCCESS"))
+    }
+    remaining = [v for v in values if v not in done]
+    if not remaining:
+        return []
+    for v in remaining:  # clear incomplete previous attempts
         part_dir = os.path.join(out_dir, f"{partition_col}={v}")
-        marker = os.path.join(part_dir, "_SUCCESS")
-        if resume and os.path.exists(marker):
-            continue
-        if os.path.isdir(part_dir):  # incomplete previous attempt
+        if os.path.isdir(part_dir):
             for f in os.listdir(part_dir):
                 os.unlink(os.path.join(part_dir, f))
-        ds.filter(expr=f"{partition_col} == {v!r}").write_parquet(part_dir)
+
+    import ray
+
+    if done:
+        ref = ray.put(np.array(sorted(done)))
+
+        def drop_done(b):
+            ks = ray.get(ref)
+            col = b[partition_col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(~np.isin(col, ks)))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    for v in remaining:
+        marker = os.path.join(out_dir, f"{partition_col}={v}", "_SUCCESS")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as f:
             f.write("")
-        written.append(v)
-    return written
+    return remaining
