@@ -340,7 +340,11 @@ class LshAnnIndex:
     def __init__(self, index_dir: str):
         with open(os.path.join(index_dir, "lsh_meta.json")) as f:
             self.meta = json.load(f)
-        self.planes = np.load(os.path.join(index_dir, "planes.npy"))
+        planes = np.load(os.path.join(index_dir, "planes.npy"))
+        # single-table indexes persist 2-D planes (back-compat layout)
+        self.tables = planes[None, :, :] if planes.ndim == 2 else planes
+        self.planes = self.tables[0]
+        self.num_tables = self.meta.get("num_tables", 1)
         self.index_dir = index_dir
         self.last_probed_rows = 0
         self.total_rows = self.meta["n_rows"]
@@ -350,24 +354,41 @@ class LshAnnIndex:
         ds: ray.data.Dataset,
         index_dir: str,
         num_planes: int = 6,
+        num_tables: int = 1,
         seed: int = 13,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
     ) -> "LshAnnIndex":
+        """``num_tables`` > 1 builds L independent SRP tables (the
+        classic recall lever: a neighbor missed by one table's buckets
+        is caught by another). The index stores each row once per table
+        (L× space, the standard LSH trade); queries probe a budget of
+        buckets per table and the scorer dedups across tables."""
         first = ds.take(1)
         assert first, "empty corpus"
         d = len(first[0][emb_col])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((num_planes, d))
+        tables = rng.standard_normal((num_tables, num_planes, d))
 
         def add_bucket(b: pa.Table) -> pa.Table:
-            sig = srp_signatures(_normalize(_emb_matrix(b[emb_col])), planes)
-            return b.select([id_col, emb_col]).append_column(
-                "bucket", pa.array(sig.astype(np.int64), pa.int64())
-            )
+            m = _normalize(_emb_matrix(b[emb_col]))
+            base = b.select([id_col, emb_col])
+            outs = []
+            for li in range(num_tables):
+                sig = srp_signatures(m, tables[li])
+                t = base.append_column(
+                    "bucket", pa.array(sig.astype(np.int64), pa.int64())
+                )
+                if num_tables > 1:
+                    t = t.append_column(
+                        "tbl", pa.array(np.full(len(b), li, np.int64), pa.int64())
+                    )
+                outs.append(t)
+            return pa.concat_tables(outs)
 
+        part_cols = ["tbl", "bucket"] if num_tables > 1 else ["bucket"]
         bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
-        bucketed.write_parquet(index_dir, partition_cols=["bucket"])
+        bucketed.write_parquet(index_dir, partition_cols=part_cols)
         # row count from partition footer metadata — no corpus pass
         import pyarrow.parquet as pq
 
@@ -376,9 +397,13 @@ class LshAnnIndex:
             for f in files:
                 if f.endswith(".parquet"):
                     n_rows += pq.read_metadata(os.path.join(root, f)).num_rows
-        np.save(os.path.join(index_dir, "planes.npy"), planes)
+        np.save(
+            os.path.join(index_dir, "planes.npy"),
+            tables[0] if num_tables == 1 else tables,
+        )
         meta = {
             "num_planes": num_planes,
+            "num_tables": num_tables,
             "seed": seed,
             "dim": d,
             "id_col": id_col,
@@ -390,7 +415,7 @@ class LshAnnIndex:
         return LshAnnIndex(index_dir)
 
     def _probe_set(self, sig: int, probe_hamming: int) -> list[int]:
-        """All bucket ids within the hamming radius (multiprobe)."""
+        """All bucket ids within the hamming radius (blind multiprobe)."""
         from itertools import combinations
 
         p = self.meta["num_planes"]
@@ -403,24 +428,62 @@ class LshAnnIndex:
                 out.append(v)
         return out
 
+    def _directed_probe_set(self, sig: int, proj: np.ndarray, probe_t: int) -> list[int]:
+        """Query-directed multiprobe (Lv et al., VLDB'07): rank every
+        bucket by the summed |projection| of the planes whose bit must
+        flip to reach it — a query close to a hyperplane makes that flip
+        cheap — and probe the ``probe_t`` cheapest. Strictly dominates a
+        blind hamming ball at equal probe budget. 2**num_planes stays
+        small (≤256 here) so full enumeration is exact and vectorized."""
+        p = self.meta["num_planes"]
+        masks = np.arange(1 << p, dtype=np.uint32)
+        bits = (masks[:, None] >> np.arange(p)) & 1
+        cost = bits @ np.abs(proj)
+        order = np.argsort(cost, kind="stable")[:probe_t]
+        return [int(sig ^ m) for m in masks[order]]
+
     def query(
-        self, queries: np.ndarray, k: int = 10, probe_hamming: int = 1
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        probe_hamming: int | None = None,
+        probe_t: int | None = None,
     ) -> pa.Table:
         """Approximate top-k per query; same output schema as
-        ``knn_cosine_bruteforce``. Sets ``last_probed_rows``."""
+        ``knn_cosine_bruteforce``. Sets ``last_probed_rows``.
+
+        ``probe_t`` selects query-directed multiprobe (that many buckets,
+        best-first); ``probe_hamming`` the blind hamming ball. Default is
+        directed with a budget of 1/8 of the bucket space (min 4)."""
         id_col, emb_col = self.meta["id_col"], self.meta["emb_col"]
+        nplanes = self.meta["num_planes"]
+        if probe_hamming is None and probe_t is None:
+            # fixed total probe budget of ~1/8 of one table's bucket
+            # space, split across tables
+            probe_t = max(2, (1 << nplanes) // (8 * self.num_tables))
         q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
-        q_sigs = srp_signatures(q, self.planes).astype(np.int64)
+        # want keys combine (table, bucket) so the scorer can tell the
+        # same bucket id apart across tables
         want: dict[int, set[int]] = {}
-        for j, s in enumerate(q_sigs):
-            for b in self._probe_set(int(s), probe_hamming):
-                want.setdefault(b, set()).add(j)
+        for li in range(self.num_tables):
+            q_sigs = srp_signatures(q, self.tables[li]).astype(np.int64)
+            projs = q @ self.tables[li].T
+            for j, s in enumerate(q_sigs):
+                probes = (
+                    self._directed_probe_set(int(s), projs[j], probe_t)
+                    if probe_t is not None
+                    else self._probe_set(int(s), probe_hamming)
+                )
+                for b in probes:
+                    want.setdefault((li << nplanes) | b, set()).add(j)
         # open ONLY the needed partitions (directory names carry the bucket)
         dirs = []
-        for b in want:
-            p = os.path.join(self.index_dir, f"bucket={b}")
+        for key in want:
+            li, b = key >> nplanes, key & ((1 << nplanes) - 1)
+            sub = f"tbl={li}/bucket={b}" if self.num_tables > 1 else f"bucket={b}"
+            p = os.path.join(self.index_dir, sub)
             if os.path.isdir(p):
-                dirs.append((b, p))
+                dirs.append((key, p))
         if not dirs:
             self.last_probed_rows = 0
             return pa.schema(
@@ -471,6 +534,10 @@ def _partitioned_topk(
             sel = np.flatnonzero(np.isin(bks, list(allowed)))
             if len(sel) == 0:
                 continue
+            # multi-table layouts store a vec once per table: dedup ids
+            # BEFORE the top-k cut so copies can't displace real members
+            _, first = np.unique(ids[sel], return_index=True)
+            sel = sel[np.sort(first)]
             s = m[sel] @ q[j]
             if len(s) > k:
                 kth = np.partition(s, len(s) - k)[len(s) - k]
@@ -500,7 +567,11 @@ def _partitioned_topk(
     def merge(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy()
         sims = group["cos_sim"].to_numpy()
-        order = np.lexsort((ids, -sims))[:k]
+        order = np.lexsort((ids, -sims))
+        # multi-table probes can surface the same vec twice: keep the
+        # first (identical-score) occurrence per id, in score order
+        _, first_idx = np.unique(ids[order], return_index=True)
+        order = order[np.sort(first_idx)[:k]]
         qid = group["query_id"][0].as_py()
         return pa.table(
             {
@@ -695,7 +766,9 @@ def knn_cosine_lsh(
     queries: np.ndarray,
     k: int = 10,
     num_planes: int = 6,
-    probe_hamming: int = 1,
+    num_tables: int = 1,
+    probe_hamming: int | None = None,
+    probe_t: int | None = None,
     seed: int = 13,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -716,10 +789,10 @@ def knn_cosine_lsh(
             idx = LshAnnIndex(index_dir)
         else:
             idx = LshAnnIndex.build(
-                ds, index_dir, num_planes=num_planes, seed=seed,
-                id_col=id_col, emb_col=emb_col,
+                ds, index_dir, num_planes=num_planes, num_tables=num_tables,
+                seed=seed, id_col=id_col, emb_col=emb_col,
             )
-        return idx.query(queries, k=k, probe_hamming=probe_hamming)
+        return idx.query(queries, k=k, probe_hamming=probe_hamming, probe_t=probe_t)
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -3,6 +3,8 @@ compare against its ``oracle_sql()`` through DuckDB — row count, schema
 column set, and order-insensitive values — exactly the shape of the
 real correctness gate."""
 
+import os
+
 import duckdb
 import numpy as np
 import pandas as pd
@@ -11,7 +13,7 @@ import ray.data
 
 import __ray_entry__ as entrymod
 
-SF = "/root/testdata/sf0.001"
+SF = os.environ.get("ORACLE_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -126,3 +126,31 @@ def test_ivf_ann_index_reopen_deterministic(ray_session, tmp_path):
     r2 = knn_cosine_ivf(_emb_ds(), q, k=5, num_lists=8, nprobe=2, index_dir=idx_dir).to_pandas()
     assert r1.equals(r2)  # reuse path == reopen path, deterministic
     assert set(r1.query_id) == {0, 1}
+
+
+def test_lsh_ann_multitable_recall_and_dedup(ray_session, tmp_path):
+    """4 independent SRP tables with query-directed multiprobe: better
+    recall than a single table at a fraction of the probed rows, and no
+    duplicate ids in the result despite each vec being stored 4 times."""
+    import pyarrow.parquet as pq
+
+    idx_dir = str(tmp_path / "lshann_l4")
+    idx = LshAnnIndex.build(_emb_ds(), idx_dir, num_planes=6, num_tables=4)
+    q0 = np.array(
+        pq.read_table(f"{SF}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()
+    )
+    res = idx.query(q0, k=10, probe_t=8).to_pandas()
+    assert res.vec_id.is_unique
+    assert res.iloc[0].vec_id == 0 and res.iloc[0].cos_sim == 1.0
+    # probes 8 of 64 buckets in each of 4 tables — ≪ the 4N stored rows
+    assert idx.last_probed_rows < 0.3 * idx.total_rows
+    exact = knn_cosine_bruteforce(_emb_ds(), q0, k=10).to_pandas()
+    assert len(set(exact.vec_id) & set(res.vec_id)) >= 5
+    # monotone: a larger probe budget never loses recall
+    res_small = idx.query(q0, k=10, probe_t=4).to_pandas()
+    assert len(set(exact.vec_id) & set(res.vec_id)) >= len(
+        set(exact.vec_id) & set(res_small.vec_id)
+    )
+    # reopen from disk preserves the multi-table layout
+    idx2 = LshAnnIndex(idx_dir)
+    assert idx2.num_tables == 4 and idx2.tables.shape[0] == 4
