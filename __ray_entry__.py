@@ -1141,6 +1141,85 @@ def _q_video_frames(sf_dir: str) -> Any:
     return t.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
 
 
+def _q_decontaminate(sf_dir: str) -> Any:
+    """Benchmark decontamination: the n-gram hash set of a synthetic
+    "benchmark" slice (docs with doc_id % 97 == 0) is broadcast once via
+    ray.put; every corpus batch does a vectorized searchsorted membership
+    probe — no shuffle, no join."""
+    import ray as _ray
+
+    from dcs_ray.functions.filtering import benchmark_ngram_set, decontaminate
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench_docs = _docs(sf_dir).map_batches(is_bench, batch_format="pyarrow")
+    bench = benchmark_ngram_set(bench_docs, n=3)
+    ref = _ray.put(bench)
+    ds = decontaminate(_docs(sf_dir), ref, n=3)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_pii_scrub(sf_dir: str) -> Any:
+    """PII redaction over text with deterministically injected emails
+    and phone numbers (docs with doc_id % 7 == 0); Arrow RE2 kernels so
+    the DuckDB regexp oracle compares byte-for-byte."""
+    import pyarrow.compute as _pc
+
+    from dcs_ray.functions.filtering import pii_scrub
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        suffix = [
+            f" contact user{i}@example.com or +1 (20{i % 10}) 555-01{i % 89:02d}"
+            if i % 7 == 0
+            else ""
+            for i in ids
+        ]
+        text = _pc.binary_join_element_wise(b["text"], pa.array(suffix), "")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    ds = pii_scrub(_docs(sf_dir).map_batches(inject, batch_format="pyarrow"))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "text", "n_emails", "n_phones"]).sort_by("doc_id")
+
+
+def _q_repetition_stats(sf_dir: str) -> Any:
+    from dcs_ray.functions.filtering import repetition_stats
+
+    ds = repetition_stats(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_cross_snapshot_dedup(sf_dir: str) -> Any:
+    """Cross-snapshot bloom dedup: a 4 Mi-bit filter built over the
+    "old" snapshot (even doc_ids) is broadcast once; the "new" snapshot
+    streams through a vectorized probe keeping rows definitely not seen.
+    At this filter size / corpus size the false-positive mass is ~1e-9,
+    so the output equals the exact NOT-IN oracle."""
+    import ray as _ray
+
+    from dcs_ray.functions.sketches import bloom_anti_join, bloom_build
+
+    def is_old(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 2 == 0))
+
+    old = _docs(sf_dir).map_batches(is_old, batch_format="pyarrow")
+    bloom = bloom_build(old, "text", m_log2=22, k=7)
+    ref = _ray.put(bloom)
+    kept = bloom_anti_join(_docs(sf_dir), ref, "text", m_log2=22, k=7)
+    t = pa.concat_tables(
+        [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25,
@@ -1188,6 +1267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "lang_quantiles": _q_lang_quantiles,
         "quality_filter": _q_quality_filter,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "quality_classifier": _q_quality_classifier,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "hll_registers": _q_hll_registers,
@@ -1786,6 +1869,56 @@ walk AS (
          CASE WHEN w.acc > 0 AND w.acc + t.n_tokens > 256 THEN t.n_tokens ELSE w.acc + t.n_tokens END
   FROM tc t JOIN walk w ON t.bucket = w.bucket AND t.rn = w.rn + 1)
 SELECT doc_id, bucket, n_tokens, seq_id FROM walk ORDER BY doc_id
+""",
+        "decontaminate": f"""
+WITH toks AS ({_TOKS_LIST}),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+  FROM toks WHERE len(toks) >= 3),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0),
+cnt AS (SELECT ng.doc_id, count(DISTINCT ng.ngram) AS n
+        FROM ng JOIN bench USING (ngram) GROUP BY ng.doc_id)
+SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_contaminated,
+       coalesce(c.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+""",
+        "pii_scrub": """
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+           THEN ' contact user' || doc_id || '@example.com or +1 (20'
+                || (doc_id % 10) || ') 555-01' || lpad((doc_id % 89)::varchar, 2, '0')
+           ELSE '' END AS text
+  FROM documents),
+e AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::bigint AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS text
+  FROM injected),
+p AS (
+  SELECT doc_id, n_emails,
+         length(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{6,}[0-9]'))::bigint AS n_phones,
+         regexp_replace(text, '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS text
+  FROM e)
+SELECT doc_id, text, n_emails, n_phones FROM p ORDER BY doc_id
+""",
+        "repetition_stats": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS max_c
+        FROM tf GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::bigint AS n_tokens,
+       coalesce(a.n_distinct, 0)::bigint AS n_distinct_tokens,
+       coalesce(round(1.0 - a.n_distinct::double / a.n_tokens, 6), 0.0) AS dup_token_frac,
+       coalesce(round(a.max_c::double / a.n_tokens, 6), 0.0) AS top_token_frac
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "cross_snapshot_dedup": """
+SELECT doc_id FROM documents
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+ORDER BY doc_id
 """,
         "quality_filter": """
 WITH cut AS (SELECT lang, quantile_disc(n_chars, 0.1) AS c FROM documents GROUP BY lang)

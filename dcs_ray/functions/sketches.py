@@ -349,3 +349,87 @@ def heavy_hitters(
     )[: min(k, len(t))]
     top = t.take(order)
     return pa.table({col: top[col], "n_rows": top["cnt"]})
+
+
+# --- Bloom filter: cross-snapshot membership (dedup a new crawl
+# against an already-kept corpus without shuffling either side) -------
+
+
+def _bloom_positions(hashes: np.ndarray, m_log2: int, k: int) -> np.ndarray:
+    """(len(hashes), k) bit positions via double hashing h1 + i*h2."""
+    h1 = hashes.astype(np.uint64)
+    h2 = _splitmix64(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    mask = np.uint64((1 << m_log2) - 1)
+    return (h1[:, None] + i * h2[:, None]) & mask
+
+
+def bloom_from_hashes(hashes: np.ndarray, m_log2: int = 22, k: int = 7) -> np.ndarray:
+    """Packed bitset (uint64 words, len = 2**m_log2 / 64) with every
+    hash's k probe bits set."""
+    words = np.zeros(1 << max(m_log2 - 6, 0), np.uint64)
+    if len(hashes):
+        pos = _bloom_positions(np.asarray(hashes, np.uint64), m_log2, k).ravel()
+        np.bitwise_or.at(words, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_might_contain(
+    words: np.ndarray, hashes: np.ndarray, m_log2: int, k: int = 7
+) -> np.ndarray:
+    """Vectorized membership probe; False is definite, True is probable."""
+    if len(hashes) == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(np.asarray(hashes, np.uint64), m_log2, k)
+    bits = (words[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=1)
+
+
+def bloom_build(
+    ds: ray.data.Dataset, col: str, m_log2: int = 22, k: int = 7
+) -> np.ndarray:
+    """OR-combine per-block bitsets into one filter.
+
+    Each block emits one 2**m_log2-bit bitset (0.5 MiB at the default)
+    and the driver ORs them — commutative/associative, so at cluster
+    scale this drops into a tree reduce (`ray.util` style) without
+    changing per-block work; single-node the driver OR is the tree root.
+    Keys are hashed with the same `_hash64_column` used by exact dedup,
+    so a filter built on one snapshot probes another byte-compatibly.
+    """
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        h = _hash64_column(batch[col])
+        return pa.table(
+            {"bits": pa.array([bloom_from_hashes(h, m_log2, k).tobytes()], pa.binary())}
+        )
+
+    words = np.zeros(1 << max(m_log2 - 6, 0), np.uint64)
+    for b in ds.map_batches(per_block, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row in b["bits"]:
+            words |= np.frombuffer(row.as_py(), np.uint64)
+    return words
+
+
+def bloom_anti_join(
+    ds: ray.data.Dataset,
+    bloom_ref,
+    col: str,
+    m_log2: int = 22,
+    k: int = 7,
+) -> ray.data.Dataset:
+    """Keep rows whose `col` is definitely NOT in the broadcast filter
+    (`bloom_ref` = ray.put of bloom_build's words). No false negatives:
+    every genuinely-new row survives; a ~(1-e^{-kn/m})^k fraction of new
+    rows is dropped as collateral, the standard bloom-dedup trade."""
+    import ray as _ray
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        words = _ray.get(bloom_ref)
+        h = _hash64_column(batch[col])
+        keep = ~bloom_might_contain(words, h, m_log2, k)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -1,0 +1,128 @@
+"""Corpus-hygiene operators: decontamination, PII scrub, repetition
+stats, bloom cross-snapshot dedup."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from dcs_ray.functions.filtering import (
+    benchmark_ngram_set,
+    decontaminate,
+    ngram_hashes,
+    pii_scrub_batch,
+    repetition_stats_batch,
+)
+from dcs_ray.functions.sketches import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_from_hashes,
+    bloom_might_contain,
+)
+
+
+def test_ngram_hashes_cross_row_isolation():
+    texts = pa.array(["the cat sat on the mat", "the cat sat elsewhere", "x y", ""])
+    p, h = ngram_hashes(texts, n=3)
+    assert np.bincount(p, minlength=4).tolist() == [4, 2, 0, 0]
+    # identical trigram hashes identically across rows; no n-gram spans rows
+    assert len(set(h[p == 0]) & set(h[p == 1])) == 1  # "the cat sat"
+
+
+def test_ngram_hashes_long_doc_vectorized():
+    # a 100k-token doc must not blow up (hash is per-token + O(n) combine)
+    long = " ".join(f"tok{i % 997}" for i in range(100_000))
+    p, h = ngram_hashes(pa.array([long]), n=3)
+    assert len(h) == 100_000 - 2
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",  # benchmark doc
+                    "noise alpha beta gamma more noise",  # contaminated
+                    "totally different words here",  # clean
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    bench = benchmark_ngram_set(ray.data.from_arrow(docs.slice(0, 1)), n=3)
+    ref = ray.put(bench)
+    out = (
+        decontaminate(ds, ref, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.contaminated.tolist() == [True, True, False]
+    assert out.n_contaminated.tolist()[0] == 2  # both of its own trigrams
+    # doc1 shares exactly the "alpha beta gamma" trigram (and no other)
+    assert out.n_contaminated.tolist()[1] == 1
+
+
+def test_pii_scrub_batch_redacts_and_counts():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "write a@b.co and c.d+e@f-g.org or ring +1 (555) 123-4567",
+                    "no pii here",
+                ]
+            ),
+        }
+    )
+    out = pii_scrub_batch(b)
+    assert out["n_emails"].to_pylist() == [2, 0]
+    assert out["n_phones"].to_pylist() == [1, 0]
+    assert "<EMAIL>" in out["text"][0].as_py()
+    assert "<PHONE>" in out["text"][0].as_py()
+    assert "@" not in out["text"][0].as_py()
+
+
+def test_repetition_stats_batch():
+    b = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["spam spam spam eggs", "all distinct words", ""]),
+        }
+    )
+    out = repetition_stats_batch(b)
+    assert out["n_tokens"].to_pylist() == [4, 3, 0]
+    assert out["n_distinct_tokens"].to_pylist() == [2, 3, 0]
+    assert out["dup_token_frac"].to_pylist() == [0.5, 0.0, 0.0]
+    assert out["top_token_frac"].to_pylist() == [0.75, 0.333333, 0.0]
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    rng = np.random.default_rng(7)
+    members = rng.integers(0, 2**63, 10_000, dtype=np.uint64)
+    others = rng.integers(0, 2**63, 50_000, dtype=np.uint64)
+    others = np.setdiff1d(others, members)
+    bl = bloom_from_hashes(members, m_log2=20, k=7)
+    assert bloom_might_contain(bl, members, 20, 7).all()  # never forgets
+    fp = bloom_might_contain(bl, others, 20, 7).mean()
+    assert fp < 0.01, fp  # theoretical ~ (1 - e^{-kn/m})^k ≈ 2e-5 here
+
+
+def test_bloom_anti_join_cross_snapshot(ray_session):
+    old = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["seen before", "also seen"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["seen before", "brand new", "also seen"]),
+        }
+    )
+    bloom = bloom_build(ray.data.from_arrow(old), "text", m_log2=16, k=7)
+    kept = bloom_anti_join(
+        ray.data.from_arrow(new), ray.put(bloom), "text", m_log2=16, k=7
+    ).to_pandas()
+    assert kept.doc_id.tolist() == [11]
