@@ -1220,6 +1220,37 @@ def _q_cross_snapshot_dedup(sf_dir: str) -> Any:
     return t.select(["doc_id"]).sort_by("doc_id")
 
 
+def _q_doc_lm_score(sf_dir: str) -> Any:
+    """Self-trained bigram LM quality scores: counts trained in one
+    corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
+    scored in a second vectorized pass."""
+    import ray as _ray
+
+    from dcs_ray.functions.lm import bigram_lm_scores, train_bigram_counts
+
+    counts = train_bigram_counts(_docs(sf_dir))
+    ref = _ray.put(counts)
+    ds = bigram_lm_scores(_docs(sf_dir), ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+_MIX_WEIGHTS = {"en": 4, "de": 3, "es": 2, "zh": 1}  # fr dropped
+_MIX_TOTAL = 200
+
+
+def _q_rebalance_mixture(sf_dir: str) -> Any:
+    """Deterministic training-mixture rebalance over lang: exact
+    integer-arithmetic per-group hash thresholds, fr weighted 0."""
+    from dcs_ray.functions.sampling import rebalance_to_weights
+
+    ds = rebalance_to_weights(
+        _docs(sf_dir), "lang", _MIX_WEIGHTS, _MIX_TOTAL, seed=5
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "lang"]).sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bm25_topk": _q_bm25,
@@ -1271,6 +1302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
+        "doc_lm_score": _q_doc_lm_score,
+        "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "hll_registers": _q_hll_registers,
@@ -1914,6 +1947,36 @@ SELECT d.doc_id,
        coalesce(round(1.0 - a.n_distinct::double / a.n_tokens, 6), 0.0) AS dup_token_frac,
        coalesce(round(a.max_c::double / a.n_tokens, 6), 0.0) AS top_token_frac
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "doc_lm_score": f"""
+WITH toks AS ({_TOKS_LIST}),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks WHERE len(toks) >= 2),
+uni AS (SELECT term, count(*) AS c1 FROM ({_TOK}) GROUP BY term),
+vv AS (SELECT count(*) AS v FROM uni),
+bgc AS (SELECT bg, count(*) AS c12 FROM pairs GROUP BY bg),
+scored AS (
+  SELECT p.doc_id, ln((bgc.c12 + 1.0) / (uni.c1 + 1.0 * vv.v)) AS lp
+  FROM pairs p JOIN bgc USING (bg) JOIN uni ON p.w1 = uni.term, vv),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s FROM scored GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::bigint AS n_bigrams,
+       coalesce(round(a.s / a.n_bigrams, 6), 0.0) AS avg_logprob
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "rebalance_mixture": f"""
+WITH {_splitmix_docs_ctes(5)},
+cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+w(lang, wnum) AS (SELECT * FROM (VALUES {", ".join(f"('{g}', {n})" for g, n in sorted(_MIX_WEIGHTS.items()))})),
+thr AS (SELECT cnt.lang,
+               least(18446744073709551616::hugeint * {_MIX_TOTAL} * w.wnum
+                       // ({sum(_MIX_WEIGHTS.values())} * cnt.c),
+                     18446744073709551615::hugeint) AS t
+        FROM cnt JOIN w USING (lang))
+SELECT hf.doc_id, hf.lang FROM hf JOIN thr USING (lang)
+WHERE hf.h < thr.t ORDER BY hf.doc_id
 """,
         "cross_snapshot_dedup": """
 SELECT doc_id FROM documents

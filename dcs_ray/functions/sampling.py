@@ -95,3 +95,68 @@ def sample_stratified(
         lambda g: _topn_per_stratum(g, strata_col, id_col, n_per_stratum, seed),
         batch_format="pyarrow",
     )
+
+
+def rebalance_to_weights(
+    ds: ray.data.Dataset,
+    group_col: str,
+    weights: dict[str, int],
+    total_target: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic mixture rebalancing: sample each group at the rate
+    that makes the expected output match ``total_target`` split by the
+    integer ``weights`` (the training-mixture step of CCNet/RefinedWeb
+    style pipelines — cap over-represented domains, keep the rest).
+
+    Two passes, neither a shuffle: (1) exact per-group counts (the group
+    cardinality is hosts/langs — tiny — so per-batch partials fold on
+    the driver); (2) keep a row iff ``splitmix64(id ^ seed) <
+    threshold[group]`` where ``threshold = floor(2^64 * total * w_g /
+    (sum_w * count_g))`` computed in exact integer arithmetic (so a SQL
+    oracle reproduces it bit-for-bit), capped at keep-everything.
+    Groups without a weight are dropped."""
+    counts: dict = {}
+    for b in (
+        ds.select_columns([group_col])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "g": pa.compute.value_counts(t[group_col]).field("values"),
+                    "c": pa.compute.value_counts(t[group_col]).field("counts"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for g, c in zip(b["g"].to_pylist(), b["c"].to_pylist()):
+            counts[g] = counts.get(g, 0) + c
+    wden = sum(weights.values())
+    groups = sorted(weights)
+    thresholds = np.array(
+        [
+            min(
+                ((1 << 64) * total_target * weights[g]) // (wden * counts.get(g, 1)),
+                (1 << 64) - 1,
+            )
+            for g in groups
+        ],
+        dtype=np.uint64,
+    )
+    group_arr = pa.array(groups)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        idx = pc2.index_in(b[group_col], value_set=group_arr).to_numpy(
+            zero_copy_only=False
+        )
+        h = _row_hash(b[id_col].to_numpy(), seed)
+        known = ~np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" else idx >= 0
+        idx_i = np.where(known, idx, 0).astype(np.int64)
+        ok = known & (h < thresholds[idx_i])
+        return b.filter(pa.array(ok))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
