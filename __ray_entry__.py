@@ -771,14 +771,14 @@ def _q_distinct_users(sf_dir: str) -> Any:
 
 def _q_approx_distinct_users(sf_dir: str) -> Any:
     """HyperLogLog approximate distinct users — deterministic for a
-    given hash; constant-size (2^p bytes) exchange per batch. No SQL
-    oracle (DuckDB's approx_count_distinct uses a different hash);
-    pytest bounds the error vs the exact count instead."""
+    given hash; constant-size (2^p bytes) exchange per batch. The SQL
+    oracle replays the register fold bit-exactly (hll_registers gate)
+    and applies the same estimator formula."""
     from dcs_ray.functions.sketches import approx_distinct_hll
 
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
     est, _ = approx_distinct_hll(ev, "user_id", p=12)
-    return pa.table({"approx_distinct": pa.array([est], pa.float64())})
+    return pa.table({"approx_distinct": pa.array([round(est, 6)], pa.float64())})
 
 
 def _q_heavy_hitters(sf_dir: str) -> Any:
@@ -831,9 +831,9 @@ def _q_pack_greedy(sf_dir: str) -> Any:
 
 def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     """Count-min-sketch approximate top-k event types — constant-size
-    exchange per batch (depth×width matrix + candidate list). No SQL
-    oracle (sketch-specific hash); pytest bounds the overestimate and
-    checks the top set against exact counts."""
+    exchange per batch (depth×width matrix + candidate list). The SQL
+    oracle replays the full chain (string hash, per-row salted splitmix
+    bucket, counter sums, min-over-rows estimate) in hugeint SQL."""
     from dcs_ray.functions.sketches import cms_heavy_hitters
 
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type"])
@@ -1220,6 +1220,105 @@ def _q_cross_snapshot_dedup(sf_dir: str) -> Any:
     return t.select(["doc_id"]).sort_by("doc_id")
 
 
+
+def _term_hash64_sql() -> str:
+    """Integer-SQL replay of ``sketches._hash64_column`` for ASCII
+    string terms up to 16 bytes (2 hash words — corpus tokens are <=8):
+    FNV-ish (h ^ word) * P per little-endian 8-byte word, length salt,
+    splitmix64 finalizer. Produces CTEs ``th(term, h)`` given a CTE
+    ``terms(term)``."""
+    H0 = str(0xCBF29CE484222325)
+    P = str(0x100000001B3)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    M64 = "18446744073709551616"
+
+    def word(w: int) -> str:
+        return " + ".join(
+            f"CASE WHEN ln > {8 * w + i} THEN ascii(substr(term, {8 * w + i + 1}, 1))::hugeint * {256 ** i} ELSE 0 END"
+            for i in range(8)
+        )
+
+    return f"""
+tw AS (SELECT term, length(term) AS ln, ({word(0)}) AS w0, ({word(1)}) AS w1 FROM terms),
+f0 AS (SELECT term, ln, w1, CASE WHEN ln > 0 THEN ({_mulmod64(f"xor({H0}::ubigint, w0::ubigint)::hugeint", P + "::hugeint")}) ELSE {H0}::hugeint END AS h FROM tw),
+f1 AS (SELECT term, ln, CASE WHEN ln > 8 THEN ({_mulmod64("xor(h::ubigint, w1::ubigint)::hugeint", P + "::hugeint")}) ELSE h END AS h FROM f0),
+fl AS (SELECT term, (h + ln + 11400714819323198485) % {M64} AS x0 FROM f1),
+m1 AS (SELECT term, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM fl),
+m2 AS (SELECT term, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM m1),
+th AS (SELECT term, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM m2)"""
+
+
+def _q_hash_embed_vectors(sf_dir: str) -> Any:
+    """The hashing-trick embedding matrix itself, unnested to
+    (doc_id, dim, val) nonzero components — gates the full chain
+    (token hash -> signed bucket scatter -> L2 normalize -> float32
+    quantization) against an integer+float SQL replay."""
+    import numpy as np
+
+    from dcs_ray.functions.embed import hash_embed
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def unnest(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        n = len(b)
+        emb = b["embedding"].combine_chunks() if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(n, 1) if n else 0
+        vals = _np.round(flat.astype(_np.float64), 6)
+        ids = _np.repeat(b["doc_id"].to_numpy(), dim)
+        dims = _np.tile(_np.arange(dim, dtype=_np.int64), n)
+        keep = vals != 0.0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "dim": pa.array(dims[keep], pa.int64()),
+                "val": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+    ds = hash_embed(docs).map_batches(unnest, batch_format="pyarrow")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("doc_id", "ascending"), ("dim", "ascending")])
+
+
+
+def _cms_heavy_hitters_sql(k: int = 3, depth: int = 4, width: int = 4096) -> str:
+    """Bit-exact integer-SQL replay of ``cms_heavy_hitters`` over
+    events.event_type: candidates are all distinct values (gate scale),
+    the merged sketch equals a single-pass fold (sum-merge is exact)."""
+    import numpy as np
+
+    from dcs_ray.functions.sketches import _splitmix64
+
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    M64 = "18446744073709551616"
+    salts = ", ".join(
+        f"({r}, {int(s)}::hugeint)"
+        for r, s in enumerate(_splitmix64(np.arange(1, depth + 1, dtype=np.uint64)))
+    )
+    return f"""
+WITH tok AS (SELECT event_type AS term FROM events WHERE event_type IS NOT NULL),
+terms AS (SELECT DISTINCT term FROM tok),
+{_term_hash64_sql()},
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+salts(r, s) AS (VALUES {salts}),
+g0 AS (SELECT term, r, (xor(h::ubigint, s::ubigint)::hugeint + {GOLDEN}) % {M64} AS x0 FROM th, salts),
+g1 AS (SELECT term, r, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM g0),
+g2 AS (SELECT term, r, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM g1),
+gi AS (SELECT term, r, (xor(x2::ubigint, x2::ubigint >> 31)::hugeint % {width})::bigint AS col FROM g2),
+counters AS (SELECT r, col, sum(c)::bigint AS total FROM gi JOIN cnt USING (term) GROUP BY r, col),
+est AS (SELECT gi.term, min(counters.total)::bigint AS n_est
+        FROM gi JOIN counters USING (r, col) GROUP BY gi.term)
+SELECT term AS event_type, n_est FROM est
+ORDER BY n_est DESC, event_type ASC LIMIT {k}
+"""
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1302,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
+        "hash_embed_vectors": _q_hash_embed_vectors,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -1948,6 +2048,30 @@ SELECT d.doc_id,
        coalesce(round(a.max_c::double / a.n_tokens, 6), 0.0) AS top_token_frac
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
 """,
+        "approx_distinct_users": f"""
+WITH t AS ({_hll_registers_sql()}),
+s AS (SELECT count(*) AS nz, coalesce(sum(power(2.0, -rank)), 0.0) AS snz FROM t),
+c AS (SELECT (4096 - nz) AS zeros, (4096 - nz) * 1.0 + snz AS ssum FROM s),
+e AS (SELECT zeros, (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / ssum AS est FROM c)
+SELECT round(CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+             THEN 4096.0 * ln(4096.0 / zeros) ELSE est END, 6) AS approx_distinct
+FROM e
+""",
+        "hash_embed_vectors": f"""
+WITH tok AS ({_TOK}),
+terms AS (SELECT DISTINCT term FROM tok),
+{_term_hash64_sql()},
+occ AS (SELECT doc_id, h FROM tok JOIN th USING (term)),
+vec AS (SELECT doc_id, (h % 64)::bigint AS dim,
+               sum(CASE WHEN h >= 9223372036854775808::hugeint THEN -1.0 ELSE 1.0 END) AS v
+        FROM occ GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM vec GROUP BY 1),
+emb AS (SELECT vec.doc_id, dim,
+               round(CAST(v / CASE WHEN nn = 0 THEN 1 ELSE nn END AS FLOAT)::double, 6) AS val
+        FROM vec JOIN nrm USING (doc_id))
+SELECT doc_id, dim, val FROM emb WHERE val <> 0.0 ORDER BY doc_id, dim
+""",
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(k=3),
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
 pairs AS (
