@@ -1319,6 +1319,38 @@ ORDER BY n_est DESC, event_type ASC LIMIT {k}
 """
 
 
+_CURATE_WEIGHTS = {"en": 3, "de": 2, "es": 2, "fr": 1, "zh": 1}
+_CURATE_TOTAL = 250
+
+
+def _q_curate_corpus(sf_dir: str) -> Any:
+    """Flagship curation composition: repetition/length filter -> exact
+    dedup -> benchmark decontamination -> training-mixture rebalance,
+    every stage the already-gated operator, one SQL oracle end to end."""
+    import ray as _ray
+
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench = benchmark_ngram_set(
+        _docs(sf_dir).map_batches(is_bench, batch_format="pyarrow"), n=3
+    )
+    ds = curate_corpus(
+        _docs(sf_dir),
+        _ray.put(bench),
+        _CURATE_WEIGHTS,
+        _CURATE_TOTAL,
+        min_tokens=15,
+        max_dup_frac=0.6,
+        seed=11,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1402,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "hash_embed_vectors": _q_hash_embed_vectors,
+        "curate_corpus": _q_curate_corpus,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2072,6 +2105,41 @@ emb AS (SELECT vec.doc_id, dim,
 SELECT doc_id, dim, val FROM emb WHERE val <> 0.0 ORDER BY doc_id, dim
 """,
         "cms_heavy_hitters": _cms_heavy_hitters_sql(k=3),
+        "curate_corpus": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2),
+rep AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct FROM tf GROUP BY 1),
+s1 AS (
+  SELECT d.doc_id, d.text, d.lang, rep.n_tokens
+  FROM documents d JOIN rep USING (doc_id)
+  WHERE rep.n_tokens >= 15
+    AND round(1.0 - rep.n_distinct::double / rep.n_tokens, 6) <= 0.6),
+s2 AS (
+  SELECT * FROM s1
+  WHERE doc_id IN (SELECT min(doc_id) FROM s1 GROUP BY text)),
+toksl AS ({_TOKS_LIST}),
+ng AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+  FROM toksl WHERE len(toks) >= 3),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0),
+dirty AS (SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (ngram)),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+cnt AS (SELECT lang, count(*) AS c FROM s3 GROUP BY lang),
+w(lang, wnum) AS (SELECT * FROM (VALUES ('de', 2), ('en', 3), ('es', 2), ('fr', 1), ('zh', 1))),
+thr AS (SELECT cnt.lang,
+               least(18446744073709551616::hugeint * {_CURATE_TOTAL} * w.wnum
+                       // (9 * cnt.c),
+                     18446744073709551615::hugeint) AS t
+        FROM cnt JOIN w USING (lang)),
+h0 AS (SELECT s3.*, xor(doc_id::ubigint, 11::ubigint)::hugeint AS x0 FROM s3),
+h1 AS (SELECT *, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", str(0xBF58476D1CE4E5B9) + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT *, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", str(0x94D049BB133111EB) + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT *, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2)
+SELECT hf.doc_id, hf.lang, hf.n_tokens::bigint AS n_tokens
+FROM hf JOIN thr USING (lang)
+WHERE hf.h < thr.t ORDER BY hf.doc_id
+""",
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
 pairs AS (

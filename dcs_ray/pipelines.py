@@ -1,0 +1,97 @@
+"""End-to-end corpus curation — the composition a 100 TB training-data
+run actually executes, built entirely from the individually-gated
+operators:
+
+    repetition/length filter  →  exact dedup (keep min id)
+      →  benchmark decontamination  →  training-mixture rebalance
+
+Every stage is deterministic, so the whole pipeline has a single SQL
+oracle (see ``__ray_entry__._q_curate_corpus``).
+
+Scale shape: stages 1 and 3 are per-batch map_batches (no exchange;
+the benchmark n-gram set is a broadcast ``ray.put``), stage 4 is a
+counts pass + broadcast threshold probe. Stage 2 (exact dedup) is the
+only shuffle: at gate scale the surviving-id set is broadcast back as
+a semi-join filter; at corpus scale swap in the hash-partitioned
+``groupby(content_hash).map_groups`` route the dedup module already
+uses — the surrounding stages are unchanged either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def curate_corpus(
+    docs: ray.data.Dataset,
+    bench_hashes_ref,
+    weights: dict[str, int],
+    total_target: int,
+    min_tokens: int = 15,
+    max_dup_frac: float = 0.6,
+    ngram_n: int = 3,
+    seed: int = 11,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Returns the curated corpus as ``(doc_id, lang, n_tokens)``.
+
+    ``bench_hashes_ref``: ``ray.put`` handle from
+    ``filtering.benchmark_ngram_set`` (the held-out eval suite).
+    ``weights`` / ``total_target``: the training-mixture target
+    (``sampling.rebalance_to_weights`` semantics, integer-exact).
+    """
+    from dcs_ray.functions.dedup import exact_dedup_keep_min
+    from dcs_ray.functions.filtering import ngram_hashes, repetition_stats_batch
+    from dcs_ray.functions.sampling import rebalance_to_weights
+
+    def stage_filter(b: pa.Table) -> pa.Table:
+        stats = repetition_stats_batch(b, id_col)
+        n_tok = stats["n_tokens"].to_numpy()
+        dup = stats["dup_token_frac"].to_numpy()
+        keep = (n_tok >= min_tokens) & (dup <= max_dup_frac)
+        return b.append_column(
+            "n_tokens", stats["n_tokens"]
+        ).filter(pa.array(keep))
+
+    filtered = docs.map_batches(stage_filter, batch_format="pyarrow")
+
+    # stage 2: exact dedup over the survivors; keep-min ids broadcast
+    # back as a semi-join filter (gate-scale route; see module docstring)
+    kept_ids = np.sort(
+        np.concatenate(
+            [np.empty(0, np.int64)]
+            + [
+                pa.table(b)[f"min({id_col})"].to_numpy().astype(np.int64)
+                for b in exact_dedup_keep_min(filtered, id_col=id_col).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+    )
+    ids_ref = ray.put(kept_ids)
+
+    def stage_dedup_decontam(b: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        rows = b[id_col].to_numpy()
+        pos = np.searchsorted(ids, rows)
+        in_kept = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == rows)
+        b = b.filter(pa.array(in_kept))
+        if len(b) == 0:
+            return b
+        bench = ray.get(bench_hashes_ref)
+        parents, h = ngram_hashes(b["text"], ngram_n)
+        contaminated = np.zeros(len(b), bool)
+        if len(h):
+            idx = np.searchsorted(bench, h)
+            hit = (idx < len(bench)) & (bench[np.minimum(idx, len(bench) - 1)] == h)
+            contaminated[parents[hit]] = True
+        return b.filter(pa.array(~contaminated))
+
+    clean = filtered.map_batches(stage_dedup_decontam, batch_format="pyarrow")
+    balanced = rebalance_to_weights(
+        clean, "lang", weights, total_target, id_col=id_col, seed=seed
+    )
+    return balanced.select_columns([id_col, "lang", "n_tokens"])

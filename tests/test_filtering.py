@@ -126,3 +126,39 @@ def test_bloom_anti_join_cross_snapshot(ray_session):
         ray.data.from_arrow(new), ray.put(bloom), "text", m_log2=16, k=7
     ).to_pandas()
     assert kept.doc_id.tolist() == [11]
+
+
+def test_curate_corpus_stage_semantics(ray_session):
+    """The composition drops the right rows for the right reasons."""
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "lang": pa.array(["en"] * 6),
+            "text": pa.array(
+                [
+                    " ".join(f"w{i}" for i in range(20)),        # 0: clean
+                    " ".join(f"w{i}" for i in range(20)),        # 1: dup of 0
+                    "short doc",                                  # 2: too short
+                    "spam " * 20,                                 # 3: repetitive
+                    " ".join(f"x{i}" for i in range(20)),        # 4: clean
+                    "held out bench gram plus " + " ".join(f"y{i}" for i in range(15)),  # 5: contaminated
+                ]
+            ),
+        }
+    )
+    bench = benchmark_ngram_set(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([99], pa.int64()),
+                      "text": pa.array(["held out bench gram"])})
+        ),
+        n=3,
+    )
+    out = curate_corpus(
+        ray.data.from_arrow(docs), ray.put(bench), {"en": 1}, 1_000_000,
+        min_tokens=15, max_dup_frac=0.6,
+    ).to_pandas()
+    assert sorted(out.doc_id) == [0, 4]
+    assert set(out.columns) == {"doc_id", "lang", "n_tokens"}
