@@ -190,10 +190,35 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     queries["knn_cosine"] = round(time.monotonic() - t0, 3)
 
+    # --- corpus curation composition (filter -> dedup -> decontam -> rebalance) ---
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+
+    t0 = time.monotonic()
+
+    def _is_bench(b):
+        import pyarrow as _pa
+
+        return b.filter(_pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench = benchmark_ngram_set(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", min_blocks=8).map_batches(
+            _is_bench, batch_format="pyarrow"
+        )
+    )
+    n_curated = curate_corpus(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", min_blocks=8),
+        ray.put(bench),
+        {"en": 3, "de": 2, "es": 2, "fr": 1, "zh": 1},
+        max(len(BM25_QUERIES), 1) * 100,
+    ).count()
+    assert n_curated > 0
+    queries["curate_corpus"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     shutil.rmtree(out_root, ignore_errors=True)
     return {
-        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn",
+        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn + curate",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,

@@ -204,6 +204,38 @@ def cmd_dedup(args) -> None:
         print(json.dumps(row))
 
 
+def cmd_curate(args) -> None:
+    """End-to-end corpus curation: filter -> dedup -> decontaminate ->
+    rebalance; writes the survivors (doc_id, lang, n_tokens) as parquet
+    or prints the head."""
+    ray = _ray()
+    import ray.data
+
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+
+    ds = read_parquet_sized(args.input)
+    if args.benchmark:
+        bench = benchmark_ngram_set(read_parquet_sized(args.benchmark))
+    else:
+        import numpy as np
+
+        bench = np.empty(0, np.uint64)
+    weights = dict(kv.split("=") for kv in args.weights.split(","))
+    weights = {k: int(v) for k, v in weights.items()}
+    out = curate_corpus(
+        ds, ray.put(bench), weights, args.total,
+        min_tokens=args.min_tokens, max_dup_frac=args.max_dup_frac,
+        id_col=args.id_col,
+    )
+    if args.output:
+        out.write_parquet(args.output)
+        print(json.dumps({"written": args.output}))
+    else:
+        for row in out.limit(args.n).take_all():
+            print(json.dumps(row))
+
+
 def cmd_ann(args) -> None:
     """ANN top-k for one query vector id, through the selected index."""
     _ray()
@@ -384,6 +416,18 @@ def main() -> None:
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_dedup)
+
+    d = sub.add_parser("curate", help="end-to-end corpus curation pipeline")
+    d.add_argument("input")
+    d.add_argument("--benchmark", default=None, help="parquet of held-out docs to decontaminate against")
+    d.add_argument("--weights", default="en=1", help="lang=weight,... mixture target")
+    d.add_argument("--total", type=int, default=1000000)
+    d.add_argument("--min-tokens", type=int, default=15)
+    d.add_argument("--max-dup-frac", type=float, default=0.6)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--output", default=None)
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_curate)
 
     d = sub.add_parser("ann", help="cosine top-k over an embeddings parquet")
     d.add_argument("input")

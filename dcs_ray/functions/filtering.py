@@ -105,7 +105,7 @@ def decontaminate(
         parents, h = ngram_hashes(batch["text"], n)
         n_rows = len(batch)
         counts = np.zeros(n_rows, np.int64)
-        if len(h):
+        if len(h) and len(bench):
             # distinct (row, ngram) pairs, then membership probe
             order = np.lexsort((h, parents))
             ps, hs = parents[order], h[order]

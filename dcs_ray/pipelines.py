@@ -84,7 +84,7 @@ def curate_corpus(
         bench = ray.get(bench_hashes_ref)
         parents, h = ngram_hashes(b["text"], ngram_n)
         contaminated = np.zeros(len(b), bool)
-        if len(h):
+        if len(h) and len(bench):
             idx = np.searchsorted(bench, h)
             hit = (idx < len(bench)) & (bench[np.minimum(idx, len(bench) - 1)] == h)
             contaminated[parents[hit]] = True
