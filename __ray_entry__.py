@@ -1351,6 +1351,48 @@ def _q_curate_corpus(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_interval_join(sf_dir: str) -> Any:
+    """Windowed interval join: each purchase emits one row per view by
+    the same user within the 30 minutes before it (inclusive both
+    ends)."""
+    from dcs_ray.functions.joins import interval_join
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+
+    def only(kind):
+        return lambda b: b.filter(pa.compute.equal(b["event_type"], kind))
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = interval_join(
+        left, right, on="user_id", ts_col="ts_us",
+        before_us=30 * 60 * 1_000_000, after_us=0,
+        right_cols=("event_id", "ts_us"),
+    )
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return t.select(
+        ["event_id", "user_id", "ts_us", "event_id_right", "ts_us_right"]
+    ).sort_by([("event_id", "ascending"), ("event_id_right", "ascending")])
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1435,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "hash_embed_vectors": _q_hash_embed_vectors,
         "curate_corpus": _q_curate_corpus,
+        "interval_join_views": _q_interval_join,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2139,6 +2182,17 @@ hf AS (SELECT *, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2)
 SELECT hf.doc_id, hf.lang, hf.n_tokens::bigint AS n_tokens
 FROM hf JOIN thr USING (lang)
 WHERE hf.h < thr.t ORDER BY hf.doc_id
+""",
+        "interval_join_views": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+r AS (SELECT * FROM e WHERE event_type = 'view')
+SELECT l.event_id::bigint AS event_id, l.user_id::bigint AS user_id,
+       l.ts_us::bigint AS ts_us,
+       r.event_id::bigint AS event_id_right, r.ts_us::bigint AS ts_us_right
+FROM l JOIN r ON l.user_id = r.user_id
+              AND r.ts_us BETWEEN l.ts_us - 1800000000 AND l.ts_us
+ORDER BY l.event_id, r.event_id
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -131,3 +131,46 @@ def test_sample_stratified_small_stratum(ray_session):
     ).to_pandas()
     assert (out.lang == "b").sum() == 2
     assert (out.lang == "a").sum() == 5
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Windowed interval join == per-row brute force on random data,
+    including empty-window rows (inner semantics) and exact bounds."""
+    import numpy as np
+    import pandas as pd
+
+    from dcs_ray.functions.joins import interval_join
+
+    rng = np.random.default_rng(4)
+    nl, nr = 200, 400
+    left = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 15, nl), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 5_000, nl), pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 15, nr), pa.int64()),
+            "ts_us": pa.array(rng.integers(0, 5_000, nr), pa.int64()),
+            "rid": pa.array(np.arange(nr), pa.int64()),
+        }
+    )
+    out = interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "user_id", "ts_us", before_us=300, after_us=100,
+        right_cols=("rid",), num_buckets=7,
+    ).to_pandas()
+    l, r = left.to_pandas(), right.to_pandas()
+    want = sorted(
+        (a.lid, b.rid)
+        for _, a in l.iterrows()
+        for _, b in r[
+            (r.user_id == a.user_id)
+            & (r.ts_us >= a.ts_us - 300)
+            & (r.ts_us <= a.ts_us + 100)
+        ].iterrows()
+    )
+    assert sorted(zip(out.lid, out.rid)) == want
+    assert len(want) > 0
