@@ -1393,6 +1393,17 @@ def _q_interval_join(sf_dir: str) -> Any:
     ).sort_by([("event_id", "ascending"), ("event_id_right", "ascending")])
 
 
+def _q_chunk_documents(sf_dir: str) -> Any:
+    """Token-window chunking (16-token windows, stride 8) — the
+    context-window / RAG prep step, chunk text byte-comparable to the
+    SQL list-slice oracle."""
+    from dcs_ray.functions.textprep import chunk_documents
+
+    ds = chunk_documents(_docs(sf_dir), 16, 8)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1478,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed_vectors": _q_hash_embed_vectors,
         "curate_corpus": _q_curate_corpus,
         "interval_join_views": _q_interval_join,
+        "chunk_documents": _q_chunk_documents,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2193,6 +2205,19 @@ SELECT l.event_id::bigint AS event_id, l.user_id::bigint AS user_id,
 FROM l JOIN r ON l.user_id = r.user_id
               AND r.ts_us BETWEEN l.ts_us - 1800000000 AND l.ts_us
 ORDER BY l.event_id, r.event_id
+""",
+        "chunk_documents": f"""
+WITH toksl AS ({_TOKS_LIST}),
+ch AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, 1 + greatest(len(toks) - 16 + 7, 0) // 8)) AS chunk_id
+  FROM toksl WHERE len(toks) > 0),
+sel AS (SELECT doc_id, chunk_id, chunk_id * 8 AS st,
+               least(chunk_id * 8 + 16, n) AS en, toks FROM ch)
+SELECT doc_id, chunk_id::bigint AS chunk_id, st::bigint AS start_token,
+       (en - st)::bigint AS n_chunk_tokens,
+       array_to_string(toks[st + 1 : en], ' ') AS chunk_text
+FROM sel ORDER BY doc_id, chunk_id
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

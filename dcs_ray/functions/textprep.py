@@ -271,3 +271,73 @@ def pack_sequences_greedy(
         )
 
     return counts.groupby("bucket").map_groups(pack, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    chunk_tokens: int,
+    stride_tokens: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Split every document into token windows of ``chunk_tokens`` with
+    step ``stride_tokens`` (default = no overlap) — the
+    context-window / RAG chunking step. Returns
+    ``(id, chunk_id, start_token, n_chunk_tokens, chunk_text)`` where
+    ``chunk_text`` is the window's tokens joined by single spaces
+    (tokenizer-normalized text, byte-comparable to a SQL list-slice
+    oracle).
+
+    Fully per-batch: token offsets via one tokenize pass, window
+    expansion via run-length arange, text materialization via one
+    ``take`` + Arrow ``binary_join``. No exchange; a doc's chunks are
+    emitted by the batch that holds it. Requires
+    ``stride_tokens <= chunk_tokens`` (no gaps)."""
+    stride = chunk_tokens if stride_tokens is None else stride_tokens
+    assert 0 < stride <= chunk_tokens, "stride must be in (0, chunk_tokens]"
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b[text_col])
+        n_rows = len(b)
+        n = np.bincount(parents, minlength=n_rows).astype(np.int64)
+        doc_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        n_chunks = np.where(n > 0, 1 + (-(-np.maximum(n - chunk_tokens, 0) // stride)), 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "start_token": pa.array([], pa.int64()),
+                    "n_chunk_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        row = np.repeat(np.arange(n_rows), n_chunks)
+        starts_of_run = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        cid = np.arange(total) - starts_of_run
+        st = cid * stride
+        en = np.minimum(st + chunk_tokens, n[row])
+        lens = en - st
+        # gather token indices for every chunk window
+        tok_total = int(lens.sum())
+        run_start = np.repeat(doc_start[row] + st, lens)
+        within = np.arange(tok_total) - np.repeat(np.cumsum(lens) - lens, lens)
+        tok_idx = run_start + within
+        toks = flat.take(pa.array(tok_idx, pa.int64()))
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(offsets, toks)
+        text = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: b[id_col].take(pa.array(row, pa.int64())),
+                "chunk_id": pa.array(cid, pa.int64()),
+                "start_token": pa.array(st, pa.int64()),
+                "n_chunk_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": text,
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

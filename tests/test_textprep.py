@@ -176,3 +176,39 @@ def test_quality_classifier_actor_pool(ray_session):
         for b in docs.iter_batches(batch_format="pyarrow")
     ).sort_by("doc_id")
     assert out.equals(ref)
+
+
+def test_chunk_documents_matches_loop(ray_session):
+    """Window starts/lengths/text equal a per-doc reference loop,
+    including exact-multiple and shorter-than-window docs."""
+    import numpy as np
+
+    from dcs_ray.functions.textprep import chunk_documents
+
+    texts = [
+        " ".join(f"t{i}" for i in range(13)),  # 13 tokens: ragged tail
+        " ".join(f"t{i}" for i in range(8)),   # exactly 2 strides
+        " ".join(f"t{i}" for i in range(3)),   # shorter than window
+        "",                                     # empty -> no chunks
+        " ".join(f"t{i}" for i in range(4)),   # exactly one window
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (
+        chunk_documents(ray.data.from_arrow(t), 4, 2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for did, txt in enumerate(texts):
+        toks = txt.split()
+        n = len(toks)
+        n_chunks = 1 + -(-max(n - 4, 0) // 2) if n else 0
+        for cid in range(n_chunks):
+            st = cid * 2
+            en = min(st + 4, n)
+            want.append((did, cid, st, en - st, " ".join(toks[st:en])))
+    got = list(zip(out.doc_id, out.chunk_id, out.start_token,
+                   out.n_chunk_tokens, out.chunk_text))
+    assert got == want
