@@ -56,7 +56,11 @@ def curate_corpus(
             "n_tokens", stats["n_tokens"]
         ).filter(pa.array(keep))
 
-    filtered = docs.map_batches(stage_filter, batch_format="pyarrow")
+    # checkpoint: the filtered set has THREE consumers (dedup agg, the
+    # decontam pass, and through it the rebalance counts + final pass) —
+    # materialize once into the (spillable) object store instead of
+    # re-reading and re-tokenizing the corpus per consumer
+    filtered = docs.map_batches(stage_filter, batch_format="pyarrow").materialize()
 
     # stage 2: exact dedup over the survivors; keep-min ids broadcast
     # back as a semi-join filter (gate-scale route; see module docstring)
@@ -90,7 +94,9 @@ def curate_corpus(
             contaminated[parents[hit]] = True
         return b.filter(pa.array(~contaminated))
 
-    clean = filtered.map_batches(stage_dedup_decontam, batch_format="pyarrow")
+    clean = filtered.map_batches(
+        stage_dedup_decontam, batch_format="pyarrow"
+    ).materialize()  # two consumers: rebalance counts pass + final filter
     balanced = rebalance_to_weights(
         clean, "lang", weights, total_target, id_col=id_col, seed=seed
     )
