@@ -1115,19 +1115,36 @@ def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def _q_image_features(sf_dir: str) -> Any:
-    from dcs_ray.functions.multimodal import extract_image_features, synthesize_media
+    """REAL decode path: deterministic P6 PPM images decoded by the
+    pure-numpy parser in an actor pool, per-channel stats + luma grid
+    features (rows-only gate; pytest pins values vs straight numpy)."""
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        synthesize_ppm_media,
+    )
 
-    media = ray.data.from_arrow(synthesize_media(64))
-    ds = extract_image_features(media, concurrency=2)
+    media = ray.data.from_arrow(synthesize_ppm_media(64))
+    ds = media.map_batches(
+        PpmImageFeatureExtractor, concurrency=2, batch_size=32,
+        batch_format="pyarrow", num_cpus=1,
+    )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return t.sort_by("media_id")
 
 
 def _q_audio_features(sf_dir: str) -> Any:
-    from dcs_ray.functions.multimodal import extract_audio_features, synthesize_media
+    """REAL decode path: RIFF/WAVE PCM16 clips parsed by the pure-numpy
+    reader in an actor pool, windowed RMS features."""
+    from dcs_ray.functions.multimodal import (
+        WavAudioFeatureExtractor,
+        synthesize_wav_media,
+    )
 
-    media = ray.data.from_arrow(synthesize_media(64))
-    ds = extract_audio_features(media, concurrency=2)
+    media = ray.data.from_arrow(synthesize_wav_media(64))
+    ds = media.map_batches(
+        WavAudioFeatureExtractor, concurrency=2, batch_size=32,
+        batch_format="pyarrow", num_cpus=1,
+    )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return t.sort_by("media_id")
 

@@ -3,10 +3,12 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / feature-extract run as actor-pool
 ``map_batches`` stages (model/codec loaded once per actor in
-``__init__``). The decode kernels themselves are STUBBED — the sandbox
-has no image/audio libraries — behind ``DecodeUnavailable`` or a
-deterministic fake, but the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested.
+``__init__``). Two decode paths are REAL and dependency-free — P6 PPM
+images and RIFF/WAVE PCM16 audio (pure-numpy parsers, round-trip
+tested) — feeding real per-channel/windowed features. Compressed
+formats (JPEG/PNG/FLAC/MP4) still raise ``DecodeUnavailable`` (no
+codec libraries in the sandbox); their extractors keep the same
+actor-pool shape with a deterministic fake in the decode slot.
 
 At scale: binary payloads dominate block size — use small
 ``batch_size`` (e.g. 32–128) and ``DataContext.target_max_block_size``
@@ -227,4 +229,201 @@ def extract_image_features(ds: ray.data.Dataset, concurrency: int = 2) -> ray.da
         batch_size=64,
         batch_format="pyarrow",
         num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (dependency-free): PPM (P6) images, WAV/PCM16 audio.
+# These replace DecodeUnavailable for the formats a pure-numpy decoder
+# can handle; compressed formats (JPEG/PNG/FLAC/MP4) still raise.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8 (maxval 255, '#' comments
+    allowed). Header is a few tiny tokens; pixels are one zero-copy
+    ``np.frombuffer`` view."""
+    if not payload.startswith(b"P6"):
+        raise DecodeUnavailable("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise DecodeUnavailable("only 8-bit PPM supported")
+    n = w * h * 3
+    return np.frombuffer(payload, np.uint8, count=n, offset=pos).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAVE PCM16 payload."""
+    import struct
+
+    data = np.asarray(samples, np.int16).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16, 1, 1,
+        rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE PCM16 mono parser → (int16 samples, rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    pos = 12
+    rate, data = None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16 or ch != 1:
+                raise DecodeUnavailable("only PCM16 mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, np.int16)
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise DecodeUnavailable("missing fmt/data chunk")
+    return data, rate
+
+
+def image_features_real(img: np.ndarray, grid: int = 2) -> np.ndarray:
+    """Per-channel mean/std + ``grid``×``grid`` luma block means —
+    a 6 + grid² float32 feature vector from a decoded (h, w, 3) image."""
+    f = img.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    stds = f.std(axis=(0, 1))
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    h, w = luma.shape
+    ys = (np.arange(h) * grid) // max(h, 1)
+    xs = (np.arange(w) * grid) // max(w, 1)
+    blocks = np.zeros((grid, grid))
+    counts = np.zeros((grid, grid))
+    np.add.at(blocks, (ys[:, None], xs[None, :]), luma)
+    np.add.at(counts, (ys[:, None], xs[None, :]), 1.0)
+    grid_means = blocks / np.maximum(counts, 1)
+    return np.concatenate([means, stds, grid_means.ravel()]).astype(np.float32)
+
+
+class PpmImageFeatureExtractor:
+    """Actor-pool stage with a REAL decode path: P6 PPM payloads →
+    per-channel stats + luma grid features. The per-row loop calls
+    numpy kernels per image — the same shape as a real batched decoder
+    (decode is inherently per-payload; features stay vectorized within
+    an image). Non-PPM payloads raise ``DecodeUnavailable``."""
+
+    def __init__(self, grid: int = 2):
+        self.grid = grid
+        self.dim = 6 + grid * grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        feats = np.zeros((len(payloads), self.dim), np.float32)
+        for i, p in enumerate(payloads):
+            feats[i] = image_features_real(decode_ppm(p.as_py()), self.grid)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+class WavAudioFeatureExtractor:
+    """Actor-pool stage with a REAL decode path: RIFF/WAVE PCM16 →
+    windowed RMS energies (the same output contract as the fake
+    extractor, fed by a real parser)."""
+
+    def __init__(self, n_windows: int = 8):
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        feats = np.zeros((len(payloads), self.n_windows), np.float32)
+        for i, p in enumerate(payloads):
+            samples, _rate = decode_wav_pcm16(p.as_py())
+            if len(samples) == 0:
+                continue
+            w = max(1, len(samples) // self.n_windows)
+            s2 = np.concatenate(([0.0], np.cumsum(samples.astype(np.float64) ** 2)))
+            for j in range(self.n_windows):
+                a, b = j * w, min((j + 1) * w, len(samples))
+                if a >= len(samples):
+                    break
+                feats[i, j] = np.sqrt((s2[b] - s2[a]) / max(b - a, 1))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float32())),
+            }
+        )
+
+
+def synthesize_ppm_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -> pa.Table:
+    """Deterministic REAL P6 images (gradient + per-image phase)."""
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + i * 7) % 256,
+                (yy * 255 // max(h - 1, 1) + i * 13) % 256,
+                ((xx + yy) * 255 // max(w + h - 2, 1) + i * 29) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(encode_ppm(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
+def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.Table:
+    """Deterministic REAL PCM16 WAV clips (per-clip sine + ramp)."""
+    rows = []
+    for i in range(n):
+        t = np.arange(samples)
+        sig = (
+            6000 * np.sin(2 * np.pi * t * (i % 7 + 1) / 256.0)
+            + (t * (i % 5) % 4000)
+        ).astype(np.int16)
+        rows.append(encode_wav_pcm16(sig))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "height": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.full(n, samples // 16, np.int32), pa.int32()),
+        }
     )

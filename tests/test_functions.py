@@ -3,6 +3,8 @@ no Ray session needed)."""
 
 import numpy as np
 import pyarrow as pa
+import ray
+import ray.data
 
 from dcs_ray.functions.dedup import (
     exact_jaccard,
@@ -435,3 +437,63 @@ def test_ngram_jaccard_df_cap_bounds_output(ray_session):
     assert len(full) == 40 * 39 // 2  # exact mode: the full clique
     capped = ngram_jaccard_pairs(ds, threshold=0.5, max_shingle_df=10).take_all()
     assert len(capped) == 0  # every shingle has df=40 > 10
+
+
+def test_ppm_image_features_real_decode(ray_session):
+    """Actor-pool extractor over REAL P6 payloads == straight numpy."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        decode_ppm,
+        image_features_real,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(12)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(PpmImageFeatureExtractor, concurrency=2, batch_size=4,
+                     batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(len(media)):
+        want = image_features_real(decode_ppm(media["payload"][i].as_py()))
+        np.testing.assert_allclose(np.array(out.feature[i]), want, rtol=1e-6)
+
+
+def test_wav_audio_features_real_decode(ray_session):
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        WavAudioFeatureExtractor,
+        decode_wav_pcm16,
+        synthesize_wav_media,
+    )
+
+    media = synthesize_wav_media(8)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(WavAudioFeatureExtractor, concurrency=2, batch_size=4,
+                     batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    s0, rate = decode_wav_pcm16(media["payload"][0].as_py())
+    assert rate == 16000 and len(s0) == 2048
+    # first window RMS by hand
+    w = len(s0) // 8
+    want = np.sqrt(np.mean(s0[:w].astype(np.float64) ** 2))
+    np.testing.assert_allclose(out.feature[0][0], want, rtol=1e-5)
+
+
+def test_ppm_decode_rejects_non_ppm():
+    import pytest as _pytest
+
+    from dcs_ray.functions.multimodal import DecodeUnavailable, decode_ppm
+
+    with _pytest.raises(DecodeUnavailable):
+        decode_ppm(b"\x89PNG\r\n")
