@@ -1421,6 +1421,19 @@ def _q_chunk_documents(sf_dir: str) -> Any:
     return t.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
 
 
+def _q_zscore_by_lang(sf_dir: str) -> Any:
+    """Per-language z-score of doc length — feature standardization
+    before cross-group thresholds; two broadcast passes, no shuffle."""
+    from dcs_ray.functions.relational import group_zscore
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = group_zscore(docs, "lang", "n_chars")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1507,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "interval_join_views": _q_interval_join,
         "chunk_documents": _q_chunk_documents,
+        "zscore_by_lang": _q_zscore_by_lang,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2235,6 +2249,13 @@ SELECT doc_id, chunk_id::bigint AS chunk_id, st::bigint AS start_token,
        (en - st)::bigint AS n_chunk_tokens,
        array_to_string(toks[st + 1 : en], ' ') AS chunk_text
 FROM sel ORDER BY doc_id, chunk_id
+""",
+        "zscore_by_lang": """
+WITH s AS (SELECT lang, avg(n_chars) AS m, stddev_pop(n_chars) AS sd
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars,
+       round(CASE WHEN s.sd > 0 THEN (d.n_chars - s.m) / s.sd ELSE 0.0 END, 6) AS z
+FROM documents d JOIN s USING (lang) ORDER BY d.doc_id
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -307,3 +307,75 @@ def combiner_stats(
         return pa.table(cols)
 
     return final.map_batches(rename, batch_format="pyarrow")
+
+
+def group_zscore(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Standardize ``col`` within each ``key`` group:
+    ``z = (x - mean_g) / std_g`` (population std; z = 0 where a group
+    is constant). The feature-normalization step before cross-group
+    quality thresholds.
+
+    Two passes, no shuffle: per-batch (key, n, sum, sumsq) partials
+    fold on the driver (group cardinality = langs/hosts, tiny), the
+    (mean, std) table broadcasts in the closure, and the second pass is
+    one vectorized probe per batch."""
+    stats: dict = {}
+    for b in ds.select_columns([key, col]).map_batches(
+        lambda t: _zscore_partials(t, key, col), batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for k, n, s, s2 in zip(
+            b["k"].to_pylist(), b["n"].to_pylist(), b["s"].to_pylist(),
+            b["s2"].to_pylist(),
+        ):
+            cur = stats.get(k, (0, 0, 0))
+            stats[k] = (cur[0] + n, cur[1] + s, cur[2] + s2)
+    keys = sorted(stats)
+    means = np.array([stats[k][1] / stats[k][0] for k in keys])
+    variances = np.array(
+        [stats[k][2] / stats[k][0] - (stats[k][1] / stats[k][0]) ** 2 for k in keys]
+    )
+    stds = np.sqrt(np.maximum(variances, 0.0))
+    key_arr = pa.array(keys)
+
+    def apply(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b[key], value_set=key_arr).to_numpy(zero_copy_only=False)
+        idx = np.asarray(idx, np.int64)
+        x = b[col].to_numpy().astype(np.float64)
+        m, sd = means[idx], stds[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (x - m) / np.where(sd > 0, sd, 1.0), 0.0)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                key: b[key],
+                col: b[col],
+                "z": pa.array(np.round(z, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def _zscore_partials(t: pa.Table, key: str, col: str) -> pa.Table:
+    x = t[col].to_numpy().astype(np.float64)
+    enc = pc.dictionary_encode(
+        t[key].combine_chunks() if isinstance(t[key], pa.ChunkedArray) else t[key]
+    )
+    codes = np.asarray(enc.indices)
+    nk = len(enc.dictionary)
+    n = np.bincount(codes, minlength=nk)
+    s = np.bincount(codes, weights=x, minlength=nk)
+    s2 = np.bincount(codes, weights=x * x, minlength=nk)
+    return pa.table(
+        {
+            "k": enc.dictionary,
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.float64()),
+            "s2": pa.array(s2, pa.float64()),
+        }
+    )

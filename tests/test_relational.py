@@ -189,3 +189,29 @@ def test_grouped_topn_matches_pandas(ray_session):
     want = df.groupby("k").head(4).reset_index(drop=True)
     got = out.to_pandas()
     assert got[["k", "id", "v"]].reset_index(drop=True).equals(want[["k", "id", "v"]])
+
+
+def test_group_zscore_constant_group_and_layout(ray_session):
+    """Constant groups get z=0; partials fold identically across block
+    layouts."""
+    import numpy as np
+
+    from dcs_ray.functions.relational import group_zscore
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "g": pa.array(["a", "a", "a", "a", "b", "b", "b", "b"]),
+            "v": pa.array([1, 2, 3, 4, 7, 7, 7, 7], pa.int64()),
+        }
+    )
+    out = group_zscore(ray.data.from_arrow(t), "g", "v").to_pandas().sort_values("doc_id")
+    a = out[out.g == "a"].z.to_numpy()
+    m, sd = 2.5, np.sqrt(np.mean((np.array([1, 2, 3, 4]) - 2.5) ** 2))
+    np.testing.assert_allclose(a, np.round((np.array([1, 2, 3, 4]) - m) / sd, 6))
+    assert (out[out.g == "b"].z == 0.0).all()
+    out2 = (
+        group_zscore(ray.data.from_arrow(t).repartition(5), "g", "v")
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out.z.tolist() == out2.z.tolist()
