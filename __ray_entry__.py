@@ -900,9 +900,9 @@ def _q_text_knn_hash_embed(sf_dir: str) -> Any:
     """Embedding-generation → similarity-search composition: documents
     are embedded with the deterministic hashing-trick featurizer (one
     tokenizer pass + scatter per batch, no exchange), then brute-force
-    cosine top-5 runs against three fixed query docs. Rows-only gate
-    (the hash chain is impractical in SQL); pytest pins determinism and
-    self-similarity."""
+    cosine top-5 runs against three fixed query docs. Oracle-gated end
+    to end: the SQL replays the hash chain, float32 quantization, and
+    the double-precision cosine ranking."""
     from dcs_ray.functions.embed import hash_embed, hash_embed_batch
     from dcs_ray.functions.simsearch import knn_cosine_bruteforce
 
@@ -2256,6 +2256,33 @@ WITH s AS (SELECT lang, avg(n_chars) AS m, stddev_pop(n_chars) AS sd
 SELECT d.doc_id, d.lang, d.n_chars,
        round(CASE WHEN s.sd > 0 THEN (d.n_chars - s.m) / s.sd ELSE 0.0 END, 6) AS z
 FROM documents d JOIN s USING (lang) ORDER BY d.doc_id
+""",
+        "text_knn_hash_embed": f"""
+WITH tok AS ({_TOK}),
+terms AS (SELECT DISTINCT term FROM tok),
+{_term_hash64_sql()},
+occ AS (SELECT doc_id, h FROM tok JOIN th USING (term)),
+vec AS (SELECT doc_id, (h % 64)::bigint AS dim,
+               sum(CASE WHEN h >= 9223372036854775808::hugeint THEN -1.0 ELSE 1.0 END) AS v
+        FROM occ GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM vec GROUP BY 1),
+emb32 AS (SELECT vec.doc_id, dim,
+                 CAST(v / CASE WHEN nn = 0 THEN 1 ELSE nn END AS FLOAT)::double AS val
+          FROM vec JOIN nrm USING (doc_id)),
+q AS (SELECT * FROM emb32 WHERE doc_id IN (0, 1, 2)),
+qn AS (SELECT doc_id AS qid, sqrt(sum(val * val)) AS qnorm FROM q GROUP BY 1),
+dn AS (SELECT doc_id, sqrt(sum(val * val)) AS dnorm FROM emb32 GROUP BY 1),
+dots AS (SELECT q.doc_id AS qid, e.doc_id AS did, sum(q.val * e.val) AS dot
+         FROM q JOIN emb32 e ON q.dim = e.dim GROUP BY 1, 2),
+cos AS (SELECT qid, did, dot / (qnorm * dnorm) AS c
+        FROM dots JOIN qn USING (qid) JOIN dn ON did = dn.doc_id
+        WHERE qnorm > 0 AND dnorm > 0),
+rk AS (SELECT qid, did, c,
+              row_number() OVER (PARTITION BY qid ORDER BY c DESC, did ASC) AS rn
+       FROM cos)
+SELECT qid::int AS query_id, rn::int AS rank, did::bigint AS doc_id,
+       round(c, 6) AS cos_sim
+FROM rk WHERE rn <= 5 ORDER BY query_id, rank
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
