@@ -427,3 +427,34 @@ def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.
             "duration_ms": pa.array(np.full(n, samples // 16, np.int32), pa.int32()),
         }
     )
+
+
+class PpmImageResizer:
+    """Actor-pool stage: P6 PPM payload → resized P6 payload
+    (nearest-neighbor, pure numpy index gather). The resize step of an
+    image-preprocessing pipeline with a real codec on both ends."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].combine_chunks()
+        out = []
+        for p in payloads:
+            img = decode_ppm(p.as_py())
+            h, w, _ = img.shape
+            ys = (np.arange(self.out_h) * h) // self.out_h
+            xs = (np.arange(self.out_w) * w) // self.out_w
+            out.append(encode_ppm(np.ascontiguousarray(img[ys[:, None], xs[None, :]])))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(
+                    np.full(len(out), self.out_w, np.int32), pa.int32()
+                ),
+                "height": pa.array(
+                    np.full(len(out), self.out_h, np.int32), pa.int32()
+                ),
+            }
+        )

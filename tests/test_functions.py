@@ -497,3 +497,32 @@ def test_ppm_decode_rejects_non_ppm():
 
     with _pytest.raises(DecodeUnavailable):
         decode_ppm(b"\x89PNG\r\n")
+
+
+def test_ppm_resize_real_roundtrip(ray_session):
+    """Resize actor emits valid PPM at target dims with exact
+    nearest-neighbor pixels."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        PpmImageResizer,
+        decode_ppm,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_ppm_media(6, w=24, h=16)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(PpmImageResizer, fn_constructor_kwargs={"out_w": 6, "out_h": 4},
+                     concurrency=2, batch_size=3, batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(len(media)):
+        src = decode_ppm(media["payload"][i].as_py())
+        got = decode_ppm(out.payload[i])
+        assert got.shape == (4, 6, 3)
+        ys = (np.arange(4) * 16) // 4
+        xs = (np.arange(6) * 24) // 6
+        np.testing.assert_array_equal(got, src[ys[:, None], xs[None, :]])
