@@ -18,11 +18,22 @@ def _ray():
     import ray
 
     if not ray.is_initialized():
+        # honor RAY_ADDRESS so `ray job submit` runs connect to the
+        # submitting cluster; a bare/local address starts a local
+        # instance sized by RAY_GRAFT_CPUS (the sandbox default)
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr == "local":
+            kwargs = {"num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "8"))}
+        else:
+            # cluster driver (the `ray job submit` shape): ship this
+            # package to the workers, same as --working-dir would
+            pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            kwargs = {"runtime_env": {"env_vars": {"PYTHONPATH": pkg_parent}}}
         ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            address=addr,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
     from ray.data import DataContext
 
