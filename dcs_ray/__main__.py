@@ -247,6 +247,26 @@ def cmd_curate(args) -> None:
             print(json.dumps(row))
 
 
+def cmd_lineage(args) -> None:
+    """Dump the build manifest's per-partition lineage + metrics —
+    which partitions are committed, their doc/posting counts and
+    throughputs, and the roll-up the resume path trusts."""
+    with open(os.path.join(args.index, "MANIFEST.json")) as f:
+        manifest = json.load(f)
+    lineage = manifest.get("partitions", [])
+    if args.partition is not None:
+        recs = [r for r in lineage if r.get("part_id") == args.partition]
+        print(json.dumps(recs, indent=2))
+        return
+    out = {
+        "metrics": manifest.get("metrics", {}),
+        "stats": manifest.get("stats", {}),
+        "num_partitions": len(lineage),
+        "partitions": lineage,
+    }
+    print(json.dumps(out, indent=2))
+
+
 def cmd_ann(args) -> None:
     """ANN top-k for one query vector id, through the selected index."""
     _ray()
@@ -427,6 +447,11 @@ def main() -> None:
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_dedup)
+
+    d = sub.add_parser("lineage", help="dump per-partition lineage + build metrics")
+    d.add_argument("index")
+    d.add_argument("--partition", type=int, default=None)
+    d.set_defaults(fn=cmd_lineage)
 
     d = sub.add_parser("curate", help="end-to-end corpus curation pipeline")
     d.add_argument("input")
