@@ -1434,6 +1434,27 @@ def _q_zscore_by_lang(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_phrase_bm25(sf_dir: str) -> Any:
+    """Phrase-restricted ranking composition: exact-phrase candidates
+    from the positional trigram index, then BM25 over different rank
+    terms with the candidate set pushed into each shard task via the
+    doc_ids filter — no full-corpus ranking, no driver-side filtering."""
+    from dcs_ray.search import search_bm25, search_literal
+
+    tri = _index_dir(sf_dir, "trigram")
+    cand = search_literal(tri, [LITERAL], positional=True)
+    ids = sorted(set(cand["doc_id"].to_pylist()))
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["join batch value"], k=10, filters={"doc_ids": ids})
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1521,6 +1542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_views": _q_interval_join,
         "chunk_documents": _q_chunk_documents,
         "zscore_by_lang": _q_zscore_by_lang,
+        "phrase_bm25": _q_phrase_bm25,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2283,6 +2305,30 @@ rk AS (SELECT qid, did, c,
 SELECT qid::int AS query_id, rn::int AS rank, did::bigint AS doc_id,
        round(c, 6) AS cos_sim
 FROM rk WHERE rn <= 5 ORDER BY query_id, rank
+""",
+        "phrase_bm25": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT unnest(['join','batch','value']) AS term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+    AND tf.doc_id IN (SELECT doc_id FROM documents WHERE contains(text, '{LITERAL}'))
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

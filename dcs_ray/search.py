@@ -163,12 +163,24 @@ def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
     over the shard's doc_meta attributes.
 
     ``filters`` spec: ``{"include": {col: [vals]}, "exclude": {col:
-    [vals]}, "url_regex": [rx], "not_url_regex": [rx]}`` — OR within a
-    column's value list, AND across entries. Returns None when no
+    [vals]}, "url_regex": [rx], "not_url_regex": [rx], "doc_ids":
+    [ids]}`` — OR within a column's value list, AND across entries;
+    ``doc_ids`` restricts to an explicit candidate set (how a phrase /
+    positional pre-pass composes with ranking). Returns None when no
     filtering is requested (score everything)."""
     if not filters:
         return None
     mask = np.ones(len(seg.doc_ids), dtype=bool)
+    ids = filters.get("doc_ids")
+    if ids is not None:
+        ids = np.sort(np.asarray(ids, dtype=np.int64))
+        if len(ids) == 0:
+            mask &= False
+        else:
+            pos = np.searchsorted(ids, seg.doc_ids)
+            mask &= (pos < len(ids)) & (
+                ids[np.minimum(pos, len(ids) - 1)] == seg.doc_ids
+            )
     for col, vals in (filters.get("include") or {}).items():
         mask &= pc.is_in(seg.meta(col), value_set=pa.array(vals)).to_numpy(
             zero_copy_only=False

@@ -145,3 +145,24 @@ def test_url_regex_filter(meta_index):
     got = search_bm25(meta_index, [Q], k=10, filters=filters).to_pandas()
     assert len(got) > 0
     assert (got.doc_id < 5).all()
+
+
+def test_doc_ids_filter_restricts_ranking(ray_session, meta_index):
+    """An explicit doc_ids candidate set restricts scoring to exactly
+    those docs; an empty set returns no rows."""
+    from dcs_ray.search import search_bm25
+
+    full = search_bm25(meta_index, ["spark merge join"], k=10).to_pandas()
+    some = full.doc_id.tolist()[2:5]
+    got = search_bm25(
+        meta_index, ["spark merge join"], k=10, filters={"doc_ids": some}
+    ).to_pandas()
+    assert set(got.doc_id) <= set(some)
+    assert len(got) == len(some)
+    # scores are unchanged by the filter (same global stats)
+    merged = got.merge(full, on="doc_id", suffixes=("_f", "_full"))
+    assert (merged.score_f == merged.score_full).all()
+    empty = search_bm25(
+        meta_index, ["spark merge join"], k=10, filters={"doc_ids": []}
+    ).to_pandas()
+    assert len(empty) == 0
