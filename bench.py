@@ -101,10 +101,24 @@ def host_calibration() -> dict:
         best_bw = min(best_bw, time.monotonic() - t0)
     gbps = 2 * big.nbytes / best_bw / 1e9  # read + write
 
+    # page-fault / first-touch allocation (fourth axis): the hypervisor
+    # can throttle page zeroing so that touching NEW pages runs at
+    # single-digit MB/s while warm-page compute stays full speed.
+    # Every fresh numpy allocation in a build pays this, so a degraded
+    # window multiplies wall-clock 10-100x with gflops/pipe/mem_copy
+    # all LOOKING healthy at stamp time. Measured: np.ones(12M) 15-20 s
+    # in a throttled window vs 39 ms warm on the same host.
+    t0 = time.monotonic()
+    fresh = np.empty(96 << 20, dtype=np.uint8)
+    fresh[::4096] = 1  # touch every page
+    alloc_gbps = fresh.nbytes / (time.monotonic() - t0) / 1e9
+    del fresh
+
     return {
         "single_core_gflops": round(gflops, 1),
         "pipe_roundtrips_per_s": int(rt),
         "mem_copy_gbps": round(gbps, 1),
+        "alloc_gbps": round(alloc_gbps, 2),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
 
