@@ -1455,6 +1455,57 @@ def _q_phrase_bm25(sf_dir: str) -> Any:
     )
 
 
+
+def _grouped_hll_sql(p: int = 8) -> str:
+    """Per-group HLL register fold + estimator over events
+    (event_type, user_id) in integer SQL — the grouped analogue of
+    ``_hll_registers_sql``."""
+    M64 = "18446744073709551616"
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    m = 1 << p
+    cap = 64 - p + 1
+    ladder = "\n".join(
+        f"r{i+1} AS (SELECT event_type, reg, CASE WHEN v >= {1 << s} THEN v // {1 << s} ELSE v END AS v,"
+        f" bl + CASE WHEN v >= {1 << s} THEN {s} ELSE 0 END AS bl FROM r{i}),"
+        for i, s in enumerate((32, 16, 8, 4, 2, 1))
+    )
+    return f"""
+WITH h0 AS (SELECT event_type, ((user_id::hugeint + {GOLDEN}) % {M64}) AS x0
+            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+h1 AS (SELECT event_type, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT event_type, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT event_type, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+r0 AS (SELECT event_type, (h // {1 << (64 - p)})::bigint AS reg, (h * {m}) % {M64} AS v, 0 AS bl FROM hf),
+{ladder}
+rf AS (SELECT event_type, reg, bl + CASE WHEN v >= 1 THEN 1 ELSE 0 END AS bitlen FROM r6),
+regs AS (SELECT event_type, reg, max(least(64 - bitlen + 1, {cap}))::bigint AS rank
+         FROM rf GROUP BY 1, 2),
+s AS (SELECT event_type, count(*) AS nz, coalesce(sum(power(2.0, -rank)), 0.0) AS snz
+      FROM regs GROUP BY 1),
+c AS (SELECT event_type, ({m} - nz) AS zeros, ({m} - nz) * 1.0 + snz AS ssum FROM s),
+e AS (SELECT event_type, zeros,
+             (0.7213 / (1 + 1.079 / {m}.0)) * {m}.0 * {m}.0 / ssum AS est FROM c)
+SELECT event_type,
+       round(CASE WHEN est <= 2.5 * {m} AND zeros > 0
+             THEN {m}.0 * ln({m}.0 / zeros) ELSE est END, 6) AS approx_distinct
+FROM e ORDER BY event_type
+"""
+
+
+def _q_distinct_users_by_type(sf_dir: str) -> Any:
+    """Grouped HLL: approx COUNT(DISTINCT user_id) per event_type —
+    one fixed 2^p-byte register row per (block, key), max-merged by one
+    small groupby; the APPROX_COUNT_DISTINCT ... GROUP BY shape."""
+    from dcs_ray.functions.sketches import grouped_approx_distinct_hll
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct_hll(ev, "event_type", "user_id", p=8)
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1543,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "zscore_by_lang": _q_zscore_by_lang,
         "phrase_bm25": _q_phrase_bm25,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2330,6 +2382,7 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        "distinct_users_by_type": _grouped_hll_sql(p=8),
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
 pairs AS (

@@ -117,3 +117,31 @@ def test_hash64_column_matches_python_reference():
         assert got2.tolist() == want
 
     prop()
+
+
+def test_grouped_hll_error_and_layout(ray_session):
+    """Per-group estimates within HLL error of exact counts; identical
+    across block layouts (max-merge associativity)."""
+    import numpy as np
+
+    from dcs_ray.functions.sketches import grouped_approx_distinct_hll
+
+    rng = np.random.default_rng(6)
+    n = 20_000
+    t = pa.table(
+        {
+            "g": pa.array(["a" if i % 3 else "b" for i in range(n)]),
+            "v": pa.array(rng.integers(0, 5000, n), pa.int64()),
+        }
+    )
+    out = grouped_approx_distinct_hll(ray.data.from_arrow(t), "g", "v", p=8)
+    exact = {
+        "a": len({int(v) for i, v in enumerate(t["v"].to_pylist()) if i % 3}),
+        "b": len({int(v) for i, v in enumerate(t["v"].to_pylist()) if not i % 3}),
+    }
+    for g, est in zip(out["g"].to_pylist(), out["approx_distinct"].to_pylist()):
+        assert abs(est - exact[g]) / exact[g] < 0.25, (g, est, exact[g])
+    out2 = grouped_approx_distinct_hll(
+        ray.data.from_arrow(t).repartition(7), "g", "v", p=8
+    )
+    assert out.to_pydict() == out2.to_pydict()
