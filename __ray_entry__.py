@@ -1506,6 +1506,32 @@ def _q_distinct_users_by_type(sf_dir: str) -> Any:
     return grouped_approx_distinct_hll(ev, "event_type", "user_id", p=8)
 
 
+def _q_bm25_snippets(sf_dir: str) -> Any:
+    """Search-result presentation: BM25 top-10 with a 50-char context
+    snippet at the earliest query-term match, fetched with a pushed-down
+    doc_id filter (only the k result docs leave storage)."""
+    from dcs_ray.grep import first_match_snippets
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["spark merge join"], k=10)
+    ids = t["doc_id"].to_pylist()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).sort_by("doc_id")
+    snip = first_match_snippets(docs["text"], ["spark", "merge", "join"])
+    by_id = dict(zip(docs["doc_id"].to_pylist(), snip.to_pylist()))
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+            "snippet": pa.array([by_id.get(i, "") for i in ids], pa.string()),
+        }
+    )
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1595,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_lang": _q_zscore_by_lang,
         "phrase_bm25": _q_phrase_bm25,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "bm25_snippets": _q_bm25_snippets,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2383,6 +2410,25 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "distinct_users_by_type": _grouped_hll_sql(p=8),
+        "bm25_snippets": f"""
+WITH {_BM25_SCORES},
+topk AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, round(score, 6) AS score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+pos AS (
+  SELECT t.rank, t.doc_id, t.score, d.text,
+         least(
+           CASE WHEN instr(d.text, 'spark') > 0 THEN instr(d.text, 'spark') ELSE 2147483647 END,
+           CASE WHEN instr(d.text, 'merge') > 0 THEN instr(d.text, 'merge') ELSE 2147483647 END,
+           CASE WHEN instr(d.text, 'join') > 0 THEN instr(d.text, 'join') ELSE 2147483647 END
+         ) AS p
+  FROM topk t JOIN documents d USING (doc_id))
+SELECT rank, doc_id, score,
+       CASE WHEN p = 2147483647 THEN ''
+            ELSE substr(text, greatest(p - 20, 1), 50) END AS snippet
+FROM pos ORDER BY rank
+""",
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
 pairs AS (

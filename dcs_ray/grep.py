@@ -283,3 +283,40 @@ def search_regex_fused(
 
     work = ray.data.from_items([{"path": p} for p in shards])
     return work.map_batches(run, batch_size=1, batch_format="pyarrow")
+
+
+def first_match_snippets(
+    texts: "pa.ChunkedArray | pa.Array",
+    terms: list[str],
+    before: int = 20,
+    width: int = 50,
+) -> "pa.Array":
+    """Per row: the ``width``-char substring starting ``before`` chars
+    ahead of the EARLIEST occurrence of any term (clipped to the text
+    start); empty string when no term occurs. Vectorized: one
+    ``find_substring`` kernel per term + one ``utf8_slice_codeunits``.
+    The result-presentation stage of a search API (the reference shows
+    per-match context the same way, ``internal/index/read.go:484-528``)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    best = np.full(n, np.iinfo(np.int64).max, np.int64)
+    for t in terms:
+        pos = pc.find_substring(texts, t).to_numpy(zero_copy_only=False).astype(np.int64)
+        found = pos >= 0
+        best = np.where(found & (pos < best), pos, best)
+    have = best != np.iinfo(np.int64).max
+    start = np.maximum(best - before, 0)
+    start[~have] = 0
+    # per-row variable-offset slice; this stage runs on RESULT sets
+    # (top-k rows), not the corpus, so the row loop is O(k)
+    py = texts.to_pylist()
+    out = [
+        (py[i] or "")[start[i] : start[i] + width] if have[i] else ""
+        for i in range(n)
+    ]
+    return pa.array(out, pa.string())
