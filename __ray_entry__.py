@@ -1532,6 +1532,46 @@ def _q_bm25_snippets(sf_dir: str) -> Any:
     )
 
 
+def _q_running_totals(sf_dir: str) -> Any:
+    """Per-user window functions (row_number / running sum / lag) in
+    one bucketed pass — SUM OVER (PARTITION BY ... ORDER BY ...) shape."""
+    from dcs_ray.functions.windows import running_agg
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "event_id": b["event_id"],
+                "value": b["value"],
+            }
+        )
+
+    ds = running_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order_col="ts_us", value_col="value", tie_col="event_id",
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    t = pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "row_number": t["row_number"],
+            "running_sum": t["running_sum"],
+            "lag_value": t["lag_value"],
+        }
+    )
+    return t.sort_by([("user_id", "ascending"), ("row_number", "ascending")])
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1622,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_bm25": _q_phrase_bm25,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "bm25_snippets": _q_bm25_snippets,
+        "running_totals": _q_running_totals,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2428,6 +2469,16 @@ SELECT rank, doc_id, score,
        CASE WHEN p = 2147483647 THEN ''
             ELSE substr(text, greatest(p - 20, 1), 50) END AS snippet
 FROM pos ORDER BY rank
+""",
+        "running_totals": """
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
+SELECT user_id::bigint AS user_id, event_id::bigint AS event_id,
+       row_number() OVER w::bigint AS row_number,
+       round(sum(value) OVER w, 6) AS running_sum,
+       lag(value) OVER w AS lag_value
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, row_number
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -132,3 +132,78 @@ def latest_event_per_user(events: ray.data.Dataset) -> ray.data.Dataset:
         return group.slice(int(best), 1)
 
     return events.groupby("user_id").map_groups(newest, batch_format="pyarrow")
+
+
+def running_agg(
+    events: ray.data.Dataset,
+    key: str,
+    order_col: str,
+    value_col: str,
+    tie_col: str,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key window functions in one pass: ``row_number`` (1-based),
+    ``running_sum`` of ``value_col``, and ``lag_value`` (previous row's
+    value, null for the first) — ordered by ``(order_col, tie_col)``
+    within each key.
+
+    Shape: one hash exchange on a salted key bucket (keys never
+    straddle buckets), then ONE lexsort per bucket computes every key's
+    window functions simultaneously — run starts via key-change flags,
+    per-key cumulative sums as global-cumsum minus the run-start prefix
+    (the standard segmented-scan trick). No per-key loop.
+    Partitioning assumption: a bucket fits one worker; raise
+    ``num_buckets`` for skewed key spaces."""
+    from dcs_ray.functions.joins import _key_bucket
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "bucket",
+            pa.array(_key_bucket(b[key].to_numpy(), num_buckets), pa.int32()),
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy().astype(np.int64)
+        o = g[order_col].to_numpy().astype(np.int64)
+        t = g[tie_col].to_numpy().astype(np.int64)
+        v = g[value_col].to_numpy().astype(np.float64)
+        order = np.lexsort((t, o, k))
+        ks, vs = k[order], v[order]
+        n = len(ks)
+        new_run = np.ones(n, bool)
+        new_run[1:] = ks[1:] != ks[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)
+        # row_number: global index minus own run's start
+        idx = np.arange(n)
+        rn = idx - run_start[run_id] + 1
+        # segmented cumsum: global cumsum minus prefix before run start
+        cs = np.cumsum(vs)
+        prefix = np.concatenate(([0.0], cs))[run_start]
+        running = cs - prefix[run_id]
+        lag = np.empty(n, np.float64)
+        lag[1:] = vs[:-1]
+        lag_valid = ~new_run
+        out = {
+            key: g[key].take(pa.array(order)),
+            order_col: g[order_col].take(pa.array(order)),
+            tie_col: g[tie_col].take(pa.array(order)),
+            value_col: g[value_col].take(pa.array(order)),
+            "row_number": pa.array(rn, pa.int64()),
+            "running_sum": pa.array(np.round(running, 6), pa.float64()),
+            "lag_value": pa.array(
+                np.where(lag_valid, lag, np.nan), pa.float64(), from_pandas=True
+            ),
+        }
+        tbl = pa.table(out)
+        mask = pa.array(lag_valid)
+        return tbl.set_column(
+            tbl.schema.get_field_index("lag_value"), "lag_value",
+            pa.compute.if_else(mask, tbl["lag_value"], pa.nulls(n, pa.float64())),
+        )
+
+    return (
+        events.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -526,3 +526,37 @@ def test_ppm_resize_real_roundtrip(ray_session):
         ys = (np.arange(4) * 16) // 4
         xs = (np.arange(6) * 24) // 6
         np.testing.assert_array_equal(got, src[ys[:, None], xs[None, :]])
+
+
+def test_running_agg_segmented_scan(ray_session):
+    """row_number / running_sum / lag match a per-key loop, across
+    bucket layouts (keys never straddle buckets)."""
+    from dcs_ray.functions.windows import running_agg
+
+    rng = np.random.default_rng(2)
+    n = 1000
+    t = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 100, n), pa.int64()),
+            "tie": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(rng.normal(size=n).round(3)),
+        }
+    )
+    out = (
+        running_agg(ray.data.from_arrow(t), "k", "o", "v", "tie", num_buckets=5)
+        .to_pandas()
+        .sort_values(["k", "row_number"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values(["k", "o", "tie"]).reset_index(drop=True)
+    for k, g in df.groupby("k"):
+        sub = out[out.k == k].reset_index(drop=True)
+        assert sub.row_number.tolist() == list(range(1, len(g) + 1))
+        np.testing.assert_allclose(
+            sub.running_sum, np.round(np.cumsum(g.v.to_numpy()), 6), atol=1e-9
+        )
+        assert np.isnan(sub.lag_value[0])
+        np.testing.assert_allclose(
+            sub.lag_value[1:].to_numpy(), g.v.to_numpy()[:-1], atol=0
+        )
