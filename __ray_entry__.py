@@ -1572,6 +1572,26 @@ def _q_running_totals(sf_dir: str) -> Any:
     return t.sort_by([("user_id", "ascending"), ("row_number", "ascending")])
 
 
+def _q_events_pivot(sf_dir: str) -> Any:
+    """Pivot: per-user count matrix over a fixed event_type list —
+    per-batch partial matrices, one combiner groupby."""
+    from dcs_ray.functions.relational import pivot_counts
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    ds = pivot_counts(ev, "user_id", "event_type", ["click", "view", "purchase"])
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "n_click": t["n_click"],
+            "n_view": t["n_view"],
+            "n_purchase": t["n_purchase"],
+        }
+    ).sort_by("user_id")
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1663,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_users_by_type,
         "bm25_snippets": _q_bm25_snippets,
         "running_totals": _q_running_totals,
+        "events_pivot": _q_events_pivot,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2479,6 +2500,13 @@ SELECT user_id::bigint AS user_id, event_id::bigint AS event_id,
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY user_id, row_number
+""",
+        "events_pivot": """
+SELECT user_id::bigint AS user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS n_purchase
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -379,3 +379,42 @@ def _zscore_partials(t: pa.Table, key: str, col: str) -> pa.Table:
             "s2": pa.array(s2, pa.float64()),
         }
     )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    values: list[str],
+) -> ray.data.Dataset:
+    """Pivot: one row per ``key`` with a count column per value of
+    ``col`` (the fixed ``values`` list defines the output schema —
+    explicit, so the schema is known before execution, which a
+    distributed pivot needs). Per-batch partial count matrices keyed by
+    key, then one groupby-sum — the exchange is |keys| x |values| ints
+    per block."""
+    val_arr = pa.array(values)
+
+    def partial(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray) else b[key]
+        )
+        kcodes = np.asarray(enc.indices)
+        nk = len(enc.dictionary)
+        vidx = pc.index_in(b[col], value_set=val_arr).to_numpy(zero_copy_only=False)
+        known = ~np.isnan(vidx.astype(np.float64)) if vidx.dtype.kind == "f" else vidx >= 0
+        vi = np.where(known, vidx, 0).astype(np.int64)
+        mat = np.zeros((nk, len(values)), np.int64)
+        np.add.at(mat, (kcodes[known], vi[known]), 1)
+        cols = {key: enc.dictionary}
+        for j, v in enumerate(values):
+            cols[f"n_{v}"] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    agg = combiner_groupby(
+        ds.select_columns([key, col]).map_batches(partial, batch_format="pyarrow"),
+        [key],
+        [f"n_{v}" for v in values],
+    )
+    # n_rows counts PARTIAL rows here, not events — drop it
+    return agg.select_columns([key] + [f"n_{v}" for v in values])
