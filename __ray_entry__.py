@@ -1592,6 +1592,29 @@ def _q_events_pivot(sf_dir: str) -> Any:
     ).sort_by("user_id")
 
 
+def _q_text_near_dup_semantic(sf_dir: str) -> Any:
+    """Embed -> dedup composition: hashing-trick embeddings feed the
+    distributed block-pair exact near-dup (cos >= 0.9); the SQL oracle
+    replays the embedding chain and the pair join."""
+    from dcs_ray.functions.embed import hash_embed
+    from dcs_ray.functions.simsearch import near_dup_pairs_exact
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = hash_embed(docs)
+    t = near_dup_pairs_exact(
+        emb, threshold=0.9, id_col="doc_id", emb_col="embedding", num_blocks=4
+    )
+    return pa.table(
+        {
+            "id_a": t["id_a"],
+            "id_b": t["id_b"],
+            "cos_sim": t["cos_sim"],
+        }
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1684,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": _q_bm25_snippets,
         "running_totals": _q_running_totals,
         "events_pivot": _q_events_pivot,
+        "text_near_dup_semantic": _q_text_near_dup_semantic,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2507,6 +2531,27 @@ SELECT user_id::bigint AS user_id,
        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint AS n_view,
        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint AS n_purchase
 FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "text_near_dup_semantic": f"""
+WITH tok AS ({_TOK}),
+terms AS (SELECT DISTINCT term FROM tok),
+{_term_hash64_sql()},
+occ AS (SELECT doc_id, h FROM tok JOIN th USING (term)),
+vec AS (SELECT doc_id, (h % 64)::bigint AS dim,
+               sum(CASE WHEN h >= 9223372036854775808::hugeint THEN -1.0 ELSE 1.0 END) AS v
+        FROM occ GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM vec GROUP BY 1),
+emb32 AS (SELECT vec.doc_id, dim,
+                 CAST(v / CASE WHEN nn = 0 THEN 1 ELSE nn END AS FLOAT)::double AS val
+          FROM vec JOIN nrm USING (doc_id)),
+dn AS (SELECT doc_id, sqrt(sum(val * val)) AS dnorm FROM emb32 GROUP BY 1),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.val * b.val) AS dot
+         FROM emb32 a JOIN emb32 b ON a.dim = b.dim AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+cos AS (SELECT id_a, id_b, dot / (x.dnorm * y.dnorm) AS c
+        FROM dots JOIN dn x ON id_a = x.doc_id JOIN dn y ON id_b = y.doc_id)
+SELECT id_a, id_b, round(c, 6) AS cos_sim FROM cos
+WHERE c >= 0.9 ORDER BY id_a, id_b
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
