@@ -267,6 +267,30 @@ def cmd_lineage(args) -> None:
     print(json.dumps(out, indent=2))
 
 
+def cmd_cat(args) -> None:
+    """Print a document's text by doc_id straight from the corpus
+    parquet (pushed-down filter — only that row group is read); the
+    reference's `dcs raw` (cmd/dcs/raw.go) fetches the source file the
+    same way."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        args.input, filters=[(args.id_col, "=", args.doc_id)]
+    )
+    if len(t) == 0:
+        print(json.dumps({"error": "doc not found", "doc_id": args.doc_id}))
+        raise SystemExit(1)
+    print(t[args.text_col][0].as_py())
+
+
+def cmd_cleanup(args) -> None:
+    """Delete crash-leftover *.tmp artifacts under an index root."""
+    from dcs_ray.index.build import cleanup_stale
+
+    removed = cleanup_stale(args.index)
+    print(json.dumps({"removed": removed}))
+
+
 def cmd_ann(args) -> None:
     """ANN top-k for one query vector id, through the selected index."""
     _ray()
@@ -447,6 +471,17 @@ def main() -> None:
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_dedup)
+
+    d = sub.add_parser("cat", help="print a document's text by id (dcs raw)")
+    d.add_argument("input")
+    d.add_argument("doc_id", type=int)
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.set_defaults(fn=cmd_cat)
+
+    d = sub.add_parser("cleanup", help="remove stale *.tmp build artifacts")
+    d.add_argument("index")
+    d.set_defaults(fn=cmd_cleanup)
 
     d = sub.add_parser("lineage", help="dump per-partition lineage + build metrics")
     d.add_argument("index")

@@ -467,3 +467,30 @@ def reshard(out_dir: str, new_num_shards: int) -> dict:
     return commit_manifest(
         out_dir, conf, man["partitions"], man["stats"], shard_lineage, metrics
     )
+
+
+def cleanup_stale(out_dir: str) -> list[str]:
+    """Remove crash leftovers: any ``*.tmp`` file or directory under the
+    index root (the reference runs this as a cron,
+    ``cleanup-failed-shards.cron:1-2``). Committed artifacts are never
+    ``*.tmp`` — every writer here stages to ``<name>.tmp`` and renames —
+    so deletion is always safe. Returns the removed paths."""
+    import shutil
+
+    removed: list[str] = []
+    for root, dirs, files in os.walk(out_dir, topdown=True):
+        for name in list(dirs):
+            if name.endswith(".tmp"):
+                p = os.path.join(root, name)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+                dirs.remove(name)
+        for name in files:
+            if name.endswith(".tmp"):
+                p = os.path.join(root, name)
+                try:
+                    os.remove(p)
+                    removed.append(p)
+                except OSError:
+                    pass
+    return removed

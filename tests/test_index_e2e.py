@@ -234,3 +234,26 @@ def test_empty_corpus_builds_wellformed_index(ray_session, tmp_path):
     )
     assert m["stats"]["n_docs"] == 0
     assert len(search_bm25(out, ["spark"], k=5)) == 0
+
+
+def test_cleanup_stale_removes_only_tmp(tmp_path):
+    """cleanup_stale removes *.tmp files/dirs, leaves committed state."""
+    import os
+
+    from dcs_ray.index.build import cleanup_stale
+
+    root = tmp_path / "idx"
+    (root / "segments" / "seg_000000").mkdir(parents=True)
+    (root / "segments" / "seg_000001.tmp").mkdir()
+    (root / "segments" / "seg_000001.tmp" / "junk.bin").write_bytes(b"x")
+    (root / "shards.tmp").mkdir()
+    (root / "MANIFEST.json.tmp").write_text("{}")
+    (root / "MANIFEST.json").write_text("{}")
+    (root / "segments" / "seg_000000" / "lineage.json").write_text("{}")
+    removed = cleanup_stale(str(root))
+    assert len(removed) == 3
+    assert not (root / "segments" / "seg_000001.tmp").exists()
+    assert not (root / "shards.tmp").exists()
+    assert not (root / "MANIFEST.json.tmp").exists()
+    assert (root / "MANIFEST.json").exists()
+    assert (root / "segments" / "seg_000000" / "lineage.json").exists()
