@@ -114,13 +114,18 @@ def host_calibration() -> dict:
     alloc_gbps = fresh.nbytes / (time.monotonic() - t0) / 1e9
     del fresh
 
-    return {
+    out = {
         "single_core_gflops": round(gflops, 1),
         "pipe_roundtrips_per_s": int(rt),
         "mem_copy_gbps": round(gbps, 1),
         "alloc_gbps": round(alloc_gbps, 2),
         "loadavg_1m": round(os.getloadavg()[0], 2),
     }
+    # one-line verdict so a degraded-window number is self-describing
+    out["host_throttled"] = bool(
+        gflops < 10 or rt < 5000 or alloc_gbps < 0.3
+    )
+    return out
 
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
