@@ -1565,6 +1565,8 @@ def _q_running_totals(sf_dir: str) -> Any:
             "user_id": t["user_id"].cast(pa.int64()),
             "event_id": t["event_id"].cast(pa.int64()),
             "row_number": t["row_number"],
+            "percent_rank": t["percent_rank"],
+            "ntile4": t["ntile4"],
             "running_sum": t["running_sum"],
             "lag_value": t["lag_value"],
         }
@@ -2519,6 +2521,8 @@ FROM pos ORDER BY rank
 WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events)
 SELECT user_id::bigint AS user_id, event_id::bigint AS event_id,
        row_number() OVER w::bigint AS row_number,
+       round(percent_rank() OVER w, 6) AS percent_rank,
+       ntile(4) OVER w::bigint AS ntile4,
        round(sum(value) OVER w, 6) AS running_sum,
        lag(value) OVER w AS lag_value
 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id

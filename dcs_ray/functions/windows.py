@@ -143,8 +143,10 @@ def running_agg(
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Per-key window functions in one pass: ``row_number`` (1-based),
-    ``running_sum`` of ``value_col``, and ``lag_value`` (previous row's
-    value, null for the first) — ordered by ``(order_col, tie_col)``
+    ``running_sum`` of ``value_col``, ``lag_value`` (previous row's
+    value, null for the first), ``percent_rank``
+    ((rn-1)/(count-1), 0 for singleton keys) and ``ntile4`` (quartile
+    bucket, SQL NTILE semantics) — ordered by ``(order_col, tie_col)``
     within each key.
 
     Shape: one hash exchange on a salted key bucket (keys never
@@ -184,12 +186,30 @@ def running_agg(
         lag = np.empty(n, np.float64)
         lag[1:] = vs[:-1]
         lag_valid = ~new_run
+        # per-key row counts via run-length (next start - own start)
+        run_end = np.concatenate((run_start[1:], [n]))
+        cnt = (run_end - run_start)[run_id]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pr = np.where(cnt > 1, (rn - 1) / np.maximum(cnt - 1, 1), 0.0)
+        # SQL NTILE(4): first (cnt % 4) buckets get ceil(cnt/4) rows
+        q, r = cnt // 4, cnt % 4
+        big = (q + 1) * r  # rows covered by the larger buckets
+        idx0 = rn - 1
+        in_big = idx0 < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nt = np.where(
+                in_big,
+                idx0 // np.maximum(q + 1, 1),
+                r + np.where(q > 0, (idx0 - big) // np.maximum(q, 1), 0),
+            ) + 1
         out = {
             key: g[key].take(pa.array(order)),
             order_col: g[order_col].take(pa.array(order)),
             tie_col: g[tie_col].take(pa.array(order)),
             value_col: g[value_col].take(pa.array(order)),
             "row_number": pa.array(rn, pa.int64()),
+            "percent_rank": pa.array(np.round(pr, 6), pa.float64()),
+            "ntile4": pa.array(nt.astype(np.int64), pa.int64()),
             "running_sum": pa.array(np.round(running, 6), pa.float64()),
             "lag_value": pa.array(
                 np.where(lag_valid, lag, np.nan), pa.float64(), from_pandas=True
