@@ -1617,6 +1617,19 @@ def _q_text_near_dup_semantic(sf_dir: str) -> Any:
     ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def _q_lang_quantiles_hist(sf_dir: str) -> Any:
+    """Per-language approximate length quantiles via the grouped
+    mergeable histogram sketch — the unbounded-cardinality scale path
+    beside exact lang_quantiles; deterministic arithmetic, bit-exact
+    oracle."""
+    from dcs_ray.functions.quantiles import grouped_quantiles_histogram
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles_histogram(docs, "lang", "n_chars", [0.5, 0.9], bins=1024)
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1710,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "events_pivot": _q_events_pivot,
         "text_near_dup_semantic": _q_text_near_dup_semantic,
+        "lang_quantiles_hist": _q_lang_quantiles_hist,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2556,6 +2570,31 @@ cos AS (SELECT id_a, id_b, dot / (x.dnorm * y.dnorm) AS c
         FROM dots JOIN dn x ON id_a = x.doc_id JOIN dn y ON id_b = y.doc_id)
 SELECT id_a, id_b, round(c, 6) AS cos_sim FROM cos
 WHERE c >= 0.9 ORDER BY id_a, id_b
+""",
+        "lang_quantiles_hist": """
+WITH lohi AS (SELECT lang, min(n_chars)::double AS lo, max(n_chars)::double AS hi,
+                     CASE WHEN max(n_chars) - min(n_chars) = 0 THEN 1.0
+                          ELSE max(n_chars)::double - min(n_chars)::double END AS w
+              FROM documents GROUP BY lang),
+bins AS (SELECT d.lang,
+                least(floor((d.n_chars::double - lo) / w * 1024)::bigint, 1023) AS bin
+         FROM documents d JOIN lohi USING (lang)),
+hist AS (SELECT lang, bin, count(*)::bigint AS cnt FROM bins GROUP BY 1, 2),
+cum AS (SELECT lang, bin, cnt, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS c FROM hist),
+n AS (SELECT lang, count(*)::bigint AS n FROM bins GROUP BY lang),
+qs AS (SELECT unnest([0.5, 0.9]) AS q),
+tgt AS (SELECT lang, q, greatest(1, ceil(q * n)::bigint) AS target FROM n, qs),
+hit AS (SELECT t.lang, t.q, t.target, min(c.bin) AS bin
+        FROM tgt t JOIN cum c ON c.lang = t.lang AND c.c >= t.target
+        GROUP BY 1, 2, 3),
+fin AS (SELECT h.lang, h.q, h.bin, h.target,
+               coalesce((SELECT max(c2.c) FROM cum c2
+                         WHERE c2.lang = h.lang AND c2.bin < h.bin), 0) AS prev,
+               (SELECT cnt FROM hist WHERE lang = h.lang AND bin = h.bin) AS cnt
+        FROM hit h)
+SELECT f.lang, q::double AS q,
+       lo + (bin + (target - prev)::double / greatest(cnt, 1)) * w / 1024 AS value
+FROM fin f JOIN lohi USING (lang) ORDER BY f.lang, q
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -187,3 +187,100 @@ def approx_quantiles_histogram(
         out_q.append(q)
         out_v.append(lo + (i + frac) * width / bins)
     return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})
+
+
+def grouped_quantiles_histogram(
+    ds: ray.data.Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    bins: int = 1024,
+) -> pa.Table:
+    """Per-group approximate quantiles via the mergeable fixed-bin
+    histogram — the scale path of ``group_quantiles`` for continuous
+    columns: per-group (lo, hi) fold, then per-batch (group, histogram)
+    rows sum-merged by one small groupby. The exchange is
+    |groups| x bins ints per block; error ≤ per-group range / bins.
+    Returns (key, q, value) rows sorted."""
+    import pyarrow.compute as _pc
+
+    # pass 1: per-group lo/hi (group cardinality tiny — driver fold)
+    lohi: dict = {}
+    for b in (
+        ds.select_columns([key, col])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t.group_by([key]).aggregate([(col, "min"), (col, "max")])[c]
+                    for c in (key, f"{col}_min", f"{col}_max")
+                ],
+                names=[key, "lo", "hi"],
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for k, lo, hi in zip(b[key].to_pylist(), b["lo"].to_pylist(), b["hi"].to_pylist()):
+            cur = lohi.get(k)
+            lohi[k] = (
+                (min(cur[0], lo), max(cur[1], hi)) if cur else (lo, hi)
+            )
+    keys = sorted(lohi)
+    lo_arr = np.array([float(lohi[k][0]) for k in keys])
+    w_arr = np.array(
+        [float(lohi[k][1]) - float(lohi[k][0]) or 1.0 for k in keys]
+    )
+    key_arr = pa.array(keys)
+
+    def fold(b: pa.Table) -> pa.Table:
+        idx = _pc.index_in(b[key], value_set=key_arr).to_numpy(zero_copy_only=False)
+        codes = np.asarray(idx, np.int64)
+        v = b[col].to_numpy().astype(np.float64)
+        bi = np.minimum(
+            ((v - lo_arr[codes]) / w_arr[codes] * bins).astype(np.int64), bins - 1
+        )
+        mat = np.zeros((len(keys), bins), np.int64)
+        np.add.at(mat, (codes, bi), 1)
+        used = np.flatnonzero(mat.any(axis=1))
+        return pa.table(
+            {
+                key: key_arr.take(pa.array(used, pa.int64())),
+                "h": pa.array(list(mat[used]), pa.list_(pa.int64())),
+            }
+        )
+
+    folded = ds.select_columns([key, col]).map_batches(fold, batch_format="pyarrow")
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        m = (
+            g["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            .astype(np.int64).reshape(-1, bins).sum(axis=0)
+        )
+        return pa.table({key: g[key].slice(0, 1), "h": pa.array([m], pa.list_(pa.int64()))})
+
+    merged = folded.groupby(key).map_groups(merge_group, batch_format="pyarrow")
+    out_k, out_q, out_v = [], [], []
+    hist_by_key: dict = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for i in range(len(t)):
+            hist_by_key[t[key][i].as_py()] = np.asarray(t["h"][i].as_py(), np.int64)
+    for ki, k in enumerate(keys):
+        hist = hist_by_key[k]
+        cum = np.cumsum(hist)
+        n = int(cum[-1])
+        for q in sorted(qs):
+            target = max(1, int(np.ceil(q * n)))
+            i = int(np.searchsorted(cum, target, side="left"))
+            prev = int(cum[i - 1]) if i else 0
+            frac = (target - prev) / max(int(hist[i]), 1)
+            out_k.append(k)
+            out_q.append(q)
+            out_v.append(lo_arr[ki] + (i + frac) * w_arr[ki] / bins)
+    return pa.table(
+        {
+            key: pa.array(out_k),
+            "q": pa.array(out_q, pa.float64()),
+            "value": pa.array(out_v, pa.float64()),
+        }
+    )

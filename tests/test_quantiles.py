@@ -140,3 +140,36 @@ def test_approx_quantiles_histogram(ray_session):
     # empty input
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert len(approx_quantiles_histogram(empty, "v", [0.5])) == 0
+
+
+def test_grouped_hist_quantiles_error_bound_and_layout(ray_session):
+    """Per-group sketch within range/bins of the exact quantile;
+    identical across block layouts (sum-merge associativity)."""
+    import numpy as np
+
+    from dcs_ray.functions.quantiles import grouped_quantiles_histogram
+
+    rng = np.random.default_rng(8)
+    n = 6000
+    t = pa.table(
+        {
+            "g": pa.array(["x" if i % 2 else "y" for i in range(n)]),
+            "v": pa.array(
+                np.where(np.arange(n) % 2, rng.normal(10, 2, n), rng.normal(50, 9, n))
+            ),
+        }
+    )
+    out = grouped_quantiles_histogram(
+        ray.data.from_arrow(t), "g", "v", [0.5, 0.9], bins=512
+    ).to_pandas()
+    df = t.to_pandas()
+    for g, sub in df.groupby("g"):
+        rng_w = sub.v.max() - sub.v.min()
+        for q in (0.5, 0.9):
+            got = out[(out.g == g) & (out.q == q)].value.iloc[0]
+            exact = np.quantile(sub.v, q)
+            assert abs(got - exact) <= rng_w / 512 * 2 + 1e-9, (g, q, got, exact)
+    out2 = grouped_quantiles_histogram(
+        ray.data.from_arrow(t).repartition(9), "g", "v", [0.5, 0.9], bins=512
+    ).to_pandas()
+    assert out.value.tolist() == out2.value.tolist()
