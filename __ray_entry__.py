@@ -1630,6 +1630,16 @@ def _q_lang_quantiles_hist(sf_dir: str) -> Any:
     return grouped_quantiles_histogram(docs, "lang", "n_chars", [0.5, 0.9], bins=1024)
 
 
+def _q_train_val_test_split(sf_dir: str) -> Any:
+    """Deterministic 80/10/10 split by hash threshold ranges — same id,
+    same split, any cluster size."""
+    from dcs_ray.functions.sampling import split_dataset
+
+    ds = split_dataset(_docs(sf_dir), seed=17)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "split"]).sort_by("doc_id")
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1724,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "text_near_dup_semantic": _q_text_near_dup_semantic,
         "lang_quantiles_hist": _q_lang_quantiles_hist,
+        "train_val_test_split": _q_train_val_test_split,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2595,6 +2606,14 @@ fin AS (SELECT h.lang, h.q, h.bin, h.target,
 SELECT f.lang, q::double AS q,
        lo + (bin + (target - prev)::double / greatest(cnt, 1)) * w / 1024 AS value
 FROM fin f JOIN lohi USING (lang) ORDER BY f.lang, q
+""",
+        "train_val_test_split": f"""
+WITH {_splitmix_docs_ctes(17)}
+SELECT doc_id,
+       CASE WHEN h < 14757395258967642112 THEN 'train'
+            WHEN h < 16602069666338596864 THEN 'val'
+            ELSE 'test' END AS split
+FROM hf ORDER BY doc_id
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),

@@ -160,3 +160,29 @@ def rebalance_to_weights(
         return b.filter(pa.array(ok))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def split_dataset(
+    ds: ray.data.Dataset,
+    fractions: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Deterministic disjoint split: row → the bucket whose cumulative
+    hash-threshold range contains splitmix64(id ^ seed). Same id, same
+    split, on every run and cluster size; no shuffle, no state."""
+    assert len(fractions) == len(names) and abs(sum(fractions) - 1.0) < 1e-9
+    cum = np.cumsum(fractions)
+    thresholds = np.array(
+        [min(int(c * float(1 << 64)), (1 << 64) - 1) for c in cum], np.uint64
+    )
+    name_arr = pa.array(list(names))
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = _row_hash(b[id_col].to_numpy(), seed)
+        idx = np.searchsorted(thresholds, h, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        return b.append_column("split", name_arr.take(pa.array(idx, pa.int64())))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -174,3 +174,23 @@ def test_interval_join_matches_bruteforce(ray_session):
     )
     assert sorted(zip(out.lid, out.rid)) == want
     assert len(want) > 0
+
+
+def test_split_dataset_disjoint_stable(ray_session):
+    """Splits are disjoint, exhaustive, deterministic, and roughly
+    proportional."""
+    import numpy as np
+
+    from dcs_ray.functions.sampling import split_dataset
+
+    t = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    out = split_dataset(ray.data.from_arrow(t), seed=3).to_pandas()
+    assert len(out) == 5000
+    vc = out.split.value_counts()
+    assert set(vc.index) == {"train", "val", "test"}
+    assert abs(vc["train"] / 5000 - 0.8) < 0.03
+    assert abs(vc["val"] / 5000 - 0.1) < 0.02
+    out2 = split_dataset(
+        ray.data.from_arrow(t).repartition(7), seed=3
+    ).to_pandas().sort_values("doc_id")
+    assert out.sort_values("doc_id").split.tolist() == out2.split.tolist()
