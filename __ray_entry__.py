@@ -1640,6 +1640,42 @@ def _q_train_val_test_split(sf_dir: str) -> Any:
     return t.select(["doc_id", "split"]).sort_by("doc_id")
 
 
+def _q_bm25_page2(sf_dir: str) -> Any:
+    """Pagination (S8): page 2 of the ranking — top-20 minus top-10,
+    exact and deterministic."""
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["spark merge join"], k=20)
+    page = t.slice(10, 10)
+    return pa.table(
+        {
+            "rank": page["rank"].cast(pa.int64()),
+            "doc_id": page["doc_id"].cast(pa.int64()),
+            "score": page["score"],
+        }
+    )
+
+
+def _q_bm25_multi(sf_dir: str) -> Any:
+    """Batched query fan-out: three queries ranked in ONE Ray pipeline
+    (per-shard tasks score all queries against their shard)."""
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(
+        words, ["spark merge join", "customer window batch", "vector column agg"], k=5
+    )
+    return pa.table(
+        {
+            "query_id": t["query_id"].cast(pa.int64()),
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
 def _q_doc_lm_score(sf_dir: str) -> Any:
     """Self-trained bigram LM quality scores: counts trained in one
     corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
@@ -1735,6 +1771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_near_dup_semantic": _q_text_near_dup_semantic,
         "lang_quantiles_hist": _q_lang_quantiles_hist,
         "train_val_test_split": _q_train_val_test_split,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_multi": _q_bm25_multi,
         "doc_lm_score": _q_doc_lm_score,
         "rebalance_mixture": _q_rebalance_mixture,
         "quality_classifier": _q_quality_classifier,
@@ -2614,6 +2652,40 @@ SELECT doc_id,
             WHEN h < 16602069666338596864 THEN 'val'
             ELSE 'test' END AS split
 FROM hf ORDER BY doc_id
+""",
+        "bm25_page2": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10
+""",
+        "bm25_multi": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q(query_id, term) AS (SELECT * FROM (VALUES
+  (0, 'spark'), (0, 'merge'), (0, 'join'),
+  (1, 'customer'), (1, 'window'), (1, 'batch'),
+  (2, 'vector'), (2, 'column'), (2, 'agg'))),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) JOIN q ON tf.term = q.term, stats
+  GROUP BY q.query_id, tf.doc_id
+),
+rk AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+       FROM scores)
+SELECT query_id::bigint AS query_id, rn::bigint AS rank, doc_id,
+       round(score, 6) AS score
+FROM rk WHERE rn <= 5 ORDER BY query_id, rank
 """,
         "doc_lm_score": f"""
 WITH toks AS ({_TOKS_LIST}),
