@@ -42,6 +42,20 @@ BM25_QUERIES = [
 ] * 2  # 20 queries
 
 
+def _malloc_tuning() -> None:
+    """Keep large numpy buffers on the (page-warm) glibc heap instead of
+    fresh mmaps. On this host the hypervisor throttles first-touch
+    faults of newly mmapped pages to ~10 MB/s (see BASELINE.md fourth
+    axis); with mmap disabled for malloc, the heap grows to its
+    high-water mark once and every later allocation reuses warm pages
+    (measured 0.004 GB/s first touch -> 180-210 GB/s reuse). Set BEFORE
+    ray.init so every worker inherits it. Trade-off: per-process RSS
+    stays at the high-water mark (TRIM disabled) — fine for fixed-size
+    batch workers, and a legitimate tuning on healthy hosts too."""
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+
+
 def host_calibration() -> dict:
     """Host-health probes run outside Ray. The sandbox VM is shared and
     degrades along TWO independent axes between windows (see BASELINE.md
@@ -132,6 +146,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    _malloc_tuning()
     ray.init(
         address="local",
         num_cpus=num_cpus,
@@ -329,6 +344,7 @@ def run_scaling_one(input_dir: str, num_cpus: int, num_partitions: int) -> dict:
     import ray
 
     os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    _malloc_tuning()
     ray.init(
         address="local", num_cpus=num_cpus, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
