@@ -17,6 +17,12 @@ import time
 def _ray():
     import ray
 
+    # large numpy temporaries on the warm heap, not fresh mmaps —
+    # counters the host's first-touch fault throttling (BASELINE.md
+    # fourth axis) and is harmless elsewhere; must precede ray.init so
+    # workers inherit it
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
     if not ray.is_initialized():
         # honor RAY_ADDRESS so `ray job submit` runs connect to the
         # submitting cluster; a bare/local address starts a local
