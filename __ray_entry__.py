@@ -1150,10 +1150,19 @@ def _q_audio_features(sf_dir: str) -> Any:
 
 
 def _q_video_frames(sf_dir: str) -> Any:
-    from dcs_ray.functions.multimodal import sample_video_frames, synthesize_media
+    """REAL demux path: concatenated-PPM streams parsed frame by frame
+    in an actor pool; 4 frames sampled evenly per stream, each emitted
+    as a standalone decodable PPM."""
+    from dcs_ray.functions.multimodal import (
+        PpmStreamFrameSampler,
+        synthesize_ppm_video,
+    )
 
-    media = ray.data.from_arrow(synthesize_media(32))
-    ds = sample_video_frames(media, k=4, concurrency=2)
+    media = ray.data.from_arrow(synthesize_ppm_video(32))
+    ds = media.map_batches(
+        PpmStreamFrameSampler, fn_constructor_kwargs={"k": 4}, concurrency=2,
+        batch_size=16, batch_format="pyarrow", num_cpus=1,
+    )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
     return t.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
 

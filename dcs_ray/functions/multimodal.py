@@ -3,9 +3,10 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / feature-extract run as actor-pool
 ``map_batches`` stages (model/codec loaded once per actor in
-``__init__``). Two decode paths are REAL and dependency-free — P6 PPM
-images and RIFF/WAVE PCM16 audio (pure-numpy parsers, round-trip
-tested) — feeding real per-channel/windowed features. Compressed
+``__init__``). Three decode paths are REAL and dependency-free — P6 PPM images,
+RIFF/WAVE PCM16 audio, and concatenated-PPM video streams (pure-numpy
+parsers, round-trip tested) — feeding real per-channel/windowed
+features and real frame sampling. Compressed
 formats (JPEG/PNG/FLAC/MP4) still raise ``DecodeUnavailable`` (no
 codec libraries in the sandbox); their extractors keep the same
 actor-pool shape with a deterministic fake in the decode slot.
@@ -458,3 +459,108 @@ class PpmImageResizer:
                 ),
             }
         )
+
+
+def _ppm_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte ranges of each P6 frame in a concatenated-PPM
+    stream — a real demux: every frame is parsed from its own header,
+    no fixed-size assumption."""
+    offs = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"P6":
+            raise DecodeUnavailable(f"bad frame header at byte {pos}")
+        p = pos + 2
+        fields: list[int] = []
+        while len(fields) < 3:
+            while p < n and payload[p : p + 1].isspace():
+                p += 1
+            if payload[p : p + 1] == b"#":
+                p = payload.index(b"\n", p) + 1
+                continue
+            e = p
+            while e < n and not payload[e : e + 1].isspace():
+                e += 1
+            fields.append(int(payload[p:e]))
+            p = e
+        p += 1  # single whitespace after maxval
+        w, h, _maxval = fields
+        end = p + w * h * 3
+        if end > n:
+            raise DecodeUnavailable("truncated frame")
+        offs.append((pos, end))
+        pos = end
+    return offs
+
+
+class PpmStreamFrameSampler:
+    """Actor-pool stage with a REAL demux: the payload is a stream of
+    concatenated P6 frames; ``__call__`` parses every frame header to
+    index the stream, samples k frames evenly across it, and emits each
+    as a standalone (decodable) PPM payload with its frame index and
+    timestamp. The contract a real container demuxer fills; compressed
+    containers (MP4 etc.) still raise ``DecodeUnavailable``."""
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        dur = (
+            batch["duration_ms"].combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )
+        payloads = batch["payload"].combine_chunks()
+        out_id, out_fi, out_ts, out_frame = [], [], [], []
+        for i, p in enumerate(payloads):
+            raw = p.as_py()
+            frames = _ppm_frame_offsets(raw)
+            nf = len(frames)
+            take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]
+            for j, fi in enumerate(take):
+                s, e = frames[fi]
+                out_id.append(ids[i])
+                out_fi.append(fi)
+                out_ts.append(int(dur[i]) * fi // max(nf, 1))
+                out_frame.append(raw[s:e])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int32()),
+                "frame": pa.array(out_frame, pa.binary()),
+            }
+        )
+
+
+def synthesize_ppm_video(
+    n: int = 8, frames: int = 12, w: int = 16, h: int = 12, seed: int = 4
+) -> pa.Table:
+    """Deterministic REAL videos: ``frames`` concatenated P6 frames per
+    row (content varies per frame so sampling is verifiable)."""
+    rows = []
+    for i in range(n):
+        chunks = []
+        for f in range(frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 11 + f * 17 + i) % 256,
+                    (yy * 7 + f * 29) % 256,
+                    (xx + yy + f + i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            chunks.append(encode_ppm(img))
+        rows.append(b"".join(chunks))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.full(n, frames * 40, np.int32), pa.int32()),
+        }
+    )

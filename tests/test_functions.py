@@ -560,3 +560,33 @@ def test_running_agg_segmented_scan(ray_session):
         np.testing.assert_allclose(
             sub.lag_value[1:].to_numpy(), g.v.to_numpy()[:-1], atol=0
         )
+
+
+def test_ppm_stream_demux_real(ray_session):
+    """The stream sampler demuxes real frame boundaries: every sampled
+    frame decodes back to the exact synthesized image."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        PpmStreamFrameSampler,
+        _ppm_frame_offsets,
+        decode_ppm,
+        synthesize_ppm_video,
+    )
+
+    media = synthesize_ppm_video(5, frames=10)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(PpmStreamFrameSampler, fn_constructor_kwargs={"k": 3},
+                     concurrency=2, batch_size=2, batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 15
+    for _, row in out.iterrows():
+        raw = media["payload"][int(row.media_id)].as_py()
+        offs = _ppm_frame_offsets(raw)
+        s, e = offs[int(row.frame_idx)]
+        assert bytes(row.frame) == raw[s:e]
+        assert decode_ppm(bytes(row.frame)).shape == (12, 16, 3)
