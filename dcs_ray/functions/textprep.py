@@ -326,9 +326,11 @@ def chunk_documents(
         tok_idx = run_start + within
         toks = flat.take(pa.array(tok_idx, pa.int64()))
         offsets = pa.array(
-            np.concatenate(([0], np.cumsum(lens))).astype(np.int32), pa.int32()
+            np.concatenate(([0], np.cumsum(lens))).astype(np.int64), pa.int64()
         )
-        lists = pa.ListArray.from_arrays(offsets, toks)
+        # large_list: chunk token totals in a batch can pass 2^31 at
+        # production block sizes
+        lists = pa.LargeListArray.from_arrays(offsets, toks)
         text = pc.binary_join(lists, " ")
         return pa.table(
             {
