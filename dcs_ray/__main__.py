@@ -213,6 +213,10 @@ def cmd_dedup(args) -> None:
         from dcs_ray.functions.dedup import simhash_near_dup_pairs
 
         out = simhash_near_dup_pairs(ds, id_col=args.id_col, max_hamming=3)
+    elif args.method == "fuzzy":
+        from dcs_ray.functions.dedup import fuzzy_dedup_keep
+
+        out = fuzzy_dedup_keep(ds, id_col=args.id_col, threshold=args.threshold)
     else:  # jaccard
         from dcs_ray.functions.dedup import ngram_jaccard_pairs
 
@@ -295,6 +299,23 @@ def cmd_cleanup(args) -> None:
 
     removed = cleanup_stale(args.index)
     print(json.dumps({"removed": removed}))
+
+
+def cmd_explain(args) -> None:
+    """Print the trigram query plan for a regex — the candidate
+    restriction the index evaluates before verification (the debugging
+    view dcs exposes through `dcs trigram`/replay logs)."""
+    from dcs_ray.queryplan import regexp_query, rewrite_query
+
+    rest, include, exclude = rewrite_query(args.query)
+    plan = regexp_query(rest)
+    print(json.dumps({
+        "query": args.query,
+        "rewritten": rest,
+        "include_filters": include,
+        "exclude_filters": exclude,
+        "plan": repr(plan),
+    }, indent=2))
 
 
 def cmd_ann(args) -> None:
@@ -472,11 +493,15 @@ def main() -> None:
     d = sub.add_parser("dedup", help="near-duplicate detection over documents parquet")
     d.add_argument("input")
     d.add_argument("--method", default="exact",
-                   choices=["exact", "minhash", "simhash", "jaccard"])
+                   choices=["exact", "minhash", "simhash", "jaccard", "fuzzy"])
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_dedup)
+
+    d = sub.add_parser("explain", help="trigram query plan for a regex")
+    d.add_argument("query")
+    d.set_defaults(fn=cmd_explain)
 
     d = sub.add_parser("cat", help="print a document's text by id (dcs raw)")
     d.add_argument("input")
