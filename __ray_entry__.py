@@ -1222,24 +1222,29 @@ def _q_repetition_stats(sf_dir: str) -> Any:
 
 
 def _q_cross_snapshot_dedup(sf_dir: str) -> Any:
-    """Cross-snapshot bloom dedup: a 4 Mi-bit filter built over the
-    "old" snapshot (even doc_ids) is broadcast once; the "new" snapshot
+    """Cross-snapshot bloom dedup: a filter built over the "old"
+    snapshot (even doc_ids) is broadcast once; the "new" snapshot
     streams through a vectorized probe keeping rows definitely not seen.
-    At this filter size / corpus size the false-positive mass is ~1e-9,
-    so the output equals the exact NOT-IN oracle."""
+    The filter is sized from the snapshot's row count (m ≥ 128·n bits,
+    floor 4 Mi) so the expected false-drop mass stays ≪ 1 row at EVERY
+    gated scale — at m=128n, k=7 the per-probe FP rate is
+    (1-e^{-7/128})^7 ≈ 1e-9, so the output equals the exact NOT-IN
+    oracle with overwhelming probability."""
+    import math
+
     import ray as _ray
 
     from dcs_ray.functions.sketches import bloom_anti_join, bloom_build
 
     def is_old(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
         return b.filter(pa.array(b["doc_id"].to_numpy() % 2 == 0))
 
+    n = max(_docs(sf_dir).count(), 1)  # parquet metadata count — cheap
+    m_log2 = max(22, math.ceil(math.log2(n)) + 7)
     old = _docs(sf_dir).map_batches(is_old, batch_format="pyarrow")
-    bloom = bloom_build(old, "text", m_log2=22, k=7)
+    bloom = bloom_build(old, "text", m_log2=m_log2, k=7)
     ref = _ray.put(bloom)
-    kept = bloom_anti_join(_docs(sf_dir), ref, "text", m_log2=22, k=7)
+    kept = bloom_anti_join(_docs(sf_dir), ref, "text", m_log2=m_log2, k=7)
     t = pa.concat_tables(
         [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
     )
@@ -2396,7 +2401,7 @@ SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_contaminated,
        coalesce(c.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
 """,
-        "pii_scrub": """
+        "pii_scrub": r"""
 WITH injected AS (
   SELECT doc_id,
          text || CASE WHEN doc_id % 7 = 0

@@ -40,6 +40,45 @@ def exact_dedup_keep_min(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.da
     return hashed.groupby("text_hash").min(id_col)
 
 
+def exact_dedup_rows_keep_min(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Corpus-scale exact dedup that keeps the ENTIRE minimum-id row per
+    distinct text — the hash-partitioned route with no driver-side id
+    set of any size.
+
+    One exchange: rows are grouped by a coarse bucket of the content
+    hash (``hash % n_buckets``), then each bucket runs one vectorized
+    keep-first kernel (single lexsort by (hash, id), boolean first-of-run
+    mask) — O(buckets) Python calls, never O(distinct texts). Identical
+    output set to ``exact_dedup_keep_min`` joined back on id, without
+    materializing the kept ids anywhere. Size ``n_buckets`` ≈ a few ×
+    cluster cores; per-bucket memory is corpus/n_buckets.
+    """
+
+    def hash_batch(b: pa.Table) -> pa.Table:
+        h = content_hash_rows(b[text_col])
+        return b.append_column(
+            "__text_hash", pa.array(h.astype(np.int64), pa.int64())
+        ).append_column(
+            "__bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def keep_min(g: pa.Table) -> pa.Table:
+        h = g["__text_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, h))  # within hash: smallest id first
+        hs = h[order]
+        first = np.concatenate(([True], hs[1:] != hs[:-1]))
+        return g.take(pa.array(order[first])).drop_columns(["__text_hash", "__bucket"])
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    return hashed.groupby("__bucket").map_groups(keep_min, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # shingles + minhash
 # ---------------------------------------------------------------------------

@@ -114,8 +114,10 @@ def bigram_lm_scores(
             w1h = th[:-1][same]
 
             def lookup(table_h, table_c, keys):
+                if len(table_h) == 0:  # empty reference corpus → all misses
+                    return np.zeros(len(keys), np.int64)
                 idx = np.searchsorted(table_h, keys)
-                idx_c = np.minimum(idx, len(table_h) - 1) if len(table_h) else idx
+                idx_c = np.minimum(idx, len(table_h) - 1)
                 hit = (idx < len(table_h)) & (table_h[idx_c] == keys)
                 out = np.zeros(len(keys), np.int64)
                 out[hit] = table_c[idx_c[hit]]

@@ -160,7 +160,7 @@ def approx_quantiles_histogram(
 
     def premerge(t: pa.Table) -> pa.Table:
         m = (
-            t["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            t["h"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.int64).reshape(-1, bins).sum(axis=0)
         )
         return pa.table({"h": pa.array([m], pa.list_(pa.int64()))})
@@ -173,7 +173,7 @@ def approx_quantiles_histogram(
         t = pa.table(b)
         if len(t):
             hist += (
-                t["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+                t["h"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
                 .astype(np.int64).reshape(-1, bins).sum(axis=0)
             )
     cum = np.cumsum(hist)
@@ -253,7 +253,7 @@ def grouped_quantiles_histogram(
 
     def merge_group(g: pa.Table) -> pa.Table:
         m = (
-            g["h"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            g["h"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.int64).reshape(-1, bins).sum(axis=0)
         )
         return pa.table({key: g[key].slice(0, 1), "h": pa.array([m], pa.list_(pa.int64()))})

@@ -148,7 +148,7 @@ def approx_distinct_hll(
 
     def _rows_to_matrix(t: pa.Table) -> np.ndarray:
         return (
-            t["regs"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            t["regs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.uint8)
             .reshape(-1, m)
         )
@@ -264,7 +264,7 @@ def cms_heavy_hitters(
 
     def _cms_rows(t: pa.Table) -> np.ndarray:
         return (
-            t["cms"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            t["cms"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.int64)
             .reshape(-1, depth * width)
         )
@@ -385,18 +385,34 @@ def bloom_might_contain(
     return bits.all(axis=1)
 
 
-def bloom_build(
-    ds: ray.data.Dataset, col: str, m_log2: int = 22, k: int = 7
-) -> np.ndarray:
-    """OR-combine per-block bitsets into one filter.
+def _bloom_or_rows(t: pa.Table, n_words: int) -> np.ndarray:
+    """Vectorized OR of a table of binary bitset rows → one word array."""
+    arr = t["bits"].combine_chunks().cast(pa.large_binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+    # rows are fixed-length and contiguous; slice by offsets so zero-copy
+    # slice views (nonzero arr.offset) read the right bytes
+    mat = data[offs[0] : offs[-1]].view(np.uint64).reshape(len(arr), n_words)
+    return np.bitwise_or.reduce(mat, axis=0)
 
-    Each block emits one 2**m_log2-bit bitset (0.5 MiB at the default)
-    and the driver ORs them — commutative/associative, so at cluster
-    scale this drops into a tree reduce (`ray.util` style) without
-    changing per-block work; single-node the driver OR is the tree root.
-    Keys are hashed with the same `_hash64_column` used by exact dedup,
-    so a filter built on one snapshot probes another byte-compatibly.
+
+def bloom_build(
+    ds: ray.data.Dataset, col: str, m_log2: int = 22, k: int = 7,
+    fanin: int = 64, levels: int = 3,
+) -> np.ndarray:
+    """OR-combine per-block bitsets into one filter via a TREE reduce.
+
+    Each block emits one 2**m_log2-bit bitset (0.5 MiB at the default);
+    ``levels`` layers of ``fanin``-way ``map_batches`` OR-merges (same
+    shape as the HLL/CMS sketch pre-merge above) coalesce them inside
+    workers, so the driver folds at most ~``fanin`` rows no matter how
+    many input blocks there are — 3 levels × 64-way covers 64^4 ≈ 16M
+    blocks (~500 TB at 32 MB blocks). OR is commutative/associative, so
+    the tree shape cannot change the result. Keys are hashed with the
+    same `_hash64_column` used by exact dedup, so a filter built on one
+    snapshot probes another byte-compatibly.
     """
+    n_words = 1 << max(m_log2 - 6, 0)
 
     def per_block(batch: pa.Table) -> pa.Table:
         h = _hash64_column(batch[col])
@@ -404,12 +420,19 @@ def bloom_build(
             {"bits": pa.array([bloom_from_hashes(h, m_log2, k).tobytes()], pa.binary())}
         )
 
-    words = np.zeros(1 << max(m_log2 - 6, 0), np.uint64)
-    for b in ds.map_batches(per_block, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        for row in b["bits"]:
-            words |= np.frombuffer(row.as_py(), np.uint64)
+    def or_merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bits": pa.array([_bloom_or_rows(t, n_words).tobytes()], pa.binary())}
+        )
+
+    folded = ds.map_batches(per_block, batch_format="pyarrow")
+    for _ in range(levels):
+        folded = folded.map_batches(or_merge, batch_size=fanin, batch_format="pyarrow")
+    words = np.zeros(n_words, np.uint64)
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if len(t):
+            words |= _bloom_or_rows(t, n_words)
     return words
 
 
@@ -483,7 +506,7 @@ def grouped_approx_distinct_hll(
 
     def merge_group(g: pa.Table) -> pa.Table:
         mat = (
-            g["regs"].combine_chunks().values.to_numpy(zero_copy_only=False)
+            g["regs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
             .astype(np.uint8).reshape(-1, m)
         )
         return pa.table(

@@ -297,26 +297,25 @@ def first_match_snippets(
     ``find_substring`` kernel per term + one ``utf8_slice_codeunits``.
     The result-presentation stage of a search API (the reference shows
     per-match context the same way, ``internal/index/read.go:484-528``)."""
-    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    n = len(texts)
-    best = np.full(n, np.iinfo(np.int64).max, np.int64)
-    for t in terms:
-        pos = pc.find_substring(texts, t).to_numpy(zero_copy_only=False).astype(np.int64)
-        found = pos >= 0
-        best = np.where(found & (pos < best), pos, best)
-    have = best != np.iinfo(np.int64).max
-    start = np.maximum(best - before, 0)
-    start[~have] = 0
-    # per-row variable-offset slice; this stage runs on RESULT sets
-    # (top-k rows), not the corpus, so the row loop is O(k)
-    py = texts.to_pylist()
-    out = [
-        (py[i] or "")[start[i] : start[i] + width] if have[i] else ""
-        for i in range(n)
-    ]
+    # find AND slice both on the Python str so offsets are codepoints
+    # end-to-end (pc.find_substring returns BYTE offsets, which diverge
+    # from codepoint slicing on any non-ASCII text); this stage runs on
+    # RESULT sets (top-k rows), not the corpus, so the row loop is O(k)
+    out = []
+    for s in texts.to_pylist():
+        s = s or ""
+        best = -1
+        for t in terms:
+            p = s.find(t)
+            if p >= 0 and (best < 0 or p < best):
+                best = p
+        if best < 0:
+            out.append("")
+        else:
+            start = max(best - before, 0)
+            out.append(s[start : start + width])
     return pa.array(out, pa.string())

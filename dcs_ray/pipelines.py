@@ -11,10 +11,13 @@ oracle (see ``__ray_entry__._q_curate_corpus``).
 Scale shape: stages 1 and 3 are per-batch map_batches (no exchange;
 the benchmark n-gram set is a broadcast ``ray.put``), stage 4 is a
 counts pass + broadcast threshold probe. Stage 2 (exact dedup) is the
-only shuffle: at gate scale the surviving-id set is broadcast back as
-a semi-join filter; at corpus scale swap in the hash-partitioned
-``groupby(content_hash).map_groups`` route the dedup module already
-uses — the surrounding stages are unchanged either way.
+only shuffle, and the DEFAULT route is the one that survives 100×: a
+hash-partitioned ``groupby(content-hash bucket)`` with a vectorized
+keep-min kernel per bucket (``dedup.exact_dedup_rows_keep_min``) — the
+driver never holds an array proportional to the corpus. The broadcast
+route (kept-id set ``ray.put`` back as a semi-join filter) remains an
+explicit opt-in fast path for small corpora where one extra exchange
+costs more than shipping the id set.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ def curate_corpus(
     ngram_n: int = 3,
     seed: int = 11,
     id_col: str = "doc_id",
+    dedup_route: str = "partitioned",
 ) -> ray.data.Dataset:
     """Returns the curated corpus as ``(doc_id, lang, n_tokens)``.
 
@@ -42,8 +46,10 @@ def curate_corpus(
     ``filtering.benchmark_ngram_set`` (the held-out eval suite).
     ``weights`` / ``total_target``: the training-mixture target
     (``sampling.rebalance_to_weights`` semantics, integer-exact).
+    ``dedup_route``: ``"partitioned"`` (default — scale-safe, no
+    driver-side id set) or ``"broadcast"`` (small-N fast path).
     """
-    from dcs_ray.functions.dedup import exact_dedup_keep_min
+    from dcs_ray.functions.dedup import exact_dedup_keep_min, exact_dedup_rows_keep_min
     from dcs_ray.functions.filtering import ngram_hashes, repetition_stats_batch
     from dcs_ray.functions.sampling import rebalance_to_weights
 
@@ -56,33 +62,7 @@ def curate_corpus(
             "n_tokens", stats["n_tokens"]
         ).filter(pa.array(keep))
 
-    # checkpoint: the filtered set has THREE consumers (dedup agg, the
-    # decontam pass, and through it the rebalance counts + final pass) —
-    # materialize once into the (spillable) object store instead of
-    # re-reading and re-tokenizing the corpus per consumer
-    filtered = docs.map_batches(stage_filter, batch_format="pyarrow").materialize()
-
-    # stage 2: exact dedup over the survivors; keep-min ids broadcast
-    # back as a semi-join filter (gate-scale route; see module docstring)
-    kept_ids = np.sort(
-        np.concatenate(
-            [np.empty(0, np.int64)]
-            + [
-                pa.table(b)[f"min({id_col})"].to_numpy().astype(np.int64)
-                for b in exact_dedup_keep_min(filtered, id_col=id_col).iter_batches(
-                    batch_format="pyarrow"
-                )
-            ]
-        )
-    )
-    ids_ref = ray.put(kept_ids)
-
-    def stage_dedup_decontam(b: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        rows = b[id_col].to_numpy()
-        pos = np.searchsorted(ids, rows)
-        in_kept = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == rows)
-        b = b.filter(pa.array(in_kept))
+    def stage_decontam(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return b
         bench = ray.get(bench_hashes_ref)
@@ -94,9 +74,45 @@ def curate_corpus(
             contaminated[parents[hit]] = True
         return b.filter(pa.array(~contaminated))
 
-    clean = filtered.map_batches(
-        stage_dedup_decontam, batch_format="pyarrow"
-    ).materialize()  # two consumers: rebalance counts pass + final filter
+    if dedup_route == "partitioned":
+        # single-consumer stages stream straight into the dedup exchange;
+        # nothing is materialized until `clean` (two consumers: the
+        # rebalance counts pass + the final threshold filter)
+        filtered = docs.map_batches(stage_filter, batch_format="pyarrow")
+        deduped = exact_dedup_rows_keep_min(filtered, id_col=id_col)
+        clean = deduped.map_batches(
+            stage_decontam, batch_format="pyarrow"
+        ).materialize()
+    else:
+        # checkpoint: the filtered set has THREE consumers here (dedup
+        # agg, the decontam pass, and through it the rebalance counts +
+        # final pass) — materialize once into the (spillable) object
+        # store instead of re-reading and re-tokenizing per consumer
+        filtered = docs.map_batches(stage_filter, batch_format="pyarrow").materialize()
+        kept_ids = np.sort(
+            np.concatenate(
+                [np.empty(0, np.int64)]
+                + [
+                    pa.table(b)[f"min({id_col})"].to_numpy().astype(np.int64)
+                    for b in exact_dedup_keep_min(filtered, id_col=id_col).iter_batches(
+                        batch_format="pyarrow"
+                    )
+                ]
+            )
+        )
+        ids_ref = ray.put(kept_ids)
+
+        def stage_dedup(b: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            rows = b[id_col].to_numpy()
+            pos = np.searchsorted(ids, rows)
+            in_kept = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == rows)
+            return b.filter(pa.array(in_kept))
+
+        clean = filtered.map_batches(
+            lambda b: stage_decontam(stage_dedup(b)), batch_format="pyarrow"
+        ).materialize()
+
     balanced = rebalance_to_weights(
         clean, "lang", weights, total_target, id_col=id_col, seed=seed
     )

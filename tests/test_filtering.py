@@ -128,6 +128,76 @@ def test_bloom_anti_join_cross_snapshot(ray_session):
     assert kept.doc_id.tolist() == [11]
 
 
+def test_bloom_build_tree_reduce_matches_flat_or(ray_session):
+    """The layered map_batches OR-tree over 128+ one-row blocks yields
+    the identical bitset to a single flat fold — OR is associative, the
+    tree shape must not matter — and the driver-visible fold stays tiny."""
+    n_blocks = 130
+    texts = [f"doc number {i} payload" for i in range(n_blocks)]
+    tbl = pa.table({"text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+    tree = bloom_build(ds, "text", m_log2=16, k=7, fanin=4, levels=3)
+    from dcs_ray.functions.sketches import _hash64_column as h64
+
+    flat = bloom_from_hashes(h64(pa.array(texts)), m_log2=16, k=7)
+    assert np.array_equal(tree, flat)
+    # every member still probes positive through the tree-built filter
+    assert bloom_might_contain(tree, h64(pa.array(texts)), 16, 7).all()
+
+
+def test_curate_default_route_scale_safe(ray_session, monkeypatch):
+    """Default (partitioned) route: identical output to the broadcast
+    route, and the driver never ray.puts an id array proportional to
+    the corpus — the VERDICT-r2 #1 done-condition."""
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+    import dcs_ray.pipelines as P
+
+    n = 400
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en" if i % 3 else "de" for i in range(n)]),
+            # every third doc duplicates its predecessor's text
+            "text": pa.array(
+                [
+                    " ".join(f"tok{(i - (i % 3 == 0)) * 17 % 97}_{j}" for j in range(20))
+                    for i in range(n)
+                ]
+            ),
+        }
+    )
+    bench = benchmark_ngram_set(
+        ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([99], pa.int64()),
+                      "text": pa.array(["tok0_0 tok0_1 tok0_2"])})
+        ),
+        n=3,
+    )
+    bench_ref = ray.put(bench)
+
+    put_sizes = []
+    real_put = P.ray.put
+
+    def spy_put(obj, *a, **k):
+        if isinstance(obj, np.ndarray):
+            put_sizes.append(len(obj))
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(P.ray, "put", spy_put)
+    out_part = curate_corpus(
+        ray.data.from_arrow(docs), bench_ref, {"en": 2, "de": 1}, 10**9,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # no driver-side array anywhere near corpus size on the default route
+    assert all(s < n // 4 for s in put_sizes), put_sizes
+    out_bcast = curate_corpus(
+        ray.data.from_arrow(docs), bench_ref, {"en": 2, "de": 1}, 10**9,
+        dedup_route="broadcast",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out_part.equals(out_bcast)
+    assert len(out_part) > 0
+
+
 def test_curate_corpus_stage_semantics(ray_session):
     """The composition drops the right rows for the right reasons."""
     from dcs_ray.functions.filtering import benchmark_ngram_set
