@@ -1115,15 +1115,24 @@ def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def _q_image_features(sf_dir: str) -> Any:
-    """REAL decode path: deterministic P6 PPM images decoded by the
-    pure-numpy parser in an actor pool, per-channel stats + luma grid
-    features (rows-only gate; pytest pins values vs straight numpy)."""
+    """REAL decode path: a MIXED corpus of deterministic P6 PPM and
+    zlib-compressed PNG images (same pixel recipes), sniffed and decoded
+    per row by the dependency-free parsers in an actor pool, →
+    per-channel stats + luma grid features (rows-only gate; pytest pins
+    values vs straight numpy and cross-codec equality)."""
     from dcs_ray.functions.multimodal import (
         PpmImageFeatureExtractor,
+        synthesize_png_media,
         synthesize_ppm_media,
     )
 
-    media = ray.data.from_arrow(synthesize_ppm_media(64))
+    ppm = synthesize_ppm_media(32)
+    png = synthesize_png_media(32)
+    png = png.set_column(
+        png.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 64), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm, png]))
     ds = media.map_batches(
         PpmImageFeatureExtractor, concurrency=2, batch_size=32,
         batch_format="pyarrow", num_cpus=1,

@@ -310,6 +310,152 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3|4) or (h, w) uint8 → PNG (8-bit, filter 0 scanlines,
+    stdlib zlib). Dependency-free encoder for fixtures and sinks."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        color_type, ch = 0, 1
+        img = img[:, :, None]
+    elif img.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif img.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise DecodeUnavailable("unsupported channel count")
+    assert img.dtype == np.uint8
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # one filter-0 byte per scanline, then the raw row
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * ch)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, channels) uint8 via stdlib ``zlib`` + full filter
+    unfiltering (None/Sub/Up/Average/Paeth per the public PNG spec).
+
+    Supports the formats a web crawl's image column overwhelmingly
+    uses: 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
+    non-interlaced. Sub unfilters as a per-channel cumulative sum and
+    Up as one vector add; Average/Paeth carry a true left-neighbor
+    dependency, so those rows run a per-pixel loop (vectorized across
+    channels) — correctness first, and filter-0/2 rows (the common
+    encoder output) stay fully vectorized. Palette, 16-bit and
+    interlaced images raise ``DecodeUnavailable``."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise DecodeUnavailable("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = []
+    w = h = None
+    ch = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or comp != 0 or filt != 0:
+                raise DecodeUnavailable("only 8-bit, zlib, filter-method-0 PNG")
+            if interlace != 0:
+                raise DecodeUnavailable("interlaced PNG unsupported")
+            ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+            if ch is None:
+                raise DecodeUnavailable(f"color type {color_type} unsupported")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise DecodeUnavailable("missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable("scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64).reshape(h, w, ch)
+    out = np.zeros((h, w, ch), np.int64)
+    prev = np.zeros((w, ch), np.int64)
+    for y in range(h):
+        ft = filters[y]
+        r = data[y]
+        if ft == 0:  # None
+            rec = r
+        elif ft == 1:  # Sub: cumulative sum along x, per channel
+            rec = np.cumsum(r, axis=0) % 256
+        elif ft == 2:  # Up
+            rec = (r + prev) % 256
+        elif ft == 3:  # Average — serial left dependency
+            rec = np.zeros_like(r)
+            left = np.zeros(ch, np.int64)
+            for x in range(w):
+                rec[x] = (r[x] + ((left + prev[x]) >> 1)) % 256
+                left = rec[x]
+        elif ft == 4:  # Paeth — serial left dependency
+            rec = np.zeros_like(r)
+            left = np.zeros(ch, np.int64)
+            upleft = np.zeros(ch, np.int64)
+            for x in range(w):
+                a, b, c = left, prev[x], upleft
+                p = a + b - c
+                pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c)
+                )
+                rec[x] = (r[x] + pred) % 256
+                left = rec[x]
+                upleft = prev[x]
+        else:
+            raise DecodeUnavailable(f"unknown filter type {ft}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode an image payload: P6 PPM or PNG (both real,
+    dependency-free decoders above). Greyscale PNGs are expanded to
+    3 channels so downstream feature kernels see one layout. Other
+    formats (JPEG etc.) raise ``DecodeUnavailable``."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        img = decode_png(payload)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        elif img.shape[2] == 4:
+            img = img[:, :, :3]
+        return img
+    raise DecodeUnavailable("unrecognized image payload (not PPM/PNG)")
+
+
 def image_features_real(img: np.ndarray, grid: int = 2) -> np.ndarray:
     """Per-channel mean/std + ``grid``×``grid`` luma block means —
     a 6 + grid² float32 feature vector from a decoded (h, w, 3) image."""
@@ -329,11 +475,12 @@ def image_features_real(img: np.ndarray, grid: int = 2) -> np.ndarray:
 
 
 class PpmImageFeatureExtractor:
-    """Actor-pool stage with a REAL decode path: P6 PPM payloads →
+    """Actor-pool stage with a REAL decode path: P6 PPM **and PNG**
+    payloads (sniffed per row via :func:`decode_image`) →
     per-channel stats + luma grid features. The per-row loop calls
     numpy kernels per image — the same shape as a real batched decoder
     (decode is inherently per-payload; features stay vectorized within
-    an image). Non-PPM payloads raise ``DecodeUnavailable``."""
+    an image). Other formats raise ``DecodeUnavailable``."""
 
     def __init__(self, grid: int = 2):
         self.grid = grid
@@ -343,7 +490,7 @@ class PpmImageFeatureExtractor:
         payloads = batch["payload"].combine_chunks()
         feats = np.zeros((len(payloads), self.dim), np.float32)
         for i, p in enumerate(payloads):
-            feats[i] = image_features_real(decode_ppm(p.as_py()), self.grid)
+            feats[i] = image_features_real(decode_image(p.as_py()), self.grid)
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -408,6 +555,34 @@ def synthesize_ppm_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -
     )
 
 
+def synthesize_png_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -> pa.Table:
+    """Deterministic REAL PNG images — same pixel content as
+    :func:`synthesize_ppm_media` so feature outputs are comparable
+    across codecs, encoded through the dependency-free PNG encoder."""
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + i * 7) % 256,
+                (yy * 255 // max(h - 1, 1) + i * 13) % 256,
+                ((xx + yy) * 255 // max(w + h - 2, 1) + i * 29) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
 def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.Table:
     """Deterministic REAL PCM16 WAV clips (per-clip sine + ramp)."""
     rows = []
@@ -442,7 +617,7 @@ class PpmImageResizer:
         payloads = batch["payload"].combine_chunks()
         out = []
         for p in payloads:
-            img = decode_ppm(p.as_py())
+            img = decode_image(p.as_py())
             h, w, _ = img.shape
             ys = (np.arange(self.out_h) * h) // self.out_h
             xs = (np.arange(self.out_w) * w) // self.out_w

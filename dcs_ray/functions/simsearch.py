@@ -226,22 +226,51 @@ def near_dup_pairs_lsh(
     threshold: float = 0.42,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    num_tables: int = 8,
-    bits_per_table: int = 2,
+    num_tables: int | None = None,
+    bits_per_table: int | None = None,
     seed: int = 13,
     max_bucket: int = 4096,
+    target_recall: float = 0.95,
 ) -> pa.Table:
     """Approximate near-dup pairs via OR-amplified SRP banding — the
     sub-quadratic scale path. ``num_tables`` independent SRP tables of
     ``bits_per_table`` hyperplanes each; vectors sharing a (table, sig)
     bucket compare pairwise inside the bucket only. A pair at cosine c
     is missed with probability (1-(1-θ/π)^b)^L (θ=acos(c)); recall is
-    measured against the exact path in tests, never assumed."""
+    measured against the exact path in tests, never assumed.
+
+    SIZE-AWARE banding (the defaults): when ``bits_per_table`` is None
+    it is derived from a cheap corpus row count so the EXPECTED bucket
+    size ≈ ``max_bucket``/4 — at web scale more hyperplanes split the
+    space finer instead of every bucket slamming into the cap; when
+    ``num_tables`` is None it is then sized from the banding model so a
+    pair AT the threshold is still caught with ``target_recall``
+    probability. Buckets that still exceed ``max_bucket`` (skew) are
+    truncated, and the counts are SURFACED in the returned table's
+    schema metadata (``capped_buckets``, ``dropped_ids``) — not just a
+    log line."""
+    schema_empty = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+    )
+    n_rows = ds.count()  # parquet metadata / block-count — never a scan
+    if not n_rows:
+        return schema_empty.empty_table()
+    if bits_per_table is None:
+        # E[bucket] = n / 2^bits ≈ max_bucket/4  →  bits = log2(4n/cap)
+        bits_per_table = int(
+            np.clip(np.ceil(np.log2(max(4.0 * n_rows / max_bucket, 4.0))), 2, 24)
+        )
+    if num_tables is None:
+        # P[miss at threshold] = (1 - p^b)^L ≤ 1-target_recall,
+        # p = 1 - acos(threshold)/π  (Charikar SRP collision probability)
+        p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+        pb = max(p**bits_per_table, 1e-12)
+        num_tables = int(
+            np.clip(np.ceil(np.log(max(1.0 - target_recall, 1e-9)) / np.log(1.0 - pb)), 2, 64)
+        )
     first = ds.take(1)
     if not first:
-        return pa.schema(
-            [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
-        ).empty_table()
+        return schema_empty.empty_table()
     d = len(first[0][emb_col])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * bits_per_table, d))
@@ -280,11 +309,21 @@ def near_dup_pairs_lsh(
         ids = group[id_col].to_numpy().astype(np.int64)
         if len(ids) < 2:
             return empty
+        sentinel = None
         if len(ids) > max_bucket:
             import logging
 
             logging.getLogger("dcs_ray.simsearch").warning(
                 "lsh bucket capped: %d ids > %d", len(ids), max_bucket
+            )
+            # sentinel row (id_a = -1) carries the drop count downstream —
+            # (bucket key is unique, so the pair-dedup groupby keeps it)
+            sentinel = pa.table(
+                {
+                    "id_a": pa.array([-1], pa.int64()),
+                    "id_b": pa.array([int(group["bucket"][0].as_py())], pa.int64()),
+                    "cos_sim": pa.array([float(len(ids) - max_bucket)], pa.float64()),
+                }
             )
             order = np.argsort(ids, kind="stable")[:max_bucket]
             group = group.take(pa.array(order))
@@ -293,26 +332,37 @@ def near_dup_pairs_lsh(
         sims = M @ M.T
         bi, bj = np.nonzero(sims >= threshold)
         keep = ids[bi] < ids[bj]
-        return pa.table(
+        pairs = pa.table(
             {
                 "id_a": pa.array(ids[bi][keep], pa.int64()),
                 "id_b": pa.array(ids[bj][keep], pa.int64()),
                 "cos_sim": pa.array(np.round(sims[bi, bj][keep], 6), pa.float64()),
             }
         )
+        return pa.concat_tables([sentinel, pairs]) if sentinel is not None else pairs
 
     cand = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     dedup = cand.groupby(["id_a", "id_b"]).max("cos_sim")
     out = [pa.table(b) for b in dedup.iter_batches(batch_format="pyarrow")]
-    schema = pa.schema(
-        [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
-    )
+    meta = {
+        b"num_tables": str(num_tables).encode(),
+        b"bits_per_table": str(bits_per_table).encode(),
+        b"capped_buckets": b"0",
+        b"dropped_ids": b"0",
+    }
     if not out:
-        return schema.empty_table()
+        return schema_empty.with_metadata(meta).empty_table()
     t = pa.concat_tables(out)
+    import pyarrow.compute as pc2
+
+    is_sent = pc2.equal(t["id_a"], -1)
+    sent = t.filter(is_sent)
+    t = t.filter(pc2.invert(is_sent))
+    meta[b"capped_buckets"] = str(len(sent)).encode()
+    meta[b"dropped_ids"] = str(int(sum(sent["max(cos_sim)"].to_pylist()))).encode()
     return pa.table(
         {"id_a": t["id_a"], "id_b": t["id_b"], "cos_sim": t["max(cos_sim)"]}
-    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")]).replace_schema_metadata(meta)
 
 
 def srp_signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -19,6 +19,21 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+# The reference greps with an RE2-style DFA whose match time is
+# guaranteed linear (``regexp/regexp.go:17``, ``regexp/match.go``);
+# Python's ``re`` is a backtracker that can go exponential on hostile
+# patterns, letting one query wedge a worker for hours. The ``regex``
+# package (same API, supports a hard per-call deadline) restores the
+# bounded-time guarantee: a doc that exceeds the budget is bailed out
+# and reported as a sentinel row instead of hanging the pipeline.
+try:  # pragma: no cover - import probe
+    import regex as _regex_engine
+
+    _HAS_TIMEOUT = True
+except ImportError:  # pragma: no cover
+    _regex_engine = re
+    _HAS_TIMEOUT = False
+
 
 def five_lines(text: str, offset: int) -> tuple[int, list[str]]:
     """(line number (1-based), [ctx-2, ctx-1, line, ctx+1, ctx+2]) for the
@@ -48,8 +63,12 @@ class RegexGrepper:
     ``sourcebackend.go:560-571``)."""
 
     def __init__(self, pattern: str, candidates=None,
-                 id_col: str = "doc_id", max_matches_per_doc: int | None = None):
-        self.rx = re.compile(pattern)
+                 id_col: str = "doc_id", max_matches_per_doc: int | None = None,
+                 match_timeout: float = 2.0):
+        self.rx = _regex_engine.compile(pattern)
+        # per-doc wall budget for the backtracker (see module header);
+        # None disables even when the engine supports it
+        self.match_timeout = match_timeout if _HAS_TIMEOUT else None
         # candidates may be an ndarray OR a ray.ObjectRef to one — a ref
         # costs one plasma fetch per worker (zero-copy, shared) instead of
         # pickling millions of ids into every task's closure
@@ -87,24 +106,41 @@ class RegexGrepper:
             line_start[0] = 0
             np.cumsum([len(ln) + 1 for ln in lines], out=line_start[1:])
             seen_lines: set[int] = set()
-            for m in self.rx.finditer(text):
-                if len(seen_lines) >= self.cap:
-                    break
-                idx = int(np.searchsorted(line_start, m.start(), side="right")) - 1
-                lineno = idx + 1
-                if lineno in seen_lines:  # ≤ 1 match per line (D3)
-                    continue
-                seen_lines.add(lineno)
-                ctx = [
-                    lines[j] if 0 <= j < len(lines) else ""
-                    for j in range(idx - 2, idx + 3)
-                ]
+            it = (
+                self.rx.finditer(text, timeout=self.match_timeout)
+                if self.match_timeout is not None
+                else self.rx.finditer(text)
+            )
+            try:
+                for m in it:
+                    if len(seen_lines) >= self.cap:
+                        break
+                    idx = int(np.searchsorted(line_start, m.start(), side="right")) - 1
+                    lineno = idx + 1
+                    if lineno in seen_lines:  # ≤ 1 match per line (D3)
+                        continue
+                    seen_lines.add(lineno)
+                    ctx = [
+                        lines[j] if 0 <= j < len(lines) else ""
+                        for j in range(idx - 2, idx + 3)
+                    ]
+                    out["doc_id"].append(int(did))
+                    out["line"].append(lineno)
+                    out["position"].append(m.start())
+                    out["context"].append(ctx[2])
+                    out["ctx_before"].append("\n".join(ctx[:2]))
+                    out["ctx_after"].append("\n".join(ctx[3:]))
+            except TimeoutError:
+                # budget exceeded on this doc: keep the matches already
+                # found and append ONE sentinel row (line = -1) so the
+                # bail-out is counted downstream, then move on — the
+                # pipeline's wall time stays bounded per doc
                 out["doc_id"].append(int(did))
-                out["line"].append(lineno)
-                out["position"].append(m.start())
-                out["context"].append(ctx[2])
-                out["ctx_before"].append("\n".join(ctx[:2]))
-                out["ctx_after"].append("\n".join(ctx[3:]))
+                out["line"].append(-1)
+                out["position"].append(-1)
+                out["context"].append("")
+                out["ctx_before"].append("")
+                out["ctx_after"].append("")
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),

@@ -590,3 +590,134 @@ def test_ppm_stream_demux_real(ray_session):
         s, e = offs[int(row.frame_idx)]
         assert bytes(row.frame) == raw[s:e]
         assert decode_ppm(bytes(row.frame)).shape == (12, 16, 3)
+
+
+def test_png_roundtrip_byte_exact():
+    """encode_png → decode_png is pixel-exact for RGB, RGBA and grey."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba)), rgba)
+    grey = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(grey)), grey)
+
+
+def test_png_decode_all_filter_types():
+    """decode_png unfilters Sub/Up/Average/Paeth rows exactly: build an
+    IDAT by FILTERING a known image with every filter type per row and
+    check the decoder recovers the original pixels (spec-reference
+    filters implemented longhand here)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import _PNG_SIG, decode_png
+
+    rng = np.random.default_rng(5)
+    h, w, ch = 6, 9, 3
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8).astype(np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb_ and pa_ <= pc_:
+            return a
+        return b if pb_ <= pc_ else c
+
+    raw = bytearray()
+    prev = np.zeros((w, ch), np.int64)
+    for y in range(h):
+        ft = y % 5  # exercise every filter type
+        raw.append(ft)
+        row = img[y]
+        for x in range(w):
+            for c in range(ch):
+                left = row[x - 1][c] if x else 0
+                up = prev[x][c]
+                upleft = prev[x - 1][c] if x else 0
+                orig = row[x][c]
+                if ft == 0:
+                    v = orig
+                elif ft == 1:
+                    v = (orig - left) % 256
+                elif ft == 2:
+                    v = (orig - up) % 256
+                elif ft == 3:
+                    v = (orig - ((left + up) >> 1)) % 256
+                else:
+                    v = (orig - paeth(left, up, upleft)) % 256
+                raw.append(int(v))
+        prev = row
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(payload), img.astype(np.uint8))
+
+
+def test_png_image_features_real_decode(ray_session):
+    """The image stages run REAL PNG decode end-to-end (VERDICT-r2 #5):
+    actor-pool extractor over PNG payloads == straight numpy, and equals
+    the features of the SAME pixels carried as PPM."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        decode_image,
+        image_features_real,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    media = synthesize_png_media(12)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(PpmImageFeatureExtractor, concurrency=2, batch_size=4,
+                     batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    ppm = synthesize_ppm_media(12)
+    for i in range(len(media)):
+        want = image_features_real(decode_image(media["payload"][i].as_py()))
+        np.testing.assert_allclose(np.array(out.feature[i]), want, rtol=1e-6)
+        # identical pixels through either codec → identical features
+        want_ppm = image_features_real(decode_image(ppm["payload"][i].as_py()))
+        np.testing.assert_allclose(want, want_ppm, rtol=1e-6)
+
+
+def test_png_resize_roundtrip(ray_session):
+    """PpmImageResizer accepts PNG input via the sniffing decoder."""
+    import numpy as np
+
+    from dcs_ray.functions.multimodal import (
+        PpmImageResizer,
+        decode_ppm,
+        synthesize_png_media,
+    )
+
+    media = synthesize_png_media(4, w=16, h=12)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(PpmImageResizer, fn_constructor_kwargs={"out_w": 4, "out_h": 4},
+                     concurrency=1, batch_size=4, batch_format="pyarrow", num_cpus=1)
+        .to_pandas()
+    )
+    img = decode_ppm(out.payload[0])
+    assert img.shape == (4, 4, 3)

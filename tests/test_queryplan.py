@@ -175,3 +175,32 @@ def test_case_insensitive_regex_end_to_end(ray_session, tmp_path):
     ds = ray.data.read_parquet(str(tmp_path / "docs.parquet"))
     res = search_regex(out, ds, r"(?i)spark").to_pandas()
     assert set(res.doc_id) == {0, 1, 2}
+
+
+def test_catastrophic_pattern_bounded_time(ray_session):
+    """A hostile backtracking pattern ((a+)+$ over 10 KB of 'a') must
+    complete the pipeline in bounded time via the per-doc match budget
+    (the reference's RE2 DFA guarantees linear time; regexp/regexp.go:17)
+    and surface the bail-out as a line=-1 sentinel row."""
+    import time
+
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.grep import grep_regex
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a" * 10240 + "b", "benign aaa line"]),
+        }
+    )
+    t0 = time.monotonic()
+    out = grep_regex(
+        ray.data.from_arrow(docs), r"(a+)+$"
+    ).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60, elapsed  # would be years with unbounded re
+    # doc 0 bailed out with the sentinel; doc 1 matched normally
+    assert (-1) in out[out.doc_id == 0].line.tolist()
+    assert all(out[out.doc_id == 1].line > 0)
