@@ -453,6 +453,97 @@ def _q_knn_ivf(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_lsh_bucket_assignment(sf_dir: str) -> pa.Table:
+    """The DETERMINISTIC half of the LSH ANN path, oracle-gated: build a
+    single-table ``LshAnnIndex`` (seed 13, 6 planes) and read back the
+    PERSISTED bucket-partitioned layout as (vec_id, bucket). The oracle
+    replays the signed-random-projection signs in SQL with the plane
+    values inlined as literals (same rng stream), so a hash match proves
+    the index assigns every vector to the bucket the math says."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dcs_ray.functions.simsearch import LshAnnIndex
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dcs_lshgate_", dir="/tmp")
+    try:
+        LshAnnIndex.build(emb, tmp, num_planes=6, num_tables=1, seed=13)
+        files = sorted(glob.glob(os.path.join(tmp, "bucket=*", "*.parquet")))
+        idx = ray.data.read_parquet(files, include_paths=True)
+
+        def unpart(b: pa.Table) -> pa.Table:
+            buckets = [
+                int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+                for p in b["path"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "bucket": pa.array(buckets, pa.int64()),
+                }
+            )
+
+        t = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in idx.map_batches(unpart, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        return t.sort_by("vec_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_ivf_list_assignment(sf_dir: str) -> pa.Table:
+    """The DETERMINISTIC half of the IVF ANN path, oracle-gated: build an
+    ``IvfAnnIndex`` with the hash-min init (centroids = the 8 corpus
+    rows with smallest splitmix64(vec_id), zero Lloyd iterations) and
+    read back the persisted list-partitioned layout as (vec_id, list).
+    The oracle re-picks the centroids by the same integer hash chain and
+    re-assigns every vector by cosine argmax in SQL — the real
+    ``add_list`` assignment pass is what gets gated."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dcs_ray.functions.simsearch import IvfAnnIndex
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dcs_ivfgate_", dir="/tmp")
+    try:
+        IvfAnnIndex.build(emb, tmp, num_lists=8, n_iter=0, init="hash_min")
+        files = sorted(glob.glob(os.path.join(tmp, "list=*", "*.parquet")))
+        idx = ray.data.read_parquet(files, include_paths=True)
+
+        def unpart(b: pa.Table) -> pa.Table:
+            lists = [
+                int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+                for p in b["path"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "list": pa.array(lists, pa.int64()),
+                }
+            )
+
+        t = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in idx.map_batches(unpart, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        return t.sort_by("vec_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import near_dup_pairs_exact
 
@@ -534,6 +625,60 @@ def _q_asof_join(sf_dir: str) -> Any:
     return t.select(
         ["event_id", "user_id", "ts_us", "event_id_right", "value_right"]
     ).sort_by("event_id")
+
+
+def _lsh_assignment_sql() -> str:
+    """SQL replay of ``LshAnnIndex``'s SRP bucket assignment (seed 13,
+    6 planes, dim 64): the plane values are inlined as double literals
+    from the SAME rng stream the builder draws (``repr`` round-trips
+    float64 exactly), bucket bit t = [dot(embedding, plane_t) > 0] —
+    normalization cannot change a dot's sign, so the raw embedding
+    replays the normalized builder bit-exactly."""
+    num_planes, d = 6, 64
+    tables = np.random.default_rng(13).standard_normal((1, num_planes, d))
+    rows = ", ".join(
+        "(%d, [%s])" % (t, ", ".join(repr(float(v)) for v in tables[0][t]))
+        for t in range(num_planes)
+    )
+    return f"""
+WITH p(t, pl) AS (VALUES {rows}),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev FROM embeddings),
+d AS (SELECT e.vec_id, p.t, list_dot_product(e.ev, p.pl) AS dot FROM e CROSS JOIN p)
+SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1::bigint << t) ELSE 0 END)::bigint AS bucket
+FROM d GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def _ivf_assignment_sql(num_lists: int = 8) -> str:
+    """SQL replay of ``IvfAnnIndex``'s hash-min-init assignment pass:
+    centroids = the ``num_lists`` rows with smallest
+    (splitmix64(vec_id), vec_id) — the same integer hash chain as
+    ``sketches._hash64_column`` — then every vector goes to its
+    cosine-argmax centroid (ties to the lowest centroid id, matching
+    ``np.argmax``)."""
+    M64 = "18446744073709551616"
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    return f"""
+WITH h0 AS (SELECT vec_id, ((vec_id::hugeint + {GOLDEN}) % {M64}) AS x0 FROM embeddings),
+h1 AS (SELECT vec_id, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT vec_id, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT vec_id, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+cent AS (
+  SELECT list_transform(e.embedding, x -> x::double) AS ce,
+         row_number() OVER (ORDER BY hf.h, e.vec_id) - 1 AS cid
+  FROM embeddings e JOIN hf USING (vec_id)
+  QUALIFY row_number() OVER (ORDER BY hf.h, e.vec_id) <= {num_lists}
+),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev FROM embeddings),
+cos AS (SELECT v.vec_id, c.cid, list_cosine_similarity(v.ev, c.ce) AS cs
+        FROM v CROSS JOIN cent c),
+best AS (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+         FROM cos)
+SELECT vec_id, cid AS list FROM best WHERE rn = 1 ORDER BY vec_id
+"""
 
 
 def _splitmix_docs_ctes(seed: int) -> str:
@@ -1731,88 +1876,103 @@ def _q_rebalance_mixture(sf_dir: str) -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness harness checks the first
+    # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
+    # LLM-pipeline compositions come first (search/index core, then the
+    # dedup/ANN/text-curation suite); auxiliary relational/window/sketch
+    # gates follow — those stay covered by tests/test_entry_oracle.py at
+    # both SFs regardless of the window.
     return {
+        # --- search/index core (SURVEY §2: S/F/J/A/O/D/M/C rows) ---
         "bm25_topk": _q_bm25,
         "bm25_top2_per_source": _q_bm25_top2_per_source,
-        "term_df": _q_term_df,
-        "corpus_stats": _q_corpus_stats,
-        "token_count": _q_token_count,
-        "bpe_token_count": _q_bpe_token_count,
-        "quality_score": _q_quality,
-        "dedup_exact": _q_dedup_exact,
-        "latest_event_per_user": _q_latest_event,
-        "latest_version_per_source": _q_latest_version_per_source,
-        "tumbling_window_agg": _q_window_agg,
-        "hopping_window_agg": _q_hopping_window,
-        "session_window_agg": _q_session_window,
         "bm25_filtered": _q_bm25_filtered,
         "bm25_prior": _q_bm25_prior,
+        "bm25_page2": _q_bm25_page2,
+        "bm25_snippets": _q_bm25_snippets,
+        "bm25_multi": _q_bm25_multi,
+        "phrase_bm25": _q_phrase_bm25,
         "grep_literal": _q_grep_literal,
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
         "regex_search": _q_regex_search,
         "filter_ignored": _q_filter_ignored,
+        "term_df": _q_term_df,
+        "corpus_stats": _q_corpus_stats,
         "lang_stats": _q_lang_stats,
+        "latest_version_per_source": _q_latest_version_per_source,
+        "latest_event_per_user": _q_latest_event,
+        # --- flagship LLM-pipeline compositions ---
+        "curate_corpus": _q_curate_corpus,
+        "fuzzy_dedup_keep": _q_fuzzy_dedup,
+        # --- dedup suite ---
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "jaccard_verified_pairs": _q_jaccard_verified,
+        "connected_components": _q_connected_components,
+        "cross_snapshot_dedup": _q_cross_snapshot_dedup,
+        "simhash_signatures": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "text_near_dup_semantic": _q_text_near_dup_semantic,
+        # --- similarity search / embeddings ---
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
         "knn_cosine_ivf": _q_knn_ivf,
+        "lsh_bucket_assignment": _q_lsh_bucket_assignment,
+        "ivf_list_assignment": _q_ivf_list_assignment,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
-        "minhash_pairs": _q_minhash_pairs,
-        "jaccard_verified_pairs": _q_jaccard_verified,
-        "fuzzy_dedup_keep": _q_fuzzy_dedup,
-        "connected_components": _q_connected_components,
+        "hash_embed_vectors": _q_hash_embed_vectors,
+        "text_knn_hash_embed": _q_text_knn_hash_embed,
+        # --- text analysis / filtering ---
+        "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
+        "quality_score": _q_quality,
+        "quality_classifier": _q_quality_classifier,
+        "langid": _q_langid,
+        "doc_fingerprints": _q_fingerprints,
+        "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
+        "doc_lm_score": _q_doc_lm_score,
+        # --- training-data prep ---
+        "rebalance_mixture": _q_rebalance_mixture,
+        "train_val_test_split": _q_train_val_test_split,
+        # --- end of the driver's 50-query window ---
+        "pack_chunked": _q_pack_chunked,
+        "chunk_documents": _q_chunk_documents,
+        "pack_greedy": _q_pack_greedy,
+        "tumbling_window_agg": _q_window_agg,
+        "hopping_window_agg": _q_hopping_window,
+        "session_window_agg": _q_session_window,
         "asof_join_purchase_view": _q_asof_join,
+        "interval_join_views": _q_interval_join,
+        "running_totals": _q_running_totals,
+        "events_pivot": _q_events_pivot,
+        "zscore_by_lang": _q_zscore_by_lang,
         "sample_fraction": _q_sample_fraction,
         "sample_stratified": _q_sample_stratified,
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
-        "distinct_users": _q_distinct_users,
-        "normalize_text": _q_normalize_text,
-        "bigram_topk": _q_bigram_topk,
-        "pack_chunked": _q_pack_chunked,
-        "pack_greedy": _q_pack_greedy,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "host_stats": _q_host_stats,
-        "lang_quantiles": _q_lang_quantiles,
-        "quality_filter": _q_quality_filter,
-        "decontaminate": _q_decontaminate,
-        "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
-        "cross_snapshot_dedup": _q_cross_snapshot_dedup,
-        "hash_embed_vectors": _q_hash_embed_vectors,
-        "curate_corpus": _q_curate_corpus,
-        "interval_join_views": _q_interval_join,
-        "chunk_documents": _q_chunk_documents,
-        "zscore_by_lang": _q_zscore_by_lang,
-        "phrase_bm25": _q_phrase_bm25,
-        "distinct_users_by_type": _q_distinct_users_by_type,
-        "bm25_snippets": _q_bm25_snippets,
-        "running_totals": _q_running_totals,
-        "events_pivot": _q_events_pivot,
-        "text_near_dup_semantic": _q_text_near_dup_semantic,
-        "lang_quantiles_hist": _q_lang_quantiles_hist,
-        "train_val_test_split": _q_train_val_test_split,
-        "bm25_page2": _q_bm25_page2,
-        "bm25_multi": _q_bm25_multi,
-        "doc_lm_score": _q_doc_lm_score,
-        "rebalance_mixture": _q_rebalance_mixture,
-        "quality_classifier": _q_quality_classifier,
-        "text_knn_hash_embed": _q_text_knn_hash_embed,
-        "hll_registers": _q_hll_registers,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
         "source_length_stats": _q_source_length_stats,
-        "value_quantiles_hist": _q_value_quantiles_hist,
+        "distinct_users": _q_distinct_users,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_distinct_users": _q_approx_distinct_users,
+        "hll_registers": _q_hll_registers,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "heavy_hitters_event_type": _q_heavy_hitters,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "simhash_signatures": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "langid": _q_langid,
-        "doc_fingerprints": _q_fingerprints,
+        "lang_quantiles": _q_lang_quantiles,
+        "lang_quantiles_hist": _q_lang_quantiles_hist,
+        "value_quantiles_hist": _q_value_quantiles_hist,
+        "quality_filter": _q_quality_filter,
+        "normalize_text": _q_normalize_text,
+        "bigram_topk": _q_bigram_topk,
+        "host_stats": _q_host_stats,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
@@ -2219,6 +2379,8 @@ ORDER BY doc_id
 SELECT lang, count(*)::bigint AS n_docs, round(avg(n_chars), 6) AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
+        "lsh_bucket_assignment": _lsh_assignment_sql(),
+        "ivf_list_assignment": _ivf_assignment_sql(8),
         "embedding_near_dup": """
 WITH n AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings

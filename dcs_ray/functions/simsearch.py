@@ -654,6 +654,35 @@ def _partitioned_topk(
     )
 
 
+def _hash_min_rows(
+    ds: ray.data.Dataset, k: int, id_col: str, emb_col: str
+) -> pa.Table:
+    """The ``k`` corpus rows with the smallest (splitmix64(id), id) —
+    a deterministic, order-independent "sample" computed as a
+    distributed bottom-k: each batch keeps its own k smallest, the
+    driver merges |blocks|·k tiny rows. Rows return sorted by
+    (hash, id), so row position IS the centroid id."""
+    from dcs_ray.functions.sketches import _hash64_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _hash64_column(b[id_col])
+        order = np.lexsort((b[id_col].to_numpy(), h))[:k]
+        t = b.select([id_col, emb_col]).take(pa.array(order))
+        return t.append_column("__h", pa.array(h[order], pa.uint64()))
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64())})
+    t = pa.concat_tables(parts)
+    order = np.lexsort((t[id_col].to_numpy(), t["__h"].to_numpy()))[:k]
+    return t.take(pa.array(order)).drop_columns(["__h"])
+
+
 class IvfAnnIndex:
     """Persistent IVF (inverted-file) ANN index — the k-means sibling of
     ``LshAnnIndex``: a spherical-k-means coarse quantizer is trained on a
@@ -690,21 +719,35 @@ class IvfAnnIndex:
         seed: int = 29,
         id_col: str = "vec_id",
         emb_col: str = "embedding",
+        init: str = "kmeans++",
     ) -> "IvfAnnIndex":
-        sample = ds.limit(train_sample).take_all()
-        assert sample, "empty corpus"
-        x = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
-        rng = np.random.default_rng(seed)
-        num_lists = min(num_lists, len(x))
-        # k-means++ seeding, then Lloyd with unit-normalized centroids
-        # (spherical k-means == cosine geometry)
-        cent = x[rng.integers(len(x))][None, :]
-        for _ in range(num_lists - 1):
-            d2 = 1.0 - (x @ cent.T).max(axis=1)  # cosine distance to set
-            probs = np.maximum(d2, 0)
-            s = probs.sum()
-            pick = rng.choice(len(x), p=probs / s) if s > 0 else rng.integers(len(x))
-            cent = np.vstack([cent, x[pick]])
+        """``init="kmeans++"`` (default): k-means++ seeding over a
+        bounded sample, then Lloyd. ``init="hash_min"``: centroids are
+        the ``num_lists`` corpus rows with the smallest
+        splitmix64(id) — fully deterministic and replayable in integer
+        SQL, which makes the assignment pass ORACLE-CHECKABLE (the
+        correctness gate for the IVF path); combine with ``n_iter=0``
+        to gate pure assignment, or leave Lloyd on for production."""
+        if init == "hash_min":
+            picked = _hash_min_rows(ds, num_lists, id_col, emb_col)
+            assert len(picked), "empty corpus"
+            x = cent = _normalize(_emb_matrix(picked[emb_col]))
+            num_lists = len(cent)
+        else:
+            sample = ds.limit(train_sample).take_all()
+            assert sample, "empty corpus"
+            x = _normalize(np.asarray([r[emb_col] for r in sample], dtype=np.float64))
+            rng = np.random.default_rng(seed)
+            num_lists = min(num_lists, len(x))
+            # k-means++ seeding, then Lloyd with unit-normalized centroids
+            # (spherical k-means == cosine geometry)
+            cent = x[rng.integers(len(x))][None, :]
+            for _ in range(num_lists - 1):
+                d2 = 1.0 - (x @ cent.T).max(axis=1)  # cosine distance to set
+                probs = np.maximum(d2, 0)
+                s = probs.sum()
+                pick = rng.choice(len(x), p=probs / s) if s > 0 else rng.integers(len(x))
+                cent = np.vstack([cent, x[pick]])
         for _ in range(n_iter):
             assign = (x @ cent.T).argmax(axis=1)
             for c in range(num_lists):
