@@ -206,6 +206,28 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["bm25_search"] = round(q_s, 3)
     thr["query_qps"] = round(len(BM25_QUERIES) / q_s, 2)
 
+    # --- resident query service (serving latency; the dcs-web shape) ---
+    # same queries one-at-a-time — the interactive pattern where per-call
+    # Dataset construction IS the latency; the actor pool answers from
+    # warm per-shard caches. Identity vs the Dataset path is asserted.
+    from dcs_ray.service import search_service
+
+    svc = search_service(idx, num_cpus=task_cpus)
+    assert svc.search(BM25_QUERIES, k=10).equals(res)
+    t0 = time.monotonic()
+    for q in BM25_QUERIES:
+        svc.search([q], k=10)
+    svc_s = time.monotonic() - t0
+    queries["bm25_service"] = round(svc_s, 3)
+    thr["service_latency_ms"] = round(1000 * svc_s / len(BM25_QUERIES), 1)
+    # the Dataset path at the same one-query-per-call pattern (5 calls
+    # bound the stage; per-call cost is flat)
+    t0 = time.monotonic()
+    for q in BM25_QUERIES[:5]:
+        search_bm25(idx, [q], k=10, task_num_cpus=task_cpus)
+    thr["dataset_percall_latency_ms"] = round(1000 * (time.monotonic() - t0) / 5, 1)
+    svc.shutdown()
+
     # --- exact dedup ---
     t0 = time.monotonic()
     exact_dedup_keep_min(read_parquet_sized(f"{sf_dir}/documents.parquet", min_blocks=8)).count()
@@ -473,6 +495,14 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--cooldown", type=int, default=120)
+    ap.add_argument(
+        "--until-healthy", type=int, default=0, metavar="N",
+        help="retry the headline bench up to N times (cooldown between "
+        "attempts) until the 4-axis host stamp reads host_throttled: "
+        "false — a number recorded inside a throttled window measures "
+        "the hypervisor's credit meter, not the code (see BASELINE.md)",
+    )
+    ap.add_argument("--healthy-cooldown", type=int, default=180)
     args = ap.parse_args()
     if args.scaling_one:
         out = run_scaling_one(args.input_dir, args.cpus, args.partitions)
@@ -481,7 +511,23 @@ def main() -> None:
                           factor=args.factor, runs=args.runs,
                           cooldown=args.cooldown)
     else:
-        out = run_bench(args.sf, args.cpus)
+        attempts = max(1, args.until_healthy + 1) if args.until_healthy else 1
+        out = None
+        for i in range(attempts):
+            if i > 0:
+                print(json.dumps({"note": "host throttled; cooling down",
+                                  "attempt": i}), file=sys.stderr)
+                time.sleep(args.healthy_cooldown)
+            # pre-check: don't burn a full run inside an obviously
+            # throttled window (the LAST attempt always runs so a result
+            # is produced even if the window never clears)
+            if i < attempts - 1 and host_calibration()["host_throttled"]:
+                continue
+            out = run_bench(args.sf, args.cpus)
+            if not out["host"]["host_throttled"]:
+                break
+        if out is None:  # defensive: every pre-check throttled
+            out = run_bench(args.sf, args.cpus)
     print(json.dumps(out))
 
 

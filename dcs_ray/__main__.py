@@ -411,23 +411,37 @@ def cmd_stats(args) -> None:
 
 def cmd_replay(args) -> None:
     """Replay a query log, one query per line, print per-query JSON
-    measurements (``cmd/dcs/replay.go:472-546``)."""
+    measurements (``cmd/dcs/replay.go:472-546``). ``--service`` runs
+    through the resident ShardSearcher actor pool (the dcs-web
+    long-lived backend shape) instead of a per-call Dataset pipeline —
+    identical results, lower per-query latency."""
     ray = _ray()
     from dcs_ray.search import load_stats, search_bm25
 
     with open(args.log) as f:
         queries = [l.strip() for l in f if l.strip()]
     stats = load_stats(args.index)
+    svc = None
+    if getattr(args, "service", False):
+        from dcs_ray.service import search_service
+
+        svc = search_service(args.index)
     out = []
     for q in queries:
         t0 = time.monotonic()
-        res = search_bm25(args.index, [q], k=args.k, stats=stats)
+        if svc is not None:
+            res = svc.search([q], k=args.k)
+        else:
+            res = search_bm25(args.index, [q], k=args.k, stats=stats)
         out.append({"query": q, "nresults": len(res),
                     "total_nano": int((time.monotonic() - t0) * 1e9)})
         print(json.dumps(out[-1]))
+    if svc is not None:
+        svc.shutdown()
     total = sum(o["total_nano"] for o in out)
     print(json.dumps({"queries": len(out), "total_s": total / 1e9,
-                      "qps": len(out) / (total / 1e9)}))
+                      "qps": len(out) / (total / 1e9),
+                      "mode": "service" if getattr(args, "service", False) else "dataset"}))
 
 
 def main() -> None:
@@ -567,6 +581,8 @@ def main() -> None:
     d.add_argument("index")
     d.add_argument("log")
     d.add_argument("-k", type=int, default=10)
+    d.add_argument("--service", action="store_true",
+                   help="serve from a resident per-shard actor pool")
     d.set_defaults(fn=cmd_replay)
 
     args = ap.parse_args()

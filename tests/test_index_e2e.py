@@ -304,3 +304,28 @@ def test_crash_mid_merge_resume_byte_identical(ray_session, tmp_path):
                         assert la[k] == lb[k], (shard, k, la[k], lb[k])
             else:
                 assert filecmp.cmp(a, b, shallow=False), (shard, f)
+
+
+def test_search_service_identical_to_dataset_path(built_index):
+    """The resident actor-pool service (dcs-web long-lived backend
+    shape, sourcebackend.go:293-641) returns the IDENTICAL table to
+    search_bm25 — same planner, scorers, tie-breaks — across plain,
+    filtered and multi-query batches, and keeps serving without
+    re-setup."""
+    from dcs_ray.service import search_service
+
+    out, _ = built_index
+    queries = ["spark merge join", "customer window batch", "vector"]
+    with search_service(out) as svc:
+        got = svc.search(queries, k=10).to_pandas()
+        want = search_bm25(out, queries, k=10).to_pandas()
+        assert got.equals(want)
+        # repeated single-query calls (the serving pattern) stay correct
+        for q in queries:
+            g1 = svc.search([q], k=5).to_pandas()
+            w1 = search_bm25(out, [q], k=5).to_pandas()
+            assert g1.equals(w1), q
+        # exhaustive scorer route through the service too
+        g2 = svc.search(["spark merge join"], k=10, method="exhaustive").to_pandas()
+        assert g2.equals(search_bm25(out, ["spark merge join"], k=10,
+                                     method="exhaustive").to_pandas())
