@@ -1260,13 +1260,15 @@ def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def _q_image_features(sf_dir: str) -> Any:
-    """REAL decode path: a MIXED corpus of deterministic P6 PPM and
-    zlib-compressed PNG images (same pixel recipes), sniffed and decoded
-    per row by the dependency-free parsers in an actor pool, →
-    per-channel stats + luma grid features (rows-only gate; pytest pins
-    values vs straight numpy and cross-codec equality)."""
+    """REAL decode path: a MIXED corpus of deterministic P6 PPM,
+    zlib-compressed PNG, and baseline-JPEG (4:2:0 + restart markers)
+    images (same pixel recipes), sniffed and decoded per row by the
+    dependency-free parsers in an actor pool, → per-channel stats +
+    luma grid features (rows-only gate; pytest pins values vs straight
+    numpy and cross-codec equality)."""
     from dcs_ray.functions.multimodal import (
         PpmImageFeatureExtractor,
+        synthesize_jpeg_media,
         synthesize_png_media,
         synthesize_ppm_media,
     )
@@ -1277,7 +1279,12 @@ def _q_image_features(sf_dir: str) -> Any:
         png.schema.get_field_index("media_id"), "media_id",
         pa.array(np.arange(32, 64), pa.int64()),
     )
-    media = ray.data.from_arrow(pa.concat_tables([ppm, png]))
+    jpg = synthesize_jpeg_media(32)
+    jpg = jpg.set_column(
+        jpg.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 96), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg]))
     ds = media.map_batches(
         PpmImageFeatureExtractor, concurrency=2, batch_size=32,
         batch_format="pyarrow", num_cpus=1,

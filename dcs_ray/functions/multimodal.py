@@ -3,13 +3,15 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / feature-extract run as actor-pool
 ``map_batches`` stages (model/codec loaded once per actor in
-``__init__``). Three decode paths are REAL and dependency-free — P6 PPM images,
-RIFF/WAVE PCM16 audio, and concatenated-PPM video streams (pure-numpy
-parsers, round-trip tested) — feeding real per-channel/windowed
-features and real frame sampling. Compressed
-formats (JPEG/PNG/FLAC/MP4) still raise ``DecodeUnavailable`` (no
-codec libraries in the sandbox); their extractors keep the same
-actor-pool shape with a deterministic fake in the decode slot.
+``__init__``). Five decode paths are REAL and dependency-free — P6
+PPM images, PNG (stdlib zlib + full unfiltering), baseline JPEG
+(pure-numpy huffman + batched IDCT, :mod:`dcs_ray.functions.jpeg`),
+RIFF/WAVE PCM16 audio, and concatenated-PPM video streams — all
+round-trip tested, feeding real per-channel/windowed features and
+real frame sampling. Remaining compressed formats (FLAC/MP3/MP4)
+still raise ``DecodeUnavailable`` (no codec libraries in the
+sandbox); their extractors keep the same actor-pool shape with a
+deterministic fake in the decode slot.
 
 At scale: binary payloads dominate block size — use small
 ``batch_size`` (e.g. 32–128) and ``DataContext.target_max_block_size``
@@ -440,20 +442,26 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode an image payload: P6 PPM or PNG (both real,
-    dependency-free decoders above). Greyscale PNGs are expanded to
+    """Sniff-and-decode an image payload: P6 PPM, PNG, or baseline
+    JPEG (all real, dependency-free decoders — JPEG lives in
+    :mod:`dcs_ray.functions.jpeg`). Greyscale images are expanded to
     3 channels so downstream feature kernels see one layout. Other
-    formats (JPEG etc.) raise ``DecodeUnavailable``."""
+    formats raise ``DecodeUnavailable``."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         img = decode_png(payload)
-        if img.ndim == 2:
-            img = np.repeat(img[:, :, None], 3, axis=2)
-        elif img.shape[2] == 4:
-            img = img[:, :, :3]
-        return img
-    raise DecodeUnavailable("unrecognized image payload (not PPM/PNG)")
+    elif payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg  # lazy: jpeg.py imports this module
+
+        img = decode_jpeg(payload)
+    else:
+        raise DecodeUnavailable("unrecognized image payload (not PPM/PNG/JPEG)")
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    return img
 
 
 def image_features_real(img: np.ndarray, grid: int = 2) -> np.ndarray:
@@ -571,6 +579,36 @@ def synthesize_png_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -
             axis=-1,
         ).astype(np.uint8)
         rows.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
+def synthesize_jpeg_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -> pa.Table:
+    """Deterministic REAL baseline-JPEG images — same pixel content as
+    :func:`synthesize_ppm_media` (lossy-encoded at quality 92, 4:2:0
+    with restart markers, the shape of a real crawl payload)."""
+    from .jpeg import encode_jpeg  # lazy: jpeg.py imports this module
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + i * 7) % 256,
+                (yy * 255 // max(h - 1, 1) + i * 13) % 256,
+                ((xx + yy) * 255 // max(w + h - 2, 1) + i * 29) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(encode_jpeg(img, quality=92, subsampling="420", restart_interval=2))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
