@@ -18,9 +18,21 @@ At cluster scale the actors spread across nodes (one per shard — the
 cluster-sizing knob dcs also uses: 6 shards = 6 index backends), each
 holding its shard's mmap + caches warm; queries fan out as k×shards
 small messages, never moving posting data.
+
+Finished-query result cache: dcs keeps completed query results for
+~30 minutes so a repeated query (pagination, reload) never re-runs the
+shard fan-out (``cmd/dcs-web/querymanager.go:277-320``). The service
+mirrors that: per-(query, k, method, filters, prior) top-k arrays with
+a TTL + size-capped LRU, served driver-side with zero actor round
+trips. The index is immutable per service instance (segments are
+immutable; updates write new shard dirs), so entries never go stale
+within an instance's lifetime — the TTL bounds memory, not staleness.
 """
 
 from __future__ import annotations
+
+import time
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -95,15 +107,61 @@ class SearchService:
     because nothing is constructed per call except the query plans.
     """
 
-    def __init__(self, index_dir: str, num_cpus: float = 1.0):
+    def __init__(
+        self,
+        index_dir: str,
+        num_cpus: float = 1.0,
+        cache_ttl_s: float = 1800.0,
+        cache_max_entries: int = 4096,
+    ):
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.shards = shard_paths(index_dir)
         self.actors = [
             ShardSearcher.options(num_cpus=num_cpus).remote(p) for p in self.shards
         ]
+        # finished-query cache (dcs querymanager shape): key -> (t, dd, ss)
+        self.cache_ttl_s = cache_ttl_s
+        self.cache_max_entries = cache_max_entries
+        self._cache: OrderedDict[tuple, tuple[float, np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
+        self.cache_hits = 0
+        self.cache_misses = 0
         # block until every shard is open so first-query latency is real
         ray.get([a.__ray_ready__.remote() for a in self.actors])
+
+    def _cache_key(self, query: str, k: int, method: str, filters, prior_col) -> tuple:
+        fkey = (
+            tuple(sorted((kk, repr(vv)) for kk, vv in filters.items()))
+            if filters
+            else None
+        )
+        return (query, k, method, fkey, prior_col)
+
+    def _cache_get(self, key: tuple) -> tuple[np.ndarray, np.ndarray] | None:
+        hit = self._cache.get(key)
+        if hit is None:
+            return None
+        t, dd, ss = hit
+        if time.monotonic() - t > self.cache_ttl_s:
+            del self._cache[key]
+            return None
+        self._cache.move_to_end(key)
+        return dd, ss
+
+    def _cache_put(self, key: tuple, dd: np.ndarray, ss: np.ndarray) -> None:
+        self._cache[key] = (time.monotonic(), dd, ss)
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.cache_max_entries:
+            self._cache.popitem(last=False)
+
+    def cache_info(self) -> dict:
+        return {
+            "hits": self.cache_hits,
+            "misses": self.cache_misses,
+            "entries": len(self._cache),
+        }
 
     def search(
         self,
@@ -112,23 +170,53 @@ class SearchService:
         method: str = "maxscore",
         filters: dict | None = None,
         prior_col: str | None = None,
+        use_cache: bool = True,
     ) -> pa.Table:
         if isinstance(queries, str):
             queries = [queries]
-        plans = plan_queries(self.index_dir, queries, self.stats)
-        parts = ray.get(
-            [
-                a.score.remote(plans, self.stats, k, method, filters, prior_col)
-                for a in self.actors
-            ]
-        )
-        qids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int32)
-        docs = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
-        scores = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
+        # split the batch into cached and live queries; only the misses
+        # pay the shard fan-out (repeated queries — pagination, reloads —
+        # are served from the driver-side cache, zero actor round trips)
+        keys = [self._cache_key(q, k, method, filters, prior_col) for q in queries]
+        results: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(queries)
+        live_idx: list[int] = []
+        for i, key in enumerate(keys):
+            got = self._cache_get(key) if use_cache else None
+            if got is not None:
+                results[i] = got
+                self.cache_hits += 1
+            else:
+                live_idx.append(i)
+                self.cache_misses += 1
+        if live_idx:
+            live_queries = [queries[i] for i in live_idx]
+            plans = plan_queries(self.index_dir, live_queries, self.stats)
+            parts = ray.get(
+                [
+                    a.score.remote(plans, self.stats, k, method, filters, prior_col)
+                    for a in self.actors
+                ]
+            )
+            qids = (
+                np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int32)
+            )
+            docs = (
+                np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
+            )
+            scores = (
+                np.concatenate([p[2] for p in parts])
+                if parts
+                else np.empty(0, np.float64)
+            )
+            for lqid, i in enumerate(live_idx):
+                m = qids == lqid
+                dd, ss = topk(docs[m], scores[m], k)
+                results[i] = (dd, ss)
+                if use_cache:
+                    self._cache_put(keys[i], dd, ss)
         out_tables = []
-        for qid in range(len(queries)):
-            m = qids == qid
-            dd, ss = topk(docs[m], scores[m], k)
+        for qid, got in enumerate(results):
+            dd, ss = got
             out_tables.append(
                 pa.table(
                     {
@@ -155,6 +243,16 @@ class SearchService:
         self.shutdown()
 
 
-def search_service(index_dir: str, num_cpus: float = 1.0) -> SearchService:
+def search_service(
+    index_dir: str,
+    num_cpus: float = 1.0,
+    cache_ttl_s: float = 1800.0,
+    cache_max_entries: int = 4096,
+) -> SearchService:
     """Start a resident query service over a built index."""
-    return SearchService(index_dir, num_cpus=num_cpus)
+    return SearchService(
+        index_dir,
+        num_cpus=num_cpus,
+        cache_ttl_s=cache_ttl_s,
+        cache_max_entries=cache_max_entries,
+    )

@@ -329,3 +329,47 @@ def test_search_service_identical_to_dataset_path(built_index):
         g2 = svc.search(["spark merge join"], k=10, method="exhaustive").to_pandas()
         assert g2.equals(search_bm25(out, ["spark merge join"], k=10,
                                      method="exhaustive").to_pandas())
+
+
+def test_search_service_result_cache(built_index):
+    """Finished-query cache (dcs querymanager.go:277-320 shape):
+    repeats are served driver-side with identical tables, k/method/
+    filters key separately, TTL expires, and the entry cap evicts."""
+    import time as _time
+
+    from dcs_ray.service import search_service
+
+    out, _ = built_index
+    queries = ["spark merge join", "customer window batch"]
+    with search_service(out) as svc:
+        first = svc.search(queries, k=10).to_pandas()
+        info0 = svc.cache_info()
+        assert info0 == {"hits": 0, "misses": 2, "entries": 2}
+        again = svc.search(queries, k=10).to_pandas()
+        assert again.equals(first)
+        assert svc.cache_info()["hits"] == 2  # both served from cache
+        # a mixed batch: one hit + one miss, result identical to uncached
+        mixed = svc.search(["spark merge join", "vector"], k=10).to_pandas()
+        uncached = svc.search(["spark merge join", "vector"], k=10,
+                              use_cache=False).to_pandas()
+        assert mixed.equals(uncached)
+        # different k / method / filters are distinct cache keys
+        svc.search(queries[:1], k=5)
+        svc.search(queries[:1], k=10, method="exhaustive")
+        assert svc.cache_info()["misses"] >= 5
+
+    # TTL expiry: a zero-TTL service never serves from cache
+    with search_service(out, cache_ttl_s=0.0) as svc:
+        svc.search(queries[:1], k=10)
+        _time.sleep(0.01)
+        svc.search(queries[:1], k=10)
+        assert svc.cache_info()["hits"] == 0 and svc.cache_info()["misses"] == 2
+
+    # LRU cap: entries never exceed cache_max_entries
+    with search_service(out, cache_max_entries=2) as svc:
+        for kk in (3, 4, 5, 6):
+            svc.search(queries[:1], k=kk)
+        assert svc.cache_info()["entries"] == 2
+        # evicted key re-fetches and still matches the live path
+        r = svc.search(queries[:1], k=3).to_pandas()
+        assert r.equals(search_bm25(out, queries[:1], k=3).to_pandas())
