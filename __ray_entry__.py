@@ -588,6 +588,19 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def _q_duplicate_tile_spans(sf_dir: str) -> Any:
+    """Exact duplicated-substring accounting (Lee et al. 2022 shape,
+    tile-approximated): per doc, how many non-overlapping 32-byte tiles
+    occur >=2 times corpus-wide. Gated bit-exact: the SQL replays the
+    identical tile hash (FNV word fold + length salt + splitmix64) so
+    even hash collisions agree."""
+    from dcs_ray.functions.dedup import duplicate_tile_spans
+
+    ds = duplicate_tile_spans(_docs(sf_dir), tile_bytes=32, min_count=2)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "dup_tiles", "total_tiles"]).sort_by("doc_id")
+
+
 def _q_asof_join(sf_dir: str) -> Any:
     """Backward as-of join: each purchase event picks up the latest
     prior (or simultaneous) view event of the same user."""
@@ -1441,6 +1454,59 @@ m2 AS (SELECT term, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", 
 th AS (SELECT term, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM m2)"""
 
 
+def _strhash64_sql(nwords: int) -> str:
+    """Generalized ``_term_hash64_sql``: integer-SQL replay of
+    ``sketches._hash64_column`` for ASCII strings up to ``nwords * 8``
+    bytes — FNV-ish (h ^ word) * P per little-endian 8-byte word,
+    length salt, splitmix64 finalizer. Produces CTEs ending in
+    ``th(term, h)`` given a CTE ``terms(term)``."""
+    H0 = str(0xCBF29CE484222325)
+    P = str(0x100000001B3)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    M64 = "18446744073709551616"
+
+    def word(w: int) -> str:
+        return " + ".join(
+            f"CASE WHEN ln > {8 * w + i} THEN ascii(substr(term, {8 * w + i + 1}, 1))::hugeint * {256 ** i} ELSE 0 END"
+            for i in range(8)
+        )
+
+    wcols = ", ".join(f"({word(w)}) AS w{w}" for w in range(nwords))
+    ctes = [f"tw AS (SELECT term, length(term) AS ln, {wcols} FROM terms)"]
+    prev = "tw"
+    for w in range(nwords):
+        rest = ", ".join(f"w{j}" for j in range(w + 1, nwords))
+        rest = (", " + rest) if rest else ""
+        if w == 0:
+            expr = (
+                f"CASE WHEN ln > 0 THEN "
+                f"({_mulmod64(f'xor({H0}::ubigint, w0::ubigint)::hugeint', P + '::hugeint')})"
+                f" ELSE {H0}::hugeint END"
+            )
+        else:
+            expr = (
+                f"CASE WHEN ln > {8 * w} THEN "
+                f"({_mulmod64(f'xor(h::ubigint, w{w}::ubigint)::hugeint', P + '::hugeint')})"
+                f" ELSE h END"
+            )
+        ctes.append(f"f{w} AS (SELECT term, ln{rest}, {expr} AS h FROM {prev})")
+        prev = f"f{w}"
+    ctes.append(
+        f"fl AS (SELECT term, (h + ln + 11400714819323198485) % {M64} AS x0 FROM {prev})"
+    )
+    ctes.append(
+        f"m1 AS (SELECT term, ({_mulmod64('xor(x0::ubigint, x0::ubigint >> 30)::hugeint', MIX1 + '::hugeint')}) AS x1 FROM fl)"
+    )
+    ctes.append(
+        f"m2 AS (SELECT term, ({_mulmod64('xor(x1::ubigint, x1::ubigint >> 27)::hugeint', MIX2 + '::hugeint')}) AS x2 FROM m1)"
+    )
+    ctes.append(
+        "th AS (SELECT term, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM m2)"
+    )
+    return ",\n".join(ctes)
+
+
 def _q_hash_embed_vectors(sf_dir: str) -> Any:
     """The hashing-trick embedding matrix itself, unnested to
     (doc_id, dim, val) nonzero components — gates the full chain
@@ -1921,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "duplicate_tile_spans": _q_duplicate_tile_spans,
         "text_near_dup_semantic": _q_text_near_dup_semantic,
         # --- similarity search / embeddings ---
         "knn_cosine": _q_knn,
@@ -1945,8 +2012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
-        "train_val_test_split": _q_train_val_test_split,
         # --- end of the driver's 50-query window ---
+        "train_val_test_split": _q_train_val_test_split,
         "pack_chunked": _q_pack_chunked,
         "chunk_documents": _q_chunk_documents,
         "pack_greedy": _q_pack_greedy,
@@ -3011,6 +3078,24 @@ SELECT id_a, id_b, c::double / (sa.sz + sb.sz - c) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE c::double / (sa.sz + sb.sz - c) >= 0.5
 ORDER BY id_a, id_b
+""",
+        "duplicate_tile_spans": f"""
+WITH tl AS (
+  SELECT doc_id, unnest(range(0, length(text) // 32)) AS i, text FROM documents
+),
+grams AS (SELECT doc_id, substr(text, (i * 32) + 1, 32) AS term FROM tl),
+terms AS (SELECT DISTINCT term FROM grams),
+{_strhash64_sql(4)},
+occ AS (SELECT doc_id, h FROM grams JOIN th USING (term)),
+perdoc AS (SELECT h, doc_id, count(*) AS cnt FROM occ GROUP BY 1, 2),
+tot AS (SELECT h, sum(cnt) AS total FROM perdoc GROUP BY 1),
+dup AS (SELECT doc_id, sum(cnt) AS d FROM perdoc JOIN tot USING (h)
+        WHERE total >= 2 GROUP BY 1)
+SELECT doc.doc_id,
+       coalesce(dup.d, 0)::bigint AS dup_tiles,
+       (length(doc.text) // 32)::bigint AS total_tiles
+FROM documents doc LEFT JOIN dup ON doc.doc_id = dup.doc_id
+ORDER BY doc.doc_id
 """,
         "simhash_signatures": f"""
 WITH tok AS ({_TOK}),

@@ -857,3 +857,173 @@ def ngram_jaccard_pairs(
         )
 
     return inter.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (tile-approximated suffix-array dedup)
+# ---------------------------------------------------------------------------
+
+
+def tile_hash_rows(texts: pa.Array | pa.ChunkedArray, tile_bytes: int) -> tuple[
+    np.ndarray, np.ndarray
+]:
+    """Cut every row into non-overlapping ``tile_bytes``-byte tiles and
+    hash each tile with the house 64-bit hash (FNV word fold + length
+    salt + splitmix64 — bit-identical to ``sketches._hash64_column`` on
+    the tile's bytes, so the SQL replay CTEs apply). Returns
+    ``(row_of, hashes)`` flat arrays over all tiles of the batch.
+
+    Fully vectorized: one gather builds an (n_tiles, tile_bytes) uint8
+    matrix, then ceil(tile_bytes/8) word folds over ALL tiles at once."""
+    from dcs_ray.functions.sketches import _splitmix64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    arr = texts.cast(pa.large_utf8())
+    buf = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], np.int64)[: len(arr) + 1]
+    lens = offs[1:] - offs[:-1]
+    nt = lens // tile_bytes
+    total = int(nt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    row_of = np.repeat(np.arange(len(arr), dtype=np.int64), nt)
+    cum = np.concatenate(([0], np.cumsum(nt)))
+    within = np.arange(total, dtype=np.int64) - cum[row_of]
+    starts = offs[:-1][row_of] + within * tile_bytes
+    mat = buf[starts[:, None] + np.arange(tile_bytes)]
+    nwords = -(-tile_bytes // 8)
+    pad = nwords * 8 - tile_bytes
+    if pad:
+        mat = np.concatenate([mat, np.zeros((total, pad), np.uint8)], axis=1)
+    mat64 = mat.astype(np.uint64)
+    shifts = np.arange(8, dtype=np.uint64) * np.uint64(8)
+    out = np.full(total, np.uint64(0xCBF29CE484222325), np.uint64)
+    P = np.uint64(0x100000001B3)
+    for w in range(nwords):
+        word = (mat64[:, 8 * w : 8 * w + 8] << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = (out ^ word) * P
+    out = out + np.uint64(tile_bytes)  # length salt (all tiles full-length)
+    return row_of, _splitmix64(out)
+
+
+def duplicate_tile_spans(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile_bytes: int = 32,
+    min_count: int = 2,
+) -> ray.data.Dataset:
+    """Exact duplicated-substring accounting a la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    tile-approximated: text is cut into non-overlapping
+    ``tile_bytes``-byte tiles; a tile position is DUPLICATED when its
+    exact bytes occur at >= ``min_count`` tile positions corpus-wide
+    (within or across docs). One row per doc:
+    ``(doc_id, dup_tiles, total_tiles)`` — filter on
+    ``dup_tiles/total_tiles`` to drop boilerplate-heavy docs, or feed a
+    span-remover.
+
+    Scale shape: per-batch vectorized tiling + 64-bit tile hash +
+    per-batch (hash, doc) combiner, then ONE exchange — a groupby on a
+    coarse bucket of the 8-byte hash (tile bytes never shuffle;
+    exchange volume is ~corpus/tile_bytes x 24B). Each bucket runs ONE
+    lexsort kernel (segment-sum per hash, duplicated-position test,
+    per-doc bincount) — O(n_buckets) Python calls, never O(distinct
+    tiles). Then a small combiner groupby(doc_id). Per-bucket memory =
+    tile rows / n_buckets; size n_buckets to a few x cluster cores.
+    The corpus itself is read twice (tiles + totals) but both are
+    single column-pruned passes over the source, never a re-shuffle.
+    """
+    from dcs_ray.functions.relational import combiner_groupby
+
+    n_buckets = 256
+
+    def tiles(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        row_of, h = tile_hash_rows(b[text_col], tile_bytes)
+        hs = h.view(np.int64)
+        doc = ids[row_of]
+        if len(hs) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((doc, hs))
+        hs, doc = hs[order], doc[order]
+        first = np.concatenate(([True], (hs[1:] != hs[:-1]) | (doc[1:] != doc[:-1])))
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate((idx, [len(hs)])))
+        bucket = (hs[idx].view(np.uint64) % np.uint64(n_buckets)).view(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "h": pa.array(hs[idx], pa.int64()),
+                id_col: pa.array(doc[idx], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_mark(g: pa.Table) -> pa.Table:
+        """One vectorized kernel per bucket: segment totals per hash,
+        duplicated test, per-doc bincount of duplicated positions."""
+        hs = g["h"].to_numpy(zero_copy_only=False)
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "total_tiles": pa.array([], pa.int64()),
+                "dup_tiles": pa.array([], pa.int64()),
+            }
+        )
+        if len(hs) == 0:
+            return empty
+        order = np.argsort(hs, kind="stable")
+        hs, doc, cnt = hs[order], doc[order], cnt[order]
+        first = np.concatenate(([True], hs[1:] != hs[:-1]))
+        seg = np.cumsum(first) - 1
+        totals_per_h = np.bincount(seg, weights=cnt).astype(np.int64)
+        keep = totals_per_h[seg] >= min_count
+        if not keep.any():
+            return empty
+        docs_k, inv = np.unique(doc[keep], return_inverse=True)
+        dup = np.bincount(inv, weights=cnt[keep]).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(docs_k, pa.int64()),
+                "total_tiles": pa.array(np.zeros(len(docs_k), np.int64), pa.int64()),
+                "dup_tiles": pa.array(dup, pa.int64()),
+            }
+        )
+
+    def totals(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nbytes = pc.binary_length(b[text_col]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "total_tiles": pa.array(
+                    (nbytes // tile_bytes).astype(np.int64), pa.int64()
+                ),
+                "dup_tiles": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    dup = (
+        ds.map_batches(tiles, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_mark, batch_format="pyarrow")
+    )
+    tot = ds.map_batches(totals, batch_format="pyarrow")
+    merged = combiner_groupby(
+        tot.union(dup), keys=[id_col], sum_cols=["total_tiles", "dup_tiles"]
+    )
+    return merged.select_columns([id_col, "dup_tiles", "total_tiles"])

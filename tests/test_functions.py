@@ -721,3 +721,67 @@ def test_png_resize_roundtrip(ray_session):
     )
     img = decode_ppm(out.payload[0])
     assert img.shape == (4, 4, 3)
+
+
+def test_duplicate_tile_spans_vs_brute_force(ray_session):
+    """Tile-approximated exact-substring dedup (Lee et al. 2022 shape):
+    per-doc duplicated-tile counts match a python brute force, including
+    within-doc repeats, shared prefixes, and short-doc zero rows."""
+    from collections import Counter
+
+    import numpy as np
+
+    from dcs_ray.functions.dedup import duplicate_tile_spans
+
+    L = 8
+    rng = np.random.default_rng(7)
+    texts = []
+    base = "ABCDEFGH" * 4  # shared 32-byte prefix -> 4 dup tiles at L=8
+    for i in range(60):
+        t = "".join(rng.choice(list("abcdefghij"), size=rng.integers(3, 90)))
+        if i % 5 == 0:
+            t = base + t
+        texts.append(t)
+    texts.append("QQQQQQQQQQQQQQQQ")  # two identical tiles WITHIN one doc
+    texts.append("x")  # shorter than a tile: (0, 0)
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    out = (
+        duplicate_tile_spans(ds, tile_bytes=L)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    allt = Counter()
+    per = []
+    for t in texts:
+        tiles_l = [t[i * L:(i + 1) * L] for i in range(len(t) // L)]
+        per.append(tiles_l)
+        allt.update(tiles_l)
+    want = [(i, sum(1 for g in tl if allt[g] >= 2), len(tl))
+            for i, tl in enumerate(per)]
+    got = list(zip(out.doc_id, out.dup_tiles, out.total_tiles))
+    assert got == want
+    # every doc appears exactly once, even all-unique and sub-tile docs
+    assert len(out) == len(texts)
+
+
+def test_tile_hash_matches_hash64_column():
+    """The fixed-width tile hash is bit-identical to sketches'
+    _hash64_column on the same bytes (the property the SQL replay
+    depends on), for tile widths that exercise full and partial words."""
+    import numpy as np
+
+    from dcs_ray.functions.dedup import tile_hash_rows
+    from dcs_ray.functions.sketches import _hash64_column
+
+    text = "The quick brown fox jumps over the lazy dog 0123456789!"
+    for L in (5, 8, 12, 32):
+        arr = pa.array([text], pa.string())
+        row_of, h = tile_hash_rows(arr, L)
+        grams = [text[i * L:(i + 1) * L] for i in range(len(text) // L)]
+        want = _hash64_column(pa.array(grams, pa.string()))
+        np.testing.assert_array_equal(h, want)
+        assert (row_of == 0).all()
