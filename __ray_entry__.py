@@ -1274,13 +1274,15 @@ def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 def _q_image_features(sf_dir: str) -> Any:
     """REAL decode path: a MIXED corpus of deterministic P6 PPM,
-    zlib-compressed PNG, and baseline-JPEG (4:2:0 + restart markers)
-    images (same pixel recipes), sniffed and decoded per row by the
-    dependency-free parsers in an actor pool, → per-channel stats +
-    luma grid features (rows-only gate; pytest pins values vs straight
-    numpy and cross-codec equality)."""
+    zlib-compressed PNG, baseline-JPEG (4:2:0 + restart markers), and
+    GIF89a (LZW, palette-quantized) images (same pixel recipes),
+    sniffed and decoded per row by the dependency-free parsers in an
+    actor pool, → per-channel stats + luma grid features (rows-only
+    gate; pytest pins values vs straight numpy and cross-codec
+    equality)."""
     from dcs_ray.functions.multimodal import (
         PpmImageFeatureExtractor,
+        synthesize_gif_media,
         synthesize_jpeg_media,
         synthesize_png_media,
         synthesize_ppm_media,
@@ -1297,7 +1299,12 @@ def _q_image_features(sf_dir: str) -> Any:
         jpg.schema.get_field_index("media_id"), "media_id",
         pa.array(np.arange(64, 96), pa.int64()),
     )
-    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg]))
+    gif = synthesize_gif_media(32)
+    gif = gif.set_column(
+        gif.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(96, 128), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg, gif]))
     ds = media.map_batches(
         PpmImageFeatureExtractor, concurrency=2, batch_size=32,
         batch_format="pyarrow", num_cpus=1,
@@ -1324,15 +1331,23 @@ def _q_audio_features(sf_dir: str) -> Any:
 
 
 def _q_video_frames(sf_dir: str) -> Any:
-    """REAL demux path: concatenated-PPM streams parsed frame by frame
-    in an actor pool; 4 frames sampled evenly per stream, each emitted
-    as a standalone decodable PPM."""
+    """REAL demux path over BOTH video containers: concatenated-PPM
+    streams (frame headers parsed, zero-copy slices) and animated GIFs
+    (LZW-decoded), in one actor pool; 4 frames sampled evenly per
+    stream, each emitted as a standalone decodable PPM."""
     from dcs_ray.functions.multimodal import (
         PpmStreamFrameSampler,
+        synthesize_gif_video,
         synthesize_ppm_video,
     )
 
-    media = ray.data.from_arrow(synthesize_ppm_video(32))
+    ppm_v = synthesize_ppm_video(32)
+    gif_v = synthesize_gif_video(16)
+    gif_v = gif_v.set_column(
+        gif_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 48), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v]))
     ds = media.map_batches(
         PpmStreamFrameSampler, fn_constructor_kwargs={"k": 4}, concurrency=2,
         batch_size=16, batch_format="pyarrow", num_cpus=1,

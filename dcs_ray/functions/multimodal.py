@@ -3,12 +3,14 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / feature-extract run as actor-pool
 ``map_batches`` stages (model/codec loaded once per actor in
-``__init__``). Five decode paths are REAL and dependency-free — P6
+``__init__``). Seven decode paths are REAL and dependency-free — P6
 PPM images, PNG (stdlib zlib + full unfiltering), baseline JPEG
 (pure-numpy huffman + batched IDCT, :mod:`dcs_ray.functions.jpeg`),
-RIFF/WAVE PCM16 audio, and concatenated-PPM video streams — all
-round-trip tested, feeding real per-channel/windowed features and
-real frame sampling. Remaining compressed formats (FLAC/MP3/MP4)
+GIF87a/89a incl. animated (LZW, :mod:`dcs_ray.functions.gif`),
+RIFF/WAVE PCM16 audio, and two video containers (concatenated-PPM
+streams and animated GIF) — all round-trip tested, feeding real
+per-channel/windowed features and real frame sampling. Remaining
+compressed formats (FLAC/MP3/MP4)
 still raise ``DecodeUnavailable`` (no codec libraries in the
 sandbox); their extractors keep the same actor-pool shape with a
 deterministic fake in the decode slot.
@@ -442,11 +444,12 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-and-decode an image payload: P6 PPM, PNG, or baseline
-    JPEG (all real, dependency-free decoders — JPEG lives in
-    :mod:`dcs_ray.functions.jpeg`). Greyscale images are expanded to
-    3 channels so downstream feature kernels see one layout. Other
-    formats raise ``DecodeUnavailable``."""
+    """Sniff-and-decode an image payload: P6 PPM, PNG, baseline JPEG,
+    or GIF87a/89a (all real, dependency-free decoders — JPEG lives in
+    :mod:`dcs_ray.functions.jpeg`, GIF in :mod:`dcs_ray.functions.gif`;
+    an animated GIF yields its first frame here). Greyscale images are
+    expanded to 3 channels so downstream feature kernels see one
+    layout. Other formats raise ``DecodeUnavailable``."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
@@ -455,8 +458,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg  # lazy: jpeg.py imports this module
 
         img = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif  # lazy: gif.py imports this module
+
+        img = decode_gif(payload)
     else:
-        raise DecodeUnavailable("unrecognized image payload (not PPM/PNG/JPEG)")
+        raise DecodeUnavailable(
+            "unrecognized image payload (not PPM/PNG/JPEG/GIF)"
+        )
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     elif img.shape[2] == 4:
@@ -621,6 +630,38 @@ def synthesize_jpeg_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) 
     )
 
 
+def synthesize_gif_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -> pa.Table:
+    """Deterministic REAL GIF89a images — the :func:`synthesize_ppm_media`
+    pixel recipe quantized to 6 levels/channel (≤216 distinct colors:
+    GIF's palette limit; real encoders quantize the same way), encoded
+    through the dependency-free LZW encoder."""
+    from .gif import encode_gif  # lazy: gif.py imports this module
+
+    rows = []
+    for i in range(n):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1) + i * 7) % 256,
+                (yy * 255 // max(h - 1, 1) + i * 13) % 256,
+                ((xx + yy) * 255 // max(w + h - 2, 1) + i * 29) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        img = (img // 43) * 43  # palette-quantized: 6 levels per channel
+        rows.append(encode_gif(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
 def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.Table:
     """Deterministic REAL PCM16 WAV clips (per-clip sine + ramp)."""
     rows = []
@@ -708,12 +749,14 @@ def _ppm_frame_offsets(payload: bytes) -> list[tuple[int, int]]:
 
 
 class PpmStreamFrameSampler:
-    """Actor-pool stage with a REAL demux: the payload is a stream of
-    concatenated P6 frames; ``__call__`` parses every frame header to
-    index the stream, samples k frames evenly across it, and emits each
-    as a standalone (decodable) PPM payload with its frame index and
-    timestamp. The contract a real container demuxer fills; compressed
-    containers (MP4 etc.) still raise ``DecodeUnavailable``."""
+    """Actor-pool stage with a REAL demux for two containers: a stream
+    of concatenated P6 frames (every frame header parsed to index the
+    stream zero-copy) or an animated GIF (LZW-decoded frames,
+    re-emitted as P6). ``__call__`` samples k frames evenly across the
+    stream and emits each as a standalone (decodable) PPM payload with
+    its frame index and timestamp. The contract a real container
+    demuxer fills; compressed containers (MP4 etc.) still raise
+    ``DecodeUnavailable``."""
 
     def __init__(self, k: int = 4):
         self.k = k
@@ -728,6 +771,18 @@ class PpmStreamFrameSampler:
         out_id, out_fi, out_ts, out_frame = [], [], [], []
         for i, p in enumerate(payloads):
             raw = p.as_py()
+            if raw[:6] in (b"GIF87a", b"GIF89a"):
+                from .gif import decode_gif_frames  # lazy circular-import guard
+
+                imgs = decode_gif_frames(raw)
+                nf = len(imgs)
+                take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]
+                for fi in take:
+                    out_id.append(ids[i])
+                    out_fi.append(fi)
+                    out_ts.append(int(dur[i]) * fi // max(nf, 1))
+                    out_frame.append(encode_ppm(imgs[fi]))
+                continue
             frames = _ppm_frame_offsets(raw)
             nf = len(frames)
             take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]
@@ -767,6 +822,41 @@ def synthesize_ppm_video(
             ).astype(np.uint8)
             chunks.append(encode_ppm(img))
         rows.append(b"".join(chunks))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.full(n, frames * 40, np.int32), pa.int32()),
+        }
+    )
+
+
+def synthesize_gif_video(
+    n: int = 8, frames: int = 12, w: int = 16, h: int = 12, seed: int = 4
+) -> pa.Table:
+    """Deterministic REAL animated GIFs — the :func:`synthesize_ppm_video`
+    per-frame recipe quantized to 6 levels/channel (all frames share
+    one ≤216-color palette), LZW-encoded as a single GIF89a stream."""
+    from .gif import encode_gif  # lazy: gif.py imports this module
+
+    rows = []
+    for i in range(n):
+        imgs = []
+        for f in range(frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 11 + f * 17 + i) % 256,
+                    (yy * 7 + f * 29) % 256,
+                    (xx + yy + f + i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            imgs.append((img // 43) * 43)
+        rows.append(encode_gif(imgs, delay_cs=4))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
