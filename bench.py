@@ -496,7 +496,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--cooldown", type=int, default=120)
     ap.add_argument(
-        "--until-healthy", type=int, default=0, metavar="N",
+        "--until-healthy", type=int,
+        default=int(os.environ.get("BENCH_UNTIL_HEALTHY", "2")), metavar="N",
         help="retry the headline bench up to N times (cooldown between "
         "attempts) until the 4-axis host stamp reads host_throttled: "
         "false — a number recorded inside a throttled window measures "
