@@ -1314,14 +1314,23 @@ def _q_image_features(sf_dir: str) -> Any:
 
 
 def _q_audio_features(sf_dir: str) -> Any:
-    """REAL decode path: RIFF/WAVE PCM16 clips parsed by the pure-numpy
-    reader in an actor pool, windowed RMS features."""
+    """REAL decode path: a MIXED corpus of RIFF/WAVE PCM16 and FLAC
+    clips (same signal recipe; FLAC is lossless so features are
+    bit-identical across codecs — pinned by pytest) parsed by the
+    pure-numpy readers in one actor pool, windowed RMS features."""
     from dcs_ray.functions.multimodal import (
         WavAudioFeatureExtractor,
+        synthesize_flac_media,
         synthesize_wav_media,
     )
 
-    media = ray.data.from_arrow(synthesize_wav_media(64))
+    wav = synthesize_wav_media(64)
+    flc = synthesize_flac_media(32)
+    flc = flc.set_column(
+        flc.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 96), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([wav, flc]))
     ds = media.map_batches(
         WavAudioFeatureExtractor, concurrency=2, batch_size=32,
         batch_format="pyarrow", num_cpus=1,

@@ -3,14 +3,15 @@
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / resize / feature-extract run as actor-pool
 ``map_batches`` stages (model/codec loaded once per actor in
-``__init__``). Seven decode paths are REAL and dependency-free — P6
+``__init__``). Eight decode paths are REAL and dependency-free — P6
 PPM images, PNG (stdlib zlib + full unfiltering), baseline JPEG
 (pure-numpy huffman + batched IDCT, :mod:`dcs_ray.functions.jpeg`),
 GIF87a/89a incl. animated (LZW, :mod:`dcs_ray.functions.gif`),
-RIFF/WAVE PCM16 audio, and two video containers (concatenated-PPM
-streams and animated GIF) — all round-trip tested, feeding real
-per-channel/windowed features and real frame sampling. Remaining
-compressed formats (FLAC/MP3/MP4)
+RIFF/WAVE PCM16 audio, FLAC (rice/fixed/LPC subset with CRC+MD5
+verify, :mod:`dcs_ray.functions.flac`), and two video containers
+(concatenated-PPM streams and animated GIF) — all round-trip tested,
+feeding real per-channel/windowed features and real frame sampling.
+Remaining compressed formats (MP3/MP4)
 still raise ``DecodeUnavailable`` (no codec libraries in the
 sandbox); their extractors keep the same actor-pool shape with a
 deterministic fake in the decode slot.
@@ -314,6 +315,23 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sniff-and-decode an audio payload: RIFF/WAVE PCM16 or FLAC
+    (subset codec in :mod:`dcs_ray.functions.flac` — lossless, CRC/MD5
+    verified) → (int16 mono samples, rate). Multichannel FLAC is
+    downmixed to channel 0 so downstream features see one layout."""
+    if payload[:4] == b"RIFF":
+        return decode_wav_pcm16(payload)
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac  # lazy: flac.py imports this module
+
+        samples, rate = decode_flac(payload)
+        if samples.ndim == 2:
+            samples = samples[:, 0]
+        return samples, rate
+    raise DecodeUnavailable("unrecognized audio payload (not WAV/FLAC)")
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -517,9 +535,10 @@ class PpmImageFeatureExtractor:
 
 
 class WavAudioFeatureExtractor:
-    """Actor-pool stage with a REAL decode path: RIFF/WAVE PCM16 →
+    """Actor-pool stage with a REAL decode path: RIFF/WAVE PCM16 **and
+    FLAC** payloads (sniffed per row via :func:`decode_audio`) →
     windowed RMS energies (the same output contract as the fake
-    extractor, fed by a real parser)."""
+    extractor, fed by real parsers)."""
 
     def __init__(self, n_windows: int = 8):
         self.n_windows = n_windows
@@ -528,7 +547,7 @@ class WavAudioFeatureExtractor:
         payloads = batch["payload"].combine_chunks()
         feats = np.zeros((len(payloads), self.n_windows), np.float32)
         for i, p in enumerate(payloads):
-            samples, _rate = decode_wav_pcm16(p.as_py())
+            samples, _rate = decode_audio(p.as_py())
             if len(samples) == 0:
                 continue
             w = max(1, len(samples) // self.n_windows)
@@ -672,6 +691,32 @@ def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.
             + (t * (i % 5) % 4000)
         ).astype(np.int16)
         rows.append(encode_wav_pcm16(sig))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "height": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.full(n, samples // 16, np.int32), pa.int32()),
+        }
+    )
+
+
+def synthesize_flac_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.Table:
+    """Deterministic REAL FLAC clips — the :func:`synthesize_wav_media`
+    signal recipe, losslessly compressed through the dependency-free
+    FLAC-subset encoder (features must be bit-identical to WAV's)."""
+    from .flac import encode_flac  # lazy: flac.py imports this module
+
+    rows = []
+    for i in range(n):
+        t = np.arange(samples)
+        sig = (
+            6000 * np.sin(2 * np.pi * t * (i % 7 + 1) / 256.0)
+            + (t * (i % 5) % 4000)
+        ).astype(np.int16)
+        rows.append(encode_flac(sig, rate=32000))
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
