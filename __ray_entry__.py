@@ -958,6 +958,40 @@ def _q_normalize_text(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_remove_boilerplate(sf_dir: str) -> Any:
+    """CCNet-style boilerplate removal: drop every line appearing in
+    ≥3 distinct docs of the SAME source (site templates — menus,
+    footers). Two streaming passes over the corpus; the frequent-line
+    key set is a bounded (template-sized) broadcast."""
+    from dcs_ray.functions.lines import remove_boilerplate
+
+    ds = remove_boilerplate(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        min_docs=3,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_paragraph_dedup(sf_dir: str) -> Any:
+    """C4/RefinedWeb-style global paragraph dedup, keep-first: a
+    paragraph survives only at its minimum (doc_id, ordinal) occurrence
+    corpus-wide. Pure-int exchanges; no driver-side corpus state."""
+    from dcs_ray.functions.lines import paragraph_dedup_keep_first
+
+    ds = paragraph_dedup_keep_first(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_bigram_topk(sf_dir: str) -> Any:
     """Top-50 bigrams by count: per-batch pair formation over the flat
     token array + map-side value_counts, vocab-sized aggregate only."""
@@ -2013,6 +2047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "duplicate_tile_spans": _q_duplicate_tile_spans,
         "text_near_dup_semantic": _q_text_near_dup_semantic,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "paragraph_dedup": _q_paragraph_dedup,
         # --- similarity search / embeddings ---
         "knn_cosine": _q_knn,
         "knn_cosine_lsh": _q_knn_lsh,
@@ -2033,10 +2069,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        # --- end of the driver's 50-query window ---
         "doc_lm_score": _q_doc_lm_score,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
-        # --- end of the driver's 50-query window ---
         "train_val_test_split": _q_train_val_test_split,
         "pack_chunked": _q_pack_chunked,
         "chunk_documents": _q_chunk_documents,
@@ -2381,6 +2417,39 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """,
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # semantic replay (string-level) of the hash-keyed line ops —
+        # a stronger gate than a hash replay: it also verifies the
+        # 64-bit line keys are collision-free on the corpus
+        "remove_boilerplate": """
+WITH ln AS (
+  SELECT doc_id, source,
+         unnest(str_split(text, chr(10))) AS line,
+         unnest(range(len(str_split(text, chr(10))))) AS ord
+  FROM documents),
+freq AS (
+  SELECT source, line FROM ln GROUP BY source, line
+  HAVING count(DISTINCT doc_id) >= 3)
+SELECT l.doc_id::bigint AS doc_id,
+       coalesce(string_agg(CASE WHEN f.line IS NULL THEN l.line END,
+                           chr(10) ORDER BY l.ord), '') AS text,
+       count(f.line)::bigint AS n_removed
+FROM ln l LEFT JOIN freq f ON l.source = f.source AND l.line = f.line
+GROUP BY l.doc_id ORDER BY l.doc_id
+""",
+        "paragraph_dedup": """
+WITH ln AS (
+  SELECT doc_id,
+         unnest(str_split(text, chr(10))) AS line,
+         unnest(range(len(str_split(text, chr(10))))) AS ord
+  FROM documents),
+win AS (SELECT line, min(doc_id * 1048576 + ord) AS r FROM ln GROUP BY line)
+SELECT l.doc_id::bigint AS doc_id,
+       coalesce(string_agg(CASE WHEN l.doc_id * 1048576 + l.ord = w.r
+                                THEN l.line END, chr(10) ORDER BY l.ord), '') AS text,
+       count(CASE WHEN l.doc_id * 1048576 + l.ord <> w.r THEN 1 END)::bigint AS n_dropped
+FROM ln l JOIN win w ON l.line = w.line
+GROUP BY l.doc_id ORDER BY l.doc_id
 """,
         "latest_event_per_user": """
 SELECT user_id::bigint AS user_id, event_id::bigint AS event_id FROM (
