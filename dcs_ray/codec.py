@@ -108,14 +108,21 @@ def pack_postings(
     ``doc_ids[group_offsets[t]:group_offsets[t+1]]`` (sorted ascending,
     deduped) with parallel ``tfs``.
 
-    ``codec``: ``"varint"`` (default, LEB128 bodies) or ``"bitpack"``
+    ``codec``: ``"varint"`` (LEB128 bodies), ``"bitpack"``
     (fixed-width FOR blocks — the TurboPFor role in dcs,
     ``internal/index/pforwriter.go:44-50``; body = ``u8 bw_delta, u8
     bw_tf``, then the block's doc-id deltas LSB-first at ``bw_delta``
-    bits each, then its tfs at ``bw_tf`` bits, each stream byte-padded).
-    Blocks are self-describing via the high bit of the header's ``n``
-    field, so merge stays pure byte concatenation even across segments
-    built with different codecs.
+    bits each, then its tfs at ``bw_t`` bits, each stream byte-padded),
+    or ``"svbyte"`` (Stream-VByte — Lemire/Kurz/Rupp 2018: 2-bit length
+    codes packed four-per-control-byte in a stream SEPARATE from the
+    data bytes, so decode reads length metadata without data-dependent
+    branching; body = ``[delta ctrl | delta data | tf ctrl | tf data]``.
+    Canonical Stream-VByte covers 1–4-byte values; a block holding any
+    ≥2^32 delta/tf falls back to a varint body — per block, via the
+    header flag — so correctness never depends on id density).
+    Blocks are self-describing via the top two bits of the header's
+    ``n`` field, so merge stays pure byte concatenation even across
+    segments built with different codecs.
 
     Returns ``(blob, term_byte_offsets, term_byte_lengths)`` where term t's
     block sequence is ``blob[off[t]:off[t]+len[t]]``.
@@ -151,6 +158,11 @@ def pack_postings(
 
     if codec == "bitpack":
         return _pack_postings_bitpack(
+            nterms, counts, nblocks, block_first, block_start, block_end,
+            block_n, doc_ids, tfs, body_deltas, is_block_first,
+        )
+    if codec == "svbyte":
+        return _pack_postings_svbyte(
             nterms, counts, nblocks, block_first, block_start, block_end,
             block_n, doc_ids, tfs, body_deltas, is_block_first,
         )
@@ -217,8 +229,10 @@ def pack_postings(
     return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
 
 
-CODEC_FLAG_BITPACK = 0x8000  # high bit of header "n": bitpacked body
-_N_MASK = 0x7FFF
+CODEC_FLAG_BITPACK = 0x8000  # header "n" bit 15: bitpacked body
+CODEC_FLAG_SVBYTE = 0x4000  # header "n" bit 14: Stream-VByte body
+_N_MASK = 0x3FFF  # n <= BLOCK=128, far below both flag bits
+_SVB_LIMIT = np.uint64(1) << np.uint64(32)  # canonical SVB covers 1-4 bytes
 
 
 def _pack_postings_bitpack(
@@ -285,6 +299,164 @@ def _pack_postings_bitpack(
             blk_out[:-1][sel] + HEADER_SIZE + 2 + d_bytes[sel]
         )[:, None] + np.arange(packed.shape[1])[None, :]
         out[dst.ravel()] = packed.ravel()
+
+    term_off = blk_out[block_first]
+    term_end = blk_out[np.concatenate((block_first[1:], [nblocks]))]
+    term_len = term_end - term_off
+    if (counts == 0).any():
+        raise ValueError("pack_postings: empty term groups not supported")
+    return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
+
+
+def _svb_encode_values(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Stream-VByte data stream for values < 2^32: little-endian bytes,
+    1–4 per value. Returns (data_bytes u8, per-value byte lengths)."""
+    v = v.astype(np.uint64, copy=False)
+    if len(v) == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    lengths = np.ones(len(v), dtype=np.int64)
+    for t in (1 << 8, 1 << 16, 1 << 24):
+        lengths += (v >= np.uint64(t)).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    out = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    for j in range(4):
+        mask = lengths > j
+        out[offsets[mask] + j] = ((v[mask] >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    return out, lengths
+
+
+def _svb_decode_values(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    offsets = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    vals = np.zeros(len(lengths), dtype=np.uint64)
+    d = data.astype(np.uint64)
+    for j in range(4):
+        mask = lengths > j
+        vals[mask] |= d[offsets[mask] + j] << np.uint64(8 * j)
+    return vals
+
+
+def _svb_pack_ctrl(
+    lengths: np.ndarray, grp_counts: np.ndarray, ctrl_n: np.ndarray
+) -> np.ndarray:
+    """Control stream: 2-bit codes (len-1), four per byte LSB-first,
+    padded per GROUP to a whole byte (each block owns whole control
+    bytes so bodies stay self-contained). ``lengths`` is the flat
+    per-value byte-length stream, grouped contiguously per block with
+    ``grp_counts`` values each; ``ctrl_n`` = control bytes per block."""
+    padded = (ctrl_n * 4).astype(np.int64)
+    if padded.sum() == 0:
+        return np.empty(0, np.uint8)
+    pstart = np.concatenate(([0], np.cumsum(padded)[:-1]))
+    flat = np.zeros(int(padded.sum()), dtype=np.uint16)
+    flat[_ranges(pstart, grp_counts)] = (lengths - 1).astype(np.uint16)
+    quad = flat.reshape(-1, 4)
+    weights = np.array([1, 4, 16, 64], dtype=np.uint16)
+    return (quad * weights[None, :]).sum(axis=1).astype(np.uint8)
+
+
+def _svb_unpack_ctrl(ctrl: np.ndarray, count: int) -> np.ndarray:
+    """Control bytes → per-value byte lengths (1..4), first ``count``."""
+    if count == 0:
+        return np.empty(0, np.int64)
+    c = ctrl.astype(np.uint16)
+    codes = np.empty(len(c) * 4, dtype=np.int64)
+    for j in range(4):
+        codes[j::4] = (c >> (2 * j)) & 3
+    return codes[:count] + 1
+
+
+def _pack_postings_svbyte(
+    nterms, counts, nblocks, block_first, block_start, block_end,
+    block_n, doc_ids, tfs, body_deltas, is_block_first,
+):
+    """Stream-VByte body assembly (control/data split, Lemire 2018).
+    Eligibility is per block: any ≥2^32 delta or tf flips that block to
+    a varint body (flag bits 0), so mixed streams stay self-describing
+    and the format is total over uint64 inputs."""
+    m_counts = block_n - 1
+    entry_delta_rank = np.cumsum(~is_block_first) - (~is_block_first)
+    body_rank_start = entry_delta_rank[block_start]
+
+    blk_max_delta = np.zeros(nblocks, dtype=np.uint64)
+    nzm = m_counts > 0
+    if len(body_deltas) and nzm.any():
+        blk_max_delta[nzm] = np.maximum.reduceat(body_deltas, body_rank_start[nzm])
+    blk_max_tf = np.maximum.reduceat(tfs, block_start)
+    sv = (blk_max_delta < _SVB_LIMIT) & (blk_max_tf < _SVB_LIMIT)
+
+    d_block = np.repeat(np.arange(nblocks), m_counts)  # block per body delta
+    t_block = np.repeat(np.arange(nblocks), block_n)  # block per tf value
+
+    # --- Stream-VByte streams (sv blocks only) ---
+    d_sel, t_sel = sv[d_block], sv[t_block]
+    d_data, d_L = _svb_encode_values(body_deltas[d_sel])
+    t_data, t_L = _svb_encode_values(tfs[t_sel])
+    d_grp = np.where(sv, m_counts, 0)
+    t_grp = np.where(sv, block_n, 0)
+    d_ctrl_n = np.where(sv, (m_counts + 3) // 4, 0)
+    t_ctrl_n = np.where(sv, (block_n + 3) // 4, 0)
+    d_ctrl = _svb_pack_ctrl(d_L, d_grp, d_ctrl_n)
+    t_ctrl = _svb_pack_ctrl(t_L, t_grp, t_ctrl_n)
+    d_cum = np.concatenate(([0], np.cumsum(d_L)))
+    t_cum = np.concatenate(([0], np.cumsum(t_L)))
+    d_gstart = np.concatenate(([0], np.cumsum(d_grp)[:-1]))
+    t_gstart = np.concatenate(([0], np.cumsum(t_grp)[:-1]))
+    d_dbytes = d_cum[d_gstart + d_grp] - d_cum[d_gstart]  # 0 where not sv
+    t_dbytes = t_cum[t_gstart + t_grp] - t_cum[t_gstart]
+    d_cstart = np.concatenate(([0], np.cumsum(d_ctrl_n)[:-1]))
+    t_cstart = np.concatenate(([0], np.cumsum(t_ctrl_n)[:-1]))
+
+    # --- varint fallback streams (non-sv blocks) ---
+    vd_bytes, vd_lens = varint_encode(body_deltas[~d_sel])
+    vt_bytes, vt_lens = varint_encode(tfs[~t_sel])
+    vd_grp = np.where(sv, 0, m_counts)
+    vt_grp = np.where(sv, 0, block_n)
+    vd_cum = np.concatenate(([0], np.cumsum(vd_lens)))
+    vt_cum = np.concatenate(([0], np.cumsum(vt_lens)))
+    vd_gstart = np.concatenate(([0], np.cumsum(vd_grp)[:-1]))
+    vt_gstart = np.concatenate(([0], np.cumsum(vt_grp)[:-1]))
+    vd_dbytes = vd_cum[vd_gstart + vd_grp] - vd_cum[vd_gstart]
+    vt_dbytes = vt_cum[vt_gstart + vt_grp] - vt_cum[vt_gstart]
+
+    blk_body_bytes = np.where(
+        sv, d_ctrl_n + d_dbytes + t_ctrl_n + t_dbytes, vd_dbytes + vt_dbytes
+    )
+
+    headers = np.empty(nblocks, dtype=HEADER_DTYPE)
+    headers["n"] = block_n | np.where(sv, CODEC_FLAG_SVBYTE, 0)
+    headers["nbytes"] = blk_body_bytes
+    headers["first_docid"] = doc_ids[block_start]
+    headers["max_docid"] = doc_ids[block_end - 1]
+    headers["max_tf"] = blk_max_tf
+
+    blk_total = HEADER_SIZE + blk_body_bytes
+    blk_out = np.concatenate(([0], np.cumsum(blk_total)))
+    out = np.zeros(int(blk_out[-1]), dtype=np.uint8)
+    hview = headers.view(np.uint8).reshape(nblocks, HEADER_SIZE)
+    htargets = blk_out[:-1][:, None] + np.arange(HEADER_SIZE)[None, :]
+    out[htargets.ravel()] = hview.ravel()
+
+    body0 = blk_out[:-1] + HEADER_SIZE
+    # sv blocks: [d ctrl | d data | t ctrl | t data]
+    for src, sstart, slen, dstart in (
+        (d_ctrl, d_cstart, d_ctrl_n, body0),
+        (d_data, d_cum[d_gstart], d_dbytes, body0 + d_ctrl_n),
+        (t_ctrl, t_cstart, t_ctrl_n, body0 + d_ctrl_n + d_dbytes),
+        (t_data, t_cum[t_gstart], t_dbytes, body0 + d_ctrl_n + d_dbytes + t_ctrl_n),
+    ):
+        ln = np.where(sv, slen, 0)
+        if ln.sum():
+            out[_ranges(dstart, ln)] = src[_ranges(sstart, ln)]
+    # varint-fallback blocks: [delta varints | tf varints]
+    for src, sstart, slen, dstart in (
+        (vd_bytes, vd_cum[vd_gstart], vd_dbytes, body0),
+        (vt_bytes, vt_cum[vt_gstart], vt_dbytes, body0 + vd_dbytes),
+    ):
+        ln = np.where(sv, 0, slen)
+        if ln.sum():
+            out[_ranges(dstart, ln)] = src[_ranges(sstart, ln)]
 
     term_off = blk_out[block_first]
     term_end = blk_out[np.concatenate((block_first[1:], [nblocks]))]
@@ -368,6 +540,15 @@ def decode_block(header, body: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         db = ((n - 1) * bw_d + 7) // 8
         deltas = _unpack_values(body[2 : 2 + db], n - 1, bw_d)
         tfs = _unpack_values(body[2 + db :], n, bw_t)
+    elif n_field & CODEC_FLAG_SVBYTE:
+        m = n - 1
+        dc = (m + 3) // 4
+        d_L = _svb_unpack_ctrl(body[:dc], m)
+        dd = int(d_L.sum())
+        deltas = _svb_decode_values(body[dc : dc + dd], d_L)
+        tc = (n + 3) // 4
+        t_L = _svb_unpack_ctrl(body[dc + dd : dc + dd + tc], n)
+        tfs = _svb_decode_values(body[dc + dd + tc : dc + dd + tc + int(t_L.sum())], t_L)
     else:
         vals = varint_decode(body)
         deltas, tfs = vals[: n - 1], vals[n - 1 :]

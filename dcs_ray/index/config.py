@@ -35,7 +35,9 @@ class IndexConfig:
     meta_cols: tuple = ()
     # posting-body codec: "bitpack" (fixed-width FOR blocks — dcs's
     # TurboPFor role; default: ~half the bytes of varint on web text and
-    # ~1.3× faster decode) or "varint" (LEB128). Blocks are
+    # ~1.3× faster decode), "svbyte" (Stream-VByte: 2-bit length codes
+    # in a control stream separate from the data bytes, per-block varint
+    # fallback for ≥2^32 values), or "varint" (LEB128). Blocks are
     # self-describing, so segments of different codecs even merge
     # together (an old varint index updates in place consistently —
     # update_partition re-reads the stored codec from the manifest).
@@ -56,7 +58,7 @@ class IndexConfig:
 
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")
-        assert self.codec in ("varint", "bitpack")
+        assert self.codec in ("varint", "bitpack", "svbyte")
         assert self.num_partitions >= self.num_shards >= 1
         # latest-crawl dedup is partition-local; it is only globally exact
         # when a url's every crawl lands in one partition — i.e. url-hash

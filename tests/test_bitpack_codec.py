@@ -24,7 +24,7 @@ def _postings(seed=11):
     return go, ids, tfs, sizes
 
 
-@pytest.mark.parametrize("codec", ["varint", "bitpack"])
+@pytest.mark.parametrize("codec", ["varint", "bitpack", "svbyte"])
 def test_roundtrip(codec):
     go, ids, tfs, sizes = _postings()
     blob, off, ln = pack_postings(go, ids, tfs, codec=codec)
@@ -53,6 +53,58 @@ def test_mixed_codec_streams_concatenate():
         np.testing.assert_array_equal(f, np.tile(tfs[go[t] : go[t + 1]], 2))
 
 
+def test_three_codec_streams_concatenate():
+    """Segments built with all three codecs concatenate into one
+    decodable stream (the k-way merge case across index generations)."""
+    go, ids, tfs, sizes = _postings()
+    parts = []
+    for i, codec in enumerate(("varint", "bitpack", "svbyte")):
+        shifted = ids + np.uint64(i * 2 * 10**9)
+        blob, off, ln = pack_postings(go, shifted, tfs, codec=codec)
+        parts.append((np.frombuffer(blob, np.uint8), off, ln, shifted))
+    for t in range(len(sizes)):
+        run = np.concatenate([p[0][p[1][t] : p[1][t] + p[2][t]] for p in parts])
+        d, f = decode_postings(run)
+        np.testing.assert_array_equal(
+            d, np.concatenate([p[3][go[t] : go[t + 1]] for p in parts])
+        )
+        np.testing.assert_array_equal(f, np.tile(tfs[go[t] : go[t + 1]], 3))
+
+
+def test_svbyte_fallback_blocks_roundtrip():
+    """Blocks holding ≥2^32 deltas or tfs fall back to varint bodies
+    per block; the mixed stream must stay exact over full uint64."""
+    rng = np.random.default_rng(3)
+    sizes = [1, 130, 400]
+    go = np.concatenate(([0], np.cumsum(sizes)))
+    ids = np.concatenate(
+        [np.sort(rng.choice(np.iinfo(np.int64).max, s, replace=False)) for s in sizes]
+    ).astype(np.uint64)
+    tfs = rng.integers(1, 1000, go[-1]).astype(np.uint64)
+    tfs[::5] = np.uint64(1) << np.uint64(40)
+    blob, off, ln = pack_postings(go, ids, tfs, codec="svbyte")
+    b = np.frombuffer(blob, np.uint8)
+    for t in range(len(sizes)):
+        d, f = decode_postings(b[off[t] : off[t] + ln[t]])
+        np.testing.assert_array_equal(d, ids[go[t] : go[t + 1]])
+        np.testing.assert_array_equal(f, tfs[go[t] : go[t + 1]])
+
+
+def test_svbyte_smaller_than_varint_on_mid_range_deltas():
+    """Stream-VByte's 4-per-byte control stream beats LEB128 where
+    values straddle LEB's 7-bit group boundaries: deltas in [2^14, 2^16)
+    cost 3 LEB bytes but 2 SVB data bytes + 1/4 control byte."""
+    rng = np.random.default_rng(7)
+    sizes = [2000, 2000]
+    go = np.concatenate(([0], np.cumsum(sizes)))
+    deltas = rng.integers(1 << 14, 1 << 16, go[-1]).astype(np.uint64)
+    ids = np.concatenate([np.cumsum(deltas[go[t] : go[t + 1]]) for t in range(2)])
+    tfs = rng.integers(1, 4, go[-1]).astype(np.uint64)
+    bv, *_ = pack_postings(go, ids, tfs, codec="varint")
+    bs, *_ = pack_postings(go, ids, tfs, codec="svbyte")
+    assert len(bs) < len(bv)
+
+
 def test_bitpack_smaller_on_clustered_ids():
     rng = np.random.default_rng(5)
     sizes = [500, 500, 500]
@@ -73,7 +125,7 @@ def test_bitpack_index_rank_identical(ray_session, tmp_path):
     from dcs_ray.search import search_bm25
 
     results = {}
-    for codec in ("varint", "bitpack"):
+    for codec in ("varint", "bitpack", "svbyte"):
         out = str(tmp_path / f"idx_{codec}")
         build_index(
             ray.data.read_parquet(f"{SF}/documents.parquet"), out,
@@ -83,6 +135,10 @@ def test_bitpack_index_rank_identical(ray_session, tmp_path):
         results[codec] = search_bm25(
             out, ["spark merge join", "customer value"], k=20
         ).to_pandas()
-    v, b = results["varint"], results["bitpack"]
-    assert v[["query_id", "rank", "doc_id"]].equals(b[["query_id", "rank", "doc_id"]])
-    np.testing.assert_array_equal(v.score.values, b.score.values)
+    v = results["varint"]
+    for other in ("bitpack", "svbyte"):
+        b = results[other]
+        assert v[["query_id", "rank", "doc_id"]].equals(
+            b[["query_id", "rank", "doc_id"]]
+        ), other
+        np.testing.assert_array_equal(v.score.values, b.score.values, err_msg=other)
