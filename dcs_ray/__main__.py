@@ -444,9 +444,54 @@ def cmd_replay(args) -> None:
                       "mode": "service" if getattr(args, "service", False) else "dataset"}))
 
 
+def cmd_warc(args) -> None:
+    """Build an index straight from ``.warc`` / ``.warc.gz`` files
+    (Common Crawl container ingest): parse records → extract text →
+    build. Doc ids derive from urls (id_col=None), so the build is
+    deterministic for a fixed file set at any parallelism."""
+    _ray()
+    import glob as _glob
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.sources.pages import extract_text_batch
+    from dcs_ray.sources.warc import read_warc
+
+    paths = sorted(p for pat in args.warcs for p in _glob.glob(pat))
+    if not paths:
+        raise SystemExit("no WARC files match")
+    import pyarrow as pa
+
+    pages = read_warc(paths).map_batches(
+        lambda b: extract_text_batch(
+            b.append_column("lang", pa.array([args.lang] * len(b)))
+        ),
+        batch_format="pyarrow",
+    )
+    conf = IndexConfig(
+        num_partitions=args.partitions,
+        num_shards=args.shards,
+        mode=args.mode,
+        dedup_latest=args.dedup_latest,
+    )
+    manifest = build_index(pages, args.out, conf)
+    print(json.dumps({"warc_files": len(paths),
+                      "n_docs": manifest["stats"]["n_docs"],
+                      "n_terms": manifest["stats"]["n_terms"]}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="dcs_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("warc", help="build an index from WARC files")
+    w.add_argument("out")
+    w.add_argument("warcs", nargs="+", help="warc/warc.gz paths or globs")
+    w.add_argument("--mode", default="words", choices=["words", "trigram"])
+    w.add_argument("--partitions", type=int, default=8)
+    w.add_argument("--shards", type=int, default=2)
+    w.add_argument("--lang", default="en")
+    w.add_argument("--dedup-latest", action="store_true")
+    w.set_defaults(fn=cmd_warc)
 
     c = sub.add_parser("create", help="build an index from parquet docs")
     c.add_argument("input")
