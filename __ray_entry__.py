@@ -1374,10 +1374,12 @@ def _q_audio_features(sf_dir: str) -> Any:
 
 
 def _q_video_frames(sf_dir: str) -> Any:
-    """REAL demux path over BOTH video containers: concatenated-PPM
-    streams (frame headers parsed, zero-copy slices) and animated GIFs
-    (LZW-decoded), in one actor pool; 4 frames sampled evenly per
-    stream, each emitted as a standalone decodable PPM."""
+    """REAL demux path over THREE video containers: concatenated-PPM
+    streams (frame headers parsed, zero-copy slices), animated GIFs
+    (LZW-decoded), and MJPEG AVIs (RIFF chunk index + per-frame JPEG
+    decode of only the sampled frames), in one actor pool; 4 frames
+    sampled evenly per stream, each emitted as a standalone PPM."""
+    from dcs_ray.functions.avi import synthesize_avi_video
     from dcs_ray.functions.multimodal import (
         PpmStreamFrameSampler,
         synthesize_gif_video,
@@ -1390,7 +1392,12 @@ def _q_video_frames(sf_dir: str) -> Any:
         gif_v.schema.get_field_index("media_id"), "media_id",
         pa.array(np.arange(32, 48), pa.int64()),
     )
-    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v]))
+    avi_v = synthesize_avi_video(16)
+    avi_v = avi_v.set_column(
+        avi_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(48, 64), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v, avi_v]))
     ds = media.map_batches(
         PpmStreamFrameSampler, fn_constructor_kwargs={"k": 4}, concurrency=2,
         batch_size=16, batch_format="pyarrow", num_cpus=1,

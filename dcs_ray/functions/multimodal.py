@@ -8,10 +8,11 @@ PPM images, PNG (stdlib zlib + full unfiltering), baseline JPEG
 (pure-numpy huffman + batched IDCT, :mod:`dcs_ray.functions.jpeg`),
 GIF87a/89a incl. animated (LZW, :mod:`dcs_ray.functions.gif`),
 RIFF/WAVE PCM16 audio, FLAC (rice/fixed/LPC subset with CRC+MD5
-verify, :mod:`dcs_ray.functions.flac`), and two video containers
-(concatenated-PPM streams and animated GIF) — all round-trip tested,
-feeding real per-channel/windowed features and real frame sampling.
-Remaining compressed formats (MP3/MP4)
+verify, :mod:`dcs_ray.functions.flac`), and three video containers
+(concatenated-PPM streams, animated GIF, and MJPEG AVI — RIFF demux
++ per-frame JPEG decode, :mod:`dcs_ray.functions.avi`) — all
+round-trip tested, feeding real per-channel/windowed features and
+real frame sampling. Remaining compressed formats (MP3/MP4)
 still raise ``DecodeUnavailable`` (no codec libraries in the
 sandbox); their extractors keep the same actor-pool shape with a
 deterministic fake in the decode slot.
@@ -827,6 +828,18 @@ class PpmStreamFrameSampler:
                     out_fi.append(fi)
                     out_ts.append(int(dur[i]) * fi // max(nf, 1))
                     out_frame.append(encode_ppm(imgs[fi]))
+                continue
+            if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                from .avi import decode_avi_frames, avi_frame_ranges
+
+                nf = len(avi_frame_ranges(raw))  # index only; decode the picks
+                take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]
+                imgs = decode_avi_frames(raw, take)
+                for fi, img in zip(take, imgs):
+                    out_id.append(ids[i])
+                    out_fi.append(fi)
+                    out_ts.append(int(dur[i]) * fi // max(nf, 1))
+                    out_frame.append(encode_ppm(img))
                 continue
             frames = _ppm_frame_offsets(raw)
             nf = len(frames)
