@@ -1032,6 +1032,65 @@ def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     return cms_heavy_hitters(ev, "event_type", k=3)
 
 
+def _q_canonical_url_dedup(sf_dir: str) -> Any:
+    """URL canonicalization + canonical-URL dedup (the crawl-frontier
+    normalization every CC-style pipeline runs): deterministic noisy
+    urls (case, www, default port, trailing slash, tracking params,
+    unsorted query params) canonicalize pairwise-equal; keep-min per
+    canonical via a combiner groupby + hash-partitioned join back —
+    nothing corpus-sized on the driver."""
+    from dcs_ray.functions.relational import combiner_stats, shuffle_join
+    from dcs_ray.functions.urls import canonicalize_url_batch
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def noisy(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        base, par = ids // 2, ids % 2
+        ks = (base % 97).astype("U")
+        bs = base.astype("U")
+        extra = base % 3 == 0
+        u0 = np.char.add(
+            np.char.add(np.char.add("https://WWW.example", ks), ".ORG/p/"),
+            np.char.add(np.char.add(bs, "/?utm_source=x"), np.where(extra, "&b=2&a=1", "")),
+        )
+        u1 = np.char.add(
+            np.char.add(np.char.add("https://example", ks), ".org:443/p/"),
+            np.char.add(np.char.add(bs, "?gclid=g"), np.where(extra, "&a=1&b=2", "")),
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "url": pa.array(np.where(par == 0, u0, u1))}
+        )
+
+    canon = docs.map_batches(noisy, batch_format="pyarrow").map_batches(
+        canonicalize_url_batch, batch_format="pyarrow"
+    ).materialize()  # consumed twice below (winners + join probe)
+    winners = combiner_stats(canon, ["canonical_url"], "doc_id")
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["canonical_url", "min_doc_id"])
+
+    joined = shuffle_join(
+        canon.select_columns(["doc_id", "canonical_url"]),
+        winners.map_batches(sel, batch_format="pyarrow"),
+        on="canonical_url",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(b["doc_id"], b["min_doc_id"]).cast(pa.int32())
+        return pa.table(
+            {"doc_id": b["doc_id"], "canonical_url": b["canonical_url"], "keep": keep}
+        )
+
+    t = pa.concat_tables(
+        [pa.table(b) for b in joined.map_batches(finish, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_host_stats(sf_dir: str) -> Any:
     """Per-host page count + text chars over the crawl pages table —
     one vectorized RE2 host extract per batch, combiner partials keyed
@@ -2114,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "bigram_topk": _q_bigram_topk,
         "host_stats": _q_host_stats,
+        "canonical_url_dedup": _q_canonical_url_dedup,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
@@ -3093,6 +3153,46 @@ SELECT lang, 0.9 AS q, quantile_disc(n_chars, 0.9) AS value FROM documents GROUP
 UNION ALL
 SELECT lang, 0.99 AS q, quantile_disc(n_chars, 0.99) AS value FROM documents GROUP BY lang
 ORDER BY lang, q
+""",
+        "canonical_url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      'https://WWW.example' || ((doc_id // 2) % 97) || '.ORG/p/' || (doc_id // 2)
+        || '/?utm_source=x'
+        || CASE WHEN (doc_id // 2) % 3 = 0 THEN '&b=2&a=1' ELSE '' END
+    ELSE
+      'https://example' || ((doc_id // 2) % 97) || '.org:443/p/' || (doc_id // 2)
+        || '?gclid=g'
+        || CASE WHEN (doc_id // 2) % 3 = 0 THEN '&a=1&b=2' ELSE '' END
+    END AS url
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path0,
+    regexp_extract(url, '\?([^#]*)', 1) AS q0
+  FROM u),
+c AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    CASE WHEN scheme = 'http'
+         THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+         WHEN scheme = 'https'
+         THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+         ELSE regexp_replace(host0, '^www\.', '') END ||
+    CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '^(.+?)/+$', '\1') END ||
+    CASE WHEN len(qp) = 0 THEN '' ELSE '?' || array_to_string(qp, '&') END
+      AS canonical_url
+  FROM (SELECT *, list_sort(list_filter(str_split(q0, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)'))) AS qp
+        FROM p))
+SELECT doc_id::bigint AS doc_id, canonical_url,
+       (CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+             THEN 1 ELSE 0 END)::int AS keep
+FROM c ORDER BY doc_id
 """,
         "host_stats": """
 WITH pages AS (

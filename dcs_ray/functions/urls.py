@@ -54,6 +54,87 @@ def parse_urls(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
     )
 
 
+_CANON_PATTERN = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]+)"
+    r"(?P<path>[^?#]*)(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+# tracking params dropped by every major canonicalizer (Google's
+# URL-normalization guidance / ClueWeb-style pipelines)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)"
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "canonical_url"
+) -> pa.Table:
+    """Append the canonical form of ``url_col`` — the normalization a
+    crawl dedup runs before grouping by URL. All Arrow/numpy kernels,
+    including the per-row query-parameter sort (flatten → one global
+    lexsort keyed (row, param) → rebuild):
+
+    - scheme + host lowercased; leading ``www.`` stripped
+    - default port stripped (``:80`` http, ``:443`` https)
+    - fragment dropped
+    - path: empty → ``/``; trailing slashes collapsed (root keeps one)
+    - query: tracking params (utm_*/gclid/fbclid/msclkid/mc_eid/ref)
+      and empty params dropped; the rest SORTED bytewise; ``?`` dropped
+      if nothing survives
+    """
+    parts = pc.extract_regex(batch[url_col], pattern=_CANON_PATTERN)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    host = pc.if_else(
+        pc.equal(scheme, "http"),
+        pc.replace_substring_regex(host, r":80$", ""),
+        pc.if_else(
+            pc.equal(scheme, "https"),
+            pc.replace_substring_regex(host, r":443$", ""),
+            host,
+        ),
+    )
+    path = pc.struct_field(parts, "path")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    path = pc.replace_substring_regex(path, r"^(.+?)/+$", r"\1")
+
+    # --- query params: drop tracking/empty, sort survivors per row ---
+    q = pc.struct_field(parts, "query").combine_chunks() if isinstance(
+        pc.struct_field(parts, "query"), pa.ChunkedArray
+    ) else pc.struct_field(parts, "query")
+    q = q.fill_null("")
+    lists = pc.split_pattern(q, pattern="&")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten()
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    drop = pc.match_substring_regex(flat, TRACKING_PARAM_RE)
+    keep = ~(
+        pc.or_(drop, pc.equal(flat, "")).to_numpy(zero_copy_only=False)
+    )
+    kept_params = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    kept_rows = row_idx[keep]
+    order = np.lexsort((kept_params, kept_rows))
+    kept_counts = np.bincount(kept_rows, minlength=len(lists)).astype(np.int64)
+    offsets = np.zeros(len(lists) + 1, np.int64)
+    np.cumsum(kept_counts, out=offsets[1:])
+    sorted_lists = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(kept_params[order], pa.string())
+    )
+    joined = pc.binary_join(sorted_lists, "&")
+    query = pc.if_else(
+        pc.equal(joined, ""), pa.scalar(""), pc.binary_join_element_wise("?", joined, "")
+    )
+
+    canonical = pc.binary_join_element_wise(scheme, "://", host, path, query, "")
+    return batch.append_column(out_col, canonical)
+
+
+def canonicalize_urls(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: canonicalize_url_batch(b, url_col), batch_format="pyarrow"
+    )
+
+
 def host_stats(
     pages: ray.data.Dataset, url_col: str = "url", text_col: str = "text"
 ) -> ray.data.Dataset:

@@ -80,3 +80,53 @@ def test_write_corpus_partitioned_resume(ray_session, tmp_path):
     victim = first[0]
     os.unlink(os.path.join(out, f"lang={victim}", "_SUCCESS"))
     assert write_corpus_partitioned(docs, out, "lang") == [victim]
+
+
+def test_canonicalize_url_batch_rules():
+    """One case per canonicalization rule + a combined case."""
+    import pyarrow as pa
+
+    from dcs_ray.functions.urls import canonicalize_url_batch
+
+    cases = [
+        ("HTTPS://Example.ORG/A", "https://example.org/A"),  # case: scheme+host only
+        ("https://www.example.org/x", "https://example.org/x"),  # www strip
+        ("http://example.org:80/x", "http://example.org/x"),  # default port
+        ("https://example.org:443/x", "https://example.org/x"),
+        ("http://example.org:8080/x", "http://example.org:8080/x"),  # real port kept
+        ("https://example.org/x#frag", "https://example.org/x"),  # fragment
+        ("https://example.org", "https://example.org/"),  # empty path
+        ("https://example.org/a/b///", "https://example.org/a/b"),  # trailing /
+        ("https://example.org/", "https://example.org/"),  # root keeps /
+        ("https://example.org/x?b=2&a=1", "https://example.org/x?a=1&b=2"),  # sort
+        ("https://example.org/x?utm_source=t&utm_medium=m", "https://example.org/x"),
+        ("https://example.org/x?gclid=1&keep=1&fbclid=2", "https://example.org/x?keep=1"),
+        ("https://example.org/x?a=1&&b=2&", "https://example.org/x?a=1&b=2"),  # empties
+        (
+            "HTTP://WWW.Example.ORG:80/a/?utm_source=x&z=9&a=1#top",
+            "http://example.org/a?a=1&z=9",
+        ),
+    ]
+    t = pa.table({"url": pa.array([c[0] for c in cases])})
+    got = canonicalize_url_batch(t)["canonical_url"].to_pylist()
+    for (src, want), g in zip(cases, got):
+        assert g == want, (src, g, want)
+
+
+def test_canonicalize_idempotent():
+    import pyarrow as pa
+
+    from dcs_ray.functions.urls import canonicalize_url_batch
+
+    urls = [
+        "HTTP://WWW.Example.ORG:80/a/?utm_source=x&z=9&a=1#top",
+        "https://example.org/x?b=2&a=1",
+        "https://example.org",
+    ]
+    once = canonicalize_url_batch(pa.table({"url": pa.array(urls)}))[
+        "canonical_url"
+    ].to_pylist()
+    twice = canonicalize_url_batch(pa.table({"url": pa.array(once)}))[
+        "canonical_url"
+    ].to_pylist()
+    assert once == twice
