@@ -58,6 +58,23 @@ class ShardSearcher:
         from dcs_ray.search import _open
 
         self.seg = _open(shard_path)
+        self.shard_path = shard_path
+        self._n_queries = 0
+        self._n_batches = 0
+        self._busy_ns = 0
+
+    def metrics(self) -> dict:
+        """Per-shard serving metrics — the read-path analogue of the
+        build's per-partition lineage records (docs/s, postings/s):
+        queries served, batches, busy wall, derived queries/sec."""
+        busy_s = self._busy_ns / 1e9
+        return {
+            "shard": self.shard_path.rsplit("/", 1)[-1],
+            "n_queries": self._n_queries,
+            "n_batches": self._n_batches,
+            "busy_s": busy_s,
+            "queries_per_s": (self._n_queries / busy_s) if busy_s > 0 else 0.0,
+        }
 
     def score(
         self,
@@ -70,6 +87,7 @@ class ShardSearcher:
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Score every query plan against this shard → flat
         (query_id, doc_id, score) arrays of per-shard top-k rows."""
+        t0 = time.monotonic_ns()
         if prior_col is not None:
             def score_fn(seg, plan, st, kk, doc_filter=None):
                 return score_shard_bm25(seg, plan, st, kk, doc_filter, prior_col)
@@ -88,6 +106,9 @@ class ShardSearcher:
             out_q.append(np.full(len(d), qid, np.int32))
             out_d.append(d)
             out_s.append(s)
+        self._n_queries += len(plans)
+        self._n_batches += 1
+        self._busy_ns += time.monotonic_ns() - t0
         return (
             np.concatenate(out_q) if out_q else np.empty(0, np.int32),
             np.concatenate(out_d) if out_d else np.empty(0, np.uint64),
@@ -230,6 +251,24 @@ class SearchService:
                 )
             )
         return pa.concat_tables(out_tables)
+
+    def metrics(self) -> pa.Table:
+        """One row per shard: queries served, batches, busy seconds,
+        queries/sec — plus the driver-side cache counters in
+        :meth:`cache_info`. The serving analogue of the per-partition
+        build lineage (CLI ``lineage``)."""
+        rows = ray.get([a.metrics.remote() for a in self.actors])
+        return pa.table(
+            {
+                "shard": pa.array([r["shard"] for r in rows], pa.string()),
+                "n_queries": pa.array([r["n_queries"] for r in rows], pa.int64()),
+                "n_batches": pa.array([r["n_batches"] for r in rows], pa.int64()),
+                "busy_s": pa.array([r["busy_s"] for r in rows], pa.float64()),
+                "queries_per_s": pa.array(
+                    [r["queries_per_s"] for r in rows], pa.float64()
+                ),
+            }
+        )
 
     def shutdown(self) -> None:
         for a in self.actors:

@@ -373,3 +373,26 @@ def test_search_service_result_cache(built_index):
         # evicted key re-fetches and still matches the live path
         r = svc.search(queries[:1], k=3).to_pandas()
         assert r.equals(search_bm25(out, queries[:1], k=3).to_pandas())
+
+
+def test_search_service_per_shard_metrics(built_index):
+    """Per-shard serving metrics (the read-path lineage analogue):
+    query counts attribute to EVERY shard per batch (fan-out), cached
+    repeats never touch the actors, and queries/sec derives from the
+    measured busy wall."""
+    from dcs_ray.service import search_service
+
+    out, _ = built_index
+    with search_service(out) as svc:
+        m0 = svc.metrics().to_pandas()
+        assert (m0["n_queries"] == 0).all() and len(m0) == len(svc.shards)
+        svc.search(["spark merge join", "vector"], k=10)
+        m1 = svc.metrics().to_pandas()
+        assert (m1["n_queries"] == 2).all()
+        assert (m1["n_batches"] == 1).all()
+        assert (m1["busy_s"] > 0).all()
+        assert (m1["queries_per_s"] > 0).all()
+        # cache hit: no actor work recorded
+        svc.search(["spark merge join"], k=10)
+        m2 = svc.metrics().to_pandas()
+        assert (m2["n_queries"] == 2).all()
