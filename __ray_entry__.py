@@ -344,6 +344,20 @@ def _q_positional_matches(sf_dir: str) -> Any:
     ).sort_by("doc_id")
 
 
+def _q_proximity_search(sf_dir: str) -> Any:
+    """Proximity join (J4 generalized from phrase to a byte window):
+    docs where 'spark' starts within 40 bytes of 'join', with exact
+    pair counts — answered entirely from positional sections, two
+    searchsorteds per side per shard, document text never read."""
+    from dcs_ray.search import search_proximity
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_proximity(idx, [("spark", "join")], window=40)
+    return pa.table(
+        {"doc_id": t["doc_id"].cast(pa.int64()), "n_pairs": t["n_pairs"]}
+    ).sort_by("doc_id")
+
+
 REGEX = "(spark|batch) (merge|join)"
 
 
@@ -2092,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_literal": _q_grep_literal,
         "trigram_candidates": _q_trigram_candidates,
         "positional_match_count": _q_positional_matches,
+        "proximity_search": _q_proximity_search,
         "regex_search": _q_regex_search,
         "filter_ignored": _q_filter_ignored,
         "term_df": _q_term_df,
@@ -2134,8 +2149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
-        "repetition_stats": _q_repetition_stats,
         # --- end of the driver's 50-query window ---
+        "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
@@ -2598,6 +2613,32 @@ SELECT doc_id::bigint AS doc_id FROM documents WHERE {tri_conds} ORDER BY doc_id
 SELECT doc_id,
        ((length(text) - length(replace(text, '{LITERAL}', ''))) / {len(LITERAL)})::bigint AS n_matches
 FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
+""",
+        # occurrence byte offsets via split-part cumulative lengths
+        # (ASCII corpus: char offsets == byte offsets, same assumption
+        # as positional_match_count)
+        "proximity_search": """
+WITH occ_a AS (
+  SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'spark')) AS part,
+                 unnest(range(1, len(str_split(text, 'spark')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts),
+occ_b AS (
+  SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'join')) AS part,
+                 unnest(range(1, len(str_split(text, 'join')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts)
+SELECT a.doc_id::bigint AS doc_id, count(*)::bigint AS n_pairs
+FROM occ_a a JOIN occ_b b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 40
+GROUP BY a.doc_id ORDER BY doc_id
 """,
         "regex_search": f"""
 SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (

@@ -808,6 +808,83 @@ def positional_matches_shard(seg: Segment, literal: str | bytes) -> tuple[np.nda
     return f_doc[keep], f_pos[keep]
 
 
+def proximity_matches_shard(
+    seg: Segment, lit_a: str | bytes, lit_b: str | bytes, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Proximity join over positional sections (the J4 positional join
+    generalized from exact phrase to a byte window): docs where an
+    occurrence of ``lit_a`` starts within ``window`` bytes of an
+    occurrence of ``lit_b``, with the exact pair count per doc —
+    computed entirely from the index, never touching document text.
+
+    Vectorized shape: both literals' exact (doc, byte-pos) occurrence
+    lists come from :func:`positional_matches_shard`; pairs are counted
+    with two searchsorteds per side over a composite
+    ``(local_doc << 32 | pos)`` key (both < 2^32), so cost is
+    O((|A| + |B|) log |B|) per shard, independent of document sizes.
+    """
+    da, pa_arr = positional_matches_shard(seg, lit_a)
+    db, pb_arr = positional_matches_shard(seg, lit_b)
+    if len(da) == 0 or len(db) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    la = np.searchsorted(seg.doc_ids, da).astype(np.int64)
+    lb = np.searchsorted(seg.doc_ids, db).astype(np.int64)
+    akey_doc = la << 32
+    bkey = (lb << 32) + pb_arr.astype(np.int64)  # sorted: doc-major, pos asc
+    pa_i = pa_arr.astype(np.int64)
+    lo = akey_doc + np.maximum(pa_i - window, 0)
+    hi = akey_doc + pa_i + window
+    counts = np.searchsorted(bkey, hi, side="right") - np.searchsorted(
+        bkey, lo, side="left"
+    )
+    uniq, inverse = np.unique(da, return_inverse=True)
+    per_doc = np.bincount(inverse, weights=counts).astype(np.int64)
+    keep = per_doc > 0
+    return uniq[keep], per_doc[keep]
+
+
+def search_proximity(
+    index_dir: str, pairs: list[tuple[str, str]], window: int = 40
+) -> pa.Table:
+    """(query_id, doc_id, n_pairs) for literal-pair proximity queries —
+    one task per shard (docs partition across shards, so the global
+    result is the plain union of shard results)."""
+    paths = shard_paths(index_dir)
+    work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
+
+    def run(batch: pa.Table) -> pa.Table:
+        rows_q, rows_d, rows_n = [], [], []
+        for pid in batch["path_id"].to_pylist():
+            seg = _open(paths[pid])
+            for qid, (a, b) in enumerate(pairs):
+                d, n = proximity_matches_shard(seg, a, b, window)
+                rows_q.extend([qid] * len(d))
+                rows_d.append(d)
+                rows_n.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(rows_d) if rows_d else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "n_pairs": pa.array(
+                    np.concatenate(rows_n) if rows_n else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    res = work.map_batches(run, batch_size=1, batch_format="pyarrow")
+    out = _collect(
+        res,
+        pa.schema(
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("n_pairs", pa.int64())]
+        ),
+    )
+    return out.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
+
 def search_literal(index_dir: str, literals: list[str], positional: bool = False) -> pa.Table:
     """Candidate docs (and exact positions when the index is positional)
     for literal queries, fanned out across shards/segments."""

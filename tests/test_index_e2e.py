@@ -396,3 +396,28 @@ def test_search_service_per_shard_metrics(built_index):
         svc.search(["spark merge join"], k=10)
         m2 = svc.metrics().to_pandas()
         assert (m2["n_queries"] == 2).all()
+
+
+def test_proximity_search_matches_brute_force(trigram_index):
+    """Proximity join (J4 windowed): per-doc pair counts of 'spark'
+    within 40 bytes of 'join' equal a regex brute-force over the raw
+    text, and window=0 degenerates to same-offset only (empty here)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from dcs_ray.search import search_proximity
+
+    got_t = search_proximity(trigram_index, [("spark", "join")], window=40).to_pandas()
+    got = dict(zip(got_t.doc_id.astype(int), got_t.n_pairs.astype(int)))
+    tab = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, s in zip(tab["doc_id"].to_pylist(), tab["text"].to_pylist()):
+        pa_ = [m.start() for m in re.finditer("spark", s)]
+        pb_ = [m.start() for m in re.finditer("join", s)]
+        n = sum(1 for x in pa_ for y in pb_ if abs(x - y) <= 40)
+        if n:
+            want[d] = n
+    assert got == want
+    zero = search_proximity(trigram_index, [("spark", "join")], window=0).to_pandas()
+    assert len(zero) == 0  # distinct literals can't share a start offset
