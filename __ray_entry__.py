@@ -1105,6 +1105,24 @@ def _q_canonical_url_dedup(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_training_shuffle_rank(sf_dir: str) -> Any:
+    """Deterministic global training shuffle: every doc's 0-based rank
+    in the (splitmix64(id^seed), id) order — a reproducible permutation
+    computed as a distributed rank (order-preserving bucket histogram +
+    per-bucket lexsort), no corpus-sized driver state, no
+    random_shuffle exchange."""
+    from dcs_ray.functions.sampling import global_shuffle_rank
+
+    ds = global_shuffle_rank(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        seed=7,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_host_stats(sf_dir: str) -> Any:
     """Per-host page count + text chars over the crawl pages table —
     one vectorized RE2 host extract per batch, combiner partials keyed
@@ -2155,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
+        "training_shuffle_rank": _q_training_shuffle_rank,
         "pack_chunked": _q_pack_chunked,
         "chunk_documents": _q_chunk_documents,
         "pack_greedy": _q_pack_greedy,
@@ -3104,6 +3123,12 @@ fin AS (SELECT h.lang, h.q, h.bin, h.target,
 SELECT f.lang, q::double AS q,
        lo + (bin + (target - prev)::double / greatest(cnt, 1)) * w / 1024 AS value
 FROM fin f JOIN lohi USING (lang) ORDER BY f.lang, q
+""",
+        "training_shuffle_rank": f"""
+WITH {_splitmix_docs_ctes(7)}
+SELECT doc_id::bigint AS doc_id,
+       (row_number() OVER (ORDER BY h, doc_id) - 1)::bigint AS shuffle_rank
+FROM hf ORDER BY doc_id
 """,
         "train_val_test_split": f"""
 WITH {_splitmix_docs_ctes(17)}

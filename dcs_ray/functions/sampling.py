@@ -186,3 +186,84 @@ def split_dataset(
         return b.append_column("split", name_arr.take(pa.array(idx, pa.int64())))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def global_shuffle_rank(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    n_buckets: int = 4096,
+) -> ray.data.Dataset:
+    """Deterministic training shuffle: assign every row its 0-based
+    position in the global order (splitmix64(id ^ seed), id) — a
+    reproducible pseudo-random permutation, identical at any
+    parallelism or block layout (the "global shuffle before epoch 0"
+    a training-data pipeline ends with, without a random_shuffle).
+
+    Distributed rank, two bounded passes (no corpus-sized driver state):
+
+    1. combiner histogram over the hash's top-log2(n_buckets) bits —
+       an ORDER-PRESERVING prefix, so bucket boundaries are rank
+       boundaries; one ``groupby(bucket).sum`` → n_buckets totals →
+       exclusive cumsum broadcast via ``ray.put``.
+    2. ``groupby(bucket).map_groups``: one lexsort of the bucket's
+       (hash, id) rows (E[bucket] = N/n_buckets), rank = bucket offset
+       + local position. The exchange carries pure int rows.
+
+    Returns (id_col, shuffle_rank int64). Size ``n_buckets`` so a
+    bucket's rows fit one worker: at 10^12 docs, n_buckets=2^20 →
+    ~10^6 rows (~16 MB) per group.
+    """
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+
+    def hist(b: pa.Table) -> pa.Table:
+        h = _row_hash(b[id_col].to_numpy(), seed)
+        cnt = np.bincount((h >> shift).astype(np.int64), minlength=n_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    totals = np.zeros(n_buckets, np.int64)
+    for t in (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("cnt")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        t = pa.table(t)
+        totals[t["bucket"].to_numpy()] += t["sum(cnt)"].to_numpy()
+    offsets = np.zeros(n_buckets, np.int64)
+    np.cumsum(totals[:-1], out=offsets[1:])
+    ref = ray.put(offsets)
+
+    def occurrences(b: pa.Table) -> pa.Table:
+        h = _row_hash(b[id_col].to_numpy(), seed)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "bucket": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        off = ray.get(ref)
+        ids = g[id_col].to_numpy()
+        h = g["h"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, h))
+        rank = np.empty(len(ids), np.int64)
+        rank[order] = off[int(g["bucket"][0].as_py())] + np.arange(
+            len(ids), dtype=np.int64
+        )
+        return pa.table({id_col: g[id_col], "shuffle_rank": pa.array(rank, pa.int64())})
+
+    return (
+        ds.map_batches(occurrences, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_group, batch_format="pyarrow")
+    )

@@ -194,3 +194,38 @@ def test_split_dataset_disjoint_stable(ray_session):
         ray.data.from_arrow(t).repartition(7), seed=3
     ).to_pandas().sort_values("doc_id")
     assert out.sort_values("doc_id").split.tolist() == out2.split.tolist()
+
+
+def test_global_shuffle_rank_is_exact_permutation(ray_session):
+    """shuffle_rank is a 0..N-1 permutation equal to the rank in the
+    (splitmix64(id^seed), id) order, regardless of block layout, and
+    a different seed yields a different permutation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sampling import _row_hash, global_shuffle_rank
+
+    ids = np.arange(0, 3000, 3, dtype=np.int64)
+    rng = np.random.default_rng(1)
+    rng.shuffle(ids)
+    t = pa.table({"doc_id": pa.array(ids)})
+    want_sorted_ids = np.sort(ids)
+    h = _row_hash(want_sorted_ids.astype(np.uint64), 7)
+    want = np.empty(len(ids), np.int64)
+    want[np.lexsort((want_sorted_ids, h))] = np.arange(len(ids))
+    for parts in (1, 5, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = (
+            global_shuffle_rank(ds, seed=7, n_buckets=256)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        np.testing.assert_array_equal(out.shuffle_rank.to_numpy(), want)
+    other = (
+        global_shuffle_rank(ray.data.from_arrow(t), seed=8, n_buckets=256)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (other.shuffle_rank.to_numpy() != want).any()
+    assert sorted(other.shuffle_rank) == list(range(len(ids)))
