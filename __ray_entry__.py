@@ -1737,6 +1737,26 @@ _CURATE_WEIGHTS = {"en": 3, "de": 2, "es": 2, "fr": 1, "zh": 1}
 _CURATE_TOTAL = 250
 
 
+def _q_curate_web_corpus(sf_dir: str) -> Any:
+    """Flagship composition #3 — the CCNet/C4 web-text front half:
+    boilerplate removal → global paragraph dedup → short-doc filter on
+    the cleaned text → exact dedup keep-min; one end-to-end SQL chain
+    as the oracle."""
+    from dcs_ray.pipelines import curate_web_corpus
+
+    ds = curate_web_corpus(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        min_docs=3,
+        min_tokens=10,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_curate_corpus(sf_dir: str) -> Any:
     """Flagship curation composition: repetition/length filter -> exact
     dedup -> benchmark decontamination -> training-mixture rebalance,
@@ -2134,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event,
         # --- flagship LLM-pipeline compositions ---
         "curate_corpus": _q_curate_corpus,
+        "curate_web_corpus": _q_curate_web_corpus,
         "fuzzy_dedup_keep": _q_fuzzy_dedup,
         # --- dedup suite ---
         "dedup_exact": _q_dedup_exact,
@@ -2166,8 +2187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
         "decontaminate": _q_decontaminate,
-        "pii_scrub": _q_pii_scrub,
         # --- end of the driver's 50-query window ---
+        "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
         # --- training-data prep ---
@@ -2518,6 +2539,53 @@ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """,
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        # the full web-curation chain in one SQL statement: boilerplate
+        # lines out (source-scoped ≥3 docs), surviving lines re-numbered,
+        # global paragraph keep-first on the NEW ordinals, rebuilt text
+        # (a doc with zero surviving lines re-splits to ONE '' paragraph
+        # — the ren0 branch), token filter, exact dedup keep-min
+        "curate_web_corpus": f"""
+WITH ln AS (
+  SELECT doc_id, source,
+         unnest(str_split(text, chr(10))) AS line,
+         unnest(range(len(str_split(text, chr(10))))) AS ord
+  FROM documents),
+freq AS (
+  SELECT source, line FROM ln GROUP BY source, line
+  HAVING count(DISTINCT doc_id) >= 3),
+kept1 AS (
+  SELECT l.doc_id, l.line, l.ord
+  FROM ln l LEFT JOIN freq f ON l.source = f.source AND l.line = f.line
+  WHERE f.line IS NULL),
+ren AS (
+  SELECT doc_id, line,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS ord2
+  FROM kept1),
+ren_all AS (
+  SELECT * FROM ren
+  UNION ALL
+  SELECT doc_id, '' AS line, 0 AS ord2 FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM kept1)),
+win AS (SELECT line, min(doc_id * 1048576 + ord2) AS r FROM ren_all GROUP BY line),
+kept2 AS (
+  SELECT n.doc_id, n.line, n.ord2 FROM ren_all n JOIN win w ON n.line = w.line
+  WHERE n.doc_id * 1048576 + n.ord2 = w.r),
+final AS (
+  SELECT d.doc_id, coalesce(t.text, '') AS text
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY ord2) AS text
+    FROM kept2 GROUP BY doc_id) t USING (doc_id)),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''))::bigint AS n_tokens,
+         text
+  FROM final),
+longdocs AS (SELECT * FROM tok WHERE n_tokens >= 10)
+SELECT doc_id::bigint AS doc_id, n_tokens
+FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM longdocs)
+WHERE doc_id = keeper ORDER BY doc_id
 """,
         # semantic replay (string-level) of the hash-keyed line ops —
         # a stronger gate than a hash replay: it also verifies the

@@ -28,6 +28,51 @@ import ray
 import ray.data
 
 
+def curate_web_corpus(
+    docs: ray.data.Dataset,
+    min_docs: int = 3,
+    min_tokens: int = 10,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Web-text curation composition (the CCNet/C4 front half):
+
+        source-scoped boilerplate removal (lines in ≥ ``min_docs``
+        docs of one source)  →  global paragraph dedup keep-first
+        →  short-doc filter on the CLEANED text  →  exact dedup
+        keep-min on the cleaned text
+
+    Returns the kept rows as ``(doc_id, n_tokens)``. Every stage is
+    deterministic, so the whole chain has ONE SQL oracle
+    (``__ray_entry__._q_curate_web_corpus``).
+
+    Scale shape: both line stages exchange pure-int rows / bounded
+    broadcasts (see :mod:`dcs_ray.functions.lines`); the token filter
+    is per-batch; the final dedup is the hash-partitioned keep-min
+    route — nothing corpus-sized ever sits on the driver.
+    """
+    from dcs_ray.functions.dedup import exact_dedup_rows_keep_min
+    from dcs_ray.functions.lines import (
+        paragraph_dedup_keep_first,
+        remove_boilerplate,
+    )
+    from dcs_ray.functions.textstats import word_tokens_flat
+
+    cleaned = remove_boilerplate(docs, min_docs=min_docs, id_col=id_col)
+    para = paragraph_dedup_keep_first(cleaned, id_col=id_col)
+
+    def token_filter(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("n_tokens", pa.array([], pa.int64()))
+        _flat, parents = word_tokens_flat(b["text"])
+        n = np.bincount(parents, minlength=len(b)).astype(np.int64)
+        t = b.append_column("n_tokens", pa.array(n, pa.int64()))
+        return t.filter(pa.array(n >= min_tokens))
+
+    filtered = para.map_batches(token_filter, batch_format="pyarrow")
+    kept = exact_dedup_rows_keep_min(filtered, id_col=id_col)
+    return kept.select_columns([id_col, "n_tokens"])
+
+
 def curate_corpus(
     docs: ray.data.Dataset,
     bench_hashes_ref,

@@ -109,3 +109,35 @@ def test_paragraph_dedup_within_doc_duplicates():
     out = paragraph_dedup_keep_first(ds).to_pandas()
     assert out["text"].tolist() == ["x\ny"]
     assert out["n_dropped"].tolist() == [2]
+
+
+def test_curate_web_corpus_stage_semantics():
+    """Each stage visible on a handcrafted corpus: boilerplate out,
+    duplicate paragraph keeps first occurrence, short docs drop, docs
+    identical after cleaning dedup to the min id."""
+    from dcs_ray.pipelines import curate_web_corpus
+
+    long_a = " ".join(f"w{i}" for i in range(12))  # 12 tokens, unique
+    long_b = " ".join(f"x{i}" for i in range(12))
+    rows = [
+        # docs 1-3 share "footer" (source s1, >=3 docs -> boilerplate)
+        (1, f"{long_a}\nfooter", "s1"),
+        (2, f"{long_b}\nfooter", "s1"),
+        (3, f"footer\n{long_a}", "s1"),  # after cleaning == doc 1 -> dedup
+        # doc 4: duplicate paragraph long_b (first seen in doc 2) is
+        # dropped here, leaving too few tokens -> filtered out
+        (4, f"{long_b}\nshort bit", "s2"),
+        # doc 5: plenty of tokens of its own + the duplicate paragraph
+        (5, f"{long_b}\n" + " ".join(f"y{i}" for i in range(15)), "s3"),
+    ]
+    t = _tbl(rows)
+    out = (
+        curate_web_corpus(ray.data.from_arrow(t), min_docs=3, min_tokens=10)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1 kept (12 tokens), doc 2 kept (12), doc 3 deduped against 1,
+    # doc 4 dropped (2 tokens after paragraph dedup), doc 5 kept (15)
+    assert out["doc_id"].tolist() == [1, 2, 5]
+    assert out["n_tokens"].tolist() == [12, 12, 15]
