@@ -408,6 +408,21 @@ def _q_lang_stats(sf_dir: str) -> Any:
     )
 
 
+def _q_label_centroids(sf_dir: str) -> Any:
+    """Per-label embedding centroid in long (label, dim) form — the
+    class-prototype aggregate; per-batch partial sums, vectors never
+    cross the exchange whole."""
+    from dcs_ray.functions.simsearch import group_centroids
+
+    ds = group_centroids(
+        read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
 def _q_knn(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import knn_cosine_bruteforce
 
@@ -2179,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
+        "label_centroids": _q_label_centroids,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
         "bpe_token_count": _q_bpe_token_count,
@@ -2186,8 +2202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
-        "decontaminate": _q_decontaminate,
         # --- end of the driver's 50-query window ---
+        "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
@@ -3473,6 +3489,13 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM u a JOIN u b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.uv, b.uv)) <= 3
 ORDER BY id_a, id_b
+""",
+        "label_centroids": """
+WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS dim
+           FROM embeddings)
+SELECT label::bigint AS label, dim::bigint AS dim,
+       avg(v::double) AS centroid, count(*)::bigint AS n_vecs
+FROM e GROUP BY label, dim ORDER BY label, dim
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

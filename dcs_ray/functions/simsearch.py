@@ -889,3 +889,59 @@ def knn_cosine_lsh(
     finally:
         if tmp is not None:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def group_centroids(
+    ds: ray.data.Dataset, key_col: str = "label", vec_col: str = "embedding"
+) -> ray.data.Dataset:
+    """Per-key centroid (mean vector) in LONG form: one row per
+    (key, dim) with the centroid component and the key's vector count —
+    the class-prototype / k-means-style aggregate over an embedding
+    column. Combiner shape: each batch collapses to |keys-in-batch|×dim
+    partial-sum rows (pure floats+ints), one small groupby merges —
+    vectors never cross the exchange whole, nothing driver-sized."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _emb_matrix(b[vec_col])
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys) == 0 or m.size == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uk, inv = np.unique(keys, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(uk), d), np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(uk, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uk))),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "dim"])
+        .sum(["s", "n"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["sum(n)"].to_numpy()
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "dim": b["dim"],
+                "centroid": pa.array(b["sum(s)"].to_numpy() / n, pa.float64()),
+                "n_vecs": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

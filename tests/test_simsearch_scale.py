@@ -191,3 +191,40 @@ def test_lsh_ann_multitable_recall_and_dedup(ray_session, tmp_path):
     # reopen from disk preserves the multi-table layout
     idx2 = LshAnnIndex(idx_dir)
     assert idx2.num_tables == 4 and idx2.tables.shape[0] == 4
+
+
+def test_group_centroids_layout_independent(ray_session):
+    """Partial-sum combiner gives identical centroids at any block
+    layout; centroid of a single-vector label is the vector itself."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.simsearch import group_centroids
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = np.concatenate([rng.integers(0, 5, n - 1), [99]]).astype(np.int64)
+    t = pa.table(
+        {
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        out = (
+            group_centroids(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values(["label", "dim"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    np.testing.assert_allclose(
+        outs[0].centroid.values, outs[1].centroid.values, atol=1e-12
+    )
+    solo = outs[0][outs[0].label == 99]
+    np.testing.assert_allclose(
+        solo.centroid.values, vecs[-1].astype(np.float64), atol=1e-7
+    )
