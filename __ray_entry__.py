@@ -1138,6 +1138,51 @@ def _q_training_shuffle_rank(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_media_metadata(sf_dir: str) -> Any:
+    """Decode-nothing media triage: one actor-pool pass sniffs format
+    magic and parses ONLY container/frame headers (ISO-BMFF box walk,
+    MP3 frame sync, PNG IHDR, FLAC STREAMINFO, AVI avih, WAV fmt) —
+    the pass a 100 TB multimodal crawl runs before deciding what to
+    decode. Rows-only: header semantics aren't SQL-expressible; gated
+    by tests/test_media_meta.py fixtures instead."""
+    from dcs_ray.functions.avi import synthesize_avi_video
+    from dcs_ray.functions.media_meta import (
+        MediaMetadataExtractor,
+        encode_mp3_skeleton,
+        encode_mp4_skeleton,
+    )
+    from dcs_ray.functions.multimodal import (
+        synthesize_flac_media,
+        synthesize_gif_media,
+        synthesize_png_media,
+        synthesize_wav_media,
+    )
+
+    payloads = (
+        synthesize_png_media(12)["payload"].to_pylist()
+        + synthesize_gif_media(12)["payload"].to_pylist()
+        + synthesize_wav_media(12)["payload"].to_pylist()
+        + synthesize_flac_media(12)["payload"].to_pylist()
+        + synthesize_avi_video(6)["payload"].to_pylist()
+        + [encode_mp4_skeleton(1000 + i, 320, 240, 30 + i) for i in range(6)]
+        + [encode_mp3_skeleton(40 + i) for i in range(6)]
+    )
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(len(payloads)), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    ds = media.map_batches(
+        MediaMetadataExtractor, concurrency=2, batch_size=16,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("media_id")
+
+
 def _q_host_stats(sf_dir: str) -> Any:
     """Per-host page count + text chars over the crawl pages table —
     one vectorized RE2 host extract per batch, combiner partials keyed
@@ -2245,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": _q_bigram_topk,
         "host_stats": _q_host_stats,
         "canonical_url_dedup": _q_canonical_url_dedup,
+        "media_metadata": _q_media_metadata,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
