@@ -220,21 +220,36 @@ def paragraph_dedup_keep_first(
         hs, rs = h[order], rank[order]
         first = np.concatenate(([True], hs[1:] != hs[:-1]))
         win = rs[first]
+        doc = win // _MAX_LINES
         return pa.table(
             {
-                id_col: pa.array(win // _MAX_LINES, pa.int64()),
+                id_col: pa.array(doc, pa.int64()),
                 "ord": pa.array(win % _MAX_LINES, pa.int64()),
+                # doc-bucket for the NEXT groupby: bounded group count,
+                # never one Python group per doc
+                "doc_bucket": pa.array(doc % np.int64(n_buckets), pa.int64()),
             }
         )
 
-    def collect_ords(g: pa.Table) -> pa.Table:
-        # comma-joined string: Arrow's hash join can't carry list
-        # payload columns; the probe side re-splits vectorized
-        ords = np.sort(g["ord"].to_numpy())
+    def collect_bucket(g: pa.Table) -> pa.Table:
+        # per-doc ordinal lists for a whole doc-bucket at once: one
+        # lexsort + run-length offsets + Arrow binary_join — zero
+        # per-doc Python. Comma-joined strings because Arrow's hash
+        # join can't carry list payload columns; the probe side
+        # re-splits vectorized.
+        ids = g[id_col].to_numpy()
+        ords = g["ord"].to_numpy()
+        order = np.lexsort((ords, ids))
+        ids_s, ords_s = ids[order], ords[order]
+        first = np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        starts = np.flatnonzero(first)
+        offsets = np.concatenate((starts, [len(ids_s)])).astype(np.int64)
+        ostr = pc.cast(pa.array(ords_s, pa.int64()), pa.string())
+        lst = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), ostr)
         return pa.table(
             {
-                id_col: g[id_col].slice(0, 1),
-                "ords": pa.array([",".join(map(str, ords.tolist()))], pa.string()),
+                id_col: pa.array(ids_s[starts], pa.int64()),
+                "ords": pc.binary_join(lst, ","),
             }
         )
 
@@ -243,8 +258,8 @@ def paragraph_dedup_keep_first(
         .groupby("bucket")
         .map_groups(keep_min, batch_format="pyarrow")
     )
-    ordlists = winners.groupby(id_col).map_groups(
-        collect_ords, batch_format="pyarrow"
+    ordlists = winners.groupby("doc_bucket").map_groups(
+        collect_bucket, batch_format="pyarrow"
     )
 
     from dcs_ray.functions.relational import shuffle_join

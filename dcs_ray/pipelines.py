@@ -57,7 +57,11 @@ def curate_web_corpus(
     )
     from dcs_ray.functions.textstats import word_tokens_flat
 
-    cleaned = remove_boilerplate(docs, min_docs=min_docs, id_col=id_col)
+    # paragraph_dedup consumes its input TWICE (occurrence pass + the
+    # join-back side); a lazy `cleaned` would re-run boilerplate removal
+    # (and its profile pass) per consumer — checkpoint it once into the
+    # (spillable) object store instead
+    cleaned = remove_boilerplate(docs, min_docs=min_docs, id_col=id_col).materialize()
     para = paragraph_dedup_keep_first(cleaned, id_col=id_col)
 
     def token_filter(b: pa.Table) -> pa.Table:
