@@ -230,7 +230,19 @@ def media_metadata_one(payload: bytes) -> dict:
         w, h = struct.unpack_from("<HH", payload, 6)
         base.update({"format": "gif", "width": w, "height": h})
     elif payload[:2] == b"\xff\xd8":
-        base["format"] = "jpeg"  # dims need a marker scan; format only
+        base["format"] = "jpeg"
+        pos = 2  # marker scan to the first SOF for dimensions
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+            if marker in (0xC0, 0xC1, 0xC2):  # baseline/ext/progressive SOF
+                h, w = struct.unpack_from(">HH", payload, pos + 5)
+                base.update({"width": w, "height": h})
+                break
+            pos += 2 + seglen
     elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, rate = decode_wav_pcm16(payload)
         base.update({"format": "wav", "samplerate_hz": rate,

@@ -78,6 +78,7 @@ def test_uniform_stage_all_formats():
     rows = {f: r for f, r in zip(out["format"].to_pylist(),
                                  out.to_pylist())}
     assert (rows["png"]["width"], rows["png"]["height"]) == (24, 16)
+    assert (rows["jpeg"]["width"], rows["jpeg"]["height"]) == (24, 16)
     assert rows["wav"]["n_samples"] == 1600 and rows["wav"]["duration_ms"] == 100
     assert rows["flac"]["n_samples"] == 2048
     assert rows["avi"]["n_samples"] == 5 and rows["avi"]["duration_ms"] == 200
