@@ -2168,6 +2168,129 @@ def _q_doc_lm_score(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_tfidf_keywords(sf_dir: str) -> Any:
+    """Per-doc top-3 TF-IDF keywords: vocabulary-sized df broadcast +
+    fully vectorized per-batch tf/score/top-k (no shuffle; a doc's terms
+    never leave its batch)."""
+    from dcs_ray.functions.textstats import tfidf_keywords
+
+    ds = tfidf_keywords(_docs(sf_dir), k=3)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t
+
+
+def _q_bpe_word_counts(sf_dir: str) -> Any:
+    """The corpus-sized half of BPE training: distributed word count
+    (per-batch dictionary-encode partials, vocabulary-sized fold)."""
+    from dcs_ray.functions.bpe import word_counts
+
+    words, n = word_counts(_docs(sf_dir))
+    return pa.table({"word": words, "n": pa.array(n, pa.int64())})
+
+
+_BPE_N_MERGES = 50
+
+
+def _q_bpe_merges(sf_dir: str) -> Any:
+    """Learned BPE merge table (Sennrich et al. 2016) — deterministic
+    (count desc, lexicographic pair tie-break). Iterative argmax is not
+    SQL-expressible: rows-only gate; pytest checks against a
+    from-scratch recount reference."""
+    from dcs_ray.functions.bpe import train_bpe_merges, word_counts
+
+    words, n = word_counts(_docs(sf_dir))
+    merges = train_bpe_merges(words, n, n_merges=_BPE_N_MERGES)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _q_bpe_subtoken_count(sf_dir: str) -> Any:
+    """Per-doc token count under the corpus-trained BPE vocab — the
+    actor-pool encode stage (merge table loaded once per actor, unique
+    words memoized)."""
+    from dcs_ray.functions.bpe import (
+        bpe_subtoken_counts,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    words, n = word_counts(_docs(sf_dir))
+    merges = train_bpe_merges(words, n, n_merges=_BPE_N_MERGES)
+    ds = bpe_subtoken_counts(_docs(sf_dir), merges)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _docs_en(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    return _docs(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")), batch_format="pyarrow"
+    )
+
+
+def _q_dsir_weights(sf_dir: str) -> Any:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram count
+    tables for target (lang='en') and raw corpora broadcast once, one
+    vectorized scoring pass. Oracle replays with string bigrams — the
+    gate doubles as a hash-collision-freeness check (decontaminate
+    convention)."""
+    import ray as _ray
+
+    from dcs_ray.functions.dsir import bigram_counts, dsir_log_weights
+
+    docs = _docs(sf_dir)
+    target = _docs_en(sf_dir)
+    t_ref = _ray.put(bigram_counts(target))
+    r_ref = _ray.put(bigram_counts(docs))
+    ds = dsir_log_weights(docs, t_ref, r_ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_dsir_select(sf_dir: str) -> Any:
+    """End-to-end DSIR selection at keep_frac=0.25: distributed-quantile
+    cutoff + recompute-and-filter pass (no join, no corpus-sized driver
+    state)."""
+    from dcs_ray.functions.dsir import dsir_select
+
+    docs = _docs(sf_dir)
+    ds = dsir_select(docs, _docs_en(sf_dir), keep_frac=0.25)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
+def _q_pagerank(sf_dir: str) -> Any:
+    """Distributed PageRank (5 power iterations, d=0.85) over a
+    deterministic directed functional graph on events — the computed
+    web-graph static prior (F7's ``prior`` column, derived instead of
+    given). Rank/out-degree vectors broadcast per iteration; edges
+    stream; the oracle replays all 5 iterations in chained SQL CTEs."""
+    from dcs_ray.functions.graph import pagerank
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v1 = (e // 20) * 20 + (e * 13 + 5) % 20
+        m = e % 3 == 0
+        v2 = (e[m] // 20) * 20 + (e[m] * 7 + 3) % 20
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([e, e[m]]), pa.int64()),
+                "id_b": pa.array(np.concatenate([v1, v2]), pa.int64()),
+            }
+        )
+
+    return pagerank(ev.map_batches(edges, batch_format="pyarrow"), n_iter=5)
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 3, "es": 2, "zh": 1}  # fr dropped
 _MIX_TOTAL = 200
 
@@ -2252,6 +2375,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "bpe_word_counts": _q_bpe_word_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_subtoken_count": _q_bpe_subtoken_count,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "pagerank_prior": _q_pagerank,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -2342,6 +2472,68 @@ _TOKS_LIST = (
     "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
     "x -> x <> '') AS toks FROM documents"
 )
+
+def _pagerank_sql(k: int = 5, d: float = 0.85) -> str:
+    """All ``k`` PageRank power iterations replayed as chained SQL CTEs
+    over the same deterministic events functional graph."""
+    parts = [
+        """edges AS (
+  SELECT src, dst FROM (
+    SELECT event_id::bigint AS src,
+           ((event_id // 20) * 20 + (event_id * 13 + 5) % 20)::bigint AS dst
+    FROM events
+    UNION ALL
+    SELECT event_id::bigint,
+           ((event_id // 20) * 20 + (event_id * 7 + 3) % 20)::bigint
+    FROM events WHERE event_id % 3 = 0)),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+outdeg AS (SELECT src AS node, count(*)::double AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"""dang{p} AS (
+  SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r LEFT JOIN outdeg o USING (node)
+  WHERE o.node IS NULL),
+c{i} AS (
+  SELECT e.dst AS node, sum(r.r / o.deg) AS contrib
+  FROM edges e JOIN r{p} r ON e.src = r.node JOIN outdeg o ON e.src = o.node
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT n.node,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.contrib, 0.0) + (SELECT m FROM dang{p}) / (SELECT n FROM nn)) AS r
+  FROM nodes n LEFT JOIN c{i} c USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(r, 6) AS rank FROM r{k} ORDER BY node"
+    )
+
+
+# shared CTE chain for the DSIR oracles: string-bigram replay of the
+# hashed count tables (target = lang 'en', raw = all docs), add-1
+# smoothing, V = raw vocabulary size
+_DSIR_W_CTES = f"""toks AS ({_TOKS_LIST}),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks WHERE len(toks) >= 2),
+tgt AS (SELECT bg, count(*) AS ct FROM pairs JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY bg),
+rawc AS (SELECT bg, count(*) AS cr FROM pairs GROUP BY bg),
+vv AS (SELECT count(*) AS v FROM rawc),
+nt AS (SELECT count(*) AS n FROM pairs p JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+nr AS (SELECT count(*) AS n FROM pairs),
+scored AS (
+  SELECT p.doc_id,
+         ln((coalesce(t.ct, 0) + 1.0) / ((SELECT n FROM nt) + 1.0 * (SELECT v FROM vv)))
+       - ln((r.cr + 1.0) / ((SELECT n FROM nr) + 1.0 * (SELECT v FROM vv))) AS lw
+  FROM pairs p LEFT JOIN tgt t USING (bg) JOIN rawc r USING (bg)),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lw) AS s FROM scored GROUP BY doc_id)"""
 
 
 def _langid_values() -> str:
@@ -2599,6 +2791,38 @@ SELECT d.doc_id, coalesce(a.n_tokens,0)::bigint AS n_tokens,
        coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0) AS mean_token_len
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
 """,
+        "tfidf_keywords": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT count(*) FROM documents)::double / df.df) AS score
+  FROM tf JOIN df USING (term)),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, rank::bigint AS rank, term, round(score, 6) AS tfidf
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+""",
+        "bpe_word_counts": f"""
+SELECT term AS word, count(*)::bigint AS n FROM ({_TOK}) GROUP BY term ORDER BY word
+""",
+        "dsir_weights": f"""
+WITH {_DSIR_W_CTES}
+SELECT d.doc_id, coalesce(a.n_bigrams, 0)::bigint AS n_bigrams,
+       coalesce(round(a.s, 6), 0.0) AS log_weight
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        "dsir_select": f"""
+WITH {_DSIR_W_CTES},
+w AS (SELECT d.doc_id, coalesce(round(a.s, 6), 0.0) AS lw
+      FROM documents d LEFT JOIN agg a USING (doc_id)),
+cut AS (SELECT quantile_disc(lw, 0.75) AS c FROM w)
+SELECT doc_id FROM w WHERE lw >= (SELECT c FROM cut) ORDER BY doc_id
+""",
+        "pagerank_prior": _pagerank_sql(k=5, d=0.85),
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """,

@@ -248,3 +248,104 @@ def connected_components(
             batch_format="pyarrow",
         )
     )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> pa.Table:
+    """Distributed PageRank over a directed edge Dataset → (node, rank)
+    after ``n_iter`` power iterations — the web-graph static prior that
+    feeds BM25 pre-ranking (F7/J6: the computed version of the
+    ``prior`` doc_meta column).
+
+    Scale shape (the "vertex state fits, edges stream" regime): the rank
+    and out-degree vectors are node-count-sized, broadcast once per
+    iteration via ``ray.put``; each iteration is ONE streaming pass over
+    the edges — per-batch ``np.add.at`` partial contribution vectors,
+    folded through the same vocabulary-sized exchange as the sketch
+    pre-merges. Edges are materialized once (multi-consumer input).
+    Dangling mass (out-degree-0 nodes) is redistributed uniformly:
+
+        r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/deg(u) + D/N)
+
+    Duplicate edges contribute multiply on both the engine and the SQL
+    oracle (no implicit dedup)."""
+    edges = edges.materialize()
+
+    # pass 1: node universe + out-degrees (node-sized exchange)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy().astype(np.int64)
+        t = b[dst].to_numpy().astype(np.int64)
+        us, cs = np.unique(s, return_counts=True)
+        ut = np.unique(t)
+        node = np.concatenate([us, ut])
+        deg = np.concatenate([cs, np.zeros(len(ut), np.int64)])
+        return pa.table(
+            {"node": pa.array(node, pa.int64()), "deg": pa.array(deg, pa.int64())}
+        )
+
+    hs, cs_ = [], []
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs.append(b["node"].to_numpy(zero_copy_only=False))
+        cs_.append(b["deg"].to_numpy(zero_copy_only=False))
+    if not hs:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+        )
+    alln = np.concatenate(hs)
+    alld = np.concatenate(cs_)
+    nodes, inv = np.unique(alln, return_inverse=True)
+    outdeg = np.zeros(len(nodes), np.int64)
+    np.add.at(outdeg, inv, alld)
+    n = len(nodes)
+
+    rank = np.full(n, 1.0 / n, np.float64)
+    base_ref = ray.put(nodes)
+    d_ref = ray.put(outdeg)
+    for _ in range(n_iter):
+        r_ref = ray.put(rank)
+
+        def contrib2(
+            b: pa.Table, _n=base_ref, _r=r_ref, _d=d_ref
+        ) -> pa.Table:
+            nd = ray.get(_n)
+            r = ray.get(_r)
+            dg = ray.get(_d)
+            si = np.searchsorted(nd, b[src].to_numpy().astype(np.int64))
+            ti = np.searchsorted(nd, b[dst].to_numpy().astype(np.int64))
+            w = r[si] / dg[si]
+            ut, invt = np.unique(ti, return_inverse=True)
+            s = np.zeros(len(ut), np.float64)
+            np.add.at(s, invt, w)
+            return pa.table(
+                {"idx": pa.array(ut, pa.int64()), "c": pa.array(s, pa.float64())}
+            )
+
+        # fold partials in a CANONICAL order (sort by (idx, value)) so
+        # the float sum is identical at any parallelism / arrival order
+        idxs, vals = [], []
+        for b in edges.map_batches(contrib2, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            idxs.append(b["idx"].to_numpy(zero_copy_only=False))
+            vals.append(b["c"].to_numpy(zero_copy_only=False))
+        ai = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+        av = np.concatenate(vals) if vals else np.empty(0, np.float64)
+        order = np.lexsort((av, ai))
+        sums = np.zeros(n, np.float64)
+        np.add.at(sums, ai[order], av[order])
+        dangling = float(rank[outdeg == 0].sum())
+        rank = (1.0 - damping) / n + damping * (sums + dangling / n)
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank": pa.array(np.round(rank, 6), pa.float64()),
+        }
+    )

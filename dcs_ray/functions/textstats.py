@@ -312,3 +312,128 @@ def quality_classify(
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+def corpus_df(
+    ds: ray.data.Dataset, text_col: str = "text", min_df: int = 1
+) -> tuple[pa.Array, np.ndarray]:
+    """Document frequencies over a corpus → (sorted term array, df array).
+
+    Per-batch partial: distinct (doc, term) pairs collapsed to per-term
+    counts (each doc lives wholly inside one batch row, so a batch-local
+    distinct is exact); the exchange is vocabulary-sized, never
+    corpus-sized — the same two-level shape as the index's corpus-stats
+    aggregation (A7, ``index/build.py``). ``min_df`` prunes the hapax
+    tail before the result is broadcast: at web scale the hapax terms
+    are typos/noise and dominate vocabulary bytes, so callers should
+    raise it (documented trade-off, default keeps SQL-oracle parity)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(enc.dictionary)
+        key = parents.astype(np.int64) * nd + codes
+        cnt = np.bincount(np.unique(key) % nd, minlength=nd)
+        return pa.table(
+            {
+                "term": enc.dictionary.cast(pa.string()),
+                "df": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    agg = pa.concat_tables(parts).group_by("term").aggregate([("df", "sum")])
+    order = pc.sort_indices(agg["term"])
+    terms = agg["term"].take(order).combine_chunks()
+    df = agg["df_sum"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+    if min_df > 1:
+        keep = df >= min_df
+        terms = terms.filter(pa.array(keep))
+        df = df[keep]
+    return terms, df
+
+
+def tfidf_keywords(
+    ds: ray.data.Dataset,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    n_docs: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document top-k TF-IDF keywords: ``score = tf · ln(N / df)``,
+    ties broken by term ascending (deterministic, SQL-replayable).
+
+    Two corpus passes: (1) :func:`corpus_df` builds the (term, df)
+    dictionary — vocabulary-sized, broadcast ONCE via ``ray.put`` and
+    probed per batch with an Arrow ``index_in``; (2) a single
+    ``map_batches`` computes per-doc tf, scores, and the top-k selection
+    fully vectorized (one ``np.unique`` + one ``np.lexsort`` per batch).
+    No shuffle: each doc's terms never leave its batch. Callers with a
+    transformed input should ``.materialize()`` it first (two consumers).
+
+    Docs with zero tokens emit no rows (matching the SQL inner join).
+    The keyword-extraction role of dcs's per-package "what matters in
+    this result" summaries, generalized to the classic TF-IDF formula."""
+    if n_docs is None:
+        n_docs = ds.count()
+    terms, df = corpus_df(ds, text_col=text_col, min_df=min_df)
+    ref = ray.put((terms, df, float(n_docs)))
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        vocab, dfv, n = ray.get(ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tfidf": pa.array([], pa.float64()),
+            }
+        )
+        flat, parents = word_tokens_flat(batch[text_col])
+        if len(flat) == 0 or len(vocab) == 0:
+            return empty
+        codes = (
+            pc.index_in(flat, value_set=vocab)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        valid = codes >= 0  # min_df-pruned terms are not keyword-eligible
+        if not valid.any():
+            return empty
+        nv = len(vocab)
+        key = parents[valid].astype(np.int64) * nv + codes[valid]
+        uk, tf = np.unique(key, return_counts=True)
+        upar = (uk // nv).astype(np.int64)
+        ucode = (uk % nv).astype(np.int64)
+        score = tf.astype(np.float64) * np.log(n / dfv[ucode])
+        order = np.lexsort((ucode, -score, upar))
+        up_sorted = upar[order]
+        starts = np.flatnonzero(np.r_[True, up_sorted[1:] != up_sorted[:-1]])
+        run_len = np.diff(np.r_[starts, len(order)])
+        rank = np.arange(len(order)) - np.repeat(starts, run_len)
+        sel = order[rank < k]  # keeps (doc, rank) order — output is sorted
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[upar[sel]]
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids.astype(np.int64), pa.int64()),
+                "rank": pa.array(rank[rank < k] + 1, pa.int64()),
+                "term": vocab.take(pa.array(ucode[sel])),
+                "tfidf": pa.array(np.round(score[sel], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

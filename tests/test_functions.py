@@ -785,3 +785,49 @@ def test_tile_hash_matches_hash64_column():
         want = _hash64_column(pa.array(grams, pa.string()))
         np.testing.assert_array_equal(h, want)
         assert (row_of == 0).all()
+
+
+def test_tfidf_keywords_values_and_ties():
+    """Hand-computed TF-IDF values, term-asc tie-break, zero-token docs
+    emitting no rows, and min_df pruning."""
+    import math
+
+    from dcs_ray.functions.textstats import tfidf_keywords
+
+    texts = [
+        "apple banana apple",   # apple tf=2, banana tf=1
+        "banana cherry",
+        "apple cherry cherry zebra",
+        "",                     # zero tokens -> no rows
+        "dog cat",              # same tf, same df -> term-asc tie-break
+    ]
+    ds = ray.data.from_arrow(_doc_table(texts))
+    out = pa.concat_tables(
+        [pa.table(b) for b in tfidf_keywords(ds, k=3).iter_batches(batch_format="pyarrow")]
+    ).to_pydict()
+    n = 5.0
+    rows = list(zip(out["doc_id"], out["rank"], out["term"], out["tfidf"]))
+    # doc 0: apple 2*ln(5/2) > banana 1*ln(5/2)
+    assert rows[0] == (0, 1, "apple", round(2 * math.log(n / 2), 6))
+    assert rows[1] == (0, 2, "banana", round(math.log(n / 2), 6))
+    # doc 1: banana/cherry tie -> term-asc
+    assert rows[2][:3] == (1, 1, "banana") and rows[3][:3] == (1, 2, "cherry")
+    # doc 2: cherry tf=2 ties nothing; zebra df=1 -> ln(5) beats apple ln(2.5)
+    d2 = [r for r in rows if r[0] == 2]
+    assert [r[2] for r in d2] == ["cherry", "zebra", "apple"]
+    # doc 3 absent entirely
+    assert all(r[0] != 3 for r in rows)
+    # doc 4: equal scores -> cat before dog
+    d4 = [r for r in rows if r[0] == 4]
+    assert [(r[1], r[2]) for r in d4] == [(1, "cat"), (2, "dog")]
+    # output globally sorted by (doc_id, rank)
+    assert rows == sorted(rows, key=lambda r: (r[0], r[1]))
+
+    # min_df=2 drops the hapaxes (zebra, dog, cat) from eligibility
+    out2 = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in tfidf_keywords(ds, k=3, min_df=2).iter_batches(batch_format="pyarrow")
+        ]
+    ).to_pydict()
+    assert "zebra" not in out2["term"] and "dog" not in out2["term"]

@@ -210,3 +210,52 @@ def test_jaccard_verify_empty_pairs(ray_session):
         )
     ]
     assert sum(len(t) for t in tables) == 0
+
+
+def _dense_pagerank(edge_list, n_iter=5, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edge_list:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        s = np.zeros(n)
+        for u, v in edge_list:
+            s[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dang = r[deg == 0].sum()
+        r = (1 - d) / n + d * (s + dang / n)
+    return nodes, np.round(r, 6)
+
+
+def test_pagerank_matches_dense_reference():
+    import numpy as np
+
+    from dcs_ray.functions.graph import pagerank
+
+    # cycle + dangling sink + a duplicate edge (counted twice)
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (1, 3), (4, 3)]
+    # node 3 is dangling (no out-edges); node 4 has rank inflow only via teleport
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = pagerank(ray.data.from_arrow(t).repartition(3), n_iter=5)
+    nodes, want = _dense_pagerank(edges)
+    assert got["node"].to_pylist() == nodes
+    np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=2e-6)
+    # ranks form a probability distribution
+    assert abs(float(got["rank"].to_numpy().sum()) - 1.0) < 1e-4
+
+
+def test_pagerank_empty_edges():
+    from dcs_ray.functions.graph import pagerank
+
+    t = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    out = pagerank(ray.data.from_arrow(t))
+    assert len(out) == 0
