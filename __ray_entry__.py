@@ -2291,6 +2291,65 @@ def _q_pagerank(sf_dir: str) -> Any:
     return pagerank(ev.map_batches(edges, batch_format="pyarrow"), n_iter=5)
 
 
+def _link_edges_ds(sf_dir: str):
+    """Shared head of the web-graph queries: pages → latest-crawl dedup
+    → vectorized link extraction (one row per <a href>)."""
+    from dcs_ray.functions.links import extract_link_edges
+    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+
+    return extract_link_edges(dedup_latest_crawl(read_pages(sf_dir)))
+
+
+def _q_link_edges(sf_dir: str) -> pa.Table:
+    """Web link graph extracted from the pages html (<nav> anchors):
+    (src, dst, anchor) per link. The synthesis makes the graph a pure
+    function of documents, so the oracle replays it with list-indexing
+    CTEs — extraction correctness is checked edge-for-edge."""
+    edges = _link_edges_ds(sf_dir)
+    t = pa.concat_tables(
+        pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("src", "ascending"), ("dst", "ascending"), ("anchor", "ascending")]
+    )
+
+
+def _q_anchor_terms_topk(sf_dir: str) -> pa.Table:
+    """Anchor-text index field: terms of anchors pointing AT each doc,
+    counted with map-side combining, global top-100 by (anchor_tf desc,
+    doc_id, term). Per-block local top-100 before the driver merge —
+    the driver never sees more than 100 rows per block."""
+    from dcs_ray.functions.links import anchor_term_counts
+
+    counts = anchor_term_counts(_link_edges_ds(sf_dir))
+    order = [("anchor_tf", "descending"), ("doc_id", "ascending"), ("term", "ascending")]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 100)
+
+    parts = [
+        pa.table(b)
+        for b in counts.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+         "anchor_tf": pa.array([], pa.int64())}
+    )
+    return merged.sort_by(order).slice(0, 100)
+
+
+def _q_link_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the EXTRACTED web graph (not a synthetic functional
+    graph): the computed static prior a web index feeds into pre-ranking
+    (dcs F7/J6 role). 5 power iterations, d=0.85, replayed in chained
+    SQL CTEs over the same deterministic link synthesis."""
+    from dcs_ray.functions.links import link_pagerank
+
+    return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 3, "es": 2, "zh": 1}  # fr dropped
 _MIX_TOTAL = 200
 
@@ -2382,6 +2441,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "pagerank_prior": _q_pagerank,
+        # --- web link graph (extracted from pages html) ---
+        "link_edges": _q_link_edges,
+        "anchor_terms_topk": _q_anchor_terms_topk,
+        "link_pagerank": _q_link_pagerank,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -2473,11 +2536,29 @@ _TOKS_LIST = (
     "x -> x <> '') AS toks FROM documents"
 )
 
-def _pagerank_sql(k: int = 5, d: float = 0.85) -> str:
-    """All ``k`` PageRank power iterations replayed as chained SQL CTEs
-    over the same deterministic events functional graph."""
+# link-graph replay: page_links() as SQL — tokens via the shared list
+# CTE, targets (d//2, d//3, d+41), anchors = two tokens of the SOURCE
+# page at positions ((d+5j) % n, (d+5j+1) % n); docs with zero tokens
+# emit no links (sources/pages.py::page_links). Defines CTE ``edges``.
+_LINK_EDGES_CTE = f"""ltoks AS ({_TOKS_LIST}),
+lbase AS (SELECT doc_id, toks, len(toks) AS n FROM ltoks WHERE len(toks) > 0),
+edges AS (
+  SELECT doc_id::bigint AS src,
+         (CASE j WHEN 0 THEN doc_id // 2 WHEN 1 THEN doc_id // 3
+                 ELSE doc_id + 41 END)::bigint AS dst,
+         toks[((doc_id + 5 * j) % n) + 1] || ' '
+           || toks[((doc_id + 5 * j + 1) % n) + 1] AS anchor
+  FROM lbase CROSS JOIN range(3) r(j))"""
+
+
+def _pagerank_sql(k: int = 5, d: float = 0.85, edges_cte: str | None = None) -> str:
+    """All ``k`` PageRank power iterations replayed as chained SQL CTEs.
+    ``edges_cte`` overrides the edge-set definition (must define a CTE
+    named ``edges`` with at least ``src``/``dst`` bigint columns);
+    default is the deterministic events functional graph."""
     parts = [
-        """edges AS (
+        edges_cte
+        or """edges AS (
   SELECT src, dst FROM (
     SELECT event_id::bigint AS src,
            ((event_id // 20) * 20 + (event_id * 13 + 5) % 20)::bigint AS dst
@@ -2485,11 +2566,11 @@ def _pagerank_sql(k: int = 5, d: float = 0.85) -> str:
     UNION ALL
     SELECT event_id::bigint,
            ((event_id // 20) * 20 + (event_id * 7 + 3) % 20)::bigint
-    FROM events WHERE event_id % 3 = 0)),
-nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+    FROM events WHERE event_id % 3 = 0))""",
+        """nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 nn AS (SELECT count(*)::double AS n FROM nodes),
 outdeg AS (SELECT src AS node, count(*)::double AS deg FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""",
     ]
     for i in range(1, k + 1):
         p = i - 1
@@ -2823,6 +2904,18 @@ cut AS (SELECT quantile_disc(lw, 0.75) AS c FROM w)
 SELECT doc_id FROM w WHERE lw >= (SELECT c FROM cut) ORDER BY doc_id
 """,
         "pagerank_prior": _pagerank_sql(k=5, d=0.85),
+        "link_edges": f"""
+WITH {_LINK_EDGES_CTE}
+SELECT src, dst, anchor FROM edges ORDER BY src, dst, anchor
+""",
+        "anchor_terms_topk": f"""
+WITH {_LINK_EDGES_CTE},
+at AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM edges),
+ct AS (SELECT doc_id, term, count(*)::bigint AS anchor_tf FROM at GROUP BY doc_id, term)
+SELECT doc_id, term, anchor_tf FROM ct
+ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
+""",
+        "link_pagerank": _pagerank_sql(k=5, d=0.85, edges_cte=_LINK_EDGES_CTE),
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """,

@@ -21,6 +21,8 @@ downstream is format-agnostic.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -47,15 +49,54 @@ def page_url(source: str, doc_id: int) -> str:
     return f"https://{source}.example.org/doc/{doc_id:08d}"
 
 
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# outlinks per page; targets are pure functions of doc_id so the link
+# graph is replayable in SQL (see __ray_entry__'s link-edge CTEs)
+LINKS_PER_DOC = 3
+
+
+def page_tokens(text: str) -> list[str]:
+    """Lowercase alnum tokens — same convention as the index tokenizer
+    (``dcs_ray.tokenize``) and the oracles' regexp_split_to_array."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def page_links(doc_id: int, toks: list[str]) -> list[tuple[int, str]]:
+    """Deterministic outlinks for a page: ``[(target_doc_id, anchor)]``.
+
+    Targets ``d//2, d//3, d+41`` keep most links resolvable on a dense
+    id space while ``d+41`` dangles near the corpus edge (a real web
+    graph has both). Anchor text is two tokens of the SOURCE page's own
+    body — anchors describe the target in the linker's words, which is
+    exactly what anchor-text ranking exploits. Pure function of
+    ``(doc_id, toks)``; the SQL oracles replay it from ``documents``."""
+    if not toks:
+        return []
+    n = len(toks)
+    targets = (doc_id // 2, doc_id // 3, doc_id + 41)
+    return [
+        (t, f"{toks[(doc_id + 5 * j) % n]} {toks[(doc_id + 5 * j + 1) % n]}")
+        for j, t in enumerate(targets)
+    ]
+
+
 def render_html(text: str, doc_id: int) -> bytes:
+    toks = page_tokens(text)
+    title = f"doc {doc_id}" + (f" {toks[0]}" if toks else "")
+    nav = "".join(
+        f'<a href="/doc/{t:08d}">{a}</a>' for t, a in page_links(doc_id, toks)
+    )
     body = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     return (
-        f"<html><head><title>doc {doc_id}</title></head><body><p>{body}</p></body></html>"
+        f"<html><head><title>{title}</title></head>"
+        f"<body><nav>{nav}</nav><p>{body}</p></body></html>"
     ).encode()
 
 
 def extract_text_one(html: bytes) -> str:
-    """Pure extraction: html bytes → text, byte-identical to the source."""
+    """Pure extraction: html bytes → text, byte-identical to the source.
+    The body escapes every ``<``, so the first literal ``<p>`` in the
+    document is the payload start regardless of title/nav content."""
     s = html.decode()
     start = s.index("<p>") + 3
     end = s.rindex("</p>")
@@ -68,10 +109,9 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     dcs's unpack step ``cmd/dcs-package-importer/importer.go:486-523`` —
     "raw bytes → indexable text"). Vectorized via Arrow kernels."""
     s = batch["html"].cast(pa.string())
-    # strip constant-prefix '<html><head><title>doc N</title></head><body><p>' and suffix
-    inner = pc.replace_substring_regex(
-        s, r"^<html><head><title>doc \d+</title></head><body><p>", ""
-    )
+    # strip everything up to the first literal '<p>' (body escapes '<',
+    # so title/nav can never contain one) and the constant suffix
+    inner = pc.replace_substring_regex(s, r"^.*?<p>", "")
     inner = pc.replace_substring_regex(inner, r"</p></body></html>$", "")
     for ent, ch in ((pa.scalar("&gt;"), ">"), (pa.scalar("&lt;"), "<"), (pa.scalar("&amp;"), "&")):
         inner = pc.replace_substring(inner, ent.as_py(), ch)

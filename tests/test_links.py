@@ -1,0 +1,110 @@
+"""Web link graph: extraction inverts page_links exactly, anchor-term
+counts match a brute-force fold, pagerank over the extracted edges is
+deterministic and mass-conserving."""
+
+import collections
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from dcs_ray.functions.links import (
+    anchor_term_counts,
+    extract_edges_batch,
+    extract_link_edges,
+    link_pagerank,
+)
+from dcs_ray.sources.pages import (
+    dedup_latest_crawl,
+    page_links,
+    page_tokens,
+    read_pages,
+    synthesize_pages_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reference_edges(docs):
+    ref = []
+    for d, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        for t, a in page_links(int(d), page_tokens(text)):
+            ref.append((int(d), int(t), a))
+    return sorted(ref)
+
+
+def test_extract_edges_inverts_page_links():
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 200)
+    pages = synthesize_pages_table(docs)
+    # drop the stale duplicate crawls (older warc_ts) to mirror
+    # dedup_latest_crawl without a Ray shuffle in a unit test
+    newest = {}
+    urls = pages["url"].to_pylist()
+    ts = pages["warc_ts"].to_pylist()
+    for i, (u, t) in enumerate(zip(urls, ts)):
+        if u not in newest or ts[newest[u]] < t:
+            newest[u] = i
+    latest = pages.take(sorted(newest.values()))
+    edges = extract_edges_batch(latest)
+    got = sorted(
+        zip(
+            edges["src"].to_pylist(),
+            edges["dst"].to_pylist(),
+            edges["anchor"].to_pylist(),
+        )
+    )
+    assert got == _reference_edges(docs)
+
+
+def test_anchor_term_counts_matches_fold(ray_session):
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 120)
+    ref = collections.Counter()
+    for _, dst, anchor in _reference_edges(docs):
+        for tok in anchor.split(" "):
+            ref[(dst, tok)] += 1
+
+    pages = dedup_latest_crawl(
+        read_pages(SF).filter(
+            lambda r: int(r["url"].rsplit("/", 1)[1]) < 120
+        )
+    )
+    counts = anchor_term_counts(extract_link_edges(pages))
+    got = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        for d, t, c in zip(
+            b["doc_id"].to_pylist(), b["term"].to_pylist(), b["anchor_tf"].to_pylist()
+        ):
+            got[(d, t)] = c
+    assert got == dict(ref)
+
+
+def test_link_pagerank_deterministic_and_conserving(ray_session):
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 150)
+    pages_tbl = synthesize_pages_table(docs)
+    import ray.data
+
+    pages = ray.data.from_arrow(pages_tbl)
+    edges = extract_link_edges(dedup_latest_crawl(pages))
+    r1 = link_pagerank(edges, n_iter=3)
+    r2 = link_pagerank(edges, n_iter=3)
+    assert r1.equals(r2)  # bit-identical across runs
+    ranks = r1["rank"].to_numpy()
+    assert abs(float(ranks.sum()) - 1.0) < 1e-4  # mass conserved
+    assert (ranks > 0).all()
+    # hubs (low doc_ids are targets of many d//2, d//3 links) outrank leaves
+    nodes = r1["node"].to_numpy()
+    small = ranks[nodes < 10].mean()
+    big = ranks[nodes > 100].mean()
+    assert small > big
+
+
+def test_extract_handles_empty_nav():
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "url": ["https://x.example.org/doc/00000007"],
+            "html": [b"<html><head><title>doc 7</title></head><body><nav></nav><p></p></body></html>"],
+        }
+    )
+    edges = extract_edges_batch(batch)
+    assert len(edges) == 0
