@@ -70,6 +70,46 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     return read_parquet_sized(f"{sf_dir}/documents.parquet")
 
 
+def _anchor_index_dir(sf_dir: str) -> str:
+    """Anchor-text field index: one pseudo-doc per link TARGET whose
+    text is every anchor pointing at it (the anchor field of a web
+    index — built like any other index, searched as the second field
+    of ``search_bm25_fielded``, which range-refines work units so the
+    two indexes need NOT shard identically). id_max pinned to the body
+    corpus max (a metadata-only read) to skip the Dataset max() pass;
+    link targets past the corpus edge clamp into the last partition."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.index.build import parquet_col_max
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_anchor")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        edges = _link_edges_ds(sf_dir)
+
+        def pseudo(group: pa.Table) -> pa.Table:
+            # anchors sorted so the pseudo-doc bytes are deterministic
+            # (bag-of-words scoring is order-free either way)
+            anchors = sorted(group["anchor"].to_pylist())
+            return pa.table(
+                {
+                    "doc_id": pa.array([group["dst"][0].as_py()], pa.int64()),
+                    "text": pa.array([" ".join(anchors)], pa.string()),
+                }
+            )
+
+        docs = edges.groupby("dst").map_groups(pseudo, batch_format="pyarrow")
+        conf = IndexConfig(
+            num_partitions=8,
+            num_shards=2,
+            mode="words",
+            id_col="doc_id",
+            dedup_latest=False,
+            id_max=parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id"),
+        )
+        build_index(docs, out, conf)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship pipeline
 # ---------------------------------------------------------------------------
@@ -2350,6 +2390,28 @@ def _q_link_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
 
 
+def _q_bm25_anchor(sf_dir: str) -> pa.Table:
+    """Two-field web ranking: body BM25 + 0.5 × anchor-field BM25
+    (each field its own df/dl/avgdl — BM25F-lite). Anchor-only docs
+    rank too; the oracle replays both fields and FULL OUTER JOINs."""
+    from dcs_ray.search import search_bm25_fielded
+
+    t = search_bm25_fielded(
+        _index_dir(sf_dir, "words"),
+        _anchor_index_dir(sf_dir),
+        [BM25_QUERY],
+        k=10,
+        anchor_weight=0.5,
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 3, "es": 2, "zh": 1}  # fr dropped
 _MIX_TOTAL = 200
 
@@ -2445,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_edges": _q_link_edges,
         "anchor_terms_topk": _q_anchor_terms_topk,
         "link_pagerank": _q_link_pagerank,
+        "bm25_anchor_topk": _q_bm25_anchor,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -2916,6 +2979,36 @@ SELECT doc_id, term, anchor_tf FROM ct
 ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
 """,
         "link_pagerank": _pagerank_sql(k=5, d=0.85, edges_cte=_LINK_EDGES_CTE),
+        # two-field BM25: body scores from the shared _BM25_SCORES chain,
+        # anchor field rebuilt from the link edges with its OWN df/dl/avgdl
+        # over the anchor pseudo-corpus (one pseudo-doc per link target),
+        # combined body + 0.5·anchor via FULL OUTER JOIN (anchor-only docs
+        # rank too — search.py::search_bm25_fielded)
+        "bm25_anchor_topk": f"""
+WITH {_LINK_EDGES_CTE},{_BM25_SCORES},
+atok AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM edges),
+adl AS (SELECT doc_id, count(*) AS doc_len FROM atok GROUP BY doc_id),
+astats AS (
+  SELECT (SELECT count(*) FROM adl) AS n_docs,
+         (SELECT sum(doc_len) FROM adl)::double / (SELECT count(*) FROM adl) AS avgdl),
+atf AS (SELECT doc_id, term, count(*) AS tf FROM atok GROUP BY doc_id, term),
+adf AS (SELECT term, count(DISTINCT doc_id) AS df FROM atok GROUP BY term),
+ascores AS (
+  SELECT atf.doc_id,
+         sum( ln((astats.n_docs - adf.df + 0.5)/(adf.df + 0.5) + 1.0)
+              * atf.tf * 2.2
+              / (atf.tf + 1.2 * (0.25 + 0.75 * adl.doc_len / astats.avgdl)) ) AS ascore
+  FROM atf JOIN adf USING (term) JOIN adl USING (doc_id), astats
+  WHERE atf.term IN (SELECT term FROM q)
+  GROUP BY atf.doc_id),
+comb AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(b.score, 0.0) + 0.5 * coalesce(a.ascore, 0.0) AS score
+  FROM scores b FULL OUTER JOIN ascores a ON b.doc_id = a.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
 """,

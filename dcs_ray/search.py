@@ -721,6 +721,148 @@ def search_bm25_grouped(
     return pa.concat_tables(out_tables)
 
 
+def shard_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max) doc_id of a shard from parquet row-group statistics —
+    a metadata-only read (no postings mmap, no doc_meta load), so the
+    driver can plan range-refined work units over huge indexes."""
+    refs = os.path.join(path, "doc_meta_refs.json")
+    if os.path.exists(refs):
+        with open(refs) as f:
+            segs = json.load(f)["segments"]
+        # refs are relative to the shards root (segment.py:388-397)
+        metas = [
+            os.path.join(os.path.dirname(path), s, "doc_meta.parquet")
+            for s in (segs[0], segs[-1])
+        ]
+    else:
+        metas = [os.path.join(path, "doc_meta.parquet")] * 2
+    mlo, mhi = pq.read_metadata(metas[0]), pq.read_metadata(metas[1])
+    ci = mlo.schema.names.index("doc_id")
+    lo = min(mlo.row_group(g).column(ci).statistics.min for g in range(mlo.num_row_groups))
+    hi = max(mhi.row_group(g).column(ci).statistics.max for g in range(mhi.num_row_groups))
+    return int(lo), int(hi)
+
+
+def search_bm25_fielded(
+    body_dir: str,
+    anchor_dir: str,
+    queries: list[str],
+    k: int = 10,
+    anchor_weight: float = 0.5,
+    task_num_cpus: float = 1.0,
+) -> pa.Table:
+    """Two-field BM25 (BM25F-lite): ``body + anchor_weight × anchor``
+    where each field is a separate index with its own df/dl/avgdl —
+    the web-ranking shape where anchor text (the linker's description
+    of the target) is a second, highly-weighted field (Craswell '01;
+    Robertson's BM25F simplified to a per-field score sum). A doc that
+    only matches via in-link anchors still ranks.
+
+    Work units are doc-id RANGES refined from the union of both
+    indexes' shard boundaries (read from parquet metadata only), so a
+    doc's body and anchor contributions always meet in ONE task even
+    when the two indexes sharded differently (shard planning balances
+    by posting count, so boundaries rarely coincide). Per-range local
+    top-k is therefore exact and the driver merge stays
+    k × O(shards_b + shards_a) rows. A shard spanning two ranges is
+    scored twice, but the per-worker term-score cache
+    (``_term_scores_cached``) makes the second pass a cached gather."""
+    if isinstance(queries, str):
+        queries = [queries]
+    stats_b, stats_a = load_stats(body_dir), load_stats(anchor_dir)
+    shards_b, shards_a = shard_paths(body_dir), shard_paths(anchor_dir)
+    plans_b = plan_queries(body_dir, queries, stats_b)
+    plans_a = plan_queries(anchor_dir, queries, stats_a)
+
+    bounds_b = [shard_id_bounds(p) for p in shards_b]
+    bounds_a = [shard_id_bounds(p) for p in shards_a]
+    cuts = sorted(
+        {lo for lo, _ in bounds_b + bounds_a} | {hi + 1 for _, hi in bounds_b + bounds_a}
+    )
+    units = []  # (body shard or -1, anchor shard or -1, lo, hi)
+    for lo, hi in ((cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)):
+        bi = next((i for i, (l, h) in enumerate(bounds_b) if l <= lo <= h), -1)
+        ai = next((i for i, (l, h) in enumerate(bounds_a) if l <= lo <= h), -1)
+        if bi >= 0 or ai >= 0:
+            units.append((bi, ai, lo, hi))
+
+    work = ray.data.from_items(
+        [
+            {"unit": uid, "qid": qid}
+            for uid in range(len(units))
+            for qid in range(len(queries))
+        ]
+    )
+
+    def run_shard(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for uid, qid in zip(batch["unit"].to_pylist(), batch["qid"].to_pylist()):
+            bi, ai, lo, hi = units[uid]
+            chunks_d, chunks_s = [], []
+            # fixed fold order (body chunk first) so the float sum is
+            # parallelism-independent
+            if bi >= 0:
+                db, sb = score_shard_all(_open(shards_b[bi]), plans_b[qid], stats_b)
+                m = (db >= lo) & (db <= hi)
+                chunks_d.append(db[m])
+                chunks_s.append(sb[m])
+            if ai >= 0:
+                da, sa = score_shard_all(_open(shards_a[ai]), plans_a[qid], stats_a)
+                m = (da >= lo) & (da <= hi)
+                chunks_d.append(da[m])
+                chunks_s.append(anchor_weight * sa[m])
+            docs = np.concatenate(chunks_d) if chunks_d else np.empty(0, np.uint64)
+            scores = np.concatenate(chunks_s) if chunks_s else np.empty(0, np.float64)
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+            bounds = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+            uniq = docs[bounds] if len(docs) else docs
+            sums = np.add.reduceat(scores, bounds) if len(docs) else scores
+            d, s = topk(uniq, sums, k)
+            out_q.extend([qid] * len(d))
+            out_d.append(d)
+            out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "score": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.float64), pa.float64()
+                ),
+            }
+        )
+
+    per_shard = work.map_batches(
+        run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+    )
+    cand = _collect(
+        per_shard,
+        pa.schema(
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
+        ),
+    )
+    qids = cand["query_id"].to_numpy()
+    docs = cand["doc_id"].to_numpy()
+    scores = cand["score"].to_numpy()
+    out_tables = []
+    for qid in range(len(queries)):
+        m = qids == qid
+        dd, ss = topk(docs[m], scores[m], k)
+        out_tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                    "rank": pa.array(np.arange(1, len(dd) + 1, dtype=np.int32), pa.int32()),
+                    "doc_id": pa.array(dd, pa.uint64()),
+                    "score": pa.array(ss, pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out_tables)
+
+
 def _collect(ds: ray.data.Dataset, empty_schema: pa.Schema) -> pa.Table:
     tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     if not tables:

@@ -97,6 +97,48 @@ def test_link_pagerank_deterministic_and_conserving(ray_session):
     assert small > big
 
 
+def test_fielded_search_matches_bruteforce(ray_session):
+    """search_bm25_fielded's range-refined work units are exact even
+    though the body and anchor indexes shard at different boundaries:
+    every doc's combined score equals the global brute-force fold."""
+    import collections
+
+    import __ray_entry__ as E
+    from dcs_ray.search import (
+        _open,
+        load_stats,
+        plan_queries,
+        score_shard_all,
+        search_bm25_fielded,
+        shard_id_bounds,
+        shard_paths,
+    )
+
+    body = E._index_dir(SF, "words")
+    anchor = E._anchor_index_dir(SF)
+    # metadata-only bounds == the mmap-loaded segment's actual bounds
+    for p in shard_paths(body) + shard_paths(anchor):
+        seg = _open(p)
+        assert shard_id_bounds(p) == (int(seg.doc_ids[0]), int(seg.doc_ids[-1]))
+
+    total = collections.defaultdict(float)
+    for w, idx in ((1.0, body), (0.5, anchor)):
+        st = load_stats(idx)
+        plan = plan_queries(idx, [E.BM25_QUERY], st)[0]
+        for sp in shard_paths(idx):
+            d, s = score_shard_all(_open(sp), plan, st)
+            for dd, ss in zip(d, s):
+                total[int(dd)] += w * float(ss)
+    want = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+
+    got = search_bm25_fielded(body, anchor, [E.BM25_QUERY], k=25, anchor_weight=0.5)
+    got_pairs = list(zip(got["doc_id"].to_pylist(), got["score"].to_pylist()))
+    assert len(got_pairs) == len(want)
+    for (gd, gs), (wd, ws) in zip(got_pairs, want):
+        assert gd == wd
+        assert abs(gs - ws) < 1e-12
+
+
 def test_extract_handles_empty_nav():
     import pyarrow as pa
 
