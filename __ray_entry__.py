@@ -2390,6 +2390,63 @@ def _q_link_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
 
 
+def _pagerank_index_dir(sf_dir: str) -> str:
+    """Body index whose doc_meta ``prior`` is the COMPUTED link-graph
+    PageRank (``1 + N·rank``, 1.0 for docs outside the graph) — the
+    full web chain for dcs's F7 static pre-rank: crawl → links →
+    pagerank → prior baked into doc_meta at build → multiplied into
+    BM25 inside each shard task. Rank vector is node-sized: broadcast
+    once via ``ray.put`` and probed with searchsorted per build batch."""
+    from dcs_ray.functions.links import link_pagerank
+    from dcs_ray.index import IndexConfig, build_index
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_wordspr")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        ranks = link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+        nodes = ranks["node"].to_numpy()
+        pri = 1.0 + len(nodes) * ranks["rank"].to_numpy()
+        nref, pref = ray.put(nodes), ray.put(pri)
+
+        def with_prior(b: pa.Table, _n=nref, _p=pref) -> pa.Table:
+            nd, pv = ray.get(_n), ray.get(_p)
+            ids = b["doc_id"].to_numpy()
+            pos = np.clip(np.searchsorted(nd, ids), 0, max(len(nd) - 1, 0))
+            found = nd[pos] == ids if len(nd) else np.zeros(len(ids), bool)
+            prior = np.where(found, pv[pos] if len(nd) else 1.0, 1.0)
+            return b.append_column("prior", pa.array(prior, pa.float64()))
+
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ).map_batches(with_prior, batch_format="pyarrow")
+        conf = IndexConfig(
+            num_partitions=8,
+            num_shards=2,
+            mode="words",
+            id_col="doc_id",
+            dedup_latest=False,
+            meta_cols=("source", "prior"),
+        )
+        build_index(docs, out, conf)
+    return out
+
+
+def _q_bm25_pagerank(sf_dir: str) -> pa.Table:
+    """BM25 × computed PageRank prior: the derived version of
+    bm25_prior's given column — the complete web-ranking signal chain
+    gated end to end (link synthesis → pagerank → prior → ranking)."""
+    from dcs_ray.search import search_bm25
+
+    t = search_bm25(_pagerank_index_dir(sf_dir), [BM25_QUERY], k=10, prior_col="prior")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def _q_bm25_anchor(sf_dir: str) -> pa.Table:
     """Two-field web ranking: body BM25 + 0.5 × anchor-field BM25
     (each field its own df/dl/avgdl — BM25F-lite). Anchor-only docs
@@ -2508,6 +2565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms_topk": _q_anchor_terms_topk,
         "link_pagerank": _q_link_pagerank,
         "bm25_anchor_topk": _q_bm25_anchor,
+        "bm25_pagerank_prior": _q_bm25_pagerank,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -2656,6 +2714,13 @@ r{i} AS (
         + ",\n".join(parts)
         + f"\nSELECT node, round(r, 6) AS rank FROM r{k} ORDER BY node"
     )
+
+
+def _pagerank_ctes(k: int, d: float, edges_cte: str) -> str:
+    """The pagerank replay as a bare CTE chain (terminal rank relation
+    ``r{k}(node, r)``) for composition into larger oracles."""
+    full = _pagerank_sql(k, d, edges_cte)
+    return full[len("WITH ") : full.rindex("\nSELECT node, round")]
 
 
 # shared CTE chain for the DSIR oracles: string-bigram replay of the
@@ -3008,6 +3073,22 @@ comb AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM comb ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # BM25 × computed pagerank prior: the full rank chain in one
+        # statement — link edges → 5 pagerank iterations → prior
+        # (1 + N·round(rank,6), matching the engine's baked doc_meta
+        # value) → multiplied into the body score inside `scores`
+        "bm25_pagerank_prior": f"""
+WITH {_pagerank_ctes(5, 0.85, _LINK_EDGES_CTE)},{_BM25_SCORES},
+pri AS (SELECT node AS doc_id,
+               1.0 + (SELECT count(*) FROM nodes) * round(r, 6) AS prior
+        FROM r5),
+boosted AS (
+  SELECT s.doc_id, s.score * coalesce(p.prior, 1.0) AS score
+  FROM scores s LEFT JOIN pri p USING (doc_id))
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id
