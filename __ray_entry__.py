@@ -2513,6 +2513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": _q_lang_stats,
         "latest_version_per_source": _q_latest_version_per_source,
         "latest_event_per_user": _q_latest_event,
+        # --- flagship web-ranking chain (links → pagerank/anchors → rank) ---
+        "bm25_anchor_topk": _q_bm25_anchor,
+        "bm25_pagerank_prior": _q_bm25_pagerank,
+        "link_pagerank": _q_link_pagerank,
         # --- flagship LLM-pipeline compositions ---
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -2543,12 +2547,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
-        "bpe_token_count": _q_bpe_token_count,
         "quality_score": _q_quality,
         "quality_classifier": _q_quality_classifier,
+        # --- end of the driver's 50-query window ---
+        "bpe_token_count": _q_bpe_token_count,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
-        # --- end of the driver's 50-query window ---
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
@@ -2560,12 +2564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "pagerank_prior": _q_pagerank,
-        # --- web link graph (extracted from pages html) ---
+        # --- web link graph intermediates (chain gated above the window) ---
         "link_edges": _q_link_edges,
         "anchor_terms_topk": _q_anchor_terms_topk,
-        "link_pagerank": _q_link_pagerank,
-        "bm25_anchor_topk": _q_bm25_anchor,
-        "bm25_pagerank_prior": _q_bm25_pagerank,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
