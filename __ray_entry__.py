@@ -2469,6 +2469,29 @@ def _q_bm25_anchor(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_spell_suggest(sf_dir: str) -> pa.Table:
+    """SymSpell deletion-key spelling suggestion over the index's own
+    df table (vocab streamed as a Dataset; probe keys broadcast): top-5
+    corrections per misspelled word by (df desc, term)."""
+    from dcs_ray.functions.spell import suggest
+
+    idx = _index_dir(sf_dir, "words")
+    vocab = ray.data.read_parquet(os.path.join(idx, "stats", "df.parquet"))
+    return suggest(vocab, ["merje", "spork"], k=5)
+
+
+def _q_search_facets(sf_dir: str) -> pa.Table:
+    """Facet counts for the query's candidate set (docs matching ≥1
+    term), top-10 sources by matching-doc count — dcs-web's grouped
+    per-package result view as a distributed count aggregate."""
+    from dcs_ray.search import search_facets
+
+    t = search_facets(
+        _index_dir(sf_dir, "words"), [BM25_QUERY], facet_col="source", k_facets=10
+    )
+    return pa.table({"facet": t["facet"], "n_docs": t["n_docs"]})
+
+
 _MIX_WEIGHTS = {"en": 4, "de": 3, "es": 2, "zh": 1}  # fr dropped
 _MIX_TOTAL = 200
 
@@ -2567,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- web link graph intermediates (chain gated above the window) ---
         "link_edges": _q_link_edges,
         "anchor_terms_topk": _q_anchor_terms_topk,
+        "search_facets": _q_search_facets,
+        "spell_suggest": _q_spell_suggest,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -3090,6 +3115,24 @@ boosted AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "search_facets": f"""
+WITH tok AS ({_TOK}),
+cand AS (SELECT DISTINCT doc_id FROM tok
+         WHERE term IN (SELECT unnest(['join','merge','spark'])))
+SELECT d.source AS facet, count(*)::bigint AS n_docs
+FROM cand JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY n_docs DESC, facet LIMIT 10
+""",
+        "spell_suggest": f"""
+WITH tok AS ({_TOK}),
+v AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY term),
+w AS (SELECT unnest(['merje','spork']) AS word)
+SELECT word, term, df FROM (
+  SELECT w.word, v.term, v.df,
+         row_number() OVER (PARTITION BY w.word ORDER BY v.df DESC, v.term) AS rn
+  FROM w JOIN v ON levenshtein(w.word, v.term) <= 1)
+WHERE rn <= 5 ORDER BY word, df DESC, term
 """,
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id

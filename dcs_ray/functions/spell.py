@@ -1,0 +1,128 @@
+"""SymSpell-style spelling suggestion over the corpus vocabulary.
+
+Public algorithm (Garbe's Symmetric Delete spelling correction): every
+term at edit distance ≤ 1 from a query word shares at least one
+single-character DELETION variant with it (substitution → delete the
+differing position from both; insertion → delete the inserted char;
+deletion → the term IS a deletion of the word). Candidate lookup is
+therefore an exact-match key probe — no wildcard scan and no
+edit-distance pass over the vocabulary. Shared-deletion pairs at
+distance 2 slip through the probe; a levenshtein verify over the
+(tiny) candidate set drops them.
+
+Distributed shape: the vocabulary comes from
+``textstats.corpus_df`` (two-level combiner, vocab-sized exchange);
+the probe streams over a vocabulary Dataset with the query words'
+deletion-key set — a few dozen strings — broadcast to every batch.
+The per-batch loop is VOCABULARY-sized (like the BPE trainer's merge
+table), never corpus-sized; candidates returned to the driver are
+result-set-sized. The query-side role of dcs's "did you mean"
+affordance is fulltext-engine standard (the reference has none — this
+is part of the web-serving surface, SURVEY §2.11 adjacent).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def deletions(word: str) -> list[str]:
+    """All single-character deletions of ``word`` (length n list)."""
+    return [word[:i] + word[i + 1 :] for i in range(len(word))]
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain DP edit distance — verify step only (candidate-set-sized)."""
+    if a == b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def suggest(
+    vocab: ray.data.Dataset,
+    words: list[str],
+    k: int = 5,
+    term_col: str = "term",
+    df_col: str = "df",
+) -> pa.Table:
+    """Top-``k`` corrections per query word → (word, term, df), ranked
+    by document frequency desc then term asc — exactly the terms at
+    levenshtein distance ≤ 1, guaranteed complete by the symmetric
+    deletion property. ``vocab`` is a (term, df) Dataset."""
+    qkeys = {w: frozenset([w, *deletions(w)]) for w in words}
+    keys_ref = ray.put(qkeys)
+
+    def probe(batch: pa.Table, _k=keys_ref) -> pa.Table:
+        qk = ray.get(_k)
+        terms = batch[term_col].to_pylist()
+        dfs = batch[df_col].to_pylist()
+        out_w, out_t, out_d = [], [], []
+        for t, d in zip(terms, dfs):
+            tkeys = None  # computed lazily once per term that passes a length gate
+            for w, wk in qk.items():
+                if abs(len(t) - len(w)) > 1:
+                    continue
+                if tkeys is None:
+                    tkeys = frozenset([t, *deletions(t)])
+                if not wk.isdisjoint(tkeys):
+                    out_w.append(w)
+                    out_t.append(t)
+                    out_d.append(d)
+        return pa.table(
+            {
+                "word": pa.array(out_w, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in vocab.map_batches(probe, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cand = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    )
+    # verify + rank (candidate-set-sized): drop shared-deletion pairs at
+    # distance 2, keep top-k per word by (df desc, term asc)
+    out_w, out_t, out_d = [], [], []
+    for w in sorted(set(words)):
+        sub = cand.filter(pa.compute.equal(cand["word"], w))
+        rows = [
+            (t, d)
+            for t, d in zip(sub["term"].to_pylist(), sub["df"].to_pylist())
+            if levenshtein(w, t) <= 1
+        ]
+        rows.sort(key=lambda td: (-td[1], td[0]))
+        for t, d in rows[:k]:
+            out_w.append(w)
+            out_t.append(t)
+            out_d.append(d)
+    return pa.table(
+        {
+            "word": pa.array(out_w, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_d, pa.int64()),
+        }
+    )

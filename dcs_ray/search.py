@@ -863,6 +863,107 @@ def search_bm25_fielded(
     return pa.concat_tables(out_tables)
 
 
+def search_facets(
+    index_dir: str,
+    queries: list[str] | str,
+    facet_col: str = "source",
+    k_facets: int = 10,
+    filters: dict | None = None,
+    task_num_cpus: float = 1.0,
+) -> pa.Table:
+    """Facet counts over the candidate set (docs matching ≥1 query
+    term): per query, the top-``k_facets`` facet values by matching-doc
+    count — the dcs-web per-package result grouping
+    (``cmd/dcs-web/querymanager.go:688-747`` buckets results by source
+    package before display) as a distributed aggregate.
+
+    Scale shape: each shard task decodes only the query terms' posting
+    lists (no scoring), unions doc ids, gathers the doc_meta facet
+    column and emits ONE (facet, partial-count) row per facet value it
+    saw — the exchange is facet-cardinality × shards rows, never
+    per-doc. The driver fold is a tiny group-sum + sort."""
+    if isinstance(queries, str):
+        queries = [queries]
+    stats = load_stats(index_dir)
+    shards = shard_paths(index_dir)
+    plans = plan_queries(index_dir, queries, stats)
+
+    work = ray.data.from_items(
+        [{"shard_id": sid, "qid": qid} for sid in range(len(shards)) for qid in range(len(queries))]
+    )
+
+    def run_shard(batch: pa.Table) -> pa.Table:
+        out_q, out_f, out_n = [], [], []
+        for sid, qid in zip(batch["shard_id"].to_pylist(), batch["qid"].to_pylist()):
+            seg = _open(shards[sid])
+            doc_filter = shard_doc_filter(seg, filters)
+            if doc_filter is not None and len(doc_filter) == 0:
+                continue
+            ids = []
+            for term, _ in plans[qid]:
+                ti = seg.term_index(term)
+                if ti >= 0:
+                    ids.append(_decode_term_cached(seg, ti)[0])
+            if not ids:
+                continue
+            docs = np.unique(np.concatenate(ids))
+            if doc_filter is not None:
+                pos = np.searchsorted(doc_filter, docs)
+                pos = np.clip(pos, 0, len(doc_filter) - 1)
+                docs = docs[doc_filter[pos] == docs]
+            if len(docs) == 0:
+                continue
+            vals = seg.meta(facet_col).combine_chunks().take(
+                pa.array(np.searchsorted(seg.doc_ids, docs))
+            )
+            enc = pc.dictionary_encode(vals)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            uniq, counts = np.unique(idx, return_counts=True)
+            out_q.extend([qid] * len(uniq))
+            out_f.append(enc.dictionary.take(pa.array(uniq)))
+            out_n.append(counts.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "facet": pa.concat_arrays(
+                    [f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f for f in out_f]
+                )
+                if out_f
+                else pa.array([], pa.string()),
+                "n_docs": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cand = _collect(
+        work.map_batches(
+            run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+        ),
+        pa.schema(
+            [("query_id", pa.int32()), ("facet", pa.string()), ("n_docs", pa.int64())]
+        ),
+    )
+    # tiny driver fold: group-sum partials, sort (n desc, facet), head k
+    out_tables = []
+    for qid in range(len(queries)):
+        sub = cand.filter(pc.equal(cand["query_id"], qid))
+        if len(sub) == 0:
+            continue
+        agg = sub.group_by("facet").aggregate([("n_docs", "sum")])
+        t = agg.rename_columns(["facet", "n_docs"]).sort_by(
+            [("n_docs", "descending"), ("facet", "ascending")]
+        ).slice(0, k_facets)
+        out_tables.append(
+            t.add_column(0, "query_id", pa.array(np.full(len(t), qid, np.int32)))
+        )
+    if not out_tables:
+        return pa.schema(
+            [("query_id", pa.int32()), ("facet", pa.string()), ("n_docs", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(out_tables)
+
+
 def _collect(ds: ray.data.Dataset, empty_schema: pa.Schema) -> pa.Table:
     tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
     if not tables:

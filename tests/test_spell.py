@@ -1,0 +1,66 @@
+"""SymSpell suggestion: deletion-key probe is COMPLETE for edit
+distance ≤ 1 (vs a brute-force levenshtein over the vocabulary) and the
+verify step drops shared-deletion distance-2 pairs."""
+
+import pyarrow as pa
+import ray.data
+
+from dcs_ray.functions.spell import deletions, levenshtein, suggest
+
+VOCAB = [
+    ("merge", 40),
+    ("merged", 12),
+    ("merges", 9),
+    ("marge", 7),
+    ("mere", 5),
+    ("merj", 2),
+    ("spark", 33),
+    ("spork", 1),
+    ("stark", 6),
+    ("spar", 8),
+    ("sparks", 4),
+    ("join", 50),
+    ("coin", 3),
+    ("jon", 2),
+    ("completely", 1),
+    ("ab", 9),  # shared-deletion distance-2 probe: 'ab' vs 'ba' share ''? no:
+    ("ba", 9),  # deletions are 'a','b' for both → disjoint? 'ab'→{b,a}, 'ba'→{a,b} — SHARED, lev=2
+]
+
+
+def test_levenshtein_reference():
+    assert levenshtein("merge", "merje") == 1
+    assert levenshtein("spark", "spork") == 1
+    assert levenshtein("ab", "ba") == 2
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("same", "same") == 0
+
+
+def test_suggest_complete_vs_bruteforce(ray_session):
+    vocab = ray.data.from_arrow(
+        pa.table(
+            {
+                "term": [t for t, _ in VOCAB],
+                "df": pa.array([d for _, d in VOCAB], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    words = ["merje", "spork", "joiin", "ab"]
+    got = suggest(vocab, words, k=10)
+    rows = list(
+        zip(got["word"].to_pylist(), got["term"].to_pylist(), got["df"].to_pylist())
+    )
+    want = []
+    for w in sorted(set(words)):
+        cand = [(t, d) for t, d in VOCAB if levenshtein(w, t) <= 1]
+        cand.sort(key=lambda td: (-td[1], td[0]))
+        want.extend((w, t, d) for t, d in cand[:10])
+    assert rows == want
+    # the distance-2 shared-deletion pair was probed but verified away
+    assert ("ab", "ba", 9) not in rows and ("ab", "ab", 9) in rows
+
+
+def test_deletions():
+    assert deletions("abc") == ["bc", "ac", "ab"]
+    assert deletions("a") == [""]
+    assert deletions("") == []
