@@ -84,20 +84,9 @@ def _anchor_index_dir(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_CACHE_ROOT, f"{name}_anchor")
     if not os.path.exists(os.path.join(out, "MANIFEST.json")):
-        edges = _link_edges_ds(sf_dir)
+        from dcs_ray.functions.links import anchor_pseudo_docs
 
-        def pseudo(group: pa.Table) -> pa.Table:
-            # anchors sorted so the pseudo-doc bytes are deterministic
-            # (bag-of-words scoring is order-free either way)
-            anchors = sorted(group["anchor"].to_pylist())
-            return pa.table(
-                {
-                    "doc_id": pa.array([group["dst"][0].as_py()], pa.int64()),
-                    "text": pa.array([" ".join(anchors)], pa.string()),
-                }
-            )
-
-        docs = edges.groupby("dst").map_groups(pseudo, batch_format="pyarrow")
+        docs = anchor_pseudo_docs(_link_edges_ds(sf_dir))
         conf = IndexConfig(
             num_partitions=8,
             num_shards=2,

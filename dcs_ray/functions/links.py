@@ -27,6 +27,7 @@ and pagerank's node-sized vectors.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -86,6 +87,62 @@ def anchor_term_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
 
     exploded = edges.map_batches(explode, batch_format="pyarrow")
     return combiner_groupby(exploded, ["doc_id", "term"], [], count_col="anchor_tf")
+
+
+def anchor_pseudo_docs(
+    edges: ray.data.Dataset, n_buckets: int = 128
+) -> ray.data.Dataset:
+    """One pseudo-doc per link TARGET: ``(doc_id, text)`` where text is
+    every anchor pointing at it, joined with spaces — the buildable
+    anchor field of a web index (feed straight into ``build_index``).
+
+    Bucketed vectorized group-concat (the paragraph-dedup pattern,
+    ``lines.py``): one group per hash BUCKET of targets — bounded group
+    count — not one Python call per target; inside a bucket a single
+    lexsort + run-length offsets + ``pc.binary_join`` assembles every
+    target's anchor list at once. Anchors sort (anchor, then stable by
+    arrival) within a target so the pseudo-doc bytes are deterministic
+    at any parallelism (bag-of-words scoring is order-free either way)."""
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        dst = b["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "dst": b["dst"],
+                "anchor": b["anchor"],
+                "bucket": pa.array(dst % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def concat_bucket(g: pa.Table) -> pa.Table:
+        dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        anchors = g["anchor"].combine_chunks()
+        # deterministic order: (dst, anchor); np.lexsort on the anchor
+        # dictionary codes keeps it vectorized
+        codes = pc.dictionary_encode(anchors)
+        a_idx = codes.indices.to_numpy(zero_copy_only=False)
+        rank = pc.sort_indices(codes.dictionary).to_numpy(zero_copy_only=False)
+        a_rank = np.empty(len(rank), np.int64)
+        a_rank[rank] = np.arange(len(rank))
+        order = np.lexsort((a_rank[a_idx], dst))
+        dst_s = dst[order]
+        runs = np.concatenate(([0], np.flatnonzero(dst_s[1:] != dst_s[:-1]) + 1))
+        offsets = np.concatenate((runs, [len(dst_s)])).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets), anchors.take(pa.array(order))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(dst_s[runs], pa.int64()),
+                "text": pc.binary_join(lst, " "),
+            }
+        )
+
+    return (
+        edges.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(concat_bucket, batch_format="pyarrow")
+    )
 
 
 def link_pagerank(

@@ -97,6 +97,29 @@ def test_link_pagerank_deterministic_and_conserving(ray_session):
     assert small > big
 
 
+def test_anchor_pseudo_docs_vectorized_concat(ray_session):
+    """Bucketed vectorized group-concat == per-target reference fold
+    (anchors sorted lexicographically within a target)."""
+    import ray.data
+    from dcs_ray.functions.links import anchor_pseudo_docs
+
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 150)
+    ref = {}
+    for src, dst, anchor in _reference_edges(docs):
+        ref.setdefault(dst, []).append(anchor)
+    want = {d: " ".join(sorted(a)) for d, a in ref.items()}
+
+    pages = ray.data.from_arrow(synthesize_pages_table(docs))
+    edges = extract_link_edges(dedup_latest_crawl(pages))
+    out = anchor_pseudo_docs(edges, n_buckets=7)
+    got = {}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            assert d not in got  # exactly one pseudo-doc per target
+            got[d] = t
+    assert got == want
+
+
 def test_fielded_search_matches_bruteforce(ray_session):
     """search_bm25_fielded's range-refined work units are exact even
     though the body and anchor indexes shard at different boundaries:
