@@ -2458,6 +2458,49 @@ def _q_bm25_anchor(sf_dir: str) -> pa.Table:
     )
 
 
+def _crawl_snapshot(sf_dir: str, side: str) -> ray.data.Dataset:
+    """Deterministic two-snapshot synthesis from documents (pure
+    per-row functions, fully vectorized — replayed by the oracle):
+    old = urls with doc_id % 11 != 3 (the %11==3 rows are 'added'
+    later), content suffixed ' legacy' for doc_id % 7 == 0 (→ those
+    urls read 'changed'); new = urls with doc_id % 13 != 5 (the
+    %13==5 rows were 'removed'), current content."""
+
+    def mk(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy()
+        keep = (ids % 11 != 3) if side == "old" else (ids % 13 != 5)
+        t = b.filter(pa.array(keep))
+        ids2 = t["doc_id"].to_numpy()
+        urls = pa.array(
+            np.char.add(
+                "url://doc/", np.char.zfill(ids2.astype("U20"), 8)
+            ).tolist(),
+            pa.string(),
+        )
+        text = t["text"].combine_chunks().cast(pa.string())
+        if side == "old":
+            suffix = pa.array(
+                np.where(ids2 % 7 == 0, " legacy", "").tolist(), pa.string()
+            )
+            text = pc.binary_join_element_wise(text, suffix, "")
+        return pa.table({"url": urls, "text": text})
+
+    return _docs(sf_dir).map_batches(mk, batch_format="pyarrow")
+
+
+def _q_crawl_delta(sf_dir: str) -> pa.Table:
+    """Cross-crawl CDX-style delta: per-url added/removed/changed/
+    unchanged counts between two deterministic snapshots; content never
+    crosses an exchange (per-batch 64-bit content hashes)."""
+    from dcs_ray.functions.crawl import crawl_delta
+
+    return crawl_delta(
+        _crawl_snapshot(sf_dir, "old"), _crawl_snapshot(sf_dir, "new")
+    )
+
+
 def _q_spell_suggest(sf_dir: str) -> pa.Table:
     """SymSpell deletion-key spelling suggestion over the index's own
     df table (vocab streamed as a Dataset; probe keys broadcast): top-5
@@ -2581,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms_topk": _q_anchor_terms_topk,
         "search_facets": _q_search_facets,
         "spell_suggest": _q_spell_suggest,
+        "crawl_delta_stats": _q_crawl_delta,
         # --- training-data prep ---
         "rebalance_mixture": _q_rebalance_mixture,
         "train_val_test_split": _q_train_val_test_split,
@@ -3122,6 +3166,19 @@ SELECT word, term, df FROM (
          row_number() OVER (PARTITION BY w.word ORDER BY v.df DESC, v.term) AS rn
   FROM w JOIN v ON levenshtein(w.word, v.term) <= 1)
 WHERE rn <= 5 ORDER BY word, df DESC, term
+""",
+        "crawl_delta_stats": """
+WITH oldp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END AS content
+  FROM documents WHERE doc_id % 11 <> 3),
+newp AS (SELECT doc_id, text AS content FROM documents WHERE doc_id % 13 <> 5),
+j AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.content <> n.content THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM oldp o FULL OUTER JOIN newp n ON o.doc_id = n.doc_id)
+SELECT status, count(*)::bigint AS n_urls FROM j GROUP BY status ORDER BY status
 """,
         "dedup_exact": """
 SELECT min(doc_id)::bigint AS doc_id FROM documents GROUP BY text ORDER BY doc_id

@@ -1,0 +1,108 @@
+"""Cross-crawl snapshot diff — the CDX-style delta a recrawl pipeline
+computes between two snapshots of the same url space: which urls were
+ADDED, REMOVED, CHANGED, UNCHANGED.
+
+Scale shape: content never crosses an exchange — each side hashes its
+content column per batch (``textstats.content_hash_rows``, word-wise
+O(bytes/8)), so the shuffle carries (url, 8-byte content hash, side
+flag) rows only. Classification is the bucketed vectorized pattern:
+one group per url-hash bucket (bounded group count), inside which a
+single lexsort + run-length pass classifies every url at once. The
+driver folds ≤ 4 × n_buckets partial count rows.
+
+Precondition: each snapshot has at most one row per url (crawl
+snapshots are latest-per-url by construction — ``dedup_latest_crawl``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from dcs_ray.functions.sketches import _hash64_column
+from dcs_ray.functions.textstats import content_hash_rows
+
+STATUS_NAMES = ("added", "changed", "removed", "unchanged")
+_ADDED, _CHANGED, _REMOVED, _UNCHANGED = range(4)
+
+
+def crawl_delta(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    url_col: str = "url",
+    content_col: str = "text",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """Per-status url counts between two snapshots → (status, n_urls),
+    sorted by status name."""
+
+    def prep(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ch = content_hash_rows(b[content_col]).view(np.int64)
+            uh = _hash64_column(b[url_col])
+            return pa.table(
+                {
+                    "url": b[url_col],
+                    "chash": pa.array(ch, pa.int64()),
+                    "side": pa.array(np.full(len(b), side, np.int8), pa.int8()),
+                    "bucket": pa.array(
+                        (uh % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    both = old.map_batches(prep(0), batch_format="pyarrow").union(
+        new.map_batches(prep(1), batch_format="pyarrow")
+    )
+
+    def classify(g: pa.Table) -> pa.Table:
+        codes = (
+            pc.dictionary_encode(g["url"].combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        side = g["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        ch = g["chash"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, codes))
+        c, s, h = codes[order], side[order], ch[order]
+        runs = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        lens = np.diff(np.concatenate((runs, [len(c)])))
+        status = np.empty(len(runs), np.int64)
+        one = lens == 1
+        status[one] = np.where(s[runs[one]] == 0, _REMOVED, _ADDED)
+        two = lens == 2
+        status[two] = np.where(
+            h[runs[two]] == h[runs[two] + 1], _UNCHANGED, _CHANGED
+        )
+        uniq, counts = np.unique(status, return_counts=True)
+        return pa.table(
+            {
+                "status_code": pa.array(uniq, pa.int64()),
+                "n_urls": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in both.groupby("bucket")
+        .map_groups(classify, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    totals = np.zeros(4, np.int64)
+    for t in parts:
+        # one output batch concatenates many buckets' partials → status
+        # codes repeat within a batch; np.add.at accumulates duplicates
+        np.add.at(totals, t["status_code"].to_numpy(), t["n_urls"].to_numpy())
+    present = totals > 0
+    return pa.table(
+        {
+            "status": pa.array(
+                [STATUS_NAMES[i] for i in range(4) if present[i]], pa.string()
+            ),
+            "n_urls": pa.array(totals[present], pa.int64()),
+        }
+    )
