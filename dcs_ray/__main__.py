@@ -158,11 +158,88 @@ def cmd_matches(args) -> None:
 
 def cmd_search(args) -> None:
     ray = _ray()
-    from dcs_ray.search import search_bm25
+    from dcs_ray.search import search_bm25, search_bm25_fielded
 
-    t = search_bm25(args.index, [args.query], k=args.k)
+    if getattr(args, "anchor_index", None):
+        t = search_bm25_fielded(
+            args.index, args.anchor_index, [args.query], k=args.k,
+            anchor_weight=args.anchor_weight,
+        )
+    else:
+        t = search_bm25(args.index, [args.query], k=args.k)
     for row in t.to_pylist():
         print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
+
+
+def cmd_links(args) -> None:
+    """Link-graph tooling over the pages source: edge extraction,
+    anchor-term counts, or pagerank (the web static-prior chain)."""
+    ray = _ray()
+    from dcs_ray.functions.links import (
+        anchor_term_counts,
+        extract_link_edges,
+        link_pagerank,
+    )
+    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+
+    edges = extract_link_edges(dedup_latest_crawl(read_pages(args.sf_dir)))
+    if args.method == "edges":
+        shown = 0
+        for b in edges.iter_batches(batch_format="pyarrow"):
+            for s, d, a in zip(
+                b["src"].to_pylist(), b["dst"].to_pylist(), b["anchor"].to_pylist()
+            ):
+                print(f"{s} -> {d}  [{a}]")
+                shown += 1
+                if shown >= args.n:
+                    return
+    elif args.method == "anchors":
+        t = anchor_term_counts(edges)
+        for row in t.sort("anchor_tf", descending=True).limit(args.n).take_all():
+            print(f"{row['anchor_tf']:6d}  doc={row['doc_id']}  {row['term']}")
+    else:  # pagerank
+        t = link_pagerank(edges, n_iter=args.iters)
+        t = t.sort_by([("rank", "descending"), ("node", "ascending")]).slice(0, args.n)
+        for node, rank in zip(t["node"].to_pylist(), t["rank"].to_pylist()):
+            print(f"{rank:.6f}  doc={node}")
+
+
+def cmd_suggest(args) -> None:
+    """Spelling suggestions from the index's own vocabulary (SymSpell)."""
+    ray = _ray()
+    import ray.data
+
+    from dcs_ray.functions.spell import suggest
+
+    vocab = ray.data.read_parquet(os.path.join(args.index, "stats", "df.parquet"))
+    t = suggest(vocab, args.words, k=args.k)
+    for row in t.to_pylist():
+        print(f"{row['word']} -> {row['term']}  (df={row['df']})")
+
+
+def cmd_facets(args) -> None:
+    """Per-facet matching-doc counts for a query (dcs-web grouped view)."""
+    ray = _ray()
+    from dcs_ray.search import search_facets
+
+    t = search_facets(args.index, [args.query], facet_col=args.col, k_facets=args.k)
+    for row in t.to_pylist():
+        print(f"{row['n_docs']:8d}  {row['facet']}")
+
+
+def cmd_delta(args) -> None:
+    """Crawl snapshot diff: added/removed/changed/unchanged url counts."""
+    ray = _ray()
+    from dcs_ray.functions.crawl import crawl_delta
+
+    t = crawl_delta(
+        read_parquet_sized(args.old),
+        read_parquet_sized(args.new),
+        url_col=args.url_col,
+        content_col=args.text_col,
+    )
+    for row in t.to_pylist():
+        print(f"{row['status']:10s} {row['n_urls']}")
 
 
 def cmd_grep(args) -> None:
@@ -530,10 +607,41 @@ def main() -> None:
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_matches)
 
+    d = sub.add_parser("links", help="web link graph: edges / anchors / pagerank")
+    d.add_argument("sf_dir")
+    d.add_argument("--method", default="pagerank",
+                   choices=["edges", "anchors", "pagerank"])
+    d.add_argument("--iters", type=int, default=5)
+    d.add_argument("-n", type=int, default=20)
+    d.set_defaults(fn=cmd_links)
+
+    d = sub.add_parser("suggest", help="spelling suggestions from the index vocabulary")
+    d.add_argument("index")
+    d.add_argument("words", nargs="+")
+    d.add_argument("-k", type=int, default=5)
+    d.set_defaults(fn=cmd_suggest)
+
+    d = sub.add_parser("facets", help="per-facet matching-doc counts for a query")
+    d.add_argument("index")
+    d.add_argument("query")
+    d.add_argument("--col", default="source")
+    d.add_argument("-k", type=int, default=10)
+    d.set_defaults(fn=cmd_facets)
+
+    d = sub.add_parser("delta", help="crawl snapshot diff (url status counts)")
+    d.add_argument("old")
+    d.add_argument("new")
+    d.add_argument("--url-col", default="url")
+    d.add_argument("--text-col", default="text")
+    d.set_defaults(fn=cmd_delta)
+
     d = sub.add_parser("search", help="BM25 top-k search")
     d.add_argument("index")
     d.add_argument("query")
     d.add_argument("-k", type=int, default=10)
+    d.add_argument("--anchor-index", default=None,
+                   help="second (anchor-field) index for BM25F-lite ranking")
+    d.add_argument("--anchor-weight", type=float, default=0.5)
     d.set_defaults(fn=cmd_search)
 
     d = sub.add_parser("grep", help="regex search via trigram index + verify")
