@@ -71,10 +71,24 @@ def crawl_delta(
         c, s, h = codes[order], side[order], ch[order]
         runs = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
         lens = np.diff(np.concatenate((runs, [len(c)])))
+        if (lens > 2).any():
+            raise ValueError(
+                "crawl_delta precondition violated: a url appears more than "
+                "twice across the two snapshots (snapshots must be "
+                "latest-per-url — run dedup_latest_crawl first)"
+            )
         status = np.empty(len(runs), np.int64)
         one = lens == 1
         status[one] = np.where(s[runs[one]] == 0, _REMOVED, _ADDED)
         two = lens == 2
+        # side is the lexsort tiebreak within a url run, so for len-2
+        # runs s[start] <= s[start+1]; same-side pairs (a duplicate url
+        # within ONE snapshot) also violate the precondition
+        if (s[runs[two]] == s[runs[two] + 1]).any():
+            raise ValueError(
+                "crawl_delta precondition violated: duplicate url within "
+                "one snapshot (run dedup_latest_crawl first)"
+            )
         status[two] = np.where(
             h[runs[two]] == h[runs[two] + 1], _UNCHANGED, _CHANGED
         )

@@ -45,6 +45,15 @@ def test_crawl_delta_matches_bruteforce(ray_session):
     assert got == {k: v for k, v in want.items() if v > 0}
 
 
+def test_crawl_delta_rejects_duplicate_urls(ray_session):
+    import pytest
+    import ray.exceptions
+
+    dup = [("a", "x"), ("a", "y")]
+    with pytest.raises(Exception, match="precondition"):
+        crawl_delta(_ds(dup), _ds([("b", "z")]))
+
+
 def test_crawl_delta_disjoint_and_identical(ray_session):
     a = [("a", "x"), ("b", "y")]
     b = [("c", "z")]
