@@ -295,3 +295,194 @@ def search_service(
         cache_ttl_s=cache_ttl_s,
         cache_max_entries=cache_max_entries,
     )
+
+
+@ray.remote
+class FieldedUnitSearcher:
+    """One range-refined work unit's resident searcher for two-field
+    (body + anchor) ranking: holds the unit's body shard and/or anchor
+    shard open, scores both fields, masks to the unit's doc-id range,
+    combines ``body + w·anchor`` and returns the unit-local top-k —
+    the actor form of ``search.search_bm25_fielded``'s task body."""
+
+    def __init__(self, body_path: str | None, anchor_path: str | None, lo: int, hi: int):
+        from dcs_ray.search import _open
+
+        self.seg_b = _open(body_path) if body_path else None
+        self.seg_a = _open(anchor_path) if anchor_path else None
+        self.lo, self.hi = lo, hi
+
+    def score(
+        self,
+        plans_b: list,
+        plans_a: list,
+        stats_b: dict,
+        stats_a: dict,
+        k: int,
+        anchor_weight: float,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        from dcs_ray.search import score_shard_all
+
+        out_q, out_d, out_s = [], [], []
+        for qid in range(len(plans_b)):
+            chunks_d, chunks_s = [], []
+            if self.seg_b is not None:
+                db, sb = score_shard_all(self.seg_b, plans_b[qid], stats_b)
+                m = (db >= self.lo) & (db <= self.hi)
+                chunks_d.append(db[m])
+                chunks_s.append(sb[m])
+            if self.seg_a is not None:
+                da, sa = score_shard_all(self.seg_a, plans_a[qid], stats_a)
+                m = (da >= self.lo) & (da <= self.hi)
+                chunks_d.append(da[m])
+                chunks_s.append(anchor_weight * sa[m])
+            docs = np.concatenate(chunks_d) if chunks_d else np.empty(0, np.uint64)
+            scores = np.concatenate(chunks_s) if chunks_s else np.empty(0, np.float64)
+            order = np.argsort(docs, kind="stable")
+            docs, scores = docs[order], scores[order]
+            bounds = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+            uniq = docs[bounds] if len(docs) else docs
+            sums = np.add.reduceat(scores, bounds) if len(docs) else scores
+            d, s = topk(uniq, sums, k)
+            out_q.append(np.full(len(d), qid, np.int32))
+            out_d.append(d)
+            out_s.append(s)
+        return (
+            np.concatenate(out_q) if out_q else np.empty(0, np.int32),
+            np.concatenate(out_d) if out_d else np.empty(0, np.uint64),
+            np.concatenate(out_s) if out_s else np.empty(0, np.float64),
+        )
+
+
+class FieldedSearchService:
+    """Resident two-field (body + anchor) ranking service: one actor per
+    range-refined unit (both field shards for that doc-id range open in
+    the SAME actor, so combination is local), per-query-batch fan-out =
+    one small message per unit, driver merge = k × units rows. Results
+    identical to :func:`dcs_ray.search.search_bm25_fielded` (asserted
+    in tests); finished-query cache as in :class:`SearchService`."""
+
+    def __init__(
+        self,
+        body_dir: str,
+        anchor_dir: str,
+        anchor_weight: float = 0.5,
+        num_cpus: float = 1.0,
+        cache_ttl_s: float = 1800.0,
+        cache_max_entries: int = 4096,
+    ):
+        from dcs_ray.search import shard_id_bounds
+
+        self.body_dir, self.anchor_dir = body_dir, anchor_dir
+        self.anchor_weight = anchor_weight
+        self.stats_b = load_stats(body_dir)
+        self.stats_a = load_stats(anchor_dir)
+        shards_b, shards_a = shard_paths(body_dir), shard_paths(anchor_dir)
+        bounds_b = [shard_id_bounds(p) for p in shards_b]
+        bounds_a = [shard_id_bounds(p) for p in shards_a]
+        cuts = sorted(
+            {lo for lo, _ in bounds_b + bounds_a}
+            | {hi + 1 for _, hi in bounds_b + bounds_a}
+        )
+        self.actors = []
+        for lo, hi in ((cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)):
+            bi = next((i for i, (l, h) in enumerate(bounds_b) if l <= lo <= h), -1)
+            ai = next((i for i, (l, h) in enumerate(bounds_a) if l <= lo <= h), -1)
+            if bi >= 0 or ai >= 0:
+                self.actors.append(
+                    FieldedUnitSearcher.options(num_cpus=num_cpus).remote(
+                        shards_b[bi] if bi >= 0 else None,
+                        shards_a[ai] if ai >= 0 else None,
+                        lo,
+                        hi,
+                    )
+                )
+        self.cache_ttl_s = cache_ttl_s
+        self.cache_max_entries = cache_max_entries
+        self._cache: OrderedDict[tuple, tuple[float, np.ndarray, np.ndarray]] = (
+            OrderedDict()
+        )
+        self.cache_hits = 0
+        self.cache_misses = 0
+        ray.get([a.__ray_ready__.remote() for a in self.actors])
+
+    _cache_key = SearchService._cache_key
+    _cache_get = SearchService._cache_get
+    _cache_put = SearchService._cache_put
+    cache_info = SearchService.cache_info
+
+    def search(
+        self, queries: list[str] | str, k: int = 10, use_cache: bool = True
+    ) -> pa.Table:
+        if isinstance(queries, str):
+            queries = [queries]
+        keys = [
+            self._cache_key(q, k, "fielded", None, str(self.anchor_weight))
+            for q in queries
+        ]
+        results: list[tuple[np.ndarray, np.ndarray] | None] = [None] * len(queries)
+        live_idx: list[int] = []
+        for i, key in enumerate(keys):
+            got = self._cache_get(key) if use_cache else None
+            if got is not None:
+                results[i] = got
+                self.cache_hits += 1
+            else:
+                live_idx.append(i)
+                self.cache_misses += 1
+        if live_idx:
+            live = [queries[i] for i in live_idx]
+            plans_b = plan_queries(self.body_dir, live, self.stats_b)
+            plans_a = plan_queries(self.anchor_dir, live, self.stats_a)
+            parts = ray.get(
+                [
+                    a.score.remote(
+                        plans_b, plans_a, self.stats_b, self.stats_a, k,
+                        self.anchor_weight,
+                    )
+                    for a in self.actors
+                ]
+            )
+            qids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int32)
+            docs = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.uint64)
+            scores = np.concatenate([p[2] for p in parts]) if parts else np.empty(0, np.float64)
+            for lqid, i in enumerate(live_idx):
+                m = qids == lqid
+                dd, ss = topk(docs[m], scores[m], k)
+                results[i] = (dd, ss)
+                if use_cache:
+                    self._cache_put(keys[i], dd, ss)
+        out_tables = []
+        for qid, got in enumerate(results):
+            dd, ss = got
+            out_tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                        "rank": pa.array(
+                            np.arange(1, len(dd) + 1, dtype=np.int32), pa.int32()
+                        ),
+                        "doc_id": pa.array(dd, pa.uint64()),
+                        "score": pa.array(ss, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out_tables)
+
+    def shutdown(self) -> None:
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self) -> "FieldedSearchService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+
+def fielded_search_service(
+    body_dir: str, anchor_dir: str, anchor_weight: float = 0.5, **kw
+) -> FieldedSearchService:
+    """Start a resident two-field ranking service (body + anchor)."""
+    return FieldedSearchService(body_dir, anchor_dir, anchor_weight=anchor_weight, **kw)

@@ -47,7 +47,6 @@ def test_crawl_delta_matches_bruteforce(ray_session):
 
 def test_crawl_delta_rejects_duplicate_urls(ray_session):
     import pytest
-    import ray.exceptions
 
     dup = [("a", "x"), ("a", "y")]
     with pytest.raises(Exception, match="precondition"):

@@ -4,7 +4,6 @@ deterministic and mass-conserving."""
 
 import collections
 
-import numpy as np
 import pyarrow.parquet as pq
 
 from dcs_ray.functions.links import (
@@ -160,6 +159,25 @@ def test_fielded_search_matches_bruteforce(ray_session):
     for (gd, gs), (wd, ws) in zip(got_pairs, want):
         assert gd == wd
         assert abs(gs - ws) < 1e-12
+
+
+def test_fielded_service_identical_to_dataset_path(ray_session):
+    """FieldedSearchService returns the SAME table as
+    search_bm25_fielded, and repeated queries hit the result cache."""
+    import __ray_entry__ as E
+    from dcs_ray.search import search_bm25_fielded
+    from dcs_ray.service import fielded_search_service
+
+    body = E._index_dir(SF, "words")
+    anchor = E._anchor_index_dir(SF)
+    want = search_bm25_fielded(body, anchor, [E.BM25_QUERY, "customer batch"], k=7)
+    with fielded_search_service(body, anchor) as svc:
+        got = svc.search([E.BM25_QUERY, "customer batch"], k=7)
+        assert got.equals(want)
+        again = svc.search([E.BM25_QUERY, "customer batch"], k=7)
+        assert again.equals(want)
+        info = svc.cache_info()
+        assert info["hits"] == 2 and info["misses"] == 2
 
 
 def test_extract_handles_empty_nav():
