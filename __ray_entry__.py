@@ -976,6 +976,94 @@ def _q_shipping_priority(sf_dir: str) -> Any:
     )
 
 
+def _q_local_supplier_volume(sf_dir: str) -> Any:
+    """TPC-H-Q5-style local supplier volume — the full 6-table chain:
+    region→nation dims broadcast, customers semi-filtered to the
+    region, date-pruned orders scan, lineitem ⋈ orders via the
+    hash-partitioned ``shuffle_join`` (the one big⋈big hop), supplier
+    broadcast, same-nation (customer == supplier) condition applied
+    per batch, integer-scaled revenue combiner groupby by nation. Only
+    |nations|-sized rows ever reach the driver."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    region = read_parquet_sized(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"],
+        filter=pads.field("r_name") == "ASIA",
+    )
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation_r = broadcast_join(
+        nation, region, on="n_regionkey", right_on="r_regionkey", small_cols=()
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_r = broadcast_join(
+        cust, nation_r, on="c_nationkey", right_on="n_nationkey", small_cols=()
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    orders_c = broadcast_join(
+        orders, cust_r, on="o_custkey", right_on="c_custkey",
+        small_cols=("c_nationkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = shuffle_join(li, orders_c, on="l_orderkey", right_on="o_orderkey")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = broadcast_join(
+        j, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_nationkey",)
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        same = b["c_nationkey"].to_numpy() == b["s_nationkey"].to_numpy()
+        t = b.filter(pa.array(same))
+        p = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": t["c_nationkey"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"), ["c_nationkey"], ["rev1e4"]
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    # nation names joined onto the |nations|-sized aggregate
+    names = pa.concat_tables(
+        [pa.table(b) for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    nk = names["n_nationkey"].to_numpy().astype(np.int64)
+    order_nk = np.argsort(nk)
+    pos = np.searchsorted(nk[order_nk], t["c_nationkey"].to_numpy().astype(np.int64))
+    nname = names["n_name"].combine_chunks().take(pa.array(order_nk[pos]))
+    rev = t["rev1e4"].to_numpy().astype(np.int64)
+    out = pa.table(
+        {"n_name": nname, "revenue": pa.array(rev / 10000.0, pa.float64())}
+    )
+    return out.sort_by([("revenue", "descending"), ("n_name", "ascending")])
+
+
 def _q_distinct_users(sf_dir: str) -> Any:
     """Exact COUNT(DISTINCT user_id) over events: per-batch unique
     collapse, so the exchange carries batch-distinct keys only."""
@@ -2645,6 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
+        "local_supplier_volume": _q_local_supplier_volume,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -3473,6 +3562,23 @@ SELECT o_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderkey LIMIT 10
+""",
+        "local_supplier_volume": """
+WITH j AS (
+  SELECT n_name,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01')
+SELECT n_name, sum(rev1e4)::double / 10000.0 AS revenue
+FROM j GROUP BY n_name ORDER BY revenue DESC, n_name
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
