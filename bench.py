@@ -271,10 +271,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert n_curated > 0
     queries["curate_corpus"] = round(time.monotonic() - t0, 3)
 
+    # --- web-rank chain (links -> anchor field index -> two-field BM25) ---
+    from dcs_ray.functions.links import anchor_pseudo_docs, extract_link_edges
+    from dcs_ray.search import search_bm25_fielded
+    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+
+    from dcs_ray.index.build import parquet_col_max
+
+    t0 = time.monotonic()
+    edges = extract_link_edges(dedup_latest_crawl(read_pages(sf_dir)))
+    anchor_idx = os.path.join(out_root, "anchor")
+    build_index(
+        anchor_pseudo_docs(edges),
+        anchor_idx,
+        IndexConfig(
+            num_partitions=max(num_cpus // 2, 8), num_shards=4, mode="words",
+            id_col="doc_id", dedup_latest=False, task_num_cpus=task_cpus,
+            # metadata-only id_max: skips a whole Dataset max() pass
+            id_max=parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id") + 41,
+        ),
+    )
+    t_field = search_bm25_fielded(idx, anchor_idx, BM25_QUERIES, k=10)
+    assert t_field.num_rows > 0
+    queries["web_rank_chain"] = round(time.monotonic() - t0, 3)
+
     ray.shutdown()
     shutil.rmtree(out_root, ignore_errors=True)
     return {
-        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn + curate",
+        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn + curate + web rank chain",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,

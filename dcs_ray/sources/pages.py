@@ -24,6 +24,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -163,12 +164,43 @@ def read_pages(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def dedup_latest_crawl(pages: ray.data.Dataset) -> ray.data.Dataset:
+def dedup_latest_crawl(
+    pages: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
     """Keep only the newest crawl per url (dcs newest-version semantics,
-    ``querymanager.go:688-747``; exact dedup via hash-partition groupby)."""
+    ``querymanager.go:688-747``; exact dedup via hash-partition groupby).
 
-    def newest(group: pa.Table) -> pa.Table:
-        ts = group["warc_ts"].combine_chunks().to_numpy(zero_copy_only=False)
-        return group.slice(int(np.argmax(ts)), 1)
+    Bucketed vectorized: one group per url-hash BUCKET (bounded group
+    count, not one Python call per url); inside a bucket a single
+    lexsort (url, ts desc) + run-length head keeps the newest row of
+    every url at once."""
 
-    return pages.groupby("url").map_groups(newest, batch_format="pyarrow")
+    def with_bucket(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(b["url"].to_pandas().to_numpy(dtype=object))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def newest_in_bucket(g: pa.Table) -> pa.Table:
+        codes = (
+            pc.dictionary_encode(g["url"].combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ts = (
+            g["warc_ts"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((-ts, codes))
+        c = codes[order]
+        runs = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        keep = order[runs]
+        return g.take(pa.array(np.sort(keep))).drop_columns(["_bucket"])
+
+    return (
+        pages.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(newest_in_bucket, batch_format="pyarrow")
+    )
