@@ -49,6 +49,18 @@ from dcs_ray.search import (
 )
 
 
+def _fit_pool_cpus(num_cpus: float, n_actors: int) -> float:
+    """Clamp per-actor CPU so a resident pool of ``n_actors`` never
+    reserves more than half the cluster — a pool sized num_shards ×
+    1 CPU on a small session would otherwise hold every slot and
+    starve (or never fully schedule against) concurrent Dataset
+    stages, hanging the first ``ray.get`` forever."""
+    total = ray.cluster_resources().get("CPU", 0) if ray.is_initialized() else 0
+    if not total or not n_actors:
+        return num_cpus
+    return max(0.05, min(num_cpus, (total / 2) / n_actors))
+
+
 @ray.remote
 class ShardSearcher:
     """One shard's resident searcher: segment opened ONCE (ST1), decode
@@ -138,6 +150,7 @@ class SearchService:
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.shards = shard_paths(index_dir)
+        num_cpus = _fit_pool_cpus(num_cpus, len(self.shards))
         self.actors = [
             ShardSearcher.options(num_cpus=num_cpus).remote(p) for p in self.shards
         ]
@@ -384,19 +397,23 @@ class FieldedSearchService:
             {lo for lo, _ in bounds_b + bounds_a}
             | {hi + 1 for _, hi in bounds_b + bounds_a}
         )
-        self.actors = []
+        units = []
         for lo, hi in ((cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)):
             bi = next((i for i, (l, h) in enumerate(bounds_b) if l <= lo <= h), -1)
             ai = next((i for i, (l, h) in enumerate(bounds_a) if l <= lo <= h), -1)
             if bi >= 0 or ai >= 0:
-                self.actors.append(
-                    FieldedUnitSearcher.options(num_cpus=num_cpus).remote(
-                        shards_b[bi] if bi >= 0 else None,
-                        shards_a[ai] if ai >= 0 else None,
-                        lo,
-                        hi,
-                    )
+                units.append((bi, ai, lo, hi))
+        num_cpus = _fit_pool_cpus(num_cpus, len(units))
+        self.actors = []
+        for bi, ai, lo, hi in units:
+            self.actors.append(
+                FieldedUnitSearcher.options(num_cpus=num_cpus).remote(
+                    shards_b[bi] if bi >= 0 else None,
+                    shards_a[ai] if ai >= 0 else None,
+                    lo,
+                    hi,
                 )
+            )
         self.cache_ttl_s = cache_ttl_s
         self.cache_max_entries = cache_max_entries
         self._cache: OrderedDict[tuple, tuple[float, np.ndarray, np.ndarray]] = (
