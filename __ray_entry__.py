@@ -3130,7 +3130,7 @@ SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_tokens
 FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM ({_TOK}) GROUP BY doc_id) c
 USING (doc_id) ORDER BY doc_id
 """,
-        "bpe_token_count": """
+        "bpe_token_count": r"""
 SELECT doc_id,
        length(regexp_extract_all(text,'''[a-zA-Z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))::bigint AS n_bpe_tokens
 FROM documents ORDER BY doc_id
