@@ -2467,6 +2467,17 @@ def _q_link_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
 
 
+def _q_link_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over the EXTRACTED web graph (Kleinberg
+    '99) — the query-independent companion to PageRank: authorities ≈
+    good link targets, hubs ≈ good link lists. 5 mutual-reinforcement
+    iterations, L1-normalized each half-step, replayed in chained SQL
+    CTEs over the same deterministic link synthesis."""
+    from dcs_ray.functions.links import link_hits
+
+    return link_hits(_link_edges_ds(sf_dir), n_iter=5)
+
+
 def _pagerank_index_dir(sf_dir: str) -> str:
     """Body index whose doc_meta ``prior`` is the COMPUTED link-graph
     PageRank (``1 + N·rank``, 1.0 for docs outside the graph) — the
@@ -2660,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_anchor_topk": _q_bm25_anchor,
         "bm25_pagerank_prior": _q_bm25_pagerank,
         "link_pagerank": _q_link_pagerank,
+        "link_hits": _q_link_hits,
         # --- flagship LLM-pipeline compositions ---
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -2861,6 +2873,56 @@ r{i} AS (
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node, round(r, 6) AS rank FROM r{k} ORDER BY node"
+    )
+
+
+def _hits_sql(k: int = 5, edges_cte: str | None = None) -> str:
+    """All ``k`` HITS mutual-reinforcement iterations replayed as
+    chained SQL CTEs (authority then hub per iteration, L1-normalized
+    after each half-step — exactly the engine's update order, so the
+    rounded vectors hash-match). ``edges_cte`` must define a CTE named
+    ``edges`` with ``src``/``dst`` bigint columns."""
+    parts = [
+        edges_cte,
+        # MATERIALIZED: the chain references the edge set twice per
+        # iteration; inlining would re-expand (and re-open) the source
+        # parquet per reference and exhaust file descriptors
+        """em AS MATERIALIZED (SELECT src, dst FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM em UNION SELECT dst FROM em)),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+a0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS a FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)""",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h) AS s
+  FROM em e JOIN h{p} h ON e.src = h.node GROUP BY e.dst),
+at{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM at{i}) > 0
+              THEN coalesce(ar.s, 0.0) / (SELECT t FROM at{i})
+              ELSE coalesce(ar.s, 0.0) END AS a
+  FROM nodes n LEFT JOIN ar{i} ar USING (node)),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a) AS s
+  FROM em e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+ht{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS t FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM ht{i}) > 0
+              THEN coalesce(hr.s, 0.0) / (SELECT t FROM ht{i})
+              ELSE coalesce(hr.s, 0.0) END AS h
+  FROM nodes n LEFT JOIN hr{i} hr USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, round(a, 6) AS authority, round(h, 6) AS hub
+FROM a{k} JOIN h{k} USING (node) ORDER BY node"""
     )
 
 
@@ -3192,6 +3254,7 @@ SELECT doc_id, term, anchor_tf FROM ct
 ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
 """,
         "link_pagerank": _pagerank_sql(k=5, d=0.85, edges_cte=_LINK_EDGES_CTE),
+        "link_hits": _hits_sql(k=5, edges_cte=_LINK_EDGES_CTE),
         # two-field BM25: body scores from the shared _BM25_SCORES chain,
         # anchor field rebuilt from the link edges with its OWN df/dl/avgdl
         # over the anchor pseudo-corpus (one pseudo-doc per link target),

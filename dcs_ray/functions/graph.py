@@ -349,3 +349,89 @@ def pagerank(
             "rank": pa.array(np.round(rank, 6), pa.float64()),
         }
     )
+
+
+def hits(
+    edges: ray.data.Dataset,
+    n_iter: int = 5,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> pa.Table:
+    """Distributed HITS (Kleinberg '99) over a directed edge Dataset →
+    ``(node, authority, hub)`` after ``n_iter`` mutual-reinforcement
+    iterations — the other classic link-analysis static signal next to
+    PageRank (authorities ≈ good link TARGETS, hubs ≈ good link LISTS).
+
+    Same scale shape as :func:`pagerank` (vertex state fits, edges
+    stream): the hub/authority vectors are node-count-sized, broadcast
+    once per half-iteration via ``ray.put``; each half-iteration is ONE
+    streaming pass over the edges with per-batch ``np.add.at`` partials
+    folded in a canonical order so the float sums are identical at any
+    parallelism. L1 normalization after each half-step (sum = 1) keeps
+    the replay exactly expressible in SQL (no sqrt). Duplicate edges
+    contribute multiply, matching the oracle.
+    """
+    edges = edges.materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy().astype(np.int64)
+        t = b[dst].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, t])))})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(node_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        empty = pa.array([], pa.float64())
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "authority": empty, "hub": empty}
+        )
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    base_ref = ray.put(nodes)
+
+    def _push(vec: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """One edge pass: out[to] += vec[from], canonical-order fold."""
+        v_ref = ray.put(vec)
+
+        def contrib(b: pa.Table, _n=base_ref, _v=v_ref) -> pa.Table:
+            nd, v = ray.get(_n), ray.get(_v)
+            fi = np.searchsorted(nd, b[from_col].to_numpy().astype(np.int64))
+            ti = np.searchsorted(nd, b[to_col].to_numpy().astype(np.int64))
+            ut, invt = np.unique(ti, return_inverse=True)
+            s = np.zeros(len(ut), np.float64)
+            np.add.at(s, invt, v[fi])
+            return pa.table(
+                {"idx": pa.array(ut, pa.int64()), "c": pa.array(s, pa.float64())}
+            )
+
+        idxs, vals = [], []
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            idxs.append(b["idx"].to_numpy(zero_copy_only=False))
+            vals.append(b["c"].to_numpy(zero_copy_only=False))
+        ai = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+        av = np.concatenate(vals) if vals else np.empty(0, np.float64)
+        order = np.lexsort((av, ai))
+        out = np.zeros(n, np.float64)
+        np.add.at(out, ai[order], av[order])
+        tot = out.sum()
+        return out / tot if tot > 0 else out
+
+    auth = np.full(n, 1.0 / n, np.float64)
+    hub = np.full(n, 1.0 / n, np.float64)
+    for _ in range(n_iter):
+        auth = _push(hub, src, dst)  # a(v) ∝ Σ_{u→v} h(u)
+        hub = _push(auth, dst, src)  # h(u) ∝ Σ_{u→v} a(v)
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "authority": pa.array(np.round(auth, 6), pa.float64()),
+            "hub": pa.array(np.round(hub, 6), pa.float64()),
+        }
+    )

@@ -155,3 +155,14 @@ def link_pagerank(
         edges.select_columns(["src", "dst"]), n_iter=n_iter, damping=damping,
         src="src", dst="dst",
     )
+
+
+def link_hits(edges: ray.data.Dataset, n_iter: int = 5) -> pa.Table:
+    """HITS hubs/authorities over the extracted web graph →
+    (node, authority, hub) — the query-independent companion signal to
+    :func:`link_pagerank` (Kleinberg '99)."""
+    from dcs_ray.functions.graph import hits
+
+    return hits(
+        edges.select_columns(["src", "dst"]), n_iter=n_iter, src="src", dst="dst"
+    )

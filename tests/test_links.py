@@ -96,6 +96,53 @@ def test_link_pagerank_deterministic_and_conserving(ray_session):
     assert small > big
 
 
+def test_link_hits_matches_local_reference(ray_session):
+    """Distributed HITS == a local numpy fold of the same iterations
+    (known tiny graph), deterministic across runs, L1-normalized."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import link_hits
+
+    # star-ish graph: 0..4 all point at 5; 5 points at 6 and 7; dup edge
+    srcs = [0, 1, 2, 3, 4, 5, 5, 0]
+    dsts = [5, 5, 5, 5, 5, 6, 7, 5]  # (0→5) duplicated: counts twice
+    edges_tbl = pa.table(
+        {
+            "src": pa.array(srcs, pa.int64()),
+            "dst": pa.array(dsts, pa.int64()),
+            "anchor": pa.array(["x"] * len(srcs)),
+        }
+    )
+    edges = ray.data.from_arrow(edges_tbl)
+    got = link_hits(edges, n_iter=4)
+    again = link_hits(edges, n_iter=4)
+    assert got.equals(again)
+
+    nodes = sorted(set(srcs) | set(dsts))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a = np.full(n, 1.0 / n)
+    h = np.full(n, 1.0 / n)
+    for _ in range(4):
+        na = np.zeros(n)
+        for s, d in zip(srcs, dsts):
+            na[idx[d]] += h[idx[s]]
+        a = na / na.sum() if na.sum() > 0 else na
+        nh = np.zeros(n)
+        for s, d in zip(srcs, dsts):
+            nh[idx[s]] += a[idx[d]]
+        h = nh / nh.sum() if nh.sum() > 0 else nh
+
+    assert got["node"].to_pylist() == nodes
+    np.testing.assert_allclose(got["authority"].to_numpy(), np.round(a, 6), atol=1e-6)
+    np.testing.assert_allclose(got["hub"].to_numpy(), np.round(h, 6), atol=1e-6)
+    # node 5 is the authority; node 0 (dup out-edge) is the top hub
+    assert got["authority"].to_numpy().argmax() == idx[5]
+    assert got["hub"].to_numpy().argmax() == idx[0]
+
+
 def test_anchor_pseudo_docs_vectorized_concat(ray_session):
     """Bucketed vectorized group-concat == per-target reference fold
     (anchors sorted lexicographically within a target)."""
