@@ -2409,12 +2409,13 @@ def _q_pagerank(sf_dir: str) -> Any:
 
 
 def _link_edges_ds(sf_dir: str):
-    """Shared head of the web-graph queries: pages → latest-crawl dedup
-    → vectorized link extraction (one row per <a href>)."""
-    from dcs_ray.functions.links import extract_link_edges
-    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+    """Shared head of the web-graph queries: pages → fused newest-crawl
+    edge extraction (per-batch extraction BEFORE the newest-wins
+    shuffle, so the exchange carries edge rows, never html)."""
+    from dcs_ray.functions.links import extract_link_edges_latest
+    from dcs_ray.sources.pages import read_pages
 
-    return extract_link_edges(dedup_latest_crawl(read_pages(sf_dir)))
+    return extract_link_edges_latest(read_pages(sf_dir))
 
 
 def _q_link_edges(sf_dir: str) -> pa.Table:

@@ -272,14 +272,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["curate_corpus"] = round(time.monotonic() - t0, 3)
 
     # --- web-rank chain (links -> anchor field index -> two-field BM25) ---
-    from dcs_ray.functions.links import anchor_pseudo_docs, extract_link_edges
+    from dcs_ray.functions.links import anchor_pseudo_docs, extract_link_edges_latest
     from dcs_ray.search import search_bm25_fielded
-    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+    from dcs_ray.sources.pages import read_pages
 
     from dcs_ray.index.build import parquet_col_max
 
     t0 = time.monotonic()
-    edges = extract_link_edges(dedup_latest_crawl(read_pages(sf_dir)))
+    edges = extract_link_edges_latest(read_pages(sf_dir))
     anchor_idx = os.path.join(out_root, "anchor")
     build_index(
         anchor_pseudo_docs(edges),

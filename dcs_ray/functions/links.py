@@ -67,6 +67,88 @@ def extract_link_edges(pages: ray.data.Dataset) -> ray.data.Dataset:
     return pages.map_batches(extract_edges_batch, batch_format="pyarrow")
 
 
+def extract_link_edges_latest(
+    pages: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Edges of each url's NEWEST crawl snapshot, without ever moving
+    html through an exchange: edge extraction runs per batch BEFORE the
+    newest-wins shuffle, so the all-to-all carries (src, ts, dst,
+    anchor) edge rows plus ONE zero-link presence row per snapshot
+    (``dst = -1`` sentinel, so a newest snapshot with no links still
+    outranks a stale one that had links) — never the page body. At
+    corpus scale this shrinks the shuffle from |html| to |edges|.
+
+    Result is identical to
+    ``extract_link_edges(dedup_latest_crawl(pages))`` whenever snapshot
+    timestamps are unique per url (the crawl contract; on a tie both
+    snapshots' edges survive here where ``dedup_latest_crawl`` keeps
+    one arbitrary winner)."""
+
+    def edges_with_ts(b: pa.Table) -> pa.Table:
+        html = b["html"].cast(pa.string())
+        src = pc.struct_field(
+            pc.extract_regex(b["url"], r"/doc/(?P<d>\d+)$"), "d"
+        ).cast(pa.int64())
+        ts = b["warc_ts"].cast(pa.int64())
+        nav = pc.struct_field(pc.extract_regex(html, r"<nav>(?P<n>.*?)</nav>"), "n")
+        pieces = pc.split_pattern(nav, "</a>").combine_chunks()
+        parent = pc.list_parent_indices(pieces)
+        flat = pieces.flatten()
+        ex = pc.extract_regex(flat, r'<a href="/doc/(?P<t>\d+)">(?P<a>.*)$')
+        ok = ex.is_valid()
+        src_np = src.to_numpy(zero_copy_only=False)
+        e_src = pc.take(src, parent).filter(ok).to_numpy(zero_copy_only=False)
+        e_ts = pc.take(ts, parent).filter(ok).to_numpy(zero_copy_only=False)
+        e_dst = (
+            pc.struct_field(ex, "t").cast(pa.int64()).filter(ok)
+            .to_numpy(zero_copy_only=False)
+        )
+        e_anchor = pc.struct_field(ex, "a").filter(ok)
+        n_pages = len(b)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([e_src, src_np]), pa.int64()),
+                "ts": pa.array(
+                    np.concatenate(
+                        [e_ts, ts.to_numpy(zero_copy_only=False).astype(np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate([e_dst, np.full(n_pages, -1, np.int64)]),
+                    pa.int64(),
+                ),
+                "anchor": pa.concat_arrays(
+                    [
+                        e_anchor.combine_chunks()
+                        if isinstance(e_anchor, pa.ChunkedArray)
+                        else e_anchor,
+                        pa.array([""] * n_pages, pa.string()),
+                    ]
+                ),
+                "_bucket": pa.array(
+                    np.concatenate([e_src, src_np]) % np.int64(n_buckets), pa.int64()
+                ),
+            }
+        )
+
+    def newest_edges(g: pa.Table) -> pa.Table:
+        src = g["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = g["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        u, inv = np.unique(src, return_inverse=True)
+        mx = np.full(len(u), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, ts)
+        keep = (ts == mx[inv]) & (dst >= 0)
+        return g.filter(pa.array(keep)).drop_columns(["ts", "_bucket"])
+
+    return (
+        pages.map_batches(edges_with_ts, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(newest_edges, batch_format="pyarrow")
+    )
+
+
 def anchor_term_counts(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Edges → ``(doc_id, term, anchor_tf)``: how often each term
     appears in anchors POINTING AT each doc — the anchor-text index

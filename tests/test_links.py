@@ -96,6 +96,46 @@ def test_link_pagerank_deterministic_and_conserving(ray_session):
     assert small > big
 
 
+def test_fused_latest_edges_identical_to_dedup_then_extract(ray_session):
+    """extract_link_edges_latest (html never crosses the exchange) ==
+    extract_link_edges(dedup_latest_crawl(pages)) row-for-row, and a
+    newest snapshot with NO links suppresses a stale one that had some."""
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import extract_link_edges_latest
+
+    docs = pq.read_table(f"{SF}/documents.parquet").slice(0, 200)
+    pages_tbl = synthesize_pages_table(docs)
+    pages = ray.data.from_arrow(pages_tbl)
+
+    def rows(ds):
+        out = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            out += list(
+                zip(b["src"].to_pylist(), b["dst"].to_pylist(), b["anchor"].to_pylist())
+            )
+        return sorted(out)
+
+    want = rows(extract_link_edges(dedup_latest_crawl(pages)))
+    got = rows(extract_link_edges_latest(pages, n_buckets=7))
+    assert got == want and len(got) > 0
+
+    # newest snapshot empty-nav: its staleness must win (no edges emitted)
+    two = pa.table(
+        {
+            "url": ["https://x.example.org/doc/00000003"] * 2,
+            "warc_ts": pa.array([1000, 2000], pa.timestamp("s")),
+            "html": [
+                b'<html><body><nav><a href="/doc/00000001">old link</a></nav></body></html>',
+                b"<html><body><nav></nav></body></html>",
+            ],
+        }
+    )
+    got2 = rows(extract_link_edges_latest(ray.data.from_arrow(two), n_buckets=3))
+    assert got2 == []
+
+
 def test_link_hits_matches_local_reference(ray_session):
     """Distributed HITS == a local numpy fold of the same iterations
     (known tiny graph), deterministic across runs, L1-normalized."""
