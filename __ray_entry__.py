@@ -2468,6 +2468,56 @@ def _q_link_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
 
 
+def _pairs_top100(counts) -> pa.Table:
+    """Global top-100 of a (id_a, id_b, n_shared) pair-count Dataset by
+    (n_shared desc, id_a, id_b): per-block local top-100 before the
+    driver merge — the driver never sees more than 100 rows per block."""
+    order = [
+        ("n_shared", "descending"),
+        ("id_a", "ascending"),
+        ("id_b", "ascending"),
+    ]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 100)
+
+    parts = [
+        pa.table(b)
+        for b in counts.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return merged.sort_by(order).slice(0, 100)
+
+
+def _q_cocitation_topk(sf_dir: str) -> pa.Table:
+    """Co-citation pairs (Small '73): pages linked TOGETHER by the same
+    source — the 'related pages' web-graph similarity. Bucketed
+    vectorized pair generation, combiner-folded counts, top-100."""
+    from dcs_ray.functions.links import cocitation_counts
+
+    return _pairs_top100(cocitation_counts(_link_edges_ds(sf_dir)))
+
+
+def _q_coupling_topk(sf_dir: str) -> pa.Table:
+    """Bibliographic coupling pairs (Kessler '63): pages linking to the
+    SAME target — similarity between citing pages."""
+    from dcs_ray.functions.links import coupling_counts
+
+    return _pairs_top100(coupling_counts(_link_edges_ds(sf_dir)))
+
+
 def _q_link_hits(sf_dir: str) -> pa.Table:
     """HITS hubs/authorities over the EXTRACTED web graph (Kleinberg
     '99) — the query-independent companion to PageRank: authorities ≈
@@ -2673,6 +2723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pagerank_prior": _q_bm25_pagerank,
         "link_pagerank": _q_link_pagerank,
         "link_hits": _q_link_hits,
+        "cocitation_topk": _q_cocitation_topk,
+        "coupling_topk": _q_coupling_topk,
         # --- flagship LLM-pipeline compositions ---
         "curate_corpus": _q_curate_corpus,
         "curate_web_corpus": _q_curate_web_corpus,
@@ -3256,6 +3308,24 @@ ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
 """,
         "link_pagerank": _pagerank_sql(k=5, d=0.85, edges_cte=_LINK_EDGES_CTE),
         "link_hits": _hits_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        "cocitation_topk": f"""
+WITH {_LINK_EDGES_CTE},
+em AS MATERIALIZED (SELECT src, dst FROM edges),
+cc AS (SELECT e1.dst AS id_a, e2.dst AS id_b, count(*)::bigint AS n_shared
+       FROM em e1 JOIN em e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM cc
+ORDER BY n_shared DESC, id_a, id_b LIMIT 100
+""",
+        "coupling_topk": f"""
+WITH {_LINK_EDGES_CTE},
+em AS MATERIALIZED (SELECT src, dst FROM edges),
+cc AS (SELECT e1.src AS id_a, e2.src AS id_b, count(*)::bigint AS n_shared
+       FROM em e1 JOIN em e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared FROM cc
+ORDER BY n_shared DESC, id_a, id_b LIMIT 100
+""",
         # two-field BM25: body scores from the shared _BM25_SCORES chain,
         # anchor field rebuilt from the link edges with its OWN df/dl/avgdl
         # over the anchor pseudo-corpus (one pseudo-doc per link target),

@@ -239,6 +239,119 @@ def link_pagerank(
     )
 
 
+def copair_counts(
+    edges: ray.data.Dataset,
+    group_col: str,
+    pair_col: str,
+    n_buckets: int = 64,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Count pairs of ``pair_col`` values that share a ``group_col``
+    value → Dataset ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` —
+    the kernel behind co-citation (pages cited TOGETHER, group=src) and
+    bibliographic coupling (pages citing the SAME target, group=dst).
+
+    Scale shape: one groupby on a hash BUCKET of the group key (bounded
+    group count); inside a bucket a single lexsort + run-length offsets
+    generate every within-group pair vectorized (offset arithmetic, no
+    per-group Python), pre-collapsed to per-bucket partial counts; a
+    combiner groupby on (id_a, id_b) folds partials. Pair volume is
+    Σ deg·(deg−1)/2 — bounded when degrees are (web-typically) capped;
+    ``max_degree`` truncates monster groups (keeping the smallest
+    ``pair_col`` values, deterministic) and logs how many were cut.
+    Duplicate edges pair multiply (matches the SQL self-join oracle);
+    equal-value pairs (duplicate edge to the same target) are dropped.
+    """
+    import logging
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(g, pa.int64()),
+                "v": b[pair_col].cast(pa.int64()),
+                "_bucket": pa.array(g % np.int64(n_buckets), pa.int64()),
+            }
+        )
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        g = t["g"].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, g))
+        g, v = g[order], v[order]
+        runs = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        lens = np.diff(np.concatenate((runs, [len(g)])))
+        if max_degree is not None and (lens > max_degree).any():
+            n_cut = int((lens > max_degree).sum())
+            logging.getLogger(__name__).warning(
+                "copair_counts: truncating %d groups past max_degree=%d",
+                n_cut,
+                max_degree,
+            )
+            keep = np.ones(len(g), bool)
+            start_of = np.repeat(runs, lens)
+            keep[np.arange(len(g)) - start_of >= max_degree] = False
+            g, v = g[keep], v[keep]
+            runs = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+            lens = np.diff(np.concatenate((runs, [len(g)])))
+        # element i pairs with every earlier element of its own run
+        start_of = np.repeat(runs, lens)
+        within = np.arange(len(g)) - start_of  # 0..len(run)-1
+        right = np.repeat(np.arange(len(g)), within)
+        pair_start = np.repeat(start_of, within)
+        csum = np.cumsum(within) - within
+        left = pair_start + (np.arange(within.sum()) - np.repeat(csum, within))
+        a, b = v[left], v[right]  # sorted within run → a <= b
+        ok = a != b
+        a, b = a[ok], b[ok]
+        # collapse to per-bucket partial counts (full-int64-safe: sorted
+        # run-length, no key packing — doc ids exceed 2^32 at web scale)
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        new = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))) if len(
+            a
+        ) else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts], pa.int64()),
+                "id_b": pa.array(b[starts], pa.int64()),
+                "n_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    bucketed = (
+        edges.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    summed = combiner_groupby(bucketed, ["id_a", "id_b"], ["n_partial"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"], "n_shared": b["n_partial"]}
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def cocitation_counts(
+    edges: ray.data.Dataset, max_degree: int | None = None
+) -> ray.data.Dataset:
+    """Co-citation (Small '73): how many pages link to BOTH a and b —
+    the 'related pages' similarity of the web graph."""
+    return copair_counts(edges, "src", "dst", max_degree=max_degree)
+
+
+def coupling_counts(
+    edges: ray.data.Dataset, max_degree: int | None = None
+) -> ray.data.Dataset:
+    """Bibliographic coupling (Kessler '63): how many targets a and b
+    BOTH link to — similarity between citing pages."""
+    return copair_counts(edges, "dst", "src", max_degree=max_degree)
+
+
 def link_hits(edges: ray.data.Dataset, n_iter: int = 5) -> pa.Table:
     """HITS hubs/authorities over the extracted web graph →
     (node, authority, hub) — the query-independent companion signal to

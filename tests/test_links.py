@@ -183,6 +183,66 @@ def test_link_hits_matches_local_reference(ray_session):
     assert got["hub"].to_numpy().argmax() == idx[0]
 
 
+def test_copair_counts_matches_bruteforce(ray_session):
+    """Bucketed vectorized pair generation == itertools brute force,
+    incl. duplicate-edge multiplicity; max_degree truncates groups."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import cocitation_counts, coupling_counts
+
+    srcs = [0, 0, 0, 1, 1, 2, 2, 2, 2, 3, 0]
+    dsts = [5, 6, 7, 5, 6, 5, 6, 7, 7, 9, 5]  # (0→5) twice, (2→7) twice
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(srcs, pa.int64()),
+                "dst": pa.array(dsts, pa.int64()),
+                "anchor": pa.array(["x"] * len(srcs)),
+            }
+        )
+    )
+
+    def brute(group_of, val_of):
+        ref = collections.Counter()
+        by_g = collections.defaultdict(list)
+        for s, d in zip(srcs, dsts):
+            by_g[group_of(s, d)].append(val_of(s, d))
+        for vals in by_g.values():
+            for a, b in itertools.combinations(vals, 2):
+                if a != b:
+                    ref[(min(a, b), max(a, b))] += 1
+        return dict(ref)
+
+    def fold(ds):
+        got = {}
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            for a, bb, n in zip(
+                b["id_a"].to_pylist(), b["id_b"].to_pylist(), b["n_shared"].to_pylist()
+            ):
+                assert (a, bb) not in got
+                got[(a, bb)] = n
+        return got
+
+    assert fold(cocitation_counts(edges)) == brute(lambda s, d: s, lambda s, d: d)
+    assert fold(coupling_counts(edges)) == brute(lambda s, d: d, lambda s, d: s)
+
+    # max_degree keeps the smallest pair-values per group, deterministic
+    capped = fold(cocitation_counts(edges, max_degree=2))
+    want = {}
+    by_s = collections.defaultdict(list)
+    for s, d in zip(srcs, dsts):
+        by_s[s].append(d)
+    for vals in by_s.values():
+        kept = sorted(vals)[:2]
+        for a, b in itertools.combinations(kept, 2):
+            if a != b:
+                want[(min(a, b), max(a, b))] = want.get((min(a, b), max(a, b)), 0) + 1
+    assert capped == want
+
+
 def test_anchor_pseudo_docs_vectorized_concat(ray_session):
     """Bucketed vectorized group-concat == per-target reference fold
     (anchors sorted lexicographically within a target)."""
