@@ -2468,6 +2468,32 @@ def _q_link_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
 
 
+def _q_personalized_pagerank(sf_dir: str) -> pa.Table:
+    """Personalized (topic-sensitive) PageRank over the extracted web
+    graph: teleport mass restricted to a seed page set — Haveliwala's
+    '02 "related pages" signal, the query-dependent counterpart of the
+    static prior. Seeds = the 3 smallest source doc_ids, found with a
+    per-block distinct-min pass (driver sees ≤3 ids per block); the
+    oracle replays teleport, dangling redistribution, and all 5
+    iterations in chained CTEs."""
+    from dcs_ray.functions.links import link_pagerank
+
+    edges = _link_edges_ds(sf_dir).materialize()
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = np.unique(b["src"].to_numpy().astype(np.int64))[:3]
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(local_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    seeds = np.unique(np.concatenate(parts))[:3].tolist() if parts else []
+    return link_pagerank(edges, n_iter=5, damping=0.85, seeds=seeds)
+
+
 def _pairs_top100(counts) -> pa.Table:
     """Global top-100 of a (id_a, id_b, n_shared) pair-count Dataset by
     (n_shared desc, id_a, id_b): per-block local top-100 before the
@@ -2722,6 +2748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_anchor_topk": _q_bm25_anchor,
         "bm25_pagerank_prior": _q_bm25_pagerank,
         "link_pagerank": _q_link_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "link_hits": _q_link_hits,
         "cocitation_topk": _q_cocitation_topk,
         "coupling_topk": _q_coupling_topk,
@@ -2885,11 +2912,21 @@ edges AS (
   FROM lbase CROSS JOIN range(3) r(j))"""
 
 
-def _pagerank_sql(k: int = 5, d: float = 0.85, edges_cte: str | None = None) -> str:
+def _pagerank_sql(
+    k: int = 5,
+    d: float = 0.85,
+    edges_cte: str | None = None,
+    seeds_cte: str | None = None,
+) -> str:
     """All ``k`` PageRank power iterations replayed as chained SQL CTEs.
     ``edges_cte`` overrides the edge-set definition (must define a CTE
     named ``edges`` with at least ``src``/``dst`` bigint columns);
-    default is the deterministic events functional graph."""
+    default is the deterministic events functional graph. ``seeds_cte``
+    (a CTE named ``seeds`` with a ``node`` bigint column) switches to
+    personalized PageRank: teleport and dangling mass go to the seed
+    set instead of uniform 1/N — operation order mirrors the engine's
+    ``(1-d)*p + d*(contrib + dang*p)`` exactly so rounded ranks
+    hash-match."""
     parts = [
         edges_cte
         or """edges AS (
@@ -2903,11 +2940,34 @@ def _pagerank_sql(k: int = 5, d: float = 0.85, edges_cte: str | None = None) -> 
     FROM events WHERE event_id % 3 = 0))""",
         """nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 nn AS (SELECT count(*)::double AS n FROM nodes),
-outdeg AS (SELECT src AS node, count(*)::double AS deg FROM edges GROUP BY src),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""",
+outdeg AS (SELECT src AS node, count(*)::double AS deg FROM edges GROUP BY src)""",
     ]
+    if seeds_cte is None:
+        parts.append(
+            """tp AS (SELECT node, 1.0 / (SELECT n FROM nn) AS p FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+        )
+    else:
+        parts.append(seeds_cte)
+        parts.append(
+            """ns AS (SELECT count(*)::double AS c FROM seeds),
+tp AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT c FROM ns)
+              ELSE 0.0 END AS p
+  FROM nodes n LEFT JOIN seeds s USING (node)),
+r0 AS (SELECT node, p AS r FROM tp)"""
+        )
     for i in range(1, k + 1):
         p = i - 1
+        if seeds_cte is None:
+            update = f"""(1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * (coalesce(c.contrib, 0.0) + (SELECT m FROM dang{p}) / (SELECT n FROM nn))"""
+            tp_join = ""
+        else:
+            update = f"""(1.0 - {d}) * t.p
+         + {d} * (coalesce(c.contrib, 0.0) + (SELECT m FROM dang{p}) * t.p)"""
+            tp_join = " JOIN tp t USING (node)"
         parts.append(
             f"""dang{p} AS (
   SELECT coalesce(sum(r.r), 0.0) AS m FROM r{p} r LEFT JOIN outdeg o USING (node)
@@ -2918,9 +2978,8 @@ c{i} AS (
   GROUP BY e.dst),
 r{i} AS (
   SELECT n.node,
-         (1.0 - {d}) / (SELECT n FROM nn)
-         + {d} * (coalesce(c.contrib, 0.0) + (SELECT m FROM dang{p}) / (SELECT n FROM nn)) AS r
-  FROM nodes n LEFT JOIN c{i} c USING (node))"""
+         {update} AS r
+  FROM nodes n LEFT JOIN c{i} c USING (node){tp_join})"""
         )
     return (
         "WITH "
@@ -3307,6 +3366,13 @@ SELECT doc_id, term, anchor_tf FROM ct
 ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
 """,
         "link_pagerank": _pagerank_sql(k=5, d=0.85, edges_cte=_LINK_EDGES_CTE),
+        "personalized_pagerank": _pagerank_sql(
+            k=5,
+            d=0.85,
+            edges_cte=_LINK_EDGES_CTE,
+            seeds_cte="""seeds AS (
+  SELECT DISTINCT src AS node FROM edges ORDER BY src LIMIT 3)""",
+        ),
         "link_hits": _hits_sql(k=5, edges_cte=_LINK_EDGES_CTE),
         "cocitation_topk": f"""
 WITH {_LINK_EDGES_CTE},

@@ -256,6 +256,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "id_a",
     dst: str = "id_b",
+    seeds: list[int] | None = None,
 ) -> pa.Table:
     """Distributed PageRank over a directed edge Dataset → (node, rank)
     after ``n_iter`` power iterations — the web-graph static prior that
@@ -271,6 +272,13 @@ def pagerank(
     Dangling mass (out-degree-0 nodes) is redistributed uniformly:
 
         r'(v) = (1-d)/N + d·(Σ_{u→v} r(u)/deg(u) + D/N)
+
+    With ``seeds`` (personalized / topic-sensitive PageRank,
+    Haveliwala '02) the uniform 1/N teleport vector is replaced by
+    uniform mass over the seed set, and dangling mass is likewise
+    redistributed onto the seeds:
+
+        r'(v) = (1-d)·p(v) + d·(Σ_{u→v} r(u)/deg(u) + D·p(v))
 
     Duplicate edges contribute multiply on both the engine and the SQL
     oracle (no implicit dedup)."""
@@ -305,7 +313,20 @@ def pagerank(
     np.add.at(outdeg, inv, alld)
     n = len(nodes)
 
-    rank = np.full(n, 1.0 / n, np.float64)
+    # teleport vector: uniform for classic PageRank, mass on the seed
+    # set for personalized / topic-sensitive PageRank (Haveliwala '02)
+    if seeds is None:
+        p = np.full(n, 1.0 / n, np.float64)
+    else:
+        sd = np.asarray(sorted(set(seeds)), np.int64)
+        if len(sd) == 0:
+            raise ValueError("seeds must be non-empty (or None for uniform)")
+        in_graph = np.isin(sd, nodes)
+        if not in_graph.all():
+            raise ValueError(f"seeds not in graph: {sd[~in_graph].tolist()}")
+        p = np.zeros(n, np.float64)
+        p[np.searchsorted(nodes, sd)] = 1.0 / len(sd)
+    rank = p.copy()
     base_ref = ray.put(nodes)
     d_ref = ray.put(outdeg)
     for _ in range(n_iter):
@@ -341,7 +362,10 @@ def pagerank(
         sums = np.zeros(n, np.float64)
         np.add.at(sums, ai[order], av[order])
         dangling = float(rank[outdeg == 0].sum())
-        rank = (1.0 - damping) / n + damping * (sums + dangling / n)
+        if seeds is None:
+            rank = (1.0 - damping) / n + damping * (sums + dangling / n)
+        else:
+            rank = (1.0 - damping) * p + damping * (sums + dangling * p)
 
     return pa.table(
         {

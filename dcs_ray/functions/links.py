@@ -228,14 +228,19 @@ def anchor_pseudo_docs(
 
 
 def link_pagerank(
-    edges: ray.data.Dataset, n_iter: int = 5, damping: float = 0.85
+    edges: ray.data.Dataset,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    seeds: list[int] | None = None,
 ) -> pa.Table:
-    """PageRank over the extracted web graph → (node, rank)."""
+    """PageRank over the extracted web graph → (node, rank). With
+    ``seeds``, personalized PageRank (teleport onto the seed pages) —
+    the query-dependent "related pages" signal (Haveliwala '02)."""
     from dcs_ray.functions.graph import pagerank
 
     return pagerank(
         edges.select_columns(["src", "dst"]), n_iter=n_iter, damping=damping,
-        src="src", dst="dst",
+        src="src", dst="dst", seeds=seeds,
     )
 
 

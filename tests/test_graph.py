@@ -259,3 +259,53 @@ def test_pagerank_empty_edges():
     t = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     out = pagerank(ray.data.from_arrow(t))
     assert len(out) == 0
+
+
+def _dense_ppr(edge_list, seeds, n_iter=5, d=0.85):
+    import numpy as np
+
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edge_list:
+        deg[idx[u]] += 1
+    p = np.zeros(n)
+    for s in set(seeds):
+        p[idx[s]] = 1.0 / len(set(seeds))
+    r = p.copy()
+    for _ in range(n_iter):
+        s = np.zeros(n)
+        for u, v in edge_list:
+            s[idx[v]] += r[idx[u]] / deg[idx[u]]
+        dang = r[deg == 0].sum()
+        r = (1 - d) * p + d * (s + dang * p)
+    return nodes, np.round(r, 6)
+
+
+def test_personalized_pagerank_matches_dense_reference():
+    import numpy as np
+    import pytest
+
+    from dcs_ray.functions.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (1, 3), (1, 3), (4, 3)]
+    t = pa.table(
+        {
+            "id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "id_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = pagerank(ray.data.from_arrow(t).repartition(3), n_iter=5, seeds=[0, 4])
+    nodes, want = _dense_ppr(edges, [0, 4])
+    assert got["node"].to_pylist() == nodes
+    np.testing.assert_allclose(got["rank"].to_numpy(), want, atol=2e-6)
+    # teleport mass concentrates around the seeds: seed 0 outranks the
+    # symmetric uniform-teleport case's smallest nodes
+    r = dict(zip(got["node"].to_pylist(), got["rank"].to_numpy()))
+    assert r[0] > r[2]
+    # still a probability distribution
+    assert abs(float(got["rank"].to_numpy().sum()) - 1.0) < 1e-4
+    # seeds outside the node universe are rejected, not silently dropped
+    with pytest.raises(ValueError):
+        pagerank(ray.data.from_arrow(t), n_iter=1, seeds=[99])
