@@ -2296,6 +2296,20 @@ def _q_tfidf_keywords(sf_dir: str) -> Any:
     return t
 
 
+def _q_related_terms(sf_dir: str) -> pa.Table:
+    """Query-expansion candidates for 'spark': top-20 terms by
+    document-level PMI (Church & Hanks '90) — the "related searches"
+    suggestion signal. One streaming pass; vocabulary-sized
+    (df, co_df) partials, co-counts conditioned on a batch-local
+    contains-query mask; df_q recovered from the fold itself."""
+    from dcs_ray.functions.textstats import cooccur_pmi
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cooccur_pmi(ds, "spark", k=20, min_pair_df=2)
+
+
 def _q_bpe_word_counts(sf_dir: str) -> Any:
     """The corpus-sized half of BPE training: distributed word count
     (per-batch dictionary-encode partials, vocabulary-sized fold)."""
@@ -2779,12 +2793,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
+        # --- end of the driver's 50-query window ---
         "label_centroids": _q_label_centroids,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "quality_classifier": _q_quality_classifier,
-        # --- end of the driver's 50-query window ---
         "bpe_token_count": _q_bpe_token_count,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -2793,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
         "tfidf_keywords": _q_tfidf_keywords,
+        "related_terms_pmi": _q_related_terms,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3339,6 +3354,24 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """,
         "bpe_word_counts": f"""
 SELECT term AS word, count(*)::bigint AS n FROM ({_TOK}) GROUP BY term ORDER BY word
+""",
+        # document-level PMI query expansion: distinct (doc, term) pairs,
+        # co-df conditioned on docs containing the query term; pmi
+        # rounded BEFORE the order-by (engine sorts the rounded value)
+        "related_terms_pmi": f"""
+WITH toks AS ({_TOKS_LIST}),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+nn AS (SELECT count(*)::double AS n FROM documents),
+qd AS (SELECT doc_id FROM dt WHERE term = 'spark'),
+nq AS (SELECT count(*)::double AS c FROM qd),
+df AS (SELECT term, count(*)::double AS df FROM dt GROUP BY term),
+codf AS (SELECT dt.term, count(*)::double AS codf
+         FROM dt JOIN qd USING (doc_id) GROUP BY dt.term)
+SELECT term, codf::bigint AS pair_df,
+       round(ln(((SELECT n FROM nn) * codf) / (df * (SELECT c FROM nq))), 6) AS pmi
+FROM codf JOIN df USING (term)
+WHERE term <> 'spark' AND codf >= 2
+ORDER BY pmi DESC, term ASC LIMIT 20
 """,
         "dsir_weights": f"""
 WITH {_DSIR_W_CTES}

@@ -437,3 +437,118 @@ def tfidf_keywords(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def cooccur_pmi(
+    ds: ray.data.Dataset,
+    query_term: str,
+    k: int = 20,
+    text_col: str = "text",
+    min_pair_df: int = 2,
+) -> pa.Table:
+    """Query-expansion candidates by document-level PMI: the top-``k``
+    terms most associated with ``query_term`` across the corpus — the
+    "related searches" signal behind web-search term suggestion
+    (pointwise mutual information over document co-occurrence,
+    Church & Hanks '90).
+
+        pmi(t) = ln( (N · df_qt) / (df_t · df_q) )
+
+    with df_qt = #docs containing both ``query_term`` and ``t``.
+    ``min_pair_df`` prunes the unstable low-support tail (PMI's known
+    hapax bias). Output: (term, pair_df, pmi) sorted by (pmi desc,
+    term asc), pmi rounded to 6 decimals BEFORE the sort so the order
+    is SQL-replayable.
+
+    Scale shape: ONE streaming pass; per batch, distinct (doc, term)
+    pairs collapse to per-term (df, co_df) partials — the co-counts
+    condition on a batch-local "doc contains q" mask (every doc lives
+    wholly inside one batch row, the same invariant
+    :func:`corpus_df` uses). The exchange is vocabulary-sized partials,
+    never corpus-sized; the driver folds term-stat rows only. df_q
+    falls out of the aggregate as co_df[query_term] — no second pass."""
+    n_docs = ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "codf": pa.array([], pa.int64()),
+            }
+        )
+        flat, parents = word_tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(enc.dictionary)
+        # distinct (doc, term) pairs
+        key = np.unique(parents.astype(np.int64) * nd + codes)
+        upar, ucode = key // nd, key % nd
+        df = np.bincount(ucode, minlength=nd)
+        # docs (in this batch) containing the query term
+        qcode = pc.index_in(
+            pa.array([query_term]), value_set=enc.dictionary
+        )[0].as_py()
+        if qcode is None:
+            codf = np.zeros(nd, np.int64)
+        else:
+            has_q = np.zeros(int(parents.max()) + 1 if len(parents) else 0, bool)
+            has_q[upar[ucode == qcode]] = True
+            codf = np.bincount(ucode[has_q[upar]], minlength=nd)
+        return pa.table(
+            {
+                "term": enc.dictionary.cast(pa.string()),
+                "df": pa.array(df.astype(np.int64), pa.int64()),
+                "codf": pa.array(codf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    out_schema = pa.schema(
+        [("term", pa.string()), ("pair_df", pa.int64()), ("pmi", pa.float64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    agg = (
+        pa.concat_tables(parts)
+        .group_by("term")
+        .aggregate([("df", "sum"), ("codf", "sum")])
+    )
+    terms = agg["term"].combine_chunks().cast(pa.string())
+    df = agg["df_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    codf = agg["codf_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    qi = pc.index_in(pa.array([query_term]), value_set=terms)[0].as_py()
+    if qi is None:
+        return out_schema.empty_table()
+    nq = df[qi]
+    keep = (
+        (codf >= min_pair_df)
+        & (np.arange(len(df)) != qi)
+    )
+    if not keep.any():
+        return out_schema.empty_table()
+    pmi = np.round(
+        np.log((float(n_docs) * codf[keep]) / (df[keep] * nq)), 6
+    )
+    kept_terms = terms.filter(pa.array(keep))
+    # sort by (pmi desc, term asc) on the ROUNDED value (SQL parity)
+    order = pc.sort_indices(
+        pa.table({"p": pa.array(pmi), "t": kept_terms}),
+        sort_keys=[("p", "descending"), ("t", "ascending")],
+    ).to_numpy(zero_copy_only=False)[:k]
+    return pa.table(
+        {
+            "term": kept_terms.take(pa.array(order)),
+            "pair_df": pa.array(
+                codf[keep][order].astype(np.int64), pa.int64()
+            ),
+            "pmi": pa.array(pmi[order], pa.float64()),
+        }
+    )

@@ -831,3 +831,41 @@ def test_tfidf_keywords_values_and_ties():
         ]
     ).to_pydict()
     assert "zebra" not in out2["term"] and "dog" not in out2["term"]
+
+
+def test_cooccur_pmi_hand_computed():
+    import math
+
+    from dcs_ray.functions.textstats import cooccur_pmi
+
+    # 6 docs; "q" in docs 0-2; "x" always with q (3/3), "y" half (2/4),
+    # "z" never with q, "w" co-occurs once (pruned by min_pair_df=2)
+    texts = [
+        "q x y w",   # 0
+        "q x y",     # 1
+        "q x",       # 2
+        "y z",       # 3
+        "y z w",     # 4
+        "z",         # 5
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = cooccur_pmi(ds, "q", k=10, min_pair_df=2)
+    assert out.column_names == ["term", "pair_df", "pmi"]
+    rows = {t: (d, p) for t, d, p in zip(out["term"].to_pylist(),
+                                         out["pair_df"].to_pylist(),
+                                         out["pmi"].to_numpy())}
+    # pmi = ln(N*codf/(df*nq)), N=6, nq=3
+    assert rows["x"] == (3, round(math.log(6 * 3 / (3 * 3)), 6))
+    assert rows["y"] == (2, round(math.log(6 * 2 / (4 * 3)), 6))
+    assert "z" not in rows  # codf=0
+    assert "w" not in rows  # codf=1 < min_pair_df
+    assert "q" not in rows  # query term excluded
+    # sorted by pmi desc: x (ln 2) before y (0)
+    assert out["term"].to_pylist() == ["x", "y"]
+
+    # absent query term -> empty, schema intact
+    empty = cooccur_pmi(ds, "nosuchterm", k=10)
+    assert len(empty) == 0 and empty.column_names == ["term", "pair_df", "pmi"]
