@@ -2508,6 +2508,32 @@ def _q_personalized_pagerank(sf_dir: str) -> pa.Table:
     return link_pagerank(edges, n_iter=5, damping=0.85, seeds=seeds)
 
 
+def _q_host_rank_mass(sf_dir: str) -> pa.Table:
+    """Site-level authority: per-page PageRank folded into per-host
+    rank mass (host = the page synthesis's ``source``.example.org).
+    The rank vector is broadcast once and probed with searchsorted;
+    docs stream; mass travels as exact integer micro-units so the fold
+    is order-independent; exchange is |hosts|-bounded."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.links import host_rank_mass, link_pagerank
+
+    ranks = link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "host", pc.binary_join_element_wise(b["source"], ".example.org", "")
+        ),
+        batch_format="pyarrow",
+    )
+    ds = host_rank_mass(ranks, docs)
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by("host")
+
+
 def _pairs_top100(counts) -> pa.Table:
     """Global top-100 of a (id_a, id_b, n_shared) pair-count Dataset by
     (n_shared desc, id_a, id_b): per-block local top-100 before the
@@ -2763,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pagerank_prior": _q_bm25_pagerank,
         "link_pagerank": _q_link_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
+        "host_rank_mass": _q_host_rank_mass,
         "link_hits": _q_link_hits,
         "cocitation_topk": _q_cocitation_topk,
         "coupling_topk": _q_coupling_topk,
@@ -2792,8 +2819,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
-        "text_knn_hash_embed": _q_text_knn_hash_embed,
         # --- end of the driver's 50-query window ---
+        "text_knn_hash_embed": _q_text_knn_hash_embed,
         "label_centroids": _q_label_centroids,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
@@ -3406,6 +3433,18 @@ ORDER BY anchor_tf DESC, doc_id, term LIMIT 100
             seeds_cte="""seeds AS (
   SELECT DISTINCT src AS node FROM edges ORDER BY src LIMIT 3)""",
         ),
+        # site-level authority: page ranks folded per host in exact
+        # integer micro-units (round(r,6)*1e6) — order-independent sum,
+        # LEFT JOIN so linkless docs count with zero mass
+        "host_rank_mass": f"""
+WITH {_pagerank_ctes(5, 0.85, _LINK_EDGES_CTE)},
+hm AS (
+  SELECT d.source || '.example.org' AS host,
+         coalesce(round(round(r.r, 6) * 1000000.0), 0.0)::bigint AS m
+  FROM documents d LEFT JOIN r5 r ON d.doc_id = r.node)
+SELECT host, count(*)::bigint AS n_docs, sum(m)::bigint AS rank_mass_e6
+FROM hm GROUP BY host ORDER BY host
+""",
         "link_hits": _hits_sql(k=5, edges_cte=_LINK_EDGES_CTE),
         "cocitation_topk": f"""
 WITH {_LINK_EDGES_CTE},

@@ -366,3 +366,57 @@ def link_hits(edges: ray.data.Dataset, n_iter: int = 5) -> pa.Table:
     return hits(
         edges.select_columns(["src", "dst"]), n_iter=n_iter, src="src", dst="dst"
     )
+
+
+def host_rank_mass(
+    ranks: pa.Table,
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> ray.data.Dataset:
+    """Site-level authority: fold per-page PageRank into per-host rank
+    mass → (host, n_docs, rank_mass_e6) — the host/domain aggregation
+    every web ranker keeps alongside page rank (site quality priors,
+    spam-host triage).
+
+    Scale shape: the (node, rank) vector is broadcast ONCE via
+    ``ray.put`` (the same vertex-state-fits regime as
+    :func:`~dcs_ray.functions.graph.pagerank` itself) and probed per
+    batch with searchsorted; docs stream; the exchange is
+    |hosts|-bounded combiner partials. Rank is carried as exact integer
+    micro-units (``rint(round(rank,6)·1e6)``) so the fold is
+    order-independent and bit-exact under any parallelism — and
+    SQL-replayable. Docs not in the graph (no out/in links) count in
+    ``n_docs`` with zero mass (SQL LEFT JOIN semantics); graph nodes
+    with no doc row (synthetic link targets) contribute nothing."""
+    nodes = ranks["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r_e6 = np.rint(
+        ranks["rank"].to_numpy(zero_copy_only=False) * 1e6
+    ).astype(np.int64)
+    ref = ray.put((nodes, r_e6))
+
+    def partial(b: pa.Table) -> pa.Table:
+        nd, re6 = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nd) == 0:
+            mass = np.zeros(len(ids), np.int64)
+        else:
+            idx = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            mass = np.where(nd[idx] == ids, re6[idx], np.int64(0))
+        return pa.table(
+            {
+                "host": b[host_col],
+                "rank_mass_e6": pa.array(mass, pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["host"],
+        ["rank_mass_e6"],
+        count_col="n_docs",
+    )
+    return agg.map_batches(
+        lambda b: b.select(["host", "n_docs", "rank_mass_e6"]),
+        batch_format="pyarrow",
+    )

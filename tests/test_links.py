@@ -338,3 +338,34 @@ def test_extract_handles_empty_nav():
     )
     edges = extract_edges_batch(batch)
     assert len(edges) == 0
+
+
+def test_host_rank_mass_broadcast_fold():
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import host_rank_mass
+
+    ranks = pa.table(
+        {
+            "node": pa.array([1, 2, 3, 99], pa.int64()),  # 99: no doc row
+            "rank": pa.array([0.25, 0.125, 0.5, 0.125], pa.float64()),
+        }
+    )
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),  # 4: not in graph
+                "host": pa.array(["a.org", "a.org", "b.org", "b.org"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = pa.concat_tables(
+        pa.table(b)
+        for b in host_rank_mass(ranks, docs).iter_batches(batch_format="pyarrow")
+    ).sort_by("host")
+    assert out.column_names == ["host", "n_docs", "rank_mass_e6"]
+    assert out["host"].to_pylist() == ["a.org", "b.org"]
+    assert out["n_docs"].to_pylist() == [2, 2]
+    # a: 0.25+0.125 = 0.375e6; b: 0.5 + 0 (doc 4 not a node) = 0.5e6
+    assert out["rank_mass_e6"].to_pylist() == [375000, 500000]
