@@ -2310,6 +2310,18 @@ def _q_related_terms(sf_dir: str) -> pa.Table:
     return cooccur_pmi(ds, "spark", k=20, min_pair_df=2)
 
 
+def _q_autocomplete(sf_dir: str) -> pa.Table:
+    """Search-box autocompletion for the prefix 'st': top-10 corpus
+    terms by document frequency. Prefix filter pushed into the
+    per-batch partial so the exchange carries only matching terms."""
+    from dcs_ray.functions.textstats import complete_prefix
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return complete_prefix(ds, "st", k=10)
+
+
 def _q_bpe_word_counts(sf_dir: str) -> Any:
     """The corpus-sized half of BPE training: distributed word count
     (per-batch dictionary-encode partials, vocabulary-sized fold)."""
@@ -2835,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "tfidf_keywords": _q_tfidf_keywords,
         "related_terms_pmi": _q_related_terms,
+        "autocomplete_prefix": _q_autocomplete,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3399,6 +3412,13 @@ SELECT term, codf::bigint AS pair_df,
 FROM codf JOIN df USING (term)
 WHERE term <> 'spark' AND codf >= 2
 ORDER BY pmi DESC, term ASC LIMIT 20
+""",
+        "autocomplete_prefix": f"""
+WITH toks AS ({_TOKS_LIST}),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks)
+SELECT term, count(*)::bigint AS df FROM dt
+WHERE starts_with(term, 'st')
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
         "dsir_weights": f"""
 WITH {_DSIR_W_CTES}

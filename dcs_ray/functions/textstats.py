@@ -552,3 +552,68 @@ def cooccur_pmi(
             "pmi": pa.array(pmi[order], pa.float64()),
         }
     )
+
+
+def complete_prefix(
+    ds: ray.data.Dataset,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """Query autocompletion: the top-``k`` corpus terms starting with
+    ``prefix``, ranked by document frequency (df desc, term asc) — the
+    search-box suggestion signal.
+
+    Scale shape: the prefix filter is pushed INTO the per-batch partial
+    (``pc.starts_with`` on the batch vocabulary before the distinct
+    (doc, term) collapse), so the exchange carries only matching terms'
+    (term, df) partials — a sliver of the vocabulary, not the corpus.
+    Integer counts: exact under any fold order."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        flat, parents = word_tokens_flat(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        dict_match = pc.starts_with(
+            enc.dictionary.cast(pa.string()), prefix
+        ).to_numpy(zero_copy_only=False)
+        if not dict_match.any():
+            return empty
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dict_match[codes]
+        nd = len(enc.dictionary)
+        key = np.unique(parents[keep].astype(np.int64) * nd + codes[keep])
+        df = np.bincount(key % nd, minlength=nd)
+        sel = np.flatnonzero(dict_match)
+        return pa.table(
+            {
+                "term": enc.dictionary.cast(pa.string()).take(pa.array(sel)),
+                "df": pa.array(df[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64())])
+    if not parts:
+        return out_schema.empty_table()
+    agg = pa.concat_tables(parts).group_by("term").aggregate([("df", "sum")])
+    if len(agg) == 0:
+        return out_schema.empty_table()
+    order = pc.sort_indices(
+        agg, sort_keys=[("df_sum", "descending"), ("term", "ascending")]
+    ).to_numpy(zero_copy_only=False)[:k]
+    return pa.table(
+        {
+            "term": agg["term"].take(pa.array(order)).combine_chunks(),
+            "df": agg["df_sum"].take(pa.array(order)).cast(pa.int64()),
+        }
+    )

@@ -869,3 +869,30 @@ def test_cooccur_pmi_hand_computed():
     # absent query term -> empty, schema intact
     empty = cooccur_pmi(ds, "nosuchterm", k=10)
     assert len(empty) == 0 and empty.column_names == ["term", "pair_df", "pmi"]
+
+
+def test_complete_prefix_df_ranking():
+    from dcs_ray.functions.textstats import complete_prefix
+
+    texts = [
+        "stream stream sort",   # stream df counts once per doc
+        "stream stage",
+        "sort stage stage",
+        "other words only",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(2)
+    out = complete_prefix(ds, "st", k=10)
+    assert out.column_names == ["term", "df"]
+    # stream df=2, stage df=2 -> tie broken by term asc (stage first)
+    rows = list(zip(out["term"].to_pylist(), out["df"].to_pylist()))
+    assert rows == [("stage", 2), ("stream", 2)]
+
+    out2 = complete_prefix(ds, "s", k=2)
+    rows2 = list(zip(out2["term"].to_pylist(), out2["df"].to_pylist()))
+    assert rows2 == [("sort", 2), ("stage", 2)]  # k truncation, tie by term
+
+    none = complete_prefix(ds, "zzz", k=5)
+    assert len(none) == 0 and none.column_names == ["term", "df"]
