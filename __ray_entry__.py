@@ -2322,6 +2322,19 @@ def _q_autocomplete(sf_dir: str) -> pa.Table:
     return complete_prefix(ds, "st", k=10)
 
 
+def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
+    """Stemmed-field dictionary: document frequencies over S-stemmed
+    terms (Harman '91 plural conflation) — the analyzer pass a stemmed
+    index field is built from. Stems computed once per batch token
+    dictionary; vocabulary-sized partials."""
+    from dcs_ray.functions.stem import stemmed_term_df
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return stemmed_term_df(ds)
+
+
 def _q_bpe_word_counts(sf_dir: str) -> Any:
     """The corpus-sized half of BPE training: distributed word count
     (per-batch dictionary-encode partials, vocabulary-sized fold)."""
@@ -2848,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "related_terms_pmi": _q_related_terms,
         "autocomplete_prefix": _q_autocomplete,
+        "stemmed_term_df": _q_stemmed_term_df,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3419,6 +3433,28 @@ dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks)
 SELECT term, count(*)::bigint AS df FROM dt
 WHERE starts_with(term, 'st')
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        # Harman '91 S-stemmer as a CASE chain (rules fire in order and
+        # TERMINATE — an exception leaves the word unchanged, it does
+        # not fall through), then df over distinct (doc, stem)
+        "stemmed_term_df": f"""
+WITH toks AS ({_TOKS_LIST}),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+st AS (SELECT doc_id,
+  CASE
+    WHEN len(term) >= 4 AND term LIKE '%ies' THEN
+      CASE WHEN term LIKE '%aies' OR term LIKE '%eies' THEN term
+           ELSE substr(term, 1, len(term) - 3) || 'y' END
+    WHEN len(term) >= 3 AND term LIKE '%es' THEN
+      CASE WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%oes' THEN term
+           ELSE substr(term, 1, len(term) - 1) END
+    WHEN len(term) >= 3 AND term LIKE '%s' THEN
+      CASE WHEN term LIKE '%us' OR term LIKE '%ss' THEN term
+           ELSE substr(term, 1, len(term) - 1) END
+    ELSE term END AS term
+  FROM dt),
+sd AS (SELECT DISTINCT doc_id, term FROM st)
+SELECT term, count(*)::bigint AS df FROM sd GROUP BY term ORDER BY term
 """,
         "dsir_weights": f"""
 WITH {_DSIR_W_CTES}
