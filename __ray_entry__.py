@@ -2322,6 +2322,24 @@ def _q_autocomplete(sf_dir: str) -> pa.Table:
     return complete_prefix(ds, "st", k=10)
 
 
+def _q_bm25_eval(sf_dir: str) -> pa.Table:
+    """Retrieval evaluation of the BM25 top-10 run: NDCG@10 + MRR
+    against the lexical relevance oracle (doc contains ALL query
+    terms). Labeling streams the corpus once, one partial row per
+    block; the ranked ids are broadcast; the oracle replays ranking,
+    labels, and both metrics in one statement."""
+    from dcs_ray.functions.evaluate import ranking_metrics
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    ranked = t["doc_id"].to_pylist()
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ranking_metrics(docs, ranked, BM25_QUERY.split(), k=10)
+
+
 def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
     """Stemmed-field dictionary: document frequencies over S-stemmed
     terms (Harman '91 plural conflation) — the analyzer pass a stemmed
@@ -2862,6 +2880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms_pmi": _q_related_terms,
         "autocomplete_prefix": _q_autocomplete,
         "stemmed_term_df": _q_stemmed_term_df,
+        "bm25_eval_metrics": _q_bm25_eval,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3455,6 +3474,31 @@ st AS (SELECT doc_id,
   FROM dt),
 sd AS (SELECT DISTINCT doc_id, term FROM st)
 SELECT term, count(*)::bigint AS df FROM sd GROUP BY term ORDER BY term
+""",
+        # NDCG@10 + MRR of the BM25 top-10 vs the lexical relevance
+        # oracle (doc contains ALL query terms); binary gains
+        "bm25_eval_metrics": f"""
+WITH {_BM25_SCORES},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+rel AS (
+  SELECT doc_id FROM tok WHERE term IN ('join','merge','spark')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+nrel AS (SELECT count(*)::bigint AS r FROM rel),
+hits AS (SELECT rank FROM ranked JOIN rel USING (doc_id)),
+dcg AS (SELECT coalesce(sum(1.0 / log2(rank + 1.0)), 0.0) AS v FROM hits),
+idcg AS (
+  SELECT coalesce(sum(1.0 / log2(i + 1.0)), 0.0) AS v
+  FROM (SELECT unnest(range(1, 1 + least((SELECT r FROM nrel), 10))) AS i)),
+mrr AS (
+  SELECT CASE WHEN (SELECT count(*) FROM hits) = 0 THEN 0.0
+              ELSE 1.0 / (SELECT min(rank)::double FROM hits) END AS v)
+SELECT (SELECT r FROM nrel) AS n_relevant,
+       round(CASE WHEN (SELECT v FROM idcg) > 0
+                  THEN (SELECT v FROM dcg) / (SELECT v FROM idcg)
+                  ELSE 0.0 END, 6) AS ndcg_at_10,
+       round((SELECT v FROM mrr), 6) AS mrr
 """,
         "dsir_weights": f"""
 WITH {_DSIR_W_CTES}

@@ -1,0 +1,111 @@
+"""Ranking evaluation: NDCG@k and MRR of a retrieval run against
+corpus-derived relevance labels — the measurement loop a ranking
+pipeline ships with (dcs validates ranking changes against curated
+query sets; `ranking/` + `cmd/dcs-web/search.go` result ordering).
+
+Relevance here is the classic lexical oracle: a document is relevant
+to a query iff it contains EVERY query term (token-level membership).
+That makes labels a pure function of the corpus, so the whole
+evaluation is SQL-replayable.
+
+Scale shape: the ranked list (≤ k ids) is broadcast; labeling streams
+the corpus ONCE with a vectorized all-terms membership test per batch
+(query-term codes resolved against each batch's token dictionary);
+each batch emits ONE partial row — (its relevant-doc count, the ≤ k
+ranked ids it proved relevant) — so the driver folds #blocks rows and
+the exchange never carries per-doc labels. Metrics are then a ≤ k-row
+computation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from dcs_ray.tokenize import word_tokens_flat
+
+
+def _contains_all_mask(
+    batch: pa.Table, terms: list[str], text_col: str
+) -> np.ndarray:
+    """Boolean mask over batch rows: text contains every term (as a
+    whole token). Vectorized: one tokenize, one dictionary probe per
+    query term."""
+    n_rows = len(batch)
+    flat, parents = word_tokens_flat(batch[text_col])
+    if len(flat) == 0:
+        return np.zeros(n_rows, bool)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    qcodes = pc.index_in(pa.array(terms), value_set=enc.dictionary)
+    mask = np.ones(n_rows, bool)
+    for qc in qcodes.to_pylist():
+        if qc is None:  # term absent from the whole batch
+            return np.zeros(n_rows, bool)
+        has = np.zeros(n_rows, bool)
+        has[parents[codes == qc]] = True
+        mask &= has
+    return mask
+
+
+def ranking_metrics(
+    docs: ray.data.Dataset,
+    ranked_doc_ids: list[int],
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Evaluate a ranked list → one row (n_relevant, ndcg_at_k, mrr).
+
+    ndcg = DCG@k / IDCG@k with binary gains 1/log2(rank+1); IDCG uses
+    min(n_relevant, k) ideal hits. mrr = 1/rank of the first relevant
+    result (0 if none). Values rounded to 6 decimals."""
+    ranked = np.asarray(ranked_doc_ids[:k], np.int64)
+    rset = np.sort(ranked)
+    ref = ray.put(rset)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rs = ray.get(ref)
+        rel = _contains_all_mask(b, terms, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[rel]
+        if len(rs) and len(ids):
+            idx = np.clip(np.searchsorted(rs, ids), 0, len(rs) - 1)
+            hits = ids[rs[idx] == ids]
+        else:
+            hits = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "n_rel": pa.array([int(rel.sum())], pa.int64()),
+                "hits": pa.array([hits.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    n_relevant = 0
+    hit_set: set[int] = set()
+    for b in docs.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_relevant += int(pc.sum(b["n_rel"]).as_py() or 0)
+        for row in b["hits"].to_pylist():
+            hit_set.update(row)
+
+    rel_at = np.array([1.0 if d in hit_set else 0.0 for d in ranked])
+    pos = np.arange(1, len(ranked) + 1, dtype=np.float64)
+    dcg = float(np.sum(rel_at / np.log2(pos + 1.0)))
+    n_ideal = min(n_relevant, k)
+    idcg = float(
+        np.sum(1.0 / np.log2(np.arange(1, n_ideal + 1, dtype=np.float64) + 1.0))
+    )
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    first = np.flatnonzero(rel_at)
+    mrr = 1.0 / float(pos[first[0]]) if len(first) else 0.0
+    return pa.table(
+        {
+            "n_relevant": pa.array([n_relevant], pa.int64()),
+            f"ndcg_at_{k}": pa.array([round(ndcg, 6)], pa.float64()),
+            "mrr": pa.array([round(mrr, 6)], pa.float64()),
+        }
+    )

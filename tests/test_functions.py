@@ -896,3 +896,27 @@ def test_complete_prefix_df_ranking():
 
     none = complete_prefix(ds, "zzz", k=5)
     assert len(none) == 0 and none.column_names == ["term", "df"]
+
+
+def test_ranking_metrics_hand_computed():
+    import math
+
+    from dcs_ray.functions.evaluate import ranking_metrics
+
+    texts = ["a b", "a only", "b a extra", "c", "a b c"]  # rel: 0, 2, 4
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = ranking_metrics(ds, [1, 0, 3, 2], ["a", "b"], k=4)
+    assert out.column_names == ["n_relevant", "ndcg_at_4", "mrr"]
+    assert out["n_relevant"].to_pylist() == [3]
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert out["ndcg_at_4"].to_pylist() == [round(dcg / idcg, 6)]
+    assert out["mrr"].to_pylist() == [round(1 / 2, 6)]
+
+    # no relevant docs at all -> all-zero metrics, no division blowups
+    z = ranking_metrics(ds, [1, 3], ["a", "b", "nosuch"], k=2)
+    assert z["n_relevant"].to_pylist() == [0]
+    assert z["ndcg_at_2"].to_pylist() == [0.0] and z["mrr"].to_pylist() == [0.0]
