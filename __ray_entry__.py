@@ -2340,6 +2340,30 @@ def _q_bm25_eval(sf_dir: str) -> pa.Table:
     return ranking_metrics(docs, ranked, BM25_QUERY.split(), k=10)
 
 
+def _q_bm25_pruned(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over the statically PRUNED serving tier (Carmel '01:
+    top-32 postings per term by tf desc, doc_id asc; idf/avgdl/doc_len
+    stay full-corpus). Exercises the whole prune job — shard-local
+    candidate cut, bucketed global selection, shard rewrite — plus the
+    unchanged search path over the pruned generation; the oracle
+    replays pruning with one window function and re-scores."""
+    from dcs_ray.index.prune import prune_index
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    out = idx + "_pruned32"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        prune_index(idx, out, m=32)
+    t = search_bm25(out, [BM25_QUERY], k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
     """Stemmed-field dictionary: document frequencies over S-stemmed
     terms (Harman '91 plural conflation) — the analyzer pass a stemmed
@@ -2881,6 +2905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete_prefix": _q_autocomplete,
         "stemmed_term_df": _q_stemmed_term_df,
         "bm25_eval_metrics": _q_bm25_eval,
+        "bm25_pruned_topk": _q_bm25_pruned,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3474,6 +3499,35 @@ st AS (SELECT doc_id,
   FROM dt),
 sd AS (SELECT DISTINCT doc_id, term FROM st)
 SELECT term, count(*)::bigint AS df FROM sd GROUP BY term ORDER BY term
+""",
+        # static pruning tier: per-term top-32 postings by (tf desc,
+        # doc_id asc), scored with FULL-corpus df/doc_len/avgdl
+        "bm25_pruned_topk": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+pruned AS (
+  SELECT doc_id, term, tf FROM (
+    SELECT tf.*, row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+    FROM tf) WHERE rn <= 32),
+q AS (SELECT unnest(['join','merge','spark']) AS term),
+scores AS (
+  SELECT p.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * p.tf * 2.2
+              / (p.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM pruned p JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE p.term IN (SELECT term FROM q)
+  GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # NDCG@10 + MRR of the BM25 top-10 vs the lexical relevance
         # oracle (doc contains ALL query terms); binary gains

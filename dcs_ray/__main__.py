@@ -256,6 +256,20 @@ def cmd_grep(args) -> None:
         print(f"{row['doc_id']}:{row['line']}: {row['context']}")
 
 
+def cmd_prune(args) -> None:
+    """Build the statically pruned serving tier (top-m postings per
+    term, full-corpus scoring stats — Carmel '01)."""
+    _ray()
+    from dcs_ray.index.prune import prune_index
+
+    summary = prune_index(args.index, args.out, m=args.m, codec=args.codec)
+    print(
+        json.dumps(
+            {k: summary[k] for k in ("m", "n_shards", "n_postings")}
+        )
+    )
+
+
 def cmd_update(args) -> None:
     """Incrementally replace one partition from a parquet file and
     re-merge only its shard (``cmd/dcs-package-importer`` Merge flow)."""
@@ -650,6 +664,13 @@ def main() -> None:
     d.add_argument("pattern")
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_grep)
+
+    d = sub.add_parser("prune", help="build the pruned serving tier (top-m postings/term)")
+    d.add_argument("index")
+    d.add_argument("out")
+    d.add_argument("--m", type=int, default=1000)
+    d.add_argument("--codec", default="varint")
+    d.set_defaults(fn=cmd_prune)
 
     d = sub.add_parser("update", help="replace one partition, re-merge its shard")
     d.add_argument("index")

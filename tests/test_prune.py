@@ -1,0 +1,79 @@
+"""Static index pruning: per-term caps hold, selection is the exact
+global top-m, lossless when m >= max df, and the pruned generation
+serves unchanged search paths."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from dcs_ray.index import IndexConfig, build_index
+from dcs_ray.index.prune import prune_index
+from dcs_ray.search import search_bm25
+
+
+def _corpus():
+    # tf gradient: doc i repeats 'hot' i%7+1 times; 'rare' in 3 docs
+    texts = []
+    for i in range(40):
+        t = ("hot " * (i % 7 + 1)) + f"filler{i}"
+        if i % 13 == 0:
+            t += " rare"
+        texts.append(t)
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def _build(tmp_path, name):
+    idx = str(tmp_path / name)
+    build_index(
+        _corpus(), idx,
+        IndexConfig(num_partitions=4, num_shards=2, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    return idx
+
+
+def test_prune_caps_and_exact_selection(tmp_path):
+    idx = _build(tmp_path, "full")
+    out = str(tmp_path / "pruned")
+    summary = prune_index(idx, out, m=5)
+    assert summary["n_shards"] == 2
+    # per-term global cap holds across ALL shards combined
+    import glob
+
+    per_term = {}
+    for td in glob.glob(f"{out}/shards/shard_*/term_dict.parquet"):
+        t = pq.read_table(td)
+        for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            per_term[term] = per_term.get(term, 0) + df
+    assert all(v <= 5 for v in per_term.values())
+    # 'hot' kept docs = exact top-5 by (tf desc, doc_id asc):
+    # tf = i%7+1, so tf=7 at i=6,13,20,27,34 -> lowest five ids win
+    from dcs_ray.codec import decode_postings
+    from dcs_ray.index.segment import Segment
+
+    kept = []
+    for sd in sorted(glob.glob(f"{out}/shards/shard_*")):
+        seg = Segment(sd)
+        i = seg.term_index("hot")
+        if i >= 0:
+            ids, tfs = decode_postings(seg.term_blob(i))
+            kept += list(zip(ids.tolist(), tfs.tolist()))
+    assert sorted(kept) == [(6, 7), (13, 7), (20, 7), (27, 7), (34, 7)]
+    # rare term (df=4 <= m) survives whole
+    assert per_term["rare"] == 4
+
+
+def test_prune_lossless_when_m_large(tmp_path):
+    idx = _build(tmp_path, "full2")
+    out = str(tmp_path / "pruned_all")
+    prune_index(idx, out, m=1000)
+    a = search_bm25(idx, ["hot rare"], k=10)
+    b = search_bm25(out, ["hot rare"], k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    np.testing.assert_allclose(
+        a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=0
+    )
