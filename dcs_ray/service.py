@@ -39,6 +39,7 @@ import pyarrow as pa
 import ray
 
 from dcs_ray.search import (
+    global_df,
     load_stats,
     plan_queries,
     score_shard_bm25,
@@ -503,3 +504,106 @@ def fielded_search_service(
 ) -> FieldedSearchService:
     """Start a resident two-field ranking service (body + anchor)."""
     return FieldedSearchService(body_dir, anchor_dir, anchor_weight=anchor_weight, **kw)
+
+
+class TieredSearchService:
+    """Two-tier serving over a full index + its pruned generation
+    (:func:`dcs_ray.index.prune.prune_index`).
+
+    Routing is CORRECTNESS-PRESERVING, not best-effort: a query is
+    served by the pruned tier only when every term's global df ≤ m —
+    in that case the term's entire posting list survived pruning, so
+    the small tier's answer is bit-identical to the full index's. Head
+    queries (any term df > m) fall back to the full tier. The split is
+    the classic serving economics: the long tail of rare-term queries
+    runs on a tier that is a fraction of the index size (and can live
+    entirely in RAM on few nodes), while only head queries touch the
+    big index. df lookups come from the shared ``stats/df.parquet``
+    (predicate-pushdown read, vocab-scale) and both tiers reuse the
+    same resident-actor machinery and result caches."""
+
+    def __init__(
+        self,
+        full_dir: str,
+        pruned_dir: str,
+        num_cpus: float = 1.0,
+        cache_ttl_s: float = 1800.0,
+        cache_max_entries: int = 4096,
+    ):
+        import json
+        import os
+
+        with open(os.path.join(pruned_dir, "MANIFEST.json")) as f:
+            man = json.load(f)
+        if "pruned_m" not in man:
+            raise ValueError(f"{pruned_dir} is not a pruned index generation")
+        self.m = int(man["pruned_m"])
+        # clamp the COMBINED two-tier pool (full + pruned actors) to half
+        # the cluster, so a tiered service never starves co-resident work
+        # (SearchService re-clamps per pool, which can only shrink further)
+        n_actors = len(shard_paths(full_dir)) + len(shard_paths(pruned_dir))
+        num_cpus = _fit_pool_cpus(num_cpus, n_actors)
+        self.full = SearchService(
+            full_dir, num_cpus=num_cpus, cache_ttl_s=cache_ttl_s,
+            cache_max_entries=cache_max_entries,
+        )
+        self.pruned = SearchService(
+            pruned_dir, num_cpus=num_cpus, cache_ttl_s=cache_ttl_s,
+            cache_max_entries=cache_max_entries,
+        )
+        self.n_pruned_served = 0
+        self.n_full_served = 0
+
+    def route(self, query: str) -> str:
+        """'pruned' iff every query term's global df ≤ m (whole posting
+        lists survived — exactness guaranteed), else 'full'."""
+        from dcs_ray.tokenize import tokenize_query_words
+
+        terms = sorted(set(tokenize_query_words(query)))
+        dfs = global_df(self.full.index_dir, terms)
+        return (
+            "pruned"
+            if all(dfs.get(t, 0) <= self.m for t in terms)
+            else "full"
+        )
+
+    def search(self, queries: list[str] | str, k: int = 10, **kw) -> pa.Table:
+        if isinstance(queries, str):
+            queries = [queries]
+        routes = [self.route(q) for q in queries]
+        out: list[pa.Table | None] = [None] * len(queries)
+        for tier, svc in (("pruned", self.pruned), ("full", self.full)):
+            idxs = [i for i, r in enumerate(routes) if r == tier]
+            if not idxs:
+                continue
+            t = svc.search([queries[i] for i in idxs], k=k, **kw)
+            qid = t["query_id"].to_numpy()
+            for local, i in enumerate(idxs):
+                sub = t.filter(pa.array(qid == local)).drop_columns(["query_id"])
+                out[i] = sub.add_column(
+                    0,
+                    pa.field("query_id", pa.int32()),
+                    pa.array(np.full(len(sub), i, np.int32), pa.int32()),
+                )
+            if tier == "pruned":
+                self.n_pruned_served += len(idxs)
+            else:
+                self.n_full_served += len(idxs)
+        return pa.concat_tables([t for t in out if t is not None])
+
+    def routing_info(self) -> dict:
+        return {
+            "m": self.m,
+            "pruned_served": self.n_pruned_served,
+            "full_served": self.n_full_served,
+        }
+
+    def shutdown(self) -> None:
+        self.full.shutdown()
+        self.pruned.shutdown()
+
+    def __enter__(self) -> "TieredSearchService":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()

@@ -77,3 +77,27 @@ def test_prune_lossless_when_m_large(tmp_path):
     np.testing.assert_allclose(
         a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=0
     )
+
+
+def test_tiered_service_exactness_and_routing(tmp_path):
+    """Tail queries (all terms df <= m) route to the pruned tier and are
+    bit-identical to the full index; head queries fall back. Results
+    from the tiered service always equal the full service's."""
+    from dcs_ray.service import TieredSearchService, search_service
+
+    idx = _build(tmp_path, "full3")
+    out = str(tmp_path / "pruned3")
+    prune_index(idx, out, m=5)  # 'hot' df=40 > 5; 'rare'/'fillerN' df <= 5
+
+    qs = ["rare filler0", "hot rare", "filler7"]
+    with TieredSearchService(idx, out) as tiered, search_service(idx) as full:
+        got = tiered.search(qs, k=10)
+        want = full.search(qs, k=10)
+        assert got.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
+            want.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+        )
+        info = tiered.routing_info()
+        # queries 0 and 2 are all-rare -> pruned tier; query 1 has 'hot'
+        assert tiered.route("rare filler0") == "pruned"
+        assert tiered.route("hot rare") == "full"
+        assert info == {"m": 5, "pruned_served": 2, "full_served": 1}
