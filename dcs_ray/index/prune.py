@@ -193,9 +193,10 @@ def prune_index(
     n_buckets = max(len(shards) * 4, 16)
 
     def with_bucket(b: pa.Table) -> pa.Table:
-        h = np.array(
-            [zlib.crc32(t.encode()) for t in b["term"].to_pylist()], np.int64
-        )
+        from dcs_ray.functions.textstats import fnv1a_bytes_rows
+
+        # vectorized FNV-1a over the term bytes; mask to non-negative
+        h = fnv1a_bytes_rows(b["term"]).view(np.int64) & np.int64((1 << 63) - 1)
         return b.append_column(
             "_bucket", pa.array(h % np.int64(n_buckets), pa.int64())
         )
