@@ -2364,6 +2364,23 @@ def _q_bm25_pruned(sf_dir: str) -> pa.Table:
     )
 
 
+_TUNE_GRID = [(0.5, 0.75), (0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (1.5, 0.75), (2.0, 1.0)]
+
+
+def _q_bm25_tune(sf_dir: str) -> pa.Table:
+    """Distributed BM25 parameter sweep: six (k1, b) combos scored over
+    the resident shard tasks (per-worker score caches key on the
+    params), NDCG@10 + MRR vs the lexical relevance oracle with ONE
+    labeling pass over the union of all combos' top-10s."""
+    from dcs_ray.functions.evaluate import tune_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tune_bm25(idx, docs, BM25_QUERY, _TUNE_GRID, k=10)
+
+
 def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
     """Stemmed-field dictionary: document frequencies over S-stemmed
     terms (Harman '91 plural conflation) — the analyzer pass a stemmed
@@ -2906,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_term_df": _q_stemmed_term_df,
         "bm25_eval_metrics": _q_bm25_eval,
         "bm25_pruned_topk": _q_bm25_pruned,
+        "bm25_param_sweep": _q_bm25_tune,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3023,6 +3041,67 @@ edges AS (
          toks[((doc_id + 5 * j) % n) + 1] || ' '
            || toks[((doc_id + 5 * j + 1) % n) + 1] AS anchor
   FROM lbase CROSS JOIN range(3) r(j))"""
+
+
+def _tune_bm25_sql(grid: list[tuple[float, float]], k: int = 10) -> str:
+    """The BM25 (k1, b) parameter sweep replayed in one statement: per
+    combo a scores/ranked/hits CTE chain (score expression mirrors the
+    ENGINE's association exactly — ``idf * (tf * (k1+1)) / (tf + k1 *
+    ((1-b) + b*dl/avgdl))`` with the (k1+1)/(1-b) constants computed in
+    Python so both sides use identical doubles), shared relevance
+    labels, UNION ALL of one metrics row per combo."""
+    parts = [
+        f"""tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+q AS (SELECT unnest(['join','merge','spark']) AS term),
+rel AS (
+  SELECT doc_id FROM tok WHERE term IN ('join','merge','spark')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+nrel AS (SELECT count(*)::bigint AS r FROM rel),
+idcg AS (
+  SELECT coalesce(sum(1.0 / log2(i + 1.0)), 0.0) AS v
+  FROM (SELECT unnest(range(1, 1 + least((SELECT r FROM nrel), {k}))) AS i))"""
+    ]
+    selects = []
+    for i, (k1, b) in enumerate(grid):
+        k1p, omb = repr(float(k1) + 1.0), repr(1.0 - float(b))
+        k1r, br = repr(float(k1)), repr(float(b))
+        parts.append(
+            f"""s{i} AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * (tf.tf * {k1p})
+              / (tf.tf + {k1r} * ({omb} + {br} * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id),
+r{i} AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM s{i} ORDER BY score DESC, doc_id ASC LIMIT {k}),
+h{i} AS (SELECT rank FROM r{i} JOIN rel USING (doc_id))"""
+        )
+        selects.append(
+            f"""SELECT {k1r} AS k1, {br} AS b,
+       round(CASE WHEN (SELECT v FROM idcg) > 0
+                  THEN (SELECT coalesce(sum(1.0 / log2(rank + 1.0)), 0.0) FROM h{i})
+                       / (SELECT v FROM idcg)
+                  ELSE 0.0 END, 6) AS ndcg_at_{k},
+       round(CASE WHEN (SELECT count(*) FROM h{i}) = 0 THEN 0.0
+                  ELSE 1.0 / (SELECT min(rank)::double FROM h{i}) END, 6) AS mrr"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\n) ORDER BY k1, b"
+    )
 
 
 def _pagerank_sql(
@@ -3529,6 +3608,8 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        # BM25 (k1, b) sweep: one metrics row per combo, shared labels
+        "bm25_param_sweep": _tune_bm25_sql(_TUNE_GRID, k=10),
         # NDCG@10 + MRR of the BM25 top-10 vs the lexical relevance
         # oracle (doc contains ALL query terms); binary gains
         "bm25_eval_metrics": f"""

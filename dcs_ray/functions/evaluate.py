@@ -50,21 +50,18 @@ def _contains_all_mask(
     return mask
 
 
-def ranking_metrics(
+def relevance_hits(
     docs: ray.data.Dataset,
-    ranked_doc_ids: list[int],
+    candidate_ids: list[int] | np.ndarray,
     terms: list[str],
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pa.Table:
-    """Evaluate a ranked list → one row (n_relevant, ndcg_at_k, mrr).
-
-    ndcg = DCG@k / IDCG@k with binary gains 1/log2(rank+1); IDCG uses
-    min(n_relevant, k) ideal hits. mrr = 1/rank of the first relevant
-    result (0 if none). Values rounded to 6 decimals."""
-    ranked = np.asarray(ranked_doc_ids[:k], np.int64)
-    rset = np.sort(ranked)
+) -> tuple[int, set[int]]:
+    """ONE streaming labeling pass → (total relevant count, the subset
+    of ``candidate_ids`` that are relevant). Candidates are broadcast;
+    each block emits one partial row. Factored out so several rankings
+    (parameter sweeps, A/B variants) share a single corpus pass."""
+    rset = np.unique(np.asarray(list(candidate_ids), np.int64))
     ref = ray.put(rset)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -91,9 +88,16 @@ def ranking_metrics(
         n_relevant += int(pc.sum(b["n_rel"]).as_py() or 0)
         for row in b["hits"].to_pylist():
             hit_set.update(row)
+    return n_relevant, hit_set
 
-    rel_at = np.array([1.0 if d in hit_set else 0.0 for d in ranked])
-    pos = np.arange(1, len(ranked) + 1, dtype=np.float64)
+
+def metrics_from_hits(
+    ranked: np.ndarray, hit_set: set[int], n_relevant: int, k: int
+) -> tuple[float, float]:
+    """(ndcg@k, mrr) of one ranked list given shared labels — ≤ k-row
+    math, no corpus access."""
+    rel_at = np.array([1.0 if d in hit_set else 0.0 for d in ranked[:k]])
+    pos = np.arange(1, len(rel_at) + 1, dtype=np.float64)
     dcg = float(np.sum(rel_at / np.log2(pos + 1.0)))
     n_ideal = min(n_relevant, k)
     idcg = float(
@@ -102,6 +106,27 @@ def ranking_metrics(
     ndcg = dcg / idcg if idcg > 0 else 0.0
     first = np.flatnonzero(rel_at)
     mrr = 1.0 / float(pos[first[0]]) if len(first) else 0.0
+    return ndcg, mrr
+
+
+def ranking_metrics(
+    docs: ray.data.Dataset,
+    ranked_doc_ids: list[int],
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Evaluate a ranked list → one row (n_relevant, ndcg_at_k, mrr).
+
+    ndcg = DCG@k / IDCG@k with binary gains 1/log2(rank+1); IDCG uses
+    min(n_relevant, k) ideal hits. mrr = 1/rank of the first relevant
+    result (0 if none). Values rounded to 6 decimals."""
+    ranked = np.asarray(ranked_doc_ids[:k], np.int64)
+    n_relevant, hit_set = relevance_hits(
+        docs, ranked, terms, id_col=id_col, text_col=text_col
+    )
+    ndcg, mrr = metrics_from_hits(ranked, hit_set, n_relevant, k)
     return pa.table(
         {
             "n_relevant": pa.array([n_relevant], pa.int64()),
@@ -109,3 +134,55 @@ def ranking_metrics(
             "mrr": pa.array([round(mrr, 6)], pa.float64()),
         }
     )
+
+
+def tune_bm25(
+    index_dir: str,
+    docs: ray.data.Dataset,
+    query: str,
+    grid: list[tuple[float, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Distributed BM25 parameter sweep: score ``query`` at every
+    (k1, b) in ``grid`` and measure NDCG@k / MRR against the lexical
+    all-terms relevance oracle → (k1, b, ndcg_at_k, mrr) sorted by
+    (k1, b). The eval-driven tuning loop a ranking deployment runs
+    before switching parameters.
+
+    Cost shape: each combo is one fan-out over the resident shard tasks
+    (the per-worker score cache keys on (k1, b, n_docs, avgdl), so
+    combos never poison each other); labeling is ONE corpus pass over
+    the UNION of all combos' top-k ids — metrics per combo are then
+    ≤ k-row local math."""
+    from dcs_ray.search import load_stats, search_bm25
+    from dcs_ray.tokenize import tokenize_query_words
+
+    base = load_stats(index_dir)
+    ranked_per: list[np.ndarray] = []
+    for k1, b in grid:
+        stats = dict(base, k1=float(k1), b=float(b))
+        t = search_bm25(index_dir, [query], k=k, stats=stats)
+        ranked_per.append(t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    union = np.unique(np.concatenate(ranked_per)) if ranked_per else np.empty(0, np.int64)
+    terms = sorted(set(tokenize_query_words(query)))
+    n_relevant, hit_set = relevance_hits(
+        docs, union, terms, id_col=id_col, text_col=text_col
+    )
+    rows_k1, rows_b, rows_ndcg, rows_mrr = [], [], [], []
+    for (k1, b), ranked in zip(grid, ranked_per):
+        ndcg, mrr = metrics_from_hits(ranked, hit_set, n_relevant, k)
+        rows_k1.append(float(k1))
+        rows_b.append(float(b))
+        rows_ndcg.append(round(ndcg, 6))
+        rows_mrr.append(round(mrr, 6))
+    out = pa.table(
+        {
+            "k1": pa.array(rows_k1, pa.float64()),
+            "b": pa.array(rows_b, pa.float64()),
+            f"ndcg_at_{k}": pa.array(rows_ndcg, pa.float64()),
+            "mrr": pa.array(rows_mrr, pa.float64()),
+        }
+    )
+    return out.sort_by([("k1", "ascending"), ("b", "ascending")])
