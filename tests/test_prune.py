@@ -101,3 +101,47 @@ def test_tiered_service_exactness_and_routing(tmp_path):
         assert tiered.route("rare filler0") == "pruned"
         assert tiered.route("hot rare") == "full"
         assert info == {"m": 5, "pruned_served": 2, "full_served": 1}
+
+
+def test_prune_preserves_meta_columns_and_is_idempotent(tmp_path):
+    """doc_meta (filters, priors) survives pruning — filtered and
+    prior-weighted search work on the pruned tier — and a second
+    prune_index call over the same target is a no-op resume."""
+    import pyarrow as pa
+    import ray.data
+
+    texts = [("hot " * (i % 7 + 1)) + f"w{i}" for i in range(40)]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).map_batches(
+        lambda b: b.append_column(
+            "grp", pa.array((b["doc_id"].to_numpy() % 2).astype("U1"))
+        ).append_column(
+            "prior", pa.array(1.0 + (b["doc_id"].to_numpy() % 5) / 10.0)
+        ),
+        batch_format="pyarrow",
+    )
+    idx = str(tmp_path / "meta_full")
+    build_index(
+        docs, idx,
+        IndexConfig(num_partitions=4, num_shards=2, mode="words",
+                    id_col="doc_id", dedup_latest=False,
+                    meta_cols=("grp", "prior")),
+    )
+    out = str(tmp_path / "meta_pruned")
+    s1 = prune_index(idx, out, m=5)
+    # filters and priors work on the pruned generation
+    f = search_bm25(out, ["hot"], k=10, filters={"include": {"grp": ["1"]}})
+    ids = f["doc_id"].to_pylist()
+    assert ids and all(i % 2 == 1 for i in ids)
+    p = search_bm25(out, ["hot"], k=10, prior_col="prior")
+    assert p.num_rows > 0
+    # idempotent resume: same summary, shards untouched
+    import glob
+    import os
+
+    mtimes = {d: os.stat(d).st_mtime_ns for d in glob.glob(f"{out}/shards/shard_*")}
+    s2 = prune_index(idx, out, m=5)
+    assert s2["n_postings"] == s1["n_postings"]
+    assert {d: os.stat(d).st_mtime_ns for d in glob.glob(f"{out}/shards/shard_*")} == mtimes
