@@ -976,6 +976,86 @@ def _q_shipping_priority(sf_dir: str) -> Any:
     )
 
 
+def _q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-style shipping priority: segment-filtered customers
+    broadcast-semi-join orders (date-pruned at the read), the one
+    big⋈big hop is lineitem ⋈ orders via hash-partitioned
+    ``shuffle_join``, revenue in exact integer 1e-4 units, per-order
+    combiner groupby, then per-block local top-10 before the driver
+    merge — the driver never sees more than 10 rows per block."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    cut = datetime.datetime(1995, 3, 15)
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut,
+    )
+    orders_b = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", small_cols=()
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut,
+    )
+    j = shuffle_join(li, orders_b, on="l_orderkey", right_on="o_orderkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        ["rev1e4"],
+    )
+    order = [
+        ("rev1e4", "descending"),
+        ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending"),
+    ]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 10)
+
+    parts = [
+        pa.table(b)
+        for b in agg.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts).sort_by(order).slice(0, 10)
+    return pa.table(
+        {
+            "l_orderkey": merged["l_orderkey"].cast(pa.int64()),
+            "revenue": pa.array(
+                merged["rev1e4"].to_numpy() / 10000.0, pa.float64()
+            ),
+            "o_orderdate": merged["o_orderdate"],
+            "o_orderpriority": merged["o_orderpriority"],
+        }
+    )
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -2957,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
+        "shipping_priority": _q_shipping_priority,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4086,6 +4167,22 @@ WITH j AS (
     AND o_orderdate < TIMESTAMP '1998-01-01')
 SELECT n_name, sum(rev1e4)::double / 10000.0 AS revenue
 FROM j GROUP BY n_name ORDER BY revenue DESC, n_name
+""",
+        "shipping_priority": """
+WITH j AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15')
+SELECT l_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 """,
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
