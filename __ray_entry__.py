@@ -2461,6 +2461,27 @@ def _q_bm25_tune(sf_dir: str) -> pa.Table:
     return tune_bm25(idx, docs, BM25_QUERY, _TUNE_GRID, k=10)
 
 
+def _q_more_like_this(sf_dir: str) -> pa.Table:
+    """Related documents for doc 42 (Lucene MoreLikeThis shape): its
+    top-5 tf·ln(N/df) terms — df from the index's global stats table,
+    no corpus pass — become a BM25 query; the source doc is excluded
+    and ranks renumbered."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.search import more_like_this
+
+    idx = _index_dir(sf_dir, "words")
+    target = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") == 42
+    )
+    t = more_like_this(
+        idx, target["text"][0].as_py(), exclude_doc_id=42, n_terms=5, k=10
+    )
+    return t.set_column(
+        2, "score", pa.array(np.round(t["score"].to_numpy(), 6), pa.float64())
+    )
+
+
 def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
     """Stemmed-field dictionary: document frequencies over S-stemmed
     terms (Harman '91 plural conflation) — the analyzer pass a stemmed
@@ -3004,6 +3025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_eval_metrics": _q_bm25_eval,
         "bm25_pruned_topk": _q_bm25_pruned,
         "bm25_param_sweep": _q_bm25_tune,
+        "more_like_this": _q_more_like_this,
         "bpe_word_counts": _q_bpe_word_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_subtoken_count": _q_bpe_subtoken_count,
@@ -3691,6 +3713,38 @@ FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # BM25 (k1, b) sweep: one metrics row per combo, shared labels
         "bm25_param_sweep": _tune_bm25_sql(_TUNE_GRID, k=10),
+        # MoreLikeThis for doc 42: top-5 tf·ln(N/df) terms -> BM25,
+        # source doc excluded, ranks renumbered
+        "more_like_this": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tsel AS (
+  SELECT term FROM (
+    SELECT tf.term,
+           tf.tf * ln((SELECT n_docs FROM stats)::double / df.df) AS s
+    FROM tf JOIN df USING (term) WHERE tf.doc_id = 42)
+  ORDER BY s DESC, term ASC LIMIT 5),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM tsel)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM (SELECT * FROM scores WHERE doc_id <> 42
+      ORDER BY score DESC, doc_id ASC LIMIT 10)
+ORDER BY score DESC, doc_id ASC
+""",
         # NDCG@10 + MRR of the BM25 top-10 vs the lexical relevance
         # oracle (doc contains ALL query terms); binary gains
         "bm25_eval_metrics": f"""

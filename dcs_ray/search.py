@@ -1182,3 +1182,65 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
     return out.sort_by(
         [("query_id", "ascending"), ("doc_id", "ascending"), ("position", "ascending")]
     )
+
+
+def more_like_this(
+    index_dir: str,
+    text: str,
+    exclude_doc_id: int | None = None,
+    n_terms: int = 5,
+    k: int = 10,
+    stats: dict | None = None,
+) -> pa.Table:
+    """"More like this": rank documents similar to ``text`` — the
+    classic related-documents feature (Lucene MoreLikeThis shape).
+
+    The document's terms are scored tf·ln(N/df) against the INDEX's
+    global df table (one predicate-pushdown read, no corpus pass); the
+    top ``n_terms`` (score desc, term asc) become a BM25 query; the
+    source document (``exclude_doc_id``) is dropped from the result and
+    ranks are renumbered. Everything downstream reuses the normal
+    ``search_bm25`` shard fan-out, so filters/caches/MaxScore apply."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    stats = stats or load_stats(index_dir)
+    # the DOCUMENT tokenizer (keeps duplicate occurrences — tf matters
+    # here; the query tokenizer dedups)
+    flat, _ = word_tokens_flat(pa.array([text], pa.string()))
+    toks = flat.to_pylist()
+    if not toks:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    terms, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    dfs = global_df(index_dir, [str(t) for t in terms])
+    df = np.array([dfs.get(str(t), 0) for t in terms], np.float64)
+    present = df > 0
+    terms, tf, df = terms[present], tf[present], df[present]
+    if len(terms) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    score = tf.astype(np.float64) * np.log(float(stats["n_docs"]) / df)
+    order = np.lexsort((terms.astype("U"), -score))[:n_terms]
+    query = " ".join(str(t) for t in terms[order])
+    t = search_bm25(index_dir, [query], k=k + 1, stats=stats)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ids != (exclude_doc_id if exclude_doc_id is not None else -1)
+    ids = ids[keep][:k]
+    scores = t["score"].to_numpy(zero_copy_only=False)[keep][:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

@@ -166,3 +166,24 @@ def test_doc_ids_filter_restricts_ranking(ray_session, meta_index):
         meta_index, ["spark merge join"], k=10, filters={"doc_ids": []}
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_more_like_this_excludes_source_and_ranks(meta_index):
+    import pyarrow.parquet as pq2
+
+    from dcs_ray.search import more_like_this
+
+    target = pq2.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).filter(pa.compute.equal(pa.compute.field("doc_id"), 42))
+    text = target["text"][0].as_py()
+    out = more_like_this(meta_index, text, exclude_doc_id=42, n_terms=5, k=10)
+    ids = out["doc_id"].to_pylist()
+    assert 42 not in ids and len(ids) == 10
+    assert out["rank"].to_pylist() == list(range(1, 11))
+    # scores non-increasing
+    s = out["score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all()
+    # empty text -> empty result, schema intact
+    e = more_like_this(meta_index, "", n_terms=5, k=10)
+    assert len(e) == 0 and e.column_names == ["rank", "doc_id", "score"]
