@@ -1056,6 +1056,94 @@ def _q_shipping_priority(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_price_model(sf_dir: str) -> pa.Table:
+    """Distributed OLS training: fit extendedprice_cents ~ quantity +
+    discount_pct + tax_pct over lineitem via the integer moment-matrix
+    fold (one exact int64 XᵀX per batch, order-independent sum), then
+    a Cramer solve whose fixed-order float expansion the oracle
+    replays term for term — distributed model TRAINING with a
+    bit-exact SQL gate."""
+    from dcs_ray.functions.linreg import linreg_fit_int
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(
+                    np.round(b["l_quantity"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+                "disc_pct": pa.array(
+                    np.round(b["l_discount"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tax_pct": pa.array(
+                    np.round(b["l_tax"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+                "y_cents": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return linreg_fit_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["qty", "disc_pct", "tax_pct"],
+        "y_cents",
+    )
+
+
+def _price_model_sql() -> str:
+    """SQL replay of the OLS fit: integer moments, then Cramer with the
+    SAME fixed-order float det expansion as the engine."""
+    from dcs_ray.functions.linreg import det_sql
+
+    p = 4
+
+    def mn(i: int, j: int) -> str:
+        return f"m_{min(i, j)}_{max(i, j)}"
+
+    base = [[mn(i, j) for j in range(p)] for i in range(p)]
+    det_base = det_sql(base)
+    feats = ["intercept", "qty", "disc_pct", "tax_pct"]
+    selects = []
+    for i, name in enumerate(feats):
+        names_i = [
+            [f"v_{r}" if j == i else base[r][j] for j in range(p)]
+            for r in range(p)
+        ]
+        selects.append(
+            f"SELECT {i} AS ord, '{name}' AS feature,\n"
+            f"  round(({det_sql(names_i)}) / ({det_base}), 6) AS coef FROM m"
+        )
+    xs = ["1", "x1", "x2", "x3"]
+    moments = ",\n    ".join(
+        f"sum({xs[i]} * {xs[j]})::bigint AS m_{i}_{j}"
+        for i in range(p)
+        for j in range(i, p)
+    )
+    vs = ",\n    ".join(f"sum({xs[i]} * y)::bigint AS v_{i}" for i in range(p))
+    return f"""
+WITH f AS (
+  SELECT round(l_quantity)::bigint AS x1,
+         round(l_discount * 100)::bigint AS x2,
+         round(l_tax * 100)::bigint AS x3,
+         round(l_extendedprice * 100)::bigint AS y
+  FROM lineitem),
+m AS (SELECT
+    {moments},
+    {vs}
+  FROM f)
+SELECT feature, coef FROM (
+{chr(10).join("UNION ALL " + s if n else s for n, s in enumerate(selects))}
+) ORDER BY ord
+"""
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -3060,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
         "shipping_priority": _q_shipping_priority,
+        "price_model_ols": _q_price_model,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4238,6 +4327,9 @@ SELECT l_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
 FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
 """,
+        # distributed OLS training: integer moment fold + fixed-order
+        # Cramer expansion (identical float expression tree both sides)
+        "price_model_ols": _price_model_sql(),
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,

@@ -1,0 +1,126 @@
+"""Distributed linear-model training (ordinary least squares) via the
+integer moment-matrix fold — the closed-form normal-equations route
+that maps perfectly onto map_batches:
+
+    β = (XᵀX)⁻¹ Xᵀy
+
+Each batch contributes one partial row of XᵀX / Xᵀy (a single int64
+``X.T @ X`` per batch — exact, so the fold is ORDER-INDEPENDENT and
+bit-identical at any parallelism); the driver sums a #blocks-sized
+table of (p+1)² integers. The tiny (p+1)-dim solve then uses Cramer's
+rule with a FIXED-ORDER permutation expansion evaluated in float64 —
+the same expression tree the SQL oracle evaluates, so even the float
+coefficients replay bit-exactly (see ``_det_fixed`` / ``det_sql``).
+
+Features must be pre-scaled to integers by the caller (the repo's
+integer-units convention, e.g. ``round(price*100)``); that is what
+makes the distributed fold exact. Magnitude budget: with int64, every
+Σ xᵢxⱼ must stay below 2^63 and below 2^53 for the exact
+int→double cast — fine for ~1e9-row folds of ≤1e4-scale features; a
+100-TB fit should bucket the fold per feature pair or lift partials to
+float with a tree reduce (documented trade-off).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _perm_sign(p: tuple[int, ...]) -> int:
+    inv = sum(
+        1
+        for i in range(len(p))
+        for j in range(i + 1, len(p))
+        if p[i] > p[j]
+    )
+    return -1 if inv % 2 else 1
+
+
+def _det_fixed(m: list[list[float]]) -> float:
+    """Determinant via the permutation expansion in itertools order,
+    left-associated products and sums — the shared expression tree
+    (``det_sql`` emits the identical SQL)."""
+    n = len(m)
+    acc = 0.0
+    for p in itertools.permutations(range(n)):
+        prod = 1.0
+        for i in range(n):
+            prod = prod * m[i][p[i]]
+        acc = acc + (float(_perm_sign(p)) * prod)
+    return acc
+
+
+def det_sql(names: list[list[str]]) -> str:
+    """The same permutation expansion as a SQL expression over column
+    names (each cast ``::double``), term order and associativity
+    matching :func:`_det_fixed` exactly."""
+    n = len(names)
+    parts: list[str] = []
+    for p in itertools.permutations(range(n)):
+        term = " * ".join(f"{names[i][p[i]]}::double" for i in range(n))
+        if not parts:
+            parts.append(f"({term})")  # itertools order: first sign is +
+        elif _perm_sign(p) > 0:
+            parts.append(f"+ ({term})")
+        else:
+            parts.append(f"- ({term})")
+    return " ".join(parts)
+
+
+def linreg_fit_int(
+    ds: ray.data.Dataset, x_cols: list[str], y_col: str
+) -> pa.Table:
+    """OLS fit of integer columns → (feature, coef) with an intercept
+    row first; coef rounded to 6 decimals. See module docstring for the
+    exactness contract."""
+    p = len(x_cols) + 1  # + intercept
+    flat_names = [f"m_{i}_{j}" for i in range(p) for j in range(i, p)] + [
+        f"v_{i}" for i in range(p)
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        X = np.empty((n, p), np.int64)
+        X[:, 0] = 1
+        for j, c in enumerate(x_cols):
+            X[:, j + 1] = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = X.T @ X
+        v = X.T @ y
+        vals = [M[i, j] for i in range(p) for j in range(i, p)] + list(v)
+        return pa.table(
+            {nm: pa.array([int(x)], pa.int64()) for nm, x in zip(flat_names, vals)}
+        )
+
+    tot = {nm: 0 for nm in flat_names}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for nm in flat_names:
+            s = b[nm].to_numpy(zero_copy_only=False).sum()
+            tot[nm] += int(s)
+
+    M = [[0.0] * p for _ in range(p)]
+    for i in range(p):
+        for j in range(i, p):
+            M[i][j] = M[j][i] = float(tot[f"m_{i}_{j}"])
+    v = [float(tot[f"v_{i}"]) for i in range(p)]
+    det = _det_fixed(M)
+    if det == 0.0:
+        raise ValueError("singular moment matrix (collinear features)")
+    coefs = []
+    for i in range(p):
+        Mi = [row[:] for row in M]
+        for r in range(p):
+            Mi[r][i] = v[r]
+        coefs.append(round(_det_fixed(Mi) / det, 6))
+    return pa.table(
+        {
+            "feature": pa.array(["intercept"] + list(x_cols), pa.string()),
+            "coef": pa.array(coefs, pa.float64()),
+        }
+    )

@@ -920,3 +920,30 @@ def test_ranking_metrics_hand_computed():
     z = ranking_metrics(ds, [1, 3], ["a", "b", "nosuch"], k=2)
     assert z["n_relevant"].to_pylist() == [0]
     assert z["ndcg_at_2"].to_pylist() == [0.0] and z["mrr"].to_pylist() == [0.0]
+
+
+def test_linreg_fit_exact_recovery():
+    """OLS recovers an exactly-linear integer relationship and is
+    invariant to partitioning (the int64 moment fold is exact)."""
+    from dcs_ray.functions.linreg import linreg_fit_int
+
+    rng = np.random.RandomState(7)
+    x1 = rng.randint(0, 50, 400).astype(np.int64)
+    x2 = rng.randint(0, 10, 400).astype(np.int64)
+    y = 300 + 2 * x1 - 5 * x2  # exact linear, zero residual
+    t = pa.table(
+        {"x1": pa.array(x1, pa.int64()), "x2": pa.array(x2, pa.int64()),
+         "y": pa.array(y, pa.int64())}
+    )
+    a = linreg_fit_int(ray.data.from_arrow(t).repartition(1), ["x1", "x2"], "y")
+    b = linreg_fit_int(ray.data.from_arrow(t).repartition(7), ["x1", "x2"], "y")
+    assert a.equals(b)  # partitioning-invariant (exact integer fold)
+    got = dict(zip(a["feature"].to_pylist(), a["coef"].to_pylist()))
+    assert got == {"intercept": 300.0, "x1": 2.0, "x2": -5.0}
+
+    # collinear features -> explicit error, not garbage coefficients
+    t2 = t.append_column("x3", pa.array(2 * x1, pa.int64()))
+    import pytest
+
+    with pytest.raises(ValueError):
+        linreg_fit_int(ray.data.from_arrow(t2), ["x1", "x2", "x3"], "y")
