@@ -1144,6 +1144,84 @@ SELECT feature, coef FROM (
 """
 
 
+def _q_langid_model(sf_dir: str) -> pa.Table:
+    """Distributed logistic-regression TRAINING (full-batch GD, 5
+    iterations): predict lang=='en' from (n_tokens, n_stopwords). One
+    partial-gradient row per block per iteration, canonical fold
+    order; the oracle replays every iteration's gradient and update in
+    chained CTEs with the engine's expression tree."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.linreg import logreg_fit_gd
+    from dcs_ray.functions.textstats import quality_score_batch
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b)
+        y = pc.equal(b["lang"], "en").cast(pa.int64())
+        return pa.table(
+            {
+                "n_tokens": q["n_tokens"],
+                "n_stop": q["n_stopwords"],
+                "y": y,
+            }
+        )
+
+    return logreg_fit_gd(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["n_tokens", "n_stop"],
+        "y",
+        n_iter=5,
+        lr=1e-3,
+    )
+
+
+def _logreg_sql(n_iter: int = 5, lr: float = 1e-3) -> str:
+    """Every GD iteration replayed in chained CTEs: z and the update use
+    the engine's left-associated expression tree; coefficients compared
+    after the final round(·, 6)."""
+    parts = [
+        f"""tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it') THEN 1 ELSE 0 END) AS n_stop
+  FROM tok GROUP BY doc_id),
+f AS (
+  SELECT coalesce(a.n_tokens, 0)::double AS x1,
+         coalesce(a.n_stop, 0)::double AS x2,
+         CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+nn AS (SELECT count(*)::double AS n FROM f),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""g{t} AS (
+  SELECT sum(1.0 * r) AS g0, sum(x1 * r) AS g1, sum(x2 * r) AS g2 FROM (
+    SELECT x1, x2,
+           (1.0 / (1.0 + exp(-(((b.b0 * 1.0) + (b.b1 * x1)) + (b.b2 * x2)))) - y) AS r
+    FROM f, b{t} b)),
+b{t + 1} AS (
+  SELECT (b.b0 - {lr!r} * (g.g0 / (SELECT n FROM nn))) AS b0,
+         (b.b1 - {lr!r} * (g.g1 / (SELECT n FROM nn))) AS b1,
+         (b.b2 - {lr!r} * (g.g2 / (SELECT n FROM nn))) AS b2
+  FROM b{t} b, g{t} g)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT feature, coef FROM (
+  SELECT 0 AS ord, 'intercept' AS feature, round(b0, 6) AS coef FROM b{n_iter}
+  UNION ALL SELECT 1, 'n_tokens', round(b1, 6) FROM b{n_iter}
+  UNION ALL SELECT 2, 'n_stop', round(b2, 6) FROM b{n_iter}
+) ORDER BY ord"""
+    )
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -3149,6 +3227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "shipping_priority": _q_shipping_priority,
         "price_model_ols": _q_price_model,
+        "langid_model_gd": _q_langid_model,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4330,6 +4409,8 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         # distributed OLS training: integer moment fold + fixed-order
         # Cramer expansion (identical float expression tree both sides)
         "price_model_ols": _price_model_sql(),
+        # distributed logistic GD training: every iteration replayed
+        "langid_model_gd": _logreg_sql(n_iter=5, lr=1e-3),
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,

@@ -124,3 +124,85 @@ def linreg_fit_int(
             "coef": pa.array(coefs, pa.float64()),
         }
     )
+
+
+def logreg_fit_gd(
+    ds: ray.data.Dataset,
+    x_cols: list[str],
+    y_col: str,
+    n_iter: int = 5,
+    lr: float = 1e-3,
+) -> pa.Table:
+    """Distributed logistic-regression TRAINING: full-batch gradient
+    descent for a FIXED ``n_iter`` iterations (the iterative
+    complement of :func:`linreg_fit_int`'s closed form; the trained
+    counterpart of ``textstats.QualityClassifier``'s inference-only
+    actor).
+
+        β_{t+1} = β_t − lr · ( Σ x·(σ(x·β_t) − y) / N )
+
+    Scale shape: β is broadcast per iteration; each iteration is ONE
+    streaming pass where a batch emits a single partial-gradient row
+    ((p+1) floats + its row count); the driver folds #blocks rows in a
+    CANONICAL sorted order, so a given block layout yields the same
+    result at any parallelism / arrival order. z and the update use
+    explicit left-associated arithmetic — the SQL oracle replays every
+    iteration with the same expression tree, coefficients matching to
+    the final round(·, 6) whenever lr·n_iter keeps the GD map
+    contracting (ULP-level sum-order differences across DIFFERENT
+    block layouts are unavoidable and amplify if lr is large enough to
+    make iterates oscillate — keep lr modest for replayable fits).
+
+    Inputs: integer (or float) feature columns, binary 0/1 ``y_col``;
+    an intercept is prepended. Returns (feature, coef)."""
+    import ray
+
+    p = len(x_cols) + 1
+    ds = ds.materialize()  # consumed n_iter times
+    beta = np.zeros(p, np.float64)
+    n_total = 0
+    for t in range(n_iter):
+        bref = ray.put(beta.copy())
+
+        def partial(b: pa.Table, _bref=bref) -> pa.Table:
+            bt = ray.get(_bref)
+            n = len(b)
+            cols = [np.ones(n, np.float64)] + [
+                b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in x_cols
+            ]
+            z = bt[0] * cols[0]
+            for j in range(1, p):
+                z = z + bt[j] * cols[j]
+            r = 1.0 / (1.0 + np.exp(-z)) - b[y_col].to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            out = {
+                f"g_{j}": pa.array([float(np.sum(cols[j] * r))], pa.float64())
+                for j in range(p)
+            }
+            out["n"] = pa.array([n], pa.int64())
+            return pa.table(out)
+
+        parts = [
+            pa.table(b)
+            for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        allp = pa.concat_tables(parts)
+        gs = [allp[f"g_{j}"].to_numpy(zero_copy_only=False) for j in range(p)]
+        ns = allp["n"].to_numpy(zero_copy_only=False)
+        # canonical fold order: sort partial rows by their values so the
+        # float sum never depends on block arrival order
+        order = np.lexsort(tuple(gs[::-1]))
+        g = np.array([float(np.sum(gj[order])) for gj in gs])
+        n_total = int(ns.sum())
+        for j in range(p):
+            beta[j] = beta[j] - lr * (g[j] / float(n_total))
+    return pa.table(
+        {
+            "feature": pa.array(["intercept"] + list(x_cols), pa.string()),
+            "coef": pa.array([round(float(b), 6) for b in beta], pa.float64()),
+        }
+    )

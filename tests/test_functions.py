@@ -947,3 +947,27 @@ def test_linreg_fit_exact_recovery():
 
     with pytest.raises(ValueError):
         linreg_fit_int(ray.data.from_arrow(t2), ["x1", "x2", "x3"], "y")
+
+
+def test_logreg_gd_learns_and_partitioning_stays_close():
+    from dcs_ray.functions.linreg import logreg_fit_gd
+
+    # separable (centered so the boundary is learnable in few passes):
+    # y = 1 iff x1 >= 0; modest lr keeps the GD map contracting, so
+    # different block layouts agree to float noise
+    x1 = np.arange(-10, 10, dtype=np.int64)
+    y = (x1 >= 0).astype(np.int64)
+    t = pa.table({"x1": pa.array(x1, pa.int64()), "y": pa.array(y, pa.int64())})
+    a = logreg_fit_gd(ray.data.from_arrow(t).repartition(1), ["x1"], "y",
+                      n_iter=60, lr=0.05)
+    b = logreg_fit_gd(ray.data.from_arrow(t).repartition(5), ["x1"], "y",
+                      n_iter=60, lr=0.05)
+    np.testing.assert_allclose(
+        a["coef"].to_numpy(), b["coef"].to_numpy(), rtol=0, atol=1e-6
+    )
+    coef = dict(zip(a["feature"].to_pylist(), a["coef"].to_pylist()))
+    # learned boundary separates the classes: w*x + b sign flips at ~10
+    w, b0 = coef["x1"], coef["intercept"]
+    assert w > 0
+    pred = (w * x1 + b0) > 0
+    assert (pred == (y == 1)).mean() >= 0.9
