@@ -1222,6 +1222,84 @@ SELECT feature, coef FROM (
     )
 
 
+def _q_lineitem_corr(sf_dir: str) -> pa.Table:
+    """Distributed Pearson correlation matrix over lineitem numerics
+    (integer-scaled): exact int64 moment fold, closed form evaluated
+    with the oracle's exact expression tree. Price in whole dollars so
+    Σx² stays inside the exact int→double window at bench scales."""
+    from dcs_ray.functions.linreg import corr_matrix_int
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(
+                    np.round(b["l_quantity"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+                "disc_pct": pa.array(
+                    np.round(b["l_discount"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tax_pct": pa.array(
+                    np.round(b["l_tax"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+                "price_usd": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return corr_matrix_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["qty", "disc_pct", "tax_pct", "price_usd"],
+    )
+
+
+def _corr_sql() -> str:
+    """SQL replay of the correlation fold: integer moments, then the
+    engine's exact float expression per pair."""
+    cols = ["qty", "disc_pct", "tax_pct", "price_usd"]
+    p = len(cols)
+    moments = ",\n    ".join(
+        [f"sum(x{i})::bigint AS s_{i}" for i in range(p)]
+        + [
+            f"sum(x{i} * x{j})::bigint AS q_{i}_{j}"
+            for i in range(p)
+            for j in range(i, p)
+        ]
+    )
+    selects = []
+    for i in range(p):
+        for j in range(i + 1, p):
+            num = f"((n::double * q_{i}_{j}::double) - (s_{i}::double * s_{j}::double))"
+            da = f"sqrt((n::double * q_{i}_{i}::double) - (s_{i}::double * s_{i}::double))"
+            db = f"sqrt((n::double * q_{j}_{j}::double) - (s_{j}::double * s_{j}::double))"
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b,\n"
+                f"  round({num} / ({da} * {db}), 6) AS corr FROM m"
+            )
+    body = "\nUNION ALL ".join(selects)
+    return f"""
+WITH f AS (
+  SELECT round(l_quantity)::bigint AS x0,
+         round(l_discount * 100)::bigint AS x1,
+         round(l_tax * 100)::bigint AS x2,
+         round(l_extendedprice)::bigint AS x3
+  FROM lineitem),
+m AS (SELECT count(*)::bigint AS n,
+    {moments}
+  FROM f)
+SELECT * FROM (
+{body}
+) ORDER BY col_a, col_b
+"""
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -3228,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
+        "lineitem_corr_matrix": _q_lineitem_corr,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4411,6 +4490,8 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         "price_model_ols": _price_model_sql(),
         # distributed logistic GD training: every iteration replayed
         "langid_model_gd": _logreg_sql(n_iter=5, lr=1e-3),
+        # distributed Pearson correlations: exact integer moment fold
+        "lineitem_corr_matrix": _corr_sql(),
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,

@@ -206,3 +206,68 @@ def logreg_fit_gd(
             "coef": pa.array([round(float(b), 6) for b in beta], pa.float64()),
         }
     )
+
+
+def corr_matrix_int(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
+    """Distributed Pearson correlation matrix over integer columns via
+    the same exact int64 moment fold as :func:`linreg_fit_int` — one
+    partial row per batch, order-independent integer sums, then the
+    tiny closed form
+
+        corr = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² − (Σy)²))
+
+    evaluated in float64 with exactly this expression tree (the SQL
+    oracle mirrors it term for term). Returns the upper triangle
+    (col_a < col_b) sorted by (col_a, col_b), corr rounded to 6."""
+    p = len(cols)
+    names = [f"s_{i}" for i in range(p)] + [
+        f"q_{i}_{j}" for i in range(p) for j in range(i, p)
+    ]
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.column_stack(
+            [b[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in cols]
+        )
+        out = {"n": pa.array([len(b)], pa.int64())}
+        for i in range(p):
+            out[f"s_{i}"] = pa.array([int(X[:, i].sum())], pa.int64())
+        Q = X.T @ X
+        for i in range(p):
+            for j in range(i, p):
+                out[f"q_{i}_{j}"] = pa.array([int(Q[i, j])], pa.int64())
+        return pa.table(out)
+
+    tot = {nm: 0 for nm in names}
+    n = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n += int(b["n"].to_numpy(zero_copy_only=False).sum())
+        for nm in names:
+            tot[nm] += int(b[nm].to_numpy(zero_copy_only=False).sum())
+
+    rows_a, rows_b, rows_c = [], [], []
+    import math
+
+    for i in range(p):
+        for j in range(i + 1, p):
+            num = float(n) * float(tot[f"q_{i}_{j}"]) - float(tot[f"s_{i}"]) * float(
+                tot[f"s_{j}"]
+            )
+            da = math.sqrt(
+                float(n) * float(tot[f"q_{i}_{i}"]) - float(tot[f"s_{i}"]) * float(tot[f"s_{i}"])
+            )
+            db = math.sqrt(
+                float(n) * float(tot[f"q_{j}_{j}"]) - float(tot[f"s_{j}"]) * float(tot[f"s_{j}"])
+            )
+            c = num / (da * db) if da > 0 and db > 0 else 0.0
+            rows_a.append(cols[i])
+            rows_b.append(cols[j])
+            rows_c.append(round(c, 6))
+    return pa.table(
+        {
+            "col_a": pa.array(rows_a, pa.string()),
+            "col_b": pa.array(rows_b, pa.string()),
+            "corr": pa.array(rows_c, pa.float64()),
+        }
+    ).sort_by([("col_a", "ascending"), ("col_b", "ascending")])

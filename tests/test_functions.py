@@ -971,3 +971,29 @@ def test_logreg_gd_learns_and_partitioning_stays_close():
     assert w > 0
     pred = (w * x1 + b0) > 0
     assert (pred == (y == 1)).mean() >= 0.9
+
+
+def test_corr_matrix_exact_and_partition_invariant():
+    from dcs_ray.functions.linreg import corr_matrix_int
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 100, 500).astype(np.int64)
+    t = pa.table(
+        {
+            "a": pa.array(x, pa.int64()),
+            "b": pa.array(2 * x + 3, pa.int64()),     # corr = 1
+            "c": pa.array(-x, pa.int64()),            # corr = -1
+            "d": pa.array(rng.randint(0, 100, 500).astype(np.int64), pa.int64()),
+        }
+    )
+    a1 = corr_matrix_int(ray.data.from_arrow(t).repartition(1), ["a", "b", "c", "d"])
+    a7 = corr_matrix_int(ray.data.from_arrow(t).repartition(7), ["a", "b", "c", "d"])
+    assert a1.equals(a7)  # exact integer fold: bit-identical
+    got = {(r, c): v for r, c, v in zip(a1["col_a"].to_pylist(),
+                                        a1["col_b"].to_pylist(),
+                                        a1["corr"].to_pylist())}
+    assert got[("a", "b")] == 1.0 and got[("a", "c")] == -1.0
+    assert abs(got[("a", "d")]) < 0.2
+    # output sorted by (col_a, col_b)
+    pairs = list(zip(a1["col_a"].to_pylist(), a1["col_b"].to_pylist()))
+    assert pairs == sorted(pairs)
