@@ -1300,6 +1300,61 @@ SELECT * FROM (
 """
 
 
+def _q_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed k-means training (Lloyd's, k=4, 3 iterations) over
+    the embeddings table: centroids broadcast per iteration, one
+    ≤k-row partial per block, k·d-sized exchange. The oracle replays
+    seeding, every assignment (argmin, ties to smallest cid), every
+    mean update, and empty-cluster carry-over in chained CTEs."""
+    from dcs_ray.functions.kmeans import kmeans_fit
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_fit(emb, k=4, n_iter=3)
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """k-means replay: long-form embeddings, per-iteration distance /
+    argmin / mean CTEs; sizes from the final assignment."""
+    parts = [
+        f"""e AS MATERIALIZED (
+  SELECT vec_id, i.i AS dim, embedding[i.i]::double AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i),
+seeds AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::bigint AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0 AS MATERIALIZED (SELECT s.cid, e.dim, e.v FROM e JOIN seeds s USING (vec_id))"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e JOIN c{t} c USING (dim) GROUP BY e.vec_id, c.cid),
+a{t} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{t}) WHERE rn = 1),
+c{t + 1} AS MATERIALIZED (
+  SELECT a.cid, e.dim, sum(e.v) / count(*) AS v
+  FROM e JOIN a{t} a USING (vec_id) GROUP BY a.cid, e.dim
+  UNION ALL
+  SELECT c.cid, c.dim, c.v FROM c{t} c
+  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM a{t}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+sz AS (SELECT cid, count(*)::bigint AS n FROM a{n_iter - 1} GROUP BY cid)
+SELECT c.cid, coalesce(z.n, 0)::bigint AS n_members, c.dim,
+       round(c.v, 6) AS centroid
+FROM c{n_iter} c LEFT JOIN sz z USING (cid)
+ORDER BY c.cid, c.dim"""
+    )
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -3307,6 +3362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
+        "kmeans_centroids": _q_kmeans,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4492,6 +4548,8 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         "langid_model_gd": _logreg_sql(n_iter=5, lr=1e-3),
         # distributed Pearson correlations: exact integer moment fold
         "lineitem_corr_matrix": _corr_sql(),
+        # distributed k-means: every Lloyd iteration replayed
+        "kmeans_centroids": _kmeans_sql(k=4, n_iter=3, dim=64),
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,

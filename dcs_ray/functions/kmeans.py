@@ -1,0 +1,134 @@
+"""Distributed k-means TRAINING (Lloyd's algorithm, fixed iterations)
+over an embedding column — the full-corpus counterpart of the bounded
+sample k-means inside ``simsearch.IvfAnnIndex``; the iterative
+centroid-training shape every embedding pipeline needs (IVF list
+training, cluster-balanced mixtures, diversity sampling).
+
+Scale shape: centroids (k × d floats) broadcast once per iteration via
+``ray.put``; each iteration is ONE streaming pass where a batch emits
+≤ k partial rows (cid, per-dim sums, member count) — the exchange is
+k·d-sized, never corpus-sized; partials fold on the driver in a
+CANONICAL sorted order so a given block layout reproduces exactly.
+
+Determinism contract (what the SQL oracle replays):
+- init: the embeddings of the k smallest ids, cid in id order;
+- assignment: argmin squared L2, ties to the smallest cid;
+- update: per-dim mean of members; an EMPTY cluster keeps its previous
+  centroid;
+- output: (cid, n_members, dim, centroid round 6) sorted (cid, dim),
+  sizes from the LAST assignment pass.
+
+Float caveat: per-dim sums are order-sensitive at the ULP level; the
+final round(·, 6) absorbs it (same contract as pagerank/HITS). Exact
+assignment ties across ULP-diverged distances would need exact
+arithmetic — measure-zero for real embeddings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _emb_f64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Train k centroids; see module docstring for the contract."""
+    ds = ds.materialize()  # consumed n_iter + 1 times
+
+    # deterministic seeds: embeddings of the k smallest ids
+    def local_seed(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                vec_col: b[vec_col].take(pa.array(order)),
+            }
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(local_seed, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    cand = cand.sort_by(id_col).slice(0, k)
+    if len(cand) < k:
+        raise ValueError(f"need at least k={k} rows to seed k-means")
+    C = _emb_f64(cand[vec_col])  # (k, d)
+    d = C.shape[1]
+
+    counts = np.zeros(k, np.int64)
+    for _ in range(n_iter):
+        cref = ray.put(C.copy())
+
+        def partial(b: pa.Table, _cref=cref) -> pa.Table:
+            cc = ray.get(_cref)
+            E = _emb_f64(b[vec_col])
+            # squared L2 to every centroid; argmin ties -> smallest cid
+            dist = ((E[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(dist, axis=1)
+            cids, inv = np.unique(a, return_inverse=True)
+            sums = np.zeros((len(cids), E.shape[1]), np.float64)
+            np.add.at(sums, inv, E)
+            n = np.bincount(inv).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64), pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(n, pa.int64()),
+                }
+            )
+
+        rows = pa.concat_tables(
+            pa.table(b)
+            for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        cids = rows["cid"].to_numpy(zero_copy_only=False)
+        ns = rows["n"].to_numpy(zero_copy_only=False)
+        S = _emb_f64(rows["s"])
+        counts = np.zeros(k, np.int64)
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for cid in np.unique(cids):
+            m = cids == cid
+            # canonical fold order: sort this cluster's partial rows by
+            # their values so the float sum is arrival-order-independent
+            sub = S[m]
+            order = np.lexsort(tuple(sub[:, j] for j in range(d - 1, -1, -1)))
+            tot = sub[order].sum(axis=0)
+            cnt = int(ns[m].sum())
+            counts[cid] = cnt
+            newC[cid] = tot / float(cnt)
+        C = newC
+
+    out_cid, out_n, out_dim, out_v = [], [], [], []
+    for cid in range(k):
+        for j in range(d):
+            out_cid.append(cid)
+            out_n.append(int(counts[cid]))
+            out_dim.append(j + 1)  # 1-based, matching SQL list indexing
+            out_v.append(round(float(C[cid, j]), 6))
+    return pa.table(
+        {
+            "cid": pa.array(out_cid, pa.int64()),
+            "n_members": pa.array(out_n, pa.int64()),
+            "dim": pa.array(out_dim, pa.int64()),
+            "centroid": pa.array(out_v, pa.float64()),
+        }
+    )
