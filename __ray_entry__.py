@@ -1355,6 +1355,63 @@ ORDER BY c.cid, c.dim"""
     )
 
 
+def _q_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA (top principal component) over embeddings: one
+    covariance-moment fold pass (d(d+3)/2-float partials), 10 power
+    iterations driver-side; the oracle replays moments, every matvec +
+    L2 normalize, the sign rule, and the Rayleigh eigenvalue."""
+    from dcs_ray.functions.kmeans import pca_top_component
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_top_component(emb, n_iter=10)
+
+
+def _pca_sql(n_iter: int = 10, dim: int = 64) -> str:
+    """PCA replay: long-form embeddings, covariance via a self-join,
+    chained matvec/normalize CTEs with the engine's expression tree."""
+    parts = [
+        f"""el AS MATERIALIZED (
+  SELECT vec_id, i.i AS dim, embedding[i.i]::double AS v
+  FROM embeddings, (SELECT unnest(range(1, {dim + 1})) AS i) i),
+nn AS (SELECT count(*)::double AS n FROM embeddings),
+mu AS MATERIALIZED (
+  SELECT dim, sum(v) / (SELECT n FROM nn) AS m FROM el GROUP BY dim),
+q AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, sum(a.v * b.v) AS q
+  FROM el a JOIN el b USING (vec_id) GROUP BY a.dim, b.dim),
+cov AS MATERIALIZED (
+  SELECT q.i, q.j, (q.q / (SELECT n FROM nn)) - (ma.m * mb.m) AS v
+  FROM q JOIN mu ma ON ma.dim = q.i JOIN mu mb ON mb.dim = q.j),
+w0 AS (SELECT dim, (1.0 / sqrt({dim}.0)) AS v FROM mu)"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""u{t} AS MATERIALIZED (
+  SELECT c.i AS dim, sum(c.v * w.v) AS u
+  FROM cov c JOIN w{t} w ON c.j = w.dim GROUP BY c.i),
+nrm{t} AS (SELECT sqrt(sum(u * u)) AS s FROM u{t}),
+w{t + 1} AS MATERIALIZED (
+  SELECT dim, u / (SELECT s FROM nrm{t}) AS v FROM u{t})"""
+        )
+    T = n_iter
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+lead AS (SELECT v FROM w{T} ORDER BY abs(v) DESC, dim ASC LIMIT 1),
+sgn AS (SELECT CASE WHEN (SELECT v FROM lead) < 0.0 THEN -1.0 ELSE 1.0 END AS s),
+vf AS MATERIALIZED (SELECT dim, v * (SELECT s FROM sgn) AS v FROM w{T}),
+cv AS (SELECT c.i AS dim, sum(c.v * f.v) AS u
+       FROM cov c JOIN vf f ON c.j = f.dim GROUP BY c.i),
+eig AS (SELECT sum(f.v * c.u) AS e FROM vf f JOIN cv c USING (dim))
+SELECT dim, round(v, 6) AS loading,
+       round((SELECT e FROM eig), 6) AS eigenvalue
+FROM vf ORDER BY dim"""
+    )
+
+
 def _q_local_supplier_volume(sf_dir: str) -> Any:
     """TPC-H-Q5-style local supplier volume — the full 6-table chain:
     region→nation dims broadcast, customers semi-filtered to the
@@ -3363,6 +3420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
         "kmeans_centroids": _q_kmeans,
+        "pca_top_component": _q_pca,
         "customers_without_orders": _q_customers_without_orders,
         "top_events_per_user": _q_top_events_per_user,
         "windowed_top_users": _q_windowed_top_users,
@@ -4550,6 +4608,8 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         "lineitem_corr_matrix": _corr_sql(),
         # distributed k-means: every Lloyd iteration replayed
         "kmeans_centroids": _kmeans_sql(k=4, n_iter=3, dim=64),
+        # distributed PCA: moment fold + power iteration replayed
+        "pca_top_component": _pca_sql(n_iter=10, dim=64),
         "distinct_users": """
 SELECT count(DISTINCT user_id)::bigint AS n_distinct FROM events
 """,

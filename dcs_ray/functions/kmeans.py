@@ -132,3 +132,80 @@ def kmeans_fit(
             "centroid": pa.array(out_v, pa.float64()),
         }
     )
+
+
+def pca_top_component(
+    ds: ray.data.Dataset,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Distributed PCA, top principal component: ONE streaming pass
+    folds the covariance moments (per batch: n, Σx, upper-triangle
+    Σxxᵀ — a d(d+3)/2-float partial row, never the corpus), then
+    ``n_iter`` power iterations on the d×d covariance run driver-side
+    (d² floats — trivially small). Population covariance
+    C = Σxxᵀ/N − μμᵀ.
+
+    Determinism: partials fold in canonical sorted order; the power
+    iteration starts from the uniform vector, L2-normalizes each step
+    (sums in dim order), and the final component's sign is
+    canonicalized so the largest-|loading| dim (ties → smallest dim)
+    is positive. The SQL oracle replays the moments, every matvec +
+    normalize, the sign rule, and the Rayleigh-quotient eigenvalue.
+    Output: (dim 1-based, loading round 6, eigenvalue round 6)."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        E = _emb_f64(b[vec_col])
+        n, d = E.shape
+        s = E.sum(axis=0)
+        Q = E.T @ E
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "q": pa.array([Q[iu].tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    S = _emb_f64(rows["s"])
+    Qf = _emb_f64(rows["q"])
+    N = int(rows["n"].to_numpy(zero_copy_only=False).sum())
+    d = S.shape[1]
+    # canonical fold order (sort partial rows by their s values)
+    order = np.lexsort(tuple(S[:, j] for j in range(d - 1, -1, -1)))
+    s_tot = S[order].sum(axis=0)
+    q_tot = Qf[order].sum(axis=0)
+    iu = np.triu_indices(d)
+    Q = np.zeros((d, d), np.float64)
+    Q[iu] = q_tot
+    Q = Q + np.triu(Q, 1).T
+    mu = s_tot / float(N)
+    C = Q / float(N) - np.outer(mu, mu)
+
+    v = np.full(d, 1.0 / math.sqrt(d), np.float64)
+    for _ in range(n_iter):
+        w = C @ v
+        nrm = math.sqrt(float(np.sum(w * w)))
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    # sign canonicalization: largest |loading|, ties -> smallest dim
+    lead = int(np.lexsort((np.arange(d), -np.abs(v)))[0])
+    if v[lead] < 0:
+        v = -v
+    eig = float(v @ (C @ v))
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+            "loading": pa.array(np.round(v, 6), pa.float64()),
+            "eigenvalue": pa.array(np.full(d, round(eig, 6)), pa.float64()),
+        }
+    )

@@ -58,3 +58,31 @@ def test_kmeans_empty_cluster_keeps_previous_centroid():
         np.isfinite(got.centroid.to_numpy())
     )  # no NaN from a 0-member division
     assert np.isfinite(got.centroid.to_numpy()).all()
+
+
+def test_pca_top_component_matches_numpy_eig():
+    from dcs_ray.functions.kmeans import pca_top_component
+
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: dominant axis along (1,1,0,...)/sqrt(2)
+    d = 8
+    base = rng.randn(300, d)
+    base[:, 0] = base[:, 1] = 5.0 * rng.randn(300)
+    out = pca_top_component(
+        ray.data.from_arrow(_emb_table(base)).repartition(3), n_iter=50
+    )
+    assert out.column_names == ["dim", "loading", "eigenvalue"]
+    v = out["loading"].to_numpy()
+    lam = out["eigenvalue"].to_numpy()[0]
+    # numpy reference on the float32-quantized data (the engine reads
+    # float32 parquet-typed vectors)
+    X = base.astype(np.float32).astype(np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    w, V = np.linalg.eigh(C)
+    ref = V[:, -1]
+    if ref[np.argmax(np.abs(ref))] < 0:
+        ref = -ref
+    np.testing.assert_allclose(v, ref, atol=1e-3)
+    np.testing.assert_allclose(lam, w[-1], rtol=1e-3)
+    # unit norm
+    assert abs(float((v ** 2).sum()) - 1.0) < 1e-4
