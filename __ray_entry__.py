@@ -3136,6 +3136,51 @@ def _q_link_hits(sf_dir: str) -> pa.Table:
     return link_hits(_link_edges_ds(sf_dir), n_iter=5)
 
 
+def _q_link_degree_stats(sf_dir: str) -> pa.Table:
+    """Per-doc in/out link-degree ranking features with LEFT-JOIN zeros
+    — the first-order static link signals next to PageRank. Degree
+    vectors are node-sized driver folds broadcast once; docs stream."""
+    from dcs_ray.functions.links import link_degree_stats
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = link_degree_stats(_link_edges_ds(sf_dir), docs)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _link_pair_edges(sf_dir: str):
+    """Link edges renamed to the (id_a, id_b) pair schema the
+    undirected graph kernels consume."""
+    return _link_edges_ds(sf_dir).map_batches(
+        lambda b: pa.table({"id_a": b["src"], "id_b": b["dst"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_link_triangles(sf_dir: str) -> pa.Table:
+    """Per-node triangle counts over the undirected web graph —
+    clustering-coefficient numerator / link-ring signal. Degree-ordered
+    wedge generation + bucketed closure join (Suri & Vassilvitskii
+    '11); the oracle is the canonical 3-way edge self-join."""
+    from dcs_ray.functions.graph import triangle_counts
+
+    ds = triangle_counts(_link_pair_edges(sf_dir))
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("node")
+
+
+def _q_link_communities(sf_dir: str) -> pa.Table:
+    """Label-propagation communities (Raghavan '07, deterministic
+    min-tie variant) on the undirected web graph after 5 synchronous
+    rounds — every round replayed in the oracle as a chained
+    count/argmax CTE pair."""
+    from dcs_ray.functions.graph import label_propagation
+
+    ds = label_propagation(_link_pair_edges(sf_dir), n_iter=5)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("node")
+
+
 def _pagerank_index_dir(sf_dir: str) -> str:
     """Body index whose doc_meta ``prior`` is the COMPUTED link-graph
     PageRank (``1 + N·rank``, 1.0 for docs outside the graph) — the
@@ -3391,6 +3436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- web link graph intermediates (chain gated above the window) ---
         "link_edges": _q_link_edges,
         "anchor_terms_topk": _q_anchor_terms_topk,
+        "link_degree_stats": _q_link_degree_stats,
+        "link_triangles": _q_link_triangles,
+        "link_communities": _q_link_communities,
         "search_facets": _q_search_facets,
         "spell_suggest": _q_spell_suggest,
         "crawl_delta_stats": _q_crawl_delta,
@@ -3415,7 +3463,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
-        "shipping_priority": _q_shipping_priority,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -3691,6 +3738,40 @@ h{i} AS MATERIALIZED (
         + f"""
 SELECT node, round(a, 6) AS authority, round(h, 6) AS hub
 FROM a{k} JOIN h{k} USING (node) ORDER BY node"""
+    )
+
+
+def _lpa_sql(k: int = 5, edges_cte: str | None = None) -> str:
+    """All ``k`` synchronous label-propagation rounds replayed as
+    chained (count, argmax) CTE pairs — labels start as node ids,
+    each round takes the most frequent neighbor label with ties to
+    the SMALLEST label (graph.py::label_propagation's deterministic
+    update rule). MATERIALIZED: inlined CTEs re-expand exponentially."""
+    parts = [
+        edges_cte or _LINK_EDGES_CTE,
+        """ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM ce UNION ALL SELECT v AS node, u AS nbr FROM ce),
+l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM und)""",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT und.node, l{i - 1}.lbl, count(*) AS c
+  FROM und JOIN l{i - 1} ON l{i - 1}.node = und.nbr
+  GROUP BY und.node, l{i - 1}.lbl),
+l{i} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, lbl AS community FROM l{k} ORDER BY node"
     )
 
 
@@ -4195,6 +4276,39 @@ cc AS (SELECT e1.src AS id_a, e2.src AS id_b, count(*)::bigint AS n_shared
 SELECT id_a, id_b, n_shared FROM cc
 ORDER BY n_shared DESC, id_a, id_b LIMIT 100
 """,
+        # degree features: LEFT JOIN zeros for docs outside the graph
+        "link_degree_stats": f"""
+WITH {_LINK_EDGES_CTE},
+outd AS (SELECT src AS node, count(*)::bigint AS c FROM edges GROUP BY src),
+ind AS (SELECT dst AS node, count(*)::bigint AS c FROM edges GROUP BY dst)
+SELECT d.doc_id::bigint AS doc_id,
+       coalesce(o.c, 0)::bigint AS out_links,
+       coalesce(i.c, 0)::bigint AS in_links
+FROM documents d
+LEFT JOIN outd o ON o.node = d.doc_id
+LEFT JOIN ind i ON i.node = d.doc_id
+ORDER BY doc_id
+""",
+        # per-node triangle counts: canonical undirected dedup then the
+        # textbook 3-way edge self-join (a < b < c); each corner counts
+        "link_triangles": f"""
+WITH {_LINK_EDGES_CTE},
+ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::bigint AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+""",
+        "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
         # two-field BM25: body scores from the shared _BM25_SCORES chain,
         # anchor field rebuilt from the link edges with its OWN df/dl/avgdl
         # over the anchor pseudo-corpus (one pseudo-doc per link target),

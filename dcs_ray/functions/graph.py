@@ -250,6 +250,292 @@ def connected_components(
     )
 
 
+def triangle_counts(
+    edges: ray.data.Dataset, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Per-node triangle participation counts over the undirected,
+    deduplicated (id_a, id_b) edge Dataset → Dataset[(node,
+    n_triangles)] (nodes in ≥1 triangle; total triangles = Σ/3) — the
+    classic graph-cohesion signal (clustering coefficient numerator,
+    spam-farm / link-ring detection on the web graph).
+
+    Algorithm: degree-ordered node-iterator (Schank & Wagner '05 —
+    the MapReduce standard from Suri & Vassilvitskii '11). Every edge
+    is oriented from its lower-(degree, id) endpoint to the higher, so
+    each triangle is counted exactly once as a wedge at its
+    lowest-degree corner and out-degrees are bounded by O(√m) on any
+    graph. Three shuffles total, all edge-bounded:
+
+    1. degrees: per-block partials folded on the driver (node-sized,
+       the same vertex-state-fits regime as :func:`pagerank`), then
+       the (node → orientation rank) vector broadcast via ``ray.put``;
+    2. wedges: one groupby on a hash bucket of the wedge CENTER, pair
+       generation fully vectorized inside the bucket (the
+       ``copair_counts`` offset arithmetic);
+    3. closure: wedge candidates and oriented edges co-bucketed by the
+       (v, w) pair hash, matched inside each bucket with one lexsort —
+       a run of equal (v, w) rows closes iff its first row is an edge.
+
+    Matched wedges emit one partial count per corner, folded by a
+    combiner groupby — the driver never sees per-triangle rows."""
+    canon = _dedupe(
+        edges.map_batches(_canon_batch, batch_format="pyarrow")
+    ).materialize()
+
+    # pass 1: degrees (node-sized driver fold) → orientation rank
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]).astype(np.int64)
+        un, cn = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cn, pa.int64())}
+        )
+
+    hs, cs = [], []
+    for b in canon.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs.append(b["node"].to_numpy(zero_copy_only=False))
+        cs.append(b["deg"].to_numpy(zero_copy_only=False))
+    if not hs:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "n_triangles": pa.array([], pa.int64())}
+            )
+        )
+    alln, alld = np.concatenate(hs), np.concatenate(cs)
+    nodes, inv = np.unique(alln, return_inverse=True)
+    deg = np.zeros(len(nodes), np.int64)
+    np.add.at(deg, inv, alld)
+    order = np.lexsort((nodes, deg))
+    rank = np.empty(len(nodes), np.int64)
+    rank[order] = np.arange(len(nodes))
+    rank_ref = ray.put((nodes, rank))
+
+    def _rank_of(ids: np.ndarray, nd: np.ndarray, rk: np.ndarray) -> np.ndarray:
+        return rk[np.searchsorted(nd, ids)]
+
+    # oriented edges (a → b with rank[a] < rank[b]), bucketed two ways:
+    # kind=0 rows keyed by the (v, w) pair hash for the closure join
+    def orient(b: pa.Table, _r=rank_ref) -> pa.Table:
+        nd, rk = ray.get(_r)
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        ru, rv = _rank_of(u, nd, rk), _rank_of(v, nd, rk)
+        swap = ru > rv
+        a = np.where(swap, v, u)
+        c = np.where(swap, u, v)
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(c, pa.int64())}
+        )
+
+    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def _pair_bucket(v: np.ndarray, w: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (v.astype(np.uint64) * _MIX1) ^ (w.astype(np.uint64) * _MIX2)
+            x ^= x >> np.uint64(29)
+        return (x % np.uint64(n_buckets)).astype(np.int32)
+
+    # wedges at each center: bucket by center, vectorized pair gen
+    def center_bucket(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = a * _MIX1
+            x ^= x >> np.uint64(31)
+        return b.append_column(
+            "bucket", pa.array((x % np.uint64(n_buckets)).astype(np.int32), pa.int32())
+        )
+
+    def wedges_in_bucket(g: pa.Table, _r=rank_ref) -> pa.Table:
+        nd, rk = ray.get(_r)
+        a = g["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = g["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        rb = _rank_of(b, nd, rk)
+        order = np.lexsort((rb, a))
+        a, b = a[order], b[order]
+        runs = np.concatenate(([0], np.flatnonzero(a[1:] != a[:-1]) + 1))
+        lens = np.diff(np.concatenate((runs, [len(a)])))
+        start_of = np.repeat(runs, lens)
+        within = np.arange(len(a)) - start_of
+        right = np.repeat(np.arange(len(a)), within)
+        pair_start = np.repeat(start_of, within)
+        csum = np.cumsum(within) - within
+        left = pair_start + (np.arange(within.sum()) - np.repeat(csum, within))
+        # neighbors sorted by rank within a run → rank[v] < rank[w]
+        v, w, u = b[left], b[right], a[right]
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "kind": pa.array(np.ones(len(v), np.int8), pa.int8()),
+                "jb": pa.array(_pair_bucket(v, w), pa.int32()),
+            }
+        )
+
+    wedges = (
+        oriented.map_batches(center_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges_in_bucket, batch_format="pyarrow")
+    )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        c = b["b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array(a, pa.int64()),
+                "w": pa.array(c, pa.int64()),
+                "u": pa.array(np.full(len(a), -1, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(a), np.int8), pa.int8()),
+                "jb": pa.array(_pair_bucket(a, c), pa.int32()),
+            }
+        )
+
+    tagged = wedges.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def close_bucket(g: pa.Table) -> pa.Table:
+        v = g["v"].combine_chunks().to_numpy(zero_copy_only=False)
+        w = g["w"].combine_chunks().to_numpy(zero_copy_only=False)
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        k = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, w, v))
+        v, w, u, k = v[order], w[order], u[order], k[order]
+        new = np.concatenate(
+            ([True], (v[1:] != v[:-1]) | (w[1:] != w[:-1]))
+        ) if len(v) else np.empty(0, bool)
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        closed = k[starts] == 0  # dedup ⇒ ≤1 edge row per (v, w), sorted first
+        hit = closed[run_id] & (k == 1)
+        corners = np.concatenate([u[hit], v[hit], w[hit]])
+        un, cn = np.unique(corners, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()),
+             "c": pa.array(cn.astype(np.int64), pa.int64())}
+        )
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    partials = tagged.groupby("jb").map_groups(close_bucket, batch_format="pyarrow")
+    summed = combiner_groupby(partials, ["node"], ["c"])
+    return summed.map_batches(
+        lambda b: pa.table({"node": b["node"], "n_triangles": b["c"]}),
+        batch_format="pyarrow",
+    )
+
+
+def label_propagation(
+    edges: ray.data.Dataset, n_iter: int = 5, n_buckets: int = 64
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. '07, deterministic variant) over the undirected deduplicated
+    edge Dataset → Dataset[(node, community)] after ``n_iter`` rounds.
+
+    Update rule (fully deterministic, SQL-replayable): every node
+    starts labeled with its own id; each round, simultaneously,
+    ``label(v) = argmax over neighbor-label counts`` with ties broken
+    by the SMALLEST label. Nodes keep their previous label only if they
+    have no neighbors (can't happen inside the edge-induced universe).
+
+    Scale shape: the label vector is node-sized, broadcast once per
+    round via ``ray.put`` (vertex state fits, edges stream — the
+    :func:`pagerank` regime). Each round is one streaming edge pass
+    emitting per-batch (node, neighbor-label) partial counts, one
+    combiner groupby to fold them (the exchange is bounded by distinct
+    (node, label) pairs ≤ 2·|edges|, never corpus text), and one
+    bucketed argmax; the driver collects only the node-sized new label
+    vector."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    und = _both_orientations(
+        _dedupe(edges.map_batches(_canon_batch, batch_format="pyarrow"))
+    ).materialize()
+
+    parts = [
+        b["u"].to_numpy(zero_copy_only=False)
+        for b in und.select_columns(["u"]).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "community": pa.array([], pa.int64())}
+            )
+        )
+    nodes = np.unique(np.concatenate(parts))
+    labels = nodes.copy()
+
+    for _ in range(n_iter):
+        l_ref = ray.put((nodes, labels))
+
+        def nbr_label(b: pa.Table, _l=l_ref) -> pa.Table:
+            nd, lb = ray.get(_l)
+            u = b["u"].to_numpy().astype(np.int64)
+            v = b["v"].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(u, pa.int64()),
+                    "lbl": pa.array(lb[np.searchsorted(nd, v)], pa.int64()),
+                }
+            )
+
+        counts = combiner_groupby(
+            und.map_batches(nbr_label, batch_format="pyarrow"),
+            ["node", "lbl"],
+            [],
+            count_col="c",
+        )
+
+        def bucket(b: pa.Table) -> pa.Table:
+            n = b["node"].to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                x = n * _MIX1
+                x ^= x >> np.uint64(31)
+            return b.append_column(
+                "bucket",
+                pa.array((x % np.uint64(n_buckets)).astype(np.int32), pa.int32()),
+            )
+
+        def argmax_in_bucket(g: pa.Table) -> pa.Table:
+            n = g["node"].combine_chunks().to_numpy(zero_copy_only=False)
+            lb = g["lbl"].combine_chunks().to_numpy(zero_copy_only=False)
+            c = g["c"].combine_chunks().to_numpy(zero_copy_only=False)
+            # per node: max count, then smallest label — one lexsort
+            order = np.lexsort((lb, -c, n))
+            n, lb = n[order], lb[order]
+            starts = np.concatenate(([0], np.flatnonzero(n[1:] != n[:-1]) + 1))
+            return pa.table(
+                {
+                    "node": pa.array(n[starts], pa.int64()),
+                    "lbl": pa.array(lb[starts], pa.int64()),
+                }
+            )
+
+        new_n, new_l = [], []
+        for b in (
+            counts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(argmax_in_bucket, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        ):
+            new_n.append(b["node"].to_numpy(zero_copy_only=False))
+            new_l.append(b["lbl"].to_numpy(zero_copy_only=False))
+        nn = np.concatenate(new_n)
+        nl = np.concatenate(new_l)
+        labels = nl[np.argsort(nn)]  # every node has ≥1 neighbor → full cover
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "community": pa.array(labels, pa.int64()),
+            }
+        )
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iter: int = 5,

@@ -368,6 +368,80 @@ def link_hits(edges: ray.data.Dataset, n_iter: int = 5) -> pa.Table:
     )
 
 
+def link_degree_stats(
+    edges: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-doc link-degree ranking features → ``(doc_id, out_links,
+    in_links)`` with LEFT-JOIN semantics (docs outside the graph get
+    zeros) — the first-order static link signals every web ranker keeps
+    next to PageRank (in-degree ≈ naive popularity, out-degree feeds
+    hub/spam heuristics).
+
+    Scale shape: out/in degree vectors are node-sized — folded from
+    per-block partial counts on the driver (the
+    :func:`~dcs_ray.functions.graph.pagerank` vertex-state-fits
+    regime), broadcast ONCE via ``ray.put``, probed per docs batch with
+    searchsorted. Docs stream; no shuffle at all."""
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(np.int64)
+        t = b["dst"].to_numpy().astype(np.int64)
+        us, cs = np.unique(s, return_counts=True)
+        ut, ct = np.unique(t, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([us, ut]), pa.int64()),
+                "o": pa.array(
+                    np.concatenate([cs, np.zeros(len(ut), np.int64)]), pa.int64()
+                ),
+                "i": pa.array(
+                    np.concatenate([np.zeros(len(us), np.int64), ct]), pa.int64()
+                ),
+            }
+        )
+
+    hs, os_, is_ = [], [], []
+    for b in edges.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs.append(b["node"].to_numpy(zero_copy_only=False))
+        os_.append(b["o"].to_numpy(zero_copy_only=False))
+        is_.append(b["i"].to_numpy(zero_copy_only=False))
+    if hs:
+        alln = np.concatenate(hs)
+        nodes, inv = np.unique(alln, return_inverse=True)
+        outd = np.zeros(len(nodes), np.int64)
+        ind = np.zeros(len(nodes), np.int64)
+        np.add.at(outd, inv, np.concatenate(os_))
+        np.add.at(ind, inv, np.concatenate(is_))
+    else:
+        nodes = np.empty(0, np.int64)
+        outd = ind = np.empty(0, np.int64)
+    ref = ray.put((nodes, outd, ind))
+
+    def probe(b: pa.Table, _r=ref) -> pa.Table:
+        nd, od, idg = ray.get(_r)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nd) == 0:
+            o = i = np.zeros(len(ids), np.int64)
+        else:
+            idx = np.clip(np.searchsorted(nd, ids), 0, len(nd) - 1)
+            hit = nd[idx] == ids
+            o = np.where(hit, od[idx], np.int64(0))
+            i = np.where(hit, idg[idx], np.int64(0))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "out_links": pa.array(o, pa.int64()),
+                "in_links": pa.array(i, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
 def host_rank_mass(
     ranks: pa.Table,
     docs: ray.data.Dataset,

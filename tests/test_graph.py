@@ -309,3 +309,143 @@ def test_personalized_pagerank_matches_dense_reference():
     # seeds outside the node universe are rejected, not silently dropped
     with pytest.raises(ValueError):
         pagerank(ray.data.from_arrow(t), n_iter=1, seeds=[99])
+
+
+# ---------------------------------------------------------------------------
+# triangle counts
+
+
+def _tri_brute(a, b) -> dict[int, int]:
+    """Per-node triangle counts by explicit enumeration."""
+    import itertools
+
+    edges = set()
+    for u, v in zip(a, b):
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out: dict[int, int] = {}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for x in (u, v, w):
+                out[x] = out.get(x, 0) + 1
+    return out
+
+
+def _tri_of(ds) -> dict[int, int]:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    return dict(zip(t["node"].to_pylist(), t["n_triangles"].to_pylist()))
+
+
+def test_triangles_known_graph(ray_session):
+    from dcs_ray.functions.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (4 triangles, each node in 3) + a pendant edge
+    a = [0, 0, 0, 1, 1, 2, 4]
+    b = [1, 2, 3, 2, 3, 3, 0]
+    got = _tri_of(triangle_counts(_edge_ds(a, b)))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_random_matches_bruteforce(ray_session):
+    from dcs_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    for n, m in [(30, 120), (60, 200)]:
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        got = _tri_of(triangle_counts(_edge_ds(a, b)))
+        want = _tri_brute(a.tolist(), b.tolist())
+        assert got == want
+
+
+def test_triangles_duplicate_and_reversed_edges_count_once(ray_session):
+    from dcs_ray.functions.graph import triangle_counts
+
+    a = [0, 1, 2, 1, 0, 2]
+    b = [1, 2, 0, 0, 2, 1]  # one triangle, every edge twice/reversed
+    got = _tri_of(triangle_counts(_edge_ds(a, b)))
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_none(ray_session):
+    from dcs_ray.functions.graph import triangle_counts
+
+    got = _tri_of(triangle_counts(_edge_ds([0, 1, 2], [1, 2, 3])))  # a path
+    assert got == {}
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+
+
+def _lpa_brute(a, b, n_iter) -> dict[int, int]:
+    edges = set()
+    for u, v in zip(a, b):
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    adj: dict[int, list] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for x in nbrs:
+                counts[lbl[x]] = counts.get(lbl[x], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        lbl = new
+    return lbl
+
+
+def _lpa_of(ds) -> dict[int, int]:
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    return dict(zip(t["node"].to_pylist(), t["community"].to_pylist()))
+
+
+def test_lpa_two_cliques_with_bridge(ray_session):
+    from dcs_ray.functions.graph import label_propagation
+
+    import itertools
+
+    e = list(itertools.combinations(range(5), 2))
+    e += list(itertools.combinations(range(10, 15), 2))
+    e.append((4, 10))  # bridge
+    a = [x for x, _ in e]
+    b = [y for _, y in e]
+    got = _lpa_of(label_propagation(_edge_ds(a, b), n_iter=5))
+    want = _lpa_brute(a, b, 5)
+    assert got == want
+    # two communities dominated by the clique minima
+    assert set(got[n] for n in range(4)) == {0}
+    assert set(got[n] for n in range(11, 15)) == {10}
+
+
+def test_lpa_random_matches_reference(ray_session):
+    from dcs_ray.functions.graph import label_propagation
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 40, 150)
+    b = rng.integers(0, 40, 150)
+    for k in (1, 3):
+        got = _lpa_of(label_propagation(_edge_ds(a, b), n_iter=k))
+        want = _lpa_brute(a.tolist(), b.tolist(), k)
+        assert got == want
+
+
+def test_lpa_empty(ray_session):
+    from dcs_ray.functions.graph import label_propagation
+
+    assert _lpa_of(label_propagation(_edge_ds([], []))) == {}

@@ -369,3 +369,32 @@ def test_host_rank_mass_broadcast_fold():
     assert out["n_docs"].to_pylist() == [2, 2]
     # a: 0.25+0.125 = 0.375e6; b: 0.5 + 0 (doc 4 not a node) = 0.5e6
     assert out["rank_mass_e6"].to_pylist() == [375000, 500000]
+
+
+def test_link_degree_stats_left_join_zeros(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import link_degree_stats
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 1, 2, 2, 2, 7], pa.int64()),
+                "dst": pa.array([2, 3, 3, 3, 1, 7], pa.int64()),
+                "anchor": pa.array(["a"] * 6, pa.string()),
+            }
+        )
+    )
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64())})
+    )
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in link_degree_stats(edges, docs).iter_batches(batch_format="pyarrow")
+    ).sort_by("doc_id")
+    assert t["doc_id"].to_pylist() == [1, 2, 3, 4]
+    assert t["out_links"].to_pylist() == [2, 3, 0, 0]  # doc 4 outside graph
+    assert t["in_links"].to_pylist() == [1, 1, 3, 0]
+    assert t.schema.field("out_links").type == pa.int64()
