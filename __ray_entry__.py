@@ -1792,6 +1792,24 @@ def _q_quality_classifier(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_nb_lang_classifier(sf_dir: str) -> Any:
+    """Distributed multinomial Naive Bayes, trained on the corpus's own
+    lang labels then self-classifying every doc — the trained
+    counterpart of the fixed-weight quality classifier. Training is one
+    combiner-folded (label, term) count pass (model-sized exchange);
+    prediction broadcasts the dense log-prob matrix once. The oracle
+    replays counts, add-1 smoothing, and the rounded-score argmax."""
+    from dcs_ray.functions.classify import naive_bayes_predict, train_naive_bayes
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).materialize()
+    model_ref = ray.put(train_naive_bayes(docs))
+    ds = naive_bayes_predict(docs, model_ref)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
 def _q_text_knn_hash_embed(sf_dir: str) -> Any:
     """Embedding-generation → similarity-search composition: documents
     are embedded with the deterministic hashing-trick featurizer (one
@@ -3412,6 +3430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "quality_score": _q_quality,
         "quality_classifier": _q_quality_classifier,
+        "nb_lang_classifier": _q_nb_lang_classifier,
         "bpe_token_count": _q_bpe_token_count,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -4797,6 +4816,43 @@ z AS (
 SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS quality_prob,
        (round(1.0 / (1.0 + exp(-zv)), 6) >= 0.5) AS keep
 FROM z ORDER BY doc_id
+""",
+        # multinomial NB self-classification: (lang, term) counts, add-1
+        # smoothing over the distinct-term vocabulary, per-(doc, class)
+        # log-prob sums, argmax on ROUND(score, 6) with ties to the
+        # smallest class (classify.py::naive_bayes_predict)
+        "nb_lang_classifier": f"""
+WITH tok AS ({_TOK}),
+cls AS (SELECT lang, count(*)::bigint AS nd FROM documents GROUP BY lang),
+ntot AS (SELECT count(*)::double AS n FROM documents),
+tc AS MATERIALIZED (
+  SELECT d.lang, t.term, count(*)::bigint AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY d.lang, t.term),
+ctot AS (SELECT lang, sum(c)::bigint AS tot FROM tc GROUP BY lang),
+v AS (SELECT count(DISTINCT term)::double AS v FROM tok),
+dtf AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY doc_id, term),
+ts AS (
+  SELECT dtf.doc_id, c.lang,
+         sum(dtf.tf * ln((coalesce(tc.c, 0) + 1.0)
+                         / (ct.tot + (SELECT v FROM v)))) AS s
+  FROM dtf CROSS JOIN cls c
+  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = dtf.term
+  JOIN ctot ct ON ct.lang = c.lang
+  GROUP BY dtf.doc_id, c.lang),
+scores AS (
+  SELECT d.doc_id, c.lang,
+         ln(c.nd / (SELECT n FROM ntot)) + coalesce(ts.s, 0.0) AS score
+  FROM documents d CROSS JOIN cls c
+  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.lang = c.lang)
+SELECT doc_id, lang AS pred_label, round(score, 6) AS best_score
+FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, lang ASC) AS rn
+  FROM scores) WHERE rn = 1
+ORDER BY doc_id
 """,
         "pack_greedy": """
 WITH RECURSIVE tc AS (
