@@ -3199,6 +3199,53 @@ def _q_link_communities(sf_dir: str) -> pa.Table:
     return t.sort_by("node")
 
 
+def _q_search_rrf(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. '09, K=60) of three
+    independently-distributed rankings: body BM25 top-20, anchor-field
+    BM25 top-20 (the anchor pseudo-doc index searched standalone), and
+    the PageRank static order top-20. Each subsystem is the existing
+    gated distributed pipeline; fusion touches only 3·k rows on the
+    driver. rrf = Σ 1/(60 + rank_sys), summed in the fixed (body,
+    anchor, pagerank) order so the doubles match the SQL replay."""
+    from dcs_ray.functions.links import link_pagerank
+    from dcs_ray.search import search_bm25
+
+    k = 20
+    body = search_bm25(_index_dir(sf_dir, "words"), [BM25_QUERY], k=k)
+    anchor = search_bm25(_anchor_index_dir(sf_dir), [BM25_QUERY], k=k)
+    pr = link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+    pr_order = pr.sort_by([("rank", "descending"), ("node", "ascending")]).slice(0, k)
+
+    ranks: dict[int, list[int]] = {}
+    for i, t in enumerate(
+        (
+            body.column("doc_id").to_pylist(),
+            anchor.column("doc_id").to_pylist(),
+            pr_order.column("node").to_pylist(),
+        )
+    ):
+        for r, d in enumerate(t, start=1):
+            ranks.setdefault(int(d), [0, 0, 0])[i] = r
+    ids = sorted(ranks)
+    rrf = np.zeros(len(ids), np.float64)
+    for j, d in enumerate(ids):
+        b, a, p = ranks[d]
+        s = np.float64(0.0)
+        for r in (b, a, p):  # fixed fold order = the SQL coalesce sum
+            s = s + (np.float64(1.0) / np.float64(60 + r) if r else np.float64(0.0))
+        rrf[j] = s
+    order = np.lexsort((np.asarray(ids, np.int64), -rrf))[:10]
+    out_ids = np.asarray(ids, np.int64)[order]
+    out_rrf = np.round(rrf[order], 6)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "rrf_score": pa.array(out_rrf, pa.float64()),
+        }
+    )
+
+
 def _pagerank_index_dir(sf_dir: str) -> str:
     """Body index whose doc_meta ``prior`` is the COMPUTED link-graph
     PageRank (``1 + N·rank``, 1.0 for docs outside the graph) — the
@@ -3458,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degree_stats": _q_link_degree_stats,
         "link_triangles": _q_link_triangles,
         "link_communities": _q_link_communities,
+        "search_rrf": _q_search_rrf,
         "search_facets": _q_search_facets,
         "spell_suggest": _q_spell_suggest,
         "crawl_delta_stats": _q_crawl_delta,
@@ -4328,6 +4376,46 @@ SELECT node, count(*)::bigint AS n_triangles
 FROM corners GROUP BY node ORDER BY node
 """,
         "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # reciprocal-rank fusion of the three gated rankings: body BM25,
+        # standalone anchor-field BM25, pagerank static order — each
+        # subsystem's rank list replayed exactly, then the fixed-order
+        # coalesce sum 1/(60+rank) (Cormack '09)
+        "search_rrf": f"""
+WITH {_pagerank_ctes(5, 0.85, _LINK_EDGES_CTE)},{_BM25_SCORES},
+atok AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM edges),
+adl AS (SELECT doc_id, count(*) AS doc_len FROM atok GROUP BY doc_id),
+astats AS (
+  SELECT (SELECT count(*) FROM adl) AS n_docs,
+         (SELECT sum(doc_len) FROM adl)::double / (SELECT count(*) FROM adl) AS avgdl),
+atf AS (SELECT doc_id, term, count(*) AS tf FROM atok GROUP BY doc_id, term),
+adf AS (SELECT term, count(DISTINCT doc_id) AS df FROM atok GROUP BY term),
+ascores AS (
+  SELECT atf.doc_id,
+         sum( ln((astats.n_docs - adf.df + 0.5)/(adf.df + 0.5) + 1.0)
+              * atf.tf * 2.2
+              / (atf.tf + 1.2 * (0.25 + 0.75 * adl.doc_len / astats.avgdl)) ) AS ascore
+  FROM atf JOIN adf USING (term) JOIN adl USING (doc_id), astats
+  WHERE atf.term IN (SELECT term FROM q)
+  GROUP BY atf.doc_id),
+br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20),
+ar AS (SELECT doc_id, row_number() OVER (ORDER BY ascore DESC, doc_id ASC) AS rnk
+       FROM ascores ORDER BY ascore DESC, doc_id ASC LIMIT 20),
+prr AS (SELECT node AS doc_id,
+               row_number() OVER (ORDER BY round(r, 6) DESC, node ASC) AS rnk
+        FROM r5 ORDER BY round(r, 6) DESC, node ASC LIMIT 20),
+fused AS (
+  SELECT coalesce(br.doc_id, ar.doc_id, prr.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + br.rnk), 0.0)
+           + coalesce(1.0 / (60 + ar.rnk), 0.0)
+           + coalesce(1.0 / (60 + prr.rnk), 0.0) AS rrf
+  FROM br
+  FULL OUTER JOIN ar ON ar.doc_id = br.doc_id
+  FULL OUTER JOIN prr ON prr.doc_id = coalesce(br.doc_id, ar.doc_id))
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+       doc_id, round(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
         # two-field BM25: body scores from the shared _BM25_SCORES chain,
         # anchor field rebuilt from the link edges with its OWN df/dl/avgdl
         # over the anchor pseudo-corpus (one pseudo-doc per link target),
