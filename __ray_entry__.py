@@ -3199,6 +3199,24 @@ def _q_link_communities(sf_dir: str) -> pa.Table:
     return t.sort_by("node")
 
 
+def _q_search_prf(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback BM25 (Rocchio shape): top-10 for the
+    base query become the pseudo-relevant set, their 3 strongest
+    tf·ln(N/df) non-query terms expand the query, second pass re-ranks.
+    Both passes are the per-shard fan-out; only the 10 relevant docs
+    leave storage in between."""
+    from dcs_ray.search import search_prf
+
+    return search_prf(
+        _index_dir(sf_dir, "words"),
+        BM25_QUERY,
+        f"{sf_dir}/documents.parquet",
+        n_docs=10,
+        n_terms=3,
+        k=10,
+    )
+
+
 def _q_search_rrf(sf_dir: str) -> pa.Table:
     """Reciprocal-rank fusion (Cormack et al. '09, K=60) of three
     independently-distributed rankings: body BM25 top-20, anchor-field
@@ -3506,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": _q_link_triangles,
         "link_communities": _q_link_communities,
         "search_rrf": _q_search_rrf,
+        "search_prf": _q_search_prf,
         "search_facets": _q_search_facets,
         "spell_suggest": _q_spell_suggest,
         "crawl_delta_stats": _q_crawl_delta,
@@ -4376,6 +4395,38 @@ SELECT node, count(*)::bigint AS n_triangles
 FROM corners GROUP BY node ORDER BY node
 """,
         "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # pseudo-relevance feedback: base top-10 → pseudo-relevant tf
+        # over those docs minus the query terms → 3 expansion terms by
+        # round-6 tf·ln(N/df) (ties term asc) → rescore with q ∪ exp
+        "search_prf": f"""
+WITH {_BM25_SCORES},
+r AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+rtf AS (
+  SELECT t.term, count(*)::bigint AS tf
+  FROM tok t JOIN r USING (doc_id)
+  WHERE t.term NOT IN (SELECT term FROM q)
+  GROUP BY t.term),
+expn AS (
+  SELECT term FROM (
+    SELECT rtf.term,
+           row_number() OVER (
+             ORDER BY round(rtf.tf * ln((SELECT n_docs FROM stats)::double
+                                        / df.df), 6) DESC,
+                      rtf.term ASC) AS rn
+    FROM rtf JOIN df USING (term)) WHERE rn <= 3),
+q2 AS (SELECT term FROM q UNION SELECT term FROM expn),
+scores2 AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q2)
+  GROUP BY tf.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores2 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
         # reciprocal-rank fusion of the three gated rankings: body BM25,
         # standalone anchor-field BM25, pagerank static order — each
         # subsystem's rank list replayed exactly, then the fixed-order

@@ -1244,3 +1244,65 @@ def more_like_this(
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+def search_prf(
+    index_dir: str,
+    query: str,
+    docs_path: str,
+    n_docs: int = 10,
+    n_terms: int = 3,
+    k: int = 10,
+    stats: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Pseudo-relevance feedback (Rocchio '71 shape): run the query,
+    treat the top ``n_docs`` results as relevant, expand the query with
+    their ``n_terms`` strongest tf·ln(N/df) terms (original query terms
+    excluded), and re-rank — the classic recall-boosting second pass.
+
+    Scale shape: both ranking passes are the normal per-shard BM25
+    fan-out; between them only the k pseudo-relevant docs leave storage
+    (predicate-pushdown read on ``doc_id``), and term selection probes
+    the index's vocab-scale df table — nothing corpus-sized anywhere.
+    Expansion-term ties break on the ROUNDED (6dp) tf·idf then term
+    asc, keeping selection deterministic and SQL-replayable."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    stats = stats or load_stats(index_dir)
+    base = search_bm25(index_dir, [query], k=n_docs, stats=stats)
+    ids = base["doc_id"].to_pylist()
+    if not ids:
+        return base
+    docs = pq.read_table(
+        docs_path, columns=[id_col, text_col], filters=[(id_col, "in", ids)]
+    )
+    flat, _ = word_tokens_flat(docs[text_col])
+    qflat, _ = word_tokens_flat(pa.array([query], pa.string()))
+    qterms = np.unique(np.asarray(qflat.to_pylist(), dtype=object))
+    toks = np.asarray(flat.to_pylist(), dtype=object)
+    terms, tf = np.unique(toks, return_counts=True) if len(toks) else (
+        np.empty(0, object), np.empty(0, np.int64)
+    )
+    keep = ~np.isin(terms, qterms)
+    terms, tf = terms[keep], tf[keep]
+    if len(terms):
+        dfs = global_df(index_dir, [str(t) for t in terms])
+        df = np.array([dfs.get(str(t), 0) for t in terms], np.float64)
+        present = df > 0
+        terms, tf, df = terms[present], tf[present], df[present]
+    if len(terms):
+        sel = np.round(tf.astype(np.float64) * np.log(float(stats["n_docs"]) / df), 6)
+        order = np.lexsort((terms.astype("U"), -sel))[:n_terms]
+        expanded = query + " " + " ".join(str(t) for t in terms[order])
+    else:
+        expanded = query
+    t = search_bm25(index_dir, [expanded], k=k, stats=stats)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )

@@ -187,3 +187,28 @@ def test_more_like_this_excludes_source_and_ranks(meta_index):
     # empty text -> empty result, schema intact
     e = more_like_this(meta_index, "", n_terms=5, k=10)
     assert len(e) == 0 and e.column_names == ["rank", "doc_id", "score"]
+
+
+def test_search_prf_expands_and_reranks(meta_index, ray_session):
+    from dcs_ray.search import search_prf
+
+    base = search_bm25(meta_index, [Q], k=10)
+    out = search_prf(meta_index, Q, f"{SF}/documents.parquet",
+                     n_docs=10, n_terms=3, k=10)
+    assert len(out) == 10
+    assert out["rank"].to_pylist() == list(range(1, 11))
+    # expansion adds terms → scores differ from the base pass
+    assert out["score"].to_pylist() != [
+        round(s, 6) for s in base["score"].to_pylist()
+    ]
+    # deterministic: second run identical
+    again = search_prf(meta_index, Q, f"{SF}/documents.parquet",
+                       n_docs=10, n_terms=3, k=10)
+    assert out.equals(again)
+
+
+def test_search_prf_unknown_query_returns_empty(meta_index, ray_session):
+    from dcs_ray.search import search_prf
+
+    out = search_prf(meta_index, "zzzzqqqq", f"{SF}/documents.parquet", k=10)
+    assert len(out) == 0
