@@ -3199,6 +3199,15 @@ def _q_link_communities(sf_dir: str) -> pa.Table:
     return t.sort_by("node")
 
 
+def _q_link_clustering(sf_dir: str) -> pa.Table:
+    """Local clustering coefficients over the undirected web graph:
+    2·T(v)/(deg·(deg−1)) — the per-node cohesion feature on top of the
+    triangle pipeline; integer-input division replays bit-exactly."""
+    from dcs_ray.functions.graph import clustering_coefficients
+
+    return clustering_coefficients(_link_pair_edges(sf_dir)).sort_by("node")
+
+
 def _q_search_prf(sf_dir: str) -> pa.Table:
     """Pseudo-relevance-feedback BM25 (Rocchio shape): top-10 for the
     base query become the pseudo-relevant set, their 3 strongest
@@ -3522,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_terms_topk": _q_anchor_terms_topk,
         "link_degree_stats": _q_link_degree_stats,
         "link_triangles": _q_link_triangles,
+        "link_clustering": _q_link_clustering,
         "link_communities": _q_link_communities,
         "search_rrf": _q_search_rrf,
         "search_prf": _q_search_prf,
@@ -4395,6 +4405,32 @@ SELECT node, count(*)::bigint AS n_triangles
 FROM corners GROUP BY node ORDER BY node
 """,
         "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # local clustering coefficient: triangles per node over the
+        # canonical undirected graph ÷ (deg choose 2); degree<2 → 0.0
+        "link_clustering": f"""
+WITH {_LINK_EDGES_CTE},
+ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS (
+  SELECT node, count(*)::bigint AS d
+  FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+tcnt AS (
+  SELECT node, count(*)::bigint AS t FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY node)
+SELECT deg.node, deg.d AS degree, coalesce(tcnt.t, 0)::bigint AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN round((2.0 * coalesce(tcnt.t, 0)) / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tcnt USING (node) ORDER BY deg.node
+""",
         # pseudo-relevance feedback: base top-10 → pseudo-relevant tf
         # over those docs minus the query terms → 3 expansion terms by
         # round-6 tf·ln(N/df) (ties term asc) → rescore with q ∪ exp

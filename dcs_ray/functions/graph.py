@@ -426,6 +426,75 @@ def triangle_counts(
     )
 
 
+def clustering_coefficients(edges: ray.data.Dataset) -> pa.Table:
+    """Local clustering coefficient per node (Watts & Strogatz '98):
+    ``2·triangles(v) / (deg(v)·(deg(v)−1))`` over the undirected
+    deduplicated graph → ``(node, degree, n_triangles, clustering)``
+    for every node (degree<2 ⇒ 0.0) — the per-node cohesion feature on
+    top of :func:`triangle_counts` (spam rings cluster tightly, organic
+    hub pages don't).
+
+    Scale shape: triangles come from the bucketed wedge/closure
+    pipeline; degrees and the final join are node-sized driver folds
+    (the vertex-state-fits regime). The division is pure integer inputs
+    → one correctly-rounded double op, so round-6 values replay
+    bit-exactly in SQL."""
+    canon = _dedupe(
+        edges.map_batches(_canon_batch, batch_format="pyarrow")
+    ).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        n = np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]).astype(np.int64)
+        un, cn = np.unique(n, return_counts=True)
+        return pa.table(
+            {"node": pa.array(un, pa.int64()), "deg": pa.array(cn, pa.int64())}
+        )
+
+    hs, cs = [], []
+    for b in canon.map_batches(deg_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        hs.append(b["node"].to_numpy(zero_copy_only=False))
+        cs.append(b["deg"].to_numpy(zero_copy_only=False))
+    if not hs:
+        return pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "degree": pa.array([], pa.int64()),
+                "n_triangles": pa.array([], pa.int64()),
+                "clustering": pa.array([], pa.float64()),
+            }
+        )
+    alln, alld = np.concatenate(hs), np.concatenate(cs)
+    nodes, inv = np.unique(alln, return_inverse=True)
+    deg = np.zeros(len(nodes), np.int64)
+    np.add.at(deg, inv, alld)
+
+    tri = np.zeros(len(nodes), np.int64)
+    for b in triangle_counts(
+        canon.map_batches(
+            lambda t: pa.table({"id_a": t["u"], "id_b": t["v"]}),
+            batch_format="pyarrow",
+        )
+    ).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        idx = np.searchsorted(nodes, t["node"].to_numpy(zero_copy_only=False))
+        tri[idx] += t["n_triangles"].to_numpy(zero_copy_only=False)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        coef = np.where(
+            deg >= 2, (2.0 * tri) / (deg * np.maximum(deg - 1, 1)), 0.0
+        )
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "degree": pa.array(deg, pa.int64()),
+            "n_triangles": pa.array(tri, pa.int64()),
+            "clustering": pa.array(np.round(coef, 6), pa.float64()),
+        }
+    )
+
+
 def label_propagation(
     edges: ray.data.Dataset, n_iter: int = 5, n_buckets: int = 64
 ) -> ray.data.Dataset:

@@ -449,3 +449,23 @@ def test_lpa_empty(ray_session):
     from dcs_ray.functions.graph import label_propagation
 
     assert _lpa_of(label_propagation(_edge_ds([], []))) == {}
+
+
+def test_clustering_coefficients_known_graph(ray_session):
+    from dcs_ray.functions.graph import clustering_coefficients
+
+    # triangle 0-1-2 plus pendant 2-3: c(0)=c(1)=1.0, c(2)=2/6, c(3)=0
+    t = clustering_coefficients(_edge_ds([0, 1, 2, 2], [1, 2, 0, 3])).sort_by("node")
+    assert t["node"].to_pylist() == [0, 1, 2, 3]
+    assert t["degree"].to_pylist() == [2, 2, 3, 1]
+    assert t["n_triangles"].to_pylist() == [1, 1, 1, 0]
+    got = t["clustering"].to_pylist()
+    assert got[0] == 1.0 and got[1] == 1.0
+    assert abs(got[2] - round(2 / 6, 6)) < 1e-9
+    assert got[3] == 0.0
+
+
+def test_clustering_empty(ray_session):
+    from dcs_ray.functions.graph import clustering_coefficients
+
+    assert len(clustering_coefficients(_edge_ds([], []))) == 0
