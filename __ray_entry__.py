@@ -3226,6 +3226,16 @@ def _q_search_prf(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_search_corrected(sf_dir: str) -> pa.Table:
+    """Spell-corrected search: 'spork merje join' — the two
+    out-of-vocab terms correct to their best distance-1 suggestion
+    (df desc, term asc), 'join' passes through, then the normal BM25
+    fan-out ranks the corrected query."""
+    from dcs_ray.search import search_corrected
+
+    return search_corrected(_index_dir(sf_dir, "words"), "spork merje join", k=10)
+
+
 def _q_search_rrf(sf_dir: str) -> pa.Table:
     """Reciprocal-rank fusion (Cormack et al. '09, K=60) of three
     independently-distributed rankings: body BM25 top-20, anchor-field
@@ -3535,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_communities": _q_link_communities,
         "search_rrf": _q_search_rrf,
         "search_prf": _q_search_prf,
+        "search_corrected": _q_search_corrected,
         "search_facets": _q_search_facets,
         "spell_suggest": _q_spell_suggest,
         "crawl_delta_stats": _q_crawl_delta,
@@ -4430,6 +4441,33 @@ SELECT deg.node, deg.d AS degree, coalesce(tcnt.t, 0)::bigint AS n_triangles,
             THEN round((2.0 * coalesce(tcnt.t, 0)) / (deg.d * (deg.d - 1)), 6)
             ELSE 0.0 END AS clustering
 FROM deg LEFT JOIN tcnt USING (node) ORDER BY deg.node
+""",
+        # spell-corrected search: in-vocab terms pass through, each
+        # out-of-vocab term takes its best levenshtein≤1 suggestion
+        # (df desc, term asc), corrected set rescored with BM25
+        "search_corrected": f"""
+WITH {_BM25_SCORES},
+qw AS (SELECT unnest(['join', 'merje', 'spork']) AS w),
+inv AS (SELECT w FROM qw WHERE EXISTS (SELECT 1 FROM df WHERE df.term = qw.w)),
+miss AS (SELECT w FROM qw WHERE w NOT IN (SELECT w FROM inv)),
+corr AS (
+  SELECT term FROM (
+    SELECT m.w, df.term,
+           row_number() OVER (
+             PARTITION BY m.w ORDER BY df.df DESC, df.term ASC) AS rn
+    FROM miss m JOIN df ON levenshtein(m.w, df.term) <= 1) WHERE rn = 1),
+q2 AS (SELECT w AS term FROM inv UNION SELECT term FROM corr),
+scores2 AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q2)
+  GROUP BY tf.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores2 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # pseudo-relevance feedback: base top-10 → pseudo-relevant tf
         # over those docs minus the query terms → 3 expansion terms by

@@ -1306,3 +1306,54 @@ def search_prf(
             "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+def search_corrected(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Spell-corrected ("did you mean") BM25 search: query terms found
+    in the index vocabulary pass through unchanged; each out-of-vocab
+    term is replaced by its best SymSpell suggestion (levenshtein ≤ 1,
+    ranked df desc then term asc — :mod:`dcs_ray.functions.spell`) or
+    dropped if nothing is within distance 1. The corrected term set
+    then runs the normal per-shard BM25 fan-out.
+
+    Scale shape: vocabulary membership is a predicate-pushdown probe of
+    the vocab-scale df table; correction streams the vocabulary once
+    with the (tiny) deletion-key set broadcast; ranking is unchanged."""
+    from dcs_ray.functions.spell import suggest
+    from dcs_ray.tokenize import word_tokens_flat
+
+    stats = stats or load_stats(index_dir)
+    qflat, _ = word_tokens_flat(pa.array([query], pa.string()))
+    words = sorted(set(qflat.to_pylist()))
+    if not words:
+        return search_bm25(index_dir, [query], k=k, stats=stats)
+    dfs = global_df(index_dir, words)
+    kept = [w for w in words if dfs.get(w, 0) > 0]
+    missing = [w for w in words if dfs.get(w, 0) == 0]
+    corrected = list(kept)
+    if missing:
+        vocab = ray.data.read_parquet(os.path.join(index_dir, "stats", "df.parquet"))
+        sugg = suggest(vocab, missing, k=1)
+        corrected += sugg["term"].to_pylist()
+    corrected = sorted(set(corrected))
+    if not corrected:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    t = search_bm25(index_dir, [" ".join(corrected)], k=k, stats=stats)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )

@@ -212,3 +212,30 @@ def test_search_prf_unknown_query_returns_empty(meta_index, ray_session):
 
     out = search_prf(meta_index, "zzzzqqqq", f"{SF}/documents.parquet", k=10)
     assert len(out) == 0
+
+
+def test_search_corrected_matches_clean_query(meta_index, ray_session):
+    from dcs_ray.search import search_corrected
+
+    # misspellings correct back to the real terms → identical ranking
+    # to the clean query, provided each correction wins on (df, term)
+    from dcs_ray.search import global_df
+    import ray.data as rd
+    from dcs_ray.functions.spell import suggest
+    import os as _os
+
+    vocab = rd.read_parquet(_os.path.join(meta_index, "stats", "df.parquet"))
+    sugg = suggest(vocab, ["merje", "spork"], k=1)
+    best = dict(zip(sugg["word"].to_pylist(), sugg["term"].to_pylist()))
+    got = search_corrected(meta_index, "spork merje join", k=10)
+    want = search_bm25(
+        meta_index, [" ".join(sorted({best["merje"], best["spork"], "join"}))], k=10
+    )
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+
+
+def test_search_corrected_all_unknown_returns_empty(meta_index, ray_session):
+    from dcs_ray.search import search_corrected
+
+    out = search_corrected(meta_index, "qqqqqqqqqqzzzzzzzz", k=10)
+    assert len(out) == 0
