@@ -1810,6 +1810,19 @@ def _q_nb_lang_classifier(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_readability(sf_dir: str) -> Any:
+    """Flesch-style readability per doc — words / sentence-run /
+    vowel-group counts and the 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    score, all RE2 kernels, no exchange."""
+    from dcs_ray.functions.textstats import readability
+
+    ds = readability(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
 def _q_text_knn_hash_embed(sf_dir: str) -> Any:
     """Embedding-generation → similarity-search composition: documents
     are embedded with the deterministic hashing-trick featurizer (one
@@ -3515,6 +3528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "quality_classifier": _q_quality_classifier,
         "nb_lang_classifier": _q_nb_lang_classifier,
+        "readability_scores": _q_readability,
         "bpe_token_count": _q_bpe_token_count,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -5065,6 +5079,32 @@ FROM (
            PARTITION BY doc_id
            ORDER BY round(score, 6) DESC, lang ASC) AS rn
   FROM scores) WHERE rn = 1
+ORDER BY doc_id
+""",
+        # Flesch readability: tokenizer words, [.!?]+ sentence runs
+        # (min 1), [aeiou]+ vowel groups per token (min 1/word)
+        "readability_scores": f"""
+WITH tok AS ({_TOK}),
+syl AS (
+  SELECT doc_id,
+         sum(greatest(len(regexp_extract_all(term, '[aeiou]+')), 1))::bigint AS n_syl,
+         count(*)::bigint AS n_words
+  FROM tok GROUP BY doc_id),
+sent AS (
+  SELECT doc_id,
+         greatest(coalesce(len(regexp_extract_all(text, '[.!?]+')), 0), 1)::bigint AS n_sent
+  FROM documents)
+SELECT d.doc_id,
+       coalesce(s.n_words, 0)::bigint AS n_words,
+       sent.n_sent AS n_sentences,
+       coalesce(s.n_syl, 0)::bigint AS n_syllables,
+       CASE WHEN coalesce(s.n_words, 0) > 0
+            THEN round(206.835 - 1.015 * (s.n_words::double / sent.n_sent)
+                       - 84.6 * (s.n_syl::double / s.n_words), 6)
+            ELSE 0.0 END AS flesch
+FROM documents d
+LEFT JOIN syl s USING (doc_id)
+JOIN sent USING (doc_id)
 ORDER BY doc_id
 """,
         "pack_greedy": """

@@ -617,3 +617,51 @@ def complete_prefix(
             "df": agg["df_sum"].take(pa.array(order)).cast(pa.int64()),
         }
     )
+
+
+def readability_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Flesch-reading-ease-style readability per doc, fully vectorized:
+    words = tokenizer tokens, sentences = ``[.!?]+`` runs in the raw
+    text (min 1), syllables = ``[aeiou]+`` vowel groups per token
+    (min 1/word). ``flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)``
+    (Flesch '48 constants); zero-word docs score 0.0. Both regex
+    kernels are RE2 (pyarrow here, DuckDB in the oracle)."""
+    flat, parents = word_tokens_flat(batch["text"])
+    n_rows = len(batch)
+    n_words = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    if len(flat):
+        groups = pc.count_substring_regex(flat, "[aeiou]+").to_numpy(
+            zero_copy_only=False
+        )
+        syl_per_tok = np.maximum(groups, 1)
+        n_syl = np.zeros(n_rows, np.int64)
+        np.add.at(n_syl, parents, syl_per_tok)
+    else:
+        n_syl = np.zeros(n_rows, np.int64)
+    sent = pc.fill_null(
+        pc.count_substring_regex(batch["text"], "[.!?]+"), 0
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_sent = np.maximum(sent, 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        flesch = np.where(
+            n_words > 0,
+            206.835
+            - 1.015 * (n_words / n_sent)
+            - 84.6 * (n_syl / np.maximum(n_words, 1)),
+            0.0,
+        )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_sentences": pa.array(n_sent, pa.int64()),
+            "n_syllables": pa.array(n_syl, pa.int64()),
+            "flesch": pa.array(np.round(flesch, 6), pa.float64()),
+        }
+    )
+
+
+def readability(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: readability_batch(b, id_col), batch_format="pyarrow"
+    )

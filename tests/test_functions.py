@@ -997,3 +997,38 @@ def test_corr_matrix_exact_and_partition_invariant():
     # output sorted by (col_a, col_b)
     pairs = list(zip(a1["col_a"].to_pylist(), a1["col_b"].to_pylist()))
     assert pairs == sorted(pairs)
+
+
+def test_readability_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.textstats import readability
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "The cat sat. The dog ran!",  # 6 words, 2 sentences
+                    "rhythm xyz",  # no vowels → 1 syllable per word
+                    "",  # zero words
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in readability(ray.data.from_arrow(rows)).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    assert t["n_words"].to_pylist() == [6, 2, 0]
+    assert t["n_sentences"].to_pylist() == [2, 1, 1]
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6; rhythm/xyz min 1 each
+    assert t["n_syllables"].to_pylist() == [6, 2, 0]
+    want0 = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(t["flesch"].to_pylist()[0] - want0) < 1e-9
+    assert t["flesch"].to_pylist()[2] == 0.0
