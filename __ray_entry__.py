@@ -3200,6 +3200,51 @@ def _q_link_triangles(sf_dir: str) -> pa.Table:
     return t.sort_by("node")
 
 
+def _q_host_link_graph(sf_dir: str) -> pa.Table:
+    """Site-level link graph: page edges rolled up to (src_host,
+    dst_host, n_links) through two hash-partitioned big⋈big joins
+    against the corpus doc→host mapping (never broadcast), then a
+    combiner count fold."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.links import host_link_graph
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "host", pc.binary_join_element_wise(b["source"], ".example.org", "")
+        ),
+        batch_format="pyarrow",
+    )
+    ds = host_link_graph(_link_edges_ds(sf_dir), docs)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("src_host", "ascending"), ("dst_host", "ascending")])
+
+
+def _q_link_reachability(sf_dir: str) -> pa.Table:
+    """Directed BFS reachability from the 3 smallest source pages:
+    (node, hops) for every page within 3 link hops — crawl-frontier
+    analysis. One streaming edge pass per hop with the visited set
+    broadcast; the oracle chains one frontier CTE per hop."""
+    from dcs_ray.functions.graph import bfs_hops
+
+    edges = _link_edges_ds(sf_dir).materialize()
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = np.unique(b["src"].to_numpy().astype(np.int64))[:3]
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(local_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    seeds = np.unique(np.concatenate(parts))[:3].tolist() if parts else []
+    return bfs_hops(edges, seeds, max_hops=3, src="src", dst="dst")
+
+
 def _q_link_communities(sf_dir: str) -> pa.Table:
     """Label-propagation communities (Raghavan '07, deterministic
     min-tie variant) on the undirected web graph after 5 synchronous
@@ -3557,6 +3602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_triangles": _q_link_triangles,
         "link_clustering": _q_link_clustering,
         "link_communities": _q_link_communities,
+        "host_link_graph": _q_host_link_graph,
+        "link_reachability": _q_link_reachability,
         "search_rrf": _q_search_rrf,
         "search_prf": _q_search_prf,
         "search_corrected": _q_search_corrected,
@@ -4430,6 +4477,41 @@ SELECT node, count(*)::bigint AS n_triangles
 FROM corners GROUP BY node ORDER BY node
 """,
         "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # host-level link graph: edges joined to the doc→host mapping
+        # on both endpoints (INNER — synthetic targets drop), counted
+        "host_link_graph": f"""
+WITH {_LINK_EDGES_CTE}
+SELECT ds.source || '.example.org' AS src_host,
+       dd.source || '.example.org' AS dst_host,
+       count(*)::bigint AS n_links
+FROM edges e
+JOIN documents ds ON ds.doc_id = e.src
+JOIN documents dd ON dd.doc_id = e.dst
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # BFS reachability from the 3 smallest sources: one frontier
+        # CTE per hop (new = targets of the frontier not yet visited)
+        "link_reachability": f"""
+WITH {_LINK_EDGES_CTE},
+seeds AS (SELECT DISTINCT src AS node FROM edges ORDER BY src LIMIT 3),
+c0 AS MATERIALIZED (SELECT node, 0::bigint AS hops FROM seeds),
+n1 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN c0 ON c0.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM c0)),
+c1 AS MATERIALIZED (
+  SELECT node, hops FROM c0 UNION ALL SELECT node, 1::bigint FROM n1),
+n2 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN n1 ON n1.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM c1)),
+c2 AS MATERIALIZED (
+  SELECT node, hops FROM c1 UNION ALL SELECT node, 2::bigint FROM n2),
+n3 AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS node FROM edges e JOIN n2 ON n2.node = e.src
+  WHERE e.dst NOT IN (SELECT node FROM c2)),
+c3 AS MATERIALIZED (
+  SELECT node, hops FROM c2 UNION ALL SELECT node, 3::bigint FROM n3)
+SELECT node, hops FROM c3 ORDER BY node
+""",
         # local clustering coefficient: triangles per node over the
         # canonical undirected graph ÷ (deg choose 2); degree<2 → 0.0
         "link_clustering": f"""

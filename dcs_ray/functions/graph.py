@@ -605,6 +605,69 @@ def label_propagation(
     )
 
 
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: list[int],
+    max_hops: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> pa.Table:
+    """Directed breadth-first reachability from a seed set →
+    ``(node, hops)`` for every node within ``max_hops`` link hops
+    (hops = the MINIMUM distance; seeds are hops 0) — crawl-frontier /
+    influence-radius analysis on the web graph.
+
+    Scale shape (vertex state fits, edges stream — the :func:`pagerank`
+    regime): the visited-set vector is node-sized and broadcast once
+    per hop via ``ray.put``; each hop is ONE streaming edge pass
+    emitting per-batch distinct new-frontier partials (node-sized
+    fold on the driver). ``max_hops`` passes total; no shuffle."""
+    edges = edges.materialize()
+    seed_arr = np.unique(np.asarray(sorted(set(seeds)), np.int64))
+    if len(seed_arr) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+        )
+    nodes = [seed_arr]
+    hops = [np.zeros(len(seed_arr), np.int64)]
+    visited = seed_arr.copy()
+    frontier = seed_arr.copy()
+    for h in range(1, max_hops + 1):
+        state_ref = ray.put((visited, frontier))
+
+        def expand(b: pa.Table, _s=state_ref) -> pa.Table:
+            vis, fr = ray.get(_s)
+            s = b[src].to_numpy().astype(np.int64)
+            t = b[dst].to_numpy().astype(np.int64)
+            on_frontier = np.isin(s, fr)
+            cand = np.unique(t[on_frontier])
+            new = cand[~np.isin(cand, vis)]
+            return pa.table({"node": pa.array(new, pa.int64())})
+
+        parts = [
+            b["node"].to_numpy(zero_copy_only=False)
+            for b in edges.map_batches(expand, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        frontier = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        if len(frontier) == 0:
+            break
+        nodes.append(frontier)
+        hops.append(np.full(len(frontier), h, np.int64))
+        visited = np.union1d(visited, frontier)
+
+    alln = np.concatenate(nodes)
+    allh = np.concatenate(hops)
+    order = np.argsort(alln)
+    return pa.table(
+        {
+            "node": pa.array(alln[order], pa.int64()),
+            "hops": pa.array(allh[order], pa.int64()),
+        }
+    )
+
+
 def pagerank(
     edges: ray.data.Dataset,
     n_iter: int = 5,

@@ -442,6 +442,55 @@ def link_degree_stats(
     return docs.map_batches(probe, batch_format="pyarrow")
 
 
+def host_link_graph(
+    edges: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> ray.data.Dataset:
+    """Roll the page-level link graph up to host level →
+    ``(src_host, dst_host, n_links)`` — the site-graph every web ranker
+    keeps next to the page graph (host-level authority flow, spam-farm
+    neighborhoods, crawl-budget planning).
+
+    Scale shape: the doc→host mapping is CORPUS-sized, so both hops are
+    hash-partitioned big⋈big joins (``relational.shuffle_join``), never
+    a broadcast; the host-pair count then folds with map-side combining
+    (|host pairs| exchange). INNER semantics: edges whose endpoint has
+    no doc row (synthetic targets past the corpus edge) drop, matching
+    the SQL join oracle."""
+    from dcs_ray.functions.relational import combiner_groupby, shuffle_join
+
+    e = edges.select_columns(["src", "dst"])
+    d = docs.select_columns([id_col, host_col])
+    j1 = shuffle_join(
+        e,
+        d.map_batches(
+            lambda b: pa.table({"src": b[id_col], "src_host": b[host_col]}),
+            batch_format="pyarrow",
+        ),
+        on="src",
+    )
+    j2 = shuffle_join(
+        j1,
+        d.map_batches(
+            lambda b: pa.table({"dst": b[id_col], "dst_host": b[host_col]}),
+            batch_format="pyarrow",
+        ),
+        on="dst",
+    )
+    agg = combiner_groupby(
+        j2.select_columns(["src_host", "dst_host"]),
+        ["src_host", "dst_host"],
+        [],
+        count_col="n_links",
+    )
+    return agg.map_batches(
+        lambda b: b.select(["src_host", "dst_host", "n_links"]),
+        batch_format="pyarrow",
+    )
+
+
 def host_rank_mass(
     ranks: pa.Table,
     docs: ray.data.Dataset,

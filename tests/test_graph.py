@@ -469,3 +469,33 @@ def test_clustering_empty(ray_session):
     from dcs_ray.functions.graph import clustering_coefficients
 
     assert len(clustering_coefficients(_edge_ds([], []))) == 0
+
+
+def test_bfs_hops_known_graph(ray_session):
+    from dcs_ray.functions.graph import bfs_hops
+
+    # 0→1→2→3→4 chain plus 0→2 shortcut: min-hop semantics
+    t = bfs_hops(
+        _edge_ds([0, 1, 2, 3, 0], [1, 2, 3, 4, 2]), seeds=[0], max_hops=3
+    )
+    got = dict(zip(t["node"].to_pylist(), t["hops"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_directed_and_capped(ray_session):
+    from dcs_ray.functions.graph import bfs_hops
+
+    # edges point INTO the seed → nothing reachable
+    t = bfs_hops(_edge_ds([1, 2], [0, 0]), seeds=[0], max_hops=3)
+    got = dict(zip(t["node"].to_pylist(), t["hops"].to_pylist()))
+    assert got == {0: 0}
+    # cap: the 4th hop never appears
+    t = bfs_hops(_edge_ds([0, 1, 2, 3], [1, 2, 3, 4]), seeds=[0], max_hops=2)
+    got = dict(zip(t["node"].to_pylist(), t["hops"].to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_hops_empty_seeds(ray_session):
+    from dcs_ray.functions.graph import bfs_hops
+
+    assert len(bfs_hops(_edge_ds([0], [1]), seeds=[], max_hops=3)) == 0
