@@ -1810,6 +1810,23 @@ def _q_nb_lang_classifier(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (A-ES): top-100 docs by
+    ln(u)/n_chars with u drawn from splitmix64(doc_id ^ 13) — the
+    quality-weighted training-data selection pass. Per-block top-100
+    partials; the driver merges |blocks|·100 rows."""
+    from dcs_ray.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        n=100,
+        weight_col="n_chars",
+        seed=13,
+    )
+
+
 def _q_readability(sf_dir: str) -> Any:
     """Flesch-style readability per doc — words / sentence-run /
     vowel-group counts and the 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
@@ -3627,6 +3644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_lang": _q_zscore_by_lang,
         "sample_fraction": _q_sample_fraction,
         "sample_stratified": _q_sample_stratified,
+        "weighted_sample": _q_weighted_sample,
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
@@ -5664,6 +5682,17 @@ ORDER BY l.event_id
 WITH {_splitmix_docs_ctes(42)}
 SELECT doc_id, text, lang, source, n_chars FROM hf
 WHERE h < {int(0.2 * 2 ** 64)} ORDER BY doc_id
+""",
+        # A-ES weighted sampling: u = (splitmix64(id^13)+0.5)/2^64,
+        # keep the 100 largest ln(u)/weight keys (ties doc_id asc)
+        "weighted_sample": f"""
+WITH {_splitmix_docs_ctes(13)},
+keys AS (
+  SELECT doc_id, n_chars::bigint AS weight,
+         ln((h::double + 0.5) / 18446744073709551616.0) / n_chars AS k
+  FROM hf WHERE n_chars > 0)
+SELECT doc_id, weight, round(k, 6) AS sel_key
+FROM keys ORDER BY k DESC, doc_id ASC LIMIT 100
 """,
         "sample_stratified": f"""
 WITH {_splitmix_docs_ctes(1)},

@@ -267,3 +267,71 @@ def global_shuffle_rank(
         .groupby("bucket")
         .map_groups(rank_group, batch_format="pyarrow")
     )
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> pa.Table:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    '06, A-ES): each row draws ``u = (splitmix64(id ^ seed) + 0.5) /
+    2^64`` and the ``n`` rows with the LARGEST ``ln(u) / w`` keys are
+    an exact weighted sample — the standard one-pass distributed
+    recipe for quality-weighted training-data selection. Deterministic:
+    same ids + seed → same sample at any parallelism. Rows with
+    ``weight ≤ 0`` are excluded.
+
+    Scale shape: one streaming pass; each block contributes only its
+    local top-``n`` (key desc, id asc) partial, the driver merges
+    |blocks|·n rows — nothing corpus-sized anywhere. Both ``u`` and the
+    key are pure functions of integers, so the SQL oracle replays the
+    selection exactly (splitmix in hugeint limbs, one ln per row)."""
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        w = b[weight_col].to_numpy().astype(np.float64)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        h = _row_hash(ids, seed)
+        u = (h.astype(np.float64) + 0.5) / np.float64(1 << 64)
+        k = np.log(u) / w
+        order = np.lexsort((ids, -k))[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "weight": pa.array(
+                    b[weight_col].to_numpy()[pos][order].astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k[order], pa.float64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "weight": pa.array([], pa.int64()),
+                "sel_key": pa.array([], pa.float64()),
+            }
+        )
+    m = pa.concat_tables(parts)
+    ids = m[id_col].to_numpy(zero_copy_only=False)
+    w = m["weight"].to_numpy(zero_copy_only=False)
+    k = m["k"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -k))[:n]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            "weight": pa.array(w[order], pa.int64()),
+            "sel_key": pa.array(np.round(k[order], 6), pa.float64()),
+        }
+    )

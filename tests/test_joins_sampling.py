@@ -229,3 +229,45 @@ def test_global_shuffle_rank_is_exact_permutation(ray_session):
     )
     assert (other.shuffle_rank.to_numpy() != want).any()
     assert sorted(other.shuffle_rank) == list(range(len(ids)))
+
+
+def test_weighted_sample_matches_local_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sampling import _row_hash, weighted_sample
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(500, dtype=np.int64)
+    w = rng.integers(1, 1000, 500).astype(np.int64)
+    w[::50] = 0  # zero weights excluded
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    got = weighted_sample(
+        ray.data.from_arrow(t).repartition(8), n=50, weight_col="n_chars", seed=9
+    )
+    pos = w > 0
+    u = (_row_hash(ids[pos], 9).astype(np.float64) + 0.5) / np.float64(1 << 64)
+    k = np.log(u) / w[pos]
+    order = np.lexsort((ids[pos], -k))[:50]
+    assert got["doc_id"].to_pylist() == ids[pos][order].tolist()
+    assert got["weight"].to_pylist() == w[pos][order].tolist()
+    # heavier rows are overrepresented: mean selected weight > mean weight
+    assert np.mean(got["weight"].to_pylist()) > 1.2 * w[pos].mean()
+
+
+def test_weighted_sample_layout_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sampling import weighted_sample
+
+    ids = np.arange(300, dtype=np.int64)
+    w = (ids % 97 + 1).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(w)})
+    a = weighted_sample(ray.data.from_arrow(t), n=30, weight_col="n_chars")
+    b = weighted_sample(
+        ray.data.from_arrow(t).repartition(16), n=30, weight_col="n_chars"
+    )
+    assert a.equals(b)
