@@ -1810,6 +1810,35 @@ def _q_nb_lang_classifier(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_funnel_steps(sf_dir: str) -> pa.Table:
+    """Conversion funnel view → click → purchase per user (strictly
+    increasing timestamps, earliest eligible occurrence per step) —
+    one user-bucketed groupby, per-step lexsort + reduceat first-
+    eligible scan inside the bucket, no per-user Python."""
+    from dcs_ray.functions.windows import funnel_steps
+
+    ds = funnel_steps(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ),
+        steps=["view", "click", "purchase"],
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("user_id")
+
+
+def _q_token_entropy(sf_dir: str) -> Any:
+    """Per-doc unigram Shannon entropy — the information-theoretic
+    repetitiveness signal next to the Gopher dup-token fractions."""
+    from dcs_ray.functions.textstats import token_entropy
+
+    ds = token_entropy(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
 def _q_weighted_sample(sf_dir: str) -> pa.Table:
     """Weighted sampling without replacement (A-ES): top-100 docs by
     ln(u)/n_chars with u drawn from splitmix64(doc_id ^ 13) — the
@@ -3591,6 +3620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "readability_scores": _q_readability,
+        "token_entropy": _q_token_entropy,
         "bpe_token_count": _q_bpe_token_count,
         "langid": _q_langid,
         "doc_fingerprints": _q_fingerprints,
@@ -3637,6 +3667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_agg": _q_window_agg,
         "hopping_window_agg": _q_hopping_window,
         "session_window_agg": _q_session_window,
+        "funnel_steps": _q_funnel_steps,
         "asof_join_purchase_view": _q_asof_join,
         "interval_join_views": _q_interval_join,
         "running_totals": _q_running_totals,
@@ -5206,6 +5237,45 @@ FROM documents d
 LEFT JOIN syl s USING (doc_id)
 JOIN sent USING (doc_id)
 ORDER BY doc_id
+""",
+        # unigram Shannon entropy per doc: tf distribution over tokens
+        "token_entropy": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS c FROM tok GROUP BY doc_id, term),
+n AS (SELECT doc_id, count(*)::bigint AS nt FROM tok GROUP BY doc_id),
+h AS (
+  SELECT tf.doc_id,
+         sum(-(tf.c::double / n.nt) * ln(tf.c::double / n.nt)) AS ent
+  FROM tf JOIN n USING (doc_id) GROUP BY tf.doc_id)
+SELECT d.doc_id,
+       coalesce(n.nt, 0)::bigint AS n_tokens,
+       coalesce(round(h.ent, 6), 0.0) AS entropy
+FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN h USING (doc_id)
+ORDER BY d.doc_id
+""",
+        # ordered conversion funnel: each step's earliest occurrence
+        # strictly after the previous step's time, per user
+        "funnel_steps": """
+WITH e1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+e2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN e1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > e1.t1 GROUP BY e.user_id),
+e3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN e2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > e2.t2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       (CASE WHEN e3.user_id IS NOT NULL THEN 3
+             WHEN e2.user_id IS NOT NULL THEN 2
+             WHEN e1.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::bigint AS steps_completed
+FROM u
+LEFT JOIN e1 USING (user_id)
+LEFT JOIN e2 USING (user_id)
+LEFT JOIN e3 USING (user_id)
+ORDER BY u.user_id
 """,
         "pack_greedy": """
 WITH RECURSIVE tc AS (

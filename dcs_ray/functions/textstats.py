@@ -665,3 +665,41 @@ def readability(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Datase
     return ds.map_batches(
         lambda b: readability_batch(b, id_col), batch_format="pyarrow"
     )
+
+
+def token_entropy_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Shannon entropy of each doc's unigram distribution —
+    ``H = −Σ (c/n)·ln(c/n)`` over per-doc term frequencies. Low entropy
+    flags repetitive/templated text (the information-theoretic
+    companion of the Gopher dup-token fractions); 0.0 for empty docs.
+    One dictionary-encode + one lexsort per batch, no exchange."""
+    flat, parents = word_tokens_flat(batch["text"])
+    n_rows = len(batch)
+    n_tok = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    ent = np.zeros(n_rows, np.float64)
+    if len(flat):
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, parents))
+        p_s, c_s = parents[order], codes[order]
+        new = np.concatenate(
+            ([True], (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(p_s)))
+        run_doc = p_s[starts]
+        p = cnt / n_tok[run_doc]
+        np.add.at(ent, run_doc, -(p * np.log(p)))
+        ent = ent + 0.0  # -0.0 → +0.0 (single-term docs; hash-stable)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "entropy": pa.array(np.round(ent, 6), pa.float64()),
+        }
+    )
+
+
+def token_entropy(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: token_entropy_batch(b, id_col), batch_format="pyarrow"
+    )

@@ -227,3 +227,84 @@ def running_agg(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def funnel_steps(
+    events: ray.data.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered-funnel analysis: how far each user progressed through
+    the ``steps`` event sequence (step i+1 counts only with a STRICTLY
+    later timestamp than the user's step-i time, each step taken at
+    its earliest eligible occurrence) → Dataset[(user, steps_completed)]
+    over the full user universe — the classic conversion-funnel query.
+
+    Scale shape: one groupby on a hash bucket of the user (bounded
+    group count; a user's events co-locate); inside a bucket every
+    step is resolved for ALL users at once with one lexsort per step
+    and a ``minimum.reduceat`` first-eligible-row scan — no per-user
+    Python. The exchange carries (user, ts, type) triples only."""
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = u.astype(np.uint64) * _MIX
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "t": b[ts_col].cast(pa.int64()),
+                "ty": b[type_col],
+                "_bucket": pa.array((x % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def funnel_in_bucket(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = g["ty"].combine_chunks()
+        users = np.unique(u)
+        t_prev = np.full(len(users), np.iinfo(np.int64).min, np.int64)
+        alive = np.ones(len(users), bool)
+        completed = np.zeros(len(users), np.int64)
+        for step in steps:
+            sel = pc.equal(ty, step).to_numpy(zero_copy_only=False)
+            su, st = u[sel], t[sel]
+            if len(su) == 0:
+                break
+            order = np.lexsort((st, su))
+            su, st = su[order], st[order]
+            runs = np.concatenate(([0], np.flatnonzero(su[1:] != su[:-1]) + 1))
+            run_users = np.searchsorted(users, su[runs])
+            uidx = np.repeat(
+                run_users, np.diff(np.concatenate((runs, [len(su)])))
+            )
+            eligible = alive[uidx] & (st > t_prev[uidx])
+            pos = np.where(eligible, np.arange(len(su)), len(su))
+            first = np.minimum.reduceat(pos, runs)
+            hit = first < np.concatenate((runs[1:], [len(su)]))
+            hit_users = run_users[hit]
+            new_alive = np.zeros(len(users), bool)
+            new_alive[hit_users] = True
+            t_prev[hit_users] = st[first[hit]]
+            completed[hit_users] += 1
+            alive = new_alive
+            if not alive.any():
+                break
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "steps_completed": pa.array(completed, pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(funnel_in_bucket, batch_format="pyarrow")
+    )

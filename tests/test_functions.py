@@ -1032,3 +1032,80 @@ def test_readability_hand_computed(ray_session):
     want0 = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
     assert abs(t["flesch"].to_pylist()[0] - want0) < 1e-9
     assert t["flesch"].to_pylist()[2] == 0.0
+
+
+def test_token_entropy_hand_computed(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.textstats import token_entropy
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["a a a a", "a b a b", "one two three four", ""], pa.string()
+            ),
+        }
+    )
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in token_entropy(ray.data.from_arrow(rows)).iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    got = t["entropy"].to_pylist()
+    assert got[0] == 0.0  # single term
+    assert abs(got[1] - round(math.log(2), 6)) < 1e-9  # two equiprobable
+    assert abs(got[2] - round(math.log(4), 6)) < 1e-9  # four equiprobable
+    assert got[3] == 0.0  # empty
+    assert str(got[0]) == "0.0"  # never -0.0
+
+
+def test_funnel_steps_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.windows import funnel_steps
+
+    # u0: full funnel in order; u1: click before view (only view counts);
+    # u2: view+purchase but no click → stops at 1; u3: only error → 0
+    rows = pa.table(
+        {
+            "user_id": pa.array([0, 0, 0, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30, 5, 15, 7, 9, 3], pa.timestamp("us")),
+            "event_type": pa.array(
+                ["view", "click", "purchase", "click", "view",
+                 "view", "purchase", "error"],
+                pa.string(),
+            ),
+        }
+    )
+    ds = funnel_steps(
+        ray.data.from_arrow(rows), steps=["view", "click", "purchase"]
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    ).sort_by("user_id")
+    assert t["user_id"].to_pylist() == [0, 1, 2, 3]
+    assert t["steps_completed"].to_pylist() == [3, 1, 1, 0]
+
+
+def test_funnel_equal_timestamp_does_not_advance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.windows import funnel_steps
+
+    rows = pa.table(
+        {
+            "user_id": pa.array([0, 0], pa.int64()),
+            "ts": pa.array([10, 10], pa.timestamp("us")),
+            "event_type": pa.array(["view", "click"], pa.string()),
+        }
+    )
+    ds = funnel_steps(ray.data.from_arrow(rows), steps=["view", "click"])
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    assert t["steps_completed"].to_pylist() == [1]
