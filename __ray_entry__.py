@@ -1839,6 +1839,19 @@ def _q_token_entropy(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-seen week, counted once
+    per later active week. Cohort vector is a user-sized driver fold
+    broadcast once; distinct activity dedups via one combiner groupby."""
+    from dcs_ray.functions.windows import retention_cohorts
+
+    ds = retention_cohorts(
+        read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
 def _q_weighted_sample(sf_dir: str) -> pa.Table:
     """Weighted sampling without replacement (A-ES): top-100 docs by
     ln(u)/n_chars with u drawn from splitmix64(doc_id ^ 13) — the
@@ -3668,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_agg": _q_hopping_window,
         "session_window_agg": _q_session_window,
         "funnel_steps": _q_funnel_steps,
+        "retention_cohorts": _q_retention_cohorts,
         "asof_join_purchase_view": _q_asof_join,
         "interval_join_views": _q_interval_join,
         "running_totals": _q_running_totals,
@@ -5276,6 +5290,18 @@ LEFT JOIN e1 USING (user_id)
 LEFT JOIN e2 USING (user_id)
 LEFT JOIN e3 USING (user_id)
 ORDER BY u.user_id
+""",
+        # cohort retention: first-seen week per user, one count per
+        # distinct active (user, week)
+        "retention_cohorts": """
+WITH wk AS (
+  SELECT user_id, (epoch_us(ts) // 604800000000)::bigint AS w FROM events),
+coh AS (SELECT user_id, min(w) AS c FROM wk GROUP BY user_id),
+uw AS (SELECT DISTINCT user_id, w FROM wk)
+SELECT coh.c AS cohort_week, (uw.w - coh.c)::bigint AS week_offset,
+       count(*)::bigint AS n_users
+FROM uw JOIN coh USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "pack_greedy": """
 WITH RECURSIVE tc AS (

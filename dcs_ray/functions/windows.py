@@ -308,3 +308,92 @@ def funnel_steps(
         .groupby("_bucket")
         .map_groups(funnel_in_bucket, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = 7 * 86400 * 1_000_000,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: users bucketed by their FIRST-seen week
+    (the cohort), counted once per later week they return →
+    Dataset[(cohort_week, week_offset, n_users)] — the standard
+    engagement-retention analysis.
+
+    Scale shape: the per-user cohort (min week) folds from per-batch
+    partials on the driver (user-sized — the vertex-state-fits regime)
+    and broadcasts once; distinct (user, week) activity dedups through
+    ONE combiner groupby, after which each row is a unique active
+    (user, week) so the final (cohort, offset) count is exact without a
+    distinct aggregate."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    def week_partial(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        w = b[ts_col].cast(pa.int64()).to_numpy() // week_us
+        uu, inv = np.unique(u, return_inverse=True)
+        mn = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, w)
+        return pa.table(
+            {"user": pa.array(uu, pa.int64()), "w": pa.array(mn, pa.int64())}
+        )
+
+    us, ws = [], []
+    for b in events.map_batches(week_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        us.append(b["user"].to_numpy(zero_copy_only=False))
+        ws.append(b["w"].to_numpy(zero_copy_only=False))
+    if not us:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        )
+    allu = np.concatenate(us)
+    users, inv = np.unique(allu, return_inverse=True)
+    cohort = np.full(len(users), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(cohort, inv, np.concatenate(ws))
+    ref = ray.put((users, cohort))
+
+    def user_week(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        w = b[ts_col].cast(pa.int64()).to_numpy() // week_us
+        return pa.table(
+            {"user": pa.array(u, pa.int64()), "w": pa.array(w, pa.int64())}
+        )
+
+    active = combiner_groupby(
+        events.map_batches(user_week, batch_format="pyarrow"),
+        ["user", "w"],
+        [],
+        count_col="_n",
+    )
+
+    def to_cohort(b: pa.Table, _r=ref) -> pa.Table:
+        uu, coh = ray.get(_r)
+        u = b["user"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        c = coh[np.searchsorted(uu, u)]
+        return pa.table(
+            {
+                "cohort_week": pa.array(c, pa.int64()),
+                "week_offset": pa.array(w - c, pa.int64()),
+            }
+        )
+
+    out = combiner_groupby(
+        active.map_batches(to_cohort, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        [],
+        count_col="n_users",
+    )
+    return out.map_batches(
+        lambda b: b.select(["cohort_week", "week_offset", "n_users"]),
+        batch_format="pyarrow",
+    )

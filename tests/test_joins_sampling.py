@@ -271,3 +271,28 @@ def test_weighted_sample_layout_independent(ray_session):
         ray.data.from_arrow(t).repartition(16), n=30, weight_col="n_chars"
     )
     assert a.equals(b)
+
+
+def test_retention_cohorts_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.windows import retention_cohorts
+
+    week = 7 * 86400 * 1_000_000
+    # u0 first in week 0, returns weeks 0 (twice) and 2; u1 first week 1
+    rows = pa.table(
+        {
+            "user_id": pa.array([0, 0, 0, 1], pa.int64()),
+            "ts": pa.array(
+                [10, 20, 2 * week + 5, week + 3], pa.timestamp("us")
+            ),
+        }
+    )
+    ds = retention_cohorts(ray.data.from_arrow(rows).repartition(3))
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    ).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+    assert t["cohort_week"].to_pylist() == [0, 0, 1]
+    assert t["week_offset"].to_pylist() == [0, 2, 0]
+    assert t["n_users"].to_pylist() == [1, 1, 1]
