@@ -1839,6 +1839,19 @@ def _q_token_entropy(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_next_word_suggest(sf_dir: str) -> pa.Table:
+    """Query suggestion: top-5 corpus-bigram continuations of 'scan' —
+    the prefix filter runs inside each batch partial so the exchange is
+    one word's continuation set, never the bigram vocabulary."""
+    from dcs_ray.functions.textprep import next_word_suggest
+
+    return next_word_suggest(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"]),
+        word="scan",
+        k=5,
+    )
+
+
 def _q_retention_cohorts(sf_dir: str) -> pa.Table:
     """Cohort retention: users grouped by first-seen week, counted once
     per later active week. Cohort vector is a user-sized driver fold
@@ -3644,6 +3657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_keywords": _q_tfidf_keywords,
         "related_terms_pmi": _q_related_terms,
         "autocomplete_prefix": _q_autocomplete,
+        "next_word_suggest": _q_next_word_suggest,
         "stemmed_term_df": _q_stemmed_term_df,
         "bm25_eval_metrics": _q_bm25_eval,
         "bm25_pruned_topk": _q_bm25_pruned,
@@ -5290,6 +5304,18 @@ LEFT JOIN e1 USING (user_id)
 LEFT JOIN e2 USING (user_id)
 LEFT JOIN e3 USING (user_id)
 ORDER BY u.user_id
+""",
+        # next-word suggestion: bigram continuations of 'scan'
+        "next_word_suggest": f"""
+WITH ltoks AS ({_TOKS_LIST}),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM ltoks WHERE len(toks) > 1),
+cnt AS (
+  SELECT string_split(bg, ' ')[2] AS next_word, count(*)::bigint AS n
+  FROM pairs WHERE bg LIKE 'scan %' GROUP BY 1)
+SELECT next_word, n FROM cnt ORDER BY n DESC, next_word ASC LIMIT 5
 """,
         # cohort retention: first-seen week per user, one count per
         # distinct active (user, week)

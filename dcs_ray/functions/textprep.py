@@ -343,3 +343,39 @@ def chunk_documents(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def next_word_suggest(
+    ds: ray.data.Dataset, word: str, k: int = 5, text_col: str = "text"
+) -> pa.Table:
+    """Query suggestion: the top-``k`` continuations of ``word`` by
+    corpus bigram frequency → ``(next_word, n)`` ranked (n desc, word
+    asc) — the "searches related to" affordance, served straight from
+    the distributed bigram counts.
+
+    Scale shape: the ``word``-prefix filter runs INSIDE each batch's
+    bigram partial, so the exchange carries only bigrams starting with
+    the query word (vocabulary-of-one-row scale), never the corpus
+    bigram vocabulary."""
+    pref = word + " "
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = bigram_counts_batch(b, text_col)
+        return t.filter(pc.starts_with(t["bigram"], pref))
+
+    agg = combiner_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bigram"], ["n"]
+    )
+    parts = [
+        pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")
+    ]
+    t = (
+        pa.concat_tables(parts).select(["bigram", "n"])
+        if parts
+        else pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    )
+    t = t.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, k)
+    nxt = pc.utf8_slice_codeunits(t["bigram"], len(pref))
+    return pa.table({"next_word": nxt, "n": t["n"]})

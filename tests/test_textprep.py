@@ -212,3 +212,39 @@ def test_chunk_documents_matches_loop(ray_session):
     got = list(zip(out.doc_id, out.chunk_id, out.start_token,
                    out.n_chunk_tokens, out.chunk_text))
     assert got == want
+
+
+def test_next_word_suggest_hand_computed(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.textprep import next_word_suggest
+
+    rows = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "scan table scan index scan table",
+                    "scan table fast",
+                    "no match here. scandal scan",  # 'scandal' ≠ 'scan'; trailing 'scan' has no successor
+                ],
+                pa.string(),
+            )
+        }
+    )
+    t = next_word_suggest(ray.data.from_arrow(rows).repartition(2), "scan", k=2)
+    assert t["next_word"].to_pylist() == ["table", "index"]
+    assert t["n"].to_pylist() == [3, 1]
+
+
+def test_next_word_suggest_unknown_word(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.textprep import next_word_suggest
+
+    t = next_word_suggest(
+        ray.data.from_arrow(pa.table({"text": pa.array(["a b c"], pa.string())})),
+        "zzz",
+    )
+    assert len(t) == 0
