@@ -2861,6 +2861,18 @@ def _q_autocomplete(sf_dir: str) -> pa.Table:
     return complete_prefix(ds, "st", k=10)
 
 
+def _q_autocomplete_suffix(sf_dir: str) -> pa.Table:
+    """Leading-wildcard completion '*er': top-10 corpus terms ending
+    with the pattern by df — the reversed-dictionary query; the
+    ends_with filter is pushed into each batch partial."""
+    from dcs_ray.functions.textstats import complete_suffix
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return complete_suffix(ds, "er", k=10)
+
+
 def _q_bm25_eval(sf_dir: str) -> pa.Table:
     """Retrieval evaluation of the BM25 top-10 run: NDCG@10 + MRR
     against the lexical relevance oracle (doc contains ALL query
@@ -3658,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "related_terms_pmi": _q_related_terms,
         "autocomplete_prefix": _q_autocomplete,
         "next_word_suggest": _q_next_word_suggest,
+        "autocomplete_suffix": _q_autocomplete_suffix,
         "stemmed_term_df": _q_stemmed_term_df,
         "bm25_eval_metrics": _q_bm25_eval,
         "bm25_pruned_topk": _q_bm25_pruned,
@@ -4345,6 +4358,14 @@ WITH toks AS ({_TOKS_LIST}),
 dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks)
 SELECT term, count(*)::bigint AS df FROM dt
 WHERE starts_with(term, 'st')
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        # leading-wildcard completion (*er): the reversed-dictionary query
+        "autocomplete_suffix": f"""
+WITH toks AS ({_TOKS_LIST}),
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks)
+SELECT term, count(*)::bigint AS df FROM dt
+WHERE ends_with(term, 'er')
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
         # Harman '91 S-stemmer as a CASE chain (rules fire in order and

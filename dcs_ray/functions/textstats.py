@@ -554,21 +554,17 @@ def cooccur_pmi(
     )
 
 
-def complete_prefix(
+def _complete_match(
     ds: ray.data.Dataset,
-    prefix: str,
+    match_kernel,
     k: int = 10,
     text_col: str = "text",
 ) -> pa.Table:
-    """Query autocompletion: the top-``k`` corpus terms starting with
-    ``prefix``, ranked by document frequency (df desc, term asc) — the
-    search-box suggestion signal.
-
-    Scale shape: the prefix filter is pushed INTO the per-batch partial
-    (``pc.starts_with`` on the batch vocabulary before the distinct
-    (doc, term) collapse), so the exchange carries only matching terms'
-    (term, df) partials — a sliver of the vocabulary, not the corpus.
-    Integer counts: exact under any fold order."""
+    """Shared df-ranked term completion: ``match_kernel(dictionary)``
+    → bool mask selects candidate terms per batch vocabulary BEFORE
+    the distinct (doc, term) collapse, so the exchange carries only
+    matching terms' (term, df) partials — a sliver of the vocabulary,
+    not the corpus. Integer counts: exact under any fold order."""
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -578,9 +574,7 @@ def complete_prefix(
         if len(flat) == 0:
             return empty
         enc = flat.dictionary_encode()
-        dict_match = pc.starts_with(
-            enc.dictionary.cast(pa.string()), prefix
-        ).to_numpy(zero_copy_only=False)
+        dict_match = match_kernel(enc.dictionary.cast(pa.string()))
         if not dict_match.any():
             return empty
         codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -616,6 +610,45 @@ def complete_prefix(
             "term": agg["term"].take(pa.array(order)).combine_chunks(),
             "df": agg["df_sum"].take(pa.array(order)).cast(pa.int64()),
         }
+    )
+
+
+def complete_prefix(
+    ds: ray.data.Dataset,
+    prefix: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """Query autocompletion: the top-``k`` corpus terms starting with
+    ``prefix``, ranked by document frequency (df desc, term asc) — the
+    search-box suggestion signal. See :func:`_complete_match` for the
+    pushed-down-filter scale shape."""
+    return _complete_match(
+        ds,
+        lambda d: pc.starts_with(d, prefix).to_numpy(zero_copy_only=False),
+        k,
+        text_col,
+    )
+
+
+def complete_suffix(
+    ds: ray.data.Dataset,
+    suffix: str,
+    k: int = 10,
+    text_col: str = "text",
+) -> pa.Table:
+    """Leading-wildcard completion (``*suffix``): the top-``k`` corpus
+    terms ENDING with ``suffix``, ranked (df desc, term asc) — the
+    reversed-dictionary query every fulltext engine serves next to
+    prefix completion. At index scale this probes a REVERSED term
+    dictionary with an ordinary prefix pushdown; here the vocabulary
+    streams with the ``ends_with`` filter pushed into each batch
+    partial (same exchange bound as :func:`complete_prefix`)."""
+    return _complete_match(
+        ds,
+        lambda d: pc.ends_with(d, suffix).to_numpy(zero_copy_only=False),
+        k,
+        text_col,
     )
 
 
