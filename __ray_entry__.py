@@ -3240,6 +3240,15 @@ def _q_coupling_topk(sf_dir: str) -> pa.Table:
     return _pairs_top100(coupling_counts(_link_edges_ds(sf_dir)))
 
 
+def _q_coupling_jaccard(sf_dir: str) -> pa.Table:
+    """Outlink-profile Jaccard similarity between citing pages, top-20
+    — bibliographic coupling normalized by degree so mega-hubs don't
+    dominate. One integer division per pair: bit-exact vs SQL."""
+    from dcs_ray.functions.links import coupling_jaccard_topk
+
+    return coupling_jaccard_topk(_link_edges_ds(sf_dir), k=20)
+
+
 def _q_link_hits(sf_dir: str) -> pa.Table:
     """HITS hubs/authorities over the EXTRACTED web graph (Kleinberg
     '99) — the query-independent companion to PageRank: authorities ≈
@@ -3691,6 +3700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_communities": _q_link_communities,
         "host_link_graph": _q_host_link_graph,
         "link_reachability": _q_link_reachability,
+        "coupling_jaccard_topk": _q_coupling_jaccard,
         "search_rrf": _q_search_rrf,
         "search_prf": _q_search_prf,
         "search_corrected": _q_search_corrected,
@@ -4575,6 +4585,22 @@ SELECT node, count(*)::bigint AS n_triangles
 FROM corners GROUP BY node ORDER BY node
 """,
         "link_communities": _lpa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # outlink-Jaccard coupling over DISTINCT edges: one integer
+        # division per pair, ordered by the unrounded ratio
+        "coupling_jaccard_topk": f"""
+WITH {_LINK_EDGES_CTE},
+em AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+outd AS (SELECT src, count(*)::bigint AS d FROM em GROUP BY src),
+cc AS (SELECT e1.src AS id_a, e2.src AS id_b, count(*)::bigint AS s
+       FROM em e1 JOIN em e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       GROUP BY 1, 2)
+SELECT id_a, id_b, s AS n_shared,
+       round(s::double / (da.d + db.d - s), 6) AS jaccard
+FROM cc
+JOIN outd da ON da.src = cc.id_a
+JOIN outd db ON db.src = cc.id_b
+ORDER BY s::double / (da.d + db.d - s) DESC, id_a, id_b LIMIT 20
+""",
         # host-level link graph: edges joined to the doc→host mapping
         # on both endpoints (INNER — synthetic targets drop), counted
         "host_link_graph": f"""

@@ -398,3 +398,47 @@ def test_link_degree_stats_left_join_zeros(ray_session):
     assert t["out_links"].to_pylist() == [2, 3, 0, 0]  # doc 4 outside graph
     assert t["in_links"].to_pylist() == [1, 1, 3, 0]
     assert t.schema.field("out_links").type == pa.int64()
+
+
+def test_coupling_jaccard_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.links import coupling_jaccard_topk
+
+    rng = np.random.default_rng(21)
+    src = rng.integers(0, 12, 120)
+    dst = rng.integers(100, 130, 120)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "anchor": pa.array([""] * len(src), pa.string()),
+            }
+        )
+    ).repartition(4)
+    got = coupling_jaccard_topk(edges, k=10)
+    out_sets = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        out_sets.setdefault(s, set()).add(d)
+    rows = []
+    keys = sorted(out_sets)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            sh = len(out_sets[a] & out_sets[b])
+            if sh:
+                j = sh / (len(out_sets[a]) + len(out_sets[b]) - sh)
+                rows.append((-j, a, b, sh))
+    rows.sort()
+    want = [(a, b, sh, round(-nj, 6)) for nj, a, b, sh in rows[:10]]
+    gotl = list(
+        zip(
+            got["id_a"].to_pylist(),
+            got["id_b"].to_pylist(),
+            got["n_shared"].to_pylist(),
+            got["jaccard"].to_pylist(),
+        )
+    )
+    assert gotl == want
