@@ -905,77 +905,6 @@ def _q_order_totals_by_nation(sf_dir: str) -> Any:
     ).sort_by("n_name")
 
 
-def _q_shipping_priority(sf_dir: str) -> Any:
-    """TPC-H-Q3-style shipping priority: the big⋈big hop (lineitem ⋈
-    orders) goes through ``shuffle_join`` (hash-partitioned exchange,
-    per-worker memory bounded by one bucket, not an input); the
-    dimension filter (customer segment) stays a broadcast semi-join.
-    Revenue sums are integer-scaled (exact, order-independent); only
-    the |groups|-sized aggregate ever reaches the driver."""
-    import datetime
-
-    from dcs_ray.functions.relational import (
-        broadcast_join, combiner_groupby, shuffle_join,
-    )
-
-    import pyarrow.dataset as pads
-
-    cutoff = datetime.datetime(1998, 6, 1)
-    # predicates pushed into the scan: row groups outside the date /
-    # segment range never leave storage
-    cust = read_parquet_sized(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
-        filter=pads.field("c_mktsegment") == "BUILDING",
-    )
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        filter=pads.field("o_orderdate") < cutoff,
-    )
-    li = read_parquet_sized(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-        filter=pads.field("l_shipdate") > cutoff,
-    )
-
-    # semi-join: keep orders of BUILDING customers (dimension side broadcast)
-    orders = broadcast_join(
-        orders, cust, on="o_custkey", right_on="c_custkey", small_cols=(),
-    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
-
-    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
-
-    def prep(b: pa.Table) -> pa.Table:
-        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
-        return pa.table(
-            {
-                "o_orderkey": b["l_orderkey"],
-                "o_orderdate": b["o_orderdate"],
-                "o_orderpriority": b["o_orderpriority"],
-                "rev1e4": pa.array(p * (100 - d), pa.int64()),
-            }
-        )
-
-    agg = combiner_groupby(
-        j.map_batches(prep, batch_format="pyarrow"),
-        ["o_orderkey", "o_orderdate", "o_orderpriority"], ["rev1e4"],
-    )
-    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
-    rev = t["rev1e4"].to_numpy().astype(np.int64)
-    keys = t["o_orderkey"].to_numpy().astype(np.int64)
-    order = np.lexsort((keys, -rev))[:10]
-    take = pa.array(order)
-    return pa.table(
-        {
-            "o_orderkey": t["o_orderkey"].combine_chunks().take(take),
-            "revenue": pa.array(rev[order] / 10000.0, pa.float64()),
-            "o_orderdate": t["o_orderdate"].combine_chunks().take(take),
-            "o_orderpriority": t["o_orderpriority"].combine_chunks().take(take),
-        }
-    )
-
-
 def _q_shipping_priority(sf_dir: str) -> pa.Table:
     """TPC-H-Q3-style shipping priority: segment-filtered customers
     broadcast-semi-join orders (date-pruned at the read), the one
@@ -1409,6 +1338,138 @@ eig AS (SELECT sum(f.v * c.u) AS e FROM vf f JOIN cv c USING (dim))
 SELECT dim, round(v, 6) AS loading,
        round((SELECT e FROM eig), 6) AS eigenvalue
 FROM vf ORDER BY dim"""
+    )
+
+
+def _q_customer_returns(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-style returned-item report: revenue lost to returns
+    per customer in 1996Q1, top-20. Returnflag + date predicates pushed
+    into the scans; lineitem ⋈ orders is the one hash-partitioned
+    big⋈big hop; the per-customer aggregate (customer-sized) joins
+    customer via a second shuffle_join and nation via broadcast;
+    revenue in exact integer 1e-4 units; per-block local top-20."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    per_cust = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"), ["o_custkey"], ["rev1e4"]
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    jc = shuffle_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+    nat = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    jn = broadcast_join(
+        jc, nat, on="c_nationkey", right_on="n_nationkey", small_cols=("n_name",)
+    )
+    order = [("rev1e4", "descending"), ("o_custkey", "ascending")]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 20)
+
+    parts = [
+        pa.table(b)
+        for b in jn.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts).sort_by(order).slice(0, 20)
+    return pa.table(
+        {
+            "c_custkey": merged["o_custkey"].cast(pa.int64()),
+            "c_name": merged["c_name"],
+            "revenue": pa.array(merged["rev1e4"].to_numpy() / 10000.0, pa.float64()),
+            "c_acctbal": merged["c_acctbal"],
+            "n_name": merged["n_name"],
+        }
+    )
+
+
+def _q_large_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds 100 units, top-20 by (o_totalprice desc,
+    o_orderkey). The quantity fold is a combiner groupby in exact 1e-2
+    integer units; the qualifying-order set (tiny by construction) is
+    broadcast back as a semi-join filter on orders."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "q1e2": pa.array(q, pa.int64())}
+        )
+
+    per_order = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"], ["q1e2"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(b["q1e2"].to_numpy() > 100 * 100)
+        ).select(["l_orderkey", "q1e2"]),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j = broadcast_join(
+        orders, per_order, on="o_orderkey", right_on="l_orderkey",
+        small_cols=("q1e2",),
+    )
+    parts = [
+        pa.table(b) for b in j.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(parts)
+    price = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    keys = t["o_orderkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((keys, -price))[:20]
+    take = pa.array(order)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].combine_chunks().take(take),
+            "o_custkey": t["o_custkey"].combine_chunks().take(take),
+            "o_orderdate": t["o_orderdate"].combine_chunks().take(take),
+            "o_totalprice": t["o_totalprice"].combine_chunks().take(take),
+            "total_qty": pa.array(
+                t["q1e2"].to_numpy(zero_copy_only=False)[order] / 100.0,
+                pa.float64(),
+            ),
+        }
     )
 
 
@@ -3731,6 +3792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
+        "customer_returns": _q_customer_returns,
+        "large_orders": _q_large_orders,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -5116,21 +5179,34 @@ FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """,
-        "shipping_priority": """
+        # TPC-H-Q10-style returned-item customer revenue (1996Q1)
+        "customer_returns": """
 WITH j AS (
-  SELECT l.l_orderkey AS o_orderkey, o_orderdate, o_orderpriority,
+  SELECT o_custkey,
          round(l_extendedprice * 100)::bigint
            * (100 - round(l_discount * 100)::bigint) AS rev1e4
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN customer c ON o_custkey = c_custkey
-  WHERE c_mktsegment = 'BUILDING'
-    AND o_orderdate < TIMESTAMP '1998-06-01'
-    AND l_shipdate > TIMESTAMP '1998-06-01')
-SELECT o_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
-       o_orderdate, o_orderpriority
-FROM j GROUP BY o_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderkey LIMIT 10
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'),
+pc AS (SELECT o_custkey, sum(rev1e4) AS r FROM j GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, pc.r::double / 10000.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM pc
+JOIN customer c ON c.c_custkey = pc.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY pc.r DESC, c.c_custkey ASC LIMIT 20
+""",
+        # TPC-H-Q18-style large-volume orders (total qty > 100)
+        "large_orders": """
+WITH q AS (
+  SELECT l_orderkey, sum(round(l_quantity * 100)::bigint) AS q1e2
+  FROM lineitem GROUP BY l_orderkey HAVING q1e2 > 10000)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+       q.q1e2::double / 100.0 AS total_qty
+FROM orders o JOIN q ON q.l_orderkey = o.o_orderkey
+ORDER BY round(o.o_totalprice * 100)::bigint DESC, o.o_orderkey ASC LIMIT 20
 """,
         "local_supplier_volume": """
 WITH j AS (
