@@ -1417,6 +1417,61 @@ def _q_customer_returns(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-style promotion effect: share of January-1996 revenue
+    from PROMO parts. The date predicate is pushed into the lineitem
+    scan; lineitem ⋈ part is the hash-partitioned big⋈big hop; both
+    revenue sums fold as exact 1e-4 integers so the single output
+    division is the only float."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import shuffle_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 2, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    j = shuffle_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = p * (100 - d)
+        promo = pc.equal(b["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_rev1e4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_rev1e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    pr = tot = 0
+    for b in j.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        pr += int(np.sum(t["promo_rev1e4"].to_numpy()))
+        tot += int(np.sum(t["total_rev1e4"].to_numpy()))
+    pct = (100.0 * pr) / tot if tot else 0.0
+    return pa.table(
+        {
+            "promo_rev1e4": pa.array([pr], pa.int64()),
+            "total_rev1e4": pa.array([tot], pa.int64()),
+            "promo_pct": pa.array([round(pct, 6)], pa.float64()),
+        }
+    )
+
+
 def _q_large_orders(sf_dir: str) -> pa.Table:
     """TPC-H-Q18-style large-volume orders: orders whose total lineitem
     quantity exceeds 100 units, top-20 by (o_totalprice desc,
@@ -3794,6 +3849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_returns": _q_customer_returns,
         "large_orders": _q_large_orders,
+        "promo_revenue": _q_promo_revenue,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -5197,6 +5253,24 @@ FROM pc
 JOIN customer c ON c.c_custkey = pc.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 ORDER BY pc.r DESC, c.c_custkey ASC LIMIT 20
+""",
+        # TPC-H-Q14-style promotion effect (Jan 1996)
+        "promo_revenue": """
+WITH j AS (
+  SELECT p.p_type,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-02-01'),
+s AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev1e4 ELSE 0 END)::bigint AS pr,
+         sum(rev1e4)::bigint AS tot
+  FROM j)
+SELECT pr AS promo_rev1e4, tot AS total_rev1e4,
+       round(CASE WHEN tot > 0 THEN (100.0 * pr) / tot ELSE 0.0 END, 6)
+         AS promo_pct
+FROM s
 """,
         # TPC-H-Q18-style large-volume orders (total qty > 100)
         "large_orders": """
