@@ -2743,6 +2743,69 @@ FROM e ORDER BY event_type
 """
 
 
+def _hll_sets_sql(p: int, key_a: str, key_b: str) -> str:
+    """HLL set algebra (|A|, |B|, |A∪B|, inclusion–exclusion |A∩B|)
+    over events user_id slices, replayed in integer SQL: the grouped
+    register chain filtered to the two keys, union registers =
+    per-register max, the standard estimator applied three times."""
+    M64 = "18446744073709551616"
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    m = 1 << p
+    cap = 64 - p + 1
+    ladder = "\n".join(
+        f"r{i+1} AS (SELECT event_type, reg, CASE WHEN v >= {1 << s} THEN v // {1 << s} ELSE v END AS v,"
+        f" bl + CASE WHEN v >= {1 << s} THEN {s} ELSE 0 END AS bl FROM r{i}),"
+        for i, s in enumerate((32, 16, 8, 4, 2, 1))
+    )
+
+    def est(rel: str) -> str:
+        return f"""(SELECT CASE WHEN est <= 2.5 * {m} AND zeros > 0
+                 THEN {m}.0 * ln({m}.0 / zeros) ELSE est END FROM
+      (SELECT ({m} - count(*)) AS zeros,
+              (0.7213 / (1 + 1.079 / {m}.0)) * {m}.0 * {m}.0 /
+                (({m} - count(*)) * 1.0 + coalesce(sum(power(2.0, -rank)), 0.0)) AS est
+       FROM {rel}))"""
+
+    return f"""
+WITH h0 AS (SELECT event_type, ((user_id::hugeint + {GOLDEN}) % {M64}) AS x0
+            FROM events WHERE user_id IS NOT NULL
+              AND event_type IN ('{key_a}', '{key_b}')),
+h1 AS (SELECT event_type, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT event_type, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT event_type, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+r0 AS (SELECT event_type, (h // {1 << (64 - p)})::bigint AS reg, (h * {m}) % {M64} AS v, 0 AS bl FROM hf),
+{ladder}
+rf AS (SELECT event_type, reg, bl + CASE WHEN v >= 1 THEN 1 ELSE 0 END AS bitlen FROM r6),
+regs AS MATERIALIZED (
+  SELECT event_type, reg, max(least(64 - bitlen + 1, {cap}))::bigint AS rank
+  FROM rf GROUP BY 1, 2),
+ra AS (SELECT reg, rank FROM regs WHERE event_type = '{key_a}'),
+rb AS (SELECT reg, rank FROM regs WHERE event_type = '{key_b}'),
+ru AS (SELECT reg, max(rank) AS rank
+       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg),
+e AS (SELECT {est("ra")} AS ea, {est("rb")} AS eb, {est("ru")} AS eu)
+SELECT '{key_a}' AS key_a, '{key_b}' AS key_b,
+       round(ea, 6) AS approx_a, round(eb, 6) AS approx_b,
+       round(eu, 6) AS approx_union,
+       round(greatest(0.0, ea + eb - eu), 6) AS approx_intersection
+FROM e
+"""
+
+
+def _q_hll_set_algebra(sf_dir: str) -> pa.Table:
+    """HLL set algebra: approx distinct users who viewed, clicked,
+    either, and (by inclusion–exclusion) both — the register-max union
+    property exact distinct counts don't compose into."""
+    from dcs_ray.functions.sketches import hll_set_algebra
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_set_algebra(ev, "event_type", "user_id", "view", "click", p=8)
+
+
 def _q_distinct_users_by_type(sf_dir: str) -> Any:
     """Grouped HLL: approx COUNT(DISTINCT user_id) per event_type —
     one fixed 2^p-byte register row per (block, key), max-merged by one
@@ -3862,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "approx_distinct_users": _q_approx_distinct_users,
+        "hll_set_algebra": _q_hll_set_algebra,
         "hll_registers": _q_hll_registers,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "heavy_hitters_event_type": _q_heavy_hitters,
@@ -5729,6 +5793,7 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "distinct_users_by_type": _grouped_hll_sql(p=8),
+        "hll_set_algebra": _hll_sets_sql(p=8, key_a="view", key_b="click"),
         "bm25_snippets": f"""
 WITH {_BM25_SCORES},
 topk AS (

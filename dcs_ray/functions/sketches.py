@@ -531,3 +531,51 @@ def grouped_approx_distinct_hll(
             "approx_distinct": pa.array([ests[i] for i in order], pa.float64()),
         }
     )
+
+
+def hll_set_algebra(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    key_a: str,
+    key_b: str,
+    p: int = 8,
+) -> pa.Table:
+    """HLL register algebra: approximate |A|, |B|, |A∪B| and the
+    inclusion–exclusion intersection |A∩B| ≈ |A| + |B| − |A∪B| for the
+    value sets of two key slices (e.g. users who viewed vs clicked) —
+    the sketch-union property (register-wise max) that exact distinct
+    counts don't compose into.
+
+    Each slice is one streaming register fold (:func:`approx_distinct_hll`,
+    worker-side 64-way pre-merge); the union costs NOTHING extra — its
+    registers are the elementwise max of the two 2^p-byte vectors on
+    the driver. Intersection error grows with |A∪B|/|A∩B| (the standard
+    inclusion–exclusion caveat); negative estimates clamp to 0."""
+    import pyarrow.compute as pc
+
+    def only(key):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b[key_col], key))
+
+        return f
+
+    ds = ds.materialize()
+    est_a, regs_a = approx_distinct_hll(
+        ds.map_batches(only(key_a), batch_format="pyarrow"), val_col, p=p
+    )
+    est_b, regs_b = approx_distinct_hll(
+        ds.map_batches(only(key_b), batch_format="pyarrow"), val_col, p=p
+    )
+    est_u = hll_estimate(np.maximum(regs_a, regs_b))
+    inter = max(0.0, est_a + est_b - est_u)
+    return pa.table(
+        {
+            "key_a": pa.array([key_a], pa.string()),
+            "key_b": pa.array([key_b], pa.string()),
+            "approx_a": pa.array([round(est_a, 6)], pa.float64()),
+            "approx_b": pa.array([round(est_b, 6)], pa.float64()),
+            "approx_union": pa.array([round(est_u, 6)], pa.float64()),
+            "approx_intersection": pa.array([round(inter, 6)], pa.float64()),
+        }
+    )

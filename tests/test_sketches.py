@@ -145,3 +145,55 @@ def test_grouped_hll_error_and_layout(ray_session):
         ray.data.from_arrow(t).repartition(7), "g", "v", p=8
     )
     assert out.to_pydict() == out2.to_pydict()
+
+
+def test_hll_set_algebra_tracks_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sketches import hll_set_algebra
+
+    rng = np.random.default_rng(17)
+    # A = 0..599, B = 300..899 → |A|=600 |B|=600 |A∩B|=300 |A∪B|=900
+    ua = rng.permutation(np.arange(0, 600))
+    ub = rng.permutation(np.arange(300, 900))
+    t = pa.table(
+        {
+            "event_type": pa.array(["view"] * len(ua) + ["click"] * len(ub)),
+            "user_id": pa.array(np.concatenate([ua, ub]), pa.int64()),
+        }
+    )
+    out = hll_set_algebra(
+        ray.data.from_arrow(t).repartition(5),
+        "event_type", "user_id", "view", "click", p=10,
+    )
+    a = out["approx_a"].to_pylist()[0]
+    b = out["approx_b"].to_pylist()[0]
+    u = out["approx_union"].to_pylist()[0]
+    i = out["approx_intersection"].to_pylist()[0]
+    # p=10 → ~3.3% std error on each; intersection compounds
+    assert abs(a - 600) < 0.15 * 600
+    assert abs(b - 600) < 0.15 * 600
+    assert abs(u - 900) < 0.15 * 900
+    assert abs(i - 300) < 0.4 * 300
+    assert abs((a + b - u) - i) < 1e-6
+
+
+def test_hll_set_algebra_empty_slice(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sketches import hll_set_algebra
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["view"] * 5),
+            "user_id": pa.array(range(5), pa.int64()),
+        }
+    )
+    out = hll_set_algebra(
+        ray.data.from_arrow(t), "event_type", "user_id", "view", "click", p=8
+    )
+    assert out["approx_b"].to_pylist() == [0.0]
+    assert out["approx_intersection"].to_pylist() == [0.0]
