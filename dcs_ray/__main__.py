@@ -197,11 +197,53 @@ def cmd_links(args) -> None:
         t = anchor_term_counts(edges)
         for row in t.sort("anchor_tf", descending=True).limit(args.n).take_all():
             print(f"{row['anchor_tf']:6d}  doc={row['doc_id']}  {row['term']}")
-    else:  # pagerank
+    elif args.method == "pagerank":
         t = link_pagerank(edges, n_iter=args.iters)
         t = t.sort_by([("rank", "descending"), ("node", "ascending")]).slice(0, args.n)
         for node, rank in zip(t["node"].to_pylist(), t["rank"].to_pylist()):
             print(f"{rank:.6f}  doc={node}")
+    elif args.method in ("triangles", "communities"):
+        import pyarrow as pa
+
+        from dcs_ray.functions.graph import label_propagation, triangle_counts
+
+        pairs = edges.map_batches(
+            lambda b: pa.table({"id_a": b["src"], "id_b": b["dst"]}),
+            batch_format="pyarrow",
+        )
+        if args.method == "triangles":
+            ds = triangle_counts(pairs)
+            col, label = "n_triangles", "triangles"
+        else:
+            ds = label_propagation(pairs, n_iter=args.iters)
+            col, label = "community", "community"
+        t = pa.concat_tables(
+            pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+        ).sort_by("node")
+        for node, v in zip(
+            t["node"].to_pylist()[: args.n], t[col].to_pylist()[: args.n]
+        ):
+            print(f"doc={node}  {label}={v}")
+    else:  # reach
+        import numpy as np
+
+        from dcs_ray.functions.graph import bfs_hops
+
+        edges = edges.materialize()
+        parts = [
+            np.unique(b["src"].to_numpy(zero_copy_only=False))[:3]
+            for b in edges.select_columns(["src"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        seeds = (
+            np.unique(np.concatenate(parts))[:3].tolist() if parts else []
+        )
+        t = bfs_hops(edges, seeds, max_hops=args.iters, src="src", dst="dst")
+        for node, h in zip(
+            t["node"].to_pylist()[: args.n], t["hops"].to_pylist()[: args.n]
+        ):
+            print(f"doc={node}  hops={h}")
 
 
 def cmd_suggest(args) -> None:
@@ -462,6 +504,8 @@ def cmd_textstats(args) -> None:
         "langid": textstats.langid,
         "fingerprint": textstats.fingerprints,
         "classify": textstats.quality_classify,
+        "readability": textstats.readability,
+        "entropy": textstats.token_entropy,
     }[args.method]
     out = fn(ds, id_col=args.id_col)
     for row in out.limit(args.n).take_all():
@@ -624,7 +668,8 @@ def main() -> None:
     d = sub.add_parser("links", help="web link graph: edges / anchors / pagerank")
     d.add_argument("sf_dir")
     d.add_argument("--method", default="pagerank",
-                   choices=["edges", "anchors", "pagerank"])
+                   choices=["edges", "anchors", "pagerank", "triangles",
+                            "communities", "reach"])
     d.add_argument("--iters", type=int, default=5)
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_links)
@@ -737,7 +782,8 @@ def main() -> None:
     d = sub.add_parser("textstats", help="per-doc text analysis over documents parquet")
     d.add_argument("input")
     d.add_argument("--method", default="quality",
-                   choices=["tokens", "bpe", "quality", "langid", "fingerprint", "classify"])
+                   choices=["tokens", "bpe", "quality", "langid", "fingerprint",
+                            "classify", "readability", "entropy"])
     d.add_argument("--id-col", default="doc_id")
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_textstats)
