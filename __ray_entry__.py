@@ -467,6 +467,19 @@ def _q_knn(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_knn_classify(sf_dir: str) -> pa.Table:
+    """kNN majority-vote label prediction for the first 5 embedding
+    vectors (self excluded, k=10): brute-force cosine ranking + one
+    broadcast-id label pass; ties by (count desc, label asc)."""
+    from dcs_ray.functions.simsearch import knn_classify
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return knn_classify(emb, q, ids, k=10)
+
+
 def _q_knn_lsh(sf_dir: str) -> pa.Table:
     """ANN through a persistent bucket-partitioned LshAnnIndex with 4
     independent SRP tables; each query probes its 8 query-directed best
@@ -3840,6 +3853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- end of the driver's 50-query window ---
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "label_centroids": _q_label_centroids,
+        "knn_label_classify": _q_knn_classify,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -6177,6 +6191,31 @@ WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) A
 SELECT label::bigint AS label, dim::bigint AS dim,
        avg(v::double) AS centroid, count(*)::bigint AS n_vecs
 FROM e GROUP BY label, dim ORDER BY label, dim
+""",
+        # kNN majority-vote classification: first 5 vectors as queries,
+        # self excluded, k=10, ties (count desc, label asc)
+        "knn_label_classify": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.qid, e.vec_id, e.label,
+         unnest(e.embedding)::double AS x, unnest(q.qe)::double AS y
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+sims AS (
+  SELECT qid, vec_id, label,
+         sum(x*y) / (sqrt(sum(x*x)) * sqrt(sum(y*y))) AS cs
+  FROM pairs GROUP BY qid, vec_id, label),
+nn AS (
+  SELECT qid, label FROM (
+    SELECT qid, label,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS rn
+    FROM sims) WHERE rn <= 10),
+votes AS (SELECT qid, label, count(*)::bigint AS c FROM nn GROUP BY qid, label)
+SELECT qid::bigint AS query_vec_id, label::bigint AS pred_label, c AS votes
+FROM (
+  SELECT qid, label, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, label ASC) AS rn
+  FROM votes) WHERE rn = 1
+ORDER BY qid
 """,
         "knn_cosine": """
 WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

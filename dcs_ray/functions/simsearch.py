@@ -945,3 +945,87 @@ def group_centroids(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def knn_classify(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """k-nearest-neighbor majority-vote classification (Cover & Hart
+    '67) over the embedding corpus: each query vector's ``k`` nearest
+    corpus vectors by cosine (the query's OWN row excluded) vote with
+    their labels; ties break by highest count then smallest label →
+    ``(query_vec_id, pred_label, votes)``.
+
+    Scale shape: ranking is the existing brute-force per-batch matmul
+    + tiny per-query merge; the ≤ Q·k winning ids then pull their
+    labels in ONE streaming pass with the id set broadcast — labels
+    never join through a shuffle."""
+    import ray as _ray
+
+    query_ids = np.asarray(query_ids, np.int64)
+    ds = ds.materialize()
+    t = knn_cosine_bruteforce(ds, queries, k=k + 1, id_col=id_col, emb_col=emb_col)
+    qidx = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = t["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((rank, qidx))
+    qidx, ids = qidx[order], ids[order]
+    keep = ids != query_ids[qidx]
+    qidx, ids = qidx[keep], ids[keep]
+    # first k survivors per query (rows are rank-ascending within query)
+    runs = np.concatenate(([0], np.flatnonzero(qidx[1:] != qidx[:-1]) + 1))
+    within = np.arange(len(qidx)) - np.repeat(
+        runs, np.diff(np.concatenate((runs, [len(qidx)])))
+    )
+    sel = within < k
+    qidx, ids = qidx[sel], ids[sel]
+
+    # one streaming label lookup with the candidate-id set broadcast
+    cand_ref = _ray.put(np.unique(ids))
+
+    def lookup(b: pa.Table, _c=cand_ref) -> pa.Table:
+        cand = _ray.get(_c)
+        v = b[id_col].to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(cand, v), 0, max(len(cand) - 1, 0))
+        hit = (cand[pos] == v) if len(cand) else np.zeros(len(v), bool)
+        return pa.table(
+            {
+                id_col: pa.array(v[hit], pa.int64()),
+                "lbl": b[label_col].filter(pa.array(hit)).cast(pa.int64()),
+            }
+        )
+
+    li, ll = [], []
+    for b in ds.map_batches(lookup, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        li.append(b[id_col].to_numpy(zero_copy_only=False))
+        ll.append(b["lbl"].to_numpy(zero_copy_only=False))
+    lut_ids = np.concatenate(li) if li else np.empty(0, np.int64)
+    lut_lbl = np.concatenate(ll) if ll else np.empty(0, np.int64)
+    o = np.argsort(lut_ids)
+    lut_ids, lut_lbl = lut_ids[o], lut_lbl[o]
+    lbl = lut_lbl[np.searchsorted(lut_ids, ids)]
+
+    # majority vote per query: (count desc, label asc)
+    out_q, out_l, out_v = [], [], []
+    for j in np.unique(qidx):
+        labs = lbl[qidx == j]
+        u, c = np.unique(labs, return_counts=True)
+        w = np.lexsort((u, -c))[0]
+        out_q.append(int(query_ids[j]))
+        out_l.append(int(u[w]))
+        out_v.append(int(c[w]))
+    return pa.table(
+        {
+            "query_vec_id": pa.array(out_q, pa.int64()),
+            "pred_label": pa.array(out_l, pa.int64()),
+            "votes": pa.array(out_v, pa.int64()),
+        }
+    )

@@ -228,3 +228,46 @@ def test_group_centroids_layout_independent(ray_session):
     np.testing.assert_allclose(
         solo.centroid.values, vecs[-1].astype(np.float64), atol=1e-7
     )
+
+
+def test_knn_classify_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.simsearch import knn_classify
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 16
+    vecs = rng.normal(size=(n, d))
+    labels = rng.integers(0, 3, n)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+    qids = np.array([3, 7], np.int64)
+    out = knn_classify(
+        ray.data.from_arrow(t).repartition(4),
+        vecs[qids].astype(np.float32), qids, k=7,
+    )
+    # local reference: float32-quantized rows vs float64 queries,
+    # matching the engine's storage/compute precision split
+    stored = vecs.astype(np.float32).astype(np.float64)
+    stored /= np.linalg.norm(stored, axis=1, keepdims=True)
+    for row, qi in enumerate(qids):
+        qv = vecs[qi].astype(np.float32).astype(np.float64)
+        qv /= np.linalg.norm(qv)
+        sims = stored @ qv
+        order = np.lexsort((np.arange(n), -sims))
+        nbrs = [i for i in order if i != qi][:7]
+        u, c = np.unique(labels[nbrs], return_counts=True)
+        w = np.lexsort((u, -c))[0]
+        assert out["pred_label"].to_pylist()[row] == u[w]
+        assert out["votes"].to_pylist()[row] == c[w]
+        assert out["query_vec_id"].to_pylist()[row] == qi
