@@ -480,6 +480,19 @@ def _q_knn_classify(sf_dir: str) -> pa.Table:
     return knn_classify(emb, q, ids, k=10)
 
 
+def _q_centroid_classify(sf_dir: str) -> pa.Table:
+    """Nearest-centroid (Rocchio) label prediction for the first 5
+    embedding vectors: distributed per-label centroid aggregate, then a
+    model-sized cosine argmax on the driver (ties → smallest label)."""
+    from dcs_ray.functions.simsearch import centroid_classify
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return centroid_classify(emb, q, ids)
+
+
 def _q_knn_lsh(sf_dir: str) -> pa.Table:
     """ANN through a persistent bucket-partitioned LshAnnIndex with 4
     independent SRP tables; each query probes its 8 query-directed best
@@ -3854,6 +3867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "label_centroids": _q_label_centroids,
         "knn_label_classify": _q_knn_classify,
+        "centroid_classify": _q_centroid_classify,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -6191,6 +6205,29 @@ WITH e AS (SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) A
 SELECT label::bigint AS label, dim::bigint AS dim,
        avg(v::double) AS centroid, count(*)::bigint AS n_vecs
 FROM e GROUP BY label, dim ORDER BY label, dim
+""",
+        # nearest-centroid classification: per-label mean vectors, then
+        # cosine argmax per query (ties -> smallest label)
+        "centroid_classify": """
+WITH e AS (SELECT label, unnest(embedding)::double AS v,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS centroid FROM e GROUP BY label, dim),
+q AS (SELECT vec_id AS qid, unnest(embedding)::double AS qv,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT q.qid, c.label,
+         sum(q.qv * c.centroid)
+           / (sqrt(sum(q.qv * q.qv)) * sqrt(sum(c.centroid * c.centroid))) AS cs
+  FROM q JOIN c USING (dim) GROUP BY q.qid, c.label)
+SELECT qid::bigint AS query_vec_id, label::bigint AS pred_label,
+       round(cs, 6) AS cos_sim
+FROM (
+  SELECT qid, label, cs,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label ASC) AS rn
+  FROM s) WHERE rn = 1
+ORDER BY qid
 """,
         # kNN majority-vote classification: first 5 vectors as queries,
         # self excluded, k=10, ties (count desc, label asc)

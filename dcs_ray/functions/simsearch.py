@@ -1029,3 +1029,57 @@ def knn_classify(
             "votes": pa.array(out_v, pa.int64()),
         }
     )
+
+
+def centroid_classify(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Nearest-centroid (Rocchio '71) classification: each query vector
+    takes the label of the class centroid it is most cosine-similar to
+    (ties → smallest label) → ``(query_vec_id, pred_label, cos_sim)``.
+
+    Scale shape: the centroids come from :func:`group_centroids`'s
+    combiner aggregate (|labels|×dim partial rows, vectors never cross
+    the exchange whole); classification is a (labels × dim) matmul on
+    the driver — model-sized, corpus never touched again."""
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in group_centroids(ds, key_col=key_col, vec_col=vec_col).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    if len(rows) == 0:
+        return pa.table(
+            {
+                "query_vec_id": pa.array([], pa.int64()),
+                "pred_label": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    lab = rows[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dim = rows["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cen = rows["centroid"].to_numpy(zero_copy_only=False).astype(np.float64)
+    labels = np.unique(lab)
+    d = int(dim.max()) + 1
+    C = np.zeros((len(labels), d), np.float64)
+    C[np.searchsorted(labels, lab), dim] = cen
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    q = np.atleast_2d(np.asarray(queries, np.float64))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ Cn.T  # (Q, labels)
+    best = np.zeros(len(q), np.int64)
+    for i in range(len(q)):
+        best[i] = np.lexsort((labels, -sims[i]))[0]
+    return pa.table(
+        {
+            "query_vec_id": pa.array(np.asarray(query_ids, np.int64), pa.int64()),
+            "pred_label": pa.array(labels[best], pa.int64()),
+            "cos_sim": pa.array(
+                np.round(sims[np.arange(len(q)), best], 6), pa.float64()
+            ),
+        }
+    )

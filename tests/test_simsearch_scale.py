@@ -271,3 +271,37 @@ def test_knn_classify_matches_bruteforce(ray_session):
         assert out["pred_label"].to_pylist()[row] == u[w]
         assert out["votes"].to_pylist()[row] == c[w]
         assert out["query_vec_id"].to_pylist()[row] == qi
+
+
+def test_centroid_classify_separable_clusters(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.simsearch import centroid_classify
+
+    rng = np.random.default_rng(9)
+    # three well-separated clusters around orthogonal axes
+    centers = np.eye(3, 12) * 10
+    vecs, labels = [], []
+    for lbl in range(3):
+        vecs.append(centers[lbl] + rng.normal(scale=0.1, size=(40, 12)))
+        labels += [lbl] * 40
+    vecs = np.concatenate(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(np.asarray(labels, np.int32), pa.int32()),
+        }
+    )
+    qids = np.array([0, 45, 85], np.int64)
+    out = centroid_classify(
+        ray.data.from_arrow(t).repartition(5),
+        vecs[qids].astype(np.float32), qids,
+    )
+    assert out["pred_label"].to_pylist() == [0, 1, 2]
+    assert min(out["cos_sim"].to_pylist()) > 0.9
