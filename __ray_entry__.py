@@ -2037,6 +2037,38 @@ def _q_readability(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_nb_confusion(sf_dir: str) -> pa.Table:
+    """Classifier evaluation: confusion matrix (true lang × NB
+    prediction) via a combiner count fold over the prediction stream —
+    the |classes|²-sized exchange every model-eval pass needs."""
+    from dcs_ray.functions.classify import naive_bayes_predict, train_naive_bayes
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).materialize()
+    model_ref = ray.put(train_naive_bayes(docs))
+    preds = naive_bayes_predict(docs, model_ref, keep_cols=("lang",))
+    agg = combiner_groupby(
+        preds.map_batches(
+            lambda b: pa.table(
+                {"true_label": b["lang"], "pred_label": b["pred_label"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["true_label", "pred_label"],
+        [],
+        count_col="n_docs",
+    )
+    t = pa.concat_tables(
+        pa.table(b).select(["true_label", "pred_label", "n_docs"])
+        for b in agg.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("true_label", "ascending"), ("pred_label", "ascending")]
+    )
+
+
 def _q_text_knn_hash_embed(sf_dir: str) -> Any:
     """Embedding-generation → similarity-search composition: documents
     are embedded with the deterministic hashing-trick featurizer (one
@@ -3873,6 +3905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "quality_classifier": _q_quality_classifier,
         "nb_lang_classifier": _q_nb_lang_classifier,
+        "nb_confusion": _q_nb_confusion,
         "readability_scores": _q_readability,
         "token_entropy": _q_token_entropy,
         "bpe_token_count": _q_bpe_token_count,
@@ -4218,6 +4251,40 @@ h{i} AS MATERIALIZED (
 SELECT node, round(a, 6) AS authority, round(h, 6) AS hub
 FROM a{k} JOIN h{k} USING (node) ORDER BY node"""
     )
+
+
+# multinomial NB replay shared by the classifier + confusion oracles:
+# CTE ``pred(doc_id, lang, score, rn)`` where rn = 1 is the argmax on
+# ROUND(score, 6) with ties to the smallest class
+_NB_PRED_CTES = f"""tok AS ({_TOK}),
+cls AS (SELECT lang, count(*)::bigint AS nd FROM documents GROUP BY lang),
+ntot AS (SELECT count(*)::double AS n FROM documents),
+tc AS MATERIALIZED (
+  SELECT d.lang, t.term, count(*)::bigint AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY d.lang, t.term),
+ctot AS (SELECT lang, sum(c)::bigint AS tot FROM tc GROUP BY lang),
+v AS (SELECT count(DISTINCT term)::double AS v FROM tok),
+dtf AS MATERIALIZED (
+  SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY doc_id, term),
+ts AS (
+  SELECT dtf.doc_id, c.lang,
+         sum(dtf.tf * ln((coalesce(tc.c, 0) + 1.0)
+                         / (ct.tot + (SELECT v FROM v)))) AS s
+  FROM dtf CROSS JOIN cls c
+  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = dtf.term
+  JOIN ctot ct ON ct.lang = c.lang
+  GROUP BY dtf.doc_id, c.lang),
+scores AS (
+  SELECT d.doc_id, c.lang,
+         ln(c.nd / (SELECT n FROM ntot)) + coalesce(ts.s, 0.0) AS score
+  FROM documents d CROSS JOIN cls c
+  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.lang = c.lang),
+pred AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, lang ASC) AS rn
+  FROM scores)"""
 
 
 def _lpa_sql(k: int = 5, edges_cte: str | None = None) -> str:
@@ -5497,37 +5564,18 @@ FROM z ORDER BY doc_id
         # log-prob sums, argmax on ROUND(score, 6) with ties to the
         # smallest class (classify.py::naive_bayes_predict)
         "nb_lang_classifier": f"""
-WITH tok AS ({_TOK}),
-cls AS (SELECT lang, count(*)::bigint AS nd FROM documents GROUP BY lang),
-ntot AS (SELECT count(*)::double AS n FROM documents),
-tc AS MATERIALIZED (
-  SELECT d.lang, t.term, count(*)::bigint AS c
-  FROM tok t JOIN documents d USING (doc_id) GROUP BY d.lang, t.term),
-ctot AS (SELECT lang, sum(c)::bigint AS tot FROM tc GROUP BY lang),
-v AS (SELECT count(DISTINCT term)::double AS v FROM tok),
-dtf AS MATERIALIZED (
-  SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY doc_id, term),
-ts AS (
-  SELECT dtf.doc_id, c.lang,
-         sum(dtf.tf * ln((coalesce(tc.c, 0) + 1.0)
-                         / (ct.tot + (SELECT v FROM v)))) AS s
-  FROM dtf CROSS JOIN cls c
-  LEFT JOIN tc ON tc.lang = c.lang AND tc.term = dtf.term
-  JOIN ctot ct ON ct.lang = c.lang
-  GROUP BY dtf.doc_id, c.lang),
-scores AS (
-  SELECT d.doc_id, c.lang,
-         ln(c.nd / (SELECT n FROM ntot)) + coalesce(ts.s, 0.0) AS score
-  FROM documents d CROSS JOIN cls c
-  LEFT JOIN ts ON ts.doc_id = d.doc_id AND ts.lang = c.lang)
+WITH {_NB_PRED_CTES}
 SELECT doc_id, lang AS pred_label, round(score, 6) AS best_score
-FROM (
-  SELECT doc_id, lang, score,
-         row_number() OVER (
-           PARTITION BY doc_id
-           ORDER BY round(score, 6) DESC, lang ASC) AS rn
-  FROM scores) WHERE rn = 1
+FROM pred WHERE rn = 1
 ORDER BY doc_id
+""",
+        # confusion matrix of the NB self-classification vs true labels
+        "nb_confusion": f"""
+WITH {_NB_PRED_CTES}
+SELECT d.lang AS true_label, p.lang AS pred_label, count(*)::bigint AS n_docs
+FROM (SELECT doc_id, lang FROM pred WHERE rn = 1) p
+JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # Flesch readability: tokenizer words, [.!?]+ sentence runs
         # (min 1), [aeiou]+ vowel groups per token (min 1/word)

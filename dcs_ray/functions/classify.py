@@ -131,6 +131,7 @@ def naive_bayes_predict(
     alpha: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> ray.data.Dataset:
     """Score every doc under the broadcast model → ``(doc_id,
     pred_label, best_score)`` where ``pred_label`` is the argmax class
@@ -151,6 +152,7 @@ def naive_bayes_predict(
                     id_col: batch[id_col],
                     "pred_label": pa.array([""] * n_rows, pa.string()),
                     "best_score": pa.array(np.zeros(n_rows), pa.float64()),
+                    **{c: batch[c] for c in keep_cols},
                 }
             )
         # dense log-prob matrix + the OOV (count-0) column, model-sized
@@ -182,6 +184,7 @@ def naive_bayes_predict(
                 id_col: batch[id_col],
                 "pred_label": pa.array(m["classes"][best].tolist(), pa.string()),
                 "best_score": pa.array(r[np.arange(n_rows), best], pa.float64()),
+                **{c: batch[c] for c in keep_cols},
             }
         )
 
