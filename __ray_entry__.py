@@ -1994,6 +1994,22 @@ def _q_next_word_suggest(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_event_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition matrix over each user's event sequence
+    (prev_type → next_type counts, ts ties ordered by type): one
+    user-bucketed lexsort + shifted-pair comparison per bucket; the
+    exchange is |type-pairs|, never the event stream."""
+    from dcs_ray.functions.windows import event_transitions
+
+    ds = event_transitions(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
 def _q_retention_cohorts(sf_dir: str) -> pa.Table:
     """Cohort retention: users grouped by first-seen week, counted once
     per later active week. Cohort vector is a user-sized driver fold
@@ -2019,6 +2035,23 @@ def _q_weighted_sample(sf_dir: str) -> pa.Table:
             f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
         ),
         n=100,
+        weight_col="n_chars",
+        seed=13,
+    )
+
+
+def _q_weighted_sample_by_lang(sf_dir: str) -> pa.Table:
+    """Stratified A-ES weighted sampling: top-20 docs per language by
+    ln(u)/n_chars — per-group quality-weighted selection in one pass
+    with per-block local top-n partials."""
+    from dcs_ray.functions.sampling import weighted_sample_grouped
+
+    return weighted_sample_grouped(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        n_per_group=20,
+        group_col="lang",
         weight_col="n_chars",
         seed=13,
     )
@@ -3959,6 +3992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window_agg": _q_session_window,
         "funnel_steps": _q_funnel_steps,
         "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
         "asof_join_purchase_view": _q_asof_join,
         "interval_join_views": _q_interval_join,
         "running_totals": _q_running_totals,
@@ -3967,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fraction": _q_sample_fraction,
         "sample_stratified": _q_sample_stratified,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_by_lang": _q_weighted_sample_by_lang,
         "pricing_summary": _q_pricing_summary,
         "order_totals_by_nation": _q_order_totals_by_nation,
         "shipping_priority": _q_shipping_priority,
@@ -5654,6 +5689,17 @@ cnt AS (
   FROM pairs WHERE bg LIKE 'scan %' GROUP BY 1)
 SELECT next_word, n FROM cnt ORDER BY n DESC, next_word ASC LIMIT 5
 """,
+        # Markov transition matrix over per-user event sequences
+        "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_type) AS prev
+  FROM events)
+SELECT prev AS prev_type, event_type AS next_type, count(*)::bigint AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # cohort retention: first-seen week per user, one count per
         # distinct active (user, week)
         "retention_cohorts": """
@@ -6153,6 +6199,21 @@ keys AS (
   FROM hf WHERE n_chars > 0)
 SELECT doc_id, weight, round(k, 6) AS sel_key
 FROM keys ORDER BY k DESC, doc_id ASC LIMIT 100
+""",
+        # stratified A-ES: top-20 per language by the same key
+        "weighted_sample_by_lang": f"""
+WITH {_splitmix_docs_ctes(13)},
+keys AS (
+  SELECT lang, doc_id, n_chars::bigint AS weight,
+         ln((h::double + 0.5) / 18446744073709551616.0) / n_chars AS k
+  FROM hf WHERE n_chars > 0)
+SELECT lang, doc_id, weight, round(k, 6) AS sel_key
+FROM (
+  SELECT lang, doc_id, weight, k,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY k DESC, doc_id ASC) AS rn
+  FROM keys) WHERE rn <= 20
+ORDER BY lang, sel_key DESC, doc_id
 """,
         "sample_stratified": f"""
 WITH {_splitmix_docs_ctes(1)},

@@ -335,3 +335,101 @@ def weighted_sample(
             "sel_key": pa.array(np.round(k[order], 6), pa.float64()),
         }
     )
+
+
+def weighted_sample_grouped(
+    ds: ray.data.Dataset,
+    n_per_group: int,
+    group_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> pa.Table:
+    """Stratified weighted sampling without replacement: the A-ES
+    ``ln(u)/w`` key (:func:`weighted_sample`) cut to the top
+    ``n_per_group`` WITHIN each group — per-language/per-source
+    quality-weighted selection in one pass. Each block emits its local
+    per-group top-n partial, so the driver merges |blocks|·|groups|·n
+    rows; weight ≤ 0 rows are excluded."""
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        w = b[weight_col].to_numpy().astype(np.float64)
+        g = b[group_col]
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        g = g.filter(pa.array(pos)).combine_chunks()
+        h = _row_hash(ids, seed)
+        u = (h.astype(np.float64) + 0.5) / np.float64(1 << 64)
+        k = np.log(u) / w
+        codes = pa.compute.dictionary_encode(g)
+        gi = codes.indices.to_numpy(zero_copy_only=False)
+        rank = pa.compute.sort_indices(codes.dictionary).to_numpy(
+            zero_copy_only=False
+        )
+        grank = np.empty(len(rank), np.int64)
+        grank[rank] = np.arange(len(rank))
+        order = np.lexsort((ids, -k, grank[gi]))
+        gs, within = gi[order], np.zeros(len(order), np.int64)
+        if len(gs):
+            runs = np.concatenate(([0], np.flatnonzero(gs[1:] != gs[:-1]) + 1))
+            within = np.arange(len(gs)) - np.repeat(
+                runs, np.diff(np.concatenate((runs, [len(gs)])))
+            )
+        sel = order[within < n_per_group]
+        return pa.table(
+            {
+                group_col: g.take(pa.array(sel)),
+                id_col: pa.array(ids[sel], pa.int64()),
+                "weight": pa.array(
+                    b[weight_col].to_numpy()[pos][sel].astype(np.int64), pa.int64()
+                ),
+                "k": pa.array(k[sel], pa.float64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "weight": pa.array([], pa.int64()),
+            "sel_key": pa.array([], pa.float64()),
+        }
+    )
+    if not parts:
+        return empty
+    m = pa.concat_tables(parts)
+    order_keys = [
+        (group_col, "ascending"),
+        ("k", "descending"),
+        (id_col, "ascending"),
+    ]
+    m = m.sort_by(order_keys)
+    g = m[group_col].combine_chunks()
+    codes = pa.compute.dictionary_encode(g).indices.to_numpy(zero_copy_only=False)
+    runs = (
+        np.concatenate(([0], np.flatnonzero(codes[1:] != codes[:-1]) + 1))
+        if len(codes)
+        else np.empty(0, np.int64)
+    )
+    within = np.arange(len(codes)) - np.repeat(
+        runs, np.diff(np.concatenate((runs, [len(codes)])))
+    ) if len(codes) else np.empty(0, np.int64)
+    keep = pa.array(within < n_per_group)
+    m = m.filter(keep)
+    return pa.table(
+        {
+            group_col: m[group_col],
+            id_col: m[id_col],
+            "weight": m["weight"],
+            "sel_key": pa.array(
+                np.round(m["k"].to_numpy(zero_copy_only=False), 6), pa.float64()
+            ),
+        }
+    )

@@ -397,3 +397,75 @@ def retention_cohorts(
         lambda b: b.select(["cohort_week", "week_offset", "n_users"]),
         batch_format="pyarrow",
     )
+
+
+def event_transitions(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """First-order behavior model: counts of consecutive event-type
+    transitions within each user's timeline → Dataset[(prev_type,
+    next_type, n)] — the Markov transition matrix behind "users who X
+    then Y" analytics. Consecutive = adjacent in the user's
+    (ts, event_id-free) order; ties on ts order by event type so the
+    result is deterministic under any parallelism.
+
+    Scale shape: one groupby on a hash bucket of the user; inside a
+    bucket a single lexsort + shifted-pair comparison emits per-bucket
+    partial (prev, next) counts, folded by a combiner groupby — the
+    exchange is |type-pairs| per bucket, never the event stream."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = u.astype(np.uint64) * _MIX
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "t": b[ts_col].cast(pa.int64()),
+                "ty": b[type_col],
+                "_bucket": pa.array((x % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        ty = g["ty"].combine_chunks()
+        codes = pc.dictionary_encode(ty)
+        ci = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rank = pc.sort_indices(codes.dictionary).to_numpy(zero_copy_only=False)
+        crank = np.empty(len(rank), np.int64)
+        crank[rank] = np.arange(len(rank))
+        order = np.lexsort((crank[ci], t, u))
+        u, ci = u[order], ci[order]
+        same = u[1:] == u[:-1]
+        prev_c, next_c = ci[:-1][same], ci[1:][same]
+        key = prev_c * len(rank) + next_c if len(rank) else prev_c
+        uk, cnt = np.unique(key, return_counts=True)
+        dic = codes.dictionary
+        return pa.table(
+            {
+                "prev_type": dic.take(pa.array(uk // max(len(rank), 1))),
+                "next_type": dic.take(pa.array(uk % max(len(rank), 1))),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        events.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow"),
+        ["prev_type", "next_type"],
+        ["n"],
+    )
+    return agg.map_batches(
+        lambda b: b.select(["prev_type", "next_type", "n"]), batch_format="pyarrow"
+    )
