@@ -493,6 +493,16 @@ def _q_centroid_classify(sf_dir: str) -> pa.Table:
     return centroid_classify(emb, q, ids)
 
 
+def _q_embedding_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-quality triage: the 50 vectors least cosine-similar to
+    their own label centroid — centroids broadcast once, one streaming
+    scoring pass, per-block bottom-50 partials."""
+    from dcs_ray.functions.simsearch import centroid_outlier_scores
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return centroid_outlier_scores(emb, n=50)
+
+
 def _q_knn_lsh(sf_dir: str) -> pa.Table:
     """ANN through a persistent bucket-partitioned LshAnnIndex with 4
     independent SRP tables; each query probes its 8 query-directed best
@@ -3933,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "knn_label_classify": _q_knn_classify,
         "centroid_classify": _q_centroid_classify,
+        "embedding_outliers": _q_embedding_outliers,
         # --- text analysis / filtering ---
         "token_count": _q_token_count,
         "quality_score": _q_quality,
@@ -6337,6 +6348,26 @@ FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cs DESC, label ASC) AS rn
   FROM s) WHERE rn = 1
 ORDER BY qid
+""",
+        # centroid-distance outliers: 50 vectors least similar to their
+        # own label centroid (ascending cosine, ties vec_id asc)
+        "embedding_outliers": """
+WITH e AS (SELECT label, unnest(embedding)::double AS v,
+                  unnest(range(len(embedding))) AS dim
+           FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS centroid FROM e GROUP BY label, dim),
+p AS (SELECT vec_id, label, unnest(embedding)::double AS x,
+             unnest(range(len(embedding))) AS dim
+      FROM embeddings),
+s AS (
+  SELECT p.vec_id, p.label,
+         sum(p.x * c.centroid)
+           / (sqrt(sum(p.x * p.x)) * sqrt(sum(c.centroid * c.centroid))) AS cs
+  FROM p JOIN c ON c.label = p.label AND c.dim = p.dim
+  GROUP BY p.vec_id, p.label)
+SELECT vec_id::bigint AS vec_id, label::bigint AS label,
+       round(cs, 6) AS cos_to_centroid
+FROM s ORDER BY cs ASC, vec_id ASC LIMIT 50
 """,
         # kNN majority-vote classification: first 5 vectors as queries,
         # self excluded, k=10, ties (count desc, label asc)

@@ -1083,3 +1083,85 @@ def centroid_classify(
             ),
         }
     )
+
+
+def centroid_outlier_scores(
+    ds: ray.data.Dataset,
+    n: int = 50,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Embedding-quality triage: the ``n`` vectors LEAST cosine-similar
+    to their own label's centroid → ``(vec_id, label, cos_to_centroid)``
+    ascending — the standard mislabeled/outlier sweep over a labeled
+    embedding corpus.
+
+    Scale shape: centroids come from the combiner aggregate
+    (:func:`group_centroids`), broadcast once as a |labels|×dim matrix;
+    scoring is one streaming pass with a row-gathered dot product; each
+    block emits only its local bottom-``n``."""
+    import ray as _ray
+
+    ds = ds.materialize()
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in group_centroids(ds, key_col=key_col, vec_col=vec_col).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], pa.int64()),
+            "cos_to_centroid": pa.array([], pa.float64()),
+        }
+    )
+    if len(rows) == 0:
+        return empty
+    lab = rows[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dim = rows["dim"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cen = rows["centroid"].to_numpy(zero_copy_only=False).astype(np.float64)
+    labels = np.unique(lab)
+    d = int(dim.max()) + 1
+    C = np.zeros((len(labels), d), np.float64)
+    C[np.searchsorted(labels, lab), dim] = cen
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ref = _ray.put((labels, Cn))
+
+    def local_bottom(b: pa.Table, _r=ref) -> pa.Table:
+        labs, cn = _ray.get(_r)
+        m = _normalize(_emb_matrix(b[vec_col]))
+        ids = b[id_col].to_numpy().astype(np.int64)
+        ky = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(labs, ky)
+        cs = np.einsum("ij,ij->i", m, cn[li])
+        order = np.lexsort((ids, cs))[:n]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                key_col: pa.array(ky[order], pa.int64()),
+                "cs": pa.array(cs[order], pa.float64()),
+            }
+        )
+
+    parts = [
+        pa.table(b)
+        for b in ds.map_batches(local_bottom, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return empty
+    m = pa.concat_tables(parts)
+    ids = m[id_col].to_numpy(zero_copy_only=False)
+    ky = m[key_col].to_numpy(zero_copy_only=False)
+    cs = m["cs"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, cs))[:n]
+    return pa.table(
+        {
+            id_col: pa.array(ids[order], pa.int64()),
+            key_col: pa.array(ky[order], pa.int64()),
+            "cos_to_centroid": pa.array(np.round(cs[order], 6), pa.float64()),
+        }
+    )
