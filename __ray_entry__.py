@@ -2296,6 +2296,60 @@ def _q_connected_components(sf_dir: str) -> Any:
     return pa.concat_tables(tables).sort_by("node")
 
 
+def _q_dup_cluster_sizes(sf_dir: str) -> pa.Table:
+    """Dedup reporting: histogram of connected-component sizes over the
+    deterministic event-derived edge set — per-component counts via a
+    combiner groupby (component-sized), then a tiny value-count fold."""
+    from dcs_ray.functions.graph import connected_components
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v = (e // 20) * 20 + (e * 13 + 5) % 20
+        return pa.table(
+            {"id_a": pa.array(e, pa.int64()), "id_b": pa.array(v, pa.int64())}
+        )
+
+    labels = connected_components(ev.map_batches(edges, batch_format="pyarrow"))
+    sizes = combiner_groupby(
+        labels.map_batches(
+            lambda b: pa.table({"component": b["component"]}),
+            batch_format="pyarrow",
+        ),
+        ["component"],
+        [],
+        count_col="sz",
+    )
+    acc: dict[int, int] = {}
+    for b in sizes.iter_batches(batch_format="pyarrow"):
+        u, c = np.unique(
+            pa.table(b)["sz"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        for s, n in zip(u.tolist(), c.tolist()):
+            acc[s] = acc.get(s, 0) + n
+    ks = sorted(acc)
+    return pa.table(
+        {
+            "cluster_size": pa.array(ks, pa.int64()),
+            "n_clusters": pa.array([acc[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def _q_distinctive_terms(sf_dir: str) -> pa.Table:
+    """Per-language distinctive vocabulary (log-odds keyness): the NB
+    training counts reused — no extra corpus pass; top-5 per lang by
+    round-6 keyness, ties on term."""
+    from dcs_ray.functions.classify import distinctive_terms, train_naive_bayes
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return distinctive_terms(train_naive_bayes(docs), k=5)
+
+
 def _q_simhash(sf_dir: str) -> ray.data.Dataset:
     from dcs_ray.functions.dedup import simhash_batch
 
@@ -3950,6 +4004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "nb_lang_classifier": _q_nb_lang_classifier,
         "nb_confusion": _q_nb_confusion,
+        "distinctive_terms_by_lang": _q_distinctive_terms,
         "readability_scores": _q_readability,
         "token_entropy": _q_token_entropy,
         "bpe_token_count": _q_bpe_token_count,
@@ -3985,6 +4040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": _q_host_link_graph,
         "link_reachability": _q_link_reachability,
         "coupling_jaccard_topk": _q_coupling_jaccard,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "search_rrf": _q_search_rrf,
         "search_prf": _q_search_prf,
         "search_corrected": _q_search_corrected,
@@ -4572,10 +4628,11 @@ ORDER BY doc_id
 """
 
 
-def _connected_components_sql() -> str:
+def _connected_components_sql(tail: str | None = None) -> str:
     """Recursive-CTE min-label propagation over the deterministic
     event-derived edge set (same construction as
-    ``_q_connected_components``)."""
+    ``_q_connected_components``). ``tail`` overrides the final SELECT
+    (it sees CTE ``labels(node, component)``)."""
     return """
 WITH RECURSIVE edges AS (
   SELECT event_id::bigint AS u,
@@ -4588,10 +4645,15 @@ reach(node, label) AS (
   SELECT u, u FROM (SELECT DISTINCT u FROM sym)
   UNION
   SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+labels AS (
+  SELECT node::bigint AS node, min(label)::bigint AS component
+  FROM reach GROUP BY node
 )
-SELECT node::bigint AS node, min(label)::bigint AS component
-FROM reach GROUP BY node ORDER BY node
-"""
+""" + (
+        tail
+        or "SELECT node, component FROM labels ORDER BY node"
+    )
 
 
 def _pow2_values() -> str:
@@ -5413,6 +5475,39 @@ FROM fp ORDER BY doc_id
         "jaccard_verified_pairs": _jaccard_verified_sql(),
         "fuzzy_dedup_keep": _fuzzy_dedup_sql(),
         "connected_components": _connected_components_sql(),
+        "dup_cluster_sizes": _connected_components_sql(
+            tail="""SELECT sz AS cluster_size, count(*)::bigint AS n_clusters
+FROM (SELECT component, count(*)::bigint AS sz FROM labels GROUP BY component)
+GROUP BY sz ORDER BY sz"""
+        ),
+        # per-language log-odds keyness over the NB training counts
+        "distinctive_terms_by_lang": f"""
+WITH tok AS ({_TOK}),
+tc AS MATERIALIZED (
+  SELECT d.lang, t.term, count(*)::bigint AS c
+  FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM tok),
+langs AS (SELECT DISTINCT lang FROM documents),
+ctot AS (SELECT lang, sum(c)::double AS tot FROM tc GROUP BY lang),
+ag AS (SELECT term, sum(c)::bigint AS call FROM tc GROUP BY term),
+tota AS (SELECT sum(c)::double AS t FROM tc),
+v AS (SELECT count(*)::double AS v FROM vocab),
+s AS (
+  SELECT l.lang, vb.term,
+         ln((coalesce(tc.c, 0) + 1.0) / (ct.tot + (SELECT v FROM v)))
+           - ln((ag.call + 1.0) / ((SELECT t FROM tota) + (SELECT v FROM v))) AS sc
+  FROM langs l CROSS JOIN vocab vb
+  LEFT JOIN tc ON tc.lang = l.lang AND tc.term = vb.term
+  JOIN ctot ct ON ct.lang = l.lang
+  JOIN ag ON ag.term = vb.term)
+SELECT lang AS label, term, round(sc, 6) AS keyness
+FROM (
+  SELECT lang, term, sc,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY round(sc, 6) DESC, term ASC) AS rn
+  FROM s) WHERE rn <= 5
+ORDER BY label, keyness DESC, term
+""",
         "pricing_summary": """
 WITH f AS (
   SELECT l_returnflag, l_linestatus,

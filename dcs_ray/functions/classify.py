@@ -189,3 +189,46 @@ def naive_bayes_predict(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def distinctive_terms(model: dict, k: int = 5, alpha: float = 1.0) -> pa.Table:
+    """Per-class distinctive vocabulary (log-odds-style keyness,
+    Monroe et al. '08 lite): for each class, the top-``k`` terms by
+    ``ln((c_g + α)/(tot_g + α·V)) − ln((c_all + α)/(tot_all + α·V))``
+    — what a class says that the corpus at large doesn't. Ranking uses
+    the round-6 score with ties on term asc, so selection is
+    deterministic and SQL-replayable. ``model`` is
+    :func:`train_naive_bayes` output (model-sized; no further corpus
+    pass)."""
+    n_cls, n_terms = model["counts"].shape
+    if n_cls == 0 or n_terms == 0:
+        return pa.table(
+            {
+                "label": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "keyness": pa.array([], pa.float64()),
+            }
+        )
+    v = model["vocab_size"]
+    c = model["counts"].astype(np.float64)
+    tot_g = model["class_tokens"].astype(np.float64)[:, None]
+    c_all = c.sum(axis=0)
+    tot_all = float(c_all.sum())
+    score = np.log((c + alpha) / (tot_g + alpha * v)) - np.log(
+        (c_all + alpha) / (tot_all + alpha * v)
+    )
+    r = np.round(score, 6)
+    out_l, out_t, out_s = [], [], []
+    terms_u = model["terms"].astype("U")
+    for g in range(n_cls):
+        order = np.lexsort((terms_u, -r[g]))[:k]
+        out_l += [str(model["classes"][g])] * len(order)
+        out_t += [str(t) for t in model["terms"][order]]
+        out_s += r[g][order].tolist()
+    return pa.table(
+        {
+            "label": pa.array(out_l, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "keyness": pa.array(out_s, pa.float64()),
+        }
+    )
