@@ -3929,6 +3929,359 @@ def _q_rebalance_mixture(sf_dir: str) -> Any:
     return t.select(["doc_id", "lang"]).sort_by("doc_id")
 
 
+def _li_rev1e4(b: pa.Table, extra: dict | None = None) -> pa.Table:
+    """Shared lineitem money kernel: revenue in exact integer 1e-4
+    units (price cents × (100 - discount pct)), the same fixed-point
+    convention every TPC-H-style gate in this file uses."""
+    p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+    cols = dict(extra or {})
+    cols["rev1e4"] = pa.array(p * (100 - d), pa.int64())
+    return pa.table(cols)
+
+
+def _q_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-style forecast revenue change: discounted revenue that
+    would be recovered by dropping 1996 discounts of 5-7% on small
+    (<24 qty) lineitems. Pure filter + map + one scalar sum — the
+    shipdate predicate is pushed into the parquet scan, the
+    discount/quantity predicates are applied on exact integer units
+    inside the batch kernel, and the only driver traffic is one int64
+    per block (`Dataset.sum`)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        mask = (d >= 5) & (d <= 7) & (q < 2400)
+        return pa.table({"disc1e4": pa.array(p[mask] * d[mask], pa.int64())})
+
+    total = li.map_batches(kernel, batch_format="pyarrow").sum("disc1e4") or 0
+    return pa.table(
+        {
+            "disc_rev1e4": pa.array([total], pa.int64()),
+            "revenue": pa.array([round(total / 10000.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_order_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-shape order-priority check: orders placed in 1996Q2
+    that had at least one returned lineitem, counted per priority.
+    The EXISTS is a distributed semi-join: lineitem collapses to
+    distinct returned orderkeys via the map-side combiner (the
+    exchange carries keys, never lineitems), one hash-partitioned
+    join against the date-filtered orders, then a combiner count per
+    priority (5 rows to the driver)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import combiner_groupby, shuffle_join
+
+    lo = datetime.datetime(1996, 4, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    returned = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    distinct_keys = combiner_groupby(returned, ["l_orderkey"], [])
+    j = shuffle_join(orders, distinct_keys, on="o_orderkey", right_on="l_orderkey")
+    counts = combiner_groupby(j, ["o_orderpriority"], [], count_col="order_count")
+    t = pa.concat_tables(
+        [pa.table(b) for b in counts.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["o_orderpriority", "order_count"]).sort_by("o_orderpriority")
+
+
+def _q_customer_order_histogram(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-shape customer order-count distribution, including
+    the zero bucket (customers with no orders — the LEFT OUTER JOIN
+    role). Two combiner groupbys: orders → per-customer counts
+    (customer-sized exchange), counts → histogram (≤ max-count rows).
+    The zero bucket is arithmetic on two block-metadata counts, not a
+    join: |customer| − |customers with ≥1 order|."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = combiner_groupby(orders, ["o_custkey"], [], count_col="c_count")
+    hist = combiner_groupby(per_cust, ["c_count"], [], count_col="custdist")
+    t = pa.concat_tables(
+        [pa.table(b) for b in hist.iter_batches(batch_format="pyarrow")]
+    )
+    n_customers = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_with = int(pc.sum(t["custdist"]).as_py() or 0)
+    if n_customers - n_with > 0:
+        zero = pa.table(
+            {
+                "c_count": pa.array([0], t["c_count"].type),
+                "custdist": pa.array([n_customers - n_with], pa.int64()),
+            }
+        )
+        t = pa.concat_tables([t.select(["c_count", "custdist"]), zero])
+    else:
+        t = t.select(["c_count", "custdist"])
+    return t.sort_by([("custdist", "descending"), ("c_count", "descending")])
+
+
+def _q_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-style top supplier: per-supplier 1996Q1 revenue via
+    the map-side combiner (supplier-sized exchange), the global max as
+    one `Dataset.max` scalar, equality filter, then a broadcast join
+    for the supplier name. Returns every supplier tied at the max."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    rev = li.map_batches(
+        lambda b: _li_rev1e4(b, {"l_suppkey": b["l_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    per_supp = combiner_groupby(rev, ["l_suppkey"], ["rev1e4"]).materialize()
+    best = per_supp.max("rev1e4")
+    top = per_supp.filter(expr=f"rev1e4 == {int(best)}")
+    named = broadcast_join(
+        top,
+        read_parquet_sized(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        small_cols=("s_name",),
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in named.iter_batches(batch_format="pyarrow")]
+    )
+    return pa.table(
+        {
+            "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "s_name": t["s_name"],
+            "total_revenue": pa.array(
+                np.round(t["rev1e4"].to_numpy() / 10000.0, 6), pa.float64()
+            ),
+        }
+    ).sort_by("s_suppkey")
+
+
+def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-shape small-quantity revenue: yearly revenue from
+    Brand#23 lineitems whose quantity is below 20% of that part's
+    average. The correlated AVG subquery becomes: broadcast the (tiny,
+    one-brand) part-key set to semi-filter lineitem, fold per-part
+    (sum qty, count) with the combiner, and compare on exact integers
+    — ``5·q·cnt < Σq`` ⇔ ``q < 0.2·avg`` — so no float average ever
+    exists to disagree with the oracle. The semi-filtered lineitem is
+    materialized once and consumed by both passes."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_semi_join, combiner_groupby
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == "Brand#23",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_int_units(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "q1e2": pa.array(
+                    np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+                ),
+                "p1e2": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    semij = broadcast_semi_join(
+        li.map_batches(to_int_units, batch_format="pyarrow"),
+        parts,
+        on="l_partkey",
+        right_on="p_partkey",
+    ).materialize()
+    stats = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in combiner_groupby(semij, ["l_partkey"], ["q1e2"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    pk = stats["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    sum_q = stats["q1e2"].to_numpy().astype(np.int64)[order]
+    cnt = stats["n_rows"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((pk_sorted, sum_q, cnt))
+
+    def below_avg(b: pa.Table) -> pa.Table:
+        ks, sq, ct = ray.get(ref)
+        k = b["l_partkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(ks, k)
+        idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+        q = b["q1e2"].to_numpy().astype(np.int64)
+        mask = (len(ks) > 0) & (ks[idx] == k) & (5 * q * ct[idx] < sq[idx])
+        return pa.table({"p1e2": b["p1e2"].filter(pa.array(mask))})
+
+    total = semij.map_batches(below_avg, batch_format="pyarrow").sum("p1e2") or 0
+    return pa.table(
+        {
+            "sum_p1e2": pa.array([int(total)], pa.int64()),
+            "avg_yearly": pa.array([round(total / 700.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-shape disjunctive-predicate revenue: three OR-ed
+    (brand, size-range, quantity-range) arms over lineitem ⋈ part.
+    part is filtered to the three brands at the scan and broadcast
+    once (`ray.put`); the disjunction is evaluated as three vectorized
+    masks per batch; one int64 per block reaches the driver."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_join
+
+    arms = [
+        ("Brand#12", 1, 15, 100, 1100),
+        ("Brand#23", 1, 25, 1000, 2000),
+        ("Brand#3", 1, 35, 2000, 3000),
+    ]
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pads.field("p_brand").isin([a[0] for a in arms]),
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = broadcast_join(
+        li, parts, on="l_partkey", right_on="p_partkey",
+        small_cols=("p_brand", "p_size"),
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        mask = np.zeros(len(b), bool)
+        for br, s_lo, s_hi, q_lo, q_hi in arms:
+            mask |= (brand == br) & (size >= s_lo) & (size <= s_hi) & (
+                q >= q_lo
+            ) & (q <= q_hi)
+        return _li_rev1e4(b.filter(pa.array(mask)))
+
+    total = j.map_batches(kernel, batch_format="pyarrow").sum("rev1e4") or 0
+    return pa.table(
+        {
+            "rev1e4": pa.array([int(total)], pa.int64()),
+            "revenue": pa.array([round(total / 10000.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_host_cap_sample(sf_dir: str) -> pa.Table:
+    """Domain-diversity cap: keep at most 3 docs per source (the
+    anti-domination step every web-corpus curation pipeline runs so
+    one crawl-heavy host cannot dominate the training mix). Longest
+    docs win, doc_id breaks ties. `grouped_topn` cuts each batch to
+    its local per-key top-3 before the groupby, so the exchange
+    carries ≤ 3 rows per (batch, host), never the corpus."""
+    from dcs_ray.functions.relational import grouped_topn
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    top = grouped_topn(docs, key="source", order_col="n_chars", n=3, tie_col="doc_id")
+    t = pa.concat_tables(
+        [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["doc_id", "source", "n_chars"]).sort_by("doc_id")
+
+
+def _q_daily_event_anomaly(sf_dir: str) -> pa.Table:
+    """Daily event-rate anomaly triage: per (event_type, day) counts
+    via the map-side combiner, then a per-type z-score over days
+    (population std, the group_zscore driver-fold + broadcast-probe
+    path — the exchange is days×types partial rows, tiny at any
+    corpus size) and a |z| > 2 flag."""
+    from dcs_ray.functions.relational import combiner_groupby, group_zscore
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        days = (us // 86_400_000_000).astype(np.int32)
+        return pa.table(
+            {"event_type": b["event_type"], "day": pa.array(days, pa.date32())}
+        )
+
+    counts = combiner_groupby(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [],
+        count_col="n",
+    )
+    z = group_zscore(counts, key="event_type", col="n", id_col="day")
+
+    def flag(b: pa.Table) -> pa.Table:
+        zz = b["z"].to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "day": b["day"],
+                "n": b["n"].cast(pa.int64()),
+                "z": b["z"],
+                "is_anomaly": pa.array((np.abs(zz) > 2.0).astype(np.int64)),
+            }
+        )
+
+    t = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in z.map_batches(flag, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    return t.sort_by([("event_type", "ascending"), ("day", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -4076,6 +4429,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_returns": _q_customer_returns,
         "large_orders": _q_large_orders,
         "promo_revenue": _q_promo_revenue,
+        "forecast_revenue": _q_forecast_revenue,
+        "order_priority_counts": _q_order_priority_counts,
+        "customer_order_histogram": _q_customer_order_histogram,
+        "top_supplier": _q_top_supplier,
+        "small_quantity_revenue": _q_small_quantity_revenue,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "host_cap_sample": _q_host_cap_sample,
+        "daily_event_anomaly": _q_daily_event_anomaly,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -5614,6 +5975,107 @@ SELECT l_orderkey, sum(rev1e4)::double / 10000.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""",
+        # TPC-H-Q6-style forecast revenue (integer 1e-4 units)
+        "forecast_revenue": """
+WITH f AS (
+  SELECT round(l_extendedprice * 100)::bigint
+           * round(l_discount * 100)::bigint AS d1e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND round(l_discount * 100) BETWEEN 5 AND 7
+    AND round(l_quantity * 100) < 2400)
+SELECT coalesce(sum(d1e4), 0)::bigint AS disc_rev1e4,
+       round(coalesce(sum(d1e4), 0) / 10000.0, 6) AS revenue
+FROM f
+""",
+        # TPC-H-Q4-shape: EXISTS semi-join, counts per priority
+        "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-04-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        # TPC-H-Q13-shape: order-count histogram incl. the zero bucket
+        "customer_order_histogram": """
+WITH pc AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+        # TPC-H-Q15-style top supplier (all ties at the max)
+        "top_supplier": """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice * 100)::bigint
+               * (100 - round(l_discount * 100)::bigint)) AS rev1e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(r.rev1e4 / 10000.0, 6) AS total_revenue
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rev1e4 = (SELECT max(rev1e4) FROM r)
+ORDER BY s.s_suppkey
+""",
+        # TPC-H-Q17-shape: correlated per-part AVG as exact integers
+        # (5*q*cnt < sum_q  <=>  q < 0.2*avg(q))
+        "small_quantity_revenue": """
+WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+li AS (
+  SELECT l_partkey,
+         round(l_quantity * 100)::bigint AS q1e2,
+         round(l_extendedprice * 100)::bigint AS p1e2
+  FROM lineitem JOIN pp ON pp.p_partkey = lineitem.l_partkey),
+st AS (SELECT l_partkey, sum(q1e2) AS sq, count(*) AS cnt FROM li GROUP BY 1)
+SELECT coalesce(sum(p1e2), 0)::bigint AS sum_p1e2,
+       round(coalesce(sum(p1e2), 0) / 700.0, 6) AS avg_yearly
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * q1e2 * cnt < sq
+""",
+        # TPC-H-Q19-shape: disjunctive (brand, size, qty) predicate arms
+        "disjunctive_revenue": """
+WITH j AS (
+  SELECT round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND round(l_quantity * 100) BETWEEN 100 AND 1100)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         AND round(l_quantity * 100) BETWEEN 1000 AND 2000)
+     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         AND round(l_quantity * 100) BETWEEN 2000 AND 3000))
+SELECT coalesce(sum(rev1e4), 0)::bigint AS rev1e4,
+       round(coalesce(sum(rev1e4), 0) / 10000.0, 6) AS revenue
+FROM j
+""",
+        # domain-diversity cap: ≤3 longest docs per source host
+        "host_cap_sample": """
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, source, n_chars FROM rk WHERE rn <= 3 ORDER BY doc_id
+""",
+        # per-type daily event-rate z-score anomalies (population std)
+        "daily_event_anomaly": """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::bigint AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, avg(n) AS m, stddev_pop(n) AS sd
+      FROM c GROUP BY event_type)
+SELECT c.event_type, c.day, c.n,
+       round(CASE WHEN s.sd > 0 THEN (c.n - s.m) / s.sd ELSE 0.0 END, 6) AS z,
+       (abs(round(CASE WHEN s.sd > 0 THEN (c.n - s.m) / s.sd ELSE 0.0 END, 6))
+          > 2.0)::bigint AS is_anomaly
+FROM c JOIN s USING (event_type) ORDER BY c.event_type, c.day
 """,
         # distributed OLS training: integer moment fold + fixed-order
         # Cramer expansion (identical float expression tree both sides)
