@@ -823,6 +823,31 @@ SELECT reg, max(least(64 - bitlen + 1, 53))::bigint AS rank FROM rf GROUP BY reg
 """
 
 
+def _kmv_sql(k: int = 8) -> str:
+    """Integer-SQL replay of the KMV bottom-k distinct sketch over
+    events.user_id: the same splitmix64 chain as ``_hll_registers_sql``,
+    DISTINCT, ORDER BY, LIMIT k — then the (k−1)·2⁶⁴/h₍ₖ₎ estimator
+    with the exact small-cardinality branch."""
+    M64 = "18446744073709551616"
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    return f"""
+WITH h0 AS (SELECT ((user_id::hugeint + {GOLDEN}) % {M64}) AS x0 FROM events WHERE user_id IS NOT NULL),
+h1 AS (SELECT ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+bk AS (SELECT DISTINCT h FROM hf ORDER BY h LIMIT {k}),
+s AS (SELECT count(*)::bigint AS n_kept, max(h) AS kth FROM bk)
+SELECT n_kept,
+       (kth // 4294967296)::bigint AS kth_hi,
+       (kth % 4294967296)::bigint AS kth_lo,
+       round(CASE WHEN n_kept < {k} THEN n_kept::double
+                  ELSE {k - 1} * {M64}.0 / kth::double END, 6) AS est_distinct
+FROM s
+"""
+
+
 def _q_sample_fraction(sf_dir: str) -> Any:
     """Deterministic ~20% subsample of documents (splitmix64(id^seed)
     threshold) — reproducible across runs/cluster sizes, no shuffle."""
@@ -4282,6 +4307,268 @@ def _q_daily_event_anomaly(sf_dir: str) -> pa.Table:
     return t.sort_by([("event_type", "ascending"), ("day", "ascending")])
 
 
+def _nation_keys(sf_dir: str) -> dict[str, int]:
+    """name → nationkey for the (25-row) nation dim, read once on the
+    driver — the standard tiny-dim shortcut every TPC-H gate uses."""
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    return dict(
+        zip(t["n_name"].to_pylist(), (int(x) for x in t["n_nationkey"].to_pylist()))
+    )
+
+
+def _q_volume_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-shape bilateral trade volume: revenue shipped across
+    two trade blocs (WEST = nationkey < 12, EAST = the rest), both
+    directions, by ship year. Customer nations broadcast onto orders,
+    lineitem ⋈ orders is the one hash-partitioned big⋈big hop,
+    supplier nations broadcast, the cross-bloc condition is one
+    vectorized mask, and the exchange after it is (2 directions ×
+    years) combiner rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    orders_c = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        small_cols=("c_nationkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    j = shuffle_join(li, orders_c, on="l_orderkey", right_on="o_orderkey")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = broadcast_join(
+        j, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_nationkey",)
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        s_west = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64) < 12
+        c_west = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64) < 12
+        t = b.filter(pa.array(s_west != c_west))
+        year = pc.year(t["l_shipdate"]).cast(pa.int64())
+        bloc = np.where(
+            t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64) < 12,
+            "WEST", "EAST",
+        )
+        return _li_rev1e4(
+            t, {"supp_bloc": pa.array(bloc, pa.string()), "l_year": year}
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["supp_bloc", "l_year"],
+        ["rev1e4"],
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    return pa.table(
+        {
+            "supp_bloc": t["supp_bloc"],
+            "l_year": t["l_year"],
+            "revenue": pa.array(
+                np.round(t["rev1e4"].to_numpy().astype(np.int64) / 10000.0, 6),
+                pa.float64(),
+            ),
+        }
+    ).sort_by([("supp_bloc", "ascending"), ("l_year", "ascending")])
+
+
+def _q_market_share(sf_dir: str) -> pa.Table:
+    """TPC-H-Q8-shape market share: the NATION_1 suppliers' share of
+    PROMO-part revenue sold to AMERICA-region customers, per order
+    year. Region→nation→customer dims broadcast down the chain, the
+    PROMO part-key set broadcast as a semi-filter on lineitem, one
+    shuffle join to orders, supplier nation broadcast, then a two-sum
+    combiner per year — the numerator is a vectorized where-mask, and
+    the share is one float division on the |years|-sized aggregate."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, broadcast_semi_join, combiner_groupby, shuffle_join,
+    )
+
+    nk1 = _nation_keys(sf_dir)["NATION_1"]
+    region = read_parquet_sized(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"],
+        filter=pads.field("r_name") == "AMERICA",
+    )
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    nation_r = broadcast_join(
+        nation, region, on="n_regionkey", right_on="r_regionkey", small_cols=()
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_r = broadcast_join(
+        cust, nation_r, on="c_nationkey", right_on="n_nationkey", small_cols=()
+    )
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    orders_c = broadcast_join(
+        orders, cust_r, on="o_custkey", right_on="c_custkey", small_cols=()
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_year": pc.year(b["o_orderdate"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=pads.field("p_type") == "PROMO",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_promo = broadcast_semi_join(li, parts, on="l_partkey", right_on="p_partkey")
+    j = shuffle_join(li_promo, orders_c, on="l_orderkey", right_on="o_orderkey")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = broadcast_join(
+        j, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_nationkey",)
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = _li_rev1e4(b, {"o_year": b["o_year"]})
+        rev = t["rev1e4"].to_numpy()
+        s_nat = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "nat_rev1e4", pa.array(np.where(s_nat == nk1, rev, 0), pa.int64())
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["o_year"],
+        ["rev1e4", "nat_rev1e4"],
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    num = t["nat_rev1e4"].to_numpy().astype(np.int64)
+    den = t["rev1e4"].to_numpy().astype(np.int64)
+    share = np.where(den > 0, np.round(num / np.where(den > 0, den, 1), 6), 0.0)
+    return pa.table(
+        {
+            "o_year": t["o_year"],
+            "nat_rev1e4": pa.array(num, pa.int64()),
+            "total_rev1e4": pa.array(den, pa.int64()),
+            "mkt_share": pa.array(share + 0.0, pa.float64()),
+        }
+    ).sort_by("o_year")
+
+
+def _q_daily_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact per-day distinct actives (the DAU panel): a (day, user)
+    combiner dedup — the exchange carries one row per (batch, day,
+    user), never raw events — then a per-day combiner count."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        days = (us // 86_400_000_000).astype(np.int32)
+        return pa.table(
+            {"day": pa.array(days, pa.date32()), "user_id": b["user_id"]}
+        )
+
+    pairs = combiner_groupby(
+        ev.map_batches(to_day, batch_format="pyarrow"), ["day", "user_id"], []
+    )
+    daily = combiner_groupby(pairs, ["day"], [], count_col="n_users")
+    t = pa.concat_tables(
+        [pa.table(b) for b in daily.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["day", "n_users"]).sort_by("day")
+
+
+def _q_nb_prf_metrics(sf_dir: str) -> pa.Table:
+    """Per-class precision / recall / F1 for the trained NB language
+    classifier — computed from the |classes|²-sized confusion fold
+    (the distributed part), so this stage is driver arithmetic over an
+    aggregate, exactly like the SQL oracle's arithmetic over the same
+    replayed confusion CTE."""
+    conf = _q_nb_confusion(sf_dir)
+    true_l = np.asarray(conf["true_label"].to_pylist())
+    pred_l = np.asarray(conf["pred_label"].to_pylist())
+    n = conf["n_docs"].to_numpy().astype(np.int64)
+    classes = sorted(set(true_l))
+    rows = []
+    for c in classes:
+        tp = int(n[(true_l == c) & (pred_l == c)].sum())
+        n_true = int(n[true_l == c].sum())
+        n_pred = int(n[pred_l == c].sum())
+        p = tp / n_pred if n_pred > 0 else 0.0
+        r = tp / n_true if n_true > 0 else 0.0
+        f1 = 2.0 * p * r / (p + r) if p + r > 0 else 0.0
+        rows.append((c, tp, n_true, n_pred, round(p, 6), round(r, 6), round(f1, 6)))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "tp": pa.array([r[1] for r in rows], pa.int64()),
+            "n_true": pa.array([r[2] for r in rows], pa.int64()),
+            "n_pred": pa.array([r[3] for r in rows], pa.int64()),
+            "prec": pa.array([r[4] + 0.0 for r in rows], pa.float64()),
+            "rec": pa.array([r[5] + 0.0 for r in rows], pa.float64()),
+            "f1": pa.array([r[6] + 0.0 for r in rows], pa.float64()),
+        }
+    )
+
+
+def _q_kmv_distinct_users(sf_dir: str) -> pa.Table:
+    """KMV (bottom-k) distinct-user sketch: per-batch k-smallest
+    unique splitmix64 hashes, worker pre-merge, (k−1)·2⁶⁴/h₍ₖ₎
+    estimator. The kth hash is emitted as two exact int32 halves so
+    the driver gate hashes integers, not a lossy double."""
+    from dcs_ray.functions.sketches import kmv_distinct
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est, kept = kmv_distinct(ev, "user_id", k=8)
+    kth = int(kept[-1]) if len(kept) else 0
+    return pa.table(
+        {
+            "n_kept": pa.array([len(kept)], pa.int64()),
+            "kth_hi": pa.array([kth >> 32], pa.int64()),
+            "kth_lo": pa.array([kth & 0xFFFFFFFF], pa.int64()),
+            "est_distinct": pa.array([round(est, 6)], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -4437,6 +4724,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "host_cap_sample": _q_host_cap_sample,
         "daily_event_anomaly": _q_daily_event_anomaly,
+        "volume_shipping": _q_volume_shipping,
+        "market_share": _q_market_share,
+        "daily_distinct_users": _q_daily_distinct_users,
+        "nb_prf_metrics": _q_nb_prf_metrics,
+        "kmv_distinct_users": _q_kmv_distinct_users,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -6064,6 +6356,82 @@ WITH rk AS (
   FROM documents)
 SELECT doc_id, source, n_chars FROM rk WHERE rn <= 3 ORDER BY doc_id
 """,
+        # TPC-H-Q7-shape cross-bloc shipping volume by ship year
+        "volume_shipping": """
+WITH j AS (
+  SELECT CASE WHEN s.s_nationkey < 12 THEN 'WEST' ELSE 'EAST' END AS supp_bloc,
+         EXTRACT(year FROM l_shipdate)::bigint AS l_year,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((s.s_nationkey < 12) <> (c.c_nationkey < 12)))
+SELECT supp_bloc, l_year, round(sum(rev1e4) / 10000.0, 6) AS revenue
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # TPC-H-Q8-shape market share of NATION_1 suppliers in AMERICA
+        "market_share": """
+WITH j AS (
+  SELECT EXTRACT(year FROM o_orderdate)::bigint AS o_year,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4,
+         CASE WHEN ns.n_name = 'NATION_1' THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'),
+a AS (
+  SELECT o_year, sum(is_nat * rev1e4)::bigint AS nat_rev1e4,
+         sum(rev1e4)::bigint AS total_rev1e4
+  FROM j GROUP BY o_year)
+SELECT o_year, nat_rev1e4, total_rev1e4,
+       CASE WHEN total_rev1e4 > 0
+            THEN round(nat_rev1e4 / total_rev1e4::double, 6) ELSE 0.0 END
+         AS mkt_share
+FROM a ORDER BY o_year
+""",
+        # exact daily distinct actives (DAU)
+        "daily_distinct_users": """
+SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id)::bigint AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        # per-class precision/recall/F1 over the replayed NB confusion
+        "nb_prf_metrics": f"""
+WITH {{NB}}
+conf AS (
+  SELECT d.lang AS t, p.lang AS pr, count(*)::bigint AS n
+  FROM (SELECT doc_id, lang FROM pred WHERE rn = 1) p
+  JOIN documents d USING (doc_id) GROUP BY 1, 2),
+klass AS (SELECT DISTINCT lang FROM documents),
+st AS (
+  SELECT c.lang,
+         coalesce((SELECT sum(n) FROM conf WHERE t = c.lang AND pr = c.lang), 0)
+           ::bigint AS tp,
+         coalesce((SELECT sum(n) FROM conf WHERE t = c.lang), 0)::bigint AS n_true,
+         coalesce((SELECT sum(n) FROM conf WHERE pr = c.lang), 0)::bigint AS n_pred
+  FROM klass c),
+pr_ AS (
+  SELECT lang, tp, n_true, n_pred,
+         CASE WHEN n_pred > 0 THEN tp / n_pred::double ELSE 0.0 END AS p,
+         CASE WHEN n_true > 0 THEN tp / n_true::double ELSE 0.0 END AS r
+  FROM st)
+SELECT lang, tp, n_true, n_pred,
+       round(p, 6) AS prec, round(r, 6) AS rec,
+       round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 6) AS f1
+FROM pr_ ORDER BY lang
+""".replace("{NB}", _NB_PRED_CTES + ","),
+        # KMV bottom-k distinct sketch, bit-exact splitmix64 replay
+        "kmv_distinct_users": _kmv_sql(k=8),
         # per-type daily event-rate z-score anomalies (population std)
         "daily_event_anomaly": """
 WITH c AS (

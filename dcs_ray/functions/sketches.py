@@ -171,6 +171,46 @@ def approx_distinct_hll(
     return hll_estimate(merged), merged
 
 
+def kmv_distinct(
+    ds: ray.data.Dataset, col: str, k: int = 8
+) -> tuple[float, np.ndarray]:
+    """KMV (k-minimum-values / bottom-k) distinct sketch (Bar-Yossef
+    et al. '02): keep the ``k`` smallest distinct u64 hashes; estimate
+    ``(k-1) · 2^64 / h_(k)``. Each batch collapses to ≤ k hashes and a
+    64-way pre-merge layer coalesces them inside workers, so the
+    driver folds ~fanin rows of ≤ k values each no matter the corpus
+    size. Deterministic given the splitmix64 hash — the SQL oracle
+    replays it bit-exactly. Returns (estimate, sorted kept hashes);
+    when fewer than ``k`` distinct values exist the estimate is the
+    exact count (the standard small-cardinality branch)."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        col_arr = b[col].combine_chunks().drop_null()
+        h = np.unique(_hash64_column(col_arr))[:k]
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    def premerge(t: pa.Table) -> pa.Table:
+        h = np.unique(t["h"].to_numpy(zero_copy_only=False).astype(np.uint64))[:k]
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    folded = ds.map_batches(fold, batch_format="pyarrow").map_batches(
+        premerge, batch_size=64 * k, batch_format="pyarrow"
+    )
+    kept = np.empty(0, np.uint64)
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if len(t):
+            kept = np.unique(
+                np.concatenate(
+                    [kept, t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)]
+                )
+            )[:k]
+    if len(kept) < k:
+        return float(len(kept)), kept
+    est = (k - 1) * 18446744073709551616.0 / float(kept[-1])
+    return est, kept
+
+
 # ---------------------------------------------------------------------------
 # exact distinct / heavy hitters
 # ---------------------------------------------------------------------------

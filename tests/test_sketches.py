@@ -197,3 +197,29 @@ def test_hll_set_algebra_empty_slice(ray_session):
     )
     assert out["approx_b"].to_pylist() == [0.0]
     assert out["approx_intersection"].to_pylist() == [0.0]
+
+
+def test_kmv_distinct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.sketches import kmv_distinct
+
+    # small-cardinality branch: fewer distinct than k → exact count
+    t = pa.table({"v": pa.array([1, 2, 3, 2, 1] * 10, pa.int64())})
+    est, kept = kmv_distinct(ray.data.from_arrow(t), "v", k=8)
+    assert est == 3.0 and len(kept) == 3
+
+    # estimator branch: accuracy within KMV's ~1/sqrt(k-1) error band,
+    # and block layout must not change the result (merge determinism)
+    vals = pa.table({"v": pa.array(np.arange(5000) % 1000, pa.int64())})
+    est1, kept1 = kmv_distinct(
+        ray.data.from_arrow(vals).repartition(1), "v", k=64
+    )
+    est2, kept2 = kmv_distinct(
+        ray.data.from_arrow(vals).repartition(13), "v", k=64
+    )
+    assert est1 == est2
+    assert np.array_equal(kept1, kept2)
+    assert abs(est1 - 1000) < 0.5 * 1000
