@@ -4569,6 +4569,168 @@ def _q_kmv_distinct_users(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Directed out→in degree assortativity of the web link graph:
+    Pearson r between each edge's source out-degree and target
+    in-degree (negative = hubs link to leaves, the classic web-graph
+    signature). Degrees fold per endpoint via the map-side combiner
+    (node-sized), broadcast once via ``ray.put`` and probed with
+    searchsorted; each batch then collapses to ONE integer moment row
+    (n, Σx, Σy, Σxy, Σx², Σy²) and the driver folds exact ints, so the
+    float expression tree is the canonical corr recipe the
+    ``lineitem_corr_matrix`` gate already proved bit-stable."""
+    import math
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    edges = _link_edges_ds(sf_dir).map_batches(
+        lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
+    ).materialize()
+
+    def degree_arrays(key: str) -> tuple[np.ndarray, np.ndarray]:
+        agg = combiner_groupby(edges, [key], [], count_col="deg")
+        t = pa.concat_tables(
+            [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+        )
+        k = t[key].to_numpy().astype(np.int64)
+        d = t["deg"].to_numpy().astype(np.int64)
+        order = np.argsort(k)
+        return k[order], d[order]
+
+    out_ref = ray.put(degree_arrays("src"))
+    in_ref = ray.put(degree_arrays("dst"))
+
+    def moments(b: pa.Table) -> pa.Table:
+        ok, od = ray.get(out_ref)
+        ik, idg = ray.get(in_ref)
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        x = od[np.searchsorted(ok, s)]
+        y = idg[np.searchsorted(ik, d)]
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for b in edges.map_batches(moments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        for row in range(len(t)):
+            n += int(t["n"][row].as_py()); sx += int(t["sx"][row].as_py())
+            sy += int(t["sy"][row].as_py()); sxy += int(t["sxy"][row].as_py())
+            sxx += int(t["sxx"][row].as_py()); syy += int(t["syy"][row].as_py())
+    num = (float(n) * float(sxy)) - (float(sx) * float(sy))
+    da = math.sqrt((float(n) * float(sxx)) - (float(sx) * float(sx)))
+    db = math.sqrt((float(n) * float(syy)) - (float(sy) * float(sy)))
+    r = round(num / (da * db), 6) if da * db > 0 else 0.0
+    return pa.table(
+        {
+            "n_edges": pa.array([n], pa.int64()),
+            "assortativity": pa.array([r + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_ewma_daily_events(sf_dir: str) -> pa.Table:
+    """Per-type EWMA (α = 1/2) of the daily event-count series — the
+    streaming decay aggregate, replayed EXACTLY: with dyadic decay the
+    running numerator Σ xᵢ·2ⁱ and denominator 2^(t+1) − 1 are integers,
+    so the distributed part (the (type, day) combiner count) and the
+    oracle agree bit-for-bit and the only float op is one final
+    division. The recursion happens on the |types×days|-sized
+    aggregate, never the event stream."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        days = (us // 86_400_000_000).astype(np.int32)
+        return pa.table(
+            {"event_type": b["event_type"], "day": pa.array(days, pa.date32())}
+        )
+
+    counts = combiner_groupby(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [],
+        count_col="n",
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in counts.iter_batches(batch_format="pyarrow")]
+    ).sort_by([("event_type", "ascending"), ("day", "ascending")])
+    types = t["event_type"].to_pylist()
+    days = t["day"].to_pylist()
+    ns = t["n"].to_numpy().astype(np.int64)
+    ewma, cur_type, num, rk = [], None, 0, -1
+    for i in range(len(t)):
+        if types[i] != cur_type:
+            cur_type, num, rk = types[i], 0, -1
+        rk += 1
+        num += int(ns[i]) << rk
+        den = (1 << (rk + 1)) - 1
+        ewma.append(round(float(num) / float(den), 6))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "day": pa.array(days, pa.date32()),
+            "n": pa.array(ns, pa.int64()),
+            "ewma": pa.array(ewma, pa.float64()),
+        }
+    )
+
+
+def _q_event_interarrival(sf_dir: str) -> pa.Table:
+    """Per-user inter-arrival gap stats (count / sum / max / mean
+    seconds between consecutive events) — the LAG-window family.
+    ``groupby(user).map_groups`` with one vectorized sort+diff per
+    group, the same partitioning contract as sessionization (one
+    user's events fit in a worker). Users with a single event have no
+    gaps and are dropped, mirroring the oracle's WHERE gap IS NOT
+    NULL."""
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].cast(pa.int64()).to_numpy())
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "sum_gap_us": pa.array([], pa.int64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                    "avg_gap_s": pa.array([], pa.float64()),
+                }
+            )
+        d = np.diff(ts)
+        s, n = int(d.sum()), len(d)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_gaps": pa.array([n], pa.int64()),
+                "sum_gap_us": pa.array([s], pa.int64()),
+                "max_gap_us": pa.array([int(d.max())], pa.int64()),
+                "avg_gap_s": pa.array(
+                    [round(float(s) / float(n) / 1000000.0, 6)], pa.float64()
+                ),
+            }
+        )
+
+    out = ev.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -4729,6 +4891,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_distinct_users": _q_daily_distinct_users,
         "nb_prf_metrics": _q_nb_prf_metrics,
         "kmv_distinct_users": _q_kmv_distinct_users,
+        "degree_assortativity": _q_degree_assortativity,
+        "ewma_daily_events": _q_ewma_daily_events,
+        "event_interarrival": _q_event_interarrival,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -6432,6 +6597,63 @@ FROM pr_ ORDER BY lang
 """.replace("{NB}", _NB_PRED_CTES + ","),
         # KMV bottom-k distinct sketch, bit-exact splitmix64 replay
         "kmv_distinct_users": _kmv_sql(k=8),
+        # directed out→in degree assortativity over the link graph
+        # (integer moments + the canonical corr float recipe)
+        "degree_assortativity": f"""
+WITH {_LINK_EDGES_CTE},
+outd AS (SELECT src, count(*)::bigint AS od FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*)::bigint AS idg FROM edges GROUP BY dst),
+xy AS (SELECT o.od AS x, i.idg AS y
+       FROM edges e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+m AS (SELECT count(*)::bigint AS n, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
+             sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
+             sum(y * y)::bigint AS syy
+      FROM xy)
+SELECT n AS n_edges,
+       CASE WHEN ((n::double * sxx::double) - (sx::double * sx::double)) > 0
+             AND ((n::double * syy::double) - (sy::double * sy::double)) > 0
+            THEN round(((n::double * sxy::double) - (sx::double * sy::double))
+                   / (sqrt((n::double * sxx::double) - (sx::double * sx::double))
+                      * sqrt((n::double * syy::double) - (sy::double * sy::double))), 6)
+            ELSE 0.0 END AS assortativity
+FROM m
+""",
+        # per-type dyadic-decay EWMA of daily counts: integer
+        # numerator sum(n_i * 2^rank_i) and denominator 2^(t+1)-1,
+        # one float division at the end — bit-exact replay
+        "ewma_daily_events": """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::bigint AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, n,
+         (row_number() OVER (PARTITION BY event_type ORDER BY day))::bigint - 1
+           AS rk
+  FROM c),
+nm AS (
+  SELECT a.event_type, a.day, a.n, a.rk,
+         sum(b.n * (1::bigint << b.rk::int))::bigint AS num
+  FROM r a JOIN r b ON a.event_type = b.event_type AND b.rk <= a.rk
+  GROUP BY 1, 2, 3, 4)
+SELECT event_type, day, n,
+       round(num::double / ((1::bigint << (rk + 1)::int) - 1)::double, 6) AS ewma
+FROM nm ORDER BY event_type, day
+""",
+        # per-user inter-arrival gap stats (the LAG-window family)
+        "event_interarrival": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+a AS (
+  SELECT user_id, count(gap)::bigint AS n_gaps, sum(gap)::bigint AS sum_gap_us,
+         max(gap)::bigint AS max_gap_us
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps, sum_gap_us, max_gap_us,
+       round(sum_gap_us::double / n_gaps::double / 1000000.0, 6) AS avg_gap_s
+FROM a ORDER BY user_id
+""",
         # per-type daily event-rate z-score anomalies (population std)
         "daily_event_anomaly": """
 WITH c AS (
