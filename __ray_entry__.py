@@ -4835,6 +4835,60 @@ SELECT node, deg FROM d{rounds} WHERE deg >= {k} ORDER BY node
 """
 
 
+def _q_community_top_terms(sf_dir: str) -> pa.Table:
+    """Composition showpiece: label-propagation communities × corpus
+    terms → the top-3 most frequent terms per community (what each
+    link cluster is "about"). The node→community vector is node-sized,
+    broadcast once; tokenization streams per batch; the (community,
+    term) exchange is combiner-folded; `grouped_topn` cuts each batch
+    to its local per-community top-3 before the final groupby."""
+    from dcs_ray.functions.graph import label_propagation
+    from dcs_ray.functions.relational import combiner_groupby, grouped_topn
+    from dcs_ray.tokenize import tokenize_batch_words
+
+    lab = pa.concat_tables(
+        pa.table(b)
+        for b in label_propagation(_link_pair_edges(sf_dir), n_iter=5).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    nodes = lab["node"].to_numpy().astype(np.int64)
+    comm = lab["community"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    lab_ref = ray.put((nodes[order], comm[order]))
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        nk, cm = ray.get(lab_ref)
+        postings, _ = tokenize_batch_words(
+            b["text"], b["doc_id"].to_numpy().astype(np.int64)
+        )
+        did = postings["doc_id"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(nk, did)
+        idx_c = np.minimum(idx, max(len(nk) - 1, 0))
+        ok = (len(nk) > 0) & (nk[idx_c] == did)
+        t = postings.filter(pa.array(ok))
+        return pa.table(
+            {
+                "community": pa.array(cm[idx_c[ok]], pa.int64()),
+                "term": t["term"],
+                "n": t["tf"].cast(pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        _docs(sf_dir).map_batches(to_pairs, batch_format="pyarrow"),
+        ["community", "term"],
+        ["n"],
+    )
+    top = grouped_topn(agg, key="community", order_col="n", n=3, tie_col="term")
+    t = pa.concat_tables(
+        [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["community", "term", "n"]).sort_by(
+        [("community", "ascending"), ("n", "descending"), ("term", "ascending")]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -4999,6 +5053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily_events": _q_ewma_daily_events,
         "event_interarrival": _q_event_interarrival,
         "link_kcore": _q_kcore,
+        "community_top_terms": _q_community_top_terms,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -5318,6 +5373,16 @@ def _lpa_sql(k: int = 5, edges_cte: str | None = None) -> str:
     each round takes the most frequent neighbor label with ties to
     the SMALLEST label (graph.py::label_propagation's deterministic
     update rule). MATERIALIZED: inlined CTEs re-expand exponentially."""
+    return (
+        "WITH "
+        + _lpa_ctes(k, edges_cte)
+        + f"\nSELECT node, lbl AS community FROM l{k} ORDER BY node"
+    )
+
+
+def _lpa_ctes(k: int = 5, edges_cte: str | None = None) -> str:
+    """The label-propagation CTE chain (through ``l{k}``) without the
+    final SELECT, so compositions can keep building on the labels."""
     parts = [
         edges_cte or _LINK_EDGES_CTE,
         """ce AS MATERIALIZED (
@@ -5339,11 +5404,7 @@ l{i} AS MATERIALIZED (
            row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
     FROM c{i}) WHERE rn = 1)"""
         )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"\nSELECT node, lbl AS community FROM l{k} ORDER BY node"
-    )
+    return ",\n".join(parts)
 
 
 def _pagerank_ctes(k: int, d: float, edges_cte: str) -> str:
@@ -6725,6 +6786,21 @@ FROM m
 """,
         # k-core peeling of the undirected link graph (k=4, 4 rounds)
         "link_kcore": _kcore_sql(k=4, rounds=4),
+        # LPA communities × token counts → top-3 terms per community
+        "community_top_terms": f"""
+WITH {_lpa_ctes(5, _LINK_EDGES_CTE)},
+tok AS ({_TOK}),
+tt AS (
+  SELECT l5.lbl AS community, tok.term, count(*)::bigint AS n
+  FROM tok JOIN l5 ON l5.node = tok.doc_id GROUP BY 1, 2),
+rk AS (
+  SELECT community, term, n,
+         row_number() OVER (PARTITION BY community
+                            ORDER BY n DESC, term ASC) AS rn
+  FROM tt)
+SELECT community, term, n FROM rk WHERE rn <= 3
+ORDER BY community, n DESC, term
+""",
         # per-type dyadic-decay EWMA of daily counts: integer
         # numerator sum(n_i * 2^rank_i) and denominator 2^(t+1)-1,
         # one float division at the end — bit-exact replay
