@@ -4889,6 +4889,115 @@ def _q_community_top_terms(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_mmr_diversified(sf_dir: str) -> pa.Table:
+    """Search-result diversification by Maximal Marginal Relevance
+    (Carbonell & Goldstein '98): BM25 top-20 candidates, then 5 greedy
+    rounds of argmax over round(0.7·rel − 0.3·max-sim-to-selected, 6)
+    with ties to the smallest doc_id (the repo's rounded-argmax gate
+    convention). Relevance is the engine's own shard-fanned BM25;
+    similarity is the hash-embedding cosine (both already gate-proven
+    bit-stable). The iterative part runs on the 20-row candidate set —
+    the distributed work is the fan-out and the embedding pass."""
+    from dcs_ray.functions.embed import hash_embed_batch
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=20)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    rel = {
+        int(i): round(float(s), 6) for i, s in zip(ids, t["score"].to_numpy())
+    }
+    ct = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [int(x) for x in ids])],
+    )
+    et = hash_embed_batch(ct)
+    pos = {int(d): i for i, d in enumerate(et["doc_id"].to_numpy())}
+    vecs = np.stack(
+        [np.asarray(v, np.float64) for v in et["embedding"].to_pylist()]
+    )
+    norms = np.sqrt((vecs * vecs).sum(axis=1))
+
+    def sim(a: int, b: int) -> float:
+        na, nb = float(norms[pos[a]]), float(norms[pos[b]])
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return round(float(np.dot(vecs[pos[a]], vecs[pos[b]])) / (na * nb), 6)
+
+    selected: list[int] = []
+    rows = []
+    for r in range(1, 6):
+        best_d, best_m = None, None
+        for d in sorted(rel):
+            if d in selected:
+                continue
+            ms = max((sim(d, s) for s in selected), default=0.0)
+            m = round(0.7 * rel[d] - 0.3 * ms, 6)
+            if best_m is None or m > best_m:
+                best_d, best_m = d, m
+        selected.append(best_d)
+        rows.append((r, best_d, best_m))
+    return pa.table(
+        {
+            "rank": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "mmr": pa.array([r[2] + 0.0 for r in rows], pa.float64()),
+        }
+    )
+
+
+def _mmr_sql(n_cand: int = 20, k_sel: int = 5) -> str:
+    """Generated greedy-round replay of ``_q_mmr_diversified``: BM25
+    candidate CTE, the hash-embedding chain restricted to candidates,
+    pairwise rounded cosines, then one (pool, pick, selected) CTE
+    triple per round — ties to the smallest doc_id via ORDER BY."""
+    rounds = []
+    for i in range(1, k_sel + 1):
+        rounds.append(f"""p{i} AS (
+  SELECT c.doc_id,
+         round(0.7 * c.rel - 0.3 * coalesce(
+           (SELECT max(s.sim) FROM sims s
+            JOIN sel{i - 1} sp ON s.da = c.doc_id AND s.db = sp.doc_id), 0.0), 6)
+           AS m
+  FROM cand c WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})),
+pick{i} AS (SELECT doc_id, m FROM p{i} ORDER BY m DESC, doc_id ASC LIMIT 1),
+sel{i} AS (SELECT * FROM sel{i - 1}
+           UNION ALL SELECT doc_id, {i}::bigint, m FROM pick{i})""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_BM25_SCORES},
+cand AS MATERIALIZED (
+  SELECT doc_id, round(score, 6) AS rel FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {n_cand}),
+tok2 AS (SELECT doc_id, term FROM tok
+         WHERE doc_id IN (SELECT doc_id FROM cand)),
+terms AS (SELECT DISTINCT term FROM tok2),
+{_term_hash64_sql()},
+occ AS (SELECT doc_id, h FROM tok2 JOIN th USING (term)),
+vec AS (SELECT doc_id, (h % 64)::bigint AS dim,
+               sum(CASE WHEN h >= 9223372036854775808::hugeint
+                        THEN -1.0 ELSE 1.0 END) AS v
+        FROM occ GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM vec GROUP BY 1),
+emb AS (SELECT vec.doc_id, dim,
+               CAST(v / CASE WHEN nn = 0 THEN 1 ELSE nn END AS FLOAT)::double
+                 AS val
+        FROM vec JOIN nrm USING (doc_id)),
+dn AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm2 FROM emb GROUP BY 1),
+sims AS MATERIALIZED (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         round(sum(a.val * b.val) / (na.nrm2 * nb.nrm2), 6) AS sim
+  FROM emb a JOIN emb b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+  JOIN dn na ON na.doc_id = a.doc_id JOIN dn nb ON nb.doc_id = b.doc_id
+  WHERE na.nrm2 > 0 AND nb.nrm2 > 0
+  GROUP BY 1, 2, na.nrm2, nb.nrm2),
+sel0 AS (SELECT NULL::bigint AS doc_id, 0::bigint AS rank, 0.0 AS m WHERE 1 = 0),
+{chain}
+SELECT rank, doc_id, m AS mmr FROM sel{k_sel} ORDER BY rank
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5054,6 +5163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_interarrival": _q_event_interarrival,
         "link_kcore": _q_kcore,
         "community_top_terms": _q_community_top_terms,
+        "mmr_diversified": _q_mmr_diversified,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -6786,6 +6896,9 @@ FROM m
 """,
         # k-core peeling of the undirected link graph (k=4, 4 rounds)
         "link_kcore": _kcore_sql(k=4, rounds=4),
+        # MMR result diversification: 5 greedy rounds over BM25 top-20
+        # with hash-embedding cosine redundancy, rounded-argmax gated
+        "mmr_diversified": _mmr_sql(n_cand=20, k_sel=5),
         # LPA communities × token counts → top-3 terms per community
         "community_top_terms": f"""
 WITH {_lpa_ctes(5, _LINK_EDGES_CTE)},
