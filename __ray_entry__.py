@@ -4998,6 +4998,170 @@ SELECT rank, doc_id, m AS mmr FROM sel{k_sel} ORDER BY rank
 """
 
 
+def _q_intra_host_link_ratio(sf_dir: str) -> pa.Table:
+    """Per-host intra-site link share (navigation vs outbound links —
+    the crawl-frontier prioritization signal). The doc→host vector is
+    node-sized, broadcast once; edges stream through one vectorized
+    probe per batch; the exchange is a |hosts|-sized combiner fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    did = docs["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(did)
+    hosts = docs["source"].combine_chunks().take(pa.array(order))
+    ref = ray.put((did[order], hosts))
+
+    def probe(b: pa.Table) -> pa.Table:
+        ids, hs = ray.get(ref)
+        sv = b["src"].to_numpy().astype(np.int64)
+        dv = b["dst"].to_numpy().astype(np.int64)
+        s = np.minimum(np.searchsorted(ids, sv), len(ids) - 1)
+        d = np.minimum(np.searchsorted(ids, dv), len(ids) - 1)
+        # inner-join semantics: drop edges whose endpoint has no doc row
+        # (synthesized targets like doc_id+41 can point past the corpus)
+        ok = (ids[s] == sv) & (ids[d] == dv)
+        sh = hs.take(pa.array(s[ok]))
+        dh = hs.take(pa.array(d[ok]))
+        intra = (
+            sh.to_numpy(zero_copy_only=False) == dh.to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"src_host": sh, "n_intra": pa.array(intra, pa.int64())})
+
+    agg = combiner_groupby(
+        _link_edges_ds(sf_dir).map_batches(probe, batch_format="pyarrow"),
+        ["src_host"],
+        ["n_intra"],
+        count_col="n_links",
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    n = t["n_links"].to_numpy().astype(np.int64)
+    ni = t["n_intra"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "src_host": t["src_host"],
+            "n_links": pa.array(n, pa.int64()),
+            "n_intra": pa.array(ni, pa.int64()),
+            "intra_ratio": pa.array(np.round(ni / n, 6) + 0.0, pa.float64()),
+        }
+    ).sort_by("src_host")
+
+
+def _q_type_token_ratio(sf_dir: str) -> pa.Table:
+    """Per-doc lexical diversity (type-token ratio) — one tokenizer
+    pass, doc-local, zero exchange. Docs with no tokens emit no row
+    (mirrors the tokenizing GROUP BY)."""
+    from dcs_ray.tokenize import tokenize_batch_words
+
+    def kernel(b: pa.Table) -> pa.Table:
+        postings, _ = tokenize_batch_words(
+            b["text"], b["doc_id"].to_numpy().astype(np.int64)
+        )
+        g = postings.group_by(["doc_id"]).aggregate(
+            [("tf", "sum"), ("term", "count")]
+        )
+        did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = g["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = g["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_tokens": pa.array(tot, pa.int64()),
+                "n_types": pa.array(typ, pa.int64()),
+                "ttr": pa.array(np.round(typ / tot, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    out = _docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_event_burstiness(sf_dir: str) -> pa.Table:
+    """Per-type variance-to-mean ratio (index of dispersion) of the
+    daily count series — VMR ≈ 1 is Poisson-like traffic, ≫ 1 is
+    bursty. Integer (Σn, Σn²) moments fold through the combiner; one
+    canonical float expression at the end mirrors the oracle."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        days = (us // 86_400_000_000).astype(np.int32)
+        return pa.table(
+            {"event_type": b["event_type"], "day": pa.array(days, pa.date32())}
+        )
+
+    counts = combiner_groupby(
+        ev.map_batches(to_day, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [],
+        count_col="n",
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "nn": pa.array(
+                    t["n"].to_numpy().astype(np.int64) ** 2, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = combiner_groupby(counts, ["event_type"], ["n", "nn"], count_col="n_days")
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    sx = t["n"].to_numpy().astype(np.int64)
+    sxx = t["nn"].to_numpy().astype(np.int64)
+    d = t["n_days"].to_numpy().astype(np.int64)
+    mean = sx.astype(np.float64) / d
+    vmr = np.round((sxx.astype(np.float64) / d - mean * mean) / mean, 6)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "n_days": pa.array(d, pa.int64()),
+            "sum_n": pa.array(sx, pa.int64()),
+            "vmr": pa.array(vmr + 0.0, pa.float64()),
+        }
+    ).sort_by("event_type")
+
+
+def _q_gini_hosts(sf_dir: str) -> pa.Table:
+    """Gini coefficient of docs-per-host — the corpus-concentration
+    health metric (is one domain dominating the training mix?). The
+    per-host count is a combiner fold; the Gini rank sum runs on the
+    |hosts|-sized aggregate in exact integers with ONE float division,
+    ties ordered by (count, host) on both sides."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["source"])
+    agg = combiner_groupby(docs, ["source"], [], count_col="x")
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    x = t["x"].to_numpy().astype(np.int64)
+    src = np.asarray(t["source"].to_pylist())
+    order = np.lexsort((src, x))
+    x = x[order]
+    n, sx = len(x), int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int((i * x).sum()) - (n + 1) * sx
+    gini = round(float(num) / float(n * sx), 6) if n * sx > 0 else 0.0
+    return pa.table(
+        {
+            "n_hosts": pa.array([n], pa.int64()),
+            "n_docs": pa.array([sx], pa.int64()),
+            "gini": pa.array([gini + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5164,6 +5328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_kcore": _q_kcore,
         "community_top_terms": _q_community_top_terms,
         "mmr_diversified": _q_mmr_diversified,
+        "intra_host_link_ratio": _q_intra_host_link_ratio,
+        "type_token_ratio": _q_type_token_ratio,
+        "event_burstiness": _q_event_burstiness,
+        "gini_hosts": _q_gini_hosts,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -6899,6 +7067,53 @@ FROM m
         # MMR result diversification: 5 greedy rounds over BM25 top-20
         # with hash-embedding cosine redundancy, rounded-argmax gated
         "mmr_diversified": _mmr_sql(n_cand=20, k_sel=5),
+        # per-host intra-site link share
+        "intra_host_link_ratio": f"""
+WITH {_LINK_EDGES_CTE},
+m AS (
+  SELECT ds.source AS src_host,
+         CASE WHEN ds.source = dd.source THEN 1 ELSE 0 END AS intra
+  FROM edges e
+  JOIN documents ds ON ds.doc_id = e.src
+  JOIN documents dd ON dd.doc_id = e.dst)
+SELECT src_host, count(*)::bigint AS n_links, sum(intra)::bigint AS n_intra,
+       round(sum(intra) / count(*)::double, 6) AS intra_ratio
+FROM m GROUP BY src_host ORDER BY src_host
+""",
+        # per-doc lexical diversity (type-token ratio)
+        "type_token_ratio": f"""
+SELECT doc_id, count(*)::bigint AS n_tokens,
+       count(DISTINCT term)::bigint AS n_types,
+       round(count(DISTINCT term) / count(*)::double, 6) AS ttr
+FROM ({_TOK}) GROUP BY doc_id ORDER BY doc_id
+""",
+        # per-type variance-to-mean ratio of the daily count series
+        "event_burstiness": """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::bigint AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, count(*)::bigint AS n_days, sum(n)::bigint AS sx,
+         sum(n * n)::bigint AS sxx
+  FROM c GROUP BY event_type)
+SELECT event_type, n_days, sx AS sum_n,
+       round((sxx::double / n_days - (sx::double / n_days) * (sx::double / n_days))
+               / (sx::double / n_days), 6) AS vmr
+FROM m ORDER BY event_type
+""",
+        # Gini concentration of docs per host (exact integer rank sum)
+        "gini_hosts": """
+WITH c AS (SELECT source, count(*)::bigint AS x FROM documents GROUP BY source),
+r AS (SELECT x,
+             row_number() OVER (ORDER BY x ASC, source ASC)::bigint AS i,
+             count(*) OVER ()::bigint AS n,
+             sum(x) OVER ()::bigint AS sx
+      FROM c)
+SELECT max(n)::bigint AS n_hosts, max(sx)::bigint AS n_docs,
+       round((2 * sum(i * x) - (max(n) + 1) * max(sx))::double
+               / (max(n) * max(sx))::double, 6) AS gini
+FROM r
+""",
         # LPA communities × token counts → top-3 terms per community
         "community_top_terms": f"""
 WITH {_lpa_ctes(5, _LINK_EDGES_CTE)},
