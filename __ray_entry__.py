@@ -4570,74 +4570,19 @@ def _q_kmv_distinct_users(sf_dir: str) -> pa.Table:
 
 
 def _q_degree_assortativity(sf_dir: str) -> pa.Table:
-    """Directed out→in degree assortativity of the web link graph:
-    Pearson r between each edge's source out-degree and target
-    in-degree (negative = hubs link to leaves, the classic web-graph
-    signature). Degrees fold per endpoint via the map-side combiner
-    (node-sized), broadcast once via ``ray.put`` and probed with
-    searchsorted; each batch then collapses to ONE integer moment row
-    (n, Σx, Σy, Σxy, Σx², Σy²) and the driver folds exact ints, so the
-    float expression tree is the canonical corr recipe the
-    ``lineitem_corr_matrix`` gate already proved bit-stable."""
-    import math
+    """Directed out→in degree assortativity of the web link graph —
+    see ``dcs_ray.functions.graph.degree_assortativity`` (combiner
+    degree folds, broadcast probe, exact integer moment row per batch,
+    the canonical corr float recipe)."""
+    from dcs_ray.functions.graph import degree_assortativity
 
-    from dcs_ray.functions.relational import combiner_groupby
-
-    edges = _link_edges_ds(sf_dir).map_batches(
-        lambda b: b.select(["src", "dst"]), batch_format="pyarrow"
-    ).materialize()
-
-    def degree_arrays(key: str) -> tuple[np.ndarray, np.ndarray]:
-        agg = combiner_groupby(edges, [key], [], count_col="deg")
-        t = pa.concat_tables(
-            [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
-        )
-        k = t[key].to_numpy().astype(np.int64)
-        d = t["deg"].to_numpy().astype(np.int64)
-        order = np.argsort(k)
-        return k[order], d[order]
-
-    out_ref = ray.put(degree_arrays("src"))
-    in_ref = ray.put(degree_arrays("dst"))
-
-    def moments(b: pa.Table) -> pa.Table:
-        ok, od = ray.get(out_ref)
-        ik, idg = ray.get(in_ref)
-        s = b["src"].to_numpy().astype(np.int64)
-        d = b["dst"].to_numpy().astype(np.int64)
-        x = od[np.searchsorted(ok, s)]
-        y = idg[np.searchsorted(ik, d)]
-        return pa.table(
-            {
-                "n": pa.array([len(b)], pa.int64()),
-                "sx": pa.array([int(x.sum())], pa.int64()),
-                "sy": pa.array([int(y.sum())], pa.int64()),
-                "sxy": pa.array([int((x * y).sum())], pa.int64()),
-                "sxx": pa.array([int((x * x).sum())], pa.int64()),
-                "syy": pa.array([int((y * y).sum())], pa.int64()),
-            }
-        )
-
-    n = sx = sy = sxy = sxx = syy = 0
-    for b in edges.map_batches(moments, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        t = pa.table(b)
-        for row in range(len(t)):
-            n += int(t["n"][row].as_py()); sx += int(t["sx"][row].as_py())
-            sy += int(t["sy"][row].as_py()); sxy += int(t["sxy"][row].as_py())
-            sxx += int(t["sxx"][row].as_py()); syy += int(t["syy"][row].as_py())
-    num = (float(n) * float(sxy)) - (float(sx) * float(sy))
-    da = math.sqrt((float(n) * float(sxx)) - (float(sx) * float(sx)))
-    db = math.sqrt((float(n) * float(syy)) - (float(sy) * float(sy)))
-    r = round(num / (da * db), 6) if da * db > 0 else 0.0
+    n, r = degree_assortativity(_link_edges_ds(sf_dir))
     return pa.table(
         {
             "n_edges": pa.array([n], pa.int64()),
             "assortativity": pa.array([r + 0.0], pa.float64()),
         }
     )
-
 
 def _q_ewma_daily_events(sf_dir: str) -> pa.Table:
     """Per-type EWMA (α = 1/2) of the daily event-count series — the
@@ -4732,79 +4677,12 @@ def _q_event_interarrival(sf_dir: str) -> pa.Table:
 
 
 def _q_kcore(sf_dir: str, k: int = 4, rounds: int = 4) -> pa.Table:
-    """k-core peeling of the undirected link graph, ``rounds`` fixed
-    iterations (enough for the gated graphs; exact k-core is the fixed
-    point). Each round is one distributed degree pass: the distinct
-    undirected pair set is materialized ONCE, the shrinking alive set
-    broadcasts via ``ray.put`` (node-sized, monotone — so filtering the
-    original pair set by the latest alive set IS the peeled edge set),
-    and each batch emits combiner degree partials. The driver holds
-    only node-sized degree folds, never edges."""
-    from dcs_ray.functions.relational import combiner_groupby
+    """k-core peeling of the undirected link graph — see
+    ``dcs_ray.functions.graph.kcore`` for the distributed shape
+    (alive-set broadcast per round, node-sized driver folds)."""
+    from dcs_ray.functions.graph import kcore
 
-    def to_pairs(b: pa.Table) -> pa.Table:
-        s = b["src"].to_numpy().astype(np.int64)
-        d = b["dst"].to_numpy().astype(np.int64)
-        m = s != d
-        s, d = s[m], d[m]
-        return pa.table(
-            {
-                "a": pa.array(np.minimum(s, d), pa.int64()),
-                "b": pa.array(np.maximum(s, d), pa.int64()),
-            }
-        )
-
-    pairs = combiner_groupby(
-        _link_edges_ds(sf_dir).map_batches(to_pairs, batch_format="pyarrow"),
-        ["a", "b"],
-        [],
-    ).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
-    ).materialize()
-
-    def degrees(alive_ref) -> tuple[np.ndarray, np.ndarray]:
-        def endpoints(t: pa.Table) -> pa.Table:
-            a = t["a"].to_numpy().astype(np.int64)
-            b = t["b"].to_numpy().astype(np.int64)
-            if alive_ref is not None:
-                al = ray.get(alive_ref)
-                ia = np.searchsorted(al, a)
-                ib = np.searchsorted(al, b)
-                ok = (
-                    (ia < len(al)) & (ib < len(al))
-                    & (al[np.minimum(ia, len(al) - 1)] == a)
-                    & (al[np.minimum(ib, len(al) - 1)] == b)
-                )
-                a, b = a[ok], b[ok]
-            return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
-
-        agg = combiner_groupby(
-            pairs.map_batches(endpoints, batch_format="pyarrow"),
-            ["node"],
-            [],
-            count_col="deg",
-        )
-        t = pa.concat_tables(
-            [pa.table(x) for x in agg.iter_batches(batch_format="pyarrow")]
-        )
-        nodes = t["node"].to_numpy().astype(np.int64)
-        deg = t["deg"].to_numpy().astype(np.int64)
-        order = np.argsort(nodes)
-        return nodes[order], deg[order]
-
-    alive_ref = None
-    for _ in range(rounds):
-        nodes, deg = degrees(alive_ref)
-        alive_ref = ray.put(nodes[deg >= k])
-    nodes, deg = degrees(alive_ref)
-    keep = deg >= k
-    return pa.table(
-        {
-            "node": pa.array(nodes[keep], pa.int64()),
-            "deg": pa.array(deg[keep], pa.int64()),
-        }
-    )
-
+    return kcore(_link_edges_ds(sf_dir), k=k, rounds=rounds)
 
 def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
     """Generated peel-round CTE chain replaying ``_q_kcore`` exactly:
@@ -5162,6 +5040,100 @@ def _q_gini_hosts(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_length_percentile(sf_dir: str) -> pa.Table:
+    """Per-doc exact percentile rank (CUME_DIST) of document length —
+    the window-function CDF family, distributed as: value-count
+    collapse of n_chars through the combiner (|distinct lengths|-sized
+    exchange), one cumulative sum on the driver aggregate, broadcast,
+    then a vectorized searchsorted probe per batch."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).materialize()
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(docs, ["n_chars"], [], count_col="c").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    vals = vc["n_chars"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+    order = np.argsort(vals)
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    total = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((vals, cum))
+
+    def probe(b: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        le = c[np.searchsorted(v, x, side="right") - 1]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_chars": pa.array(x, pa.int64()),
+                "pctl": pa.array(
+                    np.round(le.astype(np.float64) / float(total), 6) + 0.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in docs.map_batches(probe, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_trimmed_mean_length(sf_dir: str) -> pa.Table:
+    """Per-lang 10%-trimmed mean of doc length — the robust-statistics
+    family. Positional trimming over sorted values is computable from
+    the (lang, n_chars) value-count collapse alone (ties contribute
+    equally, so the doc_id tiebreak cancels): the combiner exchange is
+    |langs × distinct lengths|, and the trim arithmetic runs in exact
+    integers on that aggregate with ONE float division per lang."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs, ["lang", "n_chars"], [], count_col="c"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    langs = np.asarray(vc["lang"].to_pylist())
+    vals = vc["n_chars"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+    rows = []
+    for lang in sorted(set(langs)):
+        m = langs == lang
+        v, c = vals[m], cnt[m]
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        k = n // 10
+        # drop k values off each end of the sorted multiset, exactly
+        cum = np.cumsum(c)
+        lo_keep = np.maximum(np.minimum(cum, n - k) - np.maximum(cum - c, k), 0)
+        s = int((v * lo_keep).sum())
+        kept = n - 2 * k
+        rows.append((lang, n, k, round(float(s) / float(kept), 6)))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "n_trimmed_each": pa.array([r[2] for r in rows], pa.int64()),
+            "trimmed_mean": pa.array([r[3] + 0.0 for r in rows], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5332,6 +5304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "event_burstiness": _q_event_burstiness,
         "gini_hosts": _q_gini_hosts,
+        "length_percentile": _q_length_percentile,
+        "trimmed_mean_length": _q_trimmed_mean_length,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -7041,14 +7015,18 @@ FROM pr_ ORDER BY lang
 """.replace("{NB}", _NB_PRED_CTES + ","),
         # KMV bottom-k distinct sketch, bit-exact splitmix64 replay
         "kmv_distinct_users": _kmv_sql(k=8),
-        # directed out→in degree assortativity over the link graph
-        # (integer moments + the canonical corr float recipe)
+        # undirected Newman degree assortativity over the link graph
+        # (integer moments + the canonical corr float recipe); the
+        # directed out→in variant is degenerate here — every page has
+        # out-degree exactly 3, so x would be constant
         "degree_assortativity": f"""
 WITH {_LINK_EDGES_CTE},
-outd AS (SELECT src, count(*)::bigint AS od FROM edges GROUP BY src),
-ind AS (SELECT dst, count(*)::bigint AS idg FROM edges GROUP BY dst),
-xy AS (SELECT o.od AS x, i.idg AS y
-       FROM edges e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst),
+ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM edges WHERE src <> dst),
+und AS (SELECT u AS a, v AS b FROM ce UNION ALL SELECT v, u FROM ce),
+dg AS (SELECT a AS node, count(*)::bigint AS d FROM und GROUP BY a),
+xy AS (SELECT da.d AS x, db.d AS y
+       FROM und JOIN dg da ON und.a = da.node JOIN dg db ON und.b = db.node),
 m AS (SELECT count(*)::bigint AS n, sum(x)::bigint AS sx, sum(y)::bigint AS sy,
              sum(x * y)::bigint AS sxy, sum(x * x)::bigint AS sxx,
              sum(y * y)::bigint AS syy
@@ -7100,6 +7078,26 @@ SELECT event_type, n_days, sx AS sum_n,
        round((sxx::double / n_days - (sx::double / n_days) * (sx::double / n_days))
                / (sx::double / n_days), 6) AS vmr
 FROM m ORDER BY event_type
+""",
+        # per-doc exact CUME_DIST of document length
+        "length_percentile": """
+SELECT doc_id, n_chars,
+       round(cume_dist() OVER (ORDER BY n_chars), 6) AS pctl
+FROM documents ORDER BY doc_id
+""",
+        # per-lang 10%-trimmed mean of doc length (positional trim)
+        "trimmed_mean_length": """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id)::bigint AS rn,
+         count(*) OVER (PARTITION BY lang)::bigint AS n
+  FROM documents)
+SELECT lang, max(n) AS n_docs, (max(n) // 10)::bigint AS n_trimmed_each,
+       round(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                      THEN n_chars ELSE 0 END)::double
+               / (max(n) - 2 * (max(n) // 10))::double, 6) AS trimmed_mean
+FROM r GROUP BY lang ORDER BY lang
 """,
         # Gini concentration of docs per host (exact integer rank sum)
         "gini_hosts": """

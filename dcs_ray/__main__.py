@@ -224,6 +224,20 @@ def cmd_links(args) -> None:
             t["node"].to_pylist()[: args.n], t[col].to_pylist()[: args.n]
         ):
             print(f"doc={node}  {label}={v}")
+    elif args.method == "kcore":
+        from dcs_ray.functions.graph import kcore
+
+        t = kcore(edges, k=args.k, rounds=args.iters)
+        for node, deg in zip(
+            t["node"].to_pylist()[: args.n], t["deg"].to_pylist()[: args.n]
+        ):
+            print(f"doc={node}  deg={deg}")
+        print(f"{len(t)} nodes in the {args.k}-core after {args.iters} rounds")
+    elif args.method == "assort":
+        from dcs_ray.functions.graph import degree_assortativity
+
+        n, r = degree_assortativity(edges)
+        print(f"edges={n}  out->in degree assortativity={r:.6f}")
     else:  # reach
         import numpy as np
 
@@ -669,8 +683,9 @@ def main() -> None:
     d.add_argument("sf_dir")
     d.add_argument("--method", default="pagerank",
                    choices=["edges", "anchors", "pagerank", "triangles",
-                            "communities", "reach"])
+                            "communities", "reach", "kcore", "assort"])
     d.add_argument("--iters", type=int, default=5)
+    d.add_argument("-k", type=int, default=4, help="k-core degree bar")
     d.add_argument("-n", type=int, default=20)
     d.set_defaults(fn=cmd_links)
 

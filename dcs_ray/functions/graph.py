@@ -877,3 +877,187 @@ def hits(
             "hub": pa.array(np.round(hub, 6), pa.float64()),
         }
     )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> pa.Table:
+    """k-core peeling of the undirected graph induced by ``edges``,
+    ``rounds`` fixed synchronous iterations (exact k-core is the fixed
+    point; a fixed round count keeps the run — and its SQL replay —
+    deterministic). Returns (node, deg) for nodes still meeting the
+    degree bar after the final round.
+
+    Scale shape: the distinct undirected pair set is materialized
+    ONCE; the shrinking alive set broadcasts via ``ray.put``
+    (node-sized, and monotone — so filtering the ORIGINAL pair set by
+    the latest alive set IS the peeled edge set); each round is one
+    distributed combiner degree pass. The driver holds node-sized
+    degree folds, never edges."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy().astype(np.int64)
+        d = b[dst].to_numpy().astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    pairs = combiner_groupby(
+        edges.map_batches(to_pairs, batch_format="pyarrow"), ["a", "b"], []
+    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
+
+    def degrees(alive_ref) -> tuple[np.ndarray, np.ndarray]:
+        def endpoints(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy().astype(np.int64)
+            b = t["b"].to_numpy().astype(np.int64)
+            if alive_ref is not None:
+                al = ray.get(alive_ref)
+                if len(al) == 0:
+                    a = b = np.empty(0, np.int64)
+                else:
+                    ia = np.minimum(np.searchsorted(al, a), len(al) - 1)
+                    ib = np.minimum(np.searchsorted(al, b), len(al) - 1)
+                    ok = (al[ia] == a) & (al[ib] == b)
+                    a, b = a[ok], b[ok]
+            return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+        agg = combiner_groupby(
+            pairs.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            [],
+            count_col="deg",
+        )
+        parts = [pa.table(x) for x in agg.iter_batches(batch_format="pyarrow")]
+        if not parts:  # everything peeled
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t = pa.concat_tables(parts)
+        nodes = t["node"].to_numpy().astype(np.int64)
+        deg = t["deg"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes)
+        return nodes[order], deg[order]
+
+    alive_ref = None
+    for _ in range(rounds):
+        nodes, deg = degrees(alive_ref)
+        alive_ref = ray.put(nodes[deg >= k])
+    nodes, deg = degrees(alive_ref)
+    keep = deg >= k
+    return pa.table(
+        {
+            "node": pa.array(nodes[keep], pa.int64()),
+            "deg": pa.array(deg[keep], pa.int64()),
+        }
+    )
+
+
+def degree_assortativity(
+    edges: ray.data.Dataset, src: str = "src", dst: str = "dst"
+) -> tuple[int, float]:
+    """Undirected Newman degree assortativity: Pearson r between the
+    degrees at the two ends of every undirected edge (both
+    orientations counted, the standard convention; negative = hubs
+    link to leaves, the classic web-graph signature). Returns
+    (n_endpoint_pairs, r rounded to 6).
+
+    The distinct undirected pair set is one combiner fold; degrees
+    fold per node (node-sized), broadcast once via ``ray.put`` and
+    probed with searchsorted; each batch collapses to ONE integer
+    moment row over both orientations and the driver folds exact ints,
+    so the float expression is the canonical corr recipe (each integer
+    widened to double independently)."""
+    import math
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy().astype(np.int64)
+        d = b[dst].to_numpy().astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    pairs = combiner_groupby(
+        edges.map_batches(to_pairs, batch_format="pyarrow"), ["a", "b"], []
+    ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow").materialize()
+
+    def degree_arrays() -> tuple[np.ndarray, np.ndarray]:
+        def endpoints(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.array(
+                        np.concatenate(
+                            [
+                                t["a"].to_numpy().astype(np.int64),
+                                t["b"].to_numpy().astype(np.int64),
+                            ]
+                        ),
+                        pa.int64(),
+                    )
+                }
+            )
+
+        agg = combiner_groupby(
+            pairs.map_batches(endpoints, batch_format="pyarrow"),
+            ["node"],
+            [],
+            count_col="deg",
+        )
+        t = pa.concat_tables(
+            [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+        )
+        kk = t["node"].to_numpy().astype(np.int64)
+        d = t["deg"].to_numpy().astype(np.int64)
+        order = np.argsort(kk)
+        return kk[order], d[order]
+
+    deg_ref = ray.put(degree_arrays())
+
+    def moments(t: pa.Table) -> pa.Table:
+        nk, dg = ray.get(deg_ref)
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        da = dg[np.searchsorted(nk, a)]
+        db = dg[np.searchsorted(nk, b)]
+        # both orientations: (da, db) and (db, da)
+        x = np.concatenate([da, db])
+        y = np.concatenate([db, da])
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for b in pairs.map_batches(moments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        for row in range(len(t)):
+            n += int(t["n"][row].as_py()); sx += int(t["sx"][row].as_py())
+            sy += int(t["sy"][row].as_py()); sxy += int(t["sxy"][row].as_py())
+            sxx += int(t["sxx"][row].as_py()); syy += int(t["syy"][row].as_py())
+    num = (float(n) * float(sxy)) - (float(sx) * float(sy))
+    da_ = math.sqrt((float(n) * float(sxx)) - (float(sx) * float(sx)))
+    db_ = math.sqrt((float(n) * float(syy)) - (float(sy) * float(sy)))
+    r = round(num / (da_ * db_), 6) if da_ * db_ > 0 else 0.0
+    return n, r

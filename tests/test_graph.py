@@ -521,3 +521,54 @@ def test_triangle_orientation_bounds_out_degree(ray_session):
     m = len(set((min(x, y), max(x, y)) for x, y in zip(a, b)))
     assert m == 203
     assert math.isqrt(2 * m) + 1 >= 21  # documented bound holds trivially
+
+
+def test_kcore_known_graph(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.graph import kcore
+
+    # triangle {1,2,3} plus a pendant chain 3-4-5: the 2-core is the
+    # triangle only (4 and 5 peel off over two rounds)
+    t = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 3, 4], pa.int64()),
+            "dst": pa.array([2, 3, 1, 4, 5], pa.int64()),
+        }
+    )
+    out = kcore(ray.data.from_arrow(t), k=2, rounds=3)
+    assert out["node"].to_pylist() == [1, 2, 3]
+    assert out["deg"].to_pylist() == [2, 2, 2]
+    # degree bar above the max degree peels everything (empty-alive path)
+    out4 = kcore(ray.data.from_arrow(t), k=4, rounds=3)
+    assert len(out4) == 0
+
+
+def test_degree_assortativity_known_graphs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.graph import degree_assortativity
+
+    # star: the hub (deg 4) pairs with leaves (deg 1) at every edge →
+    # perfectly disassortative, r = -1
+    star = pa.table(
+        {
+            "src": pa.array([0, 0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    n, r = degree_assortativity(ray.data.from_arrow(star))
+    assert n == 8  # 4 undirected edges × both orientations
+    assert r == -1.0
+
+    # cycle: every endpoint has degree 2 → constant x → guarded 0.0
+    cyc = pa.table(
+        {
+            "src": pa.array([1, 2, 3, 4], pa.int64()),
+            "dst": pa.array([2, 3, 4, 1], pa.int64()),
+        }
+    )
+    _, r = degree_assortativity(ray.data.from_arrow(cyc))
+    assert r == 0.0
