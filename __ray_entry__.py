@@ -5134,6 +5134,90 @@ def _q_trimmed_mean_length(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_weekly_active_users(sf_dir: str) -> pa.Table:
+    """Rolling 7-day WAU and DAU/WAU stickiness per observed day — the
+    sliding-window distinct family. Distributed shape: (day, user)
+    combiner dedup (the exchange is active-pairs, never raw events),
+    a ×7 window expansion filtered to the observed-day set (broadcast,
+    |days|-sized), a second combiner dedup, and per-day counts. The
+    left edge keeps its partial window, mirroring the oracle's BETWEEN
+    join against observed days."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        days = (us // 86_400_000_000).astype(np.int64)
+        return pa.table(
+            {"day": pa.array(days, pa.int64()), "user_id": b["user_id"]}
+        )
+
+    pairs = combiner_groupby(
+        ev.map_batches(to_day, batch_format="pyarrow"), ["day", "user_id"], []
+    ).map_batches(
+        lambda t: t.select(["day", "user_id"]), batch_format="pyarrow"
+    ).materialize()
+    dau_t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(pairs, ["day"], [], count_col="dau").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    observed = np.sort(dau_t["day"].to_numpy().astype(np.int64))
+    obs_ref = ray.put(observed)
+
+    def expand(b: pa.Table) -> pa.Table:
+        obs = ray.get(obs_ref)
+        d = b["day"].to_numpy().astype(np.int64)
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wd = (d[:, None] + np.arange(7)[None, :]).ravel()
+        wu = np.repeat(u, 7)
+        idx = np.minimum(np.searchsorted(obs, wd), len(obs) - 1)
+        ok = obs[idx] == wd
+        return pa.table(
+            {
+                "day": pa.array(wd[ok], pa.int64()),
+                "user_id": pa.array(wu[ok], pa.int64()),
+            }
+        )
+
+    wpairs = combiner_groupby(
+        pairs.map_batches(expand, batch_format="pyarrow"), ["day", "user_id"], []
+    )
+    wau_t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(wpairs, ["day"], [], count_col="wau").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    dau_map = dict(
+        zip(
+            dau_t["day"].to_numpy().astype(np.int64).tolist(),
+            dau_t["dau"].to_numpy().astype(np.int64).tolist(),
+        )
+    )
+    wau_map = dict(
+        zip(
+            wau_t["day"].to_numpy().astype(np.int64).tolist(),
+            wau_t["wau"].to_numpy().astype(np.int64).tolist(),
+        )
+    )
+    days = sorted(dau_map)
+    dau = np.array([dau_map[d] for d in days], np.int64)
+    wau = np.array([wau_map[d] for d in days], np.int64)
+    return pa.table(
+        {
+            "day": pa.array(np.array(days, np.int32), pa.date32()),
+            "dau": pa.array(dau, pa.int64()),
+            "wau": pa.array(wau, pa.int64()),
+            "stickiness": pa.array(
+                np.round(dau / wau, 6) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5306,6 +5390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_hosts": _q_gini_hosts,
         "length_percentile": _q_length_percentile,
         "trimmed_mean_length": _q_trimmed_mean_length,
+        "weekly_active_users": _q_weekly_active_users,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -7078,6 +7163,17 @@ SELECT event_type, n_days, sx AS sum_n,
        round((sxx::double / n_days - (sx::double / n_days) * (sx::double / n_days))
                / (sx::double / n_days), 6) AS vmr
 FROM m ORDER BY event_type
+""",
+        # rolling 7-day WAU + DAU/WAU stickiness per observed day
+        "weekly_active_users": """
+WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM p),
+w AS (SELECT d.day, p.user_id
+      FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day),
+wau AS (SELECT day, count(DISTINCT user_id)::bigint AS wau FROM w GROUP BY day),
+dau AS (SELECT day, count(DISTINCT user_id)::bigint AS dau FROM p GROUP BY day)
+SELECT day, dau, wau, round(dau / wau::double, 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
 """,
         # per-doc exact CUME_DIST of document length
         "length_percentile": """
