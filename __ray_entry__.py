@@ -5218,6 +5218,321 @@ def _q_weekly_active_users(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_product_profit(sf_dir: str) -> pa.Table:
+    """TPC-H-Q9-shape product-type profit (adapted: the testdata has no
+    partsupp, so profit = discounted revenue): lineitems restricted to
+    parts whose name contains 'red' via a part-side key-set semi-join
+    (broadcast once, probed with searchsorted — the part table never
+    shuffles), supplier nation broadcast, grouped nation × ship year
+    on exact integer 1e-4 revenue units. The only post-scan exchange
+    is the (nation × year) combiner rows."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.relational import (
+        broadcast_join,
+        broadcast_semi_join,
+        combiner_groupby,
+    )
+
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    red = part.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], "red")),
+        batch_format="pyarrow",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    li = broadcast_semi_join(li, red, on="l_partkey", right_on="p_partkey")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    li = broadcast_join(
+        li, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_nationkey",)
+    )
+    nat = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    li = broadcast_join(
+        li, nat, on="s_nationkey", right_on="n_nationkey", small_cols=("n_name",)
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        year = pc.year(b["l_shipdate"]).cast(pa.int64())
+        return _li_rev1e4(b, {"nation": b["n_name"], "o_year": year})
+
+    agg = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"), ["nation", "o_year"], ["rev1e4"]
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")
+    ).sort_by([("nation", "ascending"), ("o_year", "descending")])
+    return pa.table(
+        {
+            "nation": t["nation"],
+            "o_year": t["o_year"],
+            "sum_profit": pa.array(
+                np.round(t["rev1e4"].to_numpy().astype(np.int64) / 10000.0, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf rank-frequency fit over the corpus: OLS slope/intercept of
+    ln(count) on ln(rank) for the top-500 terms (rank ties broken by
+    term). Distributed shape: per-batch partial term counts → one
+    vocabulary-keyed combiner merge → per-block local top-500 so the
+    driver merges ≤500 rows per block, never the vocabulary."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import word_tokens_flat
+
+    K = 500
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        flat, _ = word_tokens_flat(b["text"])
+        g = pa.table({"term": flat}).group_by(["term"]).aggregate([("term", "count")])
+        return pa.table({"term": g["term"], "c": g["term_count"].cast(pa.int64())})
+
+    counts = combiner_groupby(
+        docs.map_batches(partial_counts, batch_format="pyarrow"), ["term"], ["c"]
+    )
+    order = [("c", "descending"), ("term", "ascending")]
+    parts = [
+        pa.table(b)
+        for b in counts.map_batches(
+            lambda t: t.select(["term", "c"]).sort_by(order).slice(0, K),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    top = pa.concat_tables(parts).sort_by(order).slice(0, K)
+    c = top["c"].to_numpy().astype(np.int64)
+    n = len(c)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(c.astype(np.float64))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "slope": pa.array([round(slope, 6) + 0.0], pa.float64()),
+            "intercept": pa.array([round(intercept, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_anova_length_by_lang(sf_dir: str) -> pa.Table:
+    """One-way ANOVA of document length across languages: F-statistic
+    and effect size (eta²) from exact integer (n, Σx, Σx²) per-lang
+    partials — the whole corpus collapses to one combiner row per
+    language, floats only in the final driver-side formula (mirrored
+    verbatim in the oracle)."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = b["n_chars"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "s": pa.array(x, pa.int64()),
+                "ss": pa.array(x * x, pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        docs.map_batches(prep, batch_format="pyarrow"), ["lang"], ["s", "ss"],
+        count_col="n",
+    )
+    g = pa.concat_tables(
+        pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")
+    ).sort_by([("lang", "ascending")])
+    n_g = g["n"].to_numpy().astype(np.int64)
+    s_g = g["s"].to_numpy().astype(np.int64)
+    ss_g = g["ss"].to_numpy().astype(np.int64)
+    k = len(n_g)
+    N = int(n_g.sum())
+    S = float(s_g.sum())
+    SS = float(ss_g.sum())
+    ss_total = SS - S * S / N
+    ss_within = float(
+        np.sum(ss_g.astype(np.float64) - s_g.astype(np.float64) * s_g / n_g)
+    )
+    ss_between = ss_total - ss_within
+    f_stat = (ss_between / (k - 1)) / (ss_within / (N - k))
+    return pa.table(
+        {
+            "k_groups": pa.array([k], pa.int64()),
+            "n_rows": pa.array([N], pa.int64()),
+            "f_stat": pa.array([round(f_stat, 6) + 0.0], pa.float64()),
+            "eta_sq": pa.array([round(ss_between / ss_total, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_event_trigrams(sf_dir: str) -> pa.Table:
+    """Sequential-pattern mining: top-20 trigrams of CONSECUTIVE event
+    types within each user's (ts, event_id) timeline — the order-3
+    generalization of the Markov transition matrix. User-bucketed
+    lexsort + shifted masks inside each bucket; the exchange is
+    |type-trigram| partial counts, never the event stream."""
+    from dcs_ray.functions.windows import event_ngrams
+
+    ds = event_ngrams(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        ),
+        n=3,
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by(
+        [
+            ("cnt", "descending"),
+            ("e1", "ascending"),
+            ("e2", "ascending"),
+            ("e3", "ascending"),
+        ]
+    ).slice(0, 20)
+
+
+def _q_winnow_fingerprints(sf_dir: str) -> pa.Table:
+    """MOSS-style winnowing fingerprints (Schleimer et al. '03) per doc
+    — the robust plagiarism/near-dup sketch: min rolling-FNV hash of
+    every window of 4 consecutive token 3-grams, reported as one exact
+    row per doc (distinct-fingerprint count + order-free XOR). Pure
+    per-batch numpy; a doc's fingerprints never leave its batch."""
+    from dcs_ray.functions.textstats import winnow_fingerprints
+
+    ds = winnow_fingerprints(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        k=3,
+        w=4,
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("doc_id", "ascending")])
+
+
+def _q_adamic_adar(sf_dir: str) -> pa.Table:
+    """Adamic–Adar link-prediction score over the extracted web graph:
+    top-20 co-cited page pairs by Σ 1/ln(outdeg) over shared sources —
+    co-citation that down-weights hub sources. Source-bucketed distinct
+    pair generation with the degree weight derived in-bucket (zero
+    extra exchange); ranked on ROUND(score, 6) with (id_a, id_b) ties
+    per the deterministic-gate convention."""
+    from dcs_ray.functions.links import adamic_adar_topk
+
+    return adamic_adar_topk(_link_edges_ds(sf_dir), k=20)
+
+
+def _q_tfidf_cosine(sf_dir: str) -> pa.Table:
+    """SMART lnc.ltc tf-idf cosine retrieval for ['join','merge',
+    'spark'], top-10 by (round(score, 6) desc, doc_id) — the classic
+    vector-space ranking next to BM25. Pass 1 streams vocabulary-free
+    (query-term df + doc count) partials; pass 2 scores each batch
+    fully vectorized (a doc's norm needs only its own batch) and emits
+    local top-10, so the driver merges |blocks|·10 rows."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.tokenize import word_tokens_flat
+
+    terms = ["join", "merge", "spark"]
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    n_docs = docs.count()
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b["text"])
+        hit = (
+            pc.index_in(flat, pa.array(terms))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dfs = np.zeros(len(terms), np.int64)
+        for ti in range(len(terms)):
+            dfs[ti] = len(np.unique(parents[hit == ti]))
+        return pa.table(
+            {"ti": pa.array(np.arange(len(terms)), pa.int64()),
+             "df": pa.array(dfs, pa.int64())}
+        )
+
+    df = np.zeros(len(terms), np.int64)
+    for b in docs.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        df[t["ti"].to_numpy()] += t["df"].to_numpy()
+    idf = np.log(float(n_docs) / df.astype(np.float64))
+    norm_q = float(np.sqrt(np.sum(idf * idf)))
+    idf_ref = ray.put(idf)
+
+    def score_batch(b: pa.Table) -> pa.Table:
+        qidf = ray.get(idf_ref)
+        flat, parents = word_tokens_flat(b["text"])
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        nb = len(b)
+        if len(flat) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        codes = pc.dictionary_encode(flat)
+        ci = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(codes.dictionary)
+        key = parents.astype(np.int64) * v + ci
+        uk, cnt = np.unique(key, return_counts=True)
+        w = 1.0 + np.log(cnt.astype(np.float64))
+        doc_of = (uk // v).astype(np.int64)
+        norm2 = np.zeros(nb, np.float64)
+        np.add.at(norm2, doc_of, w * w)
+        qcode = (
+            pc.index_in(pa.array(terms), codes.dictionary)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        num = np.zeros(nb, np.float64)
+        for ti in range(len(terms)):
+            if qcode[ti] < 0:
+                continue
+            sel = (uk % v) == int(qcode[ti])
+            np.add.at(num, doc_of[sel], w[sel] * qidf[ti])
+        hasq = num > 0
+        score = num[hasq] / (np.sqrt(norm2[hasq]) * norm_q)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ids[hasq], pa.int64()),
+                "score": pa.array(np.round(score, 6) + 0.0, pa.float64()),
+            }
+        )
+        return out.sort_by(
+            [("score", "descending"), ("doc_id", "ascending")]
+        ).slice(0, 10)
+
+    parts = [
+        pa.table(b)
+        for b in docs.map_batches(score_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    return merged.sort_by(
+        [("score", "descending"), ("doc_id", "ascending")]
+    ).slice(0, 10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5391,6 +5706,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentile": _q_length_percentile,
         "trimmed_mean_length": _q_trimmed_mean_length,
         "weekly_active_users": _q_weekly_active_users,
+        "product_profit_by_nation": _q_product_profit,
+        "zipf_slope": _q_zipf_slope,
+        "anova_length_by_lang": _q_anova_length_by_lang,
+        "event_trigrams": _q_event_trigrams,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "adamic_adar_topk": _q_adamic_adar,
+        "tfidf_cosine_topk": _q_tfidf_cosine,
         "price_model_ols": _q_price_model,
         "langid_model_gd": _q_langid_model,
         "lineitem_corr_matrix": _q_lineitem_corr,
@@ -7174,6 +7496,128 @@ wau AS (SELECT day, count(DISTINCT user_id)::bigint AS wau FROM w GROUP BY day),
 dau AS (SELECT day, count(DISTINCT user_id)::bigint AS dau FROM p GROUP BY day)
 SELECT day, dau, wau, round(dau / wau::double, 6) AS stickiness
 FROM dau JOIN wau USING (day) ORDER BY day
+""",
+        # TPC-H-Q9-shape (adapted: no partsupp → profit = discounted revenue)
+        "product_profit_by_nation": """
+WITH j AS (
+  SELECT n.n_name AS nation,
+         EXTRACT(year FROM l_shipdate)::bigint AS o_year,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+SELECT nation, o_year, round(sum(rev1e4) / 10000.0, 6) AS sum_profit
+FROM j GROUP BY 1, 2 ORDER BY nation, o_year DESC
+""",
+        # Zipf rank-frequency OLS over the top-500 corpus terms
+        "zipf_slope": f"""
+WITH tok AS ({_TOK}),
+tc AS (SELECT term, count(*)::bigint AS c FROM tok GROUP BY term),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM tc),
+top AS (SELECT ln(r::double) AS x, ln(c::double) AS y FROM rk WHERE r <= 500),
+s AS (SELECT count(*)::bigint AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM top),
+fit AS (SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope, sx, sy FROM s)
+SELECT n AS n_terms, round(slope, 6) AS slope,
+       round((sy - slope * sx) / n, 6) AS intercept
+FROM fit
+""",
+        # one-way ANOVA of n_chars across languages, from exact integer partials
+        "anova_length_by_lang": """
+WITH g AS (
+  SELECT lang, count(*)::bigint AS n, sum(n_chars)::bigint AS s,
+         sum(n_chars * n_chars)::bigint AS ss
+  FROM documents GROUP BY lang),
+t AS (SELECT count(*)::bigint AS k, sum(n)::bigint AS big_n,
+             sum(s)::double AS big_s, sum(ss)::double AS big_ss,
+             sum(ss::double - s::double * s / n) AS ssw
+      FROM g),
+f AS (SELECT k, big_n, big_ss - big_s * big_s / big_n AS sst, ssw FROM t)
+SELECT k AS k_groups, big_n AS n_rows,
+       round(((sst - ssw) / (k - 1)) / (ssw / (big_n - k)), 6) AS f_stat,
+       round((sst - ssw) / sst, 6) AS eta_sq
+FROM f
+""",
+        # top-20 consecutive event-type trigrams per user (ts, event_id order)
+        "event_trigrams": """
+WITH s AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT e1, e2, e3, count(*)::bigint AS cnt
+      FROM s WHERE e3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT e1, e2, e3, cnt FROM g
+ORDER BY cnt DESC, e1, e2, e3 LIMIT 20
+""",
+        # MOSS winnowing (k=3 token-grams, w=4): per-doc count + XOR of the
+        # selected min-hash set; gram hash = the doc_fingerprints FNV fold
+        "winnow_fingerprints": f"""
+WITH tl AS ({_TOKS_LIST}),
+lb AS (SELECT doc_id, toks, len(toks) AS n FROM tl WHERE len(toks) >= 3),
+tp AS (SELECT doc_id, unnest(range(1, n + 1)) AS i, toks FROM lb),
+-- NB: toks[i] must be materialized BEFORE the FNV macro — its lambda
+-- variable is also named i and would shadow the position column
+tt AS (SELECT doc_id, i, toks[i] AS tok FROM tp),
+th AS (SELECT doc_id, i, {_FNV_TOK.format(t='tok')} AS h FROM tt),
+g1 AS (SELECT doc_id, i,
+         (14695981039346656037::hugeint * 1099511628211 % {_M64} + h) % {_M64} AS s1,
+         lead(h, 1) OVER win AS h2, lead(h, 2) OVER win AS h3
+       FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+g AS (SELECT doc_id, i,
+        ((s1 * 1099511628211 % {_M64} + h2) % {_M64}
+           * 1099511628211 % {_M64} + h3) % {_M64} AS gh
+      FROM g1 WHERE h3 IS NOT NULL),
+wm AS (SELECT doc_id,
+         min(gh) OVER fr AS fp, count(*) OVER fr AS cw
+       FROM g
+       WINDOW fr AS (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)),
+sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE cw = 4),
+per AS (SELECT doc_id, count(*)::bigint AS n_fp,
+               bit_xor((CASE WHEN fp >= 9223372036854775808 THEN fp - {_M64}
+                             ELSE fp END)::bigint) AS fp_xor
+        FROM sel GROUP BY doc_id)
+SELECT d.doc_id::bigint AS doc_id,
+       coalesce(p.n_fp, 0)::bigint AS n_fp,
+       coalesce(p.fp_xor, 0)::bigint AS fp_xor
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+""",
+        # Adamic–Adar co-citation over DISTINCT edges, top-20 by round(score,6)
+        "adamic_adar_topk": f"""
+WITH {_LINK_EDGES_CTE},
+ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT src, count(*)::bigint AS d FROM ed GROUP BY src),
+aa AS (SELECT e1.dst AS id_a, e2.dst AS id_b,
+              sum(1.0 / ln(deg.d::double)) AS score
+       FROM ed e1 JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+       JOIN deg ON deg.src = e1.src
+       GROUP BY 1, 2)
+SELECT id_a, id_b, round(score, 6) AS aa_score FROM aa
+ORDER BY round(score, 6) DESC, id_a, id_b LIMIT 20
+""",
+        # SMART lnc.ltc tf-idf cosine retrieval, top-10 by round(score,6)
+        "tfidf_cosine_topk": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+wd AS (SELECT doc_id, term, 1.0 + ln(tf::double) AS w FROM tf),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm_d FROM wd GROUP BY doc_id),
+nd AS (SELECT count(*)::double AS n FROM documents),
+q AS (SELECT unnest(['join', 'merge', 'spark']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id)::double AS df
+       FROM tok WHERE term IN (SELECT term FROM q) GROUP BY term),
+qw AS (SELECT term, ln((SELECT n FROM nd) / df) AS w FROM df),
+qn AS (SELECT sqrt(sum(w * w)) AS norm_q FROM qw),
+s AS (SELECT wd.doc_id, sum(wd.w * qw.w) AS num
+      FROM wd JOIN qw USING (term) GROUP BY wd.doc_id),
+sc AS (SELECT s.doc_id,
+              round(num / (nrm.norm_d * (SELECT norm_q FROM qn)), 6) AS score
+       FROM s JOIN nrm ON nrm.doc_id = s.doc_id WHERE num > 0)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """,
         # per-doc exact CUME_DIST of document length
         "length_percentile": """

@@ -736,3 +736,72 @@ def token_entropy(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Data
     return ds.map_batches(
         lambda b: token_entropy_batch(b, id_col), batch_format="pyarrow"
     )
+
+
+def winnow_fingerprint_batch(
+    batch: pa.Table, id_col: str = "doc_id", k: int = 3, w: int = 4
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    '03, the MOSS algorithm): hash every ``k``-gram of word tokens with
+    the rolling FNV fold (``h = h·P + fnv1a(token)`` from the offset
+    basis — the same fold :func:`fingerprint_rows` uses, so the DuckDB
+    oracle replays it), then keep the MINIMUM hash of every window of
+    ``w`` consecutive k-grams. The selected set is robust to edits:
+    any shared substring of ≥ ``w + k − 1`` tokens guarantees a shared
+    fingerprint. Output: one row per doc — ``(id, n_fp, fp_xor)``, the
+    distinct-fingerprint count and their XOR (order-free, exact), so
+    the gate stays one row per doc however dense the selection is.
+
+    Everything is one numpy pass per batch: token FNV hashes, shifted
+    gram folds, a ``w``-ary elementwise minimum for the sliding-window
+    min, boundary masks so grams and windows never span documents."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    texts = batch["text"]
+    flat, parents = word_tokens_flat(texts)
+    n = len(batch)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    th = fnv1a_bytes_rows(flat) if len(flat) else np.empty(0, np.uint64)
+    m = len(th)
+    n_fp = np.zeros(n, np.int64)
+    fp_xor = np.zeros(n, np.uint64)
+    ng = m - k + 1
+    if ng > 0:
+        with np.errstate(over="ignore"):
+            gh = np.full(ng, _FNV_OFFSET, np.uint64)
+            for j in range(k):
+                gh = gh * _FP_POLY + th[j : ng + j]
+        gram_ok = parents[:ng] == parents[k - 1 : m]
+        nw = ng - w + 1
+        if nw > 0:
+            wmin = gh[:nw].copy()
+            for j in range(1, w):
+                np.minimum(wmin, gh[j : nw + j], out=wmin)
+            # full window ⇔ first and last gram share a doc
+            win_ok = gram_ok[:nw] & (parents[:nw] == parents[w + k - 2 : m])
+            doc = parents[:nw][win_ok]
+            sel = wmin[win_ok]
+            if len(sel):
+                po = np.lexsort((sel, doc))
+                doc, sel = doc[po], sel[po]
+                new = np.empty(len(sel), bool)
+                new[0] = True
+                new[1:] = (doc[1:] != doc[:-1]) | (sel[1:] != sel[:-1])
+                doc, sel = doc[new], sel[new]
+                np.add.at(n_fp, doc, 1)
+                np.bitwise_xor.at(fp_xor, doc, sel)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_fp": pa.array(n_fp, pa.int64()),
+            "fp_xor": pa.array(fp_xor.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset, id_col: str = "doc_id", k: int = 3, w: int = 4
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: winnow_fingerprint_batch(b, id_col, k, w), batch_format="pyarrow"
+    )

@@ -469,3 +469,94 @@ def event_transitions(
     return agg.map_batches(
         lambda b: b.select(["prev_type", "next_type", "n"]), batch_format="pyarrow"
     )
+
+
+def event_ngrams(
+    events: ray.data.Dataset,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Behavioral n-gram counts: ``n`` CONSECUTIVE event types within
+    each user's (ts, event_id) timeline → Dataset[(e1..en, cnt)] — the
+    sequential-pattern signal behind funnel mining and next-action
+    models (the order-n generalization of :func:`event_transitions`).
+
+    Scale shape: one groupby on a hash bucket of the user (a user's
+    events land in one bucket); inside a bucket a single lexsort +
+    shifted same-user masks emit per-bucket partial n-gram counts on
+    dictionary codes, folded by a combiner groupby — the exchange is
+    |type n-grams| per bucket, never the event stream."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+    gram_cols = [f"e{j + 1}" for j in range(n)]
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = u.astype(np.uint64) * _MIX
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "t": b[ts_col].cast(pa.int64()),
+                "eid": b[id_col].cast(pa.int64()),
+                "ty": b[type_col],
+                "_bucket": pa.array((x % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def grams_in_bucket(g: pa.Table) -> pa.Table:
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = g["eid"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(g["ty"].combine_chunks())
+        ci = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = codes.dictionary
+        empty = pa.table(
+            {
+                **{c: pa.array([], pa.string()) for c in gram_cols},
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        m = len(u)
+        if m < n:
+            return empty
+        order = np.lexsort((eid, t, u))
+        u, ci = u[order], ci[order]
+        w = m - n + 1
+        same = np.ones(w, bool)
+        for j in range(1, n):
+            same &= u[j : w + j] == u[:w]
+        if not same.any():
+            return empty
+        v = max(len(dic), 1)
+        key = np.zeros(w, np.int64)
+        for j in range(n):
+            key = key * v + ci[j : w + j]
+        uk, cnt = np.unique(key[same], return_counts=True)
+        cols = {}
+        for j in range(n - 1, -1, -1):
+            cols[gram_cols[j]] = dic.take(pa.array(uk % v))
+            uk = uk // v
+        return pa.table(
+            {
+                **{c: cols[c] for c in gram_cols},
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        events.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(grams_in_bucket, batch_format="pyarrow"),
+        gram_cols,
+        ["cnt"],
+    )
+    return agg.map_batches(
+        lambda b: b.select(gram_cols + ["cnt"]), batch_format="pyarrow"
+    )
