@@ -786,6 +786,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     num_buckets: int = 128,
     max_shingle_df: int | None = None,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """EXACT word-n-gram Jaccard near-dup pairs ``(id_a, id_b, jaccard)``
     with ``jaccard >= threshold``, as an inverted shingle join — the
@@ -800,6 +801,12 @@ def ngram_jaccard_pairs(
     Shingles are 64-bit hashes of word n-grams (collision-free in
     practice), so results equal string-set Jaccard — the DuckDB oracle
     computes the same ratio over literal n-gram strings.
+
+    ``metric="containment"`` switches the score to max-containment
+    |A∩B| / min(|A|, |B|) (Broder '97's resemblance vs containment
+    split) — the asymmetric measure that catches a small page embedded
+    verbatim inside a larger one, which Jaccard dilutes away; the
+    output column is then named ``containment``.
     """
     import ray
 
@@ -846,13 +853,18 @@ def ngram_jaccard_pairs(
         c = batch["count()"].to_numpy().astype(np.int64)
         sa = vals[np.searchsorted(ids_s, a)]
         sb = vals[np.searchsorted(ids_s, b)]
-        j = c / (sa + sb - c)
+        if metric == "containment":
+            j = c / np.minimum(sa, sb)
+        else:
+            j = c / (sa + sb - c)
         keep = j >= threshold
         return pa.table(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
                 "id_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(j[keep], pa.float64()),
+                ("containment" if metric == "containment" else "jaccard"): pa.array(
+                    j[keep], pa.float64()
+                ),
             }
         )
 

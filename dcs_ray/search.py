@@ -584,6 +584,265 @@ def search_bm25(
     return pa.concat_tables(out_tables)
 
 
+def collection_cf(
+    index_dir: str, terms: list[str], task_num_cpus: float = 1.0
+) -> dict[str, int]:
+    """Global collection frequency (total occurrence count) of the given
+    terms: one task per shard sums tf over each term's postings and the
+    driver folds ``|terms| × |shards|`` integers — the postings decoded
+    here stay in the per-worker block cache, so a scoring pass that
+    follows on the same worker pays nothing extra. The reference keeps
+    only df in its ranking data (``cmd/dcs-compute-ranking``); language-
+    model scorers need cf, so it is derived on demand from the same
+    posting lists rather than widening the stats sink."""
+    terms = sorted(set(terms))
+    if not terms:
+        return {}
+    shards = shard_paths(index_dir)
+    work = ray.data.from_items([{"shard_id": sid} for sid in range(len(shards))])
+
+    def shard_cf(batch: pa.Table) -> pa.Table:
+        out_t, out_c = [], []
+        for sid in batch["shard_id"].to_pylist():
+            seg = _open(shards[sid])
+            for t in terms:
+                idx = seg.term_index(t)
+                if idx < 0:
+                    continue
+                _, tfs = _decode_term_cached(seg, idx)
+                out_t.append(t)
+                out_c.append(int(tfs.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.large_string()),
+                "cf": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    t = _collect(
+        work.map_batches(
+            shard_cf, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+        ),
+        pa.schema([("term", pa.large_string()), ("cf", pa.int64())]),
+    )
+    cf: dict[str, int] = {}
+    for term, c in zip(t["term"].to_pylist(), t["cf"].to_pylist()):
+        cf[term] = cf.get(term, 0) + c
+    return cf
+
+
+def _decode_term_filtered(
+    seg: Segment, idx: int, doc_filter: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Raw (doc_ids, tfs) of one term restricted to the filter set."""
+    doc_ids, tfs = _decode_term_cached(seg, idx)
+    if doc_filter is not None and len(doc_ids):
+        pos = np.searchsorted(doc_filter, doc_ids)
+        pos = np.minimum(pos, max(len(doc_filter) - 1, 0))
+        m = (
+            doc_filter[pos] == doc_ids
+            if len(doc_filter)
+            else np.zeros(len(doc_ids), bool)
+        )
+        doc_ids, tfs = doc_ids[m], tfs[m]
+    return doc_ids, tfs
+
+
+def _accumulate_per_doc(
+    doc_chunks: list[np.ndarray], score_chunks: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term contribution vectors per doc, ascending-term
+    accumulation order (the determinism rule of ``score_shard_all``)."""
+    if not doc_chunks:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    docs = np.concatenate(doc_chunks)
+    scores = np.concatenate(score_chunks)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    return docs[boundaries], np.add.reduceat(scores, boundaries)
+
+
+def score_shard_qld(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query-likelihood with Dirichlet smoothing (Zhai & Lafferty '01)
+    over one shard. ``plan`` carries (term, p_c) with p_c = cf/|C| the
+    collection unigram probability; candidates are docs matching ≥1
+    query term, scored with the FULL smoothed likelihood
+
+        score(d) = Σ_t ln(1 + tf_t,d / (μ·p_c(t))) + |q|·ln(μ/(dl_d+μ))
+
+    — the sparse rewrite keeps the postings pass identical in shape to
+    BM25 while the dl-dependent tail uses the resident doc_len vector."""
+    mu = float(stats["mu"])
+    doc_chunks, score_chunks = [], []
+    for term, p_c in plan:  # ascending term order
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        doc_ids, tfs = _decode_term_filtered(seg, idx, doc_filter)
+        if not len(doc_ids):
+            continue
+        doc_chunks.append(doc_ids)
+        score_chunks.append(np.log(1.0 + tfs.astype(np.float64) / (mu * p_c)))
+    uniq, sums = _accumulate_per_doc(doc_chunks, score_chunks)
+    if len(uniq):
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, uniq)].astype(np.float64)
+        sums = sums + len(plan) * np.log(mu / (dl + mu))
+    return topk(uniq, sums, k)
+
+
+def score_shard_pl2(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Divergence-From-Randomness PL2 (Poisson / Laplace / c-normalized,
+    Amati & van Rijsbergen '02) over one shard. ``plan`` carries
+    (term, λ) with λ = cf/N the mean term frequency per document:
+
+        tfn = tf · log2(1 + c·avgdl/dl)
+        score += (tfn·log2(tfn/λ) + (λ−tfn)·log2(e) + 0.5·log2(2π·tfn))
+                 / (tfn + 1)
+    """
+    c = float(stats["c"])
+    avgdl = float(stats["avgdl"]) or 1.0
+    log2e = math.log2(math.e)
+    doc_chunks, score_chunks = [], []
+    for term, lam in plan:  # ascending term order
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        doc_ids, tfs = _decode_term_filtered(seg, idx, doc_filter)
+        if not len(doc_ids):
+            continue
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+        tfn = tfs.astype(np.float64) * np.log2(1.0 + c * avgdl / dl)
+        s = (
+            tfn * np.log2(tfn / lam)
+            + (lam - tfn) * log2e
+            + 0.5 * np.log2(2.0 * np.pi * tfn)
+        ) / (tfn + 1.0)
+        doc_chunks.append(doc_ids)
+        score_chunks.append(s)
+    uniq, sums = _accumulate_per_doc(doc_chunks, score_chunks)
+    return topk(uniq, sums, k)
+
+
+def search_lm(
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    model: str = "qld",
+    mu: float = 300.0,
+    c: float = 1.0,
+    stats: dict | None = None,
+    task_num_cpus: float = 1.0,
+    filters: dict | None = None,
+) -> pa.Table:
+    """Language-model / DFR top-k retrieval over the inverted index —
+    the non-BM25 ranking families sharing the exact ``search_bm25``
+    fan-out (query × shard work rows, one task per shard, small
+    deterministic driver merge). ``model``: "qld" (Dirichlet query
+    likelihood, parameter ``mu``) or "pl2" (DFR PL2, parameter ``c``).
+
+    Collection frequencies for the query terms come from ONE extra
+    vocab-thin pass (``collection_cf``): |terms|×|shards| integers on
+    the wire, never the vocabulary."""
+    from dcs_ray.tokenize import tokenize_query_words
+
+    if isinstance(queries, str):
+        queries = [queries]
+    stats = dict(stats or load_stats(index_dir))
+    stats["mu"], stats["c"] = mu, c
+    per_query = [sorted(set(tokenize_query_words(q))) for q in queries]
+    all_terms = sorted({t for terms in per_query for t in terms})
+    cf = collection_cf(index_dir, all_terms, task_num_cpus=task_num_cpus)
+    if model == "qld":
+        c_total = float(stats["sum_doc_len"]) or 1.0
+        plans = [
+            [(t, cf[t] / c_total) for t in terms if cf.get(t, 0) > 0]
+            for terms in per_query
+        ]
+        score_fn = score_shard_qld
+    elif model == "pl2":
+        n_docs = float(stats["n_docs"]) or 1.0
+        plans = [
+            [(t, cf[t] / n_docs) for t in terms if cf.get(t, 0) > 0]
+            for terms in per_query
+        ]
+        score_fn = score_shard_pl2
+    else:
+        raise ValueError(f"unknown model {model!r}")
+
+    shards = shard_paths(index_dir)
+    work = ray.data.from_items(
+        [{"shard_id": sid} for sid in range(len(shards))]
+    )
+
+    def run_shard(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for sid in batch["shard_id"].to_pylist():
+            seg = _open(shards[sid])
+            doc_filter = shard_doc_filter(seg, filters)
+            for qid in range(len(queries)):
+                if doc_filter is not None and len(doc_filter) == 0:
+                    d = np.empty(0, np.uint64)
+                    s = np.empty(0, np.float64)
+                else:
+                    d, s = score_fn(seg, plans[qid], stats, k, doc_filter=doc_filter)
+                out_q.extend([qid] * len(d))
+                out_d.append(d)
+                out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "score": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    cand = _collect(
+        work.map_batches(
+            run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+        ),
+        pa.schema(
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
+        ),
+    )
+    qids = cand["query_id"].to_numpy()
+    docs = cand["doc_id"].to_numpy()
+    scores = cand["score"].to_numpy()
+    out_tables = []
+    for qid in range(len(queries)):
+        m = qids == qid
+        dd, ss = topk(docs[m], scores[m], k)
+        out_tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                    "rank": pa.array(np.arange(1, len(dd) + 1, dtype=np.int32), pa.int32()),
+                    "doc_id": pa.array(dd, pa.uint64()),
+                    "score": pa.array(ss, pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out_tables)
+
+
 def search_bm25_grouped(
     index_dir: str,
     queries: list[str],
