@@ -5626,6 +5626,164 @@ def _q_burrows_delta(sf_dir: str) -> pa.Table:
     return burrows_delta(docs, top_terms=50)
 
 
+def _q_benford_first_digit(sf_dir: str) -> pa.Table:
+    """Benford's-law first-digit profile of order totals — the
+    fraud/synthetic-data screen over a monetary column. Values pin to
+    exact cents (floor(x*100+0.5)) and the digit comes off the decimal
+    string, so the 9-row profile hash-matches the SQL replay; the
+    exchange is one 9-row combiner fold."""
+    from dcs_ray.functions.stats import first_digit_counts
+
+    return first_digit_counts(
+        read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_totalprice"]),
+        "o_totalprice",
+    )
+
+
+def _q_cusum_daily_events(sf_dir: str) -> pa.Table:
+    """CUSUM change-point series over daily event volume: per-day
+    counts via the map-side combiner (exchange = |days|), then the
+    cumulative deviation from the global mean per day — the classic
+    level-shift detector for ingest monitoring. One float subtraction
+    chain on the tiny day series, rounded to 6."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64())}
+        )
+
+    counts = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(to_day, batch_format="pyarrow"), ["day"], [], count_col="n"
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("day")
+    day = counts["day"].to_numpy().astype(np.int64)
+    n = counts["n"].to_numpy().astype(np.int64)
+    mu = float(n.sum()) / float(len(n)) if len(n) else 0.0
+    cusum = np.round(np.cumsum(n.astype(np.float64) - mu), 6) + 0.0
+    return pa.table(
+        {
+            "day": pa.array(day, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "cusum": pa.array(cusum, pa.float64()),
+        }
+    )
+
+
+def _q_spearman_chars_tokens(sf_dir: str) -> pa.Table:
+    """Spearman rank correlation (tie-corrected midranks) between doc
+    length in chars and its word-token count — the monotone-association
+    check behind length-based quality heuristics. Midrank tables come
+    from two distinct-value combiner folds; the moment partials are
+    exact integers (see ``functions/stats.spearman_rho``)."""
+    from dcs_ray.functions.stats import spearman_rho
+    from dcs_ray.functions.textstats import token_count_batch
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        tc = token_count_batch(b)
+        return pa.table(
+            {"n_chars": b["n_chars"].cast(pa.int64()), "n_tokens": tc["n_tokens"]}
+        )
+
+    rho, n = spearman_rho(
+        docs.map_batches(with_tokens, batch_format="pyarrow"), "n_chars", "n_tokens"
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "spearman_rho": pa.array([rho], pa.float64()),
+        }
+    )
+
+
+def _q_ks_length_by_lang(sf_dir: str) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov statistic between the doc-length
+    distributions of the two largest languages (count desc, lang asc
+    tiebreak) — the distribution-drift gate between corpus slices.
+    Group selection is a |langs|-row fold; the CDF gap runs on the
+    (lang, n_chars) value-count collapse."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.stats import ks_two_sample
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    lc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.select_columns(["lang"]), ["lang"], [], count_col="n"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    ranked = sorted(
+        zip(lc["lang"].to_pylist(), lc["n"].to_pylist()), key=lambda x: (-x[1], x[0])
+    )
+    (la, _), (lb, _) = ranked[0], ranked[1]
+    ks, na, nb = ks_two_sample(docs, "lang", "n_chars", la, lb)
+    return pa.table(
+        {
+            "lang_a": pa.array([la], pa.string()),
+            "lang_b": pa.array([lb], pa.string()),
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "ks_stat": pa.array([ks], pa.float64()),
+        }
+    )
+
+
+def _q_markov_stationary(sf_dir: str) -> pa.Table:
+    """Stationary event-type distribution: 5 power-iteration steps of
+    v·P from uniform, renormalizing each step (dangling rows shed mass
+    to the renormalizer) — the long-run behavior profile on top of the
+    distributed transition-count fold. The matrix is |types|², driver
+    tiny at any scale."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.stats import markov_stationary
+    from dcs_ray.functions.windows import event_transitions
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    trans = pa.concat_tables(
+        pa.table(b)
+        for b in event_transitions(ev).iter_batches(batch_format="pyarrow")
+    )
+    types_t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.select_columns(["event_type"]), ["event_type"], [], count_col="c"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return markov_stationary(
+        trans, types_t["event_type"].to_pylist(), iters=5
+    ).sort_by("event_type")
+
+
+def _q_session_type_pairs(sf_dir: str) -> pa.Table:
+    """Session-level event-type co-occurrence (market-basket pairs):
+    sessions split at 30-min gaps, each unordered distinct-type pair
+    counted once per session containing both. Bucketed lexsort +
+    vectorized segment-combination expansion; exchange = |type pairs|
+    (see ``functions/windows.session_type_pairs``)."""
+    from dcs_ray.functions.windows import session_type_pairs
+
+    ds = session_type_pairs(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("type_a", "ascending"), ("type_b", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -5840,6 +5998,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
+        "benford_first_digit": _q_benford_first_digit,
+        "cusum_daily_events": _q_cusum_daily_events,
+        "spearman_chars_tokens": _q_spearman_chars_tokens,
+        "ks_length_by_lang": _q_ks_length_by_lang,
+        "markov_stationary": _q_markov_stationary,
+        "session_type_pairs": _q_session_type_pairs,
     }
 
 
@@ -6406,6 +6570,39 @@ labels AS (
 
 def _pow2_values() -> str:
     return ", ".join(f"({b}, {1 << b}::hugeint)" for b in range(64))
+
+
+def _markov_sql(k: int) -> str:
+    """Generated power-iteration CTE chain for the stationary
+    event-type distribution: row-normalized transition probabilities,
+    v₀ uniform, each step vᵢ₊₁ ∝ vᵢ·P renormalized (mirrors
+    ``functions/stats.markov_stationary``)."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT ty.event_type, coalesce(sum(v{i - 1}.pr * p.p), 0.0) AS pr
+  FROM ty LEFT JOIN p ON p.nxt = ty.event_type
+          LEFT JOIN v{i - 1} ON v{i - 1}.event_type = p.prev
+  GROUP BY ty.event_type),
+v{i} AS (SELECT event_type, pr / (SELECT sum(pr) FROM r{i}) AS pr FROM r{i})"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH tr AS (
+  SELECT prev, event_type AS nxt, count(*)::double AS n FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type) AS prev
+    FROM events) s
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+rs AS (SELECT prev, sum(n) AS tot FROM tr GROUP BY prev),
+p AS (SELECT tr.prev, tr.nxt, tr.n / rs.tot AS p FROM tr JOIN rs USING (prev)),
+ty AS (SELECT DISTINCT event_type FROM events),
+v0 AS (SELECT event_type, 1.0 / (SELECT count(*) FROM ty) AS pr FROM ty),
+{chain}
+SELECT event_type, round(pr, 6) AS pr FROM v{k} ORDER BY event_type
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8848,5 +9045,91 @@ sims AS (
 SELECT row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS rank,
        vec_id::bigint AS vec_id, round(cos_sim, 6) AS cos_sim
 FROM sims ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+""",
+        # Benford first-digit profile: exact cents, digit off the
+        # decimal string (no float log10 on the data side)
+        "benford_first_digit": """
+WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM c),
+g AS (SELECT digit, count(*)::bigint AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n)::bigint AS tot FROM g)
+SELECT digit, n, round(n::double / t.tot::double, 6) AS share,
+       round(log10(1.0 + 1.0 / digit::double), 6) AS benford_p
+FROM g, t ORDER BY digit
+""",
+        # CUSUM of daily counts around the global mean
+        "cusum_daily_events": """
+WITH d AS (SELECT (epoch_us(ts) // 86400000000)::bigint AS day,
+                  count(*)::bigint AS n
+           FROM events GROUP BY 1),
+m AS (SELECT sum(n)::double / count(*)::double AS mu FROM d)
+SELECT day, n,
+       round(sum(n::double - m.mu) OVER (ORDER BY day
+             ROWS UNBOUNDED PRECEDING), 6) AS cusum
+FROM d, m ORDER BY day
+""",
+        # Spearman via integer 2×midranks (2*rank + tiecount - 1),
+        # hugeint moment sums, ONE float expression at the end
+        "spearman_chars_tokens": f"""
+WITH tc AS (
+  SELECT d.doc_id, d.n_chars::bigint AS x, coalesce(c.n, 0)::bigint AS y
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*) AS n FROM ({_TOK}) GROUP BY doc_id) c USING (doc_id)),
+r AS (SELECT
+   (2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1)::bigint AS rx,
+   (2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1)::bigint AS ry
+  FROM tc),
+s AS (SELECT count(*)::hugeint AS n, sum(rx)::hugeint AS sx, sum(ry)::hugeint AS sy,
+             sum(rx*rx)::hugeint AS sxx, sum(ry*ry)::hugeint AS syy,
+             sum(rx*ry)::hugeint AS sxy
+      FROM r)
+SELECT n::bigint AS n_docs,
+       round((n*sxy - sx*sy)::double
+             / (sqrt((n*sxx - sx*sx)::double) * sqrt((n*syy - sy*sy)::double)),
+             6) AS spearman_rho
+FROM s
+""",
+        # two-sample KS between the two largest languages' length CDFs
+        "ks_length_by_lang": """
+WITH lc AS (SELECT lang, count(*)::bigint AS n FROM documents GROUP BY lang),
+top2 AS (SELECT lang, n,
+                row_number() OVER (ORDER BY n DESC, lang ASC) AS rn FROM lc),
+la AS (SELECT lang, n FROM top2 WHERE rn = 1),
+lb AS (SELECT lang, n FROM top2 WHERE rn = 2),
+g AS (SELECT n_chars AS v,
+        count(*) FILTER (WHERE lang = (SELECT lang FROM la))::bigint AS ca,
+        count(*) FILTER (WHERE lang = (SELECT lang FROM lb))::bigint AS cb
+      FROM documents
+      WHERE lang IN ((SELECT lang FROM la), (SELECT lang FROM lb))
+      GROUP BY v),
+c AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb FROM g)
+SELECT (SELECT lang FROM la) AS lang_a, (SELECT lang FROM lb) AS lang_b,
+       (SELECT n FROM la)::bigint AS n_a, (SELECT n FROM lb)::bigint AS n_b,
+       round(max(abs(cuma::double / (SELECT n FROM la)::double
+                     - cumb::double / (SELECT n FROM lb)::double)), 6) AS ks_stat
+FROM c
+""",
+        "markov_stationary": _markov_sql(5),
+        # session co-occurrence: distinct (session, type) incidence
+        # self-joined within session, pair ordered alphabetically
+        "session_type_pairs": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+flag AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type)),
+sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_type
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM st a JOIN st b USING (user_id, sid)
+      WHERE a.event_type < b.event_type)
+SELECT type_a, type_b, count(*)::bigint AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -560,3 +560,106 @@ def event_ngrams(
     return agg.map_batches(
         lambda b: b.select(gram_cols + ["cnt"]), batch_format="pyarrow"
     )
+
+
+def session_type_pairs(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence over sessions: for every unordered
+    pair of DISTINCT event types, the number of sessions (same
+    ``gap_s`` splitting as :func:`session_window_agg`) containing both
+    → Dataset[(type_a, type_b, n)] with ``type_a < type_b``.
+
+    Scale shape: one groupby on a hash bucket of the user; inside a
+    bucket a single lexsort assigns session ids, ``np.unique``
+    collapses to (session, type) incidence, and pair generation is the
+    vectorized segment-combination expansion (each element pairs with
+    its ≤|types| predecessors in the session — bounded by the type
+    alphabet, never the event count). The exchange is |type pairs| per
+    bucket."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+    gap_us = gap_s * 1_000_000
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = u.astype(np.uint64) * _MIX
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "t": b[ts_col].cast(pa.int64()),
+                "ty": b[type_col],
+                "_bucket": pa.array((x % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def pairs_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_a": pa.array([], pa.string()),
+                "type_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        m = len(g)
+        if m == 0:
+            return empty
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(g["ty"].combine_chunks())
+        ci = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # map dictionary codes to alphabetical rank so type_a < type_b
+        rank = pc.sort_indices(codes.dictionary).to_numpy(zero_copy_only=False)
+        crank = np.empty(len(rank), np.int64)
+        crank[rank] = np.arange(len(rank))
+        sorted_dic = codes.dictionary.take(pa.array(rank))
+        v = max(len(rank), 1)
+        order = np.lexsort((t, u))
+        u, t, ci = u[order], t[order], crank[ci[order]]
+        new_sess = np.ones(m, bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        sid = np.cumsum(new_sess) - 1
+        # distinct (session, type), sorted by (session, type-rank)
+        inc = np.unique(sid * v + ci)
+        s_of, c_of = inc // v, inc % v
+        new_run = np.ones(len(inc), bool)
+        new_run[1:] = s_of[1:] != s_of[:-1]
+        starts = np.flatnonzero(new_run)
+        within = np.arange(len(inc)) - np.repeat(
+            starts, np.diff(np.append(starts, len(inc)))
+        )
+        # element at local index j is 'b' in j pairs (its predecessors)
+        b_idx = np.repeat(np.arange(len(inc)), within)
+        seg_starts = np.cumsum(within) - within
+        a_off = np.arange(int(within.sum())) - np.repeat(seg_starts, within)
+        a_idx = b_idx - np.repeat(within, within) + a_off
+        if len(b_idx) == 0:
+            return empty
+        key = c_of[a_idx] * v + c_of[b_idx]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "type_a": sorted_dic.take(pa.array(uk // v)),
+                "type_b": sorted_dic.take(pa.array(uk % v)),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        events.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow"),
+        ["type_a", "type_b"],
+        ["n"],
+    )
+    return agg.map_batches(
+        lambda b: b.select(["type_a", "type_b", "n"]), batch_format="pyarrow"
+    )

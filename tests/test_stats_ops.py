@@ -1,0 +1,135 @@
+"""Property tests for the distribution-statistics batch: Benford digit
+profile, Spearman midranks, two-sample KS, Markov stationary iteration,
+and session-level type-pair co-occurrence."""
+
+import collections
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def test_first_digit_counts(ray_session):
+    from dcs_ray.functions.stats import first_digit_counts
+
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.lognormal(5, 2, 500), 2) + 0.01
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    t = first_digit_counts(ds, "x")
+    want = collections.Counter(
+        int(str(int(np.floor(v * 100 + 0.5)))[0]) for v in vals
+    )
+    got = dict(zip(t["digit"].to_pylist(), t["n"].to_pylist()))
+    assert got == dict(want)
+    assert abs(sum(t["share"].to_pylist()) - 1.0) < 1e-4
+    # benford_p is the closed form, independent of the data
+    bp = dict(zip(t["digit"].to_pylist(), t["benford_p"].to_pylist()))
+    for d, p in bp.items():
+        assert abs(p - np.log10(1 + 1 / d)) < 1e-6
+
+
+def test_spearman_rho_matches_pandas(ray_session):
+    from dcs_ray.functions.stats import spearman_rho
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 40, 300)  # heavy ties
+    y = (x * 3 + rng.integers(0, 25, 300)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())})
+    )
+    rho, n = spearman_rho(ds, "x", "y")
+    assert n == 300
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(rho - want) < 1e-6
+
+
+def test_ks_two_sample_bruteforce(ray_session):
+    from dcs_ray.functions.stats import ks_two_sample
+
+    rng = np.random.default_rng(3)
+    ga = rng.integers(0, 50, 200)
+    gb = rng.integers(10, 60, 150)
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 200 + ["b"] * 150),
+            "v": pa.array(np.concatenate([ga, gb]), pa.int64()),
+        }
+    )
+    ks, na, nb = ks_two_sample(ray.data.from_arrow(t), "g", "v", "a", "b")
+    assert (na, nb) == (200, 150)
+    grid = np.unique(np.concatenate([ga, gb]))
+    fa = np.searchsorted(np.sort(ga), grid, side="right") / 200
+    fb = np.searchsorted(np.sort(gb), grid, side="right") / 150
+    assert abs(ks - np.max(np.abs(fa - fb))) < 1e-6
+
+
+def test_markov_stationary_properties():
+    from dcs_ray.functions.stats import markov_stationary
+
+    trans = pa.table(
+        {
+            "prev_type": pa.array(["a", "a", "b", "c"]),
+            "next_type": pa.array(["b", "c", "a", "a"]),
+            "n": pa.array([3, 1, 4, 2], pa.int64()),
+        }
+    )
+    t = markov_stationary(trans, ["a", "b", "c", "d"], iters=5)
+    pr = dict(zip(t["event_type"].to_pylist(), t["pr"].to_pylist()))
+    assert abs(sum(pr.values()) - 1.0) < 1e-5
+    assert pr["d"] == 0.0  # no incoming mass after the first step
+    # direct dense replay
+    types = ["a", "b", "c", "d"]
+    mat = np.zeros((4, 4))
+    for p, q, n in zip(["a", "a", "b", "c"], ["b", "c", "a", "a"], [3, 1, 4, 2]):
+        mat[types.index(p), types.index(q)] = n
+    row = mat.sum(1, keepdims=True)
+    np.divide(mat, row, out=mat, where=row > 0)
+    v = np.full(4, 0.25)
+    for _ in range(5):
+        v = v @ mat
+        v /= v.sum()
+    for i, ty in enumerate(types):
+        assert abs(pr[ty] - v[i]) < 1e-6
+
+
+def test_session_type_pairs_bruteforce(ray_session):
+    from dcs_ray.functions.windows import session_type_pairs
+
+    rng = np.random.default_rng(5)
+    n = 400
+    users = rng.integers(0, 12, n)
+    ts = rng.integers(0, 100_000, n) * 1_000_000  # µs, gaps span 30 min
+    types = rng.choice(["x", "y", "z", "w"], n)
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types),
+        }
+    )
+    got_t = pa.concat_tables(
+        pa.table(b)
+        for b in session_type_pairs(ray.data.from_arrow(t), n_buckets=4).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    got = dict(
+        zip(
+            zip(got_t["type_a"].to_pylist(), got_t["type_b"].to_pylist()),
+            got_t["n"].to_pylist(),
+        )
+    )
+    # brute force: per user sort by ts, split at >30min, distinct types
+    want: collections.Counter = collections.Counter()
+    df = pd.DataFrame({"u": users, "t": ts, "ty": types}).sort_values(["u", "t"])
+    for _, g in df.groupby("u"):
+        gap = g["t"].diff().fillna(0) > 1800 * 1_000_000
+        sid = gap.cumsum()
+        for _, s in g.groupby(sid):
+            for a, b in itertools.combinations(sorted(set(s["ty"])), 2):
+                want[(a, b)] += 1
+    assert got == dict(want)
