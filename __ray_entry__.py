@@ -5784,6 +5784,198 @@ def _q_session_type_pairs(sf_dir: str) -> pa.Table:
     return t.sort_by([("type_a", "ascending"), ("type_b", "ascending")])
 
 
+def _q_hapax_ratio_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language hapax-legomenon ratio (share of the lang's vocab
+    occurring exactly once) — the lexical-richness / OCR-noise signal.
+    One flat-token pass, a vocab-sized (lang, term) combiner fold, then
+    a |langs|-row second fold; ratio is one float division per lang."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import word_tokens_flat
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def lang_terms(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b["text"])
+        lang = b["lang"].combine_chunks().take(pa.array(parents, pa.int64()))
+        return pa.table({"lang": lang, "term": flat})
+
+    counts = combiner_groupby(
+        docs.map_batches(lang_terms, batch_format="pyarrow"),
+        ["lang", "term"],
+        [],
+        count_col="n",
+    )
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        one = (b["n"].to_numpy() == 1).astype(np.int64)
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "v": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "h": pa.array(one, pa.int64()),
+            }
+        )
+
+    agg = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            counts.map_batches(vocab_partial, batch_format="pyarrow"),
+            ["lang"],
+            ["v", "h"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("lang")
+    v = agg["v"].to_numpy().astype(np.int64)
+    h = agg["h"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "lang": agg["lang"],
+            "vocab": pa.array(v, pa.int64()),
+            "hapax": pa.array(h, pa.int64()),
+            "hapax_ratio": pa.array(
+                np.round(h.astype(np.float64) / v.astype(np.float64), 6) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+class _QualityWithLabel:
+    """Actor-pool eval stage: quality-classifier probability plus the
+    binary relevance label (lang == 'en') in one pass — weights load
+    once per actor (`textstats.QualityClassifier`)."""
+
+    def __init__(self) -> None:
+        from dcs_ray.functions.textstats import QualityClassifier
+
+        self.qc = QualityClassifier()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = self.qc(b)
+        y = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "quality_prob": out["quality_prob"],
+                "y": y,
+            }
+        )
+
+
+def _q_roc_auc_quality(sf_dir: str) -> pa.Table:
+    """ROC AUC of the quality classifier against the lang=='en' label
+    via the tie-corrected Mann–Whitney rank-sum identity. Scores pin to
+    integer micro-units (they are already rounded to 6), the (score, y)
+    combiner fold is the exchange, and the midrank sum stays in exact
+    Python ints — one float division at the end."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.stats import _midrank2_lookup
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def to_p6(b: pa.Table) -> pa.Table:
+        p6 = np.floor(b["quality_prob"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"p6": pa.array(p6, pa.int64()), "y": b["y"]})
+
+    scored = docs.map_batches(_QualityWithLabel, concurrency=2, batch_format="pyarrow")
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            scored.map_batches(to_p6, batch_format="pyarrow"), ["p6", "y"], [], "c"
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by([("p6", "ascending"), ("y", "ascending")])
+    p6 = vc["p6"].to_numpy().astype(np.int64)
+    y = vc["y"].to_numpy().astype(np.int64)
+    c = vc["c"].to_numpy().astype(np.int64)
+    uniq = np.unique(p6)
+    tot = np.zeros(len(uniq), np.int64)
+    pos = np.zeros(len(uniq), np.int64)
+    at = np.searchsorted(uniq, p6)
+    np.add.at(tot, at, c)
+    np.add.at(pos, at[y == 1], c[y == 1])
+    mid2 = _midrank2_lookup(uniq, tot)
+    n1 = int(pos.sum())
+    n0 = int(tot.sum()) - n1
+    s2 = int((pos * mid2).sum())  # 2× the positives' midrank sum
+    auc = float(s2 - n1 * (n1 + 1)) / float(2 * n1 * n0)
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "n_neg": pa.array([n0], pa.int64()),
+            "auc": pa.array([round(auc, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_log_loss_quality(sf_dir: str) -> pa.Table:
+    """Per-document cross-entropy of the quality classifier against the
+    lang=='en' label (probabilities clipped to [1e-6, 1-1e-6]) — the
+    calibration-eval pass. Pure per-row kernel; no accumulation, so the
+    rounded values hash exactly against the SQL replay."""
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = docs.map_batches(_QualityWithLabel, concurrency=2, batch_format="pyarrow")
+
+    def loss(b: pa.Table) -> pa.Table:
+        p = np.clip(b["quality_prob"].to_numpy(), 1e-6, 1.0 - 1e-6)
+        y = b["y"].to_numpy().astype(np.float64)
+        ll = np.round(-(y * np.log(p) + (1.0 - y) * np.log1p(-p)), 6) + 0.0
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "label": b["y"],
+                "loss": pa.array(ll, pa.float64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in scored.map_batches(loss, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_host_split(sf_dir: str) -> pa.Table:
+    """Host-grouped train/val/test split (80/10/10): every doc of a
+    host lands in the same split — the leakage-safe split discipline
+    for web corpora (near-dups cluster within hosts). The split key is
+    the shared string hash (`sketches._hash64_column`) against exact
+    integer thresholds, so assignment is reproducible on any cluster
+    layout and replayable in integer SQL."""
+    from dcs_ray.functions.sketches import _hash64_column
+
+    t1 = np.uint64((1 << 64) * 8 // 10)
+    t2 = np.uint64((1 << 64) * 9 // 10)
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = _hash64_column(b["source"])
+        split = np.where(h < t1, "train", np.where(h < t2, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "source": b["source"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in docs.map_batches(assign, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return t.sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -6004,6 +6196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_length_by_lang": _q_ks_length_by_lang,
         "markov_stationary": _q_markov_stationary,
         "session_type_pairs": _q_session_type_pairs,
+        "hapax_ratio_by_lang": _q_hapax_ratio_by_lang,
+        "roc_auc_quality": _q_roc_auc_quality,
+        "log_loss_quality": _q_log_loss_quality,
+        "host_split": _q_host_split,
     }
 
 
@@ -6570,6 +6766,27 @@ labels AS (
 
 def _pow2_values() -> str:
     return ", ".join(f"({b}, {1 << b}::hugeint)" for b in range(64))
+
+
+# quality-classifier replay (textstats.QualityClassifier's fixed public
+# weights): shared by the classifier gate and its AUC / log-loss evals
+_QC_CTES = f"""tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it') THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id),
+feats AS (
+  SELECT d.doc_id,
+         coalesce(a.n_tokens,0)::bigint AS n_tokens,
+         coalesce(round(a.n_stop::double / a.n_tokens, 6), 0.0) AS stop_ratio,
+         coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0) AS mean_len
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+z AS (
+  SELECT doc_id,
+         -2.0 + 0.45 * ln(1.0 + n_tokens) + 4.0 * stop_ratio + (-0.15) * mean_len AS zv
+  FROM feats),
+qprob AS (SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS p FROM z)"""
 
 
 def _markov_sql(k: int) -> str:
@@ -8223,25 +8440,9 @@ SELECT window_start, user_id, round(sv, 6) AS sum_value
 FROM rk WHERE rn <= 2 ORDER BY window_start, sv DESC, user_id
 """,
         "quality_classifier": f"""
-WITH tok AS ({_TOK}),
-agg AS (
-  SELECT doc_id, count(*) AS n_tokens,
-         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it') THEN 1 ELSE 0 END) AS n_stop,
-         sum(length(term)) AS sum_len
-  FROM tok GROUP BY doc_id),
-feats AS (
-  SELECT d.doc_id,
-         coalesce(a.n_tokens,0)::bigint AS n_tokens,
-         coalesce(round(a.n_stop::double / a.n_tokens, 6), 0.0) AS stop_ratio,
-         coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0) AS mean_len
-  FROM documents d LEFT JOIN agg a USING (doc_id)),
-z AS (
-  SELECT doc_id,
-         -2.0 + 0.45 * ln(1.0 + n_tokens) + 4.0 * stop_ratio + (-0.15) * mean_len AS zv
-  FROM feats)
-SELECT doc_id, round(1.0 / (1.0 + exp(-zv)), 6) AS quality_prob,
-       (round(1.0 / (1.0 + exp(-zv)), 6) >= 0.5) AS keep
-FROM z ORDER BY doc_id
+WITH {_QC_CTES}
+SELECT doc_id, p AS quality_prob, (p >= 0.5) AS keep
+FROM qprob ORDER BY doc_id
 """,
         # multinomial NB self-classification: (lang, term) counts, add-1
         # smoothing over the distinct-term vocabulary, per-(doc, class)
@@ -9131,5 +9332,54 @@ p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
       WHERE a.event_type < b.event_type)
 SELECT type_a, type_b, count(*)::bigint AS n
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # hapax share of each language's vocabulary
+        "hapax_ratio_by_lang": f"""
+WITH tok AS ({_TOK}),
+lt AS (SELECT d.lang, t.term, count(*)::bigint AS n
+       FROM tok t JOIN documents d USING (doc_id) GROUP BY 1, 2)
+SELECT lang, count(*)::bigint AS vocab,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::bigint AS hapax,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::double
+               / count(*)::double, 6) AS hapax_ratio
+FROM lt GROUP BY lang ORDER BY lang
+""",
+        # Mann–Whitney AUC on integer 2×midranks of the rounded score
+        "roc_auc_quality": f"""
+WITH {_QC_CTES},
+lab AS (SELECT q.doc_id, q.p,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM qprob q JOIN documents d USING (doc_id)),
+r AS (SELECT y,
+             (2 * rank() OVER (ORDER BY p)
+              + count(*) OVER (PARTITION BY p) - 1)::bigint AS r2
+      FROM lab),
+s AS (SELECT sum(CASE WHEN y = 1 THEN r2 ELSE 0 END)::hugeint AS s2,
+             sum(y)::hugeint AS n1, count(*)::hugeint AS n FROM r)
+SELECT n1::bigint AS n_pos, (n - n1)::bigint AS n_neg,
+       round((s2 - n1 * (n1 + 1))::double
+               / (2 * n1 * (n - n1))::double, 6) AS auc
+FROM s
+""",
+        # per-doc cross-entropy of the clipped classifier probability
+        "log_loss_quality": f"""
+WITH {_QC_CTES},
+lab AS (SELECT q.doc_id,
+               least(greatest(q.p, 0.000001), 0.999999) AS p,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM qprob q JOIN documents d USING (doc_id))
+SELECT doc_id, y::bigint AS label,
+       round(-(y * ln(p) + (1 - y) * ln(1 - p)), 6) AS loss
+FROM lab ORDER BY doc_id
+""",
+        # host-grouped 80/10/10 split on the shared string hash
+        "host_split": f"""
+WITH terms AS (SELECT DISTINCT source AS term FROM documents),
+{_strhash64_sql(1)}
+SELECT d.doc_id, d.source,
+       CASE WHEN th.h < {(1 << 64) * 8 // 10} THEN 'train'
+            WHEN th.h < {(1 << 64) * 9 // 10} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d JOIN th ON th.term = d.source ORDER BY d.doc_id
 """,
     }

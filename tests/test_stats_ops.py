@@ -133,3 +133,61 @@ def test_session_type_pairs_bruteforce(ray_session):
             for a, b in itertools.combinations(sorted(set(s["ty"])), 2):
                 want[(a, b)] += 1
     assert got == dict(want)
+
+
+def test_hapax_ratio_bruteforce():
+    from __ray_entry__ import _q_hapax_ratio_by_lang
+    import duckdb
+
+    t = _q_hapax_ratio_by_lang("/root/testdata/sf0.001")
+    want = duckdb.sql("""
+        WITH tok AS (SELECT doc_id, lang, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+             FROM '/root/testdata/sf0.001/documents.parquet'),
+        lt AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY 1, 2)
+        SELECT lang, count(*) AS vocab, sum(CASE WHEN n=1 THEN 1 ELSE 0 END) AS hapax
+        FROM lt GROUP BY lang ORDER BY lang
+    """).fetchall()
+    got = list(zip(t["lang"].to_pylist(), t["vocab"].to_pylist(), t["hapax"].to_pylist()))
+    assert got == [(l, int(v), int(h)) for l, v, h in want]
+    for v, h, r in zip(t["vocab"].to_pylist(), t["hapax"].to_pylist(),
+                       t["hapax_ratio"].to_pylist()):
+        assert abs(r - h / v) < 1e-6
+
+
+def test_roc_auc_quality_bruteforce(ray_session):
+    """Rank-sum AUC == the O(n²) pairwise definition with 0.5 for ties."""
+    from __ray_entry__ import (
+        _q_log_loss_quality, _q_quality_classifier, _q_roc_auc_quality,
+    )
+    import pandas as pd
+
+    sf = "/root/testdata/sf0.001"
+    t = _q_roc_auc_quality(sf)
+    q = _q_quality_classifier(sf).to_pandas().sort_values("doc_id")
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang"]).sort_values("doc_id")
+    p = q["quality_prob"].to_numpy()
+    y = (docs["lang"] == "en").to_numpy()
+    pos, neg = p[y], p[~y]
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (pos[:, None] == neg[None, :]).sum()
+    want = wins / (len(pos) * len(neg))
+    assert abs(t["auc"][0].as_py() - want) < 1e-6
+    assert t["n_pos"][0].as_py() == int(y.sum())
+
+    ll = _q_log_loss_quality(sf)
+    pc_ = np.clip(p, 1e-6, 1 - 1e-6)
+    want_ll = -(y * np.log(pc_) + (~y) * np.log1p(-pc_))
+    np.testing.assert_allclose(
+        np.asarray(ll["loss"]), np.round(want_ll, 6), atol=1.1e-6
+    )
+
+
+def test_host_split_group_integrity(ray_session):
+    from __ray_entry__ import _q_host_split
+
+    t = _q_host_split("/root/testdata/sf0.001").to_pandas()
+    per_host = t.groupby("source")["split"].nunique()
+    assert (per_host == 1).all()  # no host straddles splits
+    assert set(t["split"]) <= {"train", "val", "test"}
+    assert (t["split"] == "train").mean() > 0.2  # 80% in expectation
