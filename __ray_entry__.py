@@ -5646,22 +5646,7 @@ def _q_cusum_daily_events(sf_dir: str) -> pa.Table:
     cumulative deviation from the global mean per day — the classic
     level-shift detector for ingest monitoring. One float subtraction
     chain on the tiny day series, rounded to 6."""
-    from dcs_ray.functions.relational import combiner_groupby
-
-    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
-
-    def to_day(b: pa.Table) -> pa.Table:
-        us = b["ts"].cast(pa.int64()).to_numpy()
-        return pa.table(
-            {"day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64())}
-        )
-
-    counts = pa.concat_tables(
-        pa.table(b)
-        for b in combiner_groupby(
-            ev.map_batches(to_day, batch_format="pyarrow"), ["day"], [], count_col="n"
-        ).iter_batches(batch_format="pyarrow")
-    ).sort_by("day")
+    counts = _daily_event_counts(sf_dir)
     day = counts["day"].to_numpy().astype(np.int64)
     n = counts["n"].to_numpy().astype(np.int64)
     mu = float(n.sum()) / float(len(n)) if len(n) else 0.0
@@ -5976,6 +5961,127 @@ def _q_host_split(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def _daily_event_counts(sf_dir: str) -> pa.Table:
+    """Shared (day, n) fold for the trend suite — exchange = |days|."""
+    from dcs_ray.functions.stats import daily_counts
+
+    return daily_counts(
+        read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"]), "ts"
+    )
+
+
+def _q_theil_sen_daily_trend(sf_dir: str) -> pa.Table:
+    """Theil–Sen robust trend of daily event volume: the median of all
+    pairwise (Δcount/Δday) slopes over the distributed daily fold. The
+    pair expansion is |days|² on the driver (bounded: a decade < 4k
+    points), and the even-n median is the explicit two-middle mean the
+    SQL replay mirrors row-for-row."""
+    from dcs_ray.functions.stats import theil_sen_slope
+
+    c = _daily_event_counts(sf_dir)
+    slope, n_pairs = theil_sen_slope(
+        c["day"].to_numpy().astype(np.int64), c["n"].to_numpy().astype(np.int64)
+    )
+    return pa.table(
+        {
+            "n_days": pa.array([len(c)], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+        }
+    )
+
+
+def _q_mann_kendall_daily_trend(sf_dir: str) -> pa.Table:
+    """Mann–Kendall monotone-trend test on daily event volume:
+    S = Σ sign(n_j − n_i) over day-ordered pairs and Kendall's tau-a
+    = S / C(n,2) — exact integers until the one final division, so the
+    statistic hash-matches the SQL sign-sum replay."""
+    from dcs_ray.functions.stats import mann_kendall
+
+    c = _daily_event_counts(sf_dir)
+    s, n_pairs, tau = mann_kendall(c["n"].to_numpy().astype(np.int64))
+    return pa.table(
+        {
+            "n_days": pa.array([len(c)], pa.int64()),
+            "s_stat": pa.array([s], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "tau": pa.array([tau], pa.float64()),
+        }
+    )
+
+
+def _q_acf_daily_events(sf_dir: str) -> pa.Table:
+    """Autocorrelation of daily event volume at lags 1..7 — the
+    weekly-seasonality detector. The biased estimator is expanded to
+    exact integer moments (see ``functions/stats.acf``) so the hugeint
+    SQL replay divides the identical numerator/denominator pair."""
+    from dcs_ray.functions.stats import acf
+
+    c = _daily_event_counts(sf_dir)
+    lags, r = acf(c["n"].to_numpy().astype(np.int64), max_lag=7)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "acf": pa.array(r, pa.float64()),
+        }
+    )
+
+
+def _q_dow_profile_events(sf_dir: str) -> pa.Table:
+    """Day-of-week activity profile: event share per ISO weekday
+    (0=Monday; epoch day 0 = Thursday → dow = (day+3) mod 7), the
+    seasonality fingerprint behind crawl scheduling. One 7-row
+    combiner fold; the share is a single rounded division."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def to_dow(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        dow = ((us // 86_400_000_000) + 3) % 7
+        return pa.table({"dow": pa.array(dow.astype(np.int64), pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(to_dow, batch_format="pyarrow"), ["dow"], [], count_col="n"
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("dow")
+    n = g["n"].to_numpy().astype(np.int64)
+    tot = float(n.sum())
+    return pa.table(
+        {
+            "dow": g["dow"].cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "share": pa.array(
+                np.round(n.astype(np.float64) / tot, 6) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
+def _q_mad_daily_events(sf_dir: str) -> pa.Table:
+    """Median absolute deviation of daily event volume — the robust
+    dispersion gauge for ingest monitoring. Both medians use the
+    two-middle-mean (quantile_cont) semantics the SQL replay spells
+    out with explicit row_number picks (`functions/stats.weighted_median`)."""
+    from dcs_ray.functions.stats import weighted_median
+
+    c = _daily_event_counts(sf_dir)
+    n = np.sort(c["n"].to_numpy().astype(np.int64)).astype(np.float64)
+    ones = np.ones(len(n), np.int64)
+    med = weighted_median(n, ones)
+    dev = np.sort(np.abs(n - med))
+    mad = weighted_median(dev, ones)
+    return pa.table(
+        {
+            "n_days": pa.array([len(n)], pa.int64()),
+            "median_n": pa.array([round(med, 6) + 0.0], pa.float64()),
+            "mad": pa.array([round(mad, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -6200,6 +6306,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roc_auc_quality": _q_roc_auc_quality,
         "log_loss_quality": _q_log_loss_quality,
         "host_split": _q_host_split,
+        "theil_sen_daily_trend": _q_theil_sen_daily_trend,
+        "mann_kendall_daily_trend": _q_mann_kendall_daily_trend,
+        "acf_daily_events": _q_acf_daily_events,
+        "dow_profile_events": _q_dow_profile_events,
+        "mad_daily_events": _q_mad_daily_events,
     }
 
 
@@ -6210,6 +6321,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _TOK = (
     "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
     "'[^a-z0-9]+'), x -> x <> '')) AS term FROM documents"
+)
+
+# (day, count) fold of events.ts — shared by the trend-suite oracles
+_DAILY_SQL = (
+    "SELECT (epoch_us(ts) // 86400000000)::bigint AS day, "
+    "count(*)::bigint AS n FROM events GROUP BY 1"
 )
 
 _BM25_SCORES = f"""
@@ -9381,5 +9498,71 @@ SELECT d.doc_id, d.source,
             WHEN th.h < {(1 << 64) * 9 // 10} THEN 'val'
             ELSE 'test' END AS split
 FROM documents d JOIN th ON th.term = d.source ORDER BY d.doc_id
+""",
+        # Theil–Sen: median of all pairwise day-slopes; even-n median
+        # as the explicit mean of the two middle order statistics
+        "theil_sen_daily_trend": f"""
+WITH d AS ({_DAILY_SQL}),
+p AS (SELECT (b.n - a.n)::double / (b.day - a.day)::double AS slope
+      FROM d a JOIN d b ON b.day > a.day),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS cnt FROM p)
+SELECT (SELECT count(*) FROM d)::bigint AS n_days,
+       (SELECT count(*) FROM p)::bigint AS n_pairs,
+       round(avg(slope), 6) AS slope
+FROM r WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+""",
+        # Mann–Kendall S and tau-a: exact integer sign-sum over
+        # day-ordered pairs, one final division
+        "mann_kendall_daily_trend": f"""
+WITH d AS ({_DAILY_SQL}),
+p AS (SELECT sign(b.n - a.n)::bigint AS s
+      FROM d a JOIN d b ON b.day > a.day),
+t AS (SELECT sum(s)::bigint AS s_stat, count(*)::bigint AS n_pairs FROM p)
+SELECT (SELECT count(*) FROM d)::bigint AS n_days, s_stat, n_pairs,
+       round(s_stat::double / n_pairs::double, 6) AS tau
+FROM t
+""",
+        # ACF lags 1..7 via exact hugeint moments:
+        # r_k = (n²P_k − nS(A_k+B_k) + (n−k)S²) / (n(nQ − S²))
+        "acf_daily_events": f"""
+WITH d AS ({_DAILY_SQL}),
+r AS (SELECT n::hugeint AS x, row_number() OVER (ORDER BY day) AS rn FROM d),
+s AS (SELECT count(*)::hugeint AS nn, sum(x)::hugeint AS sx,
+             sum(x * x)::hugeint AS sxx FROM r),
+m AS (SELECT l.lag,
+             sum(a.x * b.x)::hugeint AS pk,
+             sum(a.x)::hugeint AS ak, sum(b.x)::hugeint AS bk,
+             count(*)::hugeint AS mk
+      FROM range(1, 8) l(lag)
+      JOIN r a ON TRUE JOIN r b ON b.rn = a.rn - l.lag
+      GROUP BY l.lag)
+SELECT m.lag::bigint AS lag,
+       round((s.nn * s.nn * m.pk - s.nn * s.sx * (m.ak + m.bk)
+              + m.mk * s.sx * s.sx)::double
+             / (s.nn * (s.nn * s.sxx - s.sx * s.sx))::double, 6) AS acf
+FROM m, s ORDER BY lag
+""",
+        # ISO day-of-week (0=Monday) share — epoch day 0 was a Thursday
+        "dow_profile_events": """
+WITH d AS (SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow FROM events),
+g AS (SELECT dow::bigint AS dow, count(*)::bigint AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n)::bigint AS tot FROM g)
+SELECT dow, n, round(n::double / t.tot::double, 6) AS share
+FROM g, t ORDER BY dow
+""",
+        # MAD of daily counts: both medians via explicit two-middle avg
+        "mad_daily_events": f"""
+WITH d AS ({_DAILY_SQL}),
+r1 AS (SELECT n::double AS v, row_number() OVER (ORDER BY n) AS rn,
+              count(*) OVER () AS cnt FROM d),
+med AS (SELECT avg(v) AS m FROM r1 WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)),
+dev AS (SELECT abs(d.n::double - med.m) AS v FROM d, med),
+r2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+              count(*) OVER () AS cnt FROM dev)
+SELECT (SELECT count(*) FROM d)::bigint AS n_days,
+       round((SELECT m FROM med), 6) AS median_n,
+       round(avg(v), 6) AS mad
+FROM r2 WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
 """,
     }

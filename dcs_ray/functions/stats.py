@@ -26,6 +26,11 @@ __all__ = [
     "spearman_rho",
     "ks_two_sample",
     "markov_stationary",
+    "daily_counts",
+    "weighted_median",
+    "theil_sen_slope",
+    "mann_kendall",
+    "acf",
 ]
 
 
@@ -223,3 +228,91 @@ def markov_stationary(
             "pr": pa.array(np.round(v, 6) + 0.0, pa.float64()),
         }
     )
+
+
+def daily_counts(ds: ray.data.Dataset, ts_col: str = "ts") -> pa.Table:
+    """(epoch-day, count) fold of a timestamp column, sorted by day —
+    the tiny series every trend/seasonality operator consumes. Exchange
+    is |days| combiner rows."""
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"day": pa.array((us // 86_400_000_000).astype(np.int64), pa.int64())}
+        )
+
+    return pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ds.map_batches(to_day, batch_format="pyarrow"), ["day"], [], count_col="n"
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("day")
+
+
+def weighted_median(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """Interpolated median of a sorted value-count multiset — SQL
+    ``quantile_cont(0.5)`` semantics (even n: mean of the two middle
+    order statistics). ``vals`` must be ascending."""
+    n = int(cnts.sum())
+    if n == 0:
+        return float("nan")
+    cum = np.cumsum(cnts)
+    if n % 2 == 1:
+        return float(vals[np.searchsorted(cum, n // 2 + 1)])
+    lo = float(vals[np.searchsorted(cum, n // 2)])
+    hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def theil_sen_slope(day: np.ndarray, n: np.ndarray) -> tuple[float, int]:
+    """Theil–Sen estimator over a (day, count) series: the median of
+    all pairwise slopes — the robust trend line for ingest volume. The
+    pair set is |days|² on the DRIVER (days are bounded: a decade is
+    <4k points → <8M pairs), fed by the distributed daily fold. The
+    even-n median is the mean of the two middle order statistics,
+    matching the explicit two-row ``avg`` the SQL replay uses."""
+    d = day.astype(np.float64)
+    y = n.astype(np.float64)
+    i, j = np.triu_indices(len(d), k=1)
+    slopes = np.sort((y[j] - y[i]) / (d[j] - d[i]))
+    m = weighted_median(slopes, np.ones(len(slopes), np.int64))
+    return round(m, 6) + 0.0, len(slopes)
+
+
+def mann_kendall(n: np.ndarray) -> tuple[int, int, float]:
+    """Mann–Kendall trend statistic S = Σ sign(x_j − x_i) over ordered
+    pairs and Kendall's tau-a = S / C(n,2) — exact integers until the
+    single final division. Returns (S, n_pairs, tau)."""
+    i, j = np.triu_indices(len(n), k=1)
+    s = int(np.sign(n[j] - n[i]).astype(np.int64).sum())
+    npairs = len(i)
+    tau = float(s) / float(npairs) if npairs else 0.0
+    return s, npairs, round(tau, 6) + 0.0
+
+
+def acf(n: np.ndarray, max_lag: int) -> tuple[np.ndarray, np.ndarray]:
+    """Autocorrelation of an integer series at lags 1..max_lag — the
+    standard biased estimator r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²,
+    expanded to EXACT integer moments (Python bigints; the series is a
+    tiny driver-side daily fold) so the hugeint SQL replay hashes
+    identically:
+
+        r_k = (n²·P_k − n·S·(A_k+B_k) + (n−k)·S²) / (n·(n·Q − S²))
+
+    with P_k = Σ x_t·x_{t−k}, A_k/B_k the lead/lag partial sums,
+    S = Σx, Q = Σx². Each side of the final division is cast to
+    float64 BEFORE dividing (hugeint→double then /), matching the SQL.
+    Returns (lags, r) for lags 1..min(max_lag, n−1)."""
+    x = [int(v) for v in n]
+    nn = len(x)
+    s = sum(x)
+    q = sum(v * v for v in x)
+    den = nn * (nn * q - s * s)
+    lags, out = [], []
+    for k in range(1, min(max_lag, nn - 1) + 1):
+        a, b = x[k:], x[:-k]
+        p = sum(u * v for u, v in zip(a, b))
+        num = nn * nn * p - nn * s * (sum(a) + sum(b)) + (nn - k) * s * s
+        lags.append(k)
+        out.append(round(float(num) / float(den), 6) + 0.0 if den else 0.0)
+    return np.asarray(lags, np.int64), np.asarray(out, np.float64)

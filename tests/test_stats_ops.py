@@ -191,3 +191,61 @@ def test_host_split_group_integrity(ray_session):
     assert (per_host == 1).all()  # no host straddles splits
     assert set(t["split"]) <= {"train", "val", "test"}
     assert (t["split"] == "train").mean() > 0.2  # 80% in expectation
+
+
+def test_theil_sen_and_mann_kendall_known_series():
+    """Closed-form checks on tiny hand series (no Ray needed)."""
+    from dcs_ray.functions.stats import mann_kendall, theil_sen_slope
+
+    day = np.array([0, 1, 2, 3], np.int64)
+    n = np.array([1, 3, 2, 8], np.int64)
+    slope, n_pairs = theil_sen_slope(day, n)
+    # slopes: (3-1)/1=2, (2-1)/2=.5, (8-1)/3=7/3, (2-3)/1=-1,
+    #         (8-3)/2=2.5, (8-2)/1=6 -> sorted [-1,.5,2,7/3,2.5,6]
+    assert n_pairs == 6
+    assert abs(slope - (2 + 7 / 3) / 2) < 1e-6
+    s, npairs, tau = mann_kendall(n)
+    assert (s, npairs) == (4, 6)  # signs: +,+,+,-,+,+
+    assert abs(tau - 4 / 6) < 1e-6
+
+    # strictly increasing -> slope>0, tau=1
+    s2, np2, tau2 = mann_kendall(np.arange(10, dtype=np.int64))
+    assert s2 == np2 and tau2 == 1.0
+
+
+def test_acf_matches_float_estimator():
+    """Integer-moment ACF == the textbook float computation."""
+    from dcs_ray.functions.stats import acf
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1000, size=40).astype(np.int64)
+    lags, r = acf(x, max_lag=7)
+    xc = x.astype(np.float64) - x.mean()
+    den = float((xc * xc).sum())
+    for k, rk in zip(lags, r):
+        want = float((xc[k:] * xc[:-k]).sum()) / den
+        assert abs(rk - round(want, 6)) < 1.1e-6
+    # lag list clips at n-1
+    lags2, _ = acf(np.array([1, 5, 2], np.int64), max_lag=7)
+    assert list(lags2) == [1, 2]
+
+
+def test_weighted_median_quantile_cont_semantics():
+    from dcs_ray.functions.stats import weighted_median
+
+    v = np.array([1.0, 2.0, 10.0])
+    assert weighted_median(v, np.array([1, 1, 1])) == 2.0
+    assert weighted_median(v, np.array([1, 1, 2])) == 6.0  # (2+10)/2
+    assert weighted_median(v[:1], np.array([0])) != weighted_median(v[:1], np.array([0]))  # nan
+
+
+def test_daily_counts_fold(ray_session):
+    import ray.data
+    from dcs_ray.functions.stats import daily_counts
+
+    us = np.array([0, 1, 86_400_000_000, 86_400_000_001, 2 * 86_400_000_000],
+                  np.int64)
+    ds = ray.data.from_arrow(pa.table({"ts": pa.array(us, pa.timestamp("us"))}))
+    t = daily_counts(ds, "ts")
+    assert t["day"].to_pylist() == [0, 1, 2]
+    assert t["n"].to_pylist() == [2, 2, 1]
