@@ -1304,9 +1304,9 @@ def _q_kmeans(sf_dir: str) -> pa.Table:
     return kmeans_fit(emb, k=4, n_iter=3)
 
 
-def _kmeans_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
-    """k-means replay: long-form embeddings, per-iteration distance /
-    argmin / mean CTEs; sizes from the final assignment."""
+def _kmeans_parts(k: int = 4, n_iter: int = 3, dim: int = 64) -> list[str]:
+    """Shared CTE chain for the k-means replays: seeding + per-iteration
+    distance / argmin / mean steps, ending at centroids ``c{n_iter}``."""
     parts = [
         f"""e AS MATERIALIZED (
   SELECT vec_id, i.i AS dim, embedding[i.i]::double AS v
@@ -1333,6 +1333,13 @@ c{t + 1} AS MATERIALIZED (
   SELECT c.cid, c.dim, c.v FROM c{t} c
   WHERE c.cid NOT IN (SELECT DISTINCT cid FROM a{t}))"""
         )
+    return parts
+
+
+def _kmeans_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """k-means replay: long-form embeddings, per-iteration distance /
+    argmin / mean CTEs; sizes from the final assignment."""
+    parts = _kmeans_parts(k, n_iter, dim)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -1342,6 +1349,41 @@ SELECT c.cid, coalesce(z.n, 0)::bigint AS n_members, c.dim,
        round(c.v, 6) AS centroid
 FROM c{n_iter} c LEFT JOIN sz z USING (cid)
 ORDER BY c.cid, c.dim"""
+    )
+
+
+def _kmeans_db_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Davies–Bouldin replay: one more assignment pass against the
+    FINAL centroids c{n_iter}, per-cluster mean member distance,
+    centroid-pair separations, the worst (S_i+S_j)/M_ij term per
+    cluster, and their mean (mirrors ``functions/kmeans.davies_bouldin``)."""
+    n = n_iter
+    parts = _kmeans_parts(k, n_iter, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+df AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e JOIN c{n} c USING (dim) GROUP BY e.vec_id, c.cid),
+af AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM df) WHERE rn = 1),
+sc AS (SELECT cid, count(*)::bigint AS n_members,
+              sum(sqrt(dist)) / count(*) AS s FROM af GROUP BY cid),
+mm AS (SELECT a.cid AS ci, b.cid AS cj,
+              sqrt(sum((a.v - b.v) * (a.v - b.v))) AS m
+       FROM c{n} a JOIN c{n} b USING (dim)
+       WHERE a.cid <> b.cid GROUP BY a.cid, b.cid),
+dbt AS (SELECT sa.cid, sa.n_members, sa.s,
+               max((sa.s + sb.s) / mm.m) AS term
+        FROM sc sa JOIN mm ON mm.ci = sa.cid JOIN sc sb ON sb.cid = mm.cj
+        GROUP BY sa.cid, sa.n_members, sa.s)
+SELECT cid, n_members, round(s, 6) AS scatter, round(term, 6) AS db_term,
+       round((SELECT sum(term) / count(*) FROM dbt), 6) AS db_index
+FROM dbt ORDER BY cid"""
     )
 
 
@@ -6082,6 +6124,319 @@ def _q_mad_daily_events(sf_dir: str) -> pa.Table:
     )
 
 
+_US_PER_DAY = 86_400_000_000
+
+
+def _q_shipping_delay_by_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q12-shape late-shipment audit (adapted to this schema's
+    columns): lineitem ⋈ orders via a broadcast of the order-date
+    column, ship delay in whole days as exact integer µs arithmetic,
+    then per-priority line counts and the >60-day late share — one
+    |priorities|-row combiner fold."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = broadcast_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        small_cols=("o_orderdate", "o_orderpriority"),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = (
+            b["l_shipdate"].cast(pa.int64()).to_numpy()
+            - b["o_orderdate"].cast(pa.int64()).to_numpy()
+        ) // _US_PER_DAY
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "late": pa.array((d > 60).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            j.map_batches(prep, batch_format="pyarrow"),
+            ["o_orderpriority"], ["late"], count_col="n_lines",
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("o_orderpriority")
+    n = g["n_lines"].to_numpy().astype(np.int64)
+    late = g["late"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "o_orderpriority": g["o_orderpriority"],
+            "n_lines": pa.array(n, pa.int64()),
+            "n_late": pa.array(late, pa.int64()),
+            "late_share": pa.array(
+                np.round(late.astype(np.float64) / n.astype(np.float64), 6) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_suppliers_kept_waiting(sf_dir: str) -> pa.Table:
+    """TPC-H-Q21-shape sole-late-supplier ranking (adapted: 'late' =
+    shipped >90 days after the order date): per (order, supplier) the
+    late flag collapses through the combiner, a groupby(order)
+    map_groups keeps the unique late supplier of multi-supplier orders
+    (the dual semi/anti-join of Q21 without any driver state), then a
+    per-supplier count joins names via broadcast. Top 20 by waits desc,
+    name asc."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    j = broadcast_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        small_cols=("o_orderdate",),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        d = (
+            b["l_shipdate"].cast(pa.int64()).to_numpy()
+            - b["o_orderdate"].cast(pa.int64()).to_numpy()
+        ) // _US_PER_DAY
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "l_suppkey": b["l_suppkey"].cast(pa.int64()),
+                "late": pa.array((d > 90).astype(np.int64), pa.int64()),
+            }
+        )
+
+    pairs = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], ["late"], count_col="n",
+    )
+
+    def per_order(g: pa.Table) -> pa.Table:
+        late = g["late"].to_numpy().astype(np.int64) > 0
+        if len(g) > 1 and int(late.sum()) == 1:
+            skey = g["l_suppkey"].to_numpy().astype(np.int64)[late]
+            return pa.table({"l_suppkey": pa.array(skey, pa.int64())})
+        return pa.table({"l_suppkey": pa.array([], pa.int64())})
+
+    waits = pairs.groupby("l_orderkey").map_groups(
+        per_order, batch_format="pyarrow"
+    )
+    cnt = combiner_groupby(waits, ["l_suppkey"], [], count_col="numwait")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    named = broadcast_join(
+        cnt, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_name",)
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in named.iter_batches(batch_format="pyarrow")
+    ).sort_by([("numwait", "descending"), ("s_name", "ascending")])
+    t = t.slice(0, 20)
+    return pa.table(
+        {
+            "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "s_name": t["s_name"],
+            "numwait": t["numwait"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_calibration_quality(sf_dir: str) -> pa.Table:
+    """Reliability diagram of the quality classifier vs the lang=='en'
+    label: probabilities pin to integer micro-units, bin = decile of
+    p (clamped to 9), and each bin's mean predicted p / observed
+    positive rate come from exact integer sums — one ≤10-row combiner
+    fold, both divisions at the very end."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = docs.map_batches(_QualityWithLabel, concurrency=2, batch_format="pyarrow")
+
+    def to_bin(b: pa.Table) -> pa.Table:
+        p6 = np.floor(b["quality_prob"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.minimum(p6 // 100_000, 9), pa.int64()),
+                "p6": pa.array(p6, pa.int64()),
+                "y": b["y"],
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            scored.map_batches(to_bin, batch_format="pyarrow"),
+            ["bin"], ["p6", "y"], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("bin")
+    n = g["n"].to_numpy().astype(np.int64)
+    sp6 = g["p6"].to_numpy().astype(np.int64)
+    npos = g["y"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bin": g["bin"].cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "n_pos": pa.array(npos, pa.int64()),
+            "mean_p": pa.array(
+                np.round(sp6.astype(np.float64) / (n * 1_000_000).astype(np.float64), 6)
+                + 0.0,
+                pa.float64(),
+            ),
+            "frac_pos": pa.array(
+                np.round(npos.astype(np.float64) / n.astype(np.float64), 6) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_pr_threshold_quality(sf_dir: str) -> pa.Table:
+    """Precision/recall/F1 of the quality classifier at thresholds
+    0.1..0.9: the (p-micro-unit, label) value-count fold is the only
+    exchange; tp/fp/fn per threshold are exact integer cumulations and
+    every metric is a single tp-integer division (F1 = 2tp/(2tp+fp+fn)
+    — never composed from rounded P and R)."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = docs.map_batches(_QualityWithLabel, concurrency=2, batch_format="pyarrow")
+
+    def to_p6(b: pa.Table) -> pa.Table:
+        p6 = np.floor(b["quality_prob"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"p6": pa.array(p6, pa.int64()), "y": b["y"]})
+
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            scored.map_batches(to_p6, batch_format="pyarrow"), ["p6", "y"], [], "c"
+        ).iter_batches(batch_format="pyarrow")
+    )
+    p6 = vc["p6"].to_numpy().astype(np.int64)
+    y = vc["y"].to_numpy().astype(np.int64)
+    c = vc["c"].to_numpy().astype(np.int64)
+    total_pos = int(c[y == 1].sum())
+    rows = []
+    for t6 in range(100_000, 1_000_000, 100_000):
+        sel = p6 >= t6
+        tp = int(c[sel & (y == 1)].sum())
+        fp = int(c[sel & (y == 0)].sum())
+        fn = total_pos - tp
+        prec = round(float(tp) / float(tp + fp), 6) + 0.0 if tp + fp else 0.0
+        rec = round(float(tp) / float(tp + fn), 6) + 0.0 if tp + fn else 0.0
+        f1 = (
+            round(2.0 * tp / float(2 * tp + fp + fn), 6) + 0.0
+            if 2 * tp + fp + fn
+            else 0.0
+        )
+        rows.append((round(t6 / 1e6, 6), tp, fp, fn, prec, rec, f1))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "threshold": pa.array(cols[0], pa.float64()),
+            "tp": pa.array(cols[1], pa.int64()),
+            "fp": pa.array(cols[2], pa.int64()),
+            "fn": pa.array(cols[3], pa.int64()),
+            "precision": pa.array(cols[4], pa.float64()),
+            "recall": pa.array(cols[5], pa.float64()),
+            "f1": pa.array(cols[6], pa.float64()),
+        }
+    )
+
+
+def _q_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM customer segmentation over orders: per-customer recency
+    (days since last order vs the global max date), frequency, and
+    monetary total in EXACT cents fold through one grouped pass
+    (sum/count/max partials); the three split points are two-middle
+    medians and each customer gets a deterministic 'R{0,1}F{0,1}M{0,1}'
+    segment by comparing against them. Output is per-customer (the
+    result itself is |customers|-sized; the medians come from the same
+    fold, no extra pass)."""
+    from ray.data.aggregate import Max, Sum
+
+    from dcs_ray.functions.stats import weighted_median
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b["o_custkey"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "ts": b["o_orderdate"].cast(pa.int64()),
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents"), Sum("one"), Max("ts"))
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")
+    ).sort_by("c_custkey")
+    cust = t["c_custkey"].to_numpy().astype(np.int64)
+    cents = t["sum(cents)"].to_numpy().astype(np.int64)
+    freq = t["sum(one)"].to_numpy().astype(np.int64)
+    mx = t["max(ts)"].to_numpy().astype(np.int64)
+    r_days = (int(mx.max()) - mx) // _US_PER_DAY
+
+    def med(v: np.ndarray) -> float:
+        s = np.sort(v).astype(np.float64)
+        return weighted_median(s, np.ones(len(s), np.int64))
+
+    med_r, med_f, med_m = med(r_days), med(freq), med(cents)
+    seg = np.char.add(
+        np.char.add(
+            np.where(r_days.astype(np.float64) <= med_r, "R1", "R0"),
+            np.where(freq.astype(np.float64) >= med_f, "F1", "F0"),
+        ),
+        np.where(cents.astype(np.float64) >= med_m, "M1", "M0"),
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(cust, pa.int64()),
+            "r_days": pa.array(r_days.astype(np.int64), pa.int64()),
+            "freq": pa.array(freq, pa.int64()),
+            "monetary_cents": pa.array(cents, pa.int64()),
+            "segment": pa.array(seg.tolist(), pa.string()),
+        }
+    )
+
+
+def _q_kmeans_davies_bouldin(sf_dir: str) -> pa.Table:
+    """Davies–Bouldin index of the k=4 k-means partition over the
+    embeddings table (see ``functions/kmeans.davies_bouldin``); the
+    oracle replays training, the final assignment pass, per-cluster
+    scatters, centroid separations, and the worst-ratio terms in
+    chained CTEs."""
+    from dcs_ray.functions.kmeans import davies_bouldin
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return davies_bouldin(emb, k=4, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -6311,6 +6666,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_daily_events": _q_acf_daily_events,
         "dow_profile_events": _q_dow_profile_events,
         "mad_daily_events": _q_mad_daily_events,
+        "shipping_delay_by_priority": _q_shipping_delay_by_priority,
+        "suppliers_kept_waiting": _q_suppliers_kept_waiting,
+        "calibration_quality": _q_calibration_quality,
+        "pr_threshold_quality": _q_pr_threshold_quality,
+        "rfm_segments": _q_rfm_segments,
+        "kmeans_davies_bouldin": _q_kmeans_davies_bouldin,
     }
 
 
@@ -9565,4 +9926,95 @@ SELECT (SELECT count(*) FROM d)::bigint AS n_days,
        round(avg(v), 6) AS mad
 FROM r2 WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
 """,
+        # Q12-shape: ship delay in whole days, >60-day late share
+        "shipping_delay_by_priority": """
+WITH j AS (SELECT o_orderpriority,
+                  (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                    // 86400000000 AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, count(*)::bigint AS n_lines,
+       sum(CASE WHEN d > 60 THEN 1 ELSE 0 END)::bigint AS n_late,
+       round(sum(CASE WHEN d > 60 THEN 1 ELSE 0 END)::double
+             / count(*)::double, 6) AS late_share
+FROM j GROUP BY 1 ORDER BY 1
+""",
+        # Q21-shape: sole late supplier of multi-supplier orders
+        "suppliers_kept_waiting": """
+WITH l AS (SELECT l_orderkey, l_suppkey,
+                  CASE WHEN (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                            // 86400000000 > 90 THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ps AS (SELECT l_orderkey, l_suppkey, max(late) AS late FROM l GROUP BY 1, 2),
+os AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+       FROM ps GROUP BY 1),
+w AS (SELECT ps.l_suppkey FROM ps JOIN os USING (l_orderkey)
+      WHERE ps.late = 1 AND os.n_supp > 1 AND os.n_late = 1),
+c AS (SELECT l_suppkey, count(*)::bigint AS numwait FROM w GROUP BY 1)
+SELECT s.s_suppkey::bigint AS s_suppkey, s.s_name, c.numwait
+FROM c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+ORDER BY numwait DESC, s_name ASC LIMIT 20
+""",
+        # reliability bins: integer micro-unit sums, two final divisions
+        "calibration_quality": f"""
+WITH {_QC_CTES},
+lab AS (SELECT CAST(floor(q.p * 1000000 + 0.5) AS BIGINT) AS p6,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM qprob q JOIN documents d USING (doc_id)),
+b AS (SELECT least(p6 // 100000, 9)::bigint AS bin, p6, y FROM lab),
+g AS (SELECT bin, count(*)::bigint AS n, sum(y)::bigint AS n_pos,
+             sum(p6)::bigint AS sp6 FROM b GROUP BY bin)
+SELECT bin, n, n_pos,
+       round(sp6::double / (n * 1000000)::double, 6) AS mean_p,
+       round(n_pos::double / n::double, 6) AS frac_pos
+FROM g ORDER BY bin
+""",
+        # P/R/F1 at 0.1..0.9: integer tp/fp/fn, one division per metric
+        "pr_threshold_quality": f"""
+WITH {_QC_CTES},
+lab AS (SELECT CAST(floor(q.p * 1000000 + 0.5) AS BIGINT) AS p6,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM qprob q JOIN documents d USING (doc_id)),
+th AS (SELECT (t.t * 100000)::bigint AS t6 FROM range(1, 10) t(t)),
+m AS (SELECT th.t6,
+             sum(CASE WHEN p6 >= th.t6 THEN y ELSE 0 END)::bigint AS tp,
+             sum(CASE WHEN p6 >= th.t6 THEN 1 - y ELSE 0 END)::bigint AS fp,
+             sum(CASE WHEN p6 < th.t6 THEN y ELSE 0 END)::bigint AS fn
+      FROM lab, th GROUP BY th.t6)
+SELECT round(t6::double / 1000000.0, 6) AS threshold, tp, fp, fn,
+       CASE WHEN tp + fp = 0 THEN 0.0
+            ELSE round(tp::double / (tp + fp)::double, 6) END AS precision,
+       CASE WHEN tp + fn = 0 THEN 0.0
+            ELSE round(tp::double / (tp + fn)::double, 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+            ELSE round(2 * tp::double / (2 * tp + fp + fn)::double, 6) END AS f1
+FROM m ORDER BY t6
+""",
+        # RFM: exact-cents folds, two-middle medians, threshold segments
+        "rfm_segments": """
+WITH m AS (SELECT o_custkey AS c_custkey, count(*)::bigint AS freq,
+                  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::bigint
+                    AS monetary_cents,
+                  max(epoch_us(o_orderdate)) AS mx
+           FROM orders GROUP BY 1),
+gm AS (SELECT max(mx) AS gmx FROM m),
+r AS (SELECT c_custkey, freq, monetary_cents,
+             ((gm.gmx - mx) // 86400000000)::bigint AS r_days FROM m, gm),
+medr AS (SELECT avg(v) AS v FROM (
+  SELECT r_days::double AS v, row_number() OVER (ORDER BY r_days) AS rn,
+         count(*) OVER () AS cnt FROM r) WHERE rn IN ((cnt+1)//2, (cnt+2)//2)),
+medf AS (SELECT avg(v) AS v FROM (
+  SELECT freq::double AS v, row_number() OVER (ORDER BY freq) AS rn,
+         count(*) OVER () AS cnt FROM r) WHERE rn IN ((cnt+1)//2, (cnt+2)//2)),
+medm AS (SELECT avg(v) AS v FROM (
+  SELECT monetary_cents::double AS v,
+         row_number() OVER (ORDER BY monetary_cents) AS rn,
+         count(*) OVER () AS cnt FROM r) WHERE rn IN ((cnt+1)//2, (cnt+2)//2))
+SELECT c_custkey, r_days, freq, monetary_cents,
+       concat(CASE WHEN r_days::double <= medr.v THEN 'R1' ELSE 'R0' END,
+              CASE WHEN freq::double >= medf.v THEN 'F1' ELSE 'F0' END,
+              CASE WHEN monetary_cents::double >= medm.v THEN 'M1' ELSE 'M0' END)
+         AS segment
+FROM r, medr, medf, medm ORDER BY c_custkey
+""",
+        "kmeans_davies_bouldin": _kmeans_db_sql(k=4, n_iter=3, dim=64),
     }

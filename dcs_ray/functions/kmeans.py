@@ -39,14 +39,16 @@ def _emb_f64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
-def kmeans_fit(
+def _train_centroids(
     ds: ray.data.Dataset,
-    k: int = 4,
-    n_iter: int = 3,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> pa.Table:
-    """Train k centroids; see module docstring for the contract."""
+    k: int,
+    n_iter: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[np.ndarray, np.ndarray, ray.data.Dataset]:
+    """Lloyd's training core shared by ``kmeans_fit`` and
+    ``davies_bouldin``: returns (UNROUNDED centroids (k,d), member
+    counts from the last assignment pass, the materialized input)."""
     ds = ds.materialize()  # consumed n_iter + 1 times
 
     # deterministic seeds: embeddings of the k smallest ids
@@ -116,7 +118,19 @@ def kmeans_fit(
             counts[cid] = cnt
             newC[cid] = tot / float(cnt)
         C = newC
+    return C, counts, ds
 
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Train k centroids; see module docstring for the contract."""
+    C, counts, _ = _train_centroids(ds, k, n_iter, vec_col, id_col)
+    d = C.shape[1]
     out_cid, out_n, out_dim, out_v = [], [], [], []
     for cid in range(k):
         for j in range(d):
@@ -130,6 +144,83 @@ def kmeans_fit(
             "n_members": pa.array(out_n, pa.int64()),
             "dim": pa.array(out_dim, pa.int64()),
             "centroid": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
+def davies_bouldin(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Davies–Bouldin clustering-quality index over the trained k-means
+    partition: per-cluster scatter S_i = mean ‖x − c_i‖ of members,
+    centroid separation M_ij = ‖c_i − c_j‖, and the per-cluster worst
+    ratio term_i = max_{j≠i} (S_i+S_j)/M_ij; DB = mean_i term_i (lower
+    is better). One extra streaming assignment pass after training —
+    each batch emits ≤k (cid, Σ‖x−c‖, n) partials, folded in canonical
+    sorted order; everything after is k² driver floats. Empty clusters
+    are excluded (no scatter is defined). Output: one row per non-empty
+    cluster plus the constant db_index column, round 6 (same ULP
+    contract as the centroid means)."""
+    C, _, ds = _train_centroids(ds, k, n_iter, vec_col, id_col)
+    cref = ray.put(C.copy())
+
+    def partial(b: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        E = _emb_f64(b[vec_col])
+        dist = ((E[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)  # ties -> smallest cid
+        dmin = np.sqrt(dist[np.arange(len(E)), a])
+        cids, inv = np.unique(a, return_inverse=True)
+        ssq = np.zeros(len(cids), np.float64)
+        np.add.at(ssq, inv, dmin)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(cids.astype(np.int64), pa.int64()),
+                "ssq": pa.array(ssq, pa.float64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by([("cid", "ascending"), ("ssq", "ascending")])  # canonical fold
+    cids = rows["cid"].to_numpy(zero_copy_only=False)
+    ssq = rows["ssq"].to_numpy(zero_copy_only=False)
+    ns = rows["n"].to_numpy(zero_copy_only=False)
+    present = np.unique(cids)
+    S = np.zeros(len(present), np.float64)
+    N = np.zeros(len(present), np.int64)
+    for idx, cid in enumerate(present):
+        m = cids == cid
+        S[idx] = ssq[m].sum() / float(ns[m].sum())
+        N[idx] = int(ns[m].sum())
+    # centroid separations and worst-ratio terms over PRESENT clusters
+    sub = C[present]
+    diff = sub[:, None, :] - sub[None, :, :]
+    M = np.sqrt((diff * diff).sum(axis=2))
+    terms = np.empty(len(present), np.float64)
+    for i in range(len(present)):
+        r = (S[i] + S) / np.where(M[i] > 0, M[i], np.inf)
+        r[i] = -np.inf
+        terms[i] = r.max()
+    db = float(terms.sum() / len(terms))
+    return pa.table(
+        {
+            "cid": pa.array(present.astype(np.int64), pa.int64()),
+            "n_members": pa.array(N, pa.int64()),
+            "scatter": pa.array(np.round(S, 6) + 0.0, pa.float64()),
+            "db_term": pa.array(np.round(terms, 6) + 0.0, pa.float64()),
+            "db_index": pa.array(
+                np.full(len(present), round(db, 6) + 0.0), pa.float64()
+            ),
         }
     )
 
