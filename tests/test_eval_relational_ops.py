@@ -80,3 +80,28 @@ def test_rfm_segments_thresholds(ray_session):
     m0 = t[t.segment.str.contains("M0")]["monetary_cents"]
     assert m1.min() > m0.max() or abs(len(m1) - len(m0)) <= len(t)
     assert m1.min() >= np.median(t["monetary_cents"]) - 1
+
+
+def test_textrank_hand_graph(ray_session):
+    """'a b a b c' graph: w(a,b)=3, w(b,c)=1; b must outrank a, c last;
+    a single-token doc converges to RESID."""
+    import ray.data
+    from dcs_ray.functions.textrank import textrank_keywords
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a b c", "solo"], pa.string()),
+    })
+    out = pa.concat_tables(
+        pa.table(b) for b in textrank_keywords(
+            ray.data.from_arrow(t), k=3, n_iter=5
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by([("doc_id", "ascending"), ("rank", "ascending")])
+    d1 = out.filter(pa.compute.equal(out["doc_id"], 1))
+    assert d1["term"].to_pylist()[0] == "b"  # hub of the graph
+    assert set(d1["term"].to_pylist()) == {"a", "b", "c"}
+    s = d1["score"].to_pylist()
+    assert s[0] > s[1] > s[2]
+    d2 = out.filter(pa.compute.equal(out["doc_id"], 2))
+    assert d2["term"].to_pylist() == ["solo"]
+    assert abs(d2["score"][0].as_py() - 0.15) < 1e-9
