@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
@@ -6507,6 +6508,204 @@ SELECT doc_id, rank::bigint AS rank, term, score
 FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank"""
 
 
+def _q_event_value_stats(sf_dir: str) -> pa.Table:
+    """Per-event-type monetary profile: count, EXACT-cents sum, mean,
+    and share of the total value — the revenue breakdown every event
+    pipeline reports. One |types|-row combiner fold, exact integers
+    until the two final divisions."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"event_type": b["event_type"], "cents": pa.array(cents, pa.int64())}
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"], ["cents"], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("event_type")
+    n = g["n"].to_numpy().astype(np.int64)
+    cents = g["cents"].to_numpy().astype(np.int64)
+    tot = int(cents.sum())
+    return pa.table(
+        {
+            "event_type": g["event_type"],
+            "n": pa.array(n, pa.int64()),
+            "sum_cents": pa.array(cents, pa.int64()),
+            "mean_value": pa.array(
+                np.round(cents.astype(np.float64) / (n * 100).astype(np.float64), 6)
+                + 0.0,
+                pa.float64(),
+            ),
+            "value_share": pa.array(
+                np.round(cents.astype(np.float64) / float(tot), 6) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_revenue_concentration(sf_dir: str) -> pa.Table:
+    """Whale-concentration audit: the share of total purchase value
+    held by the top 1% and top 10% of purchasers (revenue desc, user
+    asc tiebreak; integer-ceil head sizes). Per-user revenue folds
+    through the combiner in exact cents; the ranked scan is
+    |purchasers|-sized."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        sel = pc.equal(b["event_type"], "purchase")
+        f = b.filter(sel)
+        cents = np.floor(f["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": f["user_id"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"], ["cents"], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    user = g["user_id"].to_numpy().astype(np.int64)
+    cents = g["cents"].to_numpy().astype(np.int64)
+    order = np.lexsort((user, -cents))  # revenue desc, user asc
+    c_sorted = cents[order]
+    n_users = len(user)
+    tot = int(cents.sum())
+    k1 = (n_users + 99) // 100
+    k10 = (n_users + 9) // 10
+    s1 = int(c_sorted[:k1].sum())
+    s10 = int(c_sorted[:k10].sum())
+    return pa.table(
+        {
+            "n_users": pa.array([n_users], pa.int64()),
+            "total_cents": pa.array([tot], pa.int64()),
+            "top1pct_users": pa.array([k1], pa.int64()),
+            "top1pct_share": pa.array([round(s1 / tot, 6) + 0.0], pa.float64()),
+            "top10pct_users": pa.array([k10], pa.int64()),
+            "top10pct_share": pa.array([round(s10 / tot, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_arpu_percentiles(sf_dir: str) -> pa.Table:
+    """Per-purchaser revenue percentiles (p50/p90/p99) with EXPLICIT
+    linear interpolation — pos = (n−1)·q, v = lo + (hi−lo)·frac — the
+    same expression the SQL replay spells out with row_number picks,
+    so no dependence on any engine's quantile_cont internals. Revenue
+    folds in exact cents; output in currency units round 6."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        sel = pc.equal(b["event_type"], "purchase")
+        f = b.filter(sel)
+        cents = np.floor(f["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": f["user_id"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"], ["cents"], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    v = np.sort(g["cents"].to_numpy().astype(np.int64)).astype(np.float64)
+    n = len(v)
+    qs, out = [], []
+    for q in (0.5, 0.9, 0.99):
+        pos = (n - 1) * q
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, n - 1)
+        frac = pos - np.floor(pos)
+        val = v[lo] + (v[hi] - v[lo]) * frac
+        qs.append(q)
+        out.append(round(val / 100.0, 6) + 0.0)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "n_users": pa.array([n] * 3, pa.int64()),
+            "revenue": pa.array(out, pa.float64()),
+        }
+    )
+
+
+def _q_props_field_stats(sf_dir: str) -> pa.Table:
+    """JSON sidecar-field extraction: pull the integer ``k`` field out
+    of the ``props`` JSON column with a vectorized Arrow regex kernel
+    (fast path for flat integer fields; rows without the field drop
+    out as nulls, exactly like SQL json_extract) and profile it per
+    event type — n, sum, mean, min, max. One |types|-row fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        valid = pc.is_valid(k)
+        f = pa.table({"event_type": b["event_type"], "k": k}).filter(valid)
+        return pa.table(
+            {
+                "event_type": f["event_type"],
+                "k": f["k"],
+                "one": pa.array(np.ones(len(f), np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k"), Sum("one"), Min("k"), Max("k"))
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")
+    ).sort_by("event_type")
+    sk = t["sum(k)"].to_numpy().astype(np.int64)
+    n = t["sum(one)"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "event_type": t["event_type"],
+            "n_with_k": pa.array(n, pa.int64()),
+            "sum_k": pa.array(sk, pa.int64()),
+            "mean_k": pa.array(
+                np.round(sk.astype(np.float64) / n.astype(np.float64), 6) + 0.0,
+                pa.float64(),
+            ),
+            "min_k": t["min(k)"].cast(pa.int64()),
+            "max_k": t["max(k)"].cast(pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -6743,6 +6942,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "kmeans_davies_bouldin": _q_kmeans_davies_bouldin,
         "textrank_keywords": _q_textrank_keywords,
+        "event_value_stats": _q_event_value_stats,
+        "revenue_concentration": _q_revenue_concentration,
+        "arpu_percentiles": _q_arpu_percentiles,
+        "props_field_stats": _q_props_field_stats,
     }
 
 
@@ -10089,4 +10292,62 @@ FROM r, medr, medf, medm ORDER BY c_custkey
 """,
         "kmeans_davies_bouldin": _kmeans_db_sql(k=4, n_iter=3, dim=64),
         "textrank_keywords": _textrank_sql(k=3, n_iter=5),
+        # per-type exact-cents revenue profile
+        "event_value_stats": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+g AS (SELECT event_type, count(*)::bigint AS n, sum(cents)::bigint AS sum_cents
+      FROM c GROUP BY 1),
+t AS (SELECT sum(sum_cents)::bigint AS tot FROM g)
+SELECT event_type, n, sum_cents,
+       round(sum_cents::double / (n * 100)::double, 6) AS mean_value,
+       round(sum_cents::double / t.tot::double, 6) AS value_share
+FROM g, t ORDER BY event_type
+""",
+        # top-1%/10% purchaser share, integer-ceil head sizes
+        "revenue_concentration": """
+WITH u AS (SELECT user_id,
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::bigint AS c
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, user_id ASC) AS rn,
+             count(*) OVER () AS n, sum(c) OVER () AS tot FROM u)
+SELECT max(n)::bigint AS n_users, max(tot)::bigint AS total_cents,
+       ((max(n) + 99) // 100)::bigint AS top1pct_users,
+       round(sum(CASE WHEN rn <= (n + 99) // 100 THEN c ELSE 0 END)::double
+             / max(tot)::double, 6) AS top1pct_share,
+       ((max(n) + 9) // 10)::bigint AS top10pct_users,
+       round(sum(CASE WHEN rn <= (n + 9) // 10 THEN c ELSE 0 END)::double
+             / max(tot)::double, 6) AS top10pct_share
+FROM r
+""",
+        # explicit-interpolation per-purchaser revenue percentiles
+        "arpu_percentiles": """
+WITH u AS (SELECT user_id,
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::bigint AS c
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+r AS (SELECT c::double AS v, row_number() OVER (ORDER BY c) AS rn,
+             count(*) OVER () AS n FROM u),
+q AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+pos AS (SELECT q.q, (max(r.n) - 1) * q.q AS p, max(r.n)::bigint AS n
+        FROM q, r GROUP BY q.q),
+pick AS (SELECT p.q, p.n, p.p - floor(p.p) AS frac,
+                lo.v AS vlo, hi.v AS vhi
+         FROM pos p
+         JOIN r lo ON lo.rn = CAST(floor(p.p) AS BIGINT) + 1
+         JOIN r hi ON hi.rn = least(CAST(floor(p.p) AS BIGINT) + 2, p.n))
+SELECT q, n AS n_users,
+       round((vlo + (vhi - vlo) * frac) / 100.0, 6) AS revenue
+FROM pick ORDER BY q
+""",
+        # JSON sidecar k-field profile per type
+        "props_field_stats": """
+WITH k AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events),
+f AS (SELECT event_type, k FROM k WHERE k IS NOT NULL)
+SELECT event_type, count(*)::bigint AS n_with_k, sum(k)::bigint AS sum_k,
+       round(sum(k)::double / count(*)::double, 6) AS mean_k,
+       min(k)::bigint AS min_k, max(k)::bigint AS max_k
+FROM f GROUP BY event_type ORDER BY event_type
+""",
     }

@@ -105,3 +105,29 @@ def test_textrank_hand_graph(ray_session):
     d2 = out.filter(pa.compute.equal(out["doc_id"], 2))
     assert d2["term"].to_pylist() == ["solo"]
     assert abs(d2["score"][0].as_py() - 0.15) < 1e-9
+
+
+def test_revenue_ops_identities(ray_session):
+    from __ray_entry__ import (
+        _q_arpu_percentiles, _q_event_value_stats, _q_revenue_concentration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = _q_event_value_stats(sf)
+    assert abs(sum(ev["value_share"].to_pylist()) - 1.0) < 1e-5
+    rc = _q_revenue_concentration(sf)
+    assert 0 < rc["top1pct_share"][0].as_py() <= rc["top10pct_share"][0].as_py() <= 1
+    ap = _q_arpu_percentiles(sf).to_pandas()
+    assert (ap.sort_values("q")["revenue"].diff().dropna() >= 0).all()
+
+
+def test_props_field_extraction_edge_cases(ray_session):
+    """The regex fast path must match json_extract on flat fields and
+    return null when the field is absent."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(
+        pa.array(['{"k": 42}', '{"k":-7}', '{"other": 1}', "{}", None]),
+        r'"k"\s*:\s*(?P<k>-?\d+)')
+    k = pc.struct_field(ex, "k").cast(pa.int64())
+    assert k.to_pylist() == [42, -7, None, None, None]
