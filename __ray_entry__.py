@@ -6706,6 +6706,254 @@ def _q_props_field_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_salsa_scores(sf_dir: str) -> pa.Table:
+    """SALSA hubs/authorities over the extracted web graph (Lempel &
+    Moran '00): HITS with degree-normalized pushes — each half-step is
+    a random-walk step on the bipartite hub/authority graph, immune to
+    the tightly-knit-community effect that skews raw HITS. 5
+    iterations, L1-normalized each half-step, every round replayed in
+    chained SQL CTEs with explicit outdeg/indeg joins."""
+    from dcs_ray.functions.graph import salsa
+
+    return salsa(_link_edges_ds(sf_dir), n_iter=5, src="src", dst="dst")
+
+
+def _q_churned_users(sf_dir: str) -> pa.Table:
+    """Churn split of the event timeline: the midpoint of [min_ts,
+    max_ts] (integer µs floor) cuts the corpus in half; a user is
+    churned if active before the cut but never after, new if the
+    reverse. Two streaming passes — a 1-row min/max fold, then a
+    per-user presence-flag combiner (exchange = |users|)."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from ray.data.aggregate import Max, Min
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"us": b["ts"].cast(pa.int64())})
+
+    mm = (
+        ev.map_batches(to_us, batch_format="pyarrow")
+        .aggregate(Min("us"), Max("us"))
+    )
+    mid = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "f": pa.array((us < mid).astype(np.int64), pa.int64()),
+                "s": pa.array((us >= mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(flags, batch_format="pyarrow"),
+            ["user_id"], ["f", "s"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    f = g["f"].to_numpy().astype(np.int64) > 0
+    s = g["s"].to_numpy().astype(np.int64) > 0
+    n_first = int(f.sum())
+    n_churned = int((f & ~s).sum())
+    return pa.table(
+        {
+            "mid_us": pa.array([mid], pa.int64()),
+            "n_users": pa.array([len(g)], pa.int64()),
+            "n_first_half": pa.array([n_first], pa.int64()),
+            "n_second_half": pa.array([int(s.sum())], pa.int64()),
+            "n_churned": pa.array([n_churned], pa.int64()),
+            "n_new": pa.array([int((s & ~f).sum())], pa.int64()),
+            "churn_rate": pa.array(
+                [round(n_churned / n_first, 6) + 0.0 if n_first else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_daily_new_users(sf_dir: str) -> pa.Table:
+    """Cohort-entry curve: per epoch-day count of users seen for the
+    FIRST time. Per-batch arrow group_by(min) collapses before the
+    per-user min shuffle (exchange = batch-distinct users), then a
+    |days|-row combiner fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "us": b["ts"].cast(pa.int64()),
+            }
+        )
+        agg = t.group_by(["user_id"]).aggregate([("us", "min")])
+        return pa.table({"user_id": agg["user_id"], "us": agg["us_min"]})
+
+    first = (
+        ev.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("user_id")
+        .min("us")
+    )
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = b["min(us)"].to_numpy().astype(np.int64)
+        return pa.table({"day": pa.array(us // _US_PER_DAY, pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            first.map_batches(to_day, batch_format="pyarrow"),
+            ["day"], [], count_col="new_users",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return g.select(["day", "new_users"]).sort_by("day")
+
+
+def _q_user_activity_histogram(sf_dir: str) -> pa.Table:
+    """Power-law audit of per-user activity: events-per-user folded
+    into log2 buckets (bucket = ⌊log2 n⌋ computed by integer
+    searchsorted over exact powers of two — no float log edge cases),
+    with user and event counts per bucket. Exchange = |users| then
+    |buckets|."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"].cast(pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], [],
+            count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    pow2 = 1 << np.arange(1, 63, dtype=np.int64)
+    bucket = np.searchsorted(pow2, n, side="right").astype(np.int64)
+    ub, inv = np.unique(bucket, return_inverse=True)
+    n_users = np.zeros(len(ub), np.int64)
+    np.add.at(n_users, inv, 1)
+    n_events = np.zeros(len(ub), np.int64)
+    np.add.at(n_events, inv, n)
+    return pa.table(
+        {
+            "bucket": pa.array(ub, pa.int64()),
+            "lo": pa.array((1 << ub.astype(np.int64)), pa.int64()),
+            "n_users": pa.array(n_users, pa.int64()),
+            "n_events": pa.array(n_events, pa.int64()),
+        }
+    )
+
+
+def _q_chi2_lang_source(sf_dir: str) -> pa.Table:
+    """Chi-squared independence test (+ Cramér's V) between document
+    language and source feed, using the zero-cell-free identity
+    χ² = N·(Σ_observed O²/(R·C) − 1) so only OBSERVED cells are ever
+    materialized — the contingency fold is combiner-first and the
+    driver holds |langs×sources observed| rows, never the cross
+    product."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(docs, ["lang", "source"], [], count_col="n")
+        .iter_batches(batch_format="pyarrow")
+    )
+    lang = g["lang"].to_numpy(zero_copy_only=False)
+    srcv = g["source"].to_numpy(zero_copy_only=False)
+    obs = g["n"].to_numpy().astype(np.int64)
+    ul, li = np.unique(lang, return_inverse=True)
+    us, si = np.unique(srcv, return_inverse=True)
+    row_tot = np.zeros(len(ul), np.int64)
+    np.add.at(row_tot, li, obs)
+    col_tot = np.zeros(len(us), np.int64)
+    np.add.at(col_tot, si, obs)
+    ntot = int(obs.sum())
+    chi2 = ntot * (
+        float(
+            np.sum(
+                obs.astype(np.float64) ** 2
+                / (row_tot[li].astype(np.float64) * col_tot[si].astype(np.float64))
+            )
+        )
+        - 1.0
+    )
+    r, c = len(ul), len(us)
+    dof = (r - 1) * (c - 1)
+    cramers_v = (
+        float(np.sqrt(max(chi2, 0.0) / (ntot * min(r - 1, c - 1))))
+        if min(r, c) > 1 and ntot > 0
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([ntot], pa.int64()),
+            "n_langs": pa.array([r], pa.int64()),
+            "n_sources": pa.array([c], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([round(chi2, 6) + 0.0], pa.float64()),
+            "cramers_v": pa.array([round(cramers_v, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_word_length_hist(sf_dir: str) -> pa.Table:
+    """Corpus word-length distribution: per token length, total token
+    occurrences and distinct terms — the vocabulary-shape profile a
+    tokenizer/BPE budget is sized from. Per-batch (length, term)
+    combining, then a distinct-term fold per length; exchange =
+    |distinct (len, term)|."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import word_tokens_flat
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        flat, _parents = word_tokens_flat(b["text"])
+        ln = pc.utf8_length(flat).cast(pa.int64())
+        return pa.table({"len": ln, "term": flat})
+
+    per_term = combiner_groupby(
+        docs.map_batches(prep, batch_format="pyarrow"), ["len", "term"], [],
+        count_col="n",
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        ln = b["len"].to_numpy().astype(np.int64)
+        n = b["n"].to_numpy().astype(np.int64)
+        ul, inv = np.unique(ln, return_inverse=True)
+        occ = np.zeros(len(ul), np.int64)
+        np.add.at(occ, inv, n)
+        terms = np.zeros(len(ul), np.int64)
+        np.add.at(terms, inv, 1)
+        return pa.table(
+            {
+                "len": pa.array(ul, pa.int64()),
+                "n_tokens": pa.array(occ, pa.int64()),
+                "n_terms": pa.array(terms, pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            per_term.map_batches(fold, batch_format="pyarrow"),
+            ["len"], ["n_tokens", "n_terms"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return g.select(["len", "n_tokens", "n_terms"]).sort_by("len")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -6946,6 +7194,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": _q_revenue_concentration,
         "arpu_percentiles": _q_arpu_percentiles,
         "props_field_stats": _q_props_field_stats,
+        "salsa_scores": _q_salsa_scores,
+        "churned_users": _q_churned_users,
+        "daily_new_users": _q_daily_new_users,
+        "user_activity_histogram": _q_user_activity_histogram,
+        "chi2_lang_source": _q_chi2_lang_source,
+        "word_length_hist": _q_word_length_hist,
     }
 
 
@@ -7192,6 +7446,57 @@ a{i} AS MATERIALIZED (
 hr{i} AS MATERIALIZED (
   SELECT e.src AS node, sum(a.a) AS s
   FROM em e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+ht{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS t FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM ht{i}) > 0
+              THEN coalesce(hr.s, 0.0) / (SELECT t FROM ht{i})
+              ELSE coalesce(hr.s, 0.0) END AS h
+  FROM nodes n LEFT JOIN hr{i} hr USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node, round(a, 6) AS authority, round(h, 6) AS hub
+FROM a{k} JOIN h{k} USING (node) ORDER BY node"""
+    )
+
+
+def _salsa_sql(k: int = 5, edges_cte: str | None = None) -> str:
+    """All ``k`` SALSA iterations replayed as chained SQL CTEs — the
+    ``_hits_sql`` chain with explicit outdeg/indeg joins on the push
+    (a(v) = Σ h(u)/outdeg(u), h(u) = Σ a(v)/indeg(v)), L1-normalized
+    after each half-step exactly like the engine. Degrees count edge
+    ROWS so duplicate edges contribute multiply on both sides."""
+    parts = [
+        edges_cte,
+        """em AS MATERIALIZED (SELECT src, dst FROM edges),
+nodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM em UNION SELECT dst FROM em)),
+od AS MATERIALIZED (SELECT src AS node, count(*)::double AS d FROM em GROUP BY 1),
+idg AS MATERIALIZED (SELECT dst AS node, count(*)::double AS d FROM em GROUP BY 1),
+nn AS (SELECT count(*)::double AS n FROM nodes),
+a0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS a FROM nodes),
+h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)""",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.h / od.d) AS s
+  FROM em e JOIN h{p} h ON e.src = h.node JOIN od ON od.node = e.src
+  GROUP BY e.dst),
+at{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS t FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM at{i}) > 0
+              THEN coalesce(ar.s, 0.0) / (SELECT t FROM at{i})
+              ELSE coalesce(ar.s, 0.0) END AS a
+  FROM nodes n LEFT JOIN ar{i} ar USING (node)),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.a / idg.d) AS s
+  FROM em e JOIN a{i} a ON e.dst = a.node JOIN idg ON idg.node = e.dst
+  GROUP BY e.src),
 ht{i} AS MATERIALIZED (SELECT coalesce(sum(s), 0.0) AS t FROM hr{i}),
 h{i} AS MATERIALIZED (
   SELECT n.node,
@@ -10349,5 +10654,68 @@ SELECT event_type, count(*)::bigint AS n_with_k, sum(k)::bigint AS sum_k,
        round(sum(k)::double / count(*)::double, 6) AS mean_k,
        min(k)::bigint AS min_k, max(k)::bigint AS max_k
 FROM f GROUP BY event_type ORDER BY event_type
+""",
+        # SALSA: degree-normalized HITS, every iteration a CTE pair
+        "salsa_scores": _salsa_sql(k=5, edges_cte=_LINK_EDGES_CTE),
+        # midpoint-split churn flags, per-user presence max
+        "churned_users": """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+u AS (SELECT user_id,
+             max(CASE WHEN epoch_us(ts) < (SELECT mid FROM b) THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b) THEN 1 ELSE 0 END) AS s
+      FROM events GROUP BY user_id)
+SELECT (SELECT mid FROM b)::bigint AS mid_us,
+       count(*)::bigint AS n_users,
+       sum(f)::bigint AS n_first_half,
+       sum(s)::bigint AS n_second_half,
+       sum(CASE WHEN f = 1 AND s = 0 THEN 1 ELSE 0 END)::bigint AS n_churned,
+       sum(CASE WHEN s = 1 AND f = 0 THEN 1 ELSE 0 END)::bigint AS n_new,
+       CASE WHEN sum(f) > 0
+            THEN round(sum(CASE WHEN f = 1 AND s = 0 THEN 1 ELSE 0 END)::double
+                       / sum(f)::double, 6)
+            ELSE 0.0 END AS churn_rate
+FROM u
+""",
+        # per-user first-seen day fold
+        "daily_new_users": """
+SELECT day, count(*)::bigint AS new_users FROM (
+  SELECT user_id, (min(epoch_us(ts)) // 86400000000)::bigint AS day
+  FROM events GROUP BY user_id
+) GROUP BY day ORDER BY day
+""",
+        # ⌊log2 n⌋ buckets via binary-string length (no float log)
+        "user_activity_histogram": """
+WITH u AS (SELECT user_id, count(*)::bigint AS n FROM events GROUP BY user_id),
+b AS (SELECT (length(bin(n)) - 1)::bigint AS bucket, n FROM u)
+SELECT bucket, (1::bigint << bucket)::bigint AS lo,
+       count(*)::bigint AS n_users, sum(n)::bigint AS n_events
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+        # zero-cell-free chi² identity: N·(Σ O²/(R·C) − 1)
+        "chi2_lang_source": """
+WITH o AS (SELECT lang, source, count(*)::bigint AS n FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, sum(n)::bigint AS r FROM o GROUP BY 1),
+ct AS (SELECT source, sum(n)::bigint AS c FROM o GROUP BY 1),
+t AS (SELECT sum(n)::bigint AS tot FROM o),
+dims AS (SELECT (SELECT count(*) FROM rt)::bigint AS r,
+                (SELECT count(*) FROM ct)::bigint AS c),
+s AS (SELECT sum(o.n::double * o.n::double / (rt.r::double * ct.c::double)) AS ss
+      FROM o JOIN rt USING (lang) JOIN ct USING (source))
+SELECT t.tot AS n_docs, dims.r AS n_langs, dims.c AS n_sources,
+       ((dims.r - 1) * (dims.c - 1))::bigint AS dof,
+       round(t.tot::double * (s.ss - 1.0), 6) + 0.0 AS chi2,
+       round(sqrt(greatest(t.tot::double * (s.ss - 1.0), 0.0)
+                  / (t.tot::double * least(dims.r - 1, dims.c - 1)::double)), 6)
+         + 0.0 AS cramers_v
+FROM t, dims, s
+""",
+        # vocabulary-shape profile per token length
+        "word_length_hist": """
+WITH tok AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '')) AS term FROM documents),
+lt AS (SELECT length(term)::bigint AS len, term, count(*)::bigint AS n
+       FROM tok GROUP BY 1, 2)
+SELECT len, sum(n)::bigint AS n_tokens, count(*)::bigint AS n_terms
+FROM lt GROUP BY len ORDER BY len
 """,
     }

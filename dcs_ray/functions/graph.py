@@ -879,6 +879,115 @@ def hits(
     )
 
 
+def salsa(
+    edges: ray.data.Dataset,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> pa.Table:
+    """SALSA (Lempel & Moran '00) over a directed edge Dataset →
+    ``(node, authority, hub)``: HITS' mutual reinforcement but with
+    DEGREE-NORMALIZED pushes — each half-step is a random-walk step on
+    the bipartite hub/authority graph (a(v) = Σ_{u→v} h(u)/outdeg(u),
+    h(u) = Σ_{u→v} a(v)/indeg(v)), which makes scores proportional to
+    in/out degree within each connected component instead of being
+    dominated by tightly-knit communities (the TKC effect HITS
+    suffers). The link-analysis ranker behind "related pages" features;
+    reference parity: the static-prior role of ``ranking/pre-ranking.go``.
+
+    Same scale shape as :func:`hits`: vertex-sized vectors broadcast
+    per half-iteration, one streaming edge pass each, per-batch
+    ``np.add.at`` partials folded in canonical order. Degrees count
+    edge ROWS (duplicate edges contribute multiply), matching the SQL
+    replay; the per-edge h/outdeg division is pre-applied to the
+    broadcast vector (constant per source node), so floats match the
+    oracle's ``sum(h/d)`` bit-for-bit at round-6."""
+    edges = edges.materialize()
+
+    def node_partial(b: pa.Table) -> pa.Table:
+        s = b[src].to_numpy().astype(np.int64)
+        t = b[dst].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.unique(np.concatenate([s, t])))})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(node_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        empty = pa.array([], pa.float64())
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "authority": empty, "hub": empty}
+        )
+    nodes = np.unique(np.concatenate(parts))
+    n = len(nodes)
+    base_ref = ray.put(nodes)
+
+    def _degree(col: str) -> np.ndarray:
+        def dpart(b: pa.Table, _n=base_ref) -> pa.Table:
+            nd = ray.get(_n)
+            i = np.searchsorted(nd, b[col].to_numpy().astype(np.int64))
+            ui, cnt = np.unique(i, return_counts=True)
+            return pa.table(
+                {"idx": pa.array(ui, pa.int64()), "c": pa.array(cnt, pa.int64())}
+            )
+
+        deg = np.zeros(n, np.int64)
+        for b in edges.map_batches(dpart, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            np.add.at(deg, b["idx"].to_numpy(), b["c"].to_numpy())
+        return deg
+
+    outdeg = _degree(src)
+    indeg = _degree(dst)
+
+    def _push(vec: np.ndarray, deg: np.ndarray, from_col: str, to_col: str) -> np.ndarray:
+        """One degree-normalized edge pass: out[to] += vec[from]/deg[from]
+        (deg>0 whenever the node appears on the from side)."""
+        v_ref = ray.put(vec / np.maximum(deg, 1).astype(np.float64))
+
+        def contrib(b: pa.Table, _n=base_ref, _v=v_ref) -> pa.Table:
+            nd, v = ray.get(_n), ray.get(_v)
+            fi = np.searchsorted(nd, b[from_col].to_numpy().astype(np.int64))
+            ti = np.searchsorted(nd, b[to_col].to_numpy().astype(np.int64))
+            ut, invt = np.unique(ti, return_inverse=True)
+            s = np.zeros(len(ut), np.float64)
+            np.add.at(s, invt, v[fi])
+            return pa.table(
+                {"idx": pa.array(ut, pa.int64()), "c": pa.array(s, pa.float64())}
+            )
+
+        idxs, vals = [], []
+        for b in edges.map_batches(contrib, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            idxs.append(b["idx"].to_numpy(zero_copy_only=False))
+            vals.append(b["c"].to_numpy(zero_copy_only=False))
+        ai = np.concatenate(idxs) if idxs else np.empty(0, np.int64)
+        av = np.concatenate(vals) if vals else np.empty(0, np.float64)
+        order = np.lexsort((av, ai))
+        out = np.zeros(n, np.float64)
+        np.add.at(out, ai[order], av[order])
+        tot = out.sum()
+        return out / tot if tot > 0 else out
+
+    auth = np.full(n, 1.0 / n, np.float64)
+    hub = np.full(n, 1.0 / n, np.float64)
+    for _ in range(n_iter):
+        auth = _push(hub, outdeg, src, dst)  # a(v) ∝ Σ_{u→v} h(u)/outdeg(u)
+        hub = _push(auth, indeg, dst, src)  # h(u) ∝ Σ_{u→v} a(v)/indeg(v)
+
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "authority": pa.array(np.round(auth, 6), pa.float64()),
+            "hub": pa.array(np.round(hub, 6), pa.float64()),
+        }
+    )
+
+
 def kcore(
     edges: ray.data.Dataset,
     k: int = 2,
