@@ -1388,6 +1388,72 @@ FROM dbt ORDER BY cid"""
     )
 
 
+def _kmeans_ch_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Calinski–Harabasz replay: final-centroid assignment pass (df/af
+    as in the DB oracle), W = Σ assigned squared distance, grand mean
+    per dim, B = Σ n_i‖c_i − x̄‖², CH = (B/(k−1))/(W/(N−k)) over
+    NON-EMPTY clusters (mirrors ``functions/kmeans.calinski_harabasz``)."""
+    n = n_iter
+    parts = _kmeans_parts(k, n_iter, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+df AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e JOIN c{n} c USING (dim) GROUP BY e.vec_id, c.cid),
+af AS MATERIALIZED (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM df) WHERE rn = 1),
+wss AS (SELECT sum(dist) AS w, count(*)::bigint AS n FROM af),
+gm AS (SELECT dim, sum(v) / count(*) AS v FROM e GROUP BY dim),
+sz AS (SELECT cid, count(*)::bigint AS n FROM af GROUP BY cid),
+cd AS (SELECT c.cid, sum((c.v - g.v) * (c.v - g.v)) AS d2
+       FROM c{n} c JOIN gm g USING (dim) GROUP BY c.cid),
+bss AS (SELECT sum(z.n * cd.d2) AS b, count(*)::bigint AS k FROM sz z JOIN cd USING (cid))
+SELECT wss.n AS n_points, bss.k AS k_clusters,
+       round(wss.w, 6) + 0.0 AS within_ss,
+       round(bss.b, 6) + 0.0 AS between_ss,
+       round((bss.b / (bss.k - 1)) / (wss.w / (wss.n - bss.k)), 6) + 0.0 AS ch_index
+FROM wss, bss"""
+    )
+
+
+def _kmeans_sil_sql(k: int = 4, n_iter: int = 3, dim: int = 64) -> str:
+    """Simplified-silhouette replay: the rn=1 (assigned) and rn=2
+    (runner-up) rows of the final-centroid distance CTE give a and b
+    per point; s = (b−a)/max(a,b) with the 0/0 → 0 guard, averaged per
+    cluster and overall."""
+    n = n_iter
+    parts = _kmeans_parts(k, n_iter, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+df AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e JOIN c{n} c USING (dim) GROUP BY e.vec_id, c.cid),
+r AS MATERIALIZED (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM df),
+s AS (SELECT r1.vec_id, r1.cid, sqrt(r1.dist) AS a, sqrt(r2.dist) AS b
+      FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2),
+v AS (SELECT cid,
+             CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                  ELSE 0.0 END AS s
+      FROM s),
+percl AS (SELECT cid, count(*)::bigint AS n_members, sum(s) / count(*) AS ms
+          FROM v GROUP BY cid),
+ov AS (SELECT sum(s) / count(*) AS o FROM v)
+SELECT cid, n_members, round(ms, 6) + 0.0 AS mean_silhouette,
+       round((SELECT o FROM ov), 6) + 0.0 AS overall_silhouette
+FROM percl ORDER BY cid"""
+    )
+
+
 def _q_pca(sf_dir: str) -> pa.Table:
     """Distributed PCA (top principal component) over embeddings: one
     covariance-moment fold pass (d(d+3)/2-float partials), 10 power
@@ -6954,6 +7020,203 @@ def _q_word_length_hist(sf_dir: str) -> pa.Table:
     return g.select(["len", "n_tokens", "n_terms"]).sort_by("len")
 
 
+def _q_boolean_not_search(sf_dir: str) -> pa.Table:
+    """Boolean AND-NOT retrieval on the words index: docs containing
+    BOTH 'spark' and 'join' but NOT 'merge' — dcs's ``-keyword`` query
+    rewrite (F4) composed with the posting-AND (J1). Rarest-first
+    intersect + one setdiff per shard; shards partition doc ids so the
+    concat is the answer with zero exchange."""
+    from dcs_ray.search import search_boolean
+
+    idx = _index_dir(sf_dir, "words")
+    return search_boolean(idx, include=["spark", "join"], exclude=["merge"])
+
+
+def _q_calinski_harabasz(sf_dir: str) -> pa.Table:
+    """Calinski–Harabasz variance-ratio index of the k-means partition
+    (higher = tighter clusters): (B/(k−1))/(W/(N−k)) with W the squared
+    distance to the assigned FINAL centroid and B the size-weighted
+    centroid spread around the grand mean — the standard companion to
+    the Davies–Bouldin gate, replayed through the same per-iteration
+    k-means CTE chain plus one assignment/grand-mean pass."""
+    from dcs_ray.functions.kmeans import calinski_harabasz
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return calinski_harabasz(emb, k=4, n_iter=3)
+
+
+def _q_silhouette_simplified(sf_dir: str) -> pa.Table:
+    """Simplified (centroid-based) silhouette per cluster + overall:
+    s = (b−a)/max(a,b) with a = distance to own centroid, b = distance
+    to the runner-up — the O(N·k) silhouette web-scale clustering
+    reports use instead of the O(N²) pairwise original. Assignment and
+    runner-up replayed via the rn=1/rn=2 rows of the same distance
+    CTE."""
+    from dcs_ray.functions.kmeans import silhouette_simplified
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return silhouette_simplified(emb, k=4, n_iter=3)
+
+
+def _q_cosine_pair_hist(sf_dir: str) -> pa.Table:
+    """Histogram of cosine similarity between (2m, 2m+1) embedding
+    pairs in ten 0.2-wide bins over [−1, 1] — the pairwise-similarity
+    distribution audit run before picking near-dup thresholds. Pairs
+    co-locate via a 256-bucket groupby (pair % 256), pair up and dot
+    VECTORIZED inside each bucket, then a |bins| combiner fold; cosine
+    rounds to 6 before binning so the bin edge is replay-stable."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy().astype(np.int64)
+        bucket = (vid // 2) % 256
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": pa.array(vid, pa.int64()),
+                "embedding": b["embedding"],
+            }
+        )
+
+    def pair_bins(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        col = g["embedding"].combine_chunks().take(pa.array(order))
+        E = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        E = E.reshape(len(ids), -1)
+        ev = ids[ids % 2 == 0]
+        pos = np.searchsorted(ids, ev + 1)
+        ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == ev + 1)
+        a_idx = np.searchsorted(ids, ev[ok])
+        b_idx = pos[ok]
+        A, B = E[a_idx], E[b_idx]
+        dot = (A * B).sum(axis=1)
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((B * B).sum(axis=1))
+        c = np.where(na * nb > 0, dot / np.where(na * nb > 0, na * nb, 1.0), 0.0)
+        c = np.round(c, 6)
+        binv = np.clip(np.floor((c + 1.0) * 5).astype(np.int64), 0, 9)
+        ub, cnt = np.unique(binv, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(ub, pa.int64()),
+                "n_pairs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    binned = (
+        emb.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_bins, batch_format="pyarrow")
+    )
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(binned, ["bin"], ["n_pairs"]).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    t = g.select(["bin", "n_pairs"]).sort_by("bin")
+    lo = pc.add(pc.multiply(pc.cast(t["bin"], pa.float64()), 0.2), -1.0)
+    return pa.table(
+        {"bin": t["bin"], "lo": pc.round(lo, 6), "n_pairs": t["n_pairs"]}
+    )
+
+
+def _q_link_reciprocity(sf_dir: str) -> pa.Table:
+    """Reciprocity of the web link graph: the share of distinct
+    directed non-loop edges whose reverse edge also exists — the
+    mutual-linking statistic crawl-graph audits report. Two combiner
+    layers (directed-edge dedup, then per-undirected-pair direction
+    flags); the driver sees four counters."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    edges = _link_edges_ds(sf_dir)
+
+    def drop_loops(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        m = s != d
+        return pa.table(
+            {"src": pa.array(s[m], pa.int64()), "dst": pa.array(d[m], pa.int64())}
+        )
+
+    distinct = combiner_groupby(
+        edges.map_batches(drop_loops, batch_format="pyarrow"), ["src", "dst"], []
+    )
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+                "f": pa.array((s < d).astype(np.int64), pa.int64()),
+                "r": pa.array((s > d).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            distinct.map_batches(to_pairs, batch_format="pyarrow"),
+            ["a", "b"], ["f", "r"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    f = g["f"].to_numpy().astype(np.int64) > 0
+    r = g["r"].to_numpy().astype(np.int64) > 0
+    n_edges = int(f.sum()) + int(r.sum())
+    n_recip = int((f & r).sum())
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_pairs": pa.array([len(g)], pa.int64()),
+            "n_reciprocal_pairs": pa.array([n_recip], pa.int64()),
+            "reciprocity": pa.array(
+                [round(2 * n_recip / n_edges, 6) + 0.0 if n_edges else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_rolling_median_daily(sf_dir: str) -> pa.Table:
+    """7-day rolling MEDIAN of daily event volume (window = observed
+    days in [d−6, d], explicit two-middle median — no quantile_cont
+    dependence): the robust-smoothing companion to the EWMA gate. The
+    distributed part is the |days| fold; the rolling scan is bounded
+    driver work like the rest of the trend suite."""
+    c = _daily_event_counts(sf_dir)
+    days = c["day"].to_numpy().astype(np.int64)
+    ns = c["n"].to_numpy().astype(np.int64)
+    order = np.argsort(days)
+    days, ns = days[order], ns[order]
+    out_w, out_m = [], []
+    for i in range(len(days)):
+        lo = np.searchsorted(days, days[i] - 6, side="left")
+        vals = np.sort(ns[lo : i + 1])
+        w = len(vals)
+        med = (float(vals[(w + 1) // 2 - 1]) + float(vals[w // 2])) / 2.0
+        out_w.append(w)
+        out_m.append(round(med, 6) + 0.0)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "window_n": pa.array(out_w, pa.int64()),
+            "med": pa.array(out_m, pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -7200,6 +7463,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_histogram": _q_user_activity_histogram,
         "chi2_lang_source": _q_chi2_lang_source,
         "word_length_hist": _q_word_length_hist,
+        "boolean_not_search": _q_boolean_not_search,
+        "calinski_harabasz": _q_calinski_harabasz,
+        "silhouette_simplified": _q_silhouette_simplified,
+        "cosine_pair_hist": _q_cosine_pair_hist,
+        "link_reciprocity": _q_link_reciprocity,
+        "rolling_median_daily": _q_rolling_median_daily,
     }
 
 
@@ -10717,5 +10986,64 @@ lt AS (SELECT length(term)::bigint AS len, term, count(*)::bigint AS n
        FROM tok GROUP BY 1, 2)
 SELECT len, sum(n)::bigint AS n_tokens, count(*)::bigint AS n_terms
 FROM lt GROUP BY len ORDER BY len
+""",
+        # posting AND + NOT: spark ∧ join ∧ ¬merge
+        "boolean_not_search": f"""
+WITH tok AS ({_TOK}),
+t AS (SELECT DISTINCT doc_id, term FROM tok),
+inc AS (SELECT doc_id FROM t WHERE term IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(*) = 2)
+SELECT doc_id::bigint AS doc_id FROM inc
+WHERE doc_id NOT IN (SELECT doc_id FROM t WHERE term = 'merge')
+ORDER BY doc_id
+""",
+        # variance-ratio index over the same k-means chain
+        "calinski_harabasz": _kmeans_ch_sql(k=4, n_iter=3, dim=64),
+        # centroid-based silhouette from the rn=1/rn=2 distance rows
+        "silhouette_simplified": _kmeans_sil_sql(k=4, n_iter=3, dim=64),
+        # (2m, 2m+1) cosine pairs in ten 0.2 bins, round-6 before binning
+        "cosine_pair_hist": """
+WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+od AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+p AS (SELECT a.vec_id AS pid, a.embedding AS ea, b.embedding AS eb
+      FROM ev a JOIN od b ON b.vec_id = a.vec_id + 1),
+l AS (SELECT pid, i.i AS dim, ea[i.i]::double AS av, eb[i.i]::double AS bv
+      FROM p, (SELECT unnest(range(1, 65)) AS i) i),
+d AS (SELECT pid, sum(av * bv) AS dot, sqrt(sum(av * av)) AS na,
+             sqrt(sum(bv * bv)) AS nb
+      FROM l GROUP BY pid),
+c AS (SELECT round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS c
+      FROM d),
+b AS (SELECT least(greatest(CAST(floor((c + 1.0) * 5) AS BIGINT), 0), 9) AS bin
+      FROM c)
+SELECT bin, round(bin * 0.2 - 1.0, 6) AS lo, count(*)::bigint AS n_pairs
+FROM b GROUP BY bin ORDER BY bin
+""",
+        # share of distinct directed non-loop edges with a reverse edge
+        "link_reciprocity": f"""
+WITH {_LINK_EDGES_CTE},
+d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+p AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+             max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+      FROM d GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM d)::bigint AS n_edges,
+       count(*)::bigint AS n_pairs,
+       sum(CASE WHEN f = 1 AND r = 1 THEN 1 ELSE 0 END)::bigint AS n_reciprocal_pairs,
+       round(sum(CASE WHEN f = 1 AND r = 1 THEN 2 ELSE 0 END)::double
+             / (SELECT count(*) FROM d)::double, 6) + 0.0 AS reciprocity
+FROM p
+""",
+        # 7-day rolling median, explicit two-middle picks
+        "rolling_median_daily": f"""
+WITH dc AS ({_DAILY_SQL}),
+w AS (SELECT d.day AS day, e.n AS n
+      FROM dc d JOIN dc e ON e.day BETWEEN d.day - 6 AND d.day),
+r AS (SELECT day, n, row_number() OVER (PARTITION BY day ORDER BY n) AS rn,
+             count(*) OVER (PARTITION BY day) AS w FROM w)
+SELECT day, max(w)::bigint AS window_n,
+       round((max(CASE WHEN rn = (w + 1) // 2 THEN n END)
+              + max(CASE WHEN rn = w // 2 + 1 THEN n END)) / 2.0, 6) AS med
+FROM r GROUP BY day ORDER BY day
 """,
     }

@@ -225,6 +225,170 @@ def davies_bouldin(
     )
 
 
+def calinski_harabasz(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Calinski–Harabasz (variance-ratio) index of the trained k-means
+    partition: CH = (B/(k−1)) / (W/(N−k)) with W = Σ‖x − c_assigned‖²
+    (squared L2 to the FINAL centroids, argmin assignment, ties to the
+    smallest cid), B = Σ_i n_i‖c_i − x̄‖² against the grand mean of ALL
+    points, and k = the number of NON-EMPTY clusters (the same rule the
+    Davies–Bouldin gate uses). Higher is better — the between/within
+    variance-ratio companion to DB's worst-pair ratio.
+
+    Scale shape: after training, ONE extra streaming pass emits ≤k
+    (cid, ΣW, n) partials plus a per-dim sum row for the grand mean;
+    everything after is k·d driver floats, folded in canonical sorted
+    order."""
+    C, _, ds = _train_centroids(ds, k, n_iter, vec_col, id_col)
+    d = C.shape[1]
+    cref = ray.put(C.copy())
+
+    def partial(b: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        E = _emb_f64(b[vec_col])
+        dist = ((E[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(dist, axis=1)  # ties -> smallest cid
+        w = dist[np.arange(len(E)), a]
+        cids, inv = np.unique(a, return_inverse=True)
+        ws = np.zeros(len(cids), np.float64)
+        np.add.at(ws, inv, w)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(cids.astype(np.int64), pa.int64()),
+                "w": pa.array(ws, pa.float64()),
+                "n": pa.array(n, pa.int64()),
+                "gs": pa.array([E.sum(axis=0).tolist()] * len(cids),
+                               pa.list_(pa.float64())),
+                "gn": pa.array(
+                    np.where(np.arange(len(cids)) == 0, len(E), 0), pa.int64()
+                ),
+            }
+        )
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by([("cid", "ascending"), ("w", "ascending")])  # canonical fold
+    cids = rows["cid"].to_numpy(zero_copy_only=False)
+    ws = rows["w"].to_numpy(zero_copy_only=False)
+    ns = rows["n"].to_numpy(zero_copy_only=False)
+    gns = rows["gn"].to_numpy(zero_copy_only=False)
+    GS = _emb_f64(rows["gs"])
+    # grand mean: one sum row per BATCH (gn > 0 marks it), canonical order
+    bm = gns > 0
+    sub = GS[bm]
+    order = np.lexsort(tuple(sub[:, j] for j in range(d - 1, -1, -1)))
+    g_sum = sub[order].sum(axis=0)
+    n_tot = int(gns.sum())
+    gmean = g_sum / float(n_tot)
+
+    present = np.unique(cids)
+    W = 0.0
+    N = np.zeros(len(present), np.int64)
+    for idx, cid in enumerate(present):
+        m = cids == cid
+        W += float(ws[m].sum())
+        N[idx] = int(ns[m].sum())
+    diff = C[present] - gmean[None, :]
+    B = float((N.astype(np.float64) * (diff * diff).sum(axis=1)).sum())
+    kk = len(present)
+    ch = (
+        (B / (kk - 1)) / (W / (n_tot - kk))
+        if kk > 1 and n_tot > kk and W > 0
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_points": pa.array([n_tot], pa.int64()),
+            "k_clusters": pa.array([kk], pa.int64()),
+            "within_ss": pa.array([round(W, 6) + 0.0], pa.float64()),
+            "between_ss": pa.array([round(B, 6) + 0.0], pa.float64()),
+            "ch_index": pa.array([round(ch, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def silhouette_simplified(
+    ds: ray.data.Dataset,
+    k: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Simplified (centroid-based) silhouette of the trained k-means
+    partition: per point a = ‖x − c_assigned‖, b = min over OTHER
+    centroids ‖x − c_j‖, s = (b − a)/max(a, b) (0 when both are 0) —
+    the O(N·k) silhouette every large-scale clustering report uses
+    instead of the O(N²) pairwise original. Per-cluster mean s plus the
+    overall mean as a constant column, round 6.
+
+    One streaming pass after training (≤k partial rows per batch,
+    canonical driver fold); assignment is argmin squared L2 with ties
+    to the smallest cid, identical to the other k-means gates."""
+    C, _, ds = _train_centroids(ds, k, n_iter, vec_col, id_col)
+    cref = ray.put(C.copy())
+
+    def partial(b: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        E = _emb_f64(b[vec_col])
+        dist = ((E[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+        a_idx = np.argmin(dist, axis=1)  # ties -> smallest cid
+        dsorted = np.sort(dist, axis=1)
+        a = np.sqrt(dsorted[:, 0])
+        bb = np.sqrt(dsorted[:, 1])
+        mx = np.maximum(a, bb)
+        s = np.where(mx > 0, (bb - a) / np.where(mx > 0, mx, 1.0), 0.0)
+        cids, inv = np.unique(a_idx, return_inverse=True)
+        ss = np.zeros(len(cids), np.float64)
+        np.add.at(ss, inv, s)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "cid": pa.array(cids.astype(np.int64), pa.int64()),
+                "s": pa.array(ss, pa.float64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by([("cid", "ascending"), ("s", "ascending")])  # canonical fold
+    cids = rows["cid"].to_numpy(zero_copy_only=False)
+    ss = rows["s"].to_numpy(zero_copy_only=False)
+    ns = rows["n"].to_numpy(zero_copy_only=False)
+    present = np.unique(cids)
+    S = np.zeros(len(present), np.float64)
+    N = np.zeros(len(present), np.int64)
+    for idx, cid in enumerate(present):
+        m = cids == cid
+        S[idx] = ss[m].sum()
+        N[idx] = int(ns[m].sum())
+    overall = float(S.sum() / N.sum()) if N.sum() else 0.0
+    return pa.table(
+        {
+            "cid": pa.array(present.astype(np.int64), pa.int64()),
+            "n_members": pa.array(N, pa.int64()),
+            "mean_silhouette": pa.array(
+                np.round(S / N.astype(np.float64), 6) + 0.0, pa.float64()
+            ),
+            "overall_silhouette": pa.array(
+                np.full(len(present), round(overall, 6) + 0.0), pa.float64()
+            ),
+        }
+    )
+
+
 def pca_top_component(
     ds: ray.data.Dataset,
     n_iter: int = 10,

@@ -1443,6 +1443,61 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
     )
 
 
+def search_boolean(
+    index_dir: str,
+    include: list[str],
+    exclude: list[str] | None = None,
+) -> pa.Table:
+    """Boolean AND/AND-NOT retrieval over the words index: docs whose
+    posting lists contain EVERY ``include`` term and NONE of the
+    ``exclude`` terms — the J1 posting-AND composed with the negation
+    operator dcs exposes as ``-keyword`` query syntax
+    (``internal/index/regexp.go`` query planning / keyword rewrite
+    F4). One task per shard; postings decode through the per-worker
+    LRU, the AND intersects rarest-first (shortest list first, like
+    the BM25 planner), and the NOT is one ``np.setdiff1d`` against the
+    union of excluded postings. Shards partition doc ids, so the
+    driver's concat IS the global answer — no exchange at all."""
+    exclude = exclude or []
+    paths = shard_paths(index_dir)
+    work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = []
+        for pid in batch["path_id"].to_pylist():
+            seg = _open(paths[pid])
+            lists = []
+            ok = True
+            for term in include:
+                idx = seg.term_index(term)
+                if idx < 0:
+                    ok = False
+                    break
+                lists.append(_decode_term_cached(seg, idx)[0])
+            if not ok or not lists:
+                continue
+            lists.sort(key=len)  # rarest-first AND
+            cand = lists[0]
+            for pl in lists[1:]:
+                cand = cand[np.isin(cand, pl, assume_unique=True)]
+                if len(cand) == 0:
+                    break
+            for term in exclude:
+                if len(cand) == 0:
+                    break
+                idx = seg.term_index(term)
+                if idx >= 0:
+                    cand = np.setdiff1d(
+                        cand, _decode_term_cached(seg, idx)[0], assume_unique=True
+                    )
+            out.append(cand)
+        d = np.concatenate(out) if out else np.empty(0, np.uint64)
+        return pa.table({"doc_id": pa.array(d.astype(np.int64), pa.int64())})
+
+    res = work.map_batches(run, batch_size=1, batch_format="pyarrow")
+    return _collect(res, pa.schema([("doc_id", pa.int64())])).sort_by("doc_id")
+
+
 def more_like_this(
     index_dir: str,
     text: str,
