@@ -7217,6 +7217,250 @@ def _q_rolling_median_daily(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_lineitem_rollup(sf_dir: str) -> pa.Table:
+    """Hierarchical ROLLUP aggregation: lineitem revenue (exact 1e-4
+    units) at (returnflag, linestatus), per-returnflag subtotal, and
+    grand total — the GROUPING SETS shape every reporting pipeline
+    needs. ONE combiner pass computes the finest level; the coarser
+    levels fold from the |flags×statuses|-row grouped table on the
+    driver (never re-reading the fact table)."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return _li_rev1e4(
+            b,
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+            },
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"], ["rev1e4"], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    rf = g["l_returnflag"].to_numpy(zero_copy_only=False)
+    ls = g["l_linestatus"].to_numpy(zero_copy_only=False)
+    n = g["n"].to_numpy().astype(np.int64)
+    rev = g["rev1e4"].to_numpy().astype(np.int64)
+    out_rf = list(rf)
+    out_ls = list(ls)
+    out_n = list(n)
+    out_rev = list(rev)
+    for f in np.unique(rf):
+        m = rf == f
+        out_rf.append(f)
+        out_ls.append("ALL")
+        out_n.append(int(n[m].sum()))
+        out_rev.append(int(rev[m].sum()))
+    out_rf.append("ALL")
+    out_ls.append("ALL")
+    out_n.append(int(n.sum()))
+    out_rev.append(int(rev.sum()))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([str(x) for x in out_rf], pa.string()),
+            "l_linestatus": pa.array([str(x) for x in out_ls], pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "rev1e4": pa.array(out_rev, pa.int64()),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def _q_customer_order_lag(sf_dir: str) -> pa.Table:
+    """LAG window over each customer's order history: previous order's
+    total (exact cents) and the delta, ordered by (date, orderkey) —
+    the repeat-purchase trend feature. One bucketed single-lexsort
+    window pass (``running_agg``); no per-key loop, exchange =
+    |orders| triples."""
+    from dcs_ray.functions.windows import running_agg
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.int64())
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "date_us": us,
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "cents": pa.array(cents.astype(np.float64), pa.float64()),
+            }
+        )
+
+    ds = running_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        key="o_custkey", order_col="date_us", value_col="cents",
+        tie_col="o_orderkey",
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    cents = t["cents"].to_numpy().astype(np.int64)
+    lagf = t["lag_value"].to_numpy(zero_copy_only=False)  # NaN for run starts
+    valid = ~np.isnan(lagf)
+    lag_cents = pa.array(
+        np.where(valid, lagf, 0.0).astype(np.int64), pa.int64(),
+        mask=~valid,
+    )
+    delta = pa.array(
+        np.where(valid, cents - np.where(valid, lagf, 0.0).astype(np.int64), 0),
+        pa.int64(), mask=~valid,
+    )
+    return pa.table(
+        {
+            "o_custkey": t["o_custkey"].cast(pa.int64()),
+            "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "lag_cents": lag_cents,
+            "delta_cents": delta,
+        }
+    ).sort_by([("o_custkey", "ascending"), ("o_orderkey", "ascending")])
+
+
+def _q_supplier_balance_ntile(sf_dir: str) -> pa.Table:
+    """Global NTILE(4) of suppliers by account balance (desc, suppkey
+    tiebreak), aggregated per quartile — the global-window companion
+    to the per-key ntile4 the running-totals gate covers. The supplier
+    DIMENSION collapses to (cents, suppkey) pairs on the driver
+    (bounded like the other dimension-table scans); tiles follow SQL
+    NTILE sizing exactly (first n%4 tiles get ⌈n/4⌉ rows)."""
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b["s_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "s_suppkey": b["s_suppkey"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in sup.map_batches(prep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    key = t["s_suppkey"].to_numpy().astype(np.int64)
+    cents = t["cents"].to_numpy().astype(np.int64)
+    order = np.lexsort((key, -cents))
+    cents = cents[order]
+    n = len(cents)
+    q, r = n // 4, n % 4
+    sizes = np.full(4, q, np.int64)
+    sizes[:r] += 1
+    tile = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+    out = []
+    for ti in range(1, 5):
+        m = tile == ti
+        if not m.any():
+            continue
+        out.append(
+            (
+                ti,
+                int(m.sum()),
+                int(cents[m].min()),
+                int(cents[m].max()),
+                int(cents[m].sum()),
+            )
+        )
+    cols = list(zip(*out))
+    return pa.table(
+        {
+            "tile": pa.array(cols[0], pa.int64()),
+            "n_suppliers": pa.array(cols[1], pa.int64()),
+            "min_cents": pa.array(cols[2], pa.int64()),
+            "max_cents": pa.array(cols[3], pa.int64()),
+            "sum_cents": pa.array(cols[4], pa.int64()),
+        }
+    )
+
+
+def _q_char_trigram_topk(sf_dir: str) -> pa.Table:
+    """Top-50 character trigrams of the corpus (count desc, trigram
+    asc) — the raw-signal audit under the F3 trigram index and the
+    langid features. Per-batch numpy byte-window extraction (one
+    sliding view over the concatenated UTF-8 buffer, document
+    boundaries masked), |distinct trigram| combiner fold, driver takes
+    50 rows."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import _concat_utf8
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        texts = b["text"].combine_chunks()
+        buf, offsets = _concat_utf8(texts)
+        if len(buf) < 3:
+            return pa.table(
+                {
+                    "trigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # windows fully inside one document: start ≥ doc start and
+        # start + 3 ≤ doc end
+        w = np.lib.stride_tricks.sliding_window_view(buf, 3)
+        starts = np.arange(len(w))
+        doc_of = np.searchsorted(offsets, starts, side="right") - 1
+        ok = starts + 3 <= offsets[doc_of + 1]
+        packed = (
+            w[ok, 0].astype(np.int64) * 65536
+            + w[ok, 1].astype(np.int64) * 256
+            + w[ok, 2].astype(np.int64)
+        )
+        up, cnt = np.unique(packed, return_counts=True)
+        chars = np.stack(
+            [(up // 65536) % 256, (up // 256) % 256, up % 256], axis=1
+        ).astype(np.uint8)
+        tris = chars.tobytes().decode("utf-8", errors="strict")
+        tri_list = [tris[i : i + 3] for i in range(0, len(tris), 3)]
+        return pa.table(
+            {
+                "trigram": pa.array(tri_list, pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = combiner_groupby(
+        docs.map_batches(prep, batch_format="pyarrow"), ["trigram"], ["n"]
+    )
+    order = [("n", "descending"), ("trigram", "ascending")]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.select(["trigram", "n"]).sort_by(order).slice(0, 50)
+
+    parts = [
+        pa.table(b)
+        for b in g.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"trigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    )
+    return merged.sort_by(order).slice(0, 50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -7469,6 +7713,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_pair_hist": _q_cosine_pair_hist,
         "link_reciprocity": _q_link_reciprocity,
         "rolling_median_daily": _q_rolling_median_daily,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "customer_order_lag": _q_customer_order_lag,
+        "supplier_balance_ntile": _q_supplier_balance_ntile,
+        "char_trigram_topk": _q_char_trigram_topk,
     }
 
 
@@ -11045,5 +11293,46 @@ SELECT day, max(w)::bigint AS window_n,
        round((max(CASE WHEN rn = (w + 1) // 2 THEN n END)
               + max(CASE WHEN rn = w // 2 + 1 THEN n END)) / 2.0, 6) AS med
 FROM r GROUP BY day ORDER BY day
+""",
+        # GROUP BY ROLLUP with 'ALL' markers, exact 1e-4 revenue units
+        "lineitem_rollup": """
+WITH f AS (SELECT l_returnflag, l_linestatus,
+                  round(l_extendedprice * 100)::bigint AS p,
+                  round(l_discount * 100)::bigint AS d
+           FROM lineitem)
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::bigint AS n,
+       sum(p * (100 - d))::bigint AS rev1e4
+FROM f GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY 1, 2
+""",
+        # LAG over each customer's (date, orderkey)-ordered orders
+        "customer_order_lag": """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  round(o_totalprice * 100)::bigint AS cents,
+                  epoch_us(o_orderdate) AS us
+           FROM orders)
+SELECT o_custkey, o_orderkey, cents,
+       lag(cents) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey) AS lag_cents,
+       cents - lag(cents) OVER (PARTITION BY o_custkey ORDER BY us, o_orderkey)
+         AS delta_cents
+FROM o ORDER BY o_custkey, o_orderkey
+""",
+        # global NTILE(4) by balance desc, suppkey tiebreak
+        "supplier_balance_ntile": """
+WITH s AS (SELECT s_suppkey, round(s_acctbal * 100)::bigint AS cents FROM supplier),
+t AS (SELECT cents, ntile(4) OVER (ORDER BY cents DESC, s_suppkey) AS tile FROM s)
+SELECT tile::bigint AS tile, count(*)::bigint AS n_suppliers,
+       min(cents)::bigint AS min_cents, max(cents)::bigint AS max_cents,
+       sum(cents)::bigint AS sum_cents
+FROM t GROUP BY tile ORDER BY tile
+""",
+        # per-doc character 3-windows, global top-50
+        "char_trigram_topk": """
+WITH d AS (SELECT text, length(text) AS L FROM documents WHERE length(text) >= 3),
+u AS (SELECT text, unnest(generate_series(1, L - 2)) AS i FROM d)
+SELECT substr(text, i, 3) AS trigram, count(*)::bigint AS n
+FROM u GROUP BY trigram ORDER BY n DESC, trigram LIMIT 50
 """,
     }
