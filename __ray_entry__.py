@@ -7461,6 +7461,237 @@ def _q_char_trigram_topk(sf_dir: str) -> pa.Table:
     return merged.sort_by(order).slice(0, 50)
 
 
+def _q_langid_kappa(sf_dir: str) -> pa.Table:
+    """Cohen's kappa of the heuristic language identifier against the
+    labeled language — chance-corrected agreement, the metric that
+    catches a classifier that just predicts the majority class. The
+    confusion matrix folds through the combiner (|langs|² exchange);
+    po/pe/kappa are exact-integer until three final divisions."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.textstats import langid_batch
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = langid_batch(b)
+        return pa.table({"true_lang": b["lang"], "pred_lang": p["pred_lang"]})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            ["true_lang", "pred_lang"], [], count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    tl = g["true_lang"].to_numpy(zero_copy_only=False)
+    pl = g["pred_lang"].to_numpy(zero_copy_only=False)
+    n = g["n"].to_numpy().astype(np.int64)
+    ntot = int(n.sum())
+    agree = int(n[tl == pl].sum())
+    classes = np.unique(np.concatenate([tl, pl]))
+    ridx = np.searchsorted(classes, tl)
+    cidx = np.searchsorted(classes, pl)
+    rowm = np.zeros(len(classes), np.int64)
+    np.add.at(rowm, ridx, n)
+    colm = np.zeros(len(classes), np.int64)
+    np.add.at(colm, cidx, n)
+    pe_num = int((rowm * colm).sum())
+    po = agree / ntot
+    pe = pe_num / (ntot * ntot)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([ntot], pa.int64()),
+            "n_agree": pa.array([agree], pa.int64()),
+            "po": pa.array([round(po, 6) + 0.0], pa.float64()),
+            "pe": pa.array([round(pe, 6) + 0.0], pa.float64()),
+            "kappa": pa.array([round(kappa, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_length_skew_kurtosis(sf_dir: str) -> pa.Table:
+    """Per-language skewness (g1) and excess kurtosis (g2) of document
+    length — the distribution-shape audit beyond mean/variance. Two
+    passes: exact-integer (Σx, n) per lang for the mean, then one
+    broadcast-mean pass folding central power sums (x−μ)²,³,⁴; the
+    dimensionless final ratios absorb the float fold order at round
+    6."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    ).materialize()
+
+    def prep1(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"], "x": b["n_chars"].cast(pa.int64())})
+
+    g1t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep1, batch_format="pyarrow"), ["lang"], ["x"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("lang")
+    langs = g1t["lang"].to_numpy(zero_copy_only=False)
+    sx = g1t["x"].to_numpy().astype(np.int64)
+    nn = g1t["n_rows"].to_numpy().astype(np.int64)
+    means = sx.astype(np.float64) / nn.astype(np.float64)
+    mref = ray.put((langs.astype("U8"), means))
+
+    def prep2(b: pa.Table) -> pa.Table:
+        ls, mu = ray.get(mref)
+        lang = b["lang"].to_numpy(zero_copy_only=False).astype("U8")
+        x = b["n_chars"].to_numpy().astype(np.float64)
+        li = np.searchsorted(ls, lang)
+        d = x - mu[li]
+        return pa.table(
+            {
+                "lang": b["lang"],
+                "m2": pa.array(d * d, pa.float64()),
+                "m3": pa.array(d * d * d, pa.float64()),
+                "m4": pa.array(d * d * d * d, pa.float64()),
+            }
+        )
+
+    g2t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep2, batch_format="pyarrow"),
+            ["lang"], ["m2", "m3", "m4"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("lang")
+    m2 = g2t["m2"].to_numpy() / nn
+    m3 = g2t["m3"].to_numpy() / nn
+    m4 = g2t["m4"].to_numpy() / nn
+    sd = np.sqrt(m2)
+    g1 = np.where(m2 > 0, m3 / np.where(m2 > 0, m2, 1.0) ** 1.5, 0.0)
+    g2 = np.where(m2 > 0, m4 / np.where(m2 > 0, m2, 1.0) ** 2 - 3.0, 0.0)
+    return pa.table(
+        {
+            "lang": g2t["lang"],
+            "n": pa.array(nn, pa.int64()),
+            "mean_len": pa.array(np.round(means, 6) + 0.0, pa.float64()),
+            "sd_len": pa.array(np.round(sd, 6) + 0.0, pa.float64()),
+            "skewness": pa.array(np.round(g1, 6) + 0.0, pa.float64()),
+            "kurtosis_excess": pa.array(np.round(g2, 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+def _q_purchase_attribution(sf_dir: str) -> pa.Table:
+    """First-touch revenue attribution: every user's purchase revenue
+    (exact cents) credited to the type of their FIRST event (min (ts,
+    event_id)) — the acquisition-channel report. ONE bucketed pass
+    resolves first-touch AND per-user revenue together (a user's
+    events co-locate via the hash bucket; inside a bucket one lexsort
+    + first-of-run scan, no per-user Python), then a |types| combiner
+    fold."""
+    from dcs_ray.functions.joins import _key_bucket
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        is_p = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(_key_bucket(uid, 64), pa.int32()),
+                "user_id": pa.array(uid, pa.int64()),
+                "us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "event_type": b["event_type"],
+                "cents": pa.array(np.where(is_p, cents, 0), pa.int64()),
+                "isp": pa.array(is_p.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        us = g["us"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        cents = g["cents"].to_numpy().astype(np.int64)
+        isp = g["isp"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, us, u))
+        u_s = u[order]
+        new_run = np.ones(len(u_s), bool)
+        new_run[1:] = u_s[1:] != u_s[:-1]
+        first_rows = order[new_run]
+        run_id = np.cumsum(new_run) - 1
+        rev = np.zeros(int(new_run.sum()), np.int64)
+        np.add.at(rev, run_id, cents[order])
+        purch = np.zeros(len(rev), np.int64)
+        np.maximum.at(purch, run_id, isp[order])
+        ft = g["event_type"].take(pa.array(first_rows))
+        return pa.table(
+            {
+                "first_touch_type": ft,
+                "one": pa.array(np.ones(len(rev), np.int64), pa.int64()),
+                "is_purchaser": pa.array(purch, pa.int64()),
+                "cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            per_user, ["first_touch_type"], ["one", "is_purchaser", "cents"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("first_touch_type")
+    cents = g["cents"].to_numpy().astype(np.int64)
+    tot = int(cents.sum())
+    return pa.table(
+        {
+            "first_touch_type": g["first_touch_type"],
+            "n_users": pa.array(g["one"].to_numpy().astype(np.int64), pa.int64()),
+            "n_purchasers": pa.array(
+                g["is_purchaser"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "purchase_cents": pa.array(cents, pa.int64()),
+            "revenue_share": pa.array(
+                np.round(cents.astype(np.float64) / float(tot), 6) + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_link_transitivity(sf_dir: str) -> pa.Table:
+    """Global transitivity of the web graph: 3·triangles / wedges
+    (= Σ per-node triangle participations / Σ d(d−1)/2) — the
+    one-number cohesion summary on top of the per-node clustering
+    gate, exact integers until the final division."""
+    from dcs_ray.functions.graph import clustering_coefficients
+
+    t = clustering_coefficients(_link_pair_edges(sf_dir))
+    deg = t["degree"].to_numpy().astype(np.int64)
+    tri = t["n_triangles"].to_numpy().astype(np.int64)
+    closed = int(tri.sum())  # = 3 · #triangles
+    wedges = int((deg * (deg - 1) // 2).sum())
+    return pa.table(
+        {
+            "n_nodes": pa.array([len(t)], pa.int64()),
+            "n_triangles": pa.array([closed // 3], pa.int64()),
+            "n_wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array(
+                [round(closed / wedges, 6) + 0.0 if wedges else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -7717,6 +7948,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_lag": _q_customer_order_lag,
         "supplier_balance_ntile": _q_supplier_balance_ntile,
         "char_trigram_topk": _q_char_trigram_topk,
+        "langid_kappa": _q_langid_kappa,
+        "length_skew_kurtosis": _q_length_skew_kurtosis,
+        "purchase_attribution": _q_purchase_attribution,
+        "link_transitivity": _q_link_transitivity,
     }
 
 
@@ -11334,5 +11569,103 @@ WITH d AS (SELECT text, length(text) AS L FROM documents WHERE length(text) >= 3
 u AS (SELECT text, unnest(generate_series(1, L - 2)) AS i FROM d)
 SELECT substr(text, i, 3) AS trigram, count(*)::bigint AS n
 FROM u GROUP BY trigram ORDER BY n DESC, trigram LIMIT 50
+""",
+        # Cohen's kappa of the langid heuristic vs the label
+        "langid_kappa": f"""
+WITH tok AS ({_TOK}),
+hits AS (
+  SELECT t.doc_id, l.lang, count(*) AS score
+  FROM tok t JOIN (VALUES {_langid_values()}) l(lang, word) ON t.term = l.word
+  GROUP BY t.doc_id, l.lang),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM hits),
+pred AS (
+  SELECT d.lang AS true_lang,
+         coalesce(CASE WHEN b.score > 0 THEN b.lang END, 'unknown') AS pred_lang
+  FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+cm AS (SELECT true_lang, pred_lang, count(*)::bigint AS n FROM pred GROUP BY 1, 2),
+tot AS (SELECT sum(n)::bigint AS n FROM cm),
+cl AS (SELECT DISTINCT c FROM (SELECT true_lang AS c FROM cm
+                               UNION SELECT pred_lang FROM cm)),
+rowm AS (SELECT cl.c, coalesce(sum(cm.n), 0)::bigint AS r
+         FROM cl LEFT JOIN cm ON cm.true_lang = cl.c GROUP BY cl.c),
+colm AS (SELECT cl.c, coalesce(sum(cm.n), 0)::bigint AS cc
+         FROM cl LEFT JOIN cm ON cm.pred_lang = cl.c GROUP BY cl.c),
+ag AS (SELECT coalesce(sum(CASE WHEN true_lang = pred_lang THEN n END), 0)::bigint
+         AS agree FROM cm),
+pe AS (SELECT sum(rowm.r * colm.cc)::bigint AS x
+       FROM rowm JOIN colm USING (c))
+SELECT tot.n AS n_docs, ag.agree AS n_agree,
+       round(ag.agree::double / tot.n::double, 6) + 0.0 AS po,
+       round(pe.x::double / (tot.n::double * tot.n::double), 6) + 0.0 AS pe,
+       round((ag.agree::double / tot.n::double
+              - pe.x::double / (tot.n::double * tot.n::double))
+             / (1.0 - pe.x::double / (tot.n::double * tot.n::double)), 6)
+         + 0.0 AS kappa
+FROM tot, ag, pe
+""",
+        # two-pass central moments: g1 and excess g2 per language
+        "length_skew_kurtosis": """
+WITH m AS (SELECT lang, count(*)::bigint AS n, sum(n_chars)::bigint AS sx
+           FROM documents GROUP BY lang),
+mu AS (SELECT lang, n, sx::double / n::double AS mean FROM m),
+c AS (SELECT d.lang, (d.n_chars::double - mu.mean) AS dd, mu.n, mu.mean
+      FROM documents d JOIN mu USING (lang)),
+p AS (SELECT lang, max(n) AS n, max(mean) AS mean,
+             sum(dd * dd) / max(n) AS m2,
+             sum(dd * dd * dd) / max(n) AS m3,
+             sum(dd * dd * dd * dd) / max(n) AS m4
+      FROM c GROUP BY lang)
+SELECT lang, n::bigint AS n,
+       round(mean, 6) + 0.0 AS mean_len,
+       round(sqrt(m2), 6) + 0.0 AS sd_len,
+       round(CASE WHEN m2 > 0 THEN m3 / (m2 ^ 1.5) ELSE 0.0 END, 6) + 0.0
+         AS skewness,
+       round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6) + 0.0
+         AS kurtosis_excess
+FROM p ORDER BY lang
+""",
+        # first-touch (min ts, event_id) revenue attribution
+        "purchase_attribution": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+ft AS (SELECT user_id, event_type AS first_touch_type FROM (
+         SELECT user_id, event_type,
+                row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+         FROM e) WHERE rn = 1),
+rev AS (SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END)::bigint AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS isp
+        FROM e GROUP BY user_id)
+SELECT ft.first_touch_type, count(*)::bigint AS n_users,
+       sum(rev.isp)::bigint AS n_purchasers,
+       sum(rev.c)::bigint AS purchase_cents,
+       round(sum(rev.c)::double / (SELECT sum(c) FROM rev)::double, 6) + 0.0
+         AS revenue_share
+FROM ft JOIN rev USING (user_id)
+GROUP BY 1 ORDER BY 1
+""",
+        # 3·triangles / wedges over the undirected distinct pair set
+        "link_transitivity": f"""
+WITH {_LINK_EDGES_CTE},
+ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS (
+  SELECT node, count(*)::bigint AS d
+  FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce) GROUP BY node),
+tri AS (
+  SELECT count(*)::bigint AS t
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN ce e3 ON e3.a = e1.b AND e3.b = e2.b),
+w AS (SELECT count(*)::bigint AS n_nodes,
+             sum(d * (d - 1) // 2)::bigint AS wedges FROM deg)
+SELECT w.n_nodes, tri.t AS n_triangles, w.wedges AS n_wedges,
+       round(3.0 * tri.t / w.wedges, 6) + 0.0 AS transitivity
+FROM w, tri
 """,
     }
