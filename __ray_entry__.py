@@ -7692,6 +7692,184 @@ def _q_link_transitivity(sf_dir: str) -> pa.Table:
     )
 
 
+_BOOT_B = 100  # resamples
+_BOOT_M = 500  # draws per resample (m-out-of-n bootstrap)
+_BOOT_SEED = 20260819
+
+
+def _q_bootstrap_mean_ci(sf_dir: str) -> pa.Table:
+    """m-out-of-n bootstrap CI for mean document length: B=100
+    resamples of m=500 draws each, sampled WITH replacement through
+    the inverse CDF of the exact value-count table (u = splitmix64(t ⊕
+    seed) mod n — the same keyless counter-mode RNG discipline as the
+    sampling gates, so every draw replays bit-for-bit in SQL). The
+    distributed part is the |distinct lengths| combiner fold; the
+    50k-draw resampling is bounded driver work independent of corpus
+    size. CI bounds use the explicit-interpolation percentile (no
+    quantile_cont dependence)."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(docs, ["n_chars"], [], count_col="c").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    vals = vc["n_chars"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+    order = np.argsort(vals)
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+
+    # splitmix64 over the draw counter (NO golden-ratio increment —
+    # mirrors the generate_series chain in the SQL replay)
+    t = np.arange(_BOOT_B * _BOOT_M, dtype=np.uint64)
+    x = t ^ np.uint64(_BOOT_SEED)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = x ^ (x >> np.uint64(31))
+    u = (h % np.uint64(n)).astype(np.int64)
+    drawn = vals[np.searchsorted(cum, u, side="right")]
+    sums = drawn.reshape(_BOOT_B, _BOOT_M).sum(axis=1)
+    means = np.sort(sums.astype(np.float64) / _BOOT_M)
+    out_q, out_v = [], []
+    for q in (0.025, 0.5, 0.975):
+        pos = (_BOOT_B - 1) * q
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, _BOOT_B - 1)
+        frac = pos - np.floor(pos)
+        out_q.append(q)
+        out_v.append(round(means[lo] + (means[hi] - means[lo]) * frac, 6) + 0.0)
+    return pa.table(
+        {
+            "q": pa.array(out_q, pa.float64()),
+            "n_resamples": pa.array([_BOOT_B] * 3, pa.int64()),
+            "m_draws": pa.array([_BOOT_M] * 3, pa.int64()),
+            "boot_mean": pa.array(out_v, pa.float64()),
+        }
+    )
+
+
+def _q_robust_outliers_by_lang(sf_dir: str) -> pa.Table:
+    """Robust (median/MAD) outlier audit per language: docs with
+    |len − median| > 3·MAD — the outlier rule that, unlike the z-score
+    gate, is immune to the outliers it hunts. EXACT integer arithmetic
+    throughout: medians as two-middle SUMS (med2 = a+b), deviations as
+    |2x − med2|, and the 3·MAD cut as 2·dev2 > 3·mad2x2 — no float
+    enters until the two display divisions (both exact binary
+    fractions). Exchange = |lang × distinct lengths|."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(docs, ["lang", "n_chars"], [], count_col="c")
+        .iter_batches(batch_format="pyarrow")
+    )
+    lang = vc["lang"].to_numpy(zero_copy_only=False)
+    vals = vc["n_chars"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+
+    def two_middle(v: np.ndarray, c: np.ndarray) -> int:
+        """a + b for the 1-based ranks (n+1)//2 and n//2+1 over the
+        value-count expansion (never expands the rows)."""
+        order = np.argsort(v)
+        vv, cc = v[order], c[order]
+        cum = np.cumsum(cc)
+        n = int(cum[-1])
+        lo_r, hi_r = (n + 1) // 2, n // 2 + 1
+        a = vv[np.searchsorted(cum, lo_r, side="left")]
+        b = vv[np.searchsorted(cum, hi_r, side="left")]
+        return int(a + b)
+
+    rows = []
+    for lg in np.unique(lang):
+        m = lang == lg
+        v, c = vals[m], cnt[m]
+        n = int(c.sum())
+        med2 = two_middle(v, c)
+        dev2 = np.abs(2 * v - med2)
+        mad2x2 = two_middle(dev2, c)
+        n_out = int(c[2 * dev2 > 3 * mad2x2].sum())
+        rows.append((str(lg), n, med2 / 2.0, mad2x2 / 4.0, n_out))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "lang": pa.array(cols[0], pa.string()),
+            "n": pa.array(cols[1], pa.int64()),
+            "median_len": pa.array([round(x, 6) for x in cols[2]], pa.float64()),
+            "mad_len": pa.array([round(x, 6) for x in cols[3]], pa.float64()),
+            "n_outliers": pa.array(cols[4], pa.int64()),
+        }
+    )
+
+
+def _q_multi_format_source(sf_dir: str) -> pa.Table:
+    """Source-format parity gate: the events fact table round-trips
+    through JSONL (``ray.data.read_json``) AND CSV
+    (``ray.data.read_csv``) — the two text ingest formats a crawl
+    pipeline meets besides parquet — and both paths must produce the
+    identical per-type (n, cents) aggregate. Values are converted to
+    exact integer cents BEFORE serialization so the text round-trip is
+    lossless by construction; the sidecar files are written once per
+    sf_dir under /tmp and reused."""
+    import os
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/dcs_ray_srcfmt_{tag}"
+    jdir, cdir = f"{root}/jsonl", f"{root}/csv"
+    done = f"{root}/.done"
+    if not os.path.exists(done):
+        ev = read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        )
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"].cast(pa.int64()),
+                    "event_type": b["event_type"],
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+
+        staged = ev.map_batches(to_cents, batch_format="pyarrow").materialize()
+        staged.write_json(jdir)
+        staged.write_csv(cdir)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def agg(ds: ray.data.Dataset) -> pa.Table:
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b["event_type"].cast(pa.string()),
+                    "cents": b["cents"].cast(pa.int64()),
+                }
+            )
+
+        return pa.concat_tables(
+            pa.table(x)
+            for x in combiner_groupby(
+                ds.map_batches(prep, batch_format="pyarrow"),
+                ["event_type"], ["cents"], count_col="n",
+            ).iter_batches(batch_format="pyarrow")
+        ).sort_by("event_type").select(["event_type", "n", "cents"])
+
+    tj = agg(ray.data.read_json(jdir))
+    tc = agg(ray.data.read_csv(cdir))
+    if not tj.equals(tc):
+        raise AssertionError("JSONL and CSV round-trips disagree")
+    return tj
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -7952,6 +8130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_skew_kurtosis": _q_length_skew_kurtosis,
         "purchase_attribution": _q_purchase_attribution,
         "link_transitivity": _q_link_transitivity,
+        "bootstrap_mean_ci": _q_bootstrap_mean_ci,
+        "robust_outliers_by_lang": _q_robust_outliers_by_lang,
+        "multi_format_source": _q_multi_format_source,
     }
 
 
@@ -11667,5 +11848,68 @@ w AS (SELECT count(*)::bigint AS n_nodes,
 SELECT w.n_nodes, tri.t AS n_triangles, w.wedges AS n_wedges,
        round(3.0 * tri.t / w.wedges, 6) + 0.0 AS transitivity
 FROM w, tri
+""",
+        # counter-mode splitmix64 draws through the inverse CDF
+        "bootstrap_mean_ci": f"""
+WITH vc AS (SELECT n_chars::bigint AS v, count(*)::bigint AS c
+            FROM documents GROUP BY 1),
+s AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+bnd AS (SELECT (cum - c)::bigint AS lo, cum::bigint AS hi, v FROM s),
+nn AS (SELECT count(*)::bigint AS n FROM documents),
+ts AS (SELECT unnest(range(0, {_BOOT_B * _BOOT_M}))::bigint AS t),
+h0 AS (SELECT t, xor(t::ubigint, {_BOOT_SEED}::ubigint)::hugeint AS x0 FROM ts),
+h1 AS (SELECT t, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", str(0xBF58476D1CE4E5B9) + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT t, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", str(0x94D049BB133111EB) + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT t, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+u AS (SELECT t, (h % (SELECT n FROM nn))::bigint AS u FROM hf),
+d AS (SELECT u.t // {_BOOT_M} AS b, bnd.v
+      FROM u JOIN bnd ON u.u >= bnd.lo AND u.u < bnd.hi),
+mm AS (SELECT b, sum(v)::bigint AS sv FROM d GROUP BY b),
+r AS (SELECT sv::double / {_BOOT_M}.0 AS mean,
+             row_number() OVER (ORDER BY sv) AS rn,
+             count(*) OVER () AS nb FROM mm),
+q AS (SELECT unnest([0.025, 0.5, 0.975]) AS q),
+pos AS (SELECT q.q, (max(r.nb) - 1) * q.q AS p, max(r.nb)::bigint AS nb
+        FROM q, r GROUP BY q.q),
+pick AS (SELECT p.q, p.p - floor(p.p) AS frac, lo.mean AS vlo, hi.mean AS vhi
+         FROM pos p
+         JOIN r lo ON lo.rn = CAST(floor(p.p) AS BIGINT) + 1
+         JOIN r hi ON hi.rn = least(CAST(floor(p.p) AS BIGINT) + 2, p.nb))
+SELECT q, {_BOOT_B}::bigint AS n_resamples, {_BOOT_M}::bigint AS m_draws,
+       round(vlo + (vhi - vlo) * frac, 6) + 0.0 AS boot_mean
+FROM pick ORDER BY q
+""",
+        # exact-integer median/MAD outlier rule: 2·dev2 > 3·mad2x2
+        "robust_outliers_by_lang": """
+WITH r AS (SELECT lang, n_chars::bigint AS v,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+med AS (SELECT lang, max(n)::bigint AS n,
+               (max(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                + max(CASE WHEN rn = n // 2 + 1 THEN v END))::bigint AS med2
+        FROM r GROUP BY lang),
+d AS (SELECT r.lang, abs(2 * r.v - m.med2)::bigint AS dev2, m.med2, m.n
+      FROM r JOIN med m USING (lang)),
+dr AS (SELECT lang, dev2, med2, n,
+              row_number() OVER (PARTITION BY lang ORDER BY dev2) AS rn
+       FROM d),
+mad AS (SELECT lang, max(med2)::bigint AS med2, max(n)::bigint AS n,
+               (max(CASE WHEN rn = (n + 1) // 2 THEN dev2 END)
+                + max(CASE WHEN rn = n // 2 + 1 THEN dev2 END))::bigint AS mad2x2
+        FROM dr GROUP BY lang),
+o AS (SELECT d.lang,
+             sum(CASE WHEN 2 * d.dev2 > 3 * m.mad2x2 THEN 1 ELSE 0 END)::bigint
+               AS n_outliers
+      FROM d JOIN mad m USING (lang) GROUP BY d.lang)
+SELECT m.lang, m.n, round(m.med2 / 2.0, 6) AS median_len,
+       round(m.mad2x2 / 4.0, 6) AS mad_len, o.n_outliers
+FROM mad m JOIN o USING (lang) ORDER BY m.lang
+""",
+        # JSONL/CSV ingest parity: same exact-cents aggregate as parquet
+        "multi_format_source": """
+SELECT event_type, count(*)::bigint AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::bigint AS cents
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     }
