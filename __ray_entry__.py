@@ -7870,6 +7870,138 @@ def _q_multi_format_source(sf_dir: str) -> pa.Table:
     return tj
 
 
+_PQ_M = 4       # subspaces
+_PQ_K = 4       # centroids per subspace
+_PQ_ITER = 2    # Lloyd's iterations per subspace
+_PQ_SUBDIM = 16  # dims per subspace (4 × 16 = 64)
+
+
+def _q_pq_codes(sf_dir: str) -> pa.Table:
+    """Product-quantization code assignment (Jégou '11): the 64-dim
+    embedding splits into 4 × 16-dim subspaces, each trained with the
+    SAME deterministic Lloyd's contract as the k-means gates (seeds =
+    k smallest ids' sub-vectors, argmin ties to the smallest cid,
+    empty clusters keep their centroid), then every vector gets one
+    code per subspace against the final subspace codebooks — the
+    compressed-vector representation an IVF-PQ ANN index stores (here
+    4×2 bits per vector instead of 64 floats). Training passes stream
+    with k·d-sized exchanges; the coding pass broadcasts all four
+    codebooks once."""
+    from dcs_ray.functions.kmeans import _emb_f64, _train_centroids
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    codebooks = []
+    for m in range(_PQ_M):
+        start = m * _PQ_SUBDIM
+
+        def slice_m(b: pa.Table, _s=start) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": pc.list_slice(
+                        b["embedding"], _s, _s + _PQ_SUBDIM
+                    ),
+                }
+            )
+
+        C, _, _ = _train_centroids(
+            emb.map_batches(slice_m, batch_format="pyarrow"),
+            _PQ_K, _PQ_ITER, "embedding", "vec_id",
+        )
+        codebooks.append(C)
+    cref = ray.put([c.copy() for c in codebooks])
+
+    def assign(b: pa.Table) -> pa.Table:
+        cbs = ray.get(cref)
+        E = _emb_f64(b["embedding"])
+        cols = {"vec_id": b["vec_id"].cast(pa.int64())}
+        for m, cc in enumerate(cbs):
+            sub = E[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            dist = ((sub[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            cols[f"code_{m}"] = pa.array(
+                np.argmin(dist, axis=1).astype(np.int64), pa.int64()
+            )
+        return pa.table(cols)
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in emb.map_batches(assign, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return t.sort_by("vec_id")
+
+
+def _pq_parts(m: int, k: int, n_iter: int, subdim: int) -> list[str]:
+    """Per-subspace k-means CTE chain (``_kmeans_parts`` with a dim
+    OFFSET and a ``_s{m}`` suffix) ending at final centroids
+    ``c{n_iter}_s{m}`` — the SQL replay of one PQ codebook."""
+    s = f"_s{m}"
+    off = m * subdim
+    parts = [
+        f"""e{s} AS MATERIALIZED (
+  SELECT vec_id, i.i AS dim, embedding[i.i + {off}]::double AS v
+  FROM embeddings, (SELECT unnest(range(1, {subdim + 1})) AS i) i),
+seeds{s} AS (
+  SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::bigint AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+c0{s} AS MATERIALIZED (
+  SELECT x.cid, e.dim, e.v FROM e{s} e JOIN seeds{s} x USING (vec_id))"""
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f"""d{t}{s} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e{s} e JOIN c{t}{s} c USING (dim) GROUP BY e.vec_id, c.cid),
+a{t}{s} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d{t}{s}) WHERE rn = 1),
+c{t + 1}{s} AS MATERIALIZED (
+  SELECT a.cid, e.dim, sum(e.v) / count(*) AS v
+  FROM e{s} e JOIN a{t}{s} a USING (vec_id) GROUP BY a.cid, e.dim
+  UNION ALL
+  SELECT c.cid, c.dim, c.v FROM c{t}{s} c
+  WHERE c.cid NOT IN (SELECT DISTINCT cid FROM a{t}{s}))"""
+        )
+    return parts
+
+
+def _pq_codes_sql(
+    M: int = 4, k: int = 4, n_iter: int = 2, subdim: int = 16
+) -> str:
+    """Full PQ replay: M independent subspace k-means chains, one
+    final-codebook assignment each, joined on vec_id."""
+    parts: list[str] = []
+    for m in range(M):
+        parts.extend(_pq_parts(m, k, n_iter, subdim))
+        s = f"_s{m}"
+        parts.append(
+            f"""df{s} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e{s} e JOIN c{n_iter}{s} c USING (dim) GROUP BY e.vec_id, c.cid),
+af{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code_{m} FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM df{s}) WHERE rn = 1)"""
+        )
+    joins = " ".join(f"JOIN af_s{m} USING (vec_id)" for m in range(1, M))
+    cols = ", ".join(f"code_{m}::bigint AS code_{m}" for m in range(M))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, {cols}
+FROM af_s0 {joins}
+ORDER BY vec_id"""
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8133,6 +8265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_mean_ci": _q_bootstrap_mean_ci,
         "robust_outliers_by_lang": _q_robust_outliers_by_lang,
         "multi_format_source": _q_multi_format_source,
+        "pq_codes": _q_pq_codes,
     }
 
 
@@ -11912,4 +12045,8 @@ SELECT event_type, count(*)::bigint AS n,
        sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::bigint AS cents
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+        # 4 independent subspace k-means chains + final assignments
+        "pq_codes": _pq_codes_sql(
+            M=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, subdim=_PQ_SUBDIM
+        ),
     }
