@@ -8002,6 +8002,198 @@ ORDER BY vec_id"""
     )
 
 
+def _q_psi_event_drift(sf_dir: str) -> pa.Table:
+    """Population Stability Index of the event-type mix between the
+    first and second half of the timeline (the standard drift monitor
+    for a production feature): PSI = Σ (p−q)·ln(p/q) over types
+    present in both halves. One 1-row min/max fold for the cut, one
+    |types|² combiner fold for the two distributions — exact integers
+    until the shares."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from ray.data.aggregate import Max, Min
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    ).materialize()
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"us": b["ts"].cast(pa.int64())})
+
+    mm = ev.map_batches(to_us, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    mid = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "f": pa.array((us < mid).astype(np.int64), pa.int64()),
+                "s": pa.array((us >= mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(flags, batch_format="pyarrow"),
+            ["event_type"], ["f", "s"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    f = g["f"].to_numpy().astype(np.int64)
+    s = g["s"].to_numpy().astype(np.int64)
+    nf, ns = int(f.sum()), int(s.sum())
+    both = (f > 0) & (s > 0)
+    p = f[both].astype(np.float64) / nf
+    q = s[both].astype(np.float64) / ns
+    psi = float(((p - q) * np.log(p / q)).sum())
+    return pa.table(
+        {
+            "n_first": pa.array([nf], pa.int64()),
+            "n_second": pa.array([ns], pa.int64()),
+            "n_types_both": pa.array([int(both.sum())], pa.int64()),
+            "psi": pa.array([round(psi, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_knn_pq_adc(sf_dir: str) -> pa.Table:
+    """Approximate kNN by PQ asymmetric distance (ADC, Jégou '11):
+    the query (the smallest vec_id's embedding) builds a 4×4 lookup
+    table of subspace distances to the trained codebooks; every
+    vector's distance is the 4-term LUT sum over its PQ codes — the
+    scan an IVF-PQ index runs inside a probed list, at 4 adds per
+    vector instead of a 64-dim float op. Top-5 by (adc_dist, vec_id);
+    codebooks/codes/LUT all replay through the PQ CTE chains."""
+    from dcs_ray.functions.kmeans import _emb_f64, _train_centroids
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    codebooks = []
+    for m in range(_PQ_M):
+        start = m * _PQ_SUBDIM
+
+        def slice_m(b: pa.Table, _s=start) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "embedding": pc.list_slice(
+                        b["embedding"], _s, _s + _PQ_SUBDIM
+                    ),
+                }
+            )
+
+        C, _, _ = _train_centroids(
+            emb.map_batches(slice_m, batch_format="pyarrow"),
+            _PQ_K, _PQ_ITER, "embedding", "vec_id",
+        )
+        codebooks.append(C)
+
+    # query = the smallest vec_id's embedding (deterministic, replayable)
+    def local_min(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy().astype(np.int64)
+        i = int(np.argmin(ids))
+        return pa.table(
+            {"vec_id": pa.array([ids[i]], pa.int64()),
+             "embedding": b["embedding"].take(pa.array([i]))}
+        )
+
+    cand = pa.concat_tables(
+        pa.table(b)
+        for b in emb.map_batches(local_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("vec_id").slice(0, 1)
+    qv = _emb_f64(cand["embedding"])[0]
+
+    lut = np.zeros((_PQ_M, _PQ_K), np.float64)
+    for m, cc in enumerate(codebooks):
+        qs = qv[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        lut[m] = ((cc - qs[None, :]) ** 2).sum(axis=1)
+    ref = ray.put(([c.copy() for c in codebooks], lut.copy()))
+
+    def score(b: pa.Table) -> pa.Table:
+        cbs, lt = ray.get(ref)
+        E = _emb_f64(b["embedding"])
+        dist = np.zeros(len(E), np.float64)
+        for m, cc in enumerate(cbs):
+            sub = E[:, m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+            d = ((sub[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2)
+            dist += lt[m][np.argmin(d, axis=1)]
+        t = pa.table(
+            {
+                "vec_id": b["vec_id"].cast(pa.int64()),
+                "adc_dist": pa.array(dist, pa.float64()),
+            }
+        )
+        return t.sort_by(
+            [("adc_dist", "ascending"), ("vec_id", "ascending")]
+        ).slice(0, 5)
+
+    parts = [
+        pa.table(b)
+        for b in emb.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts).sort_by(
+        [("adc_dist", "ascending"), ("vec_id", "ascending")]
+    ).slice(0, 5)
+    return pa.table(
+        {
+            "vec_id": merged["vec_id"],
+            "adc_dist": pc.add(pc.round(merged["adc_dist"], 6), 0.0),
+        }
+    )
+
+
+def _knn_pq_adc_sql(
+    M: int = 4, k: int = 4, n_iter: int = 2, subdim: int = 16, topk: int = 5
+) -> str:
+    """ADC replay: the PQ chains, a per-subspace LUT against the
+    smallest-id query vector, and the 4-way LUT-sum scan."""
+    parts: list[str] = [
+        "q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 1)"
+    ]
+    for m in range(M):
+        parts.extend(_pq_parts(m, k, n_iter, subdim))
+        s = f"_s{m}"
+        off = m * subdim
+        parts.append(
+            f"""df{s} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS dist
+  FROM e{s} e JOIN c{n_iter}{s} c USING (dim) GROUP BY e.vec_id, c.cid),
+af{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code_{m} FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM df{s}) WHERE rn = 1),
+lut{s} AS MATERIALIZED (
+  SELECT c.cid, sum((c.v - q.qe[c.dim + {off}]::double)
+                    * (c.v - q.qe[c.dim + {off}]::double)) AS d
+  FROM c{n_iter}{s} c, q GROUP BY c.cid)"""
+        )
+    joins = " ".join(
+        f"JOIN af_s{m} USING (vec_id) " for m in range(1, M)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut_s{m} l{m} ON l{m}.cid = af_s{m}.code_{m}" for m in range(M)
+    )
+    dist_sum = " + ".join(f"l{m}.d" for m in range(M))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, round({dist_sum}, 6) + 0.0 AS adc_dist
+FROM af_s0 {joins} {lut_joins}
+ORDER BY ({dist_sum}) ASC, vec_id ASC LIMIT {topk}"""
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8266,6 +8458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers_by_lang": _q_robust_outliers_by_lang,
         "multi_format_source": _q_multi_format_source,
         "pq_codes": _q_pq_codes,
+        "psi_event_drift": _q_psi_event_drift,
+        "knn_pq_adc": _q_knn_pq_adc,
     }
 
 
@@ -12048,5 +12242,24 @@ FROM events GROUP BY event_type ORDER BY event_type
         # 4 independent subspace k-means chains + final assignments
         "pq_codes": _pq_codes_sql(
             M=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, subdim=_PQ_SUBDIM
+        ),
+        # PSI drift of the event-type mix across the timeline midpoint
+        "psi_event_drift": """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+g AS (SELECT event_type,
+             sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b) THEN 1 ELSE 0 END)::bigint AS f,
+             sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b) THEN 1 ELSE 0 END)::bigint AS s
+      FROM events GROUP BY event_type),
+t AS (SELECT sum(f)::bigint AS nf, sum(s)::bigint AS ns FROM g),
+d AS (SELECT (g.f::double / t.nf::double) AS p, (g.s::double / t.ns::double) AS q
+      FROM g, t WHERE g.f > 0 AND g.s > 0)
+SELECT t.nf AS n_first, t.ns AS n_second,
+       (SELECT count(*) FROM d)::bigint AS n_types_both,
+       round((SELECT sum((p - q) * ln(p / q)) FROM d), 6) + 0.0 AS psi
+FROM t
+""",
+        # PQ asymmetric-distance scan against the smallest-id query
+        "knn_pq_adc": _knn_pq_adc_sql(
+            M=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, subdim=_PQ_SUBDIM, topk=5
         ),
     }
