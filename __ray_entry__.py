@@ -8194,6 +8194,187 @@ ORDER BY ({dist_sum}) ASC, vec_id ASC LIMIT {topk}"""
     )
 
 
+def _q_gains_curve_quality(sf_dir: str) -> pa.Table:
+    """Cumulative gains / lift table of the quality classifier at the
+    ten score-decile thresholds: for each decile d, the threshold is
+    the micro-unit score at rank ⌈n·d/10⌉ (descending) and the
+    selected set takes WHOLE tie groups (p6 ≥ threshold) — the
+    targeting report that says 'the top 10% of scores captures X% of
+    positives'. Value-count fold on (p6, y) — the same |distinct
+    score|² exchange as the AUC gate — then ten driver rows."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def to_p6(b: pa.Table) -> pa.Table:
+        p6 = np.floor(b["quality_prob"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "p6": pa.array(p6, pa.int64()),
+                "y": b["y"].cast(pa.int64()),
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(
+        _QualityWithLabel, concurrency=2, batch_format="pyarrow"
+    )
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            scored.map_batches(to_p6, batch_format="pyarrow"),
+            ["p6"], ["y", "one"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by([("p6", "descending")])
+    p6 = vc["p6"].to_numpy().astype(np.int64)
+    pos = vc["y"].to_numpy().astype(np.int64)
+    cnt = vc["one"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnt)
+    cumpos = np.cumsum(pos)
+    n = int(cum[-1])
+    npos = int(cumpos[-1])
+    rows = []
+    for d in range(1, 11):
+        r = (n * d + 9) // 10  # ceil(n·d/10)
+        i = int(np.searchsorted(cum, r, side="left"))
+        thr = int(p6[i])
+        n_sel, pos_sel = int(cum[i]), int(cumpos[i])
+        rows.append(
+            (
+                d,
+                thr,
+                n_sel,
+                pos_sel,
+                round(pos_sel / npos, 6) + 0.0,
+                round(pos_sel / n_sel, 6) + 0.0,
+                round((pos_sel / n_sel) / (npos / n), 6) + 0.0,
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "decile": pa.array(cols[0], pa.int64()),
+            "p6_threshold": pa.array(cols[1], pa.int64()),
+            "n_selected": pa.array(cols[2], pa.int64()),
+            "n_pos_selected": pa.array(cols[3], pa.int64()),
+            "recall": pa.array(cols[4], pa.float64()),
+            "precision": pa.array(cols[5], pa.float64()),
+            "lift": pa.array(cols[6], pa.float64()),
+        }
+    )
+
+
+def _q_hill_tail_events(sf_dir: str) -> pa.Table:
+    """Hill tail-index estimate of the purchase-value distribution
+    (the heavy-tail exponent that decides whether revenue concentration
+    is even summable): α̂ = k / (Σ_{top-k} ln x − k·ln x_(k+1)) with
+    k = ⌈n/20⌉ (the 5% tail). Folds through the |distinct cents|
+    value-count combiner; the boundary tie group enters PARTIALLY by
+    count, which is value-replayable because the summand depends only
+    on the value."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        sel = pc.equal(b["event_type"], "purchase")
+        f = b.filter(sel)
+        cents = np.floor(f["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        return pa.table({"cents": pa.array(cents, pa.int64())})
+
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), ["cents"], [],
+            count_col="c",
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by([("cents", "descending")])
+    vals = vc["cents"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    k = (n + 19) // 20
+    before = cum - cnt
+    taken = np.clip(k - before, 0, cnt)
+    sum_ln = float((taken * np.log(vals.astype(np.float64))).sum())
+    i_k1 = int(np.searchsorted(cum, k + 1, side="left"))
+    xk1 = int(vals[i_k1])
+    denom = sum_ln - k * float(np.log(float(xk1)))
+    alpha = k / denom if denom > 0 else 0.0
+    return pa.table(
+        {
+            "n_purchases": pa.array([n], pa.int64()),
+            "k_tail": pa.array([k], pa.int64()),
+            "xk1_cents": pa.array([xk1], pa.int64()),
+            "hill_alpha": pa.array([round(alpha, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_term_burstiness(sf_dir: str) -> pa.Table:
+    """Term burstiness (Church & Gale): collection frequency over
+    document frequency — terms that, WHEN they appear, appear in
+    bursts (content words) vs evenly spread function words. Top-20 by
+    cf/df among terms with df ≥ 5; exchange = |distinct (doc, term)|
+    like the term_df gate, then |vocab| per-term fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import word_tokens_flat
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b["text"])
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids[parents], pa.int64()), "term": flat}
+        )
+
+    dt = combiner_groupby(
+        docs.map_batches(prep, batch_format="pyarrow"), ["doc_id", "term"], [],
+        count_col="c",
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": b["term"],
+                "cf": b["c"].cast(pa.int64()),
+                "df": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            dt.map_batches(fold, batch_format="pyarrow"), ["term"], ["cf", "df"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    cf = t["cf"].to_numpy().astype(np.int64)
+    df = t["df"].to_numpy().astype(np.int64)
+    keep = df >= 5
+    term = t["term"].to_numpy(zero_copy_only=False)[keep]
+    cf, df = cf[keep], df[keep]
+    ratio = cf.astype(np.float64) / df.astype(np.float64)
+    order = np.lexsort((term, -ratio))[:20]
+    return pa.table(
+        {
+            "term": pa.array([str(x) for x in term[order]], pa.string()),
+            "cf": pa.array(cf[order], pa.int64()),
+            "df": pa.array(df[order], pa.int64()),
+            "burstiness": pa.array(
+                np.round(ratio[order], 6) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8460,6 +8641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "psi_event_drift": _q_psi_event_drift,
         "knn_pq_adc": _q_knn_pq_adc,
+        "gains_curve_quality": _q_gains_curve_quality,
+        "hill_tail_events": _q_hill_tail_events,
+        "term_burstiness": _q_term_burstiness,
     }
 
 
@@ -12262,4 +12446,55 @@ FROM t
         "knn_pq_adc": _knn_pq_adc_sql(
             M=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, subdim=_PQ_SUBDIM, topk=5
         ),
+        # gains/lift at the ten score-decile thresholds (whole tie groups)
+        "gains_curve_quality": f"""
+WITH {_QC_CTES},
+lab AS (SELECT q.doc_id, floor(q.p * 1e6 + 0.5)::bigint AS p6,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM qprob q JOIN documents d USING (doc_id)),
+vc AS (SELECT p6, count(*)::bigint AS c, sum(y)::bigint AS pos
+       FROM lab GROUP BY p6),
+o AS (SELECT p6, sum(c) OVER (ORDER BY p6 DESC) AS cum,
+             sum(pos) OVER (ORDER BY p6 DESC) AS cumpos FROM vc),
+t AS (SELECT count(*)::bigint AS n, sum(y)::bigint AS npos FROM lab),
+dd AS (SELECT unnest(generate_series(1, 10)) AS d),
+th AS (SELECT dd.d, max(o.p6) AS thr
+       FROM dd CROSS JOIN t JOIN o ON o.cum >= (t.n * dd.d + 9) // 10
+       GROUP BY dd.d),
+sel AS (SELECT th.d, th.thr, o.cum AS n_sel, o.cumpos AS pos_sel
+        FROM th JOIN o ON o.p6 = th.thr)
+SELECT d::bigint AS decile, thr::bigint AS p6_threshold,
+       n_sel::bigint AS n_selected, pos_sel::bigint AS n_pos_selected,
+       round(pos_sel::double / t.npos::double, 6) + 0.0 AS recall,
+       round(pos_sel::double / n_sel::double, 6) + 0.0 AS precision,
+       round((pos_sel::double / n_sel::double)
+             / (t.npos::double / t.n::double), 6) + 0.0 AS lift
+FROM sel, t ORDER BY d
+""",
+        # Hill estimator over the 5% purchase-value tail
+        "hill_tail_events": """
+WITH p AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+vc AS (SELECT cents, count(*)::bigint AS c FROM p WHERE cents > 0 GROUP BY cents),
+o AS (SELECT cents, c, sum(c) OVER (ORDER BY cents DESC) AS cum FROM vc),
+t AS (SELECT sum(c)::bigint AS n, ((sum(c) + 19) // 20)::bigint AS k FROM vc),
+tk AS (SELECT o.cents, least(o.c, t.k - (o.cum - o.c)) AS taken
+       FROM o, t WHERE o.cum - o.c < t.k),
+sl AS (SELECT sum(taken * ln(cents::double)) AS sum_ln FROM tk),
+x1 AS (SELECT max(cents)::bigint AS xk1 FROM o, t WHERE o.cum >= t.k + 1)
+SELECT t.n AS n_purchases, t.k AS k_tail, x1.xk1 AS xk1_cents,
+       round(t.k::double / (sl.sum_ln - t.k * ln(x1.xk1::double)), 6) + 0.0
+         AS hill_alpha
+FROM t, sl, x1
+""",
+        # cf/df burstiness, top-20 among df ≥ 5
+        "term_burstiness": f"""
+WITH tok AS ({_TOK}),
+dt AS (SELECT doc_id, term, count(*)::bigint AS c FROM tok GROUP BY 1, 2),
+t AS (SELECT term, sum(c)::bigint AS cf, count(*)::bigint AS df
+      FROM dt GROUP BY term)
+SELECT term, cf, df, round(cf::double / df::double, 6) + 0.0 AS burstiness
+FROM t WHERE df >= 5
+ORDER BY cf::double / df::double DESC, term LIMIT 20
+""",
     }
