@@ -8375,6 +8375,190 @@ def _q_term_burstiness(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_markov_next_event_accuracy(sf_dir: str) -> pa.Table:
+    """Evaluation of the first-order Markov next-event predictor:
+    predict argmax-count transition (ties → smallest type) and score
+    it on the SAME sequence — computable entirely from the transition
+    counts, so the whole evaluation costs one |type-pairs| exchange
+    (the matrix gate's own shape) and zero extra passes."""
+    from dcs_ray.functions.windows import event_transitions
+
+    ds = event_transitions(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    prev = t["prev_type"].to_numpy(zero_copy_only=False)
+    nxt = t["next_type"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((nxt, -n, prev))  # per prev: n desc, next asc
+    p_s = prev[order]
+    first = np.ones(len(p_s), bool)
+    first[1:] = p_s[1:] != p_s[:-1]
+    pred = {p_s[i]: nxt[order][i] for i in np.flatnonzero(first)}
+    correct = int(
+        n[[pred[p] == x for p, x in zip(prev, nxt)]].sum()
+    )
+    tot = int(n.sum())
+    return pa.table(
+        {
+            "n_transitions": pa.array([tot], pa.int64()),
+            "n_prev_types": pa.array([len(pred)], pa.int64()),
+            "n_correct": pa.array([correct], pa.int64()),
+            "accuracy": pa.array(
+                [round(correct / tot, 6) + 0.0 if tot else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_quantile_sketch_error(sf_dir: str) -> pa.Table:
+    """Sketch-accuracy audit: the 64-bin mergeable histogram's
+    p50/p90/p99 of document length vs the EXACT order statistic
+    (rank ⌈q·n⌉), with absolute and relative error — the measurement
+    that justifies (or vetoes) replacing the exact quantile exchange
+    with the constant-size sketch at 100×. Both estimates fold
+    distributed (|bins| resp. |distinct lengths| exchanges)."""
+    from dcs_ray.functions.quantiles import approx_quantiles_histogram
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    ).materialize()
+    approx = approx_quantiles_histogram(docs, "n_chars", [0.5, 0.9, 0.99], bins=64)
+    av = {
+        round(float(q), 6): float(v)
+        for q, v in zip(
+            approx["q"].to_numpy(zero_copy_only=False),
+            approx["value"].to_numpy(zero_copy_only=False),
+        )
+    }
+    vc = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(docs, ["n_chars"], [], count_col="c")
+        .iter_batches(batch_format="pyarrow")
+    )
+    vals = vc["n_chars"].to_numpy().astype(np.int64)
+    cnt = vc["c"].to_numpy().astype(np.int64)
+    order = np.argsort(vals)
+    vals, cnt = vals[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    rows = []
+    for q in (0.5, 0.9, 0.99):
+        r = max(1, int(np.ceil(q * n)))
+        exact = float(vals[np.searchsorted(cum, r, side="left")])
+        ap = av[round(q, 6)]
+        rows.append(
+            (
+                q,
+                exact,
+                round(ap, 6) + 0.0,
+                round(ap - exact, 6) + 0.0,
+                round((ap - exact) / exact, 6) + 0.0,
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "q": pa.array(cols[0], pa.float64()),
+            "exact": pa.array(cols[1], pa.float64()),
+            "approx": pa.array(cols[2], pa.float64()),
+            "abs_err": pa.array(cols[3], pa.float64()),
+            "rel_err": pa.array(cols[4], pa.float64()),
+        }
+    )
+
+
+def _q_rich_club(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient of the web graph at k=3: edge density
+    among nodes with degree > k (do the hubs link to EACH OTHER?) —
+    the link-ring / elite-core audit. Degrees fold through the
+    combiner; the club membership broadcasts as a sorted array and
+    one filtered pass counts in-club edges."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    K = 3
+    edges = _link_edges_ds(sf_dir)
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    pairs = combiner_groupby(
+        edges.map_batches(to_pairs, batch_format="pyarrow"), ["a", "b"], []
+    ).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            b["a"].to_numpy().astype(np.int64),
+                            b["b"].to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    deg = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"], [],
+            count_col="d",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    nodes = deg["node"].to_numpy().astype(np.int64)
+    dd = deg["d"].to_numpy().astype(np.int64)
+    club = np.sort(nodes[dd > K])
+    cref = ray.put(club)
+
+    def in_club(b: pa.Table) -> pa.Table:
+        cl = ray.get(cref)
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        if len(cl) == 0:
+            k = 0
+        else:
+            ia = np.minimum(np.searchsorted(cl, a), len(cl) - 1)
+            ib = np.minimum(np.searchsorted(cl, bb), len(cl) - 1)
+            k = int(((cl[ia] == a) & (cl[ib] == bb)).sum())
+        return pa.table({"k": pa.array([k], pa.int64())})
+
+    e_in = sum(
+        int(b["k"][0].as_py())
+        for b in pairs.map_batches(in_club, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    m = len(club)
+    phi = 2.0 * e_in / (m * (m - 1)) if m > 1 else 0.0
+    return pa.table(
+        {
+            "k": pa.array([K], pa.int64()),
+            "n_club": pa.array([m], pa.int64()),
+            "n_club_edges": pa.array([e_in], pa.int64()),
+            "rich_club_phi": pa.array([round(phi, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8644,6 +8828,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gains_curve_quality": _q_gains_curve_quality,
         "hill_tail_events": _q_hill_tail_events,
         "term_burstiness": _q_term_burstiness,
+        "markov_next_event_accuracy": _q_markov_next_event_accuracy,
+        "quantile_sketch_error": _q_quantile_sketch_error,
+        "rich_club": _q_rich_club,
     }
 
 
@@ -12496,5 +12683,73 @@ t AS (SELECT term, sum(c)::bigint AS cf, count(*)::bigint AS df
 SELECT term, cf, df, round(cf::double / df::double, 6) + 0.0 AS burstiness
 FROM t WHERE df >= 5
 ORDER BY cf::double / df::double DESC, term LIMIT 20
+""",
+        # argmax-transition predictor scored from its own count matrix
+        "markov_next_event_accuracy": """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_type) AS prev
+           FROM events),
+cm AS (SELECT prev AS p, event_type AS nx, count(*)::bigint AS n
+       FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+pr AS (SELECT p, nx FROM (
+         SELECT p, nx,
+                row_number() OVER (PARTITION BY p ORDER BY n DESC, nx ASC) AS rn
+         FROM cm) WHERE rn = 1),
+t AS (SELECT sum(n)::bigint AS tot, count(DISTINCT p)::bigint AS np FROM cm),
+c AS (SELECT coalesce(sum(cm.n), 0)::bigint AS corr
+      FROM cm JOIN pr ON cm.p = pr.p AND cm.nx = pr.nx)
+SELECT t.tot AS n_transitions, t.np AS n_prev_types, c.corr AS n_correct,
+       round(c.corr::double / t.tot::double, 6) + 0.0 AS accuracy
+FROM t, c
+""",
+        # 64-bin histogram estimate vs the exact order statistic
+        "quantile_sketch_error": """
+WITH lohi AS (SELECT min(n_chars)::double AS lo,
+                     CASE WHEN max(n_chars) - min(n_chars) = 0 THEN 1.0
+                          ELSE max(n_chars)::double - min(n_chars)::double END AS w
+              FROM documents),
+bins AS (SELECT least(floor((n_chars::double - lo) / w * 64)::bigint, 63) AS bin
+         FROM documents, lohi),
+hist AS (SELECT bin, count(*)::bigint AS cnt FROM bins GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS c FROM hist),
+n AS (SELECT count(*)::bigint AS n FROM documents),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+tgt AS (SELECT q, greatest(1, ceil(q * n)::bigint) AS target FROM qs, n),
+hit AS (SELECT t.q, t.target, min(c.bin) AS bin
+        FROM tgt t JOIN cum c ON c.c >= t.target GROUP BY t.q, t.target),
+fin AS (SELECT h.q, h.bin, h.target,
+               coalesce((SELECT max(c2.c) FROM cum c2 WHERE c2.bin < h.bin), 0) AS prev,
+               (SELECT cnt FROM hist WHERE bin = h.bin) AS cnt
+        FROM hit h),
+ap AS (SELECT q, lo + (bin + (target - prev)::double / greatest(cnt, 1)) * w / 64 AS v
+       FROM fin, lohi),
+r AS (SELECT n_chars::bigint AS v, row_number() OVER (ORDER BY n_chars) AS rn
+      FROM documents),
+ex AS (SELECT t.q, min(r.v)::double AS ev FROM tgt t JOIN r ON r.rn = t.target
+       GROUP BY t.q)
+SELECT ap.q::double AS q, ex.ev AS exact, round(ap.v, 6) + 0.0 AS approx,
+       round(ap.v - ex.ev, 6) + 0.0 AS abs_err,
+       round((ap.v - ex.ev) / ex.ev, 6) + 0.0 AS rel_err
+FROM ap JOIN ex USING (q) ORDER BY q
+""",
+        # hub-core density among nodes with degree > 3
+        "rich_club": f"""
+WITH {_LINK_EDGES_CTE},
+ce AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst),
+deg AS (SELECT node, count(*)::bigint AS d
+        FROM (SELECT a AS node FROM ce UNION ALL SELECT b FROM ce)
+        GROUP BY node),
+club AS (SELECT node FROM deg WHERE d > 3),
+ec AS (SELECT count(*)::bigint AS e FROM ce
+       WHERE a IN (SELECT node FROM club) AND b IN (SELECT node FROM club)),
+m AS (SELECT count(*)::bigint AS m FROM club)
+SELECT 3::bigint AS k, m.m AS n_club, ec.e AS n_club_edges,
+       CASE WHEN m.m > 1
+            THEN round(2.0 * ec.e / (m.m * (m.m - 1)), 6) + 0.0
+            ELSE 0.0 END AS rich_club_phi
+FROM m, ec
 """,
     }
