@@ -8559,6 +8559,127 @@ def _q_rich_club(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_rbo_bm25_qld(sf_dir: str) -> pa.Table:
+    """Rank-Biased Overlap (Webber '10, truncated prefix form, p=0.9,
+    depth 20) between the BM25 and Dirichlet-QL rankings of the same
+    query — the ranker-agreement metric an engine migration is judged
+    by. Both rankings run the normal query×shard fan-out; the RBO fold
+    is 20 driver rows."""
+    from dcs_ray.search import search_bm25, search_lm
+
+    idx = _index_dir(sf_dir, "words")
+    a = search_bm25(idx, [BM25_QUERY], k=20)
+    b = search_lm(idx, [BM25_QUERY], k=20, model="qld", mu=300.0)
+    ra = {int(d): int(r) for d, r in zip(a["doc_id"].to_pylist(), a["rank"].to_pylist())}
+    rb = {int(d): int(r) for d, r in zip(b["doc_id"].to_pylist(), b["rank"].to_pylist())}
+    common = set(ra) & set(rb)
+    p = 0.9
+    depth = 20
+    rbo = 0.0
+    for i in range(1, depth + 1):
+        o = sum(1 for d in common if ra[d] <= i and rb[d] <= i)
+        # 0.1 literal, not (1 − 0.9): the SQL replay writes 0.1 and the
+        # two differ in the last ulp
+        rbo += 0.1 * p ** (i - 1) * o / i
+    return pa.table(
+        {
+            "depth": pa.array([depth], pa.int64()),
+            "p": pa.array([p], pa.float64()),
+            "n_common": pa.array([len(common)], pa.int64()),
+            "rbo": pa.array([round(rbo, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_markov_entropy_rate(sf_dir: str) -> pa.Table:
+    """Entropy rate of the event-type Markov chain: H = −Σᵢ πᵢ Σⱼ
+    Pᵢⱼ ln Pᵢⱼ with π the 5-step stationary gate's (round-6) vector
+    and P the exact row-normalized transition ratios — how predictable
+    the event stream is, in nats, plus the matching perplexity. Same
+    |type-pairs| exchange as the transition gate."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.stats import markov_stationary
+    from dcs_ray.functions.windows import event_transitions
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).materialize()
+    trans = pa.concat_tables(
+        pa.table(b)
+        for b in event_transitions(ev).iter_batches(batch_format="pyarrow")
+    )
+    types = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(
+                lambda b: pa.table({"event_type": b["event_type"]}),
+                batch_format="pyarrow",
+            ),
+            ["event_type"], [],
+        ).iter_batches(batch_format="pyarrow")
+    )["event_type"].to_pylist()
+    pi_t = markov_stationary(trans, types, iters=5)
+    pi = {
+        t: float(v)
+        for t, v in zip(pi_t["event_type"].to_pylist(), pi_t["pr"].to_pylist())
+    }
+    prev = trans["prev_type"].to_pylist()
+    n = trans["n"].to_numpy().astype(np.int64)
+    tot = {}
+    for pv, c in zip(prev, n):
+        tot[pv] = tot.get(pv, 0) + int(c)
+    h = 0.0
+    for pv, c in zip(prev, n):
+        pij = int(c) / tot[pv]
+        h -= pi[pv] * pij * np.log(pij)
+    return pa.table(
+        {
+            "n_types": pa.array([len(types)], pa.int64()),
+            "entropy_rate": pa.array([round(float(h), 6) + 0.0], pa.float64()),
+            "perplexity": pa.array(
+                [round(float(np.exp(h)), 6) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def _markov_entropy_sql(k: int = 5) -> str:
+    """Entropy-rate replay: the stationary-distribution chain (round-6
+    π, mirroring the gate's output contract) dotted with the exact
+    row-normalized P ln P sums."""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT ty.event_type, coalesce(sum(v{i - 1}.pr * p.p), 0.0) AS pr
+  FROM ty LEFT JOIN p ON p.nxt = ty.event_type
+          LEFT JOIN v{i - 1} ON v{i - 1}.event_type = p.prev
+  GROUP BY ty.event_type),
+v{i} AS (SELECT event_type, pr / (SELECT sum(pr) FROM r{i}) AS pr FROM r{i})"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH tr AS (
+  SELECT prev, event_type AS nxt, count(*)::double AS n FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type) AS prev
+    FROM events) s
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+rs AS (SELECT prev, sum(n) AS tot FROM tr GROUP BY prev),
+p AS (SELECT tr.prev, tr.nxt, tr.n / rs.tot AS p FROM tr JOIN rs USING (prev)),
+ty AS (SELECT DISTINCT event_type FROM events),
+v0 AS (SELECT event_type, 1.0 / (SELECT count(*) FROM ty) AS pr FROM ty),
+{chain},
+pi AS (SELECT event_type, round(pr, 6) + 0.0 AS pr FROM v{k}),
+h AS (SELECT -sum(pi.pr * p.p * ln(p.p)) AS h
+      FROM p JOIN pi ON pi.event_type = p.prev)
+SELECT (SELECT count(*) FROM ty)::bigint AS n_types,
+       round(h.h, 6) + 0.0 AS entropy_rate,
+       round(exp(h.h), 6) + 0.0 AS perplexity
+FROM h"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8831,6 +8952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_next_event_accuracy": _q_markov_next_event_accuracy,
         "quantile_sketch_error": _q_quantile_sketch_error,
         "rich_club": _q_rich_club,
+        "rbo_bm25_qld": _q_rbo_bm25_qld,
+        "markov_entropy_rate": _q_markov_entropy_rate,
     }
 
 
@@ -12752,4 +12875,36 @@ SELECT 3::bigint AS k, m.m AS n_club, ec.e AS n_club_edges,
             ELSE 0.0 END AS rich_club_phi
 FROM m, ec
 """,
+        # truncated prefix-form RBO between the BM25 and QLD rankings
+        "rbo_bm25_qld": f"""
+WITH {_BM25_SCORES},
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20),
+qcoll AS (SELECT sum(doc_len)::double AS ct FROM dl),
+qcf AS (SELECT term, count(*)::double AS cf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+qm AS (SELECT count(*)::bigint AS m FROM qcf),
+qtf AS (SELECT doc_id, term, count(*)::double AS tf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+qsp AS (SELECT qtf.doc_id,
+               sum(ln(1.0 + qtf.tf / (300.0 * (qcf.cf / qcoll.ct)))) AS sp
+        FROM qtf JOIN qcf USING (term), qcoll GROUP BY qtf.doc_id),
+qsc AS (SELECT qsp.doc_id,
+               qsp.sp + (SELECT m FROM qm) * ln(300.0 / (dl.doc_len + 300.0))
+                 AS score
+        FROM qsp JOIN dl USING (doc_id)),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM qsc ORDER BY score DESC, doc_id ASC LIMIT 20),
+ab AS (SELECT ra.r AS x, rb.r AS y FROM ra JOIN rb USING (doc_id)),
+d AS (SELECT unnest(generate_series(1, 20)) AS i),
+ov AS (SELECT d.i,
+              (SELECT count(*) FROM ab WHERE ab.x <= d.i AND ab.y <= d.i) AS o
+       FROM d)
+SELECT 20::bigint AS depth, 0.9 AS p,
+       (SELECT count(*) FROM ab)::bigint AS n_common,
+       round(sum(0.1 * power(0.9, i - 1) * o / i), 6) + 0.0 AS rbo
+FROM ov
+""",
+        # entropy rate / perplexity of the event-type chain
+        "markov_entropy_rate": _markov_entropy_sql(5),
     }
