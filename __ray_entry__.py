@@ -8680,6 +8680,300 @@ SELECT (SELECT count(*) FROM ty)::bigint AS n_types,
 FROM h"""
 
 
+def _q_heaps_law_fit(sf_dir: str) -> pa.Table:
+    """Heaps'-law vocabulary-growth fit V(n) = k·n^β over ten doc-id
+    prefix cuts (cut values from the 1-row min/max fold — NO global
+    order statistic, so the shape survives 10^12 ids): per-term first
+    doc id folds through a |vocab| min-exchange, prefix doc/vocab
+    counts are vectorized searchsorted probes, and the 10-point
+    log-log OLS runs on the driver. The exponent that sizes a
+    tokenizer's vocab budget at 100×."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.tokenize import word_tokens_flat
+    from ray.data.aggregate import Max, Min
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+
+    def ids_only(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"].cast(pa.int64())})
+
+    mm = docs.map_batches(ids_only, batch_format="pyarrow").aggregate(
+        Min("doc_id"), Max("doc_id")
+    )
+    lo, hi = int(mm["min(doc_id)"]), int(mm["max(doc_id)"])
+    cuts = np.array(
+        [lo + ((hi - lo) * d) // 10 for d in range(1, 11)], np.int64
+    )
+    cref = ray.put(cuts)
+
+    def doc_counts(b: pa.Table) -> pa.Table:
+        ct = ray.get(cref)
+        ids = np.sort(b["doc_id"].to_numpy().astype(np.int64))
+        n = np.searchsorted(ids, ct, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(np.arange(1, 11, dtype=np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    nd = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(doc_counts, batch_format="pyarrow"), ["d"], ["n"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("d")
+
+    def term_first(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b["text"])
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        t = pa.table(
+            {"term": flat, "fid": pa.array(ids[parents], pa.int64())}
+        )
+        agg = t.group_by(["term"]).aggregate([("fid", "min")])
+        return pa.table({"term": agg["term"], "fid": agg["fid_min"]})
+
+    firsts = (
+        docs.map_batches(term_first, batch_format="pyarrow")
+        .groupby("term")
+        .min("fid")
+    )
+
+    def vocab_counts(b: pa.Table) -> pa.Table:
+        ct = ray.get(cref)
+        f = np.sort(b["min(fid)"].to_numpy().astype(np.int64))
+        v = np.searchsorted(f, ct, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(np.arange(1, 11, dtype=np.int64), pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    vd = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            firsts.map_batches(vocab_counts, batch_format="pyarrow"), ["d"], ["v"],
+        ).iter_batches(batch_format="pyarrow")
+    ).sort_by("d")
+    n = nd["n"].to_numpy().astype(np.int64)
+    v = vd["v"].to_numpy().astype(np.int64)
+    x = np.log(n.astype(np.float64))
+    y = np.log(v.astype(np.float64))
+    mx, my = float(np.mean(x)), float(np.mean(y))
+    beta = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    k = float(np.exp(my - beta * mx))
+    return pa.table(
+        {
+            "d": pa.array(np.arange(1, 11, dtype=np.int64), pa.int64()),
+            "n_docs": pa.array(n, pa.int64()),
+            "vocab": pa.array(v, pa.int64()),
+            "heaps_beta": pa.array(
+                np.full(10, round(beta, 6) + 0.0), pa.float64()
+            ),
+            "heaps_k": pa.array(np.full(10, round(k, 6) + 0.0), pa.float64()),
+        }
+    )
+
+
+def _q_revenue_lorenz(sf_dir: str) -> pa.Table:
+    """Lorenz curve of purchase revenue at user deciles (cumulative
+    revenue share of the poorest ⌈n·d/10⌉ purchasers, ordered cents
+    asc / user asc) — the full inequality curve behind the gini and
+    top-share gates. Per-user revenue folds in exact cents; the
+    ranked scan is |purchasers|-sized driver work."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        sel = pc.equal(b["event_type"], "purchase")
+        f = b.filter(sel)
+        cents = np.floor(f["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": f["user_id"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], ["cents"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    user = g["user_id"].to_numpy().astype(np.int64)
+    cents = g["cents"].to_numpy().astype(np.int64)
+    order = np.lexsort((user, cents))
+    c_sorted = cents[order]
+    cum = np.cumsum(c_sorted)
+    n = len(c_sorted)
+    tot = int(cum[-1])
+    rows = []
+    for d in range(1, 11):
+        r = (n * d + 9) // 10
+        rows.append((d, r, int(cum[r - 1]), round(int(cum[r - 1]) / tot, 6) + 0.0))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "decile": pa.array(cols[0], pa.int64()),
+            "n_users_cut": pa.array(cols[1], pa.int64()),
+            "cum_cents": pa.array(cols[2], pa.int64()),
+            "cum_share": pa.array(cols[3], pa.float64()),
+        }
+    )
+
+
+def _q_partitioned_write_roundtrip(sf_dir: str) -> pa.Table:
+    """Resumable-output gate: documents write as hive-partitioned
+    parquet (``partition_cols=['lang']`` — one directory per language,
+    the layout a failed 100-TB run resumes from), then ONLY the
+    ``lang=es`` partition is read back (partition-pruned read: other
+    directories never open) and aggregated. Written once per sf_dir
+    under /tmp."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = f"/tmp/dcs_ray_partwrite_{tag}"
+    done = f"{root}/.done"
+    if not os.path.exists(done):
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        docs.write_parquet(f"{root}/docs", partition_cols=["lang"])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    es = ray.data.read_parquet(f"{root}/docs/lang=es")
+
+    def agg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([len(b)], pa.int64()),
+                "sum_chars": pa.array(
+                    [int(b["n_chars"].to_numpy().astype(np.int64).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = pa.concat_tables(
+        pa.table(b)
+        for b in es.map_batches(agg, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return pa.table(
+        {
+            "lang": pa.array(["es"], pa.string()),
+            "n_docs": pa.array(
+                [int(parts["n"].to_numpy().sum())], pa.int64()
+            ),
+            "sum_chars": pa.array(
+                [int(parts["sum_chars"].to_numpy().sum())], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_minhash_estimate_error(sf_dir: str) -> pa.Table:
+    """Sketch-accuracy audit of MinHash itself: for every LSH candidate
+    pair, the 64-permutation signature-agreement ESTIMATE of Jaccard
+    next to the exact shingle-set value and the absolute error — the
+    measurement behind choosing 64 permutations. Signatures are
+    computed only for pair PARTICIPANTS (semi-filtered per batch, like
+    the verify join); every output value is a single exact division,
+    so the gate is hash-stable."""
+    from dcs_ray.functions.dedup import (
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(sf_dir).materialize()
+    pairs_ds = minhash_candidate_pairs(docs)
+    pair_t = pa.concat_tables(
+        pa.table(b) for b in pairs_ds.iter_batches(batch_format="pyarrow")
+    )
+    if len(pair_t) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+                "exact_jaccard": pa.array([], pa.float64()),
+                "abs_err": pa.array([], pa.float64()),
+            }
+        )
+    ia = pair_t["id_a"].to_numpy().astype(np.int64)
+    ib = pair_t["id_b"].to_numpy().astype(np.int64)
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    uniq = np.unique(np.stack((lo, hi), axis=1), axis=0)
+    ia, ib = uniq[:, 0], uniq[:, 1]
+    participants = np.unique(np.concatenate((ia, ib)))
+    part_ref = ray.put(participants)
+
+    def sigs_batch(b: pa.Table) -> pa.Table:
+        part = ray.get(part_ref)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(part, ids), len(part) - 1)
+        keep = part[pos] == ids
+        texts = b["text"].filter(pa.array(keep))
+        sig = minhash_signatures(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "sig": pa.array(
+                    [row.astype(np.int64).tolist() for row in sig],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    st = pa.concat_tables(
+        pa.table(b)
+        for b in docs.map_batches(sigs_batch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    sid = st["doc_id"].to_numpy().astype(np.int64)
+    S = (
+        st["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .astype(np.int64).reshape(len(st), -1)
+    )
+    order = np.argsort(sid)
+    sid, S = sid[order], S[order]
+    a_idx = np.searchsorted(sid, ia)
+    b_idx = np.searchsorted(sid, ib)
+    est = (S[a_idx] == S[b_idx]).sum(axis=1).astype(np.float64) / S.shape[1]
+
+    exact_ds = jaccard_verify_pairs(docs, pairs_ds, threshold=0.0)
+    ex_t = pa.concat_tables(
+        pa.table(b) for b in exact_ds.iter_batches(batch_format="pyarrow")
+    )
+    exid_a = ex_t["id_a"].to_numpy().astype(np.int64)
+    exid_b = ex_t["id_b"].to_numpy().astype(np.int64)
+    exj = ex_t["jaccard"].to_numpy(zero_copy_only=False)
+    key = {(int(x), int(y)): float(j) for x, y, j in zip(exid_a, exid_b, exj)}
+    exact = np.array([key[(int(x), int(y))] for x, y in zip(ia, ib)], np.float64)
+    return pa.table(
+        {
+            "id_a": pa.array(ia, pa.int64()),
+            "id_b": pa.array(ib, pa.int64()),
+            "est_jaccard": pa.array(np.round(est, 6) + 0.0, pa.float64()),
+            "exact_jaccard": pa.array(np.round(exact, 6) + 0.0, pa.float64()),
+            "abs_err": pa.array(
+                np.round(np.abs(est - exact), 6) + 0.0, pa.float64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -8954,6 +9248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "rbo_bm25_qld": _q_rbo_bm25_qld,
         "markov_entropy_rate": _q_markov_entropy_rate,
+        "heaps_law_fit": _q_heaps_law_fit,
+        "revenue_lorenz": _q_revenue_lorenz,
+        "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
+        "minhash_estimate_error": _q_minhash_estimate_error,
     }
 
 
@@ -12907,4 +13205,89 @@ FROM ov
 """,
         # entropy rate / perplexity of the event-type chain
         "markov_entropy_rate": _markov_entropy_sql(5),
+        # Heaps' law: vocab vs prefix size at ten id-value cuts + OLS fit
+        "heaps_law_fit": f"""
+WITH tok AS ({_TOK}),
+ft AS (SELECT term, min(doc_id) AS fid FROM tok GROUP BY term),
+mm AS (SELECT min(doc_id)::bigint AS lo, max(doc_id)::bigint AS hi FROM documents),
+dd AS (SELECT unnest(generate_series(1, 10)) AS d),
+cut AS (SELECT dd.d, (mm.lo + ((mm.hi - mm.lo) * dd.d) // 10)::bigint AS t
+        FROM dd, mm),
+pts AS (SELECT c.d, c.t,
+               (SELECT count(*) FROM documents WHERE doc_id <= c.t)::bigint AS n,
+               (SELECT count(*) FROM ft WHERE fid <= c.t)::bigint AS v
+        FROM cut c),
+l AS (SELECT d, n, v, ln(n::double) AS x, ln(v::double) AS y FROM pts),
+m AS (SELECT avg(x) AS mx, avg(y) AS my FROM l),
+f AS (SELECT sum((l.x - m.mx) * (l.y - m.my)) / sum((l.x - m.mx) * (l.x - m.mx))
+        AS beta FROM l, m)
+SELECT l.d, l.n AS n_docs, l.v AS vocab,
+       round((SELECT beta FROM f), 6) + 0.0 AS heaps_beta,
+       round(exp((SELECT my FROM m) - (SELECT beta FROM f) * (SELECT mx FROM m)),
+             6) + 0.0 AS heaps_k
+FROM l ORDER BY l.d
+""",
+        # cumulative revenue share of the poorest ⌈n·d/10⌉ purchasers
+        "revenue_lorenz": """
+WITH u AS (SELECT user_id,
+                  sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::bigint AS c
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS rn,
+             sum(c) OVER (ORDER BY c, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM u),
+t AS (SELECT count(*)::bigint AS n, sum(c)::bigint AS tot FROM u),
+dd AS (SELECT unnest(generate_series(1, 10)) AS d)
+SELECT dd.d AS decile, ((t.n * dd.d + 9) // 10)::bigint AS n_users_cut,
+       r.cum::bigint AS cum_cents,
+       round(r.cum::double / t.tot::double, 6) + 0.0 AS cum_share
+FROM dd CROSS JOIN t JOIN r ON r.rn = (t.n * dd.d + 9) // 10
+ORDER BY dd.d
+""",
+        # partition-pruned read of the lang=es hive directory
+        "partitioned_write_roundtrip": """
+SELECT 'es' AS lang, count(*)::bigint AS n_docs,
+       sum(n_chars)::bigint AS sum_chars
+FROM documents WHERE lang = 'es'
+""",
+        # 64-perm signature-agreement estimate vs exact shingle Jaccard
+        "minhash_estimate_error": f"""
+WITH {_minhash_chain_ctes()},
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+est AS (SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.sv = sb.sv THEN 1 ELSE 0 END)::bigint AS m
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+                    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+        GROUP BY 1, 2),
+shw AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w2 || ' ' || lead(t, 2) OVER w2 AS shingle
+  FROM tok WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(t, 2) OVER w2 IS NOT NULL),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shw),
+ssz AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+pint AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.id_a
+  JOIN dsh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b),
+ex AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN coalesce(za.sz, 0) + coalesce(zb.sz, 0) - coalesce(p.i, 0) = 0
+              THEN 1.0
+              ELSE coalesce(p.i, 0)::double
+                   / (coalesce(za.sz, 0) + coalesce(zb.sz, 0) - coalesce(p.i, 0))
+         END AS j
+  FROM cand c
+  LEFT JOIN pint p ON p.id_a = c.id_a AND p.id_b = c.id_b
+  LEFT JOIN ssz za ON za.doc_id = c.id_a
+  LEFT JOIN ssz zb ON zb.doc_id = c.id_b)
+SELECT e.id_a, e.id_b,
+       round(e.m / 64.0, 6) + 0.0 AS est_jaccard,
+       round(x.j, 6) + 0.0 AS exact_jaccard,
+       round(abs(e.m / 64.0 - x.j), 6) + 0.0 AS abs_err
+FROM est e JOIN ex x USING (id_a, id_b) ORDER BY id_a, id_b
+""",
     }
