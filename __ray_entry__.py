@@ -8974,6 +8974,205 @@ def _q_minhash_estimate_error(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_assoc_rules_sessions(sf_dir: str) -> pa.Table:
+    """Association rules over 30-min sessions (market-basket metrics
+    on top of the co-occurrence gate): per unordered type pair,
+    support = P(A,B), both directed confidences, and lift = P(A,B)
+    / (P(A)·P(B)) — joint counts from ``session_type_pairs``,
+    marginals + total from the new ``session_type_singles`` kernel,
+    all exact integers until the three divisions."""
+    from dcs_ray.functions.windows import session_type_pairs, session_type_singles
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).materialize()
+    pairs = pa.concat_tables(
+        pa.table(b)
+        for b in session_type_pairs(ev).iter_batches(batch_format="pyarrow")
+    )
+    singles = pa.concat_tables(
+        pa.table(b)
+        for b in session_type_singles(ev).iter_batches(batch_format="pyarrow")
+    )
+    sm = {
+        t: int(n)
+        for t, n in zip(
+            singles["event_type"].to_pylist(), singles["n"].to_pylist()
+        )
+    }
+    S = sm.pop("__sessions__")
+    ta = pairs["type_a"].to_pylist()
+    tb = pairs["type_b"].to_pylist()
+    nb = pairs["n"].to_numpy().astype(np.int64)
+    rows = []
+    for a, b, n in zip(ta, tb, nb):
+        na, nbb = sm[a], sm[b]
+        rows.append(
+            (
+                a, b, int(n), na, nbb, S,
+                round(int(n) / S, 6) + 0.0,
+                round(int(n) / na, 6) + 0.0,
+                round(int(n) / nbb, 6) + 0.0,
+                round(int(n) * S / (na * nbb), 6) + 0.0,
+            )
+        )
+    rows.sort(key=lambda r: (r[0], r[1]))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "type_a": pa.array(cols[0], pa.string()),
+            "type_b": pa.array(cols[1], pa.string()),
+            "n_both": pa.array(cols[2], pa.int64()),
+            "n_a": pa.array(cols[3], pa.int64()),
+            "n_b": pa.array(cols[4], pa.int64()),
+            "n_sessions": pa.array(cols[5], pa.int64()),
+            "support": pa.array(cols[6], pa.float64()),
+            "conf_a_to_b": pa.array(cols[7], pa.float64()),
+            "conf_b_to_a": pa.array(cols[8], pa.float64()),
+            "lift": pa.array(cols[9], pa.float64()),
+        }
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def _q_profile_orders(sf_dir: str) -> pa.Table:
+    """Automated data profiling of the orders table: per column, row
+    count, exact distinct count (non-null), and null count — the
+    schema-audit report a pipeline runs before trusting a new feed.
+    One combiner distinct-fold per column (exchange = |distinct|),
+    null counts ride the same pass."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=_PROFILE_COLS
+    ).materialize()
+    rows = []
+    for col in _PROFILE_COLS:
+
+        def prep(b: pa.Table, _c=col) -> pa.Table:
+            vv = b[_c].drop_null()
+            if pa.types.is_timestamp(vv.type):
+                vv = vv.cast(pa.int64())
+            return pa.table(
+                {
+                    "v": vv,
+                    "one": pa.array(np.ones(len(vv), np.int64), pa.int64()),
+                }
+            )
+
+        def nullcount(b: pa.Table, _c=col) -> pa.Table:
+            return pa.table(
+                {
+                    "z": pa.array([0], pa.int64()),
+                    "nn": pa.array([int(b[_c].null_count)], pa.int64()),
+                }
+            )
+
+        g = pa.concat_tables(
+            pa.table(b)
+            for b in combiner_groupby(
+                orders.map_batches(prep, batch_format="pyarrow"), ["v"], ["one"],
+            ).iter_batches(batch_format="pyarrow")
+        )
+        nn = pa.concat_tables(
+            pa.table(b)
+            for b in combiner_groupby(
+                orders.map_batches(nullcount, batch_format="pyarrow"),
+                ["z"], ["nn"],
+            ).iter_batches(batch_format="pyarrow")
+        )
+        n_null = int(nn["nn"].to_numpy().sum())
+        rows.append(
+            (col, int(g["one"].to_numpy().sum()) + n_null, len(g), n_null)
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "column_name": pa.array(cols[0], pa.string()),
+            "n_rows": pa.array(cols[1], pa.int64()),
+            "n_distinct": pa.array(cols[2], pa.int64()),
+            "n_null": pa.array(cols[3], pa.int64()),
+        }
+    ).sort_by("column_name")
+
+
+def _q_label_centroid_drift(sf_dir: str) -> pa.Table:
+    """Embedding-space drift audit: per label, the cosine between the
+    mean vector of EVEN vec_ids and of ODD vec_ids (two deterministic
+    'snapshots' of the same population — cosine ≈ 1 means the halves
+    agree; a drop flags drift/contamination). One streaming pass emits
+    ≤ 2·|labels| (label, parity, Σvec, n) partials; cosines are 2·d
+    driver floats."""
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        from dcs_ray.functions.kmeans import _emb_f64
+
+        E = _emb_f64(b["embedding"])
+        lab = b["label"].to_numpy().astype(np.int64)
+        par = b["vec_id"].to_numpy().astype(np.int64) % 2
+        key = lab * 2 + par
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros((len(uk), E.shape[1]), np.float64)
+        np.add.at(sums, inv, E)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    rows = pa.concat_tables(
+        pa.table(b)
+        for b in emb.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    from dcs_ray.functions.kmeans import _emb_f64
+
+    keys = rows["key"].to_numpy().astype(np.int64)
+    S = _emb_f64(rows["s"])
+    ns = rows["n"].to_numpy().astype(np.int64)
+    d = S.shape[1]
+    out = {}
+    for k in np.unique(keys):
+        m = keys == k
+        sub = S[m]
+        order = np.lexsort(tuple(sub[:, j] for j in range(d - 1, -1, -1)))
+        out[int(k)] = (sub[order].sum(axis=0), int(ns[m].sum()))
+    labels = sorted({k // 2 for k in out})
+    rws = []
+    for lb in labels:
+        se, ne = out.get(lb * 2, (np.zeros(d), 0))
+        so, no = out.get(lb * 2 + 1, (np.zeros(d), 0))
+        if ne == 0 or no == 0:
+            continue
+        me, mo = se / ne, so / no
+        cos = float(
+            (me * mo).sum()
+            / (np.sqrt((me * me).sum()) * np.sqrt((mo * mo).sum()))
+        )
+        rws.append((lb, ne, no, round(cos, 6) + 0.0))
+    cols = list(zip(*rws))
+    return pa.table(
+        {
+            "label": pa.array(cols[0], pa.int64()),
+            "n_even": pa.array(cols[1], pa.int64()),
+            "n_odd": pa.array(cols[2], pa.int64()),
+            "cosine": pa.array(cols[3], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9252,6 +9451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_lorenz": _q_revenue_lorenz,
         "partitioned_write_roundtrip": _q_partitioned_write_roundtrip,
         "minhash_estimate_error": _q_minhash_estimate_error,
+        "assoc_rules_sessions": _q_assoc_rules_sessions,
+        "profile_orders": _q_profile_orders,
+        "label_centroid_drift": _q_label_centroid_drift,
     }
 
 
@@ -13289,5 +13491,82 @@ SELECT e.id_a, e.id_b,
        round(x.j, 6) + 0.0 AS exact_jaccard,
        round(abs(e.m / 64.0 - x.j), 6) + 0.0 AS abs_err
 FROM est e JOIN ex x USING (id_a, id_b) ORDER BY id_a, id_b
+""",
+        # support / directed confidences / lift over 30-min sessions
+        "assoc_rules_sessions": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+flag AS (
+  SELECT user_id, t, event_type,
+         CASE WHEN lag(t) OVER w IS NULL
+              OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_type)),
+sess AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_type
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flag),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM sess),
+tot AS (SELECT count(*)::bigint AS s
+        FROM (SELECT DISTINCT user_id, sid FROM sess)),
+sing AS (SELECT event_type, count(*)::bigint AS n FROM st GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM st a JOIN st b USING (user_id, sid)
+      WHERE a.event_type < b.event_type),
+jc AS (SELECT type_a, type_b, count(*)::bigint AS n FROM p GROUP BY 1, 2)
+SELECT jc.type_a, jc.type_b, jc.n AS n_both, sa.n AS n_a, sb.n AS n_b,
+       tot.s AS n_sessions,
+       round(jc.n::double / tot.s::double, 6) + 0.0 AS support,
+       round(jc.n::double / sa.n::double, 6) + 0.0 AS conf_a_to_b,
+       round(jc.n::double / sb.n::double, 6) + 0.0 AS conf_b_to_a,
+       round(jc.n::double * tot.s::double / (sa.n::double * sb.n::double), 6)
+         + 0.0 AS lift
+FROM jc JOIN sing sa ON sa.event_type = jc.type_a
+        JOIN sing sb ON sb.event_type = jc.type_b
+        CROSS JOIN tot
+ORDER BY jc.type_a, jc.type_b
+""",
+        # per-column profiling: rows, exact distinct, nulls
+        "profile_orders": """
+SELECT 'o_custkey' AS column_name, count(*)::bigint AS n_rows,
+       count(DISTINCT o_custkey)::bigint AS n_distinct,
+       (count(*) - count(o_custkey))::bigint AS n_null FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*)::bigint, count(DISTINCT o_orderdate)::bigint,
+       (count(*) - count(o_orderdate))::bigint FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*)::bigint, count(DISTINCT o_orderkey)::bigint,
+       (count(*) - count(o_orderkey))::bigint FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*)::bigint,
+       count(DISTINCT o_orderpriority)::bigint,
+       (count(*) - count(o_orderpriority))::bigint FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*)::bigint, count(DISTINCT o_orderstatus)::bigint,
+       (count(*) - count(o_orderstatus))::bigint FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*)::bigint, count(DISTINCT o_totalprice)::bigint,
+       (count(*) - count(o_totalprice))::bigint FROM orders
+ORDER BY column_name
+""",
+        # per-label cosine between even-id and odd-id mean vectors
+        "label_centroid_drift": """
+WITH e AS (SELECT vec_id, label, i.i AS dim, embedding[i.i]::double AS v
+           FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i),
+cnt AS (SELECT label, (vec_id % 2)::bigint AS par, count(*)::bigint AS n
+        FROM embeddings GROUP BY 1, 2),
+mm AS (SELECT label, (vec_id % 2)::bigint AS par, dim, sum(v) AS sv
+       FROM e GROUP BY 1, 2, 3),
+mv AS (SELECT mm.label, mm.par, mm.dim, mm.sv / cnt.n AS m
+       FROM mm JOIN cnt USING (label, par)),
+c AS (SELECT a.label, sum(a.m * b.m) AS dot,
+             sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+      FROM mv a JOIN mv b ON a.label = b.label AND a.dim = b.dim
+                AND a.par = 0 AND b.par = 1
+      GROUP BY a.label)
+SELECT c.label::bigint AS label, ce.n AS n_even, co.n AS n_odd,
+       round(c.dot / (c.na * c.nb), 6) + 0.0 AS cosine
+FROM c JOIN cnt ce ON ce.label = c.label AND ce.par = 0
+       JOIN cnt co ON co.label = c.label AND co.par = 1
+ORDER BY label
 """,
     }

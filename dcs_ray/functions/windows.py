@@ -562,6 +562,79 @@ def event_ngrams(
     )
 
 
+def session_type_singles(
+    events: ray.data.Dataset,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-type session incidence (the marginals the association-rule
+    metrics need next to :func:`session_type_pairs`'s joint counts):
+    Dataset[(event_type, n)] = number of sessions containing the type,
+    plus ONE reserved row ``("__sessions__", total session count)`` —
+    same gap splitting, same bucketed lexsort kernel, exchange =
+    |types| + 1 per bucket."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    _MIX = np.uint64(0xBF58476D1CE4E5B9)
+    gap_us = gap_s * 1_000_000
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            x = u.astype(np.uint64) * _MIX
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "t": b[ts_col].cast(pa.int64()),
+                "ty": b[type_col],
+                "_bucket": pa.array((x % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def singles_in_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"event_type": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        m = len(g)
+        if m == 0:
+            return empty
+        u = g["u"].combine_chunks().to_numpy(zero_copy_only=False)
+        t = g["t"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(g["ty"].combine_chunks())
+        ci = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(codes.dictionary), 1)
+        order = np.lexsort((t, u))
+        u, t, ci = u[order], t[order], ci[order]
+        new_sess = np.ones(m, bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        sid = np.cumsum(new_sess) - 1
+        inc = np.unique(sid * v + ci)
+        cnt = np.bincount((inc % v).astype(np.int64), minlength=v).astype(np.int64)
+        types = codes.dictionary.to_pylist()
+        n_sessions = int(new_sess.sum())
+        return pa.table(
+            {
+                "event_type": pa.array(types + ["__sessions__"], pa.string()),
+                "n": pa.array(np.concatenate([cnt, [n_sessions]]), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        events.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(singles_in_bucket, batch_format="pyarrow"),
+        ["event_type"],
+        ["n"],
+    )
+    return agg.map_batches(
+        lambda b: b.select(["event_type", "n"]), batch_format="pyarrow"
+    )
+
+
 def session_type_pairs(
     events: ray.data.Dataset,
     gap_s: int = 1800,
