@@ -9173,6 +9173,125 @@ def _q_label_centroid_drift(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_dup_rate_by_source(sf_dir: str) -> pa.Table:
+    """Exact-duplicate rate per source feed (the dedup REPORT next to
+    the dedup operator): docs, distinct contents, and 1 − unique/total
+    per source. Content hashes via the word-wise 64-bit kernel; the
+    exchange is |source × distinct hash| combiner rows, text never
+    shuffles."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.textstats import content_hash_rows
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = content_hash_rows(b["text"]).astype(np.int64)
+        return pa.table({"source": b["source"], "h": pa.array(h, pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep, batch_format="pyarrow"), ["source", "h"], [],
+            count_col="c",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    src = g["source"].to_numpy(zero_copy_only=False)
+    c = g["c"].to_numpy().astype(np.int64)
+    us, inv = np.unique(src, return_inverse=True)
+    n = np.zeros(len(us), np.int64)
+    np.add.at(n, inv, c)
+    uq = np.zeros(len(us), np.int64)
+    np.add.at(uq, inv, 1)
+    return pa.table(
+        {
+            "source": pa.array([str(x) for x in us], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "n_unique": pa.array(uq, pa.int64()),
+            "dup_rate": pa.array(
+                np.round(1.0 - uq.astype(np.float64) / n.astype(np.float64), 6)
+                + 0.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_ngram_dup_rate(sf_dir: str) -> pa.Table:
+    """Corpus 8-gram duplication rate (Lee et al. '22's train-set
+    memorization metric): the share of 8-token windows whose gram
+    occurs more than once corpus-wide. Windows hash through the
+    existing polynomial shingle kernel (n=8); the exchange is
+    |distinct gram| combiner rows — window text never moves."""
+    from dcs_ray.functions.dedup import _shingle_hashes
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        sh, _off = _shingle_hashes(b["text"], n=8)
+        return pa.table({"h": pa.array(sh.astype(np.int64), pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep, batch_format="pyarrow"), ["h"], [],
+            count_col="c",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    c = g["c"].to_numpy().astype(np.int64)
+    n_windows = int(c.sum())
+    n_distinct = len(c)
+    n_dup = int(c[c > 1].sum())
+    return pa.table(
+        {
+            "n_windows": pa.array([n_windows], pa.int64()),
+            "n_distinct": pa.array([n_distinct], pa.int64()),
+            "n_dup_windows": pa.array([n_dup], pa.int64()),
+            "dup_rate": pa.array(
+                [round(n_dup / n_windows, 6) + 0.0 if n_windows else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_orders_seasonality(sf_dir: str) -> pa.Table:
+    """Month-of-year order seasonality: count and exact-cents volume
+    per calendar month — the calendar companion to the day-of-week
+    event profile, over the orders fact table. One 12-row combiner
+    fold; month extraction is vectorized datetime64 arithmetic."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.int64()).to_numpy()
+        months = (
+            us.astype("datetime64[us]").astype("datetime64[M]").astype(np.int64)
+        )
+        month = (months % 12) + 1
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "month": pa.array(month, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            orders.map_batches(prep, batch_format="pyarrow"),
+            ["month"], ["cents"], count_col="n_orders",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    return g.select(["month", "n_orders", "cents"]).sort_by("month")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9454,6 +9573,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules_sessions": _q_assoc_rules_sessions,
         "profile_orders": _q_profile_orders,
         "label_centroid_drift": _q_label_centroid_drift,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "ngram_dup_rate": _q_ngram_dup_rate,
+        "orders_seasonality": _q_orders_seasonality,
     }
 
 
@@ -13568,5 +13690,34 @@ SELECT c.label::bigint AS label, ce.n AS n_even, co.n AS n_odd,
 FROM c JOIN cnt ce ON ce.label = c.label AND ce.par = 0
        JOIN cnt co ON co.label = c.label AND co.par = 1
 ORDER BY label
+""",
+        # exact-dup share per source feed
+        "dup_rate_by_source": """
+SELECT source, count(*)::bigint AS n_docs,
+       count(DISTINCT text)::bigint AS n_unique,
+       round(1.0 - count(DISTINCT text)::double / count(*)::double, 6) + 0.0
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+""",
+        # share of 8-token windows occurring more than once corpus-wide
+        "ngram_dup_rate": """
+WITH tokl AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks FROM documents),
+w AS (SELECT unnest(generate_series(1, len(toks) - 7)) AS i, toks
+      FROM tokl WHERE len(toks) >= 8),
+gr AS (SELECT array_to_string(toks[i:i+7], ' ') AS gram FROM w),
+c AS (SELECT gram, count(*)::bigint AS n FROM gr GROUP BY gram),
+s AS (SELECT (SELECT count(*) FROM gr)::bigint AS n_windows,
+             (SELECT count(*) FROM c)::bigint AS n_distinct,
+             (SELECT coalesce(sum(n), 0) FROM c WHERE n > 1)::bigint AS n_dup)
+SELECT n_windows, n_distinct, n_dup AS n_dup_windows,
+       round(n_dup::double / n_windows::double, 6) + 0.0 AS dup_rate
+FROM s
+""",
+        # month-of-year order volume, exact cents
+        "orders_seasonality": """
+SELECT month(o_orderdate)::bigint AS month, count(*)::bigint AS n_orders,
+       sum(round(o_totalprice * 100)::bigint)::bigint AS cents
+FROM orders GROUP BY 1 ORDER BY 1
 """,
     }
