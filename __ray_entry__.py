@@ -9292,6 +9292,33 @@ def _q_orders_seasonality(sf_dir: str) -> pa.Table:
     return g.select(["month", "n_orders", "cents"]).sort_by("month")
 
 
+def _q_shard_balance(sf_dir: str) -> pa.Table:
+    """Shard-routing audit (J8/S6 made inspectable): per merged shard,
+    the doc count and id range straight from the index's own
+    doc_meta — and the ORACLE recomputes the full routing chain from
+    raw documents (range partition span, per-partition posting
+    weights, the greedy posting-balanced prefix split of
+    ``merge.plan_shards``), so the deterministic placement contract is
+    hash-gated end to end."""
+    from dcs_ray.search import _open, shard_paths
+
+    idx = _index_dir(sf_dir, "words")
+    rows = []
+    for sid, path in enumerate(shard_paths(idx)):
+        seg = _open(path)
+        ids = np.asarray(seg.doc_ids, dtype=np.int64)
+        rows.append((sid, len(ids), int(ids.min()), int(ids.max())))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "shard_id": pa.array(cols[0], pa.int64()),
+            "n_docs": pa.array(cols[1], pa.int64()),
+            "min_doc": pa.array(cols[2], pa.int64()),
+            "max_doc": pa.array(cols[3], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9576,6 +9603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "ngram_dup_rate": _q_ngram_dup_rate,
         "orders_seasonality": _q_orders_seasonality,
+        "shard_balance": _q_shard_balance,
     }
 
 
@@ -13719,5 +13747,27 @@ FROM s
 SELECT month(o_orderdate)::bigint AS month, count(*)::bigint AS n_orders,
        sum(round(o_totalprice * 100)::bigint)::bigint AS cents
 FROM orders GROUP BY 1 ORDER BY 1
+""",
+        # routing replay: range span → posting weights → greedy 2-shard cut
+        "shard_balance": f"""
+WITH tok AS ({_TOK}),
+mm AS (SELECT max(doc_id)::bigint AS mx FROM documents),
+pd AS (SELECT doc_id,
+              least(doc_id // ((mm.mx + 8) // 8), 7)::bigint AS part
+       FROM documents, mm),
+post AS (SELECT pd.part,
+                count(*)::bigint + 1 AS w
+         FROM (SELECT DISTINCT doc_id, term FROM tok) dt
+         JOIN pd USING (doc_id)
+         GROUP BY pd.part),
+cum AS (SELECT part, w, sum(w) OVER (ORDER BY part) AS acc FROM post),
+tot AS (SELECT sum(w)::bigint AS t FROM post),
+q0 AS (SELECT min(part) AS q FROM cum, tot WHERE 2 * acc >= t),
+sh AS (SELECT pd.doc_id,
+              CASE WHEN pd.part <= q0.q THEN 0 ELSE 1 END AS shard_id
+       FROM pd, q0)
+SELECT shard_id::bigint AS shard_id, count(*)::bigint AS n_docs,
+       min(doc_id)::bigint AS min_doc, max(doc_id)::bigint AS max_doc
+FROM sh GROUP BY 1 ORDER BY 1
 """,
     }
