@@ -9319,6 +9319,141 @@ def _q_shard_balance(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_dedup_method_agreement(sf_dir: str) -> pa.Table:
+    """Cross-method dedup audit: how much the SimHash (hamming ≤ 3)
+    and MinHash-LSH candidate-pair sets agree — the measurement that
+    decides which near-dup detector (or both) a curation pipeline
+    runs. Both pair generators run their normal distributed paths;
+    the set comparison is |pairs| driver rows."""
+    from dcs_ray.functions.dedup import (
+        minhash_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = _docs(sf_dir).materialize()
+
+    def pair_set(ds: ray.data.Dataset) -> set:
+        t = pa.concat_tables(
+            pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+        )
+        if len(t) == 0:
+            return set()
+        a = t["id_a"].to_numpy().astype(np.int64)
+        b = t["id_b"].to_numpy().astype(np.int64)
+        return set(zip(np.minimum(a, b).tolist(), np.maximum(a, b).tolist()))
+
+    sim = pair_set(simhash_near_dup_pairs(docs, max_hamming=3))
+    mh = pair_set(minhash_candidate_pairs(docs))
+    both = sim & mh
+    union = sim | mh
+    return pa.table(
+        {
+            "n_simhash_pairs": pa.array([len(sim)], pa.int64()),
+            "n_minhash_pairs": pa.array([len(mh)], pa.int64()),
+            "n_both": pa.array([len(both)], pa.int64()),
+            "agreement_jaccard": pa.array(
+                [round(len(both) / len(union), 6) + 0.0 if union else 1.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_capture_recapture_users(sf_dir: str) -> pa.Table:
+    """Chapman capture–recapture estimate of the user population from
+    the two timeline halves treated as independent samples: N̂ =
+    (n₁+1)(n₂+1)/(m+1) − 1 with m the users seen in BOTH — the
+    coverage estimator for 'how many users does the telemetry miss'.
+    Reuses the churn gate's presence-flag fold (exchange = |users|)."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from ray.data.aggregate import Max, Min
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).materialize()
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"us": b["ts"].cast(pa.int64())})
+
+    mm = ev.map_batches(to_us, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    mid = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "f": pa.array((us < mid).astype(np.int64), pa.int64()),
+                "s": pa.array((us >= mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(flags, batch_format="pyarrow"), ["user_id"], ["f", "s"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    f = g["f"].to_numpy().astype(np.int64) > 0
+    s = g["s"].to_numpy().astype(np.int64) > 0
+    n1, n2, m = int(f.sum()), int(s.sum()), int((f & s).sum())
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1.0
+    return pa.table(
+        {
+            "n_first": pa.array([n1], pa.int64()),
+            "n_second": pa.array([n2], pa.int64()),
+            "n_both": pa.array([m], pa.int64()),
+            "n_observed": pa.array([len(g)], pa.int64()),
+            "chapman_estimate": pa.array(
+                [round(nhat, 6) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_negbin_overdispersion(sf_dir: str) -> pa.Table:
+    """Method-of-moments negative-binomial fit of events-per-user
+    (the overdispersed count model behind per-user activity): sample
+    mean/variance from exact integer sums, r = m²/(v−m), p = m/v —
+    with the VMR as the dispersion verdict. Exchange = |users|."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"].cast(pa.int64())})
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], [],
+            count_col="n",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    k = len(n)
+    s1 = int(n.sum())
+    s2 = int((n * n).sum())
+    mean = s1 / k
+    var = s2 / k - mean * mean  # population variance, exact-int moments
+    vmr = var / mean
+    over = var > mean
+    r = mean * mean / (var - mean) if over else 0.0
+    p = mean / var if over else 0.0
+    return pa.table(
+        {
+            "n_users": pa.array([k], pa.int64()),
+            "mean_events": pa.array([round(mean, 6) + 0.0], pa.float64()),
+            "var_events": pa.array([round(var, 6) + 0.0], pa.float64()),
+            "vmr": pa.array([round(vmr, 6) + 0.0], pa.float64()),
+            "nb_r": pa.array([round(r, 6) + 0.0], pa.float64()),
+            "nb_p": pa.array([round(p, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9604,6 +9739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_rate": _q_ngram_dup_rate,
         "orders_seasonality": _q_orders_seasonality,
         "shard_balance": _q_shard_balance,
+        "dedup_method_agreement": _q_dedup_method_agreement,
+        "capture_recapture_users": _q_capture_recapture_users,
+        "negbin_overdispersion": _q_negbin_overdispersion,
     }
 
 
@@ -13769,5 +13907,71 @@ sh AS (SELECT pd.doc_id,
 SELECT shard_id::bigint AS shard_id, count(*)::bigint AS n_docs,
        min(doc_id)::bigint AS min_doc, max(doc_id)::bigint AS max_doc
 FROM sh GROUP BY 1 ORDER BY 1
+""",
+        # SimHash(≤3) vs MinHash-LSH candidate-pair agreement
+        "dedup_method_agreement": f"""
+WITH {_minhash_chain_ctes()},
+mcand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+stokh AS (SELECT term, ({_FNV_TOK.format(t='term')})::ubigint AS h
+          FROM (SELECT DISTINCT t AS term FROM tok)),
+sbits AS (
+  SELECT tok.doc_id, p.bit, p.pw,
+         sum(CASE WHEN (th.h >> p.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok JOIN stokh th ON th.term = tok.t
+  CROSS JOIN (VALUES {_pow2_values()}) p(bit, pw)
+  GROUP BY tok.doc_id, p.bit, p.pw),
+ssig AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE 0::hugeint END) AS v
+         FROM sbits GROUP BY doc_id),
+su AS (SELECT d.doc_id, coalesce(s.v, 0)::ubigint AS uv
+       FROM documents d LEFT JOIN ssig s USING (doc_id)),
+scand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM su a JOIN su b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.uv, b.uv)) <= 3),
+b2 AS (SELECT count(*)::bigint AS nb
+       FROM (SELECT * FROM scand INTERSECT SELECT * FROM mcand)),
+un AS (SELECT count(*)::bigint AS nu
+       FROM (SELECT * FROM scand UNION SELECT * FROM mcand))
+SELECT (SELECT count(*) FROM scand)::bigint AS n_simhash_pairs,
+       (SELECT count(*) FROM mcand)::bigint AS n_minhash_pairs,
+       b2.nb AS n_both,
+       CASE WHEN un.nu > 0
+            THEN round(b2.nb::double / un.nu::double, 6) + 0.0
+            ELSE 1.0 END AS agreement_jaccard
+FROM b2, un
+""",
+        # Chapman estimator over the two timeline halves
+        "capture_recapture_users": """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+u AS (SELECT user_id,
+             max(CASE WHEN epoch_us(ts) < (SELECT mid FROM b) THEN 1 ELSE 0 END) AS f,
+             max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b) THEN 1 ELSE 0 END) AS s
+      FROM events GROUP BY user_id)
+SELECT sum(f)::bigint AS n_first, sum(s)::bigint AS n_second,
+       sum(CASE WHEN f = 1 AND s = 1 THEN 1 ELSE 0 END)::bigint AS n_both,
+       count(*)::bigint AS n_observed,
+       round((sum(f) + 1)::double * (sum(s) + 1)::double
+             / (sum(CASE WHEN f = 1 AND s = 1 THEN 1 ELSE 0 END) + 1)::double
+             - 1.0, 6) + 0.0 AS chapman_estimate
+FROM u
+""",
+        # method-of-moments NB fit of events-per-user
+        "negbin_overdispersion": """
+WITH u AS (SELECT user_id, count(*)::bigint AS n FROM events GROUP BY user_id),
+s AS (SELECT count(*)::bigint AS k, sum(n)::bigint AS s1,
+             sum(n * n)::bigint AS s2 FROM u),
+m AS (SELECT k, s1::double / k::double AS mean,
+             s2::double / k::double
+               - (s1::double / k::double) * (s1::double / k::double) AS var
+      FROM s)
+SELECT k AS n_users, round(mean, 6) + 0.0 AS mean_events,
+       round(var, 6) + 0.0 AS var_events,
+       round(var / mean, 6) + 0.0 AS vmr,
+       round(CASE WHEN var > mean THEN mean * mean / (var - mean)
+                  ELSE 0.0 END, 6) + 0.0 AS nb_r,
+       round(CASE WHEN var > mean THEN mean / var ELSE 0.0 END, 6) + 0.0 AS nb_p
+FROM m
 """,
     }
