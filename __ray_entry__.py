@@ -9454,6 +9454,40 @@ def _q_negbin_overdispersion(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_tiered(sf_dir: str) -> pa.Table:
+    """Two-tier serving gate (the dcs serving-economics shape): a head
+    query (any term's df > m) must fall back to the FULL tier and
+    return the bit-identical BM25 top-10, while a tail query (all dfs
+    ≤ m — here an out-of-vocab term, df 0) is served by the pruned
+    tier; the routing counters ride along as gated columns, so a
+    routing regression fails the hash."""
+    from dcs_ray.index.prune import prune_index
+    from dcs_ray.service import TieredSearchService
+
+    idx = _index_dir(sf_dir, "words")
+    out = idx + "_pruned32"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        prune_index(idx, out, m=32)
+    with TieredSearchService(idx, out) as svc:
+        t = svc.search([BM25_QUERY, "zzzznotaterm"], k=10)
+        info = svc.routing_info()
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    head = t.filter(pa.array(qid == 0))
+    n = len(head)
+    return pa.table(
+        {
+            "rank": head["rank"].cast(pa.int64()),
+            "doc_id": head["doc_id"].cast(pa.int64()),
+            "score": pa.array(
+                np.round(head["score"].to_numpy(), 6) + 0.0, pa.float64()
+            ),
+            "route": pa.array(["full"] * n, pa.string()),
+            "full_served": pa.array([info["full_served"]] * n, pa.int64()),
+            "pruned_served": pa.array([info["pruned_served"]] * n, pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9742,6 +9776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_method_agreement": _q_dedup_method_agreement,
         "capture_recapture_users": _q_capture_recapture_users,
         "negbin_overdispersion": _q_negbin_overdispersion,
+        "bm25_tiered_topk": _q_bm25_tiered,
     }
 
 
@@ -13973,5 +14008,13 @@ SELECT k AS n_users, round(mean, 6) + 0.0 AS mean_events,
                   ELSE 0.0 END, 6) + 0.0 AS nb_r,
        round(CASE WHEN var > mean THEN mean / var ELSE 0.0 END, 6) + 0.0 AS nb_p
 FROM m
+""",
+        # tiered serving: head query = full-tier BM25 top-10 + routing counters
+        "bm25_tiered_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score,
+       'full' AS route, 1::bigint AS full_served, 1::bigint AS pruned_served
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     }
