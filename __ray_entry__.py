@@ -9488,16 +9488,12 @@ def _q_bm25_tiered(sf_dir: str) -> pa.Table:
     )
 
 
-def _q_index_update_search(sf_dir: str) -> pa.Table:
-    """Incremental-update gate (M3 through the driver, not just
-    pytest): build a fresh words index, REPLACE partition 0 with
-    modified content (every doc_id % 97 == 0 in the partition's span
-    gains a trailing ' spark'), re-merging only the affected shard —
-    then BM25 must rank against the MODIFIED corpus, which the oracle
-    replays by applying the same text edit before the scoring chain."""
+def _upd_index(sf_dir: str) -> str:
+    """Build-once words index whose partition 0 was incrementally
+    REPLACED (every doc_id % 97 == 0 in the span gains ' spark') —
+    shared setup of the update/reshard gates."""
     from dcs_ray.index import IndexConfig, build_index
     from dcs_ray.index.build import parquet_col_max, update_partition
-    from dcs_ray.search import search_bm25
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = os.path.join(_CACHE_ROOT, f"{name}_words_upd")
@@ -9537,7 +9533,10 @@ def _q_index_update_search(sf_dir: str) -> pa.Table:
         )
         with open(marker, "w") as f:
             f.write("ok")
-    t = search_bm25(out, [BM25_QUERY], k=10)
+    return out
+
+
+def _rank_table(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "rank": t["rank"].cast(pa.int64()),
@@ -9547,6 +9546,57 @@ def _q_index_update_search(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def _q_index_update_search(sf_dir: str) -> pa.Table:
+    """Incremental-update gate (M3 through the driver, not just
+    pytest): build a fresh words index, REPLACE partition 0 with
+    modified content, re-merging only the affected shard — then BM25
+    must rank against the MODIFIED corpus, which the oracle replays by
+    applying the same text edit before the scoring chain."""
+    from dcs_ray.search import search_bm25
+
+    return _rank_table(search_bm25(_upd_index(sf_dir), [BM25_QUERY], k=10))
+
+
+def _q_reshard_search(sf_dir: str) -> pa.Table:
+    """Reshard gate (the dcs-reshard flow): the updated index re-merges
+    its segments into FOUR shards (posting-balanced plan, atomic
+    shards/ swap, no corpus-scale rebuild) and BM25 over the resharded
+    index must stay rank-identical — same oracle corpus as the update
+    gate, plus the new shard count as a gated column."""
+    from dcs_ray.index.build import load_manifest, reshard
+    from dcs_ray.search import search_bm25
+
+    out = _upd_index(sf_dir)
+    if load_manifest(out)["num_shards"] != 4:
+        reshard(out, 4)
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10))
+    return t.append_column("n_shards", pa.array([4] * len(t), pa.int64()))
+
+
+def _q_bm25_codec_variant(sf_dir: str, codec: str) -> pa.Table:
+    """Cross-codec rank-identity gate: the same corpus built with a
+    DIFFERENT posting-body codec must return the bit-identical BM25
+    top-10 (dcs's varint→TurboPFor migration contract, C1/C2: codecs
+    change bytes, never ranks)."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import search_bm25
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_words_{codec}")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_index(
+            docs, out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False, codec=codec,
+            ),
+        )
+    return _rank_table(search_bm25(out, [BM25_QUERY], k=10))
 
 
 def _q_df_histogram(sf_dir: str) -> pa.Table:
@@ -9922,6 +9972,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_update_search": _q_index_update_search,
         "df_histogram": _q_df_histogram,
         "prune_report": _q_prune_report,
+        "reshard_search": _q_reshard_search,
+        "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
+        "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
     }
 
 
@@ -14191,5 +14244,30 @@ SELECT count(*)::bigint AS n_terms_full, count(*)::bigint AS n_terms_pruned,
        sum(least(df, 32))::bigint AS postings_pruned,
        round(sum(least(df, 32))::double / sum(df)::double, 6) + 0.0 AS kept_ratio
 FROM dfs
+""",
+        # resharded index: same modified corpus, rank-identical + shard count
+        "reshard_search": f"""
+WITH mm AS (SELECT max(doc_id)::bigint AS mx FROM documents),
+mdocs AS (SELECT doc_id,
+                 CASE WHEN doc_id < (mm.mx + 8) // 8 AND doc_id % 97 = 0
+                      THEN text || ' spark' ELSE text END AS text
+          FROM documents, mm),
+{_BM25_SCORES.replace("FROM documents", "FROM mdocs").lstrip()}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score, 4::bigint AS n_shards
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # codec variants: bytes change, ranks must not
+        "bm25_varint_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_svbyte_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     }
