@@ -9680,6 +9680,81 @@ def _q_prune_report(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_hll_error_audit(sf_dir: str) -> pa.Table:
+    """Sketch-accuracy audit for HLL (the trilogy next to the quantile
+    and MinHash error gates): the p=12 estimate next to the exact
+    distinct-user count with absolute and relative error — what says
+    whether 4 KB of registers may replace the exact |users| exchange
+    at 100×. Both sides fold distributed."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.sketches import approx_distinct_hll
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    ).materialize()
+    est, _ = approx_distinct_hll(ev, "user_id", p=12)
+    est_r = round(est, 6)
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(
+                lambda b: pa.table({"user_id": b["user_id"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            ["user_id"], [],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    n = len(g)
+    return pa.table(
+        {
+            "n_exact": pa.array([n], pa.int64()),
+            "estimate": pa.array([est_r + 0.0], pa.float64()),
+            "abs_err": pa.array([round(abs(est_r - n), 6) + 0.0], pa.float64()),
+            "rel_err": pa.array(
+                [round(abs(est_r - n) / n, 6) + 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_cms_error_audit(sf_dir: str) -> pa.Table:
+    """Count-min overcount audit: the sketch's top-3 event-type
+    estimates next to the exact counts — CMS never undercounts, so
+    the gated ``overcount`` column is also a structural invariant
+    (negative would mean a broken fold). Sketch and exact folds are
+    both constant-size exchanges."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.sketches import cms_heavy_hitters
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type"]
+    ).materialize()
+    cms = cms_heavy_hitters(ev, "event_type", k=3)
+    ex = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(ev, ["event_type"], [], count_col="n")
+        .iter_batches(batch_format="pyarrow")
+    )
+    exact = {
+        t: int(n)
+        for t, n in zip(ex["event_type"].to_pylist(), ex["n"].to_pylist())
+    }
+    types = cms["event_type"].to_pylist()
+    ests = cms["n_est"].to_numpy().astype(np.int64)
+    rows = sorted(
+        (t, int(e), exact[t], int(e) - exact[t]) for t, e in zip(types, ests)
+    )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "event_type": pa.array(cols[0], pa.string()),
+            "cms_count": pa.array(cols[1], pa.int64()),
+            "exact_count": pa.array(cols[2], pa.int64()),
+            "overcount": pa.array(cols[3], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -9975,6 +10050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshard_search": _q_reshard_search,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
+        "hll_error_audit": _q_hll_error_audit,
+        "cms_error_audit": _q_cms_error_audit,
     }
 
 
@@ -14269,5 +14346,29 @@ WITH {_BM25_SCORES}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # HLL p=12 estimate vs exact distinct, abs/rel error
+        "hll_error_audit": f"""
+WITH t AS ({_hll_registers_sql()}),
+s AS (SELECT count(*) AS nz, coalesce(sum(power(2.0, -rank)), 0.0) AS snz FROM t),
+c AS (SELECT (4096 - nz) AS zeros, (4096 - nz) * 1.0 + snz AS ssum FROM s),
+e AS (SELECT zeros, (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0 / ssum AS est
+      FROM c),
+ap AS (SELECT round(CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / zeros) ELSE est END, 6) AS est
+       FROM e),
+ex AS (SELECT count(DISTINCT user_id)::bigint AS n FROM events)
+SELECT ex.n AS n_exact, ap.est + 0.0 AS estimate,
+       round(abs(ap.est - ex.n), 6) + 0.0 AS abs_err,
+       round(abs(ap.est - ex.n) / ex.n, 6) + 0.0 AS rel_err
+FROM ex, ap
+""",
+        # CMS top-3 estimates vs exact counts (overcount ≥ 0 invariant)
+        "cms_error_audit": f"""
+WITH cms AS ({_cms_heavy_hitters_sql(k=3)}),
+ex AS (SELECT event_type, count(*)::bigint AS n FROM events GROUP BY 1)
+SELECT cms.event_type, cms.n_est AS cms_count, ex.n AS exact_count,
+       (cms.n_est - ex.n)::bigint AS overcount
+FROM cms JOIN ex USING (event_type) ORDER BY cms.event_type
 """,
     }
