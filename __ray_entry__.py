@@ -9755,6 +9755,86 @@ def _q_cms_error_audit(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_exhaustive(sf_dir: str) -> pa.Table:
+    """Scorer-equivalence gate through the driver: the EXHAUSTIVE
+    per-term accumulator (``score_shard_all``) must return the same
+    top-10 as the block-max MaxScore path the other BM25 gates run —
+    the safety net that keeps the pruned scorer honest forever."""
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    return _rank_table(
+        search_bm25(idx, [BM25_QUERY], k=10, method="exhaustive")
+    )
+
+
+def _q_user_rolling_value_7d(sf_dir: str) -> pa.Table:
+    """RANGE-frame window: per event, the user's total purchase-plus-
+    other value (exact cents) over the trailing 7 DAYS including ts
+    peers — the sliding-window feature a fraud/abuse model reads. One
+    bucketed per-user lexsort with an integer prefix-sum + vectorized
+    searchsorted lower bound; no per-row loop, exchange = |events|
+    4-tuples."""
+    from dcs_ray.functions.joins import _key_bucket
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    WIN = 7 * 86_400_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        cents = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_key_bucket(uid, 64), pa.int32()),
+                "user_id": pa.array(uid, pa.int64()),
+                "us": b["ts"].cast(pa.int64()),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy().astype(np.int64)
+        us = g["us"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        cents = g["cents"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, us, u))
+        u, us, eid, cents = u[order], us[order], eid[order], cents[order]
+        n = len(u)
+        new_run = np.ones(n, bool)
+        new_run[1:] = u[1:] != u[:-1]
+        run_id = np.cumsum(new_run) - 1
+        cum = np.cumsum(cents)
+        prefix = np.concatenate(([0], cum))
+        # RANGE frame bounds for ALL users in ONE searchsorted pass:
+        # per-run time bands (run_id · HUGE keeps users disjoint, and
+        # key − WIN cannot cross a band). Upper bound includes ts peers
+        # of the current row (SQL CURRENT ROW in RANGE mode).
+        huge = (int(us.max()) - int(us.min()) if n else 0) + WIN + 1
+        key = us + run_id * huge
+        lo = np.searchsorted(key, key - WIN, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        out = prefix[hi] - prefix[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "cents_7d": pa.array(out, pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10052,6 +10132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
         "cms_error_audit": _q_cms_error_audit,
+        "bm25_exhaustive_topk": _q_bm25_exhaustive,
+        "user_rolling_value_7d": _q_user_rolling_value_7d,
     }
 
 
@@ -14370,5 +14452,23 @@ ex AS (SELECT event_type, count(*)::bigint AS n FROM events GROUP BY 1)
 SELECT cms.event_type, cms.n_est AS cms_count, ex.n AS exact_count,
        (cms.n_est - ex.n)::bigint AS overcount
 FROM cms JOIN ex USING (event_type) ORDER BY cms.event_type
+""",
+        # exhaustive scorer must equal the MaxScore gates
+        "bm25_exhaustive_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # trailing-7-day RANGE-frame sum per user, exact cents
+        "user_rolling_value_7d": """
+WITH e AS (SELECT event_id, user_id, ts,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, user_id,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                        AND CURRENT ROW)::bigint AS cents_7d
+FROM e ORDER BY event_id
 """,
     }
