@@ -9835,6 +9835,52 @@ def _q_user_rolling_value_7d(sf_dir: str) -> pa.Table:
     return t.sort_by("event_id")
 
 
+def _q_bm25_filtered_exclude(sf_dir: str) -> pa.Table:
+    """Negated keyword filter (dcs ``-package:`` syntax): BM25 ranking
+    with two sources EXCLUDED via the same in-shard filter path the
+    include gate exercises — candidate generation, scoring and the
+    per-shard top-k never see the excluded docs."""
+    from dcs_ray.queryplan import rewrite_query
+    from dcs_ray.search import filters_from_keywords, search_bm25
+
+    q, includes, negates = rewrite_query(
+        f"{BM25_QUERY} -source:src0 -source:src1"
+    )
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(
+        idx, [q], k=10, filters=filters_from_keywords(includes, negates)
+    )
+    return _rank_table(t)
+
+
+def _q_service_cache_hit(sf_dir: str) -> pa.Table:
+    """Finished-query result cache gate (dcs querymanager's ~30-min
+    cache): the SAME query served twice from a resident service — the
+    second call must come from the driver-side cache (zero actor round
+    trips) with bit-identical results; the hit/miss counters ride as
+    gated columns so a cache regression fails the hash."""
+    from dcs_ray.service import SearchService
+
+    idx = _index_dir(sf_dir, "words")
+    with SearchService(idx) as svc:
+        t1 = svc.search([BM25_QUERY], k=10)
+        t2 = svc.search([BM25_QUERY], k=10)
+        hits, misses = svc.cache_hits, svc.cache_misses
+    if not t1.equals(t2):
+        raise AssertionError("cached result differs from live result")
+    out = _rank_table(t2)
+    n = len(out)
+    return pa.table(
+        {
+            "rank": out["rank"],
+            "doc_id": out["doc_id"],
+            "score": out["score"],
+            "cache_hits": pa.array([hits] * n, pa.int64()),
+            "cache_misses": pa.array([misses] * n, pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10134,6 +10180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error_audit": _q_cms_error_audit,
         "bm25_exhaustive_topk": _q_bm25_exhaustive,
         "user_rolling_value_7d": _q_user_rolling_value_7d,
+        "bm25_filtered_exclude": _q_bm25_filtered_exclude,
+        "service_cache_hit": _q_service_cache_hit,
     }
 
 
@@ -14470,5 +14518,22 @@ SELECT event_id, user_id,
                         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
                         AND CURRENT ROW)::bigint AS cents_7d
 FROM e ORDER BY event_id
+""",
+        # negated keyword filter: two sources excluded inside the shard task
+        "bm25_filtered_exclude": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC) AS rank,
+       s.doc_id, round(s.score, 6) AS score
+FROM scores s JOIN documents d USING (doc_id)
+WHERE d.source NOT IN ('src0', 'src1')
+ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+""",
+        # repeated query served from the finished-query cache
+        "service_cache_hit": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score,
+       1::bigint AS cache_hits, 1::bigint AS cache_misses
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
     }
