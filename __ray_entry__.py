@@ -9881,6 +9881,64 @@ def _q_service_cache_hit(sf_dir: str) -> pa.Table:
     )
 
 
+_SQ_DIMS = (1, 17, 33, 49)  # 1-based sampled dims, one per PQ subspace
+
+
+def _q_sq8_codes(sf_dir: str) -> pa.Table:
+    """Scalar (int8-range) quantization of the embedding column — the
+    OTHER vector-compression path next to PQ: per-dim [min, max] from
+    one streaming min/max fold, code = ⌊(v − lo)/(hi − lo)·255⌋
+    clamped to [0, 255]. Codes for four sampled dims (one per PQ
+    subspace) are gated per vector — all-integer output, so the gate
+    is hash-exact; the per-dim bounds fold is a 2·d exchange."""
+    from dcs_ray.functions.kmeans import _emb_f64
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    def minmax(b: pa.Table) -> pa.Table:
+        E = _emb_f64(b["embedding"])
+        return pa.table(
+            {
+                "lo": pa.array([E.min(axis=0).tolist()], pa.list_(pa.float64())),
+                "hi": pa.array([E.max(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    mm = pa.concat_tables(
+        pa.table(b)
+        for b in emb.map_batches(minmax, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    LO = _emb_f64(mm["lo"]).min(axis=0)
+    HI = _emb_f64(mm["hi"]).max(axis=0)
+    ref = ray.put((LO.copy(), HI.copy()))
+
+    def codes(b: pa.Table) -> pa.Table:
+        lo, hi = ray.get(ref)
+        E = _emb_f64(b["embedding"])
+        w = hi - lo
+        w = np.where(w > 0, w, 1.0)
+        c = np.clip(
+            np.floor((E - lo[None, :]) / w[None, :] * 255).astype(np.int64),
+            0, 255,
+        )
+        cols = {"vec_id": b["vec_id"].cast(pa.int64())}
+        for d in _SQ_DIMS:
+            cols[f"code_d{d}"] = pa.array(c[:, d - 1], pa.int64())
+        return pa.table(cols)
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in emb.map_batches(codes, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    return t.sort_by("vec_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10182,6 +10240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_value_7d": _q_user_rolling_value_7d,
         "bm25_filtered_exclude": _q_bm25_filtered_exclude,
         "service_cache_hit": _q_service_cache_hit,
+        "sq8_codes": _q_sq8_codes,
     }
 
 
@@ -14535,5 +14594,25 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score,
        1::bigint AS cache_hits, 1::bigint AS cache_misses
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # int8-range scalar quantization codes at four sampled dims
+        "sq8_codes": """
+WITH dims AS (SELECT unnest([1, 17, 33, 49]) AS dim),
+e AS (SELECT vec_id, d.dim, embedding[d.dim]::double AS v
+      FROM embeddings, dims d),
+b AS (SELECT dim, min(v) AS lo,
+             CASE WHEN max(v) - min(v) > 0 THEN max(v) - min(v)
+                  ELSE 1.0 END AS w
+      FROM e GROUP BY dim),
+c AS (SELECT e.vec_id, e.dim,
+             least(greatest(CAST(floor((e.v - b.lo) / b.w * 255) AS BIGINT), 0),
+                   255) AS code
+      FROM e JOIN b USING (dim))
+SELECT vec_id,
+       max(CASE WHEN dim = 1 THEN code END)::bigint AS code_d1,
+       max(CASE WHEN dim = 17 THEN code END)::bigint AS code_d17,
+       max(CASE WHEN dim = 33 THEN code END)::bigint AS code_d33,
+       max(CASE WHEN dim = 49 THEN code END)::bigint AS code_d49
+FROM c GROUP BY vec_id ORDER BY vec_id
 """,
     }
