@@ -9939,6 +9939,53 @@ def _q_sq8_codes(sf_dir: str) -> pa.Table:
     return t.sort_by("vec_id")
 
 
+def _media_expected_sql() -> str:
+    """Expected media-metadata table derived from the SYNTHESIS
+    PARAMETERS and header semantics alone (never by running the
+    parser) — PNG/GIF 24×16; WAV 2048 samples @16 kHz; FLAC 2048
+    @32 kHz; AVI 12 frames @25 fps 16×12; MP4 skeleton duration
+    1000+i ms, 320×240, 30+i samples, 1 track; MP3 CBR 128 kbps
+    @44.1 kHz with 40+i frames (frame = ⌊144·128000/44100⌋ bytes,
+    duration = bytes·8/kbps ms, 1152 samples/frame). Turns the
+    metadata extractor's gate from rows-only into a full round-trip
+    oracle."""
+    rows = []
+    mid = 0
+    for _ in range(12):
+        rows.append((mid, "png", 0, 24, 16, 0, 0, 0)); mid += 1
+    for _ in range(12):
+        rows.append((mid, "gif", 0, 24, 16, 0, 0, 0)); mid += 1
+    for _ in range(12):
+        rows.append((mid, "wav", 2048 * 1000 // 16000, 0, 0, 16000, 2048, 0))
+        mid += 1
+    for _ in range(12):
+        rows.append((mid, "flac", 2048 * 1000 // 32000, 0, 0, 32000, 2048, 0))
+        mid += 1
+    for _ in range(6):
+        rows.append((mid, "avi", 40000 * 12 // 1000, 16, 12, 0, 12, 0))
+        mid += 1
+    for i in range(6):
+        rows.append((mid, "mp4", 1000 + i, 320, 240, 0, 30 + i, 1)); mid += 1
+    fb = 144 * 128000 // 44100
+    for i in range(6):
+        nf = 40 + i
+        rows.append((mid, "mp3", fb * nf * 8 // 128, 0, 0, 44100, nf * 1152, 0))
+        mid += 1
+    vals = ", ".join(
+        f"({m}, '{f}', {d}, {w}, {h}, {sr}, {ns}, {nt})"
+        for m, f, d, w, h, sr, ns, nt in rows
+    )
+    return f"""
+SELECT media_id::bigint AS media_id, format,
+       duration_ms::bigint AS duration_ms, width::bigint AS width,
+       height::bigint AS height, samplerate_hz::bigint AS samplerate_hz,
+       n_samples::bigint AS n_samples, n_tracks::bigint AS n_tracks
+FROM (VALUES {vals})
+     t(media_id, format, duration_ms, width, height, samplerate_hz,
+       n_samples, n_tracks)
+ORDER BY media_id"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -14615,4 +14662,6 @@ SELECT vec_id,
        max(CASE WHEN dim = 49 THEN code END)::bigint AS code_d49
 FROM c GROUP BY vec_id ORDER BY vec_id
 """,
+        # header-parse round-trip vs the synthesis parameters
+        "media_metadata": _media_expected_sql(),
     }
