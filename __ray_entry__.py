@@ -2582,7 +2582,22 @@ def _q_audio_features(sf_dir: str) -> Any:
         batch_format="pyarrow", num_cpus=1,
     )
     t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
-    return t.sort_by("media_id")
+    t = t.sort_by("media_id")
+    # exploded (media_id, window, rms) — the decode is REAL (WAV and
+    # FLAC parsers), and the signal recipe is pure arithmetic, so the
+    # oracle replays synthesis → windowed RMS entirely in SQL
+    feat = t["feature"].combine_chunks()
+    parents = pc.list_parent_indices(feat).to_numpy(zero_copy_only=False)
+    flat = feat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ids = t["media_id"].to_numpy().astype(np.int64)
+    win = np.concatenate([np.arange(len(feat[i])) for i in range(len(t))])
+    return pa.table(
+        {
+            "media_id": pa.array(ids[parents], pa.int64()),
+            "window": pa.array(win.astype(np.int64), pa.int64()),
+            "rms": pa.array(np.round(flat, 6) + 0.0, pa.float64()),
+        }
+    )
 
 
 def _q_video_frames(sf_dir: str) -> Any:
@@ -14664,4 +14679,27 @@ FROM c GROUP BY vec_id ORDER BY vec_id
 """,
         # header-parse round-trip vs the synthesis parameters
         "media_metadata": _media_expected_sql(),
+        # windowed RMS over the REAL-decoded PCM, replayed from the
+        # signal formula: s(t) = trunc(6000·sin(2πtf/256) + (t·g mod
+        # 4000)) as int16, f = i%7+1, g = i%5; FLAC clips (ids 64..95)
+        # are lossless re-encodings of recipe i−64
+        "audio_features": """
+WITH ids0 AS (SELECT unnest(range(0, 96)) AS m),
+par AS (SELECT m::bigint AS media_id,
+               (CASE WHEN m < 64 THEN m ELSE m - 64 END)::bigint AS i
+        FROM ids0),
+ts0 AS (SELECT unnest(range(0, 2048)) AS t0),
+ts AS (SELECT t0::bigint AS t FROM ts0),
+sig AS (SELECT p.media_id, ts.t,
+               trunc(6000 * sin(2 * pi() * ts.t * ((p.i % 7) + 1) / 256.0)
+                     + ((ts.t * (p.i % 5)) % 4000))::bigint AS s
+        FROM par p, ts),
+w AS (SELECT media_id, (t // 256)::bigint AS win, sum(s * s)::bigint AS ss,
+             count(*)::bigint AS n
+      FROM sig GROUP BY 1, 2)
+SELECT media_id, win AS "window",
+       round(CAST(sqrt(ss::double / n::double) AS FLOAT)::double, 6) + 0.0
+         AS rms
+FROM w ORDER BY media_id, win
+""",
     }
