@@ -10050,6 +10050,60 @@ def _q_image_features_lossless(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_video_frames_lossless(sf_dir: str) -> pa.Table:
+    """REAL video demux, fully ORACLED: concatenated-PPM streams and
+    animated GIFs (both lossless) sampled 4-evenly (frames 0/3/6/9 of
+    12), each sampled frame decoded and reduced to EXACT integer
+    channel sums — replayed in SQL from the per-frame pixel recipe, so
+    the stream indexer, the GIF LZW frame decoder, the sampling rule
+    and the timestamp arithmetic are all hash-gated. (The MJPEG AVI
+    path stays in the rows-only mixed gate — lossy frames have no
+    closed-form pixels.)"""
+    from dcs_ray.functions.multimodal import (
+        PpmStreamFrameSampler,
+        decode_ppm,
+        synthesize_gif_video,
+        synthesize_ppm_video,
+    )
+
+    ppm_v = synthesize_ppm_video(32)
+    gif_v = synthesize_gif_video(16)
+    gif_v = gif_v.set_column(
+        gif_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 48), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v]))
+
+    class SampleAndSum(PpmStreamFrameSampler):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            sums = np.zeros((len(t), 3), np.int64)
+            for i, p in enumerate(t["frame"].combine_chunks()):
+                img = decode_ppm(p.as_py())
+                sums[i] = img.astype(np.int64).sum(axis=(0, 1))
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "frame_idx": t["frame_idx"].cast(pa.int64()),
+                    "ts_ms": t["ts_ms"].cast(pa.int64()),
+                    "sum_r": pa.array(sums[:, 0], pa.int64()),
+                    "sum_g": pa.array(sums[:, 1], pa.int64()),
+                    "sum_b": pa.array(sums[:, 2], pa.int64()),
+                }
+            )
+
+    ds = media.map_batches(
+        SampleAndSum, fn_constructor_kwargs={"k": 4}, concurrency=2,
+        batch_size=16, batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by(
+        [("media_id", "ascending"), ("frame_idx", "ascending")]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10353,6 +10407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "service_cache_hit": _q_service_cache_hit,
         "sq8_codes": _q_sq8_codes,
         "image_features_lossless": _q_image_features_lossless,
+        "video_frames_lossless": _q_video_frames_lossless,
     }
 
 
@@ -14794,5 +14849,32 @@ f AS (
   UNION ALL SELECT media_id, (6 + gy * 2 + gx)::bigint, gm FROM lu)
 SELECT media_id, dim, round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
 FROM f ORDER BY media_id, dim
+""",
+        # 4-evenly sampled frames (0/3/6/9 of 12) of PPM/GIF videos:
+        # exact channel sums from r=(x·11+f·17+i)%256, g=(y·7+f·29)%256,
+        # b=(x+y+f+i)%256 over 16×12, GIF rows quantized //43·43;
+        # ts = 480·f//12
+        "video_frames_lossless": """
+WITH ids0 AS (SELECT unnest(range(0, 48)) AS m),
+par AS (SELECT m::bigint AS media_id,
+               (CASE WHEN m < 32 THEN m ELSE m - 32 END)::bigint AS i,
+               (m >= 32) AS quant FROM ids0),
+fr0 AS (SELECT unnest([0, 3, 6, 9]) AS f),
+xs0 AS (SELECT unnest(range(0, 16)) AS x),
+ys0 AS (SELECT unnest(range(0, 12)) AS y),
+px0 AS (SELECT p.media_id, p.quant, fr0.f::bigint AS f,
+               (x.x * 11 + fr0.f * 17 + p.i) % 256 AS r0,
+               (y.y * 7 + fr0.f * 29) % 256 AS g0,
+               (x.x + y.y + fr0.f + p.i) % 256 AS b0
+        FROM par p, fr0, xs0 x, ys0 y),
+px AS (SELECT media_id, f,
+              (CASE WHEN quant THEN (r0 // 43) * 43 ELSE r0 END)::bigint AS r,
+              (CASE WHEN quant THEN (g0 // 43) * 43 ELSE g0 END)::bigint AS g,
+              (CASE WHEN quant THEN (b0 // 43) * 43 ELSE b0 END)::bigint AS b
+       FROM px0)
+SELECT media_id, f AS frame_idx, (480 * f // 12)::bigint AS ts_ms,
+       sum(r)::bigint AS sum_r, sum(g)::bigint AS sum_g,
+       sum(b)::bigint AS sum_b
+FROM px GROUP BY media_id, f ORDER BY media_id, f
 """,
     }
