@@ -10104,6 +10104,52 @@ def _q_video_frames_lossless(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_pagerank_convergence(sf_dir: str) -> pa.Table:
+    """Convergence monitor for the iterative web-rank job: the L1
+    distance between successive (round-6) PageRank vectors for
+    iterations 1..5 — the number an operator watches to decide when a
+    100-TB rank job may stop early. Each prefix run reuses the normal
+    streaming-edges engine; the oracle diffs the r{i} relations of the
+    single replay chain."""
+    from dcs_ray.functions.links import link_pagerank
+
+    edges = _link_edges_ds(sf_dir).materialize()
+    prev = None
+    rows = []
+    for i in range(1, 6):
+        t = link_pagerank(edges, n_iter=i, damping=0.85).sort_by("node")
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        if prev is None:
+            n = len(r)
+            prev = np.full(n, round(1.0 / n, 6))
+        delta = float(np.abs(r - prev).sum())
+        rows.append((i, round(delta, 6) + 0.0))
+        prev = r
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "iteration": pa.array(cols[0], pa.int64()),
+            "l1_delta": pa.array(cols[1], pa.float64()),
+        }
+    )
+
+
+def _pagerank_convergence_sql(k: int = 5, d: float = 0.85) -> str:
+    parts = []
+    for i in range(1, k + 1):
+        parts.append(
+            f"""SELECT {i}::bigint AS iteration,
+       round(sum(abs(round(a.r, 6) - round(b.r, 6))), 6) + 0.0 AS l1_delta
+FROM r{i} a JOIN r{i - 1} b USING (node)"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "WITH "
+        + _pagerank_ctes(k, d, _LINK_EDGES_CTE)
+        + f"\nSELECT * FROM ({body}) ORDER BY iteration"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10408,6 +10454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8_codes": _q_sq8_codes,
         "image_features_lossless": _q_image_features_lossless,
         "video_frames_lossless": _q_video_frames_lossless,
+        "pagerank_convergence": _q_pagerank_convergence,
     }
 
 
@@ -14877,4 +14924,6 @@ SELECT media_id, f AS frame_idx, (480 * f // 12)::bigint AS ts_ms,
        sum(b)::bigint AS sum_b
 FROM px GROUP BY media_id, f ORDER BY media_id, f
 """,
+        # L1 gap between successive round-6 PageRank vectors
+        "pagerank_convergence": _pagerank_convergence_sql(5, 0.85),
     }
