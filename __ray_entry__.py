@@ -10150,6 +10150,28 @@ FROM r{i} a JOIN r{i - 1} b USING (node)"""
     )
 
 
+def _q_funnel_within_1h(sf_dir: str) -> pa.Table:
+    """WINDOWED conversion funnel: view → click → purchase where every
+    next step must land within ONE HOUR of the previous step's time
+    (strictly later, earliest eligible) — the 'convert within the
+    session hour' product metric the unconstrained funnel gate can't
+    answer. Same bucketed lexsort/reduceat kernel, one extra vectorized
+    gap mask."""
+    from dcs_ray.functions.windows import funnel_steps
+
+    ds = funnel_steps(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ),
+        steps=["view", "click", "purchase"],
+        max_gap_us=3_600_000_000,
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10455,6 +10477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_lossless": _q_image_features_lossless,
         "video_frames_lossless": _q_video_frames_lossless,
         "pagerank_convergence": _q_pagerank_convergence,
+        "funnel_within_1h": _q_funnel_within_1h,
     }
 
 
@@ -14926,4 +14949,31 @@ FROM px GROUP BY media_id, f ORDER BY media_id, f
 """,
         # L1 gap between successive round-6 PageRank vectors
         "pagerank_convergence": _pagerank_convergence_sql(5, 0.85),
+        # windowed funnel: each step within 1h of the previous
+        "funnel_within_1h": """
+WITH e1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+e2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN e1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > e1.t1
+    AND e.ts <= e1.t1 + INTERVAL 1 HOUR
+  GROUP BY e.user_id),
+e3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN e2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > e2.t2
+    AND e.ts <= e2.t2 + INTERVAL 1 HOUR
+  GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       (CASE WHEN e3.user_id IS NOT NULL THEN 3
+             WHEN e2.user_id IS NOT NULL THEN 2
+             WHEN e1.user_id IS NOT NULL THEN 1
+             ELSE 0 END)::bigint AS steps_completed
+FROM u
+LEFT JOIN e1 USING (user_id)
+LEFT JOIN e2 USING (user_id)
+LEFT JOIN e3 USING (user_id)
+ORDER BY u.user_id
+""",
     }

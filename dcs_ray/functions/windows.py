@@ -236,12 +236,16 @@ def funnel_steps(
     ts_col: str = "ts",
     type_col: str = "event_type",
     n_buckets: int = 64,
+    max_gap_us: int | None = None,
 ) -> ray.data.Dataset:
     """Ordered-funnel analysis: how far each user progressed through
     the ``steps`` event sequence (step i+1 counts only with a STRICTLY
     later timestamp than the user's step-i time, each step taken at
     its earliest eligible occurrence) → Dataset[(user, steps_completed)]
     over the full user universe — the classic conversion-funnel query.
+    ``max_gap_us`` adds the WINDOWED-funnel constraint: step i+1 must
+    also land within the gap after the user's step-i time (the
+    'convert within the hour' product question).
 
     Scale shape: one groupby on a hash bucket of the user (bounded
     group count; a user's events co-locate); inside a bucket every
@@ -272,7 +276,7 @@ def funnel_steps(
         t_prev = np.full(len(users), np.iinfo(np.int64).min, np.int64)
         alive = np.ones(len(users), bool)
         completed = np.zeros(len(users), np.int64)
-        for step in steps:
+        for si, step in enumerate(steps):
             sel = pc.equal(ty, step).to_numpy(zero_copy_only=False)
             su, st = u[sel], t[sel]
             if len(su) == 0:
@@ -285,6 +289,8 @@ def funnel_steps(
                 run_users, np.diff(np.concatenate((runs, [len(su)])))
             )
             eligible = alive[uidx] & (st > t_prev[uidx])
+            if max_gap_us is not None and si > 0:
+                eligible &= st <= t_prev[uidx] + max_gap_us
             pos = np.where(eligible, np.arange(len(su)), len(su))
             first = np.minimum.reduceat(pos, runs)
             hit = first < np.concatenate((runs[1:], [len(su)]))
