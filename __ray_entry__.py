@@ -10172,6 +10172,38 @@ def _q_funnel_within_1h(sf_dir: str) -> pa.Table:
     return t.sort_by("user_id")
 
 
+def _q_top2_versions_per_source(sf_dir: str) -> pa.Table:
+    """Snapshot retention policy (J7 generalized): keep the TWO newest
+    Debian-version snapshots per source ('current + previous', the
+    rollback rule a crawl archive runs), comparator-ordered with max-id
+    tie-break and a gated 1-based version_rank."""
+    from dcs_ray.versions import top_n_versions_per_key
+
+    def with_version(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ver = [
+            f"{i % 4}.{i % 10}" + ("~rc1" if i % 3 == 0 else "") for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "version": pa.array(ver),
+            }
+        )
+
+    ds = top_n_versions_per_key(
+        _docs(sf_dir).map_batches(with_version, batch_format="pyarrow"),
+        "source", "version", n=2,
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    return t.select(["source", "version_rank", "doc_id", "version"]).sort_by(
+        [("source", "ascending"), ("version_rank", "ascending")]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10478,6 +10510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames_lossless": _q_video_frames_lossless,
         "pagerank_convergence": _q_pagerank_convergence,
         "funnel_within_1h": _q_funnel_within_1h,
+        "top2_versions_per_source": _q_top2_versions_per_source,
     }
 
 
@@ -14975,5 +15008,19 @@ LEFT JOIN e1 USING (user_id)
 LEFT JOIN e2 USING (user_id)
 LEFT JOIN e3 USING (user_id)
 ORDER BY u.user_id
+""",
+        # keep the two newest versions per source, ranked
+        "top2_versions_per_source": """
+SELECT source, rn::bigint AS version_rank, doc_id, version FROM (
+  SELECT d.source, d.doc_id,
+         concat(d.doc_id % 4, '.', d.doc_id % 10,
+                CASE WHEN d.doc_id % 3 = 0 THEN '~rc1' ELSE '' END) AS version,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY d.doc_id % 4 DESC, d.doc_id % 10 DESC,
+                    CASE WHEN d.doc_id % 3 = 0 THEN 0 ELSE 1 END DESC,
+                    d.doc_id DESC) AS rn
+  FROM documents d) WHERE rn <= 2
+ORDER BY source, rn
 """,
     }

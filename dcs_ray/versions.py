@@ -124,3 +124,39 @@ def latest_version_per_key(
         return group.slice(int(best), 1)
 
     return ds.groupby(key_col).map_groups(newest, batch_format="pyarrow")
+
+
+def top_n_versions_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    version_col: str,
+    id_col: str = "doc_id",
+    n: int = 2,
+    compare=dpkg_version_compare,
+) -> ray.data.Dataset:
+    """Retention policy: keep the ``n`` NEWEST versions per key (the
+    'current + previous snapshot' storage rule a crawl archive runs) —
+    same comparator-ordered grouped shape as
+    :func:`latest_version_per_key`, emitting a 1-based ``version_rank``
+    (1 = newest, ties by max id)."""
+
+    import pyarrow as _pa
+
+    def topn(group: pa.Table) -> pa.Table:
+        versions = group[version_col].to_pylist()
+        ids = [int(i) for i in group[id_col].to_pylist()]
+        key = functools.cmp_to_key(
+            lambda x, y: compare(x[0], y[0]) or (x[1] > y[1]) - (x[1] < y[1])
+        )
+        order = sorted(
+            range(len(versions)),
+            key=lambda i: key((versions[i], ids[i])),
+            reverse=True,
+        )[:n]
+        out = group.take(_pa.array(order))
+        return out.append_column(
+            "version_rank",
+            _pa.array(range(1, len(order) + 1), _pa.int64()),
+        )
+
+    return ds.groupby(key_col).map_groups(topn, batch_format="pyarrow")
