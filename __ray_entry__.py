@@ -10204,6 +10204,176 @@ def _q_top2_versions_per_source(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_kaplan_meier_churn(sf_dir: str) -> pa.Table:
+    """Kaplan–Meier survival curve of TIME-TO-FIRST-PURCHASE (whole
+    days from a user's first event; users who never purchase are
+    right-CENSORED at their last-seen duration): at each conversion
+    time t, n at risk = users with duration ≥ t, dᵢ conversions,
+    S(t) = Π(1 − dᵢ/nᵢ) — the survival analysis behind every
+    time-to-convert forecast. Per-user (first, first-purchase, last)
+    fold through one arrow-group_by partial + groupby min/max; the
+    curve is |distinct durations| driver rows. S via exp(Σ ln(1−d/n)),
+    the exact expression the SQL window replays."""
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        big = np.iinfo(np.int64).max
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "pus": pa.array(np.where(isp, us, big), pa.int64()),
+            }
+        )
+        agg = t.group_by(["user_id"]).aggregate(
+            [("us", "min"), ("us", "max"), ("pus", "min")]
+        )
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "f": agg["us_min"],
+                "l": agg["us_max"],
+                "fp": agg["pus_min"],
+            }
+        )
+
+    from ray.data.aggregate import Max, Min
+
+    ag = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("f"), Max("l"), Min("fp"))
+    )
+    t = pa.concat_tables(
+        pa.table(b) for b in ag.iter_batches(batch_format="pyarrow")
+    )
+    f = t["min(f)"].to_numpy().astype(np.int64)
+    l = t["max(l)"].to_numpy().astype(np.int64)
+    fp = t["min(fp)"].to_numpy().astype(np.int64)
+    big = np.iinfo(np.int64).max
+    converted = fp != big
+    dur = np.where(converted, (fp - f) // _US_PER_DAY, (l - f) // _US_PER_DAY)
+    event = converted.astype(np.int64)
+    death_t = np.unique(dur[event == 1])
+    rows = []
+    logs = 0.0
+    for td in death_t:
+        n_risk = int((dur >= td).sum())
+        d = int(((dur == td) & (event == 1)).sum())
+        logs += float(np.log(1.0 - d / n_risk)) if d < n_risk else -np.inf
+        s = float(np.exp(logs))
+        rows.append((int(td), n_risk, d, round(s, 6) + 0.0))
+    if not rows:
+        return pa.table(
+            {
+                "t_days": pa.array([], pa.int64()),
+                "n_at_risk": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "survival": pa.array([], pa.float64()),
+            }
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "t_days": pa.array(cols[0], pa.int64()),
+            "n_at_risk": pa.array(cols[1], pa.int64()),
+            "n_events": pa.array(cols[2], pa.int64()),
+            "survival": pa.array(cols[3], pa.float64()),
+        }
+    )
+
+
+def _q_ab_test_conversion(sf_dir: str) -> pa.Table:
+    """Two-proportion z-test of purchase conversion between the
+    user-parity 'experiment arms' (the A/B significance read-out):
+    pooled-SE z = (p_A − p_B)/√(p̂(1−p̂)(1/n_A+1/n_B)) — exact integer
+    counts until the final floats. One |users| combiner fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        isp = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "p": pa.array(isp.astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], ["p"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    uid = g["user_id"].to_numpy().astype(np.int64)
+    conv = (g["p"].to_numpy().astype(np.int64) > 0).astype(np.int64)
+    arm = uid % 2
+    nA, nB = int((arm == 0).sum()), int((arm == 1).sum())
+    cA = int(conv[arm == 0].sum())
+    cB = int(conv[arm == 1].sum())
+    pA, pB = cA / nA, cB / nB
+    pp = (cA + cB) / (nA + nB)
+    se = float(np.sqrt(pp * (1.0 - pp) * (1.0 / nA + 1.0 / nB)))
+    z = (pA - pB) / se if se > 0 else 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([nA], pa.int64()),
+            "n_b": pa.array([nB], pa.int64()),
+            "conv_a": pa.array([cA], pa.int64()),
+            "conv_b": pa.array([cB], pa.int64()),
+            "p_a": pa.array([round(pA, 6) + 0.0], pa.float64()),
+            "p_b": pa.array([round(pB, 6) + 0.0], pa.float64()),
+            "z_stat": pa.array([round(z, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _q_holt_forecast_daily(sf_dir: str) -> pa.Table:
+    """Holt double-exponential forecast of daily event volume (α=1/2,
+    β=1/4 — DYADIC smoothing constants, so every level/trend value is
+    an exact binary fraction and the recursion replays bit-for-bit in
+    a recursive SQL CTE): l₁=x₁, b₁=x₂−x₁, then the standard
+    level/trend updates over observed days and a 3-step-ahead linear
+    forecast. The distributed part is the |days| fold."""
+    c = _daily_event_counts(sf_dir)
+    days = c["day"].to_numpy().astype(np.int64)
+    ns = c["n"].to_numpy().astype(np.int64)
+    order = np.argsort(days)
+    x = ns[order].astype(np.float64)
+    level = x[0]
+    trend = x[1] - x[0]
+    for t in range(1, len(x)):
+        new_l = 0.5 * x[t] + 0.5 * (level + trend)
+        trend = 0.25 * (new_l - level) + 0.75 * trend
+        level = new_l
+    rows = [
+        (
+            h,
+            round(level + h * trend, 6) + 0.0,
+            round(level, 6) + 0.0,
+            round(trend, 6) + 0.0,
+        )
+        for h in (1, 2, 3)
+    ]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "horizon": pa.array(cols[0], pa.int64()),
+            "forecast": pa.array(cols[1], pa.float64()),
+            "level": pa.array(cols[2], pa.float64()),
+            "trend": pa.array(cols[3], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10511,6 +10681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_convergence": _q_pagerank_convergence,
         "funnel_within_1h": _q_funnel_within_1h,
         "top2_versions_per_source": _q_top2_versions_per_source,
+        "kaplan_meier_churn": _q_kaplan_meier_churn,
+        "ab_test_conversion": _q_ab_test_conversion,
+        "holt_forecast_daily": _q_holt_forecast_daily,
     }
 
 
@@ -15022,5 +15195,76 @@ SELECT source, rn::bigint AS version_rank, doc_id, version FROM (
                     d.doc_id DESC) AS rn
   FROM documents d) WHERE rn <= 2
 ORDER BY source, rn
+""",
+        # KM survival of time-to-first-purchase, never-buyers censored
+        "kaplan_meier_churn": """
+WITH ul AS (SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) AS fp
+            FROM events GROUP BY 1),
+u AS (SELECT user_id,
+             CASE WHEN fp IS NOT NULL THEN (fp - f) // 86400000000
+                  ELSE (l - f) // 86400000000 END AS dur,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ul),
+dt AS (SELECT dur AS t, count(*)::bigint AS d FROM u WHERE ev = 1 GROUP BY dur),
+rk AS (SELECT dt.t, dt.d,
+              (SELECT count(*) FROM u WHERE u.dur >= dt.t)::bigint AS n
+       FROM dt)
+SELECT t::bigint AS t_days, n AS n_at_risk, d AS n_events,
+       CASE WHEN max(CASE WHEN d >= n THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN d < n
+                                    THEN ln(1.0 - d::double / n::double)
+                                    ELSE 0.0 END)
+                           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+                 + 0.0
+       END AS survival
+FROM rk ORDER BY t
+""",
+        # two-proportion z between the user-parity arms
+        "ab_test_conversion": """
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+           FROM events GROUP BY user_id),
+s AS (SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::bigint AS na,
+             sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::bigint AS nb,
+             sum(CASE WHEN user_id % 2 = 0 THEN c ELSE 0 END)::bigint AS ca,
+             sum(CASE WHEN user_id % 2 = 1 THEN c ELSE 0 END)::bigint AS cb
+      FROM u),
+m AS (SELECT na, nb, ca, cb,
+             ca::double / na::double AS pa, cb::double / nb::double AS pb,
+             (ca + cb)::double / (na + nb)::double AS pp
+      FROM s)
+SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+       round(pa, 6) + 0.0 AS p_a, round(pb, 6) + 0.0 AS p_b,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN round((pa - pb) / sqrt(pp * (1.0 - pp)
+                 * (1.0 / na + 1.0 / nb)), 6) + 0.0
+            ELSE 0.0 END AS z_stat
+FROM m
+""",
+        # Holt double-exponential smoothing, dyadic α=1/2 β=1/4
+        "holt_forecast_daily": f"""
+WITH RECURSIVE dc AS ({_DAILY_SQL}),
+o AS (SELECT n, row_number() OVER (ORDER BY day) AS i FROM dc),
+h(i, l, b) AS (
+  SELECT 1::bigint,
+         (SELECT n::double FROM o WHERE i = 1),
+         (SELECT n::double FROM o WHERE i = 2)
+           - (SELECT n::double FROM o WHERE i = 1)
+  UNION ALL
+  SELECT h.i + 1,
+         0.5 * o.n + 0.5 * (h.l + h.b),
+         0.25 * ((0.5 * o.n + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+  FROM h JOIN o ON o.i = h.i + 1
+  WHERE h.i < (SELECT max(i) FROM o)),
+fin AS (SELECT l, b FROM h WHERE i = (SELECT max(i) FROM o)),
+hh AS (SELECT unnest([1, 2, 3]) AS hz)
+SELECT hh.hz::bigint AS horizon,
+       round(fin.l + hh.hz * fin.b, 6) + 0.0 AS forecast,
+       round(fin.l, 6) + 0.0 AS level, round(fin.b, 6) + 0.0 AS trend
+FROM hh, fin ORDER BY horizon
 """,
     }
