@@ -10374,6 +10374,126 @@ def _q_holt_forecast_daily(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_lpa_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity of the LPA communities (the quality score of
+    the community gate's own output): Q = Σ_c [m_c/m − (D_c/2m)²] over
+    the undirected distinct pair set. Labels broadcast once as a
+    sorted array; intra-community edges count in one vectorized pair
+    pass; degrees fold through the combiner — driver holds
+    |communities| floats."""
+    from dcs_ray.functions.graph import label_propagation
+    from dcs_ray.functions.relational import combiner_groupby
+
+    labels_t = pa.concat_tables(
+        pa.table(b)
+        for b in label_propagation(_link_pair_edges(sf_dir), n_iter=5)
+        .iter_batches(batch_format="pyarrow")
+    )
+    nodes = labels_t["node"].to_numpy().astype(np.int64)
+    lbls = labels_t["community"].to_numpy().astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, lbls = nodes[order], lbls[order]
+    lref = ray.put((nodes, lbls))
+
+    edges = _link_edges_ds(sf_dir)
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy().astype(np.int64)
+        d = b["dst"].to_numpy().astype(np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    pairs = combiner_groupby(
+        edges.map_batches(to_pairs, batch_format="pyarrow"), ["a", "b"], []
+    ).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+    ).materialize()
+
+    def intra(b: pa.Table) -> pa.Table:
+        nd, lb = ray.get(lref)
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        la = lb[np.searchsorted(nd, a)]
+        lbb = lb[np.searchsorted(nd, bb)]
+        same = la == lbb
+        ul, cnt = np.unique(la[same], return_counts=True)
+        out = pa.table(
+            {
+                "lbl": pa.array(ul, pa.int64()),
+                "mc": pa.array(cnt.astype(np.int64), pa.int64()),
+                "m_edges": pa.array(
+                    np.where(np.arange(len(ul)) == 0, len(a), 0), pa.int64()
+                ),
+            }
+        )
+        if len(ul) == 0:
+            out = pa.table(
+                {
+                    "lbl": pa.array([-1], pa.int64()),
+                    "mc": pa.array([0], pa.int64()),
+                    "m_edges": pa.array([len(a)], pa.int64()),
+                }
+            )
+        return out
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            pairs.map_batches(intra, batch_format="pyarrow"),
+            ["lbl"], ["mc", "m_edges"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    m = int(g["m_edges"].to_numpy().sum())
+    mc_l = g["lbl"].to_numpy().astype(np.int64)
+    mc_v = g["mc"].to_numpy().astype(np.int64)
+    mc = {int(x): int(v) for x, v in zip(mc_l, mc_v) if x >= 0}
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate(
+                        [
+                            b["a"].to_numpy().astype(np.int64),
+                            b["b"].to_numpy().astype(np.int64),
+                        ]
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    deg = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            pairs.map_batches(endpoints, batch_format="pyarrow"), ["node"], [],
+            count_col="d",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    dn = deg["node"].to_numpy().astype(np.int64)
+    dv = deg["d"].to_numpy().astype(np.int64)
+    dl = lbls[np.searchsorted(nodes, dn)]
+    ul = np.unique(lbls)
+    dsum = np.zeros(len(ul), np.int64)
+    np.add.at(dsum, np.searchsorted(ul, dl), dv)
+    q = 0.0
+    for i, c in enumerate(ul):
+        q += mc.get(int(c), 0) / m - (dsum[i] / (2.0 * m)) ** 2
+    return pa.table(
+        {
+            "n_communities": pa.array([len(ul)], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+            "modularity": pa.array([round(q, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10684,6 +10804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_churn": _q_kaplan_meier_churn,
         "ab_test_conversion": _q_ab_test_conversion,
         "holt_forecast_daily": _q_holt_forecast_daily,
+        "lpa_modularity": _q_lpa_modularity,
     }
 
 
@@ -15266,5 +15387,24 @@ SELECT hh.hz::bigint AS horizon,
        round(fin.l + hh.hz * fin.b, 6) + 0.0 AS forecast,
        round(fin.l, 6) + 0.0 AS level, round(fin.b, 6) + 0.0 AS trend
 FROM hh, fin ORDER BY horizon
+""",
+        # Newman modularity of the LPA partition over the pair set
+        "lpa_modularity": f"""
+WITH {_lpa_ctes(5)},
+m AS (SELECT count(*)::bigint AS m FROM ce),
+deg AS (SELECT node, count(*)::bigint AS d FROM und GROUP BY node),
+nl AS (SELECT l5.node, l5.lbl, deg.d FROM l5 JOIN deg USING (node)),
+mc AS (SELECT a.lbl, count(*)::bigint AS mc
+       FROM ce JOIN nl a ON a.node = ce.u
+               JOIN nl b ON b.node = ce.v AND b.lbl = a.lbl
+       GROUP BY a.lbl),
+dc AS (SELECT lbl, sum(d)::bigint AS dsum FROM nl GROUP BY lbl)
+SELECT (SELECT count(DISTINCT lbl) FROM l5)::bigint AS n_communities,
+       (SELECT m FROM m) AS n_edges,
+       round(sum(coalesce(mc.mc, 0)::double / (SELECT m FROM m)
+                 - (dc.dsum::double / (2.0 * (SELECT m FROM m)))
+                   * (dc.dsum::double / (2.0 * (SELECT m FROM m)))), 6) + 0.0
+         AS modularity
+FROM dc LEFT JOIN mc USING (lbl)
 """,
     }
