@@ -10494,6 +10494,101 @@ def _q_lpa_modularity(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_feature_mi_quality(sf_dir: str) -> pa.Table:
+    """Mutual-information feature ranking for the quality features
+    (the feature-selection step before training any filter model):
+    each feature splits at its MEDIAN (rank ⌈n/2⌉, whole tie groups ≤
+    threshold) into a 2×2 table against the lang=='en' label, and
+    MI = Σ (c/N)·ln(cN/(r·s)) — exact integer counts until the logs.
+    One long-form (feature, micro-value, label) combiner fold."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from dcs_ray.functions.textstats import quality_score_batch
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b)
+        y = pc.equal(b["lang"], "en").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ntok = q["n_tokens"].to_numpy().astype(np.int64)
+        stop = np.floor(
+            q["stopword_ratio"].to_numpy() * 1e6 + 0.5
+        ).astype(np.int64)
+        mlen = np.floor(
+            q["mean_token_len"].to_numpy() * 1e6 + 0.5
+        ).astype(np.int64)
+        n = len(b)
+        return pa.table(
+            {
+                "feature": pa.array(
+                    ["n_tokens"] * n + ["stopword_ratio"] * n
+                    + ["mean_token_len"] * n,
+                    pa.string(),
+                ),
+                "v": pa.array(np.concatenate([ntok, stop, mlen]), pa.int64()),
+                "y": pa.array(np.tile(y, 3), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            ["feature", "v", "y"], [], count_col="c",
+        ).iter_batches(batch_format="pyarrow")
+    )
+    feat = g["feature"].to_numpy(zero_copy_only=False)
+    v = g["v"].to_numpy().astype(np.int64)
+    y = g["y"].to_numpy().astype(np.int64)
+    c = g["c"].to_numpy().astype(np.int64)
+    rows = []
+    for fname in ("mean_token_len", "n_tokens", "stopword_ratio"):
+        m = feat == fname
+        fv, fy, fc = v[m], y[m], c[m]
+        uv = np.unique(fv)
+        per_v = np.zeros(len(uv), np.int64)
+        np.add.at(per_v, np.searchsorted(uv, fv), fc)
+        cum = np.cumsum(per_v)
+        n = int(cum[-1])
+        thr = int(uv[np.searchsorted(cum, (n + 1) // 2, side="left")])
+        x = (fv > thr).astype(np.int64)
+        cells = np.zeros((2, 2), np.int64)
+        np.add.at(cells, (x, fy), fc)
+        rsum = cells.sum(axis=1)
+        csum = cells.sum(axis=0)
+        mi = 0.0
+        for xi in (0, 1):
+            for yi in (0, 1):
+                cc = int(cells[xi, yi])
+                if cc > 0:
+                    mi += (cc / n) * float(
+                        np.log(cc * n / (int(rsum[xi]) * int(csum[yi])))
+                    )
+        rows.append(
+            (
+                fname, thr,
+                int(cells[0, 0]), int(cells[0, 1]),
+                int(cells[1, 0]), int(cells[1, 1]),
+                round(mi, 6) + 0.0,
+            )
+        )
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "feature": pa.array(cols[0], pa.string()),
+            "thr_micro": pa.array(cols[1], pa.int64()),
+            "n00": pa.array(cols[2], pa.int64()),
+            "n01": pa.array(cols[3], pa.int64()),
+            "n10": pa.array(cols[4], pa.int64()),
+            "n11": pa.array(cols[5], pa.int64()),
+            "mi": pa.array(cols[6], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10805,6 +10900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test_conversion": _q_ab_test_conversion,
         "holt_forecast_daily": _q_holt_forecast_daily,
         "lpa_modularity": _q_lpa_modularity,
+        "feature_mi_quality": _q_feature_mi_quality,
     }
 
 
@@ -15406,5 +15502,56 @@ SELECT (SELECT count(DISTINCT lbl) FROM l5)::bigint AS n_communities,
                    * (dc.dsum::double / (2.0 * (SELECT m FROM m)))), 6) + 0.0
          AS modularity
 FROM dc LEFT JOIN mc USING (lbl)
+""",
+        # 2×2 mutual information of each quality feature vs the en label
+        "feature_mi_quality": f"""
+WITH tok AS ({_TOK}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it')
+                  THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(term)) AS sum_len
+  FROM tok GROUP BY doc_id),
+feats AS (
+  SELECT d.doc_id, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+         coalesce(a.n_tokens, 0)::bigint AS f_ntok,
+         floor(coalesce(round(a.n_stop::double / a.n_tokens, 6), 0.0)
+               * 1e6 + 0.5)::bigint AS f_stop,
+         floor(coalesce(round(a.sum_len::double / a.n_tokens, 6), 0.0)
+               * 1e6 + 0.5)::bigint AS f_mlen
+  FROM documents d LEFT JOIN agg a USING (doc_id)),
+lf AS (SELECT 'n_tokens' AS feature, f_ntok AS v, y FROM feats
+       UNION ALL SELECT 'stopword_ratio', f_stop, y FROM feats
+       UNION ALL SELECT 'mean_token_len', f_mlen, y FROM feats),
+vc AS (SELECT feature, v, count(*)::bigint AS c FROM lf GROUP BY 1, 2),
+cum AS (SELECT feature, v, c, sum(c) OVER (PARTITION BY feature ORDER BY v)
+          AS cm FROM vc),
+nn AS (SELECT feature, sum(c)::bigint AS n FROM vc GROUP BY 1),
+thr AS (SELECT c.feature, min(c.v)::bigint AS thr
+        FROM cum c JOIN nn USING (feature)
+        WHERE c.cm >= (nn.n + 1) // 2 GROUP BY c.feature),
+cells AS (SELECT lf.feature,
+                 CASE WHEN lf.v > t.thr THEN 1 ELSE 0 END AS x, lf.y,
+                 count(*)::bigint AS c
+          FROM lf JOIN thr t USING (feature) GROUP BY 1, 2, 3),
+rs AS (SELECT feature, x, sum(c)::bigint AS r FROM cells GROUP BY 1, 2),
+cs AS (SELECT feature, y, sum(c)::bigint AS s FROM cells GROUP BY 1, 2),
+mi AS (SELECT cells.feature,
+              sum((cells.c::double / nn.n)
+                  * ln(cells.c::double * nn.n / (rs.r::double * cs.s::double)))
+                AS mi
+       FROM cells JOIN nn USING (feature)
+            JOIN rs ON rs.feature = cells.feature AND rs.x = cells.x
+            JOIN cs ON cs.feature = cells.feature AND cs.y = cells.y
+       WHERE cells.c > 0 GROUP BY cells.feature)
+SELECT t.feature, t.thr AS thr_micro,
+       coalesce(max(CASE WHEN cells.x = 0 AND cells.y = 0 THEN cells.c END), 0)::bigint AS n00,
+       coalesce(max(CASE WHEN cells.x = 0 AND cells.y = 1 THEN cells.c END), 0)::bigint AS n01,
+       coalesce(max(CASE WHEN cells.x = 1 AND cells.y = 0 THEN cells.c END), 0)::bigint AS n10,
+       coalesce(max(CASE WHEN cells.x = 1 AND cells.y = 1 THEN cells.c END), 0)::bigint AS n11,
+       round(max(mi.mi), 6) + 0.0 AS mi
+FROM thr t JOIN cells ON cells.feature = t.feature
+     JOIN mi ON mi.feature = t.feature
+GROUP BY t.feature, t.thr ORDER BY t.feature
 """,
     }
