@@ -10589,6 +10589,44 @@ def _q_feature_mi_quality(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_max_tf_audit(sf_dir: str) -> pa.Table:
+    """Block-max metadata audit: the index's own per-term ``max_tf``
+    (the upper bound MaxScore prunes with — a too-small value would
+    silently DROP correct results) for the top-20 df terms, checked
+    against the raw-text maximum tf recomputed by the oracle. Reads
+    only the vocab-scale term_dict artifacts."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.search import shard_paths
+
+    idx = _index_dir(sf_dir, "words")
+    agg: dict[str, list[int]] = {}
+    for p in shard_paths(idx):
+        td = pq.read_table(
+            os.path.join(p, "term_dict.parquet"), columns=["term", "df", "max_tf"]
+        )
+        for term, df, mtf in zip(
+            td["term"].to_pylist(),
+            td["df"].to_numpy().astype(np.int64),
+            td["max_tf"].to_numpy().astype(np.int64),
+        ):
+            cur = agg.setdefault(term, [0, 0])
+            cur[0] += int(df)
+            cur[1] = max(cur[1], int(mtf))
+    rows = sorted(
+        ((t, v[0], v[1]) for t, v in agg.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:20]
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "term": pa.array(cols[0], pa.string()),
+            "df": pa.array(cols[1], pa.int64()),
+            "max_tf": pa.array(cols[2], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10901,6 +10939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast_daily": _q_holt_forecast_daily,
         "lpa_modularity": _q_lpa_modularity,
         "feature_mi_quality": _q_feature_mi_quality,
+        "max_tf_audit": _q_max_tf_audit,
     }
 
 
@@ -15553,5 +15592,14 @@ SELECT t.feature, t.thr AS thr_micro,
 FROM thr t JOIN cells ON cells.feature = t.feature
      JOIN mi ON mi.feature = t.feature
 GROUP BY t.feature, t.thr ORDER BY t.feature
+""",
+        # block-max metadata vs raw-text max tf, top-20 df terms
+        "max_tf_audit": f"""
+WITH tok AS ({_TOK}),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM tok GROUP BY 1, 2),
+t AS (SELECT term, count(*)::bigint AS df, max(tf)::bigint AS max_tf
+      FROM tf GROUP BY term)
+SELECT term, df, max_tf FROM t
+ORDER BY df DESC, term LIMIT 20
 """,
     }
