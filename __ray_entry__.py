@@ -10627,6 +10627,125 @@ def _q_max_tf_audit(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_serp_diversity_ild(sf_dir: str) -> pa.Table:
+    """Intra-list diversity of the BM25 top-10 (the SERP-quality
+    measurement MMR optimizes): hash-embedding cosine for every result
+    pair — 45 gated rows, each a single replayable expression over the
+    float32 embedding chain. Embeddings computed ONLY for the result
+    ids (broadcast filter), never the corpus."""
+    from dcs_ray.functions.embed import hash_embed_batch
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    top = search_bm25(idx, [BM25_QUERY], k=10)
+    ids = np.sort(top["doc_id"].to_numpy().astype(np.int64))
+    ref = ray.put(ids)
+
+    def emb(b: pa.Table) -> pa.Table:
+        want = ray.get(ref)
+        did = b["doc_id"].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(want, did), len(want) - 1)
+        keep = want[pos] == did
+        return hash_embed_batch(b.filter(pa.array(keep)))
+
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(emb, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ).sort_by("doc_id")
+    did = t["doc_id"].to_numpy().astype(np.int64)
+    E = (
+        t["embedding"].combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+        .reshape(len(t), -1)
+    )
+    nrm = np.sqrt((E * E).sum(axis=1))
+    rows = []
+    for i in range(len(did)):
+        for j in range(i + 1, len(did)):
+            dot = float((E[i] * E[j]).sum())
+            c = dot / (nrm[i] * nrm[j]) if nrm[i] > 0 and nrm[j] > 0 else 0.0
+            rows.append((int(did[i]), int(did[j]), round(c, 6) + 0.0))
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "doc_a": pa.array(cols[0], pa.int64()),
+            "doc_b": pa.array(cols[1], pa.int64()),
+            "cos_sim": pa.array(cols[2], pa.float64()),
+        }
+    )
+
+
+def _q_churn_auc_baseline(sf_dir: str) -> pa.Table:
+    """AUC of the simplest churn model there is — 'less first-half
+    activity ⇒ more likely to churn' — via the tie-corrected
+    Mann–Whitney midrank sum on EXACT integer activity counts, over
+    users active in the first half (churn = silent second half). The
+    baseline number every real churn model must beat. Exchange =
+    |users|."""
+    from dcs_ray.functions.relational import combiner_groupby
+    from ray.data.aggregate import Max, Min
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    ).materialize()
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.table({"us": b["ts"].cast(pa.int64())})
+
+    mm = ev.map_batches(to_us, batch_format="pyarrow").aggregate(
+        Min("us"), Max("us")
+    )
+    mid = (int(mm["min(us)"]) + int(mm["max(us)"])) // 2
+
+    def flags(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": b["user_id"].cast(pa.int64()),
+                "f": pa.array((us < mid).astype(np.int64), pa.int64()),
+                "s": pa.array((us >= mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    g = pa.concat_tables(
+        pa.table(b)
+        for b in combiner_groupby(
+            ev.map_batches(flags, batch_format="pyarrow"), ["user_id"], ["f", "s"],
+        ).iter_batches(batch_format="pyarrow")
+    )
+    f = g["f"].to_numpy().astype(np.int64)
+    s = g["s"].to_numpy().astype(np.int64)
+    keep = f > 0
+    a = f[keep]  # score = first-half activity
+    y = (s[keep] == 0).astype(np.int64)  # churned
+    # tie-corrected midrank sum over (score asc): r2 = 2·min_rank + ties − 1
+    uv = np.unique(a)
+    tot = np.zeros(len(uv), np.int64)
+    pos = np.zeros(len(uv), np.int64)
+    at = np.searchsorted(uv, a)
+    np.add.at(tot, at, 1)
+    np.add.at(pos, at, y)
+    below = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    r2 = 2 * (below + 1) + tot - 1
+    s2 = int((pos * r2).sum())
+    n1 = int(y.sum())
+    n0 = int(len(y) - n1)
+    auc = (
+        (s2 - n1 * (n1 + 1)) / (2 * n1 * n0) if n1 > 0 and n0 > 0 else 0.0
+    )
+    return pa.table(
+        {
+            "n_users": pa.array([len(y)], pa.int64()),
+            "n_churned": pa.array([n1], pa.int64()),
+            "auc": pa.array([round(auc, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -10940,6 +11059,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_modularity": _q_lpa_modularity,
         "feature_mi_quality": _q_feature_mi_quality,
         "max_tf_audit": _q_max_tf_audit,
+        "serp_diversity_ild": _q_serp_diversity_ild,
+        "churn_auc_baseline": _q_churn_auc_baseline,
     }
 
 
@@ -15601,5 +15722,59 @@ t AS (SELECT term, count(*)::bigint AS df, max(tf)::bigint AS max_tf
       FROM tf GROUP BY term)
 SELECT term, df, max_tf FROM t
 ORDER BY df DESC, term LIMIT 20
+""",
+        # pairwise hash-embed cosine of the BM25 top-10 (45 rows)
+        "serp_diversity_ild": f"""
+WITH {_BM25_SCORES},
+top AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+terms AS (SELECT DISTINCT term FROM tok),
+{_term_hash64_sql()},
+occ AS (SELECT t2.doc_id, th.h FROM tok t2 JOIN th USING (term)
+        WHERE t2.doc_id IN (SELECT doc_id FROM top)),
+vec AS (SELECT doc_id, (h % 64)::bigint AS dim,
+               sum(CASE WHEN h >= 9223372036854775808::hugeint
+                        THEN -1.0 ELSE 1.0 END) AS v
+        FROM occ GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nn FROM vec GROUP BY 1),
+e32 AS (SELECT vec.doc_id, dim,
+               CAST(v / CASE WHEN nn = 0 THEN 1 ELSE nn END AS FLOAT)::double
+                 AS val
+        FROM vec JOIN nrm USING (doc_id)),
+n2 AS (SELECT doc_id, sqrt(sum(val * val)) AS nn FROM e32 GROUP BY 1),
+dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.val * b.val) AS dot
+         FROM e32 a JOIN e32 b ON a.dim = b.dim AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM top a JOIN top b ON a.doc_id < b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       CASE WHEN na.nn > 0 AND nb.nn > 0
+            THEN round(coalesce(d.dot, 0.0) / (na.nn * nb.nn), 6) + 0.0
+            ELSE 0.0 END AS cos_sim
+FROM pairs p
+LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+JOIN n2 na ON na.doc_id = p.doc_a
+JOIN n2 nb ON nb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+""",
+        # Mann–Whitney AUC of first-half activity predicting churn
+        "churn_auc_baseline": """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events),
+u AS (SELECT user_id,
+             sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                      THEN 1 ELSE 0 END)::bigint AS a,
+             max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                      THEN 1 ELSE 0 END) AS act2
+      FROM events GROUP BY user_id),
+k AS (SELECT a, CASE WHEN act2 = 0 THEN 1 ELSE 0 END AS y FROM u WHERE a > 0),
+r AS (SELECT y, (2 * rank() OVER (ORDER BY a)
+                 + count(*) OVER (PARTITION BY a) - 1)::bigint AS r2 FROM k),
+s AS (SELECT sum(CASE WHEN y = 1 THEN r2 ELSE 0 END)::hugeint AS s2,
+             sum(y)::hugeint AS n1, count(*)::hugeint AS n FROM r)
+SELECT n::bigint AS n_users, n1::bigint AS n_churned,
+       CASE WHEN n1 > 0 AND n1 < n
+            THEN round((s2 - n1 * (n1 + 1))::double
+                       / (2 * n1 * (n - n1))::double, 6) + 0.0
+            ELSE 0.0 END AS auc
+FROM s
 """,
     }
