@@ -508,7 +508,9 @@ def _q_knn_lsh(sf_dir: str) -> pa.Table:
     """ANN through a persistent bucket-partitioned LshAnnIndex with 4
     independent SRP tables; each query probes its 8 query-directed best
     buckets per table (~14%% of index rows), candidates deduped across
-    tables."""
+    tables. Oracle-gated end-to-end: ``_lsh_knn_sql`` replays the plane
+    draws, per-table signatures, directed multiprobe mask ranking and
+    the candidate top-k entirely in SQL."""
     from dcs_ray.functions.simsearch import knn_cosine_lsh
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -639,6 +641,37 @@ def _q_ivf_list_assignment(sf_dir: str) -> pa.Table:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_knn_ivf_hashmin(sf_dir: str) -> pa.Table:
+    """The IVF QUERY path oracle-gated end-to-end: hash-min-init index
+    (centroids = the 8 corpus rows with smallest splitmix64(vec_id),
+    zero Lloyd iterations — the deterministic contract of
+    ``ivf_list_assignment``), then the REAL ``IvfAnnIndex.query``:
+    nprobe=3 nearest-centroid probe selection, partitioned scoring over
+    only the probed lists, and the global (cos desc, id asc) merge. The
+    SQL replays centroid pick, assignment, probe choice and top-k —
+    so the probe-and-merge machinery itself is what gets gated (the
+    production ``knn_cosine_ivf`` entry keeps the kmeans++ quantizer,
+    whose sampled seeding is not SQL-expressible)."""
+    from dcs_ray.functions.simsearch import IvfAnnIndex
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_ivfann_hm8")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    if os.path.exists(os.path.join(out, "ivf_meta.json")):
+        idx = IvfAnnIndex(out)
+    else:
+        idx = IvfAnnIndex.build(emb, out, num_lists=8, n_iter=0, init="hash_min")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = idx.query(np.array([q0]), k=10, nprobe=3)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
     from dcs_ray.functions.simsearch import near_dup_pairs_exact
 
@@ -648,7 +681,10 @@ def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
 
 def _q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
     """Sub-quadratic approximate near-dup pairs (OR-amplified SRP
-    banding); recall vs the exact path is asserted in pytest."""
+    banding); recall vs the exact path is asserted in pytest, and the
+    whole banded candidate generation + cosine verify is oracle-gated
+    (``_near_dup_lsh_sql`` replays the size-aware banding closed form,
+    the seed-13 planes, and the bucket self-join in SQL)."""
     from dcs_ray.functions.simsearch import near_dup_pairs_lsh
 
     emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
@@ -786,6 +822,134 @@ best AS (SELECT vec_id, cid,
                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
          FROM cos)
 SELECT vec_id, cid AS list FROM best WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def _srp_planes_values(tables: np.ndarray) -> str:
+    """(t, b, pl) VALUES rows for an SRP plane tensor — ``repr`` round-
+    trips float64 exactly, so the SQL sees bit-identical plane values."""
+    t_n, b_n, _d = tables.shape
+    return ", ".join(
+        "(%d, %d, [%s])" % (t, b, ", ".join(repr(float(v)) for v in tables[t, b]))
+        for t in range(t_n)
+        for b in range(b_n)
+    )
+
+
+def _lsh_knn_sql(
+    num_tables: int = 4, num_planes: int = 6, probe_t: int = 8, k: int = 10
+) -> str:
+    """Full SQL replay of ``knn_cosine_lsh`` (seed-13 multi-table index,
+    query-directed multiprobe per Lv et al. VLDB'07): per table, the
+    query's SRP signature plus the ``probe_t`` cheapest XOR-masks by
+    summed |projection| of the flipped planes (ties to the smaller mask,
+    matching the stable argsort over ascending masks); candidates are
+    vectors whose per-table signature lands in a probed bucket, deduped
+    across tables; exact cosine top-k over candidates. Signs and probe
+    costs use RAW dots — normalization can change neither a dot's sign
+    nor the cost ordering (a positive per-query scale)."""
+    tables = np.random.default_rng(13).standard_normal((num_tables, num_planes, 64))
+    return f"""
+WITH p(t, b, pl) AS (VALUES {_srp_planes_values(tables)}),
+q AS (SELECT list_transform(embedding, x -> x::double) AS qe FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT p.t, p.b, list_dot_product(q.qe, p.pl) AS pr FROM p CROSS JOIN q),
+qsig AS (SELECT t, sum(CASE WHEN pr > 0 THEN (1::bigint << b) ELSE 0 END)::bigint AS sig
+         FROM qp GROUP BY t),
+mc AS (SELECT qp.t, r.m::bigint AS mask,
+              sum(CASE WHEN (r.m >> qp.b) & 1 = 1 THEN abs(qp.pr) ELSE 0 END) AS cost
+       FROM range({1 << num_planes}) r(m) CROSS JOIN qp GROUP BY qp.t, r.m),
+probes AS (SELECT mc.t, xor(mc.mask::ubigint, qsig.sig::ubigint)::bigint AS bucket
+           FROM mc JOIN qsig USING (t)
+           QUALIFY row_number() OVER (PARTITION BY mc.t ORDER BY mc.cost ASC, mc.mask ASC)
+                   <= {probe_t}),
+vd AS (SELECT e.vec_id, p.t, p.b,
+              list_dot_product(list_transform(e.embedding, x -> x::double), p.pl) AS dot
+       FROM embeddings e CROSS JOIN p),
+vsig AS (SELECT vec_id, t, sum(CASE WHEN dot > 0 THEN (1::bigint << b) ELSE 0 END)::bigint AS sig
+         FROM vd GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT v.vec_id FROM vsig v JOIN probes pr ON v.t = pr.t AND v.sig = pr.bucket),
+sims AS (SELECT c.vec_id,
+                list_cosine_similarity(list_transform(e.embedding, x -> x::double), q.qe) AS cs
+         FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q)
+SELECT row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank,
+       vec_id::bigint AS vec_id, round(cs, 6) AS cos_sim
+FROM sims ORDER BY cs DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _near_dup_lsh_sql(threshold: float = 0.42) -> str:
+    """Full SQL replay of ``near_dup_pairs_lsh`` at the gate's corpus
+    size: the SIZE-AWARE banding resolves to bits_per_table=2 /
+    num_tables=6 for n=500 (the same closed-form the engine derives from
+    its metadata row count), planes from the same seed-13 stream;
+    candidate pairs share a (table, 2-bit sig) bucket, verified at
+    cosine >= threshold. Buckets stay far below the 4096 cap at this n,
+    so the capped-bucket path contributes nothing."""
+    n_rows, max_bucket, target_recall = 500, 4096, 0.95
+    bits = int(np.clip(np.ceil(np.log2(max(4.0 * n_rows / max_bucket, 4.0))), 2, 24))
+    p_col = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    pb = max(p_col**bits, 1e-12)
+    num_tables = int(
+        np.clip(np.ceil(np.log(max(1.0 - target_recall, 1e-9)) / np.log(1.0 - pb)), 2, 64)
+    )
+    planes = np.random.default_rng(13).standard_normal((num_tables * bits, 64))
+    rows = ", ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(v)) for v in planes[j]))
+        for j in range(num_tables * bits)
+    )
+    return f"""
+WITH p(j, pl) AS (VALUES {rows}),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev FROM embeddings),
+vd AS (SELECT e.vec_id, p.j, CASE WHEN list_dot_product(e.ev, p.pl) > 0 THEN 1 ELSE 0 END AS bit
+       FROM e CROSS JOIN p),
+sigs AS (SELECT vec_id, j // {bits} AS t,
+                sum(bit * (1::bigint << (j % {bits})))::bigint AS sig
+         FROM vd GROUP BY vec_id, j // {bits}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+sims AS (SELECT c.id_a, c.id_b, list_cosine_similarity(ea.ev, eb.ev) AS cs
+         FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b)
+SELECT id_a::bigint AS id_a, id_b::bigint AS id_b, round(cs, 6) AS cos_sim
+FROM sims WHERE cs >= {threshold!r} ORDER BY id_a, id_b
+"""
+
+
+def _ivf_knn_hashmin_sql(num_lists: int = 8, nprobe: int = 3, k: int = 10) -> str:
+    """SQL replay of the IVF QUERY path over the hash-min index: the
+    centroid pick and cosine-argmax assignment of
+    ``_ivf_assignment_sql``, plus the query's nprobe nearest-centroid
+    probe (ties to the lower cid) and the exact top-k over vectors in
+    probed lists — the same (cos desc, id asc) merge as the engine."""
+    GOLDEN = str(0x9E3779B97F4A7C15)
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    return f"""
+WITH h0 AS (SELECT vec_id, ((vec_id::hugeint + {GOLDEN}) % {_M64}) AS x0 FROM embeddings),
+h1 AS (SELECT vec_id, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM h0),
+h2 AS (SELECT vec_id, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM h1),
+hf AS (SELECT vec_id, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2),
+cent AS (
+  SELECT list_transform(e.embedding, x -> x::double) AS ce,
+         row_number() OVER (ORDER BY hf.h, e.vec_id) - 1 AS cid
+  FROM embeddings e JOIN hf USING (vec_id)
+  QUALIFY row_number() OVER (ORDER BY hf.h, e.vec_id) <= {num_lists}
+),
+q AS (SELECT list_transform(embedding, x -> x::double) AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (SELECT cid FROM (SELECT c.cid, list_cosine_similarity(q.qe, c.ce) AS cs
+                           FROM cent c CROSS JOIN q)
+          ORDER BY cs DESC, cid ASC LIMIT {nprobe}),
+v AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS ev FROM embeddings),
+assign AS (SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_cosine_similarity(v.ev, c.ce) DESC, c.cid ASC) AS rn
+    FROM v CROSS JOIN cent c) WHERE rn = 1),
+cand AS (SELECT vec_id FROM assign WHERE cid IN (SELECT cid FROM probe)),
+sims AS (SELECT c.vec_id, list_cosine_similarity(v.ev, q.qe) AS cs
+         FROM cand c JOIN v USING (vec_id) CROSS JOIN q)
+SELECT row_number() OVER (ORDER BY cs DESC, vec_id ASC) AS rank,
+       vec_id::bigint AS vec_id, round(cs, 6) AS cos_sim
+FROM sims ORDER BY cs DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -10810,6 +10974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
         # --- end of the driver's 50-query window ---
+        "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "label_centroids": _q_label_centroids,
         "knn_label_classify": _q_knn_classify,
@@ -12510,6 +12675,9 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         "lsh_bucket_assignment": _lsh_assignment_sql(),
         "ivf_list_assignment": _ivf_assignment_sql(8),
+        "knn_cosine_lsh": _lsh_knn_sql(),
+        "knn_cosine_ivf_hashmin": _ivf_knn_hashmin_sql(),
+        "embedding_near_dup_lsh": _near_dup_lsh_sql(),
         "embedding_near_dup": """
 WITH n AS (
   SELECT vec_id, list_transform(embedding, x -> x::double) AS e FROM embeddings
