@@ -10910,6 +10910,264 @@ def _q_churn_auc_baseline(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q2-shape minimum-cost supplier (adapted: no partsupp table,
+    so a supplier's offer for a part is its cheapest shipped lineitem in
+    exact integer cents): parts restricted to p_type='LARGE' and
+    p_size<=15, suppliers to region ASIA (both tiny filters broadcast as
+    key sets — lineitem never shuffles for them), per-(part, supplier)
+    min-cents via the combiner_stats fold, then a grouped argmin per
+    part (ties to the smaller suppkey) and broadcast name lookups."""
+    from dcs_ray.functions.relational import (
+        broadcast_join,
+        broadcast_semi_join,
+        combiner_stats,
+        grouped_topn,
+    )
+
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size", "p_brand"]
+    )
+    sel_parts = part.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["p_type"], "LARGE"), pc.less_equal(t["p_size"], 15))
+        ),
+        batch_format="pyarrow",
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).map_batches(
+        lambda t, _r=rkey: t.filter(pc.equal(t["n_regionkey"], _r)),
+        batch_format="pyarrow",
+    )
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    )
+    sup_in_region = broadcast_semi_join(sup, nation, on="s_nationkey", right_on="n_nationkey")
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    )
+    li = broadcast_semi_join(li, sel_parts, on="l_partkey", right_on="p_partkey")
+    li = broadcast_semi_join(li, sup_in_region, on="l_suppkey", right_on="s_suppkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "l_suppkey": b["l_suppkey"],
+                "cents": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    offers = combiner_stats(
+        li.map_batches(cents, batch_format="pyarrow"), ["l_partkey", "l_suppkey"], "cents"
+    )
+    best = grouped_topn(
+        offers, key="l_partkey", order_col="min_cents", n=1, ascending=True,
+        tie_col="l_suppkey",
+    )
+    best = broadcast_join(
+        best, sel_parts, on="l_partkey", right_on="p_partkey", small_cols=("p_brand",)
+    )
+    best = broadcast_join(
+        best, sup_in_region, on="l_suppkey", right_on="s_suppkey",
+        small_cols=("s_name", "s_acctbal"),
+    )
+    t = pa.concat_tables(pa.table(b) for b in best.iter_batches(batch_format="pyarrow"))
+    t = t.sort_by("l_partkey")
+    return pa.table(
+        {
+            "p_partkey": t["l_partkey"],
+            "p_brand": t["p_brand"],
+            "s_name": t["s_name"],
+            "s_acctbal": pc.round(t["s_acctbal"], 6),
+            "min_cost": pa.array(
+                np.round(t["min_cents"].to_numpy().astype(np.int64) / 100.0, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_important_parts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q11-shape important stock (adapted to lineitem): per-part
+    discounted revenue shipped by NATION_7's suppliers, keeping parts
+    whose value exceeds 0.1%% of that nation's total. Fraction filter on
+    EXACT integers (value·1000 > total in 1e-4 units — no float
+    threshold anywhere); the only exchanges are the part-keyed combiner
+    rows and one scalar total."""
+    from dcs_ray.functions.relational import broadcast_semi_join, combiner_groupby
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nkey = nation.filter(pc.equal(nation["n_name"], "NATION_7"))["n_nationkey"][0].as_py()
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t, _n=nkey: t.filter(pc.equal(t["s_nationkey"], _n)),
+        batch_format="pyarrow",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li = broadcast_semi_join(li, sup, on="l_suppkey", right_on="s_suppkey")
+    rev = li.map_batches(
+        lambda b: _li_rev1e4(b, {"l_partkey": b["l_partkey"]}), batch_format="pyarrow"
+    )
+    per_part = combiner_groupby(rev, ["l_partkey"], ["rev1e4"]).materialize()
+    empty = pa.table(
+        {"l_partkey": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+    )
+    parts = [pa.table(b) for b in per_part.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return empty
+    total = per_part.sum("rev1e4")
+    t = pa.concat_tables(parts)
+    v = t["rev1e4"].to_numpy().astype(np.int64)
+    keep = v * 1000 > total
+    t = t.filter(pa.array(keep))
+    t = t.sort_by([("rev1e4", "descending"), ("l_partkey", "ascending")])
+    return pa.table(
+        {
+            "l_partkey": t["l_partkey"],
+            "value": pa.array(
+                np.round(t["rev1e4"].to_numpy().astype(np.int64) / 10000.0, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_part_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q16-shape parts/supplier relationship: distinct suppliers
+    that shipped each (p_brand, p_type, p_size) family, excluding
+    Brand#45 and PROMO parts. Distinct via the pair-dedup combiner
+    (each batch collapses to its unique (family, suppkey) rows before
+    the exchange), then a count-only combiner per family."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.invert(pc.equal(t["p_brand"], "Brand#45")),
+                pc.invert(pc.equal(t["p_type"], "PROMO")),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    li = broadcast_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        small_cols=("p_brand", "p_type", "p_size"),
+    )
+
+    def dedup_pairs(b: pa.Table) -> pa.Table:
+        t = (
+            b.select(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .group_by(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .aggregate([])
+        )
+        return t.append_column("dup", pa.array(np.zeros(len(t), np.int64), pa.int64()))
+
+    # two-level distinct: per-batch unique pairs, one pair-keyed combiner
+    # (each distinct (family, suppkey) survives exactly once), then a
+    # count-only family combiner — the exchange never carries raw rows
+    pairs = combiner_groupby(
+        li.map_batches(dedup_pairs, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        ["dup"],
+    )
+    pairs = pairs.map_batches(
+        lambda b: b.append_column("one", pa.array(np.ones(len(b), np.int64), pa.int64())),
+        batch_format="pyarrow",
+    )
+    agg = combiner_groupby(pairs, ["p_brand", "p_type", "p_size"], ["one"])
+    t = pa.concat_tables(pa.table(b) for b in agg.iter_batches(batch_format="pyarrow"))
+    t = t.sort_by(
+        [("one", "descending"), ("p_brand", "ascending"), ("p_type", "ascending"),
+         ("p_size", "ascending")]
+    )
+    return pa.table(
+        {
+            "p_brand": t["p_brand"],
+            "p_type": t["p_type"],
+            "p_size": t["p_size"].cast(pa.int64()),
+            "supplier_cnt": t["one"],
+        }
+    )
+
+
+def _q_sales_opportunity(sf_dir: str) -> pa.Table:
+    """TPC-H-Q22-shape global sales opportunity: customers richer than
+    the positive-balance mean who never ordered, counted per nation.
+    The mean threshold compares in EXACT integers (bal_cents · n >
+    sum_cents — cross-multiplied, so no float mean is ever formed); the
+    never-ordered filter is the broadcast anti-join; per-nation fold is
+    a combiner."""
+    from dcs_ray.functions.relational import broadcast_semi_join, combiner_groupby
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+
+    def bal_cents(b: pa.Table) -> pa.Table:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    cb = cust.map_batches(bal_cents, batch_format="pyarrow").materialize()
+    pos = cb.map_batches(
+        lambda b: b.filter(pc.greater(b["cents"], 0)), batch_format="pyarrow"
+    )
+    # one (sum, count) scalar pair — the threshold never leaves integers
+    sum_cents = pos.sum("cents")
+    n_pos = pos.count()
+    rich = cb.map_batches(
+        lambda b, _s=sum_cents, _n=n_pos: b.filter(
+            pa.array(b["cents"].to_numpy().astype(np.int64) * _n > _s)
+        ),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    no_orders = broadcast_semi_join(rich, orders, on="c_custkey", right_on="o_custkey",
+                                    anti=True)
+    agg = combiner_groupby(no_orders, ["c_nationkey"], ["cents"])
+    parts = [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return pa.table(
+            {
+                "c_nationkey": pa.array([], pa.int64()),
+                "numcust": pa.array([], pa.int64()),
+                "totacctbal": pa.array([], pa.float64()),
+            }
+        )
+    t = pa.concat_tables(parts).sort_by("c_nationkey")
+    return pa.table(
+        {
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "numcust": t["n_rows"],
+            "totacctbal": pa.array(
+                np.round(t["cents"].to_numpy().astype(np.int64) / 100.0, 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -11226,6 +11484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_tf_audit": _q_max_tf_audit,
         "serp_diversity_ild": _q_serp_diversity_ild,
         "churn_auc_baseline": _q_churn_auc_baseline,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "important_parts": _q_important_parts,
+        "part_supplier_counts": _q_part_supplier_counts,
+        "sales_opportunity": _q_sales_opportunity,
     }
 
 
@@ -15944,5 +16206,69 @@ SELECT n::bigint AS n_users, n1::bigint AS n_churned,
                        / (2 * n1 * (n - n1))::double, 6) + 0.0
             ELSE 0.0 END AS auc
 FROM s
+""",
+        "min_cost_supplier": """
+WITH sel_parts AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_type = 'LARGE' AND p_size <= 15),
+sup_r AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA'),
+offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice * 100)::bigint) AS min_cents
+  FROM lineitem
+  JOIN sel_parts ON l_partkey = p_partkey
+  JOIN sup_r ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey),
+best AS (
+  SELECT l_partkey, l_suppkey, min_cents,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY min_cents ASC, l_suppkey ASC) AS rn
+  FROM offers)
+SELECT b.l_partkey AS p_partkey, sp.p_brand, s.s_name,
+       round(s.s_acctbal, 6) AS s_acctbal,
+       round(b.min_cents / 100.0, 6) AS min_cost
+FROM best b
+JOIN sel_parts sp ON b.l_partkey = sp.p_partkey
+JOIN sup_r s ON b.l_suppkey = s.s_suppkey
+WHERE rn = 1 ORDER BY p_partkey
+""",
+        "important_parts": """
+WITH sup_n AS (
+  SELECT s_suppkey FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'),
+rev AS (
+  SELECT l_partkey,
+         round(l_extendedprice * 100)::bigint
+           * (100 - round(l_discount * 100)::bigint) AS rev1e4
+  FROM lineitem JOIN sup_n ON l_suppkey = s_suppkey),
+per_part AS (SELECT l_partkey, sum(rev1e4)::bigint AS v FROM rev GROUP BY l_partkey),
+tot AS (SELECT sum(v)::hugeint AS t FROM per_part)
+SELECT l_partkey, round(v / 10000.0, 6) AS value
+FROM per_part, tot WHERE v::hugeint * 1000 > t
+ORDER BY value DESC, l_partkey
+""",
+        "part_supplier_counts": """
+SELECT p_brand, p_type, p_size::bigint AS p_size,
+       count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "sales_opportunity": """
+WITH cb AS (
+  SELECT c_custkey, c_nationkey, round(c_acctbal * 100)::bigint AS cents
+  FROM customer),
+stat AS (SELECT sum(cents)::hugeint AS s, count(*)::hugeint AS n
+         FROM cb WHERE cents > 0),
+rich AS (SELECT cb.* FROM cb, stat WHERE cb.cents::hugeint * stat.n > stat.s),
+no_ord AS (SELECT * FROM rich
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+SELECT c_nationkey::bigint AS c_nationkey, count(*)::bigint AS numcust,
+       round(sum(cents) / 100.0, 6) AS totacctbal
+FROM no_ord GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     }
