@@ -11108,11 +11108,13 @@ def _q_part_supplier_counts(sf_dir: str) -> pa.Table:
 
 def _q_sales_opportunity(sf_dir: str) -> pa.Table:
     """TPC-H-Q22-shape global sales opportunity: customers richer than
-    the positive-balance mean who never ordered, counted per nation.
+    the positive-balance mean with no order since 2000-01-01 (dormant —
+    the testdata's customers nearly all have SOME order, so the shape's
+    anti-join is against the recent-order key set), counted per nation.
     The mean threshold compares in EXACT integers (bal_cents · n >
     sum_cents — cross-multiplied, so no float mean is ever formed); the
-    never-ordered filter is the broadcast anti-join; per-nation fold is
-    a combiner."""
+    dormancy filter is the broadcast anti-join with the date predicate
+    applied in the orders scan; per-nation fold is a combiner."""
     from dcs_ray.functions.relational import broadcast_semi_join, combiner_groupby
 
     cust = read_parquet_sized(
@@ -11142,7 +11144,17 @@ def _q_sales_opportunity(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
-    orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    import datetime
+
+    cutoff = datetime.datetime(2000, 1, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b, _c=cutoff: b.filter(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(_c, pa.timestamp("us")))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
     no_orders = broadcast_semi_join(rich, orders, on="c_custkey", right_on="o_custkey",
                                     anti=True)
     agg = combiner_groupby(no_orders, ["c_nationkey"], ["cents"])
@@ -16266,7 +16278,8 @@ stat AS (SELECT sum(cents)::hugeint AS s, count(*)::hugeint AS n
          FROM cb WHERE cents > 0),
 rich AS (SELECT cb.* FROM cb, stat WHERE cb.cents::hugeint * stat.n > stat.s),
 no_ord AS (SELECT * FROM rich
-           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderdate >= DATE '2000-01-01'))
 SELECT c_nationkey::bigint AS c_nationkey, count(*)::bigint AS numcust,
        round(sum(cents) / 100.0, 6) AS totacctbal
 FROM no_ord GROUP BY c_nationkey ORDER BY c_nationkey
