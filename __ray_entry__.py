@@ -10268,6 +10268,105 @@ def _q_video_frames_lossless(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_image_features_jpeg(sf_dir: str) -> pa.Table:
+    """REAL baseline-JPEG decode, fully ORACLED: fixtures are flat
+    8×8-tile JPEGs (half greyscale exact-round-trip at quality 50, half
+    color 4:4:4 with rejection-screened tile colors) whose decoded
+    pixels are a CLOSED FORM of the tile params — so the huffman
+    parse, DC prediction, dequant, batched IDCT and YCbCr→RGB all
+    hash-gate against pure SQL arithmetic. Closes the gap the lossless
+    gate documents ('a lossy decode has no closed-form pixels'): a
+    DC-only lossy decode does."""
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        synthesize_jpeg_flat_media,
+    )
+
+    media = ray.data.from_arrow(synthesize_jpeg_flat_media(32, tiles=4))
+    ds = media.map_batches(
+        PpmImageFeatureExtractor, concurrency=2, batch_size=16,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    ).sort_by("media_id")
+    feat = t["feature"].combine_chunks()
+    parents = pc.list_parent_indices(feat).to_numpy(zero_copy_only=False)
+    flat = feat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ids = t["media_id"].to_numpy().astype(np.int64)
+    dim = np.concatenate([np.arange(len(feat[i])) for i in range(len(t))])
+    return pa.table(
+        {
+            "media_id": pa.array(ids[parents], pa.int64()),
+            "dim": pa.array(dim.astype(np.int64), pa.int64()),
+            "val": pa.array(np.round(flat, 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+def _image_features_jpeg_sql() -> str:
+    """SQL replay of the DC-only baseline-JPEG decode chain over the
+    fixture tile params (inlined as literals from the same screened
+    splitmix stream the synthesizer draws — the `_lsh_assignment_sql`
+    precedent), then the mean/std/luma-grid feature arithmetic of the
+    lossless gate. Every round() the chain takes is ≥1e-6 from a .5
+    boundary by the synthesizer's rejection rule, so DuckDB's
+    half-away round and numpy's half-even round agree."""
+    from dcs_ray.functions.multimodal import jpeg_media_tile_params
+
+    vals = ", ".join(
+        f"({m}, {t}, {'TRUE' if grey else 'FALSE'}, {r}, {g}, {b})"
+        for m, t, grey, r, g, b in jpeg_media_tile_params(32, tiles=4)
+    )
+    return f"""
+WITH src(media_id, tix, grey, r0, g0, b0) AS (VALUES {vals}),
+enc AS (SELECT media_id, tix, grey, r0,
+               round(0.299*r0 + 0.587*g0 + 0.114*b0) AS y,
+               round(128.0 - 0.168736*r0 - 0.331264*g0 + 0.5*b0) AS cb,
+               round(128.0 + 0.5*r0 - 0.418688*g0 - 0.081312*b0) AS cr
+        FROM src),
+rec AS (SELECT media_id, tix, grey, r0, y,
+               least(greatest(round(round(8.0*(cb-128.0)/17.0)*17.0/8.0
+                                    + 128.0), 0.0), 255.0) AS cbh,
+               least(greatest(round(round(8.0*(cr-128.0)/17.0)*17.0/8.0
+                                    + 128.0), 0.0), 255.0) AS crh
+        FROM enc),
+px AS (SELECT media_id, tix,
+              CASE WHEN grey THEN r0::double ELSE
+                least(greatest(round(y + 1.402*(crh-128.0)), 0.0), 255.0)
+              END AS r,
+              CASE WHEN grey THEN r0::double ELSE
+                least(greatest(round(y - 0.344136*(cbh-128.0)
+                                       - 0.714136*(crh-128.0)), 0.0), 255.0)
+              END AS g,
+              CASE WHEN grey THEN r0::double ELSE
+                least(greatest(round(y + 1.772*(cbh-128.0)), 0.0), 255.0)
+              END AS b
+       FROM rec),
+mn AS (SELECT media_id, sum(r)/16.0 AS mr, sum(g)/16.0 AS mg,
+              sum(b)/16.0 AS mb FROM px GROUP BY media_id),
+sd AS (SELECT px.media_id,
+              sqrt(sum((px.r - mn.mr)*(px.r - mn.mr))/16.0) AS sr,
+              sqrt(sum((px.g - mn.mg)*(px.g - mn.mg))/16.0) AS sg,
+              sqrt(sum((px.b - mn.mb)*(px.b - mn.mb))/16.0) AS sb
+       FROM px JOIN mn USING (media_id) GROUP BY px.media_id),
+lu AS (SELECT media_id, (tix//4)//2 AS gy, (tix%4)//2 AS gx,
+              sum(r*0.299 + g*0.587 + b*0.114)/count(*) AS gm
+       FROM px GROUP BY 1, 2, 3),
+f AS (
+  SELECT media_id, 0::bigint AS dim, mr AS v FROM mn
+  UNION ALL SELECT media_id, 1, mg FROM mn
+  UNION ALL SELECT media_id, 2, mb FROM mn
+  UNION ALL SELECT media_id, 3, sr FROM sd
+  UNION ALL SELECT media_id, 4, sg FROM sd
+  UNION ALL SELECT media_id, 5, sb FROM sd
+  UNION ALL SELECT media_id, (6 + gy * 2 + gx)::bigint, gm FROM lu)
+SELECT media_id::bigint AS media_id, dim,
+       round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
+FROM f ORDER BY media_id, dim
+"""
+
+
 def _q_pagerank_convergence(sf_dir: str) -> pa.Table:
     """Convergence monitor for the iterative web-rank job: the L1
     distance between successive (round-6) PageRank vectors for
@@ -11484,6 +11583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "service_cache_hit": _q_service_cache_hit,
         "sq8_codes": _q_sq8_codes,
         "image_features_lossless": _q_image_features_lossless,
+        "image_features_jpeg": _q_image_features_jpeg,
         "video_frames_lossless": _q_video_frames_lossless,
         "pagerank_convergence": _q_pagerank_convergence,
         "funnel_within_1h": _q_funnel_within_1h,
@@ -15945,6 +16045,9 @@ f AS (
 SELECT media_id, dim, round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
 FROM f ORDER BY media_id, dim
 """,
+        # DC-only baseline-JPEG decode replayed as pure arithmetic over
+        # the screened flat-tile params (see _image_features_jpeg_sql)
+        "image_features_jpeg": _image_features_jpeg_sql(),
         # 4-evenly sampled frames (0/3/6/9 of 12) of PPM/GIF videos:
         # exact channel sums from r=(x·11+f·17+i)%256, g=(y·7+f·29)%256,
         # b=(x+y+f+i)%256 over 16×12, GIF rows quantized //43·43;

@@ -682,6 +682,143 @@ def synthesize_gif_media(n: int = 32, w: int = 24, h: int = 16, seed: int = 9) -
     )
 
 
+def _jpeg_color_accept(r: int, g: int, b: int) -> bool:
+    """Accept a flat-tile RGB color iff every rounding step of the
+    baseline-JPEG quality-50 DC-only encode→decode chain sits far from
+    a .5 boundary (>1e-6), the rounded luma is even (so the luma DC
+    quantizes exactly at q=16), and neither chroma DC lands on the
+    ``dc·17 ≡ 4 (mod 8)`` half-integer reconstruction. For accepted
+    colors the decoded pixel value is a CLOSED FORM of (r, g, b) —
+    pure arithmetic a SQL oracle can replay — because FDCT/IDCT float
+    error (~1e-12) can never flip a round() that is ≥1e-6 (chroma
+    quant: ≥1/34) from its boundary."""
+
+    def far(x: float) -> bool:
+        return abs((x - np.floor(x)) - 0.5) > 1e-6
+
+    y_ = 0.299 * r + 0.587 * g + 0.114 * b
+    cb_ = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr_ = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    if not (far(y_) and far(cb_) and far(cr_)):
+        return False
+    y, cb, cr = np.round(y_), np.round(cb_), np.round(cr_)
+    if not all(0 <= v <= 255 for v in (y, cb, cr)):
+        return False
+    if int(y) % 2:
+        return False
+    dcb = np.round(8.0 * (cb - 128.0) / 17.0)
+    dcr = np.round(8.0 * (cr - 128.0) / 17.0)
+    if int(abs(dcb * 17)) % 8 == 4 or int(abs(dcr * 17)) % 8 == 4:
+        return False
+    cbh_, crh_ = dcb * 17.0 / 8.0 + 128.0, dcr * 17.0 / 8.0 + 128.0
+    if not (far(cbh_) and far(crh_)):
+        return False
+    cbh = min(max(np.round(cbh_), 0.0), 255.0)
+    crh = min(max(np.round(crh_), 0.0), 255.0)
+    for v_ in (
+        y + 1.402 * (crh - 128.0),
+        y - 0.344136 * (cbh - 128.0) - 0.714136 * (crh - 128.0),
+        y + 1.772 * (cbh - 128.0),
+    ):
+        if not far(v_):
+            return False
+    return True
+
+
+def jpeg_expected_tile_rgb(r: int, g: int, b: int, grey: bool) -> tuple[int, int, int]:
+    """Closed-form decoded RGB of a flat 8×8 tile through the baseline
+    JPEG quality-50 chain — derived from the T.81 arithmetic alone,
+    never by running the codec. Grey tiles (even values) round-trip
+    exactly; color tiles must pass :func:`_jpeg_color_accept`."""
+    if grey:
+        return r, r, r
+    y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    # luma: q=16 ⇒ dc = (y-128)/2 exact (y even) ⇒ decodes back to y
+    dcb = np.round(8.0 * (cb - 128.0) / 17.0)
+    dcr = np.round(8.0 * (cr - 128.0) / 17.0)
+    cbh = min(max(np.round(dcb * 17.0 / 8.0 + 128.0), 0.0), 255.0)
+    crh = min(max(np.round(dcr * 17.0 / 8.0 + 128.0), 0.0), 255.0)
+    rr = min(max(np.round(y + 1.402 * (crh - 128.0)), 0.0), 255.0)
+    gg = min(
+        max(np.round(y - 0.344136 * (cbh - 128.0) - 0.714136 * (crh - 128.0)), 0.0),
+        255.0,
+    )
+    bb = min(max(np.round(y + 1.772 * (cbh - 128.0)), 0.0), 255.0)
+    return int(rr), int(gg), int(bb)
+
+
+def jpeg_media_tile_params(
+    n: int = 32, tiles: int = 4, seed: int = 77
+) -> list[tuple[int, int, bool, int, int, int]]:
+    """(media_id, tile_idx, grey, r, g, b) source parameters for
+    :func:`synthesize_jpeg_flat_media`. Images ``0..n//2-1`` are greyscale
+    (tile value = even splitmix draw, exact round-trip at q50); the
+    rest are color 4:4:4 tiles taken in order from the first accepted
+    candidates of a splitmix64 stream (rejection keeps every rounding
+    in the decode chain away from .5 — see :func:`_jpeg_color_accept`)."""
+    from .sampling import splitmix64
+
+    n_grey = n // 2
+    per_img = tiles * tiles
+    out: list[tuple[int, int, bool, int, int, int]] = []
+    h = splitmix64(np.arange(n_grey * per_img, dtype=np.uint64) + np.uint64(seed))
+    for j, hv in enumerate(h):
+        v = int(hv % np.uint64(128)) * 2
+        out.append((j // per_img, j % per_img, True, v, v, v))
+    need = (n - n_grey) * per_img
+    got = 0
+    t = 0
+    while got < need:
+        hv = int(splitmix64(np.uint64(seed * 1000003 + t)))
+        t += 1
+        r, g, b = hv & 255, (hv >> 8) & 255, (hv >> 16) & 255
+        if _jpeg_color_accept(r, g, b):
+            out.append((n_grey + got // per_img, got % per_img, False, r, g, b))
+            got += 1
+    return out
+
+
+def synthesize_jpeg_flat_media(n: int = 32, tiles: int = 4, seed: int = 77) -> pa.Table:
+    """Deterministic REAL baseline JPEGs (quality 50) built from flat
+    8×8 tiles whose decoded pixels have a CLOSED FORM (see
+    :func:`jpeg_media_tile_params`): half greyscale (exact round-trip),
+    half color 4:4:4 with rejection-screened tile colors. Exercises the
+    full production decode path — huffman tables, DC prediction across
+    blocks, dequant, batched IDCT, YCbCr→RGB — under an arithmetic
+    oracle, which a generic lossy fixture cannot."""
+    from .jpeg import encode_jpeg  # lazy: jpeg.py imports this module
+
+    size = tiles * 8
+    params = jpeg_media_tile_params(n, tiles, seed)
+    imgs: dict[int, np.ndarray] = {}
+    greys: dict[int, bool] = {}
+    for mid, tix, grey, r, g, b in params:
+        if mid not in imgs:
+            imgs[mid] = np.zeros((size, size, 3), np.uint8)
+            greys[mid] = grey
+        ty, tx = divmod(tix, tiles)
+        imgs[mid][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (r, g, b)
+    rows = []
+    for mid in range(n):
+        img = imgs[mid]
+        if greys[mid]:
+            rows.append(encode_jpeg(img[:, :, 0], quality=50))
+        else:
+            rows.append(encode_jpeg(img, quality=50, subsampling="444"))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, size, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, size, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+
+
 def synthesize_wav_media(n: int = 32, samples: int = 2048, seed: int = 9) -> pa.Table:
     """Deterministic REAL PCM16 WAV clips (per-clip sine + ramp)."""
     rows = []

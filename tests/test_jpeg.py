@@ -125,3 +125,26 @@ def test_jpeg_image_features_actor_pool(ray_session):
         lossless = image_features_real(decode_ppm(ppm["payload"][i].as_py()))
         got = np.array(out.feature[8 + i])
         assert np.all(np.abs(got[:3] - lossless[:3]) < 16.0)
+
+
+def test_jpeg_flat_tile_closed_form():
+    """Every flat-tile fixture (grey exact-roundtrip + screened color)
+    decodes BIT-EXACTLY to the closed-form tile recipe — the arithmetic
+    the image_features_jpeg oracle replays in SQL."""
+    from dcs_ray.functions.multimodal import (
+        decode_image,
+        jpeg_expected_tile_rgb,
+        jpeg_media_tile_params,
+        synthesize_jpeg_flat_media,
+    )
+
+    n, tiles = 16, 4
+    media = synthesize_jpeg_flat_media(n, tiles=tiles)
+    exp = {m: np.zeros((tiles * 8, tiles * 8, 3), np.uint8) for m in range(n)}
+    for mid, tix, grey, r, g, b in jpeg_media_tile_params(n, tiles=tiles):
+        ty, tx = divmod(tix, tiles)
+        exp[mid][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (
+            jpeg_expected_tile_rgb(r, g, b, grey)
+        )
+    for i, p in enumerate(media["payload"].to_pylist()):
+        np.testing.assert_array_equal(decode_image(p), exp[i])
