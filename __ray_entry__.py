@@ -3625,11 +3625,117 @@ def _q_bpe_word_counts(sf_dir: str) -> Any:
 _BPE_N_MERGES = 50
 
 
+def _bpe_merge_chain_ctes(n_merges: int) -> tuple[str, str]:
+    """(CTE fragment, merge-table union) replaying BPE training
+    (Sennrich '16) as ``n_merges`` generated rounds — the k-core /
+    PageRank generated-CTE house pattern. Each word's tokenization is
+    a string of ``chr(1)||token||chr(2)`` cells, so the round's merge
+    is one fully-delimited ``replace()`` (left-to-right non-overlap =
+    the engine's greedy within-word walk; both sentinels prevent
+    token-prefix/suffix false matches). Each round recounts pairs
+    fresh — exact, like the engine's incrementally-maintained stats —
+    and picks argmax with ties to the lexicographically smallest
+    (left, right), DuckDB's binary varchar order = Python's tuple
+    order on these ASCII tokens."""
+    parts = [
+        "wc AS MATERIALIZED (SELECT term AS word, count(*)::bigint AS n "
+        "FROM tok GROUP BY term)",
+        "w0 AS MATERIALIZED (SELECT word, n, "
+        "array_to_string(list_transform(generate_series(1, length(word) - 1), "
+        "i -> chr(1) || word[i] || chr(2)), '') "
+        "|| chr(1) || word[length(word)] || '</w>' || chr(2) AS toks FROM wc)",
+    ]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS (
+  SELECT pr[1] AS lt, pr[2] AS rt, sum(n)::bigint AS cnt
+  FROM (SELECT n, unnest(list_transform(generate_series(1, len(ts) - 2),
+                                        i -> [ts[i][2:], ts[i+1][2:]])) AS pr
+        FROM (SELECT n, string_split(toks, chr(2)) AS ts FROM w{r}))
+  GROUP BY lt, rt)""")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT lt, rt, cnt FROM p{r} "
+            "ORDER BY cnt DESC, lt, rt LIMIT 1)"
+        )
+        parts.append(f"""w{r + 1} AS MATERIALIZED (
+  SELECT word, n, replace(toks,
+      chr(1) || (SELECT lt FROM b{r}) || chr(2) || chr(1)
+              || (SELECT rt FROM b{r}) || chr(2),
+      chr(1) || (SELECT lt FROM b{r}) || (SELECT rt FROM b{r}) || chr(2)
+    ) AS toks FROM w{r})""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {r} AS rank, lt, rt, cnt FROM b{r}" for r in range(n_merges)
+    )
+    return ",\n".join(parts), union
+
+
+def _bpe_merges_sql() -> str:
+    ctes, union = _bpe_merge_chain_ctes(_BPE_N_MERGES)
+    return f"""
+WITH tok AS ({_TOK}),
+{ctes}
+SELECT rank::bigint AS rank, lt AS "left", rt AS "right",
+       cnt AS pair_count
+FROM ({union}) ORDER BY rank
+"""
+
+
+def _bpe_subtoken_count_sql() -> str:
+    """Merge chain + a recursive-CTE replay of ``encode_word``'s
+    min-rank walk: each step merges the LEFTMOST adjacent pair of
+    MINIMUM merge rank (ORDER BY rank, i LIMIT 1) until no adjacent
+    pair is in the table; per-doc count = sum of final lengths over
+    the doc's word occurrences. Fully self-contained — the merge
+    table itself is derived by the training replay, so this gate
+    covers train AND encode end-to-end."""
+    ctes, union = _bpe_merge_chain_ctes(_BPE_N_MERGES)
+    return f"""
+WITH RECURSIVE tok AS ({_TOK}),
+{ctes},
+m AS MATERIALIZED (SELECT rank, lt, rt FROM ({union})),
+words AS (SELECT DISTINCT word FROM wc),
+ml AS MATERIALIZED (SELECT list(lt || chr(1) || rt ORDER BY rank) AS pl FROM m),
+enc(word, ts) AS (
+  SELECT word,
+         list_append(list_transform(generate_series(1, length(word) - 1),
+                                    i -> word[i]),
+                     word[length(word)] || '</w>')
+  FROM words
+  UNION ALL
+  -- one step of encode_word: merge the LEFTMOST adjacent pair with
+  -- the MINIMUM rank ([rank, i] lexicographic list_sort; pl is in
+  -- rank order so list_position IS the 1-based rank; 0 = not found
+  -- in this DuckDB). A JOIN against the derived m here silently
+  -- matches nothing inside the recursion (DuckDB 1.0 quirk) — the
+  -- cross-joined single-row pair-list is the shape that works.
+  SELECT word, list_concat(list_concat(ts[1:bj-1], [ts[bj] || ts[bj+1]]),
+                           ts[bj+2:]) AS ts
+  FROM (
+    SELECT e.word, e.ts,
+           list_sort(list_filter(
+             list_transform(generate_series(1, len(e.ts) - 1),
+               i -> [list_position(ml.pl, e.ts[i] || chr(1) || e.ts[i+1]), i]),
+             x -> x[1] IS NOT NULL AND x[1] > 0))[1][2] AS bj
+    FROM enc e, ml)
+  WHERE bj IS NOT NULL
+),
+fin AS (
+  SELECT word, len(ts)::bigint AS n_sub
+  FROM enc, ml
+  WHERE len(list_filter(generate_series(1, len(ts) - 1),
+                        i -> list_contains(ml.pl, ts[i] || chr(1) || ts[i+1]))) = 0),
+per_doc AS (
+  SELECT t.doc_id, sum(f.n_sub)::bigint AS n
+  FROM tok t JOIN fin f ON t.term = f.word GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(p.n, 0)::bigint AS n_subtokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id
+"""
+
+
 def _q_bpe_merges(sf_dir: str) -> Any:
     """Learned BPE merge table (Sennrich et al. 2016) — deterministic
-    (count desc, lexicographic pair tie-break). Iterative argmax is not
-    SQL-expressible: rows-only gate; pytest checks against a
-    from-scratch recount reference."""
+    (count desc, lexicographic pair tie-break), ORACLED by a generated
+    per-round CTE chain (see ``_bpe_merge_chain_ctes``) plus the
+    original from-scratch-recount pytest."""
     from dcs_ray.functions.bpe import train_bpe_merges, word_counts
 
     words, n = word_counts(_docs(sf_dir))
@@ -3647,7 +3753,9 @@ def _q_bpe_merges(sf_dir: str) -> Any:
 def _q_bpe_subtoken_count(sf_dir: str) -> Any:
     """Per-doc token count under the corpus-trained BPE vocab — the
     actor-pool encode stage (merge table loaded once per actor, unique
-    words memoized)."""
+    words memoized). ORACLED end-to-end: training replayed by the
+    generated merge-round chain, encoding by a recursive-CTE min-rank
+    walk (see ``_bpe_subtoken_count_sql``)."""
     from dcs_ray.functions.bpe import (
         bpe_subtoken_counts,
         train_bpe_merges,
@@ -12350,6 +12458,11 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
         "bpe_word_counts": f"""
 SELECT term AS word, count(*)::bigint AS n FROM ({_TOK}) GROUP BY term ORDER BY word
 """,
+        # BPE training replayed as 50 generated merge-round CTEs
+        # (sentinel-delimited token strings; replace() = greedy merge)
+        "bpe_merges": _bpe_merges_sql(),
+        # + recursive-CTE encode walk (leftmost minimum-rank pair)
+        "bpe_subtoken_count": _bpe_subtoken_count_sql(),
         # document-level PMI query expansion: distinct (doc, term) pairs,
         # co-df conditioned on docs containing the query term; pmi
         # rounded BEFORE the order-by (engine sorts the rounded value)
