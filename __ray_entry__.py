@@ -10376,6 +10376,86 @@ def _q_video_frames_lossless(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_video_frames_mjpeg(sf_dir: str) -> pa.Table:
+    """REAL compressed-container video demux, fully ORACLED: MJPEG
+    AVIs (RIFF chunk index → per-frame baseline-JPEG decode of ONLY
+    the 4 evenly-sampled frames) whose frames are flat closed-form
+    color tiles — exact integer channel sums replayed in SQL from the
+    DC-only decode chain. Extends the lossless video gate
+    (PPM/GIF) to the container shape a real crawl actually serves."""
+    from dcs_ray.functions.avi import synthesize_avi_flat_video
+    from dcs_ray.functions.multimodal import PpmStreamFrameSampler, decode_ppm
+
+    media = ray.data.from_arrow(synthesize_avi_flat_video(16, frames=12, tiles=2))
+
+    class SampleAndSum(PpmStreamFrameSampler):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = super().__call__(batch)
+            sums = np.zeros((len(t), 3), np.int64)
+            for i, p in enumerate(t["frame"].combine_chunks()):
+                img = decode_ppm(p.as_py())
+                sums[i] = img.astype(np.int64).sum(axis=(0, 1))
+            return pa.table(
+                {
+                    "media_id": t["media_id"],
+                    "frame_idx": t["frame_idx"].cast(pa.int64()),
+                    "ts_ms": t["ts_ms"].cast(pa.int64()),
+                    "sum_r": pa.array(sums[:, 0], pa.int64()),
+                    "sum_g": pa.array(sums[:, 1], pa.int64()),
+                    "sum_b": pa.array(sums[:, 2], pa.int64()),
+                }
+            )
+
+    ds = media.map_batches(
+        SampleAndSum, fn_constructor_kwargs={"k": 4}, concurrency=2,
+        batch_size=16, batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
+def _video_frames_mjpeg_sql() -> str:
+    """Per-tile decode-chain replay (same arithmetic as
+    ``_image_features_jpeg_sql``) over the SAMPLED frames' tile params,
+    folded to exact integer channel sums (64 px per flat tile); ts =
+    duration·f/nf with 12 frames at 25 fps."""
+    from dcs_ray.functions.avi import avi_flat_tile_params
+
+    take = {j * 12 // 4 for j in range(4)}
+    vals = ", ".join(
+        f"({m}, {f}, {r}, {g}, {b})"
+        for m, f, tix, r, g, b in avi_flat_tile_params(16, frames=12, tiles=2)
+        if f in take
+    )
+    return f"""
+WITH src(media_id, f, r0, g0, b0) AS (VALUES {vals}),
+enc AS (SELECT media_id, f,
+               round(0.299*r0 + 0.587*g0 + 0.114*b0) AS y,
+               round(128.0 - 0.168736*r0 - 0.331264*g0 + 0.5*b0) AS cb,
+               round(128.0 + 0.5*r0 - 0.418688*g0 - 0.081312*b0) AS cr
+        FROM src),
+rec AS (SELECT media_id, f, y,
+               least(greatest(round(round(8.0*(cb-128.0)/17.0)*17.0/8.0
+                                    + 128.0), 0.0), 255.0) AS cbh,
+               least(greatest(round(round(8.0*(cr-128.0)/17.0)*17.0/8.0
+                                    + 128.0), 0.0), 255.0) AS crh
+        FROM enc),
+px AS (SELECT media_id, f,
+              least(greatest(round(y + 1.402*(crh-128.0)), 0.0), 255.0) AS r,
+              least(greatest(round(y - 0.344136*(cbh-128.0)
+                                     - 0.714136*(crh-128.0)), 0.0), 255.0) AS g,
+              least(greatest(round(y + 1.772*(cbh-128.0)), 0.0), 255.0) AS b
+       FROM rec)
+SELECT media_id::bigint AS media_id, f::bigint AS frame_idx,
+       (480 * f // 12)::bigint AS ts_ms,
+       (64 * sum(r))::bigint AS sum_r, (64 * sum(g))::bigint AS sum_g,
+       (64 * sum(b))::bigint AS sum_b
+FROM px GROUP BY media_id, f ORDER BY media_id, frame_idx
+"""
+
+
 def _q_image_features_jpeg(sf_dir: str) -> pa.Table:
     """REAL baseline-JPEG decode, fully ORACLED: fixtures are flat
     8×8-tile JPEGs (half greyscale exact-round-trip at quality 50, half
@@ -11693,6 +11773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_lossless": _q_image_features_lossless,
         "image_features_jpeg": _q_image_features_jpeg,
         "video_frames_lossless": _q_video_frames_lossless,
+        "video_frames_mjpeg": _q_video_frames_mjpeg,
         "pagerank_convergence": _q_pagerank_convergence,
         "funnel_within_1h": _q_funnel_within_1h,
         "top2_versions_per_source": _q_top2_versions_per_source,
@@ -16161,6 +16242,8 @@ FROM f ORDER BY media_id, dim
         # DC-only baseline-JPEG decode replayed as pure arithmetic over
         # the screened flat-tile params (see _image_features_jpeg_sql)
         "image_features_jpeg": _image_features_jpeg_sql(),
+        # MJPEG-AVI demux + sampled-frame JPEG decode → integer sums
+        "video_frames_mjpeg": _video_frames_mjpeg_sql(),
         # 4-evenly sampled frames (0/3/6/9 of 12) of PPM/GIF videos:
         # exact channel sums from r=(x·11+f·17+i)%256, g=(y·7+f·29)%256,
         # b=(x+y+f+i)%256 over 16×12, GIF rows quantized //43·43;

@@ -153,3 +153,70 @@ def synthesize_avi_video(
             "duration_ms": pa.array(np.full(n, frames * 40, np.int32), pa.int32()),
         }
     )
+
+
+def avi_flat_tile_params(
+    n: int = 16, frames: int = 12, tiles: int = 2, seed: int = 401
+) -> list[tuple[int, int, int, int, int, int]]:
+    """(media_id, frame_idx, tile_idx, r, g, b) source parameters for
+    :func:`synthesize_avi_flat_video` — colors taken in order from the
+    first rejection-accepted candidates of a splitmix64 stream (the
+    same screen as :func:`..multimodal._jpeg_color_accept`), so every
+    decoded MJPEG pixel is a closed form of its tile params."""
+    from .multimodal import _jpeg_color_accept
+    from .sampling import splitmix64
+
+    need = n * frames * tiles * tiles
+    out: list[tuple[int, int, int, int, int, int]] = []
+    got = 0
+    t = 0
+    per_frame = tiles * tiles
+    per_vid = frames * per_frame
+    while got < need:
+        hv = int(splitmix64(np.uint64(seed * 999983 + t)))
+        t += 1
+        r, g, b = hv & 255, (hv >> 8) & 255, (hv >> 16) & 255
+        if _jpeg_color_accept(r, g, b):
+            out.append(
+                (got // per_vid, (got % per_vid) // per_frame,
+                 got % per_frame, r, g, b)
+            )
+            got += 1
+    return out
+
+
+def synthesize_avi_flat_video(
+    n: int = 16, frames: int = 12, tiles: int = 2, fps: int = 25, seed: int = 401
+) -> "pa.Table":
+    """Deterministic MJPEG AVIs (quality 50, 4:4:4) whose frames are
+    flat 8×8 color tiles with CLOSED-FORM decoded pixels (the
+    ``image_features_jpeg`` screen) — so the RIFF demux + per-frame
+    JPEG decode + even-sampling + timestamp arithmetic all gate
+    against pure SQL arithmetic, extending the lossless video gate to
+    a compressed container."""
+    import pyarrow as pa
+
+    size = tiles * 8
+    params = avi_flat_tile_params(n, frames, tiles, seed)
+    vids: dict[int, list[np.ndarray]] = {
+        i: [np.zeros((size, size, 3), np.uint8) for _ in range(frames)]
+        for i in range(n)
+    }
+    for mid, fi, tix, r, g, b in params:
+        ty, tx = divmod(tix, tiles)
+        vids[mid][fi][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (r, g, b)
+    rows = [
+        encode_avi_mjpeg(vids[i], fps=fps, quality=50) for i in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, size, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, size, np.int32), pa.int32()),
+            "duration_ms": pa.array(
+                np.full(n, frames * 1000 // fps, np.int32), pa.int32()
+            ),
+        }
+    )

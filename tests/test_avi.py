@@ -98,3 +98,28 @@ def test_sampler_demuxes_avi_rows():
         want = decode_avi_frames(payloads[int(mid[r]) - 3], [int(fi[r])])[0]
         got = decode_ppm(out["frame"][r].as_py())
         np.testing.assert_array_equal(got, want)
+
+
+def test_avi_flat_tile_closed_form():
+    """Sampled MJPEG frames decode BIT-EXACTLY to the closed-form tile
+    recipe — the arithmetic the video_frames_mjpeg oracle replays."""
+    from dcs_ray.functions.avi import (
+        avi_flat_tile_params,
+        decode_avi_frames,
+        synthesize_avi_flat_video,
+    )
+    from dcs_ray.functions.multimodal import jpeg_expected_tile_rgb
+
+    n, frames, tiles = 6, 12, 2
+    media = synthesize_avi_flat_video(n, frames=frames, tiles=tiles)
+    exp = {}
+    for mid, fi, tix, r, g, b in avi_flat_tile_params(n, frames, tiles):
+        exp.setdefault((mid, fi), np.zeros((16, 16, 3), np.uint8))
+        ty, tx = divmod(tix, tiles)
+        exp[(mid, fi)][ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (
+            jpeg_expected_tile_rgb(r, g, b, False)
+        )
+    take = [j * frames // 4 for j in range(4)]
+    for i, p in enumerate(media["payload"].to_pylist()):
+        for fi, img in zip(take, decode_avi_frames(p, take)):
+            np.testing.assert_array_equal(img, exp[(i, fi)])
