@@ -8095,6 +8095,118 @@ def _q_robust_outliers_by_lang(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_warc_source_roundtrip(sf_dir: str) -> pa.Table:
+    """Crawl-native WARC ingest, fully ORACLED: the synthetic pages
+    table written as Common-Crawl-layout WARC (one gzip member per
+    record), read back through the distributed ``read_warc`` source
+    (multi-member inflate, record framing, HTTP-header strip,
+    WARC-Date parse), text re-extracted from html — and the whole
+    (url, ts, text) set gated byte-identically against a pure SQL
+    replay of the pages synthesis (url format, fixed epoch + doc_id
+    seconds, every-50th stale half-text crawl 1h earlier). The write
+    is a driver-side fixture step (4 files); the READ path is the
+    production one-block-per-file source."""
+    import os
+    import shutil
+
+    from dcs_ray.sources.pages import read_pages
+    from dcs_ray.sources.warc import read_warc, write_warc
+
+    pages = pa.concat_tables(
+        [pa.table(b) for b in read_pages(sf_dir).iter_batches(batch_format="pyarrow")]
+    )
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/dcs_ray_warc_gate_{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    nfiles = 4
+    per = -(-len(pages) // nfiles)
+    paths = []
+    for i in range(nfiles):
+        sl = pages.slice(i * per, per)
+        if len(sl) == 0:
+            break
+        p = f"{out}/part-{i}.warc.gz"
+        write_warc(p, sl, compress=True)
+        paths.append(p)
+
+    def extract(b: pa.Table) -> pa.Table:
+        s = b["html"].cast(pa.string())
+        inner = pc.replace_substring_regex(s, r"^.*?<p>", "")
+        inner = pc.replace_substring_regex(inner, r"</p></body></html>$", "")
+        for ent, ch in (("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
+            inner = pc.replace_substring(inner, ent, ch)
+        return pa.table(
+            {
+                "url": b["url"],
+                "ts_us": b["warc_ts"].cast(pa.int64()),
+                "text": inner,
+            }
+        )
+
+    ds = read_warc(paths).map_batches(extract, batch_format="pyarrow")
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by([("url", "ascending"), ("ts_us", "ascending")])
+
+
+def _q_robots_filtered_pages(sf_dir: str) -> pa.Table:
+    """robots.txt exclusion at ingest (RFC 9309 longest-match subset):
+    a deterministic per-host robots body — odd-ranked hosts fully
+    Disallowed, even-ranked hosts blocking ids < 100 with an Allow
+    carve-out for 40–49 (longest-rule precedence exercised) — is
+    PARSED from real robots text, broadcast once via ray.put, and
+    applied as a vectorized no-shuffle filter over the pages source.
+    The oracle replays the rule semantics as plain predicates over the
+    replayed pages synthesis."""
+    import ray as _ray
+
+    from dcs_ray.functions.crawl import parse_robots, robots_filter
+    from dcs_ray.sources.pages import read_pages
+
+    sources = sorted(
+        set(
+            pa.concat_tables(
+                [
+                    pa.table(b)
+                    for b in _docs(sf_dir)
+                    .select_columns(["source"])
+                    .iter_batches(batch_format="pyarrow")
+                ]
+            )["source"]
+            .to_pylist()
+        )
+    )
+    robots_by_host = {}
+    for rank, s in enumerate(sources):
+        host = f"{s}.example.org"
+        if rank % 2 == 1:
+            body = "User-agent: *\nDisallow: /\n"
+        else:
+            body = (
+                "# synthetic politeness rules\n"
+                "User-agent: evilbot\nDisallow: /\n\n"
+                "User-agent: *\n"
+                "Disallow: /doc/000000\n"
+                "Allow: /doc/0000004\n"
+            )
+        robots_by_host[host] = parse_robots(body)
+    kept = robots_filter(read_pages(sf_dir), _ray.put(robots_by_host))
+    t = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in kept.iter_batches(batch_format="pyarrow")
+        ]
+    )
+    return pa.table(
+        {
+            "url": t["url"],
+            "ts_us": t["warc_ts"].cast(pa.int64()),
+        }
+    ).sort_by([("url", "ascending"), ("ts_us", "ascending")])
+
+
 def _q_multi_format_source(sf_dir: str) -> pa.Table:
     """Source-format parity gate: the events fact table round-trips
     through JSONL (``ray.data.read_json``) AND CSV
@@ -11731,6 +11843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_mean_ci": _q_bootstrap_mean_ci,
         "robust_outliers_by_lang": _q_robust_outliers_by_lang,
         "multi_format_source": _q_multi_format_source,
+        "warc_source_roundtrip": _q_warc_source_roundtrip,
+        "robots_filtered_pages": _q_robots_filtered_pages,
         "pq_codes": _q_pq_codes,
         "psi_event_drift": _q_psi_event_drift,
         "knn_pq_adc": _q_knn_pq_adc,
@@ -15569,6 +15683,49 @@ o AS (SELECT d.lang,
 SELECT m.lang, m.n, round(m.med2 / 2.0, 6) AS median_len,
        round(m.mad2x2 / 4.0, 6) AS mad_len, o.n_outliers
 FROM mad m JOIN o USING (lang) ORDER BY m.lang
+""",
+        # WARC roundtrip: pages synthesis replayed in pure SQL (url
+        # format, epoch+doc_id seconds, every-50th 1h-earlier stale
+        # half-text crawl); text compares byte-identical
+        "warc_source_roundtrip": """
+WITH base AS (
+  SELECT 'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000)::bigint AS ts_us,
+         text
+  FROM documents),
+stale AS (
+  SELECT 'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000 - 3600000000)::bigint AS ts_us,
+         substr(text, 1, greatest(1, length(text) // 2)) AS text
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT url, ts_us, text
+FROM (SELECT * FROM base UNION ALL SELECT * FROM stale)
+ORDER BY url, ts_us
+""",
+        # robots longest-match replayed as predicates over the pages
+        # replay: odd-ranked hosts blocked; even: ids<100 except 40-49
+        "robots_filtered_pages": """
+WITH hr AS (
+  SELECT source, (dense_rank() OVER (ORDER BY source) - 1) % 2 AS p
+  FROM (SELECT DISTINCT source FROM documents)),
+pages AS (
+  SELECT source, doc_id,
+         'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000)::bigint AS ts_us
+  FROM documents
+  UNION ALL
+  SELECT source, doc_id,
+         'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000 - 3600000000)::bigint AS ts_us
+  FROM documents WHERE doc_id % 50 = 0)
+SELECT url, ts_us
+FROM pages JOIN hr USING (source)
+WHERE p = 0 AND (doc_id >= 100 OR (doc_id >= 40 AND doc_id < 50))
+ORDER BY url, ts_us
 """,
         # JSONL/CSV ingest parity: same exact-cents aggregate as parquet
         "multi_format_source": """

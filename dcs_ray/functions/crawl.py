@@ -120,3 +120,89 @@ def crawl_delta(
             "n_urls": pa.array(totals[present], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt exclusion (REP — RFC 9309 longest-match subset)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(txt: str) -> list[tuple[bool, str]]:
+    """Parse a robots.txt body → ``[(allow, path_prefix), ...]`` for the
+    ``User-agent: *`` group (RFC 9309 grammar subset: group headers,
+    Allow/Disallow path prefixes, ``#`` comments; no wildcards). An
+    empty Disallow value means allow-all and adds no rule."""
+    rules: list[tuple[bool, str]] = []
+    in_star = False
+    saw_rule = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            # a new group header after rules ends the previous group
+            if saw_rule:
+                in_star = False
+                saw_rule = False
+            in_star = in_star or val == "*"
+        elif key in ("allow", "disallow") and in_star:
+            saw_rule = True
+            if val:
+                rules.append((key == "allow", val))
+    return rules
+
+
+def robots_decisions(
+    urls: "pa.Array | pa.ChunkedArray", robots_by_host: dict[str, list[tuple[bool, str]]]
+) -> np.ndarray:
+    """Vectorized RFC 9309 decision per url: LONGEST matching rule wins,
+    allow on ties and when no rule matches (the published Google/REP
+    precedence). O(total rules × batch) numpy prefix tests — the rule
+    table is tiny and broadcast; urls never leave the worker."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    s = urls.to_numpy(zero_copy_only=False).astype(str)
+    # split scheme://host/path
+    no_scheme = np.char.partition(s, "://")[:, 2]
+    parts = np.char.partition(no_scheme, "/")
+    hosts = parts[:, 0]
+    paths = np.char.add("/", parts[:, 2])
+    best_len = np.zeros(len(s), np.int64)
+    allowed = np.ones(len(s), bool)  # no match → allowed
+    for host, rules in robots_by_host.items():
+        hmask = hosts == host
+        if not hmask.any():
+            continue
+        for allow, prefix in rules:
+            m = hmask & np.char.startswith(paths, prefix)
+            plen = len(prefix)
+            win = m & (plen > best_len)
+            allowed[win] = allow
+            best_len[win] = plen
+            # equal length: allow wins (RFC 9309 §2.2.2 least-restrictive)
+            tie = m & (plen == best_len) & ~allowed
+            if allow:
+                allowed[tie] = True
+    return allowed
+
+
+def robots_filter(
+    pages: ray.data.Dataset, robots_by_host_ref, url_col: str = "url"
+) -> ray.data.Dataset:
+    """Drop rows whose url a broadcast robots rule-set disallows — the
+    ingest-side politeness gate every crawl pipeline runs. The parsed
+    per-host rule table ships once via ``ray.put``; each batch does the
+    vectorized longest-match locally (no shuffle)."""
+    import ray as _ray
+
+    def f(b: pa.Table) -> pa.Table:
+        rules = _ray.get(robots_by_host_ref) if not isinstance(
+            robots_by_host_ref, dict
+        ) else robots_by_host_ref
+        keep = robots_decisions(b[url_col], rules)
+        return b.filter(pa.array(keep))
+
+    return pages.map_batches(f, batch_format="pyarrow")

@@ -65,3 +65,34 @@ def test_crawl_delta_disjoint_and_identical(ray_session):
     assert dict(zip(t2["status"].to_pylist(), t2["n_urls"].to_pylist())) == {
         "unchanged": 2
     }
+
+
+def test_parse_robots_group_scoping_and_precedence():
+    """RFC 9309 subset: only the `*` group applies; a new group header
+    after rules closes the group; longest rule wins, allow on ties."""
+    import numpy as np
+    import pyarrow as pa
+
+    from dcs_ray.functions.crawl import parse_robots, robots_decisions
+
+    txt = (
+        "# comment\n"
+        "User-agent: googlebot\nDisallow: /g\n\n"
+        "User-agent: *\nDisallow: /a\nAllow: /a/b\nDisallow: /c/\nAllow: /c/\n\n"
+        "User-agent: evil\nDisallow: /\n"
+    )
+    rules = parse_robots(txt)
+    assert rules == [(False, "/a"), (True, "/a/b"), (False, "/c/"), (True, "/c/")]
+    urls = pa.array(
+        [
+            "https://h/a/x",      # blocked by /a
+            "https://h/a/b/x",    # allowed: /a/b longer than /a
+            "https://h/c/z",      # equal-length tie -> allow
+            "https://h/g",        # googlebot group does not apply
+            "https://other/a/x",  # no rules for this host
+        ]
+    )
+    got = robots_decisions(
+        urls, {"h": rules}
+    )
+    assert got.tolist() == [False, True, True, True, True]
