@@ -8207,6 +8207,106 @@ def _q_robots_filtered_pages(sf_dir: str) -> pa.Table:
     ).sort_by([("url", "ascending"), ("ts_us", "ascending")])
 
 
+def _q_sitemap_frontier(sf_dir: str) -> pa.Table:
+    """Crawl-frontier discovery, fully ORACLED: per-host sitemap.xml
+    fixtures advertise every crawled url (doc_id % 3 != 2 of the host)
+    PLUS phantom ids shifted by 10^7 for doc_id % 7 == 0; the XML is
+    parsed by the distributed one-file-per-block source and diffed
+    against the crawled pages urls through the bucketed hash
+    anti-join. The frontier is exactly the phantoms — url recipe and
+    lastmod date arithmetic replayed in SQL."""
+    import datetime
+    import os
+    import shutil
+
+    from dcs_ray.sources.pages import page_url, read_pages
+    from dcs_ray.sources.sitemap import (
+        read_sitemaps,
+        uncrawled_frontier,
+        write_sitemap,
+    )
+
+    docs = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in _docs(sf_dir)
+            .select_columns(["doc_id", "source"])
+            .iter_batches(batch_format="pyarrow")
+        ]
+    )
+    base = datetime.date(2023, 11, 14)
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/dcs_ray_sitemap_gate_{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    by_host: dict[str, tuple[list[str], list[str]]] = {}
+    ids = docs["doc_id"].to_numpy()
+    srcs = docs["source"].to_pylist()
+    for d, s in zip(ids, srcs):
+        d = int(d)
+        urls, lms = by_host.setdefault(s, ([], []))
+        if d % 3 != 2:
+            urls.append(page_url(s, d))
+            lms.append((base + datetime.timedelta(days=d % 400)).isoformat())
+        if d % 7 == 0:
+            p = d + 10_000_000
+            urls.append(page_url(s, p))
+            lms.append((base + datetime.timedelta(days=p % 400)).isoformat())
+    paths = []
+    for s, (urls, lms) in sorted(by_host.items()):
+        p = f"{out}/{s}.xml"
+        write_sitemap(p, urls, lms)
+        paths.append(p)
+    frontier = uncrawled_frontier(
+        read_sitemaps(paths),
+        read_pages(sf_dir).select_columns(["url"]),
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in frontier.iter_batches(batch_format="pyarrow")]
+    )
+    # ISO-string lastmod: hash-stable across the driver's date
+    # representations (date32 → datetime.date vs DuckDB datetime64)
+    t = t.set_column(
+        t.schema.get_field_index("lastmod"), "lastmod",
+        t["lastmod"].cast(pa.string()),
+    )
+    return t.sort_by("url")
+
+
+def _q_charset_sniff_decode(sf_dir: str) -> pa.Table:
+    """Charset sniff + transcode at ingest: every 5th doc's page body is
+    encoded LATIN-1 with an injected accented marker (invalid as
+    utf-8), the rest utf-8 with an astral-free unicode marker; the
+    batch stage's whole-batch utf-8 fast path must fall back per row
+    and still produce exact utf-8 text. The oracle replays the
+    injected strings and charset rule directly."""
+    from dcs_ray.sources.pages import transcode_batch
+
+    def to_raw(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        texts = b["text"].to_pylist()
+        raws = []
+        for d, t in zip(ids, texts):
+            if int(d) % 5 == 0:
+                raws.append(f"café ¿señor? {t}".encode("latin-1"))
+            else:
+                raws.append(f"☃ búttèrfly {t}".encode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "raw": pa.array(raws, pa.binary()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(to_raw, batch_format="pyarrow").map_batches(
+        transcode_batch, batch_format="pyarrow"
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def _q_multi_format_source(sf_dir: str) -> pa.Table:
     """Source-format parity gate: the events fact table round-trips
     through JSONL (``ray.data.read_json``) AND CSV
@@ -11845,6 +11945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_format_source": _q_multi_format_source,
         "warc_source_roundtrip": _q_warc_source_roundtrip,
         "robots_filtered_pages": _q_robots_filtered_pages,
+        "sitemap_frontier": _q_sitemap_frontier,
+        "charset_sniff_decode": _q_charset_sniff_decode,
         "pq_codes": _q_pq_codes,
         "psi_event_drift": _q_psi_event_drift,
         "knn_pq_adc": _q_knn_pq_adc,
@@ -15726,6 +15828,22 @@ SELECT url, ts_us
 FROM pages JOIN hr USING (source)
 WHERE p = 0 AND (doc_id >= 100 OR (doc_id >= 40 AND doc_id < 50))
 ORDER BY url, ts_us
+""",
+        # sitemap frontier = exactly the phantom ids (never crawled)
+        "sitemap_frontier": """
+SELECT 'https://' || source || '.example.org/doc/'
+         || lpad(CAST(doc_id + 10000000 AS VARCHAR), 8, '0') AS url,
+       strftime(DATE '2023-11-14' + ((doc_id + 10000000) % 400)::int,
+                '%Y-%m-%d') AS lastmod
+FROM documents WHERE doc_id % 7 = 0 ORDER BY url
+""",
+        # charset rule + injected markers replayed directly
+        "charset_sniff_decode": """
+SELECT doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'latin-1' ELSE 'utf-8' END AS charset,
+       CASE WHEN doc_id % 5 = 0 THEN 'café ¿señor? ' || text
+            ELSE '☃ búttèrfly ' || text END AS text
+FROM documents ORDER BY doc_id
 """,
         # JSONL/CSV ingest parity: same exact-cents aggregate as parquet
         "multi_format_source": """

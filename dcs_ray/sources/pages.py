@@ -204,3 +204,36 @@ def dedup_latest_crawl(
         .groupby("_bucket")
         .map_groups(newest_in_bucket, batch_format="pyarrow")
     )
+
+
+def sniff_decode(raw: bytes) -> tuple[str, str]:
+    """(charset, text) for one raw html payload: utf-8 when the bytes
+    validate, else the latin-1 single-byte fallback — the sniffing rule
+    every crawler ships for the long tail of mislabeled pages."""
+    try:
+        return "utf-8", raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return "latin-1", raw.decode("latin-1")
+
+
+def transcode_batch(batch: pa.Table, col: str = "raw") -> pa.Table:
+    """map_batches stage: (.., raw: binary) → (.., charset, text) with
+    per-payload charset sniffing. Fast path: if the WHOLE batch casts
+    to utf-8 (the overwhelming case on the modern web), no per-row
+    work happens at all; only a mixed batch walks rows."""
+    arr = batch[col].combine_chunks()
+    try:
+        texts = arr.cast(pa.string())
+        charsets = pa.array(["utf-8"] * len(batch), pa.string())
+    except pa.ArrowInvalid:
+        cs, ts = [], []
+        for p in arr:
+            c, t = sniff_decode(p.as_py())
+            cs.append(c)
+            ts.append(t)
+        charsets = pa.array(cs, pa.string())
+        texts = pa.array(ts, pa.string())
+    cols = {n: batch[n] for n in batch.column_names if n != col}
+    cols["charset"] = charsets
+    cols["text"] = texts
+    return pa.table(cols)
