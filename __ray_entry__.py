@@ -8207,6 +8207,41 @@ def _q_robots_filtered_pages(sf_dir: str) -> pa.Table:
     ).sort_by([("url", "ascending"), ("ts_us", "ascending")])
 
 
+def _q_warc_tolerant_parse(sf_dir: str) -> pa.Table:
+    """Ingest fault isolation, fully ORACLED: every page row becomes its
+    own gzip member (Common Crawl layout), members at page-row index
+    j % 13 == 5 get one byte flipped mid-member, and the tolerant
+    parser must (a) count exactly those members bad and (b) recover
+    every other record intact by scanning to the next member magic —
+    the property that keeps one mangled record from killing a ~1 GiB
+    segment at 100 TB. Survivors replayed in SQL by page-row order."""
+    import gzip
+
+    from dcs_ray.sources.pages import read_pages
+    from dcs_ray.sources.warc import parse_warc_tolerant, warc_member_bytes
+
+    pages = pa.concat_tables(
+        [pa.table(b) for b in read_pages(sf_dir).iter_batches(batch_format="pyarrow")]
+    )
+    members = warc_member_bytes(pages)
+    out = []
+    n_corrupt = 0
+    for j, m in enumerate(members):
+        c = bytearray(gzip.compress(m, mtime=0))
+        if j >= 1 and (j - 1) % 13 == 5:  # member 0 is warcinfo
+            c[len(c) // 2] ^= 0xFF
+            n_corrupt += 1
+        out.append(bytes(c))
+    t, n_bad = parse_warc_tolerant(b"".join(out))
+    assert n_bad == n_corrupt, (n_bad, n_corrupt)
+    return pa.table(
+        {
+            "url": t["url"],
+            "ts_us": t["warc_ts"].cast(pa.int64()),
+        }
+    ).sort_by([("url", "ascending"), ("ts_us", "ascending")])
+
+
 def _q_sitemap_frontier(sf_dir: str) -> pa.Table:
     """Crawl-frontier discovery, fully ORACLED: per-host sitemap.xml
     fixtures advertise every crawled url (doc_id % 3 != 2 of the host)
@@ -11947,6 +11982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filtered_pages": _q_robots_filtered_pages,
         "sitemap_frontier": _q_sitemap_frontier,
         "charset_sniff_decode": _q_charset_sniff_decode,
+        "warc_tolerant_parse": _q_warc_tolerant_parse,
         "pq_codes": _q_pq_codes,
         "psi_event_drift": _q_psi_event_drift,
         "knn_pq_adc": _q_knn_pq_adc,
@@ -15828,6 +15864,26 @@ SELECT url, ts_us
 FROM pages JOIN hr USING (source)
 WHERE p = 0 AND (doc_id >= 100 OR (doc_id >= 40 AND doc_id < 50))
 ORDER BY url, ts_us
+""",
+        # survivors = page rows whose member index j % 13 != 5, in
+        # fresh-then-stale synthesis order per doc
+        "warc_tolerant_parse": """
+WITH pages AS (
+  SELECT doc_id, 0 AS ord,
+         'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000)::bigint AS ts_us
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS ord,
+         'https://' || source || '.example.org/doc/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         (1700000000000000 + doc_id * 1000000 - 3600000000)::bigint AS ts_us
+  FROM documents WHERE doc_id % 50 = 0),
+seq AS (SELECT url, ts_us,
+               row_number() OVER (ORDER BY doc_id, ord) - 1 AS j
+        FROM pages)
+SELECT url, ts_us FROM seq WHERE j % 13 <> 5 ORDER BY url, ts_us
 """,
         # sitemap frontier = exactly the phantom ids (never crawled)
         "sitemap_frontier": """

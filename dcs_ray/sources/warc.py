@@ -83,22 +83,37 @@ def write_warc(
     """Write pages rows (``url``, ``warc_ts``, ``html``) as a WARC file;
     one gzip member PER RECORD when ``compress`` (the Common Crawl
     layout). Returns the number of response records written."""
+    members = warc_member_bytes(pages, filename=path.rsplit("/", 1)[-1],
+                                crawl_id=crawl_id)
+    with open(path, "wb") as f:
+        for m in members:
+            f.write(gzip.compress(m, mtime=0) if compress else m)
+    return len(members) - 1  # minus warcinfo
+
+
+def warc_member_bytes(
+    pages: pa.Table, filename: str = "f.warc", crawl_id: str = "dcs-ray-synthetic"
+) -> list[bytes]:
+    """Uncompressed member payloads for a pages table: one warcinfo
+    record followed by one response record per row (the Common Crawl
+    one-record-per-gzip-member layout when each is compressed)."""
     urls = pages["url"].to_pylist()
     ts = pages["warc_ts"].cast(pa.int64()).to_pylist()  # timestamp(us) → µs
     htmls = pages["html"].to_pylist()
-
-    def members():
-        yield _record(
+    out = [
+        _record(
             b"warcinfo",
-            [(b"WARC-Filename", path.rsplit("/", 1)[-1].encode())],
+            [(b"WARC-Filename", filename.encode())],
             b"software: dcs_ray\r\nisPartOf: " + crawl_id.encode() + b"\r\n",
         )
-        for u, t, h in zip(urls, ts, htmls):
-            http = (
-                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
-                + b"Content-Length: " + str(len(h)).encode() + b"\r\n\r\n" + h
-            )
-            yield _record(
+    ]
+    for u, t, h in zip(urls, ts, htmls):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + b"Content-Length: " + str(len(h)).encode() + b"\r\n\r\n" + h
+        )
+        out.append(
+            _record(
                 b"response",
                 [
                     (b"WARC-Target-URI", u.encode()),
@@ -107,11 +122,8 @@ def write_warc(
                 ],
                 http,
             )
-
-    with open(path, "wb") as f:
-        for m in members():
-            f.write(gzip.compress(m, mtime=0) if compress else m)
-    return len(urls)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -186,3 +198,56 @@ def read_warc(paths: str | list[str]) -> ray.data.Dataset:
         return pa.concat_tables(tables) if tables else parse_warc(b"")
 
     return files.map_batches(parse_batch, batch_format="pyarrow", batch_size=1)
+
+
+def parse_warc_tolerant(buf: bytes) -> tuple[pa.Table, int]:
+    """Parse with PER-MEMBER fault isolation: a gzip member that fails
+    to inflate or parse is counted and skipped by scanning to the next
+    member magic — one mangled record cannot kill a whole segment file
+    (the operational property a 100-TB ingest needs; strict
+    :func:`parse_warc` is the fixture/golden path). Plain (uncompressed)
+    input falls back to record-level resync on the ``WARC/`` marker.
+    Returns ``(rows, n_bad_members)``."""
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "warc_ts": pa.array([], pa.timestamp("us")),
+            "html": pa.array([], pa.binary()),
+        }
+    )
+    if buf[:2] == b"\x1f\x8b":
+        tables = []
+        n_bad = 0
+        pos, n = 0, len(buf)
+        while pos < n:
+            try:
+                d = zlib.decompressobj(wbits=31)
+                member = d.decompress(buf[pos:])
+                if not d.eof:
+                    raise ValueError("warc: truncated gzip member")
+                tables.append(parse_warc(member))
+                rest = d.unused_data
+                pos = n - len(rest) if rest else n
+            except Exception:
+                n_bad += 1
+                nxt = buf.find(b"\x1f\x8b\x08", pos + 3)
+                pos = nxt if nxt >= 0 else n
+        t = pa.concat_tables(tables) if tables else empty
+        return t, n_bad
+    # plain bytes: resync record-by-record on the header marker
+    tables = []
+    n_bad = 0
+    pos, n = 0, len(buf)
+    while pos < n:
+        nxt = buf.find(b"WARC/", pos)
+        if nxt < 0:
+            break
+        end = buf.find(b"\r\nWARC/", nxt + 5)
+        chunk = buf[nxt : end + 2 if end >= 0 else n]
+        try:
+            tables.append(parse_warc(chunk))
+        except Exception:
+            n_bad += 1
+        pos = (end + 2) if end >= 0 else n
+    t = pa.concat_tables(tables) if tables else empty
+    return t, n_bad

@@ -85,3 +85,44 @@ def test_parse_warc_tolerates_non_response_records(tmp_path):
     write_warc(p, pages, compress=False)  # includes a warcinfo record
     got = parse_warc(open(p, "rb").read())
     assert len(got) == len(pages)
+
+
+def test_parse_warc_tolerant_member_isolation():
+    """A corrupt gzip member is counted and skipped; every other record
+    survives bit-exact (per-member fault isolation)."""
+    import gzip
+
+    from dcs_ray.sources.warc import parse_warc_tolerant, warc_member_bytes
+
+    pages = _pages(12)  # 13 rows: doc 0 gets a stale dup crawl
+    members = warc_member_bytes(pages)
+    gz = []
+    for j, m in enumerate(members):
+        c = bytearray(gzip.compress(m, mtime=0))
+        if j in (2, 9):
+            c[len(c) // 2] ^= 0xFF
+        gz.append(bytes(c))
+    t, n_bad = parse_warc_tolerant(b"".join(gz))
+    assert n_bad == 2
+    want = pages.take([i for i in range(len(pages)) if i not in (1, 8)])
+    assert t["url"].to_pylist() == want["url"].to_pylist()
+    assert t["html"].to_pylist() == want["html"].to_pylist()
+
+
+def test_parse_warc_tolerant_plain_resync():
+    """Uncompressed input: destroying one record's WARC/ magic resyncs
+    on the next intact marker — the parse loses only the records up to
+    it (here: the preceding record's chunk absorbs the junk), never the
+    whole file."""
+    from dcs_ray.sources.warc import parse_warc_tolerant, warc_member_bytes
+
+    pages = _pages(4)  # 5 rows (doc 0 stale dup)
+    members = warc_member_bytes(pages)
+    blob = b"".join(members)
+    # destroy the SECOND response record's magic (members: info, r1..r5)
+    r2_at = len(members[0]) + len(members[1])
+    blob = blob[:r2_at] + b"XXXXX" + blob[r2_at + 5 :]
+    t, n_bad = parse_warc_tolerant(blob)
+    # r1's chunk absorbs the mangled r2 and dies; r3..r5 survive
+    assert n_bad == 1
+    assert t["url"].to_pylist() == pages["url"].to_pylist()[2:]
