@@ -3471,6 +3471,22 @@ def _q_doc_lm_score(sf_dir: str) -> Any:
     return t.sort_by("doc_id")
 
 
+def _q_ccnet_buckets(sf_dir: str) -> Any:
+    """CCNet head/middle/tail perplexity split (Wenzek '20): self-
+    trained bigram LM scores ranked per language, exact-thirds cut —
+    the canonical quality-tiering step of the CCNet pipeline, replayed
+    with the doc_lm_score CTE chain + a per-lang row_number."""
+    import ray as _ray
+
+    from dcs_ray.functions.lm import ccnet_perplexity_buckets, train_bigram_counts
+
+    counts = train_bigram_counts(_docs(sf_dir))
+    ref = _ray.put(counts)
+    ds = ccnet_perplexity_buckets(_docs(sf_dir), ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
 def _q_tfidf_keywords(sf_dir: str) -> Any:
     """Per-doc top-3 TF-IDF keywords: vocabulary-sized df broadcast +
     fully vectorized per-batch tf/score/top-k (no shuffle; a doc's terms
@@ -11800,6 +11816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
         "doc_lm_score": _q_doc_lm_score,
+        "ccnet_perplexity_buckets": _q_ccnet_buckets,
         "tfidf_keywords": _q_tfidf_keywords,
         "related_terms_pmi": _q_related_terms,
         "autocomplete_prefix": _q_autocomplete,
@@ -14821,6 +14838,34 @@ agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s FROM scored GROUP BY 
 SELECT d.doc_id, coalesce(a.n_bigrams, 0)::bigint AS n_bigrams,
        coalesce(round(a.s / a.n_bigrams, 6), 0.0) AS avg_logprob
 FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+""",
+        # doc_lm_score chain + per-lang exact-thirds rank cut
+        "ccnet_perplexity_buckets": f"""
+WITH toks AS ({_TOKS_LIST}),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toks WHERE len(toks) >= 2),
+uni AS (SELECT term, count(*) AS c1 FROM ({_TOK}) GROUP BY term),
+vv AS (SELECT count(*) AS v FROM uni),
+bgc AS (SELECT bg, count(*) AS c12 FROM pairs GROUP BY bg),
+scored AS (
+  SELECT p.doc_id, ln((bgc.c12 + 1.0) / (uni.c1 + 1.0 * vv.v)) AS lp
+  FROM pairs p JOIN bgc USING (bg) JOIN uni ON p.w1 = uni.term, vv),
+agg AS (SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS s FROM scored GROUP BY doc_id),
+sc AS (SELECT d.doc_id, d.lang,
+              coalesce(round(a.s / a.n_bigrams, 6), 0.0) AS s
+       FROM documents d LEFT JOIN agg a USING (doc_id)),
+rk AS (SELECT doc_id, lang,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY s DESC, doc_id) - 1 AS r,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM sc)
+SELECT doc_id, lang,
+       CASE WHEN 3 * r < n THEN 'head'
+            WHEN 3 * r < 2 * n THEN 'middle' ELSE 'tail' END AS bucket
+FROM rk ORDER BY doc_id
 """,
         "rebalance_mixture": f"""
 WITH {_splitmix_docs_ctes(5)},

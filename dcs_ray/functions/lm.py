@@ -94,6 +94,7 @@ def bigram_lm_scores(
     alpha: float = 1.0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Per-doc average bigram log-probability under add-alpha smoothing:
     mean over adjacent in-doc pairs of
@@ -129,12 +130,54 @@ def bigram_lm_scores(
             np.add.at(sums, pp, lp)
         with np.errstate(divide="ignore", invalid="ignore"):
             avg = np.where(n_pairs > 0, sums / np.maximum(n_pairs, 1), 0.0)
+        cols = {
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(n_pairs, pa.int64()),
+            "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def ccnet_perplexity_buckets(
+    ds: ray.data.Dataset,
+    counts_ref,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> ray.data.Dataset:
+    """CCNet-style head/middle/tail split (Wenzek '20): per language,
+    rank docs by LM quality (round-6 avg bigram log-prob desc, id asc)
+    and cut at exact thirds — bucket = ``(3·(rank-1)) // n``. The
+    rank form is deterministic and SQL-replayable; at corpus scale the
+    cut switches to per-lang quantile thresholds from the grouped
+    histogram sketch (same output contract, documented approximation).
+    Docs with no bigrams score 0.0 and rank with everything else (the
+    fixed rule, not a special case)."""
+    scored = bigram_lm_scores(
+        ds, counts_ref, alpha=alpha, id_col=id_col, text_col=text_col,
+        keep_cols=(lang_col,),
+    )
+    names = ("head", "middle", "tail")
+
+    def cut(g: pa.Table) -> pa.Table:
+        s = g["avg_logprob"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))  # score desc, id asc
+        n = len(g)
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n)
+        b = (3 * rank) // max(n, 1)
         return pa.table(
             {
-                id_col: batch[id_col],
-                "n_bigrams": pa.array(n_pairs, pa.int64()),
-                "avg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+                id_col: g[id_col],
+                lang_col: g[lang_col],
+                "bucket": pa.array([names[i] for i in b], pa.string()),
             }
         )
 
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+    return scored.groupby(lang_col).map_groups(cut, batch_format="pyarrow")
