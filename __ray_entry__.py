@@ -10125,6 +10125,95 @@ def _q_reshard_search(sf_dir: str) -> pa.Table:
     return t.append_column("n_shards", pa.array([4] * len(t), pa.int64()))
 
 
+def _words_index_fresh(sf_dir: str, suffix: str) -> str:
+    """Build-once 8-partition words index under its own cache dir —
+    shared setup of the tombstone-delete gates (they mutate index state,
+    so each gate owns a private copy)."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.index.build import parquet_col_max
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_words_{suffix}")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        id_max = parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_index(
+            docs, out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False, id_max=id_max,
+            ),
+        )
+    return out
+
+
+def _q_delete_search(sf_dir: str) -> pa.Table:
+    """Tombstone-delete gate (Lucene live-docs model,
+    ``index/deletes.py``): the query's pre-delete #1 doc plus a
+    partition-0 id band are tombstoned — NO segment byte changes — and
+    BM25 must exclude them while survivors keep their PRE-delete scores
+    (df/N/avgdl still count the dead until compaction), which the oracle
+    replays by scoring over the full corpus and filtering the dead set
+    AFTER scoring."""
+    from dcs_ray.index.deletes import delete_docs, load_tombstones
+    from dcs_ray.search import search_bm25
+
+    out = _words_index_fresh(sf_dir, "del")
+    marker = os.path.join(out, ".deleted")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        top1 = search_bm25(out, [BM25_QUERY], k=1)["doc_id"][0].as_py()
+        ids = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        span = (int(ids.max()) + 8) // 8
+        band = ids[(ids < span) & (ids % 5 == 2)]
+        delete_docs(out, np.append(band.astype(np.uint64), np.uint64(top1)))
+        with open(marker, "w") as f:
+            f.write("ok")
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10))
+    n = int(len(load_tombstones(out)))
+    return t.append_column("n_tombstones", pa.array([n] * len(t), pa.int64()))
+
+
+def _q_delete_compact_search(sf_dir: str) -> pa.Table:
+    """Compaction gate: a partition-0 id band is tombstoned then
+    PHYSICALLY compacted (only the one affected partition's segments
+    rewrite, only its shard re-merges, corpus stats recompute) — ranking
+    must now equal a fresh build of the surviving corpus, so the oracle
+    recomputes the whole BM25 chain (df, N, avgdl included) over the
+    survivors. ``n_compacted_parts`` gates the partition isolation."""
+    import json as _json
+
+    from dcs_ray.index.deletes import compact_deletes, delete_docs
+    from dcs_ray.search import search_bm25
+
+    out = _words_index_fresh(sf_dir, "delc")
+    marker = os.path.join(out, ".compacted")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        span = (int(ids.max()) + 8) // 8
+        band = ids[(ids < span) & (ids % 5 == 2)]
+        delete_docs(out, band.astype(np.uint64))
+        info = compact_deletes(out)
+        with open(marker, "w") as f:
+            _json.dump(info, f)
+    with open(marker) as f:
+        info = _json.load(f)
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10))
+    return t.append_column(
+        "n_compacted_parts",
+        pa.array([int(info["n_compacted_partitions"])] * len(t), pa.int64()),
+    )
+
+
 def _q_bm25_codec_variant(sf_dir: str, codec: str) -> pa.Table:
     """Cross-codec rank-identity gate: the same corpus built with a
     DIFFERENT posting-body codec must return the bit-identical BM25
@@ -12030,6 +12119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_histogram": _q_df_histogram,
         "prune_report": _q_prune_report,
         "reshard_search": _q_reshard_search,
+        "delete_search": _q_delete_search,
+        "delete_compact_search": _q_delete_compact_search,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16453,6 +16544,34 @@ mdocs AS (SELECT doc_id,
 {_BM25_SCORES.replace("FROM documents", "FROM mdocs").lstrip()}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score, 4::bigint AS n_shards
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # tombstone deletes: full-corpus stats, dead docs filtered AFTER
+        # scoring (Lucene live-docs semantics — idf counts deleted docs
+        # until compaction); dead = pre-delete top-1 ∪ partition-0 band
+        "delete_search": f"""
+WITH {_BM25_SCORES.lstrip().rstrip()},
+mm AS (SELECT ((SELECT max(doc_id) FROM documents) + 8) // 8 AS span),
+top1 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1),
+dead AS (
+  SELECT doc_id FROM documents, mm WHERE doc_id < mm.span AND doc_id % 5 = 2
+  UNION SELECT doc_id FROM top1
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score,
+       (SELECT count(*) FROM dead)::bigint AS n_tombstones
+FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # post-compaction: the whole BM25 chain (df, N, avgdl) recomputes
+        # over the surviving corpus; exactly one partition was rewritten
+        "delete_compact_search": f"""
+WITH mm AS (SELECT ((SELECT max(doc_id) FROM documents) + 8) // 8 AS span),
+sdocs AS (SELECT doc_id, text FROM documents, mm
+          WHERE NOT (doc_id < mm.span AND doc_id % 5 = 2)),
+{_BM25_SCORES.replace("FROM documents", "FROM sdocs").lstrip()}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score, 1::bigint AS n_compacted_parts
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # codec variants: bytes change, ranks must not

@@ -156,6 +156,25 @@ def plan_queries(index_dir: str, queries: list[str], stats: dict) -> list[list[t
     ]
 
 
+def _with_tombstones(index_dir: str, filters: dict | None) -> dict | None:
+    """Fold the index's tombstone set (``index/deletes.py``) into the
+    filter spec as ``not_doc_ids`` so a deleted doc can never be
+    returned, Lucene live-docs style: one driver-side parquet read per
+    search call, broadcast to shard tasks inside the filters dict.
+    No-op (returns ``filters`` unchanged) when no tombstones exist."""
+    from dcs_ray.index.deletes import load_tombstones
+
+    dead = load_tombstones(index_dir)
+    if len(dead) == 0:
+        return filters
+    filters = dict(filters or {})
+    prev = filters.get("not_doc_ids")
+    if prev is not None and len(prev):
+        dead = np.union1d(np.asarray(prev, dtype=np.uint64), dead)
+    filters["not_doc_ids"] = dead
+    return filters
+
+
 def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
     """Sorted doc ids of one shard passing the keyword filters — the
     FilterByKeywords stage applied *inside the backend before ranking*
@@ -164,13 +183,23 @@ def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
 
     ``filters`` spec: ``{"include": {col: [vals]}, "exclude": {col:
     [vals]}, "url_regex": [rx], "not_url_regex": [rx], "doc_ids":
-    [ids]}`` — OR within a column's value list, AND across entries;
+    [ids], "not_doc_ids": [ids]}`` — OR within a column's value list,
+    AND across entries; ``not_doc_ids`` excludes an explicit id set
+    (how tombstone deletes reach ranking, ``index/deletes.py``);
     ``doc_ids`` restricts to an explicit candidate set (how a phrase /
     positional pre-pass composes with ranking). Returns None when no
     filtering is requested (score everything)."""
     if not filters:
         return None
     mask = np.ones(len(seg.doc_ids), dtype=bool)
+    dead = filters.get("not_doc_ids")  # tombstones (index/deletes.py)
+    if dead is not None and len(dead):
+        dead = np.sort(np.asarray(dead, dtype=np.uint64))
+        pos = np.searchsorted(dead, seg.doc_ids)
+        mask &= ~(
+            (pos < len(dead))
+            & (dead[np.minimum(pos, len(dead) - 1)] == seg.doc_ids)
+        )
     ids = filters.get("doc_ids")
     if ids is not None:
         ids = np.sort(np.asarray(ids, dtype=np.int64))
@@ -501,6 +530,7 @@ def search_bm25(
     """
     if isinstance(queries, str):  # a bare string would iterate per-char
         queries = [queries]
+    filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = plan_queries(index_dir, queries, stats)
@@ -866,6 +896,7 @@ def search_bm25_grouped(
     """
     if isinstance(queries, str):  # a bare string would iterate per-char
         queries = [queries]
+    filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
     shards = shard_paths(index_dir)
     plans = plan_queries(index_dir, queries, stats)
