@@ -10149,6 +10149,49 @@ def _words_index_fresh(sf_dir: str, suffix: str) -> str:
     return out
 
 
+def _q_nrt_add_search(sf_dir: str) -> pa.Table:
+    """NRT-add gate (``index/nrt.py``, Lucene flush model): the index is
+    built over the oldest 60% of doc ids, then the remaining 40% arrive
+    as TWO delta-segment adds — BM25 over main + deltas must be
+    rank-identical (scores included) to the full-corpus oracle chain,
+    because df/N/avgdl recompute exactly on every add."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.index.nrt import add_docs
+    from dcs_ray.search import search_bm25
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_words_nrt")
+    marker = os.path.join(out, ".nrt_added")
+    if not os.path.exists(marker):
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = np.sort(tbl["doc_id"].to_numpy())
+        cut1 = int(ids[int(len(ids) * 0.6)])
+        cut2 = int(ids[int(len(ids) * 0.8)])
+        col = tbl["doc_id"].to_numpy()
+        build_index(
+            ray.data.from_arrow(tbl.filter(pa.array(col < cut1))), out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False,
+            ),
+        )
+        add_docs(out, tbl.filter(pa.array((col >= cut1) & (col < cut2))))
+        info = add_docs(out, tbl.filter(pa.array(col >= cut2)))
+        with open(marker, "w") as f:
+            _json.dump(info, f)
+    with open(marker) as f:
+        info = _json.load(f)
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10))
+    return t.append_column(
+        "n_delta_segments",
+        pa.array([int(info["n_delta_segments"])] * len(t), pa.int64()),
+    )
+
+
 def _q_delete_search(sf_dir: str) -> pa.Table:
     """Tombstone-delete gate (Lucene live-docs model,
     ``index/deletes.py``): the query's pre-delete #1 doc plus a
@@ -12121,6 +12164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reshard_search": _q_reshard_search,
         "delete_search": _q_delete_search,
         "delete_compact_search": _q_delete_compact_search,
+        "nrt_add_search": _q_nrt_add_search,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16544,6 +16588,14 @@ mdocs AS (SELECT doc_id,
 {_BM25_SCORES.replace("FROM documents", "FROM mdocs").lstrip()}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score, 4::bigint AS n_shards
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # NRT adds: main + two delta segments must rank exactly like the
+        # batch full-corpus build — the oracle IS the plain BM25 chain
+        "nrt_add_search": f"""
+WITH {_BM25_SCORES.lstrip()}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score, 2::bigint AS n_delta_segments
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # tombstone deletes: full-corpus stats, dead docs filtered AFTER
