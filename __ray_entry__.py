@@ -10149,6 +10149,25 @@ def _words_index_fresh(sf_dir: str, suffix: str) -> str:
     return out
 
 
+def _q_query_string_search(sf_dir: str) -> pa.Table:
+    """Unified query-string gate (the dcs-web front door): ONE raw query
+    exercising the whole grammar — BM25 terms, an exact-phrase
+    constraint resolved by a positional pre-pass on the trigram index,
+    a per-shard posting-membership negation (``-window``, no driver id
+    list), and a keyword exclusion (``-source:src5``). The oracle
+    replays each operator: instr() for the phrase, a tokenized NOT-IN
+    for the negation, the meta inequality, full-corpus BM25 stats."""
+    from dcs_ray.search import search_query
+
+    raw = 'join batch value "spark merge" -window -source:src5'
+    return _rank_table(
+        search_query(
+            _index_dir(sf_dir, "words"), raw, k=10,
+            phrase_index_dir=_index_dir(sf_dir, "trigram"),
+        )
+    )
+
+
 def _q_nrt_add_search(sf_dir: str) -> pa.Table:
     """NRT-add gate (``index/nrt.py``, Lucene flush model): the index is
     built over the oldest 60% of doc ids, then the remaining 40% arrive
@@ -12165,6 +12184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_search": _q_delete_search,
         "delete_compact_search": _q_delete_compact_search,
         "nrt_add_search": _q_nrt_add_search,
+        "query_string_search": _q_query_string_search,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16589,6 +16609,23 @@ mdocs AS (SELECT doc_id,
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score, 4::bigint AS n_shards
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # full query grammar: phrase (instr), per-shard posting negation
+        # (tokenized NOT-IN), keyword exclusion, full-corpus BM25 stats
+        "query_string_search": f"""
+WITH {_BM25_SCORES.replace(
+    "unnest(['join','merge','spark'])",
+    "unnest(['batch','join','merge','spark','value'])",
+).lstrip().rstrip()},
+neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+cand AS (SELECT doc_id FROM documents
+         WHERE instr(text, 'spark merge') > 0 AND source <> 'src5')
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores
+WHERE doc_id IN (SELECT doc_id FROM cand)
+  AND doc_id NOT IN (SELECT doc_id FROM neg)
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # NRT adds: main + two delta segments must rank exactly like the
         # batch full-corpus build — the oracle IS the plain BM25 chain

@@ -390,6 +390,39 @@ def eval_query(q: Query, lookup) -> "object":
 _KEYWORDS = ("filetype", "package", "pkg", "path", "file", "lang", "site", "source")
 
 
+_PHRASE_RE = _re.compile(r'"([^"]*)"')
+
+
+def parse_user_query(q: str) -> dict:
+    """Parse the full dcs-web query grammar into a structured plan:
+    ``terms "exact phrase" -negterm key:value -key:value`` →
+    ``{"terms", "phrases", "neg_terms", "includes", "negates"}``.
+
+    Quoted spans become exact-phrase constraints (dcs treats the whole
+    query as one regex; phrases are its literal-string case,
+    ``regexp/regexp.go`` literal planning), ``-term`` negates a plain
+    term (``query-rewrite.go`` strips ``-key:value``; bare ``-term`` is
+    the posting-NOT operator), and ``key:value`` keywords route through
+    :func:`rewrite_query` (F4)."""
+    phrases = [p.strip() for p in _PHRASE_RE.findall(q) if p.strip()]
+    rest = _PHRASE_RE.sub(" ", q)
+    rest, includes, negates = rewrite_query(rest)
+    terms: list[str] = []
+    neg_terms: list[str] = []
+    for tok in rest.split():
+        if tok.startswith("-") and len(tok) > 1:
+            neg_terms.append(tok[1:])
+        elif tok != "-":
+            terms.append(tok)
+    return {
+        "terms": terms,
+        "phrases": phrases,
+        "neg_terms": neg_terms,
+        "includes": includes,
+        "negates": negates,
+    }
+
+
 def rewrite_query(q: str) -> tuple[str, dict[str, list[str]], dict[str, list[str]]]:
     """Pull ``key:value`` and negated ``-key:value`` tokens off the query.
 

@@ -183,9 +183,12 @@ def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
 
     ``filters`` spec: ``{"include": {col: [vals]}, "exclude": {col:
     [vals]}, "url_regex": [rx], "not_url_regex": [rx], "doc_ids":
-    [ids], "not_doc_ids": [ids]}`` — OR within a column's value list,
-    AND across entries; ``not_doc_ids`` excludes an explicit id set
-    (how tombstone deletes reach ranking, ``index/deletes.py``);
+    [ids], "not_doc_ids": [ids], "terms_all": [t], "terms_none": [t]}``
+    — OR within a column's value list, AND across entries;
+    ``not_doc_ids`` excludes an explicit id set (how tombstone deletes
+    reach ranking, ``index/deletes.py``); ``terms_all``/``terms_none``
+    require/forbid posting-list membership, evaluated per shard (the
+    ``-term`` query operator);
     ``doc_ids`` restricts to an explicit candidate set (how a phrase /
     positional pre-pass composes with ranking). Returns None when no
     filtering is requested (score everything)."""
@@ -222,6 +225,22 @@ def shard_doc_filter(seg: Segment, filters: dict | None) -> np.ndarray | None:
         mask &= pc.match_substring_regex(seg.urls, rx).to_numpy(zero_copy_only=False)
     for rx in filters.get("not_url_regex") or ():
         mask &= ~pc.match_substring_regex(seg.urls, rx).to_numpy(zero_copy_only=False)
+    # posting-membership constraints, evaluated against THIS shard's own
+    # posting lists (decoded through the per-worker LRU) — the -term /
+    # +term query operators with NO driver-side id materialization: a
+    # negated stopword would otherwise ship half the corpus's ids
+    def _member(term: str) -> np.ndarray:
+        idx = seg.term_index(term)
+        if idx < 0:
+            return np.zeros(len(seg.doc_ids), dtype=bool)
+        pl = _decode_term_cached(seg, idx)[0]  # sorted uint64 doc ids
+        pos = np.searchsorted(pl, seg.doc_ids)
+        return (pos < len(pl)) & (pl[np.minimum(pos, len(pl) - 1)] == seg.doc_ids)
+
+    for term in filters.get("terms_none") or ():
+        mask &= ~_member(term)
+    for term in filters.get("terms_all") or ():
+        mask &= _member(term)
     return seg.doc_ids[mask]  # doc_ids are ascending by construction
 
 
@@ -1471,6 +1490,58 @@ def search_literal(index_dir: str, literals: list[str], positional: bool = False
     )
     return out.sort_by(
         [("query_id", "ascending"), ("doc_id", "ascending"), ("position", "ascending")]
+    )
+
+
+def search_query(
+    index_dir: str,
+    raw: str,
+    k: int = 10,
+    phrase_index_dir: str | None = None,
+    stats: dict | None = None,
+    **kw,
+) -> pa.Table:
+    """The dcs-web front door: ONE raw query string with the full user
+    grammar, composed onto the ranking fan-out —
+
+    - plain terms rank by BM25 (phrase words join the scoring terms, so
+      a phrase-only query still ranks);
+    - ``"quoted phrases"`` restrict to exact-phrase candidates via a
+      positional pre-pass on ``phrase_index_dir`` (the trigram index;
+      required when phrases are present), intersected across phrases
+      and pushed into every shard task as a ``doc_ids`` filter —
+      the J4→ranking composition (``index/query.go`` postings AND →
+      ``sourcebackend.go`` ranking);
+    - ``-term`` excludes docs containing the term, evaluated inside
+      each shard against its OWN posting lists (``terms_none``) — no
+      driver-side id materialization even for negated stopwords;
+    - ``key:value`` / ``-key:value`` keywords map onto doc_meta filters
+      (F4, ``query-rewrite.go:15-59``).
+    """
+    from dcs_ray.queryplan import parse_user_query
+    from dcs_ray.tokenize import tokenize_query_words
+
+    p = parse_user_query(raw)
+    filters = dict(filters_from_keywords(p["includes"], p["negates"]) or {})
+    neg = sorted({t for nt in p["neg_terms"] for t in tokenize_query_words(nt)})
+    if neg:
+        filters["terms_none"] = neg
+    if p["phrases"]:
+        if phrase_index_dir is None:
+            raise ValueError(
+                "quoted phrases need a positional trigram index "
+                "(pass phrase_index_dir)"
+            )
+        hits = search_literal(phrase_index_dir, p["phrases"], positional=True)
+        qids = hits["query_id"].to_numpy()
+        cand: set | None = None
+        for qid in range(len(p["phrases"])):
+            ids = set(hits.filter(pa.array(qids == qid))["doc_id"].to_pylist())
+            cand = ids if cand is None else (cand & ids)
+        filters["doc_ids"] = sorted(cand or ())
+    qtext = " ".join(p["terms"] + p["phrases"])
+    return search_bm25(
+        index_dir, [qtext], k=k, stats=stats, filters=filters or None, **kw
     )
 
 
