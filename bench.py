@@ -295,10 +295,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert t_field.num_rows > 0
     queries["web_rank_chain"] = round(time.monotonic() - t0, 3)
 
+    # --- index lifecycle (NRT delta add → tombstone delete → compaction)
+    # on the headline index: the steady-state mutation path of a live
+    # crawl — one delta segment + shard, a partition-0 tombstone band,
+    # search over main+delta with live tombstones, then the physical
+    # rewrite of ONLY the affected partition and its shard re-merge
+    import pyarrow as _pa
+
+    from dcs_ray.index.deletes import compact_deletes, delete_docs
+    from dcs_ray.index.nrt import add_docs
+
+    t0 = time.monotonic()
+    head = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, 2000)
+    id_max = manifest["config"]["id_max"]
+    delta = _pa.table(
+        {
+            "doc_id": _pa.array(
+                head["doc_id"].to_numpy() + id_max + 1, _pa.int64()
+            ),
+            "text": head["text"],
+        }
+    )
+    add_info = add_docs(idx, delta, task_num_cpus=task_cpus)
+    span = (id_max + manifest["num_partitions"]) // manifest["num_partitions"]
+    hid = head["doc_id"].to_numpy()
+    dead = hid[(hid < span)][::7]
+    delete_docs(idx, dead)
+    assert len(search_bm25(idx, BM25_QUERIES[:2], k=10, task_num_cpus=task_cpus)) > 0
+    comp = compact_deletes(idx, task_num_cpus=task_cpus)
+    queries["nrt_lifecycle"] = round(time.monotonic() - t0, 3)
+    thr["add_docs_per_s"] = round(add_info["n_docs"] / max(add_info["wall_s"], 1e-9), 1)
+    thr["compact_partitions"] = comp["n_compacted_partitions"]
+
     ray.shutdown()
     shutil.rmtree(out_root, ignore_errors=True)
     return {
-        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn + curate + web rank chain",
+        "metric": "dcs_ray headline: index build + BM25 search + dedup + knn + curate + web rank chain + nrt lifecycle",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
