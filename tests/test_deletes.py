@@ -228,3 +228,36 @@ def test_compact_noop_without_tombstones(tmp_path):
     out = str(tmp_path / "idx")
     _build(out)
     assert compact_deletes(out) == {"n_compacted": 0, "n_tombstones": 0}
+
+
+@pytest.fixture(scope="module")
+def pristine(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pristine") / "idx")
+    man = _build(out)
+    return out, man["config"]["id_max"]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_compact_equals_rebuild_randomized(pristine, tmp_path, seed):
+    """Property form of the headline equivalence: for RANDOM tombstone
+    sets (different density per seed, including multi-partition spreads)
+    compaction remains bit-identical to the survivor rebuild."""
+    out, id_max = pristine
+    all_ids = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_numpy()
+    rng = np.random.default_rng(seed)
+    frac = rng.uniform(0.02, 0.4)
+    dead = np.sort(
+        rng.choice(all_ids, size=max(1, int(len(all_ids) * frac)), replace=False)
+    ).astype(np.uint64)
+    comp = str(tmp_path / "comp")
+    shutil.copytree(out, comp)
+    delete_docs(comp, dead)
+    compact_deletes(comp)
+    fresh = str(tmp_path / "fresh")
+    _build(fresh, id_max=id_max, drop_ids=dead)
+    _assert_index_identical(comp, fresh)
+    a = search_bm25(comp, [QUERY], k=10)
+    b = search_bm25(fresh, [QUERY], k=10)
+    assert a.equals(b)
