@@ -257,19 +257,23 @@ def compact_deletes(index_dir: str, task_num_cpus: float = 1.0) -> dict:
         .map_batches(run, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus)
         .take_all()
     )
-    new_lineage = dict(recs)
-    compacted = []
-    for row in done:
-        if row["lineage"]:
-            new_lineage[row["part_id"]] = _json.loads(row["lineage"])
-            compacted.append(row["part_id"])
+    compacted = [row["part_id"] for row in done if row["lineage"]]
 
     shard_root = os.path.join(index_dir, "shards")
     shard_lineage = list(man["shards"])
+    # re-merge every shard whose recorded source checksums no longer
+    # match the segments on disk — covers THIS run's rewrites AND any
+    # prior crashed compaction's, whose partitions no longer intersect
+    # the tombstones (``fsck.py``); the partition-containment test stays
+    # as the fallback for pre-provenance shard lineage
+    from dcs_ray.index.fsck import stale_shard_ids
+
+    stale = set(stale_shard_ids(index_dir))
     touched = [
         s
         for s in man["shards"]
-        if any(recs[p]["segment"] in s["segments"] for p in compacted)
+        if s["shard_id"] in stale
+        or any(recs[p]["segment"] in s["segments"] for p in compacted)
     ]
     merge_task = ray.remote(num_cpus=task_num_cpus)(merge_one_shard)
     pending = []
@@ -295,7 +299,16 @@ def compact_deletes(index_dir: str, task_num_cpus: float = 1.0) -> dict:
         "n_remerged_shards": len(touched),
         "wall_s": round(time.monotonic() - t0, 3),
     }
-    lineage = [new_lineage[p] for p in sorted(new_lineage)]
+    # partition lineage from the on-disk lineage.json files, not the old
+    # manifest — a prior crashed run's rewrites are already there
+    from dcs_ray.index.fsck import _segment_lineages
+
+    lineage = [
+        lin
+        for _, lin in sorted(
+            _segment_lineages(index_dir).items(), key=lambda kv: kv[1]["part_id"]
+        )
+    ]
     commit_manifest(index_dir, conf, lineage, stats, shard_lineage, metrics)
     os.remove(tombstone_path(index_dir))
     return metrics["last_compaction"]

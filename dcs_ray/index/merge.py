@@ -364,9 +364,26 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
     # dcs likewise concatenates docid maps with base offsets rather than
     # rewriting them, merge.go:113-150)
     n_docs = 0
+    src_checksums = []  # provenance for staleness detection (fsck.py)
+    zone_union: dict[str, set] = {}
+    zone_cols: set | None = None  # cols EVERY source has zones for
     for p in seg_paths:
         with open(os.path.join(p, "lineage.json")) as f:
-            n_docs += json.load(f)["n_docs"]
+            lin = json.load(f)
+        n_docs += lin["n_docs"]
+        src_checksums.append(lin["checksum"])
+        mv = lin.get("meta_values") or {}
+        zone_cols = set(mv) if zone_cols is None else (zone_cols & set(mv))
+        for c, vals in mv.items():
+            zone_union.setdefault(c, set()).update(vals)
+    # shard zone map = union of segment zones; a column any segment
+    # couldn't bound (high cardinality) is unprunable and dropped, as is
+    # one whose union outgrows the lineage-size budget
+    meta_values = {
+        c: sorted(zone_union[c])
+        for c in sorted(zone_cols or ())
+        if len(zone_union[c]) <= 256
+    }
     with open(os.path.join(tmp, "doc_meta_refs.json"), "w") as f:
         json.dump(
             {"segments": [os.path.relpath(p, shard_root) for p in seg_paths]}, f
@@ -376,6 +393,8 @@ def merge_one_shard(shard_id: int, seg_paths: list[str], shard_root: str) -> dic
         "shard_id": shard_id,
         "shard": shard_name(shard_id),
         "segments": [os.path.basename(p) for p in seg_paths],
+        "source_checksums": src_checksums,
+        **({"meta_values": meta_values} if meta_values else {}),
         "n_docs": n_docs,
         "n_terms": int(len(uniq_terms)),
         "n_postings": int(term_df.sum()) if len(uniq_terms) else 0,

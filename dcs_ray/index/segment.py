@@ -333,6 +333,16 @@ def write_segment(
             ),
             os.path.join(tmp, "pos_dict.parquet"),
         )
+    # zone maps: per-meta-column distinct values when small — the
+    # filter-dimension pruning statistics (Moerkotte '98 small
+    # materialized aggregates / Parquet column-stats role): a keyword
+    # filter can skip whole shards whose value set can't match
+    meta_values = {}
+    for col, arr in (seg.get("meta") or {}).items():
+        u = pc.unique(arr if isinstance(arr, pa.Array) else arr.combine_chunks())
+        if len(u) <= 64:
+            vals = [v for v in u.to_pylist() if v is not None]
+            meta_values[col] = sorted(vals)
     lineage = {
         "part_id": seg["part_id"],
         "segment": name,
@@ -344,6 +354,8 @@ def write_segment(
         "checksum": zlib.crc32(seg["blob"]),
         "wall_s": round(time.monotonic() - t0, 4),
     }
+    if meta_values:
+        lineage["meta_values"] = meta_values
     if extra:
         lineage.update(extra)
         build_s = extra.get("build_wall_s")
