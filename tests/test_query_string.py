@@ -112,3 +112,27 @@ def test_unmatched_phrase_returns_empty(indexes):
     got = search_query(words, 'join "zzz qqq never"', k=5,
                        phrase_index_dir=tri)
     assert len(got) == 0
+
+
+def test_terms_all_requires_posting_membership(indexes):
+    """terms_all restricts ranking to docs whose posting lists contain
+    EVERY listed term — equal to filtering the unrestricted ranking by
+    the boolean-AND candidate set."""
+    from dcs_ray.search import search_boolean
+
+    words, _ = indexes
+    a = search_bm25(words, ["spark merge join"], k=30,
+                    filters={"terms_all": ["window", "batch"]})
+    cand = set(search_boolean(words, ["window", "batch"])["doc_id"].to_pylist())
+    full = search_bm25(words, ["spark merge join"], k=30)
+    keep = [d in cand for d in full["doc_id"].to_pylist()]
+    expect = full.filter(pa.array(keep))
+    assert len(a) > 0 and len(expect) > 0
+    # the candidates visible in the full top-30 must head the restricted
+    # ranking in the same order (identical scores); the restricted run
+    # may continue deeper than the full top-30 reaches
+    assert a["doc_id"].to_pylist()[: len(expect)] == expect["doc_id"].to_pylist()
+    assert set(a["doc_id"].to_pylist()) <= cand
+    missing_term = search_bm25(words, ["spark merge join"], k=10,
+                               filters={"terms_all": ["zzzznotaterm"]})
+    assert len(missing_term) == 0
