@@ -10149,6 +10149,47 @@ def _words_index_fresh(sf_dir: str, suffix: str) -> str:
     return out
 
 
+def _q_bm25_clustered_prune(sf_dir: str) -> pa.Table:
+    """Zone-map shard pruning gate: doc ids REASSIGNED in (source,
+    doc_id) order so id-range partitions align with sources, then a
+    ``source:src0`` filtered BM25 — the driver plans the fan-out from
+    shard-lineage zone maps and scans ONLY the shards whose value sets
+    can match (``search.prune_shards``). The oracle replays the id
+    remap, the posting-balanced 2-shard split, and counts the shards
+    that actually hold src0 docs (= what exact zone maps scan)."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import prune_shards, search_bm25, shard_paths
+
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_words_srccluster")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+        remapped = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(tbl), dtype=np.int64)),
+                "text": tbl["text"],
+                "source": tbl["source"],
+            }
+        )
+        build_index(
+            ray.data.from_arrow(remapped), out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False, meta_cols=("source",),
+            ),
+        )
+    filters = {"include": {"source": ["src0"]}}
+    scanned = len(prune_shards(shard_paths(out), filters))
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10, filters=filters))
+    return t.append_column(
+        "n_shards_scanned", pa.array([scanned] * len(t), pa.int64())
+    )
+
+
 def _q_query_string_search(sf_dir: str) -> pa.Table:
     """Unified query-string gate (the dcs-web front door): ONE raw query
     exercising the whole grammar — BM25 terms, an exact-phrase
@@ -12185,6 +12226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delete_compact_search": _q_delete_compact_search,
         "nrt_add_search": _q_nrt_add_search,
         "query_string_search": _q_query_string_search,
+        "bm25_clustered_prune": _q_bm25_clustered_prune,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16609,6 +16651,35 @@ mdocs AS (SELECT doc_id,
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score, 4::bigint AS n_shards
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # zone-map shard pruning over the source-clustered remap: BM25
+        # filtered to src0 + the posting-balanced 2-shard split replay
+        "bm25_clustered_prune": f"""
+WITH remap AS (
+  SELECT row_number() OVER (ORDER BY source, doc_id) - 1 AS doc_id,
+         text, source
+  FROM documents
+),
+{_BM25_SCORES.replace("FROM documents", "FROM remap").lstrip().rstrip()},
+mm AS (SELECT max(doc_id)::bigint AS mx FROM remap),
+pd AS (SELECT doc_id, source,
+              least(doc_id // ((mm.mx + 8) // 8), 7)::bigint AS part
+       FROM remap, mm),
+post AS (SELECT pd.part, count(*)::bigint + 1 AS w
+         FROM (SELECT DISTINCT doc_id, term FROM tok) dt
+         JOIN pd USING (doc_id)
+         GROUP BY pd.part),
+cum AS (SELECT part, w, sum(w) OVER (ORDER BY part) AS acc FROM post),
+tot AS (SELECT sum(w)::bigint AS t FROM post),
+q0 AS (SELECT min(part) AS q FROM cum, tot WHERE 2 * acc >= t),
+scanned AS (SELECT count(DISTINCT CASE WHEN pd.part <= q0.q THEN 0 ELSE 1 END)::bigint AS n
+            FROM pd, q0 WHERE pd.source = 'src0')
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score,
+       (SELECT n FROM scanned) AS n_shards_scanned
+FROM scores
+WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # full query grammar: phrase (instr), per-shard posting negation
         # (tokenized NOT-IN), keyword exclusion, full-corpus BM25 stats

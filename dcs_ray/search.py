@@ -156,6 +156,65 @@ def plan_queries(index_dir: str, queries: list[str], stats: dict) -> list[list[t
     ]
 
 
+_ZONE_CACHE: dict[str, tuple[float, dict]] = {}
+
+
+def _shard_lineage_cached(path: str) -> dict:
+    lin = os.path.join(path, "lineage.json")
+    try:
+        mtime = os.stat(lin).st_mtime
+    except OSError:
+        return {}
+    hit = _ZONE_CACHE.get(lin)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    with open(lin) as f:
+        data = json.load(f)
+    _ZONE_CACHE[lin] = (mtime, data)
+    return data
+
+
+def prune_shards(paths: list[str], filters: dict | None) -> list[str]:
+    """Filter-dimension shard pruning: drop shards the filter spec can
+    prove empty BEFORE any task is scheduled, from metadata alone —
+
+    - ``include`` equality filters check the shard's zone map (the
+      per-meta-column distinct-value sets merge records in its lineage,
+      ``index/merge.py``; absent for high-cardinality columns → shard
+      kept),
+    - ``doc_ids`` candidate sets check the shard's doc-id range from
+      parquet row-group statistics (``shard_id_bounds``).
+
+    At web scale this is the keyword-routing step: a ``source:feedX``
+    query fans out only to the shards whose partitions ever ingested
+    feedX — O(shards) driver-side JSON/stat reads (mtime-cached), zero
+    object-store traffic for the skipped shards."""
+    if not filters:
+        return list(paths)
+    inc = filters.get("include") or {}
+    ids = filters.get("doc_ids")
+    if ids is not None and len(ids) == 0:
+        return []
+    if ids is not None:
+        ids = np.asarray(ids, dtype=np.int64)
+    keep = []
+    for p in paths:
+        zones = _shard_lineage_cached(p).get("meta_values") or {}
+        ok = True
+        for col, vals in inc.items():
+            zone = zones.get(col)
+            if zone is not None and not (set(vals) & set(zone)):
+                ok = False
+                break
+        if ok and ids is not None:
+            lo, hi = shard_id_bounds(p)
+            if not ((ids >= lo) & (ids <= hi)).any():
+                ok = False
+        if ok:
+            keep.append(p)
+    return keep
+
+
 def _with_tombstones(index_dir: str, filters: dict | None) -> dict | None:
     """Fold the index's tombstone set (``index/deletes.py``) into the
     filter spec as ``not_doc_ids`` so a deleted doc can never be
@@ -551,7 +610,7 @@ def search_bm25(
         queries = [queries]
     filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
-    shards = shard_paths(index_dir)
+    shards = prune_shards(shard_paths(index_dir), filters)
     plans = plan_queries(index_dir, queries, stats)
     if prior_col is not None:
         def score_fn(seg, plan, st, kk, doc_filter=None):
@@ -603,15 +662,16 @@ def search_bm25(
             }
         )
 
-    per_shard = work.map_batches(
-        run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+    schema = pa.schema(
+        [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
     )
-    cand = _collect(
-        per_shard,
-        pa.schema(
-            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
-        ),
-    )
+    if shards:
+        per_shard = work.map_batches(
+            run_shard, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+        )
+        cand = _collect(per_shard, schema)
+    else:  # every shard pruned away by the filter zone maps
+        cand = schema.empty_table()
 
     qids = cand["query_id"].to_numpy()
     docs = cand["doc_id"].to_numpy()
@@ -917,7 +977,7 @@ def search_bm25_grouped(
         queries = [queries]
     filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
-    shards = shard_paths(index_dir)
+    shards = prune_shards(shard_paths(index_dir), filters)
     plans = plan_queries(index_dir, queries, stats)
 
     work = ray.data.from_items(
