@@ -505,6 +505,65 @@ def cmd_reshard(args) -> None:
     print(json.dumps(man["metrics"]["last_reshard"]))
 
 
+def cmd_delete(args) -> None:
+    """Tombstone doc ids (Lucene live-docs model, ``index/deletes.py``):
+    O(n_tombstones), no segment bytes change, search excludes
+    immediately."""
+    from dcs_ray.index.deletes import delete_docs
+
+    ids = [int(x) for x in args.ids.split(",")] if args.ids else []
+    if args.ids_file:
+        import pyarrow.parquet as pq
+
+        ids += pq.read_table(args.ids_file, columns=["doc_id"])["doc_id"].to_pylist()
+    print(json.dumps(delete_docs(args.index, ids)))
+
+
+def cmd_compact(args) -> None:
+    """Physically remove tombstoned docs: rewrite ONLY affected
+    partitions, re-merge only their (or checksum-stale) shards."""
+    _ray()
+    from dcs_ray.index.deletes import compact_deletes
+
+    print(json.dumps(compact_deletes(args.index)))
+
+
+def cmd_add(args) -> None:
+    """NRT delta add (Lucene flush model, ``index/nrt.py``): one new
+    segment + shard per call; ids must exceed everything indexed."""
+    _ray()
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index.nrt import add_docs
+
+    print(json.dumps(add_docs(args.index, pq.read_table(args.input))))
+
+
+def cmd_fsck(args) -> None:
+    """Consistency report (and repair with --repair): provenance-based
+    shard staleness, pending tombstones, tmp leftovers, stats drift."""
+    from dcs_ray.index.fsck import repair_index, verify_index
+
+    rep = verify_index(args.index)
+    print(json.dumps(rep))
+    if args.repair and not rep["ok"]:
+        _ray()
+        print(json.dumps(repair_index(args.index)))
+
+
+def cmd_query(args) -> None:
+    """Unified query grammar: terms, \"quoted phrases\", -negated terms,
+    key:value / -key:value keyword filters, one raw string."""
+    _ray()
+    from dcs_ray.search import search_query
+
+    t = search_query(
+        args.index, args.query, k=args.k, phrase_index_dir=args.phrase_index
+    )
+    for row in t.to_pylist():
+        print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
+
+
 def cmd_textstats(args) -> None:
     """Per-document text analysis over a documents parquet."""
     _ray()
@@ -793,6 +852,33 @@ def main() -> None:
     d.add_argument("index")
     d.add_argument("num_shards", type=int)
     d.set_defaults(fn=cmd_reshard)
+
+    d = sub.add_parser("delete", help="tombstone doc ids (live-docs delete)")
+    d.add_argument("index")
+    d.add_argument("--ids", default="", help="comma-separated doc ids")
+    d.add_argument("--ids-file", default=None, help="parquet with a doc_id column")
+    d.set_defaults(fn=cmd_delete)
+
+    d = sub.add_parser("compact", help="physically remove tombstoned docs")
+    d.add_argument("index")
+    d.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser("add", help="NRT delta add from a parquet of new docs")
+    d.add_argument("index")
+    d.add_argument("input")
+    d.set_defaults(fn=cmd_add)
+
+    d = sub.add_parser("fsck", help="index consistency report / repair")
+    d.add_argument("index")
+    d.add_argument("--repair", action="store_true")
+    d.set_defaults(fn=cmd_fsck)
+
+    d = sub.add_parser("query", help="search with the full query grammar")
+    d.add_argument("index")
+    d.add_argument("query")
+    d.add_argument("-k", type=int, default=10)
+    d.add_argument("--phrase-index", default=None, help="positional trigram index for quoted phrases")
+    d.set_defaults(fn=cmd_query)
 
     d = sub.add_parser("textstats", help="per-doc text analysis over documents parquet")
     d.add_argument("input")
