@@ -10149,6 +10149,72 @@ def _words_index_fresh(sf_dir: str, suffix: str) -> str:
     return out
 
 
+def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
+    """Continuous-crawl composition gate — the full lifecycle in one
+    flow. Day-1 index holds the STALE crawl of every ``doc_id % 50 == 0``
+    url (the pages synthesis' first-snapshot halves) and the current
+    crawl of everything else; day 2's recrawl arrives as tombstone
+    deletes of the stale docs, a physical compaction, and an NRT delta
+    add of the fresh texts under NEW ids (``mx + 1 + old_id // 50`` —
+    pure arithmetic so the oracle replays the remap). BM25 must then be
+    rank-identical to a batch build of the final corpus state."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.index.deletes import compact_deletes, delete_docs
+    from dcs_ray.index.nrt import add_docs
+    from dcs_ray.search import search_bm25
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_words_incr")
+    marker = os.path.join(out, ".recrawled")
+    if not os.path.exists(marker):
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids = tbl["doc_id"].to_numpy()
+        mx = int(ids.max())
+        changed = ids % 50 == 0
+        texts = tbl["text"].to_pylist()
+        day1 = pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "text": pa.array(
+                    [
+                        t[: max(1, len(t) // 2)] if c else t
+                        for t, c in zip(texts, changed)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        build_index(
+            ray.data.from_arrow(day1), out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False, id_max=mx,
+            ),
+        )
+        old_ids = ids[changed]
+        delete_docs(out, old_ids.astype(np.uint64))
+        compact_deletes(out)
+        fresh = pa.table(
+            {
+                "doc_id": pa.array(mx + 1 + old_ids // 50, pa.int64()),
+                "text": tbl.filter(pa.array(changed))["text"],
+            }
+        )
+        add_docs(out, fresh)
+        with open(marker, "w") as f:
+            _json.dump({"n_changed": int(changed.sum())}, f)
+    with open(marker) as f:
+        n_changed = _json.load(f)["n_changed"]
+    t = _rank_table(search_bm25(out, [BM25_QUERY], k=10))
+    return t.append_column(
+        "n_changed", pa.array([n_changed] * len(t), pa.int64())
+    )
+
+
 def _q_bm25_clustered_prune(sf_dir: str) -> pa.Table:
     """Zone-map shard pruning gate: doc ids REASSIGNED in (source,
     doc_id) order so id-range partitions align with sources, then a
@@ -12227,6 +12293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nrt_add_search": _q_nrt_add_search,
         "query_string_search": _q_query_string_search,
         "bm25_clustered_prune": _q_bm25_clustered_prune,
+        "incremental_crawl_search": _q_incremental_crawl_search,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16650,6 +16717,23 @@ mdocs AS (SELECT doc_id,
 {_BM25_SCORES.replace("FROM documents", "FROM mdocs").lstrip()}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score, 4::bigint AS n_shards
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # continuous-crawl lifecycle: delete+compact+NRT-add of the
+        # recrawled docs must equal a batch build of the final state,
+        # with the changed docs' id remap replayed arithmetically
+        "incremental_crawl_search": f"""
+WITH mm AS (SELECT max(doc_id)::bigint AS mx FROM documents),
+fin AS (SELECT CASE WHEN doc_id % 50 = 0
+                    THEN mm.mx + 1 + doc_id // 50
+                    ELSE doc_id END AS doc_id,
+               text
+        FROM documents, mm),
+{_BM25_SCORES.replace("FROM documents", "FROM fin").lstrip().rstrip()}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score,
+       (SELECT count(*) FROM documents WHERE doc_id % 50 = 0)::bigint
+         AS n_changed
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # zone-map shard pruning over the source-clustered remap: BM25
