@@ -10215,6 +10215,23 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_query_string_extended(sf_dir: str) -> pa.Table:
+    """Extended-grammar gate: ``+required`` posting membership and a
+    negated exact phrase (``-"spark merge"``) compose with plain BM25
+    terms — required/negated membership evaluates per shard, the
+    negated phrase via the positional pre-pass. Oracle: tokenized
+    EXISTS for the + operator, instr() = 0 for the negated phrase."""
+    from dcs_ray.search import search_query
+
+    raw = 'join batch value +window -"spark merge"'
+    return _rank_table(
+        search_query(
+            _index_dir(sf_dir, "words"), raw, k=10,
+            phrase_index_dir=_index_dir(sf_dir, "trigram"),
+        )
+    )
+
+
 def _q_bm25_clustered_prune(sf_dir: str) -> pa.Table:
     """Zone-map shard pruning gate: doc ids REASSIGNED in (source,
     doc_id) order so id-range partitions align with sources, then a
@@ -12294,6 +12311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string_search": _q_query_string_search,
         "bm25_clustered_prune": _q_bm25_clustered_prune,
         "incremental_crawl_search": _q_incremental_crawl_search,
+        "query_string_extended": _q_query_string_extended,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16763,6 +16781,21 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        (SELECT n FROM scanned) AS n_shards_scanned
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # extended grammar: +required membership, negated exact phrase
+        "query_string_extended": f"""
+WITH {_BM25_SCORES.replace(
+    "unnest(['join','merge','spark'])",
+    "unnest(['batch','join','value'])",
+).lstrip().rstrip()},
+req AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window'),
+ban AS (SELECT doc_id FROM documents WHERE instr(text, 'spark merge') > 0)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores
+WHERE doc_id IN (SELECT doc_id FROM req)
+  AND doc_id NOT IN (SELECT doc_id FROM ban)
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         # full query grammar: phrase (instr), per-shard posting negation

@@ -390,33 +390,46 @@ def eval_query(q: Query, lookup) -> "object":
 _KEYWORDS = ("filetype", "package", "pkg", "path", "file", "lang", "site", "source")
 
 
-_PHRASE_RE = _re.compile(r'"([^"]*)"')
+_PHRASE_RE = _re.compile(r'([+-]?)"([^"]*)"')
 
 
 def parse_user_query(q: str) -> dict:
     """Parse the full dcs-web query grammar into a structured plan:
-    ``terms "exact phrase" -negterm key:value -key:value`` →
-    ``{"terms", "phrases", "neg_terms", "includes", "negates"}``.
+    ``terms "exact phrase" -"negated phrase" +required -negterm
+    key:value -key:value`` → ``{"terms", "phrases", "neg_phrases",
+    "req_terms", "neg_terms", "includes", "negates"}``.
 
     Quoted spans become exact-phrase constraints (dcs treats the whole
     query as one regex; phrases are its literal-string case,
-    ``regexp/regexp.go`` literal planning), ``-term`` negates a plain
-    term (``query-rewrite.go`` strips ``-key:value``; bare ``-term`` is
-    the posting-NOT operator), and ``key:value`` keywords route through
-    :func:`rewrite_query` (F4)."""
-    phrases = [p.strip() for p in _PHRASE_RE.findall(q) if p.strip()]
+    ``regexp/regexp.go`` literal planning) and ``-"..."`` excludes the
+    phrase; ``+term`` requires posting membership without changing the
+    scoring terms, ``-term`` negates a plain term (``query-rewrite.go``
+    strips ``-key:value``; bare ``-term`` is the posting-NOT operator),
+    and ``key:value`` keywords route through :func:`rewrite_query`
+    (F4)."""
+    phrases: list[str] = []
+    neg_phrases: list[str] = []
+    for sign, body in _PHRASE_RE.findall(q):
+        body = body.strip()
+        if body:
+            (neg_phrases if sign == "-" else phrases).append(body)
     rest = _PHRASE_RE.sub(" ", q)
     rest, includes, negates = rewrite_query(rest)
     terms: list[str] = []
     neg_terms: list[str] = []
+    req_terms: list[str] = []
     for tok in rest.split():
         if tok.startswith("-") and len(tok) > 1:
             neg_terms.append(tok[1:])
-        elif tok != "-":
+        elif tok.startswith("+") and len(tok) > 1:
+            req_terms.append(tok[1:])
+        elif tok not in ("-", "+"):
             terms.append(tok)
     return {
         "terms": terms,
         "phrases": phrases,
+        "neg_phrases": neg_phrases,
+        "req_terms": req_terms,
         "neg_terms": neg_terms,
         "includes": includes,
         "negates": negates,

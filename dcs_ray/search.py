@@ -1572,9 +1572,13 @@ def search_query(
       and pushed into every shard task as a ``doc_ids`` filter —
       the J4→ranking composition (``index/query.go`` postings AND →
       ``sourcebackend.go`` ranking);
-    - ``-term`` excludes docs containing the term, evaluated inside
-      each shard against its OWN posting lists (``terms_none``) — no
-      driver-side id materialization even for negated stopwords;
+    - ``-term`` excludes (``terms_none``) and ``+term`` requires
+      (``terms_all``) docs by posting membership, evaluated inside each
+      shard against its OWN posting lists — no driver-side id
+      materialization even for negated stopwords;
+    - ``-"quoted phrase"`` excludes exact-phrase matches via the same
+      positional pre-pass (the excluded id set IS driver-materialized —
+      fine for selective phrases, the only kind worth negating);
     - ``key:value`` / ``-key:value`` keywords map onto doc_meta filters
       (F4, ``query-rewrite.go:15-59``).
     """
@@ -1586,19 +1590,36 @@ def search_query(
     neg = sorted({t for nt in p["neg_terms"] for t in tokenize_query_words(nt)})
     if neg:
         filters["terms_none"] = neg
-    if p["phrases"]:
+    req = sorted({t for rt in p["req_terms"] for t in tokenize_query_words(rt)})
+    if req:
+        filters["terms_all"] = req
+    if p["phrases"] or p["neg_phrases"]:
         if phrase_index_dir is None:
             raise ValueError(
                 "quoted phrases need a positional trigram index "
                 "(pass phrase_index_dir)"
             )
-        hits = search_literal(phrase_index_dir, p["phrases"], positional=True)
+        all_phrases = p["phrases"] + p["neg_phrases"]
+        hits = search_literal(phrase_index_dir, all_phrases, positional=True)
         qids = hits["query_id"].to_numpy()
+
+        def _ids(qid: int) -> set:
+            return set(hits.filter(pa.array(qids == qid))["doc_id"].to_pylist())
+
         cand: set | None = None
         for qid in range(len(p["phrases"])):
-            ids = set(hits.filter(pa.array(qids == qid))["doc_id"].to_pylist())
+            ids = _ids(qid)
             cand = ids if cand is None else (cand & ids)
-        filters["doc_ids"] = sorted(cand or ())
+        if cand is not None:
+            filters["doc_ids"] = sorted(cand)
+        banned: set = set()
+        for qid in range(len(p["phrases"]), len(all_phrases)):
+            banned |= _ids(qid)
+        if banned:
+            prev = filters.get("not_doc_ids")
+            if prev is not None and len(prev):
+                banned |= {int(x) for x in prev}
+            filters["not_doc_ids"] = np.array(sorted(banned), dtype=np.uint64)
     qtext = " ".join(p["terms"] + p["phrases"])
     return search_bm25(
         index_dir, [qtext], k=k, stats=stats, filters=filters or None, **kw

@@ -136,3 +136,40 @@ def test_terms_all_requires_posting_membership(indexes):
     missing_term = search_bm25(words, ["spark merge join"], k=10,
                                filters={"terms_all": ["zzzznotaterm"]})
     assert len(missing_term) == 0
+
+
+def test_parse_extended_grammar():
+    p = parse_user_query('alpha +beta -"bad phrase" "good one" -gamma')
+    assert p["terms"] == ["alpha"]
+    assert p["req_terms"] == ["beta"]
+    assert p["neg_terms"] == ["gamma"]
+    assert p["phrases"] == ["good one"]
+    assert p["neg_phrases"] == ["bad phrase"]
+
+
+def test_required_term_operator(indexes):
+    """+term filters by posting membership without changing scoring."""
+    words, _ = indexes
+    a = search_query(words, "spark merge join +window", k=10)
+    b = search_bm25(words, ["spark merge join"], k=10,
+                    filters={"terms_all": ["window"]})
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_negated_phrase_operator(indexes):
+    """-"phrase" excludes exact-phrase matches via the positional
+    pre-pass; remaining ranking is the plain one minus those docs."""
+    words, tri = indexes
+    got = search_query(words, 'join batch value -"spark merge"', k=10,
+                       phrase_index_dir=tri)
+    txt = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    having = {int(d) for d, t in zip(txt["doc_id"].to_pylist(),
+                                     txt["text"].to_pylist())
+              if "spark merge" in t}
+    assert having, "fixture phrase must occur"
+    assert not (set(got["doc_id"].to_pylist()) & having)
+    full = search_bm25(words, ["join batch value"], k=10 + len(having))
+    keep = [int(d) not in having for d in full["doc_id"].to_pylist()]
+    expect = full.filter(pa.array(keep)).slice(0, 10)
+    assert got["doc_id"].to_pylist() == expect["doc_id"].to_pylist()
