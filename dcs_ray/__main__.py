@@ -544,7 +544,7 @@ def cmd_fsck(args) -> None:
     shard staleness, pending tombstones, tmp leftovers, stats drift."""
     from dcs_ray.index.fsck import repair_index, verify_index
 
-    rep = verify_index(args.index)
+    rep = verify_index(args.index, deep=args.deep)
     print(json.dumps(rep))
     if args.repair and not rep["ok"]:
         _ray()
@@ -871,6 +871,7 @@ def main() -> None:
     d = sub.add_parser("fsck", help="index consistency report / repair")
     d.add_argument("index")
     d.add_argument("--repair", action="store_true")
+    d.add_argument("--deep", action="store_true", help="re-CRC segment blobs")
     d.set_defaults(fn=cmd_fsck)
 
     d = sub.add_parser("query", help="search with the full query grammar")

@@ -72,13 +72,30 @@ def stale_shard_ids(index_dir: str) -> list[int]:
     return sorted(stale)
 
 
-def verify_index(index_dir: str) -> dict:
+def verify_index(index_dir: str, deep: bool = False) -> dict:
     """Consistency report; ``ok`` is True when nothing needs attention
     (pending tombstones are reported but are a VALID serving state —
-    search folds them in — so they don't clear ``ok`` on their own)."""
+    search folds them in — so they don't clear ``ok`` on their own).
+
+    ``deep=True`` additionally re-CRCs every segment's postings.bin
+    against its lineage checksum — bit rot / truncated writes, the one
+    corruption provenance can't see (the data itself, not a derived
+    copy). Corrupted segments are unrepairable from within the index
+    (segments ARE the source of truth); the report names them so the
+    operator can re-import those partitions (``update_partition``)."""
     from dcs_ray.index.deletes import load_tombstones
 
     segs = _segment_lineages(index_dir)
+    corrupted = []
+    if deep:
+        import zlib
+
+        seg_root = os.path.join(index_dir, "segments")
+        for name, lin in segs.items():
+            blob = os.path.join(seg_root, name, "postings.bin")
+            with open(blob, "rb") as f:
+                if zlib.crc32(f.read()) != lin["checksum"]:
+                    corrupted.append(name)
     stale = stale_shard_ids(index_dir)
     unknown = [
         sl["shard_id"]
@@ -98,12 +115,16 @@ def verify_index(index_dir: str) -> dict:
     return {
         "stale_shards": stale,
         "shards_without_provenance": sorted(unknown),
+        "corrupted_segments": corrupted,
         "n_pending_tombstones": int(len(load_tombstones(index_dir))),
         "tmp_paths": sorted(tmp_paths),
         "segment_doc_count": seg_docs,
         "stats_doc_count": stats_docs,
         "stats_consistent": stats_docs == seg_docs,
-        "ok": not stale and not tmp_paths and stats_docs == seg_docs,
+        "ok": not stale
+        and not corrupted
+        and not tmp_paths
+        and stats_docs == seg_docs,
     }
 
 

@@ -107,3 +107,21 @@ def test_repair_heals_even_without_tombstones(tmp_path):
     )
     # and repair is idempotent
     assert repair_index(out)["stale_shards"] == []
+
+
+def test_deep_verify_detects_blob_corruption(tmp_path):
+    """deep=True re-CRCs postings.bin; a single flipped byte in one
+    segment is named in the report (unrepairable — segments are the
+    source of truth — so it is reported, not healed)."""
+    out = str(tmp_path / "idx")
+    _build(out)
+    assert verify_index(out, deep=True)["ok"]
+    blob = os.path.join(out, "segments", "seg_000001", "postings.bin")
+    data = bytearray(open(blob, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    with open(blob, "wb") as f:
+        f.write(data)
+    rep = verify_index(out, deep=True)
+    assert rep["corrupted_segments"] == ["seg_000001"] and not rep["ok"]
+    # shallow verify can't see it (checksums aren't recomputed)
+    assert verify_index(out)["ok"]
