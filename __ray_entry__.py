@@ -10215,6 +10215,42 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_passage_best_window(sf_dir: str) -> pa.Table:
+    """Passage retrieval gate (Callan '94 fixed-width): for each BM25
+    top-10 doc, the 30-token window with the most query-term hits
+    (earliest on ties) — all-integer output, replayed in SQL from
+    zipped unnest positions with a RANGE-frame window count."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.grep import best_passage_windows
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, [BM25_QUERY], k=10)
+    ids = t["doc_id"].to_pylist()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).sort_by("doc_id")
+    win = best_passage_windows(docs["text"], ["join", "merge", "spark"], window=30)
+    by_id = {
+        int(d): (s, h)
+        for d, s, h in zip(
+            docs["doc_id"].to_pylist(),
+            win["pass_start"].to_pylist(),
+            win["pass_hits"].to_pylist(),
+        )
+    }
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "pass_start": pa.array([by_id[int(i)][0] for i in ids], pa.int64()),
+            "pass_hits": pa.array([by_id[int(i)][1] for i in ids], pa.int64()),
+        }
+    )
+
+
 def _q_query_string_extended(sf_dir: str) -> pa.Table:
     """Extended-grammar gate: ``+required`` posting membership and a
     negated exact phrase (``-"spark merge"``) compose with plain BM25
@@ -12312,6 +12348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_clustered_prune": _q_bm25_clustered_prune,
         "incremental_crawl_search": _q_incremental_crawl_search,
         "query_string_extended": _q_query_string_extended,
+        "passage_best_window": _q_passage_best_window,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16782,6 +16819,38 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # best 30-token passage per top-10 doc: zipped unnest positions,
+        # RANGE-frame hit count per candidate start, argmax w/ early tie
+        "passage_best_window": f"""
+WITH {_BM25_SCORES.lstrip().rstrip()},
+top10 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+          FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+tokp AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM top10))
+),
+hits AS (SELECT doc_id, pos FROM tokp
+         WHERE term IN ('join', 'merge', 'spark')),
+wnd AS (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                              RANGE BETWEEN CURRENT ROW AND 29 FOLLOWING)
+                 AS n
+        FROM hits),
+best AS (SELECT doc_id, pos AS pass_start, n AS pass_hits,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, pos ASC) AS rn
+         FROM wnd)
+SELECT t.rank, t.doc_id,
+       b.pass_start::bigint AS pass_start, b.pass_hits::bigint AS pass_hits
+FROM top10 t JOIN best b USING (doc_id)
+WHERE b.rn = 1
+ORDER BY t.rank
 """,
         # extended grammar: +required membership, negated exact phrase
         "query_string_extended": f"""

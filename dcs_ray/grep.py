@@ -355,3 +355,65 @@ def first_match_snippets(
             start = max(best - before, 0)
             out.append(s[start : start + width])
     return pa.array(out, pa.string())
+
+
+def best_passage_windows(
+    texts: pa.Array | pa.ChunkedArray, terms: list[str], window: int = 30
+) -> pa.Table:
+    """Best fixed-width passage per text row: the ``window``-token span
+    holding the most query-term occurrences (Callan '94 fixed-arity
+    passage retrieval) — the snippet seeder one level above
+    ``first_match_snippets``' first-hit heuristic, and the passage
+    scorer a QA pipeline feeds its reader from.
+
+    One vectorized pass over the whole batch: flat tokenization, a
+    term-membership mask, then for every hit h the number of hits in
+    ``[h, h+window)`` is one global ``searchsorted`` on doc-offset
+    composite keys (the optimal window always starts at a hit). Ties
+    break to the earliest start; rows without any hit report (0, 0).
+    Returns ``(pass_start, pass_hits)`` int64 columns aligned to rows —
+    both token indices, so an SQL oracle replays them exactly from
+    zipped ``unnest(toks) / unnest(range(len(toks)))`` positions.
+    """
+    import pyarrow.compute as pc
+
+    from dcs_ray.tokenize import word_tokens_flat
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    best_start = np.zeros(n, np.int64)
+    best_hits = np.zeros(n, np.int64)
+    flat, parents = word_tokens_flat(texts)
+    if len(flat) == 0:
+        return pa.table(
+            {"pass_start": pa.array(best_start), "pass_hits": pa.array(best_hits)}
+        )
+    counts = np.bincount(parents, minlength=n)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    pos = np.arange(len(parents), dtype=np.int64) - offs[parents]
+    member = pc.is_in(
+        flat, value_set=pa.array(sorted(set(terms)), pa.string())
+    ).to_numpy(zero_copy_only=False)
+    hp = parents[member].astype(np.int64)
+    hpos = pos[member]
+    if len(hp) == 0:
+        return pa.table(
+            {"pass_start": pa.array(best_start), "pass_hits": pa.array(best_hits)}
+        )
+    # composite keys: doc-major, position-minor — globally sorted, so ONE
+    # searchsorted counts each hit's window across every doc at once
+    big = np.int64(int(pos.max()) + window + 2)
+    keys = hp * big + hpos
+    cnt = np.searchsorted(keys, keys + window, side="left") - np.arange(len(keys))
+    # per-doc argmax (hits desc, start asc): hp is already ascending, so
+    # lexsort within doc and take each run's head
+    order = np.lexsort((hpos, -cnt, hp))
+    hp_o = hp[order]
+    heads = order[np.concatenate(([0], np.flatnonzero(hp_o[1:] != hp_o[:-1]) + 1))]
+    rows = hp[heads]
+    best_start[rows] = hpos[heads]
+    best_hits[rows] = cnt[heads]
+    return pa.table(
+        {"pass_start": pa.array(best_start), "pass_hits": pa.array(best_hits)}
+    )
