@@ -10215,6 +10215,25 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_query_clarity(sf_dir: str) -> pa.Table:
+    """Query-performance-prediction gate: clarity score of the BM25
+    top-10 (uniform result-mixture LM vs collection LM, cf from the
+    index's own postings) — the whole KL chain replayed in SQL."""
+    from dcs_ray.search import query_clarity
+
+    r = query_clarity(
+        _index_dir(sf_dir, "words"), BM25_QUERY,
+        f"{sf_dir}/documents.parquet", k=10,
+    )
+    return pa.table(
+        {
+            "clarity": pa.array([r["clarity"]], pa.float64()),
+            "n_vocab": pa.array([r["n_vocab"]], pa.int64()),
+            "n_docs": pa.array([r["n_docs"]], pa.int64()),
+        }
+    )
+
+
 def _q_passage_best_window(sf_dir: str) -> pa.Table:
     """Passage retrieval gate (Callan '94 fixed-width): for each BM25
     top-10 doc, the 30-token window with the most query-term hits
@@ -12349,6 +12368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_crawl_search": _q_incremental_crawl_search,
         "query_string_extended": _q_query_string_extended,
         "passage_best_window": _q_passage_best_window,
+        "query_clarity": _q_query_clarity,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16819,6 +16839,24 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # clarity score: KL(top-10 uniform-mixture LM || collection LM)
+        "query_clarity": f"""
+WITH {_BM25_SCORES.lstrip().rstrip()},
+top10 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+ttok AS (SELECT doc_id, term FROM tok
+         WHERE doc_id IN (SELECT doc_id FROM top10)),
+dl2 AS (SELECT doc_id, count(*)::double AS dl FROM ttok GROUP BY doc_id),
+ptf AS (SELECT t.term, sum(t.cnt / (10.0 * dl2.dl)) AS pq
+        FROM (SELECT doc_id, term, count(*)::double AS cnt
+              FROM ttok GROUP BY 1, 2) t
+        JOIN dl2 USING (doc_id)
+        GROUP BY t.term),
+cf AS (SELECT term, count(*)::double AS c FROM tok GROUP BY term),
+tot AS (SELECT count(*)::double AS n FROM tok)
+SELECT round(sum(pq * log2(pq / (c / n))), 6) + 0.0 AS clarity,
+       count(*)::bigint AS n_vocab, 10::bigint AS n_docs
+FROM ptf JOIN cf USING (term), tot
 """,
         # best 30-token passage per top-10 doc: zipped unnest positions,
         # RANGE-frame hit count per candidate start, argmax w/ early tie

@@ -1626,6 +1626,55 @@ def search_query(
     )
 
 
+def query_clarity(
+    index_dir: str,
+    query: str,
+    docs_path: str,
+    k: int = 10,
+    stats: dict | None = None,
+) -> dict:
+    """Post-retrieval query-performance prediction: the CLARITY score
+    (Cronen-Townsend '02) — KL divergence in bits between the top-k
+    result set's language model and the collection model. High clarity
+    = a focused result vocabulary = the query will likely perform well;
+    the canonical signal for selective query expansion / routing.
+
+    Deterministic simplification: the result model is the uniform
+    mixture ``P(w|Q) = (1/k) Σ_topk tf(w,d)/dl(d)`` (the original
+    weights by P(Q|d); uniform keeps the replay free of score floats).
+    ``P(w|C) = cf(w)/total_tokens`` with cf decoded from the index's
+    OWN posting lists (``collection_cf`` — vocab-bounded, no corpus
+    pass) and total tokens from the stats sink. Only the k result docs
+    leave storage (pushdown read)."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    stats = stats or load_stats(index_dir)
+    top = search_bm25(index_dir, [query], k=k, stats=stats)
+    ids = sorted(int(d) for d in top["doc_id"].to_pylist())
+    if not ids:
+        return {"clarity": 0.0, "n_vocab": 0, "n_docs": 0}
+    docs = pq.read_table(
+        docs_path, columns=["doc_id", "text"], filters=[("doc_id", "in", ids)]
+    ).sort_by("doc_id")
+    flat, parents = word_tokens_flat(docs["text"])
+    dl = np.bincount(parents, minlength=len(docs)).astype(np.float64)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    tidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    p_q = np.zeros(len(vocab), np.float64)
+    np.add.at(p_q, tidx, 1.0 / (len(ids) * dl[parents]))
+    cf = collection_cf(index_dir, vocab)
+    p_c = np.array([cf[t] for t in vocab], np.float64) / float(stats["sum_doc_len"])
+    clarity = float(np.sum(p_q * np.log2(p_q / p_c)))
+    return {
+        "clarity": round(clarity, 6) + 0.0,
+        "n_vocab": len(vocab),
+        "n_docs": len(ids),
+    }
+
+
 def search_boolean(
     index_dir: str,
     include: list[str],
