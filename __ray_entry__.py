@@ -963,6 +963,54 @@ h2 AS (SELECT *, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX
 hf AS (SELECT *, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM h2)"""
 
 
+def _interleave_sql(k: int, seed: int) -> str:
+    """Unrolled team-draft rounds (the ``team_draft_interleave``
+    oracle): expects CTEs ``ra`` / ``rb`` with (doc_id, rank). Coin per
+    pick index via the GOLDEN-add splitmix64 chain; at each round the
+    team with fewer picks selects its best unpicked doc, coin breaking
+    balance ties (heads=0 → team A)."""
+    M64 = "18446744073709551616"
+    GOLDEN = 0x9E3779B97F4A7C15
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+    parts = [
+        f"""c0 AS (SELECT s, ((s::hugeint + {seed} + {GOLDEN}) % {M64}) AS x0
+      FROM (SELECT unnest(range({k})) AS s)),
+c1 AS (SELECT s, ({_mulmod64("xor(x0::ubigint, x0::ubigint >> 30)::hugeint", MIX1 + "::hugeint")}) AS x1 FROM c0),
+c2 AS (SELECT s, ({_mulmod64("xor(x1::ubigint, x1::ubigint >> 27)::hugeint", MIX2 + "::hugeint")}) AS x2 FROM c1),
+coins AS MATERIALIZED (SELECT s, (xor(x2::ubigint, x2::ubigint >> 31)::hugeint % 2)::bigint AS coin FROM c2),
+sel0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS team WHERE FALSE)"""
+    ]
+    for i in range(k):
+        parts.append(f"""nA{i} AS MATERIALIZED (SELECT doc_id FROM ra
+       WHERE doc_id NOT IN (SELECT doc_id FROM sel{i})
+       ORDER BY rank LIMIT 1),
+nB{i} AS MATERIALIZED (SELECT doc_id FROM rb
+       WHERE doc_id NOT IN (SELECT doc_id FROM sel{i})
+       ORDER BY rank LIMIT 1),
+use{i} AS MATERIALIZED (SELECT EXISTS (SELECT 1 FROM nA{i}) AND (
+             NOT EXISTS (SELECT 1 FROM nB{i})
+             OR (SELECT count(*) FILTER (WHERE team = 0) FROM sel{i})
+                < (SELECT count(*) FILTER (WHERE team = 1) FROM sel{i})
+             OR ((SELECT count(*) FILTER (WHERE team = 0) FROM sel{i})
+                 = (SELECT count(*) FILTER (WHERE team = 1) FROM sel{i})
+                 AND (SELECT coin FROM coins WHERE s = {i}) = 0)
+           ) AS a),
+pick{i} AS MATERIALIZED (
+  SELECT {i + 1}::bigint AS pos, doc_id, 0::bigint AS team FROM nA{i}
+  WHERE (SELECT a FROM use{i})
+  UNION ALL
+  SELECT {i + 1}::bigint, doc_id, 1::bigint FROM nB{i}
+  WHERE NOT (SELECT a FROM use{i})),
+sel{i + 1} AS MATERIALIZED (SELECT doc_id, team FROM sel{i}
+            UNION ALL SELECT doc_id, team FROM pick{i})""")
+    rounds = ",\n".join(parts)
+    final = "\nUNION ALL ".join(
+        f"SELECT pos, doc_id, team FROM pick{i}" for i in range(k)
+    )
+    return f"{rounds}\n{final}\nORDER BY pos"
+
+
 def _hll_registers_sql() -> str:
     """Integer-SQL replay of the HLL fold over events.user_id (p=12):
     splitmix64 via 32-bit-limb mulmod, then a halving bit-length ladder
@@ -10215,6 +10263,22 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_team_draft_interleave(sf_dir: str) -> pa.Table:
+    """Online ranker-comparison gate: team-draft interleaving of the
+    BM25 and Dirichlet-QL top-10s (Radlinski '08) — every pick decision
+    (balance, exhaustion, splitmix coin on ties) replayed as unrolled
+    SQL rounds over both ranking chains."""
+    from dcs_ray.functions.evaluate import team_draft_interleave
+    from dcs_ray.search import search_bm25, search_lm
+
+    idx = _index_dir(sf_dir, "words")
+    a = search_bm25(idx, [BM25_QUERY], k=10)["doc_id"].to_pylist()
+    b = search_lm(idx, [BM25_QUERY], k=10, model="qld", mu=300.0)[
+        "doc_id"
+    ].to_pylist()
+    return team_draft_interleave(a, b, k=10, seed=7)
+
+
 def _q_query_clarity(sf_dir: str) -> pa.Table:
     """Query-performance-prediction gate: clarity score of the BM25
     top-10 (uniform result-mixture LM vs collection LM, cf from the
@@ -12369,6 +12433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_string_extended": _q_query_string_extended,
         "passage_best_window": _q_passage_best_window,
         "query_clarity": _q_query_clarity,
+        "team_draft_interleave": _q_team_draft_interleave,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16839,6 +16904,30 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # team-draft interleave of BM25 vs QLD top-10s (coin = splitmix)
+        "team_draft_interleave": f"""
+WITH {_BM25_SCORES.lstrip().rstrip()},
+ra AS MATERIALIZED (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+coll AS (SELECT sum(doc_len)::double AS ct FROM dl),
+cfq AS (SELECT term, count(*)::double AS cf FROM tok
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+mq AS (SELECT count(*)::bigint AS m FROM cfq),
+spq AS (SELECT tf.doc_id,
+               sum(ln(1.0 + tf.tf / (300.0 * (cfq.cf / coll.ct)))) AS sp
+        FROM tf JOIN cfq USING (term), coll
+        WHERE tf.term IN (SELECT term FROM q)
+        GROUP BY tf.doc_id),
+qsc AS (SELECT spq.doc_id,
+               spq.sp + (SELECT m FROM mq)
+                 * ln(300.0 / (dl.doc_len + 300.0)) AS score
+        FROM spq JOIN dl USING (doc_id)),
+rb AS MATERIALIZED (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       FROM qsc ORDER BY score DESC, doc_id ASC LIMIT 10),
+{_interleave_sql(10, 7)}
 """,
         # clarity score: KL(top-10 uniform-mixture LM || collection LM)
         "query_clarity": f"""

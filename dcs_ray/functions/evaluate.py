@@ -186,3 +186,52 @@ def tune_bm25(
         }
     )
     return out.sort_by([("k1", "ascending"), ("b", "ascending")])
+
+
+def team_draft_interleave(ids_a, ids_b, k: int = 10, seed: int = 0) -> pa.Table:
+    """Team-draft interleaving (Radlinski & Craswell '08): merge two
+    rankings into one list for online A/B ranking comparison — clicks
+    on team-0 docs credit ranker A, team-1 ranker B. At each step the
+    team with fewer picks selects its best not-yet-picked doc; on a
+    balance tie a coin decides, here ``splitmix64(seed + step) & 1`` so
+    an integer SQL chain replays every decision. Result-set-sized
+    (k ≤ tens), so the driver loop is O(k); returns (pos, doc_id, team).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from dcs_ray.functions.sketches import _splitmix64
+
+    a = [int(x) for x in ids_a]
+    b = [int(x) for x in ids_b]
+    picked: list[int] = []
+    teams: list[int] = []
+    chosen: set[int] = set()
+    ia = ib = na = nb = 0
+    step = 0
+    while len(picked) < k:
+        while ia < len(a) and a[ia] in chosen:
+            ia += 1
+        while ib < len(b) and b[ib] in chosen:
+            ib += 1
+        a_ok, b_ok = ia < len(a), ib < len(b)
+        if not a_ok and not b_ok:
+            break
+        coin = int(_splitmix64(np.array([seed + step], np.uint64))[0] & np.uint64(1))
+        if a_ok and (not b_ok or na < nb or (na == nb and coin == 0)):
+            picked.append(a[ia])
+            teams.append(0)
+            na += 1
+        else:
+            picked.append(b[ib])
+            teams.append(1)
+            nb += 1
+        chosen.add(picked[-1])
+        step += 1
+    return pa.table(
+        {
+            "pos": pa.array(range(1, len(picked) + 1), pa.int64()),
+            "doc_id": pa.array(picked, pa.int64()),
+            "team": pa.array(teams, pa.int64()),
+        }
+    )
