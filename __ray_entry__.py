@@ -10263,6 +10263,52 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_redirect_terminals(sf_dir: str) -> pa.Table:
+    """Redirect-chain resolution gate (pointer doubling, Wyllie '79
+    shortcutting): a synthetic HTTP-redirect map ``d → d//2`` for every
+    ``d % 3 == 0, d > 0`` creates chains up to ~log₂(N) hops; the
+    doubled map resolves every doc to its terminal in one broadcast
+    probe pass, and the top-20 redirect sinks are gated. Oracle: six
+    MATERIALIZED doubling self-joins (1 → 64-hop reach)."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.functions.graph import resolve_redirects
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    src = np.sort(ids[(ids % 3 == 0) & (ids > 0)].astype(np.int64))
+    res = resolve_redirects(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        "doc_id", src, src // 2, n_rounds=6,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t, c = np.unique(b["terminal_id"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"terminal_id": pa.array(t, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    parts = pa.concat_tables(
+        pa.table(b)
+        for b in res.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    g = (
+        parts.group_by("terminal_id")
+        .aggregate([("n", "sum")])
+        .sort_by([("n_sum", "descending"), ("terminal_id", "ascending")])
+        .slice(0, 20)
+    )
+    return pa.table(
+        {
+            "terminal_id": g["terminal_id"],
+            "n_docs": g["n_sum"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_team_draft_interleave(sf_dir: str) -> pa.Table:
     """Online ranker-comparison gate: team-draft interleaving of the
     BM25 and Dirichlet-QL top-10s (Radlinski '08) — every pick decision
@@ -12434,6 +12480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_best_window": _q_passage_best_window,
         "query_clarity": _q_query_clarity,
         "team_draft_interleave": _q_team_draft_interleave,
+        "redirect_terminals": _q_redirect_terminals,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16904,6 +16951,29 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # redirect terminals: 6 materialized pointer-doubling self-joins
+        "redirect_terminals": """
+WITH m0 AS MATERIALIZED (
+  SELECT doc_id AS s, doc_id // 2 AS d FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id > 0),
+m1 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m0 a LEFT JOIN m0 b ON b.s = a.d),
+m2 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m1 a LEFT JOIN m1 b ON b.s = a.d),
+m3 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m2 a LEFT JOIN m2 b ON b.s = a.d),
+m4 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m3 a LEFT JOIN m3 b ON b.s = a.d),
+m5 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m4 a LEFT JOIN m4 b ON b.s = a.d),
+m6 AS MATERIALIZED (SELECT a.s, coalesce(b.d, a.d) AS d
+                    FROM m5 a LEFT JOIN m5 b ON b.s = a.d),
+res AS (SELECT coalesce(m6.d, documents.doc_id) AS terminal_id
+        FROM documents LEFT JOIN m6 ON m6.s = documents.doc_id)
+SELECT terminal_id, count(*)::bigint AS n_docs
+FROM res GROUP BY 1
+ORDER BY n_docs DESC, terminal_id ASC LIMIT 20
 """,
         # team-draft interleave of BM25 vs QLD top-10s (coin = splitmix)
         "team_draft_interleave": f"""

@@ -1170,3 +1170,52 @@ def degree_assortativity(
     db_ = math.sqrt((float(n) * float(syy)) - (float(sy) * float(sy)))
     r = round(num / (da_ * db_), 6) if da_ * db_ > 0 else 0.0
     return n, r
+
+
+def pointer_double(src: np.ndarray, dst: np.ndarray, n_rounds: int) -> np.ndarray:
+    """Pointer doubling over a FUNCTIONAL graph (each src has exactly one
+    dst): after r rounds every pointer has jumped 2**r hops or reached a
+    terminal — the classic O(log chain) parallel chain-resolution kernel
+    (Wyllie '79 list ranking / path shortcutting), here for redirect
+    chains (HTTP 3xx maps, canonical-url graphs, symlink farms).
+
+    ``src`` must be sorted unique; nodes absent from ``src`` are
+    terminals (they map to themselves). Returns the dst array after
+    doubling — ``dst[i]`` is src[i]'s 2**n_rounds-hop ancestor. The map
+    itself is assumed broadcastable (redirect maps are a small fraction
+    of the corpus); per-corpus resolution then happens inside
+    ``map_batches`` via one searchsorted probe per batch — see
+    ``resolve_redirects``. For an unbroadcastable map, each round is a
+    bucketed hash self-join instead (same shape as the CC stars above).
+    """
+    dst = dst.copy()
+    for _ in range(n_rounds):
+        pos = np.searchsorted(src, dst)
+        pos = np.minimum(pos, len(src) - 1)
+        hit = src[pos] == dst
+        dst = np.where(hit, dst[pos], dst)  # terminal dsts stay put
+    return dst
+
+
+def resolve_redirects(
+    ds: "ray.data.Dataset", id_col: str, src: np.ndarray, dst: np.ndarray,
+    n_rounds: int = 6, out_col: str = "terminal_id",
+) -> "ray.data.Dataset":
+    """Resolve every row's id through the redirect map to its terminal:
+    the map doubles driver-side (it is redirect-sized, not
+    corpus-sized), is broadcast ONCE via ``ray.put``, and the corpus
+    pass is one vectorized searchsorted per batch."""
+    order = np.argsort(src)
+    src_s = src[order]
+    final = pointer_double(src_s, dst[order], n_rounds)
+    ref = ray.put((src_s, final))
+
+    def probe(b: pa.Table) -> pa.Table:
+        s, f = ray.get(ref)
+        ids = b[id_col].to_numpy().astype(s.dtype)
+        pos = np.minimum(np.searchsorted(s, ids), len(s) - 1)
+        hit = (s[pos] == ids) if len(s) else np.zeros(len(ids), bool)
+        term = np.where(hit, f[pos] if len(s) else ids, ids)
+        return b.append_column(out_col, pa.array(term.astype(np.int64), pa.int64()))
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -572,3 +572,26 @@ def test_degree_assortativity_known_graphs(ray_session):
     )
     _, r = degree_assortativity(ray.data.from_arrow(cyc))
     assert r == 0.0
+
+
+def test_pointer_double_resolves_chains():
+    """Pointer doubling reaches every chain's terminal in log rounds —
+    checked against a per-node iterative walk."""
+    import numpy as np
+
+    from dcs_ray.functions.graph import pointer_double
+
+    ids = np.arange(1, 5000)
+    src = np.sort(ids[ids % 3 == 0].astype(np.int64))
+    out = pointer_double(src, src // 2, 6)
+
+    def walk(d):
+        while d % 3 == 0 and d > 0:
+            d //= 2
+        return d
+
+    assert all(int(o) == walk(int(s)) for s, o in zip(src, out))
+    # insufficient rounds stop mid-chain (2 rounds = 4 hops < longest)
+    longest = max(src.tolist(), key=lambda s: len(bin(int(s))))
+    part = pointer_double(src, src // 2, 1)
+    assert any(int(o) != walk(int(s)) for s, o in zip(src, part))
