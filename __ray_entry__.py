@@ -10263,6 +10263,40 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_cori_collection_ranking(sf_dir: str) -> pa.Table:
+    """Federated-search gate: CORI collection selection (Callan '95)
+    over three source-sharded sub-indexes — belief per collection from
+    vocab-thin df/cw metadata only, no document reads; the oracle
+    recomputes df/cw per source group and replays the T·I arithmetic."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import cori_collection_scores
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dirs = []
+    for g in range(3):
+        out = os.path.join(_CACHE_ROOT, f"{name}_words_cori{g}")
+        dirs.append(out)
+        if os.path.exists(os.path.join(out, "MANIFEST.json")):
+            continue
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        grp = np.array(
+            [int(s[3:]) % 3 for s in tbl["source"].to_pylist()], np.int64
+        )
+        sub = tbl.filter(pa.array(grp == g)).drop_columns(["source"])
+        build_index(
+            ray.data.from_arrow(sub), out,
+            IndexConfig(
+                num_partitions=4, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False,
+            ),
+        )
+    return cori_collection_scores(dirs, BM25_QUERY)
+
+
 def _q_redirect_terminals(sf_dir: str) -> pa.Table:
     """Redirect-chain resolution gate (pointer doubling, Wyllie '79
     shortcutting): a synthetic HTTP-redirect map ``d → d//2`` for every
@@ -12481,6 +12515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_clarity": _q_query_clarity,
         "team_draft_interleave": _q_team_draft_interleave,
         "redirect_terminals": _q_redirect_terminals,
+        "cori_collection_ranking": _q_cori_collection_ranking,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16951,6 +16986,40 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # CORI collection selection: per-source-group df/cw T·I beliefs
+        "cori_collection_ranking": """
+WITH g AS (SELECT doc_id, text,
+                  (CAST(substr(source, 4) AS INT) % 3) AS coll
+           FROM documents),
+tok AS (SELECT coll, doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM g),
+cw AS (SELECT coll, count(*)::double AS cw FROM tok GROUP BY coll),
+avgcw AS (SELECT avg(cw) AS a FROM cw),
+q AS (SELECT unnest(['join', 'merge', 'spark']) AS term),
+df AS (SELECT coll, term, count(DISTINCT doc_id)::double AS df
+       FROM tok WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+cft AS (SELECT term, count(*)::double AS cf FROM df WHERE df > 0
+        GROUP BY term),
+ct AS (SELECT cw.coll, q.term FROM cw CROSS JOIN q),
+bel AS (SELECT ct.coll,
+               0.4 + 0.6
+                 * (coalesce(df.df, 0)
+                    / (coalesce(df.df, 0) + 50.0
+                       + 150.0 * cw.cw / avgcw.a))
+                 * (CASE WHEN cft.cf IS NULL THEN 0.0
+                         ELSE ln((3 + 0.5) / cft.cf) / ln(4.0) END) AS b
+        FROM ct
+        JOIN cw USING (coll)
+        LEFT JOIN df ON df.coll = ct.coll AND df.term = ct.term
+        LEFT JOIN cft ON cft.term = ct.term, avgcw),
+s AS (SELECT coll, round(sum(b) / 3.0, 6) + 0.0 AS belief
+      FROM bel GROUP BY coll)
+SELECT coll::bigint AS collection, belief,
+       row_number() OVER (ORDER BY belief DESC, coll ASC)::bigint AS rank
+FROM s ORDER BY collection
 """,
         # redirect terminals: 6 materialized pointer-doubling self-joins
         "redirect_terminals": """

@@ -1675,6 +1675,57 @@ def query_clarity(
     }
 
 
+def cori_collection_scores(
+    index_dirs: list[str], query: str
+) -> pa.Table:
+    """CORI collection selection (Callan '95): rank whole sub-indexes by
+    query belief so a federated query fans out only to the most
+    promising collections — content-based shard routing one level above
+    the zone maps (those prune on metadata equality; CORI ranks on term
+    statistics). All inputs are vocab-thin metadata reads per
+    collection: df of the query terms (predicate-pushdown on the stats
+    table) and the collection token count from the stats sink — no
+    document is touched.
+
+    Per term t and collection c:  T = df / (df + 50 + 150·cw_c/avg_cw),
+    I = ln((C + 0.5)/cf_t) / ln(C + 1), belief = 0.4 + 0.6·T·I; the
+    collection score is the mean belief over the query terms (terms no
+    collection holds contribute their floor 0.4). Returns
+    (collection, belief, rank) with belief rounded to 6dp and ties to
+    the smaller collection index."""
+    from dcs_ray.tokenize import tokenize_query_words
+
+    terms = sorted(tokenize_query_words(query))
+    C = len(index_dirs)
+    dfs = [global_df(d, terms) for d in index_dirs]
+    cws = [float(load_stats(d)["sum_doc_len"]) for d in index_dirs]
+    avg_cw = sum(cws) / C
+    beliefs = []
+    for ci in range(C):
+        vals = []
+        for t in terms:
+            df = float(dfs[ci].get(t, 0))
+            cf_t = sum(1 for d in dfs if d.get(t, 0) > 0)
+            if cf_t == 0:
+                vals.append(0.4)
+                continue
+            T = df / (df + 50.0 + 150.0 * cws[ci] / avg_cw)
+            I = np.log((C + 0.5) / cf_t) / np.log(C + 1.0)
+            vals.append(0.4 + 0.6 * T * I)
+        beliefs.append(round(float(np.mean(vals)), 6) + 0.0)
+    order = sorted(range(C), key=lambda i: (-beliefs[i], i))
+    rank = [0] * C
+    for r, i in enumerate(order):
+        rank[i] = r + 1
+    return pa.table(
+        {
+            "collection": pa.array(range(C), pa.int64()),
+            "belief": pa.array(beliefs, pa.float64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 def search_boolean(
     index_dir: str,
     include: list[str],
