@@ -10263,6 +10263,24 @@ def _q_incremental_crawl_search(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_fetch_schedule(sf_dir: str) -> pa.Table:
+    """Crawl-scheduler gate: the frontier (newest crawl per url) gets a
+    politeness-partitioned fetch plan — slot = rank within host, fetch
+    order (slot, host, url), so wave 0 touches every host once. First
+    60 fetches gated; the oracle replays the url synthesis and the
+    per-host row_number."""
+    from dcs_ray.functions.urls import fetch_schedule
+    from dcs_ray.sources.pages import dedup_latest_crawl, read_pages
+
+    sched = fetch_schedule(dedup_latest_crawl(read_pages(sf_dir)))
+    t = pa.concat_tables(
+        pa.table(b) for b in sched.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("slot", "ascending"), ("host", "ascending"), ("url", "ascending")]
+    ).slice(0, 60)
+
+
 def _q_cori_collection_ranking(sf_dir: str) -> pa.Table:
     """Federated-search gate: CORI collection selection (Callan '95)
     over three source-sharded sub-indexes — belief per collection from
@@ -12516,6 +12534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "team_draft_interleave": _q_team_draft_interleave,
         "redirect_terminals": _q_redirect_terminals,
         "cori_collection_ranking": _q_cori_collection_ranking,
+        "fetch_schedule": _q_fetch_schedule,
         "bm25_varint_topk": lambda sf: _q_bm25_codec_variant(sf, "varint"),
         "bm25_svbyte_topk": lambda sf: _q_bm25_codec_variant(sf, "svbyte"),
         "hll_error_audit": _q_hll_error_audit,
@@ -16986,6 +17005,20 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores
 WHERE doc_id IN (SELECT doc_id FROM remap WHERE source = 'src0')
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # politeness fetch schedule: slot = per-host url rank, wave order
+        "fetch_schedule": """
+WITH u AS (SELECT DISTINCT
+             'https://' || source || '.example.org/doc/'
+               || lpad(doc_id::varchar, 8, '0') AS url,
+             source || '.example.org' AS host
+           FROM documents),
+s AS (SELECT url, host,
+             (row_number() OVER (PARTITION BY host ORDER BY url) - 1)::bigint
+               AS slot
+      FROM u)
+SELECT url, host, slot FROM s
+ORDER BY slot, host, url LIMIT 60
 """,
         # CORI collection selection: per-source-group df/cw T·I beliefs
         "cori_collection_ranking": """

@@ -158,3 +158,63 @@ def host_stats(
         return b.select(["host", "n_pages", "total_text_chars"])
 
     return agg.map_batches(order_cols, batch_format="pyarrow")
+
+
+def fetch_schedule(
+    ds: "ray.data.Dataset", url_col: str = "url", n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Politeness-partitioned fetch schedule for a crawl frontier: one
+    fetch per host per time slot, so ``slot`` is each url's 0-based rank
+    within its host (ordered by url for determinism) — the frontier
+    scheduler every polite crawler runs (RFC 9309 §2.4 crawl-delay
+    semantics generalized to slot indices). The fetch ORDER is then
+    (slot, host, url): wave 0 hits every host once, wave 1 the second
+    url of each host, …
+
+    Bucketed vectorized: hosts hash into ``n_buckets`` groups (bounded
+    group count), one lexsort per bucket ranks every host's urls at
+    once — the same shape as ``dedup_latest_crawl``. Emits
+    (url, host, slot)."""
+    import pandas as pd
+
+    def with_host_bucket(b: pa.Table) -> pa.Table:
+        t = url_parse_batch(b, url_col)
+        h = pd.util.hash_array(t["host"].to_pandas().to_numpy(dtype=object))
+        return pa.table(
+            {
+                "url": t[url_col],
+                "host": t["host"],
+                "_bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def rank_in_bucket(g: pa.Table) -> pa.Table:
+        codes = (
+            pc.dictionary_encode(g["host"].combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        urls = g["url"].combine_chunks()
+        order = pc.sort_indices(
+            pa.table({"c": pa.array(codes), "u": urls}),
+            sort_keys=[("c", "ascending"), ("u", "ascending")],
+        ).to_numpy(zero_copy_only=False)
+        c_sorted = codes[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(c_sorted[1:] != c_sorted[:-1]) + 1)
+        )
+        sizes = np.diff(np.concatenate((starts, [len(order)])))
+        slot_sorted = np.arange(len(order)) - np.repeat(starts, sizes)
+        slot = np.empty(len(order), np.int64)
+        slot[order] = slot_sorted
+        return pa.table(
+            {"url": urls, "host": g["host"], "slot": pa.array(slot, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(with_host_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank_in_bucket, batch_format="pyarrow")
+    )

@@ -130,3 +130,35 @@ def test_canonicalize_idempotent():
         "canonical_url"
     ].to_pylist()
     assert once == twice
+
+
+def test_fetch_schedule_slots():
+    """slot = per-host url rank regardless of input batch interleaving;
+    wave 0 covers every host exactly once."""
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.urls import fetch_schedule
+
+    urls = [
+        f"https://h{i % 3}.example.org/p/{i:04d}" for i in range(30)
+    ]
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    t = pa.concat_tables(
+        pa.table(b)
+        for b in fetch_schedule(ds).iter_batches(batch_format="pyarrow")
+    )
+    d = dict(zip(t["url"].to_pylist(), t["slot"].to_pylist()))
+    for i, u in enumerate(sorted(urls)):
+        # within each host urls sort ascending; every 3rd global url
+        # shares a host, so its slot is its index within that host
+        pass
+    by_host = {}
+    for u in sorted(urls):
+        h = u.split("/")[2]
+        by_host.setdefault(h, []).append(u)
+    for h, lst in by_host.items():
+        for rank, u in enumerate(lst):
+            assert d[u] == rank, (u, d[u], rank)
+    wave0 = [u for u, s in d.items() if s == 0]
+    assert len(wave0) == 3
