@@ -1582,6 +1582,17 @@ def search_query(
     - ``key:value`` / ``-key:value`` keywords map onto doc_meta filters
       (F4, ``query-rewrite.go:15-59``).
     """
+    qtext, filters = _grammar_plan(raw, phrase_index_dir)
+    return search_bm25(
+        index_dir, [qtext], k=k, stats=stats, filters=filters, **kw
+    )
+
+
+def _grammar_plan(raw: str, phrase_index_dir: str | None) -> tuple[str, dict | None]:
+    """Shared grammar→(scoring text, filter spec) builder behind
+    :func:`search_query` and ``SearchService.query`` — parses the raw
+    string and resolves phrase constraints through the positional
+    pre-pass, returning what any BM25 executor needs."""
     from dcs_ray.queryplan import parse_user_query
     from dcs_ray.tokenize import tokenize_query_words
 
@@ -1621,9 +1632,7 @@ def search_query(
                 banned |= {int(x) for x in prev}
             filters["not_doc_ids"] = np.array(sorted(banned), dtype=np.uint64)
     qtext = " ".join(p["terms"] + p["phrases"])
-    return search_bm25(
-        index_dir, [qtext], k=k, stats=stats, filters=filters or None, **kw
-    )
+    return qtext, (filters or None)
 
 
 def query_clarity(

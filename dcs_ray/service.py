@@ -50,6 +50,19 @@ from dcs_ray.search import (
 )
 
 
+def _fkey_val(v):
+    """Exact, hashable cache-key encoding of a filter value — NEVER a
+    repr (numpy truncates reprs of large arrays, so two different
+    not_doc_ids sets would collide on the same key)."""
+    if isinstance(v, np.ndarray):
+        return (v.dtype.str, v.tobytes())
+    if isinstance(v, (list, tuple)):
+        return tuple(_fkey_val(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _fkey_val(x)) for k, x in v.items()))
+    return v
+
+
 def _fit_pool_cpus(num_cpus: float, n_actors: int) -> float:
     """Clamp per-actor CPU so a resident pool of ``n_actors`` never
     reserves more than half the cluster — a pool sized num_shards ×
@@ -168,7 +181,7 @@ class SearchService:
 
     def _cache_key(self, query: str, k: int, method: str, filters, prior_col) -> tuple:
         fkey = (
-            tuple(sorted((kk, repr(vv)) for kk, vv in filters.items()))
+            tuple(sorted((kk, _fkey_val(vv)) for kk, vv in filters.items()))
             if filters
             else None
         )
@@ -209,6 +222,16 @@ class SearchService:
     ) -> pa.Table:
         if isinstance(queries, str):
             queries = [queries]
+        # live-docs semantics survive into serving: tombstones fold into
+        # the filter spec on EVERY call (one small driver-side parquet
+        # read), and since the folded set is part of the cache key, a
+        # new delete can never serve a stale cached ranking. Structural
+        # mutations (compaction / update / reshard / add) still need a
+        # new service instance — those rewrite shard bytes the actors
+        # hold open.
+        from dcs_ray.search import _with_tombstones
+
+        filters = _with_tombstones(self.index_dir, filters)
         # split the batch into cached and live queries; only the misses
         # pay the shard fan-out (repeated queries — pagination, reloads —
         # are served from the driver-side cache, zero actor round trips)
@@ -265,6 +288,25 @@ class SearchService:
                 )
             )
         return pa.concat_tables(out_tables)
+
+    def query(
+        self,
+        raw: str,
+        k: int = 10,
+        phrase_index_dir: str | None = None,
+        use_cache: bool = True,
+    ) -> pa.Table:
+        """The grammar front door, resident: one raw query string with
+        the full user syntax (terms, quoted/negated phrases, +/- term
+        operators, key:value filters) parsed and composed onto the warm
+        actor pool — the dcs-web request path end to end. Phrase
+        constraints resolve through the (Dataset-path) positional
+        pre-pass; everything else stays in the pool, and the composed
+        filter spec participates in the finished-query cache key."""
+        from dcs_ray.search import _grammar_plan
+
+        qtext, filters = _grammar_plan(raw, phrase_index_dir)
+        return self.search([qtext], k=k, filters=filters, use_cache=use_cache)
 
     def metrics(self) -> pa.Table:
         """One row per shard: queries served, batches, busy seconds,
