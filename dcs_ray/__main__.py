@@ -551,6 +551,18 @@ def cmd_fsck(args) -> None:
         print(json.dumps(repair_index(args.index)))
 
 
+def cmd_maintain(args) -> None:
+    """Maintenance policy: print the plan (metadata-only), or apply it
+    with --apply (repair → compact → fold deltas)."""
+    from dcs_ray.index.maintain import auto_maintain, maintenance_plan
+
+    if args.apply:
+        _ray()
+        print(json.dumps(auto_maintain(args.index)))
+    else:
+        print(json.dumps(maintenance_plan(args.index)))
+
+
 def cmd_query(args) -> None:
     """Unified query grammar: terms, \"quoted phrases\", -negated terms,
     key:value / -key:value keyword filters, one raw string."""
@@ -873,6 +885,11 @@ def main() -> None:
     d.add_argument("--repair", action="store_true")
     d.add_argument("--deep", action="store_true", help="re-CRC segment blobs")
     d.set_defaults(fn=cmd_fsck)
+
+    d = sub.add_parser("maintain", help="maintenance plan / --apply it")
+    d.add_argument("index")
+    d.add_argument("--apply", action="store_true")
+    d.set_defaults(fn=cmd_maintain)
 
     d = sub.add_parser("query", help="search with the full query grammar")
     d.add_argument("index")

@@ -249,10 +249,19 @@ class SearchService:
         if live_idx:
             live_queries = [queries[i] for i in live_idx]
             plans = plan_queries(self.index_dir, live_queries, self.stats)
+            # zone-map shard pruning applies to the resident pool too:
+            # actors whose shard provably can't match the filters get no
+            # message at all (their per-shard query counters stand still)
+            from dcs_ray.search import prune_shards
+
+            live_paths = set(prune_shards(self.shards, filters))
+            actors = [
+                a for a, p in zip(self.actors, self.shards) if p in live_paths
+            ]
             parts = ray.get(
                 [
                     a.score.remote(plans, self.stats, k, method, filters, prior_col)
-                    for a in self.actors
+                    for a in actors
                 ]
             )
             qids = (

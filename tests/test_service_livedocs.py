@@ -70,3 +70,44 @@ def test_service_grammar_front_door(served):
     got = svc.query(raw, k=10)
     want = search_query(out, raw, k=10)
     assert got.equals(want)
+
+
+def test_service_prunes_actor_fanout(tmp_path_factory):
+    """On a source-clustered index a source-filtered resident query
+    messages ONLY the matching shard's actor — the skipped shard's
+    per-shard query counter stands still — and results are unchanged."""
+    import pyarrow as pa
+
+    tbl = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+    remapped = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(tbl), dtype=np.int64)),
+            "text": tbl["text"],
+            "source": tbl["source"],
+        }
+    )
+    out = str(tmp_path_factory.mktemp("svcz") / "idx")
+    build_index(
+        ray.data.from_arrow(remapped), out,
+        IndexConfig(
+            num_partitions=8, num_shards=2, mode="words", id_col="doc_id",
+            dedup_latest=False, meta_cols=("source",),
+        ),
+    )
+    filters = {"include": {"source": ["src0"]}}
+    # Dataset-path reference BEFORE the pool exists: with the module
+    # fixture's service also alive, 4 one-CPU actors would hold every
+    # conftest CPU and starve map_batches tasks (deadlock) — so this
+    # pool also runs at half-CPU actors
+    want = search_bm25(out, [QUERY], k=10, filters=filters)
+    svc = search_service(out, num_cpus=0.5)
+    try:
+        got = svc.search([QUERY], k=10, filters=filters, use_cache=False)
+        assert got.equals(want) and len(got) > 0
+        m = svc.metrics().to_pydict()
+        served = dict(zip(m["shard"], m["n_queries"]))
+        assert min(served.values()) == 0 and max(served.values()) > 0
+    finally:
+        svc.shutdown()
