@@ -165,8 +165,15 @@ class SearchService:
         self.stats = load_stats(index_dir)
         self.shards = shard_paths(index_dir)
         num_cpus = _fit_pool_cpus(num_cpus, len(self.shards))
+        # a crashed shard actor restarts transparently (segment re-opens
+        # in __init__, caches re-warm) and the in-flight call retries —
+        # the serving-availability story for a long-lived deployment
+        # (dcs restarts a died source-backend and dcs-web reconnects)
         self.actors = [
-            ShardSearcher.options(num_cpus=num_cpus).remote(p) for p in self.shards
+            ShardSearcher.options(
+                num_cpus=num_cpus, max_restarts=2, max_task_retries=2
+            ).remote(p)
+            for p in self.shards
         ]
         # finished-query cache (dcs querymanager shape): key -> (t, dd, ss)
         self.cache_ttl_s = cache_ttl_s

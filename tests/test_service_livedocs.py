@@ -111,3 +111,16 @@ def test_service_prunes_actor_fanout(tmp_path_factory):
         assert min(served.values()) == 0 and max(served.values()) > 0
     finally:
         svc.shutdown()
+
+
+def test_service_survives_actor_crash(served):
+    """A killed shard actor restarts (segment re-opens in __init__) and
+    the next query returns bit-identical results — the availability
+    contract of a long-lived serving pool."""
+    import ray
+
+    out, svc = served
+    before = svc.search([QUERY], k=10, use_cache=False)
+    ray.kill(svc.actors[0], no_restart=False)
+    after = svc.search([QUERY], k=10, use_cache=False)
+    assert after.equals(before)
