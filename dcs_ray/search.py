@@ -1571,7 +1571,14 @@ def search_query(
       required when phrases are present), intersected across phrases
       and pushed into every shard task as a ``doc_ids`` filter —
       the J4→ranking composition (``index/query.go`` postings AND →
-      ``sourcebackend.go`` ranking);
+      ``sourcebackend.go`` ranking). The candidate id set crosses the
+      driver because the positional and words indexes shard
+      independently; phrases selective enough to be worth quoting keep
+      it small, and zone pruning drops shards outside its id range;
+
+      a STOPWORD phrase would materialize a corpus-scale id list — the
+      scale path for that case is co-sharding the two indexes (same
+      id ranges) and evaluating the phrase inside each shard task;
     - ``-term`` excludes (``terms_none``) and ``+term`` requires
       (``terms_all``) docs by posting membership, evaluated inside each
       shard against its OWN posting lists — no driver-side id
