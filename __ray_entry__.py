@@ -12222,6 +12222,46 @@ def _q_sales_opportunity(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ef_posting_sizes(sf_dir: str) -> pa.Table:
+    """Per-term on-disk byte size of an Elias-Fano-coded posting section
+    (``codec="ef"`` — Vigna '13 quasi-succinct doc-id lists, the codec
+    family behind Lucene/PISA doc-id indexes; dcs's TurboPFor slot,
+    ``internal/index/pforwriter.go``). EF's size is a CLOSED FORM of
+    (entries per block, id span, max_tf bit width) — independent of the
+    id distribution — so the oracle replays the exact byte count per
+    term from the raw corpus: range partitioning ``doc_id // span``,
+    128-entry blocks by row_number, ``l = floor_log2(U // m)`` via
+    ``length(bin(..)) - 1``, then byte-padded stream arithmetic."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import shard_paths
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_ef")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_index(
+            docs,
+            out,
+            IndexConfig(
+                num_partitions=8, num_shards=2, mode="words",
+                id_col="doc_id", dedup_latest=False, codec="ef",
+            ),
+        )
+    parts = [
+        pq.read_table(
+            os.path.join(sp, "term_dict.parquet"), columns=["term", "nbytes"]
+        )
+        for sp in shard_paths(out)
+    ]
+    t = pa.concat_tables(parts).group_by("term").aggregate([("nbytes", "sum")])
+    t = t.sort_by("term")
+    return pa.table(
+        {"term": t["term"], "ef_bytes": t["nbytes_sum"].cast(pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12286,6 +12326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
         # --- end of the driver's 50-query window ---
+        "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
         "label_centroids": _q_label_centroids,
@@ -13265,6 +13306,39 @@ FROM ranked WHERE rn <= 2 ORDER BY grank LIMIT 10
 """,
         "term_df": f"""
 SELECT term, count(DISTINCT doc_id)::bigint AS df FROM ({_TOK}) GROUP BY term ORDER BY term
+""",
+        # Elias-Fano size replay: header 26 B + 2 stream-width bytes +
+        # low bits (m*l, byte-padded) + unary high bits (m + (U >> l))
+        # + fixed-width tfs; l = floor_log2(U // m) by integer division,
+        # blocks of 128 within each range partition (span = (max_id+8)//8)
+        "ef_posting_sizes": f"""
+WITH tok AS ({_TOK}),
+posting AS (SELECT term, doc_id, count(*)::bigint AS tf FROM tok GROUP BY term, doc_id),
+span AS (SELECT ((max(doc_id) + 8) // 8)::bigint AS s FROM documents),
+placed AS (
+  SELECT term, doc_id, tf,
+         (row_number() OVER (
+            PARTITION BY term, least(doc_id // (SELECT s FROM span), 7)
+            ORDER BY doc_id) - 1) // 128 AS blk,
+         least(doc_id // (SELECT s FROM span), 7) AS part
+  FROM posting
+),
+blocks AS (
+  SELECT term, part, blk, count(*)::bigint AS n,
+         (count(*) - 1)::bigint AS m,
+         (max(doc_id) - min(doc_id))::bigint AS U,
+         max(tf)::bigint AS max_tf
+  FROM placed GROUP BY term, part, blk
+),
+sized AS (
+  SELECT term,
+         26 + 2 + (m * l + 7) // 8
+         + CASE WHEN m > 0 THEN (m + (U >> l) + 7) // 8 ELSE 0 END
+         + (n * length(bin(max_tf)) + 7) // 8 AS bytes
+  FROM (SELECT *, CASE WHEN m = 0 THEN 0 ELSE length(bin(U // m)) - 1 END AS l
+        FROM blocks)
+)
+SELECT term, sum(bytes)::bigint AS ef_bytes FROM sized GROUP BY term ORDER BY term
 """,
         "corpus_stats": f"""
 WITH tok AS ({_TOK}), dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)

@@ -166,6 +166,11 @@ def pack_postings(
             nterms, counts, nblocks, block_first, block_start, block_end,
             block_n, doc_ids, tfs, body_deltas, is_block_first,
         )
+    if codec == "ef":
+        return _pack_postings_ef(
+            nterms, counts, nblocks, block_first, block_start, block_end,
+            block_n, doc_ids, tfs, body_deltas, is_block_first,
+        )
     if codec != "varint":
         raise ValueError(f"unknown codec {codec!r}")
 
@@ -231,6 +236,8 @@ def pack_postings(
 
 CODEC_FLAG_BITPACK = 0x8000  # header "n" bit 15: bitpacked body
 CODEC_FLAG_SVBYTE = 0x4000  # header "n" bit 14: Stream-VByte body
+CODEC_FLAG_EF = 0xC000  # both flag bits: Elias-Fano doc-id body
+_CODEC_MASK = 0xC000
 _N_MASK = 0x3FFF  # n <= BLOCK=128, far below both flag bits
 _SVB_LIMIT = np.uint64(1) << np.uint64(32)  # canonical SVB covers 1-4 bytes
 
@@ -297,6 +304,114 @@ def _pack_postings_bitpack(
         packed = _pack_bits_rows(tfs[ranks], bw)
         dst = (
             blk_out[:-1][sel] + HEADER_SIZE + 2 + d_bytes[sel]
+        )[:, None] + np.arange(packed.shape[1])[None, :]
+        out[dst.ravel()] = packed.ravel()
+
+    term_off = blk_out[block_first]
+    term_end = blk_out[np.concatenate((block_first[1:], [nblocks]))]
+    term_len = term_end - term_off
+    if (counts == 0).any():
+        raise ValueError("pack_postings: empty term groups not supported")
+    return out.tobytes(), term_off.astype(np.int64), term_len.astype(np.int64)
+
+
+def _pack_postings_ef(
+    nterms, counts, nblocks, block_first, block_start, block_end,
+    block_n, doc_ids, tfs, body_deltas, is_block_first,
+):
+    """Elias-Fano body assembly for ``pack_postings(codec="ef")`` — the
+    quasi-succinct doc-id encoding (Vigna, WSDM 2013; the codec family
+    behind Lucene's and PISA's doc-id lists). Each block's ``m = n-1``
+    non-first doc ids are stored as offsets ``x = docid - first_docid``
+    in ``[1, U]``, ``U = max_docid - first_docid``, split into ``l`` low
+    bits packed fixed-width plus a unary high-bits bitmap of
+    ``m + (U >> l)`` bits. ``l = floor_log2(U // m)`` uses INTEGER
+    division so an SQL oracle replays the size formula exactly
+    (``__ray_entry__._q_ef_posting_sizes``). Body layout::
+
+        u8 l | u8 bw_tf | low bits | high bits | tfs
+
+    each stream byte-padded; tfs fixed-width like the bitpack codec.
+    Encoded size is a closed form of ``(m, U, max_tf-width)`` only —
+    never of the doc-id distribution — which is what makes the codec
+    oracle-replayable per term from the raw corpus."""
+    m_counts = block_n - 1
+    entry_block = np.repeat(np.arange(nblocks), block_n)
+    firsts = doc_ids[block_start]
+    x_entries = doc_ids - firsts[entry_block]
+    body_x = x_entries[~is_block_first]
+    body_blk = entry_block[~is_block_first]
+    entry_rank = np.cumsum(~is_block_first) - (~is_block_first)
+    body_rank_start = entry_rank[block_start]
+
+    U = (doc_ids[block_end - 1] - firsts).astype(np.uint64)
+    l = np.zeros(nblocks, dtype=np.int64)
+    nz = m_counts > 0
+    if nz.any():
+        q = U[nz] // m_counts[nz].astype(np.uint64)
+        l[nz] = _bitlen64(q) - 1  # floor(log2(q)); q >= 1 since ids strictly rise
+    bw_t = np.maximum.reduceat(_bitlen64(tfs), block_start)
+
+    low_bytes = (m_counts * l + 7) // 8
+    high_bits = np.where(nz, m_counts + (U >> l.astype(np.uint64)).astype(np.int64), 0)
+    high_bytes = (high_bits + 7) // 8
+    t_bytes = (block_n * bw_t + 7) // 8
+    blk_body_bytes = 2 + low_bytes + high_bytes + t_bytes
+
+    headers = np.empty(nblocks, dtype=HEADER_DTYPE)
+    headers["n"] = block_n | CODEC_FLAG_EF
+    headers["nbytes"] = blk_body_bytes
+    headers["first_docid"] = firsts
+    headers["max_docid"] = doc_ids[block_end - 1]
+    headers["max_tf"] = np.maximum.reduceat(tfs, block_start)
+
+    blk_total = HEADER_SIZE + blk_body_bytes
+    blk_out = np.concatenate(([0], np.cumsum(blk_total)))
+    out = np.zeros(int(blk_out[-1]), dtype=np.uint8)
+    hview = headers.view(np.uint8).reshape(nblocks, HEADER_SIZE)
+    htargets = blk_out[:-1][:, None] + np.arange(HEADER_SIZE)[None, :]
+    out[htargets.ravel()] = hview.ravel()
+    out[blk_out[:-1] + HEADER_SIZE] = l.astype(np.uint8)
+    out[blk_out[:-1] + HEADER_SIZE + 1] = bw_t.astype(np.uint8)
+
+    # low-bits payloads, one packbits per (m, l) class
+    lkey = m_counts * 128 + l
+    for key in np.unique(lkey[nz]):
+        sel = np.flatnonzero(lkey == key)
+        m, bw = int(key // 128), int(key % 128)
+        if m == 0 or bw == 0:
+            continue
+        ranks = body_rank_start[sel][:, None] + np.arange(m)[None, :]
+        vals = body_x[ranks] & np.uint64((1 << bw) - 1)
+        packed = _pack_bits_rows(vals, bw)
+        dst = (blk_out[:-1][sel] + HEADER_SIZE + 2)[:, None] + np.arange(
+            packed.shape[1]
+        )[None, :]
+        out[dst.ravel()] = packed.ravel()
+
+    # high-bits unary bitmaps: one global bit scatter (positions are
+    # strictly increasing within a block, hence unique; bitwise_or.at
+    # handles the bytes shared between neighbouring positions)
+    if len(body_x):
+        within = np.arange(len(body_x), dtype=np.int64) - body_rank_start[body_blk]
+        highs = (body_x >> l[body_blk].astype(np.uint64)).astype(np.int64)
+        stream_byte0 = blk_out[:-1] + HEADER_SIZE + 2 + low_bytes
+        bitpos = stream_byte0[body_blk] * 8 + highs + within
+        np.bitwise_or.at(
+            out, bitpos >> 3, np.uint8(1) << (bitpos & 7).astype(np.uint8)
+        )
+
+    # tf payloads, one packbits per (n, bw) class (same as bitpack)
+    tkey = block_n * 128 + bw_t
+    for key in np.unique(tkey):
+        sel = np.flatnonzero(tkey == key)
+        n, bw = int(key // 128), int(key % 128)
+        if bw == 0:
+            continue
+        ranks = block_start[sel][:, None] + np.arange(n)[None, :]
+        packed = _pack_bits_rows(tfs[ranks], bw)
+        dst = (
+            blk_out[:-1][sel] + HEADER_SIZE + 2 + low_bytes[sel] + high_bytes[sel]
         )[:, None] + np.arange(packed.shape[1])[None, :]
         out[dst.ravel()] = packed.ravel()
 
@@ -535,7 +650,31 @@ def decode_block(header, body: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     high bit selects the body codec (varint vs bitpack)."""
     n_field = int(header["n"])
     n = n_field & _N_MASK
-    if n_field & CODEC_FLAG_BITPACK:
+    if (n_field & _CODEC_MASK) == CODEC_FLAG_EF:
+        l, bw_t = int(body[0]), int(body[1])
+        m = n - 1
+        lb = (m * l + 7) // 8
+        lows = _unpack_values(body[2 : 2 + lb], m, l)
+        if m:
+            U = int(header["max_docid"]) - int(header["first_docid"])
+            nbits = m + (U >> l)
+            hb = (nbits + 7) // 8
+            hbits = np.unpackbits(
+                np.ascontiguousarray(body[2 + lb : 2 + lb + hb]),
+                bitorder="little",
+                count=nbits,
+            )
+            setpos = np.flatnonzero(hbits)
+            highs = (setpos - np.arange(m)).astype(np.uint64)
+            x = (highs << np.uint64(l)) | lows
+            deltas = np.empty(m, dtype=np.uint64)
+            deltas[0] = x[0]
+            deltas[1:] = x[1:] - x[:-1]
+        else:
+            hb = 0
+            deltas = np.empty(0, np.uint64)
+        tfs = _unpack_values(body[2 + lb + hb :], n, bw_t)
+    elif n_field & CODEC_FLAG_BITPACK:
         bw_d, bw_t = int(body[0]), int(body[1])
         db = ((n - 1) * bw_d + 7) // 8
         deltas = _unpack_values(body[2 : 2 + db], n - 1, bw_d)

@@ -37,7 +37,10 @@ class IndexConfig:
     # TurboPFor role; default: ~half the bytes of varint on web text and
     # ~1.3× faster decode), "svbyte" (Stream-VByte: 2-bit length codes
     # in a control stream separate from the data bytes, per-block varint
-    # fallback for ≥2^32 values), or "varint" (LEB128). Blocks are
+    # fallback for ≥2^32 values), "ef" (Elias-Fano doc ids: fixed-width
+    # low bits + unary high bits, Vigna '13 — size a closed form of
+    # (n, id span) only, so the ef_posting_sizes oracle replays it per
+    # term in SQL), or "varint" (LEB128). Blocks are
     # self-describing, so segments of different codecs even merge
     # together (an old varint index updates in place consistently —
     # update_partition re-reads the stored codec from the manifest).
@@ -58,7 +61,7 @@ class IndexConfig:
 
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")
-        assert self.codec in ("varint", "bitpack", "svbyte")
+        assert self.codec in ("varint", "bitpack", "svbyte", "ef")
         assert self.num_partitions >= self.num_shards >= 1
         # latest-crawl dedup is partition-local; it is only globally exact
         # when a url's every crawl lands in one partition — i.e. url-hash

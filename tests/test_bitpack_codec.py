@@ -24,7 +24,7 @@ def _postings(seed=11):
     return go, ids, tfs, sizes
 
 
-@pytest.mark.parametrize("codec", ["varint", "bitpack", "svbyte"])
+@pytest.mark.parametrize("codec", ["varint", "bitpack", "svbyte", "ef"])
 def test_roundtrip(codec):
     go, ids, tfs, sizes = _postings()
     blob, off, ln = pack_postings(go, ids, tfs, codec=codec)
@@ -54,11 +54,11 @@ def test_mixed_codec_streams_concatenate():
 
 
 def test_three_codec_streams_concatenate():
-    """Segments built with all three codecs concatenate into one
+    """Segments built with all four codecs concatenate into one
     decodable stream (the k-way merge case across index generations)."""
     go, ids, tfs, sizes = _postings()
     parts = []
-    for i, codec in enumerate(("varint", "bitpack", "svbyte")):
+    for i, codec in enumerate(("varint", "bitpack", "svbyte", "ef")):
         shifted = ids + np.uint64(i * 2 * 10**9)
         blob, off, ln = pack_postings(go, shifted, tfs, codec=codec)
         parts.append((np.frombuffer(blob, np.uint8), off, ln, shifted))
@@ -68,7 +68,7 @@ def test_three_codec_streams_concatenate():
         np.testing.assert_array_equal(
             d, np.concatenate([p[3][go[t] : go[t + 1]] for p in parts])
         )
-        np.testing.assert_array_equal(f, np.tile(tfs[go[t] : go[t + 1]], 3))
+        np.testing.assert_array_equal(f, np.tile(tfs[go[t] : go[t + 1]], 4))
 
 
 def test_svbyte_fallback_blocks_roundtrip():
@@ -118,6 +118,49 @@ def test_bitpack_smaller_on_clustered_ids():
     assert len(bb) < len(bv)
 
 
+def _ef_term_bytes(ids: np.ndarray, tfs: np.ndarray) -> int:
+    """Closed-form Elias-Fano term size — the arithmetic the
+    ``ef_posting_sizes`` SQL oracle replays per (term, block)."""
+    from dcs_ray.codec import BLOCK, HEADER_SIZE
+
+    total = 0
+    for s in range(0, len(ids), BLOCK):
+        blk_i, blk_t = ids[s : s + BLOCK], tfs[s : s + BLOCK]
+        n, m = len(blk_i), len(blk_i) - 1
+        U = int(blk_i[-1]) - int(blk_i[0])
+        l = max((U // m).bit_length() - 1, 0) if m else 0
+        low = (m * l + 7) // 8
+        high = ((m + (U >> l)) + 7) // 8 if m else 0
+        bw_t = int(blk_t.max()).bit_length()
+        total += HEADER_SIZE + 2 + low + high + (n * bw_t + 7) // 8
+    return total
+
+
+def test_ef_size_is_closed_form():
+    """Encoded EF size must equal the (m, U, max_tf) closed form for
+    every term — the property that makes the codec SQL-replayable."""
+    go, ids, tfs, sizes = _postings()
+    blob, off, ln = pack_postings(go, ids, tfs, codec="ef")
+    for t in range(len(sizes)):
+        expected = _ef_term_bytes(ids[go[t] : go[t + 1]], tfs[go[t] : go[t + 1]])
+        assert int(ln[t]) == expected, t
+
+
+def test_ef_smaller_than_varint_on_sparse_uniform_ids():
+    """Uniformly sparse doc ids (the web-corpus common term regime):
+    EF spends ~2 + log2(U/n) bits/doc vs LEB128's 8-bit granularity."""
+    rng = np.random.default_rng(9)
+    sizes = [4000, 4000]
+    go = np.concatenate(([0], np.cumsum(sizes)))
+    ids = np.concatenate(
+        [np.sort(rng.choice(s * 3000, s, replace=False)) for s in sizes]
+    ).astype(np.uint64)
+    tfs = rng.integers(1, 4, go[-1]).astype(np.uint64)
+    bv, *_ = pack_postings(go, ids, tfs, codec="varint")
+    be, *_ = pack_postings(go, ids, tfs, codec="ef")
+    assert len(be) < len(bv)
+
+
 def test_bitpack_index_rank_identical(ray_session, tmp_path):
     """An index built with codec='bitpack' answers BM25 (incl. the
     block-max MaxScore path) rank- and score-identically to varint."""
@@ -125,7 +168,7 @@ def test_bitpack_index_rank_identical(ray_session, tmp_path):
     from dcs_ray.search import search_bm25
 
     results = {}
-    for codec in ("varint", "bitpack", "svbyte"):
+    for codec in ("varint", "bitpack", "svbyte", "ef"):
         out = str(tmp_path / f"idx_{codec}")
         build_index(
             ray.data.read_parquet(f"{SF}/documents.parquet"), out,
@@ -136,7 +179,7 @@ def test_bitpack_index_rank_identical(ray_session, tmp_path):
             out, ["spark merge join", "customer value"], k=20
         ).to_pandas()
     v = results["varint"]
-    for other in ("bitpack", "svbyte"):
+    for other in ("bitpack", "svbyte", "ef"):
         b = results[other]
         assert v[["query_id", "rank", "doc_id"]].equals(
             b[["query_id", "rank", "doc_id"]]
