@@ -12262,6 +12262,24 @@ def _q_ef_posting_sizes(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_bmw(sf_dir: str) -> pa.Table:
+    """BM25 top-10 via the interval-decomposed Block-Max WAND scorer
+    (``method="bmw"``, the north rule's named algorithm) — must be
+    rank- AND score-identical to the exhaustive/MaxScore paths, so the
+    oracle is the same full BM25 SQL replay as ``bm25_topk``."""
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10, method="bmw")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12326,6 +12344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "hash_embed_vectors": _q_hash_embed_vectors,
         # --- end of the driver's 50-query window ---
+        "bm25_bmw": _q_bm25_bmw,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -13288,6 +13307,12 @@ def oracle_sql() -> dict[str, str]:
     tri_conds = " AND ".join(f"contains(text, '{t}')" for t in tris)
     return {
         "bm25_topk": f"""
+WITH {_BM25_SCORES}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_bmw": f"""
 WITH {_BM25_SCORES}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score

@@ -563,6 +563,178 @@ def score_shard_bm25_maxscore(
     return topk(uniq_docs, sums, k)
 
 
+def score_shard_bm25_bmw(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+    counters: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Interval-decomposed Block-Max WAND BM25 top-k — exact, same bits
+    as the exhaustive path (a vectorized re-expression of Ding & Suel
+    '11; dcs's block skip metadata is ``internal/index/read.go:269-308``).
+
+    Where classic BMW walks documents DAAT and skips blocks whose
+    max-score sum can't beat the running threshold θ, this variant works
+    on the *elementary intervals* of the doc-id axis induced by every
+    query term's block boundaries: within one interval the covering
+    block set — hence the BM25 upper bound Σ_t blockmax(t) — is
+    constant, so the bound for ALL intervals is one sorted-events prefix
+    sum. Intervals are then scored in descending-bound chunks: decode
+    only the blocks overlapping the chunk (each block at most once per
+    call), full-score the chunk's docs, raise θ to the kth-best scored,
+    and drop every remaining interval whose bound falls below θ (with
+    the same 1-ulp margin MaxScore uses, so float order never
+    mis-prunes). Docs in dropped intervals provably score < θ ≤ the
+    final kth-best. Final per-doc accumulation is re-summed in
+    ascending-term order → bit-identical to ``score_shard_bm25``.
+
+    ``counters``: optional dict accumulating ``blocks_decoded`` /
+    ``blocks_total`` — the pruning-effectiveness instrumentation the
+    BMW pytest asserts on (skew ⇒ decoded ≪ total)."""
+    k1, b = stats["k1"], stats["b"]
+    resolved = []  # (plan_rank, idx, idf)
+    for rank, (term, idf) in enumerate(plan):
+        idx = seg.term_index(term)
+        if idx >= 0:
+            resolved.append((rank, idx, idf))
+    if not resolved:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+
+    # per-term block metadata + per-block score upper bounds (dl→0)
+    term_hdrs = []
+    all_firsts, all_ends, all_ubs = [], [], []
+    blocks_total = 0
+    for rank, idx, idf in resolved:
+        firsts, maxes, mtfs, boffs, blens = seg.term_headers(idx)
+        mtf = mtfs.astype(np.float64)
+        ubs = idf * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
+        term_hdrs.append((rank, idx, idf, firsts, maxes, boffs, blens, ubs))
+        all_firsts.append(firsts)
+        all_ends.append(maxes.astype(np.int64) + 1)
+        all_ubs.append(ubs)
+        blocks_total += len(firsts)
+    if counters is not None:
+        counters["blocks_total"] = counters.get("blocks_total", 0) + blocks_total
+
+    # elementary intervals: breakpoints at every block edge; bound per
+    # interval via a +ub/-ub event prefix sum
+    bp = np.unique(np.concatenate(
+        [f.astype(np.int64) for f in all_firsts] + all_ends
+    ))
+    n_iv = len(bp) - 1
+    if n_iv <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    delta = np.zeros(n_iv + 1, np.float64)
+    for (f, e, u) in zip(all_firsts, all_ends, all_ubs):
+        lo = np.searchsorted(bp, f.astype(np.int64))
+        hi = np.searchsorted(bp, e)
+        np.add.at(delta, lo, u)
+        np.add.at(delta, hi, -u)
+    bound = np.cumsum(delta[:-1])
+
+    # per-term interval spans of each block (for chunk→block mapping)
+    spans = []
+    for (rank, idx, idf, firsts, maxes, boffs, blens, ubs) in term_hdrs:
+        lo = np.searchsorted(bp, firsts.astype(np.int64))
+        hi = np.searchsorted(bp, maxes.astype(np.int64) + 1)
+        spans.append((lo, hi))
+
+    order = np.lexsort((bp[:-1], -bound))  # bound desc, start asc
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    got_d: list[np.ndarray] = []
+    got_r: list[np.ndarray] = []
+    got_s: list[np.ndarray] = []
+    n_scored = 0
+    all_scores: list[np.ndarray] = []  # per-doc totals, for θ
+    theta = -np.inf
+    CHUNK = max(64, 2 * k // 128 + 1)
+    pos = 0
+    while pos < len(order):
+        margin = theta * (1.0 - 1e-12) - 1e-300
+        take = order[pos : pos + CHUNK]
+        take = take[bound[take] >= margin]
+        if len(take) == 0:
+            # bounds are sorted desc: everything beyond is below θ too
+            if theta > -np.inf:
+                break
+            pos += CHUNK
+            continue
+        pos += CHUNK
+        chosen = np.zeros(n_iv, bool)
+        chosen[take] = True
+        csum = np.concatenate(([0], np.cumsum(chosen)))
+        chunk_d, chunk_r, chunk_s = [], [], []
+        for ti, ((rank, idx, idf, firsts, maxes, boffs, blens, ubs), (lo, hi)) in enumerate(
+            zip(term_hdrs, spans)
+        ):
+            need = np.flatnonzero(csum[hi] - csum[lo] > 0)
+            if len(need) == 0:
+                continue
+            parts_d, parts_t = [], []
+            blob = None
+            for bi in need:
+                key = (idx, int(bi))
+                hit = decoded.get(key)
+                if hit is None:
+                    if blob is None:
+                        blob = seg.term_blob(idx)
+                    h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
+                    for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
+                        hit = decode_block(header, body)
+                    decoded[key] = hit
+                    if counters is not None:
+                        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
+                parts_d.append(hit[0])
+                parts_t.append(hit[1])
+            d = np.concatenate(parts_d)
+            t = np.concatenate(parts_t)
+            iv = np.searchsorted(bp, d.astype(np.int64), side="right") - 1
+            m = chosen[iv]
+            if doc_filter is not None and m.any():
+                p = np.searchsorted(doc_filter, d)
+                p = np.minimum(p, len(doc_filter) - 1)
+                m &= doc_filter[p] == d
+            d, t = d[m], t[m]
+            if len(d) == 0:
+                continue
+            s = _bm25_term_scores(seg, d, t, idf, stats)
+            chunk_d.append(d)
+            chunk_r.append(np.full(len(d), rank, np.int32))
+            chunk_s.append(s)
+        if chunk_d:
+            cd = np.concatenate(chunk_d)
+            cr = np.concatenate(chunk_r)
+            cs = np.concatenate(chunk_s)
+            got_d.append(cd)
+            got_r.append(cr)
+            got_s.append(cs)
+            # per-doc totals of this chunk (docs never span chunks)
+            o = np.lexsort((cr, cd))
+            sd, ss = cd[o], cs[o]
+            bnd = np.concatenate(([0], np.flatnonzero(sd[1:] != sd[:-1]) + 1))
+            all_scores.append(np.add.reduceat(ss, bnd))
+            n_scored += len(bnd)
+        if n_scored >= k:
+            pool = np.concatenate(all_scores)
+            kth = np.partition(pool, len(pool) - k)[len(pool) - k]
+            if kth > theta:
+                theta = kth
+
+    if not got_d:
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
+    docs = np.concatenate(got_d)
+    ranks = np.concatenate(got_r)
+    scores = np.concatenate(got_s)
+    o = np.lexsort((ranks, docs))  # per doc, ascending plan order (bit parity)
+    docs, scores = docs[o], scores[o]
+    boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
+    uniq_docs = docs[boundaries]
+    sums = np.add.reduceat(scores, boundaries)
+    return topk(uniq_docs, sums, k)
+
+
 def topk(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic top-k: score desc, doc_id asc tie-break."""
     n = len(doc_ids)
@@ -617,6 +789,8 @@ def search_bm25(
             return score_shard_bm25(seg, plan, st, kk, doc_filter, prior_col)
     elif method == "maxscore":
         score_fn = score_shard_bm25_maxscore
+    elif method == "bmw":
+        score_fn = score_shard_bm25_bmw
     else:
         score_fn = score_shard_bm25
 
