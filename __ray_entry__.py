@@ -12280,6 +12280,141 @@ def _q_bm25_bmw(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bm25_pr_eval(sf_dir: str) -> pa.Table:
+    """Precision@10 / recall@10 / average-precision of the BM25 top-10
+    run vs the lexical all-terms relevance oracle (TREC AP convention:
+    Sum of P@i over hit ranks, normalized by min(n_rel, k)). Shares the
+    one-pass streaming labeler with the NDCG/MRR gate."""
+    from dcs_ray.functions.evaluate import pr_ranking_metrics
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    ranked = t["doc_id"].to_pylist()
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pr_ranking_metrics(docs, ranked, BM25_QUERY.split(), k=10)
+
+
+def _q_redde_collection_ranking(sf_dir: str) -> pa.Table:
+    """ReDDE resource selection (Si & Callan '03) over the same three
+    source-sharded collections as the CORI gate, but sample-based: a
+    central sample index (every 5th doc_id, collection id carried as an
+    in-index meta column) answers BM25, and each top-20 hit votes with
+    the inverse sampling rate |C|/|S|. The oracle replays the sampled
+    BM25 (sample-local df/avgdl), the top-20 cut and the vote scaling."""
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import redde_collection_scores
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_redde_csi")
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    coll_all = np.array([int(s[3:]) % 3 for s in tbl["source"].to_pylist()], np.int64)
+    ids_all = tbl["doc_id"].to_numpy()
+    samp_mask = ids_all % 5 == 0
+    full_sizes = [int((coll_all == c).sum()) for c in range(3)]
+    sample_sizes = [int((coll_all[samp_mask] == c).sum()) for c in range(3)]
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        coll = pa.array(
+            [int(s[3:]) % 3 for s in docs["source"].to_pylist()], pa.int64()
+        )
+        docs = docs.append_column("coll", coll).drop_columns(["source"])
+        sub = docs.filter(pa.array(docs["doc_id"].to_numpy() % 5 == 0))
+        build_index(
+            ray.data.from_arrow(sub), out,
+            IndexConfig(num_partitions=4, num_shards=2, mode="words",
+                        id_col="doc_id", dedup_latest=False, meta_cols=("coll",)),
+        )
+    return redde_collection_scores(
+        out, BM25_QUERY, "coll", full_sizes, sample_sizes, k=20
+    )
+
+
+def _pbm_sql(n_sessions: int = 200, seed: int = 7, iters: int = 5) -> str:
+    """Full PBM replay: splitmix64 click synthesis over the BM25
+    top-10 (both ranking variants), the (variant, pos, doc) sufficient-
+    statistic fold, and ``iters`` unrolled MATERIALIZED EM rounds (each
+    group sums exactly two floats, so the arithmetic is bit-identical
+    to the numpy fold before rounding)."""
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+
+    def chain(col, nxt, i):
+        if i == 0:
+            return f"{_mulmod64(f'xor({col}::ubigint, {col}::ubigint >> 30)::hugeint', MIX1 + '::hugeint')} AS {nxt}"
+        if i == 1:
+            return f"{_mulmod64(f'xor({col}::ubigint, {col}::ubigint >> 27)::hugeint', MIX2 + '::hugeint')} AS {nxt}"
+        return f"xor({col}::ubigint, {col}::ubigint >> 31)::hugeint AS {nxt}"
+
+    iter_ctes = []
+    for i in range(1, iters + 1):
+        iter_ctes.append(f"""e{i} AS MATERIALIZED (
+  SELECT a.variant, a.pos, a.doc_id, a.n, a.k,
+         a.k + (a.n - a.k) * (al.v * (1 - at.v) / (1 - al.v * at.v)) AS sum_e,
+         a.k + (a.n - a.k) * (at.v * (1 - al.v) / (1 - al.v * at.v)) AS sum_a
+  FROM agg a JOIN alpha{i - 1} al USING (pos) JOIN attr{i - 1} at USING (doc_id)),
+alpha{i} AS MATERIALIZED (SELECT pos, sum(sum_e) / sum(n) AS v FROM e{i} GROUP BY pos),
+attr{i} AS MATERIALIZED (SELECT doc_id, sum(sum_a) / sum(n) AS v FROM e{i} GROUP BY doc_id)""")
+    its = ",\n".join(iter_ctes)
+    return f"""
+WITH {_BM25_SCORES},
+ranked AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+imp AS (
+  SELECT s, pos, (s % 2) AS variant,
+         (SELECT doc_id FROM ranked r
+          WHERE r.rank = CASE WHEN s % 2 = 0 THEN pos ELSE 11 - pos END) AS doc_id
+  FROM (SELECT unnest(range({n_sessions})) AS s),
+       (SELECT unnest(range(1, 11)) AS pos)),
+i0 AS (SELECT *, xor((s*16+pos)::ubigint, {seed + 1}::ubigint)::hugeint AS e0,
+               xor((s*16+pos)::ubigint, {seed + 2}::ubigint)::hugeint AS a0,
+               xor(doc_id::ubigint, {seed + 3}::ubigint)::hugeint AS d0 FROM imp),
+i1 AS (SELECT *, {chain('e0', 'e1', 0)}, {chain('a0', 'a1', 0)}, {chain('d0', 'd1', 0)} FROM i0),
+i2 AS (SELECT *, {chain('e1', 'e2', 1)}, {chain('a1', 'a2', 1)}, {chain('d1', 'd2', 1)} FROM i1),
+i3 AS (SELECT *, {chain('e2', 'he', 2)}, {chain('a2', 'ha', 2)}, {chain('d2', 'hd', 2)} FROM i2),
+clog AS MATERIALIZED (
+  SELECT variant, pos, doc_id,
+         CASE WHEN (he % 12) < (11 - pos) AND (ha % 16) < (3 + (hd % 10))
+              THEN 1 ELSE 0 END AS click
+  FROM i3),
+agg AS MATERIALIZED (
+  SELECT variant, pos, doc_id, count(*)::bigint AS n, sum(click)::bigint AS k
+  FROM clog GROUP BY variant, pos, doc_id),
+alpha0 AS (SELECT unnest(range(1, 11)) AS pos, 0.5 AS v),
+attr0 AS (SELECT DISTINCT doc_id, 0.5 AS v FROM agg),
+{its}
+SELECT 'attr' AS kind, doc_id AS key, round(v, 6) + 0.0 AS value FROM attr{iters}
+UNION ALL
+SELECT 'exam' AS kind, pos AS key, round(v, 6) + 0.0 AS value FROM alpha{iters}
+ORDER BY kind, key
+"""
+
+
+def _q_pbm_click_model(sf_dir: str) -> pa.Table:
+    """PBM click-model EM (Craswell '08; EM per Chuklin et al. '15):
+    a deterministic splitmix64 click log over the BM25 top-10 shown in
+    two interleaved variants (base + reversed ranking), folded into
+    per-(variant, position) sufficient statistics in one streaming
+    pass, then 5 EM rounds separating examination-by-position from
+    per-doc attractiveness. Oracle replays synthesis, fold, and every
+    EM round as unrolled MATERIALIZED CTEs."""
+    from dcs_ray.functions.clickmodel import pbm_em, synth_click_log
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    ranked = t["doc_id"].to_pylist()
+    log = synth_click_log(ranked, n_sessions=200, seed=7)
+    return pbm_em(log, n_positions=10, iters=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12345,6 +12480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed_vectors": _q_hash_embed_vectors,
         # --- end of the driver's 50-query window ---
         "bm25_bmw": _q_bm25_bmw,
+        "bm25_pr_eval": _q_bm25_pr_eval,
+        "redde_collection_ranking": _q_redde_collection_ranking,
+        "pbm_click_model": _q_pbm_click_model,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -13560,6 +13698,61 @@ SELECT (SELECT r FROM nrel) AS n_relevant,
                   ELSE 0.0 END, 6) AS ndcg_at_10,
        round((SELECT v FROM mrr), 6) AS mrr
 """,
+        "bm25_pr_eval": f"""
+WITH {_BM25_SCORES},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+rel AS (
+  SELECT doc_id FROM tok WHERE term IN ('join','merge','spark')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+nrel AS (SELECT count(*)::bigint AS r FROM rel),
+hits AS (SELECT rank FROM ranked JOIN rel USING (doc_id)),
+ap AS (
+  SELECT coalesce(sum(cnt_le::double / rank), 0.0) AS s
+  FROM (SELECT rank, row_number() OVER (ORDER BY rank) AS cnt_le FROM hits))
+SELECT (SELECT r FROM nrel) AS n_relevant,
+       round((SELECT count(*) FROM hits)::double / 10, 6) AS precision_at_10,
+       round(CASE WHEN (SELECT r FROM nrel) = 0 THEN 0.0
+                  ELSE (SELECT count(*) FROM hits)::double / (SELECT r FROM nrel) END, 6) AS recall_at_10,
+       round(CASE WHEN (SELECT r FROM nrel) = 0 THEN 0.0
+                  ELSE (SELECT s FROM ap) / least((SELECT r FROM nrel), 10) END, 6) AS avg_precision
+""",
+        "redde_collection_ranking": """
+WITH samp AS (
+  SELECT doc_id, text, (CAST(substr(source, 4) AS BIGINT) % 3) AS coll
+  FROM documents WHERE doc_id % 5 = 0),
+tok AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), x -> x <> '')) AS term FROM samp),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM samp) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM samp) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN ('join','merge','spark')
+  GROUP BY tf.doc_id),
+hits AS (
+  SELECT s.doc_id, p.coll FROM scores s JOIN samp p USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id ASC LIMIT 20),
+fullc AS (SELECT (CAST(substr(source, 4) AS BIGINT) % 3) AS coll,
+                 count(*)::bigint AS n FROM documents GROUP BY 1),
+sampc AS (SELECT coll, count(*)::bigint AS n FROM samp GROUP BY 1),
+votes AS (SELECT coll, count(*)::bigint AS v FROM hits GROUP BY 1),
+est AS (
+  SELECT f.coll, round(coalesce(v.v, 0) * f.n::double / s.n, 6) + 0.0 AS est_rel
+  FROM fullc f JOIN sampc s USING (coll) LEFT JOIN votes v USING (coll))
+SELECT coll AS collection, est_rel,
+       row_number() OVER (ORDER BY est_rel DESC, coll ASC)::bigint AS rank
+FROM est ORDER BY collection
+""",
+        "pbm_click_model": _pbm_sql(n_sessions=200, seed=7, iters=5),
         "dsir_weights": f"""
 WITH {_DSIR_W_CTES}
 SELECT d.doc_id, coalesce(a.n_bigrams, 0)::bigint AS n_bigrams,

@@ -109,6 +109,53 @@ def metrics_from_hits(
     return ndcg, mrr
 
 
+def pr_metrics_from_hits(
+    ranked: np.ndarray, hit_set: set[int], n_relevant: int, k: int
+) -> tuple[float, float, float]:
+    """(precision@k, recall@k, average precision@k) of one ranked list
+    given shared labels — ≤ k-row math, no corpus access. AP follows
+    the TREC convention: Σ_{hit at rank i} P@i, normalized by
+    min(n_relevant, k) (the best achievable hit count at depth k)."""
+    rel_at = np.array([1.0 if d in hit_set else 0.0 for d in ranked[:k]])
+    pos = np.arange(1, len(rel_at) + 1, dtype=np.float64)
+    n_hits = float(rel_at.sum())
+    p_at_k = n_hits / k
+    r_at_k = n_hits / n_relevant if n_relevant else 0.0
+    if n_relevant:
+        csum = np.cumsum(rel_at)
+        ap = float(np.sum((csum / pos) * rel_at)) / min(n_relevant, k)
+    else:
+        ap = 0.0
+    return p_at_k, r_at_k, ap
+
+
+def pr_ranking_metrics(
+    docs: ray.data.Dataset,
+    ranked_doc_ids: list[int],
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Precision/recall/MAP evaluation of a ranked list → one row
+    (n_relevant, precision_at_k, recall_at_k, avg_precision) vs the
+    lexical all-terms relevance oracle; shares the single streaming
+    labeling pass with ``ranking_metrics``."""
+    ranked = np.asarray(ranked_doc_ids[:k], np.int64)
+    n_relevant, hit_set = relevance_hits(
+        docs, ranked, terms, id_col=id_col, text_col=text_col
+    )
+    p, r, ap = pr_metrics_from_hits(ranked, hit_set, n_relevant, k)
+    return pa.table(
+        {
+            "n_relevant": pa.array([n_relevant], pa.int64()),
+            f"precision_at_{k}": pa.array([round(p, 6) + 0.0], pa.float64()),
+            f"recall_at_{k}": pa.array([round(r, 6) + 0.0], pa.float64()),
+            "avg_precision": pa.array([round(ap, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def ranking_metrics(
     docs: ray.data.Dataset,
     ranked_doc_ids: list[int],

@@ -1916,6 +1916,62 @@ def cori_collection_scores(
     )
 
 
+def redde_collection_scores(
+    csi_dir: str,
+    query: str,
+    coll_col: str,
+    full_sizes: list[int],
+    sample_sizes: list[int],
+    k: int = 20,
+) -> pa.Table:
+    """ReDDE resource selection (Si & Callan, SIGIR '03): rank whole
+    collections by the ESTIMATED COUNT of relevant documents, computed
+    from a central sample index (CSI) alone. The CSI holds a
+    deterministic sample of every collection with the owning collection
+    id as an in-index meta column; the query runs ordinary BM25 over
+    the CSI, and each top-``k`` hit votes for its collection with the
+    inverse sampling rate ``|C_c| / |S_c|`` (the hit "represents" that
+    many source docs). The sample-based counterpart to
+    ``cori_collection_scores`` (vocab-metadata belief): no per-
+    collection term statistics, just ONE small index — the form that
+    scales to thousands of collections because selection cost is
+    independent of collection count. Returns
+    ``(collection, est_rel, rank)``; ties rank the smaller id first."""
+    t = search_bm25(csi_dir, [query], k=k)
+    hit_ids = t["doc_id"].to_numpy().astype(np.uint64)
+    colls = np.full(len(hit_ids), -1, np.int64)
+    for sp in shard_paths(csi_dir):
+        seg = _open(sp)
+        if len(seg.doc_ids) == 0 or len(hit_ids) == 0:
+            continue
+        pos = np.searchsorted(seg.doc_ids, hit_ids)
+        pos_c = np.minimum(pos, len(seg.doc_ids) - 1)
+        m = seg.doc_ids[pos_c] == hit_ids
+        if m.any():
+            vals = seg.meta(coll_col).combine_chunks().to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            colls[m] = vals[pos_c[m]]
+    C = len(full_sizes)
+    est = np.zeros(C, np.float64)
+    for c in range(C):
+        est[c] = float((colls == c).sum()) * (
+            full_sizes[c] / max(sample_sizes[c], 1)
+        )
+    est = np.round(est, 6) + 0.0
+    order = sorted(range(C), key=lambda i: (-est[i], i))
+    rank = [0] * C
+    for r, i in enumerate(order):
+        rank[i] = r + 1
+    return pa.table(
+        {
+            "collection": pa.array(range(C), pa.int64()),
+            "est_rel": pa.array(est, pa.float64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 def search_boolean(
     index_dir: str,
     include: list[str],

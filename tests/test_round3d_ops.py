@@ -1,0 +1,109 @@
+"""Round-3 session-d operators: PR metrics, ReDDE resource selection,
+PBM click-model EM."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from dcs_ray.functions.clickmodel import pbm_em, synth_click_log
+from dcs_ray.functions.evaluate import pr_metrics_from_hits
+
+
+def test_pr_metrics_known_values():
+    ranked = np.array([1, 2, 3, 4, 5], np.int64)
+    # hits at ranks 1 and 4; 3 relevant total in the corpus
+    p, r, ap = pr_metrics_from_hits(ranked, {1, 4, 99}, 3, 5)
+    assert p == 2 / 5
+    assert r == 2 / 3
+    # AP = (P@1 + P@4) / min(3, 5) = (1 + 2/4) / 3
+    assert abs(ap - (1.0 + 0.5) / 3) < 1e-12
+
+
+def test_pr_metrics_no_relevant():
+    ranked = np.array([1, 2], np.int64)
+    p, r, ap = pr_metrics_from_hits(ranked, set(), 0, 2)
+    assert (p, r, ap) == (0.0, 0.0, 0.0)
+
+
+def test_synth_click_log_shape_and_determinism(ray_session):
+    ranked = list(range(100, 110))
+    a = synth_click_log(ranked, n_sessions=40, seed=7).take_all()
+    b = synth_click_log(ranked, n_sessions=40, seed=7).take_all()
+    assert len(a) == 400
+    key = lambda r: (r["session"], r["pos"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    # variant 1 shows the reversed ranking
+    for row in a[:40]:
+        if row["variant"] == 1:
+            assert row["doc_id"] == ranked[10 - row["pos"]]
+        else:
+            assert row["doc_id"] == ranked[row["pos"] - 1]
+
+
+def test_pbm_em_separates_position_from_doc(ray_session):
+    """With the two-variant log, EM must recover a monotonically
+    DECREASING examination curve (true alpha = (11-p)/12) and rank the
+    docs' attractiveness consistently with their true thresholds."""
+    from dcs_ray.functions.sampling import splitmix64
+
+    ranked = list(range(500, 510))
+    log = synth_click_log(ranked, n_sessions=2000, seed=7)
+    t = pbm_em(log, n_positions=10, iters=20)
+    kind = np.array(t["kind"].to_pylist())
+    key = t["key"].to_numpy()
+    val = t["value"].to_numpy()
+    alpha = val[kind == "exam"][np.argsort(key[kind == "exam"])]
+    # head of the curve must clearly dominate the tail
+    assert alpha[0] > alpha[5] > alpha[9]
+    # doc attractiveness order ~ true integer thresholds
+    docs = key[kind == "attr"]
+    attr = val[kind == "attr"]
+    true_t = 3 + (splitmix64(docs.astype(np.uint64) ^ np.uint64(7 + 3))
+                  % np.uint64(10)).astype(np.int64)
+    lo = attr[true_t <= 5].mean()
+    hi = attr[true_t >= 10].mean()
+    assert hi > lo
+
+
+def test_redde_votes_scale_with_inverse_sampling_rate(ray_session, tmp_path):
+    """A collection sampled at half the rate must get double the weight
+    per hit: build a CSI where collection 1's docs dominate the top-k
+    and check est_rel reflects |C|/|S| scaling."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import redde_collection_scores
+
+    n = 400
+    ids = np.arange(n)
+    coll = (ids % 2).astype(np.int64)  # two collections
+    text = np.where(coll == 1, "needle term here", "filler words only")
+    path = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array([f"u{i}" for i in ids], pa.string()),
+            "text": pa.array(list(text), pa.string()),
+            "coll": pa.array(coll, pa.int64()),
+        }),
+        path,
+    )
+    # CSI: every 3rd doc (hits both parities/collections)
+    tbl = pq.read_table(path)
+    sub = tbl.filter(pa.array(ids % 3 == 0))
+    out = str(tmp_path / "csi")
+    build_index(
+        ray.data.from_arrow(sub), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False, meta_cols=("coll",)),
+    )
+    full = [int((coll == c).sum()) for c in range(2)]
+    samp_coll = coll[ids % 3 == 0]
+    samp = [int((samp_coll == c).sum()) for c in range(2)]
+    t = redde_collection_scores(out, "needle", "coll", full, samp, k=10)
+    est = t["est_rel"].to_numpy()
+    rank = t["rank"].to_numpy()
+    # all 10 hits are collection 1 ⇒ est = 10 * |C1|/|S1|; C0 gets 0
+    assert est[0] == 0.0
+    assert abs(est[1] - 10 * full[1] / samp[1]) < 1e-5  # est_rel rounds to 6dp
+    assert rank[1] == 1 and rank[0] == 2
