@@ -12415,6 +12415,91 @@ def _q_pbm_click_model(sf_dir: str) -> pa.Table:
     return pbm_em(log, n_positions=10, iters=5)
 
 
+def _q_qljm_topk(sf_dir: str) -> pa.Table:
+    """Jelinek-Mercer query-likelihood retrieval (Zhai & Lafferty '01,
+    linear smoothing, lambda=0.3) over the inverted index — completes
+    the LM ranking family next to the Dirichlet and PL2 gates; same
+    fan-out, same vocab-thin cf pass, sparse-rewrite scoring with the
+    rank-neutral per-query constant kept so scores replay exactly."""
+    from dcs_ray.search import search_lm
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_lm(idx, [BM25_QUERY], k=10, model="jm", lam=0.3)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+def _q_recrawl_priority(sf_dir: str) -> pa.Table:
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina, TOIT '03):
+    per-url Poisson change-rate MLE lambda = -ln((n-X+0.5)/(n+0.5))
+    from a deterministic 8-visit change history, ranked into the top-50
+    recrawl frontier (hottest first). lambda is strictly increasing in
+    X, so both sides order by the integer change count — no float
+    ordering anywhere; the oracle replays the visit hash chain, the
+    per-url change threshold, and the closed form."""
+    from dcs_ray.functions.crawl import change_rate_estimates
+
+    est = change_rate_estimates(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        n_visits=8, seed=11,
+    )
+    top_i = np.empty(0, np.int64)
+    top_x = np.empty(0, np.int64)
+    top_l = np.empty(0, np.float64)
+    for b in est.iter_batches(batch_format="pyarrow"):
+        ids = np.concatenate((top_i, b["doc_id"].to_numpy()))
+        xs = np.concatenate((top_x, b["n_changes"].to_numpy()))
+        ls = np.concatenate((top_l, b["lambda_hat"].to_numpy()))
+        o = np.lexsort((ids, -xs))[:50]
+        top_i, top_x, top_l = ids[o], xs[o], ls[o]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top_i) + 1), pa.int64()),
+            "doc_id": pa.array(top_i, pa.int64()),
+            "n_changes": pa.array(top_x, pa.int64()),
+            "lambda_hat": pa.array(top_l, pa.float64()),
+        }
+    )
+
+
+def _q_template_ngrams(sf_dir: str) -> pa.Table:
+    """Site-template boilerplate detection gate: a deterministic
+    per-host template header is injected ahead of every doc's text
+    (the nav/footer phrases real hosts repeat), then ``template_ngrams``
+    must recover exactly the n-grams present in >= 60% of each host's
+    docs. The threshold compares integers (5·count >= 3·total) and the
+    oracle replays injection, tokenization, the 5-gram window joins,
+    the per-doc dedup and the cut."""
+    from dcs_ray.functions.crawl import template_ngrams
+
+    def inject(b: pa.Table) -> pa.Table:
+        prefix = pa.array(
+            [
+                f"tplheader {s} nav home about contact privacy end"
+                for s in b["source"].to_pylist()
+            ],
+            pa.string(),
+        )
+        text = pc.binary_join_element_wise(prefix, b["text"], " ")
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "text": text}
+        )
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(inject, batch_format="pyarrow")
+    out = template_ngrams(docs, n=5, min_frac=0.6)
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by([("source", "ascending"), ("gram", "ascending")])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12483,6 +12568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_pr_eval": _q_bm25_pr_eval,
         "redde_collection_ranking": _q_redde_collection_ranking,
         "pbm_click_model": _q_pbm_click_model,
+        "qljm_topk": _q_qljm_topk,
+        "recrawl_priority": _q_recrawl_priority,
+        "template_ngrams": _q_template_ngrams,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -14860,6 +14948,72 @@ SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """,
         # Dirichlet query likelihood (mu=300): sparse rewrite
         # ln(1 + tf/(mu*p_c)) + m*ln(mu/(dl+mu)) over matching docs
+        "qljm_topk": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+coll AS (SELECT sum(doc_len)::double AS ct FROM dl),
+q AS (SELECT unnest(['join', 'merge', 'spark']) AS term),
+cf AS (SELECT term, count(*)::double AS cf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+konst AS (SELECT sum(ln(0.3 * (cf.cf / coll.ct))) AS c0 FROM cf, coll),
+tf AS (SELECT doc_id, term, count(*)::double AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+sp AS (SELECT tf.doc_id,
+              sum(ln(1.0 + (1.0 - 0.3) * tf.tf
+                     / (0.3 * (cf.cf / coll.ct) * dl.doc_len))) AS sp
+       FROM tf JOIN cf USING (term) JOIN dl USING (doc_id), coll
+       GROUP BY tf.doc_id),
+scores AS (SELECT doc_id, sp + (SELECT c0 FROM konst) AS score FROM sp)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "recrawl_priority": """
+WITH pu0 AS (SELECT doc_id, xor(doc_id::ubigint, 12::ubigint)::hugeint AS x0 FROM documents),
+pu1 AS (SELECT doc_id, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1 FROM pu0),
+pu2 AS (SELECT doc_id, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2 FROM pu1),
+pu AS (SELECT doc_id, 5 + (xor(x2::ubigint, x2::ubigint >> 31)::hugeint % 90)::bigint AS p FROM pu2),
+vis AS (SELECT doc_id, unnest(range(1, 9)) AS i FROM documents),
+v0 AS (SELECT doc_id, i, xor((doc_id * 16 + i)::ubigint, 11::ubigint)::hugeint AS x0 FROM vis),
+v1 AS (SELECT doc_id, i, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1 FROM v0),
+v2 AS (SELECT doc_id, i, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2 FROM v1),
+vh AS (SELECT doc_id, i, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM v2),
+agg AS (SELECT v.doc_id,
+               sum(CASE WHEN (v.h % 100) < p.p THEN 1 ELSE 0 END)::bigint AS x
+        FROM vh v JOIN pu p USING (doc_id) GROUP BY v.doc_id)
+SELECT row_number() OVER (ORDER BY x DESC, doc_id ASC)::bigint AS rank,
+       doc_id, x AS n_changes,
+       round(-ln((8 - x + 0.5) / (8 + 0.5)), 6) + 0.0 AS lambda_hat
+FROM agg ORDER BY x DESC, doc_id ASC LIMIT 50
+""",
+        "template_ngrams": """
+WITH injected AS (
+  SELECT doc_id, source,
+         'tplheader ' || source || ' nav home about contact privacy end ' || text AS text
+  FROM documents),
+toks AS (SELECT doc_id, source,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '') AS ts
+         FROM injected),
+tpos AS (SELECT doc_id, source, unnest(ts) AS term,
+                unnest(range(1, len(ts) + 1)) AS pos
+         FROM toks),
+g AS (SELECT a.doc_id, a.source,
+             a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term || ' ' || e.term AS gram
+      FROM tpos a
+      JOIN tpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      JOIN tpos d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+      JOIN tpos e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4),
+dg AS (SELECT DISTINCT source, gram, doc_id FROM g),
+cnt AS (SELECT source, gram, count(*)::bigint AS n_docs FROM dg GROUP BY source, gram),
+tot AS (SELECT source, count(*)::bigint AS t FROM documents GROUP BY source)
+SELECT c.source, c.gram, c.n_docs,
+       round(c.n_docs::double / t.t, 6) + 0.0 AS frac
+FROM cnt c JOIN tot t USING (source)
+WHERE c.n_docs * 5 >= 3 * t.t
+ORDER BY source, gram
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

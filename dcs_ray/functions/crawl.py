@@ -206,3 +206,171 @@ def robots_filter(
         return b.filter(pa.array(keep))
 
     return pages.map_batches(f, batch_format="pyarrow")
+
+
+def change_rate_estimates(
+    docs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_visits: int = 8,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Adaptive recrawl scheduling: per-url Poisson change-rate
+    estimation from repeated-visit change observations (Cho &
+    Garcia-Molina, "Estimating Frequency of Change", ACM TOIT '03).
+
+    A crawler that revisits url u every interval I and sees X of n
+    visits changed cannot use X/n directly (multiple changes between
+    visits collapse into one observation); the bias-corrected MLE for
+    the Poisson change rate is
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5))   [changes / visit
+                                                       interval]
+
+    and the recrawl PRIORITY is lambda_hat descending — hot pages get
+    short revisit periods (T ∝ 1/λ), dead pages decay to the bottom of
+    the frontier. The visit history here is synthesized deterministically
+    (splitmix64 thresholds: visit i of url u observed changed iff
+    ``splitmix64((u·16+i) ^ seed) % 100 < 5 + splitmix64(u ^ (seed+1)) % 90``)
+    so an SQL oracle replays X and the closed-form estimate exactly.
+
+    Per-batch vectorized (one hash call per (url, visit) pair, summed
+    with a reshape); no shuffle — the frontier ranking downstream is an
+    ordinary top-k."""
+    from dcs_ray.functions.sampling import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        keys = (ids[:, None] * 16 + np.arange(1, n_visits + 1)[None, :]).astype(
+            np.uint64
+        )
+        hv = splitmix64(keys.ravel() ^ np.uint64(seed)).reshape(n, n_visits)
+        p_u = 5 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 1))
+                   % np.uint64(90)).astype(np.int64)
+        changed = (hv % np.uint64(100)).astype(np.int64) < p_u[:, None]
+        x = changed.sum(axis=1)
+        lam = -np.log((n_visits - x + 0.5) / (n_visits + 0.5))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_changes": pa.array(x, pa.int64()),
+                "lambda_hat": pa.array(np.round(lam, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+def template_ngrams(
+    docs: ray.data.Dataset,
+    n: int = 5,
+    min_frac: float = 0.6,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Site-template (boilerplate) phrase detection: per source/host,
+    the word n-grams present in at least ``min_frac`` of that host's
+    documents — the nav-bar/footer phrases a curation pipeline strips
+    before training (the template-removal step of CCNet/RefinedWeb-style
+    pipelines; threshold semantics per Gibson/Punera/Tomkins '05 "the
+    volume and evolution of web page templates").
+
+    Shape: one vectorized pass builds n-gram strings per batch (numpy
+    object-array window concat over the flat token stream), dedups them
+    per document, and emits per-batch PARTIAL (source, gram,
+    doc-count) rows; a ``groupby(source, gram)`` sums partials and a
+    broadcast per-source doc total turns counts into fractions. The
+    fraction gate compares integers (``10^6·count ≥ 10^6·min_frac·total``
+    avoided — it uses exact ``count·DEN ≥ NUM·total`` with min_frac as
+    a fraction) so the cut replays exactly in SQL. At corpus scale the
+    gram string would be a 64-bit Horner hash with a representative
+    join at the end; the string form keeps the oracle direct and the
+    shuffle still carries only distinct (doc, gram) pairs."""
+    from fractions import Fraction
+
+    from dcs_ray.tokenize import word_tokens_flat
+
+    frac = Fraction(min_frac).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, parents = word_tokens_flat(b[text_col])
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        if len(toks) < n:
+            return pa.table(
+                {
+                    source_col: pa.array([], pa.string()),
+                    "gram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        gram = toks[: len(toks) - n + 1]
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + toks[j : len(toks) - n + 1 + j]
+        same_doc = parents[: len(parents) - n + 1] == parents[n - 1 :]
+        gram = gram[same_doc]
+        gdoc = parents[: len(parents) - n + 1][same_doc]
+        srcs = np.asarray(b[source_col].to_pylist(), dtype=object)[gdoc]
+        ids = b[id_col].to_numpy()[gdoc]
+        df = pd.DataFrame({"s": srcs, "g": gram, "d": ids}).drop_duplicates()
+        agg = df.groupby(["s", "g"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                source_col: pa.array(agg["s"], pa.string()),
+                "gram": pa.array(agg["g"], pa.string()),
+                "cnt": pa.array(agg["cnt"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    parts = docs.select_columns([id_col, source_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    counts = parts.groupby([source_col, "gram"]).sum("cnt")
+
+    # per-source doc totals: tiny (one row per host) — broadcast
+    totals: dict[str, int] = {}
+    for b in (
+        docs.select_columns([source_col])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    source_col: pc.unique(t[source_col]),
+                    "n": pa.array(
+                        pc.value_counts(t[source_col]).field("counts").to_numpy(
+                            zero_copy_only=False
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .iter_batches(batch_format="pyarrow")
+    ):
+        for s, c in zip(b[source_col].to_pylist(), b["n"].to_pylist()):
+            totals[s] = totals.get(s, 0) + int(c)
+    import ray as _ray
+
+    tot_ref = _ray.put(totals)
+
+    def cut(b: pa.Table) -> pa.Table:
+        tot = _ray.get(tot_ref)
+        cnt = b["sum(cnt)"].to_numpy().astype(np.int64)
+        srcs = b[source_col].to_pylist()
+        t = np.array([tot.get(s, 0) for s in srcs], np.int64)
+        keep = (cnt * den >= num * t) & (t > 0)
+        frac_v = np.round(cnt[keep] / t[keep], 6) + 0.0
+        return pa.table(
+            {
+                source_col: pa.array(np.asarray(srcs, object)[keep].tolist(), pa.string()),
+                "gram": pc.array_filter(b["gram"], pa.array(keep)),
+                "n_docs": pa.array(cnt[keep], pa.int64()),
+                "frac": pa.array(frac_v, pa.float64()),
+            }
+        )
+
+    return counts.map_batches(cut, batch_format="pyarrow")

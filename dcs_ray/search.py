@@ -980,6 +980,44 @@ def score_shard_qld(
     return topk(uniq, sums, k)
 
 
+def score_shard_qljm(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Query likelihood with Jelinek-Mercer (linear) smoothing (Zhai &
+    Lafferty '01, the λ-mixture companion of the Dirichlet scorer):
+
+        score(d) = Σ_t ln((1-λ)·tf/dl + λ·p_c(t))
+                 = Σ_{t∈d} ln(1 + (1-λ)·tf / (λ·p_c·dl))  +  Σ_t ln(λ·p_c)
+
+    The sparse rewrite keeps the postings pass BM25-shaped; the second
+    sum is a per-query constant added to every candidate (rank-neutral
+    but kept so absolute scores match the oracle replay)."""
+    lam = float(stats["lam"])
+    doc_chunks, score_chunks = [], []
+    const = 0.0
+    for term, p_c in plan:  # ascending term order
+        const += math.log(lam * p_c)
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        doc_ids, tfs = _decode_term_filtered(seg, idx, doc_filter)
+        if not len(doc_ids):
+            continue
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+        doc_chunks.append(doc_ids)
+        score_chunks.append(
+            np.log(1.0 + (1.0 - lam) * tfs.astype(np.float64) / (lam * p_c * dl))
+        )
+    uniq, sums = _accumulate_per_doc(doc_chunks, score_chunks)
+    if len(uniq):
+        sums = sums + const
+    return topk(uniq, sums, k)
+
+
 def score_shard_pl2(
     seg: Segment,
     plan: list[tuple[str, float]],
@@ -1026,6 +1064,7 @@ def search_lm(
     model: str = "qld",
     mu: float = 300.0,
     c: float = 1.0,
+    lam: float = 0.3,
     stats: dict | None = None,
     task_num_cpus: float = 1.0,
     filters: dict | None = None,
@@ -1034,7 +1073,8 @@ def search_lm(
     the non-BM25 ranking families sharing the exact ``search_bm25``
     fan-out (query × shard work rows, one task per shard, small
     deterministic driver merge). ``model``: "qld" (Dirichlet query
-    likelihood, parameter ``mu``) or "pl2" (DFR PL2, parameter ``c``).
+    likelihood, parameter ``mu``), "jm" (Jelinek-Mercer linear
+    smoothing, parameter ``lam``) or "pl2" (DFR PL2, parameter ``c``).
 
     Collection frequencies for the query terms come from ONE extra
     vocab-thin pass (``collection_cf``): |terms|×|shards| integers on
@@ -1044,7 +1084,7 @@ def search_lm(
     if isinstance(queries, str):
         queries = [queries]
     stats = dict(stats or load_stats(index_dir))
-    stats["mu"], stats["c"] = mu, c
+    stats["mu"], stats["c"], stats["lam"] = mu, c, lam
     per_query = [sorted(set(tokenize_query_words(q))) for q in queries]
     all_terms = sorted({t for terms in per_query for t in terms})
     cf = collection_cf(index_dir, all_terms, task_num_cpus=task_num_cpus)
@@ -1055,6 +1095,13 @@ def search_lm(
             for terms in per_query
         ]
         score_fn = score_shard_qld
+    elif model == "jm":
+        c_total = float(stats["sum_doc_len"]) or 1.0
+        plans = [
+            [(t, cf[t] / c_total) for t in terms if cf.get(t, 0) > 0]
+            for terms in per_query
+        ]
+        score_fn = score_shard_qljm
     elif model == "pl2":
         n_docs = float(stats["n_docs"]) or 1.0
         plans = [

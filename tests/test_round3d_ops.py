@@ -107,3 +107,49 @@ def test_redde_votes_scale_with_inverse_sampling_rate(ray_session, tmp_path):
     assert est[0] == 0.0
     assert abs(est[1] - 10 * full[1] / samp[1]) < 1e-5  # est_rel rounds to 6dp
     assert rank[1] == 1 and rank[0] == 2
+
+
+def test_change_rate_estimator_monotone_and_bounds(ray_session):
+    """lambda_hat must be strictly increasing in the observed change
+    count and equal the closed form -ln((n-X+.5)/(n+.5))."""
+    import ray.data as rd
+
+    from dcs_ray.functions.crawl import change_rate_estimates
+
+    ds = rd.range(500).map_batches(lambda b: {"doc_id": b["id"]})
+    t = pa.concat_tables(
+        [pa.table(b) for b in change_rate_estimates(ds, n_visits=8, seed=11)
+         .iter_batches(batch_format="pyarrow")]
+    )
+    x = t["n_changes"].to_numpy()
+    lam = t["lambda_hat"].to_numpy()
+    assert x.min() >= 0 and x.max() <= 8
+    expect = np.round(-np.log((8 - x + 0.5) / 8.5), 6)
+    np.testing.assert_allclose(lam, expect, atol=1e-9)
+    # monotone: group means strictly increase with x
+    for a, b in zip(np.unique(x)[:-1], np.unique(x)[1:]):
+        assert lam[x == a].max() < lam[x == b].min()
+
+
+def test_template_ngrams_finds_injected_boilerplate(ray_session):
+    rows = []
+    for d in range(40):
+        src = f"h{d % 2}"
+        boiler = "alpha beta gamma delta epsilon zeta" if src == "h0" \
+            else "one two three four five six"
+        rows.append({"doc_id": d, "source": src,
+                     "text": boiler + f" unique{d} filler{d} tail{d}"})
+    import ray.data as rd
+
+    from dcs_ray.functions.crawl import template_ngrams
+
+    out = template_ngrams(rd.from_items(rows), n=5, min_frac=0.9).take_all()
+    grams = {(r["source"], r["gram"]) for r in out}
+    # the two all-boiler 5-grams per host are present in 100% of docs
+    assert ("h0", "alpha beta gamma delta epsilon") in grams
+    assert ("h0", "beta gamma delta epsilon zeta") in grams
+    assert ("h1", "one two three four five") in grams
+    assert ("h1", "two three four five six") in grams
+    # nothing containing per-doc unique words survives the 90% cut
+    assert all("unique" not in g for _, g in grams)
+    assert all(r["frac"] == 1.0 for r in out)
