@@ -12500,6 +12500,31 @@ def _q_template_ngrams(sf_dir: str) -> pa.Table:
     return t.sort_by([("source", "ascending"), ("gram", "ascending")])
 
 
+def _q_bm25f_topk(sf_dir: str) -> pa.Table:
+    """TRUE BM25F (Robertson & Zaragoza '04): body and anchor term
+    frequencies are length-normalized per field, combined into one
+    pseudo-frequency c = tfn_body + 2·tfn_anchor, and saturated ONCE —
+    unlike the per-field score sum of ``bm25_anchor_topk``. idf from
+    the body corpus. The oracle replays both field normalizations, the
+    FULL OUTER field join, and the shared saturation."""
+    from dcs_ray.search import search_bm25f
+
+    t = search_bm25f(
+        _index_dir(sf_dir, "words"),
+        _anchor_index_dir(sf_dir),
+        [BM25_QUERY],
+        k=10,
+        anchor_weight=2.0,
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12571,6 +12596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qljm_topk": _q_qljm_topk,
         "recrawl_priority": _q_recrawl_priority,
         "template_ngrams": _q_template_ngrams,
+        "bm25f_topk": _q_bm25f_topk,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15013,6 +15039,44 @@ SELECT c.source, c.gram, c.n_docs,
 FROM cnt c JOIN tot t USING (source)
 WHERE c.n_docs * 5 >= 3 * t.t
 ORDER BY source, gram
+""",
+        "bm25f_topk": f"""
+WITH {_LINK_EDGES_CTE},
+tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+              (SELECT sum(doc_len) FROM dl)::double
+                / (SELECT count(*) FROM documents) AS avgdl),
+q AS (SELECT unnest(['join', 'merge', 'spark']) AS term),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+btfn AS (SELECT tf.doc_id, tf.term,
+                tf.tf / (1.0 + 0.75 * (dl.doc_len / st.avgdl - 1.0)) AS tfn
+         FROM tf JOIN dl USING (doc_id), st),
+atok AS (SELECT dst AS doc_id, unnest(string_split(anchor, ' ')) AS term FROM edges),
+adl AS (SELECT doc_id, count(*) AS doc_len FROM atok GROUP BY doc_id),
+astats AS (SELECT (SELECT sum(doc_len) FROM adl)::double
+                    / (SELECT count(*) FROM adl) AS avgdl),
+atf AS (SELECT doc_id, term, count(*) AS tf FROM atok
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+atfn AS (SELECT atf.doc_id, atf.term,
+                atf.tf / (1.0 + 0.75 * (adl.doc_len / astats.avgdl - 1.0)) AS tfn
+         FROM atf JOIN adl USING (doc_id), astats),
+comb AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                coalesce(b.term, a.term) AS term,
+                coalesce(b.tfn, 0.0) + 2.0 * coalesce(a.tfn, 0.0) AS c
+         FROM btfn b FULL OUTER JOIN atfn a
+           ON b.doc_id = a.doc_id AND b.term = a.term),
+ts AS (SELECT c.doc_id,
+              ln(((SELECT n_docs FROM st) - coalesce(df.df, 0) + 0.5)
+                 / (coalesce(df.df, 0) + 0.5) + 1.0)
+              * c.c * 2.2 / (c.c + 1.2) AS s
+       FROM comb c LEFT JOIN df ON c.term = df.term),
+scores AS (SELECT doc_id, sum(s) AS score FROM ts GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),

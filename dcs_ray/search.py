@@ -1453,6 +1453,162 @@ def search_bm25_fielded(
     return pa.concat_tables(out_tables)
 
 
+def search_bm25f(
+    body_dir: str,
+    anchor_dir: str,
+    queries: list[str] | str,
+    k: int = 10,
+    anchor_weight: float = 2.0,
+    k1: float = 1.2,
+    b_body: float = 0.75,
+    b_anchor: float = 0.75,
+    task_num_cpus: float = 1.0,
+) -> pa.Table:
+    """TRUE BM25F (Robertson & Zaragoza '04 / Zaragoza et al. TREC '04):
+    per-field length-normalized term frequencies are combined into ONE
+    pseudo-frequency BEFORE saturation,
+
+        tfn_f = tf_f / (1 + b_f·(dl_f/avgdl_f − 1))
+        c_t,d = tfn_body + anchor_weight·tfn_anchor
+        score = Σ_t idf_t · c·(k1+1) / (c + k1)
+
+    — unlike the per-field score sum of ``search_bm25_fielded``
+    (BM25F-lite), the shared saturation means a term that is frequent
+    ONLY in anchors cannot dominate: fields compete inside one
+    saturation curve, the property the original paper argues for.
+    idf comes from the BODY corpus (the web-standard approximation —
+    anchors cover a biased subset; documented so the SQL oracle
+    mirrors it). Fan-out reuses the range-refined units of the fielded
+    path so both fields of a doc meet in one task regardless of how
+    the two indexes sharded."""
+    from dcs_ray.tokenize import tokenize_query_words
+
+    if isinstance(queries, str):
+        queries = [queries]
+    stats_b, stats_a = load_stats(body_dir), load_stats(anchor_dir)
+    shards_b, shards_a = shard_paths(body_dir), shard_paths(anchor_dir)
+    per_query = [sorted(set(tokenize_query_words(q))) for q in queries]
+    all_terms = sorted({t for ts in per_query for t in ts})
+    df_b = global_df(body_dir, all_terms)
+    n_b = int(stats_b["n_docs"])
+    idf = {t: bm25_idf(int(df_b.get(t, 0)), n_b) for t in all_terms}
+    avg_b = float(stats_b["avgdl"]) or 1.0
+    avg_a = float(stats_a["avgdl"]) or 1.0
+
+    bounds_b = [shard_id_bounds(p) for p in shards_b]
+    bounds_a = [shard_id_bounds(p) for p in shards_a]
+    cuts = sorted(
+        {lo for lo, _ in bounds_b + bounds_a}
+        | {hi + 1 for _, hi in bounds_b + bounds_a}
+    )
+    units = []
+    for lo, hi in ((cuts[i], cuts[i + 1] - 1) for i in range(len(cuts) - 1)):
+        bi = next((i for i, (l, h) in enumerate(bounds_b) if l <= lo <= h), -1)
+        ai = next((i for i, (l, h) in enumerate(bounds_a) if l <= lo <= h), -1)
+        if bi >= 0 or ai >= 0:
+            units.append((bi, ai, lo, hi))
+
+    work = ray.data.from_items(
+        [
+            {"unit": uid, "qid": qid}
+            for uid in range(len(units))
+            for qid in range(len(queries))
+        ]
+    )
+
+    def field_tfn(seg, term, lo, hi, b_f, avg_f):
+        idx = seg.term_index(term)
+        if idx < 0:
+            return np.empty(0, np.uint64), np.empty(0, np.float64)
+        d, tf = _decode_term_filtered(seg, idx, None)
+        m = (d >= lo) & (d <= hi)
+        d, tf = d[m], tf[m]
+        if not len(d):
+            return d, np.empty(0, np.float64)
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, d)].astype(np.float64)
+        tfn = tf.astype(np.float64) / (1.0 + b_f * (dl / avg_f - 1.0))
+        return d, tfn
+
+    def run_unit(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_s = [], [], []
+        for uid, qid in zip(batch["unit"].to_pylist(), batch["qid"].to_pylist()):
+            bi, ai, lo, hi = units[uid]
+            seg_b = _open(shards_b[bi]) if bi >= 0 else None
+            seg_a = _open(shards_a[ai]) if ai >= 0 else None
+            doc_chunks, score_chunks = [], []
+            for term in per_query[qid]:  # ascending term order
+                parts_d, parts_c = [], []
+                if seg_b is not None:
+                    d, tfn = field_tfn(seg_b, term, lo, hi, b_body, avg_b)
+                    if len(d):
+                        parts_d.append(d)
+                        parts_c.append(tfn)
+                if seg_a is not None:
+                    d, tfn = field_tfn(seg_a, term, lo, hi, b_anchor, avg_a)
+                    if len(d):
+                        parts_d.append(d)
+                        parts_c.append(anchor_weight * tfn)
+                if not parts_d:
+                    continue
+                d = np.concatenate(parts_d)
+                c = np.concatenate(parts_c)
+                o = np.argsort(d, kind="stable")  # body chunk first per doc
+                d, c = d[o], c[o]
+                bnd = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+                ud = d[bnd]
+                uc = np.add.reduceat(c, bnd)
+                doc_chunks.append(ud)
+                score_chunks.append(idf[term] * uc * (k1 + 1.0) / (uc + k1))
+            uniq, sums = _accumulate_per_doc(doc_chunks, score_chunks)
+            d, s = topk(uniq, sums, k)
+            out_q.extend([qid] * len(d))
+            out_d.append(d)
+            out_s.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "score": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    per_unit = work.map_batches(
+        run_unit, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus
+    )
+    cand = _collect(
+        per_unit,
+        pa.schema(
+            [("query_id", pa.int32()), ("doc_id", pa.uint64()), ("score", pa.float64())]
+        ),
+    )
+    qids = cand["query_id"].to_numpy()
+    docs = cand["doc_id"].to_numpy()
+    scores = cand["score"].to_numpy()
+    out_tables = []
+    for qid in range(len(queries)):
+        m = qids == qid
+        dd, ss = topk(docs[m], scores[m], k)
+        out_tables.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(dd), qid, np.int32), pa.int32()),
+                    "rank": pa.array(
+                        np.arange(1, len(dd) + 1, dtype=np.int32), pa.int32()
+                    ),
+                    "doc_id": pa.array(dd, pa.uint64()),
+                    "score": pa.array(ss, pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out_tables)
+
+
 def search_facets(
     index_dir: str,
     queries: list[str] | str,

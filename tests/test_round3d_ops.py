@@ -153,3 +153,26 @@ def test_template_ngrams_finds_injected_boilerplate(ray_session):
     # nothing containing per-doc unique words survives the 90% cut
     assert all("unique" not in g for _, g in grams)
     assert all(r["frac"] == 1.0 for r in out)
+
+
+def test_bm25f_reduces_to_bm25_with_zero_anchor_weight(ray_session, tmp_path):
+    """Algebraic identity: dividing BM25's numerator and denominator by
+    the length normalizer shows single-field BM25F (shared saturation,
+    anchor_weight=0) IS classic BM25 — scores must match to float
+    noise, ranks exactly."""
+    import ray.data as rd
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import search_bm25, search_bm25f
+
+    out = str(tmp_path / "idx")
+    build_index(
+        rd.read_parquet("/root/testdata/sf0.001/documents.parquet"), out,
+        IndexConfig(num_partitions=4, num_shards=2, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    a = search_bm25(out, ["spark merge join"], k=10).to_pandas()
+    b = search_bm25f(out, out, ["spark merge join"], k=10,
+                     anchor_weight=0.0).to_pandas()
+    assert a[["rank", "doc_id"]].values.tolist() == b[["rank", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(a.score.values, b.score.values, rtol=1e-12)
