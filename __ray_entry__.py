@@ -12525,6 +12525,145 @@ def _q_bm25f_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_cascade_click_model(sf_dir: str) -> pa.Table:
+    """Cascade click-model MLE (Craswell '08): a deterministic
+    top-down-scan click log over the BM25 top-10 (stop at first click),
+    then the closed-form attractiveness estimate a_d = clicks/examined
+    — the no-EM companion of the PBM gate, exact because the cascade's
+    stopping rule makes examination observable. Oracle replays the
+    per-session first-click scan and both integer counts."""
+    from dcs_ray.functions.clickmodel import cascade_mle, synth_cascade_log
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    log = synth_cascade_log(t["doc_id"].to_pylist(), n_sessions=400, seed=9)
+    return cascade_mle(log)
+
+
+def _ltr_sql(n_iter: int = 8, lr: float = 0.1) -> str:
+    """Pairwise-LTR replay: BM25 top-20 features (score, ln(1+doc_len),
+    synthetic prior), lexical relevance labels, relevant×non-relevant
+    feature-difference pairs, and ``n_iter`` unrolled MATERIALIZED
+    gradient-ascent rounds with the engine's exact expression tree
+    (z left-associated, coef = 1/(1+exp(z)), w += lr·(Σ d·coef / n))."""
+    its = []
+    for i in range(1, n_iter + 1):
+        upd = []
+        for j in (1, 2, 3):
+            upd.append(
+                f"w.w{j} + {lr} * (coalesce((SELECT sum(p.d{j} * "
+                f"(1.0 / (1.0 + exp(p.d1 * w.w1 + p.d2 * w.w2 + p.d3 * w.w3)))) "
+                f"FROM pairs p), 0.0)"
+                f" / greatest((SELECT count(*) FROM pairs), 1)) AS w{j}"
+            )
+        its.append(
+            f"w{i} AS MATERIALIZED (SELECT "
+            + ", ".join(upd)
+            + f" FROM w{i - 1} w)"
+        )
+    iters_sql = ",\n".join(its)
+    return f"""
+WITH {_BM25_SCORES},
+ranked AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 40),
+cdl AS (SELECT doc_id, count(*) AS doc_len FROM tok
+        WHERE doc_id IN (SELECT doc_id FROM ranked) GROUP BY doc_id),
+rel AS (SELECT doc_id FROM (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term IN ('join','merge','spark') GROUP BY doc_id, term)
+        WHERE tf >= 2 GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+feats AS MATERIALIZED (
+  SELECT r.doc_id, r.score AS f1,
+         ln(1.0 + coalesce(c.doc_len, 0)) AS f2,
+         1.0 + (r.doc_id % 5) / 10.0 AS f3,
+         CASE WHEN r.doc_id IN (SELECT doc_id FROM rel) THEN 1 ELSE 0 END AS y
+  FROM ranked r LEFT JOIN cdl c USING (doc_id)),
+pairs AS MATERIALIZED (
+  SELECT a.f1 - b.f1 AS d1, a.f2 - b.f2 AS d2, a.f3 - b.f3 AS d3
+  FROM feats a, feats b WHERE a.y = 1 AND b.y = 0),
+w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+{iters_sql},
+wr AS (SELECT round(w1, 6) + 0.0 AS w1, round(w2, 6) + 0.0 AS w2,
+              round(w3, 6) + 0.0 AS w3 FROM w{n_iter}),
+acc AS (SELECT count(*)::bigint AS n_pairs,
+               coalesce(sum(CASE WHEN p.d1 * w.w1 + p.d2 * w.w2 + p.d3 * w.w3 > 0
+                            THEN 1 ELSE 0 END), 0)::bigint AS n_correct
+        FROM pairs p, wr w)
+SELECT name, value FROM (
+  SELECT 'n_correct' AS name, (SELECT n_correct FROM acc)::double AS value
+  UNION ALL SELECT 'n_pairs', (SELECT n_pairs FROM acc)::double
+  UNION ALL SELECT 'w_bm25', (SELECT w1 FROM wr)
+  UNION ALL SELECT 'w_len', (SELECT w2 FROM wr)
+  UNION ALL SELECT 'w_prior', (SELECT w3 FROM wr)
+) ORDER BY name
+"""
+
+
+def _q_pairwise_ltr(sf_dir: str) -> pa.Table:
+    """Pairwise learning-to-rank gate (linear RankNet, Burges '05): the
+    BM25 top-40 becomes (score, ln(1+doc_len), prior) feature vectors
+    with graded lexical labels (every query term tf >= 2);
+    relevant×non-relevant difference
+    pairs train a linear scorer by 8 rounds of full-batch pairwise
+    logistic gradient ascent (per-block partial gradients, canonical
+    fold). Outputs rounded weights + pair-order accuracy computed with
+    the ROUNDED weights so the threshold replays exactly."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.ltr import pairwise_accuracy, pairwise_ltr_fit
+    from dcs_ray.search import search_bm25
+    from dcs_ray.tokenize import word_tokens_flat
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=40)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    scores = t["score"].to_numpy()
+    dset = pads.dataset(f"{sf_dir}/documents.parquet")
+    dt = dset.to_table(
+        filter=pads.field("doc_id").isin(ids.tolist()),
+        columns=["doc_id", "text"],
+    )
+    flat, parents = word_tokens_flat(dt["text"])
+    nt = np.bincount(parents, minlength=len(dt))
+    terms = np.asarray(flat.to_pylist(), dtype=object)
+    qterms = sorted(BM25_QUERY.split())
+    # graded label: EVERY query term occurs >= 2 times (the lexical
+    # relevance oracle is too easy on this corpus at depth 40)
+    has = np.zeros((len(dt), len(qterms)), bool)
+    for qi, qt in enumerate(qterms):
+        cnt = np.bincount(parents[terms == qt], minlength=len(dt))
+        has[:, qi] = cnt >= 2
+    rel_rows = has.all(axis=1)
+    row_ids = dt["doc_id"].to_numpy().astype(np.int64)
+    pos = {int(d): i for i, d in enumerate(row_ids)}
+    order = np.array([pos[int(d)] for d in ids], np.int64)
+    f1 = scores
+    f2 = np.log(1.0 + nt[order].astype(np.float64))
+    f3 = 1.0 + (ids % 5) / 10.0
+    y = rel_rows[order]
+    X = np.column_stack((f1, f2, f3))
+    deltas = (X[y][:, None, :] - X[~y][None, :, :]).reshape(-1, 3)
+    pairs_ds = ray.data.from_arrow(
+        pa.table({f"d{j + 1}": pa.array(deltas[:, j], pa.float64()) for j in range(3)})
+    )
+    w = pairwise_ltr_fit(pairs_ds, ["d1", "d2", "d3"], n_iter=8, lr=0.1)
+    wr = np.round(w, 6) + 0.0
+    n_pairs, n_correct = pairwise_accuracy(deltas, wr)
+    return pa.table(
+        {
+            "name": pa.array(
+                ["n_correct", "n_pairs", "w_bm25", "w_len", "w_prior"], pa.string()
+            ),
+            "value": pa.array(
+                [float(n_correct), float(n_pairs), wr[0], wr[1], wr[2]], pa.float64()
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12597,6 +12736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_priority": _q_recrawl_priority,
         "template_ngrams": _q_template_ngrams,
         "bm25f_topk": _q_bm25f_topk,
+        "cascade_click_model": _q_cascade_click_model,
+        "pairwise_ltr": _q_pairwise_ltr,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15078,6 +15219,44 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) AS score
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        "cascade_click_model": f"""
+WITH {_BM25_SCORES},
+ranked AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+imp AS (
+  SELECT s, pos,
+         (SELECT doc_id FROM ranked r WHERE r.rank = pos) AS doc_id
+  FROM (SELECT unnest(range(400)) AS s), (SELECT unnest(range(1, 11)) AS pos)),
+c0 AS (SELECT *, xor((s*16+pos)::ubigint, 10::ubigint)::hugeint AS a0,
+               xor(doc_id::ubigint, 11::ubigint)::hugeint AS d0 FROM imp),
+c1 AS (SELECT *, ((((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS a1,
+               ((((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS d1 FROM c0),
+c2 AS (SELECT *, ((((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS a2,
+               ((((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS d2 FROM c1),
+att AS MATERIALIZED (
+  SELECT s, pos, doc_id,
+         CASE WHEN (xor(a2::ubigint, a2::ubigint >> 31)::hugeint % 16)
+                   < (3 + (xor(d2::ubigint, d2::ubigint >> 31)::hugeint % 10))
+              THEN 1 ELSE 0 END AS att
+  FROM c2),
+firstp AS (SELECT s, coalesce(min(pos) FILTER (WHERE att = 1), 11) AS fp
+           FROM att GROUP BY s),
+clog AS (
+  SELECT a.doc_id,
+         CASE WHEN a.pos <= least(f.fp, 10) THEN 1 ELSE 0 END AS examined,
+         CASE WHEN a.att = 1 AND a.pos = f.fp THEN 1 ELSE 0 END AS click
+  FROM att a JOIN firstp f USING (s)),
+agg AS (SELECT doc_id, sum(click)::bigint AS n_clicks,
+               sum(examined)::bigint AS n_examined
+        FROM clog GROUP BY doc_id)
+SELECT doc_id, n_clicks, n_examined,
+       CASE WHEN n_examined > 0
+            THEN round(n_clicks::double / n_examined, 6) + 0.0
+            ELSE 0.0 END AS a_hat
+FROM agg ORDER BY doc_id
+""",
+        "pairwise_ltr": _ltr_sql(n_iter=8, lr=0.1),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

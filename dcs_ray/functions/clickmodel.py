@@ -173,3 +173,102 @@ def pbm_em(
             "value": pa.array(vals, pa.float64()),
         }
     )
+
+
+def synth_cascade_log(
+    ranked_ids: np.ndarray | list[int],
+    n_sessions: int = 400,
+    seed: int = 9,
+) -> ray.data.Dataset:
+    """Deterministic cascade-consistent click log (Craswell '08): each
+    session scans positions top-down, clicks position p with the doc's
+    attractiveness probability, and STOPS at the first click — below
+    it nothing is examined. Attraction at (s, p) uses the same
+    splitmix64 threshold family as ``synth_click_log``:
+
+        attracted ⇔ splitmix64((s·16+p) ^ (seed+1)) % 16
+                     <  3 + splitmix64(doc ^ (seed+2)) % 10
+
+    Emits (session, pos, doc_id, examined, click): examined = 1 for
+    every position at or above the first click (all of them in
+    click-less sessions), click = 1 only at the first attracted
+    position."""
+    from dcs_ray.functions.sampling import splitmix64
+
+    ranked = np.asarray(list(ranked_ids), np.int64)
+    k = len(ranked)
+
+    def expand(b: pa.Table) -> pa.Table:
+        s = b["id"].to_numpy().astype(np.int64)
+        ns = len(s)
+        sess = np.repeat(s, k)
+        pos = np.tile(np.arange(1, k + 1, dtype=np.int64), ns)
+        doc = ranked[pos - 1]
+        key = (sess * 16 + pos).astype(np.uint64)
+        ha = splitmix64(key ^ np.uint64(seed + 1))
+        td = 3 + (splitmix64(doc.astype(np.uint64) ^ np.uint64(seed + 2))
+                  % np.uint64(10)).astype(np.int64)
+        attracted = ((ha % np.uint64(16)).astype(np.int64) < td).reshape(ns, k)
+        # first attracted position per session (k if none)
+        any_hit = attracted.any(axis=1)
+        first = np.where(any_hit, np.argmax(attracted, axis=1), k - 1)
+        first_pos = np.where(any_hit, first + 1, k + 1)  # 1-based; k+1 = no stop
+        pos2 = pos.reshape(ns, k)
+        examined = pos2 <= np.minimum(first_pos, k)[:, None]
+        click = attracted & (pos2 == first_pos[:, None])
+        return pa.table(
+            {
+                "session": pa.array(sess, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "examined": pa.array(examined.ravel().astype(np.int64), pa.int64()),
+                "click": pa.array(click.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ray.data.range(n_sessions).map_batches(expand, batch_format="pyarrow")
+
+
+def cascade_mle(log: ray.data.Dataset) -> pa.Table:
+    """Cascade-model attractiveness MLE: a_d = clicks_d / examined_d
+    (Craswell '08 closed form — no EM needed because the stopping rule
+    makes examination observable). One vectorized per-block fold to
+    (doc → clicks, examined) partials, integer-exact driver merge.
+    Returns (doc_id, n_clicks, n_examined, a_hat) sorted by doc_id."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        ex = b["examined"].to_numpy()
+        ck = b["click"].to_numpy()
+        uniq, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "ex": pa.array(np.bincount(inv, weights=ex).astype(np.int64), pa.int64()),
+                "ck": pa.array(np.bincount(inv, weights=ck).astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for b in log.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for d, e, c in zip(
+            b["doc_id"].to_pylist(), b["ex"].to_pylist(), b["ck"].to_pylist()
+        ):
+            cur = acc.setdefault(int(d), [0, 0])
+            cur[0] += int(e)
+            cur[1] += int(c)
+    docs = np.array(sorted(acc), np.int64)
+    ex = np.array([acc[d][0] for d in docs], np.int64)
+    ck = np.array([acc[d][1] for d in docs], np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.where(ex > 0, ck / np.maximum(ex, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_clicks": pa.array(ck, pa.int64()),
+            "n_examined": pa.array(ex, pa.int64()),
+            "a_hat": pa.array(np.round(a, 6) + 0.0, pa.float64()),
+        }
+    )

@@ -176,3 +176,58 @@ def test_bm25f_reduces_to_bm25_with_zero_anchor_weight(ray_session, tmp_path):
                      anchor_weight=0.0).to_pandas()
     assert a[["rank", "doc_id"]].values.tolist() == b[["rank", "doc_id"]].values.tolist()
     np.testing.assert_allclose(a.score.values, b.score.values, rtol=1e-12)
+
+
+def test_cascade_log_stops_at_first_click(ray_session):
+    from dcs_ray.functions.clickmodel import synth_cascade_log
+
+    ranked = list(range(700, 710))
+    rows = synth_cascade_log(ranked, n_sessions=100, seed=9).take_all()
+    by_sess = {}
+    for r in rows:
+        by_sess.setdefault(r["session"], []).append(r)
+    for s, rs in by_sess.items():
+        rs.sort(key=lambda r: r["pos"])
+        clicks = [r["pos"] for r in rs if r["click"]]
+        assert len(clicks) <= 1  # cascade: at most one click
+        if clicks:
+            fp = clicks[0]
+            for r in rs:
+                assert r["examined"] == (1 if r["pos"] <= fp else 0)
+        else:
+            assert all(r["examined"] == 1 for r in rs)
+
+
+def test_cascade_mle_recovers_attractiveness_order(ray_session):
+    from dcs_ray.functions.clickmodel import cascade_mle, synth_cascade_log
+    from dcs_ray.functions.sampling import splitmix64
+
+    ranked = list(range(700, 710))
+    t = cascade_mle(synth_cascade_log(ranked, n_sessions=3000, seed=9))
+    docs = t["doc_id"].to_numpy()
+    a = t["a_hat"].to_numpy()
+    true_t = 3 + (splitmix64(docs.astype(np.uint64) ^ np.uint64(9 + 2))
+                  % np.uint64(10)).astype(np.int64)
+    # a_hat ~ true threshold / 16 within sampling noise; the cascade
+    # starves tail positions of examinations, so only assert where the
+    # estimator actually has samples
+    ex = t["n_examined"].to_numpy()
+    well = ex >= 100
+    assert well.sum() >= 4
+    np.testing.assert_allclose(a[well], true_t[well] / 16, atol=0.07)
+
+
+def test_pairwise_ltr_learns_separating_weight(ray_session):
+    """A 1-D separable pair set must converge to positive weight and
+    perfect pair accuracy."""
+    import ray.data as rd
+
+    from dcs_ray.functions.ltr import pairwise_accuracy, pairwise_ltr_fit
+
+    rng = np.random.default_rng(3)
+    deltas = np.abs(rng.normal(1.0, 0.2, 200))[:, None]  # all positive diffs
+    ds = rd.from_arrow(pa.table({"d1": pa.array(deltas[:, 0], pa.float64())}))
+    w = pairwise_ltr_fit(ds, ["d1"], n_iter=20, lr=0.5)
+    assert w[0] > 0
+    n, c = pairwise_accuracy(deltas, w)
+    assert (n, c) == (200, 200)
