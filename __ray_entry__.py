@@ -12664,6 +12664,104 @@ def _q_pairwise_ltr(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tfidf_cosine_topk(sf_dir: str) -> pa.Table:
+    """INDEX-SERVED tf-idf cosine (the Lucene-classic similarity
+    shape, distinct from the corpus-streaming lnc.ltc gate
+    ``tfidf_cosine_topk``): raw-tf ltc weighting, idf = ln(N/df), doc norm
+    over ALL the doc's terms precomputed in one streaming pass as a
+    doc-id-sorted Parquet artifact (rounded to 6dp on disk, mirrored by
+    the oracle), query-time shard tasks read only their doc-id range of
+    it. Scores = sum(tf·idf²)/(||q||·||d||)."""
+    from dcs_ray.functions.vsm import search_tfidf_cosine, tfidf_doc_norms
+
+    idx = _index_dir(sf_dir, "words")
+    norms = idx + "_vsm_norms"
+    if not os.path.exists(norms):
+        tfidf_doc_norms(
+            read_parquet_sized(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            idx,
+            norms,
+        )
+    t = search_tfidf_cosine(idx, norms, [BM25_QUERY], k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+_SELECTIVITY_COMBOS = [
+    ["join", "merge"], ["spark", "the"], ["join", "merge", "spark"],
+    ["customer", "value"], ["data", "fast", "query"], ["sort", "window"],
+]
+
+
+def _q_query_selectivity(sf_dir: str) -> pa.Table:
+    """Query-planner selectivity estimation (System-R style
+    independence assumption, Selinger '79): for six AND-conjunctions,
+    the planner estimate N·Π(df_t/N) from vocab-thin df stats next to
+    the EXACT distributed boolean-AND count (rarest-first posting
+    intersection per shard). The pair is what a cost-based planner
+    feeds its join-order choice; the oracle replays both the estimate
+    arithmetic (left-associated over sorted terms) and the exact
+    count."""
+    from dcs_ray.search import global_df, load_stats, search_boolean
+
+    idx = _index_dir(sf_dir, "words")
+    n = float(load_stats(idx)["n_docs"])
+    all_terms = sorted({t for c in _SELECTIVITY_COMBOS for t in c})
+    dfs = global_df(idx, all_terms)
+    qid_l, terms_l, est_l, act_l = [], [], [], []
+    for qid, combo in enumerate(_SELECTIVITY_COMBOS):
+        cs = sorted(combo)
+        est = n
+        for t in cs:
+            est = est * (float(dfs.get(t, 0)) / n)
+        actual = len(search_boolean(idx, cs))
+        qid_l.append(qid)
+        terms_l.append(" ".join(cs))
+        est_l.append(round(est, 6) + 0.0)
+        act_l.append(actual)
+    return pa.table(
+        {
+            "query_id": pa.array(qid_l, pa.int64()),
+            "terms": pa.array(terms_l, pa.string()),
+            "est_docs": pa.array(est_l, pa.float64()),
+            "actual_docs": pa.array(act_l, pa.int64()),
+        }
+    )
+
+
+def _selectivity_sql() -> str:
+    parts = []
+    for qid, combo in enumerate(_SELECTIVITY_COMBOS):
+        cs = sorted(combo)
+        est = "(SELECT n FROM st)"
+        for t in cs:
+            est = (
+                f"({est} * (coalesce((SELECT df FROM df WHERE term = '{t}'), 0)"
+                f" / (SELECT n FROM st)))"
+            )
+        in_list = ", ".join(f"'{t}'" for t in cs)
+        parts.append(f"""SELECT {qid}::bigint AS query_id, '{" ".join(cs)}' AS terms,
+       round({est}, 6) + 0.0 AS est_docs,
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM tok WHERE term IN ({in_list})
+          GROUP BY doc_id HAVING count(DISTINCT term) = {len(cs)}))::bigint AS actual_docs""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS ({_TOK}),
+st AS (SELECT (SELECT count(*) FROM documents)::double AS n),
+df AS (SELECT term, count(DISTINCT doc_id)::double AS df FROM tok GROUP BY term)
+{body}
+ORDER BY query_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12738,6 +12836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": _q_bm25f_topk,
         "cascade_click_model": _q_cascade_click_model,
         "pairwise_ltr": _q_pairwise_ltr,
+        "tfidf_cosine_index": _q_tfidf_cosine_topk,
+        "query_selectivity": _q_query_selectivity,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15257,6 +15357,28 @@ SELECT doc_id, n_clicks, n_examined,
 FROM agg ORDER BY doc_id
 """,
         "pairwise_ltr": _ltr_sql(n_iter=8, lr=0.1),
+        "tfidf_cosine_index": f"""
+WITH tok AS ({_TOK}),
+st AS (SELECT (SELECT count(*) FROM documents)::double AS n),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+idf AS (SELECT term, ln((SELECT n FROM st) / df) AS idf FROM df),
+tfv AS (SELECT doc_id, term, count(*)::double AS tf FROM tok GROUP BY doc_id, term),
+norms AS (SELECT t.doc_id,
+                 round(sqrt(sum((t.tf * i.idf) * (t.tf * i.idf))), 6) + 0.0 AS norm
+          FROM tfv t JOIN idf i USING (term) GROUP BY t.doc_id),
+q AS (SELECT unnest(['join', 'merge', 'spark']) AS term),
+qn AS (SELECT sqrt(sum(idf * idf)) AS v FROM idf
+       WHERE term IN (SELECT term FROM q)),
+sp AS (SELECT t.doc_id, sum(t.tf * i.idf * i.idf) AS s
+       FROM tfv t JOIN idf i USING (term)
+       WHERE t.term IN (SELECT term FROM q) GROUP BY t.doc_id),
+scores AS (SELECT sp.doc_id, sp.s / ((SELECT v FROM qn) * n.norm) AS score
+           FROM sp JOIN norms n USING (doc_id) WHERE n.norm > 0)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) + 0.0 AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "query_selectivity": _selectivity_sql(),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
