@@ -12762,6 +12762,88 @@ ORDER BY query_id
 """
 
 
+def _q_dust_rules(sf_dir: str) -> pa.Table:
+    """DUST rule mining gate (Bar-Yossef '07 "do not crawl in the
+    DUST"): a deterministic crawl-shaped url space over the corpus —
+    every doc under a canonical url plus a content-identical
+    ``?sid=`` alias (odd docs also ``?ref=``), and per-source listing
+    urls where ``?page=`` DOES change content. Mining must validate
+    the sid/ref drop-rules (support, zero violations) and refute
+    ``page``. Bucket counts use content hashes engine-side and raw
+    text SQL-side — equal by injectivity at corpus scale."""
+    from dcs_ray.functions.dust import dust_param_rules
+
+    def synth(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy()
+        src_arr = b["source"].to_pylist()
+        base = [
+            f"http://{s}.site/p{d}" for s, d in zip(src_arr, ids)
+        ]
+        urls, texts = [], []
+        txt = b["text"].to_pylist()
+        for i, d in enumerate(ids):
+            urls.append(base[i]); texts.append(txt[i])
+            urls.append(f"{base[i]}?sid=a{d % 13}"); texts.append(txt[i])
+            if d % 2 == 1:
+                urls.append(f"{base[i]}?ref=r{d % 3}"); texts.append(txt[i])
+            urls.append(f"http://{src_arr[i]}.site/list?page={d % 4}")
+            texts.append(f"listing {src_arr[i]} {d}")
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "text": pa.array(texts, pa.string())}
+        )
+
+    pages = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return dust_param_rules(pages, ["page", "ref", "sid"], min_support=2)
+
+
+def _q_crawl_budget(sf_dir: str) -> pa.Table:
+    """Crawl-budget apportionment gate: a 1000-fetch recrawl budget is
+    split across hosts proportional to their integer change mass (sum
+    of the 8-visit change counts of the recrawl_priority estimator)
+    with the largest-remainder (Hamilton) method — integer-exact, ties
+    to the smaller host. The oracle replays the visit hash chain, the
+    per-source mass fold, and the apportionment arithmetic."""
+    from dcs_ray.functions.crawl import crawl_budget_allocation
+
+    return crawl_budget_allocation(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        budget=1000, n_visits=8, seed=11,
+    )
+
+
+def _serp_ctr_sql(n_sessions: int = 200, seed: int = 7) -> str:
+    """CTR-curve replay: the PBM gate's click synthesis (same hash
+    chains) aggregated to per-(variant, position) impressions / clicks
+    / 6dp CTR."""
+    full = _pbm_sql(n_sessions=n_sessions, seed=seed, iters=1)
+    # reuse everything up to (and including) the agg CTE, then select
+    head = full.split("alpha0 AS")[0].rstrip().rstrip(",")
+    return head + """
+SELECT variant, pos, sum(n)::bigint AS impressions, sum(k)::bigint AS clicks,
+       round(sum(k)::double / greatest(sum(n), 1), 6) + 0.0 AS ctr
+FROM agg GROUP BY variant, pos ORDER BY variant, pos
+"""
+
+
+def _q_serp_ctr(sf_dir: str) -> pa.Table:
+    """Observed CTR by (variant, position) over the PBM click log —
+    the raw position-bias curve the PBM gate de-biases; integer
+    impression/click folds, 6dp CTR."""
+    from dcs_ray.functions.clickmodel import ctr_by_position, synth_click_log
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    log = synth_click_log(t["doc_id"].to_pylist(), n_sessions=200, seed=7)
+    return ctr_by_position(log)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12838,6 +12920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pairwise_ltr": _q_pairwise_ltr,
         "tfidf_cosine_index": _q_tfidf_cosine_topk,
         "query_selectivity": _q_query_selectivity,
+        "dust_rules": _q_dust_rules,
+        "crawl_budget": _q_crawl_budget,
+        "serp_ctr_curve": _q_serp_ctr,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15379,6 +15464,69 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "query_selectivity": _selectivity_sql(),
+        "dust_rules": r"""
+WITH raws AS (
+  SELECT 'http://' || source || '.site/p' || doc_id AS url, text FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.site/p' || doc_id || '?sid=a' || (doc_id % 13), text
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.site/p' || doc_id || '?ref=r' || (doc_id % 3), text
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'http://' || source || '.site/list?page=' || (doc_id % 4),
+         'listing ' || source || ' ' || doc_id
+  FROM documents),
+keys AS (SELECT unnest(['page', 'ref', 'sid']) AS pkey),
+stripped AS (
+  SELECT k.pkey, r.url AS raw, r.text,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           r.url, '(?:([?&])' || k.pkey || '=[^&]*)', '\1'),
+           '[?&]+$', ''), '\?&', '?'), '&&', '&') AS bucket
+  FROM raws r, keys k),
+rows2 AS (
+  SELECT pkey, bucket, raw, text FROM stripped WHERE bucket <> raw
+  UNION ALL
+  SELECT k.pkey, r.url, r.url, r.text FROM raws r, keys k),
+per AS (SELECT pkey, bucket, count(DISTINCT raw) AS nraw,
+               count(DISTINCT text) AS nh
+        FROM rows2 GROUP BY pkey, bucket),
+agg AS (SELECT pkey,
+               sum(CASE WHEN nraw >= 2 AND nh = 1 THEN 1 ELSE 0 END)::bigint AS support,
+               sum(CASE WHEN nraw >= 2 AND nh > 1 THEN 1 ELSE 0 END)::bigint AS violations
+        FROM per GROUP BY pkey)
+SELECT pkey AS param_key, support, violations,
+       (support >= 2 AND violations = 0) AS valid
+FROM agg ORDER BY param_key
+""",
+        "crawl_budget": """
+WITH pu0 AS (SELECT doc_id, source, xor(doc_id::ubigint, 12::ubigint)::hugeint AS x0 FROM documents),
+pu1 AS (SELECT doc_id, source, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1 FROM pu0),
+pu2 AS (SELECT doc_id, source, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2 FROM pu1),
+pu AS (SELECT doc_id, source, 5 + (xor(x2::ubigint, x2::ubigint >> 31)::hugeint % 90)::bigint AS p FROM pu2),
+vis AS (SELECT doc_id, unnest(range(1, 9)) AS i FROM documents),
+v0 AS (SELECT doc_id, i, xor((doc_id * 16 + i)::ubigint, 11::ubigint)::hugeint AS x0 FROM vis),
+v1 AS (SELECT doc_id, i, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1 FROM v0),
+v2 AS (SELECT doc_id, i, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2 FROM v1),
+vh AS (SELECT doc_id, i, xor(x2::ubigint, x2::ubigint >> 31)::hugeint AS h FROM v2),
+perdoc AS (SELECT p.source, p.doc_id,
+                  sum(CASE WHEN (v.h % 100) < p.p THEN 1 ELSE 0 END)::bigint AS x
+           FROM vh v JOIN pu p USING (doc_id) GROUP BY p.source, p.doc_id),
+mass AS (SELECT source, sum(x)::bigint AS m FROM perdoc GROUP BY source),
+tot AS (SELECT sum(m)::bigint AS t FROM mass),
+ap AS (SELECT source, m,
+              (1000 * m) // (SELECT t FROM tot) AS base,
+              (1000 * m) % (SELECT t FROM tot) AS rem
+       FROM mass),
+lft AS (SELECT 1000 - sum(base)::bigint AS l FROM ap),
+rk AS (SELECT source, m, base, rem,
+              row_number() OVER (ORDER BY rem DESC, source ASC) AS r
+       FROM ap)
+SELECT source, m AS change_mass,
+       (base + CASE WHEN r <= (SELECT l FROM lft) THEN 1 ELSE 0 END)::bigint AS alloc
+FROM rk ORDER BY source
+""",
+        "serp_ctr_curve": _serp_ctr_sql(n_sessions=200, seed=7),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

@@ -272,3 +272,53 @@ def cascade_mle(log: ray.data.Dataset) -> pa.Table:
             "a_hat": pa.array(np.round(a, 6) + 0.0, pa.float64()),
         }
     )
+
+
+def ctr_by_position(log: ray.data.Dataset) -> pa.Table:
+    """SERP measurement primitive: click-through rate per (variant,
+    position) from an impression log — the dashboard curve every
+    ranking team watches (and the raw input PBM de-biases). One
+    vectorized per-block fold to (variant, pos) → (impressions,
+    clicks) integer partials. Returns
+    (variant, pos, impressions, clicks, ctr) sorted."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["variant"].to_numpy()
+        p = b["pos"].to_numpy()
+        c = b["click"].to_numpy()
+        key = v * 64 + p
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "k": pa.array(
+                    np.bincount(inv, weights=c).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    for b in log.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for key, n, k in zip(
+            b["key"].to_pylist(), b["n"].to_pylist(), b["k"].to_pylist()
+        ):
+            cur = acc.setdefault(int(key), [0, 0])
+            cur[0] += int(n)
+            cur[1] += int(k)
+    keys = np.array(sorted(acc), np.int64)
+    n = np.array([acc[x][0] for x in keys], np.int64)
+    k = np.array([acc[x][1] for x in keys], np.int64)
+    return pa.table(
+        {
+            "variant": pa.array(keys // 64, pa.int64()),
+            "pos": pa.array(keys % 64, pa.int64()),
+            "impressions": pa.array(n, pa.int64()),
+            "clicks": pa.array(k, pa.int64()),
+            "ctr": pa.array(
+                np.round(k / np.maximum(n, 1), 6) + 0.0, pa.float64()
+            ),
+        }
+    )

@@ -374,3 +374,69 @@ def template_ngrams(
         )
 
     return counts.map_batches(cut, batch_format="pyarrow")
+
+
+def crawl_budget_allocation(
+    docs: ray.data.Dataset,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_visits: int = 8,
+    seed: int = 11,
+) -> "pa.Table":
+    """Per-host crawl-budget apportionment: split a fixed recrawl
+    budget across hosts proportionally to their observed CHANGE MASS
+    (the Σ of per-url change counts from ``change_rate_estimates``'s
+    visit history), using the largest-remainder (Hamilton) method so
+    the allocation is integer-exact and SQL-replayable:
+
+        base_h = floor(B · mass_h / total)
+        leftover B − Σ base goes to the largest remainders
+        (B·mass_h) mod total, ties to the lexicographically smaller
+        host.
+
+    The change-mass fold is a ``groupby(source)`` integer sum (one
+    shuffle of per-batch partials); apportionment itself is
+    O(#hosts) driver arithmetic. The proportional-fairness scheduling
+    layer above the per-host politeness rank (``urls.fetch_schedule``)."""
+    from dcs_ray.functions.sampling import splitmix64
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        keys = (ids[:, None] * 16 + np.arange(1, n_visits + 1)[None, :]).astype(
+            np.uint64
+        )
+        hv = splitmix64(keys.ravel() ^ np.uint64(seed)).reshape(n, n_visits)
+        p_u = 5 + (splitmix64(ids.astype(np.uint64) ^ np.uint64(seed + 1))
+                   % np.uint64(90)).astype(np.int64)
+        x = ((hv % np.uint64(100)).astype(np.int64) < p_u[:, None]).sum(axis=1)
+        return pa.table({source_col: b[source_col], "x": pa.array(x, pa.int64())})
+
+    per = docs.select_columns([id_col, source_col]).map_batches(
+        f, batch_format="pyarrow"
+    ).groupby(source_col).sum("x")
+    t = pa.concat_tables(
+        [pa.table(b) for b in per.iter_batches(batch_format="pyarrow")]
+    ).sort_by(source_col)
+    hosts = t[source_col].to_pylist()
+    mass = t["sum(x)"].to_numpy().astype(np.int64)
+    total = int(mass.sum())
+    if total == 0:
+        alloc = np.zeros(len(hosts), np.int64)
+    else:
+        prod = budget * mass
+        base = prod // total
+        rem = prod % total
+        left = budget - int(base.sum())
+        # largest remainder, ties to smaller host name (sorted order)
+        order = np.lexsort((np.arange(len(hosts)), -rem))
+        alloc = base.copy()
+        alloc[order[:left]] += 1
+    return pa.table(
+        {
+            source_col: t[source_col],
+            "change_mass": pa.array(mass, pa.int64()),
+            "alloc": pa.array(alloc, pa.int64()),
+        }
+    )

@@ -231,3 +231,24 @@ def test_pairwise_ltr_learns_separating_weight(ray_session):
     assert w[0] > 0
     n, c = pairwise_accuracy(deltas, w)
     assert (n, c) == (200, 200)
+
+
+def test_dust_rules_mine_and_refute(ray_session):
+    import ray.data as rd
+
+    from dcs_ray.functions.dust import dust_param_rules
+
+    rows = []
+    for d in range(40):
+        base_text = f"content {d % 10}"
+        rows.append({"url": f"http://h/p{d % 10}", "text": base_text})
+        rows.append({"url": f"http://h/p{d % 10}?sessionid=s{d}", "text": base_text})
+        rows.append({"url": f"http://h/q?page={d % 5}", "text": f"listing {d % 5} v{d}"})
+    t = dust_param_rules(
+        rd.from_items(rows), ["sessionid", "page"], min_support=2
+    ).to_pandas().set_index("param_key")
+    assert bool(t.loc["sessionid", "valid"])
+    assert t.loc["sessionid", "violations"] == 0
+    assert t.loc["sessionid", "support"] == 10
+    assert not bool(t.loc["page", "valid"])
+    assert t.loc["page", "violations"] >= 1
