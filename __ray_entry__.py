@@ -12844,6 +12844,73 @@ def _q_serp_ctr(sf_dir: str) -> pa.Table:
     return ctr_by_position(log)
 
 
+def _nqc_sql(k: int = 50) -> str:
+    """NQC replay: shared tok/df/stats CTEs, one scores+top-k+moments
+    chain per query, population std over the top-k and the sigma/mu
+    normalization — same expression tree as ``evaluate.nqc_difficulty``."""
+    from dcs_ray.functions.evaluate import NQC_QUERIES
+
+    parts, sels = [], []
+    for i, q in enumerate(NQC_QUERIES):
+        terms = sorted(set(q.split()))
+        inl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""sc{i} AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN ({inl}) GROUP BY tf.doc_id),
+top{i} AS (SELECT score FROM sc{i} ORDER BY score DESC, doc_id ASC LIMIT {k}),
+m{i} AS (SELECT count(*)::bigint AS k, avg(score) AS mu FROM top{i}),
+s{i} AS (SELECT m.k, m.mu,
+                sqrt(sum((t.score - m.mu) * (t.score - m.mu)) / m.k) AS sigma
+         FROM top{i} t, m{i} m GROUP BY m.k, m.mu)""")
+        sels.append(
+            f"SELECT {i}::bigint AS query_id, k AS k_used, round(mu, 6) + 0.0 AS mu,"
+            f" round(sigma, 6) + 0.0 AS sigma,"
+            f" round(CASE WHEN mu <> 0 THEN sigma / mu ELSE 0.0 END, 6) + 0.0 AS nqc"
+            f" FROM s{i}"
+        )
+    body = "\nUNION ALL\n".join(sels)
+    chains = ",\n".join(parts)
+    return f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+{chains}
+{body}
+ORDER BY query_id
+"""
+
+
+def _q_nqc_difficulty(sf_dir: str) -> pa.Table:
+    """Post-retrieval query-performance prediction: NQC (Shtok '09) —
+    the normalized deviation of the top-50 BM25 scores per query, the
+    post-retrieval companion of the clarity gate. Five fixed queries;
+    the oracle replays every score distribution and both moments."""
+    from dcs_ray.functions.evaluate import NQC_QUERIES, nqc_difficulty
+
+    idx = _index_dir(sf_dir, "words")
+    return nqc_difficulty(idx, NQC_QUERIES, k=50)
+
+
+def _q_static_cache(sf_dir: str) -> pa.Table:
+    """Static result-cache evaluation (Baeza-Yates SIGIR '07): a
+    20,000-request deterministic skewed query stream over 200 query
+    ids, folded to frequencies, top-20 cached, cumulative hit-rate
+    curve reported — every draw, the frequency fold, the (freq desc,
+    qid asc) cache ranking and the 6dp curve replay in SQL."""
+    from dcs_ray.functions.cachesim import static_cache_hit_curve, synth_query_stream
+
+    log = synth_query_stream(20000, 200, seed=21)
+    return static_cache_hit_curve(log, 200, cache_m=20)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12923,6 +12990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dust_rules": _q_dust_rules,
         "crawl_budget": _q_crawl_budget,
         "serp_ctr_curve": _q_serp_ctr,
+        "nqc_difficulty": _q_nqc_difficulty,
+        "static_cache_hit_curve": _q_static_cache,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15527,6 +15596,26 @@ SELECT source, m AS change_mass,
 FROM rk ORDER BY source
 """,
         "serp_ctr_curve": _serp_ctr_sql(n_sessions=200, seed=7),
+        "nqc_difficulty": _nqc_sql(k=50),
+        "static_cache_hit_curve": """
+WITH req AS (SELECT unnest(range(20000)) AS i),
+a0 AS (SELECT i, xor(i::ubigint, 21::ubigint)::hugeint AS x0,
+             xor(i::ubigint, 22::ubigint)::hugeint AS y0 FROM req),
+a1 AS (SELECT i, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1,
+             ((((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS y1 FROM a0),
+a2 AS (SELECT i, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2,
+             ((((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS y2 FROM a1),
+draws AS (SELECT i, least(xor(x2::ubigint, x2::ubigint >> 31)::hugeint % 200,
+                          xor(y2::ubigint, y2::ubigint >> 31)::hugeint % 200)::bigint AS qid
+          FROM a2),
+freq AS (SELECT qid, count(*)::bigint AS f FROM draws GROUP BY qid),
+ranked AS (SELECT qid, f, row_number() OVER (ORDER BY f DESC, qid ASC) AS r
+           FROM freq ORDER BY f DESC, qid ASC LIMIT 20)
+SELECT r AS rank, qid AS query_id, f AS freq,
+       round(sum(f) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)::double
+             / 20000, 6) + 0.0 AS cum_hit_rate
+FROM ranked ORDER BY rank
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

@@ -282,3 +282,55 @@ def team_draft_interleave(ids_a, ids_b, k: int = 10, seed: int = 0) -> pa.Table:
             "team": pa.array(teams, pa.int64()),
         }
     )
+
+
+NQC_QUERIES = [
+    "join merge spark", "customer value", "the",
+    "data fast query", "sort window",
+]
+
+
+def nqc_difficulty(index_dir: str, queries: list[str], k: int = 50) -> pa.Table:
+    """Post-retrieval query-performance prediction: NQC (Shtok,
+    Kurland & Carmel '09 — Normalized Query Commitment). A peaked
+    score distribution at the top of the ranking signals an easy,
+    well-separated query; a flat one signals difficulty:
+
+        mu    = mean(top-k scores)
+        sigma = sqrt(mean((s - mu)^2))       (population std)
+        nqc   = sigma / mu                   (the CV normalization)
+
+    Higher nqc → better-separated → predicted-easier. Pre-retrieval
+    companion to the clarity gate (KL of result LM vs collection LM);
+    everything here is <= k-row math per query on top of the ordinary
+    distributed BM25 fan-out."""
+    from dcs_ray.search import search_bm25
+
+    t = search_bm25(index_dir, queries, k=k)
+    qids = t["query_id"].to_numpy()
+    scores = t["score"].to_numpy()
+    rows = {"query_id": [], "k_used": [], "mu": [], "sigma": [], "nqc": []}
+    for qid in range(len(queries)):
+        s = scores[qids == qid]
+        if len(s) == 0:
+            mu = sigma = nqc = 0.0
+            kk = 0
+        else:
+            kk = len(s)
+            mu = float(np.mean(s))
+            sigma = float(np.sqrt(np.mean((s - mu) * (s - mu))))
+            nqc = sigma / mu if mu != 0 else 0.0
+        rows["query_id"].append(qid)
+        rows["k_used"].append(kk)
+        rows["mu"].append(round(mu, 6) + 0.0)
+        rows["sigma"].append(round(sigma, 6) + 0.0)
+        rows["nqc"].append(round(nqc, 6) + 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "k_used": pa.array(rows["k_used"], pa.int64()),
+            "mu": pa.array(rows["mu"], pa.float64()),
+            "sigma": pa.array(rows["sigma"], pa.float64()),
+            "nqc": pa.array(rows["nqc"], pa.float64()),
+        }
+    )

@@ -252,3 +252,49 @@ def test_dust_rules_mine_and_refute(ray_session):
     assert t.loc["sessionid", "support"] == 10
     assert not bool(t.loc["page", "valid"])
     assert t.loc["page", "violations"] >= 1
+
+
+def test_nqc_peaked_vs_flat(ray_session, tmp_path):
+    """A query with one dominant doc must have higher NQC than a query
+    whose matches all score identically (sigma = 0 → nqc = 0)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from dcs_ray.functions.evaluate import nqc_difficulty
+    from dcs_ray.index import IndexConfig, build_index
+
+    texts = ["flat term here"] * 30 + ["peaked " + "peaked " * 9] + ["peaked x"] * 29
+    path = tmp_path / "d.parquet"
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(60), pa.int64()),
+            "url": pa.array([f"u{i}" for i in range(60)], pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }),
+        path,
+    )
+    out = str(tmp_path / "idx")
+    build_index(
+        rd.read_parquet(str(path)), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    t = nqc_difficulty(out, ["flat", "peaked"], k=20).to_pandas()
+    flat_nqc = t.loc[t.query_id == 0, "nqc"].iloc[0]
+    peaked_nqc = t.loc[t.query_id == 1, "nqc"].iloc[0]
+    assert flat_nqc == 0.0          # identical docs → zero deviation
+    assert peaked_nqc > 0.05        # tf-10 outlier spreads the top-k
+    assert peaked_nqc > flat_nqc
+
+
+def test_static_cache_curve_monotone_and_skewed(ray_session):
+    from dcs_ray.functions.cachesim import static_cache_hit_curve, synth_query_stream
+
+    log = synth_query_stream(5000, 100, seed=21)
+    t = static_cache_hit_curve(log, 100, cache_m=10).to_pandas()
+    assert len(t) == 10
+    assert (np.diff(t.cum_hit_rate.values) > 0).all()
+    assert (np.diff(t.freq.values) <= 0).all()
+    # min-of-two-uniforms skew: top-10 of 100 queries must absorb far
+    # more than the uniform 10% of traffic
+    assert t.cum_hit_rate.iloc[-1] > 0.2
