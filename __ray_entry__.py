@@ -12911,6 +12911,41 @@ def _q_static_cache(sf_dir: str) -> pa.Table:
     return static_cache_hit_curve(log, 200, cache_m=20)
 
 
+def _q_rbp_err_eval(sf_dir: str) -> pa.Table:
+    """Rank-biased precision (Moffat & Zobel '08, p=0.8) and expected
+    reciprocal rank (Chapelle '09, binary relevance mapped to R=0.5)
+    of the BM25 top-10 vs the lexical relevance oracle — the
+    user-model metric family next to NDCG/MRR/MAP:
+
+        RBP = (1-p) * Sum rel_i * p^(i-1)
+        ERR = Sum rel_i * (0.5/i) * 0.5^(#relevant above i)
+
+    Shares the one-pass streaming labeler; both metrics are 10-row
+    arithmetic the oracle replays rank by rank."""
+    from dcs_ray.functions.evaluate import relevance_hits
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    ranked = np.asarray(t["doc_id"].to_pylist(), np.int64)
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n_relevant, hit_set = relevance_hits(docs, ranked, BM25_QUERY.split())
+    rel = np.array([1.0 if d in hit_set else 0.0 for d in ranked])
+    i = np.arange(1, len(rel) + 1, dtype=np.float64)
+    rbp = (1.0 - 0.8) * float(np.sum(rel * np.power(0.8, i - 1.0)))
+    before = np.concatenate(([0.0], np.cumsum(rel)[:-1]))
+    err = float(np.sum(rel * (0.5 / i) * np.power(0.5, before)))
+    return pa.table(
+        {
+            "n_relevant": pa.array([n_relevant], pa.int64()),
+            "rbp_08": pa.array([round(rbp, 6) + 0.0], pa.float64()),
+            "err": pa.array([round(err, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -12992,6 +13027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "serp_ctr_curve": _q_serp_ctr,
         "nqc_difficulty": _q_nqc_difficulty,
         "static_cache_hit_curve": _q_static_cache,
+        "rbp_err_eval": _q_rbp_err_eval,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15615,6 +15651,28 @@ SELECT r AS rank, qid AS query_id, f AS freq,
        round(sum(f) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)::double
              / 20000, 6) + 0.0 AS cum_hit_rate
 FROM ranked ORDER BY rank
+""",
+        "rbp_err_eval": f"""
+WITH {_BM25_SCORES},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+rel AS (
+  SELECT doc_id FROM tok WHERE term IN ('join','merge','spark')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 3),
+lab AS (
+  SELECT r.rank,
+         CASE WHEN r.doc_id IN (SELECT doc_id FROM rel) THEN 1.0 ELSE 0.0 END AS g
+  FROM ranked r),
+labc AS (
+  SELECT rank, g,
+         coalesce(sum(g) OVER (ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS before
+  FROM lab),
+nrel AS (SELECT count(*)::bigint AS r FROM rel)
+SELECT (SELECT r FROM nrel) AS n_relevant,
+       round((1.0 - 0.8) * (SELECT sum(g * power(0.8, rank - 1.0)) FROM lab), 6) + 0.0 AS rbp_08,
+       round((SELECT sum(g * (0.5 / rank) * power(0.5, before)) FROM labc), 6) + 0.0 AS err
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
