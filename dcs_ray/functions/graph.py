@@ -1219,3 +1219,213 @@ def resolve_redirects(
         return b.append_column(out_col, pa.array(term.astype(np.int64), pa.int64()))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HyperANF — approximate neighborhood function (Boldi, Rosa & Vigna, WWW '11)
+# ---------------------------------------------------------------------------
+
+_HANF_P = 4  # 2^4 = 16 registers per node
+
+
+def _hanf_init(node_ids: np.ndarray, p: int = _HANF_P) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node single-element HLL counter: (register index, rank) of
+    splitmix64(node). j = top p bits; rank = leading zeros of the
+    remaining bits + 1, capped at 64-p+1 — the exact convention of
+    ``sketches.hll_fold_batch`` so the SQL replay shares the formula."""
+    from dcs_ray.codec import _bitlen64
+    from dcs_ray.functions.sampling import splitmix64
+
+    h = splitmix64(node_ids.astype(np.uint64))
+    j = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)
+    rank = np.minimum(65 - _bitlen64(rest), 64 - p + 1).astype(np.int64)
+    return j, rank
+
+
+def hyperanf(
+    edges: ray.data.Dataset,
+    rounds: int = 3,
+    p: int = _HANF_P,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> list[ray.data.Dataset]:
+    """HyperANF over a directed edge list: every node carries a 2^p-
+    register HLL counter of its OUT-reachability ball; one round unions
+    each node's counter with its successors' (elementwise register
+    max), so after t rounds node n's counter estimates |ball(n, t)| —
+    the algorithm behind the web-graph distance/diameter measurements
+    of Boldi & Vigna (public WWW '11 paper).
+
+    Distribution shape per round — two hash shuffles, NO broadcast of
+    node state (the counter table is node-scale and may not fit one
+    heap at web scale):
+      1. ``union(registers keyed by node, edges keyed by dst)``
+         → ``groupby(key)``: each group holds one node's registers and
+         the edges that want them; it emits (src, registers) message
+         rows — counters travel the REVERSED edges.
+      2. ``union(messages, own registers) → groupby(node)``:
+         elementwise max folds the round.
+
+    Returns the list of register Datasets ``[R_1, .., R_rounds]``
+    (rows: node, regs list<int64> of length 2^p)."""
+    m = 1 << p
+
+    def init_regs(b: pa.Table) -> pa.Table:
+        nodes = b["node"].to_numpy().astype(np.int64)
+        j, rank = _hanf_init(nodes, p)
+        regs = np.zeros((len(nodes), m), np.int64)
+        regs[np.arange(len(nodes)), j] = rank
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "regs": pa.array(regs.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    def node_list(b: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.concatenate(
+                (
+                    b[src_col].to_numpy().astype(np.int64),
+                    b[dst_col].to_numpy().astype(np.int64),
+                )
+            )
+        )
+        return pa.table({"node": pa.array(vals, pa.int64())})
+
+    nodes = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(node_list, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+    )
+    regs = nodes.map_batches(init_regs, batch_format="pyarrow").materialize()
+    edge_rows = edges.select_columns([src_col, dst_col]).materialize()
+
+    out = []
+    for _ in range(rounds):
+        # phase 1: ship each node's regs to its predecessors
+        reg_keyed = regs.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b["node"],
+                    "src": pa.array([-1] * len(b), pa.int64()),
+                    "regs": b["regs"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_keyed = edge_rows.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b[dst_col].cast(pa.int64()),
+                    "src": b[src_col].cast(pa.int64()),
+                    "regs": pa.array(
+                        [None] * len(b), pa.list_(pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def route(g: pa.Table) -> pa.Table:
+            srcs = g["src"].to_numpy()
+            own = g["regs"].is_valid().to_numpy(zero_copy_only=False)
+            if not own.any():  # dangling dst never initialized (can't happen)
+                return pa.table(
+                    {"node": pa.array([], pa.int64()),
+                     "regs": pa.array([], pa.list_(pa.int64()))}
+                )
+            regs_row = g["regs"].filter(pa.array(own))[0]
+            targets = srcs[srcs >= 0]
+            return pa.table(
+                {
+                    "node": pa.array(targets, pa.int64()),
+                    "regs": pa.array([regs_row.as_py()] * len(targets),
+                                     pa.list_(pa.int64())),
+                }
+            )
+
+        messages = (
+            reg_keyed.union(edge_keyed)
+            .groupby("key")
+            .map_groups(route, batch_format="pyarrow")
+        )
+
+        def fold(g: pa.Table) -> pa.Table:
+            arr = (
+                g["regs"].combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+                .reshape(len(g), m)
+            )
+            return pa.table(
+                {
+                    "node": g["node"].slice(0, 1),
+                    "regs": pa.array([arr.max(axis=0).tolist()],
+                                     pa.list_(pa.int64())),
+                }
+            )
+
+        regs = (
+            messages.union(regs)
+            .groupby("node")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        out.append(regs)
+    return out
+
+
+def hyperanf_sample_estimates(
+    reg_rounds: list[ray.data.Dataset], sample_nodes: list[int], p: int = _HANF_P
+) -> pa.Table:
+    """(round, node, reg_sum, est) for a fixed node sample: reg_sum is
+    the integer register sum (the strong exact check), est the standard
+    HLL estimate of |ball(node, round)| rounded to 6dp. The power sum
+    Σ 2^-r is accumulated as the INTEGER Σ 2^(cap-r) (dyadic rationals
+    collapse exactly; a float sum would round 2^-61 + 1 differently per
+    summation order) so the SQL replay is bit-deterministic."""
+    cap = 64 - p + 1
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def est_from(r: np.ndarray) -> float:
+        # Python-int sum: 16 terms up to 2^61 overflow int64 (np.sum wraps)
+        ssum_int = sum(1 << (cap - int(x)) for x in r)
+        est = alpha * m * m * float(1 << cap) / float(ssum_int)
+        zeros = int((r == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        return float(est)
+
+    want = np.asarray(sorted(sample_nodes), np.int64)
+    rows = {"round": [], "node": [], "reg_sum": [], "est": []}
+    for ri, regs in enumerate(reg_rounds, start=1):
+        got = {}
+        for b in regs.iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            ids = t["node"].to_numpy().astype(np.int64)
+            sel = np.isin(ids, want)
+            sub = t.filter(pa.array(sel))
+            for n, r in zip(
+                sub["node"].to_pylist(), sub["regs"].to_pylist()
+            ):
+                got[int(n)] = np.asarray(r, np.int64)
+        for n in want:
+            r = got.get(int(n))
+            if r is None:
+                continue
+            rows["round"].append(ri)
+            rows["node"].append(int(n))
+            rows["reg_sum"].append(int(r.sum()))
+            rows["est"].append(round(est_from(r), 6) + 0.0)
+    return pa.table(
+        {
+            "round": pa.array(rows["round"], pa.int64()),
+            "node": pa.array(rows["node"], pa.int64()),
+            "reg_sum": pa.array(rows["reg_sum"], pa.int64()),
+            "est": pa.array(rows["est"], pa.float64()),
+        }
+    )

@@ -298,3 +298,29 @@ def test_static_cache_curve_monotone_and_skewed(ray_session):
     # min-of-two-uniforms skew: top-10 of 100 queries must absorb far
     # more than the uniform 10% of traffic
     assert t.cum_hit_rate.iloc[-1] > 0.2
+
+
+def test_hyperanf_ball_growth_on_chain(ray_session):
+    """On the chain 5→0→1→2→3→4 the reachability balls are known
+    exactly; with m=16 registers the small-range (linear counting)
+    branch fires, so estimates are a deterministic function of the
+    distinct-register count — and register sums grow monotonically."""
+    import ray.data as rd
+
+    from dcs_ray.functions.graph import hyperanf, hyperanf_sample_estimates
+
+    edges = rd.from_items(
+        [{"src": i, "dst": i + 1} for i in range(4)] + [{"src": 5, "dst": 0}]
+    )
+    t = hyperanf_sample_estimates(hyperanf(edges, rounds=3), [0, 3, 4, 5])
+    df = t.to_pandas().set_index(["round", "node"])
+    # node 4 has no out-edges: its counter never changes
+    assert df.loc[(1, 4), "reg_sum"] == df.loc[(3, 4), "reg_sum"]
+    # node 0's ball grows 2 → 3 → 4 docs; register sum is monotone
+    assert (
+        df.loc[(1, 0), "reg_sum"]
+        <= df.loc[(2, 0), "reg_sum"]
+        <= df.loc[(3, 0), "reg_sum"]
+    )
+    # ball(0,3) = {0,1,2,3} strictly exceeds ball(3,3) = {3,4}
+    assert df.loc[(3, 0), "est"] > df.loc[(3, 3), "est"]
