@@ -13026,6 +13026,34 @@ def _q_hyperanf(sf_dir: str) -> pa.Table:
     return hyperanf_sample_estimates(rounds, small.tolist())
 
 
+def _q_kleinberg_bursts(sf_dir: str) -> pa.Table:
+    """Kleinberg two-state burst detection (KDD '02) over the daily
+    click stream: per-day (target, total) counts fold with one integer
+    groupby; every 7th day's click count is deterministically tripled
+    (capped at n) so real burst intervals exist; the two-state Viterbi
+    runs day-by-day with ties to the quiet state. The oracle replays
+    the fold, the injection, and the ENTIRE DP as a recursive CTE with
+    the identical expression tree and tie rules."""
+    from dcs_ray.functions.bursts import daily_type_counts, kleinberg_bursts
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    daily = daily_type_counts(ev, "click")
+    day = daily["day"].to_numpy()
+    r = daily["r"].to_numpy().astype(np.int64)
+    n = daily["n"].to_numpy().astype(np.int64)
+    r = np.where(day % 7 == 3, np.minimum(n, r * 3), r)
+    daily = pa.table(
+        {
+            "day": daily["day"],
+            "r": pa.array(r, pa.int64()),
+            "n": daily["n"],
+        }
+    )
+    return kleinberg_bursts(daily, s=2.0, gamma=1.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13109,6 +13137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "static_cache_hit_curve": _q_static_cache,
         "rbp_err_eval": _q_rbp_err_eval,
         "hyperanf_neighborhood": _q_hyperanf,
+        "kleinberg_bursts": _q_kleinberg_bursts,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15756,6 +15785,41 @@ SELECT (SELECT r FROM nrel) AS n_relevant,
        round((SELECT sum(g * (0.5 / rank) * power(0.5, before)) FROM labc), 6) + 0.0 AS err
 """,
         "hyperanf_neighborhood": _hyperanf_sql(rounds=3),
+        "kleinberg_bursts": """
+WITH RECURSIVE
+raw AS (SELECT (epoch_us(ts) // 86400000000)::bigint AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint AS r0,
+               count(*)::bigint AS n
+        FROM events GROUP BY 1),
+dd AS (SELECT row_number() OVER (ORDER BY day) AS i, day,
+              CASE WHEN day % 7 = 3 THEN least(n, r0 * 3) ELSE r0 END AS r, n
+       FROM raw),
+st AS (SELECT sum(r)::bigint AS R, sum(n)::bigint AS N, count(*)::bigint AS T FROM dd),
+params AS (SELECT R::double / N AS p0,
+                  least(2.0 * (R::double / N), 0.9999) AS p1,
+                  1.0 * ln(T) AS g
+           FROM st),
+dp(i, c0, c1, s0, s1) AS (
+  SELECT 1::bigint,
+         -(d.r * ln(p.p0) + (d.n - d.r) * ln(1 - p.p0)),
+         p.g + (-(d.r * ln(p.p1) + (d.n - d.r) * ln(1 - p.p1))),
+         '0', '1'
+  FROM dd d, params p WHERE d.i = 1
+  UNION ALL
+  SELECT d.i,
+         (-(d.r * ln(p.p0) + (d.n - d.r) * ln(1 - p.p0)))
+           + CASE WHEN dp.c0 <= dp.c1 THEN dp.c0 ELSE dp.c1 END,
+         (-(d.r * ln(p.p1) + (d.n - d.r) * ln(1 - p.p1)))
+           + CASE WHEN dp.c0 + p.g <= dp.c1 THEN dp.c0 + p.g ELSE dp.c1 END,
+         (CASE WHEN dp.c0 <= dp.c1 THEN dp.s0 ELSE dp.s1 END) || '0',
+         (CASE WHEN dp.c0 + p.g <= dp.c1 THEN dp.s0 ELSE dp.s1 END) || '1'
+  FROM dp JOIN dd d ON d.i = dp.i + 1, params p
+),
+fin AS (SELECT CASE WHEN c0 <= c1 THEN s0 ELSE s1 END AS seq
+        FROM dp WHERE i = (SELECT T FROM st))
+SELECT d.day, d.r, d.n, CAST(substr(f.seq, d.i::int, 1) AS BIGINT) AS state
+FROM dd d, fin f ORDER BY d.day
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

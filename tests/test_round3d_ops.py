@@ -324,3 +324,21 @@ def test_hyperanf_ball_growth_on_chain(ray_session):
     )
     # ball(0,3) = {0,1,2,3} strictly exceeds ball(3,3) = {3,4}
     assert df.loc[(3, 0), "est"] > df.loc[(3, 3), "est"]
+
+
+def test_kleinberg_detects_injected_burst(ray_session):
+    """A flat series with a 3-day tripled window must flag exactly the
+    injected window as the burst state."""
+    from dcs_ray.functions.bursts import kleinberg_bursts
+
+    days = np.arange(20, dtype=np.int64)
+    n = np.full(20, 1000, np.int64)
+    r = np.full(20, 100, np.int64)
+    r[8:11] = 300
+    daily = pa.table({
+        "day": pa.array(days, pa.int64()),
+        "r": pa.array(r, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+    })
+    t = kleinberg_bursts(daily, s=2.0, gamma=1.0).to_pandas()
+    assert t.state.tolist() == ([0] * 8 + [1] * 3 + [0] * 9)
