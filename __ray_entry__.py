@@ -13054,6 +13054,143 @@ def _q_kleinberg_bursts(sf_dir: str) -> pa.Table:
     return kleinberg_bursts(daily, s=2.0, gamma=1.0)
 
 
+def _trustrank_sql() -> str:
+    """TrustRank / spam-mass replay: the uniform PageRank chain and a
+    seed-teleport (trusted nodes ≡ node % 10 = 0) chain composed in one
+    statement — the personalized chain's CTE names are mechanically
+    prefixed so both 5-iteration chains coexist; spam mass is computed
+    from the ROUNDED ranks on both sides."""
+    import re as _re
+
+    uni = _pagerank_ctes(5, 0.85, _LINK_EDGES_CTE)
+    pers_full = _pagerank_sql(
+        5, 0.85,
+        edges_cte="edges AS (SELECT src, dst FROM EDGEBASE)",
+        seeds_cte="seeds AS (SELECT node FROM nodes WHERE node % 10 = 0)",
+    )
+    pers = pers_full[len("WITH "): pers_full.rindex("\nSELECT node, round")]
+    pers = _re.sub(
+        r"\b(edges|nodes|nn|outdeg|tp|ns|seeds|dang\d+|c\d+|r\d+)\b",
+        r"T\1", pers,
+    )
+    pers = pers.replace("EDGEBASE", "edges")
+    return f"""
+WITH {uni},
+{pers},
+comb AS (
+  SELECT u.node, round(u.r, 6) + 0.0 AS pagerank, round(t.r, 6) + 0.0 AS trust
+  FROM r5 u JOIN Tr5 t USING (node)),
+sm AS (
+  SELECT node, pagerank, trust,
+         round(CASE WHEN pagerank > 0 THEN (pagerank - trust) / pagerank
+                    ELSE 0.0 END, 6) + 0.0 AS spam_mass
+  FROM comb)
+SELECT node, pagerank, trust, spam_mass
+FROM sm ORDER BY spam_mass DESC, node ASC LIMIT 20
+"""
+
+
+def _q_trustrank_spam_mass(sf_dir: str) -> pa.Table:
+    """TrustRank spam-mass estimation (Gyongyi, Garcia-Molina &
+    Pedersen, VLDB '04): rank trust propagated from a seed set (nodes
+    ≡ 0 mod 10) via seed-teleport personalized PageRank next to the
+    uniform PageRank; spam mass = (pr − trust)/pr. Pages whose rank
+    comes mostly from untrusted regions of the graph float to the top
+    — the classic link-spam demotion signal. Both chains reuse the
+    engine's canonical-fold power iteration; the oracle composes both
+    5-iteration replays in one statement."""
+    from dcs_ray.functions.links import link_pagerank
+
+    edges = _link_edges_ds(sf_dir).materialize()
+    pr = link_pagerank(edges, n_iter=5, damping=0.85)
+    nodes = pr["node"].to_numpy().astype(np.int64)
+    seeds = [int(x) for x in nodes if x % 10 == 0]
+    tr = link_pagerank(edges, n_iter=5, damping=0.85, seeds=seeds)
+    prv = pr["rank"].to_numpy()
+    trv = tr["rank"].to_numpy()  # node orders identical (sorted unique)
+    assert np.array_equal(nodes, tr["node"].to_numpy().astype(np.int64))
+    prv = np.round(prv, 6) + 0.0
+    trv = np.round(trv, 6) + 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sm = np.where(prv > 0, (prv - trv) / prv, 0.0)
+    sm = np.round(sm, 6) + 0.0
+    order = np.lexsort((nodes, -sm))[:20]
+    return pa.table(
+        {
+            "node": pa.array(nodes[order], pa.int64()),
+            "pagerank": pa.array(prv[order], pa.float64()),
+            "trust": pa.array(trv[order], pa.float64()),
+            "spam_mass": pa.array(sm[order], pa.float64()),
+        }
+    )
+
+
+def _ring_sql() -> str:
+    """Consistent-hash replay: ring positions for 8 nodes × 64 virtual
+    nodes and the full corpus assignment counts under scenario 'full'
+    plus scenario 'minus3' (node 3 removed) — one correlated first-
+    position-clockwise lookup per key, wrap via the global ring min."""
+    MIX1 = str(0xBF58476D1CE4E5B9)
+    MIX2 = str(0x94D049BB133111EB)
+
+    def chain(expr):
+        x0 = f"xor(({expr})::ubigint, 0::ubigint)::hugeint"
+        x1 = _mulmod64(f"xor(({x0})::ubigint, ({x0})::ubigint >> 30)::hugeint", MIX1 + "::hugeint")
+        x2 = _mulmod64(f"xor(({x1})::ubigint, ({x1})::ubigint >> 27)::hugeint", MIX2 + "::hugeint")
+        return f"xor(({x2})::ubigint, ({x2})::ubigint >> 31)::hugeint"
+
+    return f"""
+WITH ring AS MATERIALIZED (
+  SELECT node, v, {chain("node * 1024 + v")} AS pos
+  FROM (SELECT unnest(range(8)) AS node), (SELECT unnest(range(64)) AS v)),
+keys AS MATERIALIZED (
+  SELECT doc_id, {chain("doc_id")} AS h FROM documents),
+scen AS (SELECT unnest(['full', 'minus3']) AS scenario),
+live AS (SELECT s.scenario, r.node, r.pos FROM scen s JOIN ring r
+         ON s.scenario = 'full' OR r.node <> 3),
+ass AS (
+  SELECT s.scenario, k.doc_id,
+         coalesce(
+           (SELECT l.node FROM live l WHERE l.scenario = s.scenario
+              AND l.pos >= k.h ORDER BY l.pos, l.node LIMIT 1),
+           (SELECT l.node FROM live l WHERE l.scenario = s.scenario
+            ORDER BY l.pos, l.node LIMIT 1)) AS node
+  FROM keys k, scen s)
+SELECT scenario, node, count(*)::bigint AS n_keys
+FROM ass GROUP BY scenario, node ORDER BY scenario, node
+"""
+
+
+def _q_consistent_hash(sf_dir: str) -> pa.Table:
+    """Consistent-hash ring gate (Karger '97): per-node key counts over
+    the corpus for the full 8-node ring and with node 3 removed; the
+    removal-stability invariant (only node 3's keys move) is asserted
+    inline. Both scenarios' assignment replays in SQL via the
+    first-position-clockwise rule."""
+    from dcs_ray.functions.ring import assign_keys, removal_stability
+
+    keys = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    nodes = list(range(8))
+    a = assign_keys(keys, nodes, vnodes=64)
+    b = assign_keys(keys, [n for n in nodes if n != 3], vnodes=64)
+    stab = removal_stability(keys, nodes, removed=3, vnodes=64)
+    assert stab["moved_not_owned"] == 0, stab
+    assert stab["moved"] == stab["owned_by_removed"], stab
+    return pa.table(
+        {
+            "scenario": pa.array(
+                ["full"] * len(a) + ["minus3"] * len(b), pa.string()
+            ),
+            "node": pa.concat_arrays(
+                [a["node"].combine_chunks(), b["node"].combine_chunks()]
+            ),
+            "n_keys": pa.concat_arrays(
+                [a["n_keys"].combine_chunks(), b["n_keys"].combine_chunks()]
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13138,6 +13275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rbp_err_eval": _q_rbp_err_eval,
         "hyperanf_neighborhood": _q_hyperanf,
         "kleinberg_bursts": _q_kleinberg_bursts,
+        "trustrank_spam_mass": _q_trustrank_spam_mass,
+        "consistent_hash_ring": _q_consistent_hash,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -15820,6 +15959,8 @@ fin AS (SELECT CASE WHEN c0 <= c1 THEN s0 ELSE s1 END AS seq
 SELECT d.day, d.r, d.n, CAST(substr(f.seq, d.i::int, 1) AS BIGINT) AS state
 FROM dd d, fin f ORDER BY d.day
 """,
+        "trustrank_spam_mass": _trustrank_sql(),
+        "consistent_hash_ring": _ring_sql(),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

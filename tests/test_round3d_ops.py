@@ -342,3 +342,21 @@ def test_kleinberg_detects_injected_burst(ray_session):
     })
     t = kleinberg_bursts(daily, s=2.0, gamma=1.0).to_pandas()
     assert t.state.tolist() == ([0] * 8 + [1] * 3 + [0] * 9)
+
+
+def test_consistent_hash_minimal_movement(ray_session):
+    """Removing a node must move exactly its own keys — and additions
+    of virtual nodes keep per-node load within a sane spread."""
+    import ray.data as rd
+
+    from dcs_ray.functions.ring import assign_keys, removal_stability
+
+    keys = rd.range(5000).map_batches(lambda b: {"doc_id": b["id"]})
+    nodes = list(range(6))
+    stab = removal_stability(keys, nodes, removed=2, vnodes=64)
+    assert stab["moved_not_owned"] == 0
+    assert stab["moved"] == stab["owned_by_removed"] > 0
+    t = assign_keys(keys, nodes, vnodes=64).to_pandas()
+    assert t.n_keys.sum() == 5000
+    # 64 vnodes keep the max/min load spread moderate
+    assert t.n_keys.max() < 3 * t.n_keys.min()
