@@ -206,6 +206,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries["bm25_search"] = round(q_s, 3)
     thr["query_qps"] = round(len(BM25_QUERIES) / q_s, 2)
 
+    # --- interval-decomposed Block-Max WAND (must be rank-identical) ---
+    t0 = time.monotonic()
+    res_bmw = search_bm25(
+        idx, BM25_QUERIES, k=10, task_num_cpus=task_cpus, method="bmw"
+    )
+    bmw_s = time.monotonic() - t0
+    assert res_bmw.equals(res)
+    queries["bm25_bmw"] = round(bmw_s, 3)
+
     # --- resident query service (serving latency; the dcs-web shape) ---
     # same queries one-at-a-time — the interactive pattern where per-call
     # Dataset construction IS the latency; the actor pool answers from

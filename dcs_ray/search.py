@@ -791,6 +791,8 @@ def search_bm25(
         score_fn = score_shard_bm25_maxscore
     elif method == "bmw":
         score_fn = score_shard_bm25_bmw
+    elif method == "bm25plus":
+        score_fn = score_shard_bm25plus
     else:
         score_fn = score_shard_bm25
 
@@ -977,6 +979,43 @@ def score_shard_qld(
     if len(uniq):
         dl = seg.doc_len[np.searchsorted(seg.doc_ids, uniq)].astype(np.float64)
         sums = sums + len(plan) * np.log(mu / (dl + mu))
+    return topk(uniq, sums, k)
+
+
+def score_shard_bm25plus(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25+ (Lv & Zhai, CIKM '11): classic BM25 with a per-present-
+    term lower bound δ, fixing the over-penalization of long documents
+    (a long doc containing a query term can otherwise score below one
+    that lacks it entirely):
+
+        s_t(d) = idf_t · ( tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) + δ )
+
+    δ = stats["delta"] (1.0 per the paper's recommendation)."""
+    k1, b = stats["k1"], stats["b"]
+    delta = float(stats.get("delta", 1.0))
+    avgdl = stats["avgdl"] or 1.0
+    doc_chunks, score_chunks = [], []
+    for term, idf in plan:  # ascending term order
+        idx = seg.term_index(term)
+        if idx < 0:
+            continue
+        doc_ids, tfs = _decode_term_filtered(seg, idx, doc_filter)
+        if not len(doc_ids):
+            continue
+        tf = tfs.astype(np.float64)
+        dl = seg.doc_len[np.searchsorted(seg.doc_ids, doc_ids)].astype(np.float64)
+        s = idf * (
+            tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl)) + delta
+        )
+        doc_chunks.append(doc_ids)
+        score_chunks.append(s)
+    uniq, sums = _accumulate_per_doc(doc_chunks, score_chunks)
     return topk(uniq, sums, k)
 
 
