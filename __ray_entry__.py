@@ -13210,6 +13210,73 @@ def _q_bm25plus_topk(sf_dir: str) -> pa.Table:
     )
 
 
+_ALERT_QUERIES = [
+    ["join", "merge"], ["spark", "window"], ["customer", "value"],
+    ["data", "stream", "fast"], ["sort", "key", "table"],
+    ["slow", "filter"], ["group", "query", "row"], ["batch", "line"],
+]
+
+
+def _q_prospective_alerts(sf_dir: str) -> pa.Table:
+    """Prospective search / selective dissemination (SIFT — Yan &
+    Garcia-Molina TODS '94; the Google-Alerts shape): eight standing
+    conjunctive queries compiled into a broadcast term→query CSR, the
+    document stream probed per batch with zero shuffles, alert on
+    all-terms containment. Output (query_id, n_alerts) plus the first
+    five matching doc ids per query (deterministic head); the oracle
+    replays containment with tokenized EXISTS-all joins."""
+    import ray as _ray
+
+    from dcs_ray.functions.prospective import compile_queries, match_stream
+
+    comp_ref = _ray.put(compile_queries(_ALERT_QUERIES))
+    ds = match_stream(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        comp_ref,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    qid = t["query_id"].to_numpy()
+    did = t["doc_id"].to_numpy()
+    rows = {"query_id": [], "n_alerts": [], "head_docs": []}
+    for q in range(len(_ALERT_QUERIES)):
+        docs_q = np.sort(did[qid == q])
+        rows["query_id"].append(q)
+        rows["n_alerts"].append(len(docs_q))
+        rows["head_docs"].append(",".join(str(int(x)) for x in docs_q[:5]))
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "n_alerts": pa.array(rows["n_alerts"], pa.int64()),
+            "head_docs": pa.array(rows["head_docs"], pa.string()),
+        }
+    )
+
+
+def _alerts_sql() -> str:
+    parts = []
+    for qi, q in enumerate(_ALERT_QUERIES):
+        uq = sorted(set(q))
+        inl = ", ".join(f"'{t}'" for t in uq)
+        parts.append(f"""SELECT {qi}::bigint AS query_id,
+       count(*)::bigint AS n_alerts,
+       coalesce(string_agg(doc_id, ',' ORDER BY doc_id)
+                FILTER (WHERE rn <= 5), '') AS head_docs
+FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id FROM tok WHERE term IN ({inl})
+        GROUP BY doc_id HAVING count(DISTINCT term) = {len(uq)}))""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tok AS ({_TOK})
+{body}
+ORDER BY query_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13297,6 +13364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank_spam_mass": _q_trustrank_spam_mass,
         "consistent_hash_ring": _q_consistent_hash,
         "bm25plus_topk": _q_bm25plus_topk,
+        "prospective_alerts": _q_prospective_alerts,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16002,6 +16070,7 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id, round(score, 6) + 0.0 AS score
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
+        "prospective_alerts": _alerts_sql(),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),

@@ -360,3 +360,23 @@ def test_consistent_hash_minimal_movement(ray_session):
     assert t.n_keys.sum() == 5000
     # 64 vnodes keep the max/min load spread moderate
     assert t.n_keys.max() < 3 * t.n_keys.min()
+
+
+def test_prospective_matches_conjunctive_containment(ray_session):
+    import ray as _ray
+    import ray.data as rd
+
+    from dcs_ray.functions.prospective import compile_queries, match_stream
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma"},
+        {"doc_id": 1, "text": "alpha delta"},
+        {"doc_id": 2, "text": "beta alpha beta"},
+        {"doc_id": 3, "text": "nothing here"},
+    ]
+    comp = _ray.put(compile_queries([["alpha", "beta"], ["delta"], ["alpha"]]))
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in match_stream(rd.from_items(docs), comp).take_all()
+    }
+    assert got == {(0, 0), (2, 0), (1, 1), (0, 2), (1, 2), (2, 2)}
