@@ -13277,6 +13277,53 @@ ORDER BY query_id
 """
 
 
+def _q_related_queries(sf_dir: str) -> pa.Table:
+    """Related-searches mining (the query-clustering signal of
+    Beeferman & Berger KDD '00): queries co-issued within a session
+    vote for relatedness. The 20k-request synthetic stream (the static-
+    cache gate's log) splits into 10-request sessions; co-occurrence
+    counts run through the bucketed ``copair_counts`` kernel (one
+    lexsort per bucket, multiplicity = product of within-session
+    occurrence counts, self-pairs dropped); top-20 pairs reported.
+    Oracle replays the stream, the session split, and the pair
+    multiplicities with a per-session count self-join."""
+    from dcs_ray.functions.cachesim import synth_query_stream
+    from dcs_ray.functions.links import copair_counts
+
+    log = synth_query_stream(20000, 200, seed=21)
+
+    def with_session(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "session": pa.array(
+                    b["request"].to_numpy() // 10, pa.int64()
+                ),
+                "query_id": b["query_id"],
+            }
+        )
+
+    pairs = copair_counts(
+        log.map_batches(with_session, batch_format="pyarrow"),
+        group_col="session",
+        pair_col="query_id",
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in pairs.iter_batches(batch_format="pyarrow")]
+    )
+    a = t["id_a"].to_numpy().astype(np.int64)
+    b_ = t["id_b"].to_numpy().astype(np.int64)
+    n = t["n_shared"].to_numpy().astype(np.int64)
+    order = np.lexsort((b_, a, -n))[:20]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "query_a": pa.array(a[order], pa.int64()),
+            "query_b": pa.array(b_[order], pa.int64()),
+            "n_sessions": pa.array(n[order], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13365,6 +13412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_hash_ring": _q_consistent_hash,
         "bm25plus_topk": _q_bm25plus_topk,
         "prospective_alerts": _q_prospective_alerts,
+        "related_queries": _q_related_queries,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16071,6 +16119,27 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
 FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "prospective_alerts": _alerts_sql(),
+        "related_queries": """
+WITH req AS (SELECT unnest(range(20000)) AS i),
+a0 AS (SELECT i, xor(i::ubigint, 21::ubigint)::hugeint AS x0,
+             xor(i::ubigint, 22::ubigint)::hugeint AS y0 FROM req),
+a1 AS (SELECT i, ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(x0::ubigint, x0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x1,
+             ((((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(y0::ubigint, y0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS y1 FROM a0),
+a2 AS (SELECT i, ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(x1::ubigint, x1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS x2,
+             ((((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(y1::ubigint, y1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS y2 FROM a1),
+draws AS (SELECT (i // 10)::bigint AS session,
+                 least(xor(x2::ubigint, x2::ubigint >> 31)::hugeint % 200,
+                       xor(y2::ubigint, y2::ubigint >> 31)::hugeint % 200)::bigint AS qid
+          FROM a2),
+cnt AS (SELECT session, qid, count(*)::bigint AS c FROM draws GROUP BY session, qid),
+pairs AS (
+  SELECT a.qid AS query_a, b.qid AS query_b, sum(a.c * b.c)::bigint AS n_sessions
+  FROM cnt a JOIN cnt b ON a.session = b.session AND a.qid < b.qid
+  GROUP BY a.qid, b.qid)
+SELECT row_number() OVER (ORDER BY n_sessions DESC, query_a ASC, query_b ASC) AS rank,
+       query_a, query_b, n_sessions
+FROM pairs ORDER BY n_sessions DESC, query_a ASC, query_b ASC LIMIT 20
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
