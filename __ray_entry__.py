@@ -13324,6 +13324,29 @@ def _q_related_queries(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_winnowing_fingerprints(sf_dir: str) -> pa.Table:
+    """Winnowing fingerprint gate (Schleimer-Wilkerson-Aiken MOSS,
+    SIGMOD '03): per-doc count of selected fingerprint positions over
+    5-char grams with window 4 — guarantees any shared substring of
+    length >= 8 shares a fingerprint; the partial-overlap near-dup
+    family next to MinHash/SimHash. Gram hashes are the engine's
+    canonical string hash, replayed by the shared integer-SQL chain;
+    the window minimum + rightmost-tie selection replays with a frame
+    min and a position join."""
+    from dcs_ray.functions.winnow import winnowing_fingerprint_counts
+
+    ds = winnowing_fingerprint_counts(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        k=5, w=4,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13413,6 +13436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25plus_topk": _q_bm25plus_topk,
         "prospective_alerts": _q_prospective_alerts,
         "related_queries": _q_related_queries,
+        "winnowing_fingerprints": _q_winnowing_fingerprints,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16139,6 +16163,32 @@ pairs AS (
 SELECT row_number() OVER (ORDER BY n_sessions DESC, query_a ASC, query_b ASC) AS rank,
        query_a, query_b, n_sessions
 FROM pairs ORDER BY n_sessions DESC, query_a ASC, query_b ASC LIMIT 20
+""",
+        "winnowing_fingerprints": f"""
+WITH docs5 AS (SELECT doc_id, text, length(text) AS L FROM documents),
+pos AS (SELECT doc_id, unnest(range(1, greatest(L - 3, 1))) AS i, text
+        FROM docs5 WHERE L >= 5),
+grams AS (SELECT doc_id, i, substr(text, i, 5) AS term FROM pos),
+terms AS (SELECT DISTINCT term FROM grams),
+{_term_hash64_sql()},
+gh AS MATERIALIZED (SELECT g.doc_id, g.i, t.h FROM grams g JOIN th t USING (term)),
+win AS (
+  SELECT doc_id, i AS s,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS span
+  FROM gh),
+sel AS (
+  SELECT w.doc_id, max(g.i) AS p
+  FROM win w JOIN gh g
+    ON g.doc_id = w.doc_id AND g.i BETWEEN w.s AND w.s + 3 AND g.h = w.wmin
+  WHERE w.span = 4
+  GROUP BY w.doc_id, w.s),
+fp AS (SELECT DISTINCT doc_id, p FROM sel),
+cnt AS (SELECT doc_id, count(*)::bigint AS n FROM fp GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_fingerprints
+FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),

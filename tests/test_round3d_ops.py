@@ -380,3 +380,35 @@ def test_prospective_matches_conjunctive_containment(ray_session):
         for r in match_stream(rd.from_items(docs), comp).take_all()
     }
     assert got == {(0, 0), (2, 0), (1, 1), (0, 2), (1, 2), (2, 2)}
+
+
+def test_winnowing_matches_bruteforce(ray_session):
+    """Vectorized winnowing must equal the rank-by-rank brute force on
+    assorted shapes (short, repeated, normal)."""
+    import ray.data as rd
+
+    from dcs_ray.functions.sketches import _hash64_column
+    from dcs_ray.functions.winnow import winnowing_fingerprint_counts
+
+    texts = ["hello world example text here", "abcabcabcabc", "tiny",
+             "x" * 25, "the quick brown fox jumps over the lazy dog"]
+
+    def brute(s, k=5, w=4):
+        if len(s) < k + w - 1:
+            return 0
+        hs = [int(_hash64_column(pa.array([s[i:i + k]]))[0])
+              for i in range(len(s) - k + 1)]
+        sel = set()
+        for st in range(len(hs) - w + 1):
+            win = hs[st:st + w]
+            mn = min(win)
+            sel.add(st + max(i for i in range(w) if win[i] == mn))
+        return len(sel)
+
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    got = {r["doc_id"]: r["n_fingerprints"]
+           for r in winnowing_fingerprint_counts(ds).take_all()}
+    for i, t in enumerate(texts):
+        assert got[i] == brute(t), (i, got[i], brute(t))
+    # shared-substring guarantee: docs sharing >= w+k-1 chars share a
+    # fingerprint value
