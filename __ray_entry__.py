@@ -13347,6 +13347,47 @@ def _q_winnowing_fingerprints(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def _q_combmnz_fusion(sf_dir: str) -> pa.Table:
+    """CombMNZ metasearch fusion (Fox & Shaw, TREC-2 '94): BM25,
+    Dirichlet-QL (mu=300) and Jelinek-Mercer (lambda=0.3) each retrieve
+    top-20; every system's scores are min-max normalized over its own
+    list, and the fused score is (sum of normalized scores) x (number
+    of systems retrieving the doc) — the score-based fusion classic
+    next to the rank-based RRF gate. Fixed fold order bm25+qld+jm; the
+    oracle replays all three score chains, the per-system min-max and
+    the MNZ product."""
+    from dcs_ray.search import search_bm25, search_lm
+
+    idx = _index_dir(sf_dir, "words")
+    runs = [
+        search_bm25(idx, [BM25_QUERY], k=20),
+        search_lm(idx, [BM25_QUERY], k=20, model="qld", mu=300.0),
+        search_lm(idx, [BM25_QUERY], k=20, model="jm", lam=0.3),
+    ]
+    norm = {}
+    for si, t in enumerate(runs):
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sc = t["score"].to_numpy()
+        mn, mx = float(sc.min()), float(sc.max())
+        ns = np.ones(len(sc)) if mx == mn else (sc - mn) / (mx - mn)
+        for d, v in zip(ids, ns):
+            norm.setdefault(int(d), [0.0, 0.0, 0.0, 0])[si] = float(v)
+            norm[int(d)][3] += 1
+    docs = np.array(sorted(norm), np.int64)
+    fused = np.array(
+        [(norm[d][0] + norm[d][1] + norm[d][2]) * norm[d][3] for d in docs]
+    )
+    fused = np.round(fused, 6) + 0.0
+    order = np.lexsort((docs, -fused))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "mnz_score": pa.array(fused[order], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13437,6 +13478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prospective_alerts": _q_prospective_alerts,
         "related_queries": _q_related_queries,
         "winnowing_fingerprints": _q_winnowing_fingerprints,
+        "combmnz_fusion": _q_combmnz_fusion,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16189,6 +16231,58 @@ fp AS (SELECT DISTINCT doc_id, p FROM sel),
 cnt AS (SELECT doc_id, count(*)::bigint AS n FROM fp GROUP BY doc_id)
 SELECT d.doc_id, coalesce(c.n, 0)::bigint AS n_fingerprints
 FROM documents d LEFT JOIN cnt c USING (doc_id) ORDER BY d.doc_id
+""",
+        "combmnz_fusion": f"""
+WITH {_BM25_SCORES},
+coll AS (SELECT sum(doc_len)::double AS ct FROM dl),
+cf AS (SELECT term, count(*)::double AS cf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+m AS (SELECT count(*)::bigint AS m FROM cf),
+qsp AS (SELECT tf.doc_id,
+               sum(ln(1.0 + tf.tf / (300.0 * (cf.cf / coll.ct)))) AS sp
+        FROM tf JOIN cf USING (term), coll
+        WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.doc_id),
+qld AS (SELECT qsp.doc_id,
+               qsp.sp + (SELECT m FROM m) * ln(300.0 / (dl.doc_len + 300.0)) AS score
+        FROM qsp JOIN dl USING (doc_id)),
+jmk AS (SELECT sum(ln(0.3 * (cf.cf / coll.ct))) AS c0 FROM cf, coll),
+jmsp AS (SELECT tf.doc_id,
+                sum(ln(1.0 + (1.0 - 0.3) * tf.tf
+                       / (0.3 * (cf.cf / coll.ct) * dl.doc_len))) AS sp
+         FROM tf JOIN cf USING (term) JOIN dl USING (doc_id), coll
+         WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.doc_id),
+jm AS (SELECT doc_id, sp + (SELECT c0 FROM jmk) AS score FROM jmsp),
+t1 AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20),
+t2 AS (SELECT doc_id, score FROM qld ORDER BY score DESC, doc_id ASC LIMIT 20),
+t3 AS (SELECT doc_id, score FROM jm ORDER BY score DESC, doc_id ASC LIMIT 20),
+n1 AS (SELECT doc_id, CASE WHEN (SELECT max(score) FROM t1) = (SELECT min(score) FROM t1)
+                           THEN 1.0
+                           ELSE (score - (SELECT min(score) FROM t1))
+                                / ((SELECT max(score) FROM t1) - (SELECT min(score) FROM t1)) END AS ns
+       FROM t1),
+n2 AS (SELECT doc_id, CASE WHEN (SELECT max(score) FROM t2) = (SELECT min(score) FROM t2)
+                           THEN 1.0
+                           ELSE (score - (SELECT min(score) FROM t2))
+                                / ((SELECT max(score) FROM t2) - (SELECT min(score) FROM t2)) END AS ns
+       FROM t2),
+n3 AS (SELECT doc_id, CASE WHEN (SELECT max(score) FROM t3) = (SELECT min(score) FROM t3)
+                           THEN 1.0
+                           ELSE (score - (SELECT min(score) FROM t3))
+                                / ((SELECT max(score) FROM t3) - (SELECT min(score) FROM t3)) END AS ns
+       FROM t3),
+allid AS (SELECT DISTINCT doc_id FROM (
+  SELECT doc_id FROM t1 UNION ALL SELECT doc_id FROM t2 UNION ALL SELECT doc_id FROM t3)),
+fused AS (
+  SELECT a.doc_id,
+         round((coalesce(n1.ns, 0.0) + coalesce(n2.ns, 0.0) + coalesce(n3.ns, 0.0))
+               * ((CASE WHEN n1.doc_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN n2.doc_id IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN n3.doc_id IS NULL THEN 0 ELSE 1 END)), 6) + 0.0 AS mnz
+  FROM allid a
+  LEFT JOIN n1 USING (doc_id) LEFT JOIN n2 USING (doc_id) LEFT JOIN n3 USING (doc_id))
+SELECT row_number() OVER (ORDER BY mnz DESC, doc_id ASC) AS rank,
+       doc_id, mnz AS mnz_score
+FROM fused ORDER BY mnz DESC, doc_id ASC LIMIT 10
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
