@@ -13508,6 +13508,57 @@ def _q_rm3_expansion(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Chunk-level cross-document dedup gate (the line/paragraph dedup
+    of CCNet/RefinedWeb curation, on 16-token windows): every doc in a
+    4-doc group is prefixed with its group leader's first-16-token
+    prefix, so chunk 0 duplicates across the group and dedup must keep
+    only the lexicographically first (doc, chunk) copy. One hash
+    groupby whose fold emits the survivor; per-doc integer stats
+    (n_chunks, n_kept, kept_tokens). Prefix side-table built in one
+    column pass and broadcast (at corpus scale it is a stored side
+    table, not a driver dict)."""
+    from dcs_ray.functions.textprep import chunk_dedup_stats, chunk_documents
+    from dcs_ray.tokenize import word_tokens_flat
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+    prefixes = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        flat, parents = word_tokens_flat(t["text"])
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        cnt = np.bincount(parents, minlength=len(t))
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        for i, d in enumerate(ids):
+            prefixes[int(d)] = " ".join(
+                toks[offs[i]: offs[i] + min(16, cnt[i])]
+            )
+    pref_ref = ray.put(prefixes)
+
+    def inject(b: pa.Table) -> pa.Table:
+        pr = ray.get(pref_ref)
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        texts = b["text"].to_pylist()
+        out = [
+            pr.get(int(d - d % 4), "") + " " + tx
+            for d, tx in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pa.array(out, pa.string())}
+        )
+
+    injected = docs.map_batches(inject, batch_format="pyarrow")
+    ch = chunk_documents(injected, chunk_tokens=16)
+    out = chunk_dedup_stats(ch)
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13601,6 +13652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "combmnz_fusion": _q_combmnz_fusion,
         "bm25_proximity": _q_bm25_proximity,
         "rm3_expansion": _q_rm3_expansion,
+        "chunk_dedup": _q_chunk_dedup,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16471,6 +16523,33 @@ rm3 AS (SELECT term,
         FROM rm1)
 SELECT row_number() OVER (ORDER BY weight DESC, term ASC) AS rank, term, weight
 FROM rm3 ORDER BY weight DESC, term ASC LIMIT 10
+""",
+        "chunk_dedup": f"""
+WITH toksl AS ({_TOKS_LIST}),
+pre AS (SELECT doc_id, array_to_string(toks[1:16], ' ') AS p FROM toksl),
+inj AS (SELECT d.doc_id, pre.p || ' ' || d.text AS text
+        FROM documents d JOIN pre ON pre.doc_id = d.doc_id - (d.doc_id % 4)),
+t2 AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS toks
+       FROM inj),
+ch AS (SELECT doc_id, toks, len(toks) AS n,
+              unnest(range(0, 1 + greatest(len(toks) - 16 + 15, 0) // 16)) AS chunk_id
+       FROM t2 WHERE len(toks) > 0),
+sel AS (SELECT doc_id, chunk_id, chunk_id * 16 AS st,
+               least(chunk_id * 16 + 16, n) AS en, toks FROM ch),
+dd AS (SELECT doc_id, chunk_id, (en - st)::bigint AS ntok,
+              array_to_string(toks[st + 1 : en], ' ') AS ctext FROM sel),
+rn AS (SELECT *, row_number() OVER (PARTITION BY ctext
+                                    ORDER BY doc_id, chunk_id) AS rn FROM dd),
+kept AS (SELECT doc_id, count(*)::bigint AS nk, sum(ntok)::bigint AS ktok
+         FROM rn WHERE rn = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::bigint AS nc FROM dd GROUP BY doc_id)
+SELECT d.doc_id, coalesce(t.nc, 0)::bigint AS n_chunks,
+       coalesce(k.nk, 0)::bigint AS n_kept,
+       coalesce(k.ktok, 0)::bigint AS kept_tokens
+FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN kept k USING (doc_id)
+ORDER BY d.doc_id
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),

@@ -379,3 +379,85 @@ def next_word_suggest(
     t = t.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, k)
     nxt = pc.utf8_slice_codeunits(t["bigram"], len(pref))
     return pa.table({"next_word": nxt, "n": t["n"]})
+
+
+def chunk_dedup_stats(
+    chunks: ray.data.Dataset,
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Cross-document CHUNK-level exact dedup — the line/paragraph
+    dedup step of CCNet/RefinedWeb-style curation lifted to token
+    windows: a chunk survives iff it is the lexicographically first
+    ``(doc_id, chunk_id)`` occurrence of its exact text in the whole
+    corpus. Input is ``chunk_documents`` output; returns per-doc
+    ``(doc_id, n_chunks, n_kept, kept_tokens)``.
+
+    Shape: chunk texts hash per batch (``content_hash_rows`` — text
+    never crosses the exchange twice), ONE groupby on the 64-bit hash
+    whose group fold emits only the surviving row (min of the packed
+    ``doc_id·2^20 + chunk_id`` key — integer-lexicographic), then a
+    per-doc integer aggregate joined with the total chunk counts."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.textstats import content_hash_rows
+
+    def with_hash(b: pa.Table) -> pa.Table:
+        h = content_hash_rows(b["chunk_text"])
+        packed = (
+            b[id_col].to_numpy().astype(np.int64) * 1048576
+            + b["chunk_id"].to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "packed": pa.array(packed, pa.int64()),
+                "n_tok": b["n_chunk_tokens"],
+            }
+        )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        packed = g["packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = int(np.argmin(packed))
+        return pa.table(
+            {
+                id_col: pa.array([int(packed[i]) // 1048576], pa.int64()),
+                "n_tok": pa.array([int(g["n_tok"][i].as_py())], pa.int64()),
+            }
+        )
+
+    kept = (
+        chunks.map_batches(with_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+    kept_stats = kept.groupby(id_col).aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("n_tok")
+    )
+    totals = chunks.groupby(id_col).count()
+
+    # both aggregates are doc-scale; fold into one table via sorted merge
+    kt = pa.concat_tables(
+        [pa.table(b) for b in kept_stats.iter_batches(batch_format="pyarrow")]
+    ).sort_by(id_col)
+    tt = pa.concat_tables(
+        [pa.table(b) for b in totals.iter_batches(batch_format="pyarrow")]
+    ).sort_by(id_col)
+    t_ids = tt[id_col].to_numpy().astype(np.int64)
+    t_cnt = tt["count()"].to_numpy().astype(np.int64)
+    k_ids = kt[id_col].to_numpy().astype(np.int64)
+    k_cnt = kt["count()"].to_numpy().astype(np.int64)
+    k_tok = kt["sum(n_tok)"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(t_ids, k_ids)
+    n_kept = np.zeros(len(t_ids), np.int64)
+    kept_tokens = np.zeros(len(t_ids), np.int64)
+    n_kept[pos] = k_cnt
+    kept_tokens[pos] = k_tok
+    out = pa.table(
+        {
+            id_col: pa.array(t_ids, pa.int64()),
+            "n_chunks": pa.array(t_cnt, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "kept_tokens": pa.array(kept_tokens, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
