@@ -13559,6 +13559,67 @@ def _q_chunk_dedup(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id")
 
 
+def _q_mi_feature_selection(sf_dir: str) -> pa.Table:
+    """Mutual-information feature selection for text classification
+    (Manning/Raghavan/Schutze IIR ch.13, the 2x2 doc-level contingency
+    form): MI(t, lang='en') from integer presence counts — the feature-
+    ranking step in front of the NB classifier gates. One distinct
+    (doc, term) presence pass + per-term integer folds; the MI
+    arithmetic runs the identical 4-cell expression tree in numpy and
+    SQL. Top-15 terms by (rounded MI desc, term asc)."""
+    from dcs_ray.tokenize import word_tokens_flat
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    acc: dict[str, list[int]] = {}
+    n_docs = 0
+    n_en = 0
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        flat, parents = word_tokens_flat(t["text"])
+        toks = np.asarray(flat.to_pylist(), dtype=object)
+        en = (np.asarray(t["lang"].to_pylist(), dtype=object) == "en")
+        n_docs += len(t)
+        n_en += int(en.sum())
+        order = np.lexsort((toks, parents))
+        tp, pp = toks[order], parents[order]
+        first = np.concatenate(([True], (pp[1:] != pp[:-1]) | (tp[1:] != tp[:-1])))
+        tp, pp = tp[first], pp[first]
+        en_row = en[pp]
+        for term, e in zip(tp, en_row):
+            cur = acc.setdefault(str(term), [0, 0])
+            cur[0] += int(e)
+            cur[1] += int(not e)
+    terms = sorted(acc)
+    n11 = np.array([acc[t][0] for t in terms], np.float64)
+    n10 = np.array([acc[t][1] for t in terms], np.float64)
+    N = float(n_docs)
+    Nc = float(n_en)
+    n01 = Nc - n11
+    n00 = (N - Nc) - n10
+    nr1 = n11 + n10
+    nr0 = N - nr1
+
+    def cell(n, r, c):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            v = (n / N) * np.log2((N * n) / (r * c))
+        return np.where(n > 0, v, 0.0)
+
+    mi = cell(n11, nr1, Nc) + cell(n10, nr1, N - Nc) \
+        + cell(n01, nr0, Nc) + cell(n00, nr0, N - Nc)
+    mi = np.round(mi, 6) + 0.0
+    ta = np.asarray(terms, dtype=object)
+    order = np.lexsort((ta, -mi))[:15]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "term": pa.array([str(x) for x in ta[order]], pa.string()),
+            "mi": pa.array(mi[order], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13653,6 +13714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_proximity": _q_bm25_proximity,
         "rm3_expansion": _q_rm3_expansion,
         "chunk_dedup": _q_chunk_dedup,
+        "mi_feature_selection": _q_mi_feature_selection,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16550,6 +16612,28 @@ SELECT d.doc_id, coalesce(t.nc, 0)::bigint AS n_chunks,
        coalesce(k.ktok, 0)::bigint AS kept_tokens
 FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN kept k USING (doc_id)
 ORDER BY d.doc_id
+""",
+        "mi_feature_selection": f"""
+WITH tok AS ({_TOK}),
+pres AS (SELECT DISTINCT doc_id, term FROM tok),
+lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+st AS (SELECT count(*)::double AS N,
+              sum(y)::double AS Nc FROM lab),
+cnt AS (SELECT p.term, sum(l.y)::double AS n11, sum(1 - l.y)::double AS n10
+        FROM pres p JOIN lab l USING (doc_id) GROUP BY p.term),
+mi AS (
+  SELECT term,
+    (CASE WHEN n11 > 0 THEN (n11 / st.N) * log2((st.N * n11) / ((n11 + n10) * st.Nc)) ELSE 0.0 END)
+  + (CASE WHEN n10 > 0 THEN (n10 / st.N) * log2((st.N * n10) / ((n11 + n10) * (st.N - st.Nc))) ELSE 0.0 END)
+  + (CASE WHEN (st.Nc - n11) > 0 THEN ((st.Nc - n11) / st.N)
+          * log2((st.N * (st.Nc - n11)) / ((st.N - (n11 + n10)) * st.Nc)) ELSE 0.0 END)
+  + (CASE WHEN ((st.N - st.Nc) - n10) > 0 THEN (((st.N - st.Nc) - n10) / st.N)
+          * log2((st.N * ((st.N - st.Nc) - n10)) / ((st.N - (n11 + n10)) * (st.N - st.Nc))) ELSE 0.0 END)
+  AS v
+  FROM cnt, st)
+SELECT row_number() OVER (ORDER BY round(v, 6) DESC, term ASC) AS rank,
+       term, round(v, 6) + 0.0 AS mi
+FROM mi ORDER BY round(v, 6) DESC, term ASC LIMIT 15
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
