@@ -13704,6 +13704,57 @@ def _q_tput_topk(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_impact_quantized(sf_dir: str) -> pa.Table:
+    """Impact-ordered quantized ranking (Anh & Moffat, SIGIR '06
+    family): per-term BM25 contributions are quantized to 8-bit
+    integer impacts, 1 + floor(254·s/max_s(term)), and ranking is the
+    INTEGER impact sum — the precomputed-impact serving tier that
+    replaces float scoring with small-int adds at query time (ties to
+    the smaller doc id). Impacts derive from the per-worker term score
+    vectors (the ST2 cache); the oracle replays the per-term
+    quantization and the integer sum — an all-integer gate."""
+    from dcs_ray.search import (
+        _open, _term_scores_cached, bm25_idf, global_df, load_stats,
+        plan_queries, shard_paths,
+    )
+
+    idx = _index_dir(sf_dir, "words")
+    stats = load_stats(idx)
+    terms = sorted(set(BM25_QUERY.split()))
+    dfs = global_df(idx, terms)
+    per_term: dict[str, tuple[list, list]] = {t: ([], []) for t in terms}
+    for sp in shard_paths(idx):
+        seg = _open(sp)
+        for t_ in terms:
+            ti = seg.term_index(t_)
+            if ti < 0:
+                continue
+            idf = bm25_idf(int(dfs.get(t_, 0)), int(stats["n_docs"]))
+            d, s = _term_scores_cached(seg, ti, idf, stats)
+            per_term[t_][0].append(d.astype(np.int64))
+            per_term[t_][1].append(s)
+    acc: dict[int, int] = {}
+    for t_ in terms:
+        if not per_term[t_][0]:
+            continue
+        d = np.concatenate(per_term[t_][0])
+        s = np.concatenate(per_term[t_][1])
+        m = float(s.max())
+        imp = (1 + np.floor(254.0 * s / m)).astype(np.int64)
+        for dd, ii in zip(d, imp):
+            acc[int(dd)] = acc.get(int(dd), 0) + int(ii)
+    docs = np.array(sorted(acc), np.int64)
+    val = np.array([acc[d] for d in docs], np.int64)
+    order = np.lexsort((docs, -val))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "impact": pa.array(val[order], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13800,6 +13851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "mi_feature_selection": _q_mi_feature_selection,
         "tput_topk": _q_tput_topk,
+        "impact_quantized_topk": _q_impact_quantized,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -16798,6 +16850,29 @@ SELECT row_number() OVER (ORDER BY round(v, 6) DESC, doc_id ASC) AS rank,
        (SELECT n FROM nsent)::bigint AS phase2_rows,
        (SELECT count(*) FROM cand)::bigint AS n_candidates
 FROM ex ORDER BY round(v, 6) DESC, doc_id ASC LIMIT 5
+""",
+        "impact_quantized_topk": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+ts AS (SELECT tf.doc_id, tf.term,
+              ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) AS s
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+       WHERE tf.term IN ('join', 'merge', 'spark')),
+mx AS (SELECT term, max(s) AS m FROM ts GROUP BY term),
+imp AS (SELECT ts.doc_id,
+               (1 + floor(254 * ts.s / mx.m))::bigint AS i
+        FROM ts JOIN mx USING (term)),
+agg AS (SELECT doc_id, sum(i)::bigint AS impact FROM imp GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY impact DESC, doc_id ASC) AS rank,
+       doc_id, impact
+FROM agg ORDER BY impact DESC, doc_id ASC LIMIT 10
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
