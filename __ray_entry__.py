@@ -13867,6 +13867,38 @@ def _q_lang_rank_profile(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_borda_fusion(sf_dir: str) -> pa.Table:
+    """Borda-count rank fusion (the positional voting rule of Aslam &
+    Montague SIGIR '01 "Models for metasearch"): each of the three
+    ranking systems' top-20 awards 21 − rank points; unranked docs get
+    0. Fully INTEGER — the rank-based companion of RRF (reciprocal)
+    and CombMNZ (score-based). Top-10 by (points desc, doc asc)."""
+    from dcs_ray.search import search_bm25, search_lm
+
+    idx = _index_dir(sf_dir, "words")
+    runs = [
+        search_bm25(idx, [BM25_QUERY], k=20),
+        search_lm(idx, [BM25_QUERY], k=20, model="qld", mu=300.0),
+        search_lm(idx, [BM25_QUERY], k=20, model="jm", lam=0.3),
+    ]
+    pts: dict[int, int] = {}
+    for t in runs:
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        rank = t["rank"].to_numpy().astype(np.int64)
+        for d, r in zip(ids, rank):
+            pts[int(d)] = pts.get(int(d), 0) + (21 - int(r))
+    docs = np.array(sorted(pts), np.int64)
+    val = np.array([pts[d] for d in docs], np.int64)
+    order = np.lexsort((docs, -val))[:10]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "borda_points": pa.array(val[order], pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -13966,6 +13998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impact_quantized_topk": _q_impact_quantized,
         "partition_bloom_pruning": _q_partition_bloom_pruning,
         "lang_rank_profile": _q_lang_rank_profile,
+        "borda_fusion": _q_borda_fusion,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -17052,6 +17085,41 @@ pred AS (SELECT doc_id, lang AS pred_lang, dist,
 SELECT p.doc_id, p.pred_lang, d.lang AS actual_lang, p.dist
 FROM pred p JOIN documents d USING (doc_id)
 WHERE p.rn = 1 AND p.doc_id < 50 ORDER BY p.doc_id
+""",
+        "borda_fusion": f"""
+WITH {_BM25_SCORES},
+coll AS (SELECT sum(doc_len)::double AS ct FROM dl),
+cf AS (SELECT term, count(*)::double AS cf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+m AS (SELECT count(*)::bigint AS m FROM cf),
+qsp AS (SELECT tf.doc_id,
+               sum(ln(1.0 + tf.tf / (300.0 * (cf.cf / coll.ct)))) AS sp
+        FROM tf JOIN cf USING (term), coll
+        WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.doc_id),
+qld AS (SELECT qsp.doc_id,
+               qsp.sp + (SELECT m FROM m) * ln(300.0 / (dl.doc_len + 300.0)) AS score
+        FROM qsp JOIN dl USING (doc_id)),
+jmk AS (SELECT sum(ln(0.3 * (cf.cf / coll.ct))) AS c0 FROM cf, coll),
+jmsp AS (SELECT tf.doc_id,
+                sum(ln(1.0 + (1.0 - 0.3) * tf.tf
+                       / (0.3 * (cf.cf / coll.ct) * dl.doc_len))) AS sp
+         FROM tf JOIN cf USING (term) JOIN dl USING (doc_id), coll
+         WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.doc_id),
+jm AS (SELECT doc_id, sp + (SELECT c0 FROM jmk) AS score FROM jmsp),
+r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20),
+r2 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM qld ORDER BY score DESC, doc_id ASC LIMIT 20),
+r3 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM jm ORDER BY score DESC, doc_id ASC LIMIT 20),
+pts AS (
+  SELECT doc_id, sum(21 - r)::bigint AS p FROM (
+    SELECT doc_id, r FROM r1 UNION ALL SELECT doc_id, r FROM r2
+    UNION ALL SELECT doc_id, r FROM r3)
+  GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY p DESC, doc_id ASC) AS rank,
+       doc_id, p AS borda_points
+FROM pts ORDER BY p DESC, doc_id ASC LIMIT 10
 """,
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
