@@ -13587,10 +13587,14 @@ def _q_mi_feature_selection(sf_dir: str) -> pa.Table:
         first = np.concatenate(([True], (pp[1:] != pp[:-1]) | (tp[1:] != tp[:-1])))
         tp, pp = tp[first], pp[first]
         en_row = en[pp]
-        for term, e in zip(tp, en_row):
+        # vectorized per-term presence partials: one unique + 2 bincounts
+        uterms, tinv = np.unique(tp, return_inverse=True)
+        c11 = np.bincount(tinv, weights=en_row.astype(np.float64))
+        c10 = np.bincount(tinv, weights=(~en_row).astype(np.float64))
+        for term, a_, b_ in zip(uterms, c11.astype(np.int64), c10.astype(np.int64)):
             cur = acc.setdefault(str(term), [0, 0])
-            cur[0] += int(e)
-            cur[1] += int(not e)
+            cur[0] += int(a_)
+            cur[1] += int(b_)
     terms = sorted(acc)
     n11 = np.array([acc[t][0] for t in terms], np.float64)
     n10 = np.array([acc[t][1] for t in terms], np.float64)
