@@ -13962,6 +13962,52 @@ edges AS (SELECT r.src, r.dst FROM rawe r
     return _hits_sql(k=5, edges_cte=composite)
 
 
+def _q_serp_diversity(sf_dir: str) -> pa.Table:
+    """SERP provider-diversity telemetry: Simpson concentration
+    λ = Σp², effective provider count 1/λ, and Shannon entropy (bits)
+    of the source distribution of the BM25 top-20 — the anti-
+    domination dashboard metric behind the per-host result caps
+    (`bm25_top2_per_source` enforces; this measures). Counts are
+    integers; the index arithmetic replays with one expression tree."""
+    import math as _math
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=20)
+    ids = t["doc_id"].to_numpy().astype(np.int64)
+    src_t = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        filter=pads.field("doc_id").isin(ids.tolist()),
+        columns=["doc_id", "source"],
+    )
+    srcs = dict(zip(src_t["doc_id"].to_numpy().astype(np.int64),
+                    src_t["source"].to_pylist()))
+    counts: dict[str, int] = {}
+    for d in ids:
+        s = srcs[int(d)]
+        counts[s] = counts.get(s, 0) + 1
+    n = len(ids)
+    simpson = 0.0
+    shannon = 0.0
+    for s in sorted(counts):  # fixed fold order for the float sums
+        p = counts[s] / n
+        simpson = simpson + p * p
+        shannon = shannon + (-(p) * _math.log2(p))
+    return pa.table(
+        {
+            "n_results": pa.array([n], pa.int64()),
+            "n_sources": pa.array([len(counts)], pa.int64()),
+            "simpson": pa.array([round(simpson, 6) + 0.0], pa.float64()),
+            "effective_sources": pa.array(
+                [round(1.0 / simpson, 6) + 0.0], pa.float64()
+            ),
+            "shannon_bits": pa.array([round(shannon, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -14063,6 +14109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_rank_profile": _q_lang_rank_profile,
         "borda_fusion": _q_borda_fusion,
         "focused_hits": _q_focused_hits,
+        "serp_diversity": _q_serp_diversity,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -17186,6 +17233,23 @@ SELECT row_number() OVER (ORDER BY p DESC, doc_id ASC) AS rank,
 FROM pts ORDER BY p DESC, doc_id ASC LIMIT 10
 """,
         "focused_hits": _focused_hits_sql(),
+        "serp_diversity": f"""
+WITH {_BM25_SCORES},
+top20 AS (SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 20),
+cnt AS (SELECT d.source, count(*)::bigint AS c
+        FROM top20 JOIN documents d USING (doc_id) GROUP BY d.source),
+n AS (SELECT sum(c)::double AS n FROM cnt),
+agg AS (
+  SELECT sum((c / (SELECT n FROM n)) * (c / (SELECT n FROM n))) AS simpson,
+         sum(-(c / (SELECT n FROM n)) * log2(c / (SELECT n FROM n))) AS shannon,
+         count(*)::bigint AS ns
+  FROM cnt)
+SELECT (SELECT n FROM n)::bigint AS n_results, ns AS n_sources,
+       round(simpson, 6) + 0.0 AS simpson,
+       round(1.0 / simpson, 6) + 0.0 AS effective_sources,
+       round(shannon, 6) + 0.0 AS shannon_bits
+FROM agg
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
