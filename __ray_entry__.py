@@ -14008,6 +14008,72 @@ def _q_serp_diversity(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ab_ztest(sf_dir: str) -> pa.Table:
+    """Online-experiment readout: two-proportion z-test of overall CTR
+    between the two interleaved ranking variants of the PBM click log
+    (the standard A/B significance test; pooled variance form):
+
+        z = (p0 − p1) / sqrt(p̂(1−p̂)(1/n0 + 1/n1))
+
+    Impression/click counts are the integer folds of the CTR gate; the
+    z arithmetic runs one fixed expression tree on both sides."""
+    import math as _math
+
+    from dcs_ray.functions.clickmodel import ctr_by_position, synth_click_log
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    log = synth_click_log(t["doc_id"].to_pylist(), n_sessions=200, seed=7)
+    c = ctr_by_position(log)
+    v = c["variant"].to_numpy()
+    n = c["impressions"].to_numpy().astype(np.int64)
+    k = c["clicks"].to_numpy().astype(np.int64)
+    n0, k0 = int(n[v == 0].sum()), int(k[v == 0].sum())
+    n1, k1 = int(n[v == 1].sum()), int(k[v == 1].sum())
+    p0 = k0 / n0
+    p1 = k1 / n1
+    pp = (k0 + k1) / (n0 + n1)
+    z = (p0 - p1) / _math.sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1))
+    return pa.table(
+        {
+            "n0": pa.array([n0], pa.int64()),
+            "clicks0": pa.array([k0], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "clicks1": pa.array([k1], pa.int64()),
+            "ctr0": pa.array([round(p0, 6) + 0.0], pa.float64()),
+            "ctr1": pa.array([round(p1, 6) + 0.0], pa.float64()),
+            "z": pa.array([round(z, 6) + 0.0], pa.float64()),
+        }
+    )
+
+
+def _ab_ztest_sql() -> str:
+    """Two-proportion z-test replay on top of the CTR gate's click
+    synthesis: fold to per-variant integer totals, then the pooled-
+    variance z with the engine's expression tree."""
+    full = _pbm_sql(n_sessions=200, seed=7, iters=1)
+    head = full.split("alpha0 AS")[0].rstrip().rstrip(",")
+    return head + """,
+tot AS (SELECT variant, sum(n)::bigint AS n, sum(k)::bigint AS k
+        FROM agg GROUP BY variant),
+t0 AS (SELECT n, k FROM tot WHERE variant = 0),
+t1 AS (SELECT n, k FROM tot WHERE variant = 1)
+SELECT (SELECT n FROM t0) AS n0, (SELECT k FROM t0) AS clicks0,
+       (SELECT n FROM t1) AS n1, (SELECT k FROM t1) AS clicks1,
+       round((SELECT k FROM t0)::double / (SELECT n FROM t0), 6) + 0.0 AS ctr0,
+       round((SELECT k FROM t1)::double / (SELECT n FROM t1), 6) + 0.0 AS ctr1,
+       round(((SELECT k FROM t0)::double / (SELECT n FROM t0)
+              - (SELECT k FROM t1)::double / (SELECT n FROM t1))
+             / sqrt((((SELECT k FROM t0) + (SELECT k FROM t1))::double
+                     / ((SELECT n FROM t0) + (SELECT n FROM t1)))
+                    * (1.0 - ((SELECT k FROM t0) + (SELECT k FROM t1))::double
+                             / ((SELECT n FROM t0) + (SELECT n FROM t1)))
+                    * (1.0 / (SELECT n FROM t0) + 1.0 / (SELECT n FROM t1))), 6)
+       + 0.0 AS z
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -14110,6 +14176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "borda_fusion": _q_borda_fusion,
         "focused_hits": _q_focused_hits,
         "serp_diversity": _q_serp_diversity,
+        "ab_ztest_clicks": _q_ab_ztest,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -17250,6 +17317,7 @@ SELECT (SELECT n FROM n)::bigint AS n_results, ns AS n_sources,
        round(shannon, 6) + 0.0 AS shannon_bits
 FROM agg
 """,
+        "ab_ztest_clicks": _ab_ztest_sql(),
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
