@@ -14074,6 +14074,55 @@ SELECT (SELECT n FROM t0) AS n0, (SELECT k FROM t0) AS clicks0,
 """
 
 
+def _q_serp_abandonment(sf_dir: str) -> pa.Table:
+    """Session-outcome telemetry over the cascade click log: click-
+    through sessions, ABANDONED sessions (scanned everything, clicked
+    nothing — the classic dissatisfaction proxy), success@k for
+    k=1,3,5 (first click at rank <= k), and mean first-click rank over
+    clicking sessions. All integer folds from the per-session
+    first-click scan; one 6dp division per metric."""
+    from dcs_ray.functions.clickmodel import synth_cascade_log
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    log = synth_cascade_log(t["doc_id"].to_pylist(), n_sessions=400, seed=9)
+    first: dict[int, int] = {}
+    sessions = set()
+    for b in log.iter_batches(batch_format="pyarrow"):
+        bt = pa.table(b)
+        s = bt["session"].to_numpy()
+        p = bt["pos"].to_numpy()
+        c = bt["click"].to_numpy()
+        sessions.update(int(x) for x in np.unique(s))
+        m = c == 1
+        for ss, pp in zip(s[m], p[m]):
+            first[int(ss)] = int(pp)  # cascade: at most one click
+    n = len(sessions)
+    clicked = len(first)
+    fr = np.array(sorted(first.values()), np.int64)
+    s1 = int((fr <= 1).sum())
+    s3 = int((fr <= 3).sum())
+    s5 = int((fr <= 5).sum())
+    return pa.table(
+        {
+            "n_sessions": pa.array([n], pa.int64()),
+            "clicked": pa.array([clicked], pa.int64()),
+            "abandoned": pa.array([n - clicked], pa.int64()),
+            "abandonment_rate": pa.array(
+                [round((n - clicked) / n, 6) + 0.0], pa.float64()
+            ),
+            "success_at_1": pa.array([round(s1 / n, 6) + 0.0], pa.float64()),
+            "success_at_3": pa.array([round(s3 / n, 6) + 0.0], pa.float64()),
+            "success_at_5": pa.array([round(s5 / n, 6) + 0.0], pa.float64()),
+            "mean_first_click_rank": pa.array(
+                [round(float(fr.sum()) / clicked, 6) + 0.0 if clicked else 0.0],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver's correctness harness checks the first
     # 50 entries. Every SURVEY §2-mapped operator gate and the flagship
@@ -14177,6 +14226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focused_hits": _q_focused_hits,
         "serp_diversity": _q_serp_diversity,
         "ab_ztest_clicks": _q_ab_ztest,
+        "serp_abandonment": _q_serp_abandonment,
         "ef_posting_sizes": _q_ef_posting_sizes,
         "knn_cosine_ivf_hashmin": _q_knn_ivf_hashmin,
         "text_knn_hash_embed": _q_text_knn_hash_embed,
@@ -17318,6 +17368,46 @@ SELECT (SELECT n FROM n)::bigint AS n_results, ns AS n_sources,
 FROM agg
 """,
         "ab_ztest_clicks": _ab_ztest_sql(),
+        "serp_abandonment": f"""
+WITH {_BM25_SCORES},
+ranked AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10),
+imp AS (
+  SELECT s, pos,
+         (SELECT doc_id FROM ranked r WHERE r.rank = pos) AS doc_id
+  FROM (SELECT unnest(range(400)) AS s), (SELECT unnest(range(1, 11)) AS pos)),
+c0 AS (SELECT *, xor((s*16+pos)::ubigint, 10::ubigint)::hugeint AS a0,
+               xor(doc_id::ubigint, 11::ubigint)::hugeint AS d0 FROM imp),
+c1 AS (SELECT *, ((((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(a0::ubigint, a0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS a1,
+               ((((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) % 4294967296) + ((((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) % 4294967296) * ((13787848793156543929::hugeint) // 4294967296)   + ((xor(d0::ubigint, d0::ubigint >> 30)::hugeint) // 4294967296) * ((13787848793156543929::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS d1 FROM c0),
+c2 AS (SELECT *, ((((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(a1::ubigint, a1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS a2,
+               ((((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) % 4294967296) + ((((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) % 4294967296) * ((10723151780598845931::hugeint) // 4294967296)   + ((xor(d1::ubigint, d1::ubigint >> 27)::hugeint) // 4294967296) * ((10723151780598845931::hugeint) % 4294967296)) % 4294967296) * 4294967296) % 18446744073709551616) AS d2 FROM c1),
+att AS MATERIALIZED (
+  SELECT s, pos,
+         CASE WHEN (xor(a2::ubigint, a2::ubigint >> 31)::hugeint % 16)
+                   < (3 + (xor(d2::ubigint, d2::ubigint >> 31)::hugeint % 10))
+              THEN 1 ELSE 0 END AS att
+  FROM c2),
+firstp AS (SELECT s, min(pos) FILTER (WHERE att = 1) AS fp FROM att GROUP BY s),
+agg AS (
+  SELECT count(*)::bigint AS n,
+         count(fp)::bigint AS clicked,
+         sum(CASE WHEN fp <= 1 THEN 1 ELSE 0 END)::bigint AS s1,
+         sum(CASE WHEN fp <= 3 THEN 1 ELSE 0 END)::bigint AS s3,
+         sum(CASE WHEN fp <= 5 THEN 1 ELSE 0 END)::bigint AS s5,
+         coalesce(sum(fp), 0)::bigint AS fsum
+  FROM firstp)
+SELECT n AS n_sessions, clicked, (n - clicked)::bigint AS abandoned,
+       round((n - clicked)::double / n, 6) + 0.0 AS abandonment_rate,
+       round(s1::double / n, 6) + 0.0 AS success_at_1,
+       round(s3::double / n, 6) + 0.0 AS success_at_3,
+       round(s5::double / n, 6) + 0.0 AS success_at_5,
+       CASE WHEN clicked > 0
+            THEN round(fsum::double / clicked, 6) + 0.0 ELSE 0.0 END
+         AS mean_first_click_rank
+FROM agg
+""",
         "qld_dirichlet_topk": f"""
 WITH tok AS ({_TOK}),
 dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
