@@ -32,7 +32,14 @@ from dcs_ray.functions.textstats import content_hash_rows
 def _strip_param(urls: pa.Array, key: str) -> pa.Array:
     """Remove ``key=value`` from each URL's query string, vectorized:
     ``(?<=[?&])key=[^&]*&?`` then tidy a dangling '?'/'&' — the same
-    two regexp_replace calls the SQL oracle applies."""
+    two regexp_replace calls the SQL oracle applies.  Keys are
+    restricted to ``[A-Za-z0-9_-]+`` so the interpolation below cannot
+    change the regex's shape (a key like ``a.b`` or ``id+`` would
+    silently match unintended parameters and diverge from the oracle)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_-]+", key):
+        raise ValueError(f"dust param key must be [A-Za-z0-9_-]+: {key!r}")
     out = pc.replace_substring_regex(
         urls, pattern=rf"(?:([?&]){key}=[^&]*)", replacement=r"\1"
     )

@@ -27,6 +27,10 @@ def compile_queries(queries: list[list[str]]) -> dict:
     """Standing conjunctive queries → broadcastable probe table:
     sorted unique term array, per-term (query_id, ...) postings as a
     flat CSR, and per-query required distinct-term counts."""
+    if any(not q for q in queries):
+        # an empty conjunction compiles to need=0 and `cnt >= 0` fires
+        # an alert for every document in the stream — reject up front
+        raise ValueError("standing queries must contain at least one term")
     terms = sorted({t for q in queries for t in q})
     tarr = np.asarray(terms, dtype=object)
     post: list[list[int]] = [[] for _ in terms]

@@ -27,6 +27,11 @@ from dcs_ray.functions.sampling import splitmix64
 def ring_positions(nodes: list[int], vnodes: int = 64) -> tuple[np.ndarray, np.ndarray]:
     """(sorted ring positions, owning node per position); ties (2^-64
     events) break to the smaller node id for determinism."""
+    # positions derive from node*1024 + vnode (the SQL oracle replays
+    # this exact expression); beyond 1024 vnodes the packed pairs would
+    # collide across nodes, so cap rather than silently alias
+    if not 1 <= vnodes <= 1024:
+        raise ValueError(f"vnodes must be in [1, 1024], got {vnodes}")
     ns = np.repeat(np.asarray(sorted(nodes), np.int64), vnodes)
     vs = np.tile(np.arange(vnodes, dtype=np.int64), len(nodes))
     pos = splitmix64((ns * 1024 + vs).astype(np.uint64))

@@ -780,6 +780,14 @@ def search_bm25(
     """
     if isinstance(queries, str):  # a bare string would iterate per-char
         queries = [queries]
+    if prior_col is not None and method in ("bm25plus", "bmw"):
+        # the exhaustive prior scorer would silently drop the δ lower
+        # bound / block-max semantics the caller asked for
+        raise ValueError(
+            f"prior_col is incompatible with method={method!r}: the "
+            "per-doc multiplier forces the exhaustive classic-BM25 "
+            "scorer (use method='maxscore' or 'bm25')"
+        )
     filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
     shards = prune_shards(shard_paths(index_dir), filters)
