@@ -699,6 +699,42 @@ def cmd_warc(args) -> None:
                       "n_terms": manifest["stats"]["n_terms"]}))
 
 
+def cmd_tally(args) -> None:
+    """Emit TALLY.json: query/oracle/test counts straight from the
+    artifacts (BASELINE.md references this file instead of
+    hand-maintained numbers, so the counts cannot drift)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(args.repo)
+    sys.path.insert(0, str(root))
+    import __ray_entry__ as E
+
+    q = E.queries()
+    o = E.oracle_sql()
+    out = {
+        "n_queries": len(q),
+        "n_oracled": len(o),
+        "n_rows_only": len(set(q) - set(o)),
+        "rows_only": sorted(set(q) - set(o)),
+    }
+    if not args.no_tests:
+        # pytest's own collector is the source of truth for test count
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+            cwd=root, capture_output=True, text=True,
+        )
+        tail = [ln for ln in r.stdout.splitlines() if "tests collected" in ln
+                or ("test" in ln and "collected" in ln)]
+        import re as _re
+        m = _re.search(r"(\d+) tests? collected", r.stdout)
+        out["n_tests"] = int(m.group(1)) if m else None
+    dest = root / "TALLY.json"
+    dest.write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="dcs_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -923,6 +959,12 @@ def main() -> None:
     d.add_argument("--service", action="store_true",
                    help="serve from a resident per-shard actor pool")
     d.set_defaults(fn=cmd_replay)
+
+    d = sub.add_parser("tally", help="write TALLY.json (query/oracle/test counts)")
+    d.add_argument("--repo", default=".")
+    d.add_argument("--no-tests", action="store_true",
+                   help="skip the pytest collection pass")
+    d.set_defaults(fn=cmd_tally)
 
     args = ap.parse_args()
     args.fn(args)
