@@ -1,0 +1,3538 @@
+"""Auto-split from the round-3 __ray_entry__.py monolith (verbatim
+segments; see entry/__init__.py).  Do not import directly — go
+through __ray_entry__.
+"""
+
+from __future__ import annotations
+import os
+import sys
+from collections.abc import Callable
+from typing import Any
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+from dcs_ray.sources.io import read_parquet_sized
+
+from entry._helpers import (  # noqa: F401
+    BM25_QUERY,
+    LITERAL,
+    REGEX,
+    _BPE_N_MERGES,
+    _CACHE_ROOT,
+    _CURATE_TOTAL,
+    _CURATE_WEIGHTS,
+    _MIX_TOTAL,
+    _MIX_WEIGHTS,
+    _TUNE_GRID,
+    _anchor_index_dir,
+    _crawl_snapshot,
+    _docs,
+    _docs_en,
+    _index_dir,
+    _li_rev1e4,
+    _link_edges_ds,
+    _link_pair_edges,
+    _pagerank_index_dir,
+    _pairs_top100,
+)
+
+def _q_bm25(sf_dir: str) -> pa.Table:
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_top2_per_source(sf_dir: str) -> pa.Table:
+    """Per-source top-2 capped ranking, top 10 overall (dcs per-package
+    top-2, A5: querymanager.go:728-747) — distributed: each shard emits
+    at most 2 rows per source; no full-corpus ranking, no driver pandas."""
+    from dcs_ray.search import search_bm25_grouped
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25_grouped(idx, [BM25_QUERY], group_col="source", per_group=2, k=10)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "source": t["group"],
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_prior(sf_dir: str) -> pa.Table:
+    """BM25 × static per-doc rank prior (dcs pre-ranking F7/J6,
+    ``ranking/pre-ranking.go:54-103``): the prior lives in doc_meta and
+    multiplies every score inside the shard task."""
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10, prior_col="prior")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_term_df(sf_dir: str) -> Any:
+    """Per-term document frequency — served straight from the index's
+    corpus-stats table (the engine's own df aggregation, A7)."""
+    idx = _index_dir(sf_dir, "words")
+    t = pq.read_table(os.path.join(idx, "stats", "df.parquet"))
+    return pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
+
+
+def _q_corpus_stats(sf_dir: str) -> pa.Table:
+    from dcs_ray.search import load_stats
+
+    idx = _index_dir(sf_dir, "words")
+    s = load_stats(idx)
+    return pa.table(
+        {
+            "n_docs": pa.array([s["n_docs"]], pa.int64()),
+            "total_tokens": pa.array([s["sum_doc_len"]], pa.int64()),
+            "avgdl": pa.array([round(s["avgdl"], 6)], pa.float64()),
+        }
+    )
+
+
+def _q_token_count(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def _q_bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import quality_scores
+
+    return quality_scores(_docs(sf_dir))
+
+
+def _q_dedup_exact(sf_dir: str) -> Any:
+    from dcs_ray.functions.dedup import exact_dedup_keep_min
+
+    ds = exact_dedup_keep_min(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table({"doc_id": t["min(doc_id)"].cast(pa.int64())}).sort_by("doc_id")
+
+
+def _q_latest_version_per_source(sf_dir: str) -> Any:
+    """Version-aware newest-wins dedup (J7 with a real comparator —
+    dcs ``dpkgversion`` + ``querymanager.go:688-747``): deterministic
+    synthetic Debian-style versions, newest per source, id tie-break."""
+    from dcs_ray.versions import latest_version_per_key
+
+    def with_version(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ver = [
+            f"{i % 4}.{i % 10}" + ("~rc1" if i % 3 == 0 else "") for i in ids
+        ]
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "version": pa.array(ver)}
+        )
+
+    ds = _docs(sf_dir).map_batches(with_version, batch_format="pyarrow")
+    out = latest_version_per_key(ds, "source", "version")
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "source": t["source"],
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "version": t["version"],
+        }
+    ).sort_by("source")
+
+
+def _q_latest_event(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import latest_event_per_user
+
+    ds = latest_event_per_user(read_parquet_sized(f"{sf_dir}/events.parquet"))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {"user_id": t["user_id"].cast(pa.int64()), "event_id": t["event_id"].cast(pa.int64())}
+    ).sort_by("user_id")
+
+
+def _q_window_agg(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import tumbling_window_agg
+
+    ds = tumbling_window_agg(read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "window_start": t["window_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_hopping_window(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import hopping_window_agg
+
+    ds = hopping_window_agg(
+        read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600, hop_s=1800
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "window_start": t["window_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_session_window(sf_dir: str) -> Any:
+    from dcs_ray.functions.windows import session_window_agg
+
+    ds = session_window_agg(
+        read_parquet_sized(f"{sf_dir}/events.parquet"), gap_s=1800
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "session_start": t["session_start"],
+            "n_events": t["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_filtered(sf_dir: str) -> pa.Table:
+    """dcs query-keyword filter (F4: ``query-rewrite.go:15-59`` — e.g.
+    ``package:``): BM25 ranking restricted to docs from one source.
+    Filtering cannot change surviving docs' scores, so filter-then-top-k
+    equals rank-all-then-filter (dcs applies FilterByKeywords before
+    ranking, ``sourcebackend.go:28-129``)."""
+    from dcs_ray.queryplan import rewrite_query
+    from dcs_ray.search import filters_from_keywords, search_bm25
+
+    q, includes, negates = rewrite_query(f"{BM25_QUERY} source:src3")
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [q], k=10, filters=filters_from_keywords(includes, negates))
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_grep_literal(sf_dir: str) -> ray.data.Dataset:
+    """Literal occurrence count per doc — the verify stage (F11),
+    vectorized substring count over the text column."""
+    import pyarrow.compute as pc
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring(b["text"], LITERAL)
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_matches": n.cast(pa.int64())}
+        ).filter(pc.greater(n, 0))
+
+    return _docs(sf_dir).map_batches(count, batch_format="pyarrow")
+
+
+def _q_trigram_candidates(sf_dir: str) -> Any:
+    from dcs_ray.search import search_literal
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_literal(idx, [LITERAL], positional=False)
+    return pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).sort_by("doc_id")
+
+
+def _q_positional_matches(sf_dir: str) -> Any:
+    from dcs_ray.search import search_literal
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_literal(idx, [LITERAL], positional=True)
+    # per-doc occurrence counts (all positions; literal is not self-overlapping)
+    import pyarrow.compute as pc
+
+    g = pa.table({"doc_id": t["doc_id"].cast(pa.int64())}).group_by("doc_id").aggregate(
+        [("doc_id", "count")]
+    )
+    return pa.table(
+        {"doc_id": g["doc_id"], "n_matches": g["doc_id_count"].cast(pa.int64())}
+    ).sort_by("doc_id")
+
+
+def _q_proximity_search(sf_dir: str) -> Any:
+    """Proximity join (J4 generalized from phrase to a byte window):
+    docs where 'spark' starts within 40 bytes of 'join', with exact
+    pair counts — answered entirely from positional sections, two
+    searchsorteds per side per shard, document text never read."""
+    from dcs_ray.search import search_proximity
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_proximity(idx, [("spark", "join")], window=40)
+    return pa.table(
+        {"doc_id": t["doc_id"].cast(pa.int64()), "n_pairs": t["n_pairs"]}
+    ).sort_by("doc_id")
+
+
+def _q_regex_search(sf_dir: str) -> Any:
+    """Full dcs query path: regex → trigram planner (F6) → candidate
+    generation on the index → verify grep (F10) FUSED into the same
+    per-shard task (candidates never touch the driver) → matching lines
+    per doc (≤1 match/line, D3)."""
+    from dcs_ray.grep import search_regex_fused
+
+    idx = _index_dir(sf_dir, "trigram")
+    ds = search_regex_fused(idx, f"{sf_dir}/documents.parquet", REGEX)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64())]).empty_table()
+    g = t.group_by("doc_id").aggregate([("line", "count_distinct")])
+    return pa.table(
+        {"doc_id": g["doc_id"].cast(pa.int64()), "n_lines": g["line_count_distinct"].cast(pa.int64())}
+    ).sort_by("doc_id")
+
+
+def _q_filter_ignored(sf_dir: str) -> ray.data.Dataset:
+    """Ingest filter (dcs filter.Ignored F1, ``filter.go:74-125``):
+    size caps + ignored-language predicate, vectorized."""
+    from dcs_ray.filters import filter_ignored
+
+    ds = filter_ignored(
+        _docs(sf_dir), ignored_langs=("de",), min_chars=50, max_chars=100_000
+    )
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def _q_lang_stats(sf_dir: str) -> Any:
+    from ray.data.aggregate import Count, Mean
+
+    ds = _docs(sf_dir).groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "lang": t["lang"],
+            "n_docs": t["n_docs"].cast(pa.int64()),
+            "avg_chars": pa.array(np.round(t["avg_chars"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_label_centroids(sf_dir: str) -> Any:
+    """Per-label embedding centroid in long (label, dim) form — the
+    class-prototype aggregate; per-batch partial sums, vectors never
+    cross the exchange whole."""
+    from dcs_ray.functions.simsearch import group_centroids
+
+    ds = group_centroids(
+        read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by([("label", "ascending"), ("dim", "ascending")])
+
+
+def _q_knn(sf_dir: str) -> pa.Table:
+    from dcs_ray.functions.simsearch import knn_cosine_bruteforce
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_bruteforce(emb, np.array([q0]), k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_knn_classify(sf_dir: str) -> pa.Table:
+    """kNN majority-vote label prediction for the first 5 embedding
+    vectors (self excluded, k=10): brute-force cosine ranking + one
+    broadcast-id label pass; ties by (count desc, label asc)."""
+    from dcs_ray.functions.simsearch import knn_classify
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return knn_classify(emb, q, ids, k=10)
+
+
+def _q_centroid_classify(sf_dir: str) -> pa.Table:
+    """Nearest-centroid (Rocchio) label prediction for the first 5
+    embedding vectors: distributed per-label centroid aggregate, then a
+    model-sized cosine argmax on the driver (ties → smallest label)."""
+    from dcs_ray.functions.simsearch import centroid_classify
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    q = np.asarray(head["embedding"].to_pylist(), np.float64)
+    ids = head["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return centroid_classify(emb, q, ids)
+
+
+def _q_embedding_outliers(sf_dir: str) -> pa.Table:
+    """Embedding-quality triage: the 50 vectors least cosine-similar to
+    their own label centroid — centroids broadcast once, one streaming
+    scoring pass, per-block bottom-50 partials."""
+    from dcs_ray.functions.simsearch import centroid_outlier_scores
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return centroid_outlier_scores(emb, n=50)
+
+
+def _q_knn_lsh(sf_dir: str) -> pa.Table:
+    """ANN through a persistent bucket-partitioned LshAnnIndex with 4
+    independent SRP tables; each query probes its 8 query-directed best
+    buckets per table (~14%% of index rows), candidates deduped across
+    tables. Oracle-gated end-to-end: ``_lsh_knn_sql`` replays the plane
+    draws, per-table signatures, directed multiprobe mask ranking and
+    the candidate top-k entirely in SQL."""
+    from dcs_ray.functions.simsearch import knn_cosine_lsh
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_lsh(
+        emb, np.array([q0]), k=10, num_planes=6, num_tables=4, probe_t=8,
+        index_dir=os.path.join(_CACHE_ROOT, f"{name}_lshann_l4"),
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_knn_ivf(sf_dir: str) -> pa.Table:
+    """ANN through a persistent IVF index (spherical-k-means coarse
+    quantizer, centroid-partitioned lists) — the query probes only its
+    nprobe nearest lists."""
+    from dcs_ray.functions.simsearch import knn_cosine_ivf
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = knn_cosine_ivf(
+        emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_ivfann")
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_lsh_bucket_assignment(sf_dir: str) -> pa.Table:
+    """The DETERMINISTIC half of the LSH ANN path, oracle-gated: build a
+    single-table ``LshAnnIndex`` (seed 13, 6 planes) and read back the
+    PERSISTED bucket-partitioned layout as (vec_id, bucket). The oracle
+    replays the signed-random-projection signs in SQL with the plane
+    values inlined as literals (same rng stream), so a hash match proves
+    the index assigns every vector to the bucket the math says."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dcs_ray.functions.simsearch import LshAnnIndex
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dcs_lshgate_", dir="/tmp")
+    try:
+        LshAnnIndex.build(emb, tmp, num_planes=6, num_tables=1, seed=13)
+        files = sorted(glob.glob(os.path.join(tmp, "bucket=*", "*.parquet")))
+        idx = ray.data.read_parquet(files, include_paths=True)
+
+        def unpart(b: pa.Table) -> pa.Table:
+            buckets = [
+                int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+                for p in b["path"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "bucket": pa.array(buckets, pa.int64()),
+                }
+            )
+
+        t = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in idx.map_batches(unpart, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        return t.sort_by("vec_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_ivf_list_assignment(sf_dir: str) -> pa.Table:
+    """The DETERMINISTIC half of the IVF ANN path, oracle-gated: build an
+    ``IvfAnnIndex`` with the hash-min init (centroids = the 8 corpus
+    rows with smallest splitmix64(vec_id), zero Lloyd iterations) and
+    read back the persisted list-partitioned layout as (vec_id, list).
+    The oracle re-picks the centroids by the same integer hash chain and
+    re-assigns every vector by cosine argmax in SQL — the real
+    ``add_list`` assignment pass is what gets gated."""
+    import glob
+    import shutil
+    import tempfile
+
+    from dcs_ray.functions.simsearch import IvfAnnIndex
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    tmp = tempfile.mkdtemp(prefix="dcs_ivfgate_", dir="/tmp")
+    try:
+        IvfAnnIndex.build(emb, tmp, num_lists=8, n_iter=0, init="hash_min")
+        files = sorted(glob.glob(os.path.join(tmp, "list=*", "*.parquet")))
+        idx = ray.data.read_parquet(files, include_paths=True)
+
+        def unpart(b: pa.Table) -> pa.Table:
+            lists = [
+                int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+                for p in b["path"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"].cast(pa.int64()),
+                    "list": pa.array(lists, pa.int64()),
+                }
+            )
+
+        t = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in idx.map_batches(unpart, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        return t.sort_by("vec_id")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_knn_ivf_hashmin(sf_dir: str) -> pa.Table:
+    """The IVF QUERY path oracle-gated end-to-end: hash-min-init index
+    (centroids = the 8 corpus rows with smallest splitmix64(vec_id),
+    zero Lloyd iterations — the deterministic contract of
+    ``ivf_list_assignment``), then the REAL ``IvfAnnIndex.query``:
+    nprobe=3 nearest-centroid probe selection, partitioned scoring over
+    only the probed lists, and the global (cos desc, id asc) merge. The
+    SQL replays centroid pick, assignment, probe choice and top-k —
+    so the probe-and-merge machinery itself is what gets gated (the
+    production ``knn_cosine_ivf`` entry keeps the kmeans++ quantizer,
+    whose sampled seeding is not SQL-expressible)."""
+    from dcs_ray.functions.simsearch import IvfAnnIndex
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_ivfann_hm8")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    if os.path.exists(os.path.join(out, "ivf_meta.json")):
+        idx = IvfAnnIndex(out)
+    else:
+        idx = IvfAnnIndex.build(emb, out, num_lists=8, n_iter=0, init="hash_min")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    t = idx.query(np.array([q0]), k=10, nprobe=3)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cos_sim": t["cos_sim"],
+        }
+    )
+
+
+def _q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    from dcs_ray.functions.simsearch import near_dup_pairs_exact
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs_exact(emb, threshold=0.42)
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str) -> pa.Table:
+    """Sub-quadratic approximate near-dup pairs (OR-amplified SRP
+    banding); recall vs the exact path is asserted in pytest, and the
+    whole banded candidate generation + cosine verify is oracle-gated
+    (``_near_dup_lsh_sql`` replays the size-aware banding closed form,
+    the seed-13 planes, and the bucket self-join in SQL)."""
+    from dcs_ray.functions.simsearch import near_dup_pairs_lsh
+
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    return near_dup_pairs_lsh(emb, threshold=0.42)
+
+
+def _q_minhash_pairs(sf_dir: str) -> Any:
+    """MinHash+LSH candidate pairs; the DuckDB oracle replays the whole
+    hash chain bit-exactly (``_minhash_pairs_sql``). The engine's
+    degenerate-bucket star-pair cap (>256 ids) never triggers at the
+    oracle's sf0.01 scale, so clique output is exact there."""
+    from dcs_ray.functions.dedup import minhash_candidate_pairs
+
+    ds = minhash_candidate_pairs(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]).empty_table()
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _q_ngram_jaccard(sf_dir: str) -> Any:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted shingle join —
+    set-similarity join, no all-pairs scan)."""
+    from dcs_ray.functions.dedup import ngram_jaccard_pairs
+
+    ds = ngram_jaccard_pairs(_docs(sf_dir), shingle_n=3, threshold=0.5)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _q_duplicate_tile_spans(sf_dir: str) -> Any:
+    """Exact duplicated-substring accounting (Lee et al. 2022 shape,
+    tile-approximated): per doc, how many non-overlapping 32-byte tiles
+    occur >=2 times corpus-wide. Gated bit-exact: the SQL replays the
+    identical tile hash (FNV word fold + length salt + splitmix64) so
+    even hash collisions agree."""
+    from dcs_ray.functions.dedup import duplicate_tile_spans
+
+    ds = duplicate_tile_spans(_docs(sf_dir), tile_bytes=32, min_count=2)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "dup_tiles", "total_tiles"]).sort_by("doc_id")
+
+
+def _q_asof_join(sf_dir: str) -> Any:
+    """Backward as-of join: each purchase event picks up the latest
+    prior (or simultaneous) view event of the same user."""
+    from dcs_ray.functions.joins import asof_join
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "value": b["value"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+
+    def only(kind):
+        return lambda b: b.filter(pa.compute.equal(b["event_type"], kind))
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(left, right, on="user_id", ts_col="ts_us",
+                    right_cols=("event_id", "value"))
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return t.select(
+        ["event_id", "user_id", "ts_us", "event_id_right", "value_right"]
+    ).sort_by("event_id")
+
+
+def _q_sample_fraction(sf_dir: str) -> Any:
+    """Deterministic ~20% subsample of documents (splitmix64(id^seed)
+    threshold) — reproducible across runs/cluster sizes, no shuffle."""
+    from dcs_ray.functions.sampling import sample_fraction
+
+    ds = sample_fraction(_docs(sf_dir), 0.2, seed=42)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_sample_stratified(sf_dir: str) -> Any:
+    """Deterministic 5-per-language sample (smallest (hash,id) per
+    stratum; per-batch combiner then one small groupby)."""
+    from dcs_ray.functions.sampling import sample_stratified
+
+    ds = sample_stratified(_docs(sf_dir), "lang", 5, seed=1)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_pricing_summary(sf_dir: str) -> Any:
+    """TPC-H-Q1-style pricing summary over lineitem: per-batch combiner
+    collapses each batch to <=|groups| partial rows of integer-scaled
+    sums (exact, order-independent), then one tiny groupby merges
+    partials — the corpus never enters the shuffle."""
+    import datetime
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = datetime.date(1998, 9, 2)
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        t = np.round(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc = p * (100 - d)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "q100": pa.array(q, pa.int64()),
+                "p100": pa.array(p, pa.int64()),
+                "d100": pa.array(d, pa.int64()),
+                "disc1e4": pa.array(disc, pa.int64()),
+                "charge1e6": pa.array(disc * (100 + t), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["q100", "p100", "d100", "disc1e4", "charge1e6"],
+    )
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
+    n = t["n_rows"].to_numpy().astype(np.int64)
+    q100 = t["q100"].to_numpy().astype(np.int64)
+    p100 = t["p100"].to_numpy().astype(np.int64)
+    d100 = t["d100"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(q100 / 100.0, pa.float64()),
+            "sum_base_price": pa.array(p100 / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(t["disc1e4"].to_numpy() / 10000.0, pa.float64()),
+            "sum_charge": pa.array(t["charge1e6"].to_numpy() / 1000000.0, pa.float64()),
+            "avg_qty": pa.array(np.round(q100 / (100.0 * n), 6), pa.float64()),
+            "avg_price": pa.array(np.round(p100 / (100.0 * n), 6), pa.float64()),
+            "avg_disc": pa.array(np.round(d100 / (100.0 * n), 6), pa.float64()),
+            "count_order": pa.array(n, pa.int64()),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def _q_order_totals_by_nation(sf_dir: str) -> Any:
+    """orders ⋈ customer ⋈ nation via two broadcast joins (dimension
+    sides ray.put once, probed per batch) + combiner groupby."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                       small_cols=("c_nationkey",))
+    j = broadcast_join(j, nation, on="c_nationkey", right_on="n_nationkey",
+                       small_cols=("n_name",))
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"n_name": b["n_name"], "p100": pa.array(p, pa.int64())})
+
+    agg = combiner_groupby(j.map_batches(prep, batch_format="pyarrow"),
+                           ["n_name"], ["p100"])
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "n_name": t["n_name"],
+            "n_orders": t["n_rows"].cast(pa.int64()),
+            "total_price": pa.array(t["p100"].to_numpy() / 100.0, pa.float64()),
+        }
+    ).sort_by("n_name")
+
+
+def _q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-style shipping priority: segment-filtered customers
+    broadcast-semi-join orders (date-pruned at the read), the one
+    big⋈big hop is lineitem ⋈ orders via hash-partitioned
+    ``shuffle_join``, revenue in exact integer 1e-4 units, per-order
+    combiner groupby, then per-block local top-10 before the driver
+    merge — the driver never sees more than 10 rows per block."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    cut = datetime.datetime(1995, 3, 15)
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cut,
+    )
+    orders_b = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", small_cols=()
+    ).select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cut,
+    )
+    j = shuffle_join(li, orders_b, on="l_orderkey", right_on="o_orderkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        ["rev1e4"],
+    )
+    order = [
+        ("rev1e4", "descending"),
+        ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending"),
+    ]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 10)
+
+    parts = [
+        pa.table(b)
+        for b in agg.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts).sort_by(order).slice(0, 10)
+    return pa.table(
+        {
+            "l_orderkey": merged["l_orderkey"].cast(pa.int64()),
+            "revenue": pa.array(
+                merged["rev1e4"].to_numpy() / 10000.0, pa.float64()
+            ),
+            "o_orderdate": merged["o_orderdate"],
+            "o_orderpriority": merged["o_orderpriority"],
+        }
+    )
+
+
+def _q_price_model(sf_dir: str) -> pa.Table:
+    """Distributed OLS training: fit extendedprice_cents ~ quantity +
+    discount_pct + tax_pct over lineitem via the integer moment-matrix
+    fold (one exact int64 XᵀX per batch, order-independent sum), then
+    a Cramer solve whose fixed-order float expansion the oracle
+    replays term for term — distributed model TRAINING with a
+    bit-exact SQL gate."""
+    from dcs_ray.functions.linreg import linreg_fit_int
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(
+                    np.round(b["l_quantity"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+                "disc_pct": pa.array(
+                    np.round(b["l_discount"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tax_pct": pa.array(
+                    np.round(b["l_tax"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+                "y_cents": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return linreg_fit_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["qty", "disc_pct", "tax_pct"],
+        "y_cents",
+    )
+
+
+def _q_langid_model(sf_dir: str) -> pa.Table:
+    """Distributed logistic-regression TRAINING (full-batch GD, 5
+    iterations): predict lang=='en' from (n_tokens, n_stopwords). One
+    partial-gradient row per block per iteration, canonical fold
+    order; the oracle replays every iteration's gradient and update in
+    chained CTEs with the engine's expression tree."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.linreg import logreg_fit_gd
+    from dcs_ray.functions.textstats import quality_score_batch
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = quality_score_batch(b)
+        y = pc.equal(b["lang"], "en").cast(pa.int64())
+        return pa.table(
+            {
+                "n_tokens": q["n_tokens"],
+                "n_stop": q["n_stopwords"],
+                "y": y,
+            }
+        )
+
+    return logreg_fit_gd(
+        docs.map_batches(prep, batch_format="pyarrow"),
+        ["n_tokens", "n_stop"],
+        "y",
+        n_iter=5,
+        lr=1e-3,
+    )
+
+
+def _q_lineitem_corr(sf_dir: str) -> pa.Table:
+    """Distributed Pearson correlation matrix over lineitem numerics
+    (integer-scaled): exact int64 moment fold, closed form evaluated
+    with the oracle's exact expression tree. Price in whole dollars so
+    Σx² stays inside the exact int→double window at bench scales."""
+    from dcs_ray.functions.linreg import corr_matrix_int
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qty": pa.array(
+                    np.round(b["l_quantity"].to_numpy()).astype(np.int64), pa.int64()
+                ),
+                "disc_pct": pa.array(
+                    np.round(b["l_discount"].to_numpy() * 100).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tax_pct": pa.array(
+                    np.round(b["l_tax"].to_numpy() * 100).astype(np.int64), pa.int64()
+                ),
+                "price_usd": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy()).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return corr_matrix_int(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["qty", "disc_pct", "tax_pct", "price_usd"],
+    )
+
+
+def _q_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed k-means training (Lloyd's, k=4, 3 iterations) over
+    the embeddings table: centroids broadcast per iteration, one
+    ≤k-row partial per block, k·d-sized exchange. The oracle replays
+    seeding, every assignment (argmin, ties to smallest cid), every
+    mean update, and empty-cluster carry-over in chained CTEs."""
+    from dcs_ray.functions.kmeans import kmeans_fit
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_fit(emb, k=4, n_iter=3)
+
+
+def _q_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA (top principal component) over embeddings: one
+    covariance-moment fold pass (d(d+3)/2-float partials), 10 power
+    iterations driver-side; the oracle replays moments, every matvec +
+    L2 normalize, the sign rule, and the Rayleigh eigenvalue."""
+    from dcs_ray.functions.kmeans import pca_top_component
+
+    emb = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_top_component(emb, n_iter=10)
+
+
+def _q_customer_returns(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-style returned-item report: revenue lost to returns
+    per customer in 1996Q1, top-20. Returnflag + date predicates pushed
+    into the scans; lineitem ⋈ orders is the one hash-partitioned
+    big⋈big hop; the per-customer aggregate (customer-sized) joins
+    customer via a second shuffle_join and nation via broadcast;
+    revenue in exact integer 1e-4 units; per-block local top-20."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def prep(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    per_cust = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"), ["o_custkey"], ["rev1e4"]
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    jc = shuffle_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+    nat = read_parquet_sized(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    jn = broadcast_join(
+        jc, nat, on="c_nationkey", right_on="n_nationkey", small_cols=("n_name",)
+    )
+    order = [("rev1e4", "descending"), ("o_custkey", "ascending")]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 20)
+
+    parts = [
+        pa.table(b)
+        for b in jn.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts).sort_by(order).slice(0, 20)
+    return pa.table(
+        {
+            "c_custkey": merged["o_custkey"].cast(pa.int64()),
+            "c_name": merged["c_name"],
+            "revenue": pa.array(merged["rev1e4"].to_numpy() / 10000.0, pa.float64()),
+            "c_acctbal": merged["c_acctbal"],
+            "n_name": merged["n_name"],
+        }
+    )
+
+
+def _q_promo_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-style promotion effect: share of January-1996 revenue
+    from PROMO parts. The date predicate is pushed into the lineitem
+    scan; lineitem ⋈ part is the hash-partitioned big⋈big hop; both
+    revenue sums fold as exact 1e-4 integers so the single output
+    division is the only float."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import shuffle_join
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 2, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    part = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    j = shuffle_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = p * (100 - d)
+        promo = pc.equal(b["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_rev1e4": pa.array([int(rev[promo].sum())], pa.int64()),
+                "total_rev1e4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    pr = tot = 0
+    for b in j.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        t = pa.table(b)
+        pr += int(np.sum(t["promo_rev1e4"].to_numpy()))
+        tot += int(np.sum(t["total_rev1e4"].to_numpy()))
+    pct = (100.0 * pr) / tot if tot else 0.0
+    return pa.table(
+        {
+            "promo_rev1e4": pa.array([pr], pa.int64()),
+            "total_rev1e4": pa.array([tot], pa.int64()),
+            "promo_pct": pa.array([round(pct, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_large_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-style large-volume orders: orders whose total lineitem
+    quantity exceeds 100 units, top-20 by (o_totalprice desc,
+    o_orderkey). The quantity fold is a combiner groupby in exact 1e-2
+    integer units; the qualifying-order set (tiny by construction) is
+    broadcast back as a semi-join filter on orders."""
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "q1e2": pa.array(q, pa.int64())}
+        )
+
+    per_order = combiner_groupby(
+        li.map_batches(prep, batch_format="pyarrow"), ["l_orderkey"], ["q1e2"]
+    ).map_batches(
+        lambda b: b.filter(
+            pa.array(b["q1e2"].to_numpy() > 100 * 100)
+        ).select(["l_orderkey", "q1e2"]),
+        batch_format="pyarrow",
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j = broadcast_join(
+        orders, per_order, on="o_orderkey", right_on="l_orderkey",
+        small_cols=("q1e2",),
+    )
+    parts = [
+        pa.table(b) for b in j.iter_batches(batch_format="pyarrow")
+    ]
+    t = pa.concat_tables(parts)
+    price = np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    keys = t["o_orderkey"].to_numpy().astype(np.int64)
+    order = np.lexsort((keys, -price))[:20]
+    take = pa.array(order)
+    return pa.table(
+        {
+            "o_orderkey": t["o_orderkey"].combine_chunks().take(take),
+            "o_custkey": t["o_custkey"].combine_chunks().take(take),
+            "o_orderdate": t["o_orderdate"].combine_chunks().take(take),
+            "o_totalprice": t["o_totalprice"].combine_chunks().take(take),
+            "total_qty": pa.array(
+                t["q1e2"].to_numpy(zero_copy_only=False)[order] / 100.0,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _q_local_supplier_volume(sf_dir: str) -> Any:
+    """TPC-H-Q5-style local supplier volume — the full 6-table chain:
+    region→nation dims broadcast, customers semi-filtered to the
+    region, date-pruned orders scan, lineitem ⋈ orders via the
+    hash-partitioned ``shuffle_join`` (the one big⋈big hop), supplier
+    broadcast, same-nation (customer == supplier) condition applied
+    per batch, integer-scaled revenue combiner groupby by nation. Only
+    |nations|-sized rows ever reach the driver."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import (
+        broadcast_join, combiner_groupby, shuffle_join,
+    )
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1)
+    region = read_parquet_sized(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey"],
+        filter=pads.field("r_name") == "ASIA",
+    )
+    nation = read_parquet_sized(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation_r = broadcast_join(
+        nation, region, on="n_regionkey", right_on="r_regionkey", small_cols=()
+    )
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust_r = broadcast_join(
+        cust, nation_r, on="c_nationkey", right_on="n_nationkey", small_cols=()
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    orders_c = broadcast_join(
+        orders, cust_r, on="o_custkey", right_on="c_custkey",
+        small_cols=("c_nationkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j = shuffle_join(li, orders_c, on="l_orderkey", right_on="o_orderkey")
+    sup = read_parquet_sized(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    j = broadcast_join(
+        j, sup, on="l_suppkey", right_on="s_suppkey", small_cols=("s_nationkey",)
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        same = b["c_nationkey"].to_numpy() == b["s_nationkey"].to_numpy()
+        t = b.filter(pa.array(same))
+        p = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "c_nationkey": t["c_nationkey"],
+                "rev1e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    agg = combiner_groupby(
+        j.map_batches(prep, batch_format="pyarrow"), ["c_nationkey"], ["rev1e4"]
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in agg.iter_batches(batch_format="pyarrow")]
+    )
+    # nation names joined onto the |nations|-sized aggregate
+    names = pa.concat_tables(
+        [pa.table(b) for b in nation.iter_batches(batch_format="pyarrow")]
+    )
+    nk = names["n_nationkey"].to_numpy().astype(np.int64)
+    order_nk = np.argsort(nk)
+    pos = np.searchsorted(nk[order_nk], t["c_nationkey"].to_numpy().astype(np.int64))
+    nname = names["n_name"].combine_chunks().take(pa.array(order_nk[pos]))
+    rev = t["rev1e4"].to_numpy().astype(np.int64)
+    out = pa.table(
+        {"n_name": nname, "revenue": pa.array(rev / 10000.0, pa.float64())}
+    )
+    return out.sort_by([("revenue", "descending"), ("n_name", "ascending")])
+
+
+def _q_distinct_users(sf_dir: str) -> Any:
+    """Exact COUNT(DISTINCT user_id) over events: per-batch unique
+    collapse, so the exchange carries batch-distinct keys only."""
+    from dcs_ray.functions.sketches import exact_distinct
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return exact_distinct(ev, "user_id")
+
+
+def _q_approx_distinct_users(sf_dir: str) -> Any:
+    """HyperLogLog approximate distinct users — deterministic for a
+    given hash; constant-size (2^p bytes) exchange per batch. The SQL
+    oracle replays the register fold bit-exactly (hll_registers gate)
+    and applies the same estimator formula."""
+    from dcs_ray.functions.sketches import approx_distinct_hll
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est, _ = approx_distinct_hll(ev, "user_id", p=12)
+    return pa.table({"approx_distinct": pa.array([round(est, 6)], pa.float64())})
+
+
+def _q_heavy_hitters(sf_dir: str) -> Any:
+    """Exact top-k event types by count: map-side value_counts partials
+    → small combiner groupby → driver top-k over |distinct| rows."""
+    from dcs_ray.functions.sketches import heavy_hitters
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return heavy_hitters(ev, "event_type", k=3)
+
+
+def _q_normalize_text(sf_dir: str) -> Any:
+    """Vectorized NFC + lowercase + whitespace-collapse + trim — one
+    Arrow pass per batch, no exchange."""
+    from dcs_ray.functions.textprep import normalize_text
+
+    ds = normalize_text(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_remove_boilerplate(sf_dir: str) -> Any:
+    """CCNet-style boilerplate removal: drop every line appearing in
+    ≥3 distinct docs of the SAME source (site templates — menus,
+    footers). Two streaming passes over the corpus; the frequent-line
+    key set is a bounded (template-sized) broadcast."""
+    from dcs_ray.functions.lines import remove_boilerplate
+
+    ds = remove_boilerplate(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        min_docs=3,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_paragraph_dedup(sf_dir: str) -> Any:
+    """C4/RefinedWeb-style global paragraph dedup, keep-first: a
+    paragraph survives only at its minimum (doc_id, ordinal) occurrence
+    corpus-wide. Pure-int exchanges; no driver-side corpus state."""
+    from dcs_ray.functions.lines import paragraph_dedup_keep_first
+
+    ds = paragraph_dedup_keep_first(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_bigram_topk(sf_dir: str) -> Any:
+    """Top-50 bigrams by count: per-batch pair formation over the flat
+    token array + map-side value_counts, vocab-sized aggregate only."""
+    from dcs_ray.functions.textprep import bigram_counts
+
+    return bigram_counts(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), k=50)
+
+
+def _q_pack_chunked(sf_dir: str) -> Any:
+    """Concat-and-chunk sequence packing (GPT layout): per-bucket
+    exclusive cumsum of token counts → fixed 256-token sequences."""
+    from dcs_ray.functions.textprep import pack_sequences_chunked
+
+    ds = pack_sequences_chunked(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=256, num_buckets=16)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_pack_greedy(sf_dir: str) -> Any:
+    """First-fit bin packing per bucket (documents never split) — the
+    reset-cumsum walked by searchsorted, not a per-row loop. Oracle:
+    a recursive CTE walks the same first-fit state machine per bucket."""
+    from dcs_ray.functions.textprep import pack_sequences_greedy
+
+    ds = pack_sequences_greedy(read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]), budget=256, num_buckets=16)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_cms_heavy_hitters(sf_dir: str) -> Any:
+    """Count-min-sketch approximate top-k event types — constant-size
+    exchange per batch (depth×width matrix + candidate list). The SQL
+    oracle replays the full chain (string hash, per-row salted splitmix
+    bucket, counter sums, min-over-rows estimate) in hugeint SQL."""
+    from dcs_ray.functions.sketches import cms_heavy_hitters
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_type"])
+    return cms_heavy_hitters(ev, "event_type", k=3)
+
+
+def _q_canonical_url_dedup(sf_dir: str) -> Any:
+    """URL canonicalization + canonical-URL dedup (the crawl-frontier
+    normalization every CC-style pipeline runs): deterministic noisy
+    urls (case, www, default port, trailing slash, tracking params,
+    unsorted query params) canonicalize pairwise-equal; keep-min per
+    canonical via a combiner groupby + hash-partitioned join back —
+    nothing corpus-sized on the driver."""
+    from dcs_ray.functions.relational import combiner_stats, shuffle_join
+    from dcs_ray.functions.urls import canonicalize_url_batch
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def noisy(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        base, par = ids // 2, ids % 2
+        ks = (base % 97).astype("U")
+        bs = base.astype("U")
+        extra = base % 3 == 0
+        u0 = np.char.add(
+            np.char.add(np.char.add("https://WWW.example", ks), ".ORG/p/"),
+            np.char.add(np.char.add(bs, "/?utm_source=x"), np.where(extra, "&b=2&a=1", "")),
+        )
+        u1 = np.char.add(
+            np.char.add(np.char.add("https://example", ks), ".org:443/p/"),
+            np.char.add(np.char.add(bs, "?gclid=g"), np.where(extra, "&a=1&b=2", "")),
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "url": pa.array(np.where(par == 0, u0, u1))}
+        )
+
+    canon = docs.map_batches(noisy, batch_format="pyarrow").map_batches(
+        canonicalize_url_batch, batch_format="pyarrow"
+    ).materialize()  # consumed twice below (winners + join probe)
+    winners = combiner_stats(canon, ["canonical_url"], "doc_id")
+
+    def sel(b: pa.Table) -> pa.Table:
+        return b.select(["canonical_url", "min_doc_id"])
+
+    joined = shuffle_join(
+        canon.select_columns(["doc_id", "canonical_url"]),
+        winners.map_batches(sel, batch_format="pyarrow"),
+        on="canonical_url",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(b["doc_id"], b["min_doc_id"]).cast(pa.int32())
+        return pa.table(
+            {"doc_id": b["doc_id"], "canonical_url": b["canonical_url"], "keep": keep}
+        )
+
+    t = pa.concat_tables(
+        [pa.table(b) for b in joined.map_batches(finish, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_training_shuffle_rank(sf_dir: str) -> Any:
+    """Deterministic global training shuffle: every doc's 0-based rank
+    in the (splitmix64(id^seed), id) order — a reproducible permutation
+    computed as a distributed rank (order-preserving bucket histogram +
+    per-bucket lexsort), no corpus-sized driver state, no
+    random_shuffle exchange."""
+    from dcs_ray.functions.sampling import global_shuffle_rank
+
+    ds = global_shuffle_rank(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        seed=7,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_media_metadata(sf_dir: str) -> Any:
+    """Decode-nothing media triage: one actor-pool pass sniffs format
+    magic and parses ONLY container/frame headers (ISO-BMFF box walk,
+    MP3 frame sync, PNG IHDR, FLAC STREAMINFO, AVI avih, WAV fmt) —
+    the pass a 100 TB multimodal crawl runs before deciding what to
+    decode. Rows-only: header semantics aren't SQL-expressible; gated
+    by tests/test_media_meta.py fixtures instead."""
+    from dcs_ray.functions.avi import synthesize_avi_video
+    from dcs_ray.functions.media_meta import (
+        MediaMetadataExtractor,
+        encode_mp3_skeleton,
+        encode_mp4_skeleton,
+    )
+    from dcs_ray.functions.multimodal import (
+        synthesize_flac_media,
+        synthesize_gif_media,
+        synthesize_png_media,
+        synthesize_wav_media,
+    )
+
+    payloads = (
+        synthesize_png_media(12)["payload"].to_pylist()
+        + synthesize_gif_media(12)["payload"].to_pylist()
+        + synthesize_wav_media(12)["payload"].to_pylist()
+        + synthesize_flac_media(12)["payload"].to_pylist()
+        + synthesize_avi_video(6)["payload"].to_pylist()
+        + [encode_mp4_skeleton(1000 + i, 320, 240, 30 + i) for i in range(6)]
+        + [encode_mp3_skeleton(40 + i) for i in range(6)]
+    )
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(len(payloads)), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    ds = media.map_batches(
+        MediaMetadataExtractor, concurrency=2, batch_size=16,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("media_id")
+
+
+def _q_host_stats(sf_dir: str) -> Any:
+    """Per-host page count + text chars over the crawl pages table —
+    one vectorized RE2 host extract per batch, combiner partials keyed
+    by host so the exchange is |hosts|-bounded. Oracle replays the
+    deterministic page synthesis (incl. stale-dup rows) in SQL."""
+    from dcs_ray.functions.urls import host_stats
+    from dcs_ray.sources.pages import read_pages
+
+    ds = host_stats(read_pages(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("host")
+
+
+def _q_lang_quantiles(sf_dir: str) -> Any:
+    """Per-language length quantiles (p50/p90/p99) — the percentile
+    cutoffs quality filtering is built on. Exact: value-count collapse
+    then a per-key histogram walk; exchange is |lang × distinct
+    lengths|, never the corpus."""
+    from dcs_ray.functions.quantiles import group_quantiles
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    ds = group_quantiles(docs, "lang", "n_chars", [0.5, 0.9, 0.99])
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("lang", "ascending"), ("q", "ascending")])
+
+
+def _q_quality_filter(sf_dir: str) -> Any:
+    """Per-language p10 length filter: cutoffs computed once (|langs|
+    rows), broadcast with ray.put, applied as a vectorized searchsorted
+    probe per batch — no join shuffle."""
+    from dcs_ray.functions.quantiles import filter_by_group_quantile
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = filter_by_group_quantile(docs, "lang", "n_chars", 0.1, keep="ge")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_quality_classifier(sf_dir: str) -> Any:
+    """Actor-pool logistic quality classifier: weights loaded once per
+    actor in __init__, whole-batch numpy scoring in __call__ — the
+    model-inference stage shape. Deterministic public weights, so the
+    oracle replays the exact formula."""
+    from dcs_ray.functions.textstats import quality_classify
+
+    ds = quality_classify(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_nb_lang_classifier(sf_dir: str) -> Any:
+    """Distributed multinomial Naive Bayes, trained on the corpus's own
+    lang labels then self-classifying every doc — the trained
+    counterpart of the fixed-weight quality classifier. Training is one
+    combiner-folded (label, term) count pass (model-sized exchange);
+    prediction broadcasts the dense log-prob matrix once. The oracle
+    replays counts, add-1 smoothing, and the rounded-score argmax."""
+    from dcs_ray.functions.classify import naive_bayes_predict, train_naive_bayes
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).materialize()
+    model_ref = ray.put(train_naive_bayes(docs))
+    ds = naive_bayes_predict(docs, model_ref)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _q_funnel_steps(sf_dir: str) -> pa.Table:
+    """Conversion funnel view → click → purchase per user (strictly
+    increasing timestamps, earliest eligible occurrence per step) —
+    one user-bucketed groupby, per-step lexsort + reduceat first-
+    eligible scan inside the bucket, no per-user Python."""
+    from dcs_ray.functions.windows import funnel_steps
+
+    ds = funnel_steps(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        ),
+        steps=["view", "click", "purchase"],
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("user_id")
+
+
+def _q_token_entropy(sf_dir: str) -> Any:
+    """Per-doc unigram Shannon entropy — the information-theoretic
+    repetitiveness signal next to the Gopher dup-token fractions."""
+    from dcs_ray.functions.textstats import token_entropy
+
+    ds = token_entropy(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _q_next_word_suggest(sf_dir: str) -> pa.Table:
+    """Query suggestion: top-5 corpus-bigram continuations of 'scan' —
+    the prefix filter runs inside each batch partial so the exchange is
+    one word's continuation set, never the bigram vocabulary."""
+    from dcs_ray.functions.textprep import next_word_suggest
+
+    return next_word_suggest(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["text"]),
+        word="scan",
+        k=5,
+    )
+
+
+def _q_event_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition matrix over each user's event sequence
+    (prev_type → next_type counts, ts ties ordered by type): one
+    user-bucketed lexsort + shifted-pair comparison per bucket; the
+    exchange is |type-pairs|, never the event stream."""
+    from dcs_ray.functions.windows import event_transitions
+
+    ds = event_transitions(
+        read_parquet_sized(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
+def _q_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort retention: users grouped by first-seen week, counted once
+    per later active week. Cohort vector is a user-sized driver fold
+    broadcast once; distinct activity dedups via one combiner groupby."""
+    from dcs_ray.functions.windows import retention_cohorts
+
+    ds = retention_cohorts(
+        read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
+def _q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (A-ES): top-100 docs by
+    ln(u)/n_chars with u drawn from splitmix64(doc_id ^ 13) — the
+    quality-weighted training-data selection pass. Per-block top-100
+    partials; the driver merges |blocks|·100 rows."""
+    from dcs_ray.functions.sampling import weighted_sample
+
+    return weighted_sample(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        n=100,
+        weight_col="n_chars",
+        seed=13,
+    )
+
+
+def _q_weighted_sample_by_lang(sf_dir: str) -> pa.Table:
+    """Stratified A-ES weighted sampling: top-20 docs per language by
+    ln(u)/n_chars — per-group quality-weighted selection in one pass
+    with per-block local top-n partials."""
+    from dcs_ray.functions.sampling import weighted_sample_grouped
+
+    return weighted_sample_grouped(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        ),
+        n_per_group=20,
+        group_col="lang",
+        weight_col="n_chars",
+        seed=13,
+    )
+
+
+def _q_readability(sf_dir: str) -> Any:
+    """Flesch-style readability per doc — words / sentence-run /
+    vowel-group counts and the 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    score, all RE2 kernels, no exchange."""
+    from dcs_ray.functions.textstats import readability
+
+    ds = readability(
+        read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    )
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _q_nb_confusion(sf_dir: str) -> pa.Table:
+    """Classifier evaluation: confusion matrix (true lang × NB
+    prediction) via a combiner count fold over the prediction stream —
+    the |classes|²-sized exchange every model-eval pass needs."""
+    from dcs_ray.functions.classify import naive_bayes_predict, train_naive_bayes
+    from dcs_ray.functions.relational import combiner_groupby
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).materialize()
+    model_ref = ray.put(train_naive_bayes(docs))
+    preds = naive_bayes_predict(docs, model_ref, keep_cols=("lang",))
+    agg = combiner_groupby(
+        preds.map_batches(
+            lambda b: pa.table(
+                {"true_label": b["lang"], "pred_label": b["pred_label"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["true_label", "pred_label"],
+        [],
+        count_col="n_docs",
+    )
+    t = pa.concat_tables(
+        pa.table(b).select(["true_label", "pred_label", "n_docs"])
+        for b in agg.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("true_label", "ascending"), ("pred_label", "ascending")]
+    )
+
+
+def _q_text_knn_hash_embed(sf_dir: str) -> Any:
+    """Embedding-generation → similarity-search composition: documents
+    are embedded with the deterministic hashing-trick featurizer (one
+    tokenizer pass + scatter per batch, no exchange), then brute-force
+    cosine top-5 runs against three fixed query docs. Oracle-gated end
+    to end: the SQL replays the hash chain, float32 quantization, and
+    the double-precision cosine ranking."""
+    from dcs_ray.functions.embed import hash_embed, hash_embed_batch
+    from dcs_ray.functions.simsearch import knn_cosine_bruteforce
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = hash_embed(docs)
+    qt = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [0, 1, 2])],
+    )
+    qvecs = np.stack(
+        [np.asarray(v, np.float64) for v in
+         hash_embed_batch(qt)["embedding"].to_pylist()]
+    )
+    return knn_cosine_bruteforce(emb, qvecs, k=5, id_col="doc_id")
+
+
+def _q_hll_registers(sf_dir: str) -> Any:
+    """The HLL fold itself, bit-exactly gated: nonzero (register,
+    max-rank) table for user_id at p=12. The oracle replays splitmix64
+    (32-bit-limb mulmod) and the leading-zero ladder in integer SQL, so
+    the sketch state — not just the estimate — is verified."""
+    from dcs_ray.functions.sketches import approx_distinct_hll
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id"])
+    _, regs = approx_distinct_hll(ev, "user_id", p=12)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {
+            "reg": pa.array(nz.astype(np.int64), pa.int64()),
+            "rank": pa.array(regs[nz].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _q_customers_without_orders(sf_dir: str) -> Any:
+    """Broadcast ANTI-join: customers who never placed a >400k order.
+    The filtered order custkeys (unique, small) broadcast once; the
+    customer table streams through a searchsorted existence probe —
+    no shuffle. The price predicate is pushed into the orders scan."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_semi_join
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    )
+    ds = broadcast_semi_join(cust, orders, on="c_custkey", right_on="o_custkey", anti=True)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table()
+    return pa.concat_tables(tables).sort_by("c_custkey")
+
+
+def _q_top_events_per_user(sf_dir: str) -> Any:
+    """Generic grouped top-n: each user's 3 highest-value events.
+    Per-batch per-key cut before the groupby bounds the exchange at
+    n rows per (batch, key)."""
+    from dcs_ray.functions.relational import grouped_topn
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+    ds = grouped_topn(ev, "user_id", "value", 3, tie_col="event_id")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("user_id", "ascending"), ("value", "descending"), ("event_id", "ascending")])
+
+
+def _q_windowed_top_users(sf_dir: str) -> Any:
+    """Continuous-top-k shape: per tumbling hour window, the top-2
+    users by summed value — tumbling_window_agg chained into
+    grouped_topn, both exchanges combiner-bounded."""
+    from dcs_ray.functions.relational import grouped_topn
+    from dcs_ray.functions.windows import tumbling_window_agg
+
+    agg = tumbling_window_agg(
+        read_parquet_sized(f"{sf_dir}/events.parquet"), width_s=3600
+    )
+    top = grouped_topn(agg, "window_start", "sum_value", 2, tie_col="user_id")
+    t = pa.concat_tables([pa.table(b) for b in top.iter_batches(batch_format="pyarrow")])
+    t = t.sort_by(
+        [("window_start", "ascending"), ("sum_value", "descending"), ("user_id", "ascending")]
+    )
+    return pa.table(
+        {
+            "window_start": t["window_start"].cast(pa.int64()),
+            "user_id": t["user_id"].cast(pa.int64()),
+            "sum_value": pa.array(np.round(t["sum_value"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_source_length_stats(sf_dir: str) -> Any:
+    """Per-source doc count + sum/min/max length in ONE combiner pass —
+    the descriptive-stats aggregate, exchange bounded by keys/batch."""
+    from dcs_ray.functions.relational import combiner_stats
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    ds = combiner_stats(docs, ["source"], "n_chars")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "source": t["source"],
+            "n_rows": t["n_rows"],
+            "sum_n_chars": t["sum_n_chars"].cast(pa.int64()),
+            "min_n_chars": t["min_n_chars"].cast(pa.int64()),
+            "max_n_chars": t["max_n_chars"].cast(pa.int64()),
+        }
+    ).sort_by("source")
+
+
+def _q_value_quantiles_hist(sf_dir: str) -> Any:
+    """Approximate quantiles of a continuous column via the mergeable
+    fixed-bin histogram sketch (constant-size exchange per batch);
+    deterministic arithmetic makes the oracle compare bit-exact."""
+    from dcs_ray.functions.quantiles import approx_quantiles_histogram
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles_histogram(ev, "value", [0.5, 0.9, 0.99], bins=4096)
+
+
+def _q_jaccard_verified(sf_dir: str) -> Any:
+    """MinHash+LSH candidates → exact shingle-Jaccard verify (bucketed
+    participant join, never full-corpus text in a shuffle)."""
+    from dcs_ray.functions.dedup import jaccard_verify_pairs, minhash_candidate_pairs
+
+    docs = _docs(sf_dir)
+    ds = jaccard_verify_pairs(docs, minhash_candidate_pairs(docs), threshold=0.5)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    if not tables or sum(len(t) for t in tables) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+    return pa.concat_tables(tables).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+def _q_fuzzy_dedup(sf_dir: str) -> Any:
+    """End-to-end fuzzy dedup: LSH candidates → Jaccard verify →
+    distributed connected components → keep min id per near-dup
+    cluster."""
+    from dcs_ray.functions.dedup import fuzzy_dedup_keep
+
+    ds = fuzzy_dedup_keep(_docs(sf_dir), threshold=0.5)
+    tables = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables).sort_by("doc_id")
+
+
+def _q_connected_components(sf_dir: str) -> Any:
+    """Distributed alternating-star connected components over a
+    deterministic edge set derived from events (block-local pseudo-
+    random functional graph: u=event_id, v=block_start+(13u+5)%20)."""
+    from dcs_ray.functions.graph import connected_components
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v = (e // 20) * 20 + (e * 13 + 5) % 20
+        return pa.table(
+            {"id_a": pa.array(e, pa.int64()), "id_b": pa.array(v, pa.int64())}
+        )
+
+    labels = connected_components(ev.map_batches(edges, batch_format="pyarrow"))
+    tables = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables).sort_by("node")
+
+
+def _q_dup_cluster_sizes(sf_dir: str) -> pa.Table:
+    """Dedup reporting: histogram of connected-component sizes over the
+    deterministic event-derived edge set — per-component counts via a
+    combiner groupby (component-sized), then a tiny value-count fold."""
+    from dcs_ray.functions.graph import connected_components
+    from dcs_ray.functions.relational import combiner_groupby
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v = (e // 20) * 20 + (e * 13 + 5) % 20
+        return pa.table(
+            {"id_a": pa.array(e, pa.int64()), "id_b": pa.array(v, pa.int64())}
+        )
+
+    labels = connected_components(ev.map_batches(edges, batch_format="pyarrow"))
+    sizes = combiner_groupby(
+        labels.map_batches(
+            lambda b: pa.table({"component": b["component"]}),
+            batch_format="pyarrow",
+        ),
+        ["component"],
+        [],
+        count_col="sz",
+    )
+    acc: dict[int, int] = {}
+    for b in sizes.iter_batches(batch_format="pyarrow"):
+        u, c = np.unique(
+            pa.table(b)["sz"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        for s, n in zip(u.tolist(), c.tolist()):
+            acc[s] = acc.get(s, 0) + n
+    ks = sorted(acc)
+    return pa.table(
+        {
+            "cluster_size": pa.array(ks, pa.int64()),
+            "n_clusters": pa.array([acc[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def _q_distinctive_terms(sf_dir: str) -> pa.Table:
+    """Per-language distinctive vocabulary (log-odds keyness): the NB
+    training counts reused — no extra corpus pass; top-5 per lang by
+    round-6 keyness, ties on term."""
+    from dcs_ray.functions.classify import distinctive_terms, train_naive_bayes
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return distinctive_terms(train_naive_bayes(docs), k=5)
+
+
+def _q_simhash(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.dedup import simhash_batch
+
+    return _docs(sf_dir).map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def _q_simhash_pairs(sf_dir: str) -> Any:
+    """Banded hamming≤3 SimHash near-dup pairs — exact via 4×16-bit-band
+    pigeonhole, never an all-pairs scan over the corpus."""
+    from dcs_ray.functions.dedup import simhash_near_dup_pairs
+
+    ds = simhash_near_dup_pairs(_docs(sf_dir), max_hamming=3, mode="exact")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {"id_a": t["id_a"], "id_b": t["id_b"], "hamming": t["min(hamming)"]}
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _q_langid(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import langid
+
+    return langid(_docs(sf_dir))
+
+
+def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    from dcs_ray.functions.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _q_image_features(sf_dir: str) -> Any:
+    """REAL decode path: a MIXED corpus of deterministic P6 PPM,
+    zlib-compressed PNG, baseline-JPEG (4:2:0 + restart markers), and
+    GIF89a (LZW, palette-quantized) images (same pixel recipes),
+    sniffed and decoded per row by the dependency-free parsers in an
+    actor pool, → per-channel stats + luma grid features (rows-only
+    gate; pytest pins values vs straight numpy and cross-codec
+    equality)."""
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        synthesize_gif_media,
+        synthesize_jpeg_media,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    ppm = synthesize_ppm_media(32)
+    png = synthesize_png_media(32)
+    png = png.set_column(
+        png.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 64), pa.int64()),
+    )
+    jpg = synthesize_jpeg_media(32)
+    jpg = jpg.set_column(
+        jpg.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 96), pa.int64()),
+    )
+    gif = synthesize_gif_media(32)
+    gif = gif.set_column(
+        gif.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(96, 128), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg, gif]))
+    ds = media.map_batches(
+        PpmImageFeatureExtractor, concurrency=2, batch_size=32,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("media_id")
+
+
+def _q_audio_features(sf_dir: str) -> Any:
+    """REAL decode path: a MIXED corpus of RIFF/WAVE PCM16 and FLAC
+    clips (same signal recipe; FLAC is lossless so features are
+    bit-identical across codecs — pinned by pytest) parsed by the
+    pure-numpy readers in one actor pool, windowed RMS features."""
+    from dcs_ray.functions.multimodal import (
+        WavAudioFeatureExtractor,
+        synthesize_flac_media,
+        synthesize_wav_media,
+    )
+
+    wav = synthesize_wav_media(64)
+    flc = synthesize_flac_media(32)
+    flc = flc.set_column(
+        flc.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 96), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([wav, flc]))
+    ds = media.map_batches(
+        WavAudioFeatureExtractor, concurrency=2, batch_size=32,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    t = t.sort_by("media_id")
+    # exploded (media_id, window, rms) — the decode is REAL (WAV and
+    # FLAC parsers), and the signal recipe is pure arithmetic, so the
+    # oracle replays synthesis → windowed RMS entirely in SQL
+    feat = t["feature"].combine_chunks()
+    parents = pc.list_parent_indices(feat).to_numpy(zero_copy_only=False)
+    flat = feat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ids = t["media_id"].to_numpy().astype(np.int64)
+    win = np.concatenate([np.arange(len(feat[i])) for i in range(len(t))])
+    return pa.table(
+        {
+            "media_id": pa.array(ids[parents], pa.int64()),
+            "window": pa.array(win.astype(np.int64), pa.int64()),
+            "rms": pa.array(np.round(flat, 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+def _q_video_frames(sf_dir: str) -> Any:
+    """REAL demux path over THREE video containers: concatenated-PPM
+    streams (frame headers parsed, zero-copy slices), animated GIFs
+    (LZW-decoded), and MJPEG AVIs (RIFF chunk index + per-frame JPEG
+    decode of only the sampled frames), in one actor pool; 4 frames
+    sampled evenly per stream, each emitted as a standalone PPM."""
+    from dcs_ray.functions.avi import synthesize_avi_video
+    from dcs_ray.functions.multimodal import (
+        PpmStreamFrameSampler,
+        synthesize_gif_video,
+        synthesize_ppm_video,
+    )
+
+    ppm_v = synthesize_ppm_video(32)
+    gif_v = synthesize_gif_video(16)
+    gif_v = gif_v.set_column(
+        gif_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 48), pa.int64()),
+    )
+    avi_v = synthesize_avi_video(16)
+    avi_v = avi_v.set_column(
+        avi_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(48, 64), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v, avi_v]))
+    ds = media.map_batches(
+        PpmStreamFrameSampler, fn_constructor_kwargs={"k": 4}, concurrency=2,
+        batch_size=16, batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
+def _q_decontaminate(sf_dir: str) -> Any:
+    """Benchmark decontamination: the n-gram hash set of a synthetic
+    "benchmark" slice (docs with doc_id % 97 == 0) is broadcast once via
+    ray.put; every corpus batch does a vectorized searchsorted membership
+    probe — no shuffle, no join."""
+    import ray as _ray
+
+    from dcs_ray.functions.filtering import benchmark_ngram_set, decontaminate
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench_docs = _docs(sf_dir).map_batches(is_bench, batch_format="pyarrow")
+    bench = benchmark_ngram_set(bench_docs, n=3)
+    ref = _ray.put(bench)
+    ds = decontaminate(_docs(sf_dir), ref, n=3)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_pii_scrub(sf_dir: str) -> Any:
+    """PII redaction over text with deterministically injected emails
+    and phone numbers (docs with doc_id % 7 == 0); Arrow RE2 kernels so
+    the DuckDB regexp oracle compares byte-for-byte."""
+    import pyarrow.compute as _pc
+
+    from dcs_ray.functions.filtering import pii_scrub
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        suffix = [
+            f" contact user{i}@example.com or +1 (20{i % 10}) 555-01{i % 89:02d}"
+            if i % 7 == 0
+            else ""
+            for i in ids
+        ]
+        text = _pc.binary_join_element_wise(b["text"], pa.array(suffix), "")
+        return b.set_column(b.schema.get_field_index("text"), "text", text)
+
+    ds = pii_scrub(_docs(sf_dir).map_batches(inject, batch_format="pyarrow"))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "text", "n_emails", "n_phones"]).sort_by("doc_id")
+
+
+def _q_repetition_stats(sf_dir: str) -> Any:
+    from dcs_ray.functions.filtering import repetition_stats
+
+    ds = repetition_stats(_docs(sf_dir))
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_cross_snapshot_dedup(sf_dir: str) -> Any:
+    """Cross-snapshot bloom dedup: a filter built over the "old"
+    snapshot (even doc_ids) is broadcast once; the "new" snapshot
+    streams through a vectorized probe keeping rows definitely not seen.
+    The filter is sized from the snapshot's row count (m ≥ 128·n bits,
+    floor 4 Mi) so the expected false-drop mass stays ≪ 1 row at EVERY
+    gated scale — at m=128n, k=7 the per-probe FP rate is
+    (1-e^{-7/128})^7 ≈ 1e-9, so the output equals the exact NOT-IN
+    oracle with overwhelming probability."""
+    import math
+
+    import ray as _ray
+
+    from dcs_ray.functions.sketches import bloom_anti_join, bloom_build
+
+    def is_old(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 2 == 0))
+
+    n = max(_docs(sf_dir).count(), 1)  # parquet metadata count — cheap
+    m_log2 = max(22, math.ceil(math.log2(n)) + 7)
+    old = _docs(sf_dir).map_batches(is_old, batch_format="pyarrow")
+    bloom = bloom_build(old, "text", m_log2=m_log2, k=7)
+    ref = _ray.put(bloom)
+    kept = bloom_anti_join(_docs(sf_dir), ref, "text", m_log2=m_log2, k=7)
+    t = pa.concat_tables(
+        [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
+def _q_hash_embed_vectors(sf_dir: str) -> Any:
+    """The hashing-trick embedding matrix itself, unnested to
+    (doc_id, dim, val) nonzero components — gates the full chain
+    (token hash -> signed bucket scatter -> L2 normalize -> float32
+    quantization) against an integer+float SQL replay."""
+    import numpy as np
+
+    from dcs_ray.functions.embed import hash_embed
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def unnest(b: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        n = len(b)
+        emb = b["embedding"].combine_chunks() if isinstance(b["embedding"], pa.ChunkedArray) else b["embedding"]
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(n, 1) if n else 0
+        vals = _np.round(flat.astype(_np.float64), 6)
+        ids = _np.repeat(b["doc_id"].to_numpy(), dim)
+        dims = _np.tile(_np.arange(dim, dtype=_np.int64), n)
+        keep = vals != 0.0
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "dim": pa.array(dims[keep], pa.int64()),
+                "val": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+    ds = hash_embed(docs).map_batches(unnest, batch_format="pyarrow")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("doc_id", "ascending"), ("dim", "ascending")])
+
+
+def _q_curate_web_corpus(sf_dir: str) -> Any:
+    """Flagship composition #3 — the CCNet/C4 web-text front half:
+    boilerplate removal → global paragraph dedup → short-doc filter on
+    the cleaned text → exact dedup keep-min; one end-to-end SQL chain
+    as the oracle."""
+    from dcs_ray.pipelines import curate_web_corpus
+
+    ds = curate_web_corpus(
+        read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ),
+        min_docs=3,
+        min_tokens=10,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("doc_id")
+
+
+def _q_curate_corpus(sf_dir: str) -> Any:
+    """Flagship curation composition: repetition/length filter -> exact
+    dedup -> benchmark decontamination -> training-mixture rebalance,
+    every stage the already-gated operator, one SQL oracle end to end."""
+    import ray as _ray
+
+    from dcs_ray.functions.filtering import benchmark_ngram_set
+    from dcs_ray.pipelines import curate_corpus
+
+    def is_bench(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 97 == 0))
+
+    bench = benchmark_ngram_set(
+        _docs(sf_dir).map_batches(is_bench, batch_format="pyarrow"), n=3
+    )
+    ds = curate_corpus(
+        _docs(sf_dir),
+        _ray.put(bench),
+        _CURATE_WEIGHTS,
+        _CURATE_TOTAL,
+        min_tokens=15,
+        max_dup_frac=0.6,
+        seed=11,
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_interval_join(sf_dir: str) -> Any:
+    """Windowed interval join: each purchase emits one row per view by
+    the same user within the 30 minutes before it (inclusive both
+    ends)."""
+    from dcs_ray.functions.joins import interval_join
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "event_type": b["event_type"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+
+    def only(kind):
+        return lambda b: b.filter(pa.compute.equal(b["event_type"], kind))
+
+    left = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    right = ev.map_batches(only("view"), batch_format="pyarrow")
+    out = interval_join(
+        left, right, on="user_id", ts_col="ts_us",
+        before_us=30 * 60 * 1_000_000, after_us=0,
+        right_cols=("event_id", "ts_us"),
+    )
+    t = pa.concat_tables([pa.table(b) for b in out.iter_batches(batch_format="pyarrow")])
+    return t.select(
+        ["event_id", "user_id", "ts_us", "event_id_right", "ts_us_right"]
+    ).sort_by([("event_id", "ascending"), ("event_id_right", "ascending")])
+
+
+def _q_chunk_documents(sf_dir: str) -> Any:
+    """Token-window chunking (16-token windows, stride 8) — the
+    context-window / RAG prep step, chunk text byte-comparable to the
+    SQL list-slice oracle."""
+    from dcs_ray.functions.textprep import chunk_documents
+
+    ds = chunk_documents(_docs(sf_dir), 16, 8)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+
+
+def _q_zscore_by_lang(sf_dir: str) -> Any:
+    """Per-language z-score of doc length — feature standardization
+    before cross-group thresholds; two broadcast passes, no shuffle."""
+    from dcs_ray.functions.relational import group_zscore
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = group_zscore(docs, "lang", "n_chars")
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_phrase_bm25(sf_dir: str) -> Any:
+    """Phrase-restricted ranking composition: exact-phrase candidates
+    from the positional trigram index, then BM25 over different rank
+    terms with the candidate set pushed into each shard task via the
+    doc_ids filter — no full-corpus ranking, no driver-side filtering."""
+    from dcs_ray.search import search_bm25, search_literal
+
+    tri = _index_dir(sf_dir, "trigram")
+    cand = search_literal(tri, [LITERAL], positional=True)
+    ids = sorted(set(cand["doc_id"].to_pylist()))
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["join batch value"], k=10, filters={"doc_ids": ids})
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )
+
+
+def _q_hll_set_algebra(sf_dir: str) -> pa.Table:
+    """HLL set algebra: approx distinct users who viewed, clicked,
+    either, and (by inclusion–exclusion) both — the register-max union
+    property exact distinct counts don't compose into."""
+    from dcs_ray.functions.sketches import hll_set_algebra
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_set_algebra(ev, "event_type", "user_id", "view", "click", p=8)
+
+
+def _q_distinct_users_by_type(sf_dir: str) -> Any:
+    """Grouped HLL: approx COUNT(DISTINCT user_id) per event_type —
+    one fixed 2^p-byte register row per (block, key), max-merged by one
+    small groupby; the APPROX_COUNT_DISTINCT ... GROUP BY shape."""
+    from dcs_ray.functions.sketches import grouped_approx_distinct_hll
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct_hll(ev, "event_type", "user_id", p=8)
+
+
+def _q_bm25_snippets(sf_dir: str) -> Any:
+    """Search-result presentation: BM25 top-10 with a 50-char context
+    snippet at the earliest query-term match, fetched with a pushed-down
+    doc_id filter (only the k result docs leave storage)."""
+    from dcs_ray.grep import first_match_snippets
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["spark merge join"], k=10)
+    ids = t["doc_id"].to_pylist()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", ids)],
+    ).sort_by("doc_id")
+    snip = first_match_snippets(docs["text"], ["spark", "merge", "join"])
+    by_id = dict(zip(docs["doc_id"].to_pylist(), snip.to_pylist()))
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+            "snippet": pa.array([by_id.get(i, "") for i in ids], pa.string()),
+        }
+    )
+
+
+def _q_running_totals(sf_dir: str) -> Any:
+    """Per-user window functions (row_number / running sum / lag) in
+    one bucketed pass — SUM OVER (PARTITION BY ... ORDER BY ...) shape."""
+    from dcs_ray.functions.windows import running_agg
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = (
+            b["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts_us, pa.int64()),
+                "event_id": b["event_id"],
+                "value": b["value"],
+            }
+        )
+
+    ds = running_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", order_col="ts_us", value_col="value", tie_col="event_id",
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    t = pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "row_number": t["row_number"],
+            "percent_rank": t["percent_rank"],
+            "ntile4": t["ntile4"],
+            "running_sum": t["running_sum"],
+            "lag_value": t["lag_value"],
+        }
+    )
+    return t.sort_by([("user_id", "ascending"), ("row_number", "ascending")])
+
+
+def _q_events_pivot(sf_dir: str) -> Any:
+    """Pivot: per-user count matrix over a fixed event_type list —
+    per-batch partial matrices, one combiner groupby."""
+    from dcs_ray.functions.relational import pivot_counts
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    ds = pivot_counts(ev, "user_id", "event_type", ["click", "view", "purchase"])
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return pa.table(
+        {
+            "user_id": t["user_id"].cast(pa.int64()),
+            "n_click": t["n_click"],
+            "n_view": t["n_view"],
+            "n_purchase": t["n_purchase"],
+        }
+    ).sort_by("user_id")
+
+
+def _q_text_near_dup_semantic(sf_dir: str) -> Any:
+    """Embed -> dedup composition: hashing-trick embeddings feed the
+    distributed block-pair exact near-dup (cos >= 0.9); the SQL oracle
+    replays the embedding chain and the pair join."""
+    from dcs_ray.functions.embed import hash_embed
+    from dcs_ray.functions.simsearch import near_dup_pairs_exact
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    emb = hash_embed(docs)
+    t = near_dup_pairs_exact(
+        emb, threshold=0.9, id_col="doc_id", emb_col="embedding", num_blocks=4
+    )
+    return pa.table(
+        {
+            "id_a": t["id_a"],
+            "id_b": t["id_b"],
+            "cos_sim": t["cos_sim"],
+        }
+    ).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def _q_lang_quantiles_hist(sf_dir: str) -> Any:
+    """Per-language approximate length quantiles via the grouped
+    mergeable histogram sketch — the unbounded-cardinality scale path
+    beside exact lang_quantiles; deterministic arithmetic, bit-exact
+    oracle."""
+    from dcs_ray.functions.quantiles import grouped_quantiles_histogram
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles_histogram(docs, "lang", "n_chars", [0.5, 0.9], bins=1024)
+
+
+def _q_train_val_test_split(sf_dir: str) -> Any:
+    """Deterministic 80/10/10 split by hash threshold ranges — same id,
+    same split, any cluster size."""
+    from dcs_ray.functions.sampling import split_dataset
+
+    ds = split_dataset(_docs(sf_dir), seed=17)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "split"]).sort_by("doc_id")
+
+
+def _q_bm25_page2(sf_dir: str) -> Any:
+    """Pagination (S8): page 2 of the ranking — top-20 minus top-10,
+    exact and deterministic."""
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(words, ["spark merge join"], k=20)
+    page = t.slice(10, 10)
+    return pa.table(
+        {
+            "rank": page["rank"].cast(pa.int64()),
+            "doc_id": page["doc_id"].cast(pa.int64()),
+            "score": page["score"],
+        }
+    )
+
+
+def _q_bm25_multi(sf_dir: str) -> Any:
+    """Batched query fan-out: three queries ranked in ONE Ray pipeline
+    (per-shard tasks score all queries against their shard)."""
+    from dcs_ray.search import search_bm25
+
+    words = _index_dir(sf_dir, "words")
+    t = search_bm25(
+        words, ["spark merge join", "customer window batch", "vector column agg"], k=5
+    )
+    return pa.table(
+        {
+            "query_id": t["query_id"].cast(pa.int64()),
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    ).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+def _q_doc_lm_score(sf_dir: str) -> Any:
+    """Self-trained bigram LM quality scores: counts trained in one
+    corpus pass (vocabulary-sized exchange), broadcast once via ray.put,
+    scored in a second vectorized pass."""
+    import ray as _ray
+
+    from dcs_ray.functions.lm import bigram_lm_scores, train_bigram_counts
+
+    counts = train_bigram_counts(_docs(sf_dir))
+    ref = _ray.put(counts)
+    ds = bigram_lm_scores(_docs(sf_dir), ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_ccnet_buckets(sf_dir: str) -> Any:
+    """CCNet head/middle/tail perplexity split (Wenzek '20): self-
+    trained bigram LM scores ranked per language, exact-thirds cut —
+    the canonical quality-tiering step of the CCNet pipeline, replayed
+    with the doc_lm_score CTE chain + a per-lang row_number."""
+    import ray as _ray
+
+    from dcs_ray.functions.lm import ccnet_perplexity_buckets, train_bigram_counts
+
+    counts = train_bigram_counts(_docs(sf_dir))
+    ref = _ray.put(counts)
+    ds = ccnet_perplexity_buckets(_docs(sf_dir), ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_tfidf_keywords(sf_dir: str) -> Any:
+    """Per-doc top-3 TF-IDF keywords: vocabulary-sized df broadcast +
+    fully vectorized per-batch tf/score/top-k (no shuffle; a doc's terms
+    never leave its batch)."""
+    from dcs_ray.functions.textstats import tfidf_keywords
+
+    ds = tfidf_keywords(_docs(sf_dir), k=3)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t
+
+
+def _q_related_terms(sf_dir: str) -> pa.Table:
+    """Query-expansion candidates for 'spark': top-20 terms by
+    document-level PMI (Church & Hanks '90) — the "related searches"
+    suggestion signal. One streaming pass; vocabulary-sized
+    (df, co_df) partials, co-counts conditioned on a batch-local
+    contains-query mask; df_q recovered from the fold itself."""
+    from dcs_ray.functions.textstats import cooccur_pmi
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return cooccur_pmi(ds, "spark", k=20, min_pair_df=2)
+
+
+def _q_autocomplete(sf_dir: str) -> pa.Table:
+    """Search-box autocompletion for the prefix 'st': top-10 corpus
+    terms by document frequency. Prefix filter pushed into the
+    per-batch partial so the exchange carries only matching terms."""
+    from dcs_ray.functions.textstats import complete_prefix
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return complete_prefix(ds, "st", k=10)
+
+
+def _q_autocomplete_suffix(sf_dir: str) -> pa.Table:
+    """Leading-wildcard completion '*er': top-10 corpus terms ending
+    with the pattern by df — the reversed-dictionary query; the
+    ends_with filter is pushed into each batch partial."""
+    from dcs_ray.functions.textstats import complete_suffix
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return complete_suffix(ds, "er", k=10)
+
+
+def _q_bm25_eval(sf_dir: str) -> pa.Table:
+    """Retrieval evaluation of the BM25 top-10 run: NDCG@10 + MRR
+    against the lexical relevance oracle (doc contains ALL query
+    terms). Labeling streams the corpus once, one partial row per
+    block; the ranked ids are broadcast; the oracle replays ranking,
+    labels, and both metrics in one statement."""
+    from dcs_ray.functions.evaluate import ranking_metrics
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10)
+    ranked = t["doc_id"].to_pylist()
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ranking_metrics(docs, ranked, BM25_QUERY.split(), k=10)
+
+
+def _q_bm25_pruned(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over the statically PRUNED serving tier (Carmel '01:
+    top-32 postings per term by tf desc, doc_id asc; idf/avgdl/doc_len
+    stay full-corpus). Exercises the whole prune job — shard-local
+    candidate cut, bucketed global selection, shard rewrite — plus the
+    unchanged search path over the pruned generation; the oracle
+    replays pruning with one window function and re-scores."""
+    from dcs_ray.index.prune import prune_index
+    from dcs_ray.search import search_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    out = idx + "_pruned32"
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        prune_index(idx, out, m=32)
+    t = search_bm25(out, [BM25_QUERY], k=10)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_tune(sf_dir: str) -> pa.Table:
+    """Distributed BM25 parameter sweep: six (k1, b) combos scored over
+    the resident shard tasks (per-worker score caches key on the
+    params), NDCG@10 + MRR vs the lexical relevance oracle with ONE
+    labeling pass over the union of all combos' top-10s."""
+    from dcs_ray.functions.evaluate import tune_bm25
+
+    idx = _index_dir(sf_dir, "words")
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tune_bm25(idx, docs, BM25_QUERY, _TUNE_GRID, k=10)
+
+
+def _q_more_like_this(sf_dir: str) -> pa.Table:
+    """Related documents for doc 42 (Lucene MoreLikeThis shape): its
+    top-5 tf·ln(N/df) terms — df from the index's global stats table,
+    no corpus pass — become a BM25 query; the source doc is excluded
+    and ranks renumbered."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.search import more_like_this
+
+    idx = _index_dir(sf_dir, "words")
+    target = pads.dataset(f"{sf_dir}/documents.parquet").to_table(
+        columns=["doc_id", "text"], filter=pads.field("doc_id") == 42
+    )
+    t = more_like_this(
+        idx, target["text"][0].as_py(), exclude_doc_id=42, n_terms=5, k=10
+    )
+    return t.set_column(
+        2, "score", pa.array(np.round(t["score"].to_numpy(), 6), pa.float64())
+    )
+
+
+def _q_stemmed_term_df(sf_dir: str) -> pa.Table:
+    """Stemmed-field dictionary: document frequencies over S-stemmed
+    terms (Harman '91 plural conflation) — the analyzer pass a stemmed
+    index field is built from. Stems computed once per batch token
+    dictionary; vocabulary-sized partials."""
+    from dcs_ray.functions.stem import stemmed_term_df
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return stemmed_term_df(ds)
+
+
+def _q_bpe_word_counts(sf_dir: str) -> Any:
+    """The corpus-sized half of BPE training: distributed word count
+    (per-batch dictionary-encode partials, vocabulary-sized fold)."""
+    from dcs_ray.functions.bpe import word_counts
+
+    words, n = word_counts(_docs(sf_dir))
+    return pa.table({"word": words, "n": pa.array(n, pa.int64())})
+
+
+def _q_bpe_merges(sf_dir: str) -> Any:
+    """Learned BPE merge table (Sennrich et al. 2016) — deterministic
+    (count desc, lexicographic pair tie-break), ORACLED by a generated
+    per-round CTE chain (see ``_bpe_merge_chain_ctes``) plus the
+    original from-scratch-recount pytest."""
+    from dcs_ray.functions.bpe import train_bpe_merges, word_counts
+
+    words, n = word_counts(_docs(sf_dir))
+    merges = train_bpe_merges(words, n, n_merges=_BPE_N_MERGES)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _q_bpe_subtoken_count(sf_dir: str) -> Any:
+    """Per-doc token count under the corpus-trained BPE vocab — the
+    actor-pool encode stage (merge table loaded once per actor, unique
+    words memoized). ORACLED end-to-end: training replayed by the
+    generated merge-round chain, encoding by a recursive-CTE min-rank
+    walk (see ``_bpe_subtoken_count_sql``)."""
+    from dcs_ray.functions.bpe import (
+        bpe_subtoken_counts,
+        train_bpe_merges,
+        word_counts,
+    )
+
+    words, n = word_counts(_docs(sf_dir))
+    merges = train_bpe_merges(words, n, n_merges=_BPE_N_MERGES)
+    ds = bpe_subtoken_counts(_docs(sf_dir), merges)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_dsir_weights(sf_dir: str) -> Any:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram count
+    tables for target (lang='en') and raw corpora broadcast once, one
+    vectorized scoring pass. Oracle replays with string bigrams — the
+    gate doubles as a hash-collision-freeness check (decontaminate
+    convention)."""
+    import ray as _ray
+
+    from dcs_ray.functions.dsir import bigram_counts, dsir_log_weights
+
+    docs = _docs(sf_dir)
+    target = _docs_en(sf_dir)
+    t_ref = _ray.put(bigram_counts(target))
+    r_ref = _ray.put(bigram_counts(docs))
+    ds = dsir_log_weights(docs, t_ref, r_ref, alpha=1.0)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.sort_by("doc_id")
+
+
+def _q_dsir_select(sf_dir: str) -> Any:
+    """End-to-end DSIR selection at keep_frac=0.25: distributed-quantile
+    cutoff + recompute-and-filter pass (no join, no corpus-sized driver
+    state)."""
+    from dcs_ray.functions.dsir import dsir_select
+
+    docs = _docs(sf_dir)
+    ds = dsir_select(docs, _docs_en(sf_dir), keep_frac=0.25)
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id"]).sort_by("doc_id")
+
+
+def _q_pagerank(sf_dir: str) -> Any:
+    """Distributed PageRank (5 power iterations, d=0.85) over a
+    deterministic directed functional graph on events — the computed
+    web-graph static prior (F7's ``prior`` column, derived instead of
+    given). Rank/out-degree vectors broadcast per iteration; edges
+    stream; the oracle replays all 5 iterations in chained SQL CTEs."""
+    from dcs_ray.functions.graph import pagerank
+
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy().astype(np.int64)
+        v1 = (e // 20) * 20 + (e * 13 + 5) % 20
+        m = e % 3 == 0
+        v2 = (e[m] // 20) * 20 + (e[m] * 7 + 3) % 20
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate([e, e[m]]), pa.int64()),
+                "id_b": pa.array(np.concatenate([v1, v2]), pa.int64()),
+            }
+        )
+
+    return pagerank(ev.map_batches(edges, batch_format="pyarrow"), n_iter=5)
+
+
+def _q_link_edges(sf_dir: str) -> pa.Table:
+    """Web link graph extracted from the pages html (<nav> anchors):
+    (src, dst, anchor) per link. The synthesis makes the graph a pure
+    function of documents, so the oracle replays it with list-indexing
+    CTEs — extraction correctness is checked edge-for-edge."""
+    edges = _link_edges_ds(sf_dir)
+    t = pa.concat_tables(
+        pa.table(b) for b in edges.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("src", "ascending"), ("dst", "ascending"), ("anchor", "ascending")]
+    )
+
+
+def _q_anchor_terms_topk(sf_dir: str) -> pa.Table:
+    """Anchor-text index field: terms of anchors pointing AT each doc,
+    counted with map-side combining, global top-100 by (anchor_tf desc,
+    doc_id, term). Per-block local top-100 before the driver merge —
+    the driver never sees more than 100 rows per block."""
+    from dcs_ray.functions.links import anchor_term_counts
+
+    counts = anchor_term_counts(_link_edges_ds(sf_dir))
+    order = [("anchor_tf", "descending"), ("doc_id", "ascending"), ("term", "ascending")]
+
+    def local_top(b: pa.Table) -> pa.Table:
+        return b.sort_by(order).slice(0, 100)
+
+    parts = [
+        pa.table(b)
+        for b in counts.map_batches(local_top, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+         "anchor_tf": pa.array([], pa.int64())}
+    )
+    return merged.sort_by(order).slice(0, 100)
+
+
+def _q_link_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the EXTRACTED web graph (not a synthetic functional
+    graph): the computed static prior a web index feeds into pre-ranking
+    (dcs F7/J6 role). 5 power iterations, d=0.85, replayed in chained
+    SQL CTEs over the same deterministic link synthesis."""
+    from dcs_ray.functions.links import link_pagerank
+
+    return link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+
+
+def _q_personalized_pagerank(sf_dir: str) -> pa.Table:
+    """Personalized (topic-sensitive) PageRank over the extracted web
+    graph: teleport mass restricted to a seed page set — Haveliwala's
+    '02 "related pages" signal, the query-dependent counterpart of the
+    static prior. Seeds = the 3 smallest source doc_ids, found with a
+    per-block distinct-min pass (driver sees ≤3 ids per block); the
+    oracle replays teleport, dangling redistribution, and all 5
+    iterations in chained CTEs."""
+    from dcs_ray.functions.links import link_pagerank
+
+    edges = _link_edges_ds(sf_dir).materialize()
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = np.unique(b["src"].to_numpy().astype(np.int64))[:3]
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(local_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    seeds = np.unique(np.concatenate(parts))[:3].tolist() if parts else []
+    return link_pagerank(edges, n_iter=5, damping=0.85, seeds=seeds)
+
+
+def _q_host_rank_mass(sf_dir: str) -> pa.Table:
+    """Site-level authority: per-page PageRank folded into per-host
+    rank mass (host = the page synthesis's ``source``.example.org).
+    The rank vector is broadcast once and probed with searchsorted;
+    docs stream; mass travels as exact integer micro-units so the fold
+    is order-independent; exchange is |hosts|-bounded."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.links import host_rank_mass, link_pagerank
+
+    ranks = link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "host", pc.binary_join_element_wise(b["source"], ".example.org", "")
+        ),
+        batch_format="pyarrow",
+    )
+    ds = host_rank_mass(ranks, docs)
+    t = pa.concat_tables(
+        pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")
+    )
+    return t.sort_by("host")
+
+
+def _q_cocitation_topk(sf_dir: str) -> pa.Table:
+    """Co-citation pairs (Small '73): pages linked TOGETHER by the same
+    source — the 'related pages' web-graph similarity. Bucketed
+    vectorized pair generation, combiner-folded counts, top-100."""
+    from dcs_ray.functions.links import cocitation_counts
+
+    return _pairs_top100(cocitation_counts(_link_edges_ds(sf_dir)))
+
+
+def _q_coupling_topk(sf_dir: str) -> pa.Table:
+    """Bibliographic coupling pairs (Kessler '63): pages linking to the
+    SAME target — similarity between citing pages."""
+    from dcs_ray.functions.links import coupling_counts
+
+    return _pairs_top100(coupling_counts(_link_edges_ds(sf_dir)))
+
+
+def _q_coupling_jaccard(sf_dir: str) -> pa.Table:
+    """Outlink-profile Jaccard similarity between citing pages, top-20
+    — bibliographic coupling normalized by degree so mega-hubs don't
+    dominate. One integer division per pair: bit-exact vs SQL."""
+    from dcs_ray.functions.links import coupling_jaccard_topk
+
+    return coupling_jaccard_topk(_link_edges_ds(sf_dir), k=20)
+
+
+def _q_link_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over the EXTRACTED web graph (Kleinberg
+    '99) — the query-independent companion to PageRank: authorities ≈
+    good link targets, hubs ≈ good link lists. 5 mutual-reinforcement
+    iterations, L1-normalized each half-step, replayed in chained SQL
+    CTEs over the same deterministic link synthesis."""
+    from dcs_ray.functions.links import link_hits
+
+    return link_hits(_link_edges_ds(sf_dir), n_iter=5)
+
+
+def _q_link_degree_stats(sf_dir: str) -> pa.Table:
+    """Per-doc in/out link-degree ranking features with LEFT-JOIN zeros
+    — the first-order static link signals next to PageRank. Degree
+    vectors are node-sized driver folds broadcast once; docs stream."""
+    from dcs_ray.functions.links import link_degree_stats
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = link_degree_stats(_link_edges_ds(sf_dir), docs)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("doc_id")
+
+
+def _q_link_triangles(sf_dir: str) -> pa.Table:
+    """Per-node triangle counts over the undirected web graph —
+    clustering-coefficient numerator / link-ring signal. Degree-ordered
+    wedge generation + bucketed closure join (Suri & Vassilvitskii
+    '11); the oracle is the canonical 3-way edge self-join."""
+    from dcs_ray.functions.graph import triangle_counts
+
+    ds = triangle_counts(_link_pair_edges(sf_dir))
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("node")
+
+
+def _q_host_link_graph(sf_dir: str) -> pa.Table:
+    """Site-level link graph: page edges rolled up to (src_host,
+    dst_host, n_links) through two hash-partitioned big⋈big joins
+    against the corpus doc→host mapping (never broadcast), then a
+    combiner count fold."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.links import host_link_graph
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(
+        lambda b: b.append_column(
+            "host", pc.binary_join_element_wise(b["source"], ".example.org", "")
+        ),
+        batch_format="pyarrow",
+    )
+    ds = host_link_graph(_link_edges_ds(sf_dir), docs)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by([("src_host", "ascending"), ("dst_host", "ascending")])
+
+
+def _q_link_reachability(sf_dir: str) -> pa.Table:
+    """Directed BFS reachability from the 3 smallest source pages:
+    (node, hops) for every page within 3 link hops — crawl-frontier
+    analysis. One streaming edge pass per hop with the visited set
+    broadcast; the oracle chains one frontier CTE per hop."""
+    from dcs_ray.functions.graph import bfs_hops
+
+    edges = _link_edges_ds(sf_dir).materialize()
+
+    def local_min(b: pa.Table) -> pa.Table:
+        u = np.unique(b["src"].to_numpy().astype(np.int64))[:3]
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    parts = [
+        b["node"].to_numpy(zero_copy_only=False)
+        for b in edges.map_batches(local_min, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    seeds = np.unique(np.concatenate(parts))[:3].tolist() if parts else []
+    return bfs_hops(edges, seeds, max_hops=3, src="src", dst="dst")
+
+
+def _q_link_communities(sf_dir: str) -> pa.Table:
+    """Label-propagation communities (Raghavan '07, deterministic
+    min-tie variant) on the undirected web graph after 5 synchronous
+    rounds — every round replayed in the oracle as a chained
+    count/argmax CTE pair."""
+    from dcs_ray.functions.graph import label_propagation
+
+    ds = label_propagation(_link_pair_edges(sf_dir), n_iter=5)
+    t = pa.concat_tables(pa.table(b) for b in ds.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("node")
+
+
+def _q_link_clustering(sf_dir: str) -> pa.Table:
+    """Local clustering coefficients over the undirected web graph:
+    2·T(v)/(deg·(deg−1)) — the per-node cohesion feature on top of the
+    triangle pipeline; integer-input division replays bit-exactly."""
+    from dcs_ray.functions.graph import clustering_coefficients
+
+    return clustering_coefficients(_link_pair_edges(sf_dir)).sort_by("node")
+
+
+def _q_search_prf(sf_dir: str) -> pa.Table:
+    """Pseudo-relevance-feedback BM25 (Rocchio shape): top-10 for the
+    base query become the pseudo-relevant set, their 3 strongest
+    tf·ln(N/df) non-query terms expand the query, second pass re-ranks.
+    Both passes are the per-shard fan-out; only the 10 relevant docs
+    leave storage in between."""
+    from dcs_ray.search import search_prf
+
+    return search_prf(
+        _index_dir(sf_dir, "words"),
+        BM25_QUERY,
+        f"{sf_dir}/documents.parquet",
+        n_docs=10,
+        n_terms=3,
+        k=10,
+    )
+
+
+def _q_search_corrected(sf_dir: str) -> pa.Table:
+    """Spell-corrected search: 'spork merje join' — the two
+    out-of-vocab terms correct to their best distance-1 suggestion
+    (df desc, term asc), 'join' passes through, then the normal BM25
+    fan-out ranks the corrected query."""
+    from dcs_ray.search import search_corrected
+
+    return search_corrected(_index_dir(sf_dir, "words"), "spork merje join", k=10)
+
+
+def _q_search_rrf(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion (Cormack et al. '09, K=60) of three
+    independently-distributed rankings: body BM25 top-20, anchor-field
+    BM25 top-20 (the anchor pseudo-doc index searched standalone), and
+    the PageRank static order top-20. Each subsystem is the existing
+    gated distributed pipeline; fusion touches only 3·k rows on the
+    driver. rrf = Σ 1/(60 + rank_sys), summed in the fixed (body,
+    anchor, pagerank) order so the doubles match the SQL replay."""
+    from dcs_ray.functions.links import link_pagerank
+    from dcs_ray.search import search_bm25
+
+    k = 20
+    body = search_bm25(_index_dir(sf_dir, "words"), [BM25_QUERY], k=k)
+    anchor = search_bm25(_anchor_index_dir(sf_dir), [BM25_QUERY], k=k)
+    pr = link_pagerank(_link_edges_ds(sf_dir), n_iter=5, damping=0.85)
+    pr_order = pr.sort_by([("rank", "descending"), ("node", "ascending")]).slice(0, k)
+
+    ranks: dict[int, list[int]] = {}
+    for i, t in enumerate(
+        (
+            body.column("doc_id").to_pylist(),
+            anchor.column("doc_id").to_pylist(),
+            pr_order.column("node").to_pylist(),
+        )
+    ):
+        for r, d in enumerate(t, start=1):
+            ranks.setdefault(int(d), [0, 0, 0])[i] = r
+    ids = sorted(ranks)
+    rrf = np.zeros(len(ids), np.float64)
+    for j, d in enumerate(ids):
+        b, a, p = ranks[d]
+        s = np.float64(0.0)
+        for r in (b, a, p):  # fixed fold order = the SQL coalesce sum
+            s = s + (np.float64(1.0) / np.float64(60 + r) if r else np.float64(0.0))
+        rrf[j] = s
+    order = np.lexsort((np.asarray(ids, np.int64), -rrf))[:10]
+    out_ids = np.asarray(ids, np.int64)[order]
+    out_rrf = np.round(rrf[order], 6)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "rrf_score": pa.array(out_rrf, pa.float64()),
+        }
+    )
+
+
+def _q_bm25_pagerank(sf_dir: str) -> pa.Table:
+    """BM25 × computed PageRank prior: the derived version of
+    bm25_prior's given column — the complete web-ranking signal chain
+    gated end to end (link synthesis → pagerank → prior → ranking)."""
+    from dcs_ray.search import search_bm25
+
+    t = search_bm25(_pagerank_index_dir(sf_dir), [BM25_QUERY], k=10, prior_col="prior")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_anchor(sf_dir: str) -> pa.Table:
+    """Two-field web ranking: body BM25 + 0.5 × anchor-field BM25
+    (each field its own df/dl/avgdl — BM25F-lite). Anchor-only docs
+    rank too; the oracle replays both fields and FULL OUTER JOINs."""
+    from dcs_ray.search import search_bm25_fielded
+
+    t = search_bm25_fielded(
+        _index_dir(sf_dir, "words"),
+        _anchor_index_dir(sf_dir),
+        [BM25_QUERY],
+        k=10,
+        anchor_weight=0.5,
+    )
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_crawl_delta(sf_dir: str) -> pa.Table:
+    """Cross-crawl CDX-style delta: per-url added/removed/changed/
+    unchanged counts between two deterministic snapshots; content never
+    crosses an exchange (per-batch 64-bit content hashes)."""
+    from dcs_ray.functions.crawl import crawl_delta
+
+    return crawl_delta(
+        _crawl_snapshot(sf_dir, "old"), _crawl_snapshot(sf_dir, "new")
+    )
+
+
+def _q_spell_suggest(sf_dir: str) -> pa.Table:
+    """SymSpell deletion-key spelling suggestion over the index's own
+    df table (vocab streamed as a Dataset; probe keys broadcast): top-5
+    corrections per misspelled word by (df desc, term)."""
+    from dcs_ray.functions.spell import suggest
+
+    idx = _index_dir(sf_dir, "words")
+    vocab = ray.data.read_parquet(os.path.join(idx, "stats", "df.parquet"))
+    return suggest(vocab, ["merje", "spork"], k=5)
+
+
+def _q_search_facets(sf_dir: str) -> pa.Table:
+    """Facet counts for the query's candidate set (docs matching ≥1
+    term), top-10 sources by matching-doc count — dcs-web's grouped
+    per-package result view as a distributed count aggregate."""
+    from dcs_ray.search import search_facets
+
+    t = search_facets(
+        _index_dir(sf_dir, "words"), [BM25_QUERY], facet_col="source", k_facets=10
+    )
+    return pa.table({"facet": t["facet"], "n_docs": t["n_docs"]})
+
+
+def _q_rebalance_mixture(sf_dir: str) -> Any:
+    """Deterministic training-mixture rebalance over lang: exact
+    integer-arithmetic per-group hash thresholds, fr weighted 0."""
+    from dcs_ray.functions.sampling import rebalance_to_weights
+
+    ds = rebalance_to_weights(
+        _docs(sf_dir), "lang", _MIX_WEIGHTS, _MIX_TOTAL, seed=5
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    return t.select(["doc_id", "lang"]).sort_by("doc_id")
+
+
+def _q_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-style forecast revenue change: discounted revenue that
+    would be recovered by dropping 1996 discounts of 5-7% on small
+    (<24 qty) lineitems. Pure filter + map + one scalar sum — the
+    shipdate predicate is pushed into the parquet scan, the
+    discount/quantity predicates are applied on exact integer units
+    inside the batch kernel, and the only driver traffic is one int64
+    per block (`Dataset.sum`)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        p = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        d = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        mask = (d >= 5) & (d <= 7) & (q < 2400)
+        return pa.table({"disc1e4": pa.array(p[mask] * d[mask], pa.int64())})
+
+    total = li.map_batches(kernel, batch_format="pyarrow").sum("disc1e4") or 0
+    return pa.table(
+        {
+            "disc_rev1e4": pa.array([total], pa.int64()),
+            "revenue": pa.array([round(total / 10000.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_order_priority_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-shape order-priority check: orders placed in 1996Q2
+    that had at least one returned lineitem, counted per priority.
+    The EXISTS is a distributed semi-join: lineitem collapses to
+    distinct returned orderkeys via the map-side combiner (the
+    exchange carries keys, never lineitems), one hash-partitioned
+    join against the date-filtered orders, then a combiner count per
+    priority (5 rows to the driver)."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import combiner_groupby, shuffle_join
+
+    lo = datetime.datetime(1996, 4, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+    returned = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    distinct_keys = combiner_groupby(returned, ["l_orderkey"], [])
+    j = shuffle_join(orders, distinct_keys, on="o_orderkey", right_on="l_orderkey")
+    counts = combiner_groupby(j, ["o_orderpriority"], [], count_col="order_count")
+    t = pa.concat_tables(
+        [pa.table(b) for b in counts.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["o_orderpriority", "order_count"]).sort_by("o_orderpriority")
+
+
+def _q_customer_order_histogram(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-shape customer order-count distribution, including
+    the zero bucket (customers with no orders — the LEFT OUTER JOIN
+    role). Two combiner groupbys: orders → per-customer counts
+    (customer-sized exchange), counts → histogram (≤ max-count rows).
+    The zero bucket is arithmetic on two block-metadata counts, not a
+    join: |customer| − |customers with ≥1 order|."""
+    import pyarrow.compute as pc
+
+    from dcs_ray.functions.relational import combiner_groupby
+
+    orders = read_parquet_sized(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = combiner_groupby(orders, ["o_custkey"], [], count_col="c_count")
+    hist = combiner_groupby(per_cust, ["c_count"], [], count_col="custdist")
+    t = pa.concat_tables(
+        [pa.table(b) for b in hist.iter_batches(batch_format="pyarrow")]
+    )
+    n_customers = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_with = int(pc.sum(t["custdist"]).as_py() or 0)
+    if n_customers - n_with > 0:
+        zero = pa.table(
+            {
+                "c_count": pa.array([0], t["c_count"].type),
+                "custdist": pa.array([n_customers - n_with], pa.int64()),
+            }
+        )
+        t = pa.concat_tables([t.select(["c_count", "custdist"]), zero])
+    else:
+        t = t.select(["c_count", "custdist"])
+    return t.sort_by([("custdist", "descending"), ("c_count", "descending")])
+
+
+def _q_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-style top supplier: per-supplier 1996Q1 revenue via
+    the map-side combiner (supplier-sized exchange), the global max as
+    one `Dataset.max` scalar, equality filter, then a broadcast join
+    for the supplier name. Returns every supplier tied at the max."""
+    import datetime
+
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_join, combiner_groupby
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    rev = li.map_batches(
+        lambda b: _li_rev1e4(b, {"l_suppkey": b["l_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    per_supp = combiner_groupby(rev, ["l_suppkey"], ["rev1e4"]).materialize()
+    best = per_supp.max("rev1e4")
+    top = per_supp.filter(expr=f"rev1e4 == {int(best)}")
+    named = broadcast_join(
+        top,
+        read_parquet_sized(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        small_cols=("s_name",),
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in named.iter_batches(batch_format="pyarrow")]
+    )
+    return pa.table(
+        {
+            "s_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "s_name": t["s_name"],
+            "total_revenue": pa.array(
+                np.round(t["rev1e4"].to_numpy() / 10000.0, 6), pa.float64()
+            ),
+        }
+    ).sort_by("s_suppkey")
+
+
+def _q_small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-shape small-quantity revenue: yearly revenue from
+    Brand#23 lineitems whose quantity is below 20% of that part's
+    average. The correlated AVG subquery becomes: broadcast the (tiny,
+    one-brand) part-key set to semi-filter lineitem, fold per-part
+    (sum qty, count) with the combiner, and compare on exact integers
+    — ``5·q·cnt < Σq`` ⇔ ``q < 0.2·avg`` — so no float average ever
+    exists to disagree with the oracle. The semi-filtered lineitem is
+    materialized once and consumed by both passes."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_semi_join, combiner_groupby
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=pads.field("p_brand") == "Brand#23",
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_int_units(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "q1e2": pa.array(
+                    np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+                ),
+                "p1e2": pa.array(
+                    np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    semij = broadcast_semi_join(
+        li.map_batches(to_int_units, batch_format="pyarrow"),
+        parts,
+        on="l_partkey",
+        right_on="p_partkey",
+    ).materialize()
+    stats = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in combiner_groupby(semij, ["l_partkey"], ["q1e2"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    pk = stats["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    sum_q = stats["q1e2"].to_numpy().astype(np.int64)[order]
+    cnt = stats["n_rows"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((pk_sorted, sum_q, cnt))
+
+    def below_avg(b: pa.Table) -> pa.Table:
+        ks, sq, ct = ray.get(ref)
+        k = b["l_partkey"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(ks, k)
+        idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+        q = b["q1e2"].to_numpy().astype(np.int64)
+        mask = (len(ks) > 0) & (ks[idx] == k) & (5 * q * ct[idx] < sq[idx])
+        return pa.table({"p1e2": b["p1e2"].filter(pa.array(mask))})
+
+    total = semij.map_batches(below_avg, batch_format="pyarrow").sum("p1e2") or 0
+    return pa.table(
+        {
+            "sum_p1e2": pa.array([int(total)], pa.int64()),
+            "avg_yearly": pa.array([round(total / 700.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-shape disjunctive-predicate revenue: three OR-ed
+    (brand, size-range, quantity-range) arms over lineitem ⋈ part.
+    part is filtered to the three brands at the scan and broadcast
+    once (`ray.put`); the disjunction is evaluated as three vectorized
+    masks per batch; one int64 per block reaches the driver."""
+    import pyarrow.dataset as pads
+
+    from dcs_ray.functions.relational import broadcast_join
+
+    arms = [
+        ("Brand#12", 1, 15, 100, 1100),
+        ("Brand#23", 1, 25, 1000, 2000),
+        ("Brand#3", 1, 35, 2000, 3000),
+    ]
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=pads.field("p_brand").isin([a[0] for a in arms]),
+    )
+    li = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    j = broadcast_join(
+        li, parts, on="l_partkey", right_on="p_partkey",
+        small_cols=("p_brand", "p_size"),
+    )
+
+    def kernel(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        mask = np.zeros(len(b), bool)
+        for br, s_lo, s_hi, q_lo, q_hi in arms:
+            mask |= (brand == br) & (size >= s_lo) & (size <= s_hi) & (
+                q >= q_lo
+            ) & (q <= q_hi)
+        return _li_rev1e4(b.filter(pa.array(mask)))
+
+    total = j.map_batches(kernel, batch_format="pyarrow").sum("rev1e4") or 0
+    return pa.table(
+        {
+            "rev1e4": pa.array([int(total)], pa.int64()),
+            "revenue": pa.array([round(total / 10000.0, 6)], pa.float64()),
+        }
+    )
+
+
+def _q_host_cap_sample(sf_dir: str) -> pa.Table:
+    """Domain-diversity cap: keep at most 3 docs per source (the
+    anti-domination step every web-corpus curation pipeline runs so
+    one crawl-heavy host cannot dominate the training mix). Longest
+    docs win, doc_id breaks ties. `grouped_topn` cuts each batch to
+    its local per-key top-3 before the groupby, so the exchange
+    carries ≤ 3 rows per (batch, host), never the corpus."""
+    from dcs_ray.functions.relational import grouped_topn
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    top = grouped_topn(docs, key="source", order_col="n_chars", n=3, tie_col="doc_id")
+    t = pa.concat_tables(
+        [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")]
+    )
+    return t.select(["doc_id", "source", "n_chars"]).sort_by("doc_id")
+

@@ -87,12 +87,20 @@ def test_queries_keys_unique_at_ast_level():
 
 
 def test_oracle_keys_unique_and_subset():
-    okeys = _dict_string_keys(E.oracle_sql)
-    dups = sorted({k for k in okeys if okeys.count(k) > 1})
-    assert not dups, f"duplicate oracle_sql() keys: {dups}"
+    # oracle_sql() merges per-module part dicts (entry/oracle.py) —
+    # walk each part's dict literal for duplicates, then check the
+    # merge saw no cross-part overlap (oracle_sql raises on overlap,
+    # so a clean call already proves it) and key coverage.
+    okeys = []
+    for part in E.ORACLE_PARTS:
+        pk = _dict_string_keys(part)
+        dups = sorted({k for k in pk if pk.count(k) > 1})
+        assert not dups, f"duplicate keys in {part.__name__}: {dups}"
+        okeys.extend(pk)
+    o = E.oracle_sql()
+    assert set(o) <= set(okeys), sorted(set(o) - set(okeys))[:5]
     q = set(E.queries())
-    o = set(E.oracle_sql())
-    assert o <= q, f"oracles without a matching query: {sorted(o - q)}"
+    assert set(o) <= q, f"oracles without a matching query: {sorted(set(o) - q)}"
 
 
 def test_registry_sizes_do_not_shrink():
