@@ -699,6 +699,38 @@ def cmd_warc(args) -> None:
                       "n_terms": manifest["stats"]["n_terms"]}))
 
 
+def cmd_serve(args) -> None:
+    """Start the HTTP front door (/v1/search, /v1/searchperpackage,
+    /metrics) over a resident shard-actor pool; blocks until SIGINT."""
+    from dcs_ray.http_api import serve
+
+    api = serve(
+        args.index,
+        secret=args.secret,
+        host=args.host,
+        port=args.port,
+        num_cpus=args.num_cpus,
+        trigram_index_dir=args.trigram_index,
+        docs_path=args.docs,
+    )
+    print(json.dumps({"host": api.host, "port": api.port}), flush=True)
+    try:
+        import signal
+
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        api.shutdown()
+        api.svc.shutdown()
+
+
+def cmd_apikey(args) -> None:
+    from dcs_ray.http_api import make_api_key
+
+    print(make_api_key(args.subject, args.secret))
+
+
 def cmd_tally(args) -> None:
     """Emit TALLY.json: query/oracle/test counts straight from the
     artifacts (BASELINE.md references this file instead of
@@ -959,6 +991,23 @@ def main() -> None:
     d.add_argument("--service", action="store_true",
                    help="serve from a resident per-shard actor pool")
     d.set_defaults(fn=cmd_replay)
+
+    d = sub.add_parser("serve", help="HTTP front door over the resident service")
+    d.add_argument("index")
+    d.add_argument("--secret", required=True, help="API-key signing secret")
+    d.add_argument("--host", default="127.0.0.1")
+    d.add_argument("--port", type=int, default=0)
+    d.add_argument("--num-cpus", type=float, default=1.0)
+    d.add_argument("--trigram-index", default=None,
+                   help="trigram index dir for literal/regex match modes")
+    d.add_argument("--docs", default=None,
+                   help="documents parquet for regex verify")
+    d.set_defaults(fn=cmd_serve)
+
+    d = sub.add_parser("apikey", help="mint a signed API key")
+    d.add_argument("--secret", required=True)
+    d.add_argument("--subject", required=True)
+    d.set_defaults(fn=cmd_apikey)
 
     d = sub.add_parser("tally", help="write TALLY.json (query/oracle/test counts)")
     d.add_argument("--repo", default=".")

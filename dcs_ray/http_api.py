@@ -1,0 +1,308 @@
+"""HTTP front door for the resident search service.
+
+The reference serves REST ``/v1/search`` + ``/v1/searchperpackage``
+with API-key auth (``cmd/dcs-web/api.go:213-332``) where the key is an
+HMAC-signed token carrying an opaque subject
+(``internal/apikeys/apikeys.go:74-80`` — securecookie = HMAC over a
+JSON ``{"s": subject, "c": created}``).  This module reproduces that
+surface with the stdlib only:
+
+* :func:`make_api_key` / :func:`decode_api_key` — base64url JSON
+  payload + HMAC-SHA256 signature, constant-time verified.
+* :class:`ApiServer` — a ``ThreadingHTTPServer`` bound to a
+  :class:`~dcs_ray.service.SearchService` (the warm per-shard actor
+  pool), so every request rides the resident path + finished-query
+  cache.  ``match_mode=literal`` / ``regex`` route to the Dataset-path
+  verifiers the same way dcs's ``literal=1`` flag flips the regexp
+  engine.
+* ``/metrics`` — Prometheus text-format counters (``varz/varz.go``
+  analogue): per-shard queries/busy seconds, cache hits/misses,
+  in-flight + served request counts.
+
+Endpoints (all GET):
+  /v1/search?query=Q[&k=N][&match_mode=term|literal|regex]
+  /v1/searchperpackage?query=Q[&per_group=N][&k=N]
+  /metrics              (no auth — operational, like dcs's /varz)
+
+Auth: ``x-dcs-apikey`` header (dcs's header name) or ``apikey=`` query
+parameter; 403 on missing/invalid, mirroring api.go:233-237.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pyarrow as pa
+
+# --------------------------------------------------------------------------
+# API keys — HMAC-signed subject tokens (apikeys.go:74-80 shape)
+# --------------------------------------------------------------------------
+
+
+def make_api_key(subject: str, secret: bytes | str, created: int | None = None) -> str:
+    """Signed token ``b64(payload).b64(hmac_sha256(secret, payload))``
+    where payload is the dcs Key JSON ``{"s": subject, "c": ts}``."""
+    if isinstance(secret, str):
+        secret = secret.encode()
+    payload = json.dumps(
+        {"s": subject, "c": int(created if created is not None else time.time())},
+        separators=(",", ":"),
+    ).encode()
+    sig = hmac.new(secret, payload, hashlib.sha256).digest()
+    return (
+        base64.urlsafe_b64encode(payload).decode().rstrip("=")
+        + "."
+        + base64.urlsafe_b64encode(sig).decode().rstrip("=")
+    )
+
+
+def _b64pad(s: str) -> bytes:
+    return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+
+def decode_api_key(token: str, secret: bytes | str) -> dict | None:
+    """Verified payload dict, or None (invalid shape / bad signature)."""
+    if isinstance(secret, str):
+        secret = secret.encode()
+    try:
+        p64, s64 = token.split(".", 1)
+        payload, sig = _b64pad(p64), _b64pad(s64)
+    except Exception:
+        return None
+    want = hmac.new(secret, payload, hashlib.sha256).digest()
+    if not hmac.compare_digest(sig, want):
+        return None
+    try:
+        k = json.loads(payload)
+    except Exception:
+        return None
+    return k if isinstance(k, dict) and "s" in k else None
+
+
+# --------------------------------------------------------------------------
+# server
+# --------------------------------------------------------------------------
+
+
+def _rows(t: pa.Table) -> list[dict]:
+    return t.to_pylist()
+
+
+class ApiServer:
+    """Serve a :class:`SearchService` over HTTP in a daemon thread.
+
+    The server lives in the driver process (the SearchService holds
+    actor handles, which belong to the driver); requests fan out to the
+    warm shard actors exactly like a direct ``svc.search`` call, so the
+    HTTP path returns rows identical to :func:`search_bm25` — asserted
+    end-to-end in ``tests/test_http_api.py``.
+    """
+
+    def __init__(
+        self,
+        svc,
+        secret: bytes | str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        phrase_index_dir: str | None = None,
+        trigram_index_dir: str | None = None,
+        docs_path: str | None = None,
+    ):
+        self.svc = svc
+        self.secret = secret
+        self.phrase_index_dir = phrase_index_dir
+        self.trigram_index_dir = trigram_index_dir
+        self.docs_path = docs_path
+        self.counters = {
+            "requests_total": 0,
+            "queries_successful": 0,
+            "queries_errored": 0,
+            "queries_forbidden": 0,
+            "inflight": 0,
+        }
+        self._lock = threading.Lock()
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # silence per-request stderr logging
+            def log_message(self, fmt, *args):  # noqa: D102
+                pass
+
+            def do_GET(self):
+                api._handle(self)
+
+            def do_OPTIONS(self):
+                # CORS preflight, allowed like api.go:221-231
+                self.send_response(204)
+                self.send_header("Allow", "OPTIONS, GET")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header(
+                    "Access-Control-Allow-Headers", "x-dcs-apikey, Content-Type"
+                )
+                self.end_headers()
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "ApiServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "ApiServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+    # -- request handling --------------------------------------------------
+    def _bump(self, key: str, d: int = 1) -> None:
+        with self._lock:
+            self.counters[key] += d
+
+    def _handle(self, h: BaseHTTPRequestHandler) -> None:
+        self._bump("requests_total")
+        u = urlparse(h.path)
+        qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+        if u.path == "/metrics":
+            return self._metrics(h)
+        if u.path not in ("/v1/search", "/v1/searchperpackage"):
+            return self._err(h, 404, "not found")
+        token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
+        key = decode_api_key(token, self.secret)
+        if key is None:
+            self._bump("queries_forbidden")
+            return self._err(h, 403, "invalid x-dcs-apikey header")
+        query = qs.get("query") or qs.get("q") or ""
+        if not query:
+            self._bump("queries_errored")
+            return self._err(h, 400, "no query parameter specified")
+        self._bump("inflight")
+        t0 = time.monotonic()
+        try:
+            if u.path == "/v1/search":
+                body = self._search(query, qs)
+            else:
+                body = self._search_per_package(query, qs)
+        except Exception as e:  # surface as 500 like httpErrorWrapper
+            self._bump("queries_errored")
+            return self._err(h, 500, f"{type(e).__name__}: {e}")
+        finally:
+            self._bump("inflight", -1)
+        self._bump("queries_successful")
+        body["latency_ms"] = round((time.monotonic() - t0) * 1e3, 3)
+        body["subject"] = key["s"]
+        data = json.dumps(body).encode()
+        h.send_response(200)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Access-Control-Allow-Origin", "*")
+        h.send_header("Content-Length", str(len(data)))
+        h.end_headers()
+        h.wfile.write(data)
+
+    def _err(self, h: BaseHTTPRequestHandler, code: int, msg: str) -> None:
+        data = (msg + "\n").encode()
+        h.send_response(code)
+        h.send_header("Content-Type", "text/plain")
+        h.send_header("Content-Length", str(len(data)))
+        h.end_headers()
+        h.wfile.write(data)
+
+    def _search(self, query: str, qs: dict) -> dict:
+        k = int(qs.get("k", "10"))
+        mode = qs.get("match_mode", "term")
+        if mode in ("term", "grammar"):
+            t = self.svc.query(query, k=k, phrase_index_dir=self.phrase_index_dir)
+        elif mode == "literal" and self.trigram_index_dir:
+            from dcs_ray.search import search_literal
+
+            t = search_literal(self.trigram_index_dir, [query])
+        elif mode in ("regex", "regexp") and self.trigram_index_dir and self.docs_path:
+            from dcs_ray.grep import search_regex_fused
+
+            ds = search_regex_fused(self.trigram_index_dir, self.docs_path, query)
+            t = pa.concat_tables(
+                [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+            )
+        elif mode in ("literal", "regex", "regexp"):
+            raise ValueError(
+                f"match_mode={mode!r} needs the server started with a "
+                "trigram_index_dir (and docs_path for regex)"
+            )
+        else:
+            raise ValueError(f"unknown match_mode {mode!r}")
+        return {"query": query, "match_mode": mode, "results": _rows(t)}
+
+    def _search_per_package(self, query: str, qs: dict) -> dict:
+        from dcs_ray.search import search_bm25_grouped
+
+        k = int(qs.get("k", "10"))
+        per_group = int(qs.get("per_group", "2"))
+        t = search_bm25_grouped(
+            self.svc.index_dir, [query], group_col="source",
+            per_group=per_group, k=k,
+        )
+        groups: dict[str, list] = {}
+        for r in t.to_pylist():
+            groups.setdefault(str(r.get("group")), []).append(r)
+        return {
+            "query": query,
+            "packages": [
+                {"package": g, "results": rs} for g, rs in sorted(groups.items())
+            ],
+        }
+
+    def _metrics(self, h: BaseHTTPRequestHandler) -> None:
+        lines = []
+        with self._lock:
+            for k, v in self.counters.items():
+                lines.append(f"dcsray_http_{k} {v}")
+        ci = self.svc.cache_info()
+        lines.append(f"dcsray_result_cache_hits {ci['hits']}")
+        lines.append(f"dcsray_result_cache_misses {ci['misses']}")
+        lines.append(f"dcsray_result_cache_entries {ci['entries']}")
+        for r in self.svc.metrics().to_pylist():
+            lbl = '{shard="%s"}' % r["shard"]
+            lines.append(f"dcsray_shard_queries_total{lbl} {r['n_queries']}")
+            lines.append(f"dcsray_shard_busy_seconds{lbl} {r['busy_s']:.6f}")
+        data = ("\n".join(lines) + "\n").encode()
+        h.send_response(200)
+        h.send_header("Content-Type", "text/plain; version=0.0.4")
+        h.send_header("Content-Length", str(len(data)))
+        h.end_headers()
+        h.wfile.write(data)
+
+
+def serve(
+    index_dir: str,
+    secret: bytes | str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    num_cpus: float = 1.0,
+    phrase_index_dir: str | None = None,
+    trigram_index_dir: str | None = None,
+    docs_path: str | None = None,
+) -> ApiServer:
+    """Build the resident pool and start the HTTP front door."""
+    from dcs_ray.service import search_service
+
+    svc = search_service(index_dir, num_cpus=num_cpus)
+    return ApiServer(
+        svc, secret, host=host, port=port, phrase_index_dir=phrase_index_dir,
+        trigram_index_dir=trigram_index_dir, docs_path=docs_path,
+    ).start()
