@@ -64,11 +64,25 @@ class RegexGrepper:
 
     def __init__(self, pattern: str, candidates=None,
                  id_col: str = "doc_id", max_matches_per_doc: int | None = None,
-                 match_timeout: float = 2.0):
+                 match_timeout: float = 2.0, engine: str = "auto"):
         self.rx = _regex_engine.compile(pattern)
         # per-doc wall budget for the backtracker (see module header);
         # None disables even when the engine supports it
         self.match_timeout = match_timeout if _HAS_TIMEOUT else None
+        # worst-case-linear guarantee path (dcs's RE2-style automaton,
+        # regexp/match.go:421-560): a doc that blows the backtracker's
+        # budget re-runs on the Pike VM instead of bailing out, so
+        # hostile patterns like (a+)+$ complete with ZERO lost docs.
+        # engine="nfa" forces it for every doc (tests/differential use).
+        from dcs_ray.nfa import Unsupported, compile_nfa
+
+        self.engine = engine
+        try:
+            self.nfa = compile_nfa(pattern)
+        except Unsupported:
+            self.nfa = None  # backrefs/lookaround: budget + sentinel stays
+        if engine == "nfa" and self.nfa is None:
+            raise ValueError(f"pattern {pattern!r} unsupported by the NFA engine")
         # candidates may be an ndarray OR a ray.ObjectRef to one — a ref
         # costs one plasma fetch per worker (zero-copy, shared) instead of
         # pickling millions of ids into every task's closure
@@ -105,42 +119,55 @@ class RegexGrepper:
             line_start = np.empty(len(lines) + 1, dtype=np.int64)
             line_start[0] = 0
             np.cumsum([len(ln) + 1 for ln in lines], out=line_start[1:])
-            seen_lines: set[int] = set()
-            it = (
-                self.rx.finditer(text, timeout=self.match_timeout)
-                if self.match_timeout is not None
-                else self.rx.finditer(text)
-            )
-            try:
-                for m in it:
+
+            def collect(starts_iter) -> list[tuple[int, int]]:
+                """(lineno, start) per matched line, ≤1/line (D3)."""
+                rows: list[tuple[int, int]] = []
+                seen_lines: set[int] = set()
+                for start in starts_iter:
                     if len(seen_lines) >= self.cap:
                         break
-                    idx = int(np.searchsorted(line_start, m.start(), side="right")) - 1
+                    idx = int(np.searchsorted(line_start, start, side="right")) - 1
                     lineno = idx + 1
-                    if lineno in seen_lines:  # ≤ 1 match per line (D3)
+                    if lineno in seen_lines:
                         continue
                     seen_lines.add(lineno)
-                    ctx = [
-                        lines[j] if 0 <= j < len(lines) else ""
-                        for j in range(idx - 2, idx + 3)
-                    ]
-                    out["doc_id"].append(int(did))
-                    out["line"].append(lineno)
-                    out["position"].append(m.start())
-                    out["context"].append(ctx[2])
-                    out["ctx_before"].append("\n".join(ctx[:2]))
-                    out["ctx_after"].append("\n".join(ctx[3:]))
-            except TimeoutError:
-                # budget exceeded on this doc: keep the matches already
-                # found and append ONE sentinel row (line = -1) so the
-                # bail-out is counted downstream, then move on — the
-                # pipeline's wall time stays bounded per doc
+                    rows.append((lineno, start))
+                return rows
+
+            if self.engine == "nfa":
+                rows = collect(s for s, _e in self.nfa.finditer(text))
+            else:
+                it = (
+                    self.rx.finditer(text, timeout=self.match_timeout)
+                    if self.match_timeout is not None
+                    else self.rx.finditer(text)
+                )
+                try:
+                    rows = collect(m.start() for m in it)
+                except TimeoutError:
+                    if self.nfa is not None:
+                        # budget blown: redo this doc on the linear
+                        # engine — same matches, bounded time, no loss
+                        rows = collect(s for s, _e in self.nfa.finditer(text))
+                    else:
+                        # pattern the NFA can't express (backrefs,
+                        # lookaround): keep ONE sentinel row (line=-1)
+                        # so the bail-out is counted downstream
+                        rows = [(-1, -1)]
+            for lineno, start in rows:
+                idx = lineno - 1
+                ctx = (
+                    [lines[j] if 0 <= j < len(lines) else ""
+                     for j in range(idx - 2, idx + 3)]
+                    if lineno > 0 else ["", "", "", "", ""]
+                )
                 out["doc_id"].append(int(did))
-                out["line"].append(-1)
-                out["position"].append(-1)
-                out["context"].append("")
-                out["ctx_before"].append("")
-                out["ctx_after"].append("")
+                out["line"].append(lineno)
+                out["position"].append(start)
+                out["context"].append(ctx[2])
+                out["ctx_before"].append("\n".join(ctx[:2]))
+                out["ctx_after"].append("\n".join(ctx[3:]))
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),

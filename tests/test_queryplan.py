@@ -179,9 +179,10 @@ def test_case_insensitive_regex_end_to_end(ray_session, tmp_path):
 
 def test_catastrophic_pattern_bounded_time(ray_session):
     """A hostile backtracking pattern ((a+)+$ over 10 KB of 'a') must
-    complete the pipeline in bounded time via the per-doc match budget
-    (the reference's RE2 DFA guarantees linear time; regexp/regexp.go:17)
-    and surface the bail-out as a line=-1 sentinel row."""
+    complete the pipeline in bounded time (the reference's RE2 DFA
+    guarantees linear time; regexp/regexp.go:17) with ZERO bailed-out
+    docs — the budget blow-out re-runs on the Pike-VM linear engine
+    (dcs_ray/nfa.py), so every doc gets real results."""
     import time
 
     import pyarrow as pa
@@ -192,7 +193,7 @@ def test_catastrophic_pattern_bounded_time(ray_session):
     docs = pa.table(
         {
             "doc_id": pa.array([0, 1], pa.int64()),
-            "text": pa.array(["a" * 10240 + "b", "benign aaa line"]),
+            "text": pa.array(["a" * 10240 + "b", "first line\nbenign aaa"]),
         }
     )
     t0 = time.monotonic()
@@ -201,6 +202,8 @@ def test_catastrophic_pattern_bounded_time(ray_session):
     ).to_pandas()
     elapsed = time.monotonic() - t0
     assert elapsed < 60, elapsed  # would be years with unbounded re
-    # doc 0 bailed out with the sentinel; doc 1 matched normally
-    assert (-1) in out[out.doc_id == 0].line.tolist()
-    assert all(out[out.doc_id == 1].line > 0)
+    # no sentinel rows anywhere: doc 0 truly has no match ('b' breaks
+    # the $ anchor), doc 1's trailing "benign aaa" matches for real
+    assert (-1) not in out.line.tolist()
+    assert out[out.doc_id == 0].empty
+    assert out[out.doc_id == 1].line.tolist() == [2]
