@@ -22,10 +22,12 @@ import ray.data
 # The reference greps with an RE2-style DFA whose match time is
 # guaranteed linear (``regexp/regexp.go:17``, ``regexp/match.go``);
 # Python's ``re`` is a backtracker that can go exponential on hostile
-# patterns, letting one query wedge a worker for hours. The ``regex``
-# package (same API, supports a hard per-call deadline) restores the
-# bounded-time guarantee: a doc that exceeds the budget is bailed out
-# and reported as a sentinel row instead of hanging the pipeline.
+# patterns, letting one query wedge a worker for hours. Two layers
+# restore the guarantee: the ``regex`` package's per-call deadline
+# bounds the fast path, and a doc that blows the budget re-runs on the
+# worst-case-linear Pike VM (``dcs_ray.nfa``) — full results, bounded
+# time. Only patterns the NFA cannot express (backrefs, lookaround)
+# still bail out with a counted sentinel row.
 try:  # pragma: no cover - import probe
     import regex as _regex_engine
 
@@ -64,7 +66,12 @@ class RegexGrepper:
 
     def __init__(self, pattern: str, candidates=None,
                  id_col: str = "doc_id", max_matches_per_doc: int | None = None,
-                 match_timeout: float = 2.0, engine: str = "auto"):
+                 match_timeout: float = 2.0, engine: str = "auto",
+                 progress: tuple | None = None):
+        # progress = (query_id, report_every_s): per-batch cumulative
+        # (docs_scanned, docs_total, n_match_rows) posts to the named
+        # ProgressBus — the sourcebackend filesProcessed stream
+        self.progress = progress
         self.rx = _regex_engine.compile(pattern)
         # per-doc wall budget for the backtracker (see module header);
         # None disables even when the engine supports it
@@ -112,6 +119,15 @@ class RegexGrepper:
         texts = batch["text"].to_pylist()
         out = {"doc_id": [], "line": [], "position": [], "context": [],
                "ctx_before": [], "ctx_after": []}
+        reporter = None
+        if self.progress is not None and len(ids):
+            from dcs_ray.progress import ProgressReporter, get_bus
+
+            qid, every = self.progress
+            reporter = ProgressReporter(
+                get_bus(), qid, shard=f"grep-{int(ids[0])}",
+                total=len(ids), report_every_s=every,
+            )
         for did, text in zip(ids, texts):
             # split ONCE per doc; per match the containing line is a
             # searchsorted into the cumulative line-start offsets
@@ -168,6 +184,10 @@ class RegexGrepper:
                 out["context"].append(ctx[2])
                 out["ctx_before"].append("\n".join(ctx[:2]))
                 out["ctx_after"].append("\n".join(ctx[3:]))
+            if reporter is not None:
+                reporter.add(1, len(rows))
+        if reporter is not None:
+            reporter.flush(done=True)
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
@@ -186,10 +206,13 @@ def grep_regex(
     candidates: np.ndarray | None = None,
     id_col: str = "doc_id",
     concurrency: int | None = None,
+    progress: tuple | None = None,
+    match_timeout: float = 2.0,
 ) -> ray.data.Dataset:
     """Grep documents for a regex, optionally restricted to candidate doc
     ids (from the trigram planner), returning matches with context."""
-    fn = RegexGrepper(pattern, candidates, id_col)
+    fn = RegexGrepper(pattern, candidates, id_col, progress=progress,
+                      match_timeout=match_timeout)
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 

@@ -181,6 +181,21 @@ class ApiServer:
         qs = {k: v[0] for k, v in parse_qs(u.query).items()}
         if u.path == "/metrics":
             return self._metrics(h)
+        if u.path == "/v1/progress":
+            # in-flight progress snapshot (querymanager_events analogue):
+            # newest event per shard + rollup for a joining client
+            from dcs_ray.progress import get_bus
+            import ray as _ray
+
+            qid = qs.get("query_id", "")
+            snap = _ray.get(get_bus().snapshot.remote(qid))
+            data = json.dumps(snap).encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+            return
         if u.path not in ("/v1/search", "/v1/searchperpackage"):
             return self._err(h, 404, "not found")
         token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
@@ -227,7 +242,10 @@ class ApiServer:
         k = int(qs.get("k", "10"))
         mode = qs.get("match_mode", "term")
         if mode in ("term", "grammar"):
-            t = self.svc.query(query, k=k, phrase_index_dir=self.phrase_index_dir)
+            t = self.svc.query(
+                query, k=k, phrase_index_dir=self.phrase_index_dir,
+                query_id=qs.get("query_id"),
+            )
         elif mode == "literal" and self.trigram_index_dir:
             from dcs_ray.search import search_literal
 

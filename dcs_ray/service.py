@@ -226,9 +226,19 @@ class SearchService:
         filters: dict | None = None,
         prior_col: str | None = None,
         use_cache: bool = True,
+        query_id: str | None = None,
     ) -> pa.Table:
         if isinstance(queries, str):
             queries = [queries]
+        # in-flight progress: work units are shards (the reference's
+        # filesTotal analogue at this layer; the grep path reports
+        # per-doc counts) — one start event per live shard, one done
+        # event as each shard's scores land (sourcebackend.go:383-412)
+        bus = None
+        if query_id is not None:
+            from dcs_ray.progress import get_bus
+
+            bus = get_bus()
         # live-docs semantics survive into serving: tombstones fold into
         # the filter spec on EVERY call (one small driver-side parquet
         # read), and since the folded set is part of the cache key, a
@@ -262,15 +272,33 @@ class SearchService:
             from dcs_ray.search import prune_shards
 
             live_paths = set(prune_shards(self.shards, filters))
-            actors = [
-                a for a, p in zip(self.actors, self.shards) if p in live_paths
+            pairs = [
+                (a, p) for a, p in zip(self.actors, self.shards) if p in live_paths
             ]
-            parts = ray.get(
-                [
-                    a.score.remote(plans, self.stats, k, method, filters, prior_col)
-                    for a in actors
-                ]
-            )
+            refs = [
+                a.score.remote(plans, self.stats, k, method, filters, prior_col)
+                for a, _p in pairs
+            ]
+            if bus is None:
+                parts = ray.get(refs)
+            else:
+                import os as _os
+
+                by_ref = {r: _os.path.basename(p) for r, (_a, p) in zip(refs, pairs)}
+                for shard in by_ref.values():
+                    bus.post.remote(query_id, shard, 0, 1)
+                got_parts: dict = {}
+                pending = list(refs)
+                while pending:
+                    done_refs, pending = ray.wait(pending, num_returns=1)
+                    for r in done_refs:
+                        res = ray.get(r)
+                        got_parts[r] = res
+                        bus.post.remote(
+                            query_id, by_ref[r], 1, 1, done=True,
+                            n_results=len(res[1]),
+                        )
+                parts = [got_parts[r] for r in refs]
             qids = (
                 np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int32)
             )
@@ -288,6 +316,13 @@ class SearchService:
                 results[i] = (dd, ss)
                 if use_cache:
                     self._cache_put(keys[i], dd, ss)
+        if bus is not None and not live_idx:
+            # fully cache-served: still emit one terminal event so a
+            # progress poller sees the query complete
+            bus.post.remote(
+                query_id, "cache", 1, 1, done=True,
+                n_results=sum(len(r[0]) for r in results if r is not None),
+            )
         out_tables = []
         for qid, got in enumerate(results):
             dd, ss = got
@@ -311,6 +346,7 @@ class SearchService:
         k: int = 10,
         phrase_index_dir: str | None = None,
         use_cache: bool = True,
+        query_id: str | None = None,
     ) -> pa.Table:
         """The grammar front door, resident: one raw query string with
         the full user syntax (terms, quoted/negated phrases, +/- term
@@ -322,7 +358,10 @@ class SearchService:
         from dcs_ray.search import _grammar_plan
 
         qtext, filters = _grammar_plan(raw, phrase_index_dir)
-        return self.search([qtext], k=k, filters=filters, use_cache=use_cache)
+        return self.search(
+            [qtext], k=k, filters=filters, use_cache=use_cache,
+            query_id=query_id,
+        )
 
     def metrics(self) -> pa.Table:
         """One row per shard: queries served, batches, busy seconds,
