@@ -139,6 +139,204 @@ def encode_mp4_skeleton(
 
 
 # ---------------------------------------------------------------------------
+# MP4 sample-table frame extraction (stsz/stsc/stco → per-sample byte
+# ranges), so MJPEG-in-MP4 round-trips through the JPEG decoder the way
+# AVI does (avi.py::avi_frame_ranges / decode_avi_frames)
+# ---------------------------------------------------------------------------
+
+
+def _full_box_payload(buf: bytes, s: int) -> int:
+    """Skip the version+flags word of a full box → payload offset."""
+    return s + 4
+
+
+def mp4_sample_ranges(payload: bytes) -> list[tuple[int, int]]:
+    """(start, end) absolute byte range of every sample in the first
+    track that has a sample table — the ISO-BMFF demux: ``stsz`` gives
+    per-sample sizes, ``stco`` chunk base offsets, ``stsc`` how many
+    samples each chunk run holds; samples within a chunk are laid out
+    back-to-back (ISO 14496-12 §8.7).  Indexing only — no sample byte
+    is read, so a 2 GB video costs a few KB of moov parsing before the
+    sampler decides which frames to decode."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise DecodeUnavailable("not an ISO-BMFF payload")
+    moov = _find_box(payload, 0, len(payload), [b"moov"])
+    if moov is None:
+        raise DecodeUnavailable("mp4: no moov")
+    for fourcc, ts, te in _iter_boxes(payload, moov[0], moov[1]):
+        if fourcc != b"trak":
+            continue
+        stbl = _find_box(payload, ts, te, [b"mdia", b"minf", b"stbl"])
+        if stbl is None:
+            continue
+        stsz = _find_box(payload, stbl[0], stbl[1], [b"stsz"])
+        stco = _find_box(payload, stbl[0], stbl[1], [b"stco"])
+        stsc = _find_box(payload, stbl[0], stbl[1], [b"stsc"])
+        if stsz is None or stco is None or stsc is None:
+            continue
+        # stsz: uniform size or per-sample table
+        p = _full_box_payload(payload, stsz[0])
+        uniform, n_samples = struct.unpack_from(">II", payload, p)
+        if n_samples == 0:
+            continue
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", payload, p + 8))
+        # stco: chunk offsets
+        p = _full_box_payload(payload, stco[0])
+        (n_chunks,) = struct.unpack_from(">I", payload, p)
+        offsets = list(struct.unpack_from(f">{n_chunks}I", payload, p + 4))
+        # stsc: (first_chunk, samples_per_chunk, sd_index) runs
+        p = _full_box_payload(payload, stsc[0])
+        (n_runs,) = struct.unpack_from(">I", payload, p)
+        runs = [
+            struct.unpack_from(">III", payload, p + 4 + 12 * i)
+            for i in range(n_runs)
+        ]
+        # expand runs → samples per chunk
+        per_chunk: list[int] = []
+        for i, (first, spc, _sd) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        ranges: list[tuple[int, int]] = []
+        si = 0
+        for ci, base in enumerate(offsets):
+            at = base
+            for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                if si >= n_samples:
+                    break
+                ranges.append((at, at + sizes[si]))
+                at += sizes[si]
+                si += 1
+        if ranges:
+            return ranges
+    raise DecodeUnavailable("mp4: no track with a populated sample table")
+
+
+def decode_mp4_frames(
+    payload: bytes, indices: list[int] | None = None
+) -> list:
+    """Decode the selected (default: all) samples as JPEG → RGB arrays.
+    Honest triage: a sample that isn't a JPEG bitstream (H.264 etc.)
+    raises ``DecodeUnavailable`` instead of producing garbage."""
+    from .jpeg import decode_jpeg
+
+    ranges = mp4_sample_ranges(payload)
+    if indices is None:
+        indices = list(range(len(ranges)))
+    out = []
+    for i in indices:
+        s, e = ranges[i]
+        if payload[s : s + 2] != b"\xff\xd8":
+            raise DecodeUnavailable("mp4: sample is not an MJPEG bitstream")
+        out.append(decode_jpeg(payload[s:e]))
+    return out
+
+
+def encode_mp4_mjpeg(imgs: list, fps: int = 25) -> bytes:
+    """Mux RGB frames as an MJPEG-in-MP4: real ``mdat`` of JPEG samples
+    (one chunk per sample) + a correct ``stsz``/``stsc``/``stco``/
+    ``stts`` sample table, so the demux above round-trips it
+    byte-identically."""
+    from .jpeg import encode_jpeg
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    samples = [encode_jpeg(img) for img in imgs]
+    n = len(samples)
+    h, w = (imgs[0].shape[0], imgs[0].shape[1]) if n else (0, 0)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_body = b"".join(samples)
+    mdat_at = len(ftyp)  # mdat box starts right after ftyp
+    # absolute chunk offsets: one chunk per sample inside mdat's body
+    offs, at = [], mdat_at + 8
+    for smp in samples:
+        offs.append(at)
+        at += len(smp)
+    timescale = 1000
+    dur = n * timescale // max(fps, 1)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">HHI", 0, 0, 0)
+        + b"\x00" * 36
+        + struct.pack(">II", w << 16, h << 16),
+    )
+    stsd = box(
+        b"stsd",
+        struct.pack(">B3xI", 0, 1)
+        + box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1)),
+    )
+    stts = box(
+        b"stts",
+        struct.pack(">B3xI", 0, 1)
+        + struct.pack(">II", n, timescale // max(fps, 1)),
+    )
+    stsc = box(b"stsc", struct.pack(">B3xI", 0, 1) + struct.pack(">III", 1, 1, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">B3xII", 0, 0, n)
+        + struct.pack(f">{n}I", *[len(s) for s in samples]),
+    )
+    stco = box(b"stco", struct.pack(">B3xI", 0, n) + struct.pack(f">{n}I", *offs))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 0) + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = box(b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + box(b"mdat", mdat_body) + moov
+
+
+def synthesize_mp4_mjpeg_video(
+    n: int = 8, frames: int = 12, w: int = 16, h: int = 12, seed: int = 4
+) -> pa.Table:
+    """Deterministic MJPEG MP4s with the SAME per-frame gradient recipe
+    as ``avi.py::synthesize_avi_video`` — identical pixels in a third
+    container, so cross-container decode identity is testable."""
+    rows = []
+    for i in range(n):
+        imgs = []
+        for f in range(frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [
+                    (xx * 11 + f * 17 + i) % 256,
+                    (yy * 7 + f * 29) % 256,
+                    (xx + yy + f + i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            imgs.append(img)
+        rows.append(encode_mp4_mjpeg(imgs, fps=25))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(rows, pa.binary()),
+            "width": pa.array(np.full(n, w, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, h, np.int32), pa.int32()),
+            "duration_ms": pa.array(np.full(n, frames * 40, np.int32), pa.int32()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # MP3 (MPEG-1/2 audio) frame-header scan
 # ---------------------------------------------------------------------------
 

@@ -978,6 +978,21 @@ class PpmStreamFrameSampler:
                     out_ts.append(int(dur[i]) * fi // max(nf, 1))
                     out_frame.append(encode_ppm(img))
                 continue
+            if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                # ISO-BMFF: stsz/stsc/stco sample-table demux indexes
+                # every sample, then decodes only the picks (MJPEG-in-
+                # MP4; H.264-class samples raise DecodeUnavailable)
+                from .media_meta import decode_mp4_frames, mp4_sample_ranges
+
+                nf = len(mp4_sample_ranges(raw))
+                take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]
+                imgs = decode_mp4_frames(raw, take)
+                for fi, img in zip(take, imgs):
+                    out_id.append(ids[i])
+                    out_fi.append(fi)
+                    out_ts.append(int(dur[i]) * fi // max(nf, 1))
+                    out_frame.append(encode_ppm(img))
+                continue
             frames = _ppm_frame_offsets(raw)
             nf = len(frames)
             take = [min((j * nf) // self.k, nf - 1) for j in range(self.k)]

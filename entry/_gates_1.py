@@ -2102,12 +2102,14 @@ def _q_audio_features(sf_dir: str) -> Any:
 
 
 def _q_video_frames(sf_dir: str) -> Any:
-    """REAL demux path over THREE video containers: concatenated-PPM
+    """REAL demux path over FOUR video containers: concatenated-PPM
     streams (frame headers parsed, zero-copy slices), animated GIFs
-    (LZW-decoded), and MJPEG AVIs (RIFF chunk index + per-frame JPEG
-    decode of only the sampled frames), in one actor pool; 4 frames
+    (LZW-decoded), MJPEG AVIs (RIFF chunk index), and MJPEG MP4s
+    (ISO-BMFF stsz/stsc/stco sample-table demux) — per-frame JPEG
+    decode of only the sampled frames, in one actor pool; 4 frames
     sampled evenly per stream, each emitted as a standalone PPM."""
     from dcs_ray.functions.avi import synthesize_avi_video
+    from dcs_ray.functions.media_meta import synthesize_mp4_mjpeg_video
     from dcs_ray.functions.multimodal import (
         PpmStreamFrameSampler,
         synthesize_gif_video,
@@ -2125,7 +2127,12 @@ def _q_video_frames(sf_dir: str) -> Any:
         avi_v.schema.get_field_index("media_id"), "media_id",
         pa.array(np.arange(48, 64), pa.int64()),
     )
-    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v, avi_v]))
+    mp4_v = synthesize_mp4_mjpeg_video(16)
+    mp4_v = mp4_v.set_column(
+        mp4_v.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 80), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm_v, gif_v, avi_v, mp4_v]))
     ds = media.map_batches(
         PpmStreamFrameSampler, fn_constructor_kwargs={"k": 4}, concurrency=2,
         batch_size=16, batch_format="pyarrow", num_cpus=1,
