@@ -549,11 +549,110 @@ def run_scaling(
     }
 
 
+def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
+    """Two-node local-cluster validation: `ray start --head` plus one
+    worker process (two raylets, two plasma stores — a real object-store
+    boundary between them), run index build + BM25 on the cluster, then
+    the same job single-node, and assert the result hashes are
+    identical.  The closest this sandbox gets to the north rule's
+    N-node claim beyond the CPU-scaling record.
+
+    NOTE: tears the cluster down with `ray stop --force`, which kills
+    EVERY Ray process on the box — run standalone, never from pytest.
+    """
+    import hashlib
+    import shutil
+    import subprocess
+
+    def table_hash(t) -> str:
+        import pyarrow as pa
+
+        cols = sorted(t.column_names)
+        rows = sorted(
+            tuple(
+                round(v, 6) + 0.0 if isinstance(v, float) else v
+                for v in (t[c][i].as_py() for c in cols)
+            )
+            for i in range(t.num_rows)
+        )
+        return hashlib.sha256(repr(rows).encode()).hexdigest()[:16]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env.pop("RAY_ADDRESS", None)
+    queries = ["spark merge join", "customer window batch", "index stream"]
+
+    def job(address: str | None) -> tuple[str, float, float]:
+        import ray
+        import ray.data
+        from ray.data import DataContext
+
+        if address:
+            ray.init(address=address, logging_level="ERROR",
+                     runtime_env={"env_vars": {"PYTHONPATH": env["PYTHONPATH"]}})
+        else:
+            ray.init(address="local", num_cpus=2 * cpus_per_node,
+                     include_dashboard=False, logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
+        n_nodes = len([n for n in ray.nodes() if n["Alive"]])
+        from dcs_ray.index import IndexConfig, build_index
+        from dcs_ray.search import search_bm25
+
+        out = f"/tmp/bench_2node_{'cluster' if address else 'single'}"
+        shutil.rmtree(out, ignore_errors=True)
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        t0 = time.monotonic()
+        build_index(docs, out, IndexConfig(
+            num_partitions=8, num_shards=2, mode="words", id_col="doc_id",
+            dedup_latest=False,
+        ))
+        t_build = time.monotonic() - t0
+        t0 = time.monotonic()
+        t = search_bm25(out, queries, k=10)
+        t_query = time.monotonic() - t0
+        h = table_hash(t)
+        ray.shutdown()
+        return h, t_build, t_query, n_nodes
+
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    try:
+        subprocess.run(
+            ["ray", "start", "--head", f"--num-cpus={cpus_per_node}",
+             f"--port={port}", "--include-dashboard", "false",
+             "--disable-usage-stats"],
+            check=True, capture_output=True, env=env,
+        )
+        subprocess.run(
+            ["ray", "start", f"--address=127.0.0.1:{port}",
+             f"--num-cpus={cpus_per_node}"],
+            check=True, capture_output=True, env=env,
+        )
+        h2, b2, q2, n_nodes = job(f"127.0.0.1:{port}")
+    finally:
+        subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    h1, b1, q1, _ = job(None)
+    return {
+        "metric": "two_node_validation",
+        "nodes": n_nodes,
+        "cpus_per_node": cpus_per_node,
+        "sf": sf_dir,
+        "cluster": {"build_s": round(b2, 3), "query_s": round(q2, 3), "hash": h2},
+        "single": {"build_s": round(b1, 3), "query_s": round(q1, 3), "hash": h1},
+        "hash_identical": h1 == h2,
+        "host": host_calibration(),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--two-node", action="store_true",
+                    help="two-raylet local cluster vs single-node hash "
+                    "identity (standalone only: calls `ray stop --force`)")
     ap.add_argument("--scaling-one", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--input-dir", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--partitions", type=int, default=128, help=argparse.SUPPRESS)
@@ -572,7 +671,9 @@ def main() -> None:
     )
     ap.add_argument("--healthy-cooldown", type=int, default=180)
     args = ap.parse_args()
-    if args.scaling_one:
+    if args.two_node:
+        out = run_two_node("/root/testdata/sf0.001")
+    elif args.scaling_one:
         out = run_scaling_one(args.input_dir, args.cpus, args.partitions)
     elif args.scaling:
         out = run_scaling(args.sf, low=args.low, high=args.high,
