@@ -937,9 +937,11 @@ class PpmStreamFrameSampler:
     stream zero-copy) or an animated GIF (LZW-decoded frames,
     re-emitted as P6). ``__call__`` samples k frames evenly across the
     stream and emits each as a standalone (decodable) PPM payload with
-    its frame index and timestamp. The contract a real container
-    demuxer fills; compressed containers (MP4 etc.) still raise
-    ``DecodeUnavailable``."""
+    its frame index and timestamp. Four real demuxes: PPM streams,
+    animated GIFs, MJPEG AVIs (RIFF chunk index) and MJPEG MP4s
+    (ISO-BMFF sample-table index) — in each indexed container only the
+    sampled frames are decoded; codec payloads the sandbox can't decode
+    (H.264-class) raise ``DecodeUnavailable``."""
 
     def __init__(self, k: int = 4):
         self.k = k

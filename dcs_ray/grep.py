@@ -321,6 +321,7 @@ def search_regex_fused(
     pattern: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
 ) -> ray.data.Dataset:
     """Regex search with candidate generation FUSED into the verify task
     — the scale path for id-range-partitioned corpora.
@@ -361,7 +362,7 @@ def search_regex_fused(
                 filter=(pads.field(id_col) >= lo) & (pads.field(id_col) <= hi),
                 columns=[id_col, text_col],
             )
-            grepper = RegexGrepper(pattern, cands, id_col)
+            grepper = RegexGrepper(pattern, cands, id_col, engine=engine)
             out.append(grepper(tbl))
         if not out:
             return MATCH_SCHEMA.empty_table()

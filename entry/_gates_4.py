@@ -26,6 +26,29 @@ from entry._helpers import (  # noqa: F401
     _li_rev1e4,
     _link_edges_ds,
 )
+from entry._helpers import REGEX  # noqa: F401
+
+
+def _q_regex_search_linear(sf_dir: str) -> Any:
+    """The regex gate served end-to-end by the worst-case-linear Pike-VM
+    engine (``dcs_ray/nfa.py``) instead of the budgeted backtracker:
+    identical trigram planning + fused per-shard verify, engine="nfa"
+    forced — hash-gated against the SAME DuckDB oracle as regex_search,
+    proving the linear engine's match semantics on real corpus text."""
+    from dcs_ray.grep import search_regex_fused
+
+    idx = _index_dir(sf_dir, "trigram")
+    ds = search_regex_fused(
+        idx, f"{sf_dir}/documents.parquet", REGEX, engine="nfa"
+    )
+    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
+    if len(t) == 0:
+        return pa.schema([("doc_id", pa.int64()), ("n_lines", pa.int64())]).empty_table()
+    g = t.group_by("doc_id").aggregate([("line", "count_distinct")])
+    return pa.table(
+        {"doc_id": g["doc_id"].cast(pa.int64()), "n_lines": g["line_count_distinct"].cast(pa.int64())}
+    ).sort_by("doc_id")
+
 
 def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
     """TPC-H-Q2-shape minimum-cost supplier (adapted: no partsupp table,

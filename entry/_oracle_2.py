@@ -16,6 +16,7 @@ import ray.data
 from dcs_ray.sources.io import read_parquet_sized
 
 from entry._helpers import (  # noqa: F401
+    REGEX,
     LITERAL,
     _BM25_SCORES,
     _BOOT_B,
@@ -2346,5 +2347,10 @@ no_ord AS (SELECT * FROM rich
 SELECT c_nationkey::bigint AS c_nationkey, count(*)::bigint AS numcust,
        round(sum(cents) / 100.0, 6) AS totacctbal
 FROM no_ord GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+        "regex_search_linear": f"""
+SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
+) WHERE regexp_matches(line, '{REGEX}') GROUP BY doc_id ORDER BY doc_id
 """,
     }
