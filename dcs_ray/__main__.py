@@ -307,7 +307,7 @@ def cmd_grep(args) -> None:
     from dcs_ray.grep import search_regex
 
     docs = read_parquet_sized(args.docs)
-    res = search_regex(args.index, docs, args.pattern)
+    res = search_regex(args.index, docs, args.pattern, engine=args.engine)
     for row in res.limit(args.n).take_all():
         print(f"{row['doc_id']}:{row['line']}: {row['context']}")
 
@@ -646,15 +646,32 @@ def cmd_replay(args) -> None:
         from dcs_ray.service import search_service
 
         svc = search_service(args.index)
+    show_progress = getattr(args, "progress", False) and svc is not None
     out = []
-    for q in queries:
+    for qi, q in enumerate(queries):
         t0 = time.monotonic()
         if svc is not None:
-            res = svc.search([q], k=args.k)
+            qid = f"replay-{qi}" if show_progress else None
+            res = svc.search([q], k=args.k, query_id=qid)
         else:
             res = search_bm25(args.index, [q], k=args.k, stats=stats)
         out.append({"query": q, "nresults": len(res),
                     "total_nano": int((time.monotonic() - t0) * 1e9)})
+        if show_progress:
+            # the in-flight event trail (per-shard filesProcessed shape);
+            # a batch replay prints it post-hoc, a UI would poll live
+            from dcs_ray.progress import get_bus
+
+            bus = get_bus()
+            snap = ray.get(bus.snapshot.remote(qid))
+            out[-1]["progress"] = {
+                "shards": [
+                    {k: e[k] for k in ("shard", "processed", "total", "done")}
+                    for e in snap["shards"]
+                ],
+                "done": snap["done"],
+            }
+            ray.get(bus.clear.remote(qid))
         print(json.dumps(out[-1]))
     if svc is not None:
         svc.shutdown()
@@ -862,6 +879,8 @@ def main() -> None:
     d.add_argument("docs", help="documents parquet (for verify grep)")
     d.add_argument("pattern")
     d.add_argument("-n", type=int, default=20)
+    d.add_argument("--engine", default="auto", choices=["auto", "nfa"],
+                   help="nfa = force the worst-case-linear Pike VM")
     d.set_defaults(fn=cmd_grep)
 
     d = sub.add_parser("prune", help="build the pruned serving tier (top-m postings/term)")
@@ -990,6 +1009,9 @@ def main() -> None:
     d.add_argument("-k", type=int, default=10)
     d.add_argument("--service", action="store_true",
                    help="serve from a resident per-shard actor pool")
+    d.add_argument("--progress", action="store_true",
+                   help="with --service: record per-shard in-flight "
+                   "progress events per query (querymanager_events shape)")
     d.set_defaults(fn=cmd_replay)
 
     d = sub.add_parser("serve", help="HTTP front door over the resident service")

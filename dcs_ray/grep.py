@@ -208,11 +208,18 @@ def grep_regex(
     concurrency: int | None = None,
     progress: tuple | None = None,
     match_timeout: float = 2.0,
+    engine: str = "auto",
 ) -> ray.data.Dataset:
     """Grep documents for a regex, optionally restricted to candidate doc
     ids (from the trigram planner), returning matches with context."""
+    if progress is not None:
+        # create the bus from the DRIVER so it owns the named actor —
+        # a worker-created bus dies with that worker's actor pool
+        from dcs_ray.progress import get_bus
+
+        get_bus()
     fn = RegexGrepper(pattern, candidates, id_col, progress=progress,
-                      match_timeout=match_timeout)
+                      match_timeout=match_timeout, engine=engine)
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=256)
 
 
@@ -238,7 +245,7 @@ def shard_candidates(path: str, pattern: str) -> np.ndarray | None:
 
 
 def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
-                 id_col: str = "doc_id") -> ray.data.Dataset:
+                 id_col: str = "doc_id", engine: str = "auto") -> ray.data.Dataset:
     """Full dcs query path: regex → trigram plan → candidate generation on
     the index (one Ray task per shard — the dcs source-backend fan-out,
     never a driver-side decode loop) → restricted verify grep
@@ -300,7 +307,7 @@ def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
         # ship ids through the object store (one shared copy), not the
         # task closure
         candidates = ray.put(np.sort(candidates))
-    return grep_regex(docs, pattern, candidates, id_col)
+    return grep_regex(docs, pattern, candidates, id_col, engine=engine)
 
 
 MATCH_SCHEMA = pa.schema(

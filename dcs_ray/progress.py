@@ -79,11 +79,20 @@ class ProgressBus:
         self._history.pop(query_id, None)
 
 
+_BUS_HANDLE = None
+
+
 def get_bus() -> "ray.actor.ActorHandle":
-    """Get-or-create the named bus (one per Ray session)."""
-    return ProgressBus.options(
-        name=_BUS_NAME, get_if_exists=True, lifetime=None
-    ).remote()
+    """Get-or-create the named bus (one per Ray session).  The handle
+    is cached module-level: a named non-detached actor is GC'd as soon
+    as every handle drops, so a transient local handle would kill the
+    bus between a search call and a later snapshot poll."""
+    global _BUS_HANDLE
+    if _BUS_HANDLE is None:
+        _BUS_HANDLE = ProgressBus.options(
+            name=_BUS_NAME, get_if_exists=True, lifetime=None
+        ).remote()
+    return _BUS_HANDLE
 
 
 class ProgressReporter:
