@@ -154,13 +154,27 @@ def synthesize_pages_table(documents: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str) -> ray.data.Dataset:
+def read_pages(sf_dir: str, cols: list[str] | None = None) -> ray.data.Dataset:
     """Pages Dataset for an sf dir: read documents.parquet and synthesize
     per batch (keeps synthesis distributed and streaming — at scale this
-    is just ``read_parquet(pages/)``)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    is just ``read_parquet(pages/)``).
+
+    The source read is always pruned to the four columns synthesis
+    needs; ``cols`` additionally projects the OUTPUT (callers that drop
+    ``html`` shouldn't ship rendered bytes through the exchange — at
+    scale this becomes ``read_parquet(pages/, columns=cols)``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    if cols is None:
+        return ds.map_batches(
+            lambda b: synthesize_pages_table(b), batch_format="pyarrow",
+            batch_size=2048,
+        )
     return ds.map_batches(
-        lambda b: synthesize_pages_table(b), batch_format="pyarrow", batch_size=2048
+        lambda b: synthesize_pages_table(b).select(cols),
+        batch_format="pyarrow", batch_size=2048,
     )
 
 
