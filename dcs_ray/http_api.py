@@ -128,6 +128,11 @@ class ApiServer:
             "inflight": 0,
         }
         self._lock = threading.Lock()
+        # ThreadingHTTPServer runs handlers concurrently, but
+        # SearchService's finished-query cache (OrderedDict
+        # check-then-insert) is not thread-safe — serialize service
+        # calls; the shard fan-out inside stays parallel
+        self._svc_lock = threading.Lock()
         api = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -242,10 +247,11 @@ class ApiServer:
         k = int(qs.get("k", "10"))
         mode = qs.get("match_mode", "term")
         if mode in ("term", "grammar"):
-            t = self.svc.query(
-                query, k=k, phrase_index_dir=self.phrase_index_dir,
-                query_id=qs.get("query_id"),
-            )
+            with self._svc_lock:
+                t = self.svc.query(
+                    query, k=k, phrase_index_dir=self.phrase_index_dir,
+                    query_id=qs.get("query_id"),
+                )
         elif mode == "literal" and self.trigram_index_dir:
             from dcs_ray.search import search_literal
 
@@ -290,7 +296,8 @@ class ApiServer:
         with self._lock:
             for k, v in self.counters.items():
                 lines.append(f"dcsray_http_{k} {v}")
-        ci = self.svc.cache_info()
+        with self._svc_lock:
+            ci = self.svc.cache_info()
         lines.append(f"dcsray_result_cache_hits {ci['hits']}")
         lines.append(f"dcsray_result_cache_misses {ci['misses']}")
         lines.append(f"dcsray_result_cache_entries {ci['entries']}")
