@@ -201,6 +201,26 @@ class ApiServer:
             h.end_headers()
             h.wfile.write(data)
             return
+        if u.path == "/v1/suggest":
+            # instant-search box support: prefix completion over the
+            # index's own vocabulary, SymSpell fallback when the prefix
+            # dead-ends (dcs-web's suggestion UX over our stats artifact)
+            token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
+            if decode_api_key(token, self.secret) is None:
+                self._bump("queries_forbidden")
+                return self._err(h, 403, "invalid x-dcs-apikey header")
+            try:
+                body = self._suggest(qs)
+            except Exception as e:
+                self._bump("queries_errored")
+                return self._err(h, 500, f"{type(e).__name__}: {e}")
+            data = json.dumps(body).encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+            return
         if u.path not in ("/v1/search", "/v1/searchperpackage"):
             return self._err(h, 404, "not found")
         token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
@@ -271,6 +291,67 @@ class ApiServer:
         else:
             raise ValueError(f"unknown match_mode {mode!r}")
         return {"query": query, "match_mode": mode, "results": _rows(t)}
+
+    def _vocab(self):
+        """(terms sorted asc as np.array(str), df aligned) from the
+        index's stats/df.parquet — loaded once, cached.  At 100-TB
+        scale this artifact is the term dictionary (tens of millions of
+        rows, a few GB) and would be mmapped/sharded; the serving shape
+        (sorted array + searchsorted range) is the same."""
+        if not hasattr(self, "_vocab_cache"):
+            import os
+
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                os.path.join(self.svc.index_dir, "stats", "df.parquet"),
+                columns=["term", "df"],
+            )
+            terms = np.asarray(t["term"].to_pylist(), dtype=object)
+            df = t["df"].to_numpy()
+            order = np.argsort(terms)
+            self._vocab_cache = (terms[order], df[order])
+        return self._vocab_cache
+
+    def _suggest(self, qs: dict) -> dict:
+        import numpy as np
+
+        q = qs.get("q") or qs.get("query") or ""
+        k = int(qs.get("k", "10"))
+        last = q.split()[-1].lower() if q.split() else ""
+        if not last:
+            return {"q": q, "last": "", "completions": [], "source": "prefix"}
+        terms, df = self._vocab()
+        lo = np.searchsorted(terms, last)
+        hi = np.searchsorted(terms, last + "\U0010ffff")
+        source = "prefix"
+        if hi > lo:
+            cand_t, cand_d = terms[lo:hi], df[lo:hi]
+        else:
+            # dead-ended prefix: SymSpell distance-≤1 corrections from
+            # the same vocabulary (complete by the deletion property)
+            import pyarrow as pa2
+            import ray.data as rd
+
+            from dcs_ray.functions.spell import suggest
+
+            t = suggest(
+                rd.from_arrow(pa2.table({"term": list(terms), "df": df})),
+                [last], k=k,
+            )
+            cand_t = np.asarray(t["term"].to_pylist(), dtype=object)
+            cand_d = t["df"].to_numpy()
+            source = "spell"
+        order = np.lexsort((cand_t, -cand_d))[:k]
+        return {
+            "q": q,
+            "last": last,
+            "source": source,
+            "completions": [
+                {"term": str(cand_t[i]), "df": int(cand_d[i])} for i in order
+            ],
+        }
 
     def _search_per_package(self, query: str, qs: dict) -> dict:
         from dcs_ray.search import search_bm25_grouped

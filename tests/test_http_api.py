@@ -157,3 +157,23 @@ def test_cli_serve_fresh_process(server, tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_suggest_endpoint_prefix_and_spell(server):
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    # prefix completion from the index vocabulary
+    body = _get(api, "/v1/suggest?q=spar&k=5", key)
+    assert body["source"] == "prefix"
+    assert body["completions"], "expected prefix completions"
+    assert all(c["term"].startswith("spar") for c in body["completions"])
+    dfs = [c["df"] for c in body["completions"]]
+    assert dfs == sorted(dfs, reverse=True)
+    # dead-end prefix → SymSpell distance-1 fallback
+    body2 = _get(api, "/v1/suggest?q=sparkk", key)
+    assert body2["source"] == "spell"
+    assert any(c["term"] == "spark" for c in body2["completions"])
+    # auth enforced
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(api, "/v1/suggest?q=spar")
+    assert e.value.code == 403
