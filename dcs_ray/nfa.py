@@ -149,24 +149,28 @@ class Program:
     def _add_closure(self, lst, seen, pc, start, text, pos):
         """Epsilon closure in priority order (SPLIT.a before SPLIT.b),
         deduped by pc within the step — the dedup is what bounds a scan
-        to O(n·m) and terminates epsilon cycles like ``(a*)*``."""
-        while True:
+        to O(n·m) and terminates epsilon cycles like ``(a*)*``.
+        Iterative (explicit LIFO stack) so a 10k-alternative BRANCH
+        can't hit the interpreter recursion limit."""
+        stack = [pc]
+        insns = self.insns
+        while stack:
+            pc = stack.pop()
             if pc in seen:
-                return
+                continue
             seen.add(pc)
-            op, a, b = self.insns[pc]
+            op, a, b = insns[pc]
             if op == JMP:
-                pc = a
+                stack.append(a)
             elif op == SPLIT:
-                self._add_closure(lst, seen, a, start, text, pos)
-                pc = b
+                # b pushed first so a pops (and lands in lst) first
+                stack.append(b)
+                stack.append(a)
             elif op == EMPTY:
-                if not self._empty_ok(a, text, pos):
-                    return
-                pc = b
+                if self._empty_ok(a, text, pos):
+                    stack.append(b)
             else:  # CHAR or MATCH: a runnable thread
                 lst.append((pc, start))
-                return
 
     def search(self, text: str, pos: int = 0, must_advance: bool = False):
         """Leftmost-first match at or after ``pos`` → (start, end) | None.
