@@ -290,7 +290,27 @@ class ApiServer:
             )
         else:
             raise ValueError(f"unknown match_mode {mode!r}")
-        return {"query": query, "match_mode": mode, "results": _rows(t)}
+        rows = _rows(t)
+        if qs.get("snippets") == "1" and self.docs_path and mode in ("term", "grammar"):
+            # per-result context (dcs writeSearchResults ships match
+            # context the same way): fetch ONLY the k result docs via a
+            # pushed-down doc_id filter, one vectorized snippet kernel
+            import pyarrow.parquet as pq
+
+            from dcs_ray.grep import first_match_snippets
+
+            ids = [r["doc_id"] for r in rows]
+            if ids:
+                docs = pq.read_table(
+                    self.docs_path, columns=["doc_id", "text"],
+                    filters=[("doc_id", "in", ids)],
+                )
+                terms = [w for w in query.split() if w and w[0] not in "+-"]
+                snip = first_match_snippets(docs["text"], terms)
+                by_id = dict(zip(docs["doc_id"].to_pylist(), snip.to_pylist()))
+                for r in rows:
+                    r["snippet"] = by_id.get(r["doc_id"], "")
+        return {"query": query, "match_mode": mode, "results": rows}
 
     def _vocab(self):
         """(terms sorted asc as np.array(str), df aligned) from the

@@ -177,3 +177,24 @@ def test_suggest_endpoint_prefix_and_spell(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(api, "/v1/suggest?q=spar")
     assert e.value.code == 403
+
+
+def test_search_snippets_param(server):
+    out, api = server
+    api2 = ApiServer(
+        api.svc, SECRET, port=0,
+        docs_path=f"{SF}/documents.parquet",
+    ).start()
+    try:
+        key = make_api_key("tester", SECRET)
+        body = _get(
+            api2, f"/v1/search?query={QUERY.replace(' ', '+')}&k=5&snippets=1", key
+        )
+        assert body["results"]
+        assert all("snippet" in r for r in body["results"])
+        # the top hit's snippet contains a query term
+        assert any(
+            w in body["results"][0]["snippet"] for w in QUERY.split()
+        ), body["results"][0]
+    finally:
+        api2.shutdown()
