@@ -198,3 +198,28 @@ def test_search_snippets_param(server):
         ), body["results"][0]
     finally:
         api2.shutdown()
+
+
+def test_concurrent_requests_thread_safety(server):
+    """ThreadingHTTPServer handles requests concurrently; the service
+    lock must keep the finished-query cache coherent — 24 parallel
+    requests across 3 distinct queries all return rank-identical rows."""
+    import concurrent.futures
+
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    queries = ["spark merge join", "customer window batch", "spark index"]
+    want = {
+        q: [(r["rank"], r["doc_id"], r["score"])
+            for r in search_bm25(out, [q], k=5).to_pylist()]
+        for q in queries
+    }
+
+    def one(i):
+        q = queries[i % len(queries)]
+        body = _get(api, f"/v1/search?query={q.replace(' ', '+')}&k=5", key)
+        return q, [(r["rank"], r["doc_id"], r["score"]) for r in body["results"]]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        for q, got in ex.map(one, range(24)):
+            assert got == want[q], q
