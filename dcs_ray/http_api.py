@@ -221,6 +221,38 @@ class ApiServer:
             h.end_headers()
             h.wfile.write(data)
             return
+        if u.path == "/v1/replace-index":
+            # live index swap (SourceBackend.ReplaceIndex): key-gated,
+            # and like sourcebackend.go:198-216 the replacement must
+            # live in the SAME parent directory as the current index —
+            # the importer's publish convention, and a path-traversal
+            # guard for an ops endpoint
+            token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
+            if decode_api_key(token, self.secret) is None:
+                self._bump("queries_forbidden")
+                return self._err(h, 403, "invalid x-dcs-apikey header")
+            import os
+
+            name = qs.get("index", "")
+            parent = os.path.dirname(os.path.abspath(self.svc.index_dir))
+            new_dir = os.path.join(parent, name) if name else self.svc.index_dir
+            if os.path.dirname(os.path.abspath(new_dir)) != parent or (
+                name and name not in os.listdir(parent)
+            ):
+                return self._err(h, 400, "replacement index not found in index parent dir")
+            try:
+                with self._svc_lock:
+                    info = self.svc.replace_index(new_dir)
+            except Exception as e:
+                self._bump("queries_errored")
+                return self._err(h, 500, f"{type(e).__name__}: {e}")
+            data = json.dumps(info).encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+            return
         if u.path not in ("/v1/search", "/v1/searchperpackage"):
             return self._err(h, 404, "not found")
         token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""

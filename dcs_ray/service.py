@@ -363,6 +363,43 @@ class SearchService:
             query_id=query_id,
         )
 
+    def replace_index(self, index_dir: str | None = None) -> dict:
+        """Live atomic index swap — the reference's
+        ``SourceBackend.ReplaceIndex`` RPC (``sourcebackend.go:198-246``:
+        open the new shard, swap the pointer under the lock, close the
+        old index) done pool-wide: open a FULL new actor pool on the
+        new (or rebuilt/compacted same-path) index, block until every
+        new shard is warm, then swap the service's pointers and kill the
+        old actors.  Queries issued before the swap finish on the old
+        pool (their actor handles are captured in the in-flight call);
+        queries after see the new index.  The finished-query cache is
+        cleared — its entries rank against the old index.
+
+        Returns {"shards": n, "index_dir": ...} for the caller's log.
+        """
+        new_dir = index_dir or self.index_dir
+        new_stats = load_stats(new_dir)
+        new_shards = shard_paths(new_dir)
+        num_cpus = _fit_pool_cpus(1.0, len(new_shards))
+        new_actors = [
+            ShardSearcher.options(
+                num_cpus=num_cpus, max_restarts=2, max_task_retries=2
+            ).remote(p)
+            for p in new_shards
+        ]
+        # the dcs swap opens the new index BEFORE dropping the old one —
+        # same here: the new pool must be warm before any pointer moves
+        ray.get([a.__ray_ready__.remote() for a in new_actors])
+        old_actors = self.actors
+        self.index_dir = new_dir
+        self.stats = new_stats
+        self.shards = new_shards
+        self.actors = new_actors
+        self._cache.clear()
+        for a in old_actors:
+            ray.kill(a)
+        return {"shards": len(new_shards), "index_dir": new_dir}
+
     def metrics(self) -> pa.Table:
         """One row per shard: queries served, batches, busy seconds,
         queries/sec — plus the driver-side cache counters in
