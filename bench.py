@@ -229,6 +229,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     svc_s = time.monotonic() - t0
     queries["bm25_service"] = round(svc_s, 3)
     thr["service_latency_ms"] = round(1000 * svc_s / len(BM25_QUERIES), 1)
+    # --- HTTP front door over the same pool (end-to-end socket path:
+    # auth decode + JSON + the svc cache; cold pass then warm pass) ---
+    import json as _json
+    import urllib.request
+
+    from dcs_ray.http_api import ApiServer, make_api_key
+
+    api = ApiServer(svc, "bench-secret", port=0).start()
+    key = make_api_key("bench", "bench-secret")
+
+    def _http(q):
+        req = urllib.request.Request(
+            f"http://{api.host}:{api.port}/v1/search?query={q.replace(' ', '+')}&k=10"
+        )
+        req.add_header("x-dcs-apikey", key)
+        return _json.loads(urllib.request.urlopen(req, timeout=60).read())
+
+    assert _http(BM25_QUERIES[0])["results"]  # warm the socket path
+    t0 = time.monotonic()
+    for q in BM25_QUERIES:
+        _http(q)
+    http_s = time.monotonic() - t0
+    thr["http_latency_ms"] = round(1000 * http_s / len(BM25_QUERIES), 2)
+    api.shutdown()
     # the Dataset path at the same one-query-per-call pattern (5 calls
     # bound the stage; per-call cost is flat)
     t0 = time.monotonic()
