@@ -223,3 +223,50 @@ def test_concurrent_requests_thread_safety(server):
     with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
         for q, got in ex.map(one, range(24)):
             assert got == want[q], q
+
+
+def test_literal_and_regex_match_modes_over_http(tmp_path):
+    """match_mode=literal / regex need the trigram index + docs path —
+    rows must equal the Dataset-path verifiers (dcs literal=1 flip)."""
+    import ray
+
+    from dcs_ray.grep import search_regex_fused
+    from dcs_ray.search import search_literal
+    from dcs_ray.service import search_service
+
+    tri = str(tmp_path / "tri")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    build_index(docs, tri, IndexConfig(
+        num_partitions=4, num_shards=2, mode="trigram", id_col="doc_id",
+        dedup_latest=False, positional=True,
+    ))
+    words = str(tmp_path / "words")
+    build_index(docs, words, IndexConfig(
+        num_partitions=4, num_shards=2, mode="words", id_col="doc_id",
+        dedup_latest=False,
+    ))
+    svc = search_service(words, num_cpus=0.5)
+    api = ApiServer(
+        svc, SECRET, port=0, trigram_index_dir=tri,
+        docs_path=f"{SF}/documents.parquet",
+    ).start()
+    try:
+        key = make_api_key("tester", SECRET)
+        lit = _get(api, "/v1/search?query=spark+merge&match_mode=literal", key)
+        want_docs = set(
+            search_literal(tri, ["spark merge"])["doc_id"].to_pylist()
+        )
+        assert {r["doc_id"] for r in lit["results"]} == want_docs
+        assert want_docs, "literal fixture must match something"
+
+        rx = _get(api, "/v1/search?query=sp%5Baeiou%5Drk+m%5Cw%2B&match_mode=regex", key)
+        import pyarrow as pa2
+
+        ds = search_regex_fused(tri, f"{SF}/documents.parquet", r"sp[aeiou]rk m\w+")
+        want = pa2.concat_tables(
+            [pa2.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+        )
+        assert {r["doc_id"] for r in rx["results"]} == set(want["doc_id"].to_pylist())
+    finally:
+        api.shutdown()
+        svc.shutdown()
