@@ -381,19 +381,26 @@ class ApiServer:
         if hi > lo:
             cand_t, cand_d = terms[lo:hi], df[lo:hi]
         else:
-            # dead-ended prefix: SymSpell distance-≤1 corrections from
-            # the same vocabulary (complete by the deletion property)
-            import pyarrow as pa2
-            import ray.data as rd
+            # dead-ended prefix: SymSpell distance-≤1 corrections from a
+            # lazily-built in-memory deletion index (vocab-sized dict,
+            # built once per server — per-request cost is a handful of
+            # exact dict probes + a candidate-set levenshtein verify,
+            # not a Ray pipeline)
+            from dcs_ray.functions.spell import deletions, levenshtein
 
-            from dcs_ray.functions.spell import suggest
-
-            t = suggest(
-                rd.from_arrow(pa2.table({"term": list(terms), "df": df})),
-                [last], k=k,
-            )
-            cand_t = np.asarray(t["term"].to_pylist(), dtype=object)
-            cand_d = t["df"].to_numpy()
+            if not hasattr(self, "_spell_index"):
+                idx: dict[str, list[int]] = {}
+                for i, t in enumerate(terms):
+                    idx.setdefault(t, []).append(i)
+                    for d in deletions(t):
+                        idx.setdefault(d, []).append(i)
+                self._spell_index = idx
+            cand_ids: set[int] = set()
+            for key_ in (last, *deletions(last)):
+                cand_ids.update(self._spell_index.get(key_, ()))
+            ok = [i for i in cand_ids if levenshtein(last, terms[i]) <= 1]
+            cand_t = terms[np.asarray(ok, dtype=np.int64)] if ok else terms[:0]
+            cand_d = df[np.asarray(ok, dtype=np.int64)] if ok else df[:0]
             source = "spell"
         order = np.lexsort((cand_t, -cand_d))[:k]
         return {
