@@ -774,8 +774,6 @@ def cmd_tally(args) -> None:
             [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
             cwd=root, capture_output=True, text=True,
         )
-        tail = [ln for ln in r.stdout.splitlines() if "tests collected" in ln
-                or ("test" in ln and "collected" in ln)]
         import re as _re
         m = _re.search(r"(\d+) tests? collected", r.stdout)
         out["n_tests"] = int(m.group(1)) if m else None

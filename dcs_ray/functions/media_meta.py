@@ -407,7 +407,46 @@ def encode_mp3_skeleton(n_frames: int, bitrate_kbps: int = 128, samplerate: int 
 
 
 def media_metadata_one(payload: bytes) -> dict:
-    """Sniff + parse ONE payload's header → uniform metadata dict."""
+    """Sniff + parse ONE payload's header → uniform metadata dict.
+
+    Triage contract: NEVER raises.  Unrecognized bytes come back
+    ``format="unknown"``; bytes whose magic is recognized but whose
+    header is malformed (truncated moov, AVI without avih, …) come
+    back ``format="corrupt:<fmt>"`` — one bad file must not fail a
+    whole map_batches task."""
+    try:
+        return _media_metadata_one(payload)
+    except Exception:
+        sniffed = _sniff_format(payload)
+        base = {"format": f"corrupt:{sniffed}" if sniffed else "unknown",
+                "duration_ms": 0, "width": 0, "height": 0,
+                "samplerate_hz": 0, "n_samples": 0, "n_tracks": 0}
+        return base
+
+
+def _sniff_format(payload: bytes) -> str:
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:2] == b"\xff\xfb" or payload[:3] == b"ID3":
+        return "mp3"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
+    return ""
+
+
+def _media_metadata_one(payload: bytes) -> dict:
     from .multimodal import decode_ppm, decode_wav_pcm16
 
     base = {"format": "unknown", "duration_ms": 0, "width": 0, "height": 0,

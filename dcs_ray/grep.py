@@ -136,10 +136,12 @@ class RegexGrepper:
             line_start[0] = 0
             np.cumsum([len(ln) + 1 for ln in lines], out=line_start[1:])
 
-            def collect(starts_iter) -> list[tuple[int, int]]:
-                """(lineno, start) per matched line, ≤1/line (D3)."""
-                rows: list[tuple[int, int]] = []
-                seen_lines: set[int] = set()
+            def collect(starts_iter, into=None) -> list[tuple[int, int]]:
+                """(lineno, start) per matched line, ≤1/line (D3).
+                ``into`` lets the timeout path keep partial results —
+                the list survives the generator's TimeoutError."""
+                rows: list[tuple[int, int]] = [] if into is None else into
+                seen_lines: set[int] = {ln for ln, _s in rows}
                 for start in starts_iter:
                     if len(seen_lines) >= self.cap:
                         break
@@ -159,8 +161,9 @@ class RegexGrepper:
                     if self.match_timeout is not None
                     else self.rx.finditer(text)
                 )
+                rows = []
                 try:
-                    rows = collect(m.start() for m in it)
+                    collect((m.start() for m in it), into=rows)
                 except TimeoutError:
                     if self.nfa is not None:
                         # budget blown: redo this doc on the linear
@@ -168,9 +171,10 @@ class RegexGrepper:
                         rows = collect(s for s, _e in self.nfa.finditer(text))
                     else:
                         # pattern the NFA can't express (backrefs,
-                        # lookaround): keep ONE sentinel row (line=-1)
-                        # so the bail-out is counted downstream
-                        rows = [(-1, -1)]
+                        # lookaround): keep the matches found before the
+                        # budget blew plus ONE sentinel row (line=-1) so
+                        # the bail-out is counted downstream
+                        rows.append((-1, -1))
             for lineno, start in rows:
                 idx = lineno - 1
                 ctx = (

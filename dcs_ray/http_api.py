@@ -188,12 +188,22 @@ class ApiServer:
             return self._metrics(h)
         if u.path == "/v1/progress":
             # in-flight progress snapshot (querymanager_events analogue):
-            # newest event per shard + rollup for a joining client
-            from dcs_ray.progress import get_bus
-            import ray as _ray
+            # newest event per shard + rollup for a joining client —
+            # key-gated like every /v1 endpoint (only /metrics is open)
+            token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
+            if decode_api_key(token, self.secret) is None:
+                self._bump("queries_forbidden")
+                return self._err(h, 403, "invalid x-dcs-apikey header")
+            try:
+                import ray as _ray
 
-            qid = qs.get("query_id", "")
-            snap = _ray.get(get_bus().snapshot.remote(qid))
+                from dcs_ray.progress import get_bus
+
+                qid = qs.get("query_id", "")
+                snap = _ray.get(get_bus().snapshot.remote(qid))
+            except Exception as e:
+                self._bump("queries_errored")
+                return self._err(h, 500, f"{type(e).__name__}: {e}")
             data = json.dumps(snap).encode()
             h.send_response(200)
             h.send_header("Content-Type", "application/json")
@@ -311,10 +321,13 @@ class ApiServer:
         elif mode in ("regex", "regexp") and self.trigram_index_dir and self.docs_path:
             from dcs_ray.grep import search_regex_fused
 
+            from dcs_ray.grep import MATCH_SCHEMA
+
             ds = search_regex_fused(self.trigram_index_dir, self.docs_path, query)
-            t = pa.concat_tables(
-                [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
-            )
+            parts = [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+            # a no-match regex yields zero batches — concat_tables([])
+            # raises, so fall back to the schema's empty table
+            t = pa.concat_tables(parts) if parts else MATCH_SCHEMA.empty_table()
         elif mode in ("literal", "regex", "regexp"):
             raise ValueError(
                 f"match_mode={mode!r} needs the server started with a "
@@ -337,7 +350,14 @@ class ApiServer:
                     self.docs_path, columns=["doc_id", "text"],
                     filters=[("doc_id", "in", ids)],
                 )
-                terms = [w for w in query.split() if w and w[0] not in "+-"]
+                # '+term' is REQUIRED (keep, strip the operator);
+                # '-term' is a negation (drop); quoted phrases anchor
+                # on their words
+                terms = [
+                    w.lstrip("+").strip('"')
+                    for w in query.split()
+                    if w and not w.startswith("-") and w.lstrip("+").strip('"')
+                ]
                 snip = first_match_snippets(docs["text"], terms)
                 by_id = dict(zip(docs["doc_id"].to_pylist(), snip.to_pylist()))
                 for r in rows:
@@ -438,10 +458,14 @@ class ApiServer:
                 lines.append(f"dcsray_http_{k} {v}")
         with self._svc_lock:
             ci = self.svc.cache_info()
+            # metrics() round-trips the actor pool — taken under the
+            # same lock so a concurrent /v1/replace-index can't kill
+            # the actors out from under the scrape
+            shard_rows = self.svc.metrics().to_pylist()
         lines.append(f"dcsray_result_cache_hits {ci['hits']}")
         lines.append(f"dcsray_result_cache_misses {ci['misses']}")
         lines.append(f"dcsray_result_cache_entries {ci['entries']}")
-        for r in self.svc.metrics().to_pylist():
+        for r in shard_rows:
             lbl = '{shard="%s"}' % r["shard"]
             lines.append(f"dcsray_shard_queries_total{lbl} {r['n_queries']}")
             lines.append(f"dcsray_shard_busy_seconds{lbl} {r['busy_s']:.6f}")

@@ -62,12 +62,30 @@ class _CharTest:
         return self.table[o] if o < 128 else self.fn(c)
 
 
-def _category_fn(cat):
+def _category_fn(cat, ascii_: bool = False):
+    """Match ``re``'s category semantics exactly: \d is Unicode Nd
+    (str.isdecimal — NOT isdigit, which also accepts No like ²), \w is
+    alnum+underscore, \s is str.isspace; under re.ASCII each collapses
+    to its ASCII subset."""
     name = str(cat)
+    if ascii_:
+        if name.endswith("CATEGORY_DIGIT"):
+            return lambda c: "0" <= c <= "9"
+        if name.endswith("CATEGORY_NOT_DIGIT"):
+            return lambda c: not ("0" <= c <= "9")
+        if name.endswith("CATEGORY_SPACE"):
+            return lambda c: c in " \t\n\r\f\v"
+        if name.endswith("CATEGORY_NOT_SPACE"):
+            return lambda c: c not in " \t\n\r\f\v"
+        if name.endswith("CATEGORY_WORD"):
+            return lambda c: c == "_" or ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9")
+        if name.endswith("CATEGORY_NOT_WORD"):
+            return lambda c: not (c == "_" or ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9"))
+        raise Unsupported(f"char category {cat!r}")
     if name.endswith("CATEGORY_DIGIT"):
-        return lambda c: c.isdigit()
+        return lambda c: c.isdecimal()
     if name.endswith("CATEGORY_NOT_DIGIT"):
-        return lambda c: not c.isdigit()
+        return lambda c: not c.isdecimal()
     if name.endswith("CATEGORY_SPACE"):
         return lambda c: c.isspace()
     if name.endswith("CATEGORY_NOT_SPACE"):
@@ -79,7 +97,7 @@ def _category_fn(cat):
     raise Unsupported(f"char category {cat!r}")
 
 
-def _in_fn(items, ignorecase):
+def _in_fn(items, ignorecase, ascii_=False):
     """Predicate for an IN node's item list (NEGATE/LITERAL/RANGE/CATEGORY)."""
     negate = False
     lits: set[str] = set()
@@ -94,7 +112,7 @@ def _in_fn(items, ignorecase):
         elif opn.endswith("RANGE"):
             ranges.append(av)
         elif opn.endswith("CATEGORY"):
-            cats.append(_category_fn(av))
+            cats.append(_category_fn(av, ascii_))
         else:
             raise Unsupported(f"class item {op!r}")
     if ignorecase:
@@ -137,8 +155,14 @@ class Program:
             return pos == n
         if kind == "eos_nl":  # \Z is eos; \z absent in Python — $ handled above
             return pos == n
-        prev_w = pos > 0 and _is_word(text[pos - 1])
-        next_w = pos < n and _is_word(text[pos])
+        if kind.endswith("_ascii"):
+            def _w(c):
+                return c == "_" or ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9")
+            kind = kind[: -len("_ascii")]
+        else:
+            _w = _is_word
+        prev_w = pos > 0 and _w(text[pos - 1])
+        next_w = pos < n and _w(text[pos])
         if kind == "boundary":
             return prev_w != next_w
         if kind == "non_boundary":
@@ -308,7 +332,7 @@ def _compile_node(node, insns, tests, flags):
         tests.append(_CharTest(fn))
         insns.append([CHAR, len(tests) - 1, None])
     elif opn == "IN":
-        tests.append(_CharTest(_in_fn(av, ignorecase)))
+        tests.append(_CharTest(_in_fn(av, ignorecase, bool(flags & re.ASCII))))
         insns.append([CHAR, len(tests) - 1, None])
     elif opn == "AT":
         name = str(av)
@@ -323,6 +347,8 @@ def _compile_node(node, insns, tests, flags):
                 kind = "boundary"
             else:
                 raise Unsupported(f"anchor {av!r}")
+            if flags & re.ASCII:  # scoped (?a:...\b...) honored per node
+                kind += "_ascii"
         insns.append([EMPTY, kind, None])
     elif opn == "SUBPATTERN":
         _gid, add_f, del_f, sub = av

@@ -24,6 +24,10 @@ import ray
 
 _BUS_NAME = "dcs_ray_progress_bus"
 _HISTORY_CAP = 1000  # per query — telemetry-sized, never corpus-sized
+_QUERY_CAP = 512     # distinct query_ids kept (LRU) — a long-lived
+                     # server with per-request ids must not grow the
+                     # bus without bound (dcs GCs finished queries the
+                     # same way, querymanager.go:142-181)
 
 
 @ray.remote(num_cpus=0)
@@ -56,6 +60,14 @@ class ProgressBus:
         h.append(ev)
         if len(h) > _HISTORY_CAP:
             del h[: len(h) - _HISTORY_CAP]
+        # LRU over query ids: touching a query moves it newest; beyond
+        # the cap the stalest query's state is dropped entirely
+        self._latest[query_id] = self._latest.pop(query_id)
+        self._history[query_id] = self._history.pop(query_id)
+        while len(self._latest) > _QUERY_CAP:
+            old = next(iter(self._latest))
+            self._latest.pop(old, None)
+            self._history.pop(old, None)
 
     def snapshot(self, query_id: str) -> dict:
         """Latest event per shard + rollup — what a late-joining client

@@ -164,6 +164,7 @@ class SearchService:
         self.index_dir = index_dir
         self.stats = load_stats(index_dir)
         self.shards = shard_paths(index_dir)
+        self._requested_num_cpus = num_cpus  # replace_index re-derives from this
         num_cpus = _fit_pool_cpus(num_cpus, len(self.shards))
         # a crashed shard actor restarts transparently (segment re-opens
         # in __init__, caches re-warm) and the in-flight call retries —
@@ -380,7 +381,12 @@ class SearchService:
         new_dir = index_dir or self.index_dir
         new_stats = load_stats(new_dir)
         new_shards = shard_paths(new_dir)
-        num_cpus = _fit_pool_cpus(1.0, len(new_shards))
+        # preserve the pool's ORIGINAL per-actor sizing (a 0.5-cpu pool
+        # deliberately undersized to avoid starving Dataset stages must
+        # not silently double after a swap)
+        num_cpus = _fit_pool_cpus(
+            getattr(self, "_requested_num_cpus", 1.0), len(new_shards)
+        )
         new_actors = [
             ShardSearcher.options(
                 num_cpus=num_cpus, max_restarts=2, max_task_retries=2

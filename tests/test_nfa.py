@@ -39,7 +39,9 @@ def test_differential_vs_re(pat, s):
 
 @pytest.mark.parametrize(
     "pat,s,flags",
-    [(r"^b", "a\nb", re.M), (r"a$", "a\nb a", re.M), (r"a.b", "a\nb", re.S)],
+    [(r"^b", "a\nb", re.M), (r"a$", "a\nb a", re.M), (r"a.b", "a\nb", re.S),
+     (r"\d+", "x\u00b2 5\u0660", 0), (r"\d+", "5\u0660", re.ASCII),
+     (r"\w+", "a\u00e9b", re.ASCII), (r"\bfoo\b", "\u00e9foo foo", re.ASCII)],
 )
 def test_flags(pat, s, flags):
     assert list(compile_nfa(pat, flags).finditer(s)) == spans(pat, s, flags)
@@ -82,7 +84,7 @@ def test_fuzz_differential():
             return rp(d + 1) + random.choice(["*", "+", "?", "*?", "+?", "??"])
         return random.choice(["^", ""]) + rp(d + 1) + random.choice(["$", ""])
 
-    alpha = "abcx 1\n_"
+    alpha = "abcx 1\n_\u00b2\u0660\u00e9"  # incl. isdigit-not-Nd ², Nd ٠, é
     compared = 0
     for _ in range(1500):
         p = rp()
