@@ -716,6 +716,19 @@ def cmd_warc(args) -> None:
                       "n_terms": manifest["stats"]["n_terms"]}))
 
 
+def cmd_feed(args) -> None:
+    """Continuous ingest: poll a drop directory of parquet files and
+    NRT-add each into the index (the dcs-feeder role)."""
+    _ray()
+    from dcs_ray.feeder import feed_loop, feed_once
+
+    if args.once:
+        print(json.dumps(feed_once(args.index, args.incoming)))
+    else:
+        feed_loop(args.index, args.incoming, interval_s=args.interval,
+                  max_ticks=args.max_ticks)
+
+
 def cmd_serve(args) -> None:
     """Start the HTTP front door (/v1/search, /v1/searchperpackage,
     /metrics) over a resident shard-actor pool; blocks until SIGINT."""
@@ -1011,6 +1024,14 @@ def main() -> None:
                    help="with --service: record per-shard in-flight "
                    "progress events per query (querymanager_events shape)")
     d.set_defaults(fn=cmd_replay)
+
+    d = sub.add_parser("feed", help="poll a drop dir, NRT-add new parquet files")
+    d.add_argument("index")
+    d.add_argument("incoming")
+    d.add_argument("--interval", type=float, default=5.0)
+    d.add_argument("--once", action="store_true")
+    d.add_argument("--max-ticks", type=int, default=None)
+    d.set_defaults(fn=cmd_feed)
 
     d = sub.add_parser("serve", help="HTTP front door over the resident service")
     d.add_argument("index")
