@@ -47,6 +47,7 @@ def feed_once(
     id_col: str | None = None,
     svc=None,
     task_num_cpus: float = 1.0,
+    on_ingested=None,
 ) -> dict:
     """One tick: ingest every ``*.parquet`` in ``incoming_dir`` (sorted
     by name — drop files named by timestamp/sequence for a stable
@@ -77,6 +78,8 @@ def feed_once(
             out["ingested"] += 1
             out["n_docs"] += info["n_docs"]
             os.replace(path, os.path.join(done_dir, name))
+            if on_ingested is not None:
+                on_ingested(t)
         except Exception as e:
             out["failed"] += 1
             os.replace(path, os.path.join(failed_dir, name))
@@ -105,3 +108,42 @@ def feed_loop(
         tick += 1
         if max_ticks is None or tick < max_ticks:
             time.sleep(interval_s)
+
+
+def feed_with_alerts(
+    index_dir: str,
+    incoming_dir: str,
+    standing_queries: list[list[str]],
+    **kw,
+):
+    """Ingest tick + prospective alerts over ONLY the newly ingested
+    docs — selective dissemination on the live stream (the SIFT role
+    composed onto the feeder: every Google-Alerts-style standing query
+    is probed against each delta batch as it lands, zero index reads).
+
+    Returns ``(tick_counts, alerts_table)`` where alerts is
+    (doc_id, query_id) rows for the docs ingested THIS tick.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from dcs_ray.functions.prospective import compile_queries, match_stream
+
+    ingested: list[pa.Table] = []
+    res = feed_once(index_dir, incoming_dir, on_ingested=ingested.append, **kw)
+    if not ingested:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "query_id": pa.array([], pa.int64())})
+        return res, empty
+    comp_ref = ray.put(compile_queries(standing_queries))
+    ds = match_stream(
+        ray.data.from_arrow(pa.concat_tables(
+            [t.select(["doc_id", "text"]) for t in ingested]
+        )),
+        comp_ref,
+    )
+    alerts = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return res, alerts

@@ -50,6 +50,64 @@ def _q_regex_search_linear(sf_dir: str) -> Any:
     ).sort_by("doc_id")
 
 
+def _q_feed_alerts(sf_dir: str) -> pa.Table:
+    """The live-ingest composition: feeder tick (drop-dir parquet → NRT
+    delta adds) with prospective standing-query alerts evaluated over
+    ONLY the ingested docs (dcs-feeder × SIFT). Deterministic replay:
+    base index = docs with doc_id<100, two delta files carrying docs
+    0..39 re-idd at +1_000_000; output (query_id, n_alerts, head_docs)
+    over the delta stream, which the oracle replays as tokenized
+    containment on the same re-idd slice."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from dcs_ray.feeder import feed_with_alerts
+    from dcs_ray.index import IndexConfig, build_index
+
+    root = tempfile.mkdtemp(prefix="feed_alerts_", dir="/tmp")
+    try:
+        idx = os.path.join(root, "idx")
+        inc = os.path.join(root, "inc")
+        os.makedirs(inc)
+        base = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ).filter(lambda r: r["doc_id"] < 100)
+        build_index(base, idx, IndexConfig(
+            num_partitions=2, num_shards=1, mode="words", id_col="doc_id",
+            dedup_latest=False,
+        ))
+        t = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filters=[("doc_id", "<", 40)],
+        ).sort_by("doc_id")
+        t = t.set_column(
+            0, "doc_id", pa.array(t["doc_id"].to_numpy() + 1_000_000, pa.int64())
+        )
+        _pq.write_table(t.slice(0, 20), os.path.join(inc, "000.parquet"))
+        _pq.write_table(t.slice(20), os.path.join(inc, "001.parquet"))
+        res, alerts = feed_with_alerts(idx, inc, _ALERT_QUERIES)
+        assert res["ingested"] == 2, res
+        qid = alerts["query_id"].to_numpy()
+        did = alerts["doc_id"].to_numpy()
+        rows = {"query_id": [], "n_alerts": [], "head_docs": []}
+        for q in range(len(_ALERT_QUERIES)):
+            docs_q = np.sort(did[qid == q])
+            rows["query_id"].append(q)
+            rows["n_alerts"].append(len(docs_q))
+            rows["head_docs"].append(",".join(str(int(x)) for x in docs_q[:5]))
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "n_alerts": pa.array(rows["n_alerts"], pa.int64()),
+                "head_docs": pa.array(rows["head_docs"], pa.string()),
+            }
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
     """TPC-H-Q2-shape minimum-cost supplier (adapted: no partsupp table,
     so a supplier's offer for a part is its cheapest shipped lineitem in

@@ -2171,6 +2171,34 @@ ORDER BY query_id
 """
 
 
+def _feed_alerts_sql() -> str:
+    """_alerts_sql over the feeder gate's delta slice: docs 0..39
+    re-idd at +1_000_000 (the same deterministic replay the engine
+    gate performs on its scratch ingest)."""
+    tokd = ("SELECT doc_id + 1000000 AS doc_id, "
+            "unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), x -> x <> '')) AS term "
+            "FROM documents WHERE doc_id < 40")
+    parts = []
+    for qi, q in enumerate(_ALERT_QUERIES):
+        uq = sorted(set(q))
+        inl = ", ".join(f"'{t}'" for t in uq)
+        parts.append(f"""SELECT {qi}::bigint AS query_id,
+       count(*)::bigint AS n_alerts,
+       coalesce(string_agg(doc_id, ',' ORDER BY doc_id)
+                FILTER (WHERE rn <= 5), '') AS head_docs
+FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id FROM tokd WHERE term IN ({inl})
+        GROUP BY doc_id HAVING count(DISTINCT term) = {len(uq)}))""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH tokd AS ({tokd})
+{body}
+ORDER BY query_id
+"""
+
+
 _BLOOM_PROBE_TERMS = ["join", "nosuchterm12345", "pmark0", "pmark3", "pmark7", "spark"]
 
 

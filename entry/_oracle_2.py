@@ -16,6 +16,7 @@ import ray.data
 from dcs_ray.sources.io import read_parquet_sized
 
 from entry._helpers import (  # noqa: F401
+    _feed_alerts_sql,
     REGEX,
     LITERAL,
     _BM25_SCORES,
@@ -2353,4 +2354,5 @@ SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
   SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents
 ) WHERE regexp_matches(line, '{REGEX}') GROUP BY doc_id ORDER BY doc_id
 """,
+        "feed_alerts": _feed_alerts_sql(),
     }
