@@ -97,3 +97,26 @@ def test_feed_updates_serving_pool(tmp_path):
         assert after.equals(search_bm25(idx, [QUERY], k=10))
     finally:
         svc.shutdown()
+
+
+def test_feed_with_alerts_only_new_docs(tmp_path):
+    """Alerts fire for THIS tick's ingested docs only; an empty tick
+    yields an empty alert table."""
+    from dcs_ray.feeder import feed_with_alerts
+
+    idx = _base(tmp_path)
+    inc = str(tmp_path / "incoming")
+    os.makedirs(inc)
+    queries = [["spark", "merge"], ["zebra"]]
+    res, alerts = feed_with_alerts(idx, inc, queries)
+    assert res["ingested"] == 0 and alerts.num_rows == 0
+
+    _delta(f"{inc}/000.parquet", [10_000, 10_001],
+           ["spark merge everywhere", "zebra zebra"])
+    res, alerts = feed_with_alerts(idx, inc, queries)
+    assert res["ingested"] == 1
+    got = sorted(zip(alerts["doc_id"].to_pylist(), alerts["query_id"].to_pylist()))
+    assert got == [(10_000, 0), (10_001, 1)]
+    # the base corpus (which contains 'spark merge' docs) did NOT alert:
+    # only stream docs are probed
+    assert all(d >= 10_000 for d, _q in got)
