@@ -509,6 +509,96 @@ def fuzzy_dedup_keep(
     return docs.map_batches(keep_batch, batch_format="pyarrow")
 
 
+def fuzzy_dedup_keep_best(
+    docs: ray.data.Dataset,
+    quality_col: str = "n_chars",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    cc_method: str = "distributed",
+) -> ray.data.Dataset:
+    """Quality-aware fuzzy dedup: same MinHash+LSH → verify → connected
+    components pipeline as :func:`fuzzy_dedup_keep`, but each near-dup
+    cluster keeps its BEST member — argmax(``quality_col``), ties to the
+    smallest id — instead of the minimum id. This is the production
+    web-corpus policy (keep the longest / highest-quality capture of a
+    near-duplicate page, not an arbitrary representative).
+
+    Scale shape: identical to ``fuzzy_dedup_keep`` plus ONE extra
+    broadcast probe — the cluster-member id set (duplicate-count-sized,
+    not corpus-sized) is sent to a filtered ``map_batches`` pass that
+    returns (id, quality) for members only; the per-cluster argmax runs
+    on that member-sized table driver-side, and the final keep mask is
+    the same sorted-drop-set searchsorted probe."""
+    from dcs_ray.functions.graph import connected_components
+
+    cand = minhash_candidate_pairs(
+        docs, num_perm=num_perm, bands=bands, id_col=id_col, shingle_n=shingle_n
+    )
+    verified = jaccard_verify_pairs(
+        docs, cand, shingle_n=shingle_n, threshold=threshold, id_col=id_col
+    )
+    labels = connected_components(verified, method=cc_method)
+    lab_batches = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
+    lab_tbl = pa.concat_tables(lab_batches) if lab_batches else pa.table({})
+    if len(lab_tbl):
+        node = lab_tbl["node"].to_numpy().astype(np.int64)
+        comp = lab_tbl["component"].to_numpy().astype(np.int64)
+        order = np.argsort(node)
+        node, comp = node[order], comp[order]
+        node_ref = ray.put(node)
+
+        def member_quality(b: pa.Table, _n=node_ref) -> pa.Table:
+            nd = ray.get(_n)
+            ids = b[id_col].to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+            hit = nd[pos] == ids
+            return pa.table(
+                {
+                    id_col: pa.array(ids[hit], pa.int64()),
+                    "q": pa.array(
+                        b[quality_col].to_numpy().astype(np.float64)[hit], pa.float64()
+                    ),
+                }
+            )
+
+        mq = pa.concat_tables(
+            [
+                pa.table(b)
+                for b in docs.map_batches(member_quality, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+        )
+        mids = mq[id_col].to_numpy().astype(np.int64)
+        mqual = mq["q"].to_numpy()
+        mo = np.argsort(mids)
+        mids, mqual = mids[mo], mqual[mo]
+        qual = mqual[np.searchsorted(mids, node)]  # node is sorted ⊆ mids
+        # per-component argmax(quality), tie → min id: sort (comp, -q, id)
+        csort = np.lexsort((node, -qual, comp))
+        first = np.concatenate(([True], comp[csort][1:] != comp[csort][:-1]))
+        best = node[csort][first]
+        drop = np.sort(np.setdiff1d(node, best, assume_unique=False))
+    else:
+        drop = np.empty(0, np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        d = ray.get(drop_ref)
+        if len(d):
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            keep = d[pos] != ids
+        else:
+            keep = np.ones(len(ids), bool)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    return docs.map_batches(keep_batch, batch_format="pyarrow")
+
+
 def exact_jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:
     """Exact shingle-set Jaccard (verify stage for LSH candidates)."""
     sh_a, off_a = _shingle_hashes(pa.array([text_a]), shingle_n)

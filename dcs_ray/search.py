@@ -337,10 +337,15 @@ def score_shard_all(
     plan: list[tuple[str, float]],
     stats: dict,
     doc_filter: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_counts: bool = False,
+) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Exhaustive BM25 scores of every (filtered) candidate doc in one
     shard → (doc_ids ascending, scores). Per-doc accumulation is in
-    ascending-term order (determinism, SURVEY §7.5)."""
+    ascending-term order (determinism, SURVEY §7.5). With
+    ``return_counts`` also returns the number of DISTINCT query terms
+    matched per doc (posting lists hold each doc at most once per term,
+    so the per-doc contribution count IS the distinct-match count) —
+    the minimum-should-match input."""
     doc_chunks, score_chunks = [], []
     for term, idf in plan:  # ascending term order
         idx = seg.term_index(term)
@@ -350,7 +355,8 @@ def score_shard_all(
         doc_chunks.append(doc_ids)
         score_chunks.append(s)
     if not doc_chunks:
-        return np.empty(0, np.uint64), np.empty(0, np.float64)
+        empty = (np.empty(0, np.uint64), np.empty(0, np.float64))
+        return (*empty, np.empty(0, np.int64)) if return_counts else empty
     docs = np.concatenate(doc_chunks)
     scores = np.concatenate(score_chunks)
     order = np.argsort(docs, kind="stable")  # term order preserved per doc
@@ -358,6 +364,9 @@ def score_shard_all(
     boundaries = np.concatenate(([0], np.flatnonzero(docs[1:] != docs[:-1]) + 1))
     uniq_docs = docs[boundaries]
     sums = np.add.reduceat(scores, boundaries)
+    if return_counts:
+        counts = np.diff(np.append(boundaries, len(docs)))
+        return uniq_docs, sums, counts
     return uniq_docs, sums
 
 
@@ -374,6 +383,26 @@ def score_shard_bm25(
     if prior_col is not None and len(uniq_docs):
         sums = sums * _shard_prior(seg, prior_col, uniq_docs)
     return topk(uniq_docs, sums, k)
+
+
+def score_shard_bm25_msm(
+    seg: Segment,
+    plan: list[tuple[str, float]],
+    stats: dict,
+    k: int,
+    doc_filter: np.ndarray | None = None,
+    min_match: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-should-match BM25: rank only docs matching at least
+    ``min_match`` DISTINCT query terms (Lucene's minimumShouldMatch on
+    a BooleanQuery of SHOULD term clauses). Counting happens shard-
+    locally on the same contribution stream the exhaustive scorer
+    already builds — no extra posting decode, and the per-shard top-k
+    is taken AFTER the filter, so the driver merge still sees only
+    k×shards survivors."""
+    uniq_docs, sums, counts = score_shard_all(seg, plan, stats, doc_filter, return_counts=True)
+    keep = counts >= min_match
+    return topk(uniq_docs[keep], sums[keep], k)
 
 
 def _bm25_term_scores(
@@ -760,6 +789,7 @@ def search_bm25(
     chunk_queries: int | None = None,
     filters: dict | None = None,
     prior_col: str | None = None,
+    min_match: int | None = None,
 ) -> pa.Table:
     """BM25 top-k for a batch of queries as a Ray Data pipeline.
 
@@ -788,11 +818,23 @@ def search_bm25(
             "per-doc multiplier forces the exhaustive classic-BM25 "
             "scorer (use method='maxscore' or 'bm25')"
         )
+    if min_match is not None and method not in ("maxscore", "bm25"):
+        # MaxScore/BMW prune docs by score bound before the match count
+        # is known; minimum-should-match needs the exhaustive stream
+        raise ValueError(
+            f"min_match is incompatible with method={method!r}: the "
+            "distinct-term-count filter forces the exhaustive scorer"
+        )
+    if min_match is not None and prior_col is not None:
+        raise ValueError("min_match and prior_col cannot be combined")
     filters = _with_tombstones(index_dir, filters)
     stats = stats or load_stats(index_dir)
     shards = prune_shards(shard_paths(index_dir), filters)
     plans = plan_queries(index_dir, queries, stats)
-    if prior_col is not None:
+    if min_match is not None:
+        def score_fn(seg, plan, st, kk, doc_filter=None):
+            return score_shard_bm25_msm(seg, plan, st, kk, doc_filter, min_match)
+    elif prior_col is not None:
         def score_fn(seg, plan, st, kk, doc_filter=None):
             return score_shard_bm25(seg, plan, st, kk, doc_filter, prior_col)
     elif method == "maxscore":
@@ -2443,6 +2485,121 @@ def search_corrected(
             }
         )
     t = search_bm25(index_dir, [" ".join(corrected)], k=k, stats=stats)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def expand_prefix_terms(
+    index_dir: str, prefix: str, max_expansions: int = 20
+) -> list[str]:
+    """Expand a trailing-wildcard pattern prefix to concrete index terms:
+    the ``max_expansions`` highest-df vocabulary terms starting with
+    ``prefix`` (df desc, term asc — Lucene's TopTermsBlendedFreq rewrite
+    shape with a deterministic tie-break).
+
+    The vocab probe is a predicate-pushdown RANGE read of the
+    term-sorted stats table (``term >= prefix AND term < next(prefix)``)
+    — row-group statistics skip everything outside the prefix range, so
+    the scan is range-sized, not vocabulary-sized."""
+    if not prefix:
+        raise ValueError("wildcard prefix must be non-empty")
+    import pyarrow.dataset as pads
+
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    dset = pads.dataset(os.path.join(index_dir, "stats", "df.parquet"))
+    tbl = dset.to_table(
+        filter=(pads.field("term") >= prefix) & (pads.field("term") < upper)
+    )
+    terms = tbl["term"].to_pylist()
+    dfs = tbl["df"].to_pylist()
+    ranked = sorted(zip(terms, dfs), key=lambda td: (-td[1], td[0]))
+    return [t for t, _ in ranked[:max_expansions]]
+
+
+def search_wildcard(
+    index_dir: str,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = 20,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Trailing-wildcard BM25 search (``spa*``): expand the prefix to the
+    top-``max_expansions`` vocabulary terms by df, then rank the
+    disjunction with the normal per-shard BM25 fan-out (a multi-term
+    query — idf per expanded term, scores summed per doc). Mixed
+    queries (``merge spa*``) expand each ``*``-suffixed token and pass
+    plain tokens through unchanged."""
+    from dcs_ray.tokenize import tokenize_query_words
+
+    terms: set[str] = set()
+    for raw in pattern.split():
+        if raw.endswith("*") and len(raw) > 1:
+            terms.update(expand_prefix_terms(index_dir, raw[:-1].lower(), max_expansions))
+        else:
+            terms.update(tokenize_query_words(raw))
+    if not terms:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    t = search_bm25(index_dir, [" ".join(sorted(terms))], k=k, stats=stats)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def search_fuzzy(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 50,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Fuzzy BM25 search (Lucene FuzzyQuery semantics at edit distance
+    ≤ 1): every query word expands to ALL vocabulary terms within
+    levenshtein distance 1 (itself included when in-vocab), capped at
+    ``max_expansions`` per word by (df desc, term asc); the union ranks
+    as one disjunctive BM25 query. Distinct from ``search_corrected``,
+    which REPLACES out-of-vocab words with the single best suggestion —
+    fuzzy expansion keeps every near neighbor, the recall-oriented
+    behavior ("spark" also matches docs that only say "sparks").
+
+    Candidate lookup is the SymSpell deletion-key probe over the
+    vocabulary Dataset (:mod:`dcs_ray.functions.spell`) — one vocab
+    stream with the tiny query-side key set broadcast, never an
+    edit-distance pass over the corpus."""
+    from dcs_ray.functions.spell import suggest
+    from dcs_ray.tokenize import word_tokens_flat
+
+    stats = stats or load_stats(index_dir)
+    qflat, _ = word_tokens_flat(pa.array([query], pa.string()))
+    words = sorted(set(qflat.to_pylist()))
+    if not words:
+        return search_bm25(index_dir, [query], k=k, stats=stats)
+    vocab = ray.data.read_parquet(os.path.join(index_dir, "stats", "df.parquet"))
+    sugg = suggest(vocab, words, k=max_expansions)
+    terms = sorted(set(sugg["term"].to_pylist()))
+    if not terms:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    t = search_bm25(index_dir, [" ".join(terms)], k=k, stats=stats)
     return pa.table(
         {
             "rank": t["rank"].cast(pa.int64()),

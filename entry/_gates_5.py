@@ -1,0 +1,145 @@
+"""Round-4 session-2 gate callables: wildcard / fuzzy / minimum-should-
+match / recency-decayed BM25 and quality-aware fuzzy dedup.  Go through
+__ray_entry__ — do not import directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from dcs_ray.index.build import parquet_col_max
+from dcs_ray.sources.io import read_parquet_sized
+from entry._helpers import _CACHE_ROOT, _index_dir
+
+# recency half-life in days for the time-decay prior (bm25_recency);
+# warc_ts = BASE + doc_id seconds (sources/pages.py synthesis), so doc
+# age in days relative to the newest capture is (id_max - doc_id)/86400
+RECENCY_HALF_LIFE_DAYS = 30.0
+
+
+def _recency_index_dir(sf_dir: str) -> str:
+    """Words index whose doc_meta ``recency`` column is the exponential
+    time-decay prior 2^(-age_days/half_life) — freshness-boosted ranking
+    (the recency prior of web search, same doc_meta-prior machinery as
+    the PageRank prior F7 route). The decay is a pure vectorized
+    function of doc_id (the synthesized ``warc_ts`` is BASE + doc_id
+    seconds); ``id_max`` comes from parquet row-group statistics, a
+    metadata-only read — no corpus pass."""
+    from dcs_ray.index import IndexConfig, build_index
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_wordsrec")
+    if not os.path.exists(os.path.join(out, "MANIFEST.json")):
+        id_max = parquet_col_max(f"{sf_dir}/documents.parquet", "doc_id")
+
+        def with_recency(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy().astype(np.float64)
+            prior = 2.0 ** (-((id_max - ids) / 86400.0 / RECENCY_HALF_LIFE_DAYS))
+            return b.append_column("recency", pa.array(prior, pa.float64()))
+
+        docs = read_parquet_sized(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        ).map_batches(with_recency, batch_format="pyarrow")
+        conf = IndexConfig(
+            num_partitions=8,
+            num_shards=2,
+            mode="words",
+            id_col="doc_id",
+            dedup_latest=False,
+            meta_cols=("source", "recency"),
+        )
+        build_index(docs, out, conf)
+    return out
+
+
+def _q_bm25_wildcard(sf_dir: str) -> pa.Table:
+    """Trailing-wildcard BM25 ('merge spa*'): the prefix expands to the
+    top-20 vocabulary terms by df via a range read of the term-sorted
+    stats table (row-group stats skip everything outside [spa, spb)),
+    then the disjunction ranks through the normal per-shard fan-out."""
+    from dcs_ray.search import search_wildcard
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_wildcard(idx, "merge spa*", k=10, max_expansions=20)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )
+
+
+def _q_bm25_fuzzy(sf_dir: str) -> pa.Table:
+    """Fuzzy BM25 (edit distance ≤ 1, Lucene FuzzyQuery semantics):
+    every query word expands to ALL vocab terms within levenshtein 1 via
+    the SymSpell deletion-key probe (recall-oriented — distinct from
+    search_corrected's replace-if-OOV), union ranked disjunctively."""
+    from dcs_ray.search import search_fuzzy
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_fuzzy(idx, "spark merge", k=10, max_expansions=50)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )
+
+
+def _q_bm25_msm(sf_dir: str) -> pa.Table:
+    """Minimum-should-match BM25: rank only docs matching ≥ 2 of the 3
+    query terms. The distinct-match count falls out of the exhaustive
+    scorer's per-doc contribution stream (posting lists hold a doc once
+    per term), filtered BEFORE the per-shard top-k."""
+    from dcs_ray.search import search_bm25
+    from entry._helpers import BM25_QUERY
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_bm25(idx, [BM25_QUERY], k=10, min_match=2)
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_bm25_recency(sf_dir: str) -> pa.Table:
+    """Freshness-boosted BM25: score × 2^(-age_days/30) where age runs
+    from the newest capture (warc_ts = BASE + doc_id s). The decay is a
+    static per-doc prior baked into doc_meta at build and multiplied
+    inside each shard task (the same F7 prior route as PageRank)."""
+    from dcs_ray.search import search_bm25
+    from entry._helpers import BM25_QUERY
+
+    idx = _recency_index_dir(sf_dir)
+    t = search_bm25(idx, [BM25_QUERY], k=10, prior_col="recency")
+    return pa.table(
+        {
+            "rank": t["rank"].cast(pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _q_dedup_keep_best(sf_dir: str) -> Any:
+    """Quality-aware fuzzy dedup: each MinHash near-dup cluster keeps
+    its LONGEST member (argmax n_chars, ties to the smallest id) — the
+    production keep policy for near-duplicate web captures."""
+    from dcs_ray.functions.dedup import fuzzy_dedup_keep_best
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    kept = fuzzy_dedup_keep_best(ds, quality_col="n_chars", threshold=0.5)
+    tables = [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
+    return pa.concat_tables(tables).sort_by("doc_id")

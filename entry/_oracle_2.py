@@ -17,6 +17,7 @@ from dcs_ray.sources.io import read_parquet_sized
 
 from entry._helpers import (  # noqa: F401
     _feed_alerts_sql,
+    _verify_chain_ctes,
     REGEX,
     LITERAL,
     _BM25_SCORES,
@@ -2355,4 +2356,105 @@ SELECT doc_id::bigint AS doc_id, count(*)::bigint AS n_lines FROM (
 ) WHERE regexp_matches(line, '{REGEX}') GROUP BY doc_id ORDER BY doc_id
 """,
         "feed_alerts": _feed_alerts_sql(),
+        "bm25_wildcard": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+exp AS (SELECT term FROM df WHERE term LIKE 'spa%'
+        ORDER BY df DESC, term ASC LIMIT 20),
+q AS (SELECT term FROM exp UNION SELECT 'merge'),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_fuzzy": f"""
+WITH tok AS ({_TOK}),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM dl)::double / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+exp AS (
+  SELECT term FROM (
+    SELECT w.word, d.term,
+           row_number() OVER (PARTITION BY w.word
+                              ORDER BY d.df DESC, d.term ASC) AS rn
+    FROM (VALUES ('spark'), ('merge')) w(word)
+    JOIN df d ON abs(length(d.term) - length(w.word)) <= 1
+             AND levenshtein(d.term, w.word) <= 1
+  ) WHERE rn <= 50
+),
+q AS (SELECT DISTINCT term FROM exp),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl)) ) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_msm": f"""
+WITH {_BM25_SCORES.replace("GROUP BY tf.doc_id", "GROUP BY tf.doc_id HAVING count(*) >= 2")}
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "bm25_recency": f"""
+WITH {_BM25_SCORES},
+idm AS (SELECT max(doc_id) AS id_max FROM documents),
+boosted AS (
+  SELECT s.doc_id,
+         s.score * power(2.0, -((idm.id_max - s.doc_id) / 86400.0 / 30.0)) AS score
+  FROM scores s, idm
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 6) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE {_verify_chain_ctes()},
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL SELECT id_b, id_a FROM verified
+),
+reach(node, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.v, r.label FROM reach r JOIN sym s ON s.u = r.node
+),
+lab AS (SELECT node, min(label) AS comp FROM reach GROUP BY node),
+best AS (
+  SELECT node FROM (
+    SELECT l.node,
+           row_number() OVER (PARTITION BY l.comp
+                              ORDER BY d.n_chars DESC, l.node ASC) AS rn
+    FROM lab l JOIN documents d ON d.doc_id = l.node
+  ) WHERE rn = 1
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM lab)
+   OR d.doc_id IN (SELECT node FROM best)
+ORDER BY doc_id
+""",
     }

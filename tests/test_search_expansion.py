@@ -1,0 +1,163 @@
+"""Wildcard / fuzzy / minimum-should-match / recency-prior BM25 and the
+quality-aware fuzzy-dedup keep policy — term-expansion search operators
+(Lucene WildcardQuery/FuzzyQuery/minimumShouldMatch semantics over the
+dcs-style sharded index; the reference's query language stops at
+literal/regex, so these are web-serving surface extensions)."""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from dcs_ray.index import IndexConfig, build_index
+from dcs_ray.search import (
+    expand_prefix_terms,
+    load_stats,
+    search_bm25,
+    search_fuzzy,
+    search_wildcard,
+)
+
+SF = "/root/testdata/sf0.001"
+Q = "spark merge join"
+
+
+@pytest.fixture(scope="module")
+def words_index(tmp_path_factory, ray_session):
+    out = str(tmp_path_factory.mktemp("idx") / "words_exp")
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    conf = IndexConfig(
+        num_partitions=4, num_shards=2, mode="words", id_col="doc_id",
+        dedup_latest=False, meta_cols=("source",),
+    )
+    build_index(docs, out, conf)
+    return out
+
+
+def test_expand_prefix_matches_vocab_scan(words_index):
+    got = expand_prefix_terms(words_index, "spa", max_expansions=20)
+    vocab = pq.read_table(os.path.join(words_index, "stats", "df.parquet"))
+    want = sorted(
+        (
+            (t, d)
+            for t, d in zip(vocab["term"].to_pylist(), vocab["df"].to_pylist())
+            if t.startswith("spa")
+        ),
+        key=lambda td: (-td[1], td[0]),
+    )[:20]
+    assert got == [t for t, _ in want]
+    assert len(got) >= 1  # 'spark' itself is corpus vocabulary
+
+
+def test_wildcard_equals_manual_expansion(words_index):
+    t = search_wildcard(words_index, "merge spa*", k=10, max_expansions=20)
+    terms = set(expand_prefix_terms(words_index, "spa", 20)) | {"merge"}
+    ref = search_bm25(words_index, [" ".join(sorted(terms))], k=10)
+    assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+    np.testing.assert_allclose(
+        t["score"].to_numpy(), np.round(ref["score"].to_numpy(), 6), atol=1e-9
+    )
+
+
+def test_wildcard_beats_exact_on_recall(words_index):
+    """The expansion must actually add matching docs vs the bare prefix
+    token (which is typically not itself a corpus term)."""
+    exp = expand_prefix_terms(words_index, "spa", 20)
+    assert any(t != "spa" for t in exp)
+
+
+def test_fuzzy_equals_manual_union(words_index):
+    from dcs_ray.functions.spell import suggest
+
+    t = search_fuzzy(words_index, "spark merge", k=10, max_expansions=50)
+    vocab = ray.data.read_parquet(os.path.join(words_index, "stats", "df.parquet"))
+    sugg = suggest(vocab, ["merge", "spark"], k=50)
+    terms = sorted(set(sugg["term"].to_pylist()))
+    assert "spark" in terms and "merge" in terms  # exact terms survive
+    ref = search_bm25(words_index, [" ".join(terms)], k=10)
+    assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+
+
+def test_fuzzy_expansion_is_distance_1(words_index):
+    from dcs_ray.functions.spell import levenshtein, suggest
+
+    vocab = ray.data.read_parquet(os.path.join(words_index, "stats", "df.parquet"))
+    sugg = suggest(vocab, ["spark"], k=50)
+    for term in sugg["term"].to_pylist():
+        assert levenshtein(term, "spark") <= 1
+
+
+def test_msm_filters_by_distinct_match_count(words_index):
+    stats = load_stats(words_index)
+    got = search_bm25(words_index, [Q], k=10, min_match=2)
+    # brute-force reference: full disjunctive ranking, then drop docs
+    # matching < 2 distinct query terms (counted on the raw text with
+    # the same tokenizer convention)
+    full = search_bm25(words_index, [Q], k=stats["n_docs"], stats=stats)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    by_id = dict(zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()))
+    tok = re.compile(r"[a-z0-9]+")
+    qterms = set(Q.split())
+    rows = [
+        (d, s)
+        for d, s in zip(full["doc_id"].to_pylist(), full["score"].to_pylist())
+        if len(qterms & set(tok.findall(by_id[d].lower()))) >= 2
+    ]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    assert got["doc_id"].to_pylist() == [d for d, _ in rows[:10]]
+    # and every survivor really matches >= 2 distinct terms
+    for d in got["doc_id"].to_pylist():
+        assert len(qterms & set(tok.findall(by_id[d].lower()))) >= 2
+
+
+def test_msm_incompatible_combinations_raise(words_index):
+    with pytest.raises(ValueError, match="min_match"):
+        search_bm25(words_index, [Q], k=5, min_match=2, method="bmw")
+    with pytest.raises(ValueError, match="min_match"):
+        search_bm25(words_index, [Q], k=5, min_match=2, prior_col="prior")
+
+
+def test_keep_best_keeps_longest_per_cluster(ray_session):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    texts = {
+        1: base,
+        2: base + "with an extra closing sentence tacked on the end",
+        3: base[: len(base) - 20],
+        4: "completely unrelated content about astrophysics and quasars "
+           "radiating in the ultraviolet spectrum for many kiloparsecs",
+        5: "another shared passage describing distributed index merges " * 4,
+        6: "another shared passage describing distributed index merges " * 4
+           + "plus one more trailing clause",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+            "n_chars": pa.array([len(texts[i]) for i in sorted(texts)], pa.int64()),
+        }
+    )
+    from dcs_ray.functions.dedup import fuzzy_dedup_keep, fuzzy_dedup_keep_best
+
+    ds = ray.data.from_arrow(tbl)
+    kept = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in fuzzy_dedup_keep_best(ds, quality_col="n_chars").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )["doc_id"].to_pylist()
+    # cluster {1,2,3}: 2 is longest; cluster {5,6}: 6 is longest; 4 solo
+    assert sorted(kept) == [2, 4, 6]
+    # contrast with the min-id policy on the same clusters
+    kept_min = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in fuzzy_dedup_keep(ds).iter_batches(batch_format="pyarrow")
+        ]
+    )["doc_id"].to_pylist()
+    assert sorted(kept_min) == [1, 4, 5]
