@@ -461,3 +461,126 @@ def chunk_dedup_stats(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def cdc_chunk_stats(
+    docs: ray.data.Dataset,
+    mask_bits: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Content-defined chunking dedup (the LBFS/FastCDC idea at token
+    granularity): a token ENDS a chunk iff ``hash64(token) ≡ 0 mod
+    2^mask_bits`` (expected chunk length 2^mask_bits tokens) or the doc
+    ends. Unlike :func:`chunk_documents`' fixed windows, boundaries are
+    functions of CONTENT — inserting a sentence shifts every fixed
+    window after it, but content-defined boundaries resynchronize at
+    the next boundary token, so the chunks downstream of an edit still
+    dedup against the original (why backup/storage dedup uses CDC).
+
+    Chunk identity is a position-salted commutative fold,
+    ``Σ splitmix64(h_tok + offset_in_chunk) mod 2^64`` — order-aware
+    (the offset salt), segment-summable with ``np.add.reduceat`` (no
+    per-chunk Python, no chunk-text materialization: token hashes never
+    leave the batch as strings), and integer-replayable in SQL. First
+    occurrence (min ``doc_id·2^20 + chunk_idx``) survives; output is
+    per-doc ``(doc_id, n_chunks, n_kept, kept_tokens)`` (docs with zero
+    tokens emit nothing, same as the tokenizer).
+
+    Scale shape: one corpus pass emits chunk-sized integer rows; ONE
+    groupby on the 64-bit chunk hash picks survivors; the per-doc
+    aggregates are doc-scale. Nothing corpus-sized reaches the driver.
+    """
+    from dcs_ray.functions.sketches import _hash64_column, _splitmix64
+
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def chunkify(b: pa.Table) -> pa.Table:
+        flat, parents = word_tokens_flat(b[text_col])
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.uint64()),
+                    "packed": pa.array([], pa.int64()),
+                    "n_tok": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        ids = b[id_col].to_numpy().astype(np.int64)
+        h = _hash64_column(flat)
+        bnd = (h & mask) == np.uint64(0)
+        doc_start = np.empty(n, bool)
+        doc_start[0] = True
+        doc_start[1:] = parents[1:] != parents[:-1]
+        prev_bnd = np.empty(n, bool)
+        prev_bnd[0] = False
+        prev_bnd[1:] = bnd[:-1]
+        start = doc_start | prev_bnd
+        cid = np.cumsum(start) - 1  # global chunk id within batch
+        starts_idx = np.flatnonzero(start)
+        offset = (np.arange(n, dtype=np.int64) - starts_idx[cid]).astype(np.uint64)
+        mixed = _splitmix64(h + offset)  # u64 adds wrap mod 2^64
+        chunk_h = np.add.reduceat(mixed, starts_idx)
+        chunk_len = np.diff(np.append(starts_idx, n)).astype(np.int64)
+        # chunk index within its doc: distance to the doc's first chunk
+        nc = len(starts_idx)
+        chunk_is_doc_first = doc_start[starts_idx]
+        first_of_doc = np.maximum.accumulate(
+            np.where(chunk_is_doc_first, np.arange(nc), -1)
+        )
+        chunk_idx = np.arange(nc) - first_of_doc
+        chunk_doc = ids[parents[starts_idx]]
+        packed = chunk_doc * 1048576 + chunk_idx
+        return pa.table(
+            {
+                "h": pa.array(chunk_h, pa.uint64()),
+                "packed": pa.array(packed, pa.int64()),
+                "n_tok": pa.array(chunk_len, pa.int64()),
+                id_col: pa.array(chunk_doc, pa.int64()),
+            }
+        )
+
+    chunks = docs.map_batches(chunkify, batch_format="pyarrow")
+    chunks = chunks.materialize()  # consumed by two aggregates below
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        packed = g["packed"].combine_chunks().to_numpy(zero_copy_only=False)
+        i = int(np.argmin(packed))
+        return pa.table(
+            {
+                id_col: pa.array([int(packed[i]) // 1048576], pa.int64()),
+                "n_tok": pa.array([int(g["n_tok"][i].as_py())], pa.int64()),
+            }
+        )
+
+    kept = chunks.groupby("h").map_groups(keep_first, batch_format="pyarrow")
+    kept_stats = kept.groupby(id_col).aggregate(
+        ray.data.aggregate.Count(), ray.data.aggregate.Sum("n_tok")
+    )
+    totals = chunks.groupby(id_col).count()
+    kt = pa.concat_tables(
+        [pa.table(b) for b in kept_stats.iter_batches(batch_format="pyarrow")]
+    ).sort_by(id_col)
+    tt = pa.concat_tables(
+        [pa.table(b) for b in totals.iter_batches(batch_format="pyarrow")]
+    ).sort_by(id_col)
+    t_ids = tt[id_col].to_numpy().astype(np.int64)
+    t_cnt = tt["count()"].to_numpy().astype(np.int64)
+    k_ids = kt[id_col].to_numpy().astype(np.int64)
+    k_cnt = kt["count()"].to_numpy().astype(np.int64)
+    k_tok = kt["sum(n_tok)"].to_numpy().astype(np.int64)
+    pos = np.searchsorted(t_ids, k_ids)
+    n_kept = np.zeros(len(t_ids), np.int64)
+    kept_tokens = np.zeros(len(t_ids), np.int64)
+    n_kept[pos] = k_cnt
+    kept_tokens[pos] = k_tok
+    out = pa.table(
+        {
+            id_col: pa.array(t_ids, pa.int64()),
+            "n_chunks": pa.array(t_cnt, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "kept_tokens": pa.array(kept_tokens, pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

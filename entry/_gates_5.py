@@ -143,3 +143,20 @@ def _q_dedup_keep_best(sf_dir: str) -> Any:
     kept = fuzzy_dedup_keep_best(ds, quality_col="n_chars", threshold=0.5)
     tables = [pa.table(b) for b in kept.iter_batches(batch_format="pyarrow")]
     return pa.concat_tables(tables).sort_by("doc_id")
+
+
+def _q_cdc_chunk_dedup(sf_dir: str) -> pa.Table:
+    """Content-defined chunking dedup (LBFS/FastCDC at token
+    granularity): boundary tokens are hash-selected (h ≡ 0 mod 16), so
+    chunk edges resynchronize after insertions — the storage-dedup
+    property fixed windows lack. First (doc, chunk) occurrence of each
+    chunk identity survives; per-doc survivor stats."""
+    from dcs_ray.functions.textprep import cdc_chunk_stats
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = cdc_chunk_stats(ds, mask_bits=4)
+    return pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")

@@ -2457,4 +2457,48 @@ WHERE d.doc_id NOT IN (SELECT node FROM lab)
    OR d.doc_id IN (SELECT node FROM best)
 ORDER BY doc_id
 """,
+        "cdc_chunk_dedup": f"""
+WITH ltoks AS ({_TOKS_LIST}),
+base AS (SELECT doc_id, toks FROM ltoks WHERE len(toks) > 0),
+tokp AS (SELECT doc_id, generate_subscripts(toks, 1)::bigint - 1 AS i,
+                unnest(toks) AS term FROM base),
+terms AS (SELECT DISTINCT term FROM tokp),
+{_term_hash64_sql()},
+hs AS (SELECT p.doc_id, p.i, t.h FROM tokp p JOIN th t USING (term)),
+bnd AS (SELECT doc_id, i, h, (h % 16 = 0) AS is_b FROM hs),
+cix AS (
+  SELECT doc_id, i, h,
+         coalesce(sum(CASE WHEN is_b THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::bigint AS cidx
+  FROM bnd),
+coff AS (SELECT doc_id, cidx, h,
+                (i - min(i) OVER (PARTITION BY doc_id, cidx))::hugeint AS off
+         FROM cix),
+sx0 AS (SELECT doc_id, cidx,
+               (h + off + 11400714819323198485) % {_M64} AS x FROM coff),
+sx1 AS (SELECT doc_id, cidx,
+               ({_mulmod64("xor(x::ubigint, x::ubigint >> 30)::hugeint", "13787848793156543929::hugeint")}) AS x
+        FROM sx0),
+sx2 AS (SELECT doc_id, cidx,
+               ({_mulmod64("xor(x::ubigint, x::ubigint >> 27)::hugeint", "10723151780598845931::hugeint")}) AS x
+        FROM sx1),
+mixed AS (SELECT doc_id, cidx,
+                 xor(x::ubigint, x::ubigint >> 31)::hugeint AS mh FROM sx2),
+chunks AS (SELECT doc_id, cidx, sum(mh) % {_M64} AS ch,
+                  count(*)::bigint AS n_tok
+           FROM mixed GROUP BY doc_id, cidx),
+surv AS (SELECT ch, min(doc_id * 1048576 + cidx) AS fp FROM chunks GROUP BY ch),
+keptc AS (SELECT c.doc_id, c.n_tok FROM chunks c JOIN surv s
+          ON s.ch = c.ch AND s.fp = c.doc_id * 1048576 + c.cidx),
+tot AS (SELECT doc_id, count(*)::bigint AS n_chunks FROM chunks GROUP BY doc_id),
+ka AS (SELECT doc_id, count(*)::bigint AS n_kept,
+              sum(n_tok)::bigint AS kept_tokens
+       FROM keptc GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       coalesce(ka.n_kept, 0)::bigint AS n_kept,
+       coalesce(ka.kept_tokens, 0)::bigint AS kept_tokens
+FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id
+""",
     }
