@@ -300,8 +300,17 @@ def build_segments_from_files(
             recs.append(json.dumps(rec))
         return pa.table({"lineage": pa.array(recs, pa.string())})
 
+    remote_args = (
+        {"retry_exceptions": True, "max_retries": conf.task_max_retries}
+        if conf.task_max_retries
+        else {}
+    )
     lineage_ds = ray.data.from_items(specs).map_batches(
-        run, batch_size=1, batch_format="pyarrow", num_cpus=conf.task_num_cpus
+        run,
+        batch_size=1,
+        batch_format="pyarrow",
+        num_cpus=conf.task_num_cpus,
+        **remote_args,
     )
     new_records = [json.loads(r["lineage"]) for r in lineage_ds.take_all()]
     records = []

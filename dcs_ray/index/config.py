@@ -58,6 +58,17 @@ class IndexConfig:
     # driver/raylet; on a multi-node cluster the driver is not on worker
     # nodes and 1.0 is right.
     task_num_cpus: float = 1.0
+    # Retry application-level exceptions in the segment-build / shard-
+    # merge tasks (Ray retries SYSTEM failures — dead worker, OOM-killed
+    # process — on its own; this opts the same tasks into retrying
+    # transient APPLICATION errors such as a flaky filesystem or an
+    # upstream UDF hiccup). Safe because both stages are idempotent:
+    # write_segment/merge land via tmp-dir + atomic rename, and a
+    # concurrently-finished output wins (segment.py:269). At 256 nodes
+    # transient task loss is routine — a multi-hour build should absorb
+    # it, not abort; the resume path remains the backstop for driver
+    # loss.
+    task_max_retries: int = 0
 
     def validate(self) -> "IndexConfig":
         assert self.mode in ("words", "trigram")

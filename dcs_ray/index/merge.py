@@ -435,5 +435,12 @@ def merge_shards(
             recs.append(json.dumps(rec))
         return pa.table({"lineage": pa.array(recs)})
 
-    ds = ray.data.from_items(specs).map_batches(run, batch_size=1, batch_format="pyarrow")
+    remote_args = (
+        {"retry_exceptions": True, "max_retries": conf.task_max_retries}
+        if getattr(conf, "task_max_retries", 0)
+        else {}
+    )
+    ds = ray.data.from_items(specs).map_batches(
+        run, batch_size=1, batch_format="pyarrow", **remote_args
+    )
     return [json.loads(r["lineage"]) for r in ds.take_all()]
