@@ -218,3 +218,92 @@ def fetch_schedule(
         .groupby("_bucket")
         .map_groups(rank_in_bucket, batch_format="pyarrow")
     )
+
+
+def surt_key_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "surt"
+) -> pa.Table:
+    """Append the SURT key (Sort-friendly URI Reordering Transform — the
+    Internet Archive / Common Crawl CDX convention): scheme dropped,
+    host lowercased and ``www.``-stripped, dot-labels REVERSED and
+    comma-joined, then ``)`` and the path:
+    ``https://www.example.org/a`` → ``org,example)/a``.  Reversing the
+    host puts every subdomain of a registrable domain in one
+    lexicographic range, which is what makes CDX prefix range scans
+    (and host-level partitioning) work.
+
+    Vectorized label reversal: split hosts on ``.``, then ONE global
+    lexsort keyed (row, -label_position) rebuilds every list reversed —
+    no per-row Python."""
+    parts = pc.extract_regex(batch[url_col], pattern=_CANON_PATTERN)
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    host = pc.replace_substring_regex(host, r"^www\.", "")
+    path = pc.struct_field(parts, "path")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+    if isinstance(host, pa.ChunkedArray):
+        host = host.combine_chunks()
+    lists = pc.split_pattern(host, pattern=".")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    flat = lists.flatten().to_numpy(zero_copy_only=False)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(lists) + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    pos = np.arange(len(flat), dtype=np.int64) - offsets[row_idx]
+    order = np.lexsort((-pos, row_idx))
+    rev_lists = pa.LargeListArray.from_arrays(
+        pa.array(offsets, pa.int64()), pa.array(flat[order], pa.string())
+    )
+    rev_host = pc.binary_join(rev_lists, ",")
+    surt = pc.binary_join_element_wise(rev_host, ")", path, "")
+    return batch.append_column(out_col, surt)
+
+
+def cdx_capture_index(
+    pages: ray.data.Dataset, url_col: str = "url", ts_col: str = "warc_ts"
+) -> ray.data.Dataset:
+    """CDX-style capture index over a crawl: one row per SURT key with
+    ``(surt, n_captures, first_ts, last_ts)``, timestamps as int64
+    epoch-microseconds. The groupby key is the SURT, so re-crawls of
+    one url collapse into one row regardless of which partition each
+    capture arrived in; writing the result sorted by surt gives the
+    range-scannable CDX layout (prefix lookup = one key range, the
+    Common Crawl index API's access path)."""
+    import ray.data.aggregate as agg
+
+    def to_rows(b: pa.Table) -> pa.Table:
+        s = surt_key_batch(b, url_col=url_col)
+        ts = s[ts_col].cast(pa.int64())
+        return pa.table({"surt": s["surt"], "ts": ts})
+
+    rows = pages.map_batches(to_rows, batch_format="pyarrow")
+    return rows.groupby("surt").aggregate(
+        agg.Count(), agg.Min("ts"), agg.Max("ts")
+    )
+
+
+def cdx_prefix_lookup(
+    cdx: ray.data.Dataset, prefix: str, k: int = 20
+) -> "pa.Table":
+    """Range scan of a CDX capture index: every key in
+    ``[prefix, prefix+1)``, first ``k`` by surt ascending. On a sorted
+    partitioned CDX this is a partition-pruned range read (the filter
+    pushes down through Ray Data's Arrow filter); here it composes on
+    the Dataset."""
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    hits = cdx.filter(
+        expr=f"surt >= {prefix!r} and surt < {upper!r}"
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in hits.iter_batches(batch_format="pyarrow")]
+    )
+    t = t.sort_by("surt").slice(0, k)
+    return pa.table(
+        {
+            "surt": t["surt"],
+            "n_captures": t["count()"].cast(pa.int64()),
+            "first_ts": t["min(ts)"].cast(pa.int64()),
+            "last_ts": t["max(ts)"].cast(pa.int64()),
+        }
+    )

@@ -160,3 +160,17 @@ def _q_cdc_chunk_dedup(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
+
+
+def _q_cdx_prefix_lookup(sf_dir: str) -> pa.Table:
+    """CDX capture-index prefix lookup (the Common Crawl index API
+    access path): pages → SURT keys (host labels reversed — one
+    lexicographic range per host) → per-key capture rollup → range scan
+    of ``org,example,src1)`` (first 20 by surt). Re-crawled urls
+    (every 50th doc has a stale capture) show n_captures=2 with an
+    earlier first_ts."""
+    from dcs_ray.functions.urls import cdx_capture_index, cdx_prefix_lookup
+    from dcs_ray.sources.pages import read_pages
+
+    cdx = cdx_capture_index(read_pages(sf_dir))
+    return cdx_prefix_lookup(cdx, "org,example,src1)", k=20)

@@ -2501,4 +2501,21 @@ SELECT t.doc_id, t.n_chunks,
        coalesce(ka.kept_tokens, 0)::bigint AS kept_tokens
 FROM tot t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id
 """,
+        "cdx_prefix_lookup": """
+WITH caps AS (
+  SELECT 'org,example,' || source || ')/doc/' || lpad(doc_id::varchar, 8, '0') AS surt,
+         (1700000000000000 + doc_id * 1000000)::bigint AS ts
+  FROM documents
+  UNION ALL
+  SELECT 'org,example,' || source || ')/doc/' || lpad(doc_id::varchar, 8, '0'),
+         (1700000000000000 + doc_id * 1000000 - 3600000000)::bigint
+  FROM documents WHERE doc_id % 50 = 0
+),
+g AS (SELECT surt, count(*)::bigint AS n_captures,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM caps GROUP BY surt)
+SELECT surt, n_captures, first_ts, last_ts FROM g
+WHERE surt >= 'org,example,src1)' AND surt < 'org,example,src1*'
+ORDER BY surt LIMIT 20
+""",
     }
