@@ -2055,21 +2055,55 @@ def search_query(
     - ``key:value`` / ``-key:value`` keywords map onto doc_meta filters
       (F4, ``query-rewrite.go:15-59``).
     """
-    qtext, filters = _grammar_plan(raw, phrase_index_dir)
+    qtext, filters = _grammar_plan(raw, phrase_index_dir, expand_index_dir=index_dir)
     return search_bm25(
         index_dir, [qtext], k=k, stats=stats, filters=filters, **kw
     )
 
 
-def _grammar_plan(raw: str, phrase_index_dir: str | None) -> tuple[str, dict | None]:
+def _grammar_plan(
+    raw: str,
+    phrase_index_dir: str | None,
+    expand_index_dir: str | None = None,
+    max_expansions: int = 20,
+) -> tuple[str, dict | None]:
     """Shared grammar→(scoring text, filter spec) builder behind
     :func:`search_query` and ``SearchService.query`` — parses the raw
     string and resolves phrase constraints through the positional
-    pre-pass, returning what any BM25 executor needs."""
+    pre-pass, returning what any BM25 executor needs.
+
+    With ``expand_index_dir``, plain scoring terms additionally support
+    the Lucene expansion operators against that index's vocabulary:
+    ``spa*`` (trailing wildcard → top-``max_expansions`` prefix terms
+    by df) and ``merg~`` (fuzzy → every term within levenshtein 1).
+    ``+term``/``-term`` operands stay literal — membership constraints
+    expand nothing."""
     from dcs_ray.queryplan import parse_user_query
     from dcs_ray.tokenize import tokenize_query_words
 
     p = parse_user_query(raw)
+    if expand_index_dir is not None:
+        expanded: list[str] = []
+        for tok in p["terms"]:
+            if tok.endswith("*") and len(tok) > 1 and not tok.startswith("*"):
+                for w in tokenize_query_words(tok[:-1]):
+                    expanded.extend(
+                        expand_prefix_terms(expand_index_dir, w, max_expansions)
+                    )
+            elif tok.endswith("~") and len(tok) > 1:
+                from dcs_ray.functions.spell import suggest
+
+                words = tokenize_query_words(tok[:-1])
+                if words:
+                    vocab = ray.data.read_parquet(
+                        os.path.join(expand_index_dir, "stats", "df.parquet")
+                    )
+                    sugg = suggest(vocab, words, k=max_expansions)
+                    expanded.extend(sorted(set(sugg["term"].to_pylist())))
+            else:
+                expanded.append(tok)
+        p = dict(p)
+        p["terms"] = expanded
     filters = dict(filters_from_keywords(p["includes"], p["negates"]) or {})
     neg = sorted({t for nt in p["neg_terms"] for t in tokenize_query_words(nt)})
     if neg:

@@ -358,7 +358,9 @@ class SearchService:
         filter spec participates in the finished-query cache key."""
         from dcs_ray.search import _grammar_plan
 
-        qtext, filters = _grammar_plan(raw, phrase_index_dir)
+        qtext, filters = _grammar_plan(
+            raw, phrase_index_dir, expand_index_dir=self.index_dir
+        )
         return self.search(
             [qtext], k=k, filters=filters, use_cache=use_cache,
             query_id=query_id,

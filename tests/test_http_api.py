@@ -270,3 +270,22 @@ def test_literal_and_regex_match_modes_over_http(tmp_path):
     finally:
         api.shutdown()
         svc.shutdown()
+
+
+def test_wildcard_fuzzy_operators_over_http(server):
+    """Lucene-style expansion operators ride the same front door: the
+    service's grammar plan expands them against its own index vocab."""
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    from dcs_ray.search import search_query
+
+    body = _get(api, "/v1/search?query=spa*+merge&k=5", key)
+    want = search_query(out, "spa* merge", k=5).to_pylist()
+    got = [{f: r[f] for f in ("rank", "doc_id", "score")} for r in body["results"]]
+    assert got == [{f: r[f] for f in ("rank", "doc_id", "score")} for r in want]
+
+    body2 = _get(api, "/v1/search?query=sprk~&k=5", key)
+    want2 = search_query(out, "sprk~", k=5).to_pylist()
+    got2 = [{f: r[f] for f in ("rank", "doc_id", "score")} for r in body2["results"]]
+    assert got2 == [{f: r[f] for f in ("rank", "doc_id", "score")} for r in want2]
+    assert len(got2) > 0  # the typo really recovered 'spark' docs

@@ -161,3 +161,23 @@ def test_keep_best_keeps_longest_per_cluster(ray_session):
         ]
     )["doc_id"].to_pylist()
     assert sorted(kept_min) == [1, 4, 5]
+
+
+def test_grammar_wildcard_and_fuzzy_operators(words_index):
+    """`spa*` / `merg~` in the query-string grammar expand against the
+    index vocabulary; +/- membership operands stay literal."""
+    from dcs_ray.search import search_query
+
+    t = search_query(words_index, "spa* merge", k=10)
+    terms = set(expand_prefix_terms(words_index, "spa", 20)) | {"merge"}
+    ref = search_bm25(words_index, [" ".join(sorted(terms))], k=10)
+    assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+
+    t2 = search_query(words_index, "spark~", k=10)
+    ref2 = search_fuzzy(words_index, "spark", k=10, max_expansions=20)
+    assert t2["doc_id"].to_pylist() == ref2["doc_id"].to_pylist()
+
+    # membership operators do NOT expand: '+spa*' requires the literal
+    # token 'spa', which is not corpus vocabulary → empty result
+    t3 = search_query(words_index, "merge +spa*", k=10)
+    assert len(t3) == 0
