@@ -174,3 +174,17 @@ def _q_cdx_prefix_lookup(sf_dir: str) -> pa.Table:
 
     cdx = cdx_capture_index(read_pages(sf_dir))
     return cdx_prefix_lookup(cdx, "org,example,src1)", k=20)
+
+
+def _q_wordpiece_fertility(sf_dir: str) -> pa.Table:
+    """WordPiece MaxMatch fertility by language: corpus-derived subword
+    vocab (top-300 char 2-4-grams by occurrence + the 36 single chars),
+    greedy longest-match segmentation of every token occurrence, pieces
+    per word per lang — the multilingual tokenizer-quality metric."""
+    from dcs_ray.functions.wordpiece import wordpiece_fertility, wordpiece_vocab
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    vocab = wordpiece_vocab(docs)
+    return wordpiece_fertility(docs, vocab)

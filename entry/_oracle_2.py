@@ -2518,4 +2518,46 @@ SELECT surt, n_captures, first_ts, last_ts FROM g
 WHERE surt >= 'org,example,src1)' AND surt < 'org,example,src1*'
 ORDER BY surt LIMIT 20
 """,
+        "wordpiece_fertility": f"""
+WITH RECURSIVE
+tok AS ({_TOK}),
+tokl AS (SELECT d.lang, tok.term FROM tok JOIN documents d USING (doc_id)),
+gr AS (
+  SELECT unnest(list_transform(range(0, length(term)-1), i -> substr(term, i+1, 2))) AS g FROM tok
+  UNION ALL
+  SELECT unnest(list_transform(range(0, length(term)-2), i -> substr(term, i+1, 3))) FROM tok
+  UNION ALL
+  SELECT unnest(list_transform(range(0, length(term)-3), i -> substr(term, i+1, 4))) FROM tok
+),
+gc AS (SELECT g, count(*) AS n FROM gr GROUP BY g),
+topg AS (SELECT g FROM (
+  SELECT g, row_number() OVER (ORDER BY n DESC, g ASC) AS rn FROM gc) WHERE rn <= 300),
+vocab AS MATERIALIZED (
+  SELECT g FROM topg
+  UNION
+  SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z','0','1','2','3','4','5','6','7','8','9']) AS g
+),
+v4 AS MATERIALIZED (SELECT g FROM vocab WHERE length(g) = 4),
+v3 AS MATERIALIZED (SELECT g FROM vocab WHERE length(g) = 3),
+v2 AS MATERIALIZED (SELECT g FROM vocab WHERE length(g) = 2),
+words AS (SELECT DISTINCT term FROM tok),
+seg(term, pos, pieces) AS (
+  SELECT term, 0, 0 FROM words
+  UNION ALL
+  SELECT term,
+         pos + CASE WHEN substr(term, pos+1, 4) IN (SELECT g FROM v4) THEN 4
+                    WHEN substr(term, pos+1, 3) IN (SELECT g FROM v3) THEN 3
+                    WHEN substr(term, pos+1, 2) IN (SELECT g FROM v2) THEN 2
+                    ELSE 1 END,
+         pieces + 1
+  FROM seg WHERE pos < length(term)
+),
+wp AS MATERIALIZED (SELECT term, pieces AS n_pieces FROM seg WHERE pos >= length(term)),
+fert AS (SELECT tokl.lang, count(*)::bigint AS n_words,
+                sum(wp.n_pieces)::bigint AS n_pieces
+         FROM tokl JOIN wp USING (term) GROUP BY tokl.lang)
+SELECT lang, n_words, n_pieces,
+       round(n_pieces::double / n_words, 6) + 0.0 AS fertility
+FROM fert ORDER BY lang
+""",
     }
