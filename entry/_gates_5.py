@@ -188,3 +188,21 @@ def _q_wordpiece_fertility(sf_dir: str) -> pa.Table:
     )
     vocab = wordpiece_vocab(docs)
     return wordpiece_fertility(docs, vocab)
+
+
+def _q_unigram_lm_cost(sf_dir: str) -> pa.Table:
+    """Unigram-LM (SentencePiece-style) Viterbi segmentation cost by
+    language: integer micro-nat piece costs from corpus occurrence
+    counts, min-cost DP per distinct word, per-lang encoding totals —
+    the MDL/compression objective, complementing BPE (train) and
+    WordPiece (greedy MaxMatch) in the tokenizer family."""
+    from dcs_ray.functions.wordpiece import (
+        unigram_lm_cost_by_lang,
+        unigram_piece_costs,
+    )
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    costs, _t = unigram_piece_costs(docs)
+    return unigram_lm_cost_by_lang(docs, costs)

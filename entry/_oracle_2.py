@@ -64,6 +64,50 @@ from entry._helpers import (  # noqa: F401
 )
 
 
+def _unigram_dp_sql(max_len: int = 8, max_piece: int = 4) -> str:
+    """Unrolled Viterbi DP for the ``unigram_lm_cost`` oracle: given
+    CTEs ``words(term)`` and ``pieces(g, cost)`` (singles guaranteed
+    present, so every prefix position is reachable), produces
+    ``sp`` (piece spans), ``d1..d{max_len}`` (min cost to each prefix
+    length) and ``wc(term, d)`` (min cost of the full word). The corpus
+    tokenizer caps tokens at {max_len} chars (asserted by the engine
+    gate matching at both SFs); a longer token would fail the gate
+    loudly, not silently."""
+    parts = [
+        f"""sp AS MATERIALIZED (
+  SELECT w.term, p.p::bigint AS p, l.L::bigint AS L, pc.cost
+  FROM words w, range(1, {max_len + 1}) p(p), range(1, {max_piece + 1}) l(L), pieces pc
+  WHERE l.L <= p.p AND p.p <= length(w.term)
+    AND pc.g = substr(w.term, (p.p - l.L + 1)::int, l.L::int)
+)"""
+    ]
+    for p in range(1, max_len + 1):
+        whens = []
+        joins = []
+        for L in range(1, min(max_piece, p) + 1):
+            base = "0" if p - L == 0 else f"d{p - L}.d"
+            whens.append(f"WHEN {L} THEN {base}")
+            if p - L >= 1:
+                joins.append(f"LEFT JOIN d{p - L} ON d{p - L}.term = sp.term")
+        parts.append(
+            f"""d{p} AS MATERIALIZED (
+  SELECT sp.term,
+         min(sp.cost + CASE sp.L {' '.join(whens)} END)::bigint AS d
+  FROM sp
+  {chr(10).join(joins)}
+  WHERE sp.p = {p}
+  GROUP BY sp.term
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT w.term, d{p}.d FROM words w JOIN d{p} ON d{p}.term = w.term "
+        f"WHERE length(w.term) = {p}"
+        for p in range(1, max_len + 1)
+    )
+    parts.append(f"wc AS MATERIALIZED ({union})")
+    return ",\n".join(parts)
+
+
 def part_2() -> dict[str, str]:
     tris = sorted({LITERAL[i : i + 3] for i in range(len(LITERAL) - 2)})
     tri_conds = " AND ".join(f"contains(text, '{t}')" for t in tris)
@@ -2558,6 +2602,42 @@ fert AS (SELECT tokl.lang, count(*)::bigint AS n_words,
          FROM tokl JOIN wp USING (term) GROUP BY tokl.lang)
 SELECT lang, n_words, n_pieces,
        round(n_pieces::double / n_words, 6) + 0.0 AS fertility
+FROM fert ORDER BY lang
+""",
+        "unigram_lm_cost": f"""
+WITH
+tok AS ({_TOK}),
+tokl AS (SELECT d.lang, tok.term FROM tok JOIN documents d USING (doc_id)),
+gr AS (
+  SELECT unnest(list_transform(range(0, length(term)), i -> substr(term, i+1, 1))) AS g FROM tok
+  UNION ALL
+  SELECT unnest(list_transform(range(0, length(term)-1), i -> substr(term, i+1, 2))) FROM tok
+  UNION ALL
+  SELECT unnest(list_transform(range(0, length(term)-2), i -> substr(term, i+1, 3))) FROM tok
+  UNION ALL
+  SELECT unnest(list_transform(range(0, length(term)-3), i -> substr(term, i+1, 4))) FROM tok
+),
+gc AS MATERIALIZED (SELECT g, count(*) AS n FROM gr GROUP BY g),
+topg AS (SELECT g FROM (
+  SELECT g, row_number() OVER (ORDER BY n DESC, g ASC) AS rn
+  FROM gc WHERE length(g) >= 2) WHERE rn <= 300),
+inv AS (
+  SELECT g FROM topg
+  UNION
+  SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z','0','1','2','3','4','5','6','7','8','9']) AS g
+),
+tc AS (SELECT i.g, coalesce(gc.n, 0)::bigint AS cnt FROM inv i LEFT JOIN gc ON gc.g = i.g),
+tt AS (SELECT sum(cnt) AS T FROM tc),
+pieces AS MATERIALIZED (
+  SELECT g, floor(1e6 * ln(tt.T::double / greatest(cnt, 1)))::bigint AS cost
+  FROM tc, tt),
+words AS (SELECT DISTINCT term FROM tok),
+{_unigram_dp_sql(max_len=8, max_piece=4)},
+fert AS (SELECT tokl.lang, count(*)::bigint AS n_words,
+                sum(wc.d)::bigint AS cost
+         FROM tokl JOIN wc USING (term) GROUP BY tokl.lang)
+SELECT lang, n_words, cost AS total_cost_micronats,
+       round(cost::double / 1e6 / n_words, 6) + 0.0 AS nats_per_word
 FROM fert ORDER BY lang
 """,
     }

@@ -59,3 +59,57 @@ def test_fertility_arithmetic(ray_session):
     }
     assert rows["en"] == (2, 3, 1.5)  # banana(2) + go(1)
     assert rows["de"] == (2, 4, 2.0)  # banana(2) × 2
+
+
+def test_unigram_viterbi_beats_greedy():
+    """Viterbi min-cost can pick a split greedy MaxMatch would not:
+    'abc' under {ab:5, c:50, a:1, bc:1} → a+bc = 2, not ab+c = 55."""
+    from dcs_ray.functions.wordpiece import unigram_segment_costs
+
+    costs = {"ab": 5, "c": 50, "a": 1, "bc": 1, "b": 90}
+    got = unigram_segment_costs(np.array(["abc"], dtype=object), costs)
+    assert got.tolist() == [2]
+
+
+def test_unigram_matches_brute_force_dp():
+    from dcs_ray.functions.wordpiece import unigram_segment_costs
+
+    rng = np.random.default_rng(3)
+    alphabet = list("abcd")
+    pieces = {"a": 7, "b": 9, "c": 4, "d": 11}
+    for g in ["ab", "bc", "cd", "abc", "bcd", "abcd", "aa", "dd"]:
+        pieces[g] = int(rng.integers(1, 40))
+    words = [
+        "".join(rng.choice(alphabet, size=int(rng.integers(1, 9))))
+        for _ in range(200)
+    ]
+
+    def brute(w):
+        BIG = 1 << 60
+        dp = [0] + [BIG] * len(w)
+        for p in range(1, len(w) + 1):
+            for L in range(1, min(4, p) + 1):
+                c = pieces.get(w[p - L : p])
+                if c is not None:
+                    dp[p] = min(dp[p], dp[p - L] + c)
+        return dp[len(w)]
+
+    got = unigram_segment_costs(np.array(words, dtype=object), pieces)
+    assert got.tolist() == [brute(w) for w in words]
+
+
+def test_unigram_costs_singles_guarantee(ray_session):
+    """Every piece inventory contains all 36 singles, so any alnum word
+    has a finite cost even when no multi-gram matches."""
+    from dcs_ray.functions.wordpiece import unigram_piece_costs, unigram_segment_costs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["hello world"], pa.string()),
+        }
+    )
+    costs, T = unigram_piece_costs(ray.data.from_arrow(docs))
+    assert T > 0
+    got = unigram_segment_costs(np.array(["zzqqxx"], dtype=object), costs)
+    assert 0 < got[0] < (1 << 59)
