@@ -362,6 +362,25 @@ class ApiServer:
                 by_id = dict(zip(docs["doc_id"].to_pylist(), snip.to_pylist()))
                 for r in rows:
                     r["snippet"] = by_id.get(r["doc_id"], "")
+        if qs.get("explain") == "1" and mode in ("term", "grammar"):
+            # Lucene-explain debug surface: per-(doc, term) BM25
+            # contribution breakdown attached to each result row —
+            # decodes only the query terms' postings for the k docs
+            from dcs_ray.search import explain_scores
+
+            ex = explain_scores(self.svc.index_dir, query, k=k)
+            by_doc: dict[int, list] = {}
+            for r in ex.to_pylist():
+                by_doc.setdefault(r["doc_id"], []).append(
+                    {
+                        "term": r["term"],
+                        "tf": r["tf"],
+                        "idf": r["idf"],
+                        "contribution": r["contribution"],
+                    }
+                )
+            for r in rows:
+                r["explain"] = by_doc.get(r["doc_id"], [])
         return {"query": query, "match_mode": mode, "results": rows}
 
     def _vocab(self):

@@ -2641,3 +2641,79 @@ def search_fuzzy(
             "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+def explain_scores(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Lucene-style score EXPLAIN: the normal top-k ranking plus the
+    per-term BM25 contribution of every (result doc, query term) pair
+    with tf > 0 — ``(rank, doc_id, term, tf, idf, contribution)``,
+    ordered (rank asc, term asc), Σ contributions per doc equal to the
+    ranking score by construction (same cached contribution vectors).
+
+    Cost shape: ranking is the standard fan-out; the breakdown then
+    decodes ONLY the query terms' postings in the shards that hold the
+    k result docs (driver-side, k·|terms| searchsorted probes into the
+    per-worker-cache-backed vectors) — result-set-sized, never
+    corpus-sized. The serving analogue is debug tooling, not a hot
+    path."""
+    stats = stats or load_stats(index_dir)
+    top = search_bm25(index_dir, [query], k=k, stats=stats)
+    ids = top["doc_id"].to_numpy().astype(np.uint64)
+    ranks = top["rank"].to_numpy()
+    if len(ids) == 0:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "idf": pa.array([], pa.float64()),
+                "contribution": pa.array([], pa.float64()),
+            }
+        )
+    plan = plan_query(index_dir, query, stats)
+    rows_rank, rows_doc, rows_term, rows_tf, rows_idf, rows_c = [], [], [], [], [], []
+    for shard in shard_paths(index_dir):
+        seg = _open(shard)
+        in_shard = (ids >= seg.doc_ids[0]) & (ids <= seg.doc_ids[-1])
+        if not in_shard.any():
+            continue
+        want = ids[in_shard]
+        want_rank = ranks[in_shard]
+        for term, idf in plan:
+            idx = seg.term_index(term)
+            if idx < 0:
+                continue
+            doc_ids, tfs = _decode_term_cached(seg, idx)
+            pos = np.searchsorted(doc_ids, want)
+            pos = np.minimum(pos, max(len(doc_ids) - 1, 0))
+            hit = doc_ids[pos] == want
+            if not hit.any():
+                continue
+            h_docs = want[hit]
+            h_tf = tfs[pos[hit]]
+            contrib = _bm25_term_scores(seg, h_docs, h_tf, idf, stats)
+            rows_rank.extend(want_rank[hit].tolist())
+            rows_doc.extend(h_docs.tolist())
+            rows_term.extend([term] * int(hit.sum()))
+            rows_tf.extend(h_tf.tolist())
+            rows_idf.extend([idf] * int(hit.sum()))
+            rows_c.extend(contrib.tolist())
+    t = pa.table(
+        {
+            "rank": pa.array(np.asarray(rows_rank, np.int64), pa.int64()),
+            "doc_id": pa.array(np.asarray(rows_doc, np.int64), pa.int64()),
+            "term": pa.array(rows_term, pa.string()),
+            "tf": pa.array(np.asarray(rows_tf, np.int64), pa.int64()),
+            "idf": pa.array(np.round(np.asarray(rows_idf, np.float64), 6), pa.float64()),
+            "contribution": pa.array(
+                np.round(np.asarray(rows_c, np.float64), 6), pa.float64()
+            ),
+        }
+    )
+    return t.sort_by([("rank", "ascending"), ("term", "ascending")])

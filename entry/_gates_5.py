@@ -206,3 +206,15 @@ def _q_unigram_lm_cost(sf_dir: str) -> pa.Table:
     )
     costs, _t = unigram_piece_costs(docs)
     return unigram_lm_cost_by_lang(docs, costs)
+
+
+def _q_bm25_explain(sf_dir: str) -> pa.Table:
+    """Lucene-style EXPLAIN: top-10 ranking plus the per-(doc, term)
+    BM25 contribution breakdown — Σ contributions per doc equals the
+    ranking score (same cached contribution vectors). Debug surface;
+    decodes only the query terms' postings for the k result docs."""
+    from dcs_ray.search import explain_scores
+    from entry._helpers import BM25_QUERY
+
+    idx = _index_dir(sf_dir, "words")
+    return explain_scores(idx, BM25_QUERY, k=10)

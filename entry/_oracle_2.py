@@ -2640,4 +2640,21 @@ SELECT lang, n_words, cost AS total_cost_micronats,
        round(cost::double / 1e6 / n_words, 6) + 0.0 AS nats_per_word
 FROM fert ORDER BY lang
 """,
+        "bm25_explain": f"""
+WITH {_BM25_SCORES},
+top AS (
+  SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank, doc_id
+  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT top.rank, top.doc_id, tf.term, tf.tf::bigint AS tf,
+       round(ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0), 6) AS idf,
+       round(ln((stats.n_docs - df.df + 0.5)/(df.df + 0.5) + 1.0)
+             * ((tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doc_len / stats.avgdl))), 6)
+       AS contribution
+FROM top
+JOIN tf ON tf.doc_id = top.doc_id AND tf.term IN (SELECT term FROM q)
+JOIN df USING (term) JOIN dl ON dl.doc_id = top.doc_id, stats
+ORDER BY top.rank, tf.term
+""",
     }

@@ -289,3 +289,16 @@ def test_wildcard_fuzzy_operators_over_http(server):
     got2 = [{f: r[f] for f in ("rank", "doc_id", "score")} for r in body2["results"]]
     assert got2 == [{f: r[f] for f in ("rank", "doc_id", "score")} for r in want2]
     assert len(got2) > 0  # the typo really recovered 'spark' docs
+
+
+def test_explain_param_over_http(server):
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    body = _get(api, f"/v1/search?query={QUERY.replace(' ', '+')}&k=5&explain=1", key)
+    assert body["results"], "expected hits"
+    for r in body["results"]:
+        assert r["explain"], f"doc {r['doc_id']} missing breakdown"
+        total = sum(e["contribution"] for e in r["explain"])
+        assert abs(total - r["score"]) < 5e-6
+        for e in r["explain"]:
+            assert e["term"] in QUERY.split() and e["tf"] >= 1

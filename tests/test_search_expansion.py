@@ -181,3 +181,19 @@ def test_grammar_wildcard_and_fuzzy_operators(words_index):
     # token 'spa', which is not corpus vocabulary → empty result
     t3 = search_query(words_index, "merge +spa*", k=10)
     assert len(t3) == 0
+
+
+def test_explain_contributions_sum_to_scores(words_index):
+    """EXPLAIN invariant: per-doc Σ term contributions equals the
+    ranking score, tfs are positive, terms ⊆ query."""
+    from dcs_ray.search import explain_scores
+
+    top = search_bm25(words_index, [Q], k=10)
+    ex = explain_scores(words_index, Q, k=10)
+    assert set(ex["term"].to_pylist()) <= set(Q.split())
+    assert min(ex["tf"].to_pylist()) >= 1
+    by_doc = {}
+    for r in ex.to_pylist():
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contribution"]
+    for d, s in zip(top["doc_id"].to_pylist(), top["score"].to_pylist()):
+        assert abs(by_doc[d] - s) < 5e-6, (d, by_doc[d], s)
