@@ -193,3 +193,104 @@ def repetition_stats(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.D
     return ds.map_batches(
         lambda b: repetition_stats_batch(b, id_col), batch_format="pyarrow"
     )
+
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """The MassiveText/Gopher quality-rule set (Rae et al. '21 §A1.1),
+    per doc, every threshold as an INTEGER cross-multiplication so the
+    SQL replay is bit-exact:
+
+    1. 50 ≤ word count ≤ 100,000 (whitespace words)
+    2. 3 ≤ mean word length ≤ 10            (3n ≤ Σlen ∧ Σlen ≤ 10n)
+    3. symbol-to-word ratio ≤ 0.1 for '#'/'...'   (10·sym ≤ n)
+    4. ≤ 90% of lines start with a bullet ('-'/'•')  (10·b ≤ 9·L)
+    5. ≤ 30% of lines end with '...'               (10·e ≤ 3·L)
+    6. ≥ 80% of words contain an alphabetic char   (5·alpha ≥ 4·n)
+    7. ≥ 2 distinct words from the required stop set
+    keep = all seven."""
+    text = batch["text"]
+    n_rows = len(batch)
+    words = pc.split_pattern_regex(text, pattern=r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat_all = words.flatten()
+    counts_all = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    parents_all = np.repeat(np.arange(n_rows, dtype=np.int64), counts_all)
+    nonempty = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    flat = flat_all.filter(pa.array(nonempty))
+    parents = parents_all[nonempty]
+    n_words = np.bincount(parents, minlength=n_rows).astype(np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_chars = np.bincount(parents, weights=wlen, minlength=n_rows).astype(np.int64)
+    alpha = pc.match_substring_regex(flat, "[a-zA-Z]").to_numpy(zero_copy_only=False)
+    alpha_words = np.bincount(parents[alpha], minlength=n_rows).astype(np.int64)
+    lower = pc.utf8_lower(flat)
+    req = pc.is_in(lower, value_set=pa.array(list(GOPHER_REQUIRED_WORDS)))
+    req_np = req.to_numpy(zero_copy_only=False)
+    # distinct required-word count per doc: unique (doc, word) pairs
+    lw = lower.to_numpy(zero_copy_only=False)
+    n_req = np.zeros(n_rows, np.int64)
+    if req_np.any():
+        pairs = np.unique(
+            np.stack(
+                [parents[req_np], np.searchsorted(
+                    np.array(sorted(GOPHER_REQUIRED_WORDS)), lw[req_np]
+                )],
+                axis=1,
+            ),
+            axis=0,
+        )
+        n_req = np.bincount(pairs[:, 0], minlength=n_rows).astype(np.int64)
+    n_hash = pc.count_substring(text, "#").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ell = pc.count_substring(text, "...").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_sym = n_hash + n_ell
+    lines = pc.split_pattern(text, pattern="\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lflat = lines.flatten()
+    lcounts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+    lparents = np.repeat(np.arange(n_rows, dtype=np.int64), lcounts)
+    n_lines = np.bincount(lparents, minlength=n_rows).astype(np.int64)
+    trimmed = pc.utf8_trim_whitespace(lflat)
+    bullet = pc.or_(
+        pc.starts_with(trimmed, "-"), pc.starts_with(trimmed, "•")
+    ).to_numpy(zero_copy_only=False)
+    bullet_lines = np.bincount(lparents[bullet], minlength=n_rows).astype(np.int64)
+    rtrimmed = pc.utf8_rtrim_whitespace(lflat)
+    ell = pc.ends_with(rtrimmed, "...").to_numpy(zero_copy_only=False)
+    ellipsis_lines = np.bincount(lparents[ell], minlength=n_rows).astype(np.int64)
+
+    word_count_ok = (n_words >= 50) & (n_words <= 100_000)
+    word_len_ok = (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words) & (n_words > 0)
+    symbol_ok = 10 * n_sym <= n_words
+    bullet_ok = 10 * bullet_lines <= 9 * n_lines
+    ellipsis_ok = 10 * ellipsis_lines <= 3 * n_lines
+    alpha_ok = (5 * alpha_words >= 4 * n_words) & (n_words > 0)
+    stop_ok = n_req >= 2
+    keep = (
+        word_count_ok & word_len_ok & symbol_ok & bullet_ok & ellipsis_ok
+        & alpha_ok & stop_ok
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "word_count_ok": pa.array(word_count_ok),
+            "word_len_ok": pa.array(word_len_ok),
+            "symbol_ok": pa.array(symbol_ok),
+            "bullet_ok": pa.array(bullet_ok),
+            "ellipsis_ok": pa.array(ellipsis_ok),
+            "alpha_ok": pa.array(alpha_ok),
+            "stop_ok": pa.array(stop_ok),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def gopher_rules(ds: ray.data.Dataset, id_col: str = "doc_id") -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda b: gopher_rules_batch(b, id_col), batch_format="pyarrow"
+    )

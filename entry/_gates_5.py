@@ -218,3 +218,18 @@ def _q_bm25_explain(sf_dir: str) -> pa.Table:
 
     idx = _index_dir(sf_dir, "words")
     return explain_scores(idx, BM25_QUERY, k=10)
+
+
+def _q_gopher_rules(sf_dir: str) -> pa.Table:
+    """MassiveText/Gopher quality-rule set (Rae et al. '21 §A1.1) per
+    doc — every threshold an integer cross-multiplication (no float in
+    any verdict), keep = all seven rules."""
+    from dcs_ray.functions.filtering import gopher_rules
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = gopher_rules(ds)
+    return pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
+    ).sort_by("doc_id")

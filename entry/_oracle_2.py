@@ -2657,4 +2657,45 @@ JOIN tf ON tf.doc_id = top.doc_id AND tf.term IN (SELECT term FROM q)
 JOIN df USING (term) JOIN dl ON dl.doc_id = top.doc_id, stats
 ORDER BY top.rank, tf.term
 """,
+        "gopher_rules": r"""
+WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+           FROM documents),
+fl AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+agg AS (SELECT doc_id, count(*)::bigint AS n_words,
+               sum(length(wd))::bigint AS sum_chars,
+               sum(CASE WHEN regexp_matches(wd, '[a-zA-Z]') THEN 1 ELSE 0 END)::bigint AS alpha_words,
+               count(DISTINCT CASE WHEN lower(wd) IN ('the','be','to','of','and','that','have','with')
+                                   THEN lower(wd) END)::bigint AS n_req
+        FROM fl GROUP BY doc_id),
+lin AS (SELECT doc_id,
+               len(string_split(text, chr(10)))::bigint AS n_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   l -> starts_with(trim(l), '-') OR starts_with(trim(l), '•')))::bigint AS bullet_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   l -> ends_with(rtrim(l), '...')))::bigint AS ellipsis_lines,
+               ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3)::bigint AS n_sym
+        FROM documents),
+j AS (SELECT d.doc_id,
+             coalesce(a.n_words, 0) AS n_words, coalesce(a.sum_chars, 0) AS sum_chars,
+             coalesce(a.alpha_words, 0) AS alpha_words, coalesce(a.n_req, 0) AS n_req,
+             l.n_lines, l.bullet_lines, l.ellipsis_lines, l.n_sym
+      FROM documents d LEFT JOIN agg a USING (doc_id) JOIN lin l USING (doc_id))
+SELECT doc_id, n_words,
+       (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+       (3*n_words <= sum_chars AND sum_chars <= 10*n_words AND n_words > 0) AS word_len_ok,
+       (10*n_sym <= n_words) AS symbol_ok,
+       (10*bullet_lines <= 9*n_lines) AS bullet_ok,
+       (10*ellipsis_lines <= 3*n_lines) AS ellipsis_ok,
+       (5*alpha_words >= 4*n_words AND n_words > 0) AS alpha_ok,
+       (n_req >= 2) AS stop_ok,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (3*n_words <= sum_chars AND sum_chars <= 10*n_words AND n_words > 0)
+        AND (10*n_sym <= n_words)
+        AND (10*bullet_lines <= 9*n_lines)
+        AND (10*ellipsis_lines <= 3*n_lines)
+        AND (5*alpha_words >= 4*n_words AND n_words > 0)
+        AND (n_req >= 2)) AS keep
+FROM j ORDER BY doc_id
+""",
     }

@@ -232,3 +232,46 @@ def test_curate_corpus_stage_semantics(ray_session):
     ).to_pandas()
     assert sorted(out.doc_id) == [0, 4]
     assert set(out.columns) == {"doc_id", "lang", "n_tokens"}
+
+
+def test_gopher_rules_each_threshold(ray_session):
+    """One crafted doc per rule violation; the base doc passes all."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.filtering import gopher_rules
+
+    base = ("the data and value " * 15).strip()  # 60 words, all rules pass
+    docs = {
+        1: base,
+        2: "the and " + "word " * 10,  # 12 words < 50 → word_count_ok fails
+        3: ("the and " + "az " * 58).strip(),  # mean word len < 3
+        4: base + " " + "#" * 8,  # 61 words, 8 '#' → 10·8 > 61 symbols fail
+        5: "the and\n" + "\n".join("- bullet line" for _ in range(20))
+           + " " + "pad " * 50,  # >90% bullet lines
+        6: base.replace("the", "thx").replace("and", "anx"),  # no required words
+        7: ("the and " + "12345 " * 58).strip(),  # <80% alphabetic words
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in gopher_rules(ray.data.from_arrow(tbl)).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["word_count_ok"] is False and rows[2]["keep"] is False
+    assert rows[3]["word_len_ok"] is False
+    assert rows[4]["symbol_ok"] is False
+    assert rows[5]["bullet_ok"] is False
+    assert rows[6]["stop_ok"] is False
+    assert rows[7]["alpha_ok"] is False
