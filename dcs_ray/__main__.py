@@ -158,17 +158,36 @@ def cmd_matches(args) -> None:
 
 def cmd_search(args) -> None:
     ray = _ray()
-    from dcs_ray.search import search_bm25, search_bm25_fielded
+    from dcs_ray.search import (
+        explain_scores,
+        search_bm25,
+        search_bm25_fielded,
+        search_fuzzy,
+        search_wildcard,
+    )
 
     if getattr(args, "anchor_index", None):
         t = search_bm25_fielded(
             args.index, args.anchor_index, [args.query], k=args.k,
             anchor_weight=args.anchor_weight,
         )
+    elif args.mode == "wildcard":
+        t = search_wildcard(args.index, args.query, k=args.k)
+    elif args.mode == "fuzzy":
+        t = search_fuzzy(args.index, args.query, k=args.k)
+    elif args.min_match:
+        t = search_bm25(args.index, [args.query], k=args.k, min_match=args.min_match)
     else:
         t = search_bm25(args.index, [args.query], k=args.k)
     for row in t.to_pylist():
         print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
+    if getattr(args, "explain", False):
+        ex = explain_scores(args.index, args.query, k=args.k)
+        for row in ex.to_pylist():
+            print(
+                f"    #{row['rank']} doc={row['doc_id']} {row['term']}: "
+                f"tf={row['tf']} idf={row['idf']:.4f} -> {row['contribution']:.4f}"
+            )
 
 
 def cmd_links(args) -> None:
@@ -883,6 +902,13 @@ def main() -> None:
     d.add_argument("--anchor-index", default=None,
                    help="second (anchor-field) index for BM25F-lite ranking")
     d.add_argument("--anchor-weight", type=float, default=0.5)
+    d.add_argument("--mode", default="term", choices=["term", "wildcard", "fuzzy"],
+                   help="wildcard: trailing-* prefix expansion; fuzzy: "
+                        "levenshtein-1 term expansion")
+    d.add_argument("--min-match", type=int, default=None,
+                   help="minimum distinct query terms a doc must match")
+    d.add_argument("--explain", action="store_true",
+                   help="print the per-(doc, term) BM25 contribution breakdown")
     d.set_defaults(fn=cmd_search)
 
     d = sub.add_parser("grep", help="regex search via trigram index + verify")

@@ -307,3 +307,106 @@ def cdx_prefix_lookup(
             "last_ts": t["max(ts)"].cast(pa.int64()),
         }
     )
+
+
+def write_cdx(
+    cdx: ray.data.Dataset, out_dir: str, num_partitions: int = 16
+) -> list[str]:
+    """Persist a CDX capture index as surt-RANGE-partitioned sorted
+    Parquet — the layout that makes prefix lookups partition-pruned
+    file reads at 100 TB (the Common Crawl index is exactly this: one
+    sorted shard per key range plus a secondary index of range bounds).
+
+    Partition bounds come from a sampled quantile sketch of the surt
+    keys (sample-sized driver state); each output file is sorted by
+    surt and named ``cdx_{i:05d}.parquet``, so parquet column
+    statistics give [min_surt, max_surt] per file and a range probe
+    opens only intersecting files. Returns the file paths."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    os.makedirs(out_dir, exist_ok=True)
+    # sample-derived range bounds (driver state = num_partitions strings)
+    sample = cdx.limit(100_000).select_columns(["surt"])
+    s = pa.concat_tables(
+        [pa.table(b) for b in sample.iter_batches(batch_format="pyarrow")]
+    )["surt"].to_numpy(zero_copy_only=False)
+    s = np.sort(s)
+    bounds = [
+        s[int(len(s) * i / num_partitions)] for i in range(1, num_partitions)
+    ] if len(s) else []
+
+    def assign(b: pa.Table) -> pa.Table:
+        surt = b["surt"].to_numpy(zero_copy_only=False)
+        part = np.searchsorted(np.array(bounds, dtype=object), surt, side="right")
+        return b.append_column("__part", pa.array(part.astype(np.int64), pa.int64()))
+
+    parts = cdx.map_batches(assign, batch_format="pyarrow")
+
+    def write_group(g: pa.Table) -> pa.Table:
+        pid = int(g["__part"][0].as_py())
+        t = g.drop_columns(["__part"]).sort_by("surt")
+        path = os.path.join(out_dir, f"cdx_{pid:05d}.parquet")
+        pq_mod.write_table(t, path, row_group_size=8192)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    out = parts.groupby("__part").map_groups(write_group, batch_format="pyarrow")
+    paths = sorted(
+        p
+        for b in out.iter_batches(batch_format="pyarrow")
+        for p in pa.table(b)["path"].to_pylist()
+    )
+    return paths
+
+
+def cdx_lookup_dir(out_dir: str, prefix: str, k: int = 20) -> pa.Table:
+    """Prefix range lookup against a :func:`write_cdx` directory:
+    parquet FILE statistics prune to the files whose [min, max] surt
+    range intersects [prefix, next(prefix)), then row-group stats prune
+    inside the survivors — a range-sized read, never an index scan."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_mod
+
+    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    hit_files = []
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(out_dir, f)
+        md = pq_mod.read_metadata(path)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # surt is the first column
+            st = col.statistics
+            if st is None:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None or (hi >= prefix and lo < upper):
+            hit_files.append(path)
+    if not hit_files:
+        return pa.table(
+            {
+                "surt": pa.array([], pa.string()),
+                "n_captures": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.int64()),
+            }
+        )
+    dset = pads.dataset(hit_files)
+    t = dset.to_table(
+        filter=(pads.field("surt") >= prefix) & (pads.field("surt") < upper)
+    )
+    t = t.sort_by("surt").slice(0, k)
+    return pa.table(
+        {
+            "surt": t["surt"],
+            "n_captures": t["count()"].cast(pa.int64()),
+            "first_ts": t["min(ts)"].cast(pa.int64()),
+            "last_ts": t["max(ts)"].cast(pa.int64()),
+        }
+    )

@@ -77,3 +77,36 @@ def test_cdx_rollup_and_prefix_lookup(ray_session):
     # the wider host range catches b. too
     all_org = cdx_prefix_lookup(cdx, "org,example,", k=10)
     assert len(all_org) == 3
+
+
+def test_partitioned_cdx_write_and_pruned_lookup(ray_session, tmp_path):
+    """The scale path: write_cdx produces surt-range-partitioned sorted
+    parquet; cdx_lookup_dir answers the same prefix query from file +
+    row-group statistics, opening only intersecting files."""
+    import os
+
+    from dcs_ray.functions.urls import cdx_lookup_dir, write_cdx
+    from dcs_ray.sources.pages import read_pages
+
+    SF = "/root/testdata/sf0.001"
+    cdx = cdx_capture_index(read_pages(SF))
+    want = cdx_prefix_lookup(cdx, "org,example,src1)", k=20)
+
+    out = str(tmp_path / "cdx")
+    paths = write_cdx(cdx_capture_index(read_pages(SF)), out, num_partitions=8)
+    assert len(paths) >= 2  # real partitioning happened
+    got = cdx_lookup_dir(out, "org,example,src1)", k=20)
+    assert got.equals(want)
+    # every file is internally sorted and file ranges are disjoint-ish:
+    # a narrow prefix must NOT need every file
+    import pyarrow.parquet as pq
+
+    spans = []
+    for p in paths:
+        t = pq.read_table(p, columns=["surt"])
+        v = t["surt"].to_pylist()
+        assert v == sorted(v)
+        spans.append((v[0], v[-1]))
+    upper = "org,example,src1*"
+    hit = [1 for lo, hi in spans if hi >= "org,example,src1)" and lo < upper]
+    assert len(hit) < len(paths)
