@@ -542,7 +542,10 @@ def cdc_chunk_stats(
         )
 
     chunks = docs.map_batches(chunkify, batch_format="pyarrow")
-    chunks = chunks.materialize()  # consumed by two aggregates below
+    # consumed by two aggregates below; pinned so the tokenize pass runs
+    # once (chunk rows are 32-byte integers ≈ bytes/500 of the text —
+    # spilling them is cheaper than re-tokenizing the corpus)
+    chunks = chunks.materialize()
 
     def keep_first(g: pa.Table) -> pa.Table:
         packed = g["packed"].combine_chunks().to_numpy(zero_copy_only=False)

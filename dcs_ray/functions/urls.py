@@ -327,6 +327,10 @@ def write_cdx(
     import pyarrow.parquet as pq_mod
 
     os.makedirs(out_dir, exist_ok=True)
+    # the capture index is consumed twice below (bounds sample + the
+    # partitioned write); it is key-space-sized — far smaller than the
+    # crawl — so pinning it beats re-running the groupby pipeline
+    cdx = cdx.materialize()
     # sample-derived range bounds (driver state = num_partitions strings)
     sample = cdx.limit(100_000).select_columns(["surt"])
     s = pa.concat_tables(
