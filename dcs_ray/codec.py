@@ -845,3 +845,52 @@ def unpack_positions(blob: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray, 
     corr[later] = total[starts[later] - 1]
     positions = total - np.repeat(corr, npos)
     return doc_ids, pos_offsets, positions
+
+
+def front_coding_sizes(index_dir: str, block: int = 16) -> dict:
+    """Exact byte accounting for a FRONT-CODED term dictionary (the
+    Lucene/IR-classic block prefix compression: every ``block``-th term
+    stored whole as ``[len][bytes]``, the rest as
+    ``[lcp][suffix_len][suffix bytes]``) over this index's sorted
+    vocabulary — the space story for the term-dict layer, companion to
+    the posting-codec accounting (``ef_posting_sizes``).
+
+    Closed-form of the sorted term list only: the vocab (vocab-scale,
+    ≪ corpus, same driver-read precedent as ``term_df``) is loaded
+    once; LCPs come from one vectorized char-matrix comparison
+    (elementwise equality cumprod along positions, clipped to both
+    lengths — no per-term Python). Returns integer totals the SQL
+    oracle replays with a lag() + prefix-CASE chain."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(
+        os.path.join(index_dir, "stats", "df.parquet"), columns=["term"]
+    )
+    terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype="U")
+    n = len(terms)
+    if n == 0:
+        return {
+            "n_terms": 0, "n_blocks": 0, "bytes_raw": 0, "bytes_front": 0,
+            "savings": 0.0,
+        }
+    lens = np.char.str_len(terms).astype(np.int64)
+    ml = int(lens.max())
+    chars = terms.astype(f"U{ml}").view("U1").reshape(n, ml)
+    eq = chars[1:] == chars[:-1]
+    lcp_raw = np.cumprod(eq, axis=1).sum(axis=1).astype(np.int64)
+    lcp = np.zeros(n, np.int64)
+    lcp[1:] = np.minimum(lcp_raw, np.minimum(lens[1:], lens[:-1]))
+    pos = np.arange(n, dtype=np.int64) % block
+    first = pos == 0
+    bytes_raw = int((1 + lens).sum())
+    per_term = np.where(first, 1 + lens, 1 + 1 + (lens - lcp))
+    bytes_front = int(per_term.sum())
+    return {
+        "n_terms": int(n),
+        "n_blocks": int(-(-n // block)),
+        "bytes_raw": bytes_raw,
+        "bytes_front": bytes_front,
+        "savings": round(1.0 - bytes_front / bytes_raw, 6),
+    }

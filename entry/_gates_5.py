@@ -233,3 +233,22 @@ def _q_gopher_rules(sf_dir: str) -> pa.Table:
     return pa.concat_tables(
         [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")]
     ).sort_by("doc_id")
+
+
+def _q_front_coding_sizes(sf_dir: str) -> pa.Table:
+    """Front-coded term-dictionary byte accounting (Lucene-style block
+    prefix compression, 16-term blocks) over the words index's sorted
+    vocabulary — exact integer totals, companion to ef_posting_sizes."""
+    from dcs_ray.codec import front_coding_sizes
+
+    idx = _index_dir(sf_dir, "words")
+    r = front_coding_sizes(idx, block=16)
+    return pa.table(
+        {
+            "n_terms": pa.array([r["n_terms"]], pa.int64()),
+            "n_blocks": pa.array([r["n_blocks"]], pa.int64()),
+            "bytes_raw": pa.array([r["bytes_raw"]], pa.int64()),
+            "bytes_front": pa.array([r["bytes_front"]], pa.int64()),
+            "savings": pa.array([r["savings"]], pa.float64()),
+        }
+    )

@@ -2698,4 +2698,34 @@ SELECT doc_id, n_words,
         AND (n_req >= 2)) AS keep
 FROM j ORDER BY doc_id
 """,
+        "front_coding_sizes": f"""
+WITH tok AS ({_TOK}),
+v AS (SELECT term, row_number() OVER (ORDER BY term) - 1 AS rn
+      FROM (SELECT DISTINCT term FROM tok)),
+p AS (SELECT term, rn, rn % 16 AS pos,
+             lag(term) OVER (ORDER BY term) AS prev FROM v),
+l AS (SELECT term, pos,
+             CASE WHEN prev IS NULL THEN 0 ELSE least(
+               CASE WHEN substr(term,1,8) = substr(prev,1,8) THEN 8
+                    WHEN substr(term,1,7) = substr(prev,1,7) THEN 7
+                    WHEN substr(term,1,6) = substr(prev,1,6) THEN 6
+                    WHEN substr(term,1,5) = substr(prev,1,5) THEN 5
+                    WHEN substr(term,1,4) = substr(prev,1,4) THEN 4
+                    WHEN substr(term,1,3) = substr(prev,1,3) THEN 3
+                    WHEN substr(term,1,2) = substr(prev,1,2) THEN 2
+                    WHEN substr(term,1,1) = substr(prev,1,1) THEN 1
+                    ELSE 0 END,
+               length(term), length(prev)) END AS lcp
+      FROM p),
+agg AS (
+  SELECT count(*)::bigint AS n_terms,
+         ((count(*) + 15) // 16)::bigint AS n_blocks,
+         sum(1 + length(term))::bigint AS bytes_raw,
+         sum(CASE WHEN pos = 0 THEN 1 + length(term)
+                  ELSE 2 + length(term) - lcp END)::bigint AS bytes_front
+  FROM l)
+SELECT n_terms, n_blocks, bytes_raw, bytes_front,
+       round(1.0 - bytes_front::double / bytes_raw, 6) + 0.0 AS savings
+FROM agg
+""",
     }

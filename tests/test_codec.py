@@ -184,3 +184,45 @@ def test_posrel_roundtrip_random():
             w.write(c)
         want = np.concatenate(chunks) if chunks else np.empty(0, np.uint8)
         np.testing.assert_array_equal(unpack_posrel(w.data(), w.nbits), want)
+
+
+def test_front_coding_sizes_matches_brute(tmp_path):
+    """Engine LCP (char-matrix cumprod, clipped) vs per-pair Python on a
+    hand vocabulary with the tricky cases: shared-prefix runs, a prev
+    LONGER than the next term, and block-boundary resets."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dcs_ray.codec import front_coding_sizes
+
+    vocab = sorted(
+        ["a", "ab", "abcde", "abcd", "abd", "b", "ba", "bazaar", "baz",
+         "cat", "catalog", "cater", "dog"]
+    )
+    idx = tmp_path / "fcidx" / "stats"
+    os.makedirs(idx)
+    pq.write_table(pa.table({"term": pa.array(vocab, pa.string())}),
+                   str(idx / "df.parquet"))
+    r = front_coding_sizes(str(tmp_path / "fcidx"), block=4)
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    bytes_raw = sum(1 + len(t) for t in vocab)
+    bytes_front = 0
+    for i, t in enumerate(vocab):
+        if i % 4 == 0:
+            bytes_front += 1 + len(t)
+        else:
+            bytes_front += 2 + len(t) - lcp(t, vocab[i - 1])
+    assert r["n_terms"] == len(vocab)
+    assert r["n_blocks"] == (len(vocab) + 3) // 4
+    assert r["bytes_raw"] == bytes_raw
+    assert r["bytes_front"] == bytes_front
