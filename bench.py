@@ -215,6 +215,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     assert res_bmw.equals(res)
     queries["bm25_bmw"] = round(bmw_s, 3)
 
+    # --- term-expansion query family (round-4 session-2 surface):
+    # wildcard prefix expansion, fuzzy levenshtein-1 expansion,
+    # minimum-should-match, and the per-term EXPLAIN breakdown ---
+    from dcs_ray.search import explain_scores, search_fuzzy, search_wildcard
+
+    t0 = time.monotonic()
+    w = search_wildcard(idx, "merge spa*", k=10)
+    f = search_fuzzy(idx, "spark merge", k=10)
+    m = search_bm25(idx, [BM25_QUERIES[0]], k=10, min_match=2,
+                    task_num_cpus=task_cpus)
+    e = explain_scores(idx, BM25_QUERIES[0], k=10)
+    assert len(w) and len(f) and len(m) and len(e)
+    queries["term_expansion"] = round(time.monotonic() - t0, 3)
+
     # --- resident query service (serving latency; the dcs-web shape) ---
     # same queries one-at-a-time — the interactive pattern where per-call
     # Dataset construction IS the latency; the actor pool answers from
