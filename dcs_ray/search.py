@@ -2717,3 +2717,67 @@ def explain_scores(
         }
     )
     return t.sort_by([("rank", "ascending"), ("term", "ascending")])
+
+
+def query_difficulty_pre(
+    index_dir: str,
+    queries: list[str],
+    stats: dict | None = None,
+) -> pa.Table:
+    """PRE-retrieval query-performance prediction (He & Ounis '04 /
+    Zhao-Scholer-Tsegay '08): statistics of the query terms alone,
+    computed before any ranking — the router's signal for choosing
+    expansion, fusion or collection routing when the post-retrieval
+    predictors (clarity, NQC) are not yet available.
+
+    Per query, over its IN-VOCABULARY terms (OOV terms are dropped, the
+    same convention as the planner): ``max_idf``/``avg_idf``/``var_idf``
+    with idf = ln(N/df); ``avg_ictf`` with ICTF = ln(T/cf); ``nscq`` =
+    mean over terms of (1 + ln cf)·ln(1 + N/df). df comes from the
+    stats table probe and cf from one posting pass per shard
+    (``collection_cf`` — both vocab-bounded, no corpus scan)."""
+    stats = stats or load_stats(index_dir)
+    from dcs_ray.tokenize import tokenize_query_words
+
+    per_q = [sorted(set(tokenize_query_words(q))) for q in queries]
+    all_terms = sorted({t for ts in per_q for t in ts})
+    dfs = global_df(index_dir, all_terms)
+    cfs = collection_cf(index_dir, [t for t in all_terms if dfs.get(t, 0) > 0])
+    N = float(stats["n_docs"])
+    T = float(stats["sum_doc_len"]) or 1.0
+    out = {
+        "query": [], "n_terms": [], "max_idf": [], "avg_idf": [],
+        "var_idf": [], "avg_ictf": [], "nscq": [],
+    }
+    for q, terms in zip(queries, per_q):
+        kept = [t for t in terms if dfs.get(t, 0) > 0]
+        out["query"].append(q)
+        out["n_terms"].append(len(kept))
+        if not kept:
+            for c in ("max_idf", "avg_idf", "var_idf", "avg_ictf", "nscq"):
+                out[c].append(0.0)
+            continue
+        idf = np.array([math.log(N / dfs[t]) for t in kept], np.float64)
+        ictf = np.array([math.log(T / cfs[t]) for t in kept], np.float64)
+        scq = np.array(
+            [(1.0 + math.log(cfs[t])) * math.log(1.0 + N / dfs[t]) for t in kept],
+            np.float64,
+        )
+        out["max_idf"].append(round(float(idf.max()), 6))
+        out["avg_idf"].append(round(float(idf.sum()) / len(kept), 6))
+        out["var_idf"].append(
+            round(float(((idf - idf.sum() / len(kept)) ** 2).sum()) / len(kept), 6)
+        )
+        out["avg_ictf"].append(round(float(ictf.sum()) / len(kept), 6))
+        out["nscq"].append(round(float(scq.sum()) / len(kept), 6))
+    return pa.table(
+        {
+            "query": pa.array(out["query"], pa.string()),
+            "n_terms": pa.array(out["n_terms"], pa.int64()),
+            "max_idf": pa.array(np.array(out["max_idf"]) + 0.0, pa.float64()),
+            "avg_idf": pa.array(np.array(out["avg_idf"]) + 0.0, pa.float64()),
+            "var_idf": pa.array(np.array(out["var_idf"]) + 0.0, pa.float64()),
+            "avg_ictf": pa.array(np.array(out["avg_ictf"]) + 0.0, pa.float64()),
+            "nscq": pa.array(np.array(out["nscq"]) + 0.0, pa.float64()),
+        }
+    )

@@ -252,3 +252,23 @@ def _q_front_coding_sizes(sf_dir: str) -> pa.Table:
             "savings": pa.array([r["savings"]], pa.float64()),
         }
     )
+
+
+QPP_QUERIES = [
+    "spark merge join",
+    "merge",
+    "spark table group",
+    "the data value",
+    "spark qqqqzz",
+]
+
+
+def _q_query_difficulty_pre(sf_dir: str) -> pa.Table:
+    """Pre-retrieval query-performance predictors (max/avg/var IDF,
+    avgICTF, NSCQ) from df + cf statistics alone — the routing signal
+    available BEFORE any ranking, next to the post-retrieval clarity
+    and NQC gates. OOV terms drop (planner convention)."""
+    from dcs_ray.search import query_difficulty_pre
+
+    idx = _index_dir(sf_dir, "words")
+    return query_difficulty_pre(idx, QPP_QUERIES)

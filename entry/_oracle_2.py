@@ -2728,4 +2728,36 @@ SELECT n_terms, n_blocks, bytes_raw, bytes_front,
        round(1.0 - bytes_front::double / bytes_raw, 6) + 0.0 AS savings
 FROM agg
 """,
+        "query_difficulty_pre": f"""
+WITH tok AS ({_TOK}),
+df AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM tok GROUP BY term),
+cf AS (SELECT term, count(*)::bigint AS cf FROM tok GROUP BY term),
+nd AS (SELECT count(*)::double AS n FROM documents),
+tt AS (SELECT count(*)::double AS t FROM tok),
+qs AS (SELECT * FROM (VALUES
+  (1, 'spark merge join'), (2, 'merge'), (3, 'spark table group'),
+  (4, 'the data value'), (5, 'spark qqqqzz')) v(i, q)),
+qt AS (SELECT i, q,
+              unnest(list_sort(list_distinct(list_filter(
+                regexp_split_to_array(lower(q), '[^a-z0-9]+'),
+                x -> x <> '')))) AS term
+       FROM qs),
+kept AS (SELECT qt.i, qt.q, qt.term, df.df, cf.cf
+         FROM qt JOIN df USING (term) JOIN cf USING (term)),
+a AS (SELECT i, q, count(*)::bigint AS n_terms,
+             max(ln(nd.n / df)) AS max_idf,
+             sum(ln(nd.n / df)) AS sidf,
+             sum(ln(tt.t / cf)) AS sictf,
+             sum((1.0 + ln(cf)) * ln(1.0 + nd.n / df)) AS sscq
+      FROM kept, nd, tt GROUP BY i, q),
+v AS (SELECT k.i, sum(pow(ln(nd.n / k.df) - a.sidf / a.n_terms, 2)) AS ssq
+      FROM kept k JOIN a USING (i), nd GROUP BY k.i)
+SELECT a.q AS query, a.n_terms,
+       round(a.max_idf, 6) + 0.0 AS max_idf,
+       round(a.sidf / a.n_terms, 6) + 0.0 AS avg_idf,
+       round(v.ssq / a.n_terms, 6) + 0.0 AS var_idf,
+       round(a.sictf / a.n_terms, 6) + 0.0 AS avg_ictf,
+       round(a.sscq / a.n_terms, 6) + 0.0 AS nscq
+FROM a JOIN v USING (i) ORDER BY a.i
+""",
     }
