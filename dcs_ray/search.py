@@ -1887,7 +1887,11 @@ def positional_matches_shard(seg: Segment, literal: str | bytes) -> tuple[np.nda
 
 
 def proximity_matches_shard(
-    seg: Segment, lit_a: str | bytes, lit_b: str | bytes, window: int
+    seg: Segment,
+    lit_a: str | bytes,
+    lit_b: str | bytes,
+    window: int,
+    ordered: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Proximity join over positional sections (the J4 positional join
     generalized from exact phrase to a byte window): docs where an
@@ -1910,8 +1914,13 @@ def proximity_matches_shard(
     akey_doc = la << 32
     bkey = (lb << 32) + pb_arr.astype(np.int64)  # sorted: doc-major, pos asc
     pa_i = pa_arr.astype(np.int64)
-    lo = akey_doc + np.maximum(pa_i - window, 0)
-    hi = akey_doc + pa_i + window
+    if ordered:
+        # ordered window (INQUERY #N): b strictly AFTER a, within window
+        lo = akey_doc + pa_i + 1
+        hi = akey_doc + pa_i + window
+    else:
+        lo = akey_doc + np.maximum(pa_i - window, 0)
+        hi = akey_doc + pa_i + window
     counts = np.searchsorted(bkey, hi, side="right") - np.searchsorted(
         bkey, lo, side="left"
     )
@@ -1922,11 +1931,16 @@ def proximity_matches_shard(
 
 
 def search_proximity(
-    index_dir: str, pairs: list[tuple[str, str]], window: int = 40
+    index_dir: str,
+    pairs: list[tuple[str, str]],
+    window: int = 40,
+    ordered: bool = False,
 ) -> pa.Table:
     """(query_id, doc_id, n_pairs) for literal-pair proximity queries —
     one task per shard (docs partition across shards, so the global
-    result is the plain union of shard results)."""
+    result is the plain union of shard results). ``ordered=True`` is
+    the INQUERY ``#N`` operator (b strictly after a within the window)
+    vs the default unordered ``#uwN``."""
     paths = shard_paths(index_dir)
     work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
 
@@ -1935,7 +1949,7 @@ def search_proximity(
         for pid in batch["path_id"].to_pylist():
             seg = _open(paths[pid])
             for qid, (a, b) in enumerate(pairs):
-                d, n = proximity_matches_shard(seg, a, b, window)
+                d, n = proximity_matches_shard(seg, a, b, window, ordered=ordered)
                 rows_q.extend([qid] * len(d))
                 rows_d.append(d)
                 rows_n.append(n)

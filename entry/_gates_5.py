@@ -272,3 +272,17 @@ def _q_query_difficulty_pre(sf_dir: str) -> pa.Table:
 
     idx = _index_dir(sf_dir, "words")
     return query_difficulty_pre(idx, QPP_QUERIES)
+
+
+def _q_ordered_window_search(sf_dir: str) -> pa.Table:
+    """Ordered-window positional join (INQUERY #N vs the unordered
+    #uwN gate `proximity_search`): docs where a 'join' occurrence
+    starts strictly AFTER a 'spark' occurrence within 40 bytes, exact
+    ordered-pair counts from positional sections only."""
+    from dcs_ray.search import search_proximity
+
+    idx = _index_dir(sf_dir, "trigram")
+    t = search_proximity(idx, [("spark", "join")], window=40, ordered=True)
+    return pa.table(
+        {"doc_id": t["doc_id"].cast(pa.int64()), "n_pairs": t["n_pairs"]}
+    ).sort_by("doc_id")

@@ -2760,4 +2760,28 @@ SELECT a.q AS query, a.n_terms,
        round(a.sscq / a.n_terms, 6) + 0.0 AS nscq
 FROM a JOIN v USING (i) ORDER BY a.i
 """,
+        "ordered_window_search": """
+WITH occ_a AS (
+  SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'spark')) AS part,
+                 unnest(range(1, len(str_split(text, 'spark')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts),
+occ_b AS (
+  SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'join')) AS part,
+                 unnest(range(1, len(str_split(text, 'join')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts)
+SELECT a.doc_id::bigint AS doc_id, count(*)::bigint AS n_pairs
+FROM occ_a a JOIN occ_b b
+  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 40
+GROUP BY a.doc_id ORDER BY doc_id
+""",
     }

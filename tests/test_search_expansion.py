@@ -197,3 +197,37 @@ def test_explain_contributions_sum_to_scores(words_index):
         by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contribution"]
     for d, s in zip(top["doc_id"].to_pylist(), top["score"].to_pylist()):
         assert abs(by_doc[d] - s) < 5e-6, (d, by_doc[d], s)
+
+
+def test_ordered_window_is_directional(ray_session, tmp_path):
+    """#N vs #uwN: 'b then a' must count in the unordered window but
+    NOT in the ordered one; pair counts are exact."""
+    from dcs_ray.search import search_proximity
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta",           # a before b: ordered hit
+                    "beta alpha",           # b before a: unordered only
+                    "alpha x beta alpha beta",  # mixed: 3 ordered pairs? a@0,a@13; b@8,b@19 -> (0,8),(0,19),(13,19)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = str(tmp_path / "ordidx")
+    from dcs_ray.index import IndexConfig, build_index
+
+    build_index(
+        ray.data.from_arrow(docs), out,
+        IndexConfig(num_partitions=1, num_shards=1, mode="trigram",
+                    positional=True, id_col="doc_id", dedup_latest=False),
+    )
+    uw = search_proximity(out, [("alpha", "beta")], window=40)
+    od = search_proximity(out, [("alpha", "beta")], window=40, ordered=True)
+    uw_rows = dict(zip(uw["doc_id"].to_pylist(), uw["n_pairs"].to_pylist()))
+    od_rows = dict(zip(od["doc_id"].to_pylist(), od["n_pairs"].to_pylist()))
+    assert uw_rows == {1: 1, 2: 1, 3: 4}
+    assert od_rows == {1: 1, 3: 3}
