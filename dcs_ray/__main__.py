@@ -182,7 +182,27 @@ def cmd_search(args) -> None:
     for row in t.to_pylist():
         print(f"{row['rank']:3d}  {row['score']:.4f}  doc={row['doc_id']}")
     if getattr(args, "explain", False):
-        ex = explain_scores(args.index, args.query, k=args.k)
+        # breakdown for the ROWS PRINTED ABOVE, against the expanded
+        # term set of the mode that produced them (wildcard/fuzzy
+        # expansions included) — never a second, different ranking
+        from dcs_ray.search import _grammar_plan
+
+        if args.mode == "fuzzy":
+            raw = " ".join(w + "~" for w in args.query.split())
+            qtext, _f = _grammar_plan(
+                raw, None, expand_index_dir=args.index, max_expansions=50
+            )
+        elif args.mode == "wildcard":
+            qtext, _f = _grammar_plan(
+                args.query, None, expand_index_dir=args.index
+            )
+        else:
+            qtext = args.query
+        ex = explain_scores(
+            args.index, qtext, k=args.k,
+            doc_ids=t["doc_id"].to_pylist(),
+            ranks=t["rank"].to_pylist(),
+        )
         for row in ex.to_pylist():
             print(
                 f"    #{row['rank']} doc={row['doc_id']} {row['term']}: "

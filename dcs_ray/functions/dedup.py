@@ -475,6 +475,26 @@ def fuzzy_dedup_keep(
     pair list and the drop set — both proportional to the duplicate
     count, not corpus size.
     """
+    node, comp = _near_dup_label_arrays(
+        docs, num_perm, bands, shingle_n, threshold, id_col, cc_method
+    )
+    # drop set: nodes labeled with a smaller component representative
+    return _drop_filtered_ids(docs, node[comp < node], id_col)
+
+
+def _near_dup_label_arrays(
+    docs: ray.data.Dataset,
+    num_perm: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    id_col: str,
+    cc_method: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared near-dup clustering prefix of every keep policy:
+    MinHash+LSH candidates → exact-Jaccard verify → connected
+    components, collected as (node, component) int64 arrays
+    (duplicate-count-sized driver state)."""
     from dcs_ray.functions.graph import connected_components
 
     cand = minhash_candidate_pairs(
@@ -484,17 +504,23 @@ def fuzzy_dedup_keep(
         docs, cand, shingle_n=shingle_n, threshold=threshold, id_col=id_col
     )
     labels = connected_components(verified, method=cc_method)
-
-    # drop set: nodes labeled with a smaller component representative
     lab_batches = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
     lab_tbl = pa.concat_tables(lab_batches) if lab_batches else pa.table({})
     if len(lab_tbl):
-        node = lab_tbl["node"].to_numpy().astype(np.int64)
-        comp = lab_tbl["component"].to_numpy().astype(np.int64)
-        drop = np.sort(node[comp < node])
-    else:
-        drop = np.empty(0, np.int64)
-    drop_ref = ray.put(drop)
+        return (
+            lab_tbl["node"].to_numpy().astype(np.int64),
+            lab_tbl["component"].to_numpy().astype(np.int64),
+        )
+    return np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def _drop_filtered_ids(
+    docs: ray.data.Dataset, drop: np.ndarray, id_col: str
+) -> ray.data.Dataset:
+    """Stream the corpus once against a broadcast sorted drop set →
+    Dataset[(id_col,)] of survivors (the shared tail of every keep
+    policy)."""
+    drop_ref = ray.put(np.sort(np.asarray(drop, np.int64)))
 
     def keep_batch(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.int64)
@@ -531,21 +557,15 @@ def fuzzy_dedup_keep_best(
     not corpus-sized) is sent to a filtered ``map_batches`` pass that
     returns (id, quality) for members only; the per-cluster argmax runs
     on that member-sized table driver-side, and the final keep mask is
-    the same sorted-drop-set searchsorted probe."""
-    from dcs_ray.functions.graph import connected_components
+    the same sorted-drop-set searchsorted probe.
 
-    cand = minhash_candidate_pairs(
-        docs, num_perm=num_perm, bands=bands, id_col=id_col, shingle_n=shingle_n
+    ``docs`` is consumed four times (pairs, verify, member quality,
+    final keep) — pass a materialized Dataset if it is itself a
+    computed pipeline; a plain parquet read just re-reads."""
+    node, comp = _near_dup_label_arrays(
+        docs, num_perm, bands, shingle_n, threshold, id_col, cc_method
     )
-    verified = jaccard_verify_pairs(
-        docs, cand, shingle_n=shingle_n, threshold=threshold, id_col=id_col
-    )
-    labels = connected_components(verified, method=cc_method)
-    lab_batches = [pa.table(b) for b in labels.iter_batches(batch_format="pyarrow")]
-    lab_tbl = pa.concat_tables(lab_batches) if lab_batches else pa.table({})
-    if len(lab_tbl):
-        node = lab_tbl["node"].to_numpy().astype(np.int64)
-        comp = lab_tbl["component"].to_numpy().astype(np.int64)
+    if len(node):
         order = np.argsort(node)
         node, comp = node[order], comp[order]
         node_ref = ray.put(node)
@@ -581,22 +601,10 @@ def fuzzy_dedup_keep_best(
         csort = np.lexsort((node, -qual, comp))
         first = np.concatenate(([True], comp[csort][1:] != comp[csort][:-1]))
         best = node[csort][first]
-        drop = np.sort(np.setdiff1d(node, best, assume_unique=False))
+        drop = np.setdiff1d(node, best, assume_unique=False)
     else:
         drop = np.empty(0, np.int64)
-    drop_ref = ray.put(drop)
-
-    def keep_batch(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy().astype(np.int64)
-        d = ray.get(drop_ref)
-        if len(d):
-            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
-            keep = d[pos] != ids
-        else:
-            keep = np.ones(len(ids), bool)
-        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
-
-    return docs.map_batches(keep_batch, batch_format="pyarrow")
+    return _drop_filtered_ids(docs, drop, id_col)
 
 
 def exact_jaccard(text_a: str, text_b: str, shingle_n: int = 3) -> float:

@@ -415,6 +415,20 @@ def chunk_dedup_stats(
             }
         )
 
+    hashed = chunks.map_batches(with_hash, batch_format="pyarrow")
+    return _chunk_survivor_stats(hashed, chunks, id_col)
+
+
+def _chunk_survivor_stats(
+    hashed: ray.data.Dataset, chunk_rows: ray.data.Dataset, id_col: str
+) -> ray.data.Dataset:
+    """Shared survivor fold of every chunk-level dedup (fixed-window
+    ``chunk_dedup_stats`` and content-defined ``cdc_chunk_stats``):
+    ``hashed`` rows are ``(h, packed = id·2^20 + chunk_idx, n_tok)``;
+    the minimum ``packed`` per hash survives; ``chunk_rows`` (one row
+    per chunk carrying ``id_col``) supplies the per-doc totals. Both
+    aggregates are doc-scale; the fold is a sorted merge."""
+
     def keep_first(g: pa.Table) -> pa.Table:
         packed = g["packed"].combine_chunks().to_numpy(zero_copy_only=False)
         i = int(np.argmin(packed))
@@ -425,17 +439,11 @@ def chunk_dedup_stats(
             }
         )
 
-    kept = (
-        chunks.map_batches(with_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pyarrow")
-    )
+    kept = hashed.groupby("h").map_groups(keep_first, batch_format="pyarrow")
     kept_stats = kept.groupby(id_col).aggregate(
         ray.data.aggregate.Count(), ray.data.aggregate.Sum("n_tok")
     )
-    totals = chunks.groupby(id_col).count()
-
-    # both aggregates are doc-scale; fold into one table via sorted merge
+    totals = chunk_rows.groupby(id_col).count()
     kt = pa.concat_tables(
         [pa.table(b) for b in kept_stats.iter_batches(batch_format="pyarrow")]
     ).sort_by(id_col)
@@ -542,48 +550,9 @@ def cdc_chunk_stats(
         )
 
     chunks = docs.map_batches(chunkify, batch_format="pyarrow")
-    # consumed by two aggregates below; pinned so the tokenize pass runs
-    # once (chunk rows are 32-byte integers ≈ bytes/500 of the text —
-    # spilling them is cheaper than re-tokenizing the corpus)
+    # consumed by two aggregates in the shared tail; pinned so the
+    # tokenize pass runs once (chunk rows are 32-byte integers ≈
+    # bytes/500 of the text — spilling them is cheaper than
+    # re-tokenizing the corpus)
     chunks = chunks.materialize()
-
-    def keep_first(g: pa.Table) -> pa.Table:
-        packed = g["packed"].combine_chunks().to_numpy(zero_copy_only=False)
-        i = int(np.argmin(packed))
-        return pa.table(
-            {
-                id_col: pa.array([int(packed[i]) // 1048576], pa.int64()),
-                "n_tok": pa.array([int(g["n_tok"][i].as_py())], pa.int64()),
-            }
-        )
-
-    kept = chunks.groupby("h").map_groups(keep_first, batch_format="pyarrow")
-    kept_stats = kept.groupby(id_col).aggregate(
-        ray.data.aggregate.Count(), ray.data.aggregate.Sum("n_tok")
-    )
-    totals = chunks.groupby(id_col).count()
-    kt = pa.concat_tables(
-        [pa.table(b) for b in kept_stats.iter_batches(batch_format="pyarrow")]
-    ).sort_by(id_col)
-    tt = pa.concat_tables(
-        [pa.table(b) for b in totals.iter_batches(batch_format="pyarrow")]
-    ).sort_by(id_col)
-    t_ids = tt[id_col].to_numpy().astype(np.int64)
-    t_cnt = tt["count()"].to_numpy().astype(np.int64)
-    k_ids = kt[id_col].to_numpy().astype(np.int64)
-    k_cnt = kt["count()"].to_numpy().astype(np.int64)
-    k_tok = kt["sum(n_tok)"].to_numpy().astype(np.int64)
-    pos = np.searchsorted(t_ids, k_ids)
-    n_kept = np.zeros(len(t_ids), np.int64)
-    kept_tokens = np.zeros(len(t_ids), np.int64)
-    n_kept[pos] = k_cnt
-    kept_tokens[pos] = k_tok
-    out = pa.table(
-        {
-            id_col: pa.array(t_ids, pa.int64()),
-            "n_chunks": pa.array(t_cnt, pa.int64()),
-            "n_kept": pa.array(n_kept, pa.int64()),
-            "kept_tokens": pa.array(kept_tokens, pa.int64()),
-        }
-    )
-    return ray.data.from_arrow(out)
+    return _chunk_survivor_stats(chunks, chunks, id_col)

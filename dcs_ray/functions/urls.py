@@ -327,12 +327,30 @@ def write_cdx(
     import pyarrow.parquet as pq_mod
 
     os.makedirs(out_dir, exist_ok=True)
-    # the capture index is consumed twice below (bounds sample + the
-    # partitioned write); it is key-space-sized — far smaller than the
-    # crawl — so pinning it beats re-running the groupby pipeline
+    # the capture index is consumed three times below (count + bounds
+    # sample + the partitioned write); it is key-space-sized — far
+    # smaller than the crawl — so pinning it beats re-running the
+    # groupby pipeline
     cdx = cdx.materialize()
-    # sample-derived range bounds (driver state = num_partitions strings)
-    sample = cdx.limit(100_000).select_columns(["surt"])
+    # Range bounds from a HASH-sampled subset of the keys. limit() would
+    # take the head of the key-sorted groupby output — the
+    # lexicographically smallest keys — putting every bound inside that
+    # head and funneling the rest of the index into the last partition.
+    # A deterministic content-hash gate samples uniformly across the key
+    # space instead (driver state = ~100k strings max).
+    from dcs_ray.functions.sketches import _hash64_column
+
+    n_keys = cdx.count()
+    rate = max(1, n_keys // 100_000)
+
+    def sample_keys(b: pa.Table, _r=rate) -> pa.Table:
+        surt = b["surt"].combine_chunks()
+        if _r <= 1:
+            return pa.table({"surt": surt})
+        keep = (_hash64_column(surt) % np.uint64(_r)) == np.uint64(0)
+        return pa.table({"surt": surt.filter(pa.array(keep))})
+
+    sample = cdx.map_batches(sample_keys, batch_format="pyarrow")
     s = pa.concat_tables(
         [pa.table(b) for b in sample.iter_batches(batch_format="pyarrow")]
     )["surt"].to_numpy(zero_copy_only=False)

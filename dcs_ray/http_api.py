@@ -365,10 +365,24 @@ class ApiServer:
         if qs.get("explain") == "1" and mode in ("term", "grammar"):
             # Lucene-explain debug surface: per-(doc, term) BM25
             # contribution breakdown attached to each result row —
-            # decodes only the query terms' postings for the k docs
-            from dcs_ray.search import explain_scores
+            # decodes only the query terms' postings for the SERVED
+            # docs, against the PLANNED (grammar-expanded) query text,
+            # so operators/filters can't desynchronize the breakdown
+            # from the rows above it
+            from dcs_ray.search import _grammar_plan, explain_scores
 
-            ex = explain_scores(self.svc.index_dir, query, k=k)
+            try:
+                qtext, _f = _grammar_plan(
+                    query, self.phrase_index_dir,
+                    expand_index_dir=self.svc.index_dir,
+                )
+            except Exception:
+                qtext = query
+            ex = explain_scores(
+                self.svc.index_dir, qtext, k=k,
+                doc_ids=[r["doc_id"] for r in rows],
+                ranks=[r.get("rank", i + 1) for i, r in enumerate(rows)],
+            )
             by_doc: dict[int, list] = {}
             for r in ex.to_pylist():
                 by_doc.setdefault(r["doc_id"], []).append(

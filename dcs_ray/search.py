@@ -2098,6 +2098,7 @@ def _grammar_plan(
     p = parse_user_query(raw)
     if expand_index_dir is not None:
         expanded: list[str] = []
+        fuzzy_words: list[str] = []  # batched: ONE vocab pass for all '~'
         for tok in p["terms"]:
             if tok.endswith("*") and len(tok) > 1 and not tok.startswith("*"):
                 for w in tokenize_query_words(tok[:-1]):
@@ -2105,17 +2106,17 @@ def _grammar_plan(
                         expand_prefix_terms(expand_index_dir, w, max_expansions)
                     )
             elif tok.endswith("~") and len(tok) > 1:
-                from dcs_ray.functions.spell import suggest
-
-                words = tokenize_query_words(tok[:-1])
-                if words:
-                    vocab = ray.data.read_parquet(
-                        os.path.join(expand_index_dir, "stats", "df.parquet")
-                    )
-                    sugg = suggest(vocab, words, k=max_expansions)
-                    expanded.extend(sorted(set(sugg["term"].to_pylist())))
+                fuzzy_words.extend(tokenize_query_words(tok[:-1]))
             else:
                 expanded.append(tok)
+        if fuzzy_words:
+            from dcs_ray.functions.spell import suggest
+
+            vocab = ray.data.read_parquet(
+                os.path.join(expand_index_dir, "stats", "df.parquet")
+            )
+            sugg = suggest(vocab, sorted(set(fuzzy_words)), k=max_expansions)
+            expanded.extend(sorted(set(sugg["term"].to_pylist())))
         p = dict(p)
         p["terms"] = expanded
     filters = dict(filters_from_keywords(p["includes"], p["negates"]) or {})
@@ -2662,6 +2663,8 @@ def explain_scores(
     query: str,
     k: int = 10,
     stats: dict | None = None,
+    doc_ids: list | np.ndarray | None = None,
+    ranks: list | np.ndarray | None = None,
 ) -> pa.Table:
     """Lucene-style score EXPLAIN: the normal top-k ranking plus the
     per-term BM25 contribution of every (result doc, query term) pair
@@ -2674,11 +2677,26 @@ def explain_scores(
     k result docs (driver-side, k·|terms| searchsorted probes into the
     per-worker-cache-backed vectors) — result-set-sized, never
     corpus-sized. The serving analogue is debug tooling, not a hot
-    path."""
+    path.
+
+    With ``doc_ids`` the internal ranking is skipped and the breakdown
+    covers exactly those docs (``ranks`` aligned, default 1..n in the
+    given order) against the terms of ``query`` — the serving/CLI path
+    hands in its ALREADY-RANKED rows plus the PLANNED (expanded) query
+    text, so grammar operators, filters and expansions can never make
+    the breakdown describe a different ranking than the one shown."""
     stats = stats or load_stats(index_dir)
-    top = search_bm25(index_dir, [query], k=k, stats=stats)
-    ids = top["doc_id"].to_numpy().astype(np.uint64)
-    ranks = top["rank"].to_numpy()
+    if doc_ids is not None:
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        ranks = (
+            np.asarray(ranks, dtype=np.int64)
+            if ranks is not None
+            else np.arange(1, len(ids) + 1, dtype=np.int64)
+        )
+    else:
+        top = search_bm25(index_dir, [query], k=k, stats=stats)
+        ids = top["doc_id"].to_numpy().astype(np.uint64)
+        ranks = top["rank"].to_numpy()
     if len(ids) == 0:
         return pa.table(
             {

@@ -302,3 +302,19 @@ def test_explain_param_over_http(server):
         assert abs(total - r["score"]) < 5e-6
         for e in r["explain"]:
             assert e["term"] in QUERY.split() and e["tf"] >= 1
+
+
+def test_explain_aligns_with_grammar_queries(server):
+    """The review-found desync case: explain=1 on a GRAMMAR query must
+    describe the served rows (planned/expanded terms), not a second
+    ranking of the raw string."""
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    for q in ("spark+-join", "spa*+merge"):
+        body = _get(api, f"/v1/search?query={q}&k=5&explain=1", key)
+        assert body["results"], q
+        for r in body["results"]:
+            assert r["explain"], (q, r["doc_id"])
+            total = sum(e["contribution"] for e in r["explain"])
+            assert abs(total - r["score"]) < 5e-6, (q, r["doc_id"], total, r["score"])
+            assert all(e["term"] != "join" for e in r["explain"])  # negated term never scores
