@@ -2813,3 +2813,53 @@ def query_difficulty_pre(
             "nscq": pa.array(np.array(out["nscq"]) + 0.0, pa.float64()),
         }
     )
+
+
+def export_postings(
+    index_dir: str, terms: list[str] | None = None
+) -> ray.data.Dataset:
+    """Decode the index back into a ``(term, doc_id, tf)`` Dataset — the
+    migration/backfill path (index → data roundtrip): feed another
+    engine, rebuild with different partitioning, or audit the postings
+    themselves. One task per shard; with ``terms`` only those postings
+    decode (dictionary binary search per shard), with ``None`` the
+    whole shard streams out in vocab order. Output is shard-parallel
+    and Parquet-ready (``.write_parquet``); each term's postings come
+    from exactly one decode per shard (no cache churn — the raw blob
+    decoder is used directly, not the query-path LRU)."""
+    paths = shard_paths(index_dir)
+    work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
+    sel = sorted(set(terms)) if terms is not None else None
+
+    def run(batch: pa.Table) -> pa.Table:
+        out_t, out_d, out_f = [], [], []
+        for pid in batch["path_id"].to_pylist():
+            seg = _open(paths[pid])
+            if sel is not None:
+                idxs = [(t, seg.term_index(t)) for t in sel]
+                idxs = [(t, i) for t, i in idxs if i >= 0]
+            else:
+                terms_np = seg.terms.to_numpy(zero_copy_only=False)
+                idxs = [(terms_np[i], i) for i in range(len(terms_np))]
+            for t, i in idxs:
+                d, f = decode_postings(seg.term_blob(i))
+                out_t.extend([t] * len(d))
+                out_d.append(d)
+                out_f.append(f)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "tf": pa.array(
+                    np.concatenate(out_f).astype(np.int64)
+                    if out_f
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return work.map_batches(run, batch_size=1, batch_format="pyarrow")

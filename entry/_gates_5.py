@@ -286,3 +286,25 @@ def _q_ordered_window_search(sf_dir: str) -> pa.Table:
     return pa.table(
         {"doc_id": t["doc_id"].cast(pa.int64()), "n_pairs": t["n_pairs"]}
     ).sort_by("doc_id")
+
+
+def _q_postings_export(sf_dir: str) -> pa.Table:
+    """Index→data roundtrip (migration/backfill): decode the BM25
+    query terms' posting lists back to (term, doc_id, tf) rows straight
+    from the shard blobs — the oracle recomputes the same triples from
+    raw text, so the export proves the stored postings byte-decode to
+    exactly the corpus statistics."""
+    from dcs_ray.search import export_postings
+
+    idx = _index_dir(sf_dir, "words")
+    ds = export_postings(idx, terms=["join", "merge", "spark"])
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return pa.table(
+        {
+            "term": t["term"],
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "tf": t["tf"],
+        }
+    ).sort_by([("term", "ascending"), ("doc_id", "ascending")])

@@ -2784,4 +2784,10 @@ FROM occ_a a JOIN occ_b b
   ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 40
 GROUP BY a.doc_id ORDER BY doc_id
 """,
+        "postings_export": f"""
+WITH tok AS ({_TOK})
+SELECT term, doc_id, count(*)::bigint AS tf
+FROM tok WHERE term IN ('join', 'merge', 'spark')
+GROUP BY term, doc_id ORDER BY term, doc_id
+""",
     }

@@ -231,3 +231,37 @@ def test_ordered_window_is_directional(ray_session, tmp_path):
     od_rows = dict(zip(od["doc_id"].to_pylist(), od["n_pairs"].to_pylist()))
     assert uw_rows == {1: 1, 2: 1, 3: 4}
     assert od_rows == {1: 1, 3: 3}
+
+
+def test_export_postings_full_roundtrip_invariants(words_index):
+    """Index→data export: whole-index decode reproduces the corpus
+    statistics exactly — Σtf = total tokens, distinct terms = the
+    vocab, and per-term rows match a brute text recount."""
+    from dcs_ray.search import export_postings
+
+    ds = export_postings(words_index)
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    stats = load_stats(words_index)
+    assert int(pa.compute.sum(t["tf"]).as_py()) == stats["sum_doc_len"]
+    vocab = pq.read_table(
+        os.path.join(words_index, "stats", "df.parquet"), columns=["term"]
+    )["term"].to_pylist()
+    assert set(t["term"].to_pylist()) == set(vocab)
+    # spot-check one term against raw text
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tok = re.compile(r"[a-z0-9]+")
+    want = {}
+    for d, x in zip(texts["doc_id"].to_pylist(), texts["text"].to_pylist()):
+        n = tok.findall(x.lower()).count("spark")
+        if n:
+            want[d] = n
+    got = {
+        d: f
+        for term, d, f in zip(
+            t["term"].to_pylist(), t["doc_id"].to_pylist(), t["tf"].to_pylist()
+        )
+        if term == "spark"
+    }
+    assert got == want
