@@ -110,3 +110,34 @@ def test_partitioned_cdx_write_and_pruned_lookup(ray_session, tmp_path):
     upper = "org,example,src1*"
     hit = [1 for lo, hi in spans if hi >= "org,example,src1)" and lo < upper]
     assert len(hit) < len(paths)
+
+
+def test_surt_fuzz_matches_reference():
+    """Differential fuzz of the vectorized label reversal against a
+    per-row Python reference over random hosts/paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(alphabet="abcz09", min_size=1, max_size=6)
+
+    def brute(url: str) -> str:
+        rest = url.split("://", 1)[1]
+        host, _, path = rest.partition("/")
+        host = host.lower()
+        if host.startswith("www."):
+            host = host[4:]
+        return ",".join(reversed(host.split("."))) + ")/" + path
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        hosts=st.lists(
+            st.lists(label, min_size=1, max_size=5), min_size=1, max_size=20
+        ),
+        path=st.text(alphabet="abc/xy", max_size=10),
+    )
+    def run(hosts, path):
+        urls = ["https://" + ".".join(h) + "/" + path for h in hosts]
+        got = _surt(urls)
+        assert got == [brute(u) for u in urls]
+
+    run()
