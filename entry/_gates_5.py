@@ -308,3 +308,26 @@ def _q_postings_export(sf_dir: str) -> pa.Table:
             "tf": t["tf"],
         }
     ).sort_by([("term", "ascending"), ("doc_id", "ascending")])
+
+
+def _q_opic_importance(sf_dir: str) -> pa.Table:
+    """OPIC page importance (Abiteboul '03): cash/history propagation
+    over the crawl graph, the online crawler's frontier-ordering
+    signal — distinct from PageRank (no damping; the time-average of
+    held cash is the estimate). Top-20 by importance."""
+    from dcs_ray.functions.graph import opic
+    from entry._helpers import _link_edges_ds
+
+    t = opic(
+        _link_edges_ds(sf_dir).select_columns(["src", "dst"]),
+        n_iter=3, src="src", dst="dst",
+    )
+    imp = t["importance"].to_numpy()
+    node = t["node"].to_numpy()
+    order = np.lexsort((node, -imp))[:20]
+    return pa.table(
+        {
+            "node": pa.array(node[order], pa.int64()),
+            "importance": pa.array(imp[order] + 0.0, pa.float64()),
+        }
+    )

@@ -2784,6 +2784,48 @@ FROM occ_a a JOIN occ_b b
   ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 40
 GROUP BY a.doc_id ORDER BY doc_id
 """,
+        "opic_importance": f"""
+WITH {_LINK_EDGES_CTE},
+edges2 AS MATERIALIZED (SELECT src, dst FROM edges),
+nn AS MATERIALIZED (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM edges2 UNION ALL SELECT dst FROM edges2)),
+cnt AS (SELECT count(*)::double AS n FROM nn),
+od AS MATERIALIZED (SELECT src AS node, count(*)::double AS deg
+                    FROM edges2 GROUP BY src),
+c0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM cnt) AS c FROM nn),
+m1 AS MATERIALIZED (
+  SELECT e.dst AS node, sum(c0.c / od.deg) AS c
+  FROM edges2 e JOIN c0 ON c0.node = e.src
+  JOIN od ON od.node = e.src GROUP BY e.dst),
+d1 AS (SELECT coalesce(sum(c0.c), 0.0) AS d FROM c0
+         WHERE c0.node NOT IN (SELECT node FROM od)),
+c1 AS MATERIALIZED (
+  SELECT nn.node, coalesce(m1.c, 0.0) + (SELECT d FROM d1) / (SELECT n FROM cnt) AS c
+  FROM nn LEFT JOIN m1 USING (node)),
+m2 AS MATERIALIZED (
+  SELECT e.dst AS node, sum(c1.c / od.deg) AS c
+  FROM edges2 e JOIN c1 ON c1.node = e.src
+  JOIN od ON od.node = e.src GROUP BY e.dst),
+d2 AS (SELECT coalesce(sum(c1.c), 0.0) AS d FROM c1
+         WHERE c1.node NOT IN (SELECT node FROM od)),
+c2 AS MATERIALIZED (
+  SELECT nn.node, coalesce(m2.c, 0.0) + (SELECT d FROM d2) / (SELECT n FROM cnt) AS c
+  FROM nn LEFT JOIN m2 USING (node)),
+m3 AS MATERIALIZED (
+  SELECT e.dst AS node, sum(c2.c / od.deg) AS c
+  FROM edges2 e JOIN c2 ON c2.node = e.src
+  JOIN od ON od.node = e.src GROUP BY e.dst),
+d3 AS (SELECT coalesce(sum(c2.c), 0.0) AS d FROM c2
+         WHERE c2.node NOT IN (SELECT node FROM od)),
+c3 AS MATERIALIZED (
+  SELECT nn.node, coalesce(m3.c, 0.0) + (SELECT d FROM d3) / (SELECT n FROM cnt) AS c
+  FROM nn LEFT JOIN m3 USING (node)),
+imp AS (SELECT nn.node, (c0.c + c1.c + c2.c + c3.c) / 4.0 AS imp
+        FROM nn JOIN c0 USING (node) JOIN c1 USING (node)
+        JOIN c2 USING (node) JOIN c3 USING (node))
+SELECT node, round(imp, 6) + 0.0 AS importance
+FROM imp ORDER BY round(imp, 6) DESC, node ASC LIMIT 20
+""",
         "postings_export": f"""
 WITH tok AS ({_TOK})
 SELECT term, doc_id, count(*)::bigint AS tf

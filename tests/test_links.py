@@ -442,3 +442,37 @@ def test_coupling_jaccard_matches_bruteforce(ray_session):
         )
     )
     assert gotl == want
+
+
+def test_opic_cash_conservation_and_symmetry(ray_session):
+    """OPIC invariants on a hand graph: importances sum to 1 (cash is
+    conserved every step), a symmetric 2-cycle splits evenly, and a
+    dangling node receives only the uniform virtual-page share."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.graph import opic
+
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2], pa.int64()),
+            "dst": pa.array([2, 1], pa.int64()),
+        }
+    )
+    # node 3 appears only as a dangling target of nothing — add an edge
+    # into it so it joins the universe, from a node that also cycles
+    edges = pa.table(
+        {
+            "src": pa.array([1, 2, 1], pa.int64()),
+            "dst": pa.array([2, 1, 3], pa.int64()),
+        }
+    )
+    t = opic(ray.data.from_arrow(edges), n_iter=4, src="src", dst="dst")
+    imp = dict(zip(t["node"].to_pylist(), t["importance"].to_pylist()))
+    assert abs(sum(imp.values()) - 1.0) < 1e-5
+    # 2 and 3 have IDENTICAL inflow (half of 1's cash + the uniform
+    # dangling share each) → equal importance; 1 receives ALL of 2's
+    # cash, so it dominates both
+    assert imp[2] == imp[3]
+    assert imp[1] > imp[2]
