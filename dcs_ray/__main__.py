@@ -781,6 +781,7 @@ def cmd_serve(args) -> None:
         num_cpus=args.num_cpus,
         trigram_index_dir=args.trigram_index,
         docs_path=args.docs,
+        rate_limit=args.rate_limit,
     )
     print(json.dumps({"host": api.host, "port": api.port}), flush=True)
     try:
@@ -1089,6 +1090,8 @@ def main() -> None:
                    help="trigram index dir for literal/regex match modes")
     d.add_argument("--docs", default=None,
                    help="documents parquet for regex verify")
+    d.add_argument("--rate-limit", type=float, default=None,
+                   help="per-api-key sustained requests/sec (burst 2x)")
     d.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("apikey", help="mint a signed API key")

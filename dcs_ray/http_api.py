@@ -20,12 +20,15 @@ surface with the stdlib only:
   in-flight + served request counts.
 
 Endpoints (all GET):
-  /v1/search?query=Q[&k=N][&match_mode=term|literal|regex]
+  /v1/search?query=Q[&k=N][&match_mode=term|literal|regex][&explain=1]
   /v1/searchperpackage?query=Q[&per_group=N][&k=N]
+  /v1/msearch?queries=Q1|Q2|...[&k=N]   (one pool fan-out per batch)
   /metrics              (no auth — operational, like dcs's /varz)
 
 Auth: ``x-dcs-apikey`` header (dcs's header name) or ``apikey=`` query
-parameter; 403 on missing/invalid, mirroring api.go:233-237.
+parameter; 403 on missing/invalid, mirroring api.go:233-237. With
+``rate_limit`` set, a per-SUBJECT token bucket 429s excess requests
+(multi-tenant quota; the subject rides the signed key).
 """
 
 from __future__ import annotations
@@ -114,17 +117,31 @@ class ApiServer:
         phrase_index_dir: str | None = None,
         trigram_index_dir: str | None = None,
         docs_path: str | None = None,
+        rate_limit: float | None = None,
+        rate_burst: float | None = None,
     ):
         self.svc = svc
         self.secret = secret
         self.phrase_index_dir = phrase_index_dir
         self.trigram_index_dir = trigram_index_dir
         self.docs_path = docs_path
+        # per-SUBJECT token bucket (multi-tenant quota): ``rate_limit``
+        # requests/s sustained, bursting to ``rate_burst`` (default
+        # 2×rate). None disables. Subjects come from the signed key, so
+        # a tenant cannot mint fresh identities to evade the bucket.
+        self.rate_limit = rate_limit
+        self.rate_burst = (
+            rate_burst
+            if rate_burst is not None
+            else (rate_limit * 2.0 if rate_limit else 0.0)
+        )
+        self._buckets: dict[str, tuple[float, float]] = {}
         self.counters = {
             "requests_total": 0,
             "queries_successful": 0,
             "queries_errored": 0,
             "queries_forbidden": 0,
+            "queries_throttled": 0,
             "inflight": 0,
         }
         self._lock = threading.Lock()
@@ -179,6 +196,21 @@ class ApiServer:
     def _bump(self, key: str, d: int = 1) -> None:
         with self._lock:
             self.counters[key] += d
+
+    def _allow(self, subject: str) -> bool:
+        """Token-bucket admission per key subject (monotonic clock;
+        refill at ``rate_limit``/s up to ``rate_burst``)."""
+        if not self.rate_limit:
+            return True
+        now = time.monotonic()
+        with self._lock:
+            tokens, last = self._buckets.get(subject, (self.rate_burst, now))
+            tokens = min(self.rate_burst, tokens + (now - last) * self.rate_limit)
+            if tokens >= 1.0:
+                self._buckets[subject] = (tokens - 1.0, now)
+                return True
+            self._buckets[subject] = (tokens, now)
+            return False
 
     def _handle(self, h: BaseHTTPRequestHandler) -> None:
         self._bump("requests_total")
@@ -263,21 +295,34 @@ class ApiServer:
             h.end_headers()
             h.wfile.write(data)
             return
-        if u.path not in ("/v1/search", "/v1/searchperpackage"):
+        if u.path not in ("/v1/search", "/v1/searchperpackage", "/v1/msearch"):
             return self._err(h, 404, "not found")
         token = h.headers.get("x-dcs-apikey") or qs.get("apikey") or ""
         key = decode_api_key(token, self.secret)
         if key is None:
             self._bump("queries_forbidden")
             return self._err(h, 403, "invalid x-dcs-apikey header")
-        query = qs.get("query") or qs.get("q") or ""
-        if not query:
-            self._bump("queries_errored")
-            return self._err(h, 400, "no query parameter specified")
+        if not self._allow(key["s"]):
+            self._bump("queries_throttled")
+            return self._err(h, 429, "rate limit exceeded for this api key")
+        if u.path == "/v1/msearch":
+            raw = qs.get("queries") or qs.get("query") or ""
+            qlist = [q for q in raw.split("|") if q.strip()]
+            if not qlist:
+                self._bump("queries_errored")
+                return self._err(h, 400, "no queries parameter specified ('|'-separated)")
+            query = None
+        else:
+            query = qs.get("query") or qs.get("q") or ""
+            if not query:
+                self._bump("queries_errored")
+                return self._err(h, 400, "no query parameter specified")
         self._bump("inflight")
         t0 = time.monotonic()
         try:
-            if u.path == "/v1/search":
+            if u.path == "/v1/msearch":
+                body = self._msearch(qlist, qs)
+            elif u.path == "/v1/search":
                 body = self._search(query, qs)
             else:
                 body = self._search_per_package(query, qs)
@@ -304,6 +349,21 @@ class ApiServer:
         h.send_header("Content-Length", str(len(data)))
         h.end_headers()
         h.wfile.write(data)
+
+    def _msearch(self, qlist: list[str], qs: dict) -> dict:
+        """Batched query endpoint: one socket round trip, one
+        service-pool fan-out for the whole batch (amortizes per-call
+        latency the way the bench's batch path does) — results come
+        back per query in input order."""
+        k = int(qs.get("k", "10"))
+        with self._svc_lock:
+            t = self.svc.search(qlist, k=k, query_id=qs.get("query_id"))
+        per: list[list] = [[] for _ in qlist]
+        for r in t.to_pylist():
+            per[int(r["query_id"])].append(
+                {f: r[f] for f in ("rank", "doc_id", "score")}
+            )
+        return {"queries": qlist, "results": per}
 
     def _search(self, query: str, qs: dict) -> dict:
         k = int(qs.get("k", "10"))
@@ -519,6 +579,7 @@ def serve(
     phrase_index_dir: str | None = None,
     trigram_index_dir: str | None = None,
     docs_path: str | None = None,
+    rate_limit: float | None = None,
 ) -> ApiServer:
     """Build the resident pool and start the HTTP front door."""
     from dcs_ray.service import search_service
@@ -527,4 +588,5 @@ def serve(
     return ApiServer(
         svc, secret, host=host, port=port, phrase_index_dir=phrase_index_dir,
         trigram_index_dir=trigram_index_dir, docs_path=docs_path,
+        rate_limit=rate_limit,
     ).start()

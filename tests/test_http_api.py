@@ -318,3 +318,61 @@ def test_explain_aligns_with_grammar_queries(server):
             total = sum(e["contribution"] for e in r["explain"])
             assert abs(total - r["score"]) < 5e-6, (q, r["doc_id"], total, r["score"])
             assert all(e["term"] != "join" for e in r["explain"])  # negated term never scores
+
+
+def test_msearch_batched_queries(server):
+    """One socket round trip for a '|'-separated batch; per-query rows
+    identical to individual /v1/search calls."""
+    out, api = server
+    key = make_api_key("tester", SECRET)
+    body = _get(api, "/v1/msearch?queries=spark+merge|join&k=5", key)
+    assert body["queries"] == ["spark merge", "join"]
+    assert len(body["results"]) == 2
+    for q, rows in zip(body["queries"], body["results"]):
+        single = _get(api, f"/v1/search?query={q.replace(' ', '+')}&k=5", key)
+        want = [
+            {f: r[f] for f in ("rank", "doc_id", "score")}
+            for r in single["results"]
+        ]
+        got = [{f: r[f] for f in ("rank", "doc_id", "score")} for r in rows]
+        assert got == want
+
+
+def test_rate_limit_per_subject(tmp_path):
+    """Token bucket per api-key subject: burst passes, the next request
+    429s, a different subject is unaffected, and tokens refill."""
+    import time as _time
+    import urllib.error
+
+    from dcs_ray.http_api import ApiServer
+    from dcs_ray.service import search_service
+    from dcs_ray.index import IndexConfig, build_index
+    import ray.data
+
+    out = str(tmp_path / "rlidx")
+    build_index(
+        ray.data.read_parquet(f"{SF}/documents.parquet"), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    svc = search_service(out, num_cpus=0.5)
+    api = ApiServer(svc, SECRET, port=0, rate_limit=2.0, rate_burst=2.0).start()
+    try:
+        alice = make_api_key("alice", SECRET)
+        bob = make_api_key("bob", SECRET)
+        for _ in range(2):
+            _get(api, "/v1/search?query=spark&k=3", alice)
+        try:
+            _get(api, "/v1/search?query=spark&k=3", alice)
+            raise AssertionError("third burst request should have been throttled")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        # an unrelated subject has its own bucket
+        _get(api, "/v1/search?query=spark&k=3", bob)
+        assert api.counters["queries_throttled"] == 1
+        # refill: after ~1s at 2 req/s there is >= 1 token again
+        _time.sleep(1.1)
+        _get(api, "/v1/search?query=spark&k=3", alice)
+    finally:
+        api.shutdown()
+        svc.shutdown()
