@@ -185,17 +185,12 @@ def cmd_search(args) -> None:
         # breakdown for the ROWS PRINTED ABOVE, against the expanded
         # term set of the mode that produced them (wildcard/fuzzy
         # expansions included) — never a second, different ranking
-        from dcs_ray.search import _grammar_plan
+        from dcs_ray.search import fuzzy_terms, wildcard_terms
 
         if args.mode == "fuzzy":
-            raw = " ".join(w + "~" for w in args.query.split())
-            qtext, _f = _grammar_plan(
-                raw, None, expand_index_dir=args.index, max_expansions=50
-            )
+            qtext = " ".join(fuzzy_terms(args.index, args.query))
         elif args.mode == "wildcard":
-            qtext, _f = _grammar_plan(
-                args.query, None, expand_index_dir=args.index
-            )
+            qtext = " ".join(wildcard_terms(args.index, args.query))
         else:
             qtext = args.query
         ex = explain_scores(

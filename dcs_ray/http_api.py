@@ -130,10 +130,12 @@ class ApiServer:
         # 2×rate). None disables. Subjects come from the signed key, so
         # a tenant cannot mint fresh identities to evade the bucket.
         self.rate_limit = rate_limit
+        # burst never below 1.0 — a sub-1 cap could never admit ANY
+        # request (admission needs a whole token)
         self.rate_burst = (
-            rate_burst
+            max(1.0, rate_burst)
             if rate_burst is not None
-            else (rate_limit * 2.0 if rate_limit else 0.0)
+            else (max(1.0, rate_limit * 2.0) if rate_limit else 0.0)
         )
         self._buckets: dict[str, tuple[float, float]] = {}
         self.counters = {
@@ -197,17 +199,19 @@ class ApiServer:
         with self._lock:
             self.counters[key] += d
 
-    def _allow(self, subject: str) -> bool:
+    def _allow(self, subject: str, cost: float = 1.0) -> bool:
         """Token-bucket admission per key subject (monotonic clock;
-        refill at ``rate_limit``/s up to ``rate_burst``)."""
+        refill at ``rate_limit``/s up to ``rate_burst``). ``cost``
+        charges one token PER QUERY, so a batched /v1/msearch cannot
+        smuggle N queries past the quota for one token."""
         if not self.rate_limit:
             return True
         now = time.monotonic()
         with self._lock:
             tokens, last = self._buckets.get(subject, (self.rate_burst, now))
             tokens = min(self.rate_burst, tokens + (now - last) * self.rate_limit)
-            if tokens >= 1.0:
-                self._buckets[subject] = (tokens - 1.0, now)
+            if tokens >= cost:
+                self._buckets[subject] = (tokens - cost, now)
                 return True
             self._buckets[subject] = (tokens, now)
             return False
@@ -302,9 +306,6 @@ class ApiServer:
         if key is None:
             self._bump("queries_forbidden")
             return self._err(h, 403, "invalid x-dcs-apikey header")
-        if not self._allow(key["s"]):
-            self._bump("queries_throttled")
-            return self._err(h, 429, "rate limit exceeded for this api key")
         if u.path == "/v1/msearch":
             raw = qs.get("queries") or qs.get("query") or ""
             qlist = [q for q in raw.split("|") if q.strip()]
@@ -312,11 +313,16 @@ class ApiServer:
                 self._bump("queries_errored")
                 return self._err(h, 400, "no queries parameter specified ('|'-separated)")
             query = None
+            rate_cost = float(len(qlist))
         else:
             query = qs.get("query") or qs.get("q") or ""
             if not query:
                 self._bump("queries_errored")
                 return self._err(h, 400, "no query parameter specified")
+            rate_cost = 1.0
+        if not self._allow(key["s"], cost=rate_cost):
+            self._bump("queries_throttled")
+            return self._err(h, 429, "rate limit exceeded for this api key")
         self._bump("inflight")
         t0 = time.monotonic()
         try:

@@ -2570,6 +2570,40 @@ def expand_prefix_terms(
     return [t for t, _ in ranked[:max_expansions]]
 
 
+def wildcard_terms(
+    index_dir: str, pattern: str, max_expansions: int = 20
+) -> list[str]:
+    """The exact term set a wildcard pattern ranks with — shared by
+    :func:`search_wildcard` and the CLI explain path, so a breakdown
+    always describes the terms that produced the printed rows."""
+    from dcs_ray.tokenize import tokenize_query_words
+
+    terms: set[str] = set()
+    for raw in pattern.split():
+        if raw.endswith("*") and len(raw) > 1:
+            terms.update(expand_prefix_terms(index_dir, raw[:-1].lower(), max_expansions))
+        else:
+            terms.update(tokenize_query_words(raw))
+    return sorted(terms)
+
+
+def fuzzy_terms(
+    index_dir: str, query: str, max_expansions: int = 50
+) -> list[str]:
+    """The exact expanded term set a fuzzy query ranks with — shared by
+    :func:`search_fuzzy` and the CLI explain path."""
+    from dcs_ray.functions.spell import suggest
+    from dcs_ray.tokenize import word_tokens_flat
+
+    qflat, _ = word_tokens_flat(pa.array([query], pa.string()))
+    words = sorted(set(qflat.to_pylist()))
+    if not words:
+        return []
+    vocab = ray.data.read_parquet(os.path.join(index_dir, "stats", "df.parquet"))
+    sugg = suggest(vocab, words, k=max_expansions)
+    return sorted(set(sugg["term"].to_pylist()))
+
+
 def search_wildcard(
     index_dir: str,
     pattern: str,
@@ -2583,14 +2617,7 @@ def search_wildcard(
     query — idf per expanded term, scores summed per doc). Mixed
     queries (``merge spa*``) expand each ``*``-suffixed token and pass
     plain tokens through unchanged."""
-    from dcs_ray.tokenize import tokenize_query_words
-
-    terms: set[str] = set()
-    for raw in pattern.split():
-        if raw.endswith("*") and len(raw) > 1:
-            terms.update(expand_prefix_terms(index_dir, raw[:-1].lower(), max_expansions))
-        else:
-            terms.update(tokenize_query_words(raw))
+    terms = wildcard_terms(index_dir, pattern, max_expansions)
     if not terms:
         return pa.table(
             {
@@ -2629,17 +2656,8 @@ def search_fuzzy(
     vocabulary Dataset (:mod:`dcs_ray.functions.spell`) — one vocab
     stream with the tiny query-side key set broadcast, never an
     edit-distance pass over the corpus."""
-    from dcs_ray.functions.spell import suggest
-    from dcs_ray.tokenize import word_tokens_flat
-
     stats = stats or load_stats(index_dir)
-    qflat, _ = word_tokens_flat(pa.array([query], pa.string()))
-    words = sorted(set(qflat.to_pylist()))
-    if not words:
-        return search_bm25(index_dir, [query], k=k, stats=stats)
-    vocab = ray.data.read_parquet(os.path.join(index_dir, "stats", "df.parquet"))
-    sugg = suggest(vocab, words, k=max_expansions)
-    terms = sorted(set(sugg["term"].to_pylist()))
+    terms = fuzzy_terms(index_dir, query, max_expansions)
     if not terms:
         return pa.table(
             {

@@ -356,7 +356,9 @@ def test_rate_limit_per_subject(tmp_path):
                     id_col="doc_id", dedup_latest=False),
     )
     svc = search_service(out, num_cpus=0.5)
-    api = ApiServer(svc, SECRET, port=0, rate_limit=2.0, rate_burst=2.0).start()
+    # rate low enough that refill during the test window is negligible
+    # even on a throttled host (0.01/s = one token per 100 s)
+    api = ApiServer(svc, SECRET, port=0, rate_limit=0.01, rate_burst=2.0).start()
     try:
         alice = make_api_key("alice", SECRET)
         bob = make_api_key("bob", SECRET)
@@ -370,9 +372,33 @@ def test_rate_limit_per_subject(tmp_path):
         # an unrelated subject has its own bucket
         _get(api, "/v1/search?query=spark&k=3", bob)
         assert api.counters["queries_throttled"] == 1
-        # refill: after ~1s at 2 req/s there is >= 1 token again
-        _time.sleep(1.1)
-        _get(api, "/v1/search?query=spark&k=3", alice)
+        # a batched msearch is charged PER QUERY: bob has 1 token left,
+        # a 2-query batch must 429 rather than smuggle past the quota
+        try:
+            _get(api, "/v1/msearch?queries=spark|merge&k=3", bob)
+            raise AssertionError("2-query batch on 1 token should 429")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        _get(api, "/v1/search?query=merge&k=3", bob)  # single still fits
     finally:
         api.shutdown()
         svc.shutdown()
+
+
+def test_rate_burst_floor():
+    """A sub-1 rate/burst must still admit single requests eventually —
+    the bucket clamps burst to >= 1 token."""
+    from dcs_ray.http_api import ApiServer
+
+    class _Svc:  # no service calls happen in _allow
+        index_dir = "/nonexistent"
+
+    api = ApiServer.__new__(ApiServer)
+    api.rate_limit = 0.4
+    api.rate_burst = max(1.0, 0.4 * 2.0)
+    api._buckets = {}
+    import threading
+
+    api._lock = threading.Lock()
+    assert api._allow("x") is True  # first request admitted
+    assert api._allow("x") is False  # bucket empty until refill

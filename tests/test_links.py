@@ -454,14 +454,7 @@ def test_opic_cash_conservation_and_symmetry(ray_session):
 
     from dcs_ray.functions.graph import opic
 
-    edges = pa.table(
-        {
-            "src": pa.array([1, 2], pa.int64()),
-            "dst": pa.array([2, 1], pa.int64()),
-        }
-    )
-    # node 3 appears only as a dangling target of nothing — add an edge
-    # into it so it joins the universe, from a node that also cycles
+    # 1↔2 cycle plus a dangling node 3 fed by 1
     edges = pa.table(
         {
             "src": pa.array([1, 2, 1], pa.int64()),
