@@ -331,3 +331,32 @@ def _q_opic_importance(sf_dir: str) -> pa.Table:
             "importance": pa.array(imp[order] + 0.0, pa.float64()),
         }
     )
+
+
+def _q_ann_recall_audit(sf_dir: str) -> pa.Table:
+    """ANN quality measurement as a first-class op: recall@10 of the
+    LSH multiprobe run against the exact cosine top-10 for the same
+    query — the measured accuracy side of the probe-cost tradeoff the
+    LSH gate's metadata reports. Both runs are themselves oracle-
+    replayable, so the overlap is integer-deterministic."""
+    from dcs_ray.functions.simsearch import knn_cosine_bruteforce, knn_cosine_lsh
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    lsh = knn_cosine_lsh(
+        emb, np.array([q0]), k=10, num_planes=6, num_tables=4, probe_t=8,
+        index_dir=os.path.join(_CACHE_ROOT, f"{name}_lshann_l4"),
+    )
+    emb2 = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    exact = knn_cosine_bruteforce(emb2, np.array([q0]), k=10)
+    overlap = len(set(lsh["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist()))
+    return pa.table(
+        {
+            "k": pa.array([10], pa.int64()),
+            "n_overlap": pa.array([overlap], pa.int64()),
+            "recall_at_10": pa.array([round(overlap / 10.0, 6) + 0.0], pa.float64()),
+        }
+    )
