@@ -360,3 +360,34 @@ def _q_ann_recall_audit(sf_dir: str) -> pa.Table:
             "recall_at_10": pa.array([round(overlap / 10.0, 6) + 0.0], pa.float64()),
         }
     )
+
+
+def _q_ivf_recall_audit(sf_dir: str) -> pa.Table:
+    """IVF counterpart of ann_recall_audit: recall@10 of the hash-min
+    IVF query path (nprobe=3 of 8 lists) vs the exact cosine top-10 —
+    completes the measured-accuracy story for both ANN families, fully
+    SQL-replayed on both sides."""
+    import pyarrow.parquet as pq
+
+    from dcs_ray.functions.simsearch import IvfAnnIndex, knn_cosine_bruteforce
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_CACHE_ROOT, f"{name}_ivfann_hm8")
+    emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
+    if os.path.exists(os.path.join(out, "ivf_meta.json")):
+        idx = IvfAnnIndex(out)
+    else:
+        idx = IvfAnnIndex.build(emb, out, num_lists=8, n_iter=0, init="hash_min")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
+    ivf = idx.query(np.array([q0]), k=10, nprobe=3)
+    exact = knn_cosine_bruteforce(
+        read_parquet_sized(f"{sf_dir}/embeddings.parquet"), np.array([q0]), k=10
+    )
+    overlap = len(set(ivf["vec_id"].to_pylist()) & set(exact["vec_id"].to_pylist()))
+    return pa.table(
+        {
+            "k": pa.array([10], pa.int64()),
+            "n_overlap": pa.array([overlap], pa.int64()),
+            "recall_at_10": pa.array([round(overlap / 10.0, 6) + 0.0], pa.float64()),
+        }
+    )

@@ -17,6 +17,7 @@ from dcs_ray.sources.io import read_parquet_sized
 
 from entry._helpers import (  # noqa: F401
     _feed_alerts_sql,
+    _ivf_knn_hashmin_sql,
     _lsh_knn_sql,
     _verify_chain_ctes,
     REGEX,
@@ -2796,6 +2797,21 @@ exact AS (
     FROM embeddings e CROSS JOIN q
     ORDER BY cs DESC, vec_id ASC LIMIT 10)),
 ov AS (SELECT count(*)::bigint AS n FROM lsh JOIN exact USING (vec_id))
+SELECT 10::bigint AS k, ov.n AS n_overlap,
+       round(ov.n / 10.0, 6) + 0.0 AS recall_at_10
+FROM ov
+""",
+        "ivf_recall_audit": f"""
+WITH ivf AS (SELECT vec_id FROM ({_ivf_knn_hashmin_sql()})),
+q AS (SELECT list_transform(embedding, x -> x::double) AS qe
+      FROM embeddings WHERE vec_id = 0),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           list_cosine_similarity(list_transform(e.embedding, x -> x::double), q.qe) AS cs
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cs DESC, vec_id ASC LIMIT 10)),
+ov AS (SELECT count(*)::bigint AS n FROM ivf JOIN exact USING (vec_id))
 SELECT 10::bigint AS k, ov.n AS n_overlap,
        round(ov.n / 10.0, 6) + 0.0 AS recall_at_10
 FROM ov
