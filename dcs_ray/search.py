@@ -2570,18 +2570,54 @@ def expand_prefix_terms(
     return [t for t, _ in ranked[:max_expansions]]
 
 
+def expand_contains_terms(
+    index_dir: str, sub: str, max_expansions: int = 20, suffix_only: bool = False
+) -> list[str]:
+    """Expand an infix (``*sub*``) or suffix (``*sub``) wildcard to the
+    top-``max_expansions`` matching vocabulary terms by (df desc, term
+    asc). Unlike the prefix form there is NO key-range to push down — a
+    leading wildcard scans the vocabulary (which is why Lucene gates
+    leading wildcards behind a flag); the scan is vocab-sized, never
+    corpus-sized, and at 10^12 docs the vocab is the one table that
+    still fits a node."""
+    if not sub:
+        raise ValueError("wildcard substring must be non-empty")
+    t = pq.read_table(
+        os.path.join(index_dir, "stats", "df.parquet"), columns=["term", "df"]
+    )
+    terms = t["term"]
+    m = pc.ends_with(terms, sub) if suffix_only else pc.match_substring(terms, sub)
+    hit = t.filter(m)
+    ranked = sorted(
+        zip(hit["term"].to_pylist(), hit["df"].to_pylist()),
+        key=lambda td: (-td[1], td[0]),
+    )
+    return [w for w, _ in ranked[:max_expansions]]
+
+
 def wildcard_terms(
     index_dir: str, pattern: str, max_expansions: int = 20
 ) -> list[str]:
     """The exact term set a wildcard pattern ranks with — shared by
     :func:`search_wildcard` and the CLI explain path, so a breakdown
-    always describes the terms that produced the printed rows."""
+    always describes the terms that produced the printed rows.
+    Supported forms per token: ``foo*`` (prefix, range-pruned),
+    ``*foo`` (suffix, vocab scan), ``*foo*`` (infix, vocab scan)."""
     from dcs_ray.tokenize import tokenize_query_words
 
     terms: set[str] = set()
     for raw in pattern.split():
-        if raw.endswith("*") and len(raw) > 1:
-            terms.update(expand_prefix_terms(index_dir, raw[:-1].lower(), max_expansions))
+        lead = raw.startswith("*") and len(raw) > 1
+        trail = raw.endswith("*") and len(raw) > 1
+        core = raw.strip("*").lower()
+        if lead and trail and core:
+            terms.update(expand_contains_terms(index_dir, core, max_expansions))
+        elif lead and core:
+            terms.update(
+                expand_contains_terms(index_dir, core, max_expansions, suffix_only=True)
+            )
+        elif trail and core:
+            terms.update(expand_prefix_terms(index_dir, core, max_expansions))
         else:
             terms.update(tokenize_query_words(raw))
     return sorted(terms)

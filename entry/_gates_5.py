@@ -391,3 +391,21 @@ def _q_ivf_recall_audit(sf_dir: str) -> pa.Table:
             "recall_at_10": pa.array([round(overlap / 10.0, 6) + 0.0], pa.float64()),
         }
     )
+
+
+def _q_bm25_infix_wildcard(sf_dir: str) -> pa.Table:
+    """Leading/infix wildcard BM25 ('*par* merge'): the infix expands
+    by a vocabulary scan (no key range exists for a leading wildcard —
+    Lucene's flag-gated case), capped top-20 by df; disjunction through
+    the normal fan-out."""
+    from dcs_ray.search import search_wildcard
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_wildcard(idx, "*par* merge", k=10, max_expansions=20)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )

@@ -265,3 +265,28 @@ def test_export_postings_full_roundtrip_invariants(words_index):
         if term == "spark"
     }
     assert got == want
+
+
+def test_infix_and_suffix_wildcard_forms(words_index):
+    """*sub* (contains) and *sub (suffix) expansion match a brute vocab
+    scan; leading wildcards rank through the normal fan-out."""
+    from dcs_ray.search import expand_contains_terms, search_wildcard, wildcard_terms
+
+    vocab = pq.read_table(os.path.join(words_index, "stats", "df.parquet"))
+    pairs = list(zip(vocab["term"].to_pylist(), vocab["df"].to_pylist()))
+    want_infix = [
+        t for t, _ in sorted(
+            ((t, d) for t, d in pairs if "par" in t), key=lambda td: (-td[1], td[0])
+        )[:20]
+    ]
+    assert expand_contains_terms(words_index, "par", 20) == want_infix
+    want_suffix = [
+        t for t, _ in sorted(
+            ((t, d) for t, d in pairs if t.endswith("er")), key=lambda td: (-td[1], td[0])
+        )[:20]
+    ]
+    assert expand_contains_terms(words_index, "er", 20, suffix_only=True) == want_suffix
+    assert set(wildcard_terms(words_index, "*par* merge")) == set(want_infix) | {"merge"}
+    t = search_wildcard(words_index, "*par* merge", k=10)
+    ref = search_bm25(words_index, [" ".join(sorted(set(want_infix) | {"merge"}))], k=10)
+    assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
