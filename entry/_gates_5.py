@@ -1,5 +1,11 @@
-"""Round-4 session-2 gate callables: wildcard / fuzzy / minimum-should-
-match / recency-decayed BM25 and quality-aware fuzzy dedup.  Go through
+"""Round-4 session-2 gate callables: the term-expansion search family
+(wildcard prefix/suffix/infix, fuzzy, minimum-should-match, recency
+prior, EXPLAIN), dedup additions (quality-aware keep, content-defined
+chunking), Common-Crawl tooling (SURT/CDX), the subword-tokenizer trio
+completions (WordPiece fertility, unigram-LM Viterbi cost), corpus
+hygiene (Gopher rules), index accounting (front coding), QPP
+(pre-retrieval predictors), positional ordered windows, index→data
+export, OPIC crawl importance, and the ANN recall audits.  Go through
 __ray_entry__ — do not import directly.
 """
 
