@@ -64,28 +64,7 @@ def suggest(
     keys_ref = ray.put(qkeys)
 
     def probe(batch: pa.Table, _k=keys_ref) -> pa.Table:
-        qk = ray.get(_k)
-        terms = batch[term_col].to_pylist()
-        dfs = batch[df_col].to_pylist()
-        out_w, out_t, out_d = [], [], []
-        for t, d in zip(terms, dfs):
-            tkeys = None  # computed lazily once per term that passes a length gate
-            for w, wk in qk.items():
-                if abs(len(t) - len(w)) > 1:
-                    continue
-                if tkeys is None:
-                    tkeys = frozenset([t, *deletions(t)])
-                if not wk.isdisjoint(tkeys):
-                    out_w.append(w)
-                    out_t.append(t)
-                    out_d.append(d)
-        return pa.table(
-            {
-                "word": pa.array(out_w, pa.string()),
-                "term": pa.array(out_t, pa.string()),
-                "df": pa.array(out_d, pa.int64()),
-            }
-        )
+        return _probe_table(batch, ray.get(_k), term_col, df_col)
 
     parts = [
         pa.table(b)
@@ -104,8 +83,42 @@ def suggest(
             }
         )
     )
-    # verify + rank (candidate-set-sized): drop shared-deletion pairs at
-    # distance 2, keep top-k per word by (df desc, term asc)
+    return _verify_rank(cand, words, k)
+
+
+def _probe_table(
+    batch: pa.Table, qk: dict, term_col: str = "term", df_col: str = "df"
+) -> pa.Table:
+    """Symmetric-delete key probe of one vocab table against the query
+    words' deletion-key sets — shared by the Dataset stream
+    (:func:`suggest`) and the driver-side fast path
+    (:func:`suggest_local`)."""
+    terms = batch[term_col].to_pylist()
+    dfs = batch[df_col].to_pylist()
+    out_w, out_t, out_d = [], [], []
+    for t, d in zip(terms, dfs):
+        tkeys = None  # computed lazily once per term that passes a length gate
+        for w, wk in qk.items():
+            if abs(len(t) - len(w)) > 1:
+                continue
+            if tkeys is None:
+                tkeys = frozenset([t, *deletions(t)])
+            if not wk.isdisjoint(tkeys):
+                out_w.append(w)
+                out_t.append(t)
+                out_d.append(d)
+    return pa.table(
+        {
+            "word": pa.array(out_w, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
+def _verify_rank(cand: pa.Table, words: list[str], k: int) -> pa.Table:
+    """Verify + rank (candidate-set-sized): drop shared-deletion pairs
+    at distance 2, keep top-k per word by (df desc, term asc)."""
     out_w, out_t, out_d = [], [], []
     for w in sorted(set(words)):
         sub = cand.filter(pa.compute.equal(cand["word"], w))
@@ -126,3 +139,20 @@ def suggest(
             "df": pa.array(out_d, pa.int64()),
         }
     )
+
+
+def suggest_local(
+    vocab: pa.Table,
+    words: list[str],
+    k: int = 5,
+    term_col: str = "term",
+    df_col: str = "df",
+) -> pa.Table:
+    """Identical algorithm and output to :func:`suggest`, over an
+    IN-MEMORY vocab table — the driver-side fast path for vocabularies
+    that fit (no Ray task round trip; the interactive serving case).
+    Callers route here when the stats table is small and keep the
+    Dataset stream as the scale path."""
+    qkeys = {w: frozenset([w, *deletions(w)]) for w in words}
+    cand = _probe_table(vocab, qkeys, term_col, df_col)
+    return _verify_rank(cand, words, k)

@@ -290,3 +290,15 @@ def test_infix_and_suffix_wildcard_forms(words_index):
     t = search_wildcard(words_index, "*par* merge", k=10)
     ref = search_bm25(words_index, [" ".join(sorted(set(want_infix) | {"merge"}))], k=10)
     assert t["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
+
+
+def test_suggest_local_identical_to_dataset_path(words_index):
+    """The driver-side SymSpell fast path returns byte-identical tables
+    to the Dataset stream (shared probe/verify kernels)."""
+    from dcs_ray.functions.spell import suggest, suggest_local
+
+    path = os.path.join(words_index, "stats", "df.parquet")
+    words = ["spark", "merge", "sprk", "zzz"]
+    a = suggest(ray.data.read_parquet(path), words, k=50)
+    b = suggest_local(pq.read_table(path), words, k=50)
+    assert a.equals(b)
