@@ -2934,3 +2934,31 @@ def export_postings(
         )
 
     return work.map_batches(run, batch_size=1, batch_format="pyarrow")
+
+
+def search_as_you_type(
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    max_expansions: int = 20,
+    stats: dict | None = None,
+) -> pa.Table:
+    """Instant-search-box semantics (Elasticsearch search_as_you_type):
+    the LAST token is treated as an in-progress prefix and expanded
+    against the vocabulary; completed tokens rank as typed. 'join me'
+    ranks as 'join me*' — each keystroke re-runs this with the warm
+    pool, so results refine as the user types."""
+    toks = query.split()
+    if not toks:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    if not toks[-1].endswith("*"):
+        toks = toks[:-1] + [toks[-1] + "*"]
+    return search_wildcard(
+        index_dir, " ".join(toks), k=k, max_expansions=max_expansions, stats=stats
+    )

@@ -415,3 +415,20 @@ def _q_bm25_infix_wildcard(sf_dir: str) -> pa.Table:
             "score": t["score"],
         }
     )
+
+
+def _q_search_as_you_type(sf_dir: str) -> pa.Table:
+    """Instant-search semantics: the in-progress last token ('join me')
+    ranks as the prefix disjunction 'join me*' — the per-keystroke
+    serving behavior over the same expansion machinery."""
+    from dcs_ray.search import search_as_you_type
+
+    idx = _index_dir(sf_dir, "words")
+    t = search_as_you_type(idx, "join me", k=10, max_expansions=20)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(t) + 1), pa.int64()),
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": t["score"],
+        }
+    )

@@ -302,3 +302,16 @@ def test_suggest_local_identical_to_dataset_path(words_index):
     a = suggest(ray.data.read_parquet(path), words, k=50)
     b = suggest_local(pq.read_table(path), words, k=50)
     assert a.equals(b)
+
+
+def test_search_as_you_type_last_token_prefix(words_index):
+    """'join me' ranks as 'join me*'; an already-starred last token is
+    left alone; empty input returns an empty table."""
+    from dcs_ray.search import search_as_you_type, search_wildcard
+
+    a = search_as_you_type(words_index, "join me", k=10)
+    b = search_wildcard(words_index, "join me*", k=10)
+    assert a.equals(b)
+    c = search_as_you_type(words_index, "join me*", k=10)
+    assert c.equals(b)
+    assert len(search_as_you_type(words_index, "", k=10)) == 0
