@@ -830,10 +830,15 @@ def knn_cosine_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     index_dir: str | None = None,
+    init: str = "kmeans++",
+    n_iter: int = 10,
 ) -> pa.Table:
     """Approximate top-k through a persistent ``IvfAnnIndex`` (build or
     reuse), probing only the nprobe nearest inverted lists per query.
-    Recall vs brute force is measured in tests, never assumed."""
+    ``init``/``n_iter`` pass through to ``IvfAnnIndex.build`` —
+    ``init="hash_min", n_iter=0`` gives the fully SQL-replayable
+    deterministic quantizer the correctness gate uses. Recall vs brute
+    force is measured in tests, never assumed."""
     import shutil
     import tempfile
 
@@ -846,7 +851,7 @@ def knn_cosine_ivf(
         else:
             idx = IvfAnnIndex.build(
                 ds, index_dir, num_lists=num_lists, seed=seed,
-                id_col=id_col, emb_col=emb_col,
+                id_col=id_col, emb_col=emb_col, init=init, n_iter=n_iter,
             )
         return idx.query(queries, k=k, nprobe=nprobe)
     finally:

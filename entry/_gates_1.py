@@ -432,16 +432,25 @@ def _q_knn_lsh(sf_dir: str) -> pa.Table:
 
 
 def _q_knn_ivf(sf_dir: str) -> pa.Table:
-    """ANN through a persistent IVF index (spherical-k-means coarse
-    quantizer, centroid-partitioned lists) — the query probes only its
-    nprobe nearest lists."""
+    """ANN through a persistent IVF index (centroid-partitioned lists);
+    the query probes only its nprobe nearest lists. Round 5: the gate
+    uses the DETERMINISTIC hash-min coarse quantizer (centroids = the
+    16 corpus rows with smallest splitmix64(vec_id), zero Lloyd
+    iterations) so training, list assignment AND the nprobe=4 probe
+    scan all replay bit-for-bit in SQL
+    (``_ivf_knn_hashmin_sql(num_lists=16, nprobe=4)``) — the float
+    spherical-k-means quantizer remains the library default and is
+    exercised by ``knn_cosine_ivf_kmeans`` (rows-only) + pytest
+    recall checks."""
     from dcs_ray.functions.simsearch import knn_cosine_ivf
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     emb = read_parquet_sized(f"{sf_dir}/embeddings.parquet")
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)["embedding"].to_pylist()[0]
     t = knn_cosine_ivf(
-        emb, np.array([q0]), k=10, index_dir=os.path.join(_CACHE_ROOT, f"{name}_ivfann")
+        emb, np.array([q0]), k=10, num_lists=16, nprobe=4,
+        init="hash_min", n_iter=0,
+        index_dir=os.path.join(_CACHE_ROOT, f"{name}_ivfann_hm16"),
     )
     return pa.table(
         {
@@ -551,9 +560,10 @@ def _q_knn_ivf_hashmin(sf_dir: str) -> pa.Table:
     nprobe=3 nearest-centroid probe selection, partitioned scoring over
     only the probed lists, and the global (cos desc, id asc) merge. The
     SQL replays centroid pick, assignment, probe choice and top-k —
-    so the probe-and-merge machinery itself is what gets gated (the
-    production ``knn_cosine_ivf`` entry keeps the kmeans++ quantizer,
-    whose sampled seeding is not SQL-expressible)."""
+    so the probe-and-merge machinery itself is what gets gated (since
+    round 5 the ``knn_cosine_ivf`` entry is ALSO hash-min — 16 lists /
+    nprobe=4 vs this entry's 8/3 — and the float kmeans++ quantizer
+    lives on in ``knn_cosine_ivf_kmeans``, rows-only)."""
     from dcs_ray.functions.simsearch import IvfAnnIndex
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"

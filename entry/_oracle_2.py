@@ -2914,4 +2914,9 @@ SELECT term, doc_id, count(*)::bigint AS tf
 FROM tok WHERE term IN ('join', 'merge', 'spark')
 GROUP BY term, doc_id ORDER BY term, doc_id
 """,
+        # round 5: knn_cosine_ivf now runs the deterministic hash-min
+        # quantizer (16 lists, nprobe=4, zero Lloyd iterations) so the
+        # full train→assign→probe→top-k chain replays in SQL — the
+        # last driver-window row goes hash-green (VERDICT r4 item 1).
+        "knn_cosine_ivf": _ivf_knn_hashmin_sql(num_lists=16, nprobe=4, k=10),
     }
