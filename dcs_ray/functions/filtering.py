@@ -254,12 +254,17 @@ def gopher_rules_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
     lcounts = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
     lparents = np.repeat(np.arange(n_rows, dtype=np.int64), lcounts)
     n_lines = np.bincount(lparents, minlength=n_rows).astype(np.int64)
-    trimmed = pc.utf8_trim_whitespace(lflat)
+    # trim the EXPLICIT ASCII whitespace set (space \t \r \f \v — \n
+    # can't appear inside a split line) so the oracle's trim(l, <same
+    # set>) matches by construction; utf8_trim_whitespace would also
+    # eat Unicode spaces the SQL side never strips (ADVICE r4).
+    _WS = " \t\r\f\v"
+    trimmed = pc.utf8_trim(lflat, _WS)
     bullet = pc.or_(
         pc.starts_with(trimmed, "-"), pc.starts_with(trimmed, "•")
     ).to_numpy(zero_copy_only=False)
     bullet_lines = np.bincount(lparents[bullet], minlength=n_rows).astype(np.int64)
-    rtrimmed = pc.utf8_rtrim_whitespace(lflat)
+    rtrimmed = pc.utf8_rtrim(lflat, _WS)
     ell = pc.ends_with(rtrimmed, "...").to_numpy(zero_copy_only=False)
     ellipsis_lines = np.bincount(lparents[ell], minlength=n_rows).astype(np.int64)
 

@@ -246,7 +246,14 @@ def surt_key_batch(
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     flat = lists.flatten().to_numpy(zero_copy_only=False)
-    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    # a URL that doesn't match _CANON_PATTERN extracts a null host →
+    # null list row. flatten() skips null rows, so count those rows as
+    # 0 labels (empty reversed host) and let the null path null out the
+    # final surt — mirroring canonicalize_url_batch's null propagation
+    # instead of crashing on the NaN→int cast (ADVICE r4).
+    counts = pc.fill_null(pc.list_value_length(lists), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
     offsets = np.zeros(len(lists) + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     row_idx = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
@@ -275,7 +282,9 @@ def cdx_capture_index(
     def to_rows(b: pa.Table) -> pa.Table:
         s = surt_key_batch(b, url_col=url_col)
         ts = s[ts_col].cast(pa.int64())
-        return pa.table({"surt": s["surt"], "ts": ts})
+        t = pa.table({"surt": s["surt"], "ts": ts})
+        # malformed URLs surface as null surts — uncapturable, drop
+        return t.filter(pc.is_valid(t["surt"]))
 
     rows = pages.map_batches(to_rows, batch_format="pyarrow")
     return rows.groupby("surt").aggregate(

@@ -312,6 +312,17 @@ class ApiServer:
             if not qlist:
                 self._bump("queries_errored")
                 return self._err(h, 400, "no queries parameter specified ('|'-separated)")
+            # a batch bigger than the bucket capacity could NEVER be
+            # admitted however long the client waits — say so with a 400
+            # naming the cap instead of an eternal generic 429 (ADVICE r4;
+            # no cap at all when rate limiting is disabled)
+            if self.rate_limit and len(qlist) > self.rate_burst:
+                self._bump("queries_errored")
+                return self._err(
+                    h, 400,
+                    f"msearch batch of {len(qlist)} exceeds the maximum "
+                    f"batch size {int(self.rate_burst)}; split the batch",
+                )
             query = None
             rate_cost = float(len(qlist))
         else:

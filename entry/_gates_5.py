@@ -202,13 +202,31 @@ def _q_unigram_lm_cost(sf_dir: str) -> pa.Table:
     counts, min-cost DP per distinct word, per-lang encoding totals —
     the MDL/compression objective, complementing BPE (train) and
     WordPiece (greedy MaxMatch) in the tokenizer family."""
+    import pyarrow.compute as pc
+
     from dcs_ray.functions.wordpiece import (
         unigram_lm_cost_by_lang,
         unigram_piece_costs,
     )
+    from dcs_ray.tokenize import word_tokens_flat
 
     docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    # the SQL replay's Viterbi DP (_unigram_dp_sql) is unrolled to 8
+    # prefix positions — a property of the SYNTHESIZED corpus vocabulary,
+    # NOT of the tokenizer (tokenize.py imposes no length cap). Check the
+    # assumption where it is relied on (ADVICE r4); gate corpora are tiny.
+    def _maxlen(b: pa.Table) -> pa.Table:
+        flat, _ = word_tokens_flat(b["text"])
+        m = pc.max(pc.utf8_length(flat)).as_py() if len(flat) else 0
+        return pa.table({"max_len": pa.array([m or 0], pa.int64())})
+
+    ml = docs.map_batches(_maxlen, batch_format="pyarrow").max("max_len")
+    assert ml <= 8, (
+        f"corpus token of {ml} chars: _unigram_dp_sql's unrolled DP "
+        "no longer covers the vocabulary — raise max_len there"
     )
     costs, _t = unigram_piece_costs(docs)
     return unigram_lm_cost_by_lang(docs, costs)
@@ -245,9 +263,22 @@ def _q_front_coding_sizes(sf_dir: str) -> pa.Table:
     """Front-coded term-dictionary byte accounting (Lucene-style block
     prefix compression, 16-term blocks) over the words index's sorted
     vocabulary — exact integer totals, companion to ef_posting_sizes."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     from dcs_ray.codec import front_coding_sizes
 
     idx = _index_dir(sf_dir, "words")
+    # the oracle's LCP chain is unrolled to substr(…,1,8) — valid only
+    # while the synthesized vocab has no term longer than 8 chars; check
+    # that where it is relied on (ADVICE r4). stats/df.parquet IS the
+    # sorted vocabulary, a metadata-scale read.
+    vocab = pq.read_table(os.path.join(idx, "stats", "df.parquet"), columns=["term"])
+    ml = pc.max(pc.utf8_length(vocab["term"])).as_py() or 0
+    assert ml <= 8, (
+        f"vocab term of {ml} chars: the front_coding_sizes oracle's "
+        "8-deep LCP unroll no longer covers the dictionary"
+    )
     r = front_coding_sizes(idx, block=16)
     return pa.table(
         {

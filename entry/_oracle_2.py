@@ -71,10 +71,12 @@ def _unigram_dp_sql(max_len: int = 8, max_piece: int = 4) -> str:
     CTEs ``words(term)`` and ``pieces(g, cost)`` (singles guaranteed
     present, so every prefix position is reachable), produces
     ``sp`` (piece spans), ``d1..d{max_len}`` (min cost to each prefix
-    length) and ``wc(term, d)`` (min cost of the full word). The corpus
-    tokenizer caps tokens at {max_len} chars (asserted by the engine
-    gate matching at both SFs); a longer token would fail the gate
-    loudly, not silently."""
+    length) and ``wc(term, d)`` (min cost of the full word). The
+    {max_len}-position unroll is sized to the SYNTHESIZED corpus
+    vocabulary (max term length 8 at both SFs) — the tokenizer itself
+    imposes NO length cap, so ``_q_unigram_lm_cost`` asserts the bound
+    engine-side before relying on it (a longer token would otherwise
+    fail the gate loudly, not silently)."""
     parts = [
         f"""sp AS MATERIALIZED (
   SELECT w.term, p.p::bigint AS p, l.L::bigint AS L, pc.cost
@@ -2672,9 +2674,10 @@ agg AS (SELECT doc_id, count(*)::bigint AS n_words,
 lin AS (SELECT doc_id,
                len(string_split(text, chr(10)))::bigint AS n_lines,
                len(list_filter(string_split(text, chr(10)),
-                   l -> starts_with(trim(l), '-') OR starts_with(trim(l), '•')))::bigint AS bullet_lines,
+                   l -> starts_with(trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), '-')
+                     OR starts_with(trim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), '•')))::bigint AS bullet_lines,
                len(list_filter(string_split(text, chr(10)),
-                   l -> ends_with(rtrim(l), '...')))::bigint AS ellipsis_lines,
+                   l -> ends_with(rtrim(l, ' ' || chr(9) || chr(13) || chr(12) || chr(11)), '...')))::bigint AS ellipsis_lines,
                ((length(text) - length(replace(text, '#', '')))
                 + (length(text) - length(replace(text, '...', ''))) // 3)::bigint AS n_sym
         FROM documents),

@@ -275,3 +275,42 @@ def test_gopher_rules_each_threshold(ray_session):
     assert rows[5]["bullet_ok"] is False
     assert rows[6]["stop_ok"] is False
     assert rows[7]["alpha_ok"] is False
+
+
+def test_gopher_bullet_trim_ascii_only(ray_session):
+    """Bullet/ellipsis line detection trims the EXPLICIT ASCII
+    whitespace set (space \\t \\r \\f \\v): a tab-indented '-' is a
+    bullet for BOTH the engine and the SQL oracle, a NBSP-indented one
+    for NEITHER (ADVICE r4 — utf8_trim_whitespace counted the NBSP line
+    engine-side only)."""
+    import pyarrow as pa
+    import ray.data
+
+    from dcs_ray.functions.filtering import gopher_rules
+
+    pad = ("the data and value " * 15).strip()
+    docs = {
+        1: pad + "\n" + "\n".join("\t- tabbed bullet" for _ in range(20)),
+        2: pad + "\n" + "\n".join(" - nbsp dash" for _ in range(20)),
+        3: pad + "\n" + "\n".join("trailing dots...\t" for _ in range(20)),
+        4: pad + "\n" + "\n".join("trailing dots... " for _ in range(20)),
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+        }
+    )
+    out = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in gopher_rules(ray.data.from_arrow(tbl)).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[1]["bullet_ok"] is False   # 20/21 tab-indented bullets
+    assert rows[2]["bullet_ok"] is True    # NBSP is not in the trim set
+    assert rows[3]["ellipsis_ok"] is False
+    assert rows[4]["ellipsis_ok"] is True

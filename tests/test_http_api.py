@@ -380,6 +380,15 @@ def test_rate_limit_per_subject(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 429
         _get(api, "/v1/search?query=merge&k=3", bob)  # single still fits
+        # a batch larger than the bucket CAPACITY could never be
+        # admitted however long the client waits — that's a 400 naming
+        # the cap, not an eternal generic 429 (ADVICE r4)
+        try:
+            _get(api, "/v1/msearch?queries=a|b|c&k=3", bob)
+            raise AssertionError("batch above burst capacity should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "maximum batch size 2" in e.read().decode()
     finally:
         api.shutdown()
         svc.shutdown()

@@ -141,3 +141,34 @@ def test_surt_fuzz_matches_reference():
         assert got == [brute(u) for u in urls]
 
     run()
+
+
+def test_malformed_url_null_surt(ray_session):
+    """A URL that doesn't match the canonical pattern null-propagates
+    (mirroring canonicalize_url_batch) instead of crashing the whole
+    batch on a NaN→int cast, and cdx_capture_index drops the
+    uncapturable rows (ADVICE r4)."""
+    out = surt_key_batch(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["https://ok.example.org/p", "not a url", "::::", ""],
+                    pa.string(),
+                )
+            }
+        )
+    )
+    assert out["surt"].to_pylist() == ["org,example,ok)/p", None, None, None]
+
+    ts = pa.timestamp("us")
+    pages = pa.table(
+        {
+            "url": pa.array(["https://ok.example.org/p", "garbage"], pa.string()),
+            "warc_ts": pa.array([1_000_000, 2_000_000], ts),
+        }
+    )
+    cdx = cdx_capture_index(ray.data.from_arrow(pages))
+    t = pa.concat_tables(
+        [pa.table(b) for b in cdx.iter_batches(batch_format="pyarrow")]
+    )
+    assert t["surt"].to_pylist() == ["org,example,ok)/p"]
