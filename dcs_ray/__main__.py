@@ -663,14 +663,87 @@ def cmd_stats(args) -> None:
             print(json.dumps(row))
 
 
+def _replay_phases(args) -> list[dict]:
+    """Staged replay with per-phase attribution — the reference
+    benchmark's index-only / +I/O / +matching decomposition
+    (``cmd/dcs/replay.go:37-45``, ``static/research/2019-08-03-dcs-new-
+    index/bench.zsh:1-40``): each query line is a REGEX run as three
+    explicitly materialized stages — posting scan (trigram plan +
+    per-shard candidate fan-out), doc read (restricted load of the
+    candidate docs), verify (the grep over the loaded candidates).
+    The production pipeline FUSES these stages for throughput
+    (``search_regex_fused``); this mode deliberately trades that
+    pipelining for attributable timings, so the three phase nanos sum
+    to total_nano by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from dcs_ray.grep import grep_regex, regex_candidates
+
+    with open(args.log) as f:
+        queries = [l.strip() for l in f if l.strip()]
+    out = []
+    for q in queries:
+        t0 = time.monotonic()
+        cand = regex_candidates(args.index, q)  # posting scan
+        t1 = time.monotonic()
+        if cand is not None and len(cand) == 0:
+            docs = rd.read_parquet(args.docs).limit(0).materialize()
+        else:
+            docs = rd.read_parquet(args.docs)
+            if cand is not None:
+                ref = ray.put(cand)  # one object-store copy, sorted
+
+                def keep(b: pa.Table, _r=ref) -> pa.Table:
+                    c = ray.get(_r)
+                    ids = b["doc_id"].to_numpy().astype(np.uint64)
+                    pos = np.clip(np.searchsorted(c, ids), 0, len(c) - 1)
+                    return b.filter(pa.array(c[pos] == ids))
+
+                docs = docs.map_batches(keep, batch_format="pyarrow")
+            docs = docs.materialize()  # doc read ends HERE, measurably
+        t2 = time.monotonic()
+        n = grep_regex(docs, q).count()  # verify (docs already restricted)
+        t3 = time.monotonic()
+        rec = {
+            "query": q,
+            "nresults": int(n),
+            "ncandidates": -1 if cand is None else int(len(cand)),
+            "posting_nano": int((t1 - t0) * 1e9),
+            "doc_read_nano": int((t2 - t1) * 1e9),
+            "verify_nano": int((t3 - t2) * 1e9),
+        }
+        rec["total_nano"] = (
+            rec["posting_nano"] + rec["doc_read_nano"] + rec["verify_nano"]
+        )
+        out.append(rec)
+        print(json.dumps(rec))
+    tot = {
+        p: sum(o[p] for o in out)
+        for p in ("posting_nano", "doc_read_nano", "verify_nano", "total_nano")
+    }
+    print(json.dumps({"queries": len(out), "mode": "phases", **tot}))
+    return out
+
+
 def cmd_replay(args) -> None:
     """Replay a query log, one query per line, print per-query JSON
     measurements (``cmd/dcs/replay.go:472-546``). ``--service`` runs
     through the resident ShardSearcher actor pool (the dcs-web
     long-lived backend shape) instead of a per-call Dataset pipeline —
-    identical results, lower per-query latency."""
+    identical results, lower per-query latency. ``--phases`` (with
+    ``--docs``) switches to the staged regex replay with per-phase
+    nanos (posting scan / doc read / verify)."""
     ray = _ray()
     from dcs_ray.search import load_stats, search_bm25
+
+    if getattr(args, "phases", False):
+        if not getattr(args, "docs", None):
+            raise SystemExit("--phases requires --docs <documents parquet>")
+        _replay_phases(args)
+        return
 
     with open(args.log) as f:
         queries = [l.strip() for l in f if l.strip()]
@@ -1065,6 +1138,11 @@ def main() -> None:
     d.add_argument("--progress", action="store_true",
                    help="with --service: record per-shard in-flight "
                    "progress events per query (querymanager_events shape)")
+    d.add_argument("--phases", action="store_true",
+                   help="staged regex replay with per-phase nanos "
+                   "(posting scan / doc read / verify, replay.go:37-45)")
+    d.add_argument("--docs", default=None,
+                   help="documents parquet for --phases doc-read stage")
     d.set_defaults(fn=cmd_replay)
 
     d = sub.add_parser("feed", help="poll a drop dir, NRT-add new parquet files")

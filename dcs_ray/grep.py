@@ -248,12 +248,15 @@ def shard_candidates(path: str, pattern: str) -> np.ndarray | None:
     return None if isinstance(r, str) else r
 
 
-def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
-                 id_col: str = "doc_id", engine: str = "auto") -> ray.data.Dataset:
-    """Full dcs query path: regex → trigram plan → candidate generation on
-    the index (one Ray task per shard — the dcs source-backend fan-out,
-    never a driver-side decode loop) → restricted verify grep
-    (``SURVEY.md §3.2``)."""
+def regex_candidates(index_dir: str, pattern: str) -> np.ndarray | None:
+    """The posting-scan phase of the dcs query path in isolation: regex
+    → trigram plan → candidate generation over every shard (one Ray
+    task per shard — the source-backend fan-out, never a driver-side
+    decode loop). Returns ``None`` when the query is unfilterable
+    (grep everything), else a SORTED uint64 id array (possibly empty).
+    ``search_regex`` composes this with the verify grep; ``replay
+    --phases`` times it standalone (``cmd/dcs/replay.go:37-45``'s
+    index-only phase)."""
     import pyarrow as pa2
 
     from dcs_ray.queryplan import regexp_query
@@ -261,56 +264,61 @@ def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
 
     q = regexp_query(pattern)
     if q.op == "NONE":
-        return docs.limit(0)
-    candidates: np.ndarray | None
+        return np.empty(0, np.uint64)
     if q.op == "ALL":
-        candidates = None  # unfilterable query: grep everything
-    else:
-        paths = shard_paths(index_dir)
-        work = ray.data.from_items([{"path": p} for p in paths])
+        return None  # unfilterable query: grep everything
+    paths = shard_paths(index_dir)
+    work = ray.data.from_items([{"path": p} for p in paths])
 
-        def cand(batch: pa2.Table) -> pa2.Table:
-            parts, unfilterable = [], False
-            for p in batch["path"].to_pylist():
-                r = shard_candidates(p, pattern)
-                if r is None:
-                    unfilterable = True
-                else:
-                    parts.append(r)
-            if unfilterable:  # any unfilterable shard ⇒ grep everything
-                return pa2.table(
-                    {"doc_id": pa2.array([0], pa2.uint64()),
-                     "unfilterable": pa2.array([True])}
-                )
-            ids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+    def cand(batch: pa2.Table) -> pa2.Table:
+        parts, unfilterable = [], False
+        for p in batch["path"].to_pylist():
+            r = shard_candidates(p, pattern)
+            if r is None:
+                unfilterable = True
+            else:
+                parts.append(r)
+        if unfilterable:  # any unfilterable shard ⇒ grep everything
             return pa2.table(
-                {
-                    "doc_id": pa2.array(ids, pa2.uint64()),
-                    "unfilterable": pa2.array(np.zeros(len(ids), dtype=bool)),
-                }
+                {"doc_id": pa2.array([0], pa2.uint64()),
+                 "unfilterable": pa2.array([True])}
             )
+        ids = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+        return pa2.table(
+            {
+                "doc_id": pa2.array(ids, pa2.uint64()),
+                "unfilterable": pa2.array(np.zeros(len(ids), dtype=bool)),
+            }
+        )
 
-        tables = [
-            pa2.table(b)
-            for b in work.map_batches(cand, batch_size=1, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            )
-        ]
-        if not tables:  # every shard returned zero candidates
-            return docs.limit(0)
-        tbl = pa2.concat_tables(tables)
-        import pyarrow.compute as pc2
+    tables = [
+        pa2.table(b)
+        for b in work.map_batches(cand, batch_size=1, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not tables:  # every shard returned zero candidates
+        return np.empty(0, np.uint64)
+    tbl = pa2.concat_tables(tables)
+    import pyarrow.compute as pc2
 
-        if pc2.any(tbl["unfilterable"]).as_py():
-            candidates = None
-        else:
-            candidates = tbl["doc_id"].to_numpy().astype(np.uint64)
-            if len(candidates) == 0:
-                return docs.limit(0)
+    if pc2.any(tbl["unfilterable"]).as_py():
+        return None
+    return np.sort(tbl["doc_id"].to_numpy().astype(np.uint64))
+
+
+def search_regex(index_dir: str, docs: ray.data.Dataset, pattern: str,
+                 id_col: str = "doc_id", engine: str = "auto") -> ray.data.Dataset:
+    """Full dcs query path: regex → trigram plan → candidate generation on
+    the index (``regex_candidates``) → restricted verify grep
+    (``SURVEY.md §3.2``)."""
+    candidates = regex_candidates(index_dir, pattern)
+    if candidates is not None and len(candidates) == 0:
+        return docs.limit(0)
     if candidates is not None:
         # ship ids through the object store (one shared copy), not the
         # task closure
-        candidates = ray.put(np.sort(candidates))
+        candidates = ray.put(candidates)
     return grep_regex(docs, pattern, candidates, id_col, engine=engine)
 
 

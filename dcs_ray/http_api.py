@@ -146,6 +146,14 @@ class ApiServer:
             "queries_throttled": 0,
             "inflight": 0,
         }
+        # per-endpoint query-latency histogram, the reference's
+        # per-query Prometheus histogram (cmd/dcs-web/querymanager.go:
+        # 44-56): decade buckets 1 ms .. 1000 s + +Inf. Raw per-bucket
+        # counts here; the scrape emits CUMULATIVE counts as Prometheus
+        # requires.
+        self._hist_le = [0.001, 0.01, 0.1, 1.0, 10.0, 100.0, 1000.0]
+        self._hist: dict[str, list[int]] = {}
+        self._hist_sum: dict[str, float] = {}
         self._lock = threading.Lock()
         # ThreadingHTTPServer runs handlers concurrently, but
         # SearchService's finished-query cache (OrderedDict
@@ -366,6 +374,7 @@ class ApiServer:
             return self._err(h, 500, f"{type(e).__name__}: {e}")
         finally:
             self._bump("inflight", -1)
+            self._observe(u.path, time.monotonic() - t0)
         self._bump("queries_successful")
         body["latency_ms"] = round((time.monotonic() - t0) * 1e3, 3)
         body["subject"] = key["s"]
@@ -376,6 +385,20 @@ class ApiServer:
         h.send_header("Content-Length", str(len(data)))
         h.end_headers()
         h.wfile.write(data)
+
+    def _observe(self, endpoint: str, seconds: float) -> None:
+        """Record one query latency into the endpoint's histogram
+        (success AND error paths — a histogram that only sees wins lies
+        about tail latency)."""
+        with self._lock:
+            buckets = self._hist.setdefault(
+                endpoint, [0] * (len(self._hist_le) + 1)
+            )
+            i = 0
+            while i < len(self._hist_le) and seconds > self._hist_le[i]:
+                i += 1
+            buckets[i] += 1
+            self._hist_sum[endpoint] = self._hist_sum.get(endpoint, 0.0) + seconds
 
     def _err(self, h: BaseHTTPRequestHandler, code: int, msg: str) -> None:
         data = (msg + "\n").encode()
@@ -584,6 +607,30 @@ class ApiServer:
         with self._lock:
             for k, v in self.counters.items():
                 lines.append(f"dcsray_http_{k} {v}")
+            lines.append(f"dcsray_queries_inflight {self.counters['inflight']}")
+            # Prometheus histogram: cumulative buckets, sum, count per
+            # endpoint (querymanager.go:44-56's per-query latency story)
+            for ep in sorted(self._hist):
+                raw = self._hist[ep]
+                cum = 0
+                for le, n in zip(self._hist_le, raw):
+                    cum += n
+                    lines.append(
+                        'dcs_query_seconds_bucket{endpoint="%s",le="%s"} %d'
+                        % (ep, repr(le).rstrip("0").rstrip("."), cum)
+                    )
+                cum += raw[-1]
+                lines.append(
+                    'dcs_query_seconds_bucket{endpoint="%s",le="+Inf"} %d'
+                    % (ep, cum)
+                )
+                lines.append(
+                    'dcs_query_seconds_sum{endpoint="%s"} %.6f'
+                    % (ep, self._hist_sum.get(ep, 0.0))
+                )
+                lines.append(
+                    'dcs_query_seconds_count{endpoint="%s"} %d' % (ep, cum)
+                )
         with self._svc_lock:
             ci = self.svc.cache_info()
             # metrics() round-trips the actor pool — taken under the

@@ -109,6 +109,53 @@ def test_metrics_endpoint_prometheus_text(server):
     assert n >= 2
 
 
+def test_metrics_latency_histogram(server):
+    """Per-endpoint query-latency histogram (the reference's per-query
+    Prometheus histogram, querymanager.go:44-56): decade buckets
+    1 ms..1000 s, CUMULATIVE and monotone, count == +Inf bucket,
+    in-flight gauge exposed."""
+    import re
+
+    _, api = server
+    key = make_api_key("tester", SECRET)
+    for q in ("spark", "merge", "join"):
+        _get(api, f"/v1/search?query={q}&k=3", key)
+    text = _get(api, "/metrics", raw=True).decode()
+    assert "dcsray_queries_inflight 0" in text
+
+    pat = re.compile(
+        r'dcs_query_seconds_bucket\{endpoint="([^"]+)",le="([^"]+)"\} (\d+)'
+    )
+    per_ep: dict[str, list[tuple[float, int]]] = {}
+    for ep, le, n in pat.findall(text):
+        per_ep.setdefault(ep, []).append(
+            (float("inf") if le == "+Inf" else float(le), int(n))
+        )
+    assert "/v1/search" in per_ep
+    for ep, rows in per_ep.items():
+        les = [le for le, _ in rows]
+        counts = [n for _, n in rows]
+        assert les == sorted(les) and les[-1] == float("inf"), ep
+        assert les[:-1] == [0.001, 0.01, 0.1, 1.0, 10.0, 100.0, 1000.0], ep
+        # cumulative monotone
+        assert all(a <= b for a, b in zip(counts, counts[1:])), (ep, counts)
+        cnt = int(
+            next(
+                l for l in text.splitlines()
+                if l.startswith(f'dcs_query_seconds_count{{endpoint="{ep}"}}')
+            ).split()[-1]
+        )
+        assert cnt == counts[-1], ep
+        s = float(
+            next(
+                l for l in text.splitlines()
+                if l.startswith(f'dcs_query_seconds_sum{{endpoint="{ep}"}}')
+            ).split()[-1]
+        )
+        assert s >= 0.0
+    assert per_ep["/v1/search"][-1][1] >= 3  # the 3 queries above landed
+
+
 def test_grammar_query_through_http(server):
     out, api = server
     key = make_api_key("tester", SECRET)
