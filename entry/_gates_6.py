@@ -17,6 +17,53 @@ from dcs_ray.sources.io import read_parquet_sized
 from entry._helpers import _CACHE_ROOT
 
 
+def _q_image_features_mixed(sf_dir: str):
+    """REAL decode path over a MIXED corpus: deterministic P6 PPM,
+    zlib-compressed PNG, baseline-JPEG (4:2:0 + restart markers), and
+    GIF89a (LZW, palette-quantized) images (same pixel recipes),
+    sniffed and decoded per row by the dependency-free parsers in an
+    actor pool → per-channel stats + luma grid features. Rows-only BY
+    NATURE: the 4:2:0 gradient JPEG decode has no closed-form pixels.
+    The PPM arm is hash-gated via ``image_features``, PNG/GIF via
+    ``image_features_lossless``, flat-tile JPEG via
+    ``image_features_jpeg``; pytest pins cross-codec equality."""
+    import ray.data
+
+    from dcs_ray.functions.multimodal import (
+        PpmImageFeatureExtractor,
+        synthesize_gif_media,
+        synthesize_jpeg_media,
+        synthesize_png_media,
+        synthesize_ppm_media,
+    )
+
+    ppm = synthesize_ppm_media(32)
+    png = synthesize_png_media(32)
+    png = png.set_column(
+        png.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(32, 64), pa.int64()),
+    )
+    jpg = synthesize_jpeg_media(32)
+    jpg = jpg.set_column(
+        jpg.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(64, 96), pa.int64()),
+    )
+    gif = synthesize_gif_media(32)
+    gif = gif.set_column(
+        gif.schema.get_field_index("media_id"), "media_id",
+        pa.array(np.arange(96, 128), pa.int64()),
+    )
+    media = ray.data.from_arrow(pa.concat_tables([ppm, png, jpg, gif]))
+    ds = media.map_batches(
+        PpmImageFeatureExtractor, concurrency=2, batch_size=32,
+        batch_format="pyarrow", num_cpus=1,
+    )
+    t = pa.concat_tables(
+        [pa.table(b) for b in ds.iter_batches(batch_format="pyarrow")]
+    )
+    return t.sort_by("media_id")
+
+
 def _q_knn_ivf_kmeans(sf_dir: str) -> pa.Table:
     """The production float quantizer route: IVF ANN with spherical
     k-means++ coarse training (bounded deterministic-seed sample, 10

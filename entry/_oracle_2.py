@@ -2917,6 +2917,43 @@ SELECT term, doc_id, count(*)::bigint AS tf
 FROM tok WHERE term IN ('join', 'merge', 'spark')
 GROUP BY term, doc_id ORDER BY term, doc_id
 """,
+        # round 5 (VERDICT r4 #8): the PPM arm of the image pipeline —
+        # fixed-layout P6 raster = the same closed-form pixel recipe the
+        # lossless gate replays, without the palette-quantized arm.
+        "image_features": """
+WITH ids0 AS (SELECT unnest(range(0, 32)) AS m),
+par AS (SELECT m::bigint AS media_id, m::bigint AS i FROM ids0),
+xs0 AS (SELECT unnest(range(0, 24)) AS x),
+ys0 AS (SELECT unnest(range(0, 16)) AS y),
+px AS (SELECT p.media_id, x.x::bigint AS x, y.y::bigint AS y,
+              (((x.x * 255 // 23) + p.i * 7) % 256)::bigint AS r,
+              (((y.y * 255 // 15) + p.i * 13) % 256)::bigint AS g,
+              ((((x.x + y.y) * 255 // 38) + p.i * 29) % 256)::bigint AS b
+       FROM par p, xs0 x, ys0 y),
+mn AS (SELECT media_id,
+              sum(r)::double / 384.0 AS mr, sum(g)::double / 384.0 AS mg,
+              sum(b)::double / 384.0 AS mb
+       FROM px GROUP BY media_id),
+sd AS (SELECT px.media_id,
+              sqrt(sum((px.r - mn.mr) * (px.r - mn.mr)) / 384.0) AS sr,
+              sqrt(sum((px.g - mn.mg) * (px.g - mn.mg)) / 384.0) AS sg,
+              sqrt(sum((px.b - mn.mb) * (px.b - mn.mb)) / 384.0) AS sb
+       FROM px JOIN mn USING (media_id) GROUP BY px.media_id),
+lu AS (SELECT media_id, (y * 2) // 16 AS gy, (x * 2) // 24 AS gx,
+              sum(r * 0.299 + g * 0.587 + b * 0.114)
+                / count(*) AS gm
+       FROM px GROUP BY 1, 2, 3),
+f AS (
+  SELECT media_id, 0::bigint AS dim, mr AS v FROM mn
+  UNION ALL SELECT media_id, 1, mg FROM mn
+  UNION ALL SELECT media_id, 2, mb FROM mn
+  UNION ALL SELECT media_id, 3, sr FROM sd
+  UNION ALL SELECT media_id, 4, sg FROM sd
+  UNION ALL SELECT media_id, 5, sb FROM sd
+  UNION ALL SELECT media_id, (6 + gy * 2 + gx)::bigint, gm FROM lu)
+SELECT media_id, dim, round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
+FROM f ORDER BY media_id, dim
+""",
         # round 5: knn_cosine_ivf now runs the deterministic hash-min
         # quantizer (16 lists, nprobe=4, zero Lloyd iterations) so the
         # full train→assign→probe→top-k chain replays in SQL — the
