@@ -663,6 +663,148 @@ def run_scaling(
     }
 
 
+def run_skew(sf_dir: str, num_cpus: int = 32, factor: int = 800,
+             salt_factor: int = 8, n_terms: int = 256) -> dict:
+    """Zipf hot-term straggler record (VERDICT r4 #7) over an EXACT
+    Zipf vocabulary: term ``zz{k}`` appears in every doc with
+    ``id % k == 0`` (k = 1..n_terms), so df(zz{k}) = n/k — zz002 is
+    the verdict's df ≈ 50% hot term, zz001 is the df = 100% stop-term
+    extreme. (The synthesized sf corpora can't host this test: their
+    ~31-term vocabulary is uniformly heavy, so the unsalted groupby
+    has no LIGHT groups for a straggler to stand out against.) The
+    LITERAL groupby(term) shuffle build runs twice — hot-term range
+    salting ON vs OFF — recording per-task pack walls; the claim under
+    test is that salting bounds the max-task/median-task ratio where
+    the unsalted build concentrates a df-100% posting list in ONE
+    task. Decoded posting equality between the two runs is asserted
+    (salting must not change WHAT is built)."""
+    import ray
+
+    os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    _malloc_tuning()
+    host_pre = host_calibration(load_gate=True)
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from dcs_ray.index import IndexConfig
+    from dcs_ray.index.term_shuffle import build_postings_term_shuffle
+
+    _warm_workers(num_cpus)
+    input_dir = replicate_input(sf_dir, factor)
+    files = sorted(
+        os.path.join(input_dir, f)
+        for f in os.listdir(input_dir) if f.endswith(".parquet")
+    )
+    n_docs = sum(pq.read_metadata(f).num_rows for f in files)
+
+    def make_zipf_text(k_min: int):
+        def zipf_text(b: pa.Table) -> pa.Table:
+            # exact-Zipf membership by modular arithmetic — fully
+            # deterministic, order-independent, vectorized (one variadic
+            # element-wise join across the indicator columns)
+            ids = b["doc_id"].to_numpy()
+            cols = [
+                pa.array(
+                    np.where(ids % k == 0, f"zz{k:03d} ", "").tolist(),
+                    pa.string(),
+                )
+                for k in range(k_min, n_terms + 1)
+            ]
+            txt = pc.binary_join_element_wise(*cols, "")
+            return pa.table({"doc_id": b["doc_id"], "text": txt})
+
+        return zipf_text
+
+    # threshold at n/64: the heaviest UNSALTED term then packs in ~1/64
+    # of the hot group's time — with a higher cut (n/16 tried first) the
+    # df≈n/17 boundary term itself became the straggler
+    hot_threshold = max(n_docs // 64, 1024)  # zz001..zz063 get salted
+    results: dict[str, dict] = {}
+    tables: dict[str, pa.Table] = {}
+    # "control_no_skew" = the SAME corpus minus the hot head (k >= 64
+    # only, every df <= threshold): its max/median task ratio is the
+    # sort-shuffle's intrinsic granularity floor with ZERO skew — the
+    # bar the salted run must match to prove the hot term no longer
+    # defines any straggler
+    for label, thresh, k_min in (
+        ("salted", hot_threshold, 1),
+        ("unsalted", 1 << 62, 1),
+        ("control_no_skew", 1 << 62, 64),
+    ):
+        docs = ray.data.read_parquet(files).map_batches(
+            make_zipf_text(k_min), batch_format="pyarrow"
+        )
+        conf = IndexConfig(
+            num_partitions=max(num_cpus, 16), num_shards=1, mode="words",
+            id_col="doc_id", dedup_latest=False,
+        )
+        stats: dict = {}
+        t0 = time.monotonic()
+        tbl = build_postings_term_shuffle(
+            docs, conf, hot_df_threshold=thresh, salt_factor=salt_factor,
+            stats_out=stats,
+        )
+        wall = time.monotonic() - t0
+        tables[label] = tbl
+        walls = sorted(stats["task_wall_ms"].values())
+        med = walls[len(walls) // 2] if walls else 0.0
+        mx = walls[-1] if walls else 0.0
+        dfmap = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        if label != "control_no_skew":
+            assert dfmap["zz001"] == n_docs and dfmap["zz002"] == n_docs // 2
+        results[label] = {
+            "build_wall_s": round(wall, 3),
+            "pack_stage_wall_s": round(stats["pack_stage_wall_s"], 3),
+            "n_pack_tasks": len(walls),
+            "task_wall_ms_median": round(med, 2),
+            "task_wall_ms_max": round(mx, 2),
+            "straggler_ratio": round(mx / max(med, 1e-9), 2),
+            "hot_group_wall_ms_max": round(stats["group_wall_ms_max"], 2),
+            "df_zz001": int(dfmap.get("zz001", 0)),
+            "df_zz002": int(dfmap.get("zz002", 0)),
+            "n_terms": tbl.num_rows,
+        }
+    # salting must not change the built postings. Blob BYTES differ for
+    # hot terms (a salted blob is a concat of range-ordered sub-blobs
+    # with their own block boundaries) — the contract is DECODED
+    # equality, same as test_term_shuffle.
+    from dcs_ray.codec import decode_postings
+
+    a = tables["salted"].sort_by("term")
+    b = tables["unsalted"].sort_by("term")
+    assert a["term"].equals(b["term"]) and a["df"].equals(b["df"])
+    for i in range(a.num_rows):
+        da, ta = decode_postings(a["blob"][i].as_py())
+        db, tb = decode_postings(b["blob"][i].as_py())
+        assert np.array_equal(da, db) and np.array_equal(ta, tb), a["term"][i]
+    ray.shutdown()
+    return {
+        "metric": f"hot-term (df~50%) straggler ratio, salted (S={salt_factor}) vs unsalted groupby(term)",
+        "value": results["salted"]["straggler_ratio"],
+        "unit": "max_task/median_task",
+        "sf": sf_dir,
+        "replication_factor": factor,
+        "num_cpus": num_cpus,
+        "postings_equal": True,
+        "salted": results["salted"],
+        "unsalted": results["unsalted"],
+        "control_no_skew": results["control_no_skew"],
+        "host_pre": host_pre,
+        "host": host_calibration(),
+    }
+
+
 def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
     """Two-node local-cluster validation: `ray start --head` plus one
     worker process (two raylets, two plasma stores — a real object-store
@@ -764,6 +906,13 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-term (df~50%%) straggler record: salted vs "
+                    "unsalted groupby(term) shuffle, per-task pack walls")
+    ap.add_argument("--salt-factor", type=int, default=32,
+                    help="sub-lists per hot term for --skew; size to "
+                    "df_hot/typical-group so hot sub-groups stop "
+                    "dominating a task")
     ap.add_argument("--two-node", action="store_true",
                     help="two-raylet local cluster vs single-node hash "
                     "identity (standalone only: calls `ray stop --force`)")
@@ -787,6 +936,11 @@ def main() -> None:
     args = ap.parse_args()
     if args.two_node:
         out = run_two_node("/root/testdata/sf0.001")
+    elif args.skew:
+        # ids only (text is synthesized Zipf); ×800 of sf0.001 = the
+        # 4M-doc corpus the scaling record uses
+        out = run_skew("/root/testdata/sf0.001", num_cpus=args.cpus,
+                       factor=args.factor, salt_factor=args.salt_factor)
     elif args.scaling_one:
         out = run_scaling_one(args.input_dir, args.cpus, args.partitions)
     elif args.scaling:

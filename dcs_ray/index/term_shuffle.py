@@ -86,13 +86,22 @@ def build_postings_term_shuffle(
     conf: IndexConfig,
     hot_df_threshold: int = 1024,
     salt_factor: int = 8,
+    stats_out: dict | None = None,
 ) -> pa.Table:
     """Full salted term-shuffle build → term dictionary table
     ``(term, df, max_tf, blob)`` with dcs-layout posting blobs.
+    ``salt_factor`` CAPS the per-term slice count; the actual fan-out is
+    adaptive, ceil(df / hot_df_threshold), giving constant slice SIZE.
 
     The returned table is vocab-scale (collected to the driver here for
     test/demo purposes; the scale path writes per-term-range shards from
-    inside ``map_groups``)."""
+    inside ``map_groups``).
+
+    ``stats_out``: pass a dict to collect straggler evidence from the
+    pack stage — per-(Ray task, group) pack walls, aggregated per task
+    (``task_wall_ms``), plus the stage wall. This is how the skew
+    record (``bench.py --skew``) shows salting bounding the
+    max-task/median-task ratio where the unsalted shuffle cannot."""
     conf.validate()
     assert conf.id_col is not None
     if conf.id_max is None:
@@ -102,27 +111,65 @@ def build_postings_term_shuffle(
     postings = flat_postings(docs, conf)
     postings = postings.materialize()  # two consumers: df pre-pass + shuffle
     df_tbl = global_df(postings)
-    hot_terms = df_tbl.filter(pc.greater_equal(df_tbl["df"], hot_df_threshold))["term"]
-    hot_list = hot_terms.to_pylist()  # vocab-scale; broadcast by closure capture
+    hot_tbl = df_tbl.filter(pc.greater_equal(df_tbl["df"], hot_df_threshold))
+    hot_terms_arr = hot_tbl["term"].combine_chunks()
+    # constant SLICE SIZE, not constant fan-out: each hot term splits
+    # into ceil(df / threshold) range slices (capped at ``salt_factor``),
+    # so after salting NO group exceeds the row count the heaviest
+    # unsalted term already has — a fixed fan-out either under-splits
+    # the df-100% term or leaves the just-below-threshold term as the
+    # new straggler (both measured in the --skew record's history).
+    s_per = np.minimum(
+        np.ceil(hot_tbl["df"].to_numpy().astype(np.float64) / hot_df_threshold),
+        float(max(salt_factor, 1)),
+    ).astype(np.uint64)
+    hot_list = hot_terms_arr.to_pylist()  # vocab-scale; closure broadcast
 
     def add_salt(b: pa.Table) -> pa.Table:
-        is_hot = pc.is_in(b["term"], value_set=pa.array(hot_list, pa.string()))
+        from dcs_ray.functions.sketches import _hash64_column
+
+        if len(s_per) == 0:  # no hot terms anywhere: every salt is 0
+            s = np.ones(len(b), np.uint64)
+        else:
+            idx = pc.index_in(
+                b["term"], value_set=pa.array(hot_list, pa.string())
+            )
+            idxn = pc.fill_null(idx, -1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            s = np.where(idxn >= 0, s_per[np.maximum(idxn, 0)], 1).astype(np.uint64)
         ids = b["doc_id"].to_numpy()
         # RANGE salt: disjoint ascending doc-id runs per salt value, so
         # sub-blobs concatenate back losslessly (merge invariant)
-        salt = ((ids.astype(np.uint64) * salt_factor) // n_space).astype(np.int32)
-        salt = np.where(is_hot.to_numpy(zero_copy_only=False), salt, 0)
-        return b.append_column("salt", pa.array(salt, pa.int32()))
+        salt = ((ids.astype(np.uint64) * s) // n_space).astype(np.int32)
+        # SCATTER key: Ray Data's groupby shuffle is sort-range
+        # partitioned, so keying by (term, salt) alone places all S
+        # sub-lists of a hot term ADJACENTLY — few range partitions
+        # inherit every slice and the straggler the salt exists to
+        # break comes right back (measured: S=64 read WORSE than S=32
+        # before this). Hashing (term, salt) into the leading sort key
+        # spreads the slices uniformly; group identity stays the exact
+        # (term, salt) pair carried behind it.
+        h = _hash64_column(b["term"])
+        skey = (h + salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        return b.append_column("salt", pa.array(salt, pa.int32())).append_column(
+            "skey", pa.array(skey, pa.uint64())
+        )
 
     salted = postings.map_batches(add_salt, batch_format="pyarrow")
 
+    measure = stats_out is not None
+
     def pack_group(group: pa.Table) -> pa.Table:
+        import time as _time
+
+        t0 = _time.monotonic() if measure else 0.0
         group = group.sort_by([("doc_id", "ascending")])
         docs_np = group["doc_id"].to_numpy().astype(np.uint64)
         tfs_np = group["tf"].to_numpy().astype(np.uint64)
         offs = np.array([0, len(docs_np)], dtype=np.int64)
         blob, _o, _l = pack_postings(offs, docs_np, tfs_np)
-        return pa.table(
+        out = pa.table(
             {
                 "term": group["term"].slice(0, 1),
                 "salt": group["salt"].slice(0, 1),
@@ -131,13 +178,40 @@ def build_postings_term_shuffle(
                 "blob": pa.array([blob], pa.large_binary()),
             }
         )
+        if measure:
+            # a map_groups task packs MANY groups sequentially — tag each
+            # group's wall with its Ray task id so the driver can
+            # aggregate true per-task pack walls (the straggler unit)
+            import ray as _ray
 
-    packed = salted.groupby(["term", "salt"]).map_groups(
+            tid = _ray.get_runtime_context().get_task_id() or "driver"
+            out = out.append_column(
+                "pack_task", pa.array([tid], pa.string())
+            ).append_column(
+                "pack_ms",
+                pa.array([(_time.monotonic() - t0) * 1e3], pa.float64()),
+            )
+        return out
+
+    import time as _t
+
+    t_pack0 = _t.monotonic()
+    packed = salted.groupby(["skey", "term", "salt"]).map_groups(
         pack_group, batch_format="pyarrow"
     )
     sub = pa.concat_tables(
         pa.table(b) for b in packed.iter_batches(batch_format="pyarrow")
     ).sort_by([("term", "ascending"), ("salt", "ascending")])
+    if measure:
+        stats_out["pack_stage_wall_s"] = _t.monotonic() - t_pack0
+        agg = sub.group_by("pack_task").aggregate([("pack_ms", "sum")])
+        stats_out["task_wall_ms"] = dict(
+            zip(agg["pack_task"].to_pylist(), agg["pack_ms_sum"].to_pylist())
+        )
+        stats_out["group_wall_ms_max"] = float(
+            pc.max(sub["pack_ms"]).as_py() or 0.0
+        )
+        sub = sub.drop_columns(["pack_task", "pack_ms"])
 
     # second-level merge: salt-ordered byte concat per term (pure concat —
     # the docid-rebase of merge.go:252-341 is precomputed into the ids)
