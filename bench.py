@@ -805,13 +805,20 @@ def run_skew(sf_dir: str, num_cpus: int = 32, factor: int = 800,
     }
 
 
-def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
+def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391,
+                 factor: int = 1) -> dict:
     """Two-node local-cluster validation: `ray start --head` plus one
     worker process (two raylets, two plasma stores — a real object-store
     boundary between them), run index build + BM25 on the cluster, then
-    the same job single-node, and assert the result hashes are
-    identical.  The closest this sandbox gets to the north rule's
-    N-node claim beyond the CPU-scaling record.
+    the same job single-node at EQUAL TOTAL CPUs, and assert the result
+    hashes are identical.  The closest this sandbox gets to the north
+    rule's N-node claim beyond the CPU-scaling record.
+
+    ``factor > 1`` (VERDICT r4 #4) replicates the corpus first (the
+    ×800 4M-doc shape the scaling record uses) so the run measures
+    build/query THROUGHPUT across the plasma boundary rather than a
+    latency-bound toy — the cross-node overhead is
+    cluster_wall/single_wall per stage.
 
     NOTE: tears the cluster down with `ray stop --force`, which kills
     EVERY Ray process on the box — run standalone, never from pytest.
@@ -836,13 +843,25 @@ def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
     env.pop("RAY_ADDRESS", None)
-    queries = ["spark merge join", "customer window batch", "index stream"]
+    if factor > 1:
+        input_dir = replicate_input(sf_dir, factor)
+        files = sorted(
+            os.path.join(input_dir, f)
+            for f in os.listdir(input_dir) if f.endswith(".parquet")
+        )
+        queries = BM25_QUERIES * 3  # 60 queries: a throughput batch
+        num_partitions, num_shards = 64, 16
+    else:
+        files = [f"{sf_dir}/documents.parquet"]
+        queries = ["spark merge join", "customer window batch", "index stream"]
+        num_partitions, num_shards = 8, 2
 
-    def job(address: str | None) -> tuple[str, float, float]:
+    def job(address: str | None):
         import ray
         import ray.data
         from ray.data import DataContext
 
+        _malloc_tuning()
         if address:
             ray.init(address=address, logging_level="ERROR",
                      runtime_env={"env_vars": {"PYTHONPATH": env["PYTHONPATH"]}})
@@ -856,21 +875,20 @@ def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
 
         out = f"/tmp/bench_2node_{'cluster' if address else 'single'}"
         shutil.rmtree(out, ignore_errors=True)
-        docs = ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
+        docs = files  # file-list input → read-side partition pruning
         t0 = time.monotonic()
-        build_index(docs, out, IndexConfig(
-            num_partitions=8, num_shards=2, mode="words", id_col="doc_id",
-            dedup_latest=False,
+        manifest = build_index(docs, out, IndexConfig(
+            num_partitions=num_partitions, num_shards=num_shards,
+            mode="words", id_col="doc_id", dedup_latest=False,
         ))
         t_build = time.monotonic() - t0
         t0 = time.monotonic()
         t = search_bm25(out, queries, k=10)
         t_query = time.monotonic() - t0
         h = table_hash(t)
+        n_docs = manifest["stats"]["n_docs"]
         ray.shutdown()
-        return h, t_build, t_query, n_nodes
+        return h, t_build, t_query, n_nodes, n_docs
 
     subprocess.run(["ray", "stop", "--force"], capture_output=True)
     try:
@@ -885,17 +903,31 @@ def run_two_node(sf_dir: str, cpus_per_node: int = 4, port: int = 6391) -> dict:
              f"--num-cpus={cpus_per_node}"],
             check=True, capture_output=True, env=env,
         )
-        h2, b2, q2, n_nodes = job(f"127.0.0.1:{port}")
+        h2, b2, q2, n_nodes, n_docs = job(f"127.0.0.1:{port}")
     finally:
         subprocess.run(["ray", "stop", "--force"], capture_output=True)
-    h1, b1, q1, _ = job(None)
+    h1, b1, q1, _, _ = job(None)
     return {
         "metric": "two_node_validation",
         "nodes": n_nodes,
         "cpus_per_node": cpus_per_node,
         "sf": sf_dir,
-        "cluster": {"build_s": round(b2, 3), "query_s": round(q2, 3), "hash": h2},
-        "single": {"build_s": round(b1, 3), "query_s": round(q1, 3), "hash": h1},
+        "replication_factor": factor,
+        "n_docs": n_docs,
+        "n_queries": len(queries),
+        "cluster": {
+            "build_s": round(b2, 3), "query_s": round(q2, 3), "hash": h2,
+            "build_docs_per_s": round(n_docs / b2, 1),
+            "query_qps": round(len(queries) / q2, 2),
+        },
+        "single": {
+            "build_s": round(b1, 3), "query_s": round(q1, 3), "hash": h1,
+            "build_docs_per_s": round(n_docs / b1, 1),
+            "query_qps": round(len(queries) / q1, 2),
+        },
+        "cross_node_overhead": {
+            "build": round(b2 / b1, 3), "query": round(q2 / q1, 3),
+        },
         "hash_identical": h1 == h2,
         "host": host_calibration(),
     }
@@ -916,6 +948,10 @@ def main() -> None:
     ap.add_argument("--two-node", action="store_true",
                     help="two-raylet local cluster vs single-node hash "
                     "identity (standalone only: calls `ray stop --force`)")
+    ap.add_argument("--two-node-scale", action="store_true",
+                    help="--two-node on the x800 replicated sf0.1 corpus "
+                    "(4M docs): throughput across the plasma boundary "
+                    "(standalone only: calls `ray stop --force`)")
     ap.add_argument("--scaling-one", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--input-dir", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--partitions", type=int, default=128, help=argparse.SUPPRESS)
@@ -934,7 +970,9 @@ def main() -> None:
     )
     ap.add_argument("--healthy-cooldown", type=int, default=180)
     args = ap.parse_args()
-    if args.two_node:
+    if args.two_node_scale:
+        out = run_two_node("/root/testdata/sf0.1", factor=args.factor)
+    elif args.two_node:
         out = run_two_node("/root/testdata/sf0.001")
     elif args.skew:
         # ids only (text is synthesized Zipf); ×800 of sf0.001 = the
