@@ -246,6 +246,20 @@ class ApiServer:
         self._bump("requests_total")
         u = urlparse(h.path)
         qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+        if u.path in ("/", "/instant"):
+            # the dcs-web instant-search page (cmd/dcs-web + static/
+            # instant.js role). The PAGE is open like /metrics — it
+            # contains no data; every data call it makes is key-gated,
+            # and the key lives in the browser's localStorage.
+            from dcs_ray.webui import INSTANT_HTML
+
+            data = INSTANT_HTML.encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "text/html; charset=utf-8")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+            return
         if u.path == "/metrics":
             return self._metrics(h)
         if u.path == "/v1/progress":

@@ -109,6 +109,22 @@ def test_metrics_endpoint_prometheus_text(server):
     assert n >= 2
 
 
+def test_instant_search_page(server):
+    """GET / serves the self-contained instant-search page (the
+    dcs-web UI surface) — open like /metrics, with every data call it
+    makes going through the key-gated /v1 endpoints."""
+    _, api = server
+    req = urllib.request.Request(f"http://{api.host}:{api.port}/")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/html")
+        body = r.read().decode()
+    assert 'id="q"' in body and "/v1/search" in body and "/v1/suggest" in body
+    # same page at /instant
+    req = urllib.request.Request(f"http://{api.host}:{api.port}/instant")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.read().decode() == body
+
+
 def test_metrics_latency_histogram(server):
     """Per-endpoint query-latency histogram (the reference's per-query
     Prometheus histogram, querymanager.go:44-56): decade buckets
