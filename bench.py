@@ -975,8 +975,10 @@ def main() -> None:
     elif args.two_node:
         out = run_two_node("/root/testdata/sf0.001")
     elif args.skew:
-        # ids only (text is synthesized Zipf); ×800 of sf0.001 = the
-        # 4M-doc corpus the scaling record uses
+        # ids only (text is synthesized Zipf). sf0.001 has 500 docs, so
+        # n_docs = 500 × --factor; the committed SKEW_r5.json record was
+        # taken at --factor 4000 --salt-factor 256 (2M docs) — reproduce
+        # at that scale, smaller factors drown the skew in task overhead
         out = run_skew("/root/testdata/sf0.001", num_cpus=args.cpus,
                        factor=args.factor, salt_factor=args.salt_factor)
     elif args.scaling_one:

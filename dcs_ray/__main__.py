@@ -697,10 +697,10 @@ def _replay_phases(args) -> list[dict]:
                 ref = ray.put(cand)  # one object-store copy, sorted
 
                 def keep(b: pa.Table, _r=ref) -> pa.Table:
-                    c = ray.get(_r)
+                    from dcs_ray.grep import candidate_mask
+
                     ids = b["doc_id"].to_numpy().astype(np.uint64)
-                    pos = np.clip(np.searchsorted(c, ids), 0, len(c) - 1)
-                    return b.filter(pa.array(c[pos] == ids))
+                    return b.filter(pa.array(candidate_mask(ids, ray.get(_r))))
 
                 docs = docs.map_batches(keep, batch_format="pyarrow")
             docs = docs.materialize()  # doc read ends HERE, measurably

@@ -731,7 +731,13 @@ class IvfAnnIndex:
         if init == "hash_min":
             picked = _hash_min_rows(ds, num_lists, id_col, emb_col)
             assert len(picked), "empty corpus"
-            x = cent = _normalize(_emb_matrix(picked[emb_col]))
+            x = _normalize(_emb_matrix(picked[emb_col]))
+            # centroids must NOT alias the training matrix: Lloyd's
+            # `cent[c] = x[m].mean(...)` would otherwise overwrite
+            # training rows mid-iteration, feeding later centroids (and
+            # every later iteration) self-referential garbage whenever
+            # n_iter > 0 (review r5 finding #1)
+            cent = x.copy()
             num_lists = len(cent)
         else:
             sample = ds.limit(train_sample).take_all()

@@ -59,6 +59,19 @@ def five_lines(text: str, offset: int) -> tuple[int, list[str]]:
     return idx + 1, out
 
 
+def candidate_mask(ids: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Membership of ``ids`` in the SORTED candidate array — the J3
+    restrict-semi-join kernel, shared by the verify grep and ``replay
+    --phases``'s doc-read stage so the two paths can never filter
+    differently (one searchsorted probe; dtypes matched so the compare
+    stays in integer space)."""
+    if len(cand) == 0:
+        return np.zeros(len(ids), bool)
+    c = cand.astype(ids.dtype, copy=False)
+    pos = np.clip(np.searchsorted(c, ids), 0, len(c) - 1)
+    return c[pos] == ids
+
+
 class RegexGrepper:
     """Actor-pool stage: compiled pattern held per actor (ST5 —
     one compiled matcher per worker, ``regexp/regexp.go:17``,
@@ -107,13 +120,14 @@ class RegexGrepper:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self._resolved:
-            self.candidates = ray.get(self._cand_ref)
+            # candidate_mask needs SORTED ids; producers ship sorted
+            # arrays but a caller-supplied ref might not be — sorting a
+            # sorted array is cheap, guessing wrong is a silent miss
+            self.candidates = np.sort(ray.get(self._cand_ref))
             self._resolved = True
         ids = batch[self.id_col].to_numpy()
         if self.candidates is not None:
-            # match dtypes so np.isin stays in integer space (uint64 vs
-            # int64 would silently upcast to float64)
-            keep = np.isin(ids, self.candidates.astype(ids.dtype, copy=False))
+            keep = candidate_mask(ids, self.candidates)
             batch = batch.filter(pa.array(keep))
             ids = ids[keep]
         texts = batch["text"].to_pylist()

@@ -180,17 +180,38 @@ class ApiServer:
                 )
                 self.end_headers()
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
         # quiescent teardown (VERDICT r4 #3): ThreadingHTTPServer's
         # default daemon request threads are invisible to
         # ThreadingMixIn's _Threads tracker, so server_close() would
-        # return with handlers still running. Non-daemon threads ARE
-        # tracked and joined by server_close() (block_on_close), making
-        # shutdown() provably drain every in-flight request — the
-        # reference's clean ReplaceIndex lifecycle
-        # (internal/sourcebackend/sourcebackend.go:198-251).
-        self.httpd.daemon_threads = False
-        self.httpd.block_on_close = True
+        # return with handlers still running. We track handler threads
+        # OURSELVES (still daemon, so a wedged handler can never pin
+        # interpreter exit) and shutdown() joins each with a bounded
+        # deadline, raising — loudly, with the stuck thread named —
+        # rather than either hanging forever (an unbounded join on a
+        # deadlocked Dataset-path search would) or silently leaking
+        # (the old join(timeout=5) did). Mirrors the reference's clean
+        # ReplaceIndex lifecycle (sourcebackend.go:198-251).
+        self._handler_threads: set = set()
+        handler_threads = self._handler_threads
+        handler_lock = threading.Lock()
+
+        class TrackingServer(ThreadingHTTPServer):
+            daemon_threads = True
+
+            def process_request(self, request, client_address):
+                t = threading.Thread(
+                    target=self.process_request_thread,
+                    args=(request, client_address),
+                    daemon=True,
+                )
+                with handler_lock:
+                    handler_threads.add(t)
+                    # prune finished threads so the set stays bounded
+                    for old in [x for x in handler_threads if not x.is_alive() and x is not t]:
+                        handler_threads.discard(old)
+                t.start()
+
+        self.httpd = TrackingServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: threading.Thread | None = None
 
@@ -200,19 +221,29 @@ class ApiServer:
         self._thread.start()
         return self
 
-    def shutdown(self) -> None:
+    def shutdown(self, drain_timeout_s: float = 30.0) -> None:
         """Block until the server is quiescent: stop the accept loop,
-        join every in-flight request handler (server_close with
-        non-daemon tracked threads), then join the serve thread
-        UNCONDITIONALLY — after serve_forever exits and handlers are
-        drained this cannot hang, and a bounded join that times out
-        would silently leak a live thread into the caller."""
+        join the serve thread, then join every in-flight request
+        handler. Quiescence is PROVEN, not assumed — but bounded: a
+        handler still alive after ``drain_timeout_s`` raises
+        RuntimeError naming it instead of hanging the caller forever
+        (handlers are daemon threads, so even then interpreter exit is
+        never pinned)."""
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread:
-            self._thread.join()
+            self._thread.join()  # serve_forever has exited: cannot hang
             assert not self._thread.is_alive()
             self._thread = None
+        deadline = time.monotonic() + drain_timeout_s
+        for t in list(self._handler_threads):
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
+            if t.is_alive():
+                raise RuntimeError(
+                    f"request handler {t.name} still running "
+                    f"{drain_timeout_s}s after shutdown — not quiescent"
+                )
+        self._handler_threads.clear()
 
     def __enter__(self) -> "ApiServer":
         return self.start()
@@ -619,9 +650,10 @@ class ApiServer:
     def _metrics(self, h: BaseHTTPRequestHandler) -> None:
         lines = []
         with self._lock:
+            # (dcsray_http_inflight from the counters loop IS the
+            # queries-in-flight gauge — one name, no alias to drift)
             for k, v in self.counters.items():
                 lines.append(f"dcsray_http_{k} {v}")
-            lines.append(f"dcsray_queries_inflight {self.counters['inflight']}")
             # Prometheus histogram: cumulative buckets, sum, count per
             # endpoint (querymanager.go:44-56's per-query latency story)
             for ep in sorted(self._hist):

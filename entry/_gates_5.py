@@ -210,9 +210,12 @@ def _q_unigram_lm_cost(sf_dir: str) -> pa.Table:
     )
     from dcs_ray.tokenize import word_tokens_flat
 
+    # THREE consumers below (the length assert, unigram_piece_costs,
+    # unigram_lm_cost_by_lang) — materialize once or the lazy read
+    # re-executes per consumer (CLAUDE.md multi-consumer rule)
     docs = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    ).materialize()
 
     # the SQL replay's Viterbi DP (_unigram_dp_sql) is unrolled to 8
     # prefix positions — a property of the SYNTHESIZED corpus vocabulary,

@@ -137,7 +137,9 @@ def test_metrics_latency_histogram(server):
     for q in ("spark", "merge", "join"):
         _get(api, f"/v1/search?query={q}&k=3", key)
     text = _get(api, "/metrics", raw=True).decode()
-    assert "dcsray_queries_inflight 0" in text
+    # the in-flight gauge: ONE name (no alias), zero when idle
+    assert "dcsray_http_inflight 0" in text
+    assert "dcsray_queries_inflight" not in text
 
     pat = re.compile(
         r'dcs_query_seconds_bucket\{endpoint="([^"]+)",le="([^"]+)"\} (\d+)'

@@ -305,3 +305,40 @@ def test_centroid_classify_separable_clusters(ray_session):
     )
     assert out["pred_label"].to_pylist() == [0, 1, 2]
     assert min(out["cos_sim"].to_pylist()) > 0.9
+
+
+def test_ivf_hash_min_lloyd_no_aliasing(ray_session, tmp_path):
+    """init='hash_min' with n_iter > 0 must run Lloyd on a training
+    matrix that does NOT alias the centroid array (review r5 #1: the
+    old `x = cent = ...` let `cent[c] = x[m].mean(...)` overwrite
+    training rows mid-iteration, corrupting every later centroid).
+    Expected centroids are recomputed in pure numpy from the same
+    hash-min rows."""
+    import numpy as np
+    import ray.data
+
+    from dcs_ray.functions.simsearch import (
+        IvfAnnIndex,
+        _emb_matrix,
+        _hash_min_rows,
+        _normalize,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "ivf_hm_lloyd")
+    idx = IvfAnnIndex.build(emb, out, num_lists=8, n_iter=2, init="hash_min")
+
+    picked = _hash_min_rows(
+        ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        8, "vec_id", "embedding",
+    )
+    x = _normalize(_emb_matrix(picked["embedding"]))
+    cent = x.copy()
+    for _ in range(2):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _normalize(cent)
+    np.testing.assert_allclose(idx.centroids, cent, atol=1e-12)
