@@ -64,3 +64,44 @@ def test_deletions():
     assert deletions("abc") == ["bc", "ac", "ab"]
     assert deletions("a") == [""]
     assert deletions("") == []
+
+
+def test_probe_table_matches_reference_loop():
+    """The vectorized sliced-concat probe must emit exactly the rows the
+    row-at-a-time reference produces (modulo order) — randomized small
+    vocab with adversarial near-duplicates."""
+    import random
+
+    import pyarrow as pa
+
+    from dcs_ray.functions.spell import _probe_table, deletions
+
+    rng = random.Random(7)
+    alpha = "abcde"
+    vocab = sorted(
+        {"".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+         for _ in range(300)}
+    )
+    batch = pa.table(
+        {
+            "term": pa.array(vocab, pa.string()),
+            "df": pa.array([rng.randint(1, 99) for _ in vocab], pa.int64()),
+        }
+    )
+    words = ["abc", "de", "abcdef", "xyz", "a"]
+    qk = {w: frozenset([w, *deletions(w)]) for w in words}
+
+    got = _probe_table(batch, qk)
+    got_rows = sorted(zip(got["word"].to_pylist(), got["term"].to_pylist(),
+                          got["df"].to_pylist()))
+
+    want = []
+    for t, d in zip(vocab, batch["df"].to_pylist()):
+        tkeys = frozenset([t, *deletions(t)])
+        for w, wk in qk.items():
+            if abs(len(t) - len(w)) > 1:
+                continue
+            if not wk.isdisjoint(tkeys):
+                want.append((w, t, d))
+    assert got_rows == sorted(want)
+    assert got_rows  # the generator must actually produce matches
