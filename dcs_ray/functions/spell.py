@@ -106,22 +106,44 @@ def _probe_table(
     import numpy as np
     import pyarrow.compute as pc
 
+    terms_all = batch[term_col]
+    if isinstance(terms_all, pa.ChunkedArray):
+        terms_all = terms_all.combine_chunks()
+    # pre-filter to the query words' length window: a term longer than
+    # max(len(w))+1 can never be within distance 1 of any word, and web
+    # vocabularies carry long URL/hash tokens — without this one 60-char
+    # outlier would force 61 full-column key materializations
+    wlens = [len(w) for w in qk] or [0]
+    lo_len, hi_len = min(wlens) - 1, max(wlens) + 1
+    lens_all = pc.utf8_length(terms_all).to_numpy(zero_copy_only=False).astype(np.int64)
+    window = (lens_all >= lo_len) & (lens_all <= hi_len)
+    if not window.any():
+        return pa.table(
+            {
+                "word": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    batch = batch.filter(pa.array(window))
     terms_arr = batch[term_col]
     if isinstance(terms_arr, pa.ChunkedArray):
         terms_arr = terms_arr.combine_chunks()
-    lens = pc.utf8_length(terms_arr)
-    lens_np = lens.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens_np = lens_all[window]
     max_len = int(lens_np.max()) if len(lens_np) else 0
+    # separator typed to the COLUMN (large_string vocab columns would
+    # otherwise hit 'no kernel matching input types')
+    sep = pa.scalar("", type=terms_arr.type)
     key_cols = [terms_arr]
     big = 1 << 30
     for i in range(max_len):
         pre = pc.utf8_slice_codeunits(terms_arr, 0, i)
         suf = pc.utf8_slice_codeunits(terms_arr, i + 1, big)
-        key_cols.append(pc.binary_join_element_wise(pre, suf, ""))
+        key_cols.append(pc.binary_join_element_wise(pre, suf, sep))
 
     parts = []
     for w in sorted(qk):
-        wk_arr = pa.array(sorted(qk[w]), pa.string())
+        wk_arr = pa.array(sorted(qk[w]), pa.string()).cast(terms_arr.type)
         m = np.abs(lens_np - len(w)) <= 1
         if not m.any():
             continue
@@ -135,7 +157,7 @@ def _probe_table(
                 pa.table(
                     {
                         "word": pa.array([w] * len(sub), pa.string()),
-                        "term": sub[term_col],
+                        "term": sub[term_col].cast(pa.string()),
                         "df": sub[df_col].cast(pa.int64()),
                     }
                 )

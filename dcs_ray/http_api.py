@@ -204,12 +204,21 @@ class ApiServer:
                     args=(request, client_address),
                     daemon=True,
                 )
+                try:
+                    t.start()
+                except Exception:
+                    # thread exhaustion: close the socket and surface
+                    # the error; an unstarted Thread must never reach
+                    # the tracked set (join() on it would raise)
+                    self.shutdown_request(request)
+                    raise
+                # track AFTER a successful start (a finished thread in
+                # the set is fine — join() returns immediately)
                 with handler_lock:
                     handler_threads.add(t)
                     # prune finished threads so the set stays bounded
                     for old in [x for x in handler_threads if not x.is_alive() and x is not t]:
                         handler_threads.discard(old)
-                t.start()
 
         self.httpd = TrackingServer((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]

@@ -15,7 +15,6 @@ import sys
 import time
 
 import pyarrow.parquet as pq
-import pytest
 
 SF = "/root/testdata/sf0.1"
 
@@ -42,7 +41,17 @@ def _spawn(out: str, env: dict) -> subprocess.Popen:
     )
 
 
-@pytest.mark.timeout(600)
+def _committed_segments(seg_root: str) -> list[str]:
+    """Only ATOMICALLY COMMITTED segment dirs: write_segment stages
+    everything (lineage.json included) in ``seg_NNN.tmp`` and renames
+    last, so a kill can leave .tmp debris with a complete-looking
+    lineage file — counting those would record checksums the resume
+    legitimately discards (review r5b #1)."""
+    if not os.path.isdir(seg_root):
+        return []
+    return [d for d in os.listdir(seg_root) if not d.endswith(".tmp")]
+
+
 def test_sigkill_mid_build_then_resume(tmp_path):
     out = str(tmp_path / "killed_idx")
     seg_root = os.path.join(out, "segments")
@@ -57,13 +66,12 @@ def test_sigkill_mid_build_then_resume(tmp_path):
     deadline = time.monotonic() + 240
     n_done = 0
     while time.monotonic() < deadline and p.poll() is None:
-        if os.path.isdir(seg_root):
-            n_done = sum(
-                os.path.exists(os.path.join(seg_root, d, "lineage.json"))
-                for d in os.listdir(seg_root)
-            )
-            if n_done >= 2:
-                break
+        n_done = sum(
+            os.path.exists(os.path.join(seg_root, d, "lineage.json"))
+            for d in _committed_segments(seg_root)
+        )
+        if n_done >= 2:
+            break
         time.sleep(0.02)
     if p.poll() is None:
         os.killpg(os.getpgid(p.pid), signal.SIGKILL)
@@ -71,12 +79,11 @@ def test_sigkill_mid_build_then_resume(tmp_path):
     interrupted = not os.path.exists(os.path.join(out, "MANIFEST.json"))
 
     done_before = {}
-    if os.path.isdir(seg_root):
-        for d in os.listdir(seg_root):
-            lin = os.path.join(seg_root, d, "lineage.json")
-            if os.path.exists(lin):
-                with open(lin) as f:
-                    done_before[d] = json.load(f)["checksum"]
+    for d in _committed_segments(seg_root):
+        lin = os.path.join(seg_root, d, "lineage.json")
+        if os.path.exists(lin):
+            with open(lin) as f:
+                done_before[d] = json.load(f)["checksum"]
 
     # resume in a fresh process; must complete cleanly over the debris
     p2 = _spawn(out, env)

@@ -105,3 +105,26 @@ def test_probe_table_matches_reference_loop():
                 want.append((w, t, d))
     assert got_rows == sorted(want)
     assert got_rows  # the generator must actually produce matches
+
+
+def test_probe_table_large_string_and_long_term_window():
+    """Review r5b: a large_string vocab column must not crash the
+    vectorized probe, and a long outlier term (URL/hash token) must be
+    window-pruned instead of forcing len(outlier)+1 key columns."""
+    import pyarrow as pa
+
+    from dcs_ray.functions.spell import _probe_table, deletions
+
+    batch = pa.table(
+        {
+            "term": pa.array(
+                ["spark", "spork", "x" * 60, "merge"], pa.large_string()
+            ),
+            "df": pa.array([5, 3, 1, 7], pa.int64()),
+        }
+    )
+    qk = {w: frozenset([w, *deletions(w)]) for w in ["spark"]}
+    got = _probe_table(batch, qk)
+    rows = sorted(zip(got["word"].to_pylist(), got["term"].to_pylist()))
+    assert rows == [("spark", "spark"), ("spark", "spork")]
+    assert got.schema.field("term").type == pa.string()
