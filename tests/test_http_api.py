@@ -454,6 +454,14 @@ def test_rate_limit_per_subject(tmp_path):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "maximum batch size 2" in e.read().decode()
+        # BOUNDARY: a batch of exactly burst size is admissible in
+        # principle — it must get the 429 (retry-later) path, never the
+        # 400 (too-big-ever) path, even when the bucket is drained now
+        try:
+            _get(api, "/v1/msearch?queries=a|b&k=3", bob)
+            raise AssertionError("drained bucket should 429 a full-burst batch")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
     finally:
         api.shutdown()
         svc.shutdown()

@@ -98,6 +98,41 @@ def test_replace_index_confirms_old_pool_dead(idx):
         svc.shutdown()
 
 
+def test_shutdown_races_inflight_requests(idx):
+    """shutdown() while requests are in flight: every handler drains
+    (no RuntimeError from the bounded join), already-accepted requests
+    complete or fail with a socket error — never a hang, never a
+    survivor thread."""
+    import concurrent.futures
+
+    svc = search_service(idx, num_cpus=0.5)
+    api = ApiServer(svc, SECRET, port=0).start()
+    key = make_api_key("race", SECRET)
+
+    def one(q):
+        req = urllib.request.Request(
+            f"http://{api.host}:{api.port}/v1/search?query={q}&k=3"
+        )
+        req.add_header("x-dcs-apikey", key)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return ("ok", len(json.loads(r.read())["results"]))
+        except Exception as e:
+            return ("err", type(e).__name__)
+
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+            futs = [ex.submit(one, q) for q in ("spark", "merge", "join") * 4]
+            time.sleep(0.05)  # let several land in-flight
+            api.shutdown()  # must drain, not hang, not raise
+            results = [f.result(timeout=60) for f in futs]
+        assert any(s == "ok" for s, _ in results)  # some completed
+        assert not any(t.is_alive() for t in api._handler_threads)
+        assert api._thread is None
+    finally:
+        svc.shutdown()
+
+
 def test_second_server_lifecycle_reuses_cleanly(idx):
     """start→shutdown→start→shutdown on one service: the restart path a
     serving process cycling replace_index + server restarts exercises."""
