@@ -83,6 +83,32 @@ def _decode_term_cached(seg: Segment, idx: int) -> tuple[np.ndarray, np.ndarray]
     return d, t
 
 
+_BLOCK_CACHE: "OrderedDict[tuple[str, int, int, int], tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+_BLOCK_CACHE_BYTES = 0
+
+
+def _block_cache_get(seg: Segment, idx: int, bi: int):
+    """Per-worker LRU of decoded posting BLOCKS — the partial-decode
+    sibling of ``_decode_term_cached``: BMW decodes only the blocks a
+    query's θ couldn't prune, and query logs repeat hot terms, so the
+    same blocks recur across calls (without this, a 20-query batch paid
+    a fresh decode per query while the exhaustive path amortized
+    through its full-term caches)."""
+    hit = _BLOCK_CACHE.get((seg.path, seg.gen, idx, bi))
+    if hit is not None:
+        _BLOCK_CACHE.move_to_end((seg.path, seg.gen, idx, bi))
+    return hit
+
+
+def _block_cache_put(seg: Segment, idx: int, bi: int, hit) -> None:
+    global _BLOCK_CACHE_BYTES
+    _BLOCK_CACHE[(seg.path, seg.gen, idx, bi)] = hit
+    _BLOCK_CACHE_BYTES += hit[0].nbytes + hit[1].nbytes
+    while _BLOCK_CACHE_BYTES > DECODE_CACHE_CAP and _BLOCK_CACHE:
+        _, (od, ot) = _BLOCK_CACHE.popitem(last=False)
+        _BLOCK_CACHE_BYTES -= od.nbytes + ot.nbytes
+
+
 _POS_DECODE_CACHE: "OrderedDict[tuple, tuple[np.ndarray, np.ndarray, np.ndarray]]" = OrderedDict()
 _POS_DECODE_CACHE_BYTES = 0
 
@@ -592,6 +618,36 @@ def score_shard_bm25_maxscore(
     return topk(uniq_docs, sums, k)
 
 
+def _bmw_block(
+    seg: Segment,
+    idx: int,
+    bi: int,
+    firsts: np.ndarray,
+    maxes: np.ndarray,
+    boffs: np.ndarray,
+    blens: np.ndarray,
+    term_full: dict,
+    counters: dict | None,
+):
+    """Resolve one posting block WITHOUT fresh decode work when
+    possible: a full-term decode left by the exhaustive/maxscore caches
+    is sliced by the block's id range (zero-copy views); otherwise the
+    per-worker block LRU. Returns None on a true miss (caller decodes
+    and publishes)."""
+    full = term_full.get(idx)
+    if full is not None:
+        lo = int(np.searchsorted(full[0], firsts[bi]))
+        hi = int(np.searchsorted(full[0], maxes[bi], side="right"))
+        hit = (full[0][lo:hi], full[1][lo:hi])
+        if counters is not None:
+            counters["blocks_from_cache"] = counters.get("blocks_from_cache", 0) + 1
+        return hit
+    hit = _block_cache_get(seg, idx, bi)
+    if hit is not None and counters is not None:
+        counters["blocks_from_cache"] = counters.get("blocks_from_cache", 0) + 1
+    return hit
+
+
 def score_shard_bm25_bmw(
     seg: Segment,
     plan: list[tuple[str, float]],
@@ -631,19 +687,62 @@ def score_shard_bm25_bmw(
     if not resolved:
         return np.empty(0, np.uint64), np.empty(0, np.float64)
 
-    # per-term block metadata + per-block score upper bounds (dl→0)
+    # per-term block metadata + per-block score upper bounds (dl→0).
+    # SPARSE terms (few blocks) get PER-POSTING events instead: a rare
+    # term's single block typically spans the whole doc-id axis, so its
+    # block-max would inflate EVERY interval's bound and defeat pruning
+    # (measured: 72% of 'common' blocks decoded on a 4M-doc skew corpus
+    # whose 50-posting 'rare' block covered the axis; with per-posting
+    # events the bound collapses to ub_common outside the actual rare
+    # docs and those intervals prune). Decoding a sparse term up front
+    # costs ≤ SPARSE_BLOCKS tiny blocks — cached for the scoring loop.
+    SPARSE_BLOCKS = 32  # ≤ ~4k postings at 128/block
     term_hdrs = []
     all_firsts, all_ends, all_ubs = [], [], []
     blocks_total = 0
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    term_full: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for rank, idx, idf in resolved:
         firsts, maxes, mtfs, boffs, blens = seg.term_headers(idx)
         mtf = mtfs.astype(np.float64)
         ubs = idf * (mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b))
         term_hdrs.append((rank, idx, idf, firsts, maxes, boffs, blens, ubs))
-        all_firsts.append(firsts)
-        all_ends.append(maxes.astype(np.int64) + 1)
-        all_ubs.append(ubs)
         blocks_total += len(firsts)
+        # an earlier exhaustive/maxscore call may have left the FULL
+        # decode in the worker cache — slice blocks out of it for free
+        full = _DECODE_CACHE.get((seg.path, seg.gen, idx))
+        if full is not None:
+            _DECODE_CACHE.move_to_end((seg.path, seg.gen, idx))
+            term_full[idx] = full
+        if 0 < len(firsts) <= SPARSE_BLOCKS:
+            blob = None
+            pd_, pt_ = [], []
+            for bi in range(len(firsts)):
+                hit = _bmw_block(
+                    seg, idx, int(bi), firsts, maxes, boffs, blens,
+                    term_full, counters,
+                )
+                if hit is None:
+                    if blob is None:
+                        blob = seg.term_blob(idx)
+                    h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
+                    for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
+                        hit = decode_block(header, body)
+                    _block_cache_put(seg, idx, int(bi), hit)
+                    if counters is not None:
+                        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
+                decoded[(idx, int(bi))] = hit
+                pd_.append(hit[0])
+                pt_.append(hit[1])
+            dall = np.concatenate(pd_).astype(np.int64)
+            tall = np.concatenate(pt_).astype(np.float64)
+            all_firsts.append(dall)
+            all_ends.append(dall + 1)
+            all_ubs.append(idf * (tall * (k1 + 1.0)) / (tall + k1 * (1.0 - b)))
+        else:
+            all_firsts.append(firsts)
+            all_ends.append(maxes.astype(np.int64) + 1)
+            all_ubs.append(ubs)
     if counters is not None:
         counters["blocks_total"] = counters.get("blocks_total", 0) + blocks_total
 
@@ -671,26 +770,36 @@ def score_shard_bm25_bmw(
         spans.append((lo, hi))
 
     order = np.lexsort((bp[:-1], -bound))  # bound desc, start asc
-    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     got_d: list[np.ndarray] = []
     got_r: list[np.ndarray] = []
     got_s: list[np.ndarray] = []
     n_scored = 0
-    all_scores: list[np.ndarray] = []  # per-doc totals, for θ
+    # running top-k of per-doc totals for θ — incremental, NOT a full
+    # history re-concat per chunk (that was O(rounds²) and dominated
+    # wall-clock in the tie-degenerate regime where θ never prunes)
+    best_pool = np.empty(0, np.float64)
     theta = -np.inf
     CHUNK = max(64, 2 * k // 128 + 1)
+    chunk = CHUNK
     pos = 0
     while pos < len(order):
         margin = theta * (1.0 - 1e-12) - 1e-300
-        take = order[pos : pos + CHUNK]
-        take = take[bound[take] >= margin]
+        raw = order[pos : pos + chunk]
+        take = raw[bound[raw] >= margin]
         if len(take) == 0:
             # bounds are sorted desc: everything beyond is below θ too
             if theta > -np.inf:
                 break
-            pos += CHUNK
+            pos += len(raw)
             continue
-        pos += CHUNK
+        pos += len(raw)
+        # galloping chunk growth: a round where θ pruned nothing means
+        # the bound landscape is flat where we are (tie-heavy corpora,
+        # e.g. heavily duplicated crawls) — double the chunk so the
+        # no-prune regime converges to one big vectorized pass instead
+        # of paying per-round interval machinery ~n_iv/CHUNK times;
+        # any successful prune resets to fine-grained chunks
+        chunk = min(chunk * 2, len(order)) if len(take) == len(raw) else CHUNK
         chosen = np.zeros(n_iv, bool)
         chosen[take] = True
         csum = np.concatenate(([0], np.cumsum(chosen)))
@@ -707,14 +816,20 @@ def score_shard_bm25_bmw(
                 key = (idx, int(bi))
                 hit = decoded.get(key)
                 if hit is None:
-                    if blob is None:
-                        blob = seg.term_blob(idx)
-                    h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
-                    for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
-                        hit = decode_block(header, body)
+                    hit = _bmw_block(
+                        seg, idx, int(bi), firsts, maxes, boffs, blens,
+                        term_full, counters,
+                    )
+                    if hit is None:
+                        if blob is None:
+                            blob = seg.term_blob(idx)
+                        h_and_body = blob[boffs[bi] : boffs[bi] + blens[bi]]
+                        for header, body in iter_blocks(np.ascontiguousarray(h_and_body)):
+                            hit = decode_block(header, body)
+                        _block_cache_put(seg, idx, int(bi), hit)
+                        if counters is not None:
+                            counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
                     decoded[key] = hit
-                    if counters is not None:
-                        counters["blocks_decoded"] = counters.get("blocks_decoded", 0) + 1
                 parts_d.append(hit[0])
                 parts_t.append(hit[1])
             d = np.concatenate(parts_d)
@@ -743,11 +858,15 @@ def score_shard_bm25_bmw(
             o = np.lexsort((cr, cd))
             sd, ss = cd[o], cs[o]
             bnd = np.concatenate(([0], np.flatnonzero(sd[1:] != sd[:-1]) + 1))
-            all_scores.append(np.add.reduceat(ss, bnd))
+            sums_chunk = np.add.reduceat(ss, bnd)
             n_scored += len(bnd)
-        if n_scored >= k:
-            pool = np.concatenate(all_scores)
-            kth = np.partition(pool, len(pool) - k)[len(pool) - k]
+            best_pool = np.concatenate((best_pool, sums_chunk))
+            if len(best_pool) > k:
+                best_pool = np.partition(best_pool, len(best_pool) - k)[
+                    len(best_pool) - k :
+                ]
+        if n_scored >= k and len(best_pool) >= k:
+            kth = best_pool.min()  # == kth-best of everything scored
             if kth > theta:
                 theta = kth
 

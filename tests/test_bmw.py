@@ -120,7 +120,11 @@ def test_bmw_skips_blocks_on_skewed_corpus(ray_session, tmp_path):
     d2, s2 = score_shard_bm25_bmw(seg, plans[0], stats, 10, counters=counters)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(s1, s2)
-    assert counters["blocks_decoded"] < counters["blocks_total"], counters
+    # "touched" = fresh decodes + cache-sliced blocks (the exhaustive
+    # call above warms the full-term decode cache, so BMW may reach
+    # blocks without decoding) — the PRUNING claim is about touched
+    touched = counters.get("blocks_decoded", 0) + counters.get("blocks_from_cache", 0)
+    assert 0 < touched < counters["blocks_total"], counters
     # the bulk of 'common' (60k docs / 128 per block ≈ 470 blocks) must
     # be skipped, not just a few stragglers
-    assert counters["blocks_decoded"] < counters["blocks_total"] * 0.5, counters
+    assert touched < counters["blocks_total"] * 0.5, counters
