@@ -149,6 +149,10 @@ class ShardSearcher:
                 return score_shard_bm25(seg, plan, st, kk, doc_filter, prior_col)
         elif method == "maxscore":
             score_fn = score_shard_bm25_maxscore
+        elif method == "bmw":
+            from dcs_ray.search import score_shard_bm25_bmw
+
+            score_fn = score_shard_bm25_bmw
         else:
             score_fn = score_shard_bm25
         doc_filter = shard_doc_filter(self.seg, filters)

@@ -325,10 +325,12 @@ def test_search_service_identical_to_dataset_path(built_index):
             g1 = svc.search([q], k=5).to_pandas()
             w1 = search_bm25(out, [q], k=5).to_pandas()
             assert g1.equals(w1), q
-        # exhaustive scorer route through the service too
-        g2 = svc.search(["spark merge join"], k=10, method="exhaustive").to_pandas()
-        assert g2.equals(search_bm25(out, ["spark merge join"], k=10,
-                                     method="exhaustive").to_pandas())
+        # exhaustive + BMW scorer routes through the service too —
+        # every method the Dataset path offers, rank-identical
+        for m in ("exhaustive", "bmw"):
+            g2 = svc.search(["spark merge join"], k=10, method=m).to_pandas()
+            assert g2.equals(search_bm25(out, ["spark merge join"], k=10,
+                                         method=m).to_pandas()), m
 
 
 def test_search_service_result_cache(built_index):
