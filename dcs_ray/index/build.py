@@ -161,6 +161,21 @@ def compute_corpus_stats(out_dir: str, conf: IndexConfig) -> dict:
         tables = [pa.table(b) for b in df_ds.iter_batches(batch_format="pyarrow")]
         df_tbl = pa.concat_tables(tables).rename_columns(["term", "df"])
     pq.write_table(df_tbl, os.path.join(tmp, "df.parquet"), row_group_size=65536)
+    if pa.types.is_string(df_tbl["term"].type) or pa.types.is_large_string(
+        df_tbl["term"].type
+    ):
+        # reversed-term dictionary (Lucene ReversedWildcardFilter role):
+        # leading-wildcard expansion (*ing) becomes a row-group-pruned
+        # RANGE read over reverse(term) instead of a vocab scan —
+        # vocab-scale sort, one extra parquet
+        import pyarrow.compute as _pc
+
+        rev = pa.table(
+            {"term_rev": _pc.utf8_reverse(df_tbl["term"]), "df": df_tbl["df"]}
+        ).sort_by("term_rev")
+        pq.write_table(
+            rev, os.path.join(tmp, "df_rev.parquet"), row_group_size=65536
+        )
 
     seg_root = os.path.join(out_dir, "segments")
     segs = sorted(

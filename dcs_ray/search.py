@@ -2687,18 +2687,50 @@ def expand_prefix_terms(
     return [t for t, _ in ranked[:max_expansions]]
 
 
+def expand_suffix_terms_reversed(
+    index_dir: str, sub: str, max_expansions: int = 20
+) -> list[str] | None:
+    """Suffix wildcard (``*sub``) through the REVERSED-term dictionary
+    (Lucene's ReversedWildcardFilter): ``reverse(term)`` is sorted in
+    ``stats/df_rev.parquet`` (written at build since round 5), so the
+    suffix match becomes the same row-group-pruned RANGE read the
+    prefix form enjoys — range-sized, not vocab-sized. Returns None
+    when the index predates the artifact (caller falls back to the
+    documented vocab scan)."""
+    path = os.path.join(index_dir, "stats", "df_rev.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.dataset as pads
+
+    rev_pfx = sub[::-1]
+    upper = rev_pfx[:-1] + chr(ord(rev_pfx[-1]) + 1)
+    dset = pads.dataset(path)
+    tbl = dset.to_table(
+        filter=(pads.field("term_rev") >= rev_pfx) & (pads.field("term_rev") < upper)
+    )
+    terms = [t[::-1] for t in tbl["term_rev"].to_pylist()]
+    ranked = sorted(zip(terms, tbl["df"].to_pylist()), key=lambda td: (-td[1], td[0]))
+    return [w for w, _ in ranked[:max_expansions]]
+
+
 def expand_contains_terms(
     index_dir: str, sub: str, max_expansions: int = 20, suffix_only: bool = False
 ) -> list[str]:
     """Expand an infix (``*sub*``) or suffix (``*sub``) wildcard to the
     top-``max_expansions`` matching vocabulary terms by (df desc, term
-    asc). Unlike the prefix form there is NO key-range to push down — a
-    leading wildcard scans the vocabulary (which is why Lucene gates
-    leading wildcards behind a flag); the scan is vocab-sized, never
-    corpus-sized, and at 10^12 docs the vocab is the one table that
-    still fits a node."""
+    asc). Suffix forms route through the reversed-term dictionary when
+    the index carries one (range-pruned; see
+    :func:`expand_suffix_terms_reversed`); infix forms — and suffix on
+    pre-round-5 indexes — scan the vocabulary (which is why Lucene
+    gates leading wildcards behind a flag); the scan is vocab-sized,
+    never corpus-sized, and at 10^12 docs the vocab is the one table
+    that still fits a node."""
     if not sub:
         raise ValueError("wildcard substring must be non-empty")
+    if suffix_only:
+        fast = expand_suffix_terms_reversed(index_dir, sub, max_expansions)
+        if fast is not None:
+            return fast
     t = pq.read_table(
         os.path.join(index_dir, "stats", "df.parquet"), columns=["term", "df"]
     )

@@ -315,3 +315,41 @@ def test_search_as_you_type_last_token_prefix(words_index):
     c = search_as_you_type(words_index, "join me*", k=10)
     assert c.equals(b)
     assert len(search_as_you_type(words_index, "", k=10)) == 0
+
+
+def test_suffix_wildcard_reversed_dictionary(ray_session, tmp_path):
+    """Round 5: leading-wildcard (*sub) expansion routes through the
+    reversed-term dictionary (range-pruned read of stats/df_rev.parquet)
+    and must return EXACTLY what the documented vocab scan returns; an
+    index without the artifact falls back to the scan."""
+    import os
+
+    import ray.data
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import (
+        expand_contains_terms,
+        expand_suffix_terms_reversed,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet"), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    rev = os.path.join(out, "stats", "df_rev.parquet")
+    assert os.path.exists(rev)
+    for sub in ("ge", "rk", "e", "zzznope"):
+        fast = expand_suffix_terms_reversed(out, sub, 20)
+        os.rename(rev, rev + ".bak")
+        try:
+            slow = expand_contains_terms(out, sub, 20, suffix_only=True)
+            # fallback path (no artifact) must equal the fast path
+            assert expand_suffix_terms_reversed(out, sub, 20) is None
+            assert expand_contains_terms(out, sub, 20, suffix_only=True) == slow
+        finally:
+            os.rename(rev + ".bak", rev)
+        assert fast == slow, sub
+        # and the routed public path uses the artifact
+        assert expand_contains_terms(out, sub, 20, suffix_only=True) == fast
