@@ -2219,10 +2219,24 @@ def _grammar_plan(
         expanded: list[str] = []
         fuzzy_words: list[str] = []  # batched: ONE vocab pass for all '~'
         for tok in p["terms"]:
-            if tok.endswith("*") and len(tok) > 1 and not tok.startswith("*"):
+            lead = tok.startswith("*") and len(tok) > 1
+            trail = tok.endswith("*") and len(tok) > 1
+            if trail and not lead:
                 for w in tokenize_query_words(tok[:-1]):
                     expanded.extend(
                         expand_prefix_terms(expand_index_dir, w, max_expansions)
+                    )
+            elif lead and tok.strip("*"):
+                # *core (suffix — range-pruned via the reversed-term
+                # dictionary) and *core* (infix — documented vocab
+                # scan); previously these fell through as the LITERAL
+                # term 'core', silently changing the query's meaning
+                for w in tokenize_query_words(tok.strip("*")):
+                    expanded.extend(
+                        expand_contains_terms(
+                            expand_index_dir, w, max_expansions,
+                            suffix_only=not trail,
+                        )
                     )
             elif tok.endswith("~") and len(tok) > 1:
                 fuzzy_words.extend(tokenize_query_words(tok[:-1]))

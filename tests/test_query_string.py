@@ -173,3 +173,36 @@ def test_negated_phrase_operator(indexes):
     keep = [int(d) not in having for d in full["doc_id"].to_pylist()]
     expect = full.filter(pa.array(keep)).slice(0, 10)
     assert got["doc_id"].to_pylist() == expect["doc_id"].to_pylist()
+
+
+def test_grammar_leading_and_infix_wildcards(ray_session, tmp_path):
+    """Round 5: the query grammar routes *core (suffix, reversed-dict
+    range read) and *core* (infix, vocab scan) through the proper
+    expanders — previously '*ing' silently ranked the LITERAL term
+    'ing'. Identity against search_bm25 over the explicit expansion."""
+    import ray.data
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import (
+        expand_contains_terms,
+        search_bm25,
+        search_query,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet"), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    # suffix form
+    got = search_query(out, "*rk merge", k=10).to_pandas()
+    terms = expand_contains_terms(out, "rk", 20, suffix_only=True)
+    want = search_bm25(out, [" ".join(sorted(set(terms + ["merge"])))], k=10).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # infix form matches the infix expansion's semantics
+    got_i = search_query(out, "*erg*", k=10).to_pandas()
+    terms_i = expand_contains_terms(out, "erg", 20)
+    want_i = search_bm25(out, [" ".join(sorted(set(terms_i)))], k=10).to_pandas()
+    assert sorted(got_i["doc_id"]) == sorted(want_i["doc_id"])
+    assert "merge" in terms_i  # the infix actually expanded
