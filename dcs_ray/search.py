@@ -2049,6 +2049,100 @@ def proximity_matches_shard(
     return uniq[keep], per_doc[keep]
 
 
+SLOPPY_SCALE = 1_000_000
+
+
+def sloppy_weights_shard(
+    seg: Segment, lit_a: str | bytes, lit_b: str | bytes, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Proximity-WEIGHTED ordered pair join (Lucene sloppy-phrase
+    role, byte-gap variant): for every occurrence pair with ``b``
+    strictly after ``a`` within ``window`` bytes, accumulate the
+    INTEGER weight ``SLOPPY_SCALE // gap`` per doc — closer pairs count
+    more, and integer division keeps the score bit-replayable in SQL
+    (the same discipline as the unigram/HLL integer chains). Same
+    composite-key searchsorted shape as ``proximity_matches_shard``;
+    the pair expansion is bounded by the window, not document size."""
+    da, pa_arr = positional_matches_shard(seg, lit_a)
+    db, pb_arr = positional_matches_shard(seg, lit_b)
+    if len(da) == 0 or len(db) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    la = np.searchsorted(seg.doc_ids, da).astype(np.int64)
+    lb = np.searchsorted(seg.doc_ids, db).astype(np.int64)
+    akey = (la << 32) + pa_arr.astype(np.int64)
+    bkey = (lb << 32) + pb_arr.astype(np.int64)
+    lo = np.searchsorted(bkey, akey + 1, side="left")
+    hi = np.searchsorted(bkey, akey + window, side="right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+    idx = np.repeat(lo, counts) + (
+        np.arange(total) - np.repeat(starts, counts)
+    )
+    gaps = bkey[idx] - np.repeat(akey, counts)  # same doc ⇒ pure pos gap
+    w = SLOPPY_SCALE // np.maximum(gaps, 1)
+    adoc = np.repeat(da, counts)
+    uniq, inverse = np.unique(adoc, return_inverse=True)
+    sums = np.bincount(inverse, weights=w.astype(np.float64)).astype(np.int64)
+    return uniq, sums
+
+
+def search_phrase_sloppy(
+    index_dir: str,
+    pair: tuple[str, str],
+    window: int = 40,
+    k: int = 10,
+) -> pa.Table:
+    """Rank docs by the sloppy-phrase weight of one ordered literal
+    pair (``sloppy_weights_shard`` per shard — docs partition across
+    shards so the global ranking is a k-row merge), ties to the lower
+    doc id. Output: (rank, doc_id, sloppy_w)."""
+    paths = shard_paths(index_dir)
+    work = ray.data.from_items([{"path_id": pid} for pid in range(len(paths))])
+    a, b = pair
+
+    def run(batch: pa.Table) -> pa.Table:
+        rows_d, rows_w = [], []
+        for pid in batch["path_id"].to_pylist():
+            seg = _open(paths[pid])
+            d, w = sloppy_weights_shard(seg, a, b, window)
+            if len(d):
+                # per-shard top-k bounds the merge at k × shards rows
+                o = np.lexsort((d, -w))[:k]
+                rows_d.append(d[o])
+                rows_w.append(w[o])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(rows_d) if rows_d else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "sloppy_w": pa.array(
+                    np.concatenate(rows_w) if rows_w else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    res = work.map_batches(run, batch_size=1, batch_format="pyarrow")
+    t = _collect(
+        res,
+        pa.schema([("doc_id", pa.uint64()), ("sloppy_w", pa.int64())]),
+    )
+    d = t["doc_id"].to_numpy()
+    w = t["sloppy_w"].to_numpy()
+    o = np.lexsort((d, -w))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(o) + 1, dtype=np.int64), pa.int64()),
+            "doc_id": pa.array(d[o].astype(np.int64), pa.int64()),
+            "sloppy_w": pa.array(w[o], pa.int64()),
+        }
+    )
+
+
 def search_proximity(
     index_dir: str,
     pairs: list[tuple[str, str]],

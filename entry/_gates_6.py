@@ -14,7 +14,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from dcs_ray.sources.io import read_parquet_sized
-from entry._helpers import _CACHE_ROOT
+from entry._helpers import _CACHE_ROOT, _index_dir
+
+
+def _q_sloppy_phrase_rank(sf_dir: str) -> pa.Table:
+    """Sloppy-phrase ranking (Lucene PhraseQuery-with-slop role, byte
+    gaps): docs ranked by Σ SLOPPY_SCALE // gap over ordered
+    ('spark' → 'join') occurrence pairs within a 40-byte window —
+    closer pairs weigh more, integer division keeps the whole score
+    SQL-replayable bit-for-bit (the positional sections supply exact
+    byte offsets; companions: proximity_search = unordered #uwN counts,
+    ordered_window_search = ordered #N counts)."""
+    from dcs_ray.search import search_phrase_sloppy
+
+    idx = _index_dir(sf_dir, "trigram")
+    return search_phrase_sloppy(idx, ("spark", "join"), window=40, k=10)
 
 
 def _q_image_features_mixed(sf_dir: str):

@@ -2954,6 +2954,37 @@ f AS (
 SELECT media_id, dim, round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
 FROM f ORDER BY media_id, dim
 """,
+        # round 5: sloppy-phrase ranking — the proximity gate's byte-
+        # offset occ CTEs with an integer 1e6//gap weight per ordered
+        # pair; integer division keeps engine and SQL bit-equal.
+        "sloppy_phrase_rank": """
+WITH occ_a AS (
+  SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'spark')) AS part,
+                 unnest(range(1, len(str_split(text, 'spark')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts),
+occ_b AS (
+  SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
+    SELECT doc_id, ord,
+           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           count(*) OVER (PARTITION BY doc_id) AS nparts
+    FROM (SELECT doc_id,
+                 unnest(str_split(text, 'join')) AS part,
+                 unnest(range(1, len(str_split(text, 'join')) + 1)) AS ord
+          FROM documents)) WHERE ord < nparts),
+pw AS (
+  SELECT a.doc_id, sum(1000000 // greatest(b.pos - a.pos, 1))::bigint AS sloppy_w
+  FROM occ_a a JOIN occ_b b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 40
+  GROUP BY a.doc_id)
+SELECT row_number() OVER (ORDER BY sloppy_w DESC, doc_id ASC) AS rank,
+       doc_id::bigint AS doc_id, sloppy_w
+FROM pw ORDER BY sloppy_w DESC, doc_id ASC LIMIT 10
+""",
         # round 5: knn_cosine_ivf now runs the deterministic hash-min
         # quantizer (16 lists, nprobe=4, zero Lloyd iterations) so the
         # full train→assign→probe→top-k chain replays in SQL — the
