@@ -101,10 +101,14 @@ def _block_cache_get(seg: Segment, idx: int, bi: int):
 
 
 def _block_cache_put(seg: Segment, idx: int, bi: int, hit) -> None:
+    # HALF the full-decode budget: a worker serving mixed bmw +
+    # exhaustive traffic can hold a term both here (blocks) and in
+    # _DECODE_CACHE (full) — the smaller cap bounds that worst-case
+    # duplication instead of adding a third full-size budget
     global _BLOCK_CACHE_BYTES
     _BLOCK_CACHE[(seg.path, seg.gen, idx, bi)] = hit
     _BLOCK_CACHE_BYTES += hit[0].nbytes + hit[1].nbytes
-    while _BLOCK_CACHE_BYTES > DECODE_CACHE_CAP and _BLOCK_CACHE:
+    while _BLOCK_CACHE_BYTES > DECODE_CACHE_CAP // 2 and _BLOCK_CACHE:
         _, (od, ot) = _BLOCK_CACHE.popitem(last=False)
         _BLOCK_CACHE_BYTES -= od.nbytes + ot.nbytes
 
@@ -2315,21 +2319,15 @@ def _grammar_plan(
         for tok in p["terms"]:
             lead = tok.startswith("*") and len(tok) > 1
             trail = tok.endswith("*") and len(tok) > 1
-            if trail and not lead:
-                for w in tokenize_query_words(tok[:-1]):
-                    expanded.extend(
-                        expand_prefix_terms(expand_index_dir, w, max_expansions)
-                    )
-            elif lead and tok.strip("*"):
-                # *core (suffix — range-pruned via the reversed-term
-                # dictionary) and *core* (infix — documented vocab
-                # scan); previously these fell through as the LITERAL
-                # term 'core', silently changing the query's meaning
+            if (lead or trail) and tok.strip("*"):
+                # foo* / *foo / *foo* — ONE routing table shared with
+                # wildcard_terms (_expand_wildcard_word); previously
+                # *core fell through as the LITERAL term 'core',
+                # silently changing the query's meaning
                 for w in tokenize_query_words(tok.strip("*")):
                     expanded.extend(
-                        expand_contains_terms(
-                            expand_index_dir, w, max_expansions,
-                            suffix_only=not trail,
+                        _expand_wildcard_word(
+                            expand_index_dir, w, lead, trail, max_expansions
                         )
                     )
             elif tok.endswith("~") and len(tok) > 1:
@@ -2768,6 +2766,18 @@ def search_corrected(
     )
 
 
+def _range_upper(prefix: str) -> str | None:
+    """Exclusive upper bound for the key range of strings starting with
+    ``prefix`` — ``prefix`` with its last char incremented. Returns
+    None when the incremented char would be unrepresentable (past
+    U+10FFFF) or a lone surrogate pyarrow cannot UTF-8-encode; callers
+    fall back to the scan path (review r5c #2)."""
+    nxt = ord(prefix[-1]) + 1
+    if nxt > 0x10FFFF or 0xD800 <= nxt <= 0xDFFF:
+        return None
+    return prefix[:-1] + chr(nxt)
+
+
 def expand_prefix_terms(
     index_dir: str, prefix: str, max_expansions: int = 20
 ) -> list[str]:
@@ -2784,11 +2794,15 @@ def expand_prefix_terms(
         raise ValueError("wildcard prefix must be non-empty")
     import pyarrow.dataset as pads
 
-    upper = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+    upper = _range_upper(prefix)
     dset = pads.dataset(os.path.join(index_dir, "stats", "df.parquet"))
-    tbl = dset.to_table(
-        filter=(pads.field("term") >= prefix) & (pads.field("term") < upper)
-    )
+    if upper is not None:
+        tbl = dset.to_table(
+            filter=(pads.field("term") >= prefix) & (pads.field("term") < upper)
+        )
+    else:  # un-incrementable last char: starts_with scan fallback
+        tbl = dset.to_table()
+        tbl = tbl.filter(pc.starts_with(tbl["term"], prefix))
     terms = tbl["term"].to_pylist()
     dfs = tbl["df"].to_pylist()
     ranked = sorted(zip(terms, dfs), key=lambda td: (-td[1], td[0]))
@@ -2811,7 +2825,9 @@ def expand_suffix_terms_reversed(
     import pyarrow.dataset as pads
 
     rev_pfx = sub[::-1]
-    upper = rev_pfx[:-1] + chr(ord(rev_pfx[-1]) + 1)
+    upper = _range_upper(rev_pfx)
+    if upper is None:  # un-incrementable first char of sub: scan path
+        return None
     dset = pads.dataset(path)
     tbl = dset.to_table(
         filter=(pads.field("term_rev") >= rev_pfx) & (pads.field("term_rev") < upper)
@@ -2852,6 +2868,24 @@ def expand_contains_terms(
     return [w for w, _ in ranked[:max_expansions]]
 
 
+def _expand_wildcard_word(
+    index_dir: str, w: str, lead: bool, trail: bool, max_expansions: int
+) -> list[str]:
+    """THE routing table for one wildcard word — shared by the query
+    grammar, ``wildcard_terms`` (search_wildcard + CLI explain) and
+    anything else that grows a wildcard form, so the three surfaces can
+    never route the same token differently: ``w*`` → prefix range
+    read, ``*w`` → reversed-dict range read (scan fallback),
+    ``*w*`` → infix vocab scan."""
+    if lead and trail:
+        return expand_contains_terms(index_dir, w, max_expansions)
+    if lead:
+        return expand_contains_terms(index_dir, w, max_expansions, suffix_only=True)
+    if trail:
+        return expand_prefix_terms(index_dir, w, max_expansions)
+    return [w]
+
+
 def wildcard_terms(
     index_dir: str, pattern: str, max_expansions: int = 20
 ) -> list[str]:
@@ -2867,14 +2901,10 @@ def wildcard_terms(
         lead = raw.startswith("*") and len(raw) > 1
         trail = raw.endswith("*") and len(raw) > 1
         core = raw.strip("*").lower()
-        if lead and trail and core:
-            terms.update(expand_contains_terms(index_dir, core, max_expansions))
-        elif lead and core:
+        if (lead or trail) and core:
             terms.update(
-                expand_contains_terms(index_dir, core, max_expansions, suffix_only=True)
+                _expand_wildcard_word(index_dir, core, lead, trail, max_expansions)
             )
-        elif trail and core:
-            terms.update(expand_prefix_terms(index_dir, core, max_expansions))
         else:
             terms.update(tokenize_query_words(raw))
     return sorted(terms)

@@ -265,6 +265,16 @@ class SearchService:
     ) -> pa.Table:
         if isinstance(queries, str):
             queries = [queries]
+        if prior_col is not None and method in ("bm25plus", "bmw"):
+            # mirror search_bm25's guard EXACTLY — the actor's
+            # prior_col branch would otherwise silently serve the
+            # exhaustive-prior scorer where the Dataset path raises,
+            # breaking the promised result parity (review r5c #1)
+            raise ValueError(
+                f"prior_col is incompatible with method={method!r}: the "
+                "per-doc multiplier forces the exhaustive classic-BM25 "
+                "scorer (use method='maxscore' or 'bm25')"
+            )
         # in-flight progress: work units are shards (the reference's
         # filesTotal analogue at this layer; the grep path reports
         # per-doc counts) — one start event per live shard, one done

@@ -846,7 +846,7 @@ FROM documents WHERE contains(text, '{LITERAL}') ORDER BY doc_id
 WITH occ_a AS (
   SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'spark')) AS part,
@@ -855,7 +855,7 @@ WITH occ_a AS (
 occ_b AS (
   SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'join')) AS part,

@@ -2769,7 +2769,7 @@ FROM a JOIN v USING (i) ORDER BY a.i
 WITH occ_a AS (
   SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'spark')) AS part,
@@ -2778,7 +2778,7 @@ WITH occ_a AS (
 occ_b AS (
   SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'join')) AS part,
@@ -2954,6 +2954,11 @@ f AS (
 SELECT media_id, dim, round(CAST(v AS FLOAT)::double, 6) + 0.0 AS val
 FROM f ORDER BY media_id, dim
 """,
+        # round 5: knn_cosine_ivf now runs the deterministic hash-min
+        # quantizer (16 lists, nprobe=4, zero Lloyd iterations) so the
+        # full train→assign→probe→top-k chain replays in SQL — the
+        # last driver-window row goes hash-green (VERDICT r4 item 1).
+        "knn_cosine_ivf": _ivf_knn_hashmin_sql(num_lists=16, nprobe=4, k=10),
         # round 5: sloppy-phrase ranking — the proximity gate's byte-
         # offset occ CTEs with an integer 1e6//gap weight per ordered
         # pair; integer division keeps engine and SQL bit-equal.
@@ -2961,7 +2966,7 @@ FROM f ORDER BY media_id, dim
 WITH occ_a AS (
   SELECT doc_id, (s + (ord - 1) * 5)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'spark')) AS part,
@@ -2970,7 +2975,7 @@ WITH occ_a AS (
 occ_b AS (
   SELECT doc_id, (s + (ord - 1) * 4)::bigint AS pos FROM (
     SELECT doc_id, ord,
-           sum(length(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
+           sum(strlen(part)) OVER (PARTITION BY doc_id ORDER BY ord) AS s,
            count(*) OVER (PARTITION BY doc_id) AS nparts
     FROM (SELECT doc_id,
                  unnest(str_split(text, 'join')) AS part,
@@ -2985,9 +2990,4 @@ SELECT row_number() OVER (ORDER BY sloppy_w DESC, doc_id ASC) AS rank,
        doc_id::bigint AS doc_id, sloppy_w
 FROM pw ORDER BY sloppy_w DESC, doc_id ASC LIMIT 10
 """,
-        # round 5: knn_cosine_ivf now runs the deterministic hash-min
-        # quantizer (16 lists, nprobe=4, zero Lloyd iterations) so the
-        # full train→assign→probe→top-k chain replays in SQL — the
-        # last driver-window row goes hash-green (VERDICT r4 item 1).
-        "knn_cosine_ivf": _ivf_knn_hashmin_sql(num_lists=16, nprobe=4, k=10),
     }

@@ -353,3 +353,65 @@ def test_suffix_wildcard_reversed_dictionary(ray_session, tmp_path):
         assert fast == slow, sub
         # and the routed public path uses the artifact
         assert expand_contains_terms(out, sub, 20, suffix_only=True) == fast
+
+
+def test_wildcard_unincrementable_chars_no_crash(ray_session, tmp_path):
+    """Review r5c: a wildcard whose boundary char cannot be incremented
+    (U+10FFFF, or an increment landing in the surrogate range) must
+    fall back to the scan path, not crash the range-bound arithmetic."""
+    import ray.data
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.search import (
+        expand_contains_terms,
+        expand_prefix_terms,
+        wildcard_terms,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet"), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False),
+    )
+    top = "\U0010FFFF"
+    sur = "퟿"
+    assert expand_prefix_terms(out, "spa" + top, 10) == []
+    assert expand_prefix_terms(out, "spa" + sur, 10) == []
+    assert expand_contains_terms(out, top + "foo", 10, suffix_only=True) == []
+    # the public routed surface stays calm too
+    assert wildcard_terms(out, f"*{top}x") == []
+
+
+def test_service_prior_method_guard_parity(ray_session, tmp_path):
+    """Review r5c: the service must raise on prior_col × bmw exactly
+    like search_bm25 — not silently serve the exhaustive-prior scorer."""
+    import pytest
+    import ray.data
+
+    from dcs_ray.index import IndexConfig, build_index
+    from dcs_ray.service import search_service
+
+    out = str(tmp_path / "idx")
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def with_prior(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b["doc_id"].to_numpy()
+        return b.append_column("prior", pa.array(1.0 + (ids % 5) / 10.0, pa.float64()))
+
+    build_index(
+        docs.map_batches(with_prior, batch_format="pyarrow"), out,
+        IndexConfig(num_partitions=2, num_shards=1, mode="words",
+                    id_col="doc_id", dedup_latest=False, meta_cols=("prior",)),
+    )
+    svc = search_service(out, num_cpus=0.5)
+    try:
+        with pytest.raises(ValueError, match="prior_col is incompatible"):
+            svc.search(["spark"], k=5, method="bmw", prior_col="prior")
+        # the allowed combination still serves
+        assert svc.search(["spark"], k=5, prior_col="prior").num_rows > 0
+    finally:
+        svc.shutdown()
